@@ -1,0 +1,59 @@
+"""Table loaders over the driver-generated parquet fixtures (TESTDATA.md).
+
+Mirrors SURVEY §2.1 S10: ``spark.read.parquet`` is the data-plane source
+(every Iceberg data file is parquet underneath). Column pruning and filter
+pushdown happen at this scan — keep loaders thin so Catalyst sees the scan
+directly (no caching, no collect).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from .session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes the events ns-timestamp column.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark cannot read
+    natively; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
+    epoch-nanos long and we convert to a microsecond timestamp (same
+    truncation DuckDB applies casting ns→µs).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        configure(spark)  # ensure nanosAsLong before the scan plans
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

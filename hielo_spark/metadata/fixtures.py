@@ -1,0 +1,324 @@
+"""Deterministic metadata-shaped fixtures (FIXTURES.md §B).
+
+Two sources:
+
+1. ``snapshots_from_orders`` — a snapshots table derived *deterministically
+   from the driver's orders fixture* with pure-SQL mappings. Because the
+   derivation is expressible in ANSI SQL, every [meta] operator built on it
+   (operation inference, snapshot filters, timeline, health suite) can be
+   checked against the DuckDB oracle. ``ORACLE_SNAPSHOTS_CTE`` is the DuckDB
+   side of the same derivation.
+
+2. ``synthetic_snapshots`` / ``synthetic_schemas`` / ``synthetic_partition_specs``
+   — small hand-built frames with the edge cases the reference's code paths
+   care about (null summaries, junk numerics, missing keys, renames, dangling
+   source ids), used by the pytest golden tests.
+
+Reference structs: data.rs:89-108 (Snapshot/Summary), data.rs:21-33 (schema),
+data.rs:111-134 (partition specs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..io import load_table
+
+# ---------------------------------------------------------------------------
+# 1. Orders-derived snapshots (oracle-checkable)
+# ---------------------------------------------------------------------------
+# Derivation rules (must match ORACLE_SNAPSHOTS_CTE exactly):
+#   table_name      = 'tbl_' || (o_orderkey % 3)
+#   snapshot_id     = o_orderkey
+#   committed_at    = o_orderdate
+#   schema_id       = o_orderkey % 2
+#   has_summary     = o_orderkey % 37 <> 0          (else summary entirely NULL)
+#   operation_raw   = NULL                              if o_orderkey % 5 == 0
+#                     'rewrite-data-files'              elif o_orderkey % 13 == 0
+#                     'delete'                          elif o_orderkey % 11 == 0
+#                     'append' / 'overwrite' / 'replace' by o_orderstatus O/F/P
+#   added-data-files key present iff has_summary and o_orderkey % 7 <> 0;
+#                     value = o_orderkey % 97
+#   added-records    present iff added-data-files present;
+#                     value = (o_custkey * 100 + o_orderkey % 53)
+#   deleted-records  present iff has_summary and o_orderkey % 17 == 0;
+#                     value = o_orderkey % 29
+#   total-size       present iff has_summary and o_orderkey % 3 <> 2;
+#                     value = (o_orderkey % 1000 + 1) * 1048576   (bytes)
+#   added-files-size present iff added-data-files present;
+#                     value = (o_orderkey % 500 + 1) * 1048576
+#   removed-files-size present iff deleted-records present;
+#                     value = (o_orderkey % 100) * 1048576
+
+_OP_RAW = """
+CASE
+  WHEN o_orderkey % 37 = 0 THEN NULL
+  WHEN o_orderkey % 5 = 0 THEN NULL
+  WHEN o_orderkey % 13 = 0 THEN 'rewrite-data-files'
+  WHEN o_orderkey % 11 = 0 THEN 'delete'
+  WHEN o_orderstatus = 'O' THEN 'append'
+  WHEN o_orderstatus = 'F' THEN 'overwrite'
+  ELSE 'replace'
+END
+"""
+
+# DuckDB CTE producing the *flattened* snapshot columns (the oracle never
+# needs the map; it reconstructs the same final results from these columns).
+ORACLE_SNAPSHOTS_CTE = f"""
+snapshots_src AS (
+  SELECT
+    'tbl_' || CAST(o_orderkey % 3 AS VARCHAR)         AS table_name,
+    o_orderkey                                        AS snapshot_id,
+    o_orderdate                                       AS committed_at,
+    CAST(o_orderkey % 2 AS INTEGER)                   AS schema_id,
+    (o_orderkey % 37 <> 0)                            AS has_summary,
+    {_OP_RAW}                                         AS operation_raw,
+    (o_orderkey % 37 <> 0 AND o_orderkey % 7 <> 0)    AS has_added,
+    (o_orderkey % 37 <> 0 AND o_orderkey % 17 = 0)    AS has_deleted,
+    (o_orderkey % 37 <> 0 AND o_orderkey % 3 <> 2)    AS has_total_size,
+    o_orderkey % 97                                   AS added_data_files,
+    o_custkey * 100 + o_orderkey % 53                 AS added_records,
+    o_orderkey % 29                                   AS deleted_records,
+    (o_orderkey % 1000 + 1) * 1048576                 AS total_size_bytes,
+    (o_orderkey % 500 + 1) * 1048576                  AS added_files_size,
+    (o_orderkey % 100) * 1048576                      AS removed_files_size
+  FROM orders
+),
+snapshots AS (
+  SELECT
+    table_name, snapshot_id, committed_at, schema_id,
+    has_summary,
+    CASE
+      WHEN NOT has_summary THEN 'unknown'
+      WHEN operation_raw IS NOT NULL THEN operation_raw
+      WHEN has_added THEN 'append'
+      WHEN has_deleted THEN 'delete'
+      ELSE 'append'
+    END                                               AS operation,
+    CASE WHEN has_added THEN added_data_files END      AS added_data_files,
+    CASE WHEN has_added THEN added_records END         AS added_records,
+    CASE WHEN has_deleted THEN deleted_records END     AS deleted_records,
+    CASE WHEN has_total_size THEN total_size_bytes END AS total_size_bytes,
+    CASE WHEN has_added THEN added_files_size END      AS added_files_size,
+    CASE WHEN has_deleted THEN removed_files_size END  AS removed_files_size
+  FROM snapshots_src
+)
+"""
+
+
+def snapshots_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshots table derived from orders, with a real map<string,string>
+    ``summary`` column shaped like Iceberg's ``t.snapshots.summary``.
+
+    The map carries string values exactly as the Iceberg spec does
+    (data.rs:98-108: "all values are strings").
+    """
+    # Fan out before the (interpreted) map-construction projection: the
+    # fixture parquet is one file → one partition; at real scale the scan
+    # is already parallel and this repartition is a no-op cost-wise.
+    o = load_table(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
+    k = F.col("o_orderkey")
+    has_summary = (k % 37) != 0
+    has_added = has_summary & ((k % 7) != 0)
+    has_deleted = has_summary & ((k % 17) == 0)
+    has_total = has_summary & ((k % 3) != 2)
+
+    def s(c):  # numbers → spec-style string values
+        return c.cast("long").cast("string")
+
+    entries = F.create_map(
+        F.lit("operation"), F.expr(_OP_RAW),
+        F.lit("added-data-files"), F.when(has_added, s(k % 97)),
+        F.lit("added-records"), F.when(has_added, s(F.col("o_custkey") * 100 + k % 53)),
+        F.lit("deleted-records"), F.when(has_deleted, s(k % 29)),
+        F.lit("total-size"), F.when(has_total, s((k % 1000 + 1) * 1048576)),
+        F.lit("added-files-size"), F.when(has_added, s((k % 500 + 1) * 1048576)),
+        F.lit("removed-files-size"), F.when(has_deleted, s((k % 100) * 1048576)),
+    )
+    summary = F.when(has_summary, F.map_filter(entries, lambda _, v: v.isNotNull()))
+    return o.select(
+        F.concat(F.lit("tbl_"), (k % 3).cast("string")).alias("table_name"),
+        k.alias("snapshot_id"),
+        F.col("o_orderdate").cast("timestamp").alias("committed_at"),
+        F.concat(F.lit("s3://warehouse/metadata/snap-"), k, F.lit(".avro")).alias("manifest_list"),
+        (k % 2).cast("int").alias("schema_id"),
+        summary.alias("summary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Hand-built edge-case fixtures (golden tests)
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_SCHEMA = StructType(
+    [
+        StructField("table_name", StringType(), False),
+        StructField("snapshot_id", LongType(), False),
+        StructField("committed_at", TimestampType(), False),
+        StructField("manifest_list", StringType(), False),
+        StructField("schema_id", IntegerType(), True),
+        StructField("summary", MapType(StringType(), StringType()), True),
+    ]
+)
+
+# Fixed evaluation instant replacing the reference's Utc::now()
+# (analytics.rs:129,261,356) so golden outputs are deterministic.
+AS_OF = "2025-06-01 12:00:00"
+
+
+def synthetic_snapshots(spark: SparkSession) -> DataFrame:
+    """Edge-case snapshot fixture per FIXTURES.md §B scenario coverage.
+
+    Tables:
+      empty_t    — no rows (tested by filtering: absent from output)
+      single_t   — one append snapshot
+      hot_t      — >20 snapshots in the hour before AS_OF (frequency alerts),
+                   small files (avg << 16 MB), never compacted
+      steady_t   — weekly appends + recent rewrite, healthy sizes
+      junk_t     — null summary, junk numerics, missing keys (unwrap_or(0))
+      growth_t   — >500 GB/day storage growth
+    """
+    import datetime as dt
+
+    def ts(s: str) -> dt.datetime:
+        return dt.datetime.fromisoformat(s)
+
+    rows: list[tuple] = []
+    # single_t: one plain append
+    rows.append(
+        ("single_t", 1, ts("2025-05-30 10:00:00"), "m1", 0,
+         {"operation": "append", "added-data-files": "4", "added-records": "100",
+          "added-files-size": str(400 * 1024 * 1024), "total-size": str(400 * 1024 * 1024)})
+    )
+    # hot_t: 25 appends within the last hour before AS_OF, tiny files, no compaction
+    for i in range(25):
+        rows.append(
+            ("hot_t", 100 + i, ts("2025-06-01 11:00:00") + dt.timedelta(minutes=2 * i), f"m{100+i}", 0,
+             {"operation": "append", "added-data-files": "100",
+              "added-records": "1000", "added-files-size": str(100 * 1024 * 1024),
+              "total-size": str((i + 1) * 100 * 1024 * 1024)})
+        )
+    # steady_t: 8 weekly appends + a rewrite 2 days before AS_OF
+    for i in range(8):
+        rows.append(
+            ("steady_t", 200 + i, ts("2025-04-01 00:00:00") + dt.timedelta(days=7 * i), f"m{200+i}", 0,
+             {"operation": "append", "added-data-files": "10",
+              "added-records": "5000", "added-files-size": str(2 * 1024**3),
+              "total-size": str((i + 1) * 2 * 1024**3)})
+        )
+    rows.append(
+        ("steady_t", 250, ts("2025-05-30 12:00:00"), "m250", 1,
+         {"operation": "rewrite-data-files", "added-data-files": "5",
+          "added-records": "0", "added-files-size": str(2 * 1024**3),
+          "total-size": str(16 * 1024**3)})
+    )
+    # junk_t: null summary; junk numerics; missing operation (inference paths)
+    rows.append(("junk_t", 300, ts("2025-05-01 00:00:00"), "m300", None, None))
+    rows.append(
+        ("junk_t", 301, ts("2025-05-02 00:00:00"), "m301", 0,
+         {"operation": "append", "added-data-files": "junk", "added-records": "junk",
+          "total-size": "junk"})
+    )
+    rows.append(  # no operation key; spark.app.id → append (iceberg_adapter.rs:172)
+        ("junk_t", 302, ts("2025-05-03 00:00:00"), "m302", 0,
+         {"spark.app.id": "app-123", "total-records": "10"})
+    )
+    rows.append(  # no operation; deleted-records → delete (iceberg_adapter.rs:177-181)
+        ("junk_t", 303, ts("2025-05-04 00:00:00"), "m303", 0,
+         {"deleted-records": "5", "removed-files-size": "1024"})
+    )
+    rows.append(  # no operation; total-data-files → overwrite (iceberg_adapter.rs:182)
+        ("junk_t", 304, ts("2025-05-05 00:00:00"), "m304", 0,
+         {"total-data-files": "7"})
+    )
+    # growth_t: 0 → 1200 GB in 2 days (exceeds 500 GB/day critical)
+    for i, gb in enumerate([1, 601, 1201]):
+        rows.append(
+            ("growth_t", 400 + i, ts("2025-05-29 12:00:00") + dt.timedelta(days=i), f"m{400+i}", 0,
+             {"operation": "append", "added-data-files": "10",
+              "added-records": "100", "added-files-size": str(gb * 1024**3),
+              "total-size": str(gb * 1024**3)})
+        )
+    data = [(t, sid, c, m, sc, summ) for (t, sid, c, m, sc, summ) in rows]
+    return spark.createDataFrame(data, SNAPSHOT_SCHEMA)
+
+
+def synthetic_schemas(spark: SparkSession) -> DataFrame:
+    """Long-form schema-version fixture: adds, drops, a rename, a type
+    change, a required↔optional flip, and one nested struct field."""
+    rows = [
+        # schema 0
+        ("t", 0, 1, "id", "long", True, None, None),
+        ("t", 0, 2, "name", "string", False, "display name", None),
+        ("t", 0, 3, "price", "decimal(10, 2)", True, None, None),
+        ("t", 0, 5, "addr", "struct", False, None, None),
+        ("t", 0, 6, "street", "string", False, None, 5),
+        # schema 1: drop name, add ts, widen price type, flip id to optional
+        ("t", 1, 1, "id", "long", False, None, None),
+        ("t", 1, 3, "price", "decimal(18, 4)", True, None, None),
+        ("t", 1, 4, "ts", "timestamptz", True, None, None),
+        ("t", 1, 5, "addr", "struct", False, None, None),
+        ("t", 1, 6, "street", "string", False, None, 5),
+        # schema 2: rename ts → event_ts, re-add name
+        ("t", 2, 1, "id", "long", False, None, None),
+        ("t", 2, 2, "name", "string", False, None, None),
+        ("t", 2, 3, "price", "decimal(18, 4)", True, None, None),
+        ("t", 2, 4, "event_ts", "timestamptz", True, None, None),
+        ("t", 2, 5, "addr", "struct", False, None, None),
+        ("t", 2, 6, "street", "string", False, None, 5),
+    ]
+    from pyspark.sql.types import BooleanType
+
+    schema = StructType(
+        [
+            StructField("table_name", StringType(), False),
+            StructField("schema_id", IntegerType(), False),
+            StructField("field_id", IntegerType(), False),
+            StructField("name", StringType(), False),
+            StructField("type_str", StringType(), False),
+            StructField("required", BooleanType(), False),
+            StructField("doc", StringType(), True),
+            StructField("parent_field_id", IntegerType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def synthetic_partition_specs(spark: SparkSession) -> DataFrame:
+    """Partition-spec fixture incl. spec evolution, every transform
+    (data.rs:137-148), and one dangling source_id (fallback-label path,
+    components.rs:1590-1598)."""
+    from pyspark.sql.types import BooleanType  # noqa: F401  (schema symmetry)
+
+    rows = [
+        ("t", 0, 1000, 4, "ts_day", "day"),
+        ("t", 0, 1001, 1, "id_bucket", "bucket[16]"),
+        ("t", 1, 1000, 4, "ts_hour", "hour"),
+        ("t", 1, 1001, 1, "id_bucket", "bucket[16]"),
+        ("t", 1, 1002, 2, "name_trunc", "truncate[4]"),
+        ("t", 1, 1003, 99, "ghost", "identity"),  # dangling source_id
+        ("u", 0, 1000, 1, "y", "year"),
+        ("u", 0, 1001, 2, "m", "month"),
+        ("u", 0, 1002, 3, "v", "void"),
+    ]
+    schema = StructType(
+        [
+            StructField("table_name", StringType(), False),
+            StructField("spec_id", IntegerType(), False),
+            StructField("field_id", IntegerType(), False),
+            StructField("source_id", IntegerType(), False),
+            StructField("name", StringType(), False),
+            StructField("transform", StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

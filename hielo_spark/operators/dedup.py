@@ -1,0 +1,298 @@
+"""X1/X2 — deduplication operators (SURVEY §2.8).
+
+Exact dedup: hash-groupBy on a normalized fingerprint — one shuffle keyed
+by digest, no comparisons.
+
+Near-dup:
+  * MinHash + LSH banding: shingle → per-seed min-hash signature → band
+    buckets → candidate pairs via bucket self-join → exact-Jaccard verify.
+    The bucket join is the scale story: candidates are generated per
+    bucket, never by an O(n²) cross join.
+  * SimHash: 64-bit sign-aggregated token hash; near-dups differ in few
+    bits (verified by hamming distance on bucket-joined candidates).
+  * Blocked exact n-gram Jaccard: deterministic small-block variant used
+    for oracle checking (blocking key bounds the pair count).
+
+All hashing uses Spark's xxhash64 (JVM, codegen) — no Python in the path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .text import fingerprint, words
+
+
+def _lcg_params(n: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """n deterministic (a, b) pairs for universal hashing h' = a*h + b over
+    uint64 wraparound; a forced odd so it's a bijection."""
+    state = np.uint64(seed)
+    out = np.empty(2 * n, dtype=np.uint64)
+    mul = np.uint64(6364136223846793005)
+    inc = np.uint64(1442695040888963407)
+    with np.errstate(over="ignore"):
+        for i in range(2 * n):
+            state = state * mul + inc
+            out[i] = state
+    a = out[:n] | np.uint64(1)
+    b = out[n:]
+    return a, b
+
+
+# --------------------------------------------------------------------------
+# X1 — exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of ids sharing a normalized-text fingerprint (>1 member)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per fingerprint (deterministic,
+    unlike dropDuplicates)."""
+    keep = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# X2 — MinHash + LSH
+# --------------------------------------------------------------------------
+
+def shingles(text: Column | str = "text", n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct)."""
+    ws = words(text)
+    k = F.size(ws)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", ws)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """num_hashes-wide MinHash signature.
+
+    Split the work by strength: string hashing happens once per shingle
+    JVM-side (xxhash64, codegen); the num_hashes universal re-hashes + min
+    run as one vectorized numpy kernel per Arrow batch (a pandas_udf).
+    A pure higher-order-function version (min over xxhash64(s, seed) per
+    seed) is ~50× slower because nested lambdas are interpreted per element.
+    """
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    a_params, b_params = _lcg_params(num_hashes)
+
+    @pandas_udf("array<bigint>")
+    def _sig(hashes: pd.Series) -> pd.Series:
+        a = a_params[:, None]
+        b = b_params[:, None]
+        out = []
+        with np.errstate(over="ignore"):
+            for h in hashes:
+                hv = np.asarray(h, dtype=np.int64).view(np.uint64)[None, :]
+                sig = (a * hv + b).min(axis=1).view(np.int64)
+                out.append(sig)
+        return pd.Series(out)
+
+    return _sig(base)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding (id_a < id_b).
+
+    rows-per-band = num_hashes/bands; a pair collides if any band's
+    signature slice matches exactly. Probability ≈ 1-(1-j^r)^b for Jaccard
+    j. The self-join runs on (band_idx, band_hash) buckets.
+    """
+    rows = num_hashes // bands
+    # fan out before the signature projection (cheap at scale, vital when
+    # the upstream scan is a single small file)
+    src = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sig = src.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)), b).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx")) & (F.col("a.band_hash") == F.col("b.band_hash")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard ≥ threshold."""
+    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+    return (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# X2 — blocked exact n-gram Jaccard (deterministic; oracle-checkable)
+# --------------------------------------------------------------------------
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs within a blocking key with word-set Jaccard ≥ threshold.
+    Deterministic (no hashing) — the oracle path for near-dup semantics.
+    The block join bounds pairs to Σ block_size² instead of n²."""
+    sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        F.array_distinct(words(text_col)).alias("ws"),
+    )
+    a = sets.alias("a")
+    # Broadcasting the build side keeps the probe side's parallelism instead
+    # of shuffling into ≤ n_blocks partitions (block keys are few → skewed).
+    # At a scale where the build side exceeds broadcast limits, salt the
+    # block key instead (replicate one side over salt buckets).
+    b = F.broadcast(sets.alias("b"))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.ws"), F.col("b.ws")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# X2 — SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(text: Column | str = "text") -> Column:
+    """64-bit SimHash over words: per bit position, sum ±1 across token
+    hashes, sign-collapse to a bitmask. Token hashing is JVM xxhash64; the
+    64-bit unpack + column sums run as one numpy kernel per Arrow batch."""
+    base = F.transform(words(text), lambda w: F.xxhash64(w))
+
+    @pandas_udf("bigint")
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, h in enumerate(hashes):
+            if h is None or len(h) == 0:
+                continue
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tokens, 64)
+            votes = bits.sum(axis=0) * 2 - len(hv)  # (+1/-1 sums)
+            out[i] = np.bitwise_or.reduce(
+                np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0))
+            )
+        return pd.Series(out.view(np.int64))
+
+    return _simhash(base)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4 × band_bits
+    chunks (pigeonhole: any pair within hamming ≤ 3 shares a chunk; wider
+    radii trade recall), bucket-join on chunks, verify hamming."""
+    n_bands = 64 // band_bits
+    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("sh"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sh", "band.band_idx", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,124 @@
+"""X3 — similarity search over an embedding column (SURVEY §2.8).
+
+Exact path: brute-force cosine top-k with the query side broadcast — one
+scan of the corpus, no shuffle of the big side, TakeOrderedAndProject for
+the top-k. Scale path: random-hyperplane LSH bucketing (SimHash family) so
+candidate generation is a bucket join instead of a cross join.
+
+Vector math uses built-in higher-order functions (zip_with/aggregate) —
+JVM-side, no Python. For very wide vectors a pandas_udf + numpy dot is the
+alternative; at dim≈64-1024 the built-ins are competitive and avoid Arrow
+transfer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+from pyspark.sql.functions import broadcast
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; inputs cast to double arrays for stable math."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    The query side is broadcast (queries ≪ corpus); the corpus is scanned
+    once. Per-query top-k via window row_number — with a single query this
+    lowers to TakeOrderedAndProject.
+    """
+    q = broadcast(queries.select(query_id, query_vec))
+    sim = cosine(F.col(corpus_vec), F.col(query_vec)).alias("cosine_sim")
+    scored = corpus.join(q, F.col(corpus_id) != F.col(query_id)).select(
+        query_id, corpus_id, sim
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine_sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no numpy RNG state) —
+    same planes on every executor/run."""
+    planes: list[list[float]] = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # in [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id from random hyperplanes (SimHash for vectors).
+    n_planes bits → up to 2^n buckets; neighbors collide with high prob."""
+    v = vec.cast("array<double>")
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    acc = F.lit(0)
+    for b in bits:
+        acc = acc * 2 + b
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane signs,
+    join on bucket, rank within candidates. At 100 TB the bucket join
+    replaces the cross join — candidates ≈ corpus / 2^n_planes per query.
+    Recall is tunable via n_planes (fewer planes → bigger buckets)."""
+    planes = random_hyperplanes(dim, n_planes)
+    c = corpus.withColumn("bucket", lsh_bucket(F.col(corpus_vec), planes))
+    q = broadcast(
+        queries.select(query_id, query_vec).withColumn("bucket", lsh_bucket(F.col(query_vec), planes))
+    )
+    sim = cosine(F.col(corpus_vec), F.col(query_vec)).alias("cosine_sim")
+    scored = c.join(q, "bucket").filter(F.col(corpus_id) != F.col(query_id)).select(
+        query_id, corpus_id, sim
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine_sim", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -1,0 +1,106 @@
+"""X4 — text analysis over a document table (SURVEY §2.8).
+
+All hot-path expressions are built-in Spark SQL functions (JVM-side,
+whole-stage codegen); no Python UDFs. Designed for the ``documents``
+fixture schema (doc_id, text, lang, source, n_chars) but parameterized on
+column names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+# Tiny multilingual stopword sets for the n-gram/lexicon language-ID
+# heuristic and the stopword-ratio quality signal. Public-knowledge lists.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es", "que", "por"],
+}
+
+
+def words(text: Column | str = "text") -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    text = F.col(text) if isinstance(text, str) else text
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def word_count(text: Column | str = "text") -> Column:
+    return F.size(words(text))
+
+
+def token_count_bpe_ish(text: Column | str = "text") -> Column:
+    """BPE-ish token estimate: count of letter-runs, digit-runs, and
+    non-space punctuation singletons (a cheap deterministic stand-in for a
+    real tokenizer at 100 TB scan speed)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def punct_ratio(text: Column | str = "text") -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str = "text", lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    ws = words(text)
+    n = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(sw, F.lower(w))))
+    return F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str = "text") -> Column:
+    """Heuristic quality in [0,1]: length band + word-length sanity +
+    punctuation sanity. Deterministic, codegen-friendly."""
+    text = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(text)
+    n_words = word_count(text)
+    avg_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    len_component = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_component = F.when((avg_word_len >= 3) & (avg_word_len <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_component = F.when(punct_ratio(text) <= 0.1, F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_component * 0.5 + word_component * 0.3 + punct_component * 0.2)
+
+
+def language_id(text: Column | str = "text") -> Column:
+    """Stopword-lexicon language ID: score each candidate language by
+    stopword hits, take the argmax ('und' when no hits). A real system
+    would use char n-gram profiles; the Spark plumbing is identical."""
+    ws = words(text)
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(ws, lambda w, _sw=sw: F.array_contains(F.array(*[F.lit(x) for x in _sw]), F.lower(w)))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str = "text") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Stable across engines (used for exact dedup X1)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat set as columns (one narrow projection pass)."""
+    return (
+        df.withColumn("n_chars_computed", F.length(F.col(text_col)))
+        .withColumn("n_words", word_count(text_col))
+        .withColumn("n_tokens", token_count_bpe_ish(text_col))
+        .withColumn("punct_ratio", punct_ratio(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )

@@ -1,0 +1,217 @@
+"""[EXT] operator queries (SURVEY §2.8 X1-X4) over documents/embeddings.
+
+Oracle-checkable where DuckDB can express the same math (text stats, md5
+fingerprints, blocked Jaccard, brute-force cosine); hash-based LSH paths
+(MinHash, SimHash) are rows-only checks by design — the driver records the
+weaker check and the pytest suite pins their semantics instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load_table
+from ..operators import dedup, similarity, text as T
+
+QUERIES = {}
+ORACLE = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# X4 — per-language text stats (word counts via the same split semantics).
+# --------------------------------------------------------------------------
+@query(
+    "doc_lang_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(round(avg(n_chars), 6) AS DOUBLE) AS avg_chars,
+           CAST(round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE len(string_split_regex(trim(text), '\\s+')) END), 6) AS DOUBLE) AS avg_words,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_words
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(T.word_count("text")), 6).alias("avg_words"),
+        F.sum(T.word_count("text")).cast("bigint").alias("total_words"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X4 — token counting per source (whitespace tokens; the BPE-ish regex
+# variant is covered by pytest since regex-class semantics differ between
+# engines).
+# --------------------------------------------------------------------------
+@query(
+    "doc_token_count",
+    """
+    SELECT source,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(T.word_count("text")).cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X1 — exact-dedup fingerprinting: distinct fingerprints + duplicate mass.
+# --------------------------------------------------------------------------
+@query(
+    "doc_exact_dedup",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_distinct,
+           count(*) - count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_dupes
+    FROM documents
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = T.fingerprint("text")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_dupes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X1 — per-doc fingerprints (md5 of normalized text; engine-stable).
+# --------------------------------------------------------------------------
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# X2 — blocked exact n-gram (word-set) Jaccard near-dup pairs.
+# --------------------------------------------------------------------------
+@query(
+    "doc_neardup_jaccard",
+    """
+    SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(round(
+             CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS DOUBLE) AS jaccard
+    FROM (SELECT lang, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ws FROM documents) a
+    JOIN (SELECT lang, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ws FROM documents) b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+    """,
+)
+def doc_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.blocked_jaccard_pairs(d, "lang", "doc_id", "text", 0.5)
+
+
+# --------------------------------------------------------------------------
+# X2 — MinHash LSH near-dup (rows-only: hash family is engine-specific).
+# --------------------------------------------------------------------------
+@query("doc_neardup_minhash")
+def doc_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_neardup_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# X3 — brute-force cosine top-k from a query vector (vec_id = 0).
+# --------------------------------------------------------------------------
+@query(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS DOUBLE) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) DESC, e.vec_id
+    LIMIT 15
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sim = F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine_sim")
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(broadcast(q))
+        .select("vec_id", sim)
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# X3 — LSH-bucketed ANN (rows-only: bucket family is engine-specific).
+# --------------------------------------------------------------------------
+@query("emb_lsh_ann")
+def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = e.selectExpr("size(embedding) AS d").first().d
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_topk(e, q, dim=dim, k=5, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# X4 — per-doc quality scoring + banding (heuristics; oracle reproduces the
+# same arithmetic).
+# --------------------------------------------------------------------------
+@query(
+    "doc_quality",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             length(text) AS n_chars_t,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+             CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+               / nullif(length(text), 0) AS punct_r
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(round(
+             least(n_chars_t / 500.0, 1.0) * 0.5
+             + CASE WHEN n_words > 0 AND n_chars_t / CAST(n_words AS DOUBLE) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END * 0.3
+             + CASE WHEN coalesce(punct_r, 0.0) <= 0.1 THEN 1.0 ELSE 0.5 END * 0.2
+           , 6) AS DOUBLE) AS quality
+    FROM s
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))

@@ -1,0 +1,569 @@
+"""Generic relational operators over the TPC-H-ish fixtures (SURVEY §2
+[data] rows: F1-F2, F4, F7, J4, A1-A3, A13-A14, O1-O7, C1-C8).
+
+The reference applies these shapes to in-memory metadata vectors; here they
+are full Spark plans over tables, which is what the DuckDB oracle checks.
+Each query notes the SURVEY row(s) it covers and the scale rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+from pyspark.sql.functions import broadcast
+
+from ..io import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# A14/A13 — grouped aggregates (the TPC-H Q1 shape). Flagship query.
+# Scale: partial+final agg on 3-value × 2-value grouping keys — map-side
+# combine shrinks 100 TB of lineitem to a handful of rows before the shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE)                                    AS sum_qty,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE)                               AS sum_base_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)            AS sum_disc_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+           CAST(round(avg(l_quantity), 6) AS DOUBLE)                                    AS avg_qty,
+           CAST(round(avg(l_extendedprice), 6) AS DOUBLE)                               AS avg_price,
+           CAST(round(avg(l_discount), 6) AS DOUBLE)                                    AS avg_disc,
+           count(*)                                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 + O3 — 3-way join + top-k (TPC-H Q3 shape).
+# Scale: customer is the small side → broadcast; lineitem→orders join
+# shuffles on orderkey; top-k lowers to TakeOrderedAndProject (no global sort).
+# --------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — star join through region→nation→customer→orders→lineitem (Q5 shape).
+# Scale: region/nation/customer are dimensions → broadcast chain; the only
+# big shuffle is lineitem⋈orders on orderkey.
+# --------------------------------------------------------------------------
+@query(
+    "q5_revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = broadcast(
+        cust.join(broadcast(nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)),
+                  cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F1/F7 — multi-predicate filter (isin + between + date range), typed
+# projection. Mirrors the snapshot filter shape on a data table.
+# Scale: all predicates push to the parquet scan (PushedFilters).
+# --------------------------------------------------------------------------
+@query(
+    "filter_orders_multi",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS total,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    WHERE o_orderstatus IN ('O','F')
+      AND o_totalprice BETWEEN 100000 AND 200000
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+    """,
+)
+def filter_orders_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(100000, 200000)
+        & (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31 23:59:59").cast("timestamp"))
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F2/C1 — case-insensitive substring search (the global-search operator,
+# main.rs:653-667) + A13 count surface.
+# --------------------------------------------------------------------------
+@query(
+    "search_parts",
+    """
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE contains(lower(p_name), 'red') OR contains(lower(p_brand), '#1')
+    """,
+)
+def search_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.lower(F.col("p_name")).contains("red") | F.lower(F.col("p_brand")).contains("#1")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+# --------------------------------------------------------------------------
+# F4 — partition rows into two groups by predicate (catalog_ui.rs:1255-1264
+# splits iceberg vs non-iceberg); generalized to a labeled group-by.
+# --------------------------------------------------------------------------
+@query(
+    "part_two_groups",
+    """
+    SELECT CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+           count(*) AS n,
+           CAST(round(avg(p_retailprice), 6) AS DOUBLE) AS avg_price
+    FROM part GROUP BY 1
+    """,
+)
+def part_two_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.withColumn("size_class", F.when(F.col("p_size") >= 25, "large").otherwise("small"))
+        .groupBy("size_class")
+        .agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 — group-by count (operation distribution shape) on events.
+# --------------------------------------------------------------------------
+@query(
+    "events_by_type",
+    "SELECT event_type, count(*) AS n, CAST(round(sum(value), 2) AS DOUBLE) AS total_value FROM events GROUP BY event_type",
+)
+def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — min/max + whole-day span (components.rs:1295-1305 arithmetic).
+# --------------------------------------------------------------------------
+@query(
+    "events_minmax_span",
+    """
+    SELECT strftime(min(ts)::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS oldest,
+           strftime(max(ts)::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS newest,
+           CAST(floor((epoch_ms(max(ts)::TIMESTAMP) - epoch_ms(min(ts)::TIMESTAMP)) / 86400000.0) AS BIGINT) AS span_days
+    FROM events
+    """,
+)
+def events_minmax_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("oldest"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("newest"),
+        F.floor((F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))) / F.lit(86400000.0)).alias("span_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A3/A4 — time-windowed counts relative to an anchor (analytics.rs:128-151
+# with Utc::now() replaced by max(ts), per the determinism rule).
+# Scale: one pass; the anchor is a scalar subquery (broadcast).
+# --------------------------------------------------------------------------
+@query(
+    "events_recent_windows",
+    """
+    WITH anchor AS (SELECT max(ts)::TIMESTAMP AS as_of FROM events)
+    SELECT user_id,
+           CAST(sum(CASE WHEN ts::TIMESTAMP > as_of - INTERVAL 1 DAY  THEN 1 ELSE 0 END) AS BIGINT) AS last_day,
+           CAST(sum(CASE WHEN ts::TIMESTAMP > as_of - INTERVAL 7 DAY  THEN 1 ELSE 0 END) AS BIGINT) AS last_week,
+           count(*) AS total
+    FROM events, anchor
+    GROUP BY user_id
+    """,
+)
+def events_recent_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("as_of"))
+    return (
+        ev.join(broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("ts") > F.col("as_of") - F.expr("INTERVAL 1 DAY")).cast("int")).cast("bigint").alias("last_day"),
+            F.sum((F.col("ts") > F.col("as_of") - F.expr("INTERVAL 7 DAYS")).cast("int")).cast("bigint").alias("last_week"),
+            F.count("*").alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C2 — date bucketing + formatting (epoch-ms → display strings, data.rs:151).
+# --------------------------------------------------------------------------
+@query(
+    "orders_by_month",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+# --------------------------------------------------------------------------
+# O3 — top-k (lowers to TakeOrderedAndProject: no global sort at scale).
+# --------------------------------------------------------------------------
+@query(
+    "topk_orders",
+    """
+    SELECT o_orderkey, CAST(round(o_totalprice,2) AS DOUBLE) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 window functions — ranking per group (top-3 customers per segment).
+# --------------------------------------------------------------------------
+@query(
+    "top3_customers_per_segment",
+    """
+    SELECT c_mktsegment, c_custkey, CAST(round(c_acctbal,2) AS DOUBLE) AS acctbal, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def top3_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 window functions — lag: inter-event gap seconds per user.
+# Scale: single shuffle on user_id; dense event streams stay partitioned.
+# --------------------------------------------------------------------------
+@query(
+    "events_user_gaps",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(round(avg(gap_ms), 6) AS DOUBLE) AS avg_gap_ms,
+           CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+    FROM (
+      SELECT user_id,
+             epoch_ms(ts::TIMESTAMP) - epoch_ms(lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+      FROM events
+    ) WHERE gap_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_ms", gap)
+        .filter(F.col("gap_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("gap_ms"), 6).alias("avg_gap_ms"),
+            F.max("gap_ms").cast("bigint").alias("max_gap_ms"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O4 — union-distinct across two sources (HashSet-union shape,
+# components.rs:533-542).
+# --------------------------------------------------------------------------
+@query(
+    "nations_union",
+    """
+    SELECT n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS n_nationkey FROM supplier
+    )
+    """,
+)
+def nations_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return c.union(s).distinct()
+
+
+# --------------------------------------------------------------------------
+# O7 — except / intersect set ops.
+# --------------------------------------------------------------------------
+@query(
+    "nation_set_ops",
+    """
+    SELECT 'only_customers' AS side, n_nationkey FROM (
+        SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+        EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'both' AS side, n_nationkey FROM (
+        SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+        INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    only_c = c.subtract(s).select(F.lit("only_customers").alias("side"), "n_nationkey")
+    both = c.intersect(s).select(F.lit("both").alias("side"), "n_nationkey")
+    return only_c.unionByName(both)
+
+
+# --------------------------------------------------------------------------
+# O5 — dedup by key with deterministic keep-first semantics (tab dedup,
+# main.rs:125-149; dropDuplicates is nondeterministic, so the canonical
+# engine form is row_number()=1 over an explicit order).
+# --------------------------------------------------------------------------
+@query(
+    "first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C7 — JSON access (events.props) + C4 parse-with-default.
+# --------------------------------------------------------------------------
+@query(
+    "events_json_props",
+    """
+    SELECT coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k,
+           count(*) AS n,
+           CAST(round(avg(value), 6) AS DOUBLE) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").try_cast("bigint"), F.lit(0))
+    return ev.groupBy(k.alias("k")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# C8 — CASE banding ladder (health-band shape) over account balances.
+# --------------------------------------------------------------------------
+@query(
+    "acctbal_bands",
+    """
+    SELECT CASE WHEN c_acctbal >= 9000 THEN 'excellent'
+                WHEN c_acctbal >= 7500 THEN 'good'
+                WHEN c_acctbal >= 6000 THEN 'fair'
+                WHEN c_acctbal >= 4000 THEN 'poor'
+                ELSE 'critical' END AS band,
+           count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def acctbal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") >= 9000, "excellent")
+        .when(F.col("c_acctbal") >= 7500, "good")
+        .when(F.col("c_acctbal") >= 6000, "fair")
+        .when(F.col("c_acctbal") >= 4000, "poor")
+        .otherwise("critical")
+    )
+    return c.groupBy(band.alias("band")).agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# §2.7 — tumbling time-window aggregation (batch window(); reproduces the
+# reference's A3 time-bucketing on the events fixture).
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_windows",
+    """
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — left outer + semi/anti joins (tree-filter semantics F3 are semi-joins).
+# --------------------------------------------------------------------------
+@query(
+    "supplier_semi_join_nations",
+    """
+    SELECT n.n_name, count(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 45)
+    GROUP BY n.n_name
+    """,
+)
+def supplier_semi_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        s.join(li.select("l_suppkey"), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )

@@ -1,0 +1,73 @@
+"""SparkSession factory and configuration.
+
+The reference connects to Iceberg REST/Glue catalogs (catalog.rs:154-246);
+in Spark those become catalog-plugin configs on the session builder (SURVEY
+§2.1 S1-S2). This module builds a session tuned for large-scale work and
+also knows how to *retune* an externally-owned session (the verify driver
+passes its own) with the dynamic confs we rely on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Dynamic SQL confs safe to set on a live session. Keep this list additive
+# and side-effect-light: the driver may hand us a shared session.
+_DYNAMIC_CONFS: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp —
+    # read as long and convert (io.load_table does the conversion).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics matching the DuckDB oracle
+    # (naive timestamps interpreted as UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+    # ones — essential at 100 TB, harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / mapInPandas path (the [EXT] operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply dynamic confs to an existing session (driver-owned or ours)."""
+    for k, v in _DYNAMIC_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Never fail hard on a conf the host session forbids.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "hielo_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Locally we run ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the same
+    code runs unmodified — partitioning/broadcast decisions below are sized
+    by conf, not hard-coded.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get("HIELO_SHUFFLE_PARTITIONS", cpus))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("HIELO_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _DYNAMIC_CONFS.items():
+        b = b.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    return configure(spark)
