@@ -237,6 +237,61 @@ def health_band(score: Column | str = "health_score") -> Column:
     )
 
 
+def category_scores(metrics: DataFrame) -> DataFrame:
+    """A9 — per-category sub-scores + status banding
+    (components.rs:1881-1946). Pure CASE arithmetic over the
+    health_metrics frame; each category floors at 0 (no 100 cap: only
+    penalties apply)."""
+    m = metrics
+    file_score = F.greatest(
+        F.lit(100.0)
+        + F.when(m.small_file_ratio > SMALL_RATIO_CRITICAL, -30.0)
+        .when(m.small_file_ratio > SMALL_RATIO_WARNING, -15.0)
+        .otherwise(0.0)
+        + F.when(m.avg_file_size_mb < TINY_FILE_MB, -10.0).otherwise(0.0),
+        F.lit(0.0),
+    )
+    operational_score = F.greatest(
+        F.lit(100.0)
+        + F.when(m.snapshots_last_hour > FREQ_HOUR_CRITICAL, -20.0)
+        .when(m.snapshots_last_hour > FREQ_HOUR_WARNING, -10.0)
+        .otherwise(0.0)
+        - m.failed_operations * 5.0,
+        F.lit(0.0),
+    )
+    storage_score = F.greatest(
+        F.lit(100.0)
+        + F.when(m.storage_growth_rate_gb_per_day > GROWTH_CRITICAL_GB_DAY, -15.0)
+        .when(m.storage_growth_rate_gb_per_day > GROWTH_WARNING_GB_DAY, -8.0)
+        .otherwise(0.0)
+        + F.when(m.data_freshness_hours > 48.0, -10.0)
+        .when(m.data_freshness_hours > 24.0, -5.0)
+        .otherwise(0.0),
+        F.lit(0.0),
+    )
+    compaction_score = F.greatest(
+        F.lit(100.0)
+        + F.when(m.days_since_last_compaction.isNull(), -10.0)
+        .when(m.days_since_last_compaction > COMPACTION_CRITICAL_DAYS, -25.0)
+        .when(m.days_since_last_compaction > COMPACTION_WARNING_DAYS, -12.0)
+        .otherwise(0.0),
+        F.lit(0.0),
+    )
+    status = (
+        F.when(m.health_score >= 90, "Good")
+        .when(m.health_score >= 70, "Warning")
+        .otherwise("Critical")
+    )
+    return m.select(
+        "table_name",
+        file_score.alias("file_score"),
+        operational_score.alias("operational_score"),
+        storage_score.alias("storage_score"),
+        compaction_score.alias("compaction_score"),
+        status.alias("status"),
+    )
+
+
 def alerts(metrics: DataFrame) -> DataFrame:
     """A10 — alert rows from a health_metrics frame (analytics.rs:350-440).
 

@@ -240,7 +240,8 @@ def simhash64(text: Column | str = "text") -> Column:
                 continue
             hv = np.asarray(h, dtype=np.int64).view(np.uint64)
             bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tokens, 64)
-            votes = bits.sum(axis=0) * 2 - len(hv)  # (+1/-1 sums)
+            # signed arithmetic: uint64 would underflow and set every bit
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hv)  # (+1/-1 sums)
             out[i] = np.bitwise_or.reduce(
                 np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0))
             )

@@ -69,6 +69,13 @@ def quality_score(text: Column | str = "text") -> Column:
     return (len_component * 0.5 + word_component * 0.3 + punct_component * 0.2)
 
 
+def _stopword_hits(ws: Column, stopwords: list[str]) -> Column:
+    sw_arr = F.array(*[F.lit(x) for x in stopwords])
+    # single-arg lambda: a default-arg closure would make PySpark pass the
+    # element index as the second argument
+    return F.size(F.filter(ws, lambda w: F.array_contains(sw_arr, F.lower(w))))
+
+
 def language_id(text: Column | str = "text") -> Column:
     """Stopword-lexicon language ID: score each candidate language by
     stopword hits, take the argmax ('und' when no hits). A real system
@@ -77,7 +84,7 @@ def language_id(text: Column | str = "text") -> Column:
     scores = F.array(
         *[
             F.struct(
-                F.size(F.filter(ws, lambda w, _sw=sw: F.array_contains(F.array(*[F.lit(x) for x in _sw]), F.lower(w)))).alias("hits"),
+                _stopword_hits(ws, sw).alias("hits"),
                 F.lit(lang).alias("lang"),
             )
             for lang, sw in STOPWORDS.items()

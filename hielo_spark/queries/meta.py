@@ -10,8 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ..analytics.health import health_band, health_metrics
+from ..analytics.health import category_scores, health_band, health_metrics
+from ..catalog import browse
+from ..io import load_table
 from ..metadata.fixtures import ORACLE_SNAPSHOTS_CTE, snapshots_from_orders
+from ..metadata import schemas as sch
 from ..metadata import snapshots as snap
 
 QUERIES = {}
@@ -321,3 +324,294 @@ def meta_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Fair-or-below")
         .alias("health_band"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schemas-long derivation from nation (J1/J2 oracle world): three schema
+# versions with adds/drops, a rename at v2, a type change from v1, and
+# alternating required flags — all pure-SQL reconstructible.
+# --------------------------------------------------------------------------
+_TYPE_CASE_SQL = """
+CASE (field_id + CASE WHEN schema_id >= 1 AND field_id % 6 = 0 THEN 1 ELSE 0 END) % 4
+  WHEN 0 THEN 'long' WHEN 1 THEN 'string' WHEN 2 THEN 'double' ELSE 'decimal(10, 2)'
+END
+"""
+
+ORACLE_SCHEMAS_CTE = f"""
+schemas_src AS (
+  SELECT 't_' || CAST(n_nationkey % 2 AS VARCHAR) AS table_name,
+         s.schema_id,
+         n_nationkey AS field_id
+  FROM nation, (SELECT unnest([0, 1, 2]) AS schema_id) s
+  WHERE (n_nationkey + s.schema_id) % 4 <> 0
+),
+schemas_long AS (
+  SELECT table_name, schema_id, field_id,
+         CASE WHEN schema_id = 2 AND field_id % 5 = 0
+              THEN 'f_' || CAST(field_id AS VARCHAR) || '_v2'
+              ELSE 'f_' || CAST(field_id AS VARCHAR) END AS name,
+         {_TYPE_CASE_SQL} AS type_str,
+         ((field_id + schema_id) % 3 = 0) AS required
+  FROM schemas_src
+)
+"""
+
+
+def schemas_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form schema-version frame derived from nation (mirrors
+    ORACLE_SCHEMAS_CTE exactly)."""
+    n = load_table(spark, sf_dir, "nation")
+    exploded = n.select(
+        F.col("n_nationkey").cast("int").alias("field_id"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("schema_id"),
+    ).filter((F.col("field_id") + F.col("schema_id")) % 4 != 0)
+    fid = F.col("field_id")
+    sid = F.col("schema_id")
+    type_idx = (fid + F.when((sid >= 1) & (fid % 6 == 0), 1).otherwise(0)) % 4
+    return exploded.select(
+        F.concat(F.lit("t_"), (fid % 2).cast("string")).alias("table_name"),
+        sid.alias("schema_id"),
+        fid.alias("field_id"),
+        F.when((sid == 2) & (fid % 5 == 0), F.concat(F.lit("f_"), fid.cast("string"), F.lit("_v2")))
+        .otherwise(F.concat(F.lit("f_"), fid.cast("string")))
+        .alias("name"),
+        F.when(type_idx == 0, "long")
+        .when(type_idx == 1, "string")
+        .when(type_idx == 2, "double")
+        .otherwise("decimal(10, 2)")
+        .alias("type_str"),
+        ((fid + sid) % 3 == 0).alias("required"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 — schema-evolution presence/type matrix (wide).
+# --------------------------------------------------------------------------
+@query(
+    "meta_schema_matrix",
+    f"""
+    WITH {ORACLE_SCHEMAS_CTE}
+    SELECT table_name, field_id,
+           arg_min(name, schema_id) AS field_name,
+           max(CASE WHEN schema_id = 0 THEN type_str END) AS s0_type,
+           CAST(max(CASE WHEN schema_id = 0 THEN required END) AS VARCHAR) AS s0_required,
+           max(CASE WHEN schema_id = 1 THEN type_str END) AS s1_type,
+           CAST(max(CASE WHEN schema_id = 1 THEN required END) AS VARCHAR) AS s1_required,
+           max(CASE WHEN schema_id = 2 THEN type_str END) AS s2_type,
+           CAST(max(CASE WHEN schema_id = 2 THEN required END) AS VARCHAR) AS s2_required
+    FROM schemas_long
+    GROUP BY table_name, field_id
+    """,
+)
+def meta_schema_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = sch.evolution_matrix(schemas_from_nation(spark, sf_dir), [0, 1, 2])
+    return m.select(
+        "table_name",
+        "field_id",
+        "field_name",
+        "s0_type",
+        F.col("s0_required").cast("string").alias("s0_required"),
+        "s1_type",
+        F.col("s1_required").cast("string").alias("s1_required"),
+        "s2_type",
+        F.col("s2_required").cast("string").alias("s2_required"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 — long-form evolution change classification.
+# --------------------------------------------------------------------------
+@query(
+    "meta_schema_changes",
+    f"""
+    WITH {ORACLE_SCHEMAS_CTE}
+    SELECT table_name, schema_id, field_id, name, type_str,
+           CAST(required AS VARCHAR) AS required,
+           CASE
+             WHEN lag(type_str) OVER w IS NULL THEN 'added'
+             WHEN lag(type_str) OVER w <> type_str THEN 'type_changed'
+             WHEN lag(required) OVER w <> required THEN 'requirement_changed'
+             WHEN lag(name) OVER w <> name THEN 'renamed'
+             ELSE 'unchanged'
+           END AS change
+    FROM schemas_long
+    WINDOW w AS (PARTITION BY table_name, field_id ORDER BY schema_id)
+    """,
+)
+def meta_schema_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = sch.evolution_changes(schemas_from_nation(spark, sf_dir))
+    return c.select(
+        "table_name", "schema_id", "field_id", "name", "type_str",
+        F.col("required").cast("string").alias("required"),
+        "change",
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 — partition-field → source-column resolution with fallback label.
+# Current schema = version 2; every third nation key is a partition field;
+# every ninth points at a nonexistent source (dangling → "Field {id}").
+# --------------------------------------------------------------------------
+@query(
+    "meta_partition_fields",
+    f"""
+    WITH {ORACLE_SCHEMAS_CTE},
+    specs AS (
+      SELECT 't_' || CAST(n_nationkey % 2 AS VARCHAR) AS table_name,
+             0 AS spec_id,
+             1000 + n_nationkey AS field_id,
+             CASE WHEN n_nationkey % 9 = 0 THEN n_nationkey + 100 ELSE n_nationkey END AS source_id,
+             'p_' || CAST(n_nationkey AS VARCHAR) AS name,
+             CASE n_nationkey % 5 WHEN 0 THEN 'identity' WHEN 1 THEN 'bucket[16]'
+                                  WHEN 2 THEN 'day' WHEN 3 THEN 'truncate[4]' ELSE 'hour' END AS transform
+      FROM nation WHERE n_nationkey % 3 = 0
+    ),
+    current_fields AS (SELECT table_name, field_id, name FROM schemas_long WHERE schema_id = 2)
+    SELECT s.table_name, s.spec_id, s.field_id, s.source_id,
+           coalesce(f.name, 'Field ' || CAST(s.source_id AS VARCHAR)) AS source_field,
+           s.name, s.transform
+    FROM specs s LEFT JOIN current_fields f
+      ON s.table_name = f.table_name AND s.source_id = f.field_id
+    """,
+)
+def meta_partition_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") % 3 == 0)
+    k = F.col("n_nationkey").cast("int")
+    specs = n.select(
+        F.concat(F.lit("t_"), (k % 2).cast("string")).alias("table_name"),
+        F.lit(0).alias("spec_id"),
+        (F.lit(1000) + k).alias("field_id"),
+        F.when(k % 9 == 0, k + 100).otherwise(k).alias("source_id"),
+        F.concat(F.lit("p_"), k.cast("string")).alias("name"),
+        F.when(k % 5 == 0, "identity")
+        .when(k % 5 == 1, "bucket[16]")
+        .when(k % 5 == 2, "day")
+        .when(k % 5 == 3, "truncate[4]")
+        .otherwise("hour")
+        .alias("transform"),
+    )
+    current = schemas_from_nation(spark, sf_dir).filter(F.col("schema_id") == 2)
+    return sch.partition_source_join(specs, current)
+
+
+# --------------------------------------------------------------------------
+# Catalog-tree derivation from supplier (browse/search oracle world).
+# --------------------------------------------------------------------------
+ORACLE_TREE_CTE = """
+catalog_tree AS (
+  SELECT 'cat' || CAST(s_suppkey % 2 AS VARCHAR)  AS catalog_name,
+         'ns' || CAST(s_suppkey % 5 AS VARCHAR)   AS namespace,
+         lower(replace(s_name, ' ', '_'))          AS table_name,
+         'ns' || CAST(s_suppkey % 5 AS VARCHAR) || '.' || lower(replace(s_name, ' ', '_')) AS full_name,
+         CASE WHEN s_suppkey % 3 = 0 THEN 'unknown' ELSE 'iceberg' END AS table_type
+  FROM supplier
+)
+"""
+
+
+def tree_from_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    tbl = F.lower(F.replace(F.col("s_name"), F.lit(" "), F.lit("_")))
+    ns = F.concat(F.lit("ns"), (k % 5).cast("string"))
+    return s.select(
+        F.concat(F.lit("cat"), (k % 2).cast("string")).alias("catalog_name"),
+        ns.alias("namespace"),
+        tbl.alias("table_name"),
+        F.concat(ns, F.lit("."), tbl).alias("full_name"),
+        F.when(k % 3 == 0, "unknown").otherwise("iceberg").alias("table_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F2 + O3 — global search with limit (the Ctrl+K path).
+# --------------------------------------------------------------------------
+@query(
+    "meta_catalog_search",
+    f"""
+    WITH {ORACLE_TREE_CTE}
+    SELECT * FROM catalog_tree
+    WHERE contains(lower(full_name), '11') OR contains(lower(table_name), '11')
+       OR contains(lower(namespace), '11')
+    ORDER BY catalog_name, full_name
+    LIMIT 10
+    """,
+)
+def meta_catalog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return browse.search(tree_from_supplier(spark, sf_dir), "11", limit=10)
+
+
+# --------------------------------------------------------------------------
+# F3 + F9 — tree filter + per-level result counts.
+# --------------------------------------------------------------------------
+@query(
+    "meta_tree_counts",
+    f"""
+    WITH {ORACLE_TREE_CTE},
+    filtered AS (
+      SELECT * FROM catalog_tree
+      WHERE contains(lower(catalog_name), 'ns3') OR contains(lower(namespace), 'ns3')
+         OR contains(lower(table_name), 'ns3')
+    )
+    SELECT count(DISTINCT catalog_name) AS catalogs_shown,
+           count(DISTINCT catalog_name || '|' || namespace) AS namespaces_shown,
+           count(*) AS tables_shown
+    FROM filtered
+    """,
+)
+def meta_tree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filtered = browse.filter_tree(tree_from_supplier(spark, sf_dir), "ns3")
+    return filtered.agg(
+        F.countDistinct("catalog_name").alias("catalogs_shown"),
+        F.countDistinct(F.concat_ws("|", "catalog_name", "namespace")).alias("namespaces_shown"),
+        F.count("*").alias("tables_shown"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F4 — iceberg vs non-iceberg split.
+# --------------------------------------------------------------------------
+@query(
+    "meta_table_type_split",
+    f"""
+    WITH {ORACLE_TREE_CTE}
+    SELECT table_type, count(*) AS n FROM catalog_tree GROUP BY table_type
+    """,
+)
+def meta_table_type_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return browse.split_by_type(tree_from_supplier(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# A9 — per-category health sub-scores + status banding
+# (components.rs:1881-1946).
+# --------------------------------------------------------------------------
+@query(
+    "meta_health_subscores",
+    f"""
+    WITH health AS ({_HEALTH_ORACLE})
+    SELECT table_name,
+           greatest(100.0
+             + CASE WHEN small_file_ratio > 0.5 THEN -30.0 WHEN small_file_ratio > 0.3 THEN -15.0 ELSE 0.0 END
+             + CASE WHEN avg_file_size_mb < 16.0 THEN -10.0 ELSE 0.0 END, 0.0) AS file_score,
+           greatest(100.0
+             + CASE WHEN snapshots_last_hour > 20 THEN -20.0 WHEN snapshots_last_hour > 10 THEN -10.0 ELSE 0.0 END,
+             0.0) AS operational_score,
+           greatest(100.0
+             + CASE WHEN storage_growth_rate_gb_per_day > 500.0 THEN -15.0
+                    WHEN storage_growth_rate_gb_per_day > 100.0 THEN -8.0 ELSE 0.0 END
+             + CASE WHEN data_freshness_hours > 48.0 THEN -10.0
+                    WHEN data_freshness_hours > 24.0 THEN -5.0 ELSE 0.0 END, 0.0) AS storage_score,
+           greatest(100.0
+             + CASE WHEN days_since_last_compaction IS NULL THEN -10.0
+                    WHEN days_since_last_compaction > 14.0 THEN -25.0
+                    WHEN days_since_last_compaction > 7.0 THEN -12.0 ELSE 0.0 END, 0.0) AS compaction_score,
+           CASE WHEN health_score >= 90 THEN 'Good'
+                WHEN health_score >= 70 THEN 'Warning'
+                ELSE 'Critical' END AS status
+    FROM health
+    """,
+)
+def meta_health_subscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = health_metrics(snapshots_from_orders(spark, sf_dir), AS_OF_META)
+    return category_scores(m)

@@ -1,0 +1,57 @@
+"""Profile store (S3/S9) + browse operators (F2/F9/O3) unit tests,
+mirroring the reference's config tests (config.rs:143-185)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hielo_spark.catalog.profiles import MASK, CatalogProfile, ProfileStore
+
+
+def _store(tmp_path):
+    return ProfileStore(tmp_path / "config.json")
+
+
+def test_add_and_duplicate_rejection(tmp_path):
+    s = _store(tmp_path)
+    s.add(CatalogProfile("prod", "rest", {"uri": "https://catalog/api"}))
+    assert not s.is_name_unique("prod")
+    with pytest.raises(ValueError):
+        s.add(CatalogProfile("prod", "glue", {}))
+    # persisted round-trip
+    s2 = _store(tmp_path)
+    assert s2.get("prod").config["uri"] == "https://catalog/api"
+
+
+def test_update_and_delete(tmp_path):
+    s = _store(tmp_path)
+    s.add(CatalogProfile("c", "rest", {"uri": "u1"}))
+    s.update(CatalogProfile("c", "rest", {"uri": "u2"}))
+    assert s.get("c").config["uri"] == "u2"
+    s.delete("c")
+    with pytest.raises(KeyError):
+        s.get("c")
+    with pytest.raises(KeyError):
+        s.delete("c")
+
+
+def test_sanitize_masks_tokens_only():
+    # config.rs:167-185: auth_token masked, uri untouched
+    p = CatalogProfile("c", "rest", {"uri": "https://x", "auth_token": "s3cr3t"})
+    sanitized = p.sanitized()["config"]
+    assert sanitized["auth_token"] == MASK
+    assert sanitized["uri"] == "https://x"
+
+
+def test_spark_conf_emission():
+    rest = CatalogProfile("r", "rest", {"uri": "https://x", "warehouse": "s3://wh", "auth_token": "t"})
+    conf = rest.spark_conf()
+    assert conf["spark.sql.catalog.r"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.r.type"] == "rest"
+    assert conf["spark.sql.catalog.r.token"] == "t"
+    glue = CatalogProfile("g", "glue", {"warehouse": "s3://wh"})
+    gconf = glue.spark_conf()
+    assert gconf["spark.sql.catalog.g.catalog-impl"].endswith("GlueCatalog")
+    assert gconf["spark.sql.catalog.g.client.region"] == "us-east-1"  # default
+    with pytest.raises(ValueError):
+        CatalogProfile("x", "hive", {}).spark_conf()

@@ -1,0 +1,140 @@
+"""[EXT] operator semantics: dedup (exact/minhash/simhash), similarity
+(exact vs LSH recall), text analysis — on controlled inputs where the
+right answer is known."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from hielo_spark.operators import dedup, similarity
+from hielo_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text about spark engines here"),
+        (5, "  the   quick brown fox jumps over the lazy dog  "),  # ws-normalized dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == [1, 2, 5]  # whitespace normalization folds 5 in
+
+
+def test_drop_exact_duplicates_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in dedup.drop_exact_duplicates(docs).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_neardup_pairs(docs, threshold=0.4).collect()
+    }
+    # exact dups must collide with jaccard 1.0; near dup 1↔3 shares most
+    # shingles (7 of 9 trigrams differ only at the tail)
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0
+    assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_hamming(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_neardup_pairs(docs, max_hamming=12).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical word multiset
+    assert (1, 3) in pairs  # one word differs → few bits flip
+    assert all(4 not in p for p in pairs)
+
+
+def test_blocked_jaccard(spark):
+    rows = [
+        ("en", 1, "alpha beta gamma delta"),
+        ("en", 2, "alpha beta gamma epsilon"),
+        ("en", 3, "zeta eta theta iota"),
+        ("fr", 4, "alpha beta gamma delta"),  # same words, other block → no pair
+    ]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "text"])
+    pairs = dedup.blocked_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert pairs[0]["jaccard"] == pytest.approx(3 / 5)
+
+
+def test_cosine_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical → sim 1
+        (2, [0.0, 1.0, 0.0]),   # orthogonal → sim 0
+        (3, [1.0, 1.0, 0.0]),   # 45° → ~0.707
+        (4, [-1.0, 0.0, 0.0]),  # opposite → -1
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = similarity.brute_force_topk(emb, q, k=3)
+    got = [(r["vec_id"], round(r["cosine_sim"], 3)) for r in top.orderBy("rank").collect()]
+    assert got == [(1, 1.0), (3, 0.707), (2, 0.0)]
+
+
+def test_lsh_recall_vs_exact(spark):
+    # clustered corpus: three tight clusters around orthogonal axes — LSH
+    # hyperplane signs keep a cluster together, so same-cluster neighbors
+    # must be recovered
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for cid, axis in enumerate([(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0), (0.0, 0.0, 1.0, 0.0)]):
+        for i in range(20):
+            vec = [a * 10 + rng.uniform(-0.5, 0.5) for a in axis]
+            rows.append((cid * 100 + i, vec))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in similarity.lsh_topk(emb, q, dim=4, k=10, n_planes=4).collect()}
+    assert exact == approx  # same cluster, same buckets → full recall here
+    assert all(v < 100 for v in exact)  # all neighbors from cluster 0
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! This is a test."), (2, "   "), (3, "one")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in T.with_text_stats(df).collect()}
+    assert out[1]["n_words"] == 6
+    assert out[2]["n_words"] == 0  # blank → empty array, not ['']
+    assert out[3]["n_words"] == 1
+    # BPE-ish tokens: Hello , world ! This is a test . → 9
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["punct_ratio"] == pytest.approx(3 / 29)  # , ! .
+    assert out[2]["quality"] < out[1]["quality"]
+    assert len(out[1]["fingerprint"]) == 32
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy"),
+            (2, "der hund ist gross und das haus ist alt"),
+            (3, "le chat est sur la table et il est content"),
+            (4, "qwerty zxcvb asdfgh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", T.language_id("text").alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
