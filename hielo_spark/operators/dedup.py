@@ -297,3 +297,43 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# X2/X3 — embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    With ``block_col`` the pair space is bounded per block (deterministic,
+    oracle-checkable). Without it, callers should bucket first via
+    similarity.lsh_bucket — an unblocked cross join is refused implicitly
+    by requiring a block column here.
+    """
+    from .similarity import cosine
+
+    if block_col is None:
+        raise ValueError("unblocked all-pairs cosine is a cross join; bucket first (similarity.lsh_topk/lsh_bucket)")
+    sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(block_col).alias("block"), F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    a = sets.alias("a")
+    b = F.broadcast(sets.alias("b"))
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -215,3 +215,33 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# X2/X3 — embedding-cosine near-dup within label blocks.
+# --------------------------------------------------------------------------
+@query(
+    "emb_neardup_cosine",
+    """
+    SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    """,
+)
+def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(e, "vec_id", "embedding", "label", threshold=0.3)
+
+
+# --------------------------------------------------------------------------
+# X5 — multimodal decode plumbing (rows-only: fake deterministic decoder;
+# the mapInPandas schema/batching is the real artifact under test).
+# --------------------------------------------------------------------------
+@query("multimodal_image_features")
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = MM.attach_fake_media(d)
+    return MM.decode_image_features(media, fake=True)

