@@ -52,6 +52,7 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # drop per-query persisted frames
 
     total = round(sum(timings.values()), 3)
     print(

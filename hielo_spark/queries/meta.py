@@ -615,3 +615,82 @@ def meta_table_type_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def meta_health_subscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = health_metrics(snapshots_from_orders(spark, sf_dir), AS_OF_META)
     return category_scores(m)
+
+
+# --------------------------------------------------------------------------
+# A10 — alert rows (severity/category/value/threshold; message text is
+# pinned by pytest goldens — printf rounding differs across engines).
+# --------------------------------------------------------------------------
+@query(
+    "meta_health_alerts",
+    f"""
+    WITH health AS ({_HEALTH_ORACLE})
+    SELECT table_name, severity, category, metric_value, threshold FROM (
+      SELECT table_name, 'critical' AS severity, 'small_files' AS category,
+             small_file_ratio AS metric_value, 0.5 AS threshold
+      FROM health WHERE small_file_ratio > 0.5
+      UNION ALL
+      SELECT table_name, 'warning', 'small_files', small_file_ratio, 0.3
+      FROM health WHERE small_file_ratio > 0.3 AND small_file_ratio <= 0.5
+      UNION ALL
+      SELECT table_name, 'critical', 'high_snapshot_frequency',
+             CAST(snapshots_last_hour AS DOUBLE), 20.0
+      FROM health WHERE snapshots_last_hour > 20
+      UNION ALL
+      SELECT table_name, 'critical', 'compaction_needed',
+             days_since_last_compaction, 14.0
+      FROM health WHERE days_since_last_compaction > 14.0
+      UNION ALL
+      SELECT table_name, 'warning', 'storage_growth',
+             storage_growth_rate_gb_per_day, 500.0
+      FROM health WHERE storage_growth_rate_gb_per_day > 500.0
+    )
+    """,
+)
+def meta_health_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..analytics.health import alerts
+
+    m = health_metrics(snapshots_from_orders(spark, sf_dir), AS_OF_META)
+    return alerts(m).select("table_name", "severity", "category", "metric_value", "threshold")
+
+
+# --------------------------------------------------------------------------
+# A11 — maintenance recommendations from alerts + trend constant.
+# --------------------------------------------------------------------------
+@query(
+    "meta_recommendations",
+    f"""
+    WITH health AS ({_HEALTH_ORACLE}),
+    alert_rows AS (
+      SELECT table_name, 'critical' AS severity, 'small_files' AS category
+      FROM health WHERE small_file_ratio > 0.5
+      UNION ALL
+      SELECT table_name, 'warning', 'small_files'
+      FROM health WHERE small_file_ratio > 0.3 AND small_file_ratio <= 0.5
+      UNION ALL
+      SELECT table_name, 'critical', 'high_snapshot_frequency'
+      FROM health WHERE snapshots_last_hour > 20
+      UNION ALL
+      SELECT table_name, 'critical', 'compaction_needed'
+      FROM health WHERE days_since_last_compaction > 14.0
+      UNION ALL
+      SELECT table_name, 'warning', 'storage_growth'
+      FROM health WHERE storage_growth_rate_gb_per_day > 500.0
+    )
+    SELECT table_name,
+           CASE WHEN category = 'small_files' THEN (CASE WHEN severity = 'critical' THEN 'high' ELSE 'medium' END)
+                WHEN category = 'compaction_needed' THEN 'high'
+                WHEN category = 'high_snapshot_frequency' THEN 'medium' END AS priority,
+           CASE WHEN category IN ('small_files', 'compaction_needed') THEN 'compaction'
+                WHEN category = 'high_snapshot_frequency' THEN 'optimization' END AS action_type
+    FROM alert_rows
+    WHERE category IN ('small_files', 'compaction_needed', 'high_snapshot_frequency')
+    UNION ALL
+    SELECT table_name, 'low', 'retention_policy' FROM health
+    """,
+)
+def meta_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..analytics.health import alerts, recommendations
+
+    m = health_metrics(snapshots_from_orders(spark, sf_dir), AS_OF_META)
+    return recommendations(alerts(m), m).select("table_name", "priority", "action_type")
