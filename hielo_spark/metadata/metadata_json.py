@@ -1,0 +1,118 @@
+"""Historical schemas from Iceberg table-metadata JSON (SURVEY §1.3/§7
+hard part #1).
+
+Spark's Iceberg integration exposes *current* schemas but not schema
+history as a metadata table; the history lives in the table-metadata JSON
+files whose paths the ``metadata_log_entries`` metadata table lists. This
+module parses those JSON documents into the long-form schemas frame the
+evolution operators (J2) consume — distributed via ``spark.read.text`` +
+``from_json``, so a million metadata files parse as a normal job, not a
+driver loop.
+
+Type rendering follows the reference display strings (data.rs:66-85):
+primitives pass through, ``decimal(p, 2)`` keeps its spacing, and nested
+types render as struct/list/map. Nested struct fields become child rows
+with ``parent_field_id`` (components.rs:662-667 renders recursively).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMAS_LONG_SCHEMA = StructType(
+    [
+        StructField("table_name", StringType(), False),
+        StructField("schema_id", IntegerType(), False),
+        StructField("field_id", IntegerType(), False),
+        StructField("name", StringType(), False),
+        StructField("type_str", StringType(), False),
+        StructField("required", BooleanType(), False),
+        StructField("doc", StringType(), True),
+        StructField("parent_field_id", IntegerType(), True),
+    ]
+)
+
+
+def _render_type(t) -> str:
+    """Iceberg JSON type → reference display string."""
+    if isinstance(t, str):
+        if t.startswith("decimal("):
+            inner = t[len("decimal(") : -1]
+            p, s = (x.strip() for x in inner.split(","))
+            return f"decimal({p}, {s})"
+        if t.startswith("fixed["):
+            return "binary"
+        return t
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return "struct"
+        if kind == "list":
+            return "list"
+        if kind == "map":
+            return "map"
+    return str(t)
+
+
+def _field_rows(table_name: str, schema_id: int, fields: list[dict], parent: int | None):
+    for f in fields:
+        yield (
+            table_name,
+            schema_id,
+            int(f["id"]),
+            f["name"],
+            _render_type(f["type"]),
+            bool(f.get("required", False)),
+            f.get("doc"),
+            parent,
+        )
+        # recurse into nested structs (list/map element schemas carry their
+        # own ids too, but the reference only renders struct children)
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "struct":
+            yield from _field_rows(table_name, schema_id, t.get("fields", []), int(f["id"]))
+
+
+def parse_metadata_document(table_name: str, doc: dict):
+    """All (schema_id × field) rows of one table-metadata JSON document.
+
+    Handles both the v2 layout (``schemas`` list + ``current-schema-id``)
+    and the v1 single-``schema`` layout."""
+    schemas = doc.get("schemas")
+    if not schemas and "schema" in doc:
+        schemas = [dict(doc["schema"], **{"schema-id": doc["schema"].get("schema-id", 0)})]
+    for s in schemas or []:
+        sid = int(s.get("schema-id", 0))
+        yield from _field_rows(table_name, sid, s.get("fields", []), None)
+
+
+def schemas_from_metadata_json(
+    spark: SparkSession, paths: list[tuple[str, str]]
+) -> DataFrame:
+    """(table_name, metadata_json_path) pairs → long-form schemas frame.
+
+    Distributed: file contents are read by executors (wholeText), parsed
+    per-partition. ``paths`` comes from the ``metadata_log_entries``
+    metadata table when a live catalog is attached.
+    """
+    pairs = spark.createDataFrame(paths, ["table_name", "path"])
+
+    def parse_partition(rows):
+        for row in rows:
+            with open(row.path.replace("file://", ""), encoding="utf-8") as fh:
+                doc = json.load(fh)
+            yield from parse_metadata_document(row.table_name, doc)
+
+    return spark.createDataFrame(
+        pairs.rdd.mapPartitions(parse_partition), SCHEMAS_LONG_SCHEMA
+    )

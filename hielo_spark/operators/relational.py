@@ -1,0 +1,131 @@
+"""Custom relational operators Spark lacks as built-ins (SURVEY §2.3 /
+brief: as-of join, range join), expressed as compositions of DataFrame
+ops — no UDFs, no driver loops.
+
+As-of join: union-tag + window carry-forward — ONE shuffle on
+(key, time) instead of a per-row backward probe. The classic scalable
+pattern for "latest right-row at or before each left-row".
+
+Range join: time-bucket equi-join + residual filter — turns an
+inequality join (which Spark would execute as broadcast-nested-loop)
+into an equi-join on overlapping buckets, at the cost of duplicate
+candidate generation bounded by range/bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    tolerance_ms: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_time <= left_time`` within the same ``on`` key (backward
+    as-of). ``tolerance_ms`` drops matches older than the tolerance.
+
+    Implementation: union both sides tagged, sort within key by
+    (time, side) via a window, carry the last right values forward with
+    ``last(..., ignorenulls=True)``, keep left rows. Single shuffle on
+    the key; no range probe, no skewed nested loop.
+    """
+    lt = F.col(left_time)
+    rt = F.col(right_time)
+    l_tag = left.withColumn("_t", lt.cast("timestamp")).withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        F.col(on),
+        rt.cast("timestamp").alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in right_cols],
+    )
+    # align columns for the union: left gets null right_cols and vice versa
+    for c in right_cols:
+        l_tag = l_tag.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
+    l_cols = [c for c in left.columns]
+    unioned = l_tag.select(
+        F.col(on), F.col("_t"), F.col("_side"),
+        *[F.col(c) for c in l_cols if c != on],
+        *[F.col(f"{c}{suffix}") for c in right_cols],
+    ).unionByName(
+        r_tag.select(
+            F.col(on), F.col("_t"), F.col("_side"),
+            *[F.lit(None).cast(dict(l_tag.dtypes)[c]).alias(c) for c in l_cols if c != on],
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )
+    # right rows sort before left rows at the same instant (side 0 < 1),
+    # so an exactly-simultaneous right row IS visible to the left row
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"_carry_{c}")
+            for c in right_cols
+        ],
+        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w).alias("_carry_t"),
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_ms is not None:
+        in_tol = (F.unix_millis(F.col("_t")) - F.unix_millis(F.col("_carry_t"))) <= tolerance_ms
+        out = out.select(
+            "*",
+            *[
+                F.when(in_tol, F.col(f"_carry_{c}")).alias(f"_tol_{c}")
+                for c in right_cols
+            ],
+        )
+        carry = {c: F.col(f"_tol_{c}") for c in right_cols}
+    else:
+        carry = {c: F.col(f"_carry_{c}") for c in right_cols}
+    return out.select(
+        F.col(on),
+        F.col("_t").alias(left_time),
+        *[F.col(c) for c in l_cols if c not in (on, left_time)],
+        *[carry[c].alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lower_ms: int,
+    upper_ms: int,
+    bucket_ms: int | None = None,
+) -> DataFrame:
+    """Pairs (l, r) with the same key and ``r.time - l.time`` in
+    [lower_ms, upper_ms]. Equi-join on overlapping time buckets +
+    residual filter — never a nested-loop inequality join.
+
+    Each left row joins its own bucket plus the buckets its window can
+    reach; candidates per row ≈ window/bucket + 1.
+    """
+    span = upper_ms - lower_ms
+    bucket_ms = bucket_ms or max(span, 1)
+    l_ms = F.unix_millis(F.col(left_time).cast("timestamp"))
+    r_ms = F.unix_millis(F.col(right_time).cast("timestamp"))
+    # left row needs buckets covering [l+lower, l+upper]
+    lo_b = F.floor((l_ms + lower_ms) / bucket_ms)
+    hi_b = F.floor((l_ms + upper_ms) / bucket_ms)
+    l_exp = left.withColumn("_lms", l_ms).withColumn(
+        "_bucket", F.explode(F.sequence(lo_b, hi_b))
+    )
+    r_exp = right.withColumn("_rms", r_ms).withColumn("_bucket", F.floor(r_ms / bucket_ms))
+    joined = l_exp.join(r_exp, [on, "_bucket"])
+    delta = F.col("_rms") - F.col("_lms")
+    return joined.filter((delta >= lower_ms) & (delta <= upper_ms)).drop("_bucket", "_lms", "_rms")

@@ -601,3 +601,152 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return sessionize_batch(ev)
+
+
+# --------------------------------------------------------------------------
+# As-of join (backward): for each purchase, the user's most recent click at
+# or before it. Spark lacks the operator; ours is union-tag + window
+# carry-forward (operators/relational.py) — one shuffle on the key.
+# DuckDB has native ASOF JOIN → a real independent oracle.
+# --------------------------------------------------------------------------
+@query(
+    "events_asof_join",
+    """
+    SELECT p.user_id,
+           strftime(p.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           CAST(round(p.value, 2) AS DOUBLE) AS purchase_value,
+           strftime(c.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           CAST(round(c.value, 2) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts", right_cols=["ts", "value"]
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.round("value_right", 2).alias("click_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join: clicks within 10 minutes after each error, same
+# user. Bucketed equi-join + residual filter — never a nested-loop
+# inequality join (operators/relational.py).
+# --------------------------------------------------------------------------
+@query(
+    "events_range_join",
+    """
+    SELECT e.event_id AS error_id, count(*) AS n_clicks,
+           CAST(round(sum(c.value), 2) AS DOUBLE) AS click_value_sum
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND epoch_ms(c.ts::TIMESTAMP) - epoch_ms(e.ts::TIMESTAMP) BETWEEN 0 AND 600000
+    GROUP BY e.event_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import range_join_buckets
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    joined = range_join_buckets(
+        errors, clicks, on="user_id", left_time="e_ts", right_time="c_ts",
+        lower_ms=0, upper_ms=600000,
+    )
+    return joined.groupBy("error_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("c_value"), 2).alias("click_value_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A14 — ROLLUP subtotal hierarchy.
+# --------------------------------------------------------------------------
+@query(
+    "orders_rollup",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A14/C3 — continuous quantiles (exact percentile, not approx) + spread
+# statistics per group.
+# --------------------------------------------------------------------------
+@query(
+    "lineitem_quantiles",
+    """
+    SELECT l_returnflag,
+           CAST(round(quantile_cont(l_quantity, 0.25), 6) AS DOUBLE) AS q25,
+           CAST(round(quantile_cont(l_quantity, 0.5), 6) AS DOUBLE) AS q50,
+           CAST(round(quantile_cont(l_quantity, 0.75), 6) AS DOUBLE) AS q75,
+           CAST(round(stddev_samp(l_quantity), 4) AS DOUBLE) AS sd_qty,
+           CAST(round(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1), 6).alias("q25"),
+        F.round(F.element_at(pct, 2), 6).alias("q50"),
+        F.round(F.element_at(pct, 3), 6).alias("q75"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C1 — string-distance search (levenshtein; both engines implement the
+# classic Wagner-Fischer definition).
+# --------------------------------------------------------------------------
+@query(
+    "parts_fuzzy_match",
+    """
+    SELECT levenshtein(p_name, 'red widget') AS dist, count(*) AS n
+    FROM part
+    WHERE levenshtein(p_name, 'red widget') <= 5
+    GROUP BY 1
+    """,
+)
+def parts_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_name"), F.lit("red widget"))
+    return p.select(dist.alias("dist")).filter(F.col("dist") <= 5).groupBy("dist").agg(F.count("*").alias("n"))

@@ -1,0 +1,94 @@
+"""As-of join / range join edge semantics on controlled inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from hielo_spark.operators.relational import asof_join, range_join_buckets
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "p1"),
+            (1, ts("2024-01-01 12:00:00"), "p2"),
+            (2, ts("2024-01-01 09:00:00"), "p3"),  # before any right row
+        ],
+        ["user_id", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:30:00"), 10.0),
+            (1, ts("2024-01-01 10:00:00"), 20.0),  # simultaneous with p1
+            (1, ts("2024-01-01 11:00:00"), 30.0),
+            (2, ts("2024-01-01 10:00:00"), 40.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = {
+        r["tag"]: r.asDict()
+        for r in asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()
+    }
+    assert out["p1"]["value_right"] == 20.0  # ties: right row AT the instant wins
+    assert out["p2"]["value_right"] == 30.0  # latest at-or-before
+    assert out["p3"]["value_right"] is None  # nothing before → null
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"), "p")], ["user_id", "ts", "tag"])
+    right = spark.createDataFrame([(1, ts("2024-01-01 08:00:00"), 5.0)], ["user_id", "ts", "value"])
+    no_tol = asof_join(left, right, "user_id", "ts", "ts", ["value"]).first()
+    assert no_tol["value_right"] == 5.0
+    with_tol = asof_join(
+        left, right, "user_id", "ts", "ts", ["value"], tolerance_ms=3600_000
+    ).first()
+    assert with_tol["value_right"] is None  # 2h old > 1h tolerance
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame([(1, 100, ts("2024-01-01 10:00:00"))], ["user_id", "lid", "lts"])
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "at0"),      # delta 0 → in
+            (1, ts("2024-01-01 10:05:00"), "in5"),      # in window
+            (1, ts("2024-01-01 10:10:00"), "at10"),     # inclusive upper
+            (1, ts("2024-01-01 10:10:00.001"), "out"),  # just past
+            (1, ts("2024-01-01 09:59:59"), "before"),   # negative delta
+            (2, ts("2024-01-01 10:01:00"), "otheruser"),
+        ],
+        ["user_id", "rts", "tag"],
+    )
+    got = {
+        r["tag"]
+        for r in range_join_buckets(
+            left, right, "user_id", "lts", "rts", lower_ms=0, upper_ms=600000
+        ).collect()
+    }
+    assert got == {"at0", "in5", "at10"}
+
+
+def test_range_join_bucket_size_invariance(spark):
+    # different bucket sizes must give identical results (candidates differ,
+    # residual filter fixes them)
+    left = spark.createDataFrame(
+        [(1, i, ts("2024-01-01 10:00:00") + dt.timedelta(minutes=i)) for i in range(10)],
+        ["user_id", "lid", "lts"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00") + dt.timedelta(seconds=90 * i), float(i)) for i in range(20)],
+        ["user_id", "rts", "value"],
+    )
+    def pairs(bucket_ms):
+        return sorted(
+            (r["lid"], r["value"])
+            for r in range_join_buckets(
+                left, right, "user_id", "lts", "rts", 0, 300000, bucket_ms=bucket_ms
+            ).collect()
+        )
+    assert pairs(300000) == pairs(60000) == pairs(7000)
