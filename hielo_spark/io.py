@@ -59,3 +59,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned parquet sink (S10 writes). With an Iceberg catalog the
+    equivalent is ``df.writeTo("c.ns.t").partitionedBy(...).create()`` —
+    hidden partitioning replaces the explicit column list.
+
+    ``max_records_per_file`` caps file sizes (the knob behind the health
+    suite's small-file guidance: too many tiny output files is the #1
+    self-inflicted wound at scale; cap records, don't repartition(1))."""
+    w = df.write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -17,3 +17,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Session alias for hypothesis tests (function-scoped @given bodies
+    can't take a session fixture named the same as the module-scoped one
+    used elsewhere with different lifetimes)."""
+    return spark
