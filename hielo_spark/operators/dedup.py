@@ -407,3 +407,75 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# X1/X2 — duplicate-group resolution: connected components over near-dup
+# pairs (keep one representative per component).
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) where component = min node id reachable through
+    the pair graph — the canonical representative of each duplicate group.
+
+    Pregel-lite label propagation: every node starts labeled with itself;
+    each round adopts the min label among itself and its neighbors; stops
+    when a round changes nothing. Rounds = graph diameter (near-dup
+    clusters are shallow — a handful). Each round is one join + one
+    aggregation keyed on node; no driver-side graph state.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Every row labeled with its duplicate-group representative (rows with
+    no near-dup pair are their own group). The keep-set is
+    ``component == id`` rows."""
+    comp = connected_components(pairs, id_a, id_b)
+    return df.join(comp, df[id_col] == comp.node, "left").select(
+        df["*"], F.coalesce(F.col("component"), df[id_col]).alias("dup_group")
+    )

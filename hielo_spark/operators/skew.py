@@ -1,0 +1,42 @@
+"""Skew-mitigation utilities (SURVEY §2.8 X6; brief: 'skewed keys →
+salting or AQE skew-join').
+
+AQE's skew-join handles shuffle-size skew automatically; these helpers
+cover the cases AQE can't: aggregation hot keys (two-phase salted agg)
+and joins where one hot key floods a task (replicate the small side over
+salt buckets)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
+    """Two-phase count per key: phase 1 aggregates (key, salt) — spreading
+    a hot key over salt_buckets tasks — phase 2 merges per key. Identical
+    result to ``groupBy(key).count()``; twice the (tiny) shuffles, none of
+    the single-hot-task stalls."""
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_n"))
+    return partial.groupBy(key).agg(F.sum("_n").alias("n"))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread across salt buckets:
+    big rows get a random salt, the small side is replicated once per
+    bucket, and the join runs on (key, salt). Result equals
+    ``big.join(small, key)``; use when AQE skew-split can't help (e.g.
+    the skew is in the build side's match fan-out)."""
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")

@@ -245,3 +245,91 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     media = MM.attach_fake_media(d)
     return MM.decode_image_features(media, fake=True)
+
+
+# --------------------------------------------------------------------------
+# X1/X2 — duplicate-group resolution: connected components over the
+# near-dup pair graph (min reachable id = group representative). The
+# oracle recomputes components with a recursive CTE — a fully independent
+# algorithm (transitive closure) against our label propagation.
+# --------------------------------------------------------------------------
+@query(
+    "doc_dedup_components",
+    """
+    WITH RECURSIVE
+    sets AS (
+      SELECT lang, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ws
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+    ),
+    edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS node, CAST(least(src, min(dst)) AS BIGINT) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.blocked_jaccard_pairs(d, "lang", "doc_id", "text", 0.5)
+    return dedup.connected_components(pairs)
+
+
+# --------------------------------------------------------------------------
+# X1+X4 composed — a curation pipeline in one plan: quality-score every
+# doc, drop low quality, dedup by normalized fingerprint (keep min id),
+# report per-language survivor stats. The whole pipeline is one Catalyst
+# plan: scan → project → filter → window dedup → aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "doc_curation_pipeline",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             least(length(text) / 500.0, 1.0) * 0.5
+             + CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
+                     AND length(text) / CAST((CASE WHEN length(trim(text)) = 0 THEN 1
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END) AS DOUBLE) BETWEEN 3 AND 12
+                    THEN 1.0 ELSE 0.5 END * 0.3
+             + CASE WHEN coalesce(CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+                          / nullif(length(text), 0), 0.0) <= 0.1 THEN 1.0 ELSE 0.5 END * 0.2
+             AS quality
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE quality >= 0.6
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    )
+    SELECT lang,
+           count(*) AS n_kept,
+           CAST(round(avg(quality), 6) AS DOUBLE) AS avg_quality
+    FROM kept GROUP BY lang
+    """,
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        T.fingerprint("text").alias("fp"),
+        T.quality_score("text").alias("quality"),
+    ).filter(F.col("quality") >= 0.6)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )

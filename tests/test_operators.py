@@ -138,3 +138,32 @@ def test_language_id(spark):
     )
     got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", T.language_id("text").alias("lang")).collect()}
     assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_connected_components_groups(spark):
+    from hielo_spark.operators.dedup import connected_components, dedup_groups
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    df = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 5, 6, 9]], ["doc_id", "text"])
+    groups = {r["doc_id"]: r["dup_group"] for r in dedup_groups(df, pairs).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}  # isolated node = own group
+
+
+def test_salted_ops_equal_unsalted(spark, sf_dir):
+    from hielo_spark.io import load_table
+    from hielo_spark.operators.skew import salted_count, salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    plain = {r["o_orderstatus"]: r["count"] for r in o.groupBy("o_orderstatus").count().collect()}
+    salted = {r["o_orderstatus"]: r["n"] for r in salted_count(o, "o_orderstatus").collect()}
+    assert plain == salted
+
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    plain_j = c.join(n, "c_nationkey").count()
+    salted_j = salted_join(c, n, "c_nationkey").count()
+    assert plain_j == salted_j
