@@ -889,3 +889,58 @@ def orders_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~high).cast("int")).cast("bigint").alias("low_line_count"),
         F.round(F.avg(F.when(high, F.col("o_totalprice"))), 6).alias("avg_high_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# A14 — CUBE over two dimensions (all grouping-set combinations).
+# --------------------------------------------------------------------------
+@query(
+    "lineitem_cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C6/A14 — ordered list aggregation (deterministic: sorted before concat;
+# Spark's collect_list order is otherwise partition-dependent).
+# --------------------------------------------------------------------------
+@query(
+    "nations_per_region",
+    """
+    SELECT r_name,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           count(*) AS n_nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
