@@ -279,8 +279,16 @@ def blocked_jaccard_pairs(
     # At a scale where the build side exceeds broadcast limits, salt the
     # block key instead (replicate one side over salt buckets).
     b = F.broadcast(sets.alias("b"))
+    # size-ratio prefilter: J = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    # pair whose set sizes differ by more than 1/threshold can't reach the
+    # threshold — skip the expensive intersection entirely
+    sa, sb = F.size(F.col("a.ws")), F.size(F.col("b.ws"))
+    size_ok = (sa >= sb * threshold) & (sb >= sa * threshold)
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")) & size_ok,
+        )
         .select(
             F.col("a.block").alias("block"),
             F.col("a.id").alias("id_a"),

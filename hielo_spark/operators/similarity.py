@@ -122,3 +122,92 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine_sim", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists by nearest
+    centroid; each query probes only its ``n_probe`` closest lists.
+
+    Centroid selection is one Lloyd round over deterministic hash-sampled
+    seeds (no RNG state, no sklearn): sample n_centroids vectors by
+    xxhash64 order, assign every corpus vector to its nearest seed, take
+    per-cell means as the final centroids — all DataFrame ops; the
+    centroid table (tiny) is the only collect, and it's bounded by
+    n_centroids × dim.
+
+    Scale shape: corpus scanned twice (assign, then probe-join); the probe
+    join is an equi-join on centroid id — candidates ≈ corpus ×
+    (n_probe / n_centroids) per query, never a cross join.
+    """
+    v = F.col(corpus_vec).cast("array<double>")
+    # 1. deterministic seed sample → one Lloyd refinement round
+    seeds = (
+        corpus.select(F.col(corpus_id).alias("sid"), v.alias("sv"))
+        .orderBy(F.xxhash64(F.col("sid"), F.lit(seed)))
+        .limit(n_centroids)
+    )
+    seed_rows = seeds.collect()  # n_centroids rows — bounded, deliberate
+    seed_arr = [(i, list(r["sv"])) for i, r in enumerate(seed_rows)]
+    seed_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(seed_arr, ["cell", "centroid"])
+    )
+    assigned = (
+        corpus.select(F.col(corpus_id).alias("id"), v.alias("v"))
+        .join(seed_df)
+        .select(
+            "id", "v", "cell",
+            dot(F.col("v"), F.col("centroid").cast("array<double>")).alias("aff"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("aff").desc(), F.col("cell"))
+    cells = assigned.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("id", "v", "cell")
+    centroids = (
+        cells.groupBy("cell")
+        .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(len(seed_arr[0][1]))]).alias("centroid"))
+    )
+    centroid_rows = [(r["cell"], list(r["centroid"])) for r in centroids.collect()]
+    centroid_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(centroid_rows, ["cell", "centroid"])
+    )
+    # 2. final inverted lists under the refined centroids
+    lists = (
+        corpus.select(F.col(corpus_id).alias("id"), v.alias("v"))
+        .join(centroid_df)
+        .select("id", "v", "cell", cosine(F.col("v"), F.col("centroid")).alias("aff"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("id", "v", "cell")
+    )
+    # 3. queries probe their n_probe nearest cells
+    qv = F.col(query_vec).cast("array<double>")
+    q_cells = (
+        queries.select(F.col(query_id).alias("qid"), qv.alias("qv"))
+        .join(centroid_df)
+        .select("qid", "qv", "cell", cosine(F.col("qv"), F.col("centroid")).alias("aff"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("aff").desc(), F.col("cell"))
+    probes = F.broadcast(
+        q_cells.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= n_probe).select("qid", "qv", "cell")
+    )
+    scored = lists.join(probes, "cell").filter(F.col("id") != F.col("qid")).select(
+        F.col("qid").alias(query_id),
+        F.col("id").alias(corpus_id),
+        cosine(F.col("v"), F.col("qv")).alias("cosine_sim"),
+    )
+    wr = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine_sim", F.col("rank").cast("bigint").alias("rank"))
+    )

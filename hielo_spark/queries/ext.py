@@ -333,3 +333,15 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# X3 — IVF ANN (rows-only: centroid assignment is engine-specific).
+# --------------------------------------------------------------------------
+@query("emb_ivf_ann")
+def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(e, q, k=5, n_centroids=8, n_probe=3)

@@ -167,3 +167,25 @@ def test_salted_ops_equal_unsalted(spark, sf_dir):
     plain_j = c.join(n, "c_nationkey").count()
     salted_j = salted_join(c, n, "c_nationkey").count()
     assert plain_j == salted_j
+
+
+def test_ivf_topk_clustered_recall(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for cid, axis in enumerate(
+        [(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0), (0.0, 0.0, 1.0, 0.0), (0.0, 0.0, 0.0, 1.0)]
+    ):
+        for i in range(25):
+            rows.append((cid * 100 + i, [a * 10 + rng.uniform(-0.5, 0.5) for a in axis]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    ivf = {r["vec_id"] for r in similarity.ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3).collect()}
+    # clustered data: probing the query's own cells must recover most of
+    # the true neighbors
+    assert len(exact & ivf) >= 8
+    assert all(v < 100 for v in ivf)

@@ -1,0 +1,66 @@
+"""Physical-plan shape assertions: the scale properties SCALE.md claims
+must hold in the actual plans — filters pushed to scans, dimensions
+broadcast, top-k lowered, and never a cartesian product in the oracle
+surface (except deliberate scalar-subquery broadcasts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hielo_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    p = formatted(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: only the 7 needed columns reach the scan
+    assert "l_orderkey" not in p.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_joins_broadcast_dimensions(spark, sf_dir):
+    for name in ("q3_shipping_priority", "q5_revenue_by_nation", "q7_nation_volume",
+                 "supplier_semi_join_nations"):
+        p = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p, name
+
+
+def test_topk_lowered(spark, sf_dir):
+    for name in ("topk_orders", "q3_shipping_priority", "q10_returned_customers"):
+        p = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_anti_and_semi_joins(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "supplier_semi_join_nations")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "customers_without_recent_orders")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
+     "doc_neardup_jaccard", "emb_neardup_cosine", "events_asof_join",
+     "events_range_join", "doc_neardup_minhash"],
+)
+def test_no_cartesian_product(spark, sf_dir, name):
+    # the only allowed product is a broadcast of a 1-row/scalar subquery
+    # (BroadcastNestedLoopJoin with a tiny build side); a CartesianProduct
+    # node means a real pair explosion
+    assert "CartesianProduct" not in plan_of(spark, sf_dir, name), name
+
+
+def test_streaming_plan_has_watermark(spark, sf_dir):
+    from hielo_spark.streaming.events import hourly_counts, read_events_stream
+
+    plan = hourly_counts(read_events_stream(spark, sf_dir))._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
