@@ -694,3 +694,41 @@ def meta_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = health_metrics(snapshots_from_orders(spark, sf_dir), AS_OF_META)
     return recommendations(alerts(m), m).select("table_name", "priority", "action_type")
+
+
+# --------------------------------------------------------------------------
+# A6 extension — storage-growth timeline: per-snapshot size delta via lag
+# over the sized snapshots (what the reference's size_history collapses to
+# first/last; the full series is the [EXT] exact-mode view).
+# --------------------------------------------------------------------------
+@query(
+    "meta_storage_timeline",
+    f"""
+    WITH {ORACLE_SNAPSHOTS_CTE}
+    SELECT table_name, snapshot_id,
+           strftime(committed_at, '%Y-%m-%d %H:%M:%S') AS committed,
+           CAST(total_size_bytes AS BIGINT) AS size_bytes,
+           CAST(total_size_bytes - lag(total_size_bytes) OVER w AS BIGINT) AS delta_bytes
+    FROM snapshots
+    WHERE total_size_bytes IS NOT NULL
+    WINDOW w AS (PARTITION BY table_name ORDER BY committed_at, snapshot_id)
+    """,
+)
+def meta_storage_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    snaps = snapshots_from_orders(spark, sf_dir)
+    sized = snaps.select(
+        "table_name",
+        "snapshot_id",
+        "committed_at",
+        F.try_element_at("summary", F.lit("total-size")).try_cast("bigint").alias("size_bytes"),
+    ).filter(F.col("size_bytes").isNotNull())
+    w = W.partitionBy("table_name").orderBy("committed_at", "snapshot_id")
+    return sized.select(
+        "table_name",
+        "snapshot_id",
+        F.date_format("committed_at", "yyyy-MM-dd HH:mm:ss").alias("committed"),
+        "size_bytes",
+        (F.col("size_bytes") - F.lag("size_bytes").over(w)).cast("bigint").alias("delta_bytes"),
+    )

@@ -944,3 +944,45 @@ def nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nations"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# §2.7 windows + C3 — per-user z-score anomaly detection: events whose
+# value deviates > 2.5σ from that user's mean. Single shuffle on user_id;
+# stats and scoring in one window pass.
+# --------------------------------------------------------------------------
+@query(
+    "events_value_anomalies",
+    """
+    SELECT user_id, event_id,
+           CAST(round(value, 2) AS DOUBLE) AS value,
+           CAST(round((value - u_avg) / u_sd, 4) AS DOUBLE) AS zscore
+    FROM (
+      SELECT user_id, event_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS u_avg,
+             stddev_samp(value) OVER (PARTITION BY user_id) AS u_sd
+      FROM events
+    )
+    WHERE u_sd > 0 AND abs((value - u_avg) / u_sd) > 2.5
+    """,
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("u_avg"),
+        F.stddev_samp("value").over(w).alias("u_sd"),
+    )
+    z = (F.col("value") - F.col("u_avg")) / F.col("u_sd")
+    return (
+        stats.filter((F.col("u_sd") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
