@@ -64,3 +64,16 @@ def test_streaming_plan_has_watermark(spark, sf_dir):
 
     plan = hourly_counts(read_events_stream(spark, sf_dir))._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_plan_audit_api(spark, sf_dir):
+    from hielo_spark.plans import audit
+
+    a = audit(QUERIES["q5_revenue_by_nation"](spark, sf_dir))
+    assert a.pushed_filters  # region/orders filters reached the scans
+    assert a.broadcast_hash_joins >= 2
+    assert a.cartesian_products == 0
+    b = audit(QUERIES["topk_orders"](spark, sf_dir))
+    assert b.take_ordered and b.joins == 0
+    c = audit(QUERIES["doc_neardup_minhash"](spark, sf_dir))
+    assert c.has_python_stage  # the Arrow kernel is a deliberate stage

@@ -56,3 +56,36 @@ def test_stateful_sessionization_parity(spark, sf_dir):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_stream_to_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    """writeStream → parquet files with checkpoint: the durable-sink path
+    (at scale: the landing-zone compactor's input). Output read back must
+    equal the batch aggregation."""
+    from hielo_spark.streaming.events import hourly_counts, read_events_stream
+    from hielo_spark.queries.relational import events_hourly_windows
+
+    out = str(tmp_path / "hourly_parquet")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        hourly_counts(read_events_stream(spark, sf_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in events_hourly_windows(spark, sf_dir).collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted window
+    # must match the batch result, and most windows must have closed
+    assert got and all(got[k] == want[k] for k in got)
+    assert len(got) >= len(want) - 5  # only the tail windows may be open
