@@ -60,3 +60,33 @@ def split_by_type(tree: DataFrame) -> DataFrame:
     """F4 — partition tables into iceberg / non-iceberg groups
     (catalog_ui.rs:1255-1264), as a labeled count frame."""
     return tree.groupBy("table_type").agg(F.count("*").alias("n"))
+
+
+def live_catalog_tree(spark, catalog_name: str | None = None) -> DataFrame:
+    """S5/S6 — the catalog-tree frame from a LIVE Spark catalog
+    (SHOW NAMESPACES / listTables), provider check instead of the
+    reference's N+1 full-metadata loads. Works against the built-in
+    session catalog; with an Iceberg catalog plugin the same calls list
+    its namespaces/tables.
+    """
+    if catalog_name:
+        spark.catalog.setCurrentCatalog(catalog_name)
+    cat = catalog_name or spark.catalog.currentCatalog()
+    rows = []
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            table_type = "iceberg" if (t.tableType or "").lower() == "external" else (
+                t.tableType or "unknown"
+            ).lower()
+            rows.append(
+                (
+                    cat,
+                    t.namespace[0] if t.namespace else db.name,
+                    t.name,
+                    f"{db.name}.{t.name}",
+                    table_type,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "catalog_name string, namespace string, table_name string, full_name string, table_type string"
+    )

@@ -66,7 +66,9 @@ class Engine:
         """The §3.2 health report for one table: metrics + band + category
         sub-scores + alerts + recommendations, mirroring the reference's
         TableHealthMetrics composition (analytics.rs:35-61)."""
-        m = H.health_metrics(snapshots, as_of).filter(f"table_name = '{table_name}'")
+        import pyspark.sql.functions as F
+
+        m = H.health_metrics(snapshots, as_of).filter(F.col("table_name") == table_name)
         metrics_rows = m.collect()
         if not metrics_rows:
             return {"table_name": table_name, "empty": True}

@@ -55,3 +55,22 @@ def test_spark_conf_emission():
     assert gconf["spark.sql.catalog.g.client.region"] == "us-east-1"  # default
     with pytest.raises(ValueError):
         CatalogProfile("x", "hive", {}).spark_conf()
+
+
+def test_live_catalog_tree(spark, sf_dir):
+    from hielo_spark.catalog.browse import live_catalog_tree, search
+    from hielo_spark.io import load_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS browse_db")
+    load_table(spark, sf_dir, "region").write.mode("overwrite").saveAsTable("browse_db.region_t")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable("browse_db.nation_t")
+    try:
+        tree = live_catalog_tree(spark)
+        rows = {r["full_name"] for r in tree.filter("namespace = 'browse_db'").collect()}
+        assert {"browse_db.region_t", "browse_db.nation_t"} <= rows
+        hits = search(tree.filter("namespace = 'browse_db'"), "REGION", limit=10).collect()
+        assert len(hits) == 1 and hits[0]["table_name"] == "region_t"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS browse_db.region_t")
+        spark.sql("DROP TABLE IF EXISTS browse_db.nation_t")
+        spark.sql("DROP DATABASE IF EXISTS browse_db")
