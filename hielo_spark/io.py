@@ -81,3 +81,39 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source. Always pass a schema at scale: inference scans the data
+    once before the real job (a full extra pass over 100 TB)."""
+    r = spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source; same schema rule as CSV. For a JSON *column*
+    inside a table use from_json (see the events.props queries)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """binaryFile source → (path, modificationTime, length, content) — the
+    ingestion shape for multimodal payloads (operators/multimodal.py
+    consumes the struct form)."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

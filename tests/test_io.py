@@ -34,3 +34,40 @@ def test_partitioned_write_roundtrip(spark, sf_dir, tmp_path):
     assert one.count() == docs.filter("lang = 'en'").count()
     import os
     assert any(d.startswith("lang=") for d in os.listdir(out))
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    from hielo_spark.io import read_csv, read_json
+
+    nation = load_table(spark, sf_dir, "nation")
+    csv_dir = str(tmp_path / "nation_csv")
+    json_dir = str(tmp_path / "nation_json")
+    nation.write.option("header", "true").csv(csv_dir)
+    nation.write.json(json_dir)
+    back_csv = read_csv(spark, csv_dir, schema="n_nationkey int, n_name string, n_regionkey int")
+    back_json = read_json(spark, json_dir, schema="n_nationkey int, n_name string, n_regionkey int")
+    want = {(r["n_nationkey"], r["n_name"]) for r in nation.collect()}
+    assert {(r["n_nationkey"], r["n_name"]) for r in back_csv.collect()} == want
+    assert {(r["n_nationkey"], r["n_name"]) for r in back_json.collect()} == want
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    from hielo_spark.io import read_binary_files
+    import pyspark.sql.functions as F
+
+    for i in range(3):
+        (tmp_path / f"img_{i}.png").write_bytes(b"PNGDATA" * (i + 1))
+    df = read_binary_files(spark, str(tmp_path), glob="*.png")
+    assert df.count() == 3
+    assert {f.name for f in df.schema.fields} == {"path", "modificationTime", "length", "content"}
+    # shape into the multimodal media struct
+    media = df.select(
+        F.struct(
+            F.col("path").alias("uri"),
+            F.lit("image/png").alias("mime"),
+            F.col("length").alias("n_bytes"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    row = media.first()["media"]
+    assert row["n_bytes"] == len(row["payload"])
