@@ -75,13 +75,19 @@ def live_catalog_tree(spark, catalog_name: str | None = None) -> DataFrame:
     rows = []
     for db in spark.catalog.listDatabases():
         for t in spark.catalog.listTables(db.name):
-            table_type = "iceberg" if (t.tableType or "").lower() == "external" else (
-                t.tableType or "unknown"
-            ).lower()
+            # listTables also returns session temp views under EVERY
+            # database (empty namespace) — skip them or each appears once
+            # per database as a phantom table
+            if (t.tableType or "").upper() == "TEMPORARY" or not t.namespace:
+                continue
+            # tableType is not a provider check: Iceberg-ness requires the
+            # provider field (DESCRIBE EXTENDED / catalog plugin); report
+            # the honest storage type here
+            table_type = (t.tableType or "unknown").lower()
             rows.append(
                 (
                     cat,
-                    t.namespace[0] if t.namespace else db.name,
+                    t.namespace[0],
                     t.name,
                     f"{db.name}.{t.name}",
                     table_type,

@@ -68,27 +68,27 @@ class Engine:
         TableHealthMetrics composition (analytics.rs:35-61)."""
         import pyspark.sql.functions as F
 
+        # persist the one-row metrics frame: category scores, alerts, and
+        # recommendations all derive from it, and without the persist each
+        # collect() would re-run the full snapshot aggregation
         m = H.health_metrics(snapshots, as_of).filter(F.col("table_name") == table_name)
-        metrics_rows = m.collect()
-        if not metrics_rows:
-            return {"table_name": table_name, "empty": True}
-        metrics = metrics_rows[0].asDict()
-        score = metrics["health_score"]
-        band = (  # components.rs:1629-1643 thresholds
-            "Excellent" if score >= 90
-            else "Good" if score >= 75
-            else "Fair" if score >= 60
-            else "Poor" if score >= 40
-            else "Critical"
-        )
-        a = H.alerts(m)
-        return {
-            "table_name": table_name,
-            "empty": False,
-            "health_score": score,
-            "band": band,
-            "metrics": metrics,
-            "category_scores": H.category_scores(m).collect()[0].asDict(),
-            "alerts": [r.asDict() for r in a.collect()],
-            "recommendations": [r.asDict() for r in H.recommendations(a, m).collect()],
-        }
+        m = m.persist()
+        try:
+            metrics_rows = m.withColumn("band", H.health_band()).collect()
+            if not metrics_rows:
+                return {"table_name": table_name, "empty": True}
+            metrics = metrics_rows[0].asDict()
+            band = metrics.pop("band")  # single source: health.health_band()
+            a = H.alerts(m)
+            return {
+                "table_name": table_name,
+                "empty": False,
+                "health_score": metrics["health_score"],
+                "band": band,
+                "metrics": metrics,
+                "category_scores": H.category_scores(m).collect()[0].asDict(),
+                "alerts": [r.asDict() for r in a.collect()],
+                "recommendations": [r.asDict() for r in H.recommendations(a, m).collect()],
+            }
+        finally:
+            m.unpersist()

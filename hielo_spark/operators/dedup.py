@@ -230,7 +230,12 @@ def minhash_neardup_pairs(
     """LSH candidates verified by exact Jaccard over the hashed shingle
     sets (identical to string-shingle Jaccard barring 64-bit collisions).
     The (id, hashes, bands) frame is computed once and persisted — it
-    feeds both the band join and the two verification joins."""
+    feeds both the band join and the two verification joins.
+
+    Cache note: the persisted frame stays pinned for the session (Spark
+    has no reliable unpersist-after-lazy-result hook); long-lived callers
+    should ``spark.catalog.clearCache()`` after materializing the result,
+    as bench.py does."""
     from pyspark import StorageLevel
 
     mh = _minhash_frame(df, id_col, text_col, num_hashes, bands, shingle_n).persist(
@@ -268,6 +273,10 @@ def blocked_jaccard_pairs(
     elems = words(text_col)
     if hashed:
         elems = F.transform(elems, lambda w: F.xxhash64(w))
+    # blank/whitespace-only docs have an empty word set → Jaccard 0 with
+    # everything; drop them up front so the pair space (and the SQL oracle,
+    # whose split of '' yields ['']) agree exactly
+    df = df.filter(F.length(F.trim(F.col(text_col))) > 0)
     sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
@@ -460,17 +469,24 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # checkpoint FIRST (one execution of the round's join), then count
+        # changes against the materialized frame — counting on the raw
+        # lineage would run the round's shuffle twice
+        new_labels = updated.localCheckpoint(eager=True)
         changed = (
-            updated.alias("u")
+            new_labels.alias("u")
             .join(labels.alias("l"), "node")
             .filter(F.col("u.component") != F.col("l.component"))
             .limit(1)
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — the "
+        "pair graph has a longer chain than expected; raise max_iter"
+    )
 
 
 def dedup_groups(

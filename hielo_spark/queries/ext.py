@@ -125,8 +125,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(
              CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
              / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS DOUBLE) AS jaccard
-    FROM (SELECT lang, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ws FROM documents) a
-    JOIN (SELECT lang, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ws FROM documents) b
+    FROM (SELECT lang, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ws FROM documents WHERE length(trim(text)) > 0) a
+    JOIN (SELECT lang, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ws FROM documents WHERE length(trim(text)) > 0) b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
           / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
@@ -259,7 +259,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE
     sets AS (
       SELECT lang, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ws
-      FROM documents
+      FROM documents WHERE length(trim(text)) > 0
     ),
     pairs AS (
       SELECT a.doc_id AS ia, b.doc_id AS ib

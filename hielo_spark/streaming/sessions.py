@@ -102,8 +102,13 @@ def _sessionize_group(
         sid, start_ms, end_ms, n, total = 0, None, None, 0, 0.0
 
     closed: list[list] = []
-    for pdf in batches:
-        pdf = pdf.sort_values("ts_ms")
+    # Concatenate ALL Arrow chunks before sorting: a group larger than
+    # maxRecordsPerBatch arrives as several chunks, and sorting each chunk
+    # independently would process events out of time order across chunk
+    # boundaries (sessions merged/split differently from the batch twin).
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts_ms")
         for ts_ms, value in zip(pdf["ts_ms"], pdf["value"]):
             ts_ms = int(ts_ms)
             if start_ms is None:

@@ -68,6 +68,8 @@ def test_live_catalog_tree(spark, sf_dir):
         tree = live_catalog_tree(spark)
         rows = {r["full_name"] for r in tree.filter("namespace = 'browse_db'").collect()}
         assert {"browse_db.region_t", "browse_db.nation_t"} <= rows
+        types = {r["table_type"] for r in tree.filter("namespace = 'browse_db'").collect()}
+        assert "temporary" not in types
         hits = search(tree.filter("namespace = 'browse_db'"), "REGION", limit=10).collect()
         assert len(hits) == 1 and hits[0]["table_name"] == "region_t"
     finally:
