@@ -89,3 +89,37 @@ def test_stream_to_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     # must match the batch result, and most windows must have closed
     assert got and all(got[k] == want[k] for k in got)
     assert len(got) >= len(want) - 5  # only the tail windows may be open
+
+
+def test_sessionization_parity_with_tiny_arrow_batches(spark, sf_dir):
+    """Force multi-chunk groups (maxRecordsPerBatch=25): session assembly
+    must still match the batch twin — guards the cross-chunk ordering
+    bug where per-chunk sorting processed events out of time order."""
+    from hielo_spark.streaming.events import read_events_stream, run_to_memory
+    from hielo_spark.streaming.sessions import sessionize_batch, sessionize_stream
+    from hielo_spark.io import load_table
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "25")
+    try:
+        run_to_memory(
+            sessionize_stream(read_events_stream(spark, sf_dir)),
+            "sessions_tiny_chunks",
+            mode="append",
+        )
+        got = {
+            (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.table("sessions_tiny_chunks").collect()
+        }
+        batch = sessionize_batch(load_table(spark, sf_dir, "events")).collect()
+        last = {}
+        for r in batch:
+            last[r["user_id"]] = max(last.get(r["user_id"], 0), r["session_id"])
+        want = {
+            (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"])
+            for r in batch
+            if r["session_id"] != last[r["user_id"]]
+        }
+        assert got and got == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
