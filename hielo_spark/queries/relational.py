@@ -986,3 +986,30 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C7 — structured JSON parsing with an explicit schema (from_json), the
+# typed counterpart of get_json_object: parse once, read many fields.
+# --------------------------------------------------------------------------
+@query(
+    "events_json_struct",
+    """
+    SELECT coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
+           count(*) AS n,
+           CAST(min(event_id) AS BIGINT) AS first_event
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType(), True)])
+    parsed = ev.withColumn("props_s", F.from_json("props", schema))
+    return (
+        parsed.groupBy(F.coalesce(F.col("props_s.k"), F.lit(-1)).alias("k"))
+        .agg(F.count("*").alias("n"), F.min("event_id").cast("bigint").alias("first_event"))
+        .orderBy("k")
+    )
