@@ -26,14 +26,19 @@ __all__ = [
 
 def format_bytes(n: Column | str) -> Column:
     """C3 — 1024-based size display (B/KiB/MiB/GiB/TiB, one decimal),
-    mirroring the reference's MiB/GiB conversions."""
+    mirroring the reference's MiB/GiB conversions. Plain %.1f rendering —
+    no locale thousands separators — to match the reference display."""
     n = F.col(n) if isinstance(n, str) else n
     n = n.cast("double")
+
+    def fmt(v: Column, unit: str) -> Column:
+        return F.concat(F.format_string("%.1f", v), F.lit(f" {unit}"))
+
     return (
-        F.when(n >= 1024.0**4, F.concat(F.format_number(n / 1024.0**4, 1), F.lit(" TiB")))
-        .when(n >= 1024.0**3, F.concat(F.format_number(n / 1024.0**3, 1), F.lit(" GiB")))
-        .when(n >= 1024.0**2, F.concat(F.format_number(n / 1024.0**2, 1), F.lit(" MiB")))
-        .when(n >= 1024.0, F.concat(F.format_number(n / 1024.0, 1), F.lit(" KiB")))
+        F.when(n >= 1024.0**4, fmt(n / 1024.0**4, "TiB"))
+        .when(n >= 1024.0**3, fmt(n / 1024.0**3, "GiB"))
+        .when(n >= 1024.0**2, fmt(n / 1024.0**2, "MiB"))
+        .when(n >= 1024.0, fmt(n / 1024.0, "KiB"))
         .otherwise(F.concat(n.cast("long").cast("string"), F.lit(" B")))
     )
 

@@ -352,6 +352,10 @@ def simhash_neardup_pairs(
     chunks (pigeonhole: any pair within hamming ≤ 3 shares a chunk; wider
     radii trade recall), bucket-join on chunks, verify hamming."""
     n_bands = 64 // band_bits
+    # blank/whitespace-only docs all hash to simhash 0 → they'd collide in
+    # every band and emit as hamming-0 "near-duplicates"; drop them up
+    # front (same prefilter as blocked_jaccard_pairs)
+    df = df.filter(F.length(F.trim(F.col(text_col))) > 0)
     sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
     banded = sh.select(
         "id",

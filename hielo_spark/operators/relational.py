@@ -63,10 +63,14 @@ def asof_join(
         )
     )
     # right rows sort before left rows at the same instant (side 0 < 1),
-    # so an exactly-simultaneous right row IS visible to the left row
+    # so an exactly-simultaneous right row IS visible to the left row.
+    # The right_cols values are a tertiary sort key: two right rows sharing
+    # (key, time) would otherwise carry a partition-order-dependent value —
+    # with the tiebreak the carried value is the max right_cols tuple,
+    # deterministic across runs.
     w = (
         Window.partitionBy(on)
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", *[F.col(f"{c}{suffix}") for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -9,10 +9,12 @@ from hielo_spark import functions as FN
 
 def test_format_bytes(spark):
     df = spark.createDataFrame(
-        [(512,), (2048,), (5 * 1024**2,), (3 * 1024**3,), (2 * 1024**4,)], ["n"]
+        [(512,), (2048,), (5 * 1024**2,), (3 * 1024**3,), (2 * 1024**4,), (1010 * 1024**3,)],
+        ["n"],
     )
     got = [r[0] for r in df.select(FN.format_bytes("n")).collect()]
-    assert got == ["512 B", "2.0 KiB", "5.0 MiB", "3.0 GiB", "2.0 TiB"]
+    # last case: 4-digit GiB must render plain %.1f with no locale separators
+    assert got == ["512 B", "2.0 KiB", "5.0 MiB", "3.0 GiB", "2.0 TiB", "1010.0 GiB"]
 
 
 def test_epoch_ms_display(spark):
