@@ -255,6 +255,27 @@ def minhash_neardup_pairs(
 # X2 — blocked exact n-gram Jaccard (deterministic; oracle-checkable)
 # --------------------------------------------------------------------------
 
+def _salted_block_sides(sets: DataFrame, n_salts: int) -> tuple[DataFrame, DataFrame, Column]:
+    """Two sides of an all-pairs-within-block self-join, partitioned on
+    (block, salt) instead of block alone.
+
+    Block keys are few (languages, labels) → joining on block alone
+    shuffles everything into ≤ n_blocks skewed partitions, and broadcasting
+    the build side instead OOMs once the corpus outgrows the broadcast
+    limit. Salting fixes both with bounded memory: the probe side gets one
+    deterministic salt per row, the build side is replicated once per salt
+    bucket, and the join runs on (block, salt) — n_blocks × n_salts
+    evenly-sized partitions, each streamed by sort-merge join. Every (a, b)
+    pair meets exactly once (a's single salt picks one of b's replicas).
+    Shuffle volume is n_salts × |build side| — the same bytes a broadcast
+    would ship to every executor, without the single-node memory cliff.
+    """
+    a = sets.withColumn("_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")).alias("a")
+    b = sets.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))).alias("b")
+    on = (F.col("a.block") == F.col("b.block")) & (F.col("a._salt") == F.col("b._salt"))
+    return a, b, on
+
+
 def blocked_jaccard_pairs(
     df: DataFrame,
     block_col: str = "lang",
@@ -262,6 +283,8 @@ def blocked_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     hashed: bool = True,
+    strategy: str = "salted",
+    n_salts: int = 32,
 ) -> DataFrame:
     """All pairs within a blocking key with word-set Jaccard ≥ threshold.
     Deterministic — the oracle path for near-dup semantics. The block join
@@ -269,7 +292,15 @@ def blocked_jaccard_pairs(
 
     ``hashed=True`` set-izes xxhash64(word) longs instead of strings —
     identical Jaccard values (injective up to 64-bit collisions) with much
-    cheaper pairwise intersections; turn off to compare raw strings."""
+    cheaper pairwise intersections; turn off to compare raw strings.
+
+    ``strategy`` picks the physical shape (results identical):
+      * ``"salted"`` (default) — salted sort-merge self-join on
+        (block, salt); bounded memory at any corpus size.
+      * ``"broadcast"`` — broadcast the build side; only for corpora known
+        to fit the broadcast limit (~8 GB hard cap), where it saves the
+        build-side shuffle replication.
+    """
     elems = words(text_col)
     if hashed:
         elems = F.transform(elems, lambda w: F.xxhash64(w))
@@ -282,22 +313,19 @@ def blocked_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(elems).alias("ws"),
     )
-    a = sets.alias("a")
-    # Broadcasting the build side keeps the probe side's parallelism instead
-    # of shuffling into ≤ n_blocks partitions (block keys are few → skewed).
-    # At a scale where the build side exceeds broadcast limits, salt the
-    # block key instead (replicate one side over salt buckets).
-    b = F.broadcast(sets.alias("b"))
+    if strategy == "broadcast":
+        a = sets.alias("a")
+        b = F.broadcast(sets.alias("b"))
+        on = F.col("a.block") == F.col("b.block")
+    else:
+        a, b, on = _salted_block_sides(sets, n_salts)
     # size-ratio prefilter: J = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|), so a
     # pair whose set sizes differ by more than 1/threshold can't reach the
     # threshold — skip the expensive intersection entirely
     sa, sb = F.size(F.col("a.ws")), F.size(F.col("b.ws"))
     size_ok = (sa >= sb * threshold) & (sb >= sa * threshold)
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")) & size_ok,
-        )
+        a.join(b, on & (F.col("a.id") < F.col("b.id")) & size_ok)
         .select(
             F.col("a.block").alias("block"),
             F.col("a.id").alias("id_a"),
@@ -400,6 +428,8 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.9,
+    strategy: str = "salted",
+    n_salts: int = 32,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -407,6 +437,11 @@ def embedding_neardup_pairs(
     oracle-checkable). Without it, callers should bucket first via
     similarity.lsh_bucket — an unblocked cross join is refused implicitly
     by requiring a block column here.
+
+    ``strategy``: "salted" (default) joins on (block, salt) with the build
+    side replicated per salt — bounded memory at any corpus size;
+    "broadcast" broadcasts the build side (only for corpora known to fit
+    the broadcast limit). Results identical. See _salted_block_sides.
     """
     from .similarity import cosine
 
@@ -415,11 +450,15 @@ def embedding_neardup_pairs(
     sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(block_col).alias("block"), F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
-    a = sets.alias("a")
-    b = F.broadcast(sets.alias("b"))
+    if strategy == "broadcast":
+        a = sets.alias("a")
+        b = F.broadcast(sets.alias("b"))
+        on = F.col("a.block") == F.col("b.block")
+    else:
+        a, b, on = _salted_block_sides(sets, n_salts)
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, on & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.block").alias("block"),
             F.col("a.id").alias("id_a"),

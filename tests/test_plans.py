@@ -59,6 +59,25 @@ def test_no_cartesian_product(spark, sf_dir, name):
     assert "CartesianProduct" not in plan_of(spark, sf_dir, name), name
 
 
+def test_all_pairs_queries_never_broadcast_the_corpus(spark, sf_dir):
+    # doc_neardup_jaccard / emb_neardup_cosine default to the salted
+    # (block, salt) sort-merge self-join: with auto-broadcast disabled the
+    # plan must contain NO broadcast join — a BroadcastHashJoin here could
+    # only come from an explicit hint on the unbounded corpus frame, the
+    # exact OOM-at-scale shape the salting replaced. (Auto-broadcast of a
+    # provably small side remains fine in normal runs; it is size-gated.)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("doc_neardup_jaccard", "emb_neardup_cosine"):
+            p = plan_of(spark, sf_dir, name)
+            assert "BroadcastHashJoin" not in p, name
+            assert "BroadcastNestedLoopJoin" not in p, name
+            assert "SortMergeJoin" in p, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_streaming_plan_has_watermark(spark, sf_dir):
     from hielo_spark.streaming.events import hourly_counts, read_events_stream
 
