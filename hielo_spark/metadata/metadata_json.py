@@ -96,23 +96,41 @@ def parse_metadata_document(table_name: str, doc: dict):
         yield from _field_rows(table_name, sid, s.get("fields", []), None)
 
 
+def _strip_scheme(c):
+    """URI → scheme-less path usable as a join key: 'file:///a/b', 'file:/a/b'
+    and '/a/b' all normalize to '/a/b'; 's3a://bucket/k' → '/bucket/k'."""
+    return F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9.+-]*:/+", "/")
+
+
 def schemas_from_metadata_json(
     spark: SparkSession, paths: list[tuple[str, str]]
 ) -> DataFrame:
     """(table_name, metadata_json_path) pairs → long-form schemas frame.
 
-    Distributed: file contents are read by executors (wholeText), parsed
-    per-partition. ``paths`` comes from the ``metadata_log_entries``
-    metadata table when a live catalog is attached.
+    Distributed: file contents are read by executors through Hadoop FS
+    (``spark.read.text(wholetext=True)``), so any configured scheme —
+    file://, s3a://, hdfs:// — works; contents join back to their table
+    name on the scheme-normalized path and parse in one Arrow-batched
+    ``mapInPandas`` stage. ``paths`` comes from the
+    ``metadata_log_entries`` metadata table when a live catalog is
+    attached.
     """
+    import pandas as pd
+
     pairs = spark.createDataFrame(paths, ["table_name", "path"])
-
-    def parse_partition(rows):
-        for row in rows:
-            with open(row.path.replace("file://", ""), encoding="utf-8") as fh:
-                doc = json.load(fh)
-            yield from parse_metadata_document(row.table_name, doc)
-
-    return spark.createDataFrame(
-        pairs.rdd.mapPartitions(parse_partition), SCHEMAS_LONG_SCHEMA
+    texts = spark.read.text([p for _, p in paths], wholetext=True).select(
+        F.input_file_name().alias("file_uri"), F.col("value").alias("content")
     )
+    joined = texts.join(
+        pairs, _strip_scheme(texts["file_uri"]) == _strip_scheme(pairs["path"])
+    ).select("table_name", "content")
+    cols = [f.name for f in SCHEMAS_LONG_SCHEMA.fields]
+
+    def parse_batches(batches):
+        for pdf in batches:
+            rows = []
+            for table_name, content in zip(pdf["table_name"], pdf["content"]):
+                rows.extend(parse_metadata_document(table_name, json.loads(content)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(parse_batches, SCHEMAS_LONG_SCHEMA)
