@@ -165,6 +165,36 @@ def snapshots_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Files frame (t.files shape) derived from orders for the A7 exact mode:
+#   table_name         = 'tbl_' || (o_orderkey % 3)
+#   file_size_in_bytes = (o_orderkey % 1000 + 1) MiB  → spans all four
+#                        reference bands incl. the 512 MB inclusive edge
+#   record_count       = o_custkey % 10000 + 1
+ORACLE_FILES_CTE = """
+files AS (
+  SELECT
+    'tbl_' || CAST(o_orderkey % 3 AS VARCHAR)                            AS table_name,
+    's3://warehouse/data/f-' || CAST(o_orderkey AS VARCHAR) || '.parquet' AS file_path,
+    CAST((o_orderkey % 1000 + 1) * 1048576 AS BIGINT)                    AS file_size_in_bytes,
+    CAST(o_custkey % 10000 + 1 AS BIGINT)                                AS record_count
+  FROM orders
+)
+"""
+
+
+def files_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files frame shaped like Iceberg's ``t.files`` metadata table,
+    derived from orders with the ORACLE_FILES_CTE rules."""
+    o = load_table(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
+    k = F.col("o_orderkey")
+    return o.select(
+        F.concat(F.lit("tbl_"), (k % 3).cast("string")).alias("table_name"),
+        F.concat(F.lit("s3://warehouse/data/f-"), k, F.lit(".parquet")).alias("file_path"),
+        ((k % 1000 + 1) * 1048576).cast("long").alias("file_size_in_bytes"),
+        ((F.col("o_custkey") % 10000) + 1).cast("long").alias("record_count"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2. Hand-built edge-case fixtures (golden tests)
 # ---------------------------------------------------------------------------

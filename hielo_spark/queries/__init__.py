@@ -43,6 +43,9 @@ for mod in (relational, meta, ext):
 #   nations_per_region → q5_revenue_by_nation join+agg (A13/J4)
 #   parts_fuzzy_match → search_parts (C1)
 #   nations_union / lineitem_cube → nation_set_ops, orders_rollup (O4/O7/A14)
+#   first_order_per_customer → doc_exact_dedup min-by-key dedup (O5)
+#   events_minmax_span → meta_snapshot_span (A2)
+#   events_recent_windows → events_hourly_windows + meta_health (A3)
 _DEFERRED = [
     "part_two_groups",
     "events_by_type",
@@ -54,6 +57,9 @@ _DEFERRED = [
     "nations_per_region",
     "parts_fuzzy_match",
     "lineitem_cube",
+    "first_order_per_customer",
+    "events_minmax_span",
+    "events_recent_windows",
 ]
 # rows-only queries (no oracle SQL → weaker driver check) also yield the
 # head to oracle-checked ones, except doc_neardup_minhash — the scale-path

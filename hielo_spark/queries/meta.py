@@ -732,3 +732,119 @@ def meta_storage_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size_bytes",
         (F.col("size_bytes") - F.lag("size_bytes").over(w)).cast("bigint").alias("delta_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# S7/C6 — table-properties surface: derived map exploded to the key/value
+# display rows (data.rs:16; components.rs:337-348).
+# --------------------------------------------------------------------------
+@query(
+    "meta_properties",
+    f"""
+    WITH {ORACLE_SNAPSHOTS_CTE},
+    agg AS (SELECT table_name, count(*) AS n FROM snapshots GROUP BY table_name),
+    cur AS (
+      SELECT table_name, coalesce(schema_id, 0) AS schema_id FROM snapshots
+      QUALIFY row_number() OVER (PARTITION BY table_name ORDER BY committed_at DESC, snapshot_id DESC) = 1
+    )
+    SELECT table_name, prop_key, prop_value FROM (
+      SELECT table_name, 'format-version' AS prop_key, '2' AS prop_value FROM agg
+      UNION ALL SELECT table_name, 'write.format.default', 'parquet' FROM agg
+      UNION ALL SELECT table_name, 'write.parquet.compression-codec', 'zstd' FROM agg
+      UNION ALL SELECT table_name, 'current-schema-id', CAST(schema_id AS VARCHAR) FROM cur
+      UNION ALL SELECT table_name, 'commit.total-snapshots', CAST(n AS VARCHAR) FROM agg
+    )
+    """,
+)
+def meta_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..metadata.properties import properties_rows, table_properties
+
+    return properties_rows(table_properties(snapshots_from_orders(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# A7 exact mode — file-size histogram from a t.files-shaped frame
+# (analytics.rs:11-13 band edges; replaces the avg-size estimate of
+# analytics.rs:90-105 with exact per-file buckets).
+# --------------------------------------------------------------------------
+from ..metadata.fixtures import ORACLE_FILES_CTE, files_from_orders  # noqa: E402
+
+
+@query(
+    "meta_file_histogram",
+    f"""
+    WITH {ORACLE_FILES_CTE},
+    h AS (
+      SELECT table_name,
+             CASE WHEN file_size_in_bytes / 1048576.0 < 16.0 THEN 'tiny(<16MB)'
+                  WHEN file_size_in_bytes / 1048576.0 < 64.0 THEN 'small(16-64MB)'
+                  WHEN file_size_in_bytes / 1048576.0 <= 512.0 THEN 'optimal(64-512MB)'
+                  ELSE 'large(>512MB)' END AS bucket,
+             count(*) AS n_files,
+             CAST(sum(file_size_in_bytes) AS BIGINT) AS total_bytes
+      FROM files GROUP BY 1, 2
+    )
+    SELECT table_name, bucket, CAST(n_files AS BIGINT) AS n_files, total_bytes,
+           round(n_files * 100.0 / sum(n_files) OVER (PARTITION BY table_name), 2) AS pct_files
+    FROM h
+    """,
+)
+def meta_file_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..metadata.files import file_size_histogram
+
+    return file_size_histogram(files_from_orders(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# A12 exact mode — per-metric regression trends over the last 10
+# snapshots (replaces the constant TrendMetrics of analytics.rs:278-288).
+# --------------------------------------------------------------------------
+@query(
+    "meta_trends",
+    f"""
+    WITH {ORACLE_SNAPSHOTS_CTE},
+    recent AS (
+      SELECT table_name, snapshot_id, committed_at,
+             added_data_files, added_files_size, total_size_bytes,
+             -row_number() OVER (PARTITION BY table_name ORDER BY committed_at DESC, snapshot_id DESC) AS x
+      FROM snapshots
+      QUALIFY row_number() OVER (PARTITION BY table_name ORDER BY committed_at DESC, snapshot_id DESC) <= 10
+    ),
+    with_interval AS (
+      SELECT *,
+             (epoch_ms(committed_at) - epoch_ms(lag(committed_at) OVER (PARTITION BY table_name ORDER BY committed_at, snapshot_id))) / 1000.0 AS interval_secs
+      FROM recent
+    ),
+    series AS (
+      SELECT table_name, 'file_count' AS metric, x, CAST(added_data_files AS DOUBLE) AS y FROM with_interval
+      UNION ALL
+      SELECT table_name, 'avg_file_size_mb', x,
+             CASE WHEN added_data_files > 0 THEN added_files_size / 1048576.0 / added_data_files END
+      FROM with_interval
+      UNION ALL
+      SELECT table_name, 'commit_interval_secs', x, interval_secs FROM with_interval
+      UNION ALL
+      SELECT table_name, 'storage_size_gb', x, total_size_bytes / 1073741824.0 FROM with_interval
+    ),
+    agg AS (
+      SELECT table_name, metric,
+             round(regr_slope(y, x), 6) AS slope6,
+             round(avg(y), 6) AS avg_y,
+             count(y) AS n_obs
+      FROM series GROUP BY 1, 2
+    )
+    SELECT table_name, metric,
+           coalesce(round(slope6, 4), 0.0) AS slope,
+           CASE
+             WHEN slope6 IS NULL OR n_obs < 3 OR abs(avg_y) <= 1e-9 THEN 'Stable'
+             WHEN abs(slope6 / abs(avg_y)) <= 0.01 THEN 'Stable'
+             WHEN (metric IN ('avg_file_size_mb', 'commit_interval_secs')) = (slope6 / abs(avg_y) > 0) THEN 'Improving'
+             ELSE 'Degrading'
+           END AS direction
+    FROM agg
+    """,
+)
+def meta_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..analytics.trends import metric_trends
+
+    return metric_trends(snapshots_from_orders(spark, sf_dir), last_n=10)
