@@ -62,37 +62,51 @@ def split_by_type(tree: DataFrame) -> DataFrame:
     return tree.groupBy("table_type").agg(F.count("*").alias("n"))
 
 
+TREE_SCHEMA = (
+    "catalog_name string, namespace string, table_name string, "
+    "full_name string, table_type string"
+)
+
+
 def live_catalog_tree(spark, catalog_name: str | None = None) -> DataFrame:
-    """S5/S6 — the catalog-tree frame from a LIVE Spark catalog
-    (SHOW NAMESPACES / listTables), provider check instead of the
-    reference's N+1 full-metadata loads. Works against the built-in
-    session catalog; with an Iceberg catalog plugin the same calls list
-    its namespaces/tables.
+    """S5/S6 — the catalog-tree frame from a LIVE Spark catalog.
+
+    Driver-side work is one row per NAMESPACE (the SHOW DATABASES
+    listing); the table rows themselves never touch driver Python — the
+    result is a union of per-namespace ``SHOW TABLE EXTENDED`` plans, so
+    a namespace with a million tables lists as a distributed frame. The
+    ``information`` blob also carries the provider, giving an honest
+    type label (``iceberg`` when the plugin is attached, ``parquet``/
+    ``csv``/… otherwise) from the same single statement — never the
+    reference's N+1 per-table full-metadata loads (catalog.rs:342-360,
+    flagged in SURVEY §3.3).
     """
+    from functools import reduce
+
     if catalog_name:
         spark.catalog.setCurrentCatalog(catalog_name)
     cat = catalog_name or spark.catalog.currentCatalog()
-    rows = []
-    for db in spark.catalog.listDatabases():
-        for t in spark.catalog.listTables(db.name):
-            # listTables also returns session temp views under EVERY
-            # database (empty namespace) — skip them or each appears once
-            # per database as a phantom table
-            if (t.tableType or "").upper() == "TEMPORARY" or not t.namespace:
-                continue
-            # tableType is not a provider check: Iceberg-ness requires the
-            # provider field (DESCRIBE EXTENDED / catalog plugin); report
-            # the honest storage type here
-            table_type = (t.tableType or "unknown").lower()
-            rows.append(
-                (
-                    cat,
-                    t.namespace[0],
-                    t.name,
-                    f"{db.name}.{t.name}",
-                    table_type,
+    namespaces = [r[0] for r in spark.sql("SHOW DATABASES").collect()]
+
+    def per_namespace(ns: str) -> DataFrame:
+        t = spark.sql(f"SHOW TABLE EXTENDED IN `{ns}` LIKE '*'")
+        # temp views surface with an empty namespace under every database —
+        # drop them or each appears once per namespace as a phantom table
+        return t.filter((~F.col("isTemporary")) & (F.col("namespace") != "")).select(
+            F.lit(cat).alias("catalog_name"),
+            F.col("namespace"),
+            F.col("tableName").alias("table_name"),
+            F.concat_ws(".", "namespace", "tableName").alias("full_name"),
+            F.lower(
+                F.coalesce(
+                    F.nullif(F.regexp_extract("information", r"Provider: (\w+)", 1), F.lit("")),
+                    F.nullif(F.regexp_extract("information", r"Type: (\w+)", 1), F.lit("")),
+                    F.lit("unknown"),
                 )
-            )
-    return spark.createDataFrame(
-        rows, "catalog_name string, namespace string, table_name string, full_name string, table_type string"
-    )
+            ).alias("table_type"),
+        )
+
+    frames = [per_namespace(ns) for ns in namespaces]
+    if not frames:
+        return spark.createDataFrame([], TREE_SCHEMA)
+    return reduce(lambda a, b: a.unionByName(b), frames)
