@@ -46,6 +46,11 @@ for mod in (relational, meta, ext):
 #   first_order_per_customer → doc_exact_dedup min-by-key dedup (O5)
 #   events_minmax_span → meta_snapshot_span (A2)
 #   events_recent_windows → events_hourly_windows + meta_health (A3)
+#   topk_orders → top3_customers_per_segment + topk_per_group_agg (O3)
+#   meta_schema_changes → meta_schema_matrix (J2, same change classes)
+#   meta_storage_timeline → meta_snapshot_timeline + doc_shard_packing cumsum (A2/C5)
+#   meta_tree_counts → meta_table_type_split + meta_catalog_search (F9/A13)
+#   events_value_anomalies → events_user_gaps + events_sessionization (§2.7-W)
 _DEFERRED = [
     "part_two_groups",
     "events_by_type",
@@ -60,6 +65,11 @@ _DEFERRED = [
     "first_order_per_customer",
     "events_minmax_span",
     "events_recent_windows",
+    "topk_orders",
+    "meta_schema_changes",
+    "meta_storage_timeline",
+    "meta_tree_counts",
+    "events_value_anomalies",
 ]
 # rows-only queries (no oracle SQL → weaker driver check) also yield the
 # head to oracle-checked ones, except doc_neardup_minhash — the scale-path

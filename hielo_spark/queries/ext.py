@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql.functions import broadcast
 
 from ..io import load_table
-from ..operators import dedup, similarity, text as T
+from ..operators import contamination, dedup, sampling, similarity, text as T
 
 QUERIES = {}
 ORACLE = {}
@@ -345,3 +345,118 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return similarity.ivf_topk(e, q, k=5, n_centroids=8, n_probe=3)
+
+
+# --------------------------------------------------------------------------
+# X7 — deterministic stratified sampling (hash-gated, not RNG: identical
+# across engines, re-runs, and repartitioning; operators/sampling.py).
+# Downsample dominant langs, keep more of the rare ones.
+# --------------------------------------------------------------------------
+@query(
+    "doc_sample_stratified",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271) % 2147483647 % 1000 <
+          CASE WHEN lang = 'en' THEN 100
+               WHEN lang = 'zh' THEN 200
+               ELSE 400 END
+    """,
+)
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        d, "doc_id", "lang", {"en": 0.1, "zh": 0.2}, default=0.4
+    ).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# X7 — token-budget shard packing: greedy prefix-sum cut every 500 tokens
+# per language (windows run per-lang in parallel; no global sort).
+# --------------------------------------------------------------------------
+@query(
+    "doc_shard_packing",
+    """
+    WITH toks AS (
+      SELECT lang, doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT lang, n_tok,
+             COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM toks
+    )
+    SELECT lang, CAST(floor(prefix / 500) AS BIGINT) AS shard_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+    FROM packed GROUP BY lang, shard_id
+    """,
+)
+def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    packed = sampling.pack_shards(
+        d, "doc_id", T.word_count("text"), budget=500, partition_col="lang"
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.word_count("text")).cast("bigint").alias("shard_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X7 — deterministic global training shuffle: position = rank of the
+# Lehmer hash (range-partitioned sort at scale; operators/sampling.py).
+# --------------------------------------------------------------------------
+@query(
+    "doc_train_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271) % 2147483647,
+                      doc_id
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def doc_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.train_shuffle(d, "doc_id").select("doc_id", "shuffle_pos")
+
+
+# --------------------------------------------------------------------------
+# X8 — train/eval contamination: word-8-gram collision join between the
+# corpus and a benchmark slice (source 'src0'), postings-style — the
+# decontamination step of an LLM data pipeline (operators/contamination.py).
+# --------------------------------------------------------------------------
+@query(
+    "doc_contamination",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(ws[i:i+7], ' ')
+                            for i in range(1, greatest(len(ws) - 7, 0) + 1)]) AS grams
+      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents WHERE length(trim(text)) > 0)
+    ), posts AS (
+      SELECT doc_id, source, len(grams) AS n_sh, unnest(grams) AS g
+      FROM sh WHERE len(grams) > 0
+    )
+    SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+           count(*) AS n_shared,
+           CAST(round(CAST(count(*) AS DOUBLE) / any_value(t.n_sh), 6) AS DOUBLE)
+             AS contamination
+    FROM posts t JOIN posts b ON t.g = b.g
+    WHERE t.source != 'src0' AND b.source = 'src0'
+    GROUP BY train_id, bench_id HAVING count(*) >= 2
+    """,
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return contamination.contamination_pairs(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=8,
+        min_shared=2,
+    )

@@ -1013,3 +1013,39 @@ def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.min("event_id").cast("bigint").alias("first_event"))
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# O3/A14 — grouped top-k via AGGREGATION instead of a window: per group,
+# sort_array(collect_list(struct)) + slice keeps only k rows after one
+# hash-aggregate exchange — no second sort stage, and the plan is a
+# partial/final aggregate pair rather than a full window sort. Same
+# result set as the window-rank variant (top3_customers_per_segment).
+# --------------------------------------------------------------------------
+@query(
+    "topk_per_group_agg",
+    """
+    SELECT c_mktsegment, c_custkey, CAST(round(c_acctbal,2) AS DOUBLE) AS acctbal, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    # struct sorts lexicographically: acctbal DESC, then -custkey DESC
+    # (= custkey ASC) matches the oracle's deterministic tiebreak
+    item = F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("neg_key"))
+    top = c.groupBy("c_mktsegment").agg(
+        F.slice(F.sort_array(F.collect_list(item), asc=False), 1, 3).alias("top")
+    )
+    return top.select(
+        "c_mktsegment", F.posexplode("top").alias("pos", "item")
+    ).select(
+        "c_mktsegment",
+        (-F.col("item.neg_key")).cast("bigint").alias("c_custkey"),
+        F.round("item.c_acctbal", 2).alias("acctbal"),
+        (F.col("pos") + 1).cast("bigint").alias("rn"),
+    )
