@@ -133,3 +133,83 @@ def range_join_buckets(
     joined = l_exp.join(r_exp, [on, "_bucket"])
     delta = F.col("_rms") - F.col("_lms")
     return joined.filter((delta >= lower_ms) & (delta <= upper_ms)).drop("_bucket", "_lms", "_rms")
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    tolerance_ms: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` + ``pd.merge_asof`` —
+    the Arrow-batched alternative to the union+window form (`asof_join`).
+
+    Same semantics (backward match, ties visible, deterministic carry);
+    different physical shape: both sides shuffle ONCE on the key, then
+    each key's partitions meet in a single Python worker running the
+    vectorized pandas merge. Prefer this when per-key data fits a worker
+    and the carried column list is wide (the window form evaluates one
+    `last() over` per carried column); prefer the window form to stay
+    entirely JVM-side. Both are one-shuffle plans.
+    """
+    import pandas as pd
+
+    l_cols = list(left.columns)
+    out_fields = ", ".join(
+        [f"`{c}` {t}" for c, t in left.dtypes]
+        + [f"`{c}{suffix}` {dict(right.dtypes)[c]}" for c in right_cols]
+    )
+    lt = left_time
+    tol = pd.Timedelta(milliseconds=tolerance_ms) if tolerance_ms is not None else None
+
+    # Rename the right side's non-key columns to private names BEFORE the
+    # cogroup: when both children share attribute names (and lineage, as
+    # in a self-cogroup), Spark resolves the conflicting right attributes
+    # against the left and prunes the right child down to just the
+    # grouping key — the right pandas frame arrives with only `on` in it.
+    r_in = right.select(
+        F.col(on),
+        F.col(right_time).alias("_r_t"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = l_cols + [f"{c}{suffix}" for c in right_cols]
+        if not len(lpdf):
+            return pd.DataFrame(columns=out_cols)
+        lpdf = lpdf.sort_values([lt] + l_cols, kind="mergesort")
+        if not len(rpdf):
+            for c in right_cols:
+                lpdf[f"{c}{suffix}"] = None
+            return lpdf[out_cols]
+        # deterministic carry on (time, right_cols) ties: keep the max
+        # right tuple per timestamp, matching the window form's tiebreak
+        rpdf = (
+            rpdf.sort_values(
+                ["_r_t"] + [f"_r_{c}" for c in right_cols], kind="mergesort"
+            )
+            .groupby("_r_t", as_index=False)
+            .last()
+        )
+        rsel = pd.DataFrame({"_rt": rpdf["_r_t"].to_numpy()})
+        for c in right_cols:
+            rsel[f"{c}{suffix}"] = rpdf[f"_r_{c}"].to_numpy()
+        merged = pd.merge_asof(
+            lpdf,
+            rsel,
+            left_on=lt,
+            right_on="_rt",
+            direction="backward",
+            tolerance=tol,
+        )
+        return merged[out_cols]
+
+    return (
+        left.groupby(on)
+        .cogroup(r_in.groupby(on))
+        .applyInPandas(lambda lp, rp: merge(lp, rp), schema=out_fields)
+    )

@@ -51,6 +51,7 @@ for mod in (relational, meta, ext):
 #   meta_storage_timeline → meta_snapshot_timeline + doc_shard_packing cumsum (A2/C5)
 #   meta_tree_counts → meta_table_type_split + meta_catalog_search (F9/A13)
 #   events_value_anomalies → events_user_gaps + events_sessionization (§2.7-W)
+#   search_parts → meta_catalog_search (F2 substring) + C1 via browse/functions
 _DEFERRED = [
     "part_two_groups",
     "events_by_type",
@@ -70,6 +71,7 @@ _DEFERRED = [
     "meta_storage_timeline",
     "meta_tree_counts",
     "events_value_anomalies",
+    "search_parts",
 ]
 # rows-only queries (no oracle SQL → weaker driver check) also yield the
 # head to oracle-checked ones, except doc_neardup_minhash — the scale-path

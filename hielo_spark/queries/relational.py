@@ -1049,3 +1049,40 @@ def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("item.c_acctbal", 2).alias("acctbal"),
         (F.col("pos") + 1).cast("bigint").alias("rn"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join, cogroup physical form: same semantics and the same DuckDB
+# ASOF-JOIN oracle as events_asof_join, executed as
+# cogroup().applyInPandas + pd.merge_asof (operators/relational.py) —
+# externally proves the Arrow cogroup path agrees with the window path.
+# --------------------------------------------------------------------------
+@query(
+    "events_asof_cogroup",
+    """
+    SELECT p.user_id,
+           strftime(p.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           CAST(round(p.value, 2) AS DOUBLE) AS purchase_value,
+           strftime(c.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           CAST(round(c.value, 2) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import asof_join_cogroup
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join_cogroup(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts", right_cols=["ts", "value"]
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.round("value_right", 2).alias("click_value"),
+    )

@@ -83,6 +83,7 @@ def _sessionize_group(
     state: GroupState,
     gap_ms: int,
     use_timeout: bool = False,
+    event_time: bool = False,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
@@ -120,7 +121,11 @@ def _sessionize_group(
                 end_ms, n, total = ts_ms, n + 1, total + float(value)
 
     state.update((sid, start_ms, end_ms, n, total))
-    if use_timeout:
+    if event_time and end_ms is not None:
+        # flush when the WATERMARK (not wall clock) passes the gap after
+        # the session's last event — deterministic under replay
+        state.setTimeoutTimestamp(end_ms + gap_ms)
+    elif use_timeout:
         state.setTimeoutDuration(gap_ms)
     if closed:
         yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
@@ -151,4 +156,31 @@ def sessionize_stream(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+def sessionize_stream_event_time(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS, watermark: str = "1 minute"
+) -> DataFrame:
+    """Sessionization with an EVENT-TIME timeout: a session also closes
+    when the stream's watermark passes ``last event + gap_ms`` — so idle
+    users' sessions flush deterministically with the data, not with wall
+    clock (replayable; correct under availableNow drains, where Spark's
+    no-data micro-batch fires the timeouts after the last file).
+
+    State remains one row per active user; the watermark additionally
+    bounds how long an idle user's row can live.
+    """
+    prepped = (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", F.unix_millis(F.col("ts")).alias("ts_ms"), "value")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        lambda key, pdfs, state: _sessionize_group(
+            key, pdfs, state, gap_ms, event_time=True
+        ),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -96,3 +96,29 @@ def test_plan_audit_api(spark, sf_dir):
     assert b.take_ordered and b.joins == 0
     c = audit(QUERIES["doc_neardup_minhash"](spark, sf_dir))
     assert c.has_python_stage  # the Arrow kernel is a deliberate stage
+
+
+def test_contamination_plan_shape(spark, sf_dir):
+    """Postings join must be hash-based (broadcast bench side), shingle
+    projection must stay OUT of higher-order lambdas (codegen check:
+    the plan carries slice/concat_ws, not transform/lambda)."""
+    p = plan_of(spark, sf_dir, "doc_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "lambdafunction" not in p.lower()
+
+
+def test_topk_agg_avoids_window_sort(spark, sf_dir):
+    """The aggregation-based grouped top-k must plan as an aggregate pair,
+    never a Window over the full table."""
+    p = plan_of(spark, sf_dir, "topk_per_group_agg")
+    assert "Window" not in p
+    assert "ObjectHashAggregate" in p or "SortAggregate" in p
+
+
+def test_sampling_filters_stay_narrow(spark, sf_dir):
+    """Hash-gated sampling is a pure filter: no Exchange in the plan
+    before the final project (scan → filter → project only)."""
+    p = plan_of(spark, sf_dir, "doc_sample_stratified")
+    assert "Exchange" not in p
+    assert "Scan parquet" in p or "BatchScan" in p

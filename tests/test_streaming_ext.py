@@ -1,0 +1,137 @@
+"""Streaming dedup, event-time-timeout sessionization, and the cogroup
+as-of join variant — parity against their batch/window twins."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from hielo_spark.io import load_table
+from hielo_spark.streaming.events import EVENTS_RAW_SCHEMA, run_to_memory
+
+
+def _doubled_stream(spark, sf_dir, tmp_path):
+    """A landing dir holding TWO copies of the events file — an
+    at-least-once delivery twin (every record arrives twice)."""
+    stage = str(tmp_path / "doubled")
+    os.makedirs(stage, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    for name in ("a.parquet", "b.parquet"):
+        dst = os.path.join(stage, name)
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")  # the copies land in separate micro-batches
+        .load(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_streaming_dedup_collapses_redelivery(spark, sf_dir, tmp_path):
+    from hielo_spark.streaming.dedup import dedup_stream
+
+    # watermark horizon longer than the fixture's whole span: every
+    # redelivered record is still inside the dedup state window
+    deduped = dedup_stream(
+        _doubled_stream(spark, sf_dir, tmp_path), watermark="3650 days"
+    )
+    run_to_memory(
+        deduped.groupBy("event_type").agg(F.count("*").alias("n")),
+        "dedup_stream_test",
+        mode="complete",
+    )
+    got = {r.event_type: r.n for r in spark.table("dedup_stream_test").collect()}
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) > 0
+
+
+def test_event_time_timeout_flushes_idle_sessions(spark, sf_dir):
+    """With an event-time timeout, sessions whose gap elapsed before the
+    final watermark are flushed by the no-data batch — so the stream
+    emits MORE than the closed-by-a-newer-event set, and every emitted
+    session must match the batch twin exactly."""
+    from hielo_spark.streaming.events import read_events_stream
+    from hielo_spark.streaming.sessions import (
+        SESSION_GAP_MS,
+        sessionize_batch,
+        sessionize_stream,
+        sessionize_stream_event_time,
+    )
+
+    run_to_memory(
+        sessionize_stream_event_time(read_events_stream(spark, sf_dir)),
+        "sessions_evtime_test",
+        mode="append",
+    )
+    got = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.table("sessions_evtime_test").collect()
+    }
+    batch = sessionize_batch(load_table(spark, sf_dir, "events")).collect()
+    all_batch = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in batch
+    }
+    assert got  # something flushed
+    # every emitted session is a real batch session with identical stats
+    assert all(got[k] == all_batch[k] for k in got)
+    # and the timeout emitted strictly more than the closed-by-event set
+    run_to_memory(
+        sessionize_stream(read_events_stream(spark, sf_dir)),
+        "sessions_noto_test",
+        mode="append",
+    )
+    n_closed_by_event = spark.table("sessions_noto_test").count()
+    assert len(got) > n_closed_by_event
+
+
+def test_cogroup_asof_equals_window_asof(spark, sf_dir):
+    from hielo_spark.operators.relational import asof_join, asof_join_cogroup
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("cval")
+    )
+    kw = dict(on="user_id", left_time="ts", right_time="ts", right_cols=["cval"])
+
+    def canon(df):
+        return sorted(
+            (r.user_id, str(r.ts), round(r.value, 6),
+             None if r.cval_right is None else round(r.cval_right, 6))
+            for r in df.collect()
+        )
+
+    a = canon(asof_join(purchases, clicks, **kw))
+    b = canon(asof_join_cogroup(purchases, clicks, **kw))
+    assert a == b and len(a) > 0
+
+
+def test_cogroup_asof_tolerance_and_empty_right(spark):
+    from hielo_spark.operators.relational import asof_join_cogroup
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0), (2, "2024-01-01 10:00:00", 6.0)],
+        ["user_id", "ts", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", 1.0)], ["user_id", "ts", "rv"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.user_id: r.rv_right
+        for r in asof_join_cogroup(
+            left, right, "user_id", "ts", "ts", ["rv"], tolerance_ms=60 * 60 * 1000
+        ).collect()
+    }
+    # user 1's only match is 2h old — outside the 1h tolerance;
+    # user 2 has no right rows at all (empty-right group path)
+    assert out == {1: None, 2: None}
