@@ -422,6 +422,31 @@ def simhash_neardup_pairs(
 # X2/X3 — embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
+def _pair_cosine_kernel():
+    """Arrow-batch cosine over joined vector pairs.
+
+    The interpreted ``aggregate(zip_with(...))`` HOF form evaluates a
+    lambda per element per pair — at |pairs| ≈ Σ block² that interpreter
+    loop dominates the whole operator (measured ~4.8 s of a 22 s bench at
+    sf0.1). One numpy einsum per Arrow batch replaces it; zero-norm
+    vectors map to 0.0 exactly like similarity.cosine."""
+
+    @pandas_udf("double")
+    def kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        A = np.array([np.asarray(v, dtype=np.float64) for v in va])
+        B = np.array([np.asarray(v, dtype=np.float64) for v in vb])
+        num = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        ok = (na > 0) & (nb > 0)
+        denom = np.where(ok, na * nb, 1.0)
+        return pd.Series(np.where(ok, num / denom, 0.0))
+
+    return kernel
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -443,12 +468,12 @@ def embedding_neardup_pairs(
     "broadcast" broadcasts the build side (only for corpora known to fit
     the broadcast limit). Results identical. See _salted_block_sides.
     """
-    from .similarity import cosine
-
     if block_col is None:
         raise ValueError("unblocked all-pairs cosine is a cross join; bucket first (similarity.lsh_topk/lsh_bucket)")
     sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(block_col).alias("block"), F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
     if strategy == "broadcast":
         a = sets.alias("a")
@@ -456,7 +481,7 @@ def embedding_neardup_pairs(
         on = F.col("a.block") == F.col("b.block")
     else:
         a, b, on = _salted_block_sides(sets, n_salts)
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    sim = F.round(_pair_cosine_kernel()(F.col("a.v"), F.col("b.v")), 6)
     return (
         a.join(b, on & (F.col("a.id") < F.col("b.id")))
         .select(
