@@ -52,6 +52,9 @@ for mod in (relational, meta, ext):
 #   meta_tree_counts → meta_table_type_split + meta_catalog_search (F9/A13)
 #   events_value_anomalies → events_user_gaps + events_sessionization (§2.7-W)
 #   search_parts → meta_catalog_search (F2 substring) + C1 via browse/functions
+#   q10_returned_customers → q3/q5/q7 join+agg+topk chains (J4/A14/O3)
+#   topk_per_group_agg → top3_customers_per_segment (O3 grouped top-k)
+#   events_asof_cogroup → events_asof_join (same semantics, alternate physical path)
 _DEFERRED = [
     "part_two_groups",
     "events_by_type",
@@ -72,6 +75,9 @@ _DEFERRED = [
     "meta_tree_counts",
     "events_value_anomalies",
     "search_parts",
+    "q10_returned_customers",
+    "topk_per_group_agg",
+    "events_asof_cogroup",
 ]
 # rows-only queries (no oracle SQL → weaker driver check) also yield the
 # head to oracle-checked ones, except doc_neardup_minhash — the scale-path

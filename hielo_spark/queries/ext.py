@@ -460,3 +460,43 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=8,
         min_shared=2,
     )
+
+
+# --------------------------------------------------------------------------
+# X4 — corpus-level n-gram frequency (top-k bigrams). The training-data
+# shape behind vocabulary building and boilerplate detection. Scale: the
+# bigram explode is Σ tokens rows, but partial aggregation collapses each
+# partition's counts before the single shuffle, and the final top-k lowers
+# to TakeOrderedAndProject — no global sort of the vocabulary.
+# --------------------------------------------------------------------------
+@query(
+    "doc_top_ngrams",
+    """
+    WITH w AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS ngram
+      FROM w
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY ngram
+    ORDER BY n DESC, ngram LIMIT 20
+    """,
+)
+def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = T.words(F.lower(F.col("text")))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda i: F.concat(F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(20)
+    )

@@ -1086,3 +1086,73 @@ def events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
         F.round("value_right", 2).alias("click_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# A14 — pivot (crosstab): long → wide with a fixed column-value list.
+# Reference surface: the operation-distribution panel renders one column per
+# operation kind (components.rs operation chips); pivot is the relational
+# form. Scale: groupBy(day).pivot(type, [explicit list]) is a single
+# partial+final aggregation — the explicit value list keeps the plan static
+# (no extra distinct-scan job) and the output width bounded.
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "events_type_pivot",
+    """
+    SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# --------------------------------------------------------------------------
+# A3/§2.7 — sliding (hopping) event-time windows: size 2h, slide 1h. Each
+# event lands in exactly two windows; Spark's window() generator expresses
+# it declaratively (the streaming twin is the same expression under
+# readStream). Scale: the window struct is derived per-row before the
+# partial agg — no self-join, one shuffle on (window, nothing else).
+# --------------------------------------------------------------------------
+@query(
+    "events_sliding_windows",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([date_trunc('hour', ts::TIMESTAMP),
+                     date_trunc('hour', ts::TIMESTAMP) - INTERVAL 1 HOUR]) AS ws,
+             value
+      FROM events
+    ) GROUP BY ws
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
