@@ -55,6 +55,7 @@ for mod in (relational, meta, ext):
 #   q10_returned_customers → q3/q5/q7 join+agg+topk chains (J4/A14/O3)
 #   topk_per_group_agg → top3_customers_per_segment (O3 grouped top-k)
 #   events_asof_cogroup → events_asof_join (same semantics, alternate physical path)
+#   doc_fingerprints → doc_exact_dedup (same md5 fingerprint expression, grouped)
 _DEFERRED = [
     "part_two_groups",
     "events_by_type",
@@ -78,6 +79,7 @@ _DEFERRED = [
     "q10_returned_customers",
     "topk_per_group_agg",
     "events_asof_cogroup",
+    "doc_fingerprints",
 ]
 # rows-only queries (no oracle SQL → weaker driver check) also yield the
 # head to oracle-checked ones, except doc_neardup_minhash — the scale-path

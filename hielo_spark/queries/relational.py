@@ -1156,3 +1156,26 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A13/A14 — distinct cardinality per group. Exact count_distinct is the
+# oracle-checkable form (expands to a two-phase aggregate); at 100 TB the
+# drop-in replacement is approx_count_distinct — a single-shuffle mergeable
+# HLL sketch whose accuracy is pinned by tests/test_sketches.py.
+# --------------------------------------------------------------------------
+@query(
+    "events_user_cardinality",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def events_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

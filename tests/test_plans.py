@@ -122,3 +122,27 @@ def test_sampling_filters_stay_narrow(spark, sf_dir):
     p = plan_of(spark, sf_dir, "doc_sample_stratified")
     assert "Exchange" not in p
     assert "Scan parquet" in p or "BatchScan" in p
+
+
+def test_pivot_is_single_aggregation(spark, sf_dir):
+    # explicit pivot values → no extra distinct-scan job; the whole pivot is
+    # one partial+final HashAggregate pair over a single scan
+    p = plan_of(spark, sf_dir, "events_type_pivot")
+    assert "Exchange" in p
+    assert p.count("Scan ") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_top_ngrams_lowers_to_take_ordered(spark, sf_dir):
+    # vocabulary top-k must not globally sort the n-gram space
+    p = plan_of(spark, sf_dir, "doc_top_ngrams")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_sliding_windows_no_self_join(spark, sf_dir):
+    # the 2-windows-per-event expansion is a per-row generator feeding one
+    # aggregation — not a join against a window table
+    p = plan_of(spark, sf_dir, "events_sliding_windows")
+    assert "Join" not in p
+    assert p.count("Scan ") == 1
