@@ -111,3 +111,37 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+def tfidf_scores(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, term, tfidf) where tfidf = total term occurrences in the
+    group × ln(N / document-frequency), N = non-blank corpus size.
+
+    The shape behind vocabulary pruning and per-language boilerplate
+    ranking. Scale: two aggregations over the exploded token stream (both
+    with map-side partial combine) joined on term — the token explode is
+    the dominant cost and is linear in corpus tokens; N arrives as a
+    broadcast scalar, never a driver round-trip."""
+    nonblank = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    toks = nonblank.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("group", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    n = nonblank.agg(F.count("*").alias("n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "group",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf"),
+        )
+    )

@@ -56,6 +56,7 @@ for mod in (relational, meta, ext):
 #   topk_per_group_agg → top3_customers_per_segment (O3 grouped top-k)
 #   events_asof_cogroup → events_asof_join (same semantics, alternate physical path)
 #   doc_fingerprints → doc_exact_dedup (same md5 fingerprint expression, grouped)
+#   q7_nation_volume → q3/q5 broadcast-dimension join chains (J4/A14)
 _DEFERRED = [
     "part_two_groups",
     "events_by_type",
@@ -80,6 +81,7 @@ _DEFERRED = [
     "topk_per_group_agg",
     "events_asof_cogroup",
     "doc_fingerprints",
+    "q7_nation_volume",
 ]
 # rows-only queries (no oracle SQL → weaker driver check) also yield the
 # head to oracle-checked ones, except doc_neardup_minhash — the scale-path

@@ -500,3 +500,45 @@ def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "ngram")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# X4 — TF-IDF: top discriminative terms per language. Built on
+# operators.text.tfidf_scores; the top-5-per-group is a bounded window over
+# the (lang, term) aggregate, not a global vocabulary sort.
+# --------------------------------------------------------------------------
+@query(
+    "doc_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT lang, doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents WHERE length(trim(text)) > 0),
+    scored AS (
+      SELECT lang, term,
+             CAST(round(tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS DOUBLE) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT lang, term, tfidf,
+             row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT lang, term, tfidf FROM ranked WHERE rk <= 5
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = T.tfidf_scores(d, "lang", "doc_id", "text").withColumnRenamed("group", "lang")
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", "tfidf")
+    )

@@ -91,3 +91,20 @@ def run_to_memory(result: DataFrame, table_name: str, mode: str = "complete") ->
         .start()
     )
     q.awaitTermination()
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding (hopping) 2h/1h event-time aggregation — the streaming twin
+    of queries.relational.events_sliding_windows. Each event contributes to
+    two windows; state per window is dropped once the watermark passes its
+    end, so overlap does not grow state beyond 2× the tumbling case."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )

@@ -123,3 +123,20 @@ def test_sessionization_parity_with_tiny_arrow_batches(spark, sf_dir):
         assert got and got == want
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    from hielo_spark.queries.relational import events_sliding_windows
+    from hielo_spark.streaming.events import sliding_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(sliding_counts(stream), "sliding_stream_test")
+    got = {
+        r["window_start"]: (r["n"], r["total_value"])
+        for r in spark.table("sliding_stream_test").collect()
+    }
+    want = {
+        r["window_start"]: (r["n"], r["total_value"])
+        for r in events_sliding_windows(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
