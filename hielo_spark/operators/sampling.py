@@ -106,3 +106,54 @@ def train_shuffle(df: DataFrame, id_col: str) -> DataFrame:
     `sortWithinPartitions` after a range repartition."""
     w = Window.orderBy(sample_hash(id_col, _MINSTD_M), F.col(id_col))
     return df.withColumn("shuffle_pos", F.row_number().over(w).cast("bigint"))
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    shares: dict[str, float],
+) -> DataFrame:
+    """Deterministically downsample strata to a target mixture — the
+    "domain mixing" step of a training pipeline (rebalance en/zh/code/...
+    to prescribed proportions without upsampling).
+
+    The achievable corpus size is ``n_out = min_g(count_g / share_g)``;
+    stratum g then keeps ``floor(min(1, share_g·n_out/count_g)·1000)``
+    of its 1000 Lehmer-hash buckets. Strata absent from ``shares`` are
+    dropped.
+
+    Scale: the per-stratum count aggregate (|strata| rows) and the
+    scalar ``n_out`` both stay in-plan and re-enter as broadcast join
+    sides — no driver collect; the final filter is a narrow hash
+    predicate evaluated in the scan stage."""
+    share_expr = None
+    for value, share in sorted(shares.items()):
+        lit = F.lit(float(share))
+        share_expr = (
+            F.when(F.col(strata_col) == value, lit)
+            if share_expr is None
+            else share_expr.when(F.col(strata_col) == value, lit)
+        )
+    counts = (
+        df.filter(F.col(strata_col).isin(*shares))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_share", share_expr)
+    )
+    n_out = counts.agg(F.min(F.col("_n") / F.col("_share")).alias("_n_out"))
+    thresholds = (
+        counts.crossJoin(F.broadcast(n_out))
+        .select(
+            strata_col,
+            F.floor(
+                F.least(F.lit(1.0), F.col("_share") * F.col("_n_out") / F.col("_n"))
+                * 1000
+            ).alias("_thresh"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(sample_hash(id_col) < F.col("_thresh"))
+        .drop("_thresh")
+    )

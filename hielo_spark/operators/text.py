@@ -145,3 +145,113 @@ def tfidf_scores(
             F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf"),
         )
     )
+
+
+def word_bigrams(tokens: Column) -> Column:
+    """Space-joined word 2-grams from a token array; arrays with < 2
+    elements yield an empty array (guards the ``sequence(1, 0)``
+    descending-sequence trap that would index position 0)."""
+    return F.when(
+        F.size(tokens) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - 1),
+            lambda i: F.concat(
+                F.element_at(tokens, i), F.lit(" "), F.element_at(tokens, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition metrics in the style of the public
+    Gopher/MassiveText quality filters, re-based on tokens/2-grams
+    (the corpus is single-line, so line-level variants are degenerate):
+
+    - ``dup_token_frac``   — 1 − distinct/total tokens
+    - ``dup_2gram_char_frac`` — chars inside 2-grams occurring ≥ 2×,
+      over all 2-gram chars (all occurrences counted)
+    - ``top_2gram_frac``   — share of 2-gram occurrences taken by the
+      single most frequent 2-gram
+
+    Scale: two explode→groupBy chains, both keyed by (id, group) with
+    map-side partial aggregation; the final metric join sees both sides
+    already hash-partitioned on (id, group), so no extra exchange. This
+    deliberately trades one linear shuffle of the token stream for
+    staying inside whole-stage codegen — the no-shuffle alternative
+    (sorted-array neighbor comparison via higher-order functions) runs
+    interpreted and measured slower in this repo (see SCALE.md on
+    interpreted HOFs)."""
+    nonblank = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    ws = words(F.lower(F.col(text_col)))
+    base = nonblank.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp"), ws.alias("w")
+    )
+
+    tok_counts = (
+        base.select("id", "grp", F.explode("w").alias("t"))
+        .groupBy("id", "grp", "t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tok_metrics = tok_counts.groupBy("id", "grp").agg(
+        (1.0 - F.count("*") / F.sum("cnt")).alias("dup_token_frac")
+    )
+
+    big_counts = (
+        base.select("id", "grp", F.explode(word_bigrams(F.col("w"))).alias("g"))
+        .groupBy("id", "grp", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gchars = F.length(F.col("g")) * F.col("cnt")
+    big_metrics = big_counts.groupBy("id", "grp").agg(
+        (
+            F.sum(F.when(F.col("cnt") > 1, gchars).otherwise(0)) / F.sum(gchars)
+        ).alias("dup_2gram_char_frac"),
+        (F.max("cnt") / F.sum("cnt")).alias("top_2gram_frac"),
+    )
+
+    return (
+        tok_metrics.join(big_metrics, ["id", "grp"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "dup_token_frac",
+            F.coalesce("dup_2gram_char_frac", F.lit(0.0)).alias("dup_2gram_char_frac"),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )
+
+
+# Conservative public-knowledge PII patterns, portable between Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d().-]{7,}\d",
+}
+
+
+def pii_counts(text_col: Column | str = "text") -> Column:
+    """Struct of per-category PII match counts — all built-in
+    ``regexp_extract_all`` (codegen), no Python."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))).alias(name)
+            for name, p in PII_PATTERNS.items()
+        ]
+    )
+
+
+def redact_pii(text_col: Column | str = "text") -> Column:
+    """Replace each PII category with a ``[CATEGORY]`` placeholder;
+    chained ``regexp_replace``, order = PII_PATTERNS order (email before
+    phone so the ``+digits`` rule never eats an address's domain digits)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name, p in PII_PATTERNS.items():
+        c = F.regexp_replace(c, p, f"[{name.upper()}]")
+    return c

@@ -57,6 +57,14 @@ for mod in (relational, meta, ext):
 #   events_asof_cogroup → events_asof_join (same semantics, alternate physical path)
 #   doc_fingerprints → doc_exact_dedup (same md5 fingerprint expression, grouped)
 #   q7_nation_volume → q3/q5 broadcast-dimension join chains (J4/A14)
+#   events_type_pivot → q1_pricing_summary conditional-agg crosstab (A14);
+#     pivot column-explosion semantics pytest-pinned
+#   events_user_cardinality → exact distinct via doc_exact_dedup grouping +
+#     doc_tfidf_top_terms count_distinct; HLL accuracy pytest-pinned
+#   meta_snapshot_span → A2 span/rates verified inside meta_health columns;
+#     events_minmax_span is the already-deferred twin
+#   doc_pii_scan → corpus contains no PII (all-zero oracle row is weak
+#     evidence); operator pinned by tests/test_operators.py instead
 _DEFERRED = [
     "part_two_groups",
     "events_by_type",
@@ -82,6 +90,10 @@ _DEFERRED = [
     "events_asof_cogroup",
     "doc_fingerprints",
     "q7_nation_volume",
+    "events_type_pivot",
+    "events_user_cardinality",
+    "meta_snapshot_span",
+    "doc_pii_scan",
 ]
 # rows-only queries (no oracle SQL → weaker driver check) also yield the
 # head to oracle-checked ones, except doc_neardup_minhash — the scale-path

@@ -542,3 +542,209 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "term", "tfidf")
     )
+
+
+# --------------------------------------------------------------------------
+# X4 — Gopher-style repetition quality filters (token/2-gram based; the
+# corpus is single-line so line-level variants are degenerate). Per-lang
+# aggregate of operators.text.repetition_stats.
+# --------------------------------------------------------------------------
+@query(
+    "doc_repetition_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tc AS (
+      SELECT doc_id, lang, t, count(*) AS cnt
+      FROM (SELECT doc_id, lang, unnest(w) AS t FROM d) GROUP BY 1, 2, 3
+    ),
+    tm AS (
+      SELECT doc_id, lang, 1.0 - count(*) * 1.0 / sum(cnt) AS dup_token_frac
+      FROM tc GROUP BY 1, 2
+    ),
+    bc AS (
+      SELECT doc_id, lang, g, count(*) AS cnt
+      FROM (SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM d) GROUP BY 1, 2, 3
+    ),
+    bm AS (
+      SELECT doc_id, lang,
+             sum(CASE WHEN cnt > 1 THEN length(g) * cnt ELSE 0 END) * 1.0
+               / sum(length(g) * cnt) AS dup2c,
+             max(cnt) * 1.0 / sum(cnt) AS top2
+      FROM bc GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(round(avg(tm.dup_token_frac), 6) AS DOUBLE) AS avg_dup_token_frac,
+           CAST(round(avg(COALESCE(bm.dup2c, 0)), 6) AS DOUBLE) AS avg_dup_2gram_char_frac,
+           CAST(round(avg(COALESCE(bm.top2, 0)), 6) AS DOUBLE) AS avg_top_2gram_frac,
+           CAST(count(*) FILTER (COALESCE(bm.dup2c, 0) > 0.1) AS BIGINT) AS flagged_docs
+    FROM tm LEFT JOIN bm USING (doc_id, lang)
+    GROUP BY 1
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = T.repetition_stats(d, "doc_id", "lang", "text")
+    return m.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.round(F.avg("dup_token_frac"), 6).alias("avg_dup_token_frac"),
+        F.round(F.avg("dup_2gram_char_frac"), 6).alias("avg_dup_2gram_char_frac"),
+        F.round(F.avg("top_2gram_frac"), 6).alias("avg_top_2gram_frac"),
+        F.sum(F.when(F.col("dup_2gram_char_frac") > 0.1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("flagged_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X7 — domain-mixture rebalancing: deterministically downsample languages
+# to a prescribed mixture (no upsampling). Oracle mirrors the in-plan
+# n_out = min(count/share) and floor(·1000) Lehmer-bucket threshold.
+# --------------------------------------------------------------------------
+_MIX_SHARES = {"en": 0.30, "zh": 0.20, "es": 0.20, "de": 0.15, "fr": 0.15}
+
+@query(
+    "doc_mixture_rebalance",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS n,
+             CASE lang WHEN 'en' THEN 0.30 WHEN 'zh' THEN 0.20
+                       WHEN 'es' THEN 0.20 WHEN 'de' THEN 0.15
+                       WHEN 'fr' THEN 0.15 END AS share
+      FROM documents WHERE lang IN ('en', 'zh', 'es', 'de', 'fr')
+      GROUP BY 1
+    ),
+    m AS (SELECT min(n / share) AS n_out FROM c),
+    k AS (
+      SELECT lang, CAST(floor(LEAST(1.0, share * (SELECT n_out FROM m) / n) * 1000) AS BIGINT) AS thresh
+      FROM c
+    ),
+    kept AS (
+      SELECT d.lang, count(*) AS kept
+      FROM documents d JOIN k USING (lang)
+      WHERE ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271) % 2147483647 % 1000 < k.thresh
+      GROUP BY 1
+    )
+    SELECT lang, CAST(kept AS BIGINT) AS kept,
+           CAST(round(kept * 1.0 / sum(kept) OVER (), 6) AS DOUBLE) AS achieved_share
+    FROM kept
+    """,
+)
+def doc_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = sampling.mixture_rebalance(d, "doc_id", "lang", _MIX_SHARES)
+    counts = kept.groupBy("lang").agg(F.count("*").alias("kept"))
+    return counts.select(
+        "lang",
+        F.col("kept").cast("bigint").alias("kept"),
+        F.round(
+            F.col("kept") / F.sum("kept").over(Window.partitionBy()), 6
+        ).alias("achieved_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X3 — int8 symmetric quantization of the embedding column: per-label
+# average scale + RMS reconstruction error. floor(x+0.5) on both sides
+# avoids round-half engine differences; all math in DOUBLE.
+# --------------------------------------------------------------------------
+@query(
+    "emb_quantize_error",
+    """
+    WITH s AS (
+      SELECT label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             embedding
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label, scale,
+             CASE WHEN scale > 0 THEN
+               list_sum(list_transform(embedding,
+                 x -> pow(CAST(x AS DOUBLE)
+                          - floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) * scale / 127, 2)))
+                 / len(embedding)
+             ELSE 0.0 END AS mse
+      FROM s
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS vectors,
+           CAST(round(avg(scale), 6) AS DOUBLE) AS avg_scale,
+           CAST(round(sqrt(avg(mse)), 6) AS DOUBLE) AS rms_err
+    FROM e GROUP BY 1
+    """,
+)
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(vec, F.abs))
+    withs = e.select("label", vec.alias("v"), scale.alias("scale"))
+    recon_sq = F.aggregate(
+        F.col("v"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(
+            x - F.floor(x / F.col("scale") * 127 + 0.5) * F.col("scale") / 127, 2
+        ),
+    )
+    mse = F.when(F.col("scale") > 0, recon_sq / F.size("v")).otherwise(F.lit(0.0))
+    return (
+        withs.withColumn("mse", mse)
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("vectors"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.sqrt(F.avg("mse")), 6).alias("rms_err"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X4 — PII scan: per-lang match counts for the conservative public email/
+# IPv4/phone patterns + total redaction char delta. The synthetic corpus
+# contains no PII (all-zero result is the correct answer, asserted by the
+# oracle); operator semantics on PII-bearing text are pinned by pytest
+# (tests/test_operators.py) instead.
+# --------------------------------------------------------------------------
+@query(
+    "doc_pii_scan",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+           CAST(sum(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) AS BIGINT) AS ipv4s,
+           CAST(sum(len(regexp_extract_all(text, '\\+\\d[\\d().-]{7,}\\d'))) AS BIGINT) AS phones,
+           CAST(sum(length(text) - length(
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'),
+               '\\+\\d[\\d().-]{7,}\\d', '[PHONE]', 'g'))) AS BIGINT) AS redaction_delta
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pii = T.pii_counts("text")
+    return (
+        d.select(
+            "lang",
+            pii.alias("p"),
+            (F.length("text") - F.length(T.redact_pii("text"))).alias("delta"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum("p.email").cast("bigint").alias("emails"),
+            F.sum("p.ipv4").cast("bigint").alias("ipv4s"),
+            F.sum("p.phone").cast("bigint").alias("phones"),
+            F.sum("delta").cast("bigint").alias("redaction_delta"),
+        )
+    )

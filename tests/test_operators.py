@@ -189,3 +189,63 @@ def test_ivf_topk_clustered_recall(spark):
     # the true neighbors
     assert len(exact & ivf) >= 8
     assert all(v < 100 for v in ivf)
+
+
+def test_repetition_stats_known_values(spark):
+    rows = [
+        # "a b a b a b": tokens {a:3, b:3} → dup_token_frac = 1 - 2/6.
+        # 2-grams: [a b, b a, a b, b a, a b] → all duplicated → dup2c = 1.0;
+        # top gram "a b" = 3/5 occurrences.
+        (1, "x", "a b a b a b"),
+        # all-unique tokens → every metric 0
+        (2, "x", "one two three four"),
+        # single token → no 2-grams; coalesced zeros, dup_token_frac 0
+        (3, "x", "solo"),
+        (4, "x", "   "),  # blank → dropped entirely
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["dup_token_frac"] == pytest.approx(1 - 2 / 6)
+    assert got[1]["dup_2gram_char_frac"] == pytest.approx(1.0)
+    assert got[1]["top_2gram_frac"] == pytest.approx(3 / 5)
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["dup_2gram_char_frac"] == 0.0
+    assert got[3]["dup_2gram_char_frac"] == 0.0
+    assert got[3]["top_2gram_frac"] == 0.0
+
+
+def test_word_bigrams_single_token_guard(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "two words")], ["i", "t"])
+    rows = {
+        r["i"]: r["b"]
+        for r in df.select("i", T.word_bigrams(T.words("t")).alias("b")).collect()
+    }
+    assert rows[1] == []
+    assert rows[2] == ["two words"]
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (1, "mail me at jane.doe+spam@example.co.uk or john@test.org today"),
+        (2, "server at 10.0.255.3 answered; call +1(415)555-0199 now"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.pii_counts("text").alias("p"),
+            T.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert got[1]["p"]["email"] == 2
+    assert got[1]["p"]["ipv4"] == 0
+    assert "[EMAIL]" in got[1]["red"] and "@" not in got[1]["red"]
+    assert got[2]["p"]["ipv4"] == 1
+    assert got[2]["p"]["phone"] == 1
+    assert "[IPV4]" in got[2]["red"] and "[PHONE]" in got[2]["red"]
+    assert "10.0.255.3" not in got[2]["red"]
+    assert got[3]["p"]["email"] == got[3]["p"]["ipv4"] == got[3]["p"]["phone"] == 0
+    assert got[3]["red"] == rows[2][1]

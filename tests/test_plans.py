@@ -146,3 +146,36 @@ def test_sliding_windows_no_self_join(spark, sf_dir):
     p = plan_of(spark, sf_dir, "events_sliding_windows")
     assert "Join" not in p
     assert p.count("Scan ") == 1
+
+
+def test_mixture_rebalance_broadcasts_thresholds(spark, sf_dir):
+    # the per-stratum threshold table re-enters as a broadcast join side;
+    # the base-table side must NOT be broadcast (it's the unbounded probe).
+    p = plan_of(spark, sf_dir, "doc_mixture_rebalance")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_repetition_metric_join_adds_no_exchange(spark, sf_dir):
+    # tok-metrics ⋈ bigram-metrics on (id, grp): exactly the 4 hash
+    # exchanges of the two explode→(id,grp,term)→(id,grp) agg chains; the
+    # join itself adds none (at fixture scale the aggregated build side is
+    # small enough that AQE broadcasts it; at scale both sides are already
+    # hash-partitioned on the join keys → exchange-free SMJ).
+    from hielo_spark.io import load_table
+    from hielo_spark.operators import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    m = T.repetition_stats(d)
+    p = m._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in p
+    assert p.count("Exchange hashpartitioning") <= 4
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_pii_scan_stays_narrow(spark, sf_dir):
+    # regexp counting + redaction delta is a scan→project→partial-agg
+    # pipeline: exactly one exchange (the per-lang final aggregate).
+    p = plan_of(spark, sf_dir, "doc_pii_scan")
+    assert p.count("Exchange") == 1
+    assert "Join" not in p

@@ -106,3 +106,26 @@ def test_contamination_no_false_pairs_below_threshold(spark):
         ).count()
         == 0
     )
+
+
+def test_mixture_rebalance_hits_target_mixture(spark):
+    from hielo_spark.operators.sampling import mixture_rebalance
+
+    # 2000 'a' / 500 'b' / 100 'x' rows; rebalance to a 60/40 a-b mixture.
+    rows = [(i, "a") for i in range(2000)] + [
+        (i, "b") for i in range(2000, 2500)
+    ] + [(i, "x") for i in range(2500, 2600)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = mixture_rebalance(df, "doc_id", "lang", {"a": 0.6, "b": 0.4})
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert "x" not in counts  # strata outside the target mixture are dropped
+    # n_out = min(2000/0.6, 500/0.4) = 1250 → targets a:750, b:500(all).
+    assert counts["b"] == 500  # keep-fraction 1.0 stratum is kept exactly
+    total = sum(counts.values())
+    assert counts["a"] / total == pytest.approx(0.6, abs=0.03)
+    # deterministic: same result on re-evaluation after a repartition
+    again = mixture_rebalance(
+        df.repartition(7), "doc_id", "lang", {"a": 0.6, "b": 0.4}
+    )
+    assert again.count() == total
