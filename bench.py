@@ -3,7 +3,12 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
 
 Each query is executed to completion with the noop sink (full plan runs,
-nothing collected to the driver). Timings are wall-clock per query.
+nothing collected to the driver). Timings are wall-clock per query,
+min over $SPARK_GRAFT_BENCH_RUNS (default 3) measured runs: the host is
+a shared VM whose noisy-neighbor stalls showed 5-15 s one-off spikes on
+otherwise sub-second queries, so a single sample measures the host, not
+the engine. Min-of-N reports steady-state query cost; the JSON carries
+"runs" so rounds remain comparable.
 """
 
 from __future__ import annotations
@@ -66,12 +71,16 @@ def main() -> None:
             pass
         spark.catalog.clearCache()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()  # drop per-query persisted frames
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()  # drop per-query persisted frames
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -82,6 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
             }
         )
     )

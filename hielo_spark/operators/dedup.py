@@ -269,6 +269,10 @@ def _salted_block_sides(sets: DataFrame, n_salts: int) -> tuple[DataFrame, DataF
     pair meets exactly once (a's single salt picks one of b's replicas).
     Shuffle volume is n_salts × |build side| — the same bytes a broadcast
     would ship to every executor, without the single-node memory cliff.
+
+    n_salts trades parallelism (n_blocks × n_salts join partitions)
+    against build-side replication: size it to ~cores/n_blocks, raising
+    it only when block keys are few or heavily skewed.
     """
     a = sets.withColumn("_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")).alias("a")
     b = sets.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))).alias("b")
@@ -284,7 +288,7 @@ def blocked_jaccard_pairs(
     threshold: float = 0.5,
     hashed: bool = True,
     strategy: str = "salted",
-    n_salts: int = 32,
+    n_salts: int = 8,
 ) -> DataFrame:
     """All pairs within a blocking key with word-set Jaccard ≥ threshold.
     Deterministic — the oracle path for near-dup semantics. The block join
@@ -454,7 +458,7 @@ def embedding_neardup_pairs(
     block_col: str | None = "label",
     threshold: float = 0.9,
     strategy: str = "salted",
-    n_salts: int = 32,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
