@@ -255,3 +255,105 @@ def redact_pii(text_col: Column | str = "text") -> Column:
     for name, p in PII_PATTERNS.items():
         c = F.regexp_replace(c, p, f"[{name.upper()}]")
     return c
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    text_col: str = "text",
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """Per-document mean token surprisal −ln P(w) under the corpus's own
+    unigram LM — the shape of CCNet-style LM quality filtering (docs far
+    from the corpus distribution score high). Returns
+    (id, group, n_tokens, mean_surprisal).
+
+    Self-scored, so every token is in-vocabulary by construction and no
+    smoothing term is needed.
+
+    Scale: the LM (term → count) is one aggregation over the exploded
+    token stream; scoring re-joins that stream to the LM on term. Both
+    sides hash-partition on term, so the join adds one token-stream
+    shuffle — linear in corpus tokens, no skew beyond Zipf head terms
+    (AQE splits those). ``broadcast_lm=True`` ships the LM to every
+    executor instead, the right call only when the vocabulary is known to
+    fit the broadcast limit. The corpus token total arrives as a
+    broadcast 1-row frame, never a driver round-trip.
+    """
+    nonblank = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    toks = nonblank.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    lm = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    if broadcast_lm:
+        lm = F.broadcast(lm)
+    total = toks.agg(F.count("*").alias("total"))
+    return (
+        toks.join(lm, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id", "grp")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(-F.log(F.col("cnt") / F.col("total"))).alias("mean_surprisal"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "mean_surprisal",
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Split documents into fixed-token-budget training chunks with
+    optional overlap (tokenizer-stride convention): windows start every
+    ``chunk_tokens − overlap`` tokens; a window whose start is past
+    ``n − overlap`` would be wholly contained in its predecessor and is
+    not emitted. Blank docs yield no chunks. Returns
+    (id, *carry_cols, chunk_idx, chunk_n_tokens, chunk_text);
+    ``carry_cols`` ride along so callers never re-join chunks back to
+    the source table.
+
+    Scale: pure narrow ops — tokenize, generate window starts with
+    ``sequence``, ``posexplode``, ``slice`` — no shuffle at all; chunking
+    100 TB is a single map stage that parallelizes by input split.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    w = words(F.col(text_col))
+    n = F.size(w)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), n - F.lit(overlap)), F.lit(step)
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            *carry_cols,
+            w.alias("_w"),
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            *carry_cols,
+            "chunk_idx",
+            F.size(F.slice(F.col("_w"), F.col("_start"), chunk_tokens)).alias(
+                "chunk_n_tokens"
+            ),
+            F.array_join(
+                F.slice(F.col("_w"), F.col("_start"), chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )

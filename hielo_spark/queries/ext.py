@@ -748,3 +748,92 @@ def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta").cast("bigint").alias("redaction_delta"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X4 — CCNet-style unigram-LM surprisal scoring: per-lang distribution of
+# per-doc mean −ln P(token) under the corpus's own unigram model.
+# --------------------------------------------------------------------------
+@query(
+    "doc_lm_surprisal",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tok AS (SELECT doc_id, lang, unnest(w) AS term FROM d),
+    lm AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM tok),
+    ds AS (
+      SELECT doc_id, lang, avg(-ln(cnt * 1.0 / total)) AS s
+      FROM tok JOIN lm USING (term) CROSS JOIN tot
+      GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(round(avg(s), 6) AS DOUBLE) AS avg_surprisal,
+           CAST(round(min(s), 6) AS DOUBLE) AS min_surprisal,
+           CAST(round(max(s), 6) AS DOUBLE) AS max_surprisal
+    FROM ds GROUP BY 1
+    """,
+)
+def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scores = T.unigram_surprisal(d, "doc_id", "lang", "text")
+    return scores.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("docs"),
+        F.round(F.avg("mean_surprisal"), 6).alias("avg_surprisal"),
+        F.round(F.min("mean_surprisal"), 6).alias("min_surprisal"),
+        F.round(F.max("mean_surprisal"), 6).alias("max_surprisal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X4 — fixed-token-budget chunking with overlap (tokenizer-stride
+# convention) — the sequence-packing precursor. Aggregated per source.
+# --------------------------------------------------------------------------
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 64, 16
+
+
+@query(
+    "doc_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (
+      SELECT doc_id, source,
+             len(list_slice(w, s, least(s + 63, len(w)))) AS ct
+      FROM d, unnest(generate_series(1, greatest(1, len(w) - 16), 48)) AS u(s)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(round(avg(ct), 6) AS DOUBLE) AS avg_chunk_tokens,
+           CAST(sum(ct) AS BIGINT) AS total_chunk_tokens,
+           CAST(sum(CASE WHEN ct = 64 THEN 1 ELSE 0 END) AS BIGINT) AS full_chunks
+    FROM c GROUP BY 1
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chunks = T.chunk_documents(
+        d,
+        "doc_id",
+        "text",
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+        carry_cols=("source",),
+    )
+    return chunks.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.round(F.avg("chunk_n_tokens"), 6).alias("avg_chunk_tokens"),
+        F.sum("chunk_n_tokens").cast("bigint").alias("total_chunk_tokens"),
+        F.sum((F.col("chunk_n_tokens") == _CHUNK_TOKENS).cast("int"))
+        .cast("bigint")
+        .alias("full_chunks"),
+    )

@@ -249,3 +249,54 @@ def test_pii_counts_and_redaction(spark):
     assert "10.0.255.3" not in got[2]["red"]
     assert got[3]["p"]["email"] == got[3]["p"]["ipv4"] == got[3]["p"]["phone"] == 0
     assert got[3]["red"] == rows[2][1]
+
+
+def test_chunk_documents_stride_semantics(spark):
+    rows = [
+        (1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+        (2, "solo"),
+        (3, "  "),  # blank → no chunks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = T.chunk_documents(df, chunk_tokens=8, overlap=4).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    # starts every 4 tokens, but a start past n-overlap=6 would be wholly
+    # contained in its predecessor → exactly starts 1 and 5
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_n_tokens"] for r in c1] == [8, 6]
+    assert c1[0]["chunk_text"].split() == [f"t{i}" for i in range(1, 9)]
+    assert c1[1]["chunk_text"].split() == [f"t{i}" for i in range(5, 11)]
+    assert by_doc[2][0]["chunk_n_tokens"] == 1
+    with pytest.raises(ValueError):
+        T.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_carry_cols(spark):
+    df = spark.createDataFrame([(1, "web", "a b c")], ["doc_id", "source", "text"])
+    row = T.chunk_documents(df, chunk_tokens=2, carry_cols=("source",)).first()
+    assert row["source"] == "web"
+
+
+def test_unigram_surprisal_known_values(spark):
+    import math
+
+    # corpus tokens: a×3, b×1 → P(a)=3/4, P(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "x", "a a b"), (2, "x", "a"), (3, "x", " ")],
+        ["doc_id", "lang", "text"],
+    )
+    got = {r["doc_id"]: r for r in T.unigram_surprisal(df).collect()}
+    assert set(got) == {1, 2}
+    la, lb = -math.log(3 / 4), -math.log(1 / 4)
+    assert got[1]["mean_surprisal"] == pytest.approx((2 * la + lb) / 3)
+    assert got[1]["n_tokens"] == 3
+    assert got[2]["mean_surprisal"] == pytest.approx(la)
+    # broadcast_lm variant computes identical scores
+    got_b = {
+        r["doc_id"]: r["mean_surprisal"]
+        for r in T.unigram_surprisal(df, broadcast_lm=True).collect()
+    }
+    assert got_b[1] == pytest.approx(got[1]["mean_surprisal"])

@@ -179,3 +179,20 @@ def test_pii_scan_stays_narrow(spark, sf_dir):
     p = plan_of(spark, sf_dir, "doc_pii_scan")
     assert p.count("Exchange") == 1
     assert "Join" not in p
+
+
+def test_doc_chunks_is_shuffle_free_until_final_agg(spark, sf_dir):
+    # tokenize→sequence→posexplode→slice is a single map stage; the only
+    # exchanges belong to the final per-source aggregate (count_distinct
+    # expands to a two-round agg).
+    p = plan_of(spark, sf_dir, "doc_chunks")
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2
+    assert p.count("Scan ") == 1
+
+
+def test_doc_lm_surprisal_joins_on_term_no_cartesian(spark, sf_dir):
+    # token stream ⋈ LM on term; the corpus-total 1-row frame enters as a
+    # broadcast (BNLJ on a single row, not a real cartesian).
+    p = plan_of(spark, sf_dir, "doc_lm_surprisal")
+    assert "CartesianProduct" not in p
