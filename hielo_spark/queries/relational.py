@@ -1179,3 +1179,45 @@ def events_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join, batch-executed twin: clicks attributed to
+# same-user views within 30 min, bucketed by attribution delay. The exact
+# transform (streaming/joins.py attribution_pairs, watermarks included —
+# no-ops on a static frame) also runs as a watermarked stream-stream join;
+# the pytest parity test pins stream ≡ batch, this oracle pins batch.
+# --------------------------------------------------------------------------
+@query(
+    "events_attribution_join",
+    """
+    WITH pairs AS (
+      SELECT v.user_id,
+             epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS delay_us
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON v.user_id = c.user_id
+       AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    )
+    SELECT CAST(delay_us // 300000000 AS BIGINT) AS delay_bucket_5m,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(round(avg(delay_us / 1000000.0), 6) AS DOUBLE) AS avg_delay_s
+    FROM pairs GROUP BY 1
+    """,
+)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import attribution_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = attribution_pairs(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    return pairs.groupBy(
+        (F.col("delay_us") / F.lit(300_000_000)).cast("bigint").alias("delay_bucket_5m")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.round(F.avg(F.col("delay_us") / 1e6), 6).alias("avg_delay_s"),
+    )

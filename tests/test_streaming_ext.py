@@ -135,3 +135,29 @@ def test_cogroup_asof_tolerance_and_empty_right(spark):
     # user 1's only match is 2h old — outside the 1h tolerance;
     # user 2 has no right rows at all (empty-right group path)
     assert out == {1: None, 2: None}
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir):
+    from hielo_spark.streaming.events import read_events_stream
+    from hielo_spark.streaming.joins import attribution_pairs
+
+    ev_stream = read_events_stream(spark, sf_dir)
+    pairs = attribution_pairs(
+        ev_stream.filter(F.col("event_type") == "view"),
+        ev_stream.filter(F.col("event_type") == "click"),
+    )
+    run_to_memory(pairs, "attr_join_test", mode="append")
+    got = {
+        (r.view_id, r.click_id, r.delay_us)
+        for r in spark.table("attr_join_test").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.view_id, r.click_id, r.delay_us)
+        for r in attribution_pairs(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
