@@ -837,3 +837,65 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("full_chunks"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality profiling: per-column null/distinct/range stats in one
+# aggregation pass (operators/profile.py). Oracle profiles the
+# string/bigint columns (stringified min/max is engine-stable there);
+# timestamp/double stringification is pinned by pytest instead.
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@query(
+    "orders_profile",
+    """
+    SELECT 'o_orderkey' AS "column", 'bigint' AS dtype,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'bigint', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', 'string', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'string', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_table(o, columns=_PROFILE_COLS, exact=True)
+
+
+# --------------------------------------------------------------------------
+# X3 — full k-means (Lloyd to convergence) over the embedding corpus:
+# per-cluster sizes + inertia. Iterative algorithm → rows-only driver
+# check; semantics pinned by tests/test_operators.py on separable data.
+# --------------------------------------------------------------------------
+@query("emb_kmeans")
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _, _ = kmeans(e, k=8, max_iter=10)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.sum("sq_dist"), 4).alias("inertia"),
+    )

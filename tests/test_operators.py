@@ -300,3 +300,71 @@ def test_unigram_surprisal_known_values(spark):
         for r in T.unigram_surprisal(df, broadcast_lm=True).collect()
     }
     assert got_b[1] == pytest.approx(got[1]["mean_surprisal"])
+
+
+def test_profile_table_mixed_dtypes(spark):
+    import datetime
+
+    rows = [
+        (1, 2.5, datetime.datetime(2024, 1, 1, 12, 0, 0), "a"),
+        (2, None, datetime.datetime(2024, 6, 1, 0, 0, 0), "b"),
+        (2, 7.25, None, None),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "t", "s"])
+    from hielo_spark.operators.profile import profile_table
+
+    got = {r["column"]: r for r in profile_table(df, exact=True).collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_distinct"] == 2
+    assert got["k"]["min_value"] == "1" and got["k"]["max_value"] == "2"
+    assert got["v"]["n_nulls"] == 1 and got["v"]["max_value"] == "7.25"
+    assert got["t"]["min_value"] == "2024-01-01 12:00:00"
+    assert got["s"]["n_nulls"] == 1 and got["s"]["dtype"] == "string"
+    # approx path returns the same shape with plausible cardinalities
+    approx = {r["column"]: r for r in profile_table(df).collect()}
+    assert approx["k"]["n_distinct"] >= 1
+
+
+def test_profile_single_pass_plan(spark):
+    df = spark.range(100).selectExpr("id AS a", "id % 7 AS b")
+    from hielo_spark.operators.profile import profile_table
+
+    p = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    # approx profile: one pass (partial aggs + single exchange), no Expand
+    assert "Expand" not in p
+    assert p.count("Exchange") == 1
+    assert "partial_approx_count_distinct" in p
+
+
+def test_kmeans_separable_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = {0: (0.0, 0.0), 1: (20.0, 0.0), 2: (0.0, 20.0)}
+    rows = []
+    for cid, (cx, cy) in centers.items():
+        for i in range(30):
+            rows.append(
+                (cid * 100 + i, [float(cx + rng.normal(0, 0.5)), float(cy + rng.normal(0, 0.5))])
+            )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from hielo_spark.operators.clustering import kmeans
+
+    assigned, C, iters = kmeans(df, k=3, max_iter=20, tol=1e-6)
+    got = assigned.collect()
+    # perfect separation: each true group maps to exactly one cluster label
+    label_of = {}
+    for r in got:
+        true = r["vec_id"] // 100
+        label_of.setdefault(true, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in label_of.values())
+    assert len({next(iter(s)) for s in label_of.values()}) == 3
+    assert iters < 20  # converged, didn't just run out
+    assert all(r["sq_dist"] < 5.0 for r in got)
+    # deterministic under repartitioning (hash-order init, no RNG state)
+    assigned2, C2, _ = kmeans(df.repartition(13), k=3, max_iter=20, tol=1e-6)
+    import numpy as np2  # noqa: F401
+
+    assert np.allclose(np.sort(C.ravel()), np.sort(C2.ravel()))
+    assert {(r["vec_id"], r["cluster"]) for r in assigned2.collect()} == {
+        (r["vec_id"], r["cluster"]) for r in got
+    }
