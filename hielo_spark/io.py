@@ -117,3 +117,29 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 16,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Sharded JSONL training export — the hand-off format for tokenizer /
+    training jobs. Rows are assigned to ``shard = xxhash64(id) % n_shards``
+    (deterministic: re-exports are byte-stable shard-wise regardless of
+    input partitioning), repartitioned so each shard's rows are written
+    together, and emitted as ``shard=N/`` JSONL directories.
+
+    Scale: one hash shuffle; shard count decouples output layout from
+    input parallelism (1000 executors can still produce 128 shards), and
+    balanced shards follow from hashing the id, not the data order."""
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    ).repartition(n_shards, F.col("shard"))
+    w = sharded.write.mode(mode).partitionBy("shard")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -1221,3 +1221,47 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
         F.round(F.avg(F.col("delay_us") / 1e6), 6).alias("avg_delay_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.7-W distribution windows: ntile quartiles + percent_rank/cume_dist
+# extremes per priority class (deterministic tie-break on o_orderkey).
+# --------------------------------------------------------------------------
+@query(
+    "orders_price_quartiles",
+    """
+    WITH t AS (
+      SELECT o_orderpriority,
+             o_totalprice,
+             ntile(4) OVER w AS tile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_orderpriority, tile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price,
+           CAST(round(max(pr), 6) AS DOUBLE) AS max_percent_rank,
+           CAST(round(max(cd), 6) AS DOUBLE) AS max_cume_dist
+    FROM t GROUP BY 1, 2
+    """,
+)
+def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    t = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("tile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return t.groupBy("o_orderpriority", "tile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.max("pr"), 6).alias("max_percent_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )

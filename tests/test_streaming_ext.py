@@ -161,3 +161,20 @@ def test_stream_stream_attribution_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_foreachbatch_upsert_is_idempotent(spark, sf_dir, tmp_path):
+    from hielo_spark.streaming.upsert import upsert_to_parquet
+
+    # the doubled stream redelivers every record in a second micro-batch;
+    # the anti-join upsert must keep exactly one copy per event_id
+    stream = _doubled_stream(spark, sf_dir, tmp_path)
+    sink = str(tmp_path / "upsert_sink")
+    ckpt = str(tmp_path / "upsert_ckpt")
+    q = upsert_to_parquet(stream, sink, "event_id", ckpt)
+    q.awaitTermination()
+
+    got = spark.read.parquet(sink)
+    want = load_table(spark, sf_dir, "events")
+    assert got.count() == want.count()
+    assert got.select("event_id").distinct().count() == want.count()
