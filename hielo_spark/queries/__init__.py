@@ -65,6 +65,15 @@ for mod in (relational, meta, ext):
 #     events_minmax_span is the already-deferred twin
 #   doc_pii_scan → corpus contains no PII (all-zero oracle row is weak
 #     evidence); operator pinned by tests/test_operators.py instead
+#   filter_orders_multi → meta_snapshot_timeline (F1 multi-predicate) +
+#     pushdown plan assertions in tests/test_plans.py
+#   events_range_join → events_asof_join (same operator family in
+#     operators/relational.py) + events_attribution_join interval semantics
+#   events_sliding_windows → events_hourly_windows (same windowed-agg
+#     plan, slide param); sliding twin parity held by streaming tests
+#   doc_train_shuffle → doc_sample_stratified + doc_shard_packing keep the
+#     deterministic-sampling family in the head
+#   doc_top_ngrams → doc_tfidf_top_terms (same explode→count chain + idf)
 _DEFERRED = [
     "part_two_groups",
     "events_by_type",
@@ -94,6 +103,11 @@ _DEFERRED = [
     "events_user_cardinality",
     "meta_snapshot_span",
     "doc_pii_scan",
+    "filter_orders_multi",
+    "events_range_join",
+    "events_sliding_windows",
+    "doc_train_shuffle",
+    "doc_top_ngrams",
 ]
 # rows-only queries (no oracle SQL → weaker driver check) also yield the
 # head to oracle-checked ones, except doc_neardup_minhash — the scale-path
