@@ -231,7 +231,11 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs(e, "vec_id", "embedding", "label", threshold=0.3)
+    # 10 labels × 4 salts = 40 join partitions ≥ the 32 cores; more salts
+    # would only add build-side replication (see SCALE.md sizing rule)
+    return dedup.embedding_neardup_pairs(
+        e, "vec_id", "embedding", "label", threshold=0.3, n_salts=4
+    )
 
 
 # --------------------------------------------------------------------------
@@ -898,4 +902,22 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster").agg(
         F.count("*").cast("bigint").alias("n_vectors"),
         F.round(F.sum("sq_dist"), 4).alias("inertia"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X3 — distributed PCA over the embedding corpus: explained-variance
+# ratios of the top components (eigendecomposition of a one-pass
+# sufficient-statistics covariance). Rows-only driver check (eigenvectors
+# aren't SQL-expressible); semantics pinned by tests/test_operators.py.
+# --------------------------------------------------------------------------
+@query("emb_pca")
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import pca_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _, ratios, _ = pca_fit(e, "embedding", k=4)
+    return spark.createDataFrame(
+        [(i, float(round(r, 4))) for i, r in enumerate(ratios)],
+        "component int, explained_variance_ratio double",
     )

@@ -368,3 +368,33 @@ def test_kmeans_separable_clusters(spark):
     assert {(r["vec_id"], r["cluster"]) for r in assigned2.collect()} == {
         (r["vec_id"], r["cluster"]) for r in got
     }
+
+
+def test_pca_recovers_dominant_axis(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # points on the (1,1,0) diagonal with small isotropic noise: the first
+    # component must align with the diagonal and dominate the variance
+    t = rng.normal(0, 5, 200)
+    X = np.stack([t, t, np.zeros_like(t)], axis=1) + rng.normal(0, 0.1, (200, 3))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    )
+    from hielo_spark.operators.pca import pca_fit, pca_transform
+
+    comps, ratios, mean = pca_fit(df, k=2)
+    assert ratios[0] > 0.95
+    d = np.array([1, 1, 0]) / np.sqrt(2)
+    assert abs(abs(comps[0] @ d) - 1) < 0.01
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-6)
+    # projection: first coordinate carries the spread, second is noise
+    proj = np.array(
+        [r["pca"] for r in pca_transform(df, comps, mean).select("pca").collect()]
+    )
+    assert proj[:, 0].std() > 10 * proj[:, 1].std()
+    # deterministic under repartitioning (pure aggregation + canonical sign)
+    comps2, ratios2, _ = pca_fit(df.repartition(11), k=2)
+    assert np.allclose(comps, comps2, atol=1e-8)
+    assert np.allclose(ratios, ratios2, atol=1e-10)
