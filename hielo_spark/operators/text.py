@@ -357,3 +357,52 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean bigram surprisal −ln P(wᵢ | wᵢ₋₁) under the
+    corpus's own bigram LM, P = c(wᵢ₋₁ wᵢ) / c(wᵢ₋₁ ·) — the next step up
+    from unigram_surprisal (token-order sensitivity: shuffled text scores
+    high even when its unigram profile is normal). Docs with < 2 tokens
+    have no bigrams and are excluded. Returns
+    (id, group, n_bigrams, mean_surprisal).
+
+    Scale: bigram construction is narrow (word_bigrams on the token
+    array); the LM is one aggregation over the exploded bigram stream,
+    context counts are a second aggregation over the same keys' prefix,
+    and scoring joins the stream to both — all hash-partitioned on the
+    bigram/context term, linear in corpus tokens.
+    """
+    nonblank = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    bigs = nonblank.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.explode(word_bigrams(words(F.lower(F.col(text_col))))).alias("g"),
+    )
+    lm = bigs.groupBy("g").agg(F.count("*").alias("cnt"))
+    ctx = bigs.select(
+        F.split(F.col("g"), " ", 2).getItem(0).alias("prev")
+    ).groupBy("prev").agg(F.count("*").alias("ctx_cnt"))
+    scored = (
+        bigs.join(lm, "g")
+        .withColumn("prev", F.split(F.col("g"), " ", 2).getItem(0))
+        .join(ctx, "prev")
+    )
+    return (
+        scored.groupBy("id", "grp")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(-F.log(F.col("cnt") / F.col("ctx_cnt"))).alias("mean_surprisal"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "n_bigrams",
+            "mean_surprisal",
+        )
+    )

@@ -74,6 +74,9 @@ for mod in (relational, meta, ext):
 #   doc_train_shuffle → doc_sample_stratified + doc_shard_packing keep the
 #     deterministic-sampling family in the head
 #   doc_top_ngrams → doc_tfidf_top_terms (same explode→count chain + idf)
+#   doc_quality → doc_repetition_stats + doc_lm_surprisal (stronger
+#     quality filters) + doc_curation_pipeline (embeds quality_score)
+#   doc_bigram_surprisal → doc_lm_surprisal (same LM-scoring family)
 _DEFERRED = [
     "part_two_groups",
     "events_by_type",
@@ -108,6 +111,8 @@ _DEFERRED = [
     "events_sliding_windows",
     "doc_train_shuffle",
     "doc_top_ngrams",
+    "doc_quality",
+    "doc_bigram_surprisal",
 ]
 # rows-only queries (no oracle SQL → weaker driver check) also yield the
 # head to oracle-checked ones, except doc_neardup_minhash — the scale-path

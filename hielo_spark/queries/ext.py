@@ -921,3 +921,47 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, float(round(r, 4))) for i, r in enumerate(ratios)],
         "component int, explained_variance_ratio double",
     )
+
+
+# --------------------------------------------------------------------------
+# X4 — bigram-LM surprisal: token-ORDER-sensitive quality scoring
+# (shuffled text scores high even with a normal unigram profile).
+# --------------------------------------------------------------------------
+@query(
+    "doc_bigram_surprisal",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS g
+      FROM d WHERE len(w) >= 2
+    ),
+    lm AS (SELECT g, count(*) AS cnt FROM b GROUP BY 1),
+    ctx AS (SELECT split_part(g, ' ', 1) AS prev, count(*) AS ctx_cnt
+            FROM b GROUP BY 1),
+    ds AS (
+      SELECT doc_id, lang, avg(-ln(cnt * 1.0 / ctx_cnt)) AS s
+      FROM b JOIN lm USING (g)
+             JOIN ctx ON split_part(b.g, ' ', 1) = ctx.prev
+      GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(round(avg(s), 6) AS DOUBLE) AS avg_surprisal,
+           CAST(round(max(s), 6) AS DOUBLE) AS max_surprisal
+    FROM ds GROUP BY 1
+    """,
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scores = T.bigram_surprisal(d, "doc_id", "lang", "text")
+    return scores.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("docs"),
+        F.round(F.avg("mean_surprisal"), 6).alias("avg_surprisal"),
+        F.round(F.max("mean_surprisal"), 6).alias("max_surprisal"),
+    )

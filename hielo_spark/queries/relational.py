@@ -1265,3 +1265,51 @@ def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("pr"), 6).alias("max_percent_rank"),
         F.round(F.max("cd"), 6).alias("max_cume_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Write-layout: z-order tiling over (l_partkey, l_suppkey) — counts per
+# coarse Morton tile (top 6 interleaved bits). The oracle reproduces the
+# exact bit interleave, so the layout key itself is hash-checked.
+# --------------------------------------------------------------------------
+_ZBITS = 16
+_ZTOP = (1 << _ZBITS) - 1
+_Z_TERMS = " + ".join(
+    f"(((p{axis} >> {i}) & 1) << {2 * i + k})"
+    for i in range(_ZBITS)
+    for k, axis in ((0, "x"), (1, "y"))
+)
+
+@query(
+    "lineitem_zorder_tiles",
+    f"""
+    WITH s AS (
+      SELECT min(l_partkey)::DOUBLE AS xmin, max(l_partkey)::DOUBLE AS xmax,
+             min(l_suppkey)::DOUBLE AS ymin, max(l_suppkey)::DOUBLE AS ymax
+      FROM lineitem
+    ),
+    n AS (
+      SELECT least(greatest(CAST(floor((l_partkey - xmin) / (xmax - xmin) * {_ZTOP}) AS BIGINT), 0), {_ZTOP}) AS px,
+             least(greatest(CAST(floor((l_suppkey - ymin) / (ymax - ymin) * {_ZTOP}) AS BIGINT), 0), {_ZTOP}) AS py
+      FROM lineitem, s
+    ),
+    z AS (SELECT {_Z_TERMS} AS zkey FROM n)
+    SELECT CAST(zkey >> 26 AS BIGINT) AS tile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(zkey) AS BIGINT) AS min_zkey,
+           CAST(max(zkey) AS BIGINT) AS max_zkey
+    FROM z GROUP BY 1
+    """,
+)
+def lineitem_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import with_zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    keyed = with_zorder_key(li, ["l_partkey", "l_suppkey"], bits=_ZBITS)
+    return keyed.groupBy(
+        F.shiftright("zkey", 26).cast("bigint").alias("tile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("zkey").cast("bigint").alias("min_zkey"),
+        F.max("zkey").cast("bigint").alias("max_zkey"),
+    )

@@ -398,3 +398,72 @@ def test_pca_recovers_dominant_axis(spark):
     comps2, ratios2, _ = pca_fit(df.repartition(11), k=2)
     assert np.allclose(comps, comps2, atol=1e-8)
     assert np.allclose(ratios, ratios2, atol=1e-10)
+
+
+def test_bigram_surprisal_known_values(spark):
+    import math
+
+    # bigrams: doc1 "a b a b" → [a b, b a, a b]; doc2 "a b" → [a b]
+    # counts: "a b"×4? no — corpus = doc1 + doc2: "a b":3, "b a":1
+    # contexts: a·:3, b·:1
+    df = spark.createDataFrame(
+        [(1, "x", "a b a b"), (2, "x", "a b"), (3, "x", "solo"), (4, "x", "")],
+        ["doc_id", "lang", "text"],
+    )
+    got = {r["doc_id"]: r for r in T.bigram_surprisal(df).collect()}
+    assert set(got) == {1, 2}  # <2 tokens → no bigrams
+    p_ab = -math.log(3 / 3)  # P(b|a) = 3/3
+    p_ba = -math.log(1 / 1)  # P(a|b) = 1/1
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["mean_surprisal"] == pytest.approx((2 * p_ab + p_ba) / 3)
+    assert got[2]["mean_surprisal"] == pytest.approx(p_ab)
+    # order sensitivity: a doc whose bigrams are all corpus-rare scores
+    # higher than one built from the corpus's dominant transitions
+    df2 = spark.createDataFrame(
+        [(i, "x", "the cat sat on the mat") for i in range(5)]
+        + [(99, "x", "mat the on sat cat the")],
+        ["doc_id", "lang", "text"],
+    )
+    s = {r["doc_id"]: r["mean_surprisal"] for r in T.bigram_surprisal(df2).collect()}
+    assert s[99] > s[0]
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from hielo_spark.operators.layout import with_zorder_key
+
+    # values already span [0,3] with bits=2 → normalization is identity;
+    # x's bits land at even positions, y's at odd
+    df = spark.createDataFrame(
+        [(3, 0), (0, 3), (3, 3), (1, 2)], ["x", "y"]
+    )
+    keyed = {
+        (r["x"], r["y"]): r["zkey"]
+        for r in with_zorder_key(df, ["x", "y"], bits=2, ranges={"x": (0, 3), "y": (0, 3)}).collect()
+    }
+    assert keyed[(3, 0)] == 0b0101
+    assert keyed[(0, 3)] == 0b1010
+    assert keyed[(3, 3)] == 0b1111
+    assert keyed[(1, 2)] == 0b1001  # x bit0→pos0; y bit1→pos3
+
+
+def test_zorder_sort_clusters_quadrants(spark):
+    from hielo_spark.operators.layout import with_zorder_key
+
+    # 16×16 grid: in z-order, the first quarter of rows is exactly the
+    # (x<8, y<8) quadrant — multi-dimensional locality a single-column
+    # sort can't give
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(grid, ["x", "y"])
+    rows = (
+        with_zorder_key(df, ["x", "y"], bits=4, ranges={"x": (0, 15), "y": (0, 15)})
+        .orderBy("zkey")
+        .collect()
+    )
+    first_quarter = rows[: len(rows) // 4]
+    assert all(r["x"] < 8 and r["y"] < 8 for r in first_quarter)
+    # and in-plan range derivation agrees with explicit ranges
+    from hielo_spark.operators.layout import zorder_sort
+
+    auto = {(r["x"], r["y"]): r["zkey"] for r in zorder_sort(df, ["x", "y"], bits=4).collect()}
+    explicit = {(r["x"], r["y"]): r["zkey"] for r in rows}
+    assert auto == explicit

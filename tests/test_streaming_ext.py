@@ -178,3 +178,28 @@ def test_foreachbatch_upsert_is_idempotent(spark, sf_dir, tmp_path):
     want = load_table(spark, sf_dir, "events")
     assert got.count() == want.count()
     assert got.select("event_id").distinct().count() == want.count()
+
+
+def test_native_session_window_agrees_with_lag_cumsum(spark, sf_dir):
+    """Spark's built-in session_window must produce the same sessions as
+    the oracle-checked lag+cumsum implementation on the fixture (boundary
+    semantics differ only for events exactly gap_ms apart, which the
+    ns-grained fixture never produces)."""
+    from hielo_spark.streaming.sessions import SESSION_GAP_MS, sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MS // 1000} seconds"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+    ours = sessionize_batch(ev).select(
+        "user_id", "session_start", "n_events", "total_value"
+    )
+    a = {tuple(r) for r in native.collect()}
+    b = {tuple(r) for r in ours.collect()}
+    assert a == b and len(a) > 0
