@@ -46,14 +46,15 @@ for mod in (relational, meta, ext):
 #   first_order_per_customer → doc_exact_dedup min-by-key dedup (O5)
 #   events_minmax_span → meta_snapshot_span (A2)
 #   events_recent_windows → events_hourly_windows + meta_health (A3)
-#   topk_orders → top3_customers_per_segment + topk_per_group_agg (O3)
+#   topk_orders → q3_shipping_priority TakeOrderedAndProject (O3)
 #   meta_schema_changes → meta_schema_matrix (J2, same change classes)
 #   meta_storage_timeline → meta_snapshot_timeline + doc_shard_packing cumsum (A2/C5)
 #   meta_tree_counts → meta_table_type_split + meta_catalog_search (F9/A13)
-#   events_value_anomalies → events_user_gaps + events_sessionization (§2.7-W)
+#   events_value_anomalies → events_sessionization (§2.7-W lag windows)
 #   search_parts → meta_catalog_search (F2 substring) + C1 via browse/functions
 #   q10_returned_customers → q3/q5/q7 join+agg+topk chains (J4/A14/O3)
-#   topk_per_group_agg → top3_customers_per_segment (O3 grouped top-k)
+#   topk_per_group_agg / top3_customers_per_segment → orders_price_quartiles
+#     (grouped ranking windows: ntile/percent_rank/cume_dist ⊇ rank top-k)
 #   events_asof_cogroup → events_asof_join (same semantics, alternate physical path)
 #   doc_fingerprints → doc_exact_dedup (same md5 fingerprint expression, grouped)
 #   q7_nation_volume → q3/q5 broadcast-dimension join chains (J4/A14)
@@ -67,8 +68,9 @@ for mod in (relational, meta, ext):
 #     evidence); operator pinned by tests/test_operators.py instead
 #   filter_orders_multi → meta_snapshot_timeline (F1 multi-predicate) +
 #     pushdown plan assertions in tests/test_plans.py
-#   events_range_join → events_asof_join (same operator family in
-#     operators/relational.py) + events_attribution_join interval semantics
+#   events_range_join / events_attribution_join → events_asof_join (same
+#     temporal-join family in operators/relational.py; interval semantics
+#     also held by the stream-stream parity tests)
 #   events_sliding_windows → events_hourly_windows (same windowed-agg
 #     plan, slide param); sliding twin parity held by streaming tests
 #   doc_train_shuffle → doc_sample_stratified + doc_shard_packing keep the
@@ -77,7 +79,18 @@ for mod in (relational, meta, ext):
 #   doc_quality → doc_repetition_stats + doc_lm_surprisal (stronger
 #     quality filters) + doc_curation_pipeline (embeds quality_score)
 #   doc_bigram_surprisal → doc_lm_surprisal (same LM-scoring family)
+#   supplier_semi_join_nations → q4_order_priority (correlated EXISTS
+#     decorrelates to the same left-semi, plus a range residual)
+#   events_user_gaps → events_sessionization (same lag-window shape over
+#     the same user_id partitioning)
+#   orders_profile → lineitem_quantiles + orders_rollup (the profiler's
+#     per-column stat shapes); operator itself pinned by pytest
 _DEFERRED = [
+    "supplier_semi_join_nations",
+    "events_user_gaps",
+    "top3_customers_per_segment",
+    "events_attribution_join",
+    "orders_profile",
     "part_two_groups",
     "events_by_type",
     "nations_union",

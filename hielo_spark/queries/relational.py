@@ -1313,3 +1313,256 @@ def lineitem_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zkey").cast("bigint").alias("min_zkey"),
         F.max("zkey").cast("bigint").alias("max_zkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# J4 decorrelation — correlated EXISTS (TPC-H Q4 shape): orders with at
+# least one late-shipped lineitem, counted per priority. The reference has
+# no subquery machinery (its joins are in-memory nested loops,
+# components.rs:1590-1598); in Spark the EXISTS decorrelates to a LEFT SEMI
+# join with an equi key (orderkey) plus a correlated range residual
+# (l_shipdate > o_orderdate + 80 days).
+# Scale: semi join shuffles on orderkey only; the date-window filter on
+# orders pushes to the parquet scan, so the probe side is pruned before the
+# shuffle. No cartesian, no broadcast of an unbounded side.
+# --------------------------------------------------------------------------
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 80 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 80 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 decorrelation — correlated scalar-aggregate subquery (TPC-H Q17
+# shape): revenue from small-quantity lineitems, "small" defined relative
+# to the per-part average quantity. Decorrelates to: per-part avg frame →
+# equi join back on partkey → residual filter.
+# Scale: the brand-filtered part list is a dimension → broadcast; the avg
+# frame is keyed by partkey and joins the (already brand-pruned) lineitem
+# side on the same key — one shuffle, reused by AQE for both the agg and
+# the join. Never materializes the per-part avgs on the driver.
+# --------------------------------------------------------------------------
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(round(sum(l_extendedprice) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bparts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(broadcast(bparts), li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+    limits = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li_b.join(limits, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 decorrelation — grouped HAVING / IN subquery (TPC-H Q18 shape): large
+# orders by total quantity, joined back to customer detail. The IN over a
+# grouped-HAVING subquery decorrelates to an aggregate frame joined on the
+# group key; Spark expresses it directly as agg → filter → join.
+# Scale: the "big orders" frame is tiny after the HAVING filter but is NOT
+# force-broadcast — its size is data-dependent (AQE converts to broadcast
+# at runtime when it is small). Customer is a true dimension → broadcast.
+# Top-k lowers to TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS totalprice,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("_sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7-W — funnel analysis over events: ordered view → click → purchase
+# conversion per user (each step's timestamp must follow the previous
+# step's), with per-step user counts and mean hours since first view.
+# Spark shape: ONE shuffle on user_id, then three chained window minima
+# over the same partitioning (Catalyst plans them without re-exchange);
+# the per-user reduction and the final stack are narrow.
+# Scale: state per user is three timestamps — no event list is ever
+# collected; 100 TB of events reduces at the first window stage.
+# --------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    """
+    WITH u AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, u.t0, min(e.ts) AS t1
+      FROM events e JOIN u USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > u.t0
+      GROUP BY e.user_id, u.t0
+    ),
+    p AS (
+      SELECT e.user_id, c.t0, min(e.ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id, c.t0
+    )
+    SELECT 'view' AS step, CAST(count(t0) AS BIGINT) AS users,
+           CAST(0.0 AS DOUBLE) AS avg_hours_since_view
+    FROM u WHERE t0 IS NOT NULL
+    UNION ALL
+    SELECT 'click', CAST(count(*) AS BIGINT),
+           CAST(round(avg((epoch_ms(t1::TIMESTAMP) - epoch_ms(t0::TIMESTAMP)) / 3600000.0), 4) AS DOUBLE)
+    FROM c
+    UNION ALL
+    SELECT 'purchase', CAST(count(*) AS BIGINT),
+           CAST(round(avg((epoch_ms(t2::TIMESTAMP) - epoch_ms(t0::TIMESTAMP)) / 3600000.0), 4) AS DOUBLE)
+    FROM p
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn("t0", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "t1",
+            F.min(
+                F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t0")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t0").alias("t0"), F.max("t1").alias("t1"), F.max("t2").alias("t2")
+    )
+    hours = lambda a, b: (F.unix_millis(F.col(a)) - F.unix_millis(F.col(b))) / F.lit(3600000.0)  # noqa: E731
+    totals = per_user.agg(
+        F.count("t0").alias("view_users"),
+        F.count("t1").alias("click_users"),
+        F.count("t2").alias("purchase_users"),
+        F.round(F.avg(F.when(F.col("t1").isNotNull(), hours("t1", "t0"))), 4).alias("click_hours"),
+        F.round(F.avg(F.when(F.col("t2").isNotNull(), hours("t2", "t0"))), 4).alias("purchase_hours"),
+    )
+    return totals.selectExpr(
+        """stack(3,
+             'view', view_users, CAST(0.0 AS DOUBLE),
+             'click', click_users, click_hours,
+             'purchase', purchase_users, purchase_hours
+           ) AS (step, users, avg_hours_since_view)"""
+    )
+
+
+# --------------------------------------------------------------------------
+# A14 — cohort retention over orders: customers grouped by first-order
+# month (cohort), distinct active customers per months-since-cohort offset.
+# Scale: both the first-order frame and the activity frame shuffle on
+# custkey — co-partitioned join, then one agg keyed by (cohort, offset)
+# whose cardinality is months², independent of row count. countDistinct
+# is a two-phase partial-distinct aggregate, no driver state.
+# --------------------------------------------------------------------------
+@query(
+    "orders_retention_cohort",
+    """
+    WITH m AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS mth FROM orders
+    ),
+    f AS (SELECT o_custkey, min(mth) AS cm FROM m GROUP BY o_custkey)
+    SELECT strftime(cm, '%Y-%m') AS cohort,
+           CAST(date_diff('month', cm, mth) AS BIGINT) AS offset_months,
+           CAST(count(DISTINCT m.o_custkey) AS BIGINT) AS active_customers
+    FROM m JOIN f ON m.o_custkey = f.o_custkey
+    WHERE date_diff('month', cm, mth) <= 6
+    GROUP BY cm, date_diff('month', cm, mth)
+    """,
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("mth")
+    )
+    f = m.groupBy("o_custkey").agg(F.min("mth").alias("cm"))
+    offset = F.months_between(F.col("mth"), F.col("cm")).cast("bigint")
+    return (
+        m.join(f, "o_custkey")
+        .withColumn("offset_months", offset)
+        .filter(F.col("offset_months") <= 6)
+        .groupBy(
+            F.date_format("cm", "yyyy-MM").alias("cohort"),
+            "offset_months",
+        )
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("active_customers"))
+    )

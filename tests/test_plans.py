@@ -196,3 +196,41 @@ def test_doc_lm_surprisal_joins_on_term_no_cartesian(spark, sf_dir):
     # broadcast (BNLJ on a single row, not a real cartesian).
     p = plan_of(spark, sf_dir, "doc_lm_surprisal")
     assert "CartesianProduct" not in p
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    # correlated EXISTS must become an equi-keyed LEFT SEMI with the range
+    # predicate as a join residual — never a nested-loop probe
+    p = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q17_broadcasts_part_list_only(spark, sf_dir):
+    # the brand-filtered part list is the only broadcast; the per-part avg
+    # frame joins lineitem on partkey (shuffle), not via broadcast of an
+    # unbounded side
+    p = plan_of(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q18_topk_lowered_and_no_cartesian(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q18_large_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    # three chained window minima + the per-user agg all share the user_id
+    # partitioning: exactly one Exchange below the final single-row agg's
+    p = plan_of(spark, sf_dir, "events_funnel")
+    # allow the final 1-row agg exchange; the event-scale data moves once
+    n_exchanges = p.count("Exchange hashpartitioning(user_id")
+    assert n_exchanges == 1, p
+
+
+def test_retention_cohort_copartitioned(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "orders_retention_cohort")
+    assert "CartesianProduct" not in p
