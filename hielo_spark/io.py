@@ -44,10 +44,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         configure(spark)  # ensure nanosAsLong before the scan plans
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: float division of epoch-nanos (≈1.7e18) loses
-        # precision beyond double's 2^53 and truncates off-by-1µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: float division of epoch-nanos (≈1.7e18) loses
+            # precision beyond double's 2^53 and truncates off-by-1µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # fixture generations vary: µs-NTZ parquet arrives as TIMESTAMP_NTZ
+            # under Spark's inferTimestampNTZ; session TZ is pinned UTC, so the
+            # cast preserves the wall-clock instant exactly
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
