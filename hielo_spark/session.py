@@ -40,6 +40,22 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # Never fail hard on a conf the host session forbids.
             pass
+    # The NTZ→timestamp cast in the loaders is instant-preserving only under
+    # a UTC session TZ; if the host session forbade the conf, say so loudly
+    # instead of silently shifting every timestamp by the JVM default TZ.
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz != "UTC":
+        import warnings
+
+        warnings.warn(
+            f"spark.sql.session.timeZone={tz!r} (wanted UTC): TIMESTAMP_NTZ "
+            "casts will shift instants by the session TZ",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return spark
 
 

@@ -18,11 +18,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from ..session import configure
 
-# events.parquet physical schema (ts = epoch-nanos long via nanosAsLong)
+# events.parquet physical schema, legacy generation: ts = TIMESTAMP(NANOS)
+# arriving as epoch-nanos long via spark.sql.legacy.parquet.nanosAsLong.
+# Newer fixture generations write µs-precision TIMESTAMP_NTZ instead — use
+# events_source_schema() to learn which encoding a given sf_dir carries
+# rather than assuming this one.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
@@ -33,6 +38,53 @@ EVENTS_RAW_SCHEMA = StructType(
         StructField("props", StringType(), True),
     ]
 )
+
+# sf_dir -> ts dtype string ("bigint" | "timestamp_ntz"), probed once.
+_TS_DTYPE_CACHE: dict[str, str] = {}
+
+
+def events_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
+    """Probe how this fixture generation encodes ``events.ts``.
+
+    A one-off batch read of the parquet footer (no data scan) — the same
+    dual-encoding detection the batch loader does (io.py:load_table).
+    File streams require a user-supplied schema, so the stream can't
+    self-detect; we detect here and hand readStream the right one.
+    """
+    if sf_dir not in _TS_DTYPE_CACHE:
+        configure(spark)  # nanosAsLong must be set before the probe plans
+        probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _TS_DTYPE_CACHE[sf_dir] = dict(probe.dtypes).get("ts", "bigint")
+    return _TS_DTYPE_CACHE[sf_dir]
+
+
+def events_source_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """The readStream schema matching this sf_dir's physical encoding."""
+    if events_ts_dtype(spark, sf_dir) == "bigint":
+        return EVENTS_RAW_SCHEMA
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", TimestampNTZType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+
+
+def normalize_events_ts(raw: DataFrame) -> DataFrame:
+    """ts → session-TZ timestamp, whatever the physical encoding.
+
+    Mirrors io.py:load_table: epoch-nanos long gets integer ``div 1000``
+    (float division loses precision past 2^53), µs-NTZ casts directly
+    (session TZ pinned UTC so the instant is preserved).
+    """
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _staging_dir(sf_dir: str) -> str:
@@ -56,11 +108,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory or Kafka topic; the transformations are identical)."""
     configure(spark)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_source_schema(spark, sf_dir))
         .format("parquet")
         .load(_staging_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -140,3 +140,31 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
         for r in events_sliding_windows(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_batch_stream_source_parity(spark, sf_dir):
+    """Fixture-encoding contract: load_table and read_events_stream must
+    agree on min/max/count of the normalized ts for the same sf_dir. If a
+    fixture regeneration changes the physical ts encoding (ns-long vs
+    µs-NTZ), this fails loudly in ONE place instead of as a fan of
+    downstream window-parity failures."""
+    import pyspark.sql.functions as F
+
+    from hielo_spark.io import load_table
+
+    run_to_memory(
+        read_events_stream(spark, sf_dir).select("ts"), "ts_probe_stream", mode="append"
+    )
+    got = (
+        spark.table("ts_probe_stream")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert (got.lo, got.hi, got.n) == (want.lo, want.hi, want.n)
+    # and not January 1970 — the encoding branch picked correctly
+    assert got.lo.year >= 2000

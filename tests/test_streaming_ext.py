@@ -8,7 +8,11 @@ import os
 import pyspark.sql.functions as F
 
 from hielo_spark.io import load_table
-from hielo_spark.streaming.events import EVENTS_RAW_SCHEMA, run_to_memory
+from hielo_spark.streaming.events import (
+    events_source_schema,
+    normalize_events_ts,
+    run_to_memory,
+)
 
 
 def _doubled_stream(spark, sf_dir, tmp_path):
@@ -22,12 +26,12 @@ def _doubled_stream(spark, sf_dir, tmp_path):
         if not os.path.exists(dst):
             os.symlink(src, dst)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_source_schema(spark, sf_dir))
         .format("parquet")
         .option("maxFilesPerTrigger", "1")  # the copies land in separate micro-batches
         .load(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def test_streaming_dedup_collapses_redelivery(spark, sf_dir, tmp_path):
