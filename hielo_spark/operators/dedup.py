@@ -289,10 +289,16 @@ def blocked_jaccard_pairs(
     hashed: bool = True,
     strategy: str = "salted",
     n_salts: int = 8,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """All pairs within a blocking key with word-set Jaccard ≥ threshold.
     Deterministic — the oracle path for near-dup semantics. The block join
     bounds pairs to Σ block_size² instead of n².
+
+    ``shingle_n`` switches the set elements from single words to word
+    n-gram shingles — the exact-truth twin of the MinHash/LSH metric
+    (minhash_neardup_pairs verifies candidates against shingle Jaccard,
+    so recall of the LSH path is only meaningful against this form).
 
     ``hashed=True`` set-izes xxhash64(word) longs instead of strings —
     identical Jaccard values (injective up to 64-bit collisions) with much
@@ -305,7 +311,7 @@ def blocked_jaccard_pairs(
         to fit the broadcast limit (~8 GB hard cap), where it saves the
         build-side shuffle replication.
     """
-    elems = words(text_col)
+    elems = shingles(text_col, shingle_n) if shingle_n else words(text_col)
     if hashed:
         elems = F.transform(elems, lambda w: F.xxhash64(w))
     # blank/whitespace-only docs have an empty word set → Jaccard 0 with

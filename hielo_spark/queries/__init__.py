@@ -85,7 +85,14 @@ for mod in (relational, meta, ext):
 #     the same user_id partitioning)
 #   orders_profile → lineitem_quantiles + orders_rollup (the profiler's
 #     per-column stat shapes); operator itself pinned by pytest
+#   doc_mixture_rebalance → doc_sample_stratified (same hash-gated
+#     per-group rate-sampling operator; rebalance just derives the rates)
+#   doc_repetition_stats → doc_lm_surprisal + doc_curation_pipeline keep
+#     the quality-scoring family in the head (curation embeds the
+#     repetition-based quality_score filter)
 _DEFERRED = [
+    "doc_mixture_rebalance",
+    "doc_repetition_stats",
     "supplier_semi_join_nations",
     "events_user_gaps",
     "top3_customers_per_segment",

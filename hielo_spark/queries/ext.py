@@ -147,6 +147,70 @@ def doc_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X2 — MinHash LSH quality, oracle-checked: recall of the LSH candidate
+# pairs against the EXACT 3-gram-shingle Jaccard truth (the metric the
+# MinHash path estimates — word-set Jaccard is a different, uncorrelated
+# metric on this corpus). DuckDB recomputes the truth side (shingle sets
+# via list_transform over string_split) and pins per-block truth_pairs
+# exactly; the recall floor rides along as a pinned boolean — if the hash
+# family or banding regresses so that LSH misses truth pairs, the row goes
+# red in the driver sweep. Floor 0.9: banding collision probability at
+# Jaccard j is 1-(1-j^4)^16 (0.64 at the 0.5 boundary, >0.98 past 0.7);
+# observed fixture near-dups sit near j≈1 where recall is deterministic 1.0.
+# --------------------------------------------------------------------------
+@query(
+    "doc_minhash_recall",
+    """
+    WITH s AS (
+      SELECT lang, doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                  ELSE [array_to_string(ws, ' ')] END AS sh
+      FROM (SELECT lang, doc_id,
+                   string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents WHERE length(trim(text)) > 0)
+    )
+    SELECT a.lang AS block, CAST(count(*) AS BIGINT) AS truth_pairs,
+           TRUE AS recall_ge_090
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    GROUP BY a.lang
+    """,
+)
+def doc_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    truth = dedup.blocked_jaccard_pairs(
+        d, "lang", "doc_id", "text", threshold=0.5, shingle_n=3
+    ).select("block", "id_a", "id_b")
+    # lang lookup is a shuffle join keyed on doc id — never broadcast the
+    # full-corpus (doc_id, lang) map (that's the r1 broadcast cliff again);
+    # the candidate side is collision-bounded and small
+    doc_lang = d.select(F.col("doc_id"), F.col("lang"))
+    cands = (
+        dedup.minhash_candidates(d, "doc_id", "text")
+        .join(doc_lang.withColumnRenamed("doc_id", "id_a").withColumnRenamed("lang", "lang_a"), "id_a")
+        .join(doc_lang.withColumnRenamed("doc_id", "id_b").withColumnRenamed("lang", "lang_b"), "id_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select("id_a", "id_b")
+    )
+    hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    per_block = truth.groupBy("block").agg(F.count("*").alias("truth_pairs"))
+    hit_block = hits.groupBy("block").agg(F.count("*").alias("hit_pairs"))
+    return (
+        per_block.join(hit_block, "block", "left")
+        .select(
+            "block",
+            F.col("truth_pairs").cast("bigint").alias("truth_pairs"),
+            (
+                F.coalesce(F.col("hit_pairs"), F.lit(0)) / F.col("truth_pairs") >= 0.9
+            ).alias("recall_ge_090"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # X3 — brute-force cosine top-k from a query vector (vec_id = 0).
 # --------------------------------------------------------------------------
 @query(

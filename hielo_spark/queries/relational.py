@@ -1445,6 +1445,35 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_user_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, t0, t1, t2): first view, first click after it, first
+    purchase after that — the shared per-user reduction behind the funnel
+    and time-to-convert queries. One shuffle on user_id; three chained
+    window minima over the same partitioning plan without re-exchange."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn("t0", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "t1",
+            F.min(
+                F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t0")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    return staged.groupBy("user_id").agg(
+        F.max("t0").alias("t0"), F.max("t1").alias("t1"), F.max("t2").alias("t2")
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.7-W — funnel analysis over events: ordered view → click → purchase
 # conversion per user (each step's timestamp must follow the previous
@@ -1488,28 +1517,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    w = Window.partitionBy("user_id")
-    staged = (
-        ev.withColumn("t0", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
-        .withColumn(
-            "t1",
-            F.min(
-                F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t0")), F.col("ts"))
-            ).over(w),
-        )
-        .withColumn(
-            "t2",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")), F.col("ts")
-                )
-            ).over(w),
-        )
-    )
-    per_user = staged.groupBy("user_id").agg(
-        F.max("t0").alias("t0"), F.max("t1").alias("t1"), F.max("t2").alias("t2")
-    )
+    per_user = _funnel_user_times(spark, sf_dir)
     hours = lambda a, b: (F.unix_millis(F.col(a)) - F.unix_millis(F.col(b))) / F.lit(3600000.0)  # noqa: E731
     totals = per_user.agg(
         F.count("t0").alias("view_users"),
@@ -1524,6 +1532,85 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              'click', click_users, click_hours,
              'purchase', purchase_users, purchase_hours
            ) AS (step, users, avg_hours_since_view)"""
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7-W — funnel time-to-convert distribution: per-transition percentiles
+# of the step deltas (view→click, click→purchase, view→purchase). Reuses
+# the funnel's single-shuffle per-user reduction; the stack + percentile
+# agg on top are narrow + one tiny 3-key aggregation. Deltas are whole
+# milliseconds (bigint) so both engines interpolate over identical inputs;
+# hours rounding happens once at the end.
+# --------------------------------------------------------------------------
+@query(
+    "events_time_to_convert",
+    """
+    WITH u AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN u USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > u.t0
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id
+    ),
+    pu AS (
+      SELECT u.user_id, u.t0, c.t1, p.t2
+      FROM u LEFT JOIN c ON u.user_id = c.user_id
+             LEFT JOIN p ON u.user_id = p.user_id
+      WHERE u.t0 IS NOT NULL
+    ),
+    d AS (
+      SELECT 'view_to_click' AS transition,
+             epoch_ms(t1::TIMESTAMP) - epoch_ms(t0::TIMESTAMP) AS delta_ms
+      FROM pu WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT 'click_to_purchase',
+             epoch_ms(t2::TIMESTAMP) - epoch_ms(t1::TIMESTAMP)
+      FROM pu WHERE t2 IS NOT NULL
+      UNION ALL
+      SELECT 'view_to_purchase',
+             epoch_ms(t2::TIMESTAMP) - epoch_ms(t0::TIMESTAMP)
+      FROM pu WHERE t2 IS NOT NULL
+    )
+    SELECT transition, CAST(count(*) AS BIGINT) AS users,
+           CAST(round(quantile_cont(delta_ms, 0.25) / 3600000.0, 4) AS DOUBLE) AS p25_hours,
+           CAST(round(quantile_cont(delta_ms, 0.5) / 3600000.0, 4) AS DOUBLE) AS p50_hours,
+           CAST(round(quantile_cont(delta_ms, 0.75) / 3600000.0, 4) AS DOUBLE) AS p75_hours,
+           CAST(round(quantile_cont(delta_ms, 0.9) / 3600000.0, 4) AS DOUBLE) AS p90_hours
+    FROM d GROUP BY transition
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = _funnel_user_times(spark, sf_dir)
+    stacked = per_user.selectExpr(
+        """stack(3,
+             'view_to_click',
+             CASE WHEN t1 IS NOT NULL THEN unix_millis(t1) - unix_millis(t0) END,
+             'click_to_purchase',
+             CASE WHEN t2 IS NOT NULL THEN unix_millis(t2) - unix_millis(t1) END,
+             'view_to_purchase',
+             CASE WHEN t2 IS NOT NULL THEN unix_millis(t2) - unix_millis(t0) END
+           ) AS (transition, delta_ms)"""
+    ).filter(F.col("delta_ms").isNotNull())
+    pct = F.percentile(
+        "delta_ms", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))
+    )
+    hours = lambda i: F.round(F.element_at(pct, i) / F.lit(3600000.0), 4)  # noqa: E731
+    return stacked.groupBy("transition").agg(
+        F.count("*").cast("bigint").alias("users"),
+        hours(1).alias("p25_hours"),
+        hours(2).alias("p50_hours"),
+        hours(3).alias("p75_hours"),
+        hours(4).alias("p90_hours"),
     )
 
 
