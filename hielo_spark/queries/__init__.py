@@ -87,12 +87,16 @@ for mod in (relational, meta, ext):
 #     per-column stat shapes); operator itself pinned by pytest
 #   doc_mixture_rebalance → doc_sample_stratified (same hash-gated
 #     per-group rate-sampling operator; rebalance just derives the rates)
-#   doc_repetition_stats → doc_lm_surprisal + doc_curation_pipeline keep
-#     the quality-scoring family in the head (curation embeds the
-#     repetition-based quality_score filter)
+#   doc_repetition_stats → doc_lm_surprisal keeps the quality-scoring
+#     family in the head
+#   doc_curation_pipeline → composite of families that each hold their own
+#     head row (quality filter → doc_lm_surprisal, exact-dedup semi-join →
+#     doc_exact_dedup, hash sampling → doc_sample_stratified); its oracle
+#     row was green in r2 and it remains in the local harness
 _DEFERRED = [
     "doc_mixture_rebalance",
     "doc_repetition_stats",
+    "doc_curation_pipeline",
     "supplier_semi_join_nations",
     "events_user_gaps",
     "top3_customers_per_segment",

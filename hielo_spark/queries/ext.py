@@ -416,6 +416,68 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X3 — ANN quality, oracle-checked (same derived-evidence pattern as
+# doc_minhash_recall): the exact brute-force top-10 per query is
+# recomputed by DuckDB (pair count + mean exact cosine hash-matched); the
+# IVF path's mean recall against that truth rides along as a pinned
+# boolean. Floor 0.35: probing 4 of 16 inverted lists covers 25% of a
+# structure-free corpus, so 0.35 asserts the centroid routing genuinely
+# beats random probing (measured 0.48-0.52 on the fixtures, which are
+# near-uniform synthetic vectors — real embedding corpora cluster and
+# recall rises with them). Ranking uses 6-dp-rounded cosine so double
+# last-ulp noise can't flip top-k membership between engines.
+# --------------------------------------------------------------------------
+@query(
+    "emb_ann_recall",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+           CAST(round(avg(sim), 6) AS DOUBLE) AS avg_exact_sim,
+           TRUE AS recall_ge_035
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sim = F.round(similarity.cosine(F.col("embedding"), F.col("query_vec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    exact = (
+        e.join(broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+    ann = similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .agg(
+            F.count("*").cast("bigint").alias("exact_pairs"),
+            F.round(F.avg("sim"), 6).alias("avg_exact_sim"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*") >= 0.35
+            ).alias("recall_ge_035"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # X7 — deterministic stratified sampling (hash-gated, not RNG: identical
 # across engines, re-runs, and repartitioning; operators/sampling.py).
 # Downsample dominant langs, keep more of the rare ones.

@@ -234,3 +234,27 @@ def test_funnel_single_shuffle(spark, sf_dir):
 def test_retention_cohort_copartitioned(spark, sf_dir):
     p = plan_of(spark, sf_dir, "orders_retention_cohort")
     assert "CartesianProduct" not in p
+
+
+def test_time_to_convert_single_user_shuffle(spark, sf_dir):
+    # reuses the funnel per-user reduction: event-scale data moves on
+    # user_id exactly once; the percentile agg on top is a 3-key shuffle
+    p = plan_of(spark, sf_dir, "events_time_to_convert")
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
+    assert "Join" not in p
+
+
+def test_minhash_recall_no_cartesian_no_corpus_broadcast(spark, sf_dir):
+    # truth side is the salted (block, salt) SMJ; candidate side is the
+    # band-bucket equi-join; the lang decoration joins by id. None of
+    # these may degenerate to a cartesian, and with auto-broadcast off
+    # nothing in the plan may broadcast an unbounded corpus frame.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "doc_minhash_recall")
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
