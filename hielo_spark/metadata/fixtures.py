@@ -116,6 +116,26 @@ snapshots AS (
 """
 
 
+# (applicationId, sf_dir, frame) → materialized fixture frame. Real
+# t.snapshots / t.files are STORED metadata tables; without this the
+# optimizer inlines the synthetic map derivation into every summary
+# reference a consumer makes (filter pushdown substitutes the alias:
+# measured 13 copies of map_from_entries in the timeline plan, 4.5× the
+# runtime). localCheckpoint materializes the frame once per session the
+# way storage would, and truncates the lineage so consumers plan against
+# attributes — exactly what they'd see reading the real metadata table.
+_FIXTURE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memoized(spark: SparkSession, sf_dir: str, frame: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, frame)
+    hit = _FIXTURE_CACHE.get(key)
+    if hit is None:
+        # lazy checkpoint: materializes on first action, not at build time
+        hit = _FIXTURE_CACHE[key] = build().localCheckpoint(eager=False)
+    return hit
+
+
 def snapshots_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshots table derived from orders, with a real map<string,string>
     ``summary`` column shaped like Iceberg's ``t.snapshots.summary``.
@@ -123,6 +143,12 @@ def snapshots_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     The map carries string values exactly as the Iceberg spec does
     (data.rs:98-108: "all values are strings").
     """
+    return _memoized(
+        spark, sf_dir, "snapshots", lambda: _build_snapshots(spark, sf_dir)
+    )
+
+
+def _build_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fan out before the (interpreted) map-construction projection: the
     # fixture parquet is one file → one partition; at real scale the scan
     # is already parallel and this repartition is a no-op cost-wise.
@@ -136,25 +162,28 @@ def snapshots_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     def s(c):  # numbers → spec-style string values
         return c.cast("long").cast("string")
 
-    entries = F.array(
-        *[
-            F.struct(F.lit(key).alias("key"), value.alias("value"))
-            for key, value in [
-                ("operation", F.expr(_OP_RAW)),
-                ("added-data-files", F.when(has_added, s(k % 97))),
-                ("added-records", F.when(has_added, s(F.col("o_custkey") * 100 + k % 53))),
-                ("deleted-records", F.when(has_deleted, s(k % 29))),
-                ("total-size", F.when(has_total, s((k % 1000 + 1) * 1048576))),
-                ("added-files-size", F.when(has_added, s((k % 500 + 1) * 1048576))),
-                ("removed-files-size", F.when(has_deleted, s((k % 100) * 1048576))),
-            ]
-        ]
+    # Entry presence via concat of conditionally-empty singleton arrays:
+    # zero lambdas, so the whole projection stays inside whole-stage
+    # codegen (the earlier filter-lambda form dropped the projection to
+    # interpreted eval; measured ~10% on the timeline path, and this
+    # projection sits under every [meta] query).
+    empty = F.array().cast("array<struct<key:string,value:string>>")
+
+    def ent(key, cond, value):
+        st = F.struct(F.lit(key).alias("key"), value.alias("value"))
+        return F.when(cond, F.array(st)).otherwise(empty)
+
+    op = F.expr(_OP_RAW)
+    entries = F.concat(
+        ent("operation", op.isNotNull(), op),
+        ent("added-data-files", has_added, s(k % 97)),
+        ent("added-records", has_added, s(F.col("o_custkey") * 100 + k % 53)),
+        ent("deleted-records", has_deleted, s(k % 29)),
+        ent("total-size", has_total, s((k % 1000 + 1) * 1048576)),
+        ent("added-files-size", has_added, s((k % 500 + 1) * 1048576)),
+        ent("removed-files-size", has_deleted, s((k % 100) * 1048576)),
     )
-    # map_from_entries over a filtered entry array benches ~2× faster than
-    # create_map + map_filter (single filter lambda, no per-entry rebuild)
-    summary = F.when(
-        has_summary, F.map_from_entries(F.filter(entries, lambda e: e["value"].isNotNull()))
-    )
+    summary = F.when(has_summary, F.map_from_entries(entries))
     return o.select(
         F.concat(F.lit("tbl_"), (k % 3).cast("string")).alias("table_name"),
         k.alias("snapshot_id"),
@@ -185,6 +214,10 @@ files AS (
 def files_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Files frame shaped like Iceberg's ``t.files`` metadata table,
     derived from orders with the ORACLE_FILES_CTE rules."""
+    return _memoized(spark, sf_dir, "files", lambda: _build_files(spark, sf_dir))
+
+
+def _build_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
     k = F.col("o_orderkey")
     return o.select(
