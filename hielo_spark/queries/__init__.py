@@ -93,10 +93,26 @@ for mod in (relational, meta, ext):
 #     head row (quality filter → doc_lm_surprisal, exact-dedup semi-join →
 #     doc_exact_dedup, hash sampling → doc_sample_stratified); its oracle
 #     row was green in r2 and it remains in the local harness
+#   Round-3 TPC-H-family additions (q6/q8/q12/q14/q16/q19): join+agg
+#     shapes whose families hold head rows (q1 single-pass agg, q5/q7
+#     broadcast-dimension chains, q3 top-k); all oracle-checked locally.
+#     q21/q22 TAKE head slots instead (new decorrelation shapes):
+#   q4_order_priority → q21_sole_late_supplier (EXISTS ⊂ its double
+#     correlation) + q17 keeps the correlated-scalar family
+#   customers_without_recent_orders → q22_idle_customers (same NOT
+#     EXISTS anti join, plus the scalar-subquery threshold)
 _DEFERRED = [
     "doc_mixture_rebalance",
     "doc_repetition_stats",
     "doc_curation_pipeline",
+    "q4_order_priority",
+    "customers_without_recent_orders",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q12_late_by_priority",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
     "supplier_semi_join_nations",
     "events_user_gaps",
     "top3_customers_per_segment",

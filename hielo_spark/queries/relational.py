@@ -1653,3 +1653,369 @@ def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("o_custkey").cast("bigint").alias("active_customers"))
     )
+
+
+# ==========================================================================
+# TPC-H-family completeness (round 3): the classic query shapes a reference
+# user runs daily, adapted where the fixture lacks a column (no partsupp /
+# l_commitdate / l_shipmode / p_container / c_phone — the adapted forms
+# keep each query's defining PLAN shape). All oracle-checked in the local
+# harness; head-50 keeps one representative per family (see __init__).
+# ==========================================================================
+
+
+# --------------------------------------------------------------------------
+# A14 — single-pass filtered aggregate (TPC-H Q6). The simplest query in
+# the family and the purest pushdown test: every predicate must reach the
+# parquet scan; the agg is one partial+final pair over zero groups.
+# --------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J4/A14 — national market share (TPC-H Q8 shape, sans partsupp): 7-table
+# join where every dimension chain (region→nation→customer, part,
+# supplier→nation) broadcasts and the only shuffle is lineitem⋈orders.
+# --------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                      / sum(volume), 6) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    eur_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            broadcast(
+                nat.join(
+                    broadcast(
+                        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    promo = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(eur_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J4/A14 — late lines by priority (TPC-H Q12 shape; lateness is
+# ship-vs-order date since the fixture has no commit/receipt dates).
+# Conditional aggregation over one fact⋈fact shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q12_late_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+           count(*) AS total_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_late_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("late_lines"),
+            F.count("*").alias("total_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J4/A14 — promo revenue share (TPC-H Q14): broadcast part into the
+# month-filtered lineitem scan; one conditional-ratio aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol),
+            6,
+        ).alias("promo_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A14/O3 — supplier variety per brand/type (TPC-H Q16 shape; lineitem is
+# the part↔supplier bridge since the fixture has no partsupp). Two-phase
+# distinct aggregate + top-k with full tiebreak.
+# --------------------------------------------------------------------------
+@query(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    LIMIT 20
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — disjunctive multi-attribute predicate (TPC-H Q19 shape, fixture
+# columns): three (brand, size-range, quantity-range) conjunct groups
+# OR-ed across the join. The join stays a hash equi-join on partkey with
+# the disjunction as a post-join filter — never a nested-loop.
+# --------------------------------------------------------------------------
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 5 AND 25)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 15 AND 35)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 45)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & q.between(5, 25))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & q.between(15, 35))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(20, 50) & q.between(25, 45))
+    )
+    return (
+        li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — sole late supplier (TPC-H Q21 shape; lateness is ship-vs-order +90d
+# since the fixture has no receipt/commit dates). The classic double
+# correlation — EXISTS (another supplier on the order) AND NOT EXISTS
+# (another LATE supplier) — decorrelates to ONE per-order distinct
+# aggregate reused for both conditions: n_supp > 1 covers the EXISTS,
+# n_late_suppliers == 1 covers the NOT EXISTS (the outer row's supplier
+# is itself late, so it is the one). One orderkey shuffle for the stats,
+# one co-partitioned join back — no per-row subquery probes.
+# --------------------------------------------------------------------------
+@query(
+    "q21_sole_late_supplier",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_suppkey, o_orderdate,
+             (CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    stats AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM base GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM base JOIN stats USING (l_orderkey)
+              JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 90)
+        ).alias("late"),
+    )
+    stats = base.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        base.filter(F.col("late"))
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — idle wealthy customers (TPC-H Q22 shape; the country code is
+# c_nationkey % 5 since the fixture has no c_phone, and the NOT EXISTS is
+# windowed to "no orders since 1999" — the fixture's every customer has
+# SOME order, and a 0-row result would be vacuous evidence).
+# Scalar-subquery threshold (1-row broadcast) + NOT EXISTS decorrelated
+# to a left-anti join on custkey + grouped aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "q22_idle_customers",
+    """
+    WITH threshold AS (
+      SELECT avg(c_acctbal) AS thr FROM customer
+      WHERE c_acctbal > 0 AND c_nationkey % 5 IN (0, 1, 2)
+    )
+    SELECT CAST(c_nationkey % 5 AS BIGINT) AS cgroup,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS totacctbal
+    FROM customer, threshold
+    WHERE c_nationkey % 5 IN (0, 1, 2) AND c_acctbal > thr
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey % 5
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_nationkey") % 5).isin(0, 1, 2)
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("thr"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey"))
+    )
+    return (
+        cust.join(broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("bigint").alias("cgroup"))
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

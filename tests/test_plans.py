@@ -244,6 +244,36 @@ def test_time_to_convert_single_user_shuffle(spark, sf_dir):
     assert "Join" not in p
 
 
+def test_q8_broadcasts_every_dimension_chain(spark, sf_dir):
+    # region→nation→customer, part, supplier→nation all broadcast; the only
+    # shuffle joins are between the two facts
+    p = plan_of(spark, sf_dir, "q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_dir):
+    # the OR-of-conjuncts must ride the partkey equi-join as a filter,
+    # never degrade the join to a nested loop over pairs
+    p = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q21_double_correlation_one_stats_pass(spark, sf_dir):
+    # EXISTS + NOT EXISTS decorrelate to one per-order distinct aggregate
+    # joined back — no nested-loop probes, no cartesian
+    p = plan_of(spark, sf_dir, "q21_sole_late_supplier")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q22_idle_customers")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
 def test_minhash_recall_no_cartesian_no_corpus_broadcast(spark, sf_dir):
     # truth side is the salted (block, salt) SMJ; candidate side is the
     # band-bucket equi-join; the lang decoration joins by id. None of
