@@ -101,7 +101,13 @@ for mod in (relational, meta, ext):
 #     correlation) + q17 keeps the correlated-scalar family
 #   customers_without_recent_orders → q22_idle_customers (same NOT
 #     EXISTS anti join, plus the scalar-subquery threshold)
+#   lineitem_quantiles → lineitem_sketch_quantiles (strict superset:
+#     same exact quartiles/sd/corr columns + the approx-sketch error pin)
+#   events_cardinality_sketch stays tail: the HLL family's head story is
+#     held by the exact-distinct queries; local harness checks it
 _DEFERRED = [
+    "lineitem_quantiles",
+    "events_cardinality_sketch",
     "doc_mixture_rebalance",
     "doc_repetition_stats",
     "doc_curation_pipeline",

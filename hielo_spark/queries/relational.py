@@ -2019,3 +2019,68 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A14 — quantile sketch accuracy (strict superset of lineitem_quantiles,
+# which defers to this): the exact per-flag quartiles/stddev/corr are
+# DuckDB-verified, and the KLL/GK-style approx_percentile sketch — the
+# form you'd actually run at 100 TB, one pass, bounded memory — rides
+# along as a pinned max-abs-error bound. Rank error ≤ n/accuracy, so at
+# accuracy 10k the p50 of integer quantities must land within 1 unit.
+# --------------------------------------------------------------------------
+@query(
+    "lineitem_sketch_quantiles",
+    """
+    SELECT l_returnflag,
+           CAST(round(quantile_cont(l_quantity, 0.25), 6) AS DOUBLE) AS q25,
+           CAST(round(quantile_cont(l_quantity, 0.5), 6) AS DOUBLE) AS q50,
+           CAST(round(quantile_cont(l_quantity, 0.75), 6) AS DOUBLE) AS q75,
+           CAST(round(stddev_samp(l_quantity), 4) AS DOUBLE) AS sd_qty,
+           CAST(round(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS corr_qty_price,
+           TRUE AS sketch_p50_within_1
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    approx_p50 = F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1), 6).alias("q25"),
+        F.round(F.element_at(pct, 2), 6).alias("q50"),
+        F.round(F.element_at(pct, 3), 6).alias("q75"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        (F.abs(approx_p50 - F.element_at(pct, 2)) <= 1.0).alias("sketch_p50_within_1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A13 — cardinality sketch accuracy: exact distinct users per event type
+# (DuckDB-verified) with the HLL++ estimate's relative error pinned ≤ 3×
+# its configured rsd (0.05). At 100 TB the HLL is the runnable form —
+# fixed sketch bytes per group vs an exact distinct's second shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "events_cardinality_sketch",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS hll_within_3rsd
+    FROM events GROUP BY event_type
+    """,
+)
+def events_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id").cast("bigint")
+    approx = F.approx_count_distinct("user_id", rsd=0.05)
+    return ev.groupBy("event_type").agg(
+        exact.alias("exact_users"),
+        F.count("*").alias("n_events"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
+            <= 0.15
+        ).alias("hll_within_3rsd"),
+    )
