@@ -207,3 +207,36 @@ def test_native_session_window_agrees_with_lag_cumsum(spark, sf_dir):
     a = {tuple(r) for r in native.collect()}
     b = {tuple(r) for r in ours.collect()}
     assert a == b and len(a) > 0
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir):
+    """Every emitted funnel row (completed immediately, or flushed by the
+    event-time timeout) must equal the batch per-user funnel reduction;
+    completed funnels must be emitted for EXACTLY the batch's converted
+    users (completion doesn't wait for the watermark)."""
+    import pyspark.sql.functions as F
+
+    from hielo_spark.queries.relational import _funnel_user_times
+    from hielo_spark.streaming.events import read_events_stream
+    from hielo_spark.streaming.funnel import funnel_stream
+
+    run_to_memory(
+        funnel_stream(read_events_stream(spark, sf_dir)), "funnel_stream_test",
+        mode="append",
+    )
+    got = {
+        r["user_id"]: (r["t0"], r["t1"], r["t2"], r["completed"])
+        for r in spark.table("funnel_stream_test").collect()
+    }
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    batch = {
+        r["user_id"]: (r["t0"], r["t1"], r["t2"], r["t2"] is not None)
+        for r in _funnel_user_times(spark, sf_dir)
+        .select("user_id", fmt("t0").alias("t0"), fmt("t1").alias("t1"), fmt("t2").alias("t2"))
+        .collect()
+    }
+    assert got and all(got[u] == batch[u] for u in got)
+    # completed funnels emit data-driven, not watermark-driven: exact match
+    want_completed = {u for u, v in batch.items() if v[3]}
+    got_completed = {u for u, v in got.items() if v[3]}
+    assert got_completed == want_completed and want_completed
