@@ -457,13 +457,91 @@ def _pair_cosine_kernel():
     return kernel
 
 
+def _gram_cell_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_cells: int,
+) -> DataFrame:
+    """Triangle-blocked Gram-matrix pairs: rows hash into ``n_cells``
+    buckets per block; cell (i ≤ j) receives buckets i and j and computes
+    their cross (or within-bucket upper-triangle) cosine Gram in one
+    numpy matmul, emitting only pairs ≥ threshold.
+
+    Why this beats the pair-join form: a join materializes |pairs| rows
+    each carrying TWO full vectors into the Python kernel — O(pairs·dim)
+    Arrow traffic (≈200 MB at 2k vectors/64 dims). Here every vector
+    ships once per cell row it participates in — O(rows·n_cells·dim)
+    (≈8 MB same corpus) — and the pair space only ever exists as numpy
+    tiles inside a task. Memory per task is (block/n_cells)²·8 bytes for
+    the tile, bounded by n_cells exactly like n_salts bounds the salted
+    join; parallelism is blocks × n_cells(n_cells+1)/2 cells.
+    """
+    import numpy as np
+
+    dtypes = dict(df.dtypes)
+    out_schema = (
+        f"block {dtypes[block_col]}, id_a {dtypes[id_col]}, "
+        f"id_b {dtypes[id_col]}, cosine_sim double"
+    )
+    b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells)).cast("int")
+    cells = F.array(
+        *[
+            F.struct(
+                F.least(b, F.lit(j)).alias("ci"), F.greatest(b, F.lit(j)).alias("cj")
+            )
+            for j in range(n_cells)
+        ]
+    )
+    exploded = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        b.alias("bucket"),
+        F.explode(cells).alias("cell"),
+    ).select("block", "id", "v", "bucket", "cell.ci", "cell.cj")
+
+    def cell_gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        ci, cj = int(pdf["ci"].iloc[0]), int(pdf["cj"].iloc[0])
+        block = pdf["block"].iloc[0]
+        a = pdf[pdf["bucket"] == ci]
+        bb = pdf[pdf["bucket"] == cj]
+        if len(a) == 0 or len(bb) == 0:
+            return pd.DataFrame({"block": [], "id_a": [], "id_b": [], "cosine_sim": []})
+        A = np.array([np.asarray(v, dtype=np.float64) for v in a["v"]])
+        B = np.array([np.asarray(v, dtype=np.float64) for v in bb["v"]])
+        num = A @ B.T
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        denom = np.outer(na, nb)
+        ok = denom > 0
+        sim = np.round(np.where(ok, num / np.where(ok, denom, 1.0), 0.0), 6)
+        ia, ib = np.nonzero(sim >= threshold)
+        id_a = a["id"].to_numpy()[ia]
+        id_b = bb["id"].to_numpy()[ib]
+        s = sim[ia, ib]
+        # canonical (min, max) id order; diagonal cells keep the strict
+        # upper triangle so self-pairs and (x,y)/(y,x) duplicates drop
+        if ci == cj:
+            mask = id_a < id_b
+            lo, hi, s = id_a[mask], id_b[mask], s[mask]
+        else:
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"block": block, "id_a": lo, "id_b": hi, "cosine_sim": s})
+
+    return exploded.groupBy("block", "ci", "cj").applyInPandas(cell_gram, out_schema)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.9,
-    strategy: str = "salted",
+    strategy: str = "gram",
     n_salts: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
@@ -473,13 +551,21 @@ def embedding_neardup_pairs(
     similarity.lsh_bucket — an unblocked cross join is refused implicitly
     by requiring a block column here.
 
-    ``strategy``: "salted" (default) joins on (block, salt) with the build
-    side replicated per salt — bounded memory at any corpus size;
-    "broadcast" broadcasts the build side (only for corpora known to fit
-    the broadcast limit). Results identical. See _salted_block_sides.
+    ``strategy``:
+      * ``"gram"`` (default) — triangle-blocked Gram cells via
+        applyInPandas: each vector ships to Python once per cell instead
+        of once per candidate pair (see _gram_cell_pairs). Same bounded
+        memory, ~25× less Arrow traffic than the pair join.
+      * ``"salted"`` — (block, salt) sort-merge pair join + per-pair
+        kernel; the all-DataFrame reference form the gram path is
+        equality-tested against.
+      * ``"broadcast"`` — broadcast the build side (only for corpora known
+        to fit the broadcast limit). Results identical.
     """
     if block_col is None:
         raise ValueError("unblocked all-pairs cosine is a cross join; bucket first (similarity.lsh_topk/lsh_bucket)")
+    if strategy == "gram":
+        return _gram_cell_pairs(df, block_col, id_col, vec_col, threshold, n_salts)
     sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),

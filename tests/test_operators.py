@@ -467,3 +467,26 @@ def test_zorder_sort_clusters_quadrants(spark):
     auto = {(r["x"], r["y"]): r["zkey"] for r in zorder_sort(df, ["x", "y"], bits=4).collect()}
     explicit = {(r["x"], r["y"]): r["zkey"] for r in rows}
     assert auto == explicit
+
+
+def test_embedding_neardup_gram_equals_salted(spark, sf_dir):
+    """The triangle-blocked Gram-cell path (default) must produce exactly
+    the pair set and 6-dp similarities of the salted pair-join reference
+    form — including diagonal-cell dedup and cross-cell id ordering."""
+    from hielo_spark.operators import dedup
+    from hielo_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    gram = {
+        (r.block, r.id_a, r.id_b): r.cosine_sim
+        for r in dedup.embedding_neardup_pairs(
+            e, strategy="gram", threshold=0.3, n_salts=4
+        ).collect()
+    }
+    salted = {
+        (r.block, r.id_a, r.id_b): r.cosine_sim
+        for r in dedup.embedding_neardup_pairs(
+            e, strategy="salted", threshold=0.3, n_salts=4
+        ).collect()
+    }
+    assert gram == salted and len(gram) > 0

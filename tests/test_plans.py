@@ -60,20 +60,24 @@ def test_no_cartesian_product(spark, sf_dir, name):
 
 
 def test_all_pairs_queries_never_broadcast_the_corpus(spark, sf_dir):
-    # doc_neardup_jaccard / emb_neardup_cosine default to the salted
-    # (block, salt) sort-merge self-join: with auto-broadcast disabled the
-    # plan must contain NO broadcast join — a BroadcastHashJoin here could
-    # only come from an explicit hint on the unbounded corpus frame, the
-    # exact OOM-at-scale shape the salting replaced. (Auto-broadcast of a
-    # provably small side remains fine in normal runs; it is size-gated.)
+    # doc_neardup_jaccard runs the salted (block, salt) sort-merge
+    # self-join; emb_neardup_cosine defaults to the triangle-blocked Gram
+    # cells (no join at all — one hash shuffle into applyInPandas). With
+    # auto-broadcast disabled neither plan may contain a broadcast join —
+    # that could only come from an explicit hint on the unbounded corpus
+    # frame, the exact OOM-at-scale shape these forms replaced.
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        for name in ("doc_neardup_jaccard", "emb_neardup_cosine"):
-            p = plan_of(spark, sf_dir, name)
-            assert "BroadcastHashJoin" not in p, name
-            assert "BroadcastNestedLoopJoin" not in p, name
-            assert "SortMergeJoin" in p, name
+        p = plan_of(spark, sf_dir, "doc_neardup_jaccard")
+        assert "BroadcastHashJoin" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "SortMergeJoin" in p
+        p = plan_of(spark, sf_dir, "emb_neardup_cosine")
+        assert "BroadcastHashJoin" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "Join" not in p  # pair space never exists as a plan node
+        assert "FlatMapGroupsInPandas" in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
