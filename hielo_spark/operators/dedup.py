@@ -116,46 +116,54 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
 
 def _minhash_kernel(num_hashes: int, bands: int, shingle_n: int):
     """One Arrow-batch kernel: word array → shingle set → 64-bit shingle
-    hashes (blake2b, engine/run deterministic) → MinHash signature
-    (universal re-hash + min, numpy) → per-band mixed bucket hashes.
+    hashes → MinHash signature → per-band mixed bucket hashes.
 
-    Doing all of it in one pandas_udf avoids three interpreted Catalyst
-    projections over the same shingles (measured 3× on the bench)."""
-    import hashlib
-
+    Fused into one pandas_udf so the shingle set is built once (three
+    interpreted Catalyst projections measured 3× slower), and fully
+    vectorized across the batch: shingle hashing is ONE
+    ``pd.util.hash_array`` call over the flattened shingles (C siphash
+    with a fixed key — deterministic across workers/runs; an earlier
+    per-shingle blake2b loop plus per-doc banding loops dominated the
+    kernel), signatures are ``np.minimum.reduceat`` over doc offsets, and
+    the band fold is rows-per-band vectorized steps over the whole batch.
+    The only remaining per-doc Python is shingle-set construction.
+    The hash family is engine-internal (the driver check for
+    doc_neardup_minhash is rows-only by design); pair SEMANTICS are
+    pinned by doc_minhash_recall against exact shingle-Jaccard truth."""
     a_params, b_params = _lcg_params(num_hashes)
     rows = num_hashes // bands
     mix = np.uint64(0x9E3779B97F4A7C15)
 
     @pandas_udf(f"struct<hashes: array<bigint>, bands: array<bigint>>")
     def kernel(words_col: pd.Series) -> pd.DataFrame:
-        a = a_params[:, None]
-        b = b_params[:, None]
-        hashes_out, bands_out = [], []
+        sets: list[np.ndarray] = []
+        offsets = [0]
+        for ws in words_col:
+            ws = list(ws) if ws is not None else []
+            if len(ws) >= shingle_n:
+                shs = {" ".join(ws[i : i + shingle_n]) for i in range(len(ws) - shingle_n + 1)}
+            else:
+                shs = {" ".join(ws)}
+            sets.append(np.asarray(list(shs), dtype=object))
+            offsets.append(offsets[-1] + len(shs))
+        n = len(sets)
+        if n == 0:
+            return pd.DataFrame({"hashes": [], "bands": []})
+        flat = np.concatenate(sets)
+        h = pd.util.hash_array(flat).astype(np.uint64, copy=False)
         with np.errstate(over="ignore"):
-            for ws in words_col:
-                ws = list(ws) if ws is not None else []
-                if len(ws) >= shingle_n:
-                    shs = {" ".join(ws[i : i + shingle_n]) for i in range(len(ws) - shingle_n + 1)}
-                else:
-                    shs = {" ".join(ws)}
-                h = np.fromiter(
-                    (
-                        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-                        for s in shs
-                    ),
-                    dtype=np.uint64,
-                    count=len(shs),
-                )
-                sig = (a * h[None, :] + b).min(axis=1)  # (num_hashes,)
-                band_vals = np.empty(bands, dtype=np.uint64)
-                for bi in range(bands):
-                    acc = np.uint64(bi + 1)
-                    for v in sig[bi * rows : (bi + 1) * rows]:
-                        acc = (acc ^ v) * mix
-                    band_vals[bi] = acc
-                hashes_out.append(h.view(np.int64))
-                bands_out.append(band_vals.view(np.int64))
+            # (num_hashes, total_shingles) universal re-hash, then per-doc
+            # min via reduceat (every doc has ≥1 shingle, segments non-empty)
+            sig_all = a_params[:, None] * h[None, :] + b_params[:, None]
+            mins = np.minimum.reduceat(sig_all, offsets[:-1], axis=1)  # (H, n)
+            sig3 = mins.reshape(bands, rows, n)
+            acc = np.arange(1, bands + 1, dtype=np.uint64)[:, None] * np.ones(
+                n, dtype=np.uint64
+            )
+            for r in range(rows):
+                acc = (acc ^ sig3[:, r, :]) * mix
+        hashes_out = [h[offsets[i] : offsets[i + 1]].view(np.int64) for i in range(n)]
+        bands_out = [acc[:, i].view(np.int64) for i in range(n)]
         return pd.DataFrame({"hashes": hashes_out, "bands": bands_out})
 
     return kernel
