@@ -490,3 +490,22 @@ def test_embedding_neardup_gram_equals_salted(spark, sf_dir):
         ).collect()
     }
     assert gram == salted and len(gram) > 0
+
+
+def test_embedding_neardup_gram_edge_cases(spark):
+    """String block keys, zero-norm vectors (must never match), and a
+    singleton block — gram and salted paths agree on all of them."""
+    from hielo_spark.operators import dedup
+
+    rows = [("a", 1, [1.0, 0.0]), ("a", 2, [1.0, 0.0]), ("a", 3, [0.0, 0.0]),
+            ("b", 4, [0.5, 0.5]), ("b", 5, [-0.5, -0.5]), ("c", 6, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, ["label", "vec_id", "embedding"])
+    gram = sorted(
+        (r.block, r.id_a, r.id_b, r.cosine_sim)
+        for r in dedup.embedding_neardup_pairs(df, threshold=0.9, strategy="gram").collect()
+    )
+    salted = sorted(
+        (r.block, r.id_a, r.id_b, r.cosine_sim)
+        for r in dedup.embedding_neardup_pairs(df, threshold=0.9, strategy="salted").collect()
+    )
+    assert gram == salted == [("a", 1, 2, 1.0)]
