@@ -1912,11 +1912,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J4 — sole late supplier (TPC-H Q21 shape; lateness is ship-vs-order +90d
 # since the fixture has no receipt/commit dates). The classic double
 # correlation — EXISTS (another supplier on the order) AND NOT EXISTS
-# (another LATE supplier) — decorrelates to ONE per-order distinct
-# aggregate reused for both conditions: n_supp > 1 covers the EXISTS,
-# n_late_suppliers == 1 covers the NOT EXISTS (the outer row's supplier
-# is itself late, so it is the one). One orderkey shuffle for the stats,
-# one co-partitioned join back — no per-row subquery probes.
+# (another LATE supplier) — decorrelates to per-order distinct-supplier
+# counts: n_supp > 1 covers the EXISTS, n_late_suppliers == 1 covers the
+# NOT EXISTS (the outer row's supplier is itself late, so it is the one).
+# Spark shape: the counts are WINDOW collect_sets over the l_orderkey
+# partitioning — one scan, one shuffle (the groupBy+join-back form plans
+# the base subtree twice: Catalyst has no CSE across a self-join). State
+# per order is its supplier set — bounded by suppliers-per-order, not
+# lines. The oracle keeps the aggregate+join formulation (results equal).
 # --------------------------------------------------------------------------
 @query(
     "q21_sole_late_supplier",
@@ -1957,15 +1960,16 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.date_add(F.col("o_orderdate").cast("date"), 90)
         ).alias("late"),
     )
-    stats = base.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    w = Window.partitionBy("l_orderkey")
+    staged = base.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late",
+        F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        base.filter(F.col("late"))
-        .join(stats, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        staged.filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").cast("bigint").alias("numwait"))

@@ -265,11 +265,13 @@ def test_q19_disjunction_stays_hash_join(spark, sf_dir):
 
 
 def test_q21_double_correlation_one_stats_pass(spark, sf_dir):
-    # EXISTS + NOT EXISTS decorrelate to one per-order distinct aggregate
-    # joined back — no nested-loop probes, no cartesian
+    # EXISTS + NOT EXISTS decorrelate to window collect_sets over ONE
+    # l_orderkey shuffle — single lineitem scan, no self-join, no
+    # nested-loop probes, no cartesian
     p = plan_of(spark, sf_dir, "q21_sole_late_supplier")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange hashpartitioning(l_orderkey") == 1, p
 
 
 def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
