@@ -1,0 +1,162 @@
+"""Iceberg manifest-list / manifest readers without the Iceberg runtime.
+
+SURVEY §2.1 S7's deepest blocked piece: the reference loads snapshots AND
+their file inventory from the catalog (iceberg_adapter.rs:11-65); Spark's
+``t.files`` / ``t.manifests`` metadata tables need the
+iceberg-spark-runtime jar, which this environment cannot obtain (verified
+rounds 1-3: no jar on disk, no network). The *data* needed is just Avro
+container files referenced from the table-metadata JSON — and Spark's own
+classpath already ships the Apache Avro core library (avro-1.12.1.jar,
+used internally by Spark). This module drives that JVM library through
+py4j to parse real Iceberg v1/v2 manifest lists and manifests, producing
+the same frames the metadata operators consume (``files_from_orders``
+shape → `files.py::file_size_histogram` runs unchanged on real tables).
+
+Scale note — deliberately driver-side: manifest parsing is the *planning*
+plane. A manifest list is one row per manifest (~KBs); manifests cover
+thousands of data files each (a million-file table ≈ 100 manifests). Every
+query engine's planner reads these centrally before distributing work; at
+larger counts the distributed path is `spark.read.format("avro")`
+(spark-avro jar) or the Iceberg metadata tables themselves — both
+jar-gated here. The JVM objects never cross to executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Iceberg spec field names; v1/v2 disagree on the count columns
+# (https://iceberg.apache.org/spec/#manifest-lists — public spec).
+_COUNT_ALIASES = {
+    "added_files_count": ("added_files_count", "added_data_files_count"),
+    "existing_files_count": ("existing_files_count", "existing_data_files_count"),
+    "deleted_files_count": ("deleted_files_count", "deleted_data_files_count"),
+}
+
+
+def _py(v):
+    """py4j value → Python scalar (Utf8/GenericEnumSymbol → str)."""
+    if v is None or isinstance(v, (int, float, bool, str)):
+        return v
+    return v.toString()
+
+
+def _get(rec, name):
+    """Null-safe field access: Avro 1.12's Record.get THROWS on fields
+    absent from the writer schema (older versions returned null)."""
+    if rec.getSchema().getField(name) is None:
+        return None
+    return rec.get(name)
+
+
+def _avro_reader(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    return jvm.org.apache.avro.file.DataFileReader.openReader(
+        jvm.java.io.File(path), reader
+    )
+
+
+def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
+    """One row per manifest in an Iceberg manifest-list Avro file."""
+    dfr = _avro_reader(spark, path)
+    rows = []
+    try:
+        while dfr.hasNext():
+            r = dfr.next()
+
+            def count(name):
+                for alias in _COUNT_ALIASES[name]:
+                    v = _get(r, alias)
+                    if v is not None:
+                        return int(v)
+                return None
+
+            rows.append(
+                (
+                    _py(_get(r, "manifest_path")),
+                    _py(_get(r, "manifest_length")),
+                    _py(_get(r, "partition_spec_id")),
+                    _py(_get(r, "added_snapshot_id")),
+                    count("added_files_count"),
+                    count("existing_files_count"),
+                    count("deleted_files_count"),
+                )
+            )
+    finally:
+        dfr.close()
+    return spark.createDataFrame(
+        rows,
+        "manifest_path string, manifest_length long, partition_spec_id int, "
+        "added_snapshot_id long, added_files_count int, existing_files_count int, "
+        "deleted_files_count int",
+    )
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """One row per data-file entry in an Iceberg manifest Avro file.
+
+    ``status``: 0 existing / 1 added / 2 deleted (spec); deleted entries
+    are kept so callers can filter — the live file set is status != 2.
+    """
+    dfr = _avro_reader(spark, path)
+    rows = []
+    try:
+        while dfr.hasNext():
+            r = dfr.next()
+            df_rec = _get(r, "data_file")
+            rows.append(
+                (
+                    int(_py(_get(r, "status"))),
+                    _py(_get(r, "snapshot_id")),
+                    _py(_get(df_rec, "file_path")),
+                    _py(_get(df_rec, "file_format")),
+                    int(_py(_get(df_rec, "record_count"))),
+                    int(_py(_get(df_rec, "file_size_in_bytes"))),
+                )
+            )
+    finally:
+        dfr.close()
+    return spark.createDataFrame(
+        rows,
+        "status int, snapshot_id long, file_path string, file_format string, "
+        "record_count long, file_size_in_bytes long",
+    )
+
+
+def files_from_manifest_list(
+    spark: SparkSession, table_name: str, manifest_list_path: str
+) -> DataFrame:
+    """The ``t.files`` frame of a snapshot, straight from its manifest
+    list: parse the list, parse each referenced manifest, keep live
+    entries (status != 2 deleted), and emit the canonical files shape
+    (``files_from_orders``-compatible — `file_size_histogram` and the A7
+    health heuristics run unchanged on it)."""
+    import os
+
+    mlist = read_manifest_list(spark, manifest_list_path).collect()
+    out = None
+    for m in mlist:
+        p = m.manifest_path
+        # manifest paths are absolute URIs in real tables; tolerate
+        # relative fixture paths
+        local = p[len("file:"):] if p.startswith("file:") else p
+        if not os.path.isabs(local):
+            local = os.path.join(os.path.dirname(manifest_list_path), local)
+        entries = read_manifest(spark, local)
+        out = entries if out is None else out.unionByName(entries)
+    if out is None:
+        return spark.createDataFrame(
+            [], "table_name string, file_path string, file_size_in_bytes long, record_count long"
+        )
+    from pyspark.sql import functions as F
+
+    return (
+        out.filter(F.col("status") != 2)
+        .select(
+            F.lit(table_name).alias("table_name"),
+            "file_path",
+            "file_size_in_bytes",
+            "record_count",
+        )
+    )

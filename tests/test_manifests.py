@@ -1,0 +1,165 @@
+"""Iceberg manifest-plane readers (metadata/manifests.py): real Avro
+container files — written with the same Apache Avro JVM library Spark
+ships (the codec under test is Apache's, not ours; our code under test
+is the Iceberg-schema interpretation and frame construction) — parsed
+back into the canonical frames, through to the file-size histogram.
+
+Long-typed Avro fields get values > 2^31 so py4j converts the Python
+ints to java.lang.Long (small ints arrive as Integer and Avro's
+GenericDatumWriter refuses them for long fields)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hielo_spark.metadata.manifests import (
+    files_from_manifest_list,
+    read_manifest,
+    read_manifest_list,
+)
+
+MANIFEST_LIST_V2 = """
+{"type":"record","name":"manifest_file","fields":[
+ {"name":"manifest_path","type":"string"},
+ {"name":"manifest_length","type":"long"},
+ {"name":"partition_spec_id","type":"int"},
+ {"name":"added_snapshot_id","type":"long"},
+ {"name":"added_files_count","type":"int"},
+ {"name":"existing_files_count","type":"int"},
+ {"name":"deleted_files_count","type":"int"}]}
+"""
+
+MANIFEST_LIST_V1 = """
+{"type":"record","name":"manifest_file","fields":[
+ {"name":"manifest_path","type":"string"},
+ {"name":"manifest_length","type":"long"},
+ {"name":"partition_spec_id","type":"int"},
+ {"name":"added_snapshot_id","type":"long"},
+ {"name":"added_data_files_count","type":"int"},
+ {"name":"existing_data_files_count","type":"int"},
+ {"name":"deleted_data_files_count","type":"int"}]}
+"""
+
+MANIFEST_ENTRY = """
+{"type":"record","name":"manifest_entry","fields":[
+ {"name":"status","type":"int"},
+ {"name":"snapshot_id","type":["null","long"],"default":null},
+ {"name":"data_file","type":{"type":"record","name":"data_file_r","fields":[
+   {"name":"file_path","type":"string"},
+   {"name":"file_format","type":"string"},
+   {"name":"record_count","type":"long"},
+   {"name":"file_size_in_bytes","type":"long"}]}}]}
+"""
+
+SNAP = 3_000_000_001  # > 2^31: forces java.lang.Long through py4j
+MB = 1048576
+
+
+def _write_avro(spark, path: str, schema_json: str, rows: list[dict]) -> None:
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    dfw.create(schema, jvm.java.io.File(path))
+    for row in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        for k, v in row.items():
+            if isinstance(v, dict):
+                sub_schema = schema.getField(k).schema()
+                sub = jvm.org.apache.avro.generic.GenericData.Record(sub_schema)
+                for k2, v2 in v.items():
+                    sub.put(k2, v2)
+                rec.put(k, sub)
+            else:
+                rec.put(k, v)
+        dfw.append(rec)
+    dfw.close()
+
+
+def _entry(status: int, path: str, size_bytes: int, records: int) -> dict:
+    return {
+        "status": status,
+        "snapshot_id": SNAP,
+        "data_file": {
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": SNAP + records,
+            "file_size_in_bytes": size_bytes,
+        },
+    }
+
+
+def test_manifest_roundtrip_and_histogram(spark, tmp_path):
+    from hielo_spark.metadata.files import file_size_histogram
+
+    m1 = str(tmp_path / "m1.avro")
+    m2 = str(tmp_path / "m2.avro")
+    # bucket edges are in MB; file_size_in_bytes must be > 2^31 for py4j →
+    # use the large(>512MB) and huge sizes plus one deleted entry
+    _write_avro(
+        spark,
+        m1,
+        MANIFEST_ENTRY,
+        [
+            _entry(1, "s3://w/data/a.parquet", 3 * 1024 * MB, 10),  # 3 GiB large
+            _entry(0, "s3://w/data/b.parquet", 5 * 1024 * MB, 20),  # 5 GiB large
+            _entry(2, "s3://w/data/gone.parquet", 4 * 1024 * MB, 5),  # deleted
+        ],
+    )
+    _write_avro(
+        spark,
+        m2,
+        MANIFEST_ENTRY,
+        [_entry(1, "s3://w/data/c.parquet", 2 * 1024 * MB + 7, 30)],
+    )
+    mlist = str(tmp_path / "snap-1.avro")
+    _write_avro(
+        spark,
+        mlist,
+        MANIFEST_LIST_V2,
+        [
+            {"manifest_path": f"file:{m1}", "manifest_length": SNAP, "partition_spec_id": 0,
+             "added_snapshot_id": SNAP, "added_files_count": 2, "existing_files_count": 0,
+             "deleted_files_count": 1},
+            {"manifest_path": m2, "manifest_length": SNAP, "partition_spec_id": 0,
+             "added_snapshot_id": SNAP, "added_files_count": 1, "existing_files_count": 0,
+             "deleted_files_count": 0},
+        ],
+    )
+
+    lst = read_manifest_list(spark, mlist)
+    assert [r.manifest_path for r in lst.collect()] == [f"file:{m1}", m2]
+    assert [r.added_files_count for r in lst.collect()] == [2, 1]
+
+    entries = read_manifest(spark, m1)
+    assert entries.count() == 3
+    assert entries.filter(F.col("status") == 2).count() == 1
+
+    files = files_from_manifest_list(spark, "real_t", mlist)
+    got = {r.file_path: r.file_size_in_bytes for r in files.collect()}
+    # the deleted entry is excluded; live files from both manifests present
+    assert got == {
+        "s3://w/data/a.parquet": 3 * 1024 * MB,
+        "s3://w/data/b.parquet": 5 * 1024 * MB,
+        "s3://w/data/c.parquet": 2 * 1024 * MB + 7,
+    }
+    hist = {
+        (r.table_name, r.bucket): (r.n_files, r.pct_files)
+        for r in file_size_histogram(files).collect()
+    }
+    assert hist == {("real_t", "large(>512MB)"): (3, 100.0)}
+
+
+def test_manifest_list_v1_field_aliases(spark, tmp_path):
+    p = str(tmp_path / "snap-v1.avro")
+    _write_avro(
+        spark,
+        p,
+        MANIFEST_LIST_V1,
+        [{"manifest_path": "m.avro", "manifest_length": SNAP, "partition_spec_id": 1,
+          "added_snapshot_id": SNAP, "added_data_files_count": 7,
+          "existing_data_files_count": 3, "deleted_data_files_count": 0}],
+    )
+    r = read_manifest_list(spark, p).collect()[0]
+    assert (r.added_files_count, r.existing_files_count, r.deleted_files_count) == (7, 3, 0)
+    assert r.partition_spec_id == 1
