@@ -134,3 +134,42 @@ def schemas_from_metadata_json(
             yield pd.DataFrame(rows, columns=cols)
 
     return joined.mapInPandas(parse_batches, SCHEMAS_LONG_SCHEMA)
+
+
+def snapshots_from_metadata_json(
+    spark: SparkSession, table_name: str, path: str
+) -> DataFrame:
+    """A real table's snapshots frame (fixtures.SNAPSHOT_SCHEMA — the
+    shape every snapshot/health/timeline operator consumes) parsed from
+    its table-metadata JSON document. Combined with
+    ``manifests.files_from_manifest_list`` over each snapshot's
+    ``manifest_list``, this is the full no-jar metadata plane: the whole
+    [meta] suite runs against a real Iceberg warehouse directory.
+
+    Summary values arrive as strings exactly as committed (the Iceberg
+    spec's "all values are strings"); ``timestamp-ms`` becomes a UTC
+    timestamp like the catalog path would produce.
+    """
+    import datetime as dt
+
+    from .fixtures import SNAPSHOT_SCHEMA
+
+    with open(path) as f:
+        doc = json.load(f)
+    rows = []
+    for s in doc.get("snapshots", []):
+        ts = dt.datetime.fromtimestamp(
+            int(s["timestamp-ms"]) / 1000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        summary = s.get("summary")
+        rows.append(
+            (
+                table_name,
+                int(s["snapshot-id"]),
+                ts,
+                s.get("manifest-list", ""),
+                int(s["schema-id"]) if s.get("schema-id") is not None else None,
+                {str(k): str(v) for k, v in summary.items()} if summary else None,
+            )
+        )
+    return spark.createDataFrame(rows, SNAPSHOT_SCHEMA)

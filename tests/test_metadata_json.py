@@ -80,3 +80,78 @@ def test_distributed_parse_feeds_evolution(spark, tmp_path):
     assert m[2]["s0_type"] == "decimal(10, 2)" and m[2]["s1_type"] == "decimal(18, 4)"
     assert m[2]["s0_required"] is False and m[2]["s1_required"] is True
     assert m[5]["s0_type"] is None and m[5]["s1_type"] == "list"
+
+
+def test_full_no_jar_metadata_plane(spark, tmp_path):
+    """End-to-end on a real-shaped Iceberg warehouse dir, no runtime jar:
+    metadata.json → snapshots frame → timeline/op-counts/latest, and the
+    latest snapshot's manifest list (real Avro) → files frame → exact
+    histogram."""
+    import json
+
+    from hielo_spark.metadata import snapshots as snap
+    from hielo_spark.metadata.files import file_size_histogram
+    from hielo_spark.metadata.manifests import files_from_manifest_list
+    from hielo_spark.metadata.metadata_json import snapshots_from_metadata_json
+    from tests.test_manifests import (
+        MANIFEST_ENTRY,
+        MANIFEST_LIST_V2,
+        SNAP,
+        _entry,
+        _write_avro,
+    )
+
+    m1 = str(tmp_path / "m1.avro")
+    MB = 1048576
+    _write_avro(
+        spark, m1, MANIFEST_ENTRY,
+        [_entry(1, "s3://w/data/a.parquet", 3 * 1024 * MB, 1),
+         _entry(1, "s3://w/data/b.parquet", 9 * 1024 * MB, 2)],
+    )
+    mlist = str(tmp_path / "snap-3.avro")
+    _write_avro(
+        spark, mlist, MANIFEST_LIST_V2,
+        [{"manifest_path": m1, "manifest_length": SNAP, "partition_spec_id": 0,
+          "added_snapshot_id": SNAP, "added_files_count": 2,
+          "existing_files_count": 0, "deleted_files_count": 0}],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0000",
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1700000000000, "schema-id": 0,
+             "manifest-list": "snap-1.avro",
+             "summary": {"operation": "append", "added-data-files": "4",
+                         "added-records": "100"}},
+            {"snapshot-id": 2, "timestamp-ms": 1700086400000, "schema-id": 0,
+             "manifest-list": "snap-2.avro",
+             "summary": {"operation": "delete", "deleted-records": "7"}},
+            {"snapshot-id": 3, "timestamp-ms": 1700172800000, "schema-id": 1,
+             "manifest-list": mlist,
+             "summary": {"operation": "rewrite-data-files", "added-data-files": "2"}},
+            {"snapshot-id": 4, "timestamp-ms": 1700259200000, "schema-id": 1,
+             "manifest-list": "snap-4.avro"},
+        ],
+    }
+    mpath = str(tmp_path / "v2.metadata.json")
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+
+    snaps = snapshots_from_metadata_json(spark, "real_t", mpath)
+    assert snaps.count() == 4
+
+    ops = {(r.operation): r.n for r in snap.operation_counts(snaps).collect()}
+    assert ops == {"append": 1, "delete": 1, "rewrite-data-files": 1, "unknown": 1}
+
+    latest = snap.latest_snapshot(snaps).collect()[0]
+    assert latest.snapshot_id == 4 and latest.schema_id == 1
+
+    tl = snap.timeline(snaps).collect()
+    assert [r.snapshot_id for r in tl] == [4, 3, 2, 1]
+    assert tl[1].operation == "rewrite-data-files"
+
+    # the rewrite snapshot's manifest list → live files → exact histogram
+    manifest_list_path = {r.snapshot_id: r.manifest_list for r in snaps.collect()}[3]
+    files = files_from_manifest_list(spark, "real_t", manifest_list_path)
+    hist = {r.bucket: r.n_files for r in file_size_histogram(files).collect()}
+    assert hist == {"large(>512MB)": 2}
