@@ -160,3 +160,56 @@ def files_from_manifest_list(
             "record_count",
         )
     )
+
+
+def read_data_at_snapshot(
+    spark: SparkSession,
+    metadata_json_path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Executable time travel without the Iceberg runtime (S12): pick a
+    snapshot from the table-metadata JSON (by id, by ``as_of_ms`` — the
+    latest snapshot committed at or before that instant, mirroring
+    ``TIMESTAMP AS OF`` — or the latest), resolve its manifest list to
+    the live data-file paths, and read those parquet files directly.
+
+    Scope (documented, not silent): copy-on-write tables are exact; v2
+    merge-on-read position/equality DELETE files are not applied (that
+    row-level merge is what genuinely needs the runtime). The file-path
+    collect is planning-plane work — the same listing any engine's
+    planner materializes to make splits.
+    """
+    import json
+    import os
+
+    with open(metadata_json_path) as f:
+        doc = json.load(f)
+    snaps = sorted(doc.get("snapshots", []), key=lambda s: int(s["timestamp-ms"]))
+    if not snaps:
+        raise ValueError(f"no snapshots in {metadata_json_path}")
+    if (snapshot_id is not None) and (as_of_ms is not None):
+        raise ValueError("pass at most one of snapshot_id / as_of_ms")
+    if snapshot_id is not None:
+        matching = [s for s in snaps if int(s["snapshot-id"]) == snapshot_id]
+        if not matching:
+            raise ValueError(f"snapshot {snapshot_id} not in {metadata_json_path}")
+        chosen = matching[0]
+    elif as_of_ms is not None:
+        before = [s for s in snaps if int(s["timestamp-ms"]) <= as_of_ms]
+        if not before:
+            raise ValueError(f"no snapshot at or before {as_of_ms}")
+        chosen = before[-1]
+    else:
+        chosen = snaps[-1]
+
+    mlist = chosen["manifest-list"]
+    if not os.path.isabs(mlist.removeprefix("file:")):
+        mlist = os.path.join(os.path.dirname(metadata_json_path), mlist)
+    files = files_from_manifest_list(spark, "t", mlist.removeprefix("file:"))
+    paths = [
+        r.file_path.removeprefix("file:") for r in files.select("file_path").collect()
+    ]
+    if not paths:
+        raise ValueError(f"snapshot {chosen['snapshot-id']} has no live data files")
+    return spark.read.parquet(*paths)

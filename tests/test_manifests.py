@@ -163,3 +163,53 @@ def test_manifest_list_v1_field_aliases(spark, tmp_path):
     r = read_manifest_list(spark, p).collect()[0]
     assert (r.added_files_count, r.existing_files_count, r.deleted_files_count) == (7, 3, 0)
     assert r.partition_spec_id == 1
+
+
+def test_read_data_at_snapshot_time_travel(spark, tmp_path):
+    """Two snapshots over real parquet data files: VERSION-AS-OF by id,
+    TIMESTAMP-AS-OF by instant, and latest-by-default all read exactly
+    the files live in that snapshot."""
+    import json
+
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    d1 = str(tmp_path / "d1.parquet")
+    d2 = str(tmp_path / "d2.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).coalesce(1).write.parquet(d1)
+    spark.createDataFrame([(3, "c")], ["id", "v"]).coalesce(1).write.parquet(d2)
+
+    def manifest_for(name, *parts):
+        p = str(tmp_path / f"{name}.avro")
+        _write_avro(spark, p, MANIFEST_ENTRY, [_entry(1, part, 3 * 1024 * 1048576, 1) for part in parts])
+        return p
+
+    def mlist_for(name, manifest):
+        p = str(tmp_path / f"{name}.avro")
+        _write_avro(spark, p, MANIFEST_LIST_V2, [
+            {"manifest_path": manifest, "manifest_length": SNAP, "partition_spec_id": 0,
+             "added_snapshot_id": SNAP, "added_files_count": 1,
+             "existing_files_count": 0, "deleted_files_count": 0}])
+        return p
+
+    ml1 = mlist_for("list-1", manifest_for("man-1", d1))
+    ml2 = mlist_for("list-2", manifest_for("man-2", d1, d2))
+    meta = {
+        "format-version": 2,
+        "snapshots": [
+            {"snapshot-id": 10, "timestamp-ms": 1700000000000, "schema-id": 0,
+             "manifest-list": ml1, "summary": {"operation": "append"}},
+            {"snapshot-id": 11, "timestamp-ms": 1700100000000, "schema-id": 0,
+             "manifest-list": ml2, "summary": {"operation": "append"}},
+        ],
+    }
+    mpath = str(tmp_path / "v3.metadata.json")
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+
+    at_10 = {r.id for r in read_data_at_snapshot(spark, mpath, snapshot_id=10).collect()}
+    at_11 = {r.id for r in read_data_at_snapshot(spark, mpath, snapshot_id=11).collect()}
+    latest = {r.id for r in read_data_at_snapshot(spark, mpath).collect()}
+    as_of = {r.id for r in read_data_at_snapshot(spark, mpath, as_of_ms=1700050000000).collect()}
+    assert at_10 == {1, 2}
+    assert at_11 == latest == {1, 2, 3}
+    assert as_of == {1, 2}  # between the two commits → the earlier snapshot
