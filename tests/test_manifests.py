@@ -213,3 +213,79 @@ def test_read_data_at_snapshot_time_travel(spark, tmp_path):
     assert at_10 == {1, 2}
     assert at_11 == latest == {1, 2, 3}
     assert as_of == {1, 2}  # between the two commits → the earlier snapshot
+
+
+def _mini_warehouse(spark, tmp_path):
+    """Two snapshots + one orphan: s1 = {d_old, d1}, s2 = {d1, d2};
+    d_orphan exists on disk but is referenced by neither."""
+    import json
+
+    import glob as globmod
+
+    data = tmp_path / "data"
+    paths = {}
+    for name, rows in (
+        ("d_old", [(0, "z")]), ("d1", [(1, "a"), (2, "b")]),
+        ("d2", [(3, "c")]), ("d_orphan", [(9, "x")]),
+    ):
+        p = str(data / f"{name}.parquet")
+        spark.createDataFrame(rows, ["id", "v"]).coalesce(1).write.parquet(p)
+        # manifests reference individual data FILES (as Iceberg does),
+        # not the directory Spark's writer wraps them in
+        paths[name] = globmod.glob(f"{p}/part-*.parquet")[0]
+
+    def mk_snapshot(name, *files):
+        man = str(tmp_path / f"man-{name}.avro")
+        _write_avro(spark, man, MANIFEST_ENTRY,
+                    [_entry(1, paths[f], 3 * 1024 * MB, 1) for f in files])
+        ml = str(tmp_path / f"list-{name}.avro")
+        _write_avro(spark, ml, MANIFEST_LIST_V2, [
+            {"manifest_path": man, "manifest_length": SNAP, "partition_spec_id": 0,
+             "added_snapshot_id": SNAP, "added_files_count": len(files),
+             "existing_files_count": 0, "deleted_files_count": 0}])
+        return ml
+
+    meta = {
+        "format-version": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1700000000000, "schema-id": 0,
+             "manifest-list": mk_snapshot("s1", "d_old", "d1"),
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 2, "timestamp-ms": 1700100000000, "schema-id": 0,
+             "manifest-list": mk_snapshot("s2", "d1", "d2"),
+             "summary": {"operation": "append"}},
+        ],
+    }
+    mpath = str(tmp_path / "w.metadata.json")
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    return str(data), mpath, paths
+
+
+def test_orphan_file_detection(spark, tmp_path):
+    from hielo_spark.ops.analysis import orphan_files
+
+    data_dir, mpath, paths = _mini_warehouse(spark, tmp_path)
+    orphans = orphan_files(spark, data_dir, mpath)
+    got = [r.path for r in orphans.collect()]
+    assert len(got) == 1 and "d_orphan" in got[0]
+
+
+def test_expire_snapshots_plan(spark, tmp_path):
+    from hielo_spark.ops.analysis import expire_snapshots_plan
+
+    data_dir, mpath, paths = _mini_warehouse(spark, tmp_path)
+    # expire everything older than a cutoff between the two commits,
+    # retaining the newest snapshot: s1 expires; d_old (only in s1) is
+    # removable, d1 is NOT (still live in s2)
+    expired, removable = expire_snapshots_plan(
+        spark, mpath, older_than_ms=1700050000000, retain_last=1
+    )
+    assert [r.snapshot_id for r in expired.collect()] == [1]
+    rem = [r.file_path for r in removable.collect()]
+    assert len(rem) == 1 and "d_old" in rem[0]
+    # retention floor wins: retain_last=2 expires nothing
+    expired2, removable2 = expire_snapshots_plan(
+        spark, mpath, older_than_ms=1700050000000, retain_last=2
+    )
+    assert expired2.count() == 0 and removable2.count() == 0
