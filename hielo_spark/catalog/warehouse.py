@@ -1,0 +1,97 @@
+"""Hadoop-catalog-style table discovery over a warehouse directory
+(SURVEY §2.1 S5/S6 for the no-service catalog mode).
+
+The Hadoop catalog is a real Iceberg catalog type with no REST/Glue
+service behind it: a table IS a directory ``<warehouse>/<ns>/<table>/``
+whose ``metadata/`` holds versioned ``*.metadata.json`` documents, and
+discovery IS directory listing. That makes live browsing possible here
+despite the jar/network block: list ``*.metadata.json`` distributed
+(binaryFile source — executors stat the tree), derive (namespace, table,
+latest metadata version) with window ranking, and hand each table's
+latest document to the no-jar metadata plane
+(``metadata_json.snapshots_from_metadata_json`` → timeline/health;
+``manifests.files_from_manifest_list`` → files/histogram/orphans).
+
+Version ordering handles both Hadoop-catalog naming (``v<N>.metadata``)
+and the UUID naming (``<seq>-<uuid>.metadata``) by the leading integer,
+falling back to lexicographic modification order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+
+def discover_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    """(namespace, table_name, full_name, metadata_json_path, version)
+    — one row per table, pointing at its LATEST metadata document."""
+    listed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.metadata.json")
+        .option("recursiveFileLookup", "true")
+        .load(warehouse_dir)
+        .select("path", "modificationTime")
+    )
+    # .../<ns>/<table>/metadata/<version>.metadata.json
+    parts = F.split(F.col("path"), "/")
+    n = F.size(parts)
+    fname = F.element_at(parts, -1)
+    version = F.coalesce(
+        F.regexp_extract(fname, r"^v?(\d+)", 1).try_cast("long"), F.lit(-1)
+    )
+    tables = listed.select(
+        F.element_at(parts, n - 3).alias("namespace"),
+        F.element_at(parts, n - 2).alias("table_name"),
+        F.col("path").alias("metadata_json_path"),
+        version.alias("version"),
+        "modificationTime",
+    )
+    w = Window.partitionBy("namespace", "table_name").orderBy(
+        F.col("version").desc(), F.col("modificationTime").desc(), F.col("metadata_json_path").desc()
+    )
+    return (
+        tables.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "namespace",
+            "table_name",
+            F.concat_ws(".", "namespace", "table_name").alias("full_name"),
+            "metadata_json_path",
+            "version",
+        )
+    )
+
+
+def catalog_tree_from_warehouse(
+    spark: SparkSession, catalog_name: str, warehouse_dir: str
+) -> DataFrame:
+    """The browse/search operators' catalog_tree frame (catalog_name,
+    namespace, table_name, full_name, table_type) from a warehouse
+    directory — every table discovered this way is an Iceberg table."""
+    return discover_tables(spark, warehouse_dir).select(
+        F.lit(catalog_name).alias("catalog_name"),
+        "namespace",
+        "table_name",
+        F.concat_ws(".", F.lit(catalog_name), "namespace", "table_name").alias("full_name"),
+        F.lit("iceberg").alias("table_type"),
+    )
+
+
+def snapshots_for_warehouse(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    """Every discovered table's snapshots, unioned into the canonical
+    frame — the input the health suite / timeline / operation counts run
+    on, now for a whole real warehouse at once. Table count bounds the
+    driver loop (the per-table JSON parse is planning-plane work; the
+    frames themselves are distributed)."""
+    from ..metadata.metadata_json import snapshots_from_metadata_json
+
+    out = None
+    for r in discover_tables(spark, warehouse_dir).collect():
+        s = snapshots_from_metadata_json(spark, r.full_name, r.metadata_json_path.removeprefix("file:"))
+        out = s if out is None else out.unionByName(s)
+    if out is None:
+        from ..metadata.fixtures import SNAPSHOT_SCHEMA
+
+        return spark.createDataFrame([], SNAPSHOT_SCHEMA)
+    return out

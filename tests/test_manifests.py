@@ -289,3 +289,57 @@ def test_expire_snapshots_plan(spark, tmp_path):
         spark, mpath, older_than_ms=1700050000000, retain_last=2
     )
     assert expired2.count() == 0 and removable2.count() == 0
+
+
+def test_warehouse_discovery_and_health(spark, tmp_path):
+    """Hadoop-catalog mode end-to-end: two tables laid out as
+    <warehouse>/<ns>/<table>/metadata/v<N>.metadata.json, discovered by
+    distributed listing (latest version wins), browsed via the catalog
+    tree, and fed to the health suite as one snapshots frame."""
+    import json
+
+    from hielo_spark.catalog.browse import search
+    from hielo_spark.catalog.warehouse import (
+        catalog_tree_from_warehouse,
+        discover_tables,
+        snapshots_for_warehouse,
+    )
+    from hielo_spark.metadata import snapshots as snap
+
+    wh = tmp_path / "warehouse"
+    for ns, tbl, n_versions, n_snaps in (
+        ("analytics", "orders_t", 2, 2),
+        ("raw", "events_t", 1, 1),
+    ):
+        mdir = wh / ns / tbl / "metadata"
+        mdir.mkdir(parents=True)
+        for v in range(1, n_versions + 1):
+            doc = {
+                "format-version": 2,
+                "snapshots": [
+                    {"snapshot-id": i + 1, "timestamp-ms": 1700000000000 + i * 1000,
+                     "schema-id": 0, "manifest-list": f"snap-{i+1}.avro",
+                     "summary": {"operation": "append", "added-records": str(10 * v)}}
+                    # older metadata versions carry fewer snapshots
+                    for i in range(n_snaps if v == n_versions else n_snaps - 1)
+                ],
+            }
+            with open(mdir / f"v{v}.metadata.json", "w") as f:
+                json.dump(doc, f)
+
+    disc = {r.full_name: (r.version, r.metadata_json_path) for r in discover_tables(spark, str(wh)).collect()}
+    assert set(disc) == {"analytics.orders_t", "raw.events_t"}
+    assert disc["analytics.orders_t"][0] == 2  # latest version won
+    assert "v2.metadata.json" in disc["analytics.orders_t"][1]
+
+    tree = catalog_tree_from_warehouse(spark, "wh", str(wh))
+    hit = search(tree, "orders").collect()
+    assert len(hit) == 1 and hit[0].full_name == "wh.analytics.orders_t"
+
+    snaps = snapshots_for_warehouse(spark, str(wh))
+    # orders_t contributes its v2 snapshot count (2), events_t one
+    counts = {r.table_name: r.n for r in
+              snaps.groupBy("table_name").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"analytics.orders_t": 2, "raw.events_t": 1}
+    latest = {r.table_name: r.snapshot_id for r in snap.latest_snapshot(snaps).collect()}
+    assert latest == {"analytics.orders_t": 2, "raw.events_t": 1}
