@@ -1,0 +1,156 @@
+"""Iceberg REST catalog client for the metadata plane (SURVEY §2.1
+S1/S4/S5/S6, REST mode) — no runtime jar required.
+
+The REST catalog protocol is public HTTP+JSON
+(https://iceberg.apache.org/spec/ — the rest-catalog-open-api spec):
+list namespaces, list tables, load table. Spark's SQL integration of a
+REST catalog needs the iceberg-spark runtime (jar-gated here), but the
+BROWSING and metadata surfaces the reference is built around
+(catalog.rs:381-430) only need this client: a load-table response
+carries the full table-metadata document, which feeds the no-jar
+metadata plane directly (metadata_json.snapshot_rows_from_doc →
+timeline/health; its manifest-list paths → manifests.py → files).
+
+Driver-side HTTP by design: catalog listing is control-plane traffic (a
+page of namespaces per round-trip). urllib only — no extra deps.
+
+Credentials come from catalog.profiles.CatalogProfile (token → Bearer
+header); sanitization rules there apply before any profile is logged.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+#: multi-level namespace separator in URL paths, per the REST spec
+NS_SEPARATOR = "\x1f"
+
+
+class RestCatalogClient:
+    def __init__(
+        self,
+        uri: str,
+        token: str | None = None,
+        warehouse: str | None = None,
+        prefix: str | None = None,
+        timeout: float = 30.0,
+    ):
+        self.base = uri.rstrip("/")
+        self.token = token
+        self.warehouse = warehouse
+        self.prefix = prefix.strip("/") if prefix else None
+        self.timeout = timeout
+
+    # -- transport ---------------------------------------------------------
+
+    def _url(self, path: str, params: dict | None = None) -> str:
+        parts = [self.base, "v1"]
+        if self.prefix:
+            parts.append(self.prefix)
+        parts.append(path.lstrip("/"))
+        url = "/".join(parts)
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        return url
+
+    def _get(self, path: str, params: dict | None = None) -> dict:
+        req = urllib.request.Request(self._url(path, params))
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    # -- catalog operations ------------------------------------------------
+
+    def test_connection(self) -> bool:
+        """S4 — config endpoint probe (GET /v1/config per spec)."""
+        req = urllib.request.Request(f"{self.base}/v1/config")
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.status == 200
+
+    def list_namespaces(self) -> list[str]:
+        """S5 — all namespaces, following pagination ('next-page-token');
+        multi-level namespaces render dotted."""
+        out: list[str] = []
+        token: str | None = None
+        while True:
+            params = {"pageToken": token} if token else None
+            doc = self._get("namespaces", params)
+            out.extend(".".join(ns) for ns in doc.get("namespaces", []))
+            token = doc.get("next-page-token")
+            if not token:
+                return out
+
+    def list_tables(self, namespace: str) -> list[str]:
+        """S6 — table names in one namespace (paginated)."""
+        ns_path = urllib.parse.quote(namespace.replace(".", NS_SEPARATOR), safe="")
+        out: list[str] = []
+        token: str | None = None
+        while True:
+            params = {"pageToken": token} if token else None
+            doc = self._get(f"namespaces/{ns_path}/tables", params)
+            out.extend(t["name"] for t in doc.get("identifiers", []))
+            token = doc.get("next-page-token")
+            if not token:
+                return out
+
+    def load_table(self, namespace: str, table: str) -> dict:
+        """S7 — LoadTableResult: {'metadata-location': ..., 'metadata':
+        <table-metadata document>}."""
+        ns_path = urllib.parse.quote(namespace.replace(".", NS_SEPARATOR), safe="")
+        return self._get(f"namespaces/{ns_path}/tables/{urllib.parse.quote(table, safe='')}")
+
+    # -- DataFrame surfaces ------------------------------------------------
+
+    def catalog_tree(self, spark: SparkSession, catalog_name: str) -> DataFrame:
+        """The browse/search operators' catalog-tree frame, built from
+        one listing pass (namespaces × their tables — never the N+1
+        per-table metadata loads the reference does, catalog.rs:342-360)."""
+        rows = [
+            (catalog_name, ns, t)
+            for ns in self.list_namespaces()
+            for t in self.list_tables(ns)
+        ]
+        df = spark.createDataFrame(
+            rows, "catalog_name string, namespace string, table_name string"
+        )
+        return df.select(
+            "catalog_name",
+            "namespace",
+            "table_name",
+            F.concat_ws(".", "catalog_name", "namespace", "table_name").alias("full_name"),
+            F.lit("iceberg").alias("table_type"),
+        )
+
+    def snapshots(self, spark: SparkSession, namespace: str, table: str) -> DataFrame:
+        """A live table's canonical snapshots frame, straight from the
+        load-table response — every snapshot/timeline/health operator
+        runs on it unchanged."""
+        from ..metadata.fixtures import SNAPSHOT_SCHEMA
+        from ..metadata.metadata_json import snapshot_rows_from_doc
+
+        doc = self.load_table(namespace, table)
+        meta = doc.get("metadata", {})
+        return spark.createDataFrame(
+            snapshot_rows_from_doc(f"{namespace}.{table}", meta), SNAPSHOT_SCHEMA
+        )
+
+
+def client_from_profile(profile) -> RestCatalogClient:
+    """Build a client from a catalog.profiles.CatalogProfile (type must
+    be 'rest'; Glue browsing needs the AWS SDK — still gated)."""
+    if profile.catalog_type != "rest":
+        raise ValueError(f"REST client requires a rest profile, got {profile.catalog_type!r}")
+    cfg = profile.config
+    return RestCatalogClient(
+        uri=cfg["uri"],
+        token=cfg.get("auth_token"),
+        warehouse=cfg.get("warehouse"),
+    )

@@ -136,26 +136,12 @@ def schemas_from_metadata_json(
     return joined.mapInPandas(parse_batches, SCHEMAS_LONG_SCHEMA)
 
 
-def snapshots_from_metadata_json(
-    spark: SparkSession, table_name: str, path: str
-) -> DataFrame:
-    """A real table's snapshots frame (fixtures.SNAPSHOT_SCHEMA — the
-    shape every snapshot/health/timeline operator consumes) parsed from
-    its table-metadata JSON document. Combined with
-    ``manifests.files_from_manifest_list`` over each snapshot's
-    ``manifest_list``, this is the full no-jar metadata plane: the whole
-    [meta] suite runs against a real Iceberg warehouse directory.
-
-    Summary values arrive as strings exactly as committed (the Iceberg
-    spec's "all values are strings"); ``timestamp-ms`` becomes a UTC
-    timestamp like the catalog path would produce.
-    """
+def snapshot_rows_from_doc(table_name: str, doc: dict) -> list[tuple]:
+    """fixtures.SNAPSHOT_SCHEMA rows from a parsed table-metadata
+    document (shared by the file path below and the REST catalog's
+    load-table response, whose ``metadata`` field is this same doc)."""
     import datetime as dt
 
-    from .fixtures import SNAPSHOT_SCHEMA
-
-    with open(path) as f:
-        doc = json.load(f)
     rows = []
     for s in doc.get("snapshots", []):
         ts = dt.datetime.fromtimestamp(
@@ -172,4 +158,25 @@ def snapshots_from_metadata_json(
                 {str(k): str(v) for k, v in summary.items()} if summary else None,
             )
         )
-    return spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
+    return rows
+
+
+def snapshots_from_metadata_json(
+    spark: SparkSession, table_name: str, path: str
+) -> DataFrame:
+    """A real table's snapshots frame (fixtures.SNAPSHOT_SCHEMA — the
+    shape every snapshot/health/timeline operator consumes) parsed from
+    its table-metadata JSON document. Combined with
+    ``manifests.files_from_manifest_list`` over each snapshot's
+    ``manifest_list``, this is the full no-jar metadata plane: the whole
+    [meta] suite runs against a real Iceberg warehouse directory.
+
+    Summary values arrive as strings exactly as committed (the Iceberg
+    spec's "all values are strings"); ``timestamp-ms`` becomes a UTC
+    timestamp like the catalog path would produce.
+    """
+    from .fixtures import SNAPSHOT_SCHEMA
+
+    with open(path) as f:
+        doc = json.load(f)
+    return spark.createDataFrame(snapshot_rows_from_doc(table_name, doc), SNAPSHOT_SCHEMA)

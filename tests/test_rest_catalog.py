@@ -1,0 +1,134 @@
+"""REST catalog client (catalog/rest.py) against an in-process HTTP
+server speaking the public Iceberg REST-catalog protocol: pagination,
+Bearer-token enforcement, namespace/table listing, and a load-table
+response whose metadata document drives the snapshot operators."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from hielo_spark.catalog.profiles import CatalogProfile
+from hielo_spark.catalog.rest import RestCatalogClient, client_from_profile
+
+TOKEN = "sekrit-token"
+
+METADATA_DOC = {
+    "format-version": 2,
+    "snapshots": [
+        {"snapshot-id": 41, "timestamp-ms": 1700000000000, "schema-id": 0,
+         "manifest-list": "s3://w/meta/snap-41.avro",
+         "summary": {"operation": "append", "added-records": "10"}},
+        {"snapshot-id": 42, "timestamp-ms": 1700086400000, "schema-id": 1,
+         "manifest-list": "s3://w/meta/snap-42.avro",
+         "summary": {"operation": "delete", "deleted-records": "3"}},
+    ],
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _send(self, code: int, doc: dict) -> None:
+        body = json.dumps(doc).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        if self.headers.get("Authorization") != f"Bearer {TOKEN}":
+            return self._send(401, {"error": "unauthorized"})
+        u = urlparse(self.path)
+        q = parse_qs(u.query)
+        if u.path == "/v1/config":
+            return self._send(200, {"defaults": {}, "overrides": {}})
+        if u.path == "/v1/namespaces":
+            # two pages to exercise pagination
+            if q.get("pageToken") == ["p2"]:
+                return self._send(200, {"namespaces": [["raw", "logs"]]})
+            return self._send(
+                200, {"namespaces": [["analytics"]], "next-page-token": "p2"}
+            )
+        if u.path == "/v1/namespaces/analytics/tables":
+            return self._send(
+                200,
+                {"identifiers": [
+                    {"namespace": ["analytics"], "name": "orders_t"},
+                    {"namespace": ["analytics"], "name": "parts_t"},
+                ]},
+            )
+        if u.path == "/v1/namespaces/raw%1Flogs/tables" or u.path == "/v1/namespaces/raw\x1flogs/tables":
+            return self._send(
+                200, {"identifiers": [{"namespace": ["raw", "logs"], "name": "events_t"}]}
+            )
+        if u.path == "/v1/namespaces/analytics/tables/orders_t":
+            return self._send(
+                200,
+                {"metadata-location": "s3://w/meta/v3.metadata.json",
+                 "metadata": METADATA_DOC},
+            )
+        return self._send(404, {"error": f"no route {self.path}"})
+
+
+@pytest.fixture(scope="module")
+def rest_server():
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_connection_and_auth(rest_server):
+    ok = RestCatalogClient(rest_server, token=TOKEN)
+    assert ok.test_connection()
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        RestCatalogClient(rest_server, token="wrong").list_namespaces()
+
+
+def test_listing_with_pagination(rest_server):
+    c = RestCatalogClient(rest_server, token=TOKEN)
+    assert c.list_namespaces() == ["analytics", "raw.logs"]
+    assert c.list_tables("analytics") == ["orders_t", "parts_t"]
+    assert c.list_tables("raw.logs") == ["events_t"]
+
+
+def test_catalog_tree_and_search(spark, rest_server):
+    from hielo_spark.catalog.browse import search
+
+    c = RestCatalogClient(rest_server, token=TOKEN)
+    tree = c.catalog_tree(spark, "prod")
+    assert tree.count() == 3
+    hit = search(tree, "orders").collect()
+    assert [r.full_name for r in hit] == ["prod.analytics.orders_t"]
+
+
+def test_load_table_snapshots_drive_meta_operators(spark, rest_server):
+    from hielo_spark.metadata import snapshots as snap
+
+    c = RestCatalogClient(rest_server, token=TOKEN)
+    snaps = c.snapshots(spark, "analytics", "orders_t")
+    assert snaps.count() == 2
+    latest = snap.latest_snapshot(snaps).collect()[0]
+    assert latest.snapshot_id == 42 and latest.schema_id == 1
+    ops = {r.operation: r.n for r in snap.operation_counts(snaps).collect()}
+    assert ops == {"append": 1, "delete": 1}
+
+
+def test_client_from_profile(rest_server):
+    p = CatalogProfile(
+        name="prod", catalog_type="rest",
+        config={"uri": rest_server, "auth_token": TOKEN, "warehouse": "s3://w"},
+    )
+    c = client_from_profile(p)
+    assert c.test_connection()
+    assert c.list_tables("analytics") == ["orders_t", "parts_t"]
