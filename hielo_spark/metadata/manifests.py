@@ -24,6 +24,7 @@ jar-gated here. The JVM objects never cross to executors.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
 
 # Iceberg spec field names; v1/v2 disagree on the count columns
 # (https://iceberg.apache.org/spec/#manifest-lists — public spec).
@@ -72,6 +73,7 @@ def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
                         return int(v)
                 return None
 
+            content = _py(_get(r, "content"))
             rows.append(
                 (
                     _py(_get(r, "manifest_path")),
@@ -81,6 +83,7 @@ def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
                     count("added_files_count"),
                     count("existing_files_count"),
                     count("deleted_files_count"),
+                    int(content) if content is not None else 0,
                 )
             )
     finally:
@@ -89,7 +92,7 @@ def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "manifest_path string, manifest_length long, partition_spec_id int, "
         "added_snapshot_id long, added_files_count int, existing_files_count int, "
-        "deleted_files_count int",
+        "deleted_files_count int, content int",
     )
 
 
@@ -105,6 +108,7 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
         while dfr.hasNext():
             r = dfr.next()
             df_rec = _get(r, "data_file")
+            fcontent = _py(_get(df_rec, "content"))
             rows.append(
                 (
                     int(_py(_get(r, "status"))),
@@ -113,6 +117,7 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
                     _py(_get(df_rec, "file_format")),
                     int(_py(_get(df_rec, "record_count"))),
                     int(_py(_get(df_rec, "file_size_in_bytes"))),
+                    int(fcontent) if fcontent is not None else 0,
                 )
             )
     finally:
@@ -120,39 +125,51 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "status int, snapshot_id long, file_path string, file_format string, "
-        "record_count long, file_size_in_bytes long",
+        "record_count long, file_size_in_bytes long, content int",
     )
 
 
+def _resolve(base_path: str, p: str) -> str:
+    """Manifest paths are absolute URIs in real tables; tolerate relative
+    fixture paths and the file: scheme."""
+    import os
+
+    local = p[len("file:"):] if p.startswith("file:") else p
+    if not os.path.isabs(local):
+        local = os.path.join(os.path.dirname(base_path), local)
+    return local
+
+
 def files_from_manifest_list(
-    spark: SparkSession, table_name: str, manifest_list_path: str
+    spark: SparkSession,
+    table_name: str,
+    manifest_list_path: str,
+    content: int = 0,
 ) -> DataFrame:
     """The ``t.files`` frame of a snapshot, straight from its manifest
     list: parse the list, parse each referenced manifest, keep live
-    entries (status != 2 deleted), and emit the canonical files shape
-    (``files_from_orders``-compatible — `file_size_histogram` and the A7
-    health heuristics run unchanged on it)."""
-    import os
+    entries (status != 2 deleted) of the requested ``content`` kind
+    (0 data files — the default, `file_size_histogram`-compatible;
+    1 position deletes; 2 equality deletes), and emit the canonical
+    files shape."""
+    from pyspark.sql import functions as F
 
+    want_delete_manifests = content != 0
     mlist = read_manifest_list(spark, manifest_list_path).collect()
     out = None
     for m in mlist:
-        p = m.manifest_path
-        # manifest paths are absolute URIs in real tables; tolerate
-        # relative fixture paths
-        local = p[len("file:"):] if p.startswith("file:") else p
-        if not os.path.isabs(local):
-            local = os.path.join(os.path.dirname(manifest_list_path), local)
-        entries = read_manifest(spark, local)
+        # manifest-level content (v2): 0 data / 1 deletes — skip whole
+        # manifests of the wrong kind before parsing them
+        if (m.content == 1) != want_delete_manifests:
+            continue
+        entries = read_manifest(spark, _resolve(manifest_list_path, m.manifest_path))
         out = entries if out is None else out.unionByName(entries)
     if out is None:
         return spark.createDataFrame(
             [], "table_name string, file_path string, file_size_in_bytes long, record_count long"
         )
-    from pyspark.sql import functions as F
-
     return (
-        out.filter(F.col("status") != 2)
+        out.filter((F.col("status") != 2) & (F.col("content") == content))
         .select(
             F.lit(table_name).alias("table_name"),
             "file_path",
@@ -172,13 +189,22 @@ def read_data_at_snapshot(
     snapshot from the table-metadata JSON (by id, by ``as_of_ms`` — the
     latest snapshot committed at or before that instant, mirroring
     ``TIMESTAMP AS OF`` — or the latest), resolve its manifest list to
-    the live data-file paths, and read those parquet files directly.
+    the live data-file paths, read those parquet files directly, and
+    apply the snapshot's merge-on-read DELETE files:
 
-    Scope (documented, not silent): copy-on-write tables are exact; v2
-    merge-on-read position/equality DELETE files are not applied (that
-    row-level merge is what genuinely needs the runtime). The file-path
-    collect is planning-plane work — the same listing any engine's
-    planner materializes to make splits.
+    * position deletes — parquet rows of (file_path, pos) — anti-join
+      against the data on (scheme-normalized ``_metadata.file_path``,
+      ``_metadata.row_index``); the delete frame is the small side of a
+      shuffle/broadcast join, never collected;
+    * equality deletes — parquet rows carrying the equality columns —
+      anti-join by the delete file's own column names.
+
+    Scope (documented, not silent): deletes apply to ALL data files of
+    the snapshot (exact for the overwhelmingly common commit order where
+    a delete targets pre-existing data; per-file sequence-number scoping
+    — a data file added AFTER an equality delete in the same snapshot
+    lineage — is not modeled). The file-path collect is planning-plane
+    work, the same listing any engine's planner materializes.
     """
     import json
     import os
@@ -206,10 +232,41 @@ def read_data_at_snapshot(
     mlist = chosen["manifest-list"]
     if not os.path.isabs(mlist.removeprefix("file:")):
         mlist = os.path.join(os.path.dirname(metadata_json_path), mlist)
-    files = files_from_manifest_list(spark, "t", mlist.removeprefix("file:"))
-    paths = [
-        r.file_path.removeprefix("file:") for r in files.select("file_path").collect()
-    ]
+    mlist = mlist.removeprefix("file:")
+
+    def live_paths(content: int) -> list[str]:
+        files = files_from_manifest_list(spark, "t", mlist, content=content)
+        return [
+            r.file_path.removeprefix("file:")
+            for r in files.select("file_path").collect()
+        ]
+
+    paths = live_paths(0)
     if not paths:
         raise ValueError(f"snapshot {chosen['snapshot-id']} has no live data files")
-    return spark.read.parquet(*paths)
+    data = spark.read.parquet(*paths)
+
+    from ..metadata.metadata_json import _strip_scheme
+
+    pos_delete_paths = live_paths(1)
+    eq_delete_paths = live_paths(2)
+    if pos_delete_paths:
+        data = data.select(
+            "*",
+            _strip_scheme(F.col("_metadata.file_path")).alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        dels = (
+            spark.read.parquet(*pos_delete_paths)
+            .select(
+                _strip_scheme(F.col("file_path")).alias("_fp"),
+                F.col("pos").cast("long").alias("_pos"),
+            )
+        )
+        data = data.join(dels, ["_fp", "_pos"], "left_anti").drop("_fp", "_pos")
+    for p in eq_delete_paths:
+        eq = spark.read.parquet(p)
+        keys = [c for c in eq.columns if c in data.columns]
+        if keys:
+            data = data.join(eq.select(keys).distinct(), keys, "left_anti")
+    return data

@@ -343,3 +343,92 @@ def test_warehouse_discovery_and_health(spark, tmp_path):
     assert counts == {"analytics.orders_t": 2, "raw.events_t": 1}
     latest = {r.table_name: r.snapshot_id for r in snap.latest_snapshot(snaps).collect()}
     assert latest == {"analytics.orders_t": 2, "raw.events_t": 1}
+
+
+MANIFEST_LIST_V2_CONTENT = """
+{"type":"record","name":"manifest_file","fields":[
+ {"name":"manifest_path","type":"string"},
+ {"name":"manifest_length","type":"long"},
+ {"name":"partition_spec_id","type":"int"},
+ {"name":"content","type":"int"},
+ {"name":"added_snapshot_id","type":"long"},
+ {"name":"added_files_count","type":"int"},
+ {"name":"existing_files_count","type":"int"},
+ {"name":"deleted_files_count","type":"int"}]}
+"""
+
+MANIFEST_ENTRY_CONTENT = """
+{"type":"record","name":"manifest_entry","fields":[
+ {"name":"status","type":"int"},
+ {"name":"snapshot_id","type":["null","long"],"default":null},
+ {"name":"data_file","type":{"type":"record","name":"data_file_c","fields":[
+   {"name":"content","type":"int"},
+   {"name":"file_path","type":"string"},
+   {"name":"file_format","type":"string"},
+   {"name":"record_count","type":"long"},
+   {"name":"file_size_in_bytes","type":"long"}]}}]}
+"""
+
+
+def test_mor_position_and_equality_deletes(spark, tmp_path):
+    """v2 merge-on-read: a data file plus a position-delete file (kills
+    row 1 of d1) and an equality-delete file (kills id=3 wherever it is)
+    must both apply on read."""
+    import glob as globmod
+    import json
+
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    def write_one(name, df):
+        p = str(tmp_path / name)
+        df.coalesce(1).write.parquet(p)
+        return globmod.glob(f"{p}/part-*.parquet")[0]
+
+    d1 = write_one("d1.parquet", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]))
+    d2 = write_one("d2.parquet", spark.createDataFrame(
+        [(4, "d"), (3, "dup-c")], ["id", "v"]))
+    # position delete: (file_path, pos) — kill d1 row index 1 (id=2)
+    pos_del = write_one("pd.parquet", spark.createDataFrame(
+        [(f"file:{d1}", 1)], ["file_path", "pos"]))
+    # equality delete on id — kills id=3 in BOTH files
+    eq_del = write_one("ed.parquet", spark.createDataFrame([(3,)], ["id"]))
+
+    def entry(content, path):
+        return {"status": 1, "snapshot_id": SNAP,
+                "data_file": {"content": content, "file_path": path,
+                              "file_format": "PARQUET",
+                              "record_count": SNAP, "file_size_in_bytes": SNAP}}
+
+    def manifest(name, content, *paths):
+        p = str(tmp_path / f"{name}.avro")
+        _write_avro(spark, p, MANIFEST_ENTRY_CONTENT,
+                    [entry(content, pth) for pth in paths])
+        return p
+
+    data_man = manifest("man-data", 0, d1, d2)
+    pos_man = manifest("man-pos", 1, pos_del)
+    eq_man = manifest("man-eq", 2, eq_del)
+    ml = str(tmp_path / "list.avro")
+    _write_avro(spark, ml, MANIFEST_LIST_V2_CONTENT, [
+        {"manifest_path": data_man, "manifest_length": SNAP, "partition_spec_id": 0,
+         "content": 0, "added_snapshot_id": SNAP, "added_files_count": 2,
+         "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": pos_man, "manifest_length": SNAP, "partition_spec_id": 0,
+         "content": 1, "added_snapshot_id": SNAP, "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": eq_man, "manifest_length": SNAP, "partition_spec_id": 0,
+         "content": 1, "added_snapshot_id": SNAP, "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0},
+    ])
+    meta = {"format-version": 2, "snapshots": [
+        {"snapshot-id": 1, "timestamp-ms": 1700000000000, "schema-id": 0,
+         "manifest-list": ml, "summary": {"operation": "overwrite"}}]}
+    mpath = str(tmp_path / "mor.metadata.json")
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+
+    got = {(r.id, r.v) for r in read_data_at_snapshot(spark, mpath).collect()}
+    # id=2 gone (position delete), id=3 gone from BOTH files (equality),
+    # id=1 and id=4 survive
+    assert got == {(1, "a"), (4, "d")}
