@@ -105,9 +105,12 @@ for mod in (relational, meta, ext):
 #     same exact quartiles/sd/corr columns + the approx-sketch error pin)
 #   events_cardinality_sketch stays tail: the HLL family's head story is
 #     held by the exact-distinct queries; local harness checks it
+#   meta_warehouse_discovery stays tail: driver-checked golden for the
+#     no-jar discovery path; real-operator rows keep the head slots
 _DEFERRED = [
     "lineitem_quantiles",
     "events_cardinality_sketch",
+    "meta_warehouse_discovery",
     "doc_mixture_rebalance",
     "doc_repetition_stats",
     "doc_curation_pipeline",

@@ -848,3 +848,43 @@ def meta_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..analytics.trends import metric_trends
 
     return metric_trends(snapshots_from_orders(spark, sf_dir), last_n=10)
+
+
+# --------------------------------------------------------------------------
+# S5/S6 (Hadoop-catalog mode, r3) — warehouse-directory table discovery:
+# fabricate a deterministic mini-warehouse under /tmp (pure JSON, no data
+# files needed for discovery), list it distributed, rank versions.
+# The oracle is the expected constant listing — a driver-checked golden
+# for the no-jar discovery path (catalog/warehouse.py).
+# --------------------------------------------------------------------------
+@query(
+    "meta_warehouse_discovery",
+    """
+    SELECT * FROM (VALUES
+      ('analytics', 'orders_t', CAST(3 AS BIGINT)),
+      ('analytics', 'parts_t', CAST(1 AS BIGINT)),
+      ('raw', 'events_t', CAST(2 AS BIGINT))
+    ) AS t(namespace, table_name, version)
+    """,
+)
+def meta_warehouse_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from ..catalog.warehouse import discover_tables
+
+    wh = "/tmp/hielo_wh_fixture"
+    layout = {
+        ("analytics", "orders_t"): 3,
+        ("analytics", "parts_t"): 1,
+        ("raw", "events_t"): 2,
+    }
+    for (ns, tbl), n_versions in layout.items():
+        mdir = os.path.join(wh, ns, tbl, "metadata")
+        os.makedirs(mdir, exist_ok=True)
+        for v in range(1, n_versions + 1):
+            p = os.path.join(mdir, f"v{v}.metadata.json")
+            if not os.path.exists(p):
+                with open(p, "w") as f:
+                    json.dump({"format-version": 2, "snapshots": []}, f)
+    return discover_tables(spark, wh).select("namespace", "table_name", "version")
