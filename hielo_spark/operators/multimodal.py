@@ -72,6 +72,26 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_ppm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID 4×4 P6 payloads derived from the id (md5 hex →
+    48 RGB bytes via unhex, all JVM expressions) — the real-decode twin of
+    ``attach_fake_media``; `decode_image_features(fake=False)` actually
+    decodes these."""
+    k = F.col(id_col)
+    header = F.encode(F.lit("P6\n4 4\n255\n"), "utf-8")
+    body = F.unhex(F.repeat(F.md5(k.cast("string")), 3))  # 3×16 = 48 bytes
+    payload = F.concat(header, body)
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.concat(F.lit("s3://media/img_"), k, F.lit(".ppm")).alias("uri"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            payload.alias("payload"),
+        ),
+    )
+
+
 def decode_ppm(b: bytes) -> np.ndarray:
     """P6 PPM → (h, w, 3) uint8. Pure numpy; header is 'P6 <w> <h>
     <maxval>' in whitespace-separated ASCII, then binary RGB."""

@@ -303,16 +303,17 @@ def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X5 — multimodal decode plumbing (rows-only: fake deterministic decoder;
-# the mapInPandas schema/batching is the real artifact under test).
+# X5 — multimodal decode (rows-only; r3: REAL decode — the payloads are
+# valid P6 PPMs built from JVM expressions and the numpy codec parses
+# them in the mapInPandas stage; no fake path involved).
 # --------------------------------------------------------------------------
 @query("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    media = MM.attach_fake_media(d)
-    return MM.decode_image_features(media, fake=True)
+    media = MM.attach_ppm_media(d)
+    return MM.decode_image_features(media, fake=False)
 
 
 # --------------------------------------------------------------------------

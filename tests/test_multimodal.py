@@ -139,3 +139,17 @@ def test_compressed_payload_still_raises(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_attach_ppm_media_real_decode(spark, sf_dir):
+    """The JVM-expression-built P6 payloads decode for real: 4×4 images,
+    deterministic md5-derived pixel features, no fake path."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id").limit(20)
+    out = {r.doc_id: r for r in MM.decode_image_features(
+        MM.attach_ppm_media(d), fake=False).collect()}
+    assert len(out) == 20
+    assert all((r.width, r.height) == (4, 4) for r in out.values())
+    # deterministic across runs
+    again = {r.doc_id: r.feature for r in MM.decode_image_features(
+        MM.attach_ppm_media(d), fake=False).collect()}
+    assert all(out[k].feature == again[k] for k in out)
