@@ -1092,3 +1092,55 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_surprisal"), 6).alias("avg_surprisal"),
         F.round(F.max("mean_surprisal"), 6).alias("max_surprisal"),
     )
+
+
+# --------------------------------------------------------------------------
+# X2 — SimHash quality, oracle-checked (the precision twin of
+# doc_minhash_recall): recall vs a set-similarity truth is the wrong
+# axis for an order/frequency-sensitive sketch (measured ~0.01 — see
+# COVERAGE), but PRECISION is pinnable: every same-language pair SimHash
+# flags at hamming ≤ 8 is verified against exact word-set Jaccard, and
+# ≥ 95% must clear J ≥ 0.3 (measured 1.0 at sf0.001 and sf0.01). The
+# DuckDB-verifiable content is the eligible-doc count; the floor rides
+# as the pinned boolean. Lang decoration is a shuffle join on id — never
+# a corpus broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "doc_simhash_precision",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS precision_ge_095
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+)
+def doc_simhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=8).select(
+        "id_a", "id_b"
+    )
+    sets = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(T.words("text"), lambda w: F.xxhash64(w))
+        ).alias("ws"),
+    )
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("la"), F.col("ws").alias("wsa")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lb"), F.col("ws").alias("wsb")
+    )
+    checked = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("la") == F.col("lb"))
+        .select(dedup.jaccard(F.col("wsa"), F.col("wsb")).alias("j"))
+    )
+    prec = checked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("j") >= 0.3, 1).otherwise(0)) / F.count("*") >= 0.95,
+            F.lit(True),  # vacuously true on an empty pair set
+        ).alias("precision_ge_095")
+    )
+    n_docs = sets.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return n_docs.crossJoin(prec)
