@@ -32,8 +32,47 @@ _DYNAMIC_CONFS: dict[str, str] = {
 }
 
 
+# one package zip per driver process (rebuilt each run so workers never
+# see stale code from an earlier process's temp file)
+_SHIP_STATE: dict = {}
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``hielo_spark`` importable on executors regardless of how the
+    driver found it (addPyFile of a package zip — the standard way to ship
+    a Python package to a cluster). Without this, any module-level
+    function captured by a mapInPandas/applyInPandas closure unpickles on
+    the worker via ``import hielo_spark`` and fails when the host driver
+    added the repo to sys.path only in-process (e.g. a harness running
+    from another directory)."""
+    try:
+        ctx = spark.sparkContext
+        app = ctx.applicationId
+        if _SHIP_STATE.get(app):
+            return
+        if "zip" not in _SHIP_STATE:
+            import os
+            import shutil
+            import tempfile
+
+            pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            base = os.path.join(
+                tempfile.mkdtemp(prefix="hielo_ship_"), "hielo_spark_pkg"
+            )
+            _SHIP_STATE["zip"] = shutil.make_archive(
+                base, "zip", root_dir=pkg_root, base_dir="hielo_spark"
+            )
+        ctx.addPyFile(_SHIP_STATE["zip"])
+        _SHIP_STATE[app] = True
+    except Exception:
+        # never fail session setup over shipping; worker imports may still
+        # succeed via the environment's own PYTHONPATH
+        pass
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply dynamic confs to an existing session (driver-owned or ours)."""
+    _ship_package(spark)
     for k, v in _DYNAMIC_CONFS.items():
         try:
             spark.conf.set(k, v)
