@@ -432,3 +432,23 @@ def test_mor_position_and_equality_deletes(spark, tmp_path):
     # id=2 gone (position delete), id=3 gone from BOTH files (equality),
     # id=1 and id=4 survive
     assert got == {(1, "a"), (4, "d")}
+
+
+def test_warehouse_discovery_uuid_naming(spark, tmp_path):
+    """REST-materialized tables name metadata files <seq>-<uuid>.metadata.json;
+    the leading sequence number must rank versions just like vN naming."""
+    import json
+
+    from hielo_spark.catalog.warehouse import discover_tables
+
+    mdir = tmp_path / "wh" / "ns" / "t" / "metadata"
+    mdir.mkdir(parents=True)
+    for name in (
+        "00001-9aaf8d78-0000-4000-8000-000000000001.metadata.json",
+        "00003-9aaf8d78-0000-4000-8000-000000000003.metadata.json",
+        "00002-9aaf8d78-0000-4000-8000-000000000002.metadata.json",
+    ):
+        with open(mdir / name, "w") as f:
+            json.dump({"format-version": 2, "snapshots": []}, f)
+    r = discover_tables(spark, str(tmp_path / "wh")).collect()[0]
+    assert r.version == 3 and "00003-" in r.metadata_json_path
