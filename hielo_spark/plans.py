@@ -38,6 +38,63 @@ class PlanAudit:
         )
 
 
+def broadcast_build_subtrees(df: DataFrame) -> list[str]:
+    """Text of every BroadcastExchange build subtree in the executed plan —
+    the side that must fit in executor memory (and under the 8 GB broadcast
+    hard cap). With ``spark.sql.autoBroadcastJoinThreshold=-1`` any such
+    subtree can only come from an explicit ``broadcast()`` hint, which makes
+    this the hook for asserting the broadcast *policy*: hints are allowed
+    only on fixed-cardinality frames (region/nation) or ≤1-row scalar
+    aggregates, never on tables that grow with the data."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        m = re.search(r"[+:]- ", ln)
+        return m.start() if m else -1
+
+    out: list[str] = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = depth(ln)
+        sub = [ln]
+        for nxt in lines[i + 1 :]:
+            nd = depth(nxt)
+            if nd != -1 and nd <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+#: tables whose row count grows linearly with scale factor — a forced
+#: broadcast of any of these is correct at sf0.1 and an OOM at 100 TB
+SCALING_TABLES = (
+    "customer", "orders", "lineitem", "part", "supplier",
+    "documents", "embeddings", "events",
+)
+
+
+def forced_broadcast_violations(df: DataFrame) -> list[str]:
+    """Broadcast build subtrees that scan an SF-scaling table without
+    reducing it to a scalar first. Call with auto-broadcast disabled so
+    every broadcast in the plan is hint-driven. A subtree is legitimate if
+    it contains a global aggregate (``keys=[]`` → ≤1 row regardless of
+    input size); otherwise it must not scan any SCALING_TABLES parquet."""
+    bad = []
+    for sub in broadcast_build_subtrees(df):
+        if re.search(r"HashAggregate\(keys=\[\]", sub):
+            continue  # scalar build side: ≤1 row at any scale
+        if "ReusedExchange" in sub.splitlines()[0]:
+            continue  # leaf reference; the original exchange is checked
+        scanned = set(re.findall(r"(\w+)\.parquet", sub))
+        hits = scanned & set(SCALING_TABLES)
+        if hits:
+            bad.append(f"broadcast subtree scans {sorted(hits)}:\n{sub}")
+    return bad
+
+
 def audit(df: DataFrame) -> PlanAudit:
     spark = df.sparkSession
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

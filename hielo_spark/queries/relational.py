@@ -72,8 +72,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # J4 + O3 — 3-way join + top-k (TPC-H Q3 shape).
-# Scale: customer is the small side → broadcast; lineitem→orders join
-# shuffles on orderkey; top-k lowers to TakeOrderedAndProject (no global sort).
+# Scale: customer grows with SF, so it is NOT force-broadcast — at bench
+# scale AQE converts the join to broadcast from runtime size, while at
+# 100 TB the same plan degrades gracefully to a shuffle join instead of
+# hitting the 8 GB broadcast cap. lineitem⋈orders shuffles on orderkey;
+# top-k lowers to TakeOrderedAndProject (no global sort).
 # --------------------------------------------------------------------------
 @query(
     "q3_shipping_priority",
@@ -99,7 +102,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
@@ -115,8 +118,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # J4 — star join through region→nation→customer→orders→lineitem (Q5 shape).
-# Scale: region/nation/customer are dimensions → broadcast chain; the only
-# big shuffle is lineitem⋈orders on orderkey.
+# Scale: region/nation are FIXED cardinality (5/25 rows) → broadcast hints;
+# customer grows with SF, so the cust⋈nation result carries no hint — AQE
+# broadcasts it at bench scale and falls back to a shuffle join at 100 TB.
+# The only guaranteed big shuffle is lineitem⋈orders on orderkey.
 # --------------------------------------------------------------------------
 @query(
     "q5_revenue_by_nation",
@@ -143,7 +148,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    dims = broadcast(
+    dims = (
         cust.join(broadcast(nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)),
                   cust.c_nationkey == nation.n_nationkey)
         .select("c_custkey", "n_name")
@@ -754,7 +759,10 @@ def parts_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # J4/A14 — bilateral volume (TPC-H Q7 shape): supplier nation × customer
-# nation per year. Both nation sides broadcast; one fact⋈fact shuffle.
+# nation per year. Only the fixed 25-row nation frame is broadcast-hinted;
+# the nation-filtered supplier/customer sides scale with SF and are left
+# to AQE (broadcast at bench scale, shuffle join at 100 TB). One
+# fact⋈fact shuffle on orderkey.
 # --------------------------------------------------------------------------
 @query(
     "q7_nation_volume",
@@ -778,14 +786,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     nations = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_1", "NATION_2"))
-    supp = broadcast(
+    supp = (
         load_table(spark, sf_dir, "supplier")
-        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    cust = broadcast(
+    cust = (
         load_table(spark, sf_dir, "customer")
-        .join(nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     return (
@@ -829,7 +837,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -1360,10 +1368,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape): revenue from small-quantity lineitems, "small" defined relative
 # to the per-part average quantity. Decorrelates to: per-part avg frame →
 # equi join back on partkey → residual filter.
-# Scale: the brand-filtered part list is a dimension → broadcast; the avg
-# frame is keyed by partkey and joins the (already brand-pruned) lineitem
-# side on the same key — one shuffle, reused by AQE for both the agg and
-# the join. Never materializes the per-part avgs on the driver.
+# Scale: the brand-filtered part list scales with SF, so it is NOT
+# force-broadcast — AQE converts the join to broadcast from runtime size
+# at bench scale and shuffles at 100 TB. The avg frame is keyed by
+# partkey and joins the (already brand-pruned) lineitem side on the same
+# key — one shuffle, reused by AQE for both the agg and the join. Never
+# materializes the per-part avgs on the driver.
 # --------------------------------------------------------------------------
 @query(
     "q17_small_quantity_revenue",
@@ -1384,7 +1394,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    li_b = li.join(broadcast(bparts), li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+    li_b = li.join(bparts, li.l_partkey == F.col("p_partkey")).drop("p_partkey")
     limits = li_b.groupBy("l_partkey").agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("qty_limit")
     )
@@ -1402,8 +1412,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # group key; Spark expresses it directly as agg → filter → join.
 # Scale: the "big orders" frame is tiny after the HAVING filter but is NOT
 # force-broadcast — its size is data-dependent (AQE converts to broadcast
-# at runtime when it is small). Customer is a true dimension → broadcast.
-# Top-k lowers to TakeOrderedAndProject.
+# at runtime when it is small). Customer also scales with SF, so it too
+# carries no hint for the same reason. Top-k lowers to
+# TakeOrderedAndProject.
 # --------------------------------------------------------------------------
 @query(
     "q18_large_orders",
@@ -1432,7 +1443,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -1699,8 +1710,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # J4/A14 — national market share (TPC-H Q8 shape, sans partsupp): 7-table
-# join where every dimension chain (region→nation→customer, part,
-# supplier→nation) broadcasts and the only shuffle is lineitem⋈orders.
+# join. Only the fixed region/nation frames carry broadcast hints; the
+# SF-scaling chains (customer-filtered-by-region, PROMO parts,
+# supplier⋈nation) are hint-free — AQE broadcasts them at bench scale and
+# shuffle-joins at 100 TB. The only guaranteed shuffle is lineitem⋈orders.
 # --------------------------------------------------------------------------
 @query(
     "q8_market_share",
@@ -1758,9 +1771,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(eur_cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
-        .join(broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(eur_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
@@ -1808,8 +1821,9 @@ def q12_late_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# J4/A14 — promo revenue share (TPC-H Q14): broadcast part into the
-# month-filtered lineitem scan; one conditional-ratio aggregate.
+# J4/A14 — promo revenue share (TPC-H Q14): part scales with SF → no
+# broadcast hint (AQE decides from runtime size); one conditional-ratio
+# aggregate over the month-filtered lineitem scan.
 # --------------------------------------------------------------------------
 @query(
     "q14_promo_revenue",
@@ -1830,7 +1844,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+    return li.join(part, F.col("l_partkey") == F.col("p_partkey")).agg(
         F.round(
             F.lit(100.0)
             * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
@@ -1864,7 +1878,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
@@ -1899,7 +1913,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(20, 50) & q.between(25, 45))
     )
     return (
-        li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -1970,7 +1984,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         staged.filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

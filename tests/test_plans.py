@@ -280,6 +280,34 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n in QUERIES if n.startswith("q"))
+    + ["first_order_per_customer", "filter_orders_multi",
+       "supplier_semi_join_nations", "customers_without_recent_orders",
+       "nation_set_ops", "topk_orders"],
+)
+def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir, name):
+    # The 100 TB broadcast policy (VERDICT r3 lead item): explicit
+    # broadcast() hints are allowed only on fixed-cardinality frames
+    # (region = 5 rows, nation = 25 rows) or ≤1-row scalar aggregates.
+    # Customer/part/supplier/orders/lineitem grow with scale factor — a
+    # forced broadcast of any of them is fast at sf0.1 and a guaranteed
+    # driver OOM / 8 GB-cap failure at the north star. With auto-broadcast
+    # disabled, every BroadcastExchange left in the plan is hint-driven,
+    # so any non-scalar subtree scanning a scaling table is a policy bug.
+    from hielo_spark.plans import forced_broadcast_violations
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES[name](spark, sf_dir)
+        bad = forced_broadcast_violations(df)
+        assert not bad, f"{name}: {bad[0]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_minhash_recall_no_cartesian_no_corpus_broadcast(spark, sf_dir):
     # truth side is the salted (block, salt) SMJ; candidate side is the
     # band-bucket equi-join; the lang decoration joins by id. None of
