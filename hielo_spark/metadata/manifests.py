@@ -74,6 +74,7 @@ def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
                 return None
 
             content = _py(_get(r, "content"))
+            seq = _py(_get(r, "sequence_number"))
             rows.append(
                 (
                     _py(_get(r, "manifest_path")),
@@ -84,6 +85,7 @@ def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
                     count("existing_files_count"),
                     count("deleted_files_count"),
                     int(content) if content is not None else 0,
+                    int(seq) if seq is not None else None,
                 )
             )
     finally:
@@ -92,15 +94,24 @@ def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "manifest_path string, manifest_length long, partition_spec_id int, "
         "added_snapshot_id long, added_files_count int, existing_files_count int, "
-        "deleted_files_count int, content int",
+        "deleted_files_count int, content int, sequence_number long",
     )
 
 
-def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+def read_manifest(
+    spark: SparkSession, path: str, inherited_seq: int | None = None
+) -> DataFrame:
     """One row per data-file entry in an Iceberg manifest Avro file.
 
     ``status``: 0 existing / 1 added / 2 deleted (spec); deleted entries
     are kept so callers can filter — the live file set is status != 2.
+
+    ``sequence_number`` is the entry's data sequence number. Per the v2
+    spec a null entry sequence number is inherited from the manifest
+    list's ``sequence_number`` (``inherited_seq`` here — the spec allows
+    inheritance only for ADDED entries, but null on EXISTING/DELETED is
+    malformed rather than meaningful, so we inherit there too instead of
+    failing). v1 manifests carry no sequence numbers at all → null.
     """
     dfr = _avro_reader(spark, path)
     rows = []
@@ -109,6 +120,7 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
             r = dfr.next()
             df_rec = _get(r, "data_file")
             fcontent = _py(_get(df_rec, "content"))
+            seq = _py(_get(r, "sequence_number"))
             rows.append(
                 (
                     int(_py(_get(r, "status"))),
@@ -118,6 +130,7 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
                     int(_py(_get(df_rec, "record_count"))),
                     int(_py(_get(df_rec, "file_size_in_bytes"))),
                     int(fcontent) if fcontent is not None else 0,
+                    int(seq) if seq is not None else inherited_seq,
                 )
             )
     finally:
@@ -125,7 +138,7 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "status int, snapshot_id long, file_path string, file_format string, "
-        "record_count long, file_size_in_bytes long, content int",
+        "record_count long, file_size_in_bytes long, content int, sequence_number long",
     )
 
 
@@ -151,7 +164,9 @@ def files_from_manifest_list(
     entries (status != 2 deleted) of the requested ``content`` kind
     (0 data files — the default, `file_size_histogram`-compatible;
     1 position deletes; 2 equality deletes), and emit the canonical
-    files shape."""
+    files shape plus each file's data ``sequence_number`` (entry-level,
+    inherited from the manifest list when null — the key MOR deletes are
+    scoped by; null when the table carries no sequence metadata)."""
     from pyspark.sql import functions as F
 
     want_delete_manifests = content != 0
@@ -162,11 +177,17 @@ def files_from_manifest_list(
         # manifests of the wrong kind before parsing them
         if (m.content == 1) != want_delete_manifests:
             continue
-        entries = read_manifest(spark, _resolve(manifest_list_path, m.manifest_path))
+        entries = read_manifest(
+            spark,
+            _resolve(manifest_list_path, m.manifest_path),
+            inherited_seq=m.sequence_number,
+        )
         out = entries if out is None else out.unionByName(entries)
     if out is None:
         return spark.createDataFrame(
-            [], "table_name string, file_path string, file_size_in_bytes long, record_count long"
+            [],
+            "table_name string, file_path string, file_size_in_bytes long, "
+            "record_count long, sequence_number long",
         )
     return (
         out.filter((F.col("status") != 2) & (F.col("content") == content))
@@ -175,6 +196,7 @@ def files_from_manifest_list(
             "file_path",
             "file_size_in_bytes",
             "record_count",
+            "sequence_number",
         )
     )
 
@@ -199,12 +221,17 @@ def read_data_at_snapshot(
     * equality deletes — parquet rows carrying the equality columns —
       anti-join by the delete file's own column names.
 
-    Scope (documented, not silent): deletes apply to ALL data files of
-    the snapshot (exact for the overwhelmingly common commit order where
-    a delete targets pre-existing data; per-file sequence-number scoping
-    — a data file added AFTER an equality delete in the same snapshot
-    lineage — is not modeled). The file-path collect is planning-plane
-    work, the same listing any engine's planner materializes.
+    Deletes are scoped by data sequence number per the Iceberg v2 spec
+    (scan-planning rules): a position delete applies to a data file when
+    ``delete_seq >= data_seq``; an equality delete only when
+    ``delete_seq > data_seq`` — so a row re-inserted AFTER an equality
+    delete in the same lineage survives, exactly as the Iceberg runtime
+    reads it. Sequence numbers come from the manifest entries (with
+    manifest-list inheritance). When a table carries no sequence
+    metadata at all (null seq — malformed v2 or synthetic fixtures), a
+    delete file falls back to applying to every data file, the pre-r4
+    approximation. The file-path collect is planning-plane work, the
+    same listing any engine's planner materializes.
     """
     import json
     import os
@@ -234,39 +261,73 @@ def read_data_at_snapshot(
         mlist = os.path.join(os.path.dirname(metadata_json_path), mlist)
     mlist = mlist.removeprefix("file:")
 
-    def live_paths(content: int) -> list[str]:
+    def live_files(content: int) -> list[tuple[str, int | None]]:
         files = files_from_manifest_list(spark, "t", mlist, content=content)
         return [
-            r.file_path.removeprefix("file:")
-            for r in files.select("file_path").collect()
+            (r.file_path.removeprefix("file:"), r.sequence_number)
+            for r in files.select("file_path", "sequence_number").collect()
         ]
 
-    paths = live_paths(0)
-    if not paths:
+    data_files = live_files(0)
+    if not data_files:
         raise ValueError(f"snapshot {chosen['snapshot-id']} has no live data files")
-    data = spark.read.parquet(*paths)
+    data = spark.read.parquet(*[p for p, _ in data_files])
 
     from ..metadata.metadata_json import _strip_scheme
 
-    pos_delete_paths = live_paths(1)
-    eq_delete_paths = live_paths(2)
-    if pos_delete_paths:
-        data = data.select(
-            "*",
-            _strip_scheme(F.col("_metadata.file_path")).alias("_fp"),
-            F.col("_metadata.row_index").alias("_pos"),
-        )
-        dels = (
-            spark.read.parquet(*pos_delete_paths)
-            .select(
-                _strip_scheme(F.col("file_path")).alias("_fp"),
-                F.col("pos").cast("long").alias("_pos"),
+    pos_delete_files = live_files(1)
+    eq_delete_files = live_files(2)
+    if not pos_delete_files and not eq_delete_files:
+        return data
+
+    # attach each row's data sequence number from the (tiny, planning-
+    # plane) path→seq map so delete scoping is a join predicate, not a
+    # per-file driver loop over the data
+    out_cols = data.columns
+    seq_map = spark.createDataFrame(
+        [(p, s) for p, s in data_files], "_fp string, _dataseq long"
+    ).select(_strip_scheme(F.col("_fp")).alias("_fp"), "_dataseq")
+    data = data.select(
+        "*",
+        _strip_scheme(F.col("_metadata.file_path")).alias("_fp"),
+        F.col("_metadata.row_index").alias("_pos"),
+    ).join(F.broadcast(seq_map), "_fp", "left")
+
+    if pos_delete_files:
+        dels = None
+        for p, dseq in pos_delete_files:
+            one = spark.read.parquet(p).select(
+                _strip_scheme(F.col("file_path")).alias("_dfp"),
+                F.col("pos").cast("long").alias("_dpos"),
+                F.lit(dseq).cast("long").alias("_dseq"),
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        # spec: position deletes apply at delete_seq >= data_seq; null
+        # seq info on either side → unscoped fallback (apply)
+        cond = (
+            (data["_fp"] == dels["_dfp"])
+            & (data["_pos"] == dels["_dpos"])
+            & (
+                dels["_dseq"].isNull()
+                | data["_dataseq"].isNull()
+                | (dels["_dseq"] >= data["_dataseq"])
             )
         )
-        data = data.join(dels, ["_fp", "_pos"], "left_anti").drop("_fp", "_pos")
-    for p in eq_delete_paths:
+        data = data.join(dels, cond, "left_anti")
+    for p, dseq in eq_delete_files:
         eq = spark.read.parquet(p)
-        keys = [c for c in eq.columns if c in data.columns]
+        keys = [c for c in eq.columns if c in out_cols]
         if keys:
-            data = data.join(eq.select(keys).distinct(), keys, "left_anti")
-    return data
+            eqd = eq.select(keys).distinct()
+            # spec: equality deletes apply only at delete_seq > data_seq
+            # (a file written in or after the delete's commit survives)
+            scope = (
+                F.lit(dseq).cast("long").isNull()
+                | data["_dataseq"].isNull()
+                | (F.lit(dseq).cast("long") > data["_dataseq"])
+            )
+            cond = scope
+            for k in keys:
+                cond = cond & (data[k] == eqd[k])
+            data = data.join(eqd, cond, "left_anti")
+    return data.select(*out_cols)

@@ -55,24 +55,46 @@ SNAP = 3_000_000_001  # > 2^31: forces java.lang.Long through py4j
 MB = 1048576
 
 
+def _avro_json(field_schema, v):
+    """Python value → Avro-JSON-encoding shape for the field: unions wrap
+    non-null values as {"type": value}, records recurse by field."""
+    t = field_schema.getType().getName()
+    if t == "union":
+        if v is None:
+            return None
+        member = next(
+            s for s in field_schema.getTypes() if s.getType().getName() != "null"
+        )
+        return {member.getType().getName(): _avro_json(member, v)}
+    if t == "record":
+        return {
+            f.name(): _avro_json(f.schema(), v.get(f.name()))
+            for f in field_schema.getFields()
+        }
+    return v
+
+
 def _write_avro(spark, path: str, schema_json: str, rows: list[dict]) -> None:
+    """Write real Avro container files with Spark's own Apache Avro JVM
+    library. Rows go through Avro's JSON decoder JVM-side rather than
+    GenericData.Record.put via py4j — py4j boxes small Python ints as
+    Integer (and auto-unboxes any java.lang.Long we create back to int),
+    which Avro refuses for long fields; the JSON route types every value
+    from the schema."""
+    import json as _json
+
     jvm = spark._jvm
     schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
     writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
     dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
     dfw.create(schema, jvm.java.io.File(path))
     for row in rows:
-        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
-        for k, v in row.items():
-            if isinstance(v, dict):
-                sub_schema = schema.getField(k).schema()
-                sub = jvm.org.apache.avro.generic.GenericData.Record(sub_schema)
-                for k2, v2 in v.items():
-                    sub.put(k2, v2)
-                rec.put(k, sub)
-            else:
-                rec.put(k, v)
-        dfw.append(rec)
+        payload = _json.dumps(
+            {f.name(): _avro_json(f.schema(), row.get(f.name())) for f in schema.getFields()}
+        )
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(schema, payload)
+        dfw.append(reader.read(None, dec))
     dfw.close()
 
 
@@ -452,3 +474,109 @@ def test_warehouse_discovery_uuid_naming(spark, tmp_path):
             json.dump({"format-version": 2, "snapshots": []}, f)
     r = discover_tables(spark, str(tmp_path / "wh")).collect()[0]
     assert r.version == 3 and "00003-" in r.metadata_json_path
+
+
+MANIFEST_LIST_V2_SEQ = """
+{"type":"record","name":"manifest_file","fields":[
+ {"name":"manifest_path","type":"string"},
+ {"name":"manifest_length","type":"long"},
+ {"name":"partition_spec_id","type":"int"},
+ {"name":"content","type":"int"},
+ {"name":"sequence_number","type":"long"},
+ {"name":"added_snapshot_id","type":"long"},
+ {"name":"added_files_count","type":"int"},
+ {"name":"existing_files_count","type":"int"},
+ {"name":"deleted_files_count","type":"int"}]}
+"""
+
+MANIFEST_ENTRY_SEQ = """
+{"type":"record","name":"manifest_entry","fields":[
+ {"name":"status","type":"int"},
+ {"name":"snapshot_id","type":["null","long"],"default":null},
+ {"name":"sequence_number","type":["null","long"],"default":null},
+ {"name":"data_file","type":{"type":"record","name":"data_file_s","fields":[
+   {"name":"content","type":"int"},
+   {"name":"file_path","type":"string"},
+   {"name":"file_format","type":"string"},
+   {"name":"record_count","type":"long"},
+   {"name":"file_size_in_bytes","type":"long"}]}}]}
+"""
+
+
+def test_mor_sequence_number_scoping(spark, tmp_path):
+    """Iceberg v2 scan-planning rules (ADVICE r3 medium): an equality
+    delete applies only to data files with data sequence number strictly
+    BELOW the delete's — a row re-inserted after the delete, in the same
+    lineage, must survive time travel. Also covers manifest-list seq
+    inheritance (entries with null seq) and position-delete >= scoping.
+
+    Lineage (one current snapshot, three commits merged into its
+    manifest list, as Iceberg writes it):
+      seq 1: d1 adds ids {1, 2, 3}
+      seq 2: equality delete on id=3  (kills seq-1 copies only)
+      seq 3: d2 re-inserts id=3 plus id=4
+      seq 3: position delete kills d1 row 1 (id=2) — pos deletes use >=
+    Expected live rows: {1 (d1), 3 (d2 re-insert), 4 (d2)}.
+    """
+    import glob as globmod
+    import json
+
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    def write_one(name, df):
+        p = str(tmp_path / name)
+        df.coalesce(1).write.parquet(p)
+        return globmod.glob(f"{p}/part-*.parquet")[0]
+
+    d1 = write_one("d1.parquet", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]))
+    d2 = write_one("d2.parquet", spark.createDataFrame(
+        [(3, "c-reinserted"), (4, "d")], ["id", "v"]))
+    eq_del = write_one("ed.parquet", spark.createDataFrame([(3,)], ["id"]))
+    pos_del = write_one("pd.parquet", spark.createDataFrame(
+        [(f"file:{d1}", 1)], ["file_path", "pos"]))
+
+    def entry(content, path, seq=None):
+        e = {"status": 1, "snapshot_id": SNAP,
+             "data_file": {"content": content, "file_path": path,
+                           "file_format": "PARQUET",
+                           "record_count": SNAP, "file_size_in_bytes": SNAP}}
+        if seq is not None:
+            e["sequence_number"] = seq
+        return e
+
+    def manifest(name, entries):
+        p = str(tmp_path / f"{name}.avro")
+        _write_avro(spark, p, MANIFEST_ENTRY_SEQ, entries)
+        return p
+
+    # d1's entry has an EXPLICIT seq; d2's entry has null seq and must
+    # inherit seq 3 from its manifest-list row
+    man_d1 = manifest("man-d1", [entry(0, d1, seq=1)])
+    man_d2 = manifest("man-d2", [entry(0, d2)])
+    man_eq = manifest("man-eq", [entry(2, eq_del, seq=2)])
+    man_pos = manifest("man-pos", [entry(1, pos_del, seq=3)])
+
+    def mrow(man, content, seq, n):
+        return {"manifest_path": man, "manifest_length": SNAP,
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "added_snapshot_id": SNAP,
+                "added_files_count": n, "existing_files_count": 0,
+                "deleted_files_count": 0}
+
+    ml = str(tmp_path / "list.avro")
+    _write_avro(spark, ml, MANIFEST_LIST_V2_SEQ, [
+        mrow(man_d1, 0, 1, 1),
+        mrow(man_d2, 0, 3, 1),
+        mrow(man_eq, 1, 2, 1),
+        mrow(man_pos, 1, 3, 1),
+    ])
+    meta = {"format-version": 2, "snapshots": [
+        {"snapshot-id": 1, "timestamp-ms": 1700000000000, "schema-id": 0,
+         "manifest-list": ml, "summary": {"operation": "overwrite"}}]}
+    mpath = str(tmp_path / "seq.metadata.json")
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+
+    got = {(r.id, r.v) for r in read_data_at_snapshot(spark, mpath).collect()}
+    assert got == {(1, "a"), (3, "c-reinserted"), (4, "d")}
