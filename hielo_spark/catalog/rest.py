@@ -75,22 +75,39 @@ class RestCatalogClient:
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             return resp.status == 200
 
-    def list_namespaces(self) -> list[str]:
-        """S5 — all namespaces, following pagination ('next-page-token');
-        multi-level namespaces render dotted."""
-        out: list[str] = []
+    def list_namespace_tuples(self) -> list[tuple[str, ...]]:
+        """S5 primitive — all namespaces as level tuples, following
+        pagination ('next-page-token'). Tuples are the lossless identity
+        (a level may itself contain a dot); the dotted string is display
+        only."""
+        out: list[tuple[str, ...]] = []
         token: str | None = None
         while True:
             params = {"pageToken": token} if token else None
             doc = self._get("namespaces", params)
-            out.extend(".".join(ns) for ns in doc.get("namespaces", []))
+            out.extend(tuple(ns) for ns in doc.get("namespaces", []))
             token = doc.get("next-page-token")
             if not token:
                 return out
 
-    def list_tables(self, namespace: str) -> list[str]:
+    def list_namespaces(self) -> list[str]:
+        """S5 — namespaces in dotted display form."""
+        return [".".join(ns) for ns in self.list_namespace_tuples()]
+
+    @staticmethod
+    def _ns_parts(namespace: str | tuple[str, ...] | list[str]) -> tuple[str, ...]:
+        """Accept a namespace as level parts (lossless) or a dotted
+        display string (split on '.' — fine unless a level contains a
+        literal dot; pass the tuple from list_namespace_tuples then)."""
+        if isinstance(namespace, (tuple, list)):
+            return tuple(namespace)
+        return tuple(namespace.split("."))
+
+    def list_tables(self, namespace: str | tuple[str, ...] | list[str]) -> list[str]:
         """S6 — table names in one namespace (paginated)."""
-        ns_path = urllib.parse.quote(namespace.replace(".", NS_SEPARATOR), safe="")
+        ns_path = urllib.parse.quote(
+            NS_SEPARATOR.join(self._ns_parts(namespace)), safe=""
+        )
         out: list[str] = []
         token: str | None = None
         while True:
@@ -101,10 +118,14 @@ class RestCatalogClient:
             if not token:
                 return out
 
-    def load_table(self, namespace: str, table: str) -> dict:
+    def load_table(
+        self, namespace: str | tuple[str, ...] | list[str], table: str
+    ) -> dict:
         """S7 — LoadTableResult: {'metadata-location': ..., 'metadata':
         <table-metadata document>}."""
-        ns_path = urllib.parse.quote(namespace.replace(".", NS_SEPARATOR), safe="")
+        ns_path = urllib.parse.quote(
+            NS_SEPARATOR.join(self._ns_parts(namespace)), safe=""
+        )
         return self._get(f"namespaces/{ns_path}/tables/{urllib.parse.quote(table, safe='')}")
 
     # -- DataFrame surfaces ------------------------------------------------
@@ -114,8 +135,8 @@ class RestCatalogClient:
         one listing pass (namespaces × their tables — never the N+1
         per-table metadata loads the reference does, catalog.rs:342-360)."""
         rows = [
-            (catalog_name, ns, t)
-            for ns in self.list_namespaces()
+            (catalog_name, ".".join(ns), t)
+            for ns in self.list_namespace_tuples()
             for t in self.list_tables(ns)
         ]
         df = spark.createDataFrame(

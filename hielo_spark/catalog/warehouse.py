@@ -25,7 +25,17 @@ import pyspark.sql.functions as F
 
 def discover_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     """(namespace, table_name, full_name, metadata_json_path, version)
-    — one row per table, pointing at its LATEST metadata document."""
+    — one row per table, pointing at its LATEST metadata document.
+
+    Only files matching the catalog layout
+    ``<warehouse>/<ns>[/<ns2>...]/<table>/metadata/<file>.metadata.json``
+    count: the recursive glob also surfaces metadata.json files at other
+    depths (a doc in a data dir, a stray file at the namespace level) and
+    those must not fabricate tables from fixed path offsets. Multi-level
+    namespaces join with '.' for display."""
+    import os
+    import re
+
     listed = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.metadata.json")
@@ -33,16 +43,25 @@ def discover_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
         .load(warehouse_dir)
         .select("path", "modificationTime")
     )
-    # .../<ns>/<table>/metadata/<version>.metadata.json
-    parts = F.split(F.col("path"), "/")
-    n = F.size(parts)
-    fname = F.element_at(parts, -1)
+    # path → segments relative to the warehouse root:
+    # [<ns>..., <table>, 'metadata', <file>.metadata.json]
+    scheme = r"^[a-zA-Z][a-zA-Z0-9.+-]*:/+"
+    wh_abs = re.sub(scheme, "/", warehouse_dir)
+    if not wh_abs.startswith("/"):
+        wh_abs = os.path.abspath(wh_abs)
+    rel = F.regexp_replace(F.col("path"), scheme, "/")
+    rel = F.regexp_replace(rel, "^" + re.escape(wh_abs.rstrip("/")) + "/", "")
+    rparts = F.split(rel, "/")
+    m = F.size(rparts)
+    fname = F.element_at(rparts, -1)
     version = F.coalesce(
         F.regexp_extract(fname, r"^v?(\d+)", 1).try_cast("long"), F.lit(-1)
     )
-    tables = listed.select(
-        F.element_at(parts, n - 3).alias("namespace"),
-        F.element_at(parts, n - 2).alias("table_name"),
+    tables = listed.filter(
+        (m >= 4) & (F.element_at(rparts, -2) == "metadata")
+    ).select(
+        F.concat_ws(".", F.slice(rparts, F.lit(1), m - 3)).alias("namespace"),
+        F.element_at(rparts, m - 2).alias("table_name"),
         F.col("path").alias("metadata_json_path"),
         version.alias("version"),
         "modificationTime",

@@ -852,10 +852,13 @@ def meta_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # S5/S6 (Hadoop-catalog mode, r3) — warehouse-directory table discovery:
-# fabricate a deterministic mini-warehouse under /tmp (pure JSON, no data
-# files needed for discovery), list it distributed, rank versions.
-# The oracle is the expected constant listing — a driver-checked golden
-# for the no-jar discovery path (catalog/warehouse.py).
+# fabricate a deterministic mini-warehouse (pure JSON, no data files
+# needed for discovery), list it distributed, rank versions. The oracle
+# is the expected constant listing — a driver-checked golden for the
+# no-jar discovery path (catalog/warehouse.py). The fixture lives under
+# a per-application-id tempdir and is rebuilt from scratch every call:
+# a fixed world-writable path would let stale files from prior runs (or
+# another user's symlinks) silently change the discovery result.
 # --------------------------------------------------------------------------
 @query(
     "meta_warehouse_discovery",
@@ -870,10 +873,16 @@ def meta_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 def meta_warehouse_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
+    import shutil
+    import tempfile
 
     from ..catalog.warehouse import discover_tables
 
-    wh = "/tmp/hielo_wh_fixture"
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_wh_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(wh, ignore_errors=True)
     layout = {
         ("analytics", "orders_t"): 3,
         ("analytics", "parts_t"): 1,
@@ -881,10 +890,8 @@ def meta_warehouse_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     for (ns, tbl), n_versions in layout.items():
         mdir = os.path.join(wh, ns, tbl, "metadata")
-        os.makedirs(mdir, exist_ok=True)
+        os.makedirs(mdir)
         for v in range(1, n_versions + 1):
-            p = os.path.join(mdir, f"v{v}.metadata.json")
-            if not os.path.exists(p):
-                with open(p, "w") as f:
-                    json.dump({"format-version": 2, "snapshots": []}, f)
+            with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+                json.dump({"format-version": 2, "snapshots": []}, f)
     return discover_tables(spark, wh).select("namespace", "table_name", "version")

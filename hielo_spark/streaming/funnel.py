@@ -6,16 +6,27 @@ streaming form keeps exactly those three timestamps per user in
 GroupState and processes events in event-time order, so the state after
 a user's last event equals the batch reduction over the same events:
 
-  * a COMPLETED funnel (t2 set) is emitted immediately and its state
-    dropped — conversion latency is one micro-batch, and completed users
-    cost no further memory;
+  * a COMPLETED funnel (t2 set) is emitted immediately; the state stays
+    behind as a TOMBSTONE (``done`` flag) until the watermark passes
+    ``last event + horizon``, absorbing any further within-watermark
+    events for that user so a completed funnel can never emit a second,
+    partial row — then the timeout removes it silently;
   * an INCOMPLETE funnel is flushed when the stream's watermark passes
     ``last event + horizon`` (event-time timeout — deterministic under
     replay and availableNow drains, same policy as
     sessions.sessionize_stream_event_time).
 
-State is three longs per active user — bounded by concurrently-active
-users, independent of event volume.
+State is four longs + a flag per user active within the horizon —
+bounded by concurrently-active users, independent of event volume.
+
+Ordering contract: events are sorted by event time WITHIN each
+invocation (all chunks of a micro-batch together), so the result equals
+the batch twin when a user's events arrive in event-time order ACROSS
+micro-batches. Within-watermark stragglers that land in a later
+micro-batch out of order can still re-order the state machine's step
+sequence relative to batch — the tombstone guarantees no duplicate
+emission for completed funnels; for incomplete ones the flush-time
+row reflects the as-arrived order.
 """
 
 from __future__ import annotations
@@ -52,6 +63,7 @@ _STATE_SCHEMA = StructType(
         StructField("t1_ms", LongType(), True),
         StructField("t2_ms", LongType(), True),
         StructField("last_ms", LongType(), True),
+        StructField("done", BooleanType(), True),
     ]
 )
 
@@ -82,14 +94,29 @@ def _funnel_group(
     (user_id,) = key
     if state.hasTimedOut:
         if state.exists:
-            t0, t1, t2, _last = state.get
+            t0, t1, t2, _last, done = state.get
             state.remove()
-            yield _row(user_id, t0, t1, t2)
+            if not done:
+                # tombstones (done=True) already emitted at completion —
+                # the timeout just garbage-collects them
+                yield _row(user_id, t0, t1, t2)
         return
 
     t0 = t1 = t2 = last = None
+    done = False
     if state.exists:
-        t0, t1, t2, last = state.get
+        t0, t1, t2, last, done = state.get
+
+    if done:
+        # completed-funnel tombstone: absorb post-completion events (a
+        # within-watermark straggler must not rebuild state and emit a
+        # second, partial row for an already-converted user). Drain the
+        # iterator, keep the GC timeout as set at completion.
+        for _ in batches:
+            pass
+        state.update((t0, t1, t2, last, True))
+        state.setTimeoutTimestamp(last + horizon_ms)
+        return
 
     # concat ALL chunks before sorting (multi-chunk groups must process in
     # global event-time order — same rule as sessions._sessionize_group)
@@ -107,13 +134,15 @@ def _funnel_group(
                 t2 = ts_ms
 
     if t2 is not None:
-        # funnel complete — emit now, free the state
-        if state.exists:
-            state.remove()
+        # funnel complete — emit now; leave a tombstone so later
+        # within-watermark events for this user are absorbed, GC'd by
+        # the event-time timeout
+        state.update((t0, t1, t2, last, True))
+        state.setTimeoutTimestamp(last + horizon_ms)
         yield _row(user_id, t0, t1, t2)
         return
 
-    state.update((t0, t1, t2, last))
+    state.update((t0, t1, t2, last, False))
     if last is not None:
         state.setTimeoutTimestamp(last + horizon_ms)
 

@@ -580,3 +580,31 @@ def test_mor_sequence_number_scoping(spark, tmp_path):
 
     got = {(r.id, r.v) for r in read_data_at_snapshot(spark, mpath).collect()}
     assert got == {(1, "a"), (3, "c-reinserted"), (4, "d")}
+
+
+def test_warehouse_discovery_depth_and_multilevel_ns(spark, tmp_path):
+    """ADVICE r3: discovery must count only files in the canonical
+    <wh>/<ns...>/<table>/metadata/ layout — a metadata.json at another
+    depth must not fabricate a table from fixed path offsets — and a
+    multi-level namespace joins with '.' for display."""
+    import json
+
+    from hielo_spark.catalog.warehouse import discover_tables
+
+    wh = tmp_path / "wh"
+
+    def doc(relpath):
+        p = wh / relpath
+        p.parent.mkdir(parents=True, exist_ok=True)
+        with open(p, "w") as f:
+            json.dump({"format-version": 2, "snapshots": []}, f)
+
+    doc("ns/t/metadata/v1.metadata.json")                # canonical
+    doc("raw/logs/events_t/metadata/v2.metadata.json")   # 2-level ns
+    doc("ns/stray.metadata.json")                        # ns level: ignore
+    doc("ns/t/data/part-0/deep.metadata.json")           # data dir: ignore
+    doc("top.metadata.json")                             # root: ignore
+
+    rows = {(r.namespace, r.table_name, r.version)
+            for r in discover_tables(spark, str(wh)).collect()}
+    assert rows == {("ns", "t", 1), ("raw.logs", "events_t", 2)}

@@ -68,6 +68,14 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(
                 200, {"identifiers": [{"namespace": ["raw", "logs"], "name": "events_t"}]}
             )
+        # a SINGLE namespace level containing a literal dot — only
+        # reachable when the client carries namespaces as parts, never
+        # via dotted-string splitting (which would mis-segment to
+        # dotted%1Fname)
+        if u.path in ("/v1/namespaces/dotted.name/tables", "/v1/namespaces/dotted%2Ename/tables"):
+            return self._send(
+                200, {"identifiers": [{"namespace": ["dotted.name"], "name": "weird_t"}]}
+            )
         if u.path == "/v1/namespaces/analytics/tables/orders_t":
             return self._send(
                 200,
@@ -100,6 +108,17 @@ def test_listing_with_pagination(rest_server):
     assert c.list_namespaces() == ["analytics", "raw.logs"]
     assert c.list_tables("analytics") == ["orders_t", "parts_t"]
     assert c.list_tables("raw.logs") == ["events_t"]
+
+
+def test_namespace_level_with_literal_dot(rest_server):
+    """ADVICE r3: a namespace LEVEL containing a '.' must not be
+    re-split into two levels on the URL path — tuples are the lossless
+    identity; the dotted string is display only."""
+    c = RestCatalogClient(rest_server, token=TOKEN)
+    assert c.list_tables(("dotted.name",)) == ["weird_t"]
+    # the tuple primitive is what catalog_tree consumes
+    assert c._ns_parts(("dotted.name",)) == ("dotted.name",)
+    assert c._ns_parts("raw.logs") == ("raw", "logs")
 
 
 def test_catalog_tree_and_search(spark, rest_server):

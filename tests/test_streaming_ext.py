@@ -240,3 +240,83 @@ def test_streaming_funnel_matches_batch(spark, sf_dir):
     want_completed = {u for u, v in batch.items() if v[3]}
     got_completed = {u for u, v in got.items() if v[3]}
     assert got_completed == want_completed and want_completed
+
+
+class _FakeGroupState:
+    """Just enough of pyspark GroupState to drive _funnel_group directly."""
+
+    def __init__(self):
+        self._value = None
+        self.hasTimedOut = False
+        self.timeout_ts = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+        self.removed = False
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def test_funnel_tombstone_absorbs_post_completion_events():
+    """ADVICE r3: an event arriving after a funnel completed (still
+    within the watermark) must NOT rebuild state and emit a second,
+    partial row. Completion leaves a done-tombstone; stragglers are
+    absorbed; the timeout GCs the tombstone silently."""
+    import pandas as pd
+
+    from hielo_spark.streaming.funnel import _funnel_group
+
+    H = 1000
+    state = _FakeGroupState()
+
+    def invoke(rows):
+        pdf = pd.DataFrame(rows, columns=["ts_ms", "event_type"])
+        return list(_funnel_group((7,), iter([pdf]), state, H))
+
+    # 1. completing batch → exactly one row, completed, tombstone kept
+    out = invoke([(1000, "view"), (2000, "click"), (3000, "purchase")])
+    assert len(out) == 1 and bool(out[0]["completed"][0])
+    assert state.exists and state.get[4] is True
+    assert state.timeout_ts == 3000 + H
+
+    # 2. within-watermark straggler → absorbed, no second row
+    out = invoke([(2500, "view")])
+    assert out == []
+    assert state.exists and state.get[4] is True
+
+    # 3. timeout → tombstone GC'd silently (row already emitted)
+    state.hasTimedOut = True
+    out = list(_funnel_group((7,), iter([]), state, H))
+    assert out == [] and not state.exists
+
+
+def test_funnel_incomplete_flush_still_emits_once():
+    """The event-time timeout still flushes INCOMPLETE funnels exactly
+    once (tombstone change must not break the partial-row path)."""
+    import pandas as pd
+
+    from hielo_spark.streaming.funnel import _funnel_group
+
+    state = _FakeGroupState()
+    pdf = pd.DataFrame([(1000, "view"), (2000, "click")], columns=["ts_ms", "event_type"])
+    assert list(_funnel_group((9,), iter([pdf]), state, 1000)) == []
+    assert state.exists and state.get[4] is False
+
+    state.hasTimedOut = True
+    out = list(_funnel_group((9,), iter([]), state, 1000))
+    assert len(out) == 1 and not bool(out[0]["completed"][0])
+    assert not state.exists
