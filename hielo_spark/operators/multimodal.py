@@ -8,13 +8,15 @@ produces, and what an Iceberg table with a binary column stores:
 
 Decode / feature-extract stages run as ``mapInPandas`` stages: Arrow
 batches in, Arrow batches out, so payload bytes never pass through Python
-row-by-row. Codec status (r3): **uncompressed formats decode for real**
-— PPM (P6) and 24-bit uncompressed BMP are parsed with numpy alone, and
-nearest-neighbor resize is numpy index striding. Compressed formats
-(JPEG/PNG/video) still raise NotImplementedError (no PIL/ffmpeg in this
-environment) unless ``fake=True`` selects the deterministic stand-in —
-the Spark-side plumbing (schemas, batching, partitioning) is identical
-on every path.
+row-by-row. Codec status (r4): **PPM (P6), 24-bit uncompressed BMP, and
+non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA) decode for real** —
+PPM/BMP with numpy alone, PNG with stdlib ``zlib`` + numpy (full filter
+reconstruction: None/Sub/Up/Average/Paeth per the public PNG spec).
+Nearest-neighbor resize is numpy index striding. Remaining compressed
+formats (JPEG/video, 16-bit or interlaced or palette PNG) raise
+NotImplementedError (no PIL/ffmpeg in this environment) unless
+``fake=True`` selects the deterministic stand-in — the Spark-side
+plumbing (schemas, batching, partitioning) is identical on every path.
 """
 
 from __future__ import annotations
@@ -92,6 +94,38 @@ def attach_ppm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID 4×4 RGB PNG payloads with the SAME pixel bytes
+    as ``attach_ppm_media`` (md5-hex → 48 RGB bytes), zlib-compressed in
+    an Arrow batch stage with the per-row filter type cycling through all
+    five PNG filters — the compressed-format twin; `decode_image_features
+    (fake=False)` really inflates + unfilters these."""
+    import hashlib
+
+    from pyspark.sql.types import BinaryType as _Bin
+
+    @F.pandas_udf(_Bin())
+    def make_png(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            hx = hashlib.md5(str(int(i)).encode()).hexdigest()
+            img = np.frombuffer(bytes.fromhex(hx * 3), np.uint8).reshape(4, 4, 3)
+            out.append(encode_png(img, filter_type=int(i) % 5))
+        return pd.Series(out)
+
+    k = F.col(id_col)
+    payload = make_png(k.cast("long"))
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.concat(F.lit("s3://media/img_"), k, F.lit(".png")).alias("uri"),
+            F.lit("image/png").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            payload.alias("payload"),
+        ),
+    )
+
+
 def decode_ppm(b: bytes) -> np.ndarray:
     """P6 PPM → (h, w, 3) uint8. Pure numpy; header is 'P6 <w> <h>
     <maxval>' in whitespace-separated ASCII, then binary RGB."""
@@ -142,16 +176,161 @@ def decode_bmp(b: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR → RGB
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter_row(
+    f: int, row: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reconstruct one scanline per the PNG filter spec (filter type
+    ``f``): Recon(x) = Filt(x) + predictor, mod 256. None/Up vectorize;
+    Sub/Average/Paeth have a per-byte serial dependency on the
+    just-reconstructed left neighbor, so they scan the row."""
+    n = row.shape[0]
+    if f == 0:
+        return row.copy()
+    if f == 2:
+        return (row + prev) & 0xFF
+    cur = np.empty(n, dtype=np.int64)
+    for x in range(n):
+        a = cur[x - bpp] if x >= bpp else 0  # left (already reconstructed)
+        b_ = prev[x]                         # up
+        if f == 1:
+            pred = a
+        elif f == 3:
+            pred = (a + b_) >> 1
+        elif f == 4:
+            c = prev[x - bpp] if x >= bpp else 0  # upper-left
+            p = a + b_ - c
+            pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        cur[x] = (row[x] + pred) & 0xFF
+    return cur
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG → (h, w, 3) uint8 RGB. Stdlib zlib +
+    numpy: chunk walk (IHDR/IDAT/IEND), one zlib stream across all IDAT
+    chunks, per-scanline filter reconstruction. Gray/gray+alpha expand
+    to RGB; RGBA drops alpha (composite against black would need a
+    policy choice — features use color planes only). 16-bit, interlaced
+    (Adam7), and palette PNGs raise NotImplementedError."""
+    import struct
+    import zlib
+
+    if b[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr: tuple | None = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG (got depth {depth})")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"palette/unknown PNG color type {color}")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != (stride + 1) * h:
+        raise ValueError("PNG scanline data has wrong size")
+    raw = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = _png_unfilter_row(int(raw[y, 0]), raw[y, 1:].astype(np.int64), prev, channels)
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit RGB, one IDAT, chosen per-row filter) —
+    the test/fixture twin of decode_png; forward-filters with the same
+    spec arithmetic the decoder inverts."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    x = img.astype(np.int64)
+    stride = w * 3
+    flat = x.reshape(h, stride)
+    rows = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+            filt = (cur - left) & 0xFF
+        elif filter_type == 2:
+            filt = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            filt = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0
+                b_ = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                filt[i] = (cur[i] - pred) & 0xFF
+        else:
+            raise ValueError(f"invalid filter type {filter_type}")
+        rows.append(bytes([filter_type]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_image(b: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 from an uncompressed payload; compressed formats
-    raise NotImplementedError (PIL/ffmpeg are not in this environment)."""
+    """(h, w, 3) uint8 from a PPM(P6) / uncompressed-BMP / 8-bit
+    non-interlaced PNG payload; remaining compressed formats raise
+    NotImplementedError (PIL/ffmpeg are not in this environment)."""
     if b[:2] == b"P6":
         return decode_ppm(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
+    if b[:8] == PNG_SIGNATURE:
+        return decode_png(b)
     raise NotImplementedError(
-        "only PPM(P6)/uncompressed-BMP decode natively; JPEG/PNG need PIL "
-        "(absent here) — use fake=True for the deterministic stand-in"
+        "only PPM(P6)/uncompressed-BMP/8-bit-PNG decode natively; JPEG "
+        "needs PIL (absent here) — use fake=True for the deterministic stand-in"
     )
 
 

@@ -303,17 +303,20 @@ def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X5 — multimodal decode (rows-only; r3: REAL decode — the payloads are
-# valid P6 PPMs built from JVM expressions and the numpy codec parses
-# them in the mapInPandas stage; no fake path involved).
+# X5 — multimodal decode (rows-only; r3: REAL decode — valid P6 PPMs
+# built from JVM expressions; r4: even doc_ids carry PPM, odd doc_ids
+# carry REAL zlib-compressed PNG payloads cycling through all five PNG
+# filter types — the numpy/zlib codecs parse both in the same
+# mapInPandas stage; no fake path involved).
 # --------------------------------------------------------------------------
 @query("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    media = MM.attach_ppm_media(d)
-    return MM.decode_image_features(media, fake=False)
+    ppm = MM.attach_ppm_media(d.filter(F.col("doc_id") % 2 == 0))
+    png = MM.attach_png_media(d.filter(F.col("doc_id") % 2 == 1))
+    return MM.decode_image_features(ppm.unionByName(png), fake=False)
 
 
 # --------------------------------------------------------------------------

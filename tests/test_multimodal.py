@@ -133,11 +133,16 @@ def test_real_decode_through_spark_stage(spark):
 
 
 def test_compressed_payload_still_raises(spark):
+    """JPEG remains the documented env-blocked stub boundary (r4 moved
+    PNG to the real path); a malformed PNG is a data error, not a
+    missing-codec error."""
     import pytest as _pytest
 
     from hielo_spark.operators.multimodal import decode_image
 
     with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0....JFIF....")
+    with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
@@ -153,3 +158,105 @@ def test_attach_ppm_media_real_decode(spark, sf_dir):
     again = {r.doc_id: r.feature for r in MM.decode_image_features(
         MM.attach_ppm_media(d), fake=False).collect()}
     assert all(out[k].feature == again[k] for k in out)
+
+
+def test_png_roundtrip_all_filter_types():
+    """decode_png must invert encode_png for every PNG filter type
+    (None/Sub/Up/Average/Paeth) on the same pixel data — the filter
+    reconstruction arithmetic is the spec's, exercised row by row."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for ft in range(5):
+        got = decode_png(encode_png(img, filter_type=ft))
+        assert got.shape == (7, 5, 3)
+        assert (got == img).all(), f"filter {ft} round-trip mismatch"
+
+
+def test_png_cross_codec_agreement():
+    """The same image via PPM and PNG must decode to identical pixels and
+    identical feature vectors (VERDICT r3 item 6's 'done' bar)."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        image_feature_vector,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    ppm = b"P6\n4 4\n255\n" + img.tobytes()
+    png = encode_png(img, filter_type=4)
+    a, b = decode_image(ppm), decode_image(png)
+    assert (a == b).all()
+    assert image_feature_vector(a) == image_feature_vector(b)
+
+
+def test_png_gray_and_rgba_normalize_to_rgb():
+    """Gray expands to 3 identical channels; RGBA drops alpha."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import PNG_SIGNATURE, decode_png
+
+    def png_raw(w, h, color, channels, pixel_bytes):
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        rows = b"".join(b"\x00" + pixel_bytes[y * w * channels:(y + 1) * w * channels]
+                        for y in range(h))
+        return (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+
+    gray = decode_png(png_raw(2, 2, 0, 1, bytes([10, 20, 30, 40])))
+    assert gray.shape == (2, 2, 3) and (gray[0, 0] == [10, 10, 10]).all()
+
+    rgba = decode_png(png_raw(1, 1, 6, 4, bytes([1, 2, 3, 128])))
+    assert rgba.shape == (1, 1, 3) and (rgba[0, 0] == [1, 2, 3]).all()
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    import pytest
+
+    from hielo_spark.operators.multimodal import PNG_SIGNATURE, decode_png
+
+    def png_hdr(depth=8, color=2, interlace=0):
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+        return (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+                + chunk(b"IEND", b""))
+
+    with pytest.raises(NotImplementedError, match="16|depth"):
+        decode_png(png_hdr(depth=16))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(png_hdr(interlace=1))
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_png(png_hdr(color=3))
+
+
+def test_registry_query_decodes_png_payloads(spark, sf_dir):
+    """The registry query ships even ids as PPM and odd ids as real
+    zlib-compressed PNGs; every row decodes to 4×4 with real features."""
+    from hielo_spark.queries import QUERIES
+
+    rows = QUERIES["multimodal_image_features"](spark, sf_dir).collect()
+    assert rows
+    by_uri = {r.uri: r for r in rows}
+    assert any(u.endswith(".png") for u in by_uri)
+    assert any(u.endswith(".ppm") for u in by_uri)
+    for r in rows:
+        assert (r.width, r.height) == (4, 4)
+        assert len(r.feature) == 8 and any(v != 0.0 for v in r.feature)
