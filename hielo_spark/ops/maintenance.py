@@ -8,7 +8,14 @@ statement and runs it when an Iceberg catalog is attached.
 
 Environment note: the iceberg-spark runtime jar is not present in this
 build sandbox, so `execute(...)` raises a clear error unless the catalog
-plugin resolves; SQL generation (the logic under test) is pure."""
+plugin resolves; SQL generation (the logic under test) is pure.
+
+No-jar alternative (r4): for Hadoop-catalog table DIRECTORIES,
+``metadata/commit.py`` executes append / rollback_to_snapshot /
+set_current_snapshot / expire_snapshots for real — own Avro manifests +
+metadata.json version bump with the optimistic-concurrency rename
+protocol — so the recommendation → action loop closes without the jar
+in the no-service catalog mode."""
 
 from __future__ import annotations
 
