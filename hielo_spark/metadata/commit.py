@@ -18,15 +18,20 @@ What this enables honestly:
   * ``append`` — new snapshot over real parquet data files, readable
     back through our own time travel (manifests.read_data_at_snapshot)
     AND any Iceberg runtime pointed at the table dir;
+  * ``delete_equality`` — a v2 merge-on-read equality-delete commit
+    (delete parquet + content=1 delete manifest at the new sequence
+    number), so the read path's sequence-scoped delete application is
+    exercised end-to-end against our own commits: the delete kills
+    strictly-older rows, and a subsequent re-insert survives;
   * ``rollback_to_snapshot`` / ``set_current_snapshot`` — metadata-only
     commit flipping ``current-snapshot-id`` (the reference's
     recommended recovery action, executable);
   * ``expire_snapshots`` — the ops/analysis.py dry-run becomes a real
     commit that drops expired snapshot entries from the metadata.
 
-Out of scope (documented): delete-file writes, compaction rewrites,
-and catalog-service commits (REST/Glue commit endpoints need a live
-service; the Hadoop dir protocol is the no-service mode).
+Out of scope (documented): position-delete writes, compaction
+rewrites, and catalog-service commits (REST/Glue commit endpoints need
+a live service; the Hadoop dir protocol is the no-service mode).
 
 Scale note: commits are planning-plane work — one manifest row per
 data file, driver-side Avro/JSON writes of KB-scale artifacts, exactly
@@ -180,6 +185,74 @@ def _commit_doc(table_dir: str, doc: dict, prev_version: int) -> str:
 # -- commits ---------------------------------------------------------------
 
 
+def _carry_forward_rows(spark: SparkSession, mdir: str, doc: dict) -> list[dict]:
+    """Prior current snapshot's manifest-list rows, re-emitted with their
+    own sequence numbers (a commit keeps history; only the new manifest
+    is added)."""
+    from .manifests import _resolve, read_manifest_list
+
+    snaps = doc.get("snapshots", [])
+    current_id = doc.get("current-snapshot-id")
+    current = next((s for s in snaps if s.get("snapshot-id") == current_id), None)
+    if current is None:
+        return []
+    prev_list = _resolve(
+        os.path.join(mdir, "x"), current["manifest-list"].removeprefix("file:")
+    )
+    rows = []
+    for m in read_manifest_list(spark, prev_list).collect():
+        rows.append(
+            {
+                "manifest_path": m.manifest_path,
+                "manifest_length": m.manifest_length,
+                "partition_spec_id": m.partition_spec_id or 0,
+                "content": m.content,
+                "sequence_number": m.sequence_number if m.sequence_number is not None else 0,
+                "min_sequence_number": m.sequence_number if m.sequence_number is not None else 0,
+                "added_snapshot_id": m.added_snapshot_id or 0,
+                "added_files_count": 0,
+                "existing_files_count": (m.added_files_count or 0)
+                + (m.existing_files_count or 0),
+                "deleted_files_count": 0,
+            }
+        )
+    return rows
+
+
+def _finalize_commit(
+    spark: SparkSession,
+    table_dir: str,
+    doc: dict,
+    prev_version: int,
+    manifest_rows: list[dict],
+    snapshot_id: int,
+    timestamp_ms: int,
+    seq: int,
+    summary: dict[str, str],
+) -> dict:
+    """Write the manifest list, append the snapshot entry, bump the
+    metadata version."""
+    mdir = os.path.join(table_dir, "metadata")
+    list_path = os.path.join(mdir, f"snap-{snapshot_id}-{_uuid.uuid4().hex[:8]}.avro")
+    write_avro(spark, list_path, MANIFEST_LIST_SCHEMA_V2, manifest_rows)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": doc.get("current-snapshot-id"),
+        "sequence-number": seq,
+        "timestamp-ms": timestamp_ms,
+        "manifest-list": list_path,
+        "schema-id": doc.get("current-schema-id", 0),
+        "summary": summary,
+    }
+    doc = dict(doc)
+    doc["snapshots"] = doc.get("snapshots", []) + [snapshot]
+    doc["current-snapshot-id"] = snapshot_id
+    doc["last-sequence-number"] = seq
+    doc["last-updated-ms"] = timestamp_ms
+    _commit_doc(table_dir, doc, prev_version)
+    return snapshot
+
+
 def append(
     spark: SparkSession,
     table_dir: str,
@@ -248,34 +321,9 @@ def append(
     )
 
     # 3. manifest list = prior snapshot's manifests (carried forward,
-    # keeping their own sequence numbers) + the new manifest
-    from .manifests import read_manifest_list, _resolve
-
-    prior_rows: list[dict] = []
-    snaps = doc.get("snapshots", [])
-    current_id = doc.get("current-snapshot-id")
-    current = next((s for s in snaps if s.get("snapshot-id") == current_id), None)
-    if current is not None:
-        prev_list = _resolve(
-            os.path.join(mdir, "x"), current["manifest-list"].removeprefix("file:")
-        )
-        for m in read_manifest_list(spark, prev_list).collect():
-            prior_rows.append(
-                {
-                    "manifest_path": m.manifest_path,
-                    "manifest_length": m.manifest_length,
-                    "partition_spec_id": m.partition_spec_id or 0,
-                    "content": m.content,
-                    "sequence_number": m.sequence_number if m.sequence_number is not None else 0,
-                    "min_sequence_number": m.sequence_number if m.sequence_number is not None else 0,
-                    "added_snapshot_id": m.added_snapshot_id or 0,
-                    "added_files_count": 0,
-                    "existing_files_count": (m.added_files_count or 0)
-                    + (m.existing_files_count or 0),
-                    "deleted_files_count": 0,
-                }
-            )
-    list_path = os.path.join(mdir, f"snap-{snapshot_id}-{_uuid.uuid4().hex[:8]}.avro")
+    # keeping their own sequence numbers) + the new manifest; then the
+    # snapshot entry + metadata.json version bump
+    prior_rows = _carry_forward_rows(spark, mdir, doc)
     new_row = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
@@ -288,37 +336,106 @@ def append(
         "existing_files_count": 0,
         "deleted_files_count": 0,
     }
-    write_avro(spark, list_path, MANIFEST_LIST_SCHEMA_V2, prior_rows + [new_row])
-
-    # 4. snapshot entry + metadata.json version bump
     added_records = sum(records_of(p) for p in parts)
     total_records = added_records
+    current = next(
+        (s for s in doc.get("snapshots", [])
+         if s.get("snapshot-id") == doc.get("current-snapshot-id")),
+        None,
+    )
     if current is not None:
         total_records += int(
             current.get("summary", {}).get("total-records", "0") or 0
         )
-    snapshot = {
-        "snapshot-id": snapshot_id,
-        "parent-snapshot-id": current_id,
-        "sequence-number": seq,
-        "timestamp-ms": timestamp_ms,
-        "manifest-list": list_path,
-        "schema-id": doc.get("current-schema-id", 0),
-        "summary": {
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, prior_rows + [new_row],
+        snapshot_id, timestamp_ms, seq,
+        {
             "operation": "append",
             "added-data-files": str(len(parts)),
             "added-records": str(added_records),
             "total-records": str(total_records),
             "added-files-size": str(sum(os.path.getsize(p) for p in parts)),
         },
+    )
+
+
+def delete_equality(
+    spark: SparkSession,
+    table_dir: str,
+    keys_df: DataFrame,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """v2 merge-on-read equality-delete commit: rows matching any tuple
+    in ``keys_df`` (by its column names) disappear from reads of data
+    files with a STRICTLY LOWER sequence number — a later re-insert of
+    the same key survives, per the spec's scan-planning rules that
+    manifests.read_data_at_snapshot implements. Writes the keys as an
+    equality-delete parquet, a content=1 delete manifest whose entry is
+    a content=2 delete file at the new sequence number, and the bumped
+    metadata.json."""
+    import time
+
+    doc, prev_version = _load_doc(table_dir)
+    if doc.get("current-snapshot-id") is None:
+        raise ValueError("cannot delete from a table with no current snapshot")
+    seq = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    mdir = os.path.join(table_dir, "metadata")
+
+    del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
+    keys_df.coalesce(1).write.parquet(del_dir)
+    parts = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
+    n_keys = keys_df.count()
+
+    manifest_path = os.path.join(
+        mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(
+        spark,
+        manifest_path,
+        MANIFEST_ENTRY_SCHEMA_V2,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 2,  # equality deletes
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "record_count": n_keys,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in parts
+        ],
+    )
+    new_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,  # delete manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(parts),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
     }
-    doc = dict(doc)
-    doc["snapshots"] = snaps + [snapshot]
-    doc["current-snapshot-id"] = snapshot_id
-    doc["last-sequence-number"] = seq
-    doc["last-updated-ms"] = timestamp_ms
-    _commit_doc(table_dir, doc, prev_version)
-    return snapshot
+    prior_rows = _carry_forward_rows(spark, mdir, doc)
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, prior_rows + [new_row],
+        snapshot_id, timestamp_ms, seq,
+        {
+            "operation": "delete",
+            "equality-delete-files": str(len(parts)),
+            "added-delete-records": str(n_keys),
+        },
+    )
 
 
 def set_current_snapshot(table_dir: str, snapshot_id: int) -> str:

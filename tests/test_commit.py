@@ -99,3 +99,28 @@ def test_concurrent_commit_detected(spark, tmp_path):
         f.write("{}")
     with pytest.raises(RuntimeError, match="concurrent commit"):
         C.set_current_snapshot(t, 31)
+
+
+def test_equality_delete_commit_sequence_scoped(spark, tmp_path):
+    """End-to-end MOR through our own write path: append (seq 1) →
+    equality delete (seq 2) → re-insert append (seq 3). The delete kills
+    the seq-1 copy only; the seq-3 re-insert survives — the exact
+    lineage the r4 read-path scoping exists for, now produced by our own
+    commits rather than hand-built fixtures."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]),
+        snapshot_id=41, timestamp_ms=1700000000000)
+    d = C.delete_equality(spark, t, spark.createDataFrame([(2,), (3,)], ["id"]),
+                          snapshot_id=42, timestamp_ms=1700100000000)
+    assert d["summary"]["operation"] == "delete"
+    C.append(spark, t, spark.createDataFrame([(3, "c-reborn")], ["id", "v"]),
+             snapshot_id=43, timestamp_ms=1700200000000)
+
+    mpath = C.current_metadata_path(t)
+    at_41 = {(r.id, r.v) for r in read_data_at_snapshot(spark, mpath, snapshot_id=41).collect()}
+    at_42 = {(r.id, r.v) for r in read_data_at_snapshot(spark, mpath, snapshot_id=42).collect()}
+    at_43 = {(r.id, r.v) for r in read_data_at_snapshot(spark, mpath, snapshot_id=43).collect()}
+    assert at_41 == {(1, "a"), (2, "b"), (3, "c")}   # before the delete
+    assert at_42 == {(1, "a")}                        # delete applied
+    assert at_43 == {(1, "a"), (3, "c-reborn")}       # re-insert survives
