@@ -127,7 +127,16 @@ for mod in (relational, meta, ext):
 #   doc_token_count → doc_lang_stats + doc_tfidf_top_terms keep the
 #     text-stats family
 #   doc_chunks (r3 green; chunking plan shape asserted in test_plans)
+# Additionally, the two r4-new planes take head slots so they get driver
+# rows at all — meta_glue_discovery (S2 live-protocol golden behind real
+# sigv4 verification) and meta_commit_roundtrip (S11 write half: append →
+# equality delete → re-insert through our own commits, read back through
+# our own sequence-scoped time travel) — displacing meta_properties and
+# meta_trends (both r3 green; properties/trend families also pinned by
+# pytest goldens and the meta_health row's trend columns).
 _DEFERRED = [
+    "meta_properties",
+    "meta_trends",
     "events_cardinality_sketch",
     "meta_warehouse_discovery",
     "doc_mixture_rebalance",

@@ -895,3 +895,94 @@ def meta_warehouse_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
                 json.dump({"format-version": 2, "snapshots": []}, f)
     return discover_tables(spark, wh).select("namespace", "table_name", "version")
+
+
+# --------------------------------------------------------------------------
+# S2 (Glue mode, r4) — live Glue-protocol discovery golden: an in-process
+# fake endpoint speaks the public Glue JSON protocol behind REAL sigv4
+# verification (handler recomputes the signature from the shared secret),
+# the S2 client browses it, and the constant listing is the oracle — the
+# same driver-checked pattern as meta_warehouse_discovery. The server is
+# shut down before returning; catalog_tree's rows are already
+# materialized driver-side (control-plane listing, not data).
+# --------------------------------------------------------------------------
+@query(
+    "meta_glue_discovery",
+    """
+    SELECT * FROM (VALUES
+      ('analytics', 'legacy_csv', 'unknown'),
+      ('analytics', 'orders_t', 'iceberg'),
+      ('raw', 'events_t', 'iceberg')
+    ) AS t(namespace, table_name, table_type)
+    """,
+)
+def meta_glue_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.glue import GlueCatalogClient
+    from ..catalog.glue_fixture import (
+        FIXTURE_ACCESS,
+        FIXTURE_REGION,
+        FIXTURE_SECRET,
+        start_fixture_server,
+    )
+
+    srv, endpoint = start_fixture_server()
+    try:
+        client = GlueCatalogClient(
+            region=FIXTURE_REGION, access_key=FIXTURE_ACCESS,
+            secret_key=FIXTURE_SECRET, endpoint=endpoint,
+        )
+        tree = client.catalog_tree(spark, "glue")
+    finally:
+        srv.shutdown()
+    return tree.select("namespace", "table_name", "table_type").orderBy(
+        "namespace", "table_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# S11/S12 write half (r4) — commit round-trip golden: append (seq 1) →
+# equality delete (seq 2) → re-insert append (seq 3) through our own
+# no-jar commit path into a per-application tempdir, then time-travel
+# read each snapshot back through our own manifest resolution. The
+# per-snapshot row counts pin BOTH the write path (manifest/metadata
+# composition) and the sequence-scoped MOR read path against a constant
+# oracle. Commits are planning-plane work over 3-row frames.
+# --------------------------------------------------------------------------
+@query(
+    "meta_commit_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      (CAST(101 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(102 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(103 AS BIGINT), CAST(2 AS BIGINT))
+    ) AS t(snapshot_id, n_rows)
+    """,
+)
+def meta_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.manifests import read_data_at_snapshot
+
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_commit_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    C.append(spark, t, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_equality(spark, t, spark.createDataFrame([(2,), (3,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    C.append(spark, t, spark.createDataFrame([(3, "c2")], ["id", "v"]),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    mpath = C.current_metadata_path(t)
+    rows = [
+        (sid, read_data_at_snapshot(spark, mpath, snapshot_id=sid).count())
+        for sid in (101, 102, 103)
+    ]
+    return spark.createDataFrame(rows, "snapshot_id long, n_rows long").orderBy(
+        "snapshot_id"
+    )
