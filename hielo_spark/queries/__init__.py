@@ -134,7 +134,26 @@ for mod in (relational, meta, ext):
 # our own sequence-scoped time travel) — displacing meta_properties and
 # meta_trends (both r3 green; properties/trend families also pinned by
 # pytest goldens and the meta_health row's trend columns).
+# Round-4 session 2: the six remaining TPC-H-family shapes (q2 correlated
+# MIN + tie-break, q9 five-way join, q11 HAVING-vs-scalar-subquery, q13
+# left-join count histogram, q15 MAX-equality back-join, q20 nested-IN
+# semi-join chain) are brand-new decorrelation shapes with no driver row
+# yet, so they take head slots; to keep the item-4 rotation intact
+# (doc_repetition_stats back in the head — its newest external row is
+# r1/r2) three r3-fresh entries defer instead, families covered:
+#   doc_shard_packing (r3 green; packing cumsum also in
+#     meta_storage_timeline, plan shape pytest-pinned)
+#   doc_contamination (r3 green; hash-gated anti-join family held by
+#     doc_exact_dedup + doc_sample_stratified head rows)
+#   doc_tfidf_top_terms (r3 green; explode→count→idf chain shared with
+#     doc_top_ngrams, operator pytest-pinned)
+#   doc_sample_stratified (r3 green; hash-gated sampling family also in
+#     doc_curation_pipeline's head row and the no-Exchange plan tests)
 _DEFERRED = [
+    "doc_shard_packing",
+    "doc_contamination",
+    "doc_tfidf_top_terms",
+    "doc_sample_stratified",
     "meta_properties",
     "meta_trends",
     "events_cardinality_sketch",

@@ -2102,3 +2102,347 @@ def events_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15
         ).alias("hll_within_3rsd"),
     )
+
+# --------------------------------------------------------------------------
+# J4 — min-cost supplier per part (TPC-H Q2 shape, fixture columns: the
+# fixture has no partsupp/ps_supplycost, so the per-(part, supplier) unit
+# cost is derived from lineitem as avg(extendedprice/quantity)). The
+# correlated MIN subquery decorrelates to: per-pair costs → per-part min →
+# equality join back, with a deterministic min-suppkey tie-break.
+# Scale: costs is one groupBy over (partkey, suppkey) — map-side combine
+# shrinks 100 TB of lineitem to |part|×|supp-per-part| rows; the min and
+# the join-back shuffle only that reduced frame on partkey. supplier is
+# SF-scaling so it is NOT force-broadcast; nation/region are fixed 25/5
+# rows and are.
+# --------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(round(avg(l_extendedprice / l_quantity), 2) AS DOUBLE) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT p_partkey, p_name, unit_cost, l_suppkey
+      FROM costs JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+    ),
+    best AS (
+      SELECT p_partkey AS b_partkey, min(unit_cost) AS min_cost
+      FROM eligible GROUP BY p_partkey
+    ),
+    winner AS (
+      SELECT e.p_partkey, e.p_name, e.unit_cost, min(e.l_suppkey) AS win_suppkey
+      FROM eligible e JOIN best b
+        ON e.p_partkey = b.b_partkey AND e.unit_cost = b.min_cost
+      GROUP BY e.p_partkey, e.p_name, e.unit_cost
+    )
+    SELECT s_name, n_name,
+           CAST(p_partkey AS BIGINT) AS partkey,
+           p_name AS part_name,
+           unit_cost AS min_cost
+    FROM winner JOIN supplier ON s_suppkey = win_suppkey
+                JOIN nation   ON n_nationkey = s_nationkey
+                JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    ORDER BY min_cost, partkey
+    LIMIT 50
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("unit_cost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    eligible = costs.join(part, F.col("p_partkey") == F.col("l_partkey"))
+    best = eligible.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    winner = (
+        eligible.join(
+            best,
+            (F.col("p_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .groupBy("p_partkey", "p_name", "unit_cost")
+        .agg(F.min("l_suppkey").alias("win_suppkey"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        winner.join(supp, F.col("win_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("bigint").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("unit_cost").alias("min_cost"),
+        )
+        .orderBy("min_cost", "partkey")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — profit by supplier-nation and order-year (TPC-H Q9 shape; no
+# ps_supplycost in the fixture, so profit is the discounted revenue of
+# lines whose part name matches). Five-way join: the three SF-scaling
+# sides (supplier, part, orders) are NOT force-broadcast — AQE size-gates
+# them at bench scale; at 100 TB each degrades to a shuffle join on its
+# key. nation (25 rows) is the only hinted side. Group-by is 25×7 cells —
+# partial agg collapses everything before the final shuffle. The revenue
+# sum is an exact DECIMAL(18,2) product on both engines: double sums here
+# land close enough to a half-cent that round(…, 2) flipped between
+# Spark and DuckDB (observed at sf0.01).
+# --------------------------------------------------------------------------
+@query(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS profit
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation   ON n_nationkey = s_nationkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN part     ON p_partkey = l_partkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A14 + J4 — important part value (TPC-H Q11 shape; scope is suppliers in
+# one region instead of one nation so the sf0.01 fixture keeps enough
+# rows). HAVING against a scalar subquery over the SAME scoped frame:
+# the threshold is a 1-row aggregate (broadcast is exact and safe at any
+# SF); the per-part sums shuffle once on partkey. The unrounded HAVING
+# comparison mirrors Q11 semantics; outputs are rounded for hashing.
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_part_value",
+    """
+    WITH scoped AS (
+      SELECT l_partkey, l_extendedprice
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_regionkey = 2
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS partkey,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS part_value
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice) > (SELECT sum(l_extendedprice) * 0.0008 FROM scoped)
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .select("n_nationkey")
+    )
+    scoped = li.join(supp, F.col("s_suppkey") == F.col("l_suppkey")).join(
+        broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+    )
+    thr = scoped.agg((F.sum("l_extendedprice") * 0.0008).alias("thr"))
+    return (
+        scoped.groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("raw_value"))
+        .join(broadcast(thr))
+        .filter(F.col("raw_value") > F.col("thr"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            F.round("raw_value", 2).alias("part_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 + A14 — customer order-count distribution (TPC-H Q13: LEFT join with
+# a join-condition filter, then a histogram of per-customer counts).
+# Scale: the left outer join shuffles on custkey; count(o_orderkey) not
+# count(*) so no-order customers land in bucket 0. The second groupBy is
+# over ≤ a few hundred distinct counts — trivially small.
+# --------------------------------------------------------------------------
+@query(
+    "q13_order_count_distribution",
+    """
+    WITH counts AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM counts GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    counts = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy(F.col("c_count").cast("bigint").alias("c_count")).agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# A14 + J4 — top supplier by quarterly revenue (TPC-H Q15: aggregate view
+# + scalar MAX subquery + equality back-join). Revenue is rounded to 2 dp
+# on BOTH the rows and the max so the equality survives partial-agg
+# ordering noise. Scale: revenue is one groupBy on suppkey; the max is a
+# 1-row broadcast; supplier is NOT force-broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — heavy shippers of a part family (TPC-H Q20 shape: the nested
+# IN-subquery chain part-filter → per-supplier quantity → relative
+# threshold → supplier semi-join → nation scope; availqty is replaced by
+# shipped quantity since the fixture has no partsupp). Scale: the inner
+# aggregate shuffles once on suppkey; the threshold is a 1-row broadcast;
+# the outer filter is a LEFT SEMI join (no row multiplication); supplier
+# is NOT force-broadcast, nation (25 rows) is.
+# --------------------------------------------------------------------------
+@query(
+    "q20_heavy_part_shippers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, CAST(round(s_acctbal, 2) AS DOUBLE) AS acctbal
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_regionkey = 3
+      AND s_suppkey IN (SELECT l_suppkey FROM shipped
+                        WHERE qty > (SELECT avg(qty) * 1.1 FROM shipped))
+    """,
+)
+def q20_heavy_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = shipped.agg((F.avg("qty") * 1.1).alias("thr"))
+    heavy = (
+        shipped.join(broadcast(thr))
+        .filter(F.col("qty") > F.col("thr"))
+        .select("l_suppkey")
+    )
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 3)
+        .select("n_nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
