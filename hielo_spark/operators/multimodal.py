@@ -418,3 +418,170 @@ def frame_sample_plan(df: DataFrame, media_col: str = "media", every_n: int = 30
         "frame_idx",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio (WAV/PCM) — the audio half of X5. RIFF is a public container
+# format parseable with stdlib struct + numpy alone, so unlike JPEG this
+# path decodes for REAL: chunk walk (fmt /data), 16-bit signed and 8-bit
+# unsigned PCM, multi-channel→mono mean. Features are plain DSP (RMS,
+# zero-crossing rate, spectral centroid via rfft) — deterministic and
+# analytically pinnable in tests (sine at f: rms=A/√2, zcr=2f/sr,
+# centroid≈f).
+# --------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("uri", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", FloatType(), True),
+        StructField("rms", FloatType(), True),
+        StructField("zero_crossing_rate", FloatType(), True),
+        StructField("spectral_centroid_hz", FloatType(), True),
+    ]
+)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """Minimal RIFF/WAVE writer (mono PCM, 16-bit signed or 8-bit
+    unsigned) — the fixture twin of decode_wav. ``samples`` are floats in
+    [-1, 1]."""
+    import struct
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if bits == 16:
+        pcm = (x * 32767.0).round().astype("<i2").tobytes()
+    elif bits == 8:
+        pcm = ((x * 127.0).round() + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError("only 8/16-bit PCM")
+    byte_rate = sample_rate * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → (mono float64 samples in [-1, 1], sample_rate).
+    Stdlib struct chunk walk; PCM 16-bit signed / 8-bit unsigned; n>1
+    channels are averaged to mono. Compressed WAV (non-PCM format tags)
+    raises NotImplementedError."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt: tuple | None = None
+    data: bytes | None = None
+    while pos + 8 <= len(b):
+        ctype = b[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", b, pos + 4)
+        chunk = b[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if ctype == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk)
+        elif ctype == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    audio_format, n_channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"only PCM WAV (got format tag {audio_format})")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"only 8/16-bit PCM (got {bits})")
+    if n_channels > 1:
+        x = x[: (x.size // n_channels) * n_channels]
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    return x, int(sample_rate)
+
+
+def audio_feature_vector(samples: np.ndarray, sample_rate: int) -> dict:
+    """Deterministic DSP features over mono samples: duration, RMS,
+    zero-crossing rate (fraction of sign flips), spectral centroid from
+    the rfft magnitude spectrum."""
+    n = samples.size
+    if n == 0:
+        return {
+            "n_samples": 0,
+            "duration_s": 0.0,
+            "rms": 0.0,
+            "zero_crossing_rate": 0.0,
+            "spectral_centroid_hz": 0.0,
+        }
+    rms = float(np.sqrt(np.mean(samples**2)))
+    signs = np.signbit(samples)
+    zcr = float(np.count_nonzero(signs[1:] != signs[:-1])) / max(n - 1, 1)
+    mag = np.abs(np.fft.rfft(samples))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+    total = float(mag.sum())
+    centroid = float((freqs * mag).sum() / total) if total > 0 else 0.0
+    return {
+        "n_samples": int(n),
+        "duration_s": round(n / sample_rate, 6),
+        "rms": round(rms, 6),
+        "zero_crossing_rate": round(zcr, 6),
+        "spectral_centroid_hz": round(centroid, 3),
+    }
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID 16-bit PCM WAV payloads derived from the id:
+    0.25 s at 8 kHz of a sine at 200 + (id % 20)·50 Hz plus a quieter
+    second harmonic — the audio twin of attach_ppm_media; features
+    recovered by decode_audio_features pin the frequency analytically."""
+
+    @F.pandas_udf(BinaryType())
+    def make_wav(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            f0 = 200.0 + (int(i) % 20) * 50.0
+            t = np.arange(2000) / 8000.0
+            x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.1 * np.sin(2 * np.pi * 2 * f0 * t)
+            out.append(encode_wav(x, 8000))
+        return pd.Series(out)
+
+    k = F.col(id_col)
+    payload = make_wav(k.cast("long"))
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.concat(F.lit("s3://media/audio_"), k, F.lit(".wav")).alias("uri"),
+            F.lit("audio/wav").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            payload.alias("payload"),
+        ),
+    )
+
+
+def decode_audio_features(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Decode + DSP-feature stage over a WAV media column via mapInPandas
+    — Arrow batches in/out, payload bytes never row-by-row through the
+    driver. Same batch/partitioning shape as decode_image_features; swap
+    a real codec library into the same iterator for compressed audio."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, m in zip(pdf[id_col], pdf[media_col]):
+                samples, sr = decode_wav(bytes(m["payload"]))
+                feats = audio_feature_vector(samples, sr)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "uri": m["uri"],
+                        "sample_rate": sr,
+                        **feats,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, media_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

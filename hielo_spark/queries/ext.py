@@ -320,6 +320,21 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X5 — multimodal audio (rows-only): REAL RIFF/WAVE decode + DSP feature
+# extraction in one mapInPandas stage; payloads are valid 16-bit PCM WAVs
+# synthesized per doc_id (sine + harmonic), so the recovered spectral
+# centroid pins the generator frequency analytically (see
+# tests/test_multimodal.py). No SQL oracle: DuckDB cannot decode WAV.
+# --------------------------------------------------------------------------
+@query("multimodal_audio_features")
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").limit(500)
+    return MM.decode_audio_features(MM.attach_wav_media(d))
+
+
+# --------------------------------------------------------------------------
 # X1/X2 — duplicate-group resolution: connected components over the
 # near-dup pair graph (min reachable id = group representative). The
 # oracle recomputes components with a recursive CTE — a fully independent

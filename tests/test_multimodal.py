@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from hielo_spark.io import load_table
@@ -260,3 +261,96 @@ def test_registry_query_decodes_png_payloads(spark, sf_dir):
     for r in rows:
         assert (r.width, r.height) == (4, 4)
         assert len(r.feature) == 8 and any(v != 0.0 for v in r.feature)
+
+
+# ---------------------------------------------------------------- audio/WAV
+
+
+def test_wav_roundtrip_16bit():
+    sr = 8000
+    t = np.arange(1600) / sr
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, got_sr = MM.decode_wav(MM.encode_wav(x, sr))
+    assert got_sr == sr
+    # int16 quantization error only
+    assert np.abs(samples - x).max() < 1.0 / 32000
+
+
+def test_wav_8bit_and_word_alignment():
+    sr = 4000
+    x = np.linspace(-1, 1, 101)  # odd-length data chunk exercises padding
+    samples, got_sr = MM.decode_wav(MM.encode_wav(x, sr, bits=8))
+    assert got_sr == sr
+    assert samples.size == 101
+    # 8-bit PCM: ±1/256 rounding plus the standard 127-encode/128-decode
+    # full-scale asymmetry ⇒ worst case ≈ 0.0118
+    assert np.abs(samples - x).max() < 0.012
+
+
+def test_wav_stereo_downmixes_to_mono_mean():
+    import struct
+
+    sr = 8000
+    left = np.full(100, 0.5)
+    right = np.full(100, -0.5)
+    inter = np.empty(200)
+    inter[0::2], inter[1::2] = left, right
+    pcm = (np.clip(inter, -1, 1) * 32767).round().astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, sr, sr * 4, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    samples, _ = MM.decode_wav(wav)
+    assert samples.size == 100
+    assert np.abs(samples).max() < 1e-4  # L/R cancel in the mono mean
+
+
+def test_audio_features_analytic_sine_pins():
+    sr, f, amp = 8000, 440.0, 0.6
+    t = np.arange(4000) / sr
+    samples, _ = MM.decode_wav(MM.encode_wav(amp * np.sin(2 * np.pi * f * t), sr))
+    feats = MM.audio_feature_vector(samples, sr)
+    assert abs(feats["rms"] - amp / np.sqrt(2)) < 1e-3
+    assert abs(feats["zero_crossing_rate"] - 2 * f / sr) < 0.005
+    assert abs(feats["spectral_centroid_hz"] - f) < 10.0
+    assert feats["duration_s"] == 0.5
+
+
+def test_wav_non_pcm_raises():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float tag
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        MM.decode_wav(wav)
+
+
+def test_audio_features_through_spark_stage(spark):
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    out = MM.decode_audio_features(MM.attach_wav_media(df)).toPandas()
+    assert len(out) == 40
+    assert set(out.columns) == {
+        "doc_id", "uri", "sample_rate", "n_samples", "duration_s",
+        "rms", "zero_crossing_rate", "spectral_centroid_hz",
+    }
+    # the generator frequency is 200 + (id % 20)*50; the centroid sits
+    # between f0 and 2*f0 (harmonic at 1/5 amplitude pulls it up a bit)
+    for _, r in out.iterrows():
+        f0 = 200.0 + (int(r.doc_id) % 20) * 50.0
+        assert f0 * 0.95 < r.spectral_centroid_hz < f0 * 1.4, (r.doc_id, r.spectral_centroid_hz)
+        assert r.sample_rate == 8000
+        assert r.n_samples == 2000
+    # deterministic: same ids → identical features across runs
+    out2 = MM.decode_audio_features(MM.attach_wav_media(df)).toPandas()
+    pdtesting = out.sort_values("doc_id").reset_index(drop=True)
+    assert pdtesting.equals(out2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_registry_audio_query_runs(spark, sf_dir):
+    from hielo_spark.queries import QUERIES
+
+    out = QUERIES["multimodal_audio_features"](spark, sf_dir)
+    pdf = out.limit(10).toPandas()
+    assert (pdf["rms"] > 0.3).all()  # 0.5-amp sine + harmonic ⇒ rms ≈ 0.36
