@@ -475,3 +475,120 @@ def expire_snapshots(table_dir: str, older_than_ms: int, retain_last: int = 1) -
     doc["snapshots"] = kept
     _commit_doc(table_dir, doc, prev_version)
     return expired
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Compaction commit — the executable no-jar form of the reference's
+    ``rewrite_data_files`` recommendation (analytics.rs:442-507 CALL
+    generator): read the current snapshot's live rows through our own
+    sequence-scoped MOR time travel, rewrite them as size-targeted
+    parquet, and commit a REPLACE snapshot whose manifest list carries
+    ONLY the new data manifest. Prior data and delete manifests drop out
+    of the live view (their deletes are baked into the rewritten files)
+    but stay on disk, so time travel to older snapshots is unaffected;
+    the obsolete files become reclaimable by the orphan/expiry sweep,
+    exactly Iceberg's own lifecycle. Returns the new snapshot dict.
+
+    Scale: the rewrite itself is one distributed read→repartition→write;
+    only the planning-plane file list (count + byte sizes) is collected,
+    bounded by files-per-snapshot like any engine's planner."""
+    import math
+    import time
+
+    from .manifests import files_from_manifest_list, read_data_at_snapshot
+
+    doc, prev_version = _load_doc(table_dir)
+    if doc.get("current-snapshot-id") is None:
+        raise ValueError("cannot rewrite a table with no current snapshot")
+    seq = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    mdir = os.path.join(table_dir, "metadata")
+
+    current = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    old_files = files_from_manifest_list(
+        spark, os.path.basename(table_dir),
+        current["manifest-list"].removeprefix("file:"),
+    ).collect()
+    total_bytes = sum(int(r.file_size_in_bytes or 0) for r in old_files)
+    n_out = max(1, math.ceil(total_bytes / target_file_size_bytes))
+
+    live = read_data_at_snapshot(spark, current_metadata_path(table_dir))
+    data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-rewrite")
+    live.repartition(n_out).write.parquet(data_dir)
+    parts = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    n_records_per = {
+        fp: int(c)
+        for fp, c in (
+            spark.read.parquet(data_dir)
+            .selectExpr("_metadata.file_path as fp")
+            .groupBy("fp")
+            .count()
+            .toPandas()
+            .set_index("fp")["count"]
+            .items()
+        )
+    }
+
+    def records_of(p: str) -> int:
+        for fp, n in n_records_per.items():
+            if fp.endswith(os.path.basename(p)):
+                return n
+        return 0
+
+    manifest_path = os.path.join(
+        mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(
+        spark,
+        manifest_path,
+        MANIFEST_ENTRY_SCHEMA_V2,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "record_count": records_of(p),
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in parts
+        ],
+    )
+    new_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(parts),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+    }
+    total_records = sum(records_of(p) for p in parts)
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, [new_row],  # REPLACE: no carry-forward
+        snapshot_id, timestamp_ms, seq,
+        {
+            "operation": "replace",
+            "rewritten-data-files": str(len(old_files)),
+            "added-data-files": str(len(parts)),
+            "total-records": str(total_records),
+            "added-files-size": str(sum(os.path.getsize(p) for p in parts)),
+        },
+    )

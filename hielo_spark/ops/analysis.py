@@ -117,3 +117,43 @@ def expire_snapshots_plan(
     else:
         removable = expired_files.exceptAll(kept_files)
     return expired_df, removable
+
+
+def remove_orphan_files(
+    spark: SparkSession,
+    data_dir: str,
+    metadata_json_path: str,
+    glob: str = "*.parquet",
+    older_than_ms: int | None = None,
+) -> list[str]:
+    """Execute half of ``orphan_files`` (the reference recommends the
+    remove_orphan_files action; this is its no-jar executable form):
+    delete every file under ``data_dir`` referenced by no snapshot,
+    optionally only those last modified before ``older_than_ms`` (the
+    safety window Iceberg's own procedure applies so in-flight commits
+    are never swept). Deletion runs distributed via foreachPartition;
+    the returned path list is planning-plane output bounded by the
+    table's file count."""
+    orphans = orphan_files(spark, data_dir, metadata_json_path, glob)
+    if older_than_ms is not None:
+        orphans = orphans.filter(
+            F.col("modificationTime").cast("double") * 1000 < older_than_ms
+        )
+    doomed = [r.path for r in orphans.select("path").collect()]
+
+    def _rm(rows):
+        import os as _os
+
+        for r in rows:
+            p = r.path
+            for prefix in ("file://", "file:"):
+                if p.startswith(prefix):
+                    p = p[len(prefix):]
+                    break
+            try:
+                _os.remove(p)
+            except FileNotFoundError:
+                pass
+
+    orphans.select("path").foreachPartition(_rm)
+    return doomed

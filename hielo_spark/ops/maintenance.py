@@ -11,11 +11,14 @@ build sandbox, so `execute(...)` raises a clear error unless the catalog
 plugin resolves; SQL generation (the logic under test) is pure.
 
 No-jar alternative (r4): for Hadoop-catalog table DIRECTORIES,
-``metadata/commit.py`` executes append / rollback_to_snapshot /
-set_current_snapshot / expire_snapshots for real — own Avro manifests +
-metadata.json version bump with the optimistic-concurrency rename
-protocol — so the recommendation → action loop closes without the jar
-in the no-service catalog mode."""
+``metadata/commit.py`` executes append / delete_equality /
+rewrite_data_files (compaction as a REPLACE snapshot) /
+rollback_to_snapshot / set_current_snapshot / expire_snapshots for real
+— own Avro manifests + metadata.json version bump with the
+optimistic-concurrency rename protocol — and ``ops/analysis.py``
+executes remove_orphan_files (distributed sweep with the modification-
+time safety window), so the full recommendation → action loop closes
+without the jar in the no-service catalog mode."""
 
 from __future__ import annotations
 

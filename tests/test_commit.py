@@ -124,3 +124,69 @@ def test_equality_delete_commit_sequence_scoped(spark, tmp_path):
     assert at_41 == {(1, "a"), (2, "b"), (3, "c")}   # before the delete
     assert at_42 == {(1, "a")}                        # delete applied
     assert at_43 == {(1, "a"), (3, "c-reborn")}       # re-insert survives
+
+
+def test_rewrite_data_files_compacts_and_preserves_rows(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    # two appends with forced multi-file layout + an equality delete
+    df1 = spark.createDataFrame([(i, f"v{i}") for i in range(10)], ["id", "v"]).repartition(4)
+    df2 = spark.createDataFrame([(i, f"v{i}") for i in range(10, 20)], ["id", "v"]).repartition(4)
+    C.append(spark, t, df1, snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, df2, snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_equality(
+        spark, t, spark.createDataFrame([(3,), (15,)], ["id"]),
+        snapshot_id=103, timestamp_ms=1700200000000,
+    )
+    mpath = C.current_metadata_path(t)
+    before = {r.id for r in read_data_at_snapshot(spark, mpath).collect()}
+    assert before == set(range(20)) - {3, 15}
+
+    snap = C.rewrite_data_files(spark, t, snapshot_id=104, timestamp_ms=1700300000000)
+    assert snap["summary"]["operation"] == "replace"
+    assert int(snap["summary"]["rewritten-data-files"]) == 8
+    assert int(snap["summary"]["added-data-files"]) == 1  # 128 MB target
+    assert snap["summary"]["total-records"] == "18"
+
+    mpath = C.current_metadata_path(t)
+    after = {r.id for r in read_data_at_snapshot(spark, mpath).collect()}
+    assert after == before
+    # time travel to pre-delete snapshot still sees the original rows
+    at_102 = {r.id for r in read_data_at_snapshot(spark, mpath, snapshot_id=102).collect()}
+    assert at_102 == set(range(20))
+    # the replace snapshot's manifest list has exactly one (data) manifest
+    from hielo_spark.metadata.manifests import files_from_manifest_list
+
+    files = files_from_manifest_list(
+        spark, "t", snap["manifest-list"].removeprefix("file:")
+    ).collect()
+    assert len(files) == 1 and files[0].record_count == 18
+
+
+def test_rewrite_then_orphan_sweep_reclaims_old_files(spark, tmp_path):
+    import glob as g
+    import os
+    import time
+
+    from hielo_spark.ops.analysis import remove_orphan_files
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(
+        spark, t,
+        spark.createDataFrame([(i, "x") for i in range(8)], ["id", "v"]).repartition(4),
+        snapshot_id=101, timestamp_ms=1700000000000,
+    )
+    C.rewrite_data_files(spark, t, snapshot_id=102, timestamp_ms=1700100000000)
+    # expire the pre-rewrite snapshot so its files become orphans
+    expired = C.expire_snapshots(t, older_than_ms=1700050000000, retain_last=1)
+    assert expired == [101]
+    mpath = C.current_metadata_path(t)
+    n_before = len(g.glob(os.path.join(t, "data", "**", "*.parquet"), recursive=True))
+    removed = remove_orphan_files(
+        spark, os.path.join(t, "data"), mpath,
+        older_than_ms=int(time.time() * 1000) + 10_000,
+    )
+    assert len(removed) == 4  # the four pre-rewrite files
+    n_after = len(g.glob(os.path.join(t, "data", "**", "*.parquet"), recursive=True))
+    assert n_before - n_after == 4
+    # live read unharmed
+    assert {r.id for r in read_data_at_snapshot(spark, mpath).collect()} == set(range(8))
