@@ -941,12 +941,14 @@ def meta_glue_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # S11/S12 write half (r4) — commit round-trip golden: append (seq 1) →
-# equality delete (seq 2) → re-insert append (seq 3) through our own
-# no-jar commit path into a per-application tempdir, then time-travel
-# read each snapshot back through our own manifest resolution. The
-# per-snapshot row counts pin BOTH the write path (manifest/metadata
-# composition) and the sequence-scoped MOR read path against a constant
-# oracle. Commits are planning-plane work over 3-row frames.
+# equality delete (seq 2) → re-insert append (seq 3) → compaction
+# rewrite (seq 4, REPLACE snapshot baking the deletes in) through our
+# own no-jar commit path into a per-application tempdir, then
+# time-travel read each snapshot back through our own manifest
+# resolution. The per-snapshot row counts pin BOTH the write path
+# (manifest/metadata composition, incl. the replace manifest list) and
+# the sequence-scoped MOR read path against a constant oracle. Commits
+# are planning-plane work over 3-row frames.
 # --------------------------------------------------------------------------
 @query(
     "meta_commit_roundtrip",
@@ -954,7 +956,8 @@ def meta_glue_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (VALUES
       (CAST(101 AS BIGINT), CAST(3 AS BIGINT)),
       (CAST(102 AS BIGINT), CAST(1 AS BIGINT)),
-      (CAST(103 AS BIGINT), CAST(2 AS BIGINT))
+      (CAST(103 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(104 AS BIGINT), CAST(2 AS BIGINT))
     ) AS t(snapshot_id, n_rows)
     """,
 )
@@ -978,10 +981,11 @@ def meta_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       snapshot_id=102, timestamp_ms=1700100000000)
     C.append(spark, t, spark.createDataFrame([(3, "c2")], ["id", "v"]),
              snapshot_id=103, timestamp_ms=1700200000000)
+    C.rewrite_data_files(spark, t, snapshot_id=104, timestamp_ms=1700300000000)
     mpath = C.current_metadata_path(t)
     rows = [
         (sid, read_data_at_snapshot(spark, mpath, snapshot_id=sid).count())
-        for sid in (101, 102, 103)
+        for sid in (101, 102, 103, 104)
     ]
     return spark.createDataFrame(rows, "snapshot_id long, n_rows long").orderBy(
         "snapshot_id"
