@@ -592,3 +592,109 @@ def rewrite_data_files(
             "added-files-size": str(sum(os.path.getsize(p) for p in parts)),
         },
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """v2 merge-on-read position-delete commit — ``DELETE WHERE`` without
+    rewriting data files: scan the current snapshot's data files with
+    their ``_metadata`` coordinates, evaluate ``condition`` (SQL string
+    or Column), and commit the matching (file_path, pos) pairs as a
+    position-delete parquet behind a content=1 delete manifest at the
+    next sequence number. The sequence-scoped read side
+    (manifests.read_data_at_snapshot) then drops those positions from
+    data files with sequence <= the delete's, while files appended later
+    are untouched. The scan+filter is fully distributed; only file paths
+    pass through the driver (planning plane)."""
+    import time
+
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    from .manifests import files_from_manifest_list
+    from .metadata_json import _strip_scheme
+
+    doc, prev_version = _load_doc(table_dir)
+    if doc.get("current-snapshot-id") is None:
+        raise ValueError("cannot delete from a table with no current snapshot")
+    seq = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    mdir = os.path.join(table_dir, "metadata")
+
+    current = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    data_files = [
+        r.file_path.removeprefix("file:")
+        for r in files_from_manifest_list(
+            spark, os.path.basename(table_dir),
+            current["manifest-list"].removeprefix("file:"),
+        ).select("file_path").collect()
+    ]
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    assert isinstance(cond, Column)
+    positions = (
+        spark.read.parquet(*data_files)
+        .filter(cond)
+        .select(
+            _strip_scheme(F.col("_metadata.file_path")).alias("file_path"),
+            F.col("_metadata.row_index").cast("long").alias("pos"),
+        )
+    )
+    del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-posdeletes")
+    positions.coalesce(1).write.parquet(del_dir)
+    parts = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
+    n_deleted = spark.read.parquet(del_dir).count()
+
+    manifest_path = os.path.join(
+        mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(
+        spark,
+        manifest_path,
+        MANIFEST_ENTRY_SCHEMA_V2,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,  # position deletes
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "record_count": n_deleted,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in parts
+        ],
+    )
+    new_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,  # delete manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(parts),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+    }
+    prior_rows = _carry_forward_rows(spark, mdir, doc)
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, prior_rows + [new_row],
+        snapshot_id, timestamp_ms, seq,
+        {
+            "operation": "delete",
+            "position-delete-files": str(len(parts)),
+            "added-delete-records": str(n_deleted),
+        },
+    )

@@ -190,3 +190,31 @@ def test_rewrite_then_orphan_sweep_reclaims_old_files(spark, tmp_path):
     assert n_before - n_after == 4
     # live read unharmed
     assert {r.id for r in read_data_at_snapshot(spark, mpath).collect()} == set(range(8))
+
+
+def test_delete_where_position_deletes_sequence_scoped(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(
+        spark, t,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "b"), (4, "c")], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000,
+    )
+    snap = C.delete_where(spark, t, "v = 'b'", snapshot_id=102, timestamp_ms=1700100000000)
+    assert snap["summary"]["operation"] == "delete"
+    assert snap["summary"]["added-delete-records"] == "2"
+    # a later append of another v='b' row must SURVIVE (scoping by seq +
+    # file identity: the delete only names positions in the old files)
+    C.append(spark, t, spark.createDataFrame([(5, "b")], ["id", "v"]),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    mpath = C.current_metadata_path(t)
+    at_101 = {r.id for r in read_data_at_snapshot(spark, mpath, snapshot_id=101).collect()}
+    at_102 = {r.id for r in read_data_at_snapshot(spark, mpath, snapshot_id=102).collect()}
+    at_103 = {r.id for r in read_data_at_snapshot(spark, mpath, snapshot_id=103).collect()}
+    assert at_101 == {1, 2, 3, 4}
+    assert at_102 == {1, 4}
+    assert at_103 == {1, 4, 5}
+    # and compaction after a position delete bakes it in
+    C.rewrite_data_files(spark, t, snapshot_id=104, timestamp_ms=1700300000000)
+    mpath = C.current_metadata_path(t)
+    at_104 = {r.id for r in read_data_at_snapshot(spark, mpath, snapshot_id=104).collect()}
+    assert at_104 == {1, 4, 5}
