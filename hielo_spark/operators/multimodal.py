@@ -12,9 +12,12 @@ row-by-row. Codec status (r4): **PPM (P6), 24-bit uncompressed BMP, and
 non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA) decode for real** —
 PPM/BMP with numpy alone, PNG with stdlib ``zlib`` + numpy (full filter
 reconstruction: None/Sub/Up/Average/Paeth per the public PNG spec).
-Nearest-neighbor resize is numpy index striding. Remaining compressed
-formats (JPEG/video, 16-bit or interlaced or palette PNG) raise
-NotImplementedError (no PIL/ffmpeg in this environment) unless
+Nearest-neighbor resize is numpy index striding. Audio decodes for real
+too (RIFF/WAVE 8/16-bit PCM + DSP features), as does video frame
+extraction from uncompressed AVI ('00db' DIB frames — same RIFF walk as
+WAV, same pixel layout as BMP). Remaining compressed formats (JPEG,
+compressed AVI fourccs, non-PCM WAV, 16-bit/interlaced/palette PNG)
+raise NotImplementedError (no PIL/ffmpeg in this environment) unless
 ``fake=True`` selects the deterministic stand-in — the Spark-side
 plumbing (schemas, batching, partitioning) is identical on every path.
 """
@@ -585,3 +588,174 @@ def decode_audio_features(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, media_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video (uncompressed AVI) — the video half of X5. AVI is RIFF like WAV:
+# LIST 'hdrl' (avih + strl/strf headers) and LIST 'movi' whose '00db'
+# chunks each hold one uncompressed DIB frame (bottom-up, BGR, 4-byte
+# row padding — the same pixel layout decode_bmp handles). That makes
+# frame extraction REAL with stdlib struct + numpy; compressed fourccs
+# raise, the documented env-blocked boundary (no ffmpeg here).
+# --------------------------------------------------------------------------
+
+VIDEO_FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("uri", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """Minimal uncompressed-AVI writer (RGB24 '00db' DIB frames) — the
+    fixture twin of decode_avi_frames."""
+    import struct
+
+    h, w, _ = frames[0].shape
+    row_bytes = (w * 3 + 3) & ~3
+    frame_size = row_bytes * h
+
+    def dib(img: np.ndarray) -> bytes:
+        bgr = img[::-1, :, ::-1]  # top-down RGB → bottom-up BGR
+        padded = np.zeros((h, row_bytes), dtype=np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        return padded.tobytes()
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0, len(frames), 0, 1, frame_size,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames), frame_size, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return ctype + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(b: bytes, every_n: int = 1) -> tuple[list[tuple[int, np.ndarray]], int]:
+    """Uncompressed AVI → ([(frame_idx, (h, w, 3) RGB uint8)], n_frames),
+    sampling every ``every_n``-th frame. Stdlib struct RIFF walk;
+    compressed streams ('00dc' with a non-DIB fourcc) raise
+    NotImplementedError."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = None
+    frames_raw: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h
+        pos = start
+        while pos + 8 <= end:
+            ctype = b[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", b, pos + 4)
+            data_start = pos + 8
+            if ctype == b"LIST":
+                walk(data_start + 4, data_start + ln)  # skip list kind
+            elif ctype == b"strf" and ln >= 40:
+                _sz, bw, bh, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, data_start)
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        f"only uncompressed 24-bit AVI (got {bpp} bpp, compression {comp})"
+                    )
+                w, h = bw, abs(bh)
+            elif ctype == b"00dc" and ln > 0:
+                raise NotImplementedError("compressed AVI stream (00dc) unsupported")
+            elif ctype == b"00db":
+                frames_raw.append(b[data_start : data_start + ln])
+            pos = data_start + ln + (ln & 1)
+
+    walk(12, len(b))
+    if w is None or h is None:
+        raise ValueError("AVI missing strf header")
+    row_bytes = (w * 3 + 3) & ~3
+    out = []
+    for idx in range(0, len(frames_raw), every_n):
+        raw = np.frombuffer(frames_raw[idx], dtype=np.uint8, count=row_bytes * h)
+        img = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        out.append((idx, img[::-1, :, ::-1].copy()))  # bottom-up BGR → top-down RGB
+    return out, len(frames_raw)
+
+
+def attach_avi_media(df: DataFrame, id_col: str = "doc_id", n_frames: int = 6) -> DataFrame:
+    """Deterministic VALID uncompressed-AVI payloads: ``n_frames`` 4×4
+    frames whose pixels derive from md5(id, frame_idx) — the video twin
+    of attach_ppm_media."""
+    import hashlib
+
+    @F.pandas_udf(BinaryType())
+    def make_avi(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            frames = []
+            for f in range(n_frames):
+                hx = hashlib.md5(f"{int(i)}:{f}".encode()).hexdigest()
+                frames.append(np.frombuffer(bytes.fromhex(hx * 3), np.uint8).reshape(4, 4, 3))
+            out.append(encode_avi(frames))
+        return pd.Series(out)
+
+    k = F.col(id_col)
+    payload = make_avi(k.cast("long"))
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.concat(F.lit("s3://media/vid_"), k, F.lit(".avi")).alias("uri"),
+            F.lit("video/x-msvideo").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            payload.alias("payload"),
+        ),
+    )
+
+
+def decode_video_frame_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    every_n: int = 2,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Real frame-sample + per-frame feature stage over an AVI media
+    column via mapInPandas (one output row per sampled frame — the
+    explode happens inside the Arrow batch, so payload bytes ship to
+    Python exactly once per video, not once per frame)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, m in zip(pdf[id_col], pdf[media_col]):
+                sampled, n_total = decode_avi_frames(bytes(m["payload"]), every_n)
+                for idx, img in sampled:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "uri": m["uri"],
+                            "frame_idx": idx,
+                            "n_frames": n_total,
+                            "width": img.shape[1],
+                            "height": img.shape[0],
+                            "feature": image_feature_vector(img, feature_dim),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, media_col).mapInPandas(run, VIDEO_FRAME_FEATURES_SCHEMA)

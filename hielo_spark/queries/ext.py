@@ -335,6 +335,25 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X5 — multimodal video (rows-only): REAL uncompressed-AVI frame
+# extraction + per-frame features in one mapInPandas stage — the frame
+# explode happens inside the Arrow batch so each payload ships to Python
+# once per video, not per frame. Payloads are valid RIFF/AVI containers
+# synthesized per doc_id. No SQL oracle: DuckDB cannot decode AVI;
+# lossless round-trip and sampling semantics pinned in
+# tests/test_multimodal.py.
+# --------------------------------------------------------------------------
+@query("multimodal_video_features")
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+    return MM.decode_video_frame_features(
+        MM.attach_avi_media(d, n_frames=6), every_n=2
+    )
+
+
+# --------------------------------------------------------------------------
 # X1/X2 — duplicate-group resolution: connected components over the
 # near-dup pair graph (min reachable id = group representative). The
 # oracle recomputes components with a recursive CTE — a fully independent

@@ -354,3 +354,66 @@ def test_registry_audio_query_runs(spark, sf_dir):
     out = QUERIES["multimodal_audio_features"](spark, sf_dir)
     pdf = out.limit(10).toPandas()
     assert (pdf["rms"] > 0.3).all()  # 0.5-amp sine + harmonic ⇒ rms ≈ 0.36
+
+
+# ---------------------------------------------------------------- video/AVI
+
+
+def test_avi_roundtrip_exact():
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (5, 3, 3), dtype=np.uint8) for _ in range(4)]
+    got, n = MM.decode_avi_frames(MM.encode_avi(frames))
+    assert n == 4 and len(got) == 4
+    for (idx, img), orig in zip(got, frames):
+        assert img.shape == (5, 3, 3)
+        assert np.array_equal(img, orig)  # lossless: uncompressed DIB
+
+
+def test_avi_frame_sampling_every_n():
+    frames = [np.full((4, 4, 3), i * 10, dtype=np.uint8) for i in range(10)]
+    got, n = MM.decode_avi_frames(MM.encode_avi(frames), every_n=3)
+    assert n == 10
+    assert [idx for idx, _ in got] == [0, 3, 6, 9]
+    assert all(int(img[0, 0, 0]) == idx * 10 for idx, img in got)
+
+
+def test_avi_odd_width_row_padding():
+    # width 3 → 9-byte rows padded to 12: exercises the DIB stride logic
+    frames = [np.arange(45, dtype=np.uint8).reshape(5, 3, 3)]
+    got, _ = MM.decode_avi_frames(MM.encode_avi(frames))
+    assert np.array_equal(got[0][1], frames[0])
+
+
+def test_avi_compressed_raises():
+    import struct
+
+    avi = MM.encode_avi([np.zeros((2, 2, 3), dtype=np.uint8)])
+    # flip the strf compression field (offset: find strf chunk)
+    i = avi.index(b"strf")
+    comp_off = i + 8 + 16  # strf data + (size, w, h, planes, bpp) = 16 bytes
+    broken = avi[:comp_off] + struct.pack("<I", 1) + avi[comp_off + 4 :]
+    with pytest.raises(NotImplementedError):
+        MM.decode_avi_frames(broken)
+
+
+def test_video_features_through_spark_stage(spark):
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    out = MM.decode_video_frame_features(
+        MM.attach_avi_media(df, n_frames=6), every_n=2
+    ).toPandas()
+    # 10 videos × frames {0, 2, 4}
+    assert len(out) == 30
+    assert set(out.frame_idx) == {0, 2, 4}
+    assert (out.n_frames == 6).all()
+    assert (out.width == 4).all() and (out.height == 4).all()
+    # per-frame pixels derive from md5(id, frame_idx): features must be
+    # deterministic and distinct across frames of the same video
+    g = out[out.doc_id == 0].sort_values("frame_idx")
+    feats = [tuple(f) for f in g.feature]
+    assert len(set(feats)) == 3
+    out2 = MM.decode_video_frame_features(
+        MM.attach_avi_media(df, n_frames=6), every_n=2
+    ).toPandas()
+    a = out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    assert a.equals(b)
