@@ -1,0 +1,477 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec in pure numpy + stdlib —
+no PIL, no libjpeg.
+
+Why it exists: the reference treats image payloads as decodable columns;
+this environment has no imaging library, and JPEG is the dominant
+real-world format, so X5's decode stage implements the public baseline
+spec directly. Scope (decoder): baseline DCT sequential, 8-bit, grayscale
+or YCbCr, 4:4:4 / 4:2:2 / 4:2:0 chroma sampling, restart intervals,
+multiple DQT/DHT segments. Progressive, arithmetic coding, and 12-bit
+precision raise NotImplementedError.
+
+The encoder is the test twin: spec-valid output (SOI/APP0/DQT/SOF0/DHT/
+SOS/EOI, byte stuffing, optional restart markers) using flat quantization
+tables and simple single-length canonical Huffman tables (12 DC symbols
+at 4 bits, 162 AC symbols at 8 bits — valid per DHT's counts-per-length
+encoding, just not size-optimal). The decoder never assumes those
+choices: it builds general canonical codes from whatever DHT/DQT the
+stream carries, which is what keeps the round-trip test honest.
+
+Everything here is from the public spec; the zigzag order is generated
+algorithmically (diagonal walk) and pinned against the published sequence
+in tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# --------------------------------------------------------------------- DCT
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A: forward F = A @ f @ A.T,
+    inverse f = A.T @ F @ A."""
+    A = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            A[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return A
+
+
+_A = _dct_matrix()
+
+
+def _zigzag_order() -> np.ndarray:
+    """The spec's zigzag scan as (block_index → raster_index), generated
+    by the diagonal walk rather than typed in."""
+    order = []
+    for d in range(15):  # anti-diagonals r+c = d
+        rng = range(d + 1)
+        cells = [(r, d - r) for r in rng if r < 8 and d - r < 8]
+        if d % 2 == 0:
+            cells = cells[::-1]  # even diagonals run bottom-left → top-right
+        order.extend(r * 8 + c for r, c in cells)
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+
+# ------------------------------------------------------------- bit plumbing
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, n_bits: int) -> None:
+        for i in range(n_bits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                b = self._acc & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self._acc = 0
+                self._n = 0
+
+    def align(self) -> None:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data; unstuffs 0xFF00 and
+    stops at (reports) markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _next_byte(self) -> int:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            raise _MarkerHit(0xFF00 | nxt)
+        self.pos += 1
+        return b
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._acc = self._next_byte()
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def byte_align(self) -> None:
+        self._n = 0
+
+    def skip_marker(self) -> int:
+        """Consume a marker at the current (aligned) position."""
+        assert self.data[self.pos] == 0xFF
+        m = 0xFF00 | self.data[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+# ---------------------------------------------------------------- huffman
+def _canonical_codes(counts: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    """DHT (counts-per-length, symbols) → {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """Same canonical assignment, inverted for the encoder: symbol →
+    (code, length)."""
+    return {s: (c, ln) for (ln, c), s in _canonical_codes(counts, symbols).items()}
+
+
+def _read_huff_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code in scan data")
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _extend(v: int, size: int) -> int:
+    """Receive/extend (spec F.2.2.1): map the raw ``size`` bits back to a
+    signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ---------------------------------------------------------------- encoder
+_DC_SYMBOLS = list(range(12))
+_DC_COUNTS = [0, 0, 0, 12] + [0] * 12  # all 12 DC categories at 4 bits
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]  # EOB, ZRL, then (run, size)
+_AC_COUNTS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8  # all at 8 bits
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    x = img.astype(np.float64)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _pad_to(x: np.ndarray, h: int, w: int) -> np.ndarray:
+    return np.pad(x, ((0, h - x.shape[0]), (0, w - x.shape[1])), mode="edge")
+
+
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    coef = _A @ (block - 128.0) @ _A.T
+    # q is raster-order; quantize in raster space, then zigzag-scan
+    qz = np.round(coef.reshape(64) / q).astype(np.int64)[ZIGZAG]
+    # DC
+    diff = int(qz[0]) - pred
+    size = _category(diff)
+    c, ln = dc_codes[size]
+    bw.write(c, ln)
+    if size:
+        bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    # AC
+    run = 0
+    for k in range(1, 64):
+        v = int(qz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size = _category(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return int(qz[0])
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quant: int = 8,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    gray: bool = False,
+) -> bytes:
+    """RGB (h, w, 3) uint8 → baseline JFIF bytes. ``subsample=True``
+    writes 4:2:0 (chroma at half resolution); ``restart_interval`` > 0
+    emits RSTn markers every that many MCUs; ``gray=True`` writes a
+    single-component (luma-only) frame."""
+    h, w, _ = img.shape
+    ycc = _rgb_to_ycbcr(img)
+    q_tab = np.full(64, float(quant))
+    q_tab[0] = max(1.0, quant / 2)  # finer DC
+
+    sx, sy = (2, 2) if (subsample and not gray) else (1, 1)
+    mcu_w, mcu_h = 8 * sx, 8 * sy
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    y_plane = _pad_to(ycc[..., 0], mcus_y * mcu_h, mcus_x * mcu_w)
+    cb_f = _pad_to(ycc[..., 1], mcus_y * mcu_h, mcus_x * mcu_w)
+    cr_f = _pad_to(ycc[..., 2], mcus_y * mcu_h, mcus_x * mcu_w)
+    if subsample:
+        cb_f = cb_f.reshape(-1, 2, cb_f.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr_f = cr_f.reshape(-1, 2, cr_f.shape[1] // 2, 2).mean(axis=(1, 3))
+
+    dc_codes = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _encode_codes(_AC_COUNTS, _AC_SYMBOLS)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT (table 0, used by all components here)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(q_tab[ZIGZAG[i]]) for i in range(64)  # DQT stores zigzag order
+    )
+    # SOF0
+    cids = (1,) if gray else (1, 2, 3)
+    comps = b"".join(
+        bytes([cid, (sx << 4) | sy if cid == 1 else 0x11, 0]) for cid in cids
+    )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(cids), 8, h, w, len(cids)) + comps
+    # DHT: DC table 0, AC table 0
+    for tc, counts, syms in ((0, _DC_COUNTS, _DC_SYMBOLS), (1, _AC_COUNTS, _AC_SYMBOLS)):
+        payload = bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(cids), len(cids))
+    out += b"".join(bytes([cid, 0x00]) for cid in cids)  # DC 0 / AC 0
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.align()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0, 0, 0]
+            # luma blocks (sy × sx per MCU)
+            for by in range(sy):
+                for bx in range(sx):
+                    r0, c0 = my * mcu_h + by * 8, mx * mcu_w + bx * 8
+                    preds[0] = _encode_block(
+                        bw, y_plane[r0 : r0 + 8, c0 : c0 + 8], q_tab, preds[0],
+                        dc_codes, ac_codes,
+                    )
+            if not gray:
+                for ci, plane in ((1, cb_f), (2, cr_f)):
+                    r0, c0 = my * 8, mx * 8
+                    preds[ci] = _encode_block(
+                        bw, plane[r0 : r0 + 8, c0 : c0 + 8], q_tab, preds[ci],
+                        dc_codes, ac_codes,
+                    )
+            mcu_count += 1
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale expands to
+    3 channels). See module docstring for scope."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None  # (h, w, comps)
+    restart_interval = 0
+    scan = None
+
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.zeros(64)
+                tab[ZIGZAG] = np.frombuffer(seg[p : p + 64], np.uint8)
+                qtables[tq] = tab
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1 : p + 17])
+                n = sum(counts)
+                syms = list(seg[p + 17 : p + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = _canonical_codes(counts, syms)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, fh, fw, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential JPEG (SOF0)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            pos += seg_len
+            break  # entropy-coded data follows
+        pos += seg_len
+
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (frame["w"] + mcu_w - 1) // mcu_w
+    mcus_y = (frame["h"] + mcu_h - 1) // mcu_h
+
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
+    ]
+    scan_by_id = {s["id"]: s for s in scan}
+    br = _BitReader(b, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.byte_align()
+                m = br.skip_marker()
+                if not (0xFFD0 <= m <= 0xFFD7):
+                    raise ValueError(f"expected RST marker, got {m:#x}")
+                preds = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                s = scan_by_id[comp["id"]]
+                dct = dc_tables[s["dc"]]
+                act = ac_tables[s["ac"]]
+                q = qtables[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        qz = np.zeros(64, dtype=np.int64)
+                        size = _read_huff_symbol(br, dct)
+                        diff = _extend(br.bits(size), size) if size else 0
+                        preds[ci] += diff
+                        qz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_huff_symbol(br, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, sz = sym >> 4, sym & 0xF
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            qz[k] = _extend(br.bits(sz), sz)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[ZIGZAG] = qz * q[ZIGZAG]
+                        block = _A.T @ coef.reshape(8, 8) @ _A + 128.0
+                        r0 = (my * comp["v"] + by) * 8
+                        c0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+            mcu_count += 1
+
+    h, w = frame["h"], frame["w"]
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        if comp["h"] != hmax or comp["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        y = np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])

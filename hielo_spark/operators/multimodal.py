@@ -12,14 +12,17 @@ row-by-row. Codec status (r4): **PPM (P6), 24-bit uncompressed BMP, and
 non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA) decode for real** —
 PPM/BMP with numpy alone, PNG with stdlib ``zlib`` + numpy (full filter
 reconstruction: None/Sub/Up/Average/Paeth per the public PNG spec).
-Nearest-neighbor resize is numpy index striding. Audio decodes for real
-too (RIFF/WAVE 8/16-bit PCM + DSP features), as does video frame
+Nearest-neighbor resize is numpy index striding. Baseline JPEG decodes
+for real too (pure-numpy ITU-T T.81 implementation in operators/
+jpeg.py: Huffman + dequant + IDCT + chroma upsampling). Audio decodes
+for real (RIFF/WAVE 8/16-bit PCM + DSP features), as does video frame
 extraction from uncompressed AVI ('00db' DIB frames — same RIFF walk as
-WAV, same pixel layout as BMP). Remaining compressed formats (JPEG,
-compressed AVI fourccs, non-PCM WAV, 16-bit/interlaced/palette PNG)
-raise NotImplementedError (no PIL/ffmpeg in this environment) unless
-``fake=True`` selects the deterministic stand-in — the Spark-side
-plumbing (schemas, batching, partitioning) is identical on every path.
+WAV, same pixel layout as BMP). The remaining stub boundary is small
+and documented: progressive/arithmetic JPEG, compressed AVI fourccs,
+non-PCM WAV, 16-bit/interlaced/palette PNG raise NotImplementedError
+(no PIL/ffmpeg in this environment) unless ``fake=True`` selects the
+deterministic stand-in — the Spark-side plumbing (schemas, batching,
+partitioning) is identical on every path.
 """
 
 from __future__ import annotations
@@ -323,17 +326,23 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 
 def decode_image(b: bytes) -> np.ndarray:
     """(h, w, 3) uint8 from a PPM(P6) / uncompressed-BMP / 8-bit
-    non-interlaced PNG payload; remaining compressed formats raise
-    NotImplementedError (PIL/ffmpeg are not in this environment)."""
+    non-interlaced PNG / baseline JPEG payload (r4: the JPEG path is the
+    pure-numpy T.81 decoder in operators/jpeg.py — progressive and
+    arithmetic-coded JPEGs raise from there); other formats raise
+    NotImplementedError."""
     if b[:2] == b"P6":
         return decode_ppm(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b[:8] == PNG_SIGNATURE:
         return decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     raise NotImplementedError(
-        "only PPM(P6)/uncompressed-BMP/8-bit-PNG decode natively; JPEG "
-        "needs PIL (absent here) — use fake=True for the deterministic stand-in"
+        "unknown image format (PPM/BMP/PNG/baseline-JPEG decode natively; "
+        "use fake=True for the deterministic stand-in)"
     )
 
 
@@ -759,3 +768,42 @@ def decode_video_frame_features(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, media_col).mapInPandas(run, VIDEO_FRAME_FEATURES_SCHEMA)
+
+
+def attach_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id", subsample: bool = False
+) -> DataFrame:
+    """Deterministic VALID baseline-JPEG payloads: an 8×8 smooth ramp
+    whose base color derives from md5(id), compressed by our own T.81
+    encoder (operators/jpeg.py) — the compressed-format twin of
+    attach_ppm_media; `decode_image_features(fake=False)` really
+    Huffman-decodes + IDCTs these."""
+    import hashlib
+
+    from .jpeg import encode_jpeg
+
+    @F.pandas_udf(BinaryType())
+    def make_jpeg(ids: pd.Series) -> pd.Series:
+        out = []
+        yy, xx = np.mgrid[0:8, 0:8]
+        for i in ids:
+            d = hashlib.md5(str(int(i)).encode()).digest()
+            base = np.frombuffer(d[:3], np.uint8).astype(np.float64)
+            img = np.clip(
+                base[None, None, :] + yy[:, :, None] * 4 + xx[:, :, None] * 2,
+                0, 255,
+            ).astype(np.uint8)
+            out.append(encode_jpeg(img, quant=4, subsample=subsample))
+        return pd.Series(out)
+
+    k = F.col(id_col)
+    payload = make_jpeg(k.cast("long"))
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.concat(F.lit("s3://media/img_"), k, F.lit(".jpg")).alias("uri"),
+            F.lit("image/jpeg").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            payload.alias("payload"),
+        ),
+    )

@@ -304,19 +304,21 @@ def emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # X5 — multimodal decode (rows-only; r3: REAL decode — valid P6 PPMs
-# built from JVM expressions; r4: even doc_ids carry PPM, odd doc_ids
-# carry REAL zlib-compressed PNG payloads cycling through all five PNG
-# filter types — the numpy/zlib codecs parse both in the same
-# mapInPandas stage; no fake path involved).
+# built from JVM expressions; r4: doc_id mod 3 routes payloads across
+# the three real codecs — PPM, zlib-compressed PNG (cycling all five
+# filter types), and baseline JPEG from the pure-numpy T.81 encoder —
+# all Huffman-decoded/inflated/parsed in the same mapInPandas stage;
+# no fake path involved).
 # --------------------------------------------------------------------------
 @query("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    ppm = MM.attach_ppm_media(d.filter(F.col("doc_id") % 2 == 0))
-    png = MM.attach_png_media(d.filter(F.col("doc_id") % 2 == 1))
-    return MM.decode_image_features(ppm.unionByName(png), fake=False)
+    ppm = MM.attach_ppm_media(d.filter(F.col("doc_id") % 3 == 0))
+    png = MM.attach_png_media(d.filter(F.col("doc_id") % 3 == 1))
+    jpg = MM.attach_jpeg_media(d.filter(F.col("doc_id") % 3 == 2))
+    return MM.decode_image_features(ppm.unionByName(png).unionByName(jpg), fake=False)
 
 
 # --------------------------------------------------------------------------

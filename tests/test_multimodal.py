@@ -133,18 +133,28 @@ def test_real_decode_through_spark_stage(spark):
     assert f2[0] == f2[1] == f2[2] == 0.5 and f2[3] == 0.5
 
 
-def test_compressed_payload_still_raises(spark):
-    """JPEG remains the documented env-blocked stub boundary (r4 moved
-    PNG to the real path); a malformed PNG is a data error, not a
-    missing-codec error."""
+def test_stub_boundary_raises(spark):
+    """r4 moved baseline JPEG to the real path; the remaining stub
+    boundary is progressive JPEG (SOF2) and unknown formats. Malformed
+    payloads of known formats are data errors, not missing-codec
+    errors."""
+    import struct as _struct
+
     import pytest as _pytest
 
     from hielo_spark.operators.multimodal import decode_image
 
-    with _pytest.raises(NotImplementedError):
+    # truncated/malformed JPEG: data error now that baseline decodes
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0....JFIF....")
+    # progressive JPEG (SOF2 marker): explicit NotImplementedError
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + _struct.pack(">H", 11) + bytes(9)
+    with _pytest.raises(NotImplementedError):
+        decode_image(sof2)
     with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a....")
 
 
 def test_attach_ppm_media_real_decode(spark, sf_dir):
@@ -248,9 +258,10 @@ def test_png_unsupported_variants_raise():
         decode_png(png_hdr(color=3))
 
 
-def test_registry_query_decodes_png_payloads(spark, sf_dir):
-    """The registry query ships even ids as PPM and odd ids as real
-    zlib-compressed PNGs; every row decodes to 4×4 with real features."""
+def test_registry_query_decodes_all_codec_payloads(spark, sf_dir):
+    """The registry query routes ids across the three real codecs (PPM /
+    zlib PNG / baseline JPEG by id mod 3); every row decodes with real
+    features — 4×4 for PPM/PNG, 8×8 for the JPEG ramps."""
     from hielo_spark.queries import QUERIES
 
     rows = QUERIES["multimodal_image_features"](spark, sf_dir).collect()
@@ -258,8 +269,10 @@ def test_registry_query_decodes_png_payloads(spark, sf_dir):
     by_uri = {r.uri: r for r in rows}
     assert any(u.endswith(".png") for u in by_uri)
     assert any(u.endswith(".ppm") for u in by_uri)
+    assert any(u.endswith(".jpg") for u in by_uri)
     for r in rows:
-        assert (r.width, r.height) == (4, 4)
+        expected = (8, 8) if r.uri.endswith(".jpg") else (4, 4)
+        assert (r.width, r.height) == expected
         assert len(r.feature) == 8 and any(v != 0.0 for v in r.feature)
 
 
