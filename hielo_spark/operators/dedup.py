@@ -675,3 +675,45 @@ def dedup_groups(
     return df.join(comp, df[id_col] == comp.node, "left").select(
         df["*"], F.coalesce(F.col("component"), df[id_col]).alias("dup_group")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.95,
+    n_cells: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDedup-style semantic deduplication (the public cluster-then-
+    dedup method: k-means over the embedding space, near-duplicate search
+    only WITHIN clusters): returns ``(kept, removed_ids)``.
+
+    Pipeline: clustering.kmeans assigns every row a cluster; the
+    triangle-blocked Gram-cell kernel finds cosine ≥ ``threshold`` pairs
+    inside each cluster; within a pair the LOWER id survives and the
+    higher is dominated. Rows dominated by any neighbor are removed —
+    the standard greedy approximation of per-group keep-one (in a chain
+    a–b–c only a survives). The id rule is deliberate: a
+    distance-to-centroid preference would compare floats that BLAS
+    computes differently across Arrow batch shapes, making the survivor
+    nondeterministic for exact duplicates.
+
+    Scale: no all-pairs anywhere — clusters bound the candidate space
+    (at 100 TB you raise k so cluster sizes stay bounded), the Gram
+    cells bound per-task memory exactly as in embedding_neardup_pairs,
+    and the dominated-row rule is a distinct + anti-join instead of a
+    connected-components iteration. The kmeans driver reduce collects
+    only k centroid rows per round.
+    """
+    from .clustering import kmeans
+
+    assigned, _C, _iters = kmeans(df, vec_col=vec_col, id_col=id_col, k=k)
+    with_cluster = df.join(assigned.select(id_col, "cluster"), id_col)
+    pairs = _gram_cell_pairs(
+        with_cluster, "cluster", id_col, vec_col, threshold, n_cells
+    )
+    # pairs are canonical (id_a < id_b): the higher id of every pair drops
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = df.join(removed, id_col, "left_anti")
+    return kept, removed

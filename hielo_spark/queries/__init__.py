@@ -149,7 +149,11 @@ for mod in (relational, meta, ext):
 #     doc_top_ngrams, operator pytest-pinned)
 #   doc_sample_stratified (r3 green; hash-gated sampling family also in
 #     doc_curation_pipeline's head row and the no-Exchange plan tests)
+#   doc_dedup_components (r3 green vs the recursive-CTE oracle; makes
+#     room for the new emb_semdedup head row — the cluster-then-dedup
+#     plane whose keep-one policy subsumes the group-resolution story)
 _DEFERRED = [
+    "doc_dedup_components",
     "doc_shard_packing",
     "doc_contamination",
     "doc_tfidf_top_terms",

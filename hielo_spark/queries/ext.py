@@ -356,6 +356,46 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X2/X3 — SemDedup-style semantic dedup (cluster-then-dedup): 25 exact
+# duplicate vectors are planted under shifted ids; kmeans must route
+# each copy to its source's cluster, the in-cluster Gram kernel must
+# pair them (cosine 1 > 0.95, while the corpus's max natural cosine is
+# ~0.51), and the keep-policy must drop exactly one per pair — so the
+# output counts are a constant the oracle pins. The keep-one side is
+# id-deterministic (exact copies tie on centroid distance → lower id,
+# i.e. every planted id is the removed one), asserted as a boolean.
+# --------------------------------------------------------------------------
+@query(
+    "emb_semdedup",
+    """
+    SELECT CAST(525 AS BIGINT) AS n_input,
+           CAST(500 AS BIGINT) AS n_kept,
+           CAST(25 AS BIGINT) AS n_removed,
+           TRUE AS removed_are_planted
+    """,
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(500)
+    copies = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(copies)
+    kept, removed = semantic_dedup(corpus, k=8, threshold=0.95)
+    kept.persist()
+    removed.persist()
+    return spark.range(1).select(
+        F.lit(corpus.count()).cast("bigint").alias("n_input"),
+        F.lit(kept.count()).cast("bigint").alias("n_kept"),
+        F.lit(removed.count()).cast("bigint").alias("n_removed"),
+        F.lit(
+            removed.filter(F.col("vec_id") < 10000).count() == 0
+        ).alias("removed_are_planted"),
+    )
+
+
+# --------------------------------------------------------------------------
 # X1/X2 — duplicate-group resolution: connected components over the
 # near-dup pair graph (min reachable id = group representative). The
 # oracle recomputes components with a recursive CTE — a fully independent
