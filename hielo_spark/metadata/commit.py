@@ -15,7 +15,9 @@ there first (optimistic concurrency), and ``version-hint.text`` points
 readers at the current version.
 
 What this enables honestly:
-  * ``append`` — new snapshot over real parquet data files, readable
+  * ``append`` — new snapshot over real parquet data files (optionally
+    hive-partitioned with typed partition values in the manifest
+    entries, feeding metadata-only partition pruning on read), readable
     back through our own time travel (manifests.read_data_at_snapshot)
     AND any Iceberg runtime pointed at the table dir;
   * ``delete_equality`` — a v2 merge-on-read equality-delete commit
@@ -23,15 +25,23 @@ What this enables honestly:
     number), so the read path's sequence-scoped delete application is
     exercised end-to-end against our own commits: the delete kills
     strictly-older rows, and a subsequent re-insert survives;
+  * ``delete_where`` — a v2 position-delete commit: distributed scan of
+    the current data files by ``_metadata`` coordinates, matching
+    (file_path, pos) pairs committed behind a content=1 delete manifest;
+  * ``rewrite_data_files`` — compaction as a REPLACE snapshot: live
+    rows (deletes applied) rewritten size-targeted, old manifests drop
+    from the live view but stay time-travelable;
   * ``rollback_to_snapshot`` / ``set_current_snapshot`` — metadata-only
     commit flipping ``current-snapshot-id`` (the reference's
     recommended recovery action, executable);
   * ``expire_snapshots`` — the ops/analysis.py dry-run becomes a real
-    commit that drops expired snapshot entries from the metadata.
+    commit that drops expired snapshot entries from the metadata
+    (ops/analysis.remove_orphan_files then reclaims the files).
 
-Out of scope (documented): position-delete writes, compaction
-rewrites, and catalog-service commits (REST/Glue commit endpoints need
-a live service; the Hadoop dir protocol is the no-service mode).
+Out of scope (documented): catalog-service commits (REST/Glue commit
+endpoints need a live service; the Hadoop dir protocol is the
+no-service mode), schema-evolution commits, and spec-complete manifest
+stats (column bounds/null counts).
 
 Scale note: commits are planning-plane work — one manifest row per
 data file, driver-side Avro/JSON writes of KB-scale artifacts, exactly
@@ -58,7 +68,9 @@ MANIFEST_ENTRY_SCHEMA_V2 = """
    {"name":"file_path","type":"string"},
    {"name":"file_format","type":"string"},
    {"name":"record_count","type":"long"},
-   {"name":"file_size_in_bytes","type":"long"}]}}]}
+   {"name":"file_size_in_bytes","type":"long"},
+   {"name":"partition_values","type":["null",{"type":"map","values":"string"}],"default":null},
+   {"name":"partition_types","type":["null",{"type":"map","values":"string"}],"default":null}]}}]}
 """
 
 MANIFEST_LIST_SCHEMA_V2 = """
@@ -94,6 +106,9 @@ def _avro_json_value(field_schema, v):
             f.name(): _avro_json_value(f.schema(), v.get(f.name()))
             for f in field_schema.getFields()
         }
+    if t == "map":
+        vs = field_schema.getValueType()
+        return {str(k): _avro_json_value(vs, val) for k, val in v.items()}
     return v
 
 
@@ -259,12 +274,20 @@ def append(
     df: DataFrame,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Append ``df`` as a new snapshot. Returns the new snapshot dict.
+
+    With ``partition_by``, data files are written hive-layout
+    (``col=value/`` dirs, distributed ``partitionBy`` write) and each
+    manifest entry records the file's typed partition values — which is
+    what makes ``read_data_at_snapshot(partition_filter=...)`` prune
+    files from metadata alone, the Iceberg planner behavior.
 
     ``snapshot_id`` / ``timestamp_ms`` are injectable for deterministic
     tests (defaults: sequence-derived id, current wall clock)."""
     import time
+    from urllib.parse import unquote
 
     doc, prev_version = _load_doc(table_dir)
     seq = int(doc.get("last-sequence-number", 0)) + 1
@@ -277,8 +300,28 @@ def append(
 
     # 1. data files — distributed parquet write into a per-commit dir
     data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}")
-    df.write.parquet(data_dir)
-    parts = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    dtypes = dict(df.dtypes)
+    if partition_by:
+        df.write.partitionBy(*partition_by).parquet(data_dir)
+        parts = sorted(
+            _glob.glob(os.path.join(data_dir, "**", "part-*.parquet"), recursive=True)
+        )
+    else:
+        df.write.parquet(data_dir)
+        parts = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
+
+    def partition_of(p: str) -> dict | None:
+        if not partition_by:
+            return None
+        vals = {}
+        for seg in os.path.relpath(p, data_dir).split(os.sep)[:-1]:
+            k, _, v = seg.partition("=")
+            vals[k] = unquote(v)
+        return vals
+
+    ptypes = (
+        {c: dtypes[c] for c in partition_by} if partition_by else None
+    )
     n_records_per = {
         p: int(c)
         for p, c in (
@@ -314,6 +357,8 @@ def append(
                     "file_format": "PARQUET",
                     "record_count": records_of(p),
                     "file_size_in_bytes": os.path.getsize(p),
+                    "partition_values": partition_of(p),
+                    "partition_types": ptypes,
                 },
             }
             for p in parts

@@ -50,6 +50,18 @@ def _get(rec, name):
     return rec.get(name)
 
 
+def _pymap(v) -> dict | None:
+    """py4j java.util.Map (Avro map field) → {str: str}, or None."""
+    if v is None:
+        return None
+    out = {}
+    it = v.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        out[str(e.getKey())] = str(e.getValue())
+    return out
+
+
 def _avro_reader(spark: SparkSession, path: str):
     jvm = spark._jvm
     reader = jvm.org.apache.avro.generic.GenericDatumReader()
@@ -131,6 +143,8 @@ def read_manifest(
                     int(_py(_get(df_rec, "file_size_in_bytes"))),
                     int(fcontent) if fcontent is not None else 0,
                     int(seq) if seq is not None else inherited_seq,
+                    _pymap(_get(df_rec, "partition_values")),
+                    _pymap(_get(df_rec, "partition_types")),
                 )
             )
     finally:
@@ -138,7 +152,8 @@ def read_manifest(
     return spark.createDataFrame(
         rows,
         "status int, snapshot_id long, file_path string, file_format string, "
-        "record_count long, file_size_in_bytes long, content int, sequence_number long",
+        "record_count long, file_size_in_bytes long, content int, sequence_number long, "
+        "partition_values map<string,string>, partition_types map<string,string>",
     )
 
 
@@ -187,7 +202,8 @@ def files_from_manifest_list(
         return spark.createDataFrame(
             [],
             "table_name string, file_path string, file_size_in_bytes long, "
-            "record_count long, sequence_number long",
+            "record_count long, sequence_number long, "
+            "partition_values map<string,string>, partition_types map<string,string>",
         )
     return (
         out.filter((F.col("status") != 2) & (F.col("content") == content))
@@ -197,6 +213,8 @@ def files_from_manifest_list(
             "file_size_in_bytes",
             "record_count",
             "sequence_number",
+            "partition_values",
+            "partition_types",
         )
     )
 
@@ -206,6 +224,7 @@ def read_data_at_snapshot(
     metadata_json_path: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Executable time travel without the Iceberg runtime (S12): pick a
     snapshot from the table-metadata JSON (by id, by ``as_of_ms`` — the
@@ -261,41 +280,90 @@ def read_data_at_snapshot(
         mlist = os.path.join(os.path.dirname(metadata_json_path), mlist)
     mlist = mlist.removeprefix("file:")
 
-    def live_files(content: int) -> list[tuple[str, int | None]]:
+    from ..metadata.metadata_json import _strip_scheme
+
+    def live_files(content: int) -> list:
         files = files_from_manifest_list(spark, "t", mlist, content=content)
         return [
-            (r.file_path.removeprefix("file:"), r.sequence_number)
-            for r in files.select("file_path", "sequence_number").collect()
+            (
+                r.file_path.removeprefix("file:"),
+                r.sequence_number,
+                dict(r.partition_values) if r.partition_values else None,
+                dict(r.partition_types) if r.partition_types else None,
+            )
+            for r in files.select(
+                "file_path", "sequence_number", "partition_values", "partition_types"
+            ).collect()
         ]
 
     data_files = live_files(0)
     if not data_files:
         raise ValueError(f"snapshot {chosen['snapshot-id']} has no live data files")
-    data = spark.read.parquet(*[p for p, _ in data_files])
 
-    from ..metadata.metadata_json import _strip_scheme
+    # partition pruning: drop files whose manifest partition values
+    # contradict the filter BEFORE any scan is planned — the same
+    # metadata-only pruning an Iceberg planner does. String-compared
+    # (values are stored stringified); a file with no partition metadata
+    # is never pruned (it may contain matching rows).
+    if partition_filter:
+        want = {k: str(v) for k, v in partition_filter.items()}
+        data_files = [
+            f
+            for f in data_files
+            if f[2] is None or all(f[2].get(k, str(v)) == str(v) for k, v in want.items())
+        ]
+        if not data_files:
+            raise ValueError(
+                f"partition filter {partition_filter} prunes every file of "
+                f"snapshot {chosen['snapshot-id']}"
+            )
+
+    # group by partition tuple: partitionBy-written files don't carry the
+    # partition columns in the parquet, so each group re-attaches them as
+    # typed literals from the manifest metadata (group count = live
+    # partitions of the snapshot — planning-plane, like any planner's
+    # per-partition scan groups)
+    def group_key(f):
+        return tuple(sorted(f[2].items())) if f[2] else None
+
+    groups: dict = {}
+    for f in data_files:
+        groups.setdefault(group_key(f), []).append(f)
+    parts = []
+    for key, fs in groups.items():
+        g = spark.read.parquet(*[p for p, _, _, _ in fs]).select(
+            "*",
+            _strip_scheme(F.col("_metadata.file_path")).alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        if key:
+            ptypes = fs[0][3] or {}
+            for col, sval in key:
+                g = g.withColumn(
+                    col, F.lit(sval).cast(ptypes.get(col, "string"))
+                )
+        parts.append(g)
+    data = parts[0]
+    for g in parts[1:]:
+        data = data.unionByName(g)
+    out_cols = [c for c in data.columns if c not in ("_fp", "_pos")]
 
     pos_delete_files = live_files(1)
     eq_delete_files = live_files(2)
     if not pos_delete_files and not eq_delete_files:
-        return data
+        return data.select(*out_cols)
 
     # attach each row's data sequence number from the (tiny, planning-
     # plane) path→seq map so delete scoping is a join predicate, not a
     # per-file driver loop over the data
-    out_cols = data.columns
     seq_map = spark.createDataFrame(
-        [(p, s) for p, s in data_files], "_fp string, _dataseq long"
+        [(p, s) for p, s, _, _ in data_files], "_fp string, _dataseq long"
     ).select(_strip_scheme(F.col("_fp")).alias("_fp"), "_dataseq")
-    data = data.select(
-        "*",
-        _strip_scheme(F.col("_metadata.file_path")).alias("_fp"),
-        F.col("_metadata.row_index").alias("_pos"),
-    ).join(F.broadcast(seq_map), "_fp", "left")
+    data = data.join(F.broadcast(seq_map), "_fp", "left")
 
     if pos_delete_files:
         dels = None
-        for p, dseq in pos_delete_files:
+        for p, dseq, _pv, _pt in pos_delete_files:
             one = spark.read.parquet(p).select(
                 _strip_scheme(F.col("file_path")).alias("_dfp"),
                 F.col("pos").cast("long").alias("_dpos"),
@@ -314,7 +382,7 @@ def read_data_at_snapshot(
             )
         )
         data = data.join(dels, cond, "left_anti")
-    for p, dseq in eq_delete_files:
+    for p, dseq, _pv, _pt in eq_delete_files:
         eq = spark.read.parquet(p)
         keys = [c for c in eq.columns if c in out_cols]
         if keys:

@@ -218,3 +218,69 @@ def test_delete_where_position_deletes_sequence_scoped(spark, tmp_path):
     mpath = C.current_metadata_path(t)
     at_104 = {r.id for r in read_data_at_snapshot(spark, mpath, snapshot_id=104).collect()}
     assert at_104 == {1, 4, 5}
+
+
+def test_partitioned_append_and_partition_pruning(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.createDataFrame(
+        [(i, "us" if i % 2 == 0 else "eu", f"v{i}") for i in range(20)],
+        ["id", "region", "v"],
+    )
+    snap = C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000,
+                    partition_by=["region"])
+    assert snap["summary"]["total-records"] == "20"
+    mpath = C.current_metadata_path(t)
+
+    # full read: partition column reattached with its original type
+    full = read_data_at_snapshot(spark, mpath)
+    assert dict(full.dtypes)["region"] == "string"
+    assert {r.region for r in full.collect()} == {"us", "eu"}
+    assert full.count() == 20
+
+    # partition filter prunes FILES, not just rows
+    us = read_data_at_snapshot(spark, mpath, partition_filter={"region": "us"})
+    assert {r.id for r in us.collect()} == set(range(0, 20, 2))
+    all_files = set(full.inputFiles())
+    us_files = set(us.inputFiles())
+    assert us_files < all_files
+    assert all("region=us" in f for f in us_files)
+
+    with pytest.raises(ValueError, match="prunes every file"):
+        read_data_at_snapshot(spark, mpath, partition_filter={"region": "apac"})
+
+
+def test_partitioned_append_with_deletes_and_rewrite(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.createDataFrame(
+        [(i, "us" if i % 2 == 0 else "eu") for i in range(10)], ["id", "region"]
+    )
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000,
+             partition_by=["region"])
+    # equality delete keyed on the PARTITION column value + id
+    C.delete_equality(spark, t, spark.createDataFrame([(4,), (5,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    mpath = C.current_metadata_path(t)
+    got = {r.id for r in read_data_at_snapshot(spark, mpath).collect()}
+    assert got == set(range(10)) - {4, 5}
+    # pruned read applies the same deletes within the partition
+    us = {r.id for r in read_data_at_snapshot(
+        spark, mpath, partition_filter={"region": "us"}).collect()}
+    assert us == {0, 2, 6, 8}
+    # compaction of a partitioned table bakes partition cols into the files
+    C.rewrite_data_files(spark, t, snapshot_id=103, timestamp_ms=1700200000000)
+    mpath = C.current_metadata_path(t)
+    after = read_data_at_snapshot(spark, mpath)
+    assert {r.id for r in after.collect()} == set(range(10)) - {4, 5}
+    assert dict(after.dtypes)["region"] == "string"
+
+
+def test_int_partition_values_roundtrip_typed(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.createDataFrame([(i, i % 3) for i in range(9)], ["id", "bucket"])
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000,
+             partition_by=["bucket"])
+    mpath = C.current_metadata_path(t)
+    full = read_data_at_snapshot(spark, mpath)
+    assert dict(full.dtypes)["bucket"] == "bigint"
+    one = read_data_at_snapshot(spark, mpath, partition_filter={"bucket": 1})
+    assert {r.id for r in one.collect()} == {1, 4, 7}
