@@ -331,7 +331,13 @@ def read_data_at_snapshot(
         groups.setdefault(group_key(f), []).append(f)
     parts = []
     for key, fs in groups.items():
-        g = spark.read.parquet(*[p for p, _, _, _ in fs]).select(
+        # mergeSchema: add-column schema evolution — files written before
+        # the column carry null for it, exactly the Iceberg read behavior
+        # for added fields; a snapshot containing only pre-evolution files
+        # never surfaces the column (its file set IS its schema here)
+        g = spark.read.option("mergeSchema", "true").parquet(
+            *[p for p, _, _, _ in fs]
+        ).select(
             "*",
             _strip_scheme(F.col("_metadata.file_path")).alias("_fp"),
             F.col("_metadata.row_index").alias("_pos"),
@@ -345,7 +351,7 @@ def read_data_at_snapshot(
         parts.append(g)
     data = parts[0]
     for g in parts[1:]:
-        data = data.unionByName(g)
+        data = data.unionByName(g, allowMissingColumns=True)
     out_cols = [c for c in data.columns if c not in ("_fp", "_pos")]
 
     pos_delete_files = live_files(1)

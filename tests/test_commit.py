@@ -284,3 +284,26 @@ def test_int_partition_values_roundtrip_typed(spark, tmp_path):
     assert dict(full.dtypes)["bucket"] == "bigint"
     one = read_data_at_snapshot(spark, mpath, partition_filter={"bucket": 1})
     assert {r.id for r in one.collect()} == {1, 4, 7}
+
+
+def test_add_column_schema_evolution_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t,
+             spark.createDataFrame([(3, "c", 30.0)], ["id", "v", "w"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    mpath = C.current_metadata_path(t)
+    latest = read_data_at_snapshot(spark, mpath)
+    assert set(latest.columns) == {"id", "v", "w"}
+    rows = {r.id: r.w for r in latest.collect()}
+    assert rows == {1: None, 2: None, 3: 30.0}
+    # pre-evolution snapshot never surfaces the added column
+    old = read_data_at_snapshot(spark, mpath, snapshot_id=101)
+    assert set(old.columns) == {"id", "v"}
+    # equality delete on the new column applies only where it exists
+    C.delete_equality(spark, t, spark.createDataFrame([(30.0,)], ["w"]),
+                      snapshot_id=103, timestamp_ms=1700200000000)
+    mpath = C.current_metadata_path(t)
+    after = {r.id for r in read_data_at_snapshot(spark, mpath).collect()}
+    assert after == {1, 2}
