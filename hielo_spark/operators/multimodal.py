@@ -14,7 +14,9 @@ PPM/BMP with numpy alone, PNG with stdlib ``zlib`` + numpy (full filter
 reconstruction: None/Sub/Up/Average/Paeth per the public PNG spec).
 Nearest-neighbor resize is numpy index striding. Baseline JPEG decodes
 for real too (pure-numpy ITU-T T.81 implementation in operators/
-jpeg.py: Huffman + dequant + IDCT + chroma upsampling). Audio decodes
+jpeg.py: Huffman + dequant + IDCT + chroma upsampling), as does GIF
+(operators/gif.py: full variable-width LZW, interlace, palettes). Audio
+decodes
 for real (RIFF/WAVE 8/16-bit PCM + DSP features), as does video frame
 extraction from uncompressed AVI ('00db' DIB frames — same RIFF walk as
 WAV, same pixel layout as BMP). The remaining stub boundary is small
@@ -340,9 +342,13 @@ def decode_image(b: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(b)
     raise NotImplementedError(
-        "unknown image format (PPM/BMP/PNG/baseline-JPEG decode natively; "
-        "use fake=True for the deterministic stand-in)"
+        "unknown image format (PPM/BMP/PNG/GIF/baseline-JPEG decode "
+        "natively; use fake=True for the deterministic stand-in)"
     )
 
 

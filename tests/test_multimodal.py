@@ -154,7 +154,7 @@ def test_stub_boundary_raises(spark):
     with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
     with _pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a....")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # WebP: still a stub
 
 
 def test_attach_ppm_media_real_decode(spark, sf_dir):
