@@ -813,3 +813,47 @@ def attach_jpeg_media(
             payload.alias("payload"),
         ),
     )
+
+
+def repartition_media_by_bytes(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    target_bytes: int = 64 * 1024 * 1024,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Even out decode tasks before a heavy mapInPandas stage: decode
+    cost scales with payload BYTES, not rows, so row-count-balanced
+    partitions give skewed tasks when payload sizes vary (one 4K video
+    next to a thousand thumbnails). Greedy byte-packing (the
+    sampling.pack_shards cumsum, salted into ``salt_buckets`` parallel
+    packing lanes so the prefix-sum window never serializes through one
+    task) assigns each row a shard of ~``target_bytes``, then a RANGE
+    repartition on (lane, shard) gives each task contiguous whole
+    shards. Guarantee: every (lane, shard) group carries <= target +
+    one payload; tasks hold ~1 group each (range boundaries come from
+    sampling, so a task may occasionally carry a couple of adjacent
+    groups — bounded slack, unlike hash collisions which pile up
+    unboundedly). Lanes are deterministic (xxhash64 of the id)."""
+    from .sampling import pack_shards
+
+    lane = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int")
+    with_lane = df.withColumn("_lane", lane)
+    packed = pack_shards(
+        with_lane,
+        id_col,
+        F.col(f"{media_col}.n_bytes"),
+        target_bytes,
+        partition_col="_lane",
+    )
+    n = packed.select(
+        (F.ceil(F.sum(f"{media_col}.n_bytes") / F.lit(target_bytes)) + 1)
+        .cast("int")
+        .alias("n")
+    ).first()["n"]
+    return (
+        packed.repartitionByRange(
+            max(int(n or 1), 1), F.col("_lane"), F.col("shard_id")
+        )
+        .drop("_lane", "shard_id")
+    )

@@ -430,3 +430,48 @@ def test_video_features_through_spark_stage(spark):
     a = out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
     b = out2.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_repartition_media_by_bytes_bounds_task_bytes(spark):
+    import pyspark.sql.functions as F
+
+    # skewed payloads: ids 0-3 get ~100 KB, the rest ~1 KB
+    df = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    big = F.when(F.col("doc_id") < 4, 100_000).otherwise(1_000)
+    payload = F.expr("repeat('x', 10)")  # content irrelevant; n_bytes drives packing
+    media = df.withColumn(
+        "media",
+        F.struct(
+            F.concat(F.lit("u"), F.col("doc_id")).alias("uri"),
+            F.lit("application/octet-stream").alias("mime"),
+            big.cast("long").alias("n_bytes"),
+            F.encode(payload, "utf-8").alias("payload"),
+        ),
+    )
+    out = MM.repartition_media_by_bytes(
+        media, target_bytes=100_000, salt_buckets=8
+    )
+    assert out.count() == 64  # no rows lost
+    assert set(out.columns) == {"doc_id", "media"}
+    # the operator guarantee: every (lane, shard) packing group carries
+    # at most target + one boundary-crossing payload...
+    from hielo_spark.operators.sampling import pack_shards
+
+    lane = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8)).cast("int")
+    groups = (
+        pack_shards(media.withColumn("_lane", lane), "doc_id",
+                    F.col("media.n_bytes"), 100_000, partition_col="_lane")
+        .groupBy("_lane", "shard_id")
+        .agg(F.sum("media.n_bytes").alias("bytes"))
+        .collect()
+    )
+    assert max(r.bytes for r in groups) <= 100_000 + 100_000
+    # ...and range partitioning keeps per-task load within a small
+    # multiple of target (no unbounded hash pile-up)
+    sizes = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("media.n_bytes").alias("bytes"))
+        .collect()
+    )
+    assert max(r.bytes for r in sizes) <= 3 * (100_000 + 100_000)
