@@ -528,6 +528,8 @@ def rewrite_data_files(
     target_file_size_bytes: int = 128 * 1024 * 1024,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Compaction commit — the executable no-jar form of the reference's
     ``rewrite_data_files`` recommendation (analytics.rs:442-507 CALL
@@ -539,6 +541,12 @@ def rewrite_data_files(
     but stay on disk, so time travel to older snapshots is unaffected;
     the obsolete files become reclaimable by the orphan/expiry sweep,
     exactly Iceberg's own lifecycle. Returns the new snapshot dict.
+
+    ``sort_by`` is Iceberg's 'sort' rewrite strategy (range-partition +
+    sort within partitions, contiguous key ranges per output file);
+    ``zorder_by`` is the 'zorder' strategy via operators/layout.py
+    (Morton-interleaved key, every file a compact multi-dimensional
+    tile with tight min/max stats on all keyed columns).
 
     Scale: the rewrite itself is one distributed read→repartition→write;
     only the planning-plane file list (count + byte sizes) is collected,
@@ -568,9 +576,19 @@ def rewrite_data_files(
     total_bytes = sum(int(r.file_size_in_bytes or 0) for r in old_files)
     n_out = max(1, math.ceil(total_bytes / target_file_size_bytes))
 
+    if sort_by and zorder_by:
+        raise ValueError("pass at most one of sort_by / zorder_by")
     live = read_data_at_snapshot(spark, current_metadata_path(table_dir))
     data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-rewrite")
-    live.repartition(n_out).write.parquet(data_dir)
+    if zorder_by:
+        from ..operators.layout import zorder_sort
+
+        live = zorder_sort(live, zorder_by, n_partitions=n_out).drop("zkey")
+    elif sort_by:
+        live = live.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        live = live.repartition(n_out)
+    live.write.parquet(data_dir)
     parts = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
     n_records_per = {
         fp: int(c)

@@ -307,3 +307,55 @@ def test_add_column_schema_evolution_roundtrip(spark, tmp_path):
     mpath = C.current_metadata_path(t)
     after = {r.id for r in read_data_at_snapshot(spark, mpath).collect()}
     assert after == {1, 2}
+
+
+def test_rewrite_sort_strategy_gives_disjoint_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") % 7
+    )
+    C.append(spark, t, df.repartition(8), snapshot_id=101, timestamp_ms=1700000000000)
+    C.rewrite_data_files(
+        spark, t, target_file_size_bytes=4000, sort_by=["k"],
+        snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    mpath = C.current_metadata_path(t)
+    after = read_data_at_snapshot(spark, mpath)
+    assert after.count() == 1000
+    files = sorted(set(after.inputFiles()))
+    assert len(files) > 1
+    # sort strategy ⇒ per-file k-ranges are pairwise disjoint
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f.removeprefix("file:"))
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2, ranges
+
+
+def test_rewrite_zorder_strategy_runs_and_preserves_rows(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = (
+        spark.range(0, 400).withColumnRenamed("id", "x")
+        .withColumn("y", (F.col("x") * 37) % 400)
+        .withColumn("v", F.col("x") % 5)
+    )
+    C.append(spark, t, df.repartition(4), snapshot_id=101, timestamp_ms=1700000000000)
+    C.rewrite_data_files(
+        spark, t, target_file_size_bytes=3000, zorder_by=["x", "y"],
+        snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    mpath = C.current_metadata_path(t)
+    after = read_data_at_snapshot(spark, mpath)
+    assert after.count() == 400
+    assert set(after.columns) == {"x", "y", "v"}  # zkey dropped
+    with pytest.raises(ValueError, match="at most one"):
+        C.rewrite_data_files(spark, t, sort_by=["x"], zorder_by=["y"])
