@@ -275,8 +275,11 @@ def append(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     partition_by: list[str] | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> dict:
     """Append ``df`` as a new snapshot. Returns the new snapshot dict.
+    ``extra_summary`` entries are merged into the snapshot summary (used
+    by the streaming sink to record its exactly-once batch marker).
 
     With ``partition_by``, data files are written hive-layout
     (``col=value/`` dirs, distributed ``partitionBy`` write) and each
@@ -401,6 +404,7 @@ def append(
             "added-records": str(added_records),
             "total-records": str(total_records),
             "added-files-size": str(sum(os.path.getsize(p) for p in parts)),
+            **(extra_summary or {}),
         },
     )
 

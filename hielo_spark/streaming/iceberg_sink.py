@@ -1,0 +1,81 @@
+"""Streaming → Iceberg-table sink through the no-jar commit plane.
+
+``writeStream.format('iceberg')`` needs the Iceberg runtime jar (absent
+here, verified r1-r4); the same capability falls out of composing
+foreachBatch with ``metadata/commit.append``: every micro-batch becomes a
+real Iceberg snapshot (data files + manifest + manifest-list +
+metadata.json bump), so the table's history IS the stream's batch
+timeline, time-travelable per batch.
+
+Exactly-once: Structured Streaming replays a batch when a failure lands
+between the sink's side effect and the checkpoint commit. Each snapshot
+records its ``(query-id, batch-id)`` in the snapshot summary; a replayed
+batch finds the marker in the table metadata and skips — the same
+idempotent-commit trick Iceberg's own streaming writer uses (it stores
+the batch id in snapshot properties). The check is a metadata read
+(planning plane), not a data scan, unlike the key-anti-join upsert sink
+(streaming/upsert.py) which exists for formats with no commit metadata.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+
+def committed_batch_ids(table_dir: str, query_id: str) -> set[int]:
+    """Batch ids already committed for ``query_id``, from snapshot
+    summaries (one JSON read — planning plane)."""
+    from ..metadata.commit import current_metadata_path
+
+    mpath = current_metadata_path(table_dir)
+    if mpath is None:
+        return set()
+    with open(mpath) as f:
+        doc = json.load(f)
+    out = set()
+    for s in doc.get("snapshots", []):
+        summ = s.get("summary", {})
+        if summ.get("streaming-query-id") == query_id and "streaming-batch-id" in summ:
+            out.add(int(summ["streaming-batch-id"]))
+    return out
+
+
+def append_stream_to_table(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    query_name: str = "iceberg_append",
+):
+    """Start a foreachBatch writer committing each micro-batch as an
+    append snapshot. Returns the StreamingQuery (caller awaits
+    termination). Replayed batches are skipped via the summary marker."""
+    from ..metadata.commit import append
+
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        qid = query_name  # stable across restarts (query.id changes with checkpoint wipes)
+        if batch_id in committed_batch_ids(table_dir, qid):
+            return  # replayed batch — already a snapshot
+        if batch.isEmpty():
+            return
+        append(
+            spark,
+            table_dir,
+            batch,
+            partition_by=partition_by,
+            extra_summary={
+                "streaming-query-id": qid,
+                "streaming-batch-id": str(batch_id),
+            },
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

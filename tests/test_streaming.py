@@ -168,3 +168,53 @@ def test_batch_stream_source_parity(spark, sf_dir):
     assert (got.lo, got.hi, got.n) == (want.lo, want.hi, want.n)
     # and not January 1970 — the encoding branch picked correctly
     assert got.lo.year >= 2000
+
+
+def test_stream_append_to_iceberg_table_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch → our own no-jar Iceberg commits: every micro-batch
+    becomes a snapshot; replayed batches are skipped via the
+    (query-id, batch-id) summary marker — the jarless equivalent of
+    writeStream.format('iceberg')."""
+    import pyspark.sql.functions as F
+
+    from hielo_spark.metadata import commit as C
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.streaming.events import read_events_stream
+    from hielo_spark.streaming.iceberg_sink import (
+        append_stream_to_table,
+        committed_batch_ids,
+    )
+
+    t = str(tmp_path / "wh" / "ns" / "events_t")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+    q = append_stream_to_table(stream, t, ckpt, query_name="evt_sink")
+    q.awaitTermination()
+
+    mpath = C.current_metadata_path(t)
+    assert mpath is not None
+    table_rows = read_data_at_snapshot(spark, mpath)
+    from hielo_spark.io import load_table
+
+    want = load_table(spark, sf_dir, "events").count()
+    assert table_rows.count() == want
+
+    committed = committed_batch_ids(t, "evt_sink")
+    assert committed  # at least one batch became a snapshot
+
+    # full replay: wipe the checkpoint and re-run the whole stream under
+    # the same query name — Structured Streaming redelivers every batch,
+    # and the (query-id, batch-id) markers must skip them all
+    import json
+    import shutil
+
+    with open(mpath) as f:
+        n_snaps_before = len(json.load(f)["snapshots"])
+    shutil.rmtree(ckpt)
+    q2 = append_stream_to_table(stream, t, ckpt, query_name="evt_sink")
+    q2.awaitTermination()
+    mpath2 = C.current_metadata_path(t)
+    with open(mpath2) as f:
+        n_snaps_after = len(json.load(f)["snapshots"])
+    assert n_snaps_after == n_snaps_before  # no duplicate snapshots
+    assert read_data_at_snapshot(spark, mpath2).count() == want  # no dup rows
