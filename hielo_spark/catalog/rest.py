@@ -21,6 +21,7 @@ header); sanitization rules there apply before any profile is logged.
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.parse
 import urllib.request
 
@@ -29,6 +30,11 @@ import pyspark.sql.functions as F
 
 #: multi-level namespace separator in URL paths, per the REST spec
 NS_SEPARATOR = "\x1f"
+
+
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency failure: a commit requirement did not hold
+    (HTTP 409 per the REST spec) — reload the table and retry."""
 
 
 class RestCatalogClient:
@@ -64,6 +70,72 @@ class RestCatalogClient:
             req.add_header("Authorization", f"Bearer {self.token}")
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             return json.loads(resp.read().decode("utf-8"))
+
+    def _post(self, path: str, doc: dict) -> dict:
+        body = json.dumps(doc).encode("utf-8")
+        req = urllib.request.Request(
+            self._url(path), data=body, method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 409:
+                raise CommitConflictError(
+                    f"commit conflict on {path}: {e.read().decode('utf-8', 'replace')}"
+                ) from e
+            raise
+
+    # -- commit plane (r4) -------------------------------------------------
+
+    def commit_table(
+        self, namespace, table: str, requirements: list[dict], updates: list[dict]
+    ) -> dict:
+        """POST the spec's CommitTableRequest: ``requirements`` are
+        checked atomically against the server's current metadata (409 →
+        CommitConflictError), ``updates`` are applied in order. Returns
+        the server's {metadata-location, metadata}."""
+        parts = self._ns_parts(namespace)
+        ns = NS_SEPARATOR.join(parts)
+        return self._post(
+            f"namespaces/{urllib.parse.quote(ns, safe='')}/tables/"
+            f"{urllib.parse.quote(table, safe='')}",
+            {
+                "identifier": {"namespace": list(parts), "name": table},
+                "requirements": requirements,
+                "updates": updates,
+            },
+        )
+
+    def commit_append_snapshot(
+        self, namespace, table: str, snapshot: dict, parent_snapshot_id: int | None
+    ) -> dict:
+        """Commit one snapshot the spec-shaped way: assert the main
+        branch still points at ``parent_snapshot_id`` (None = table must
+        have no current snapshot), add the snapshot, advance the ref.
+        This is the catalog-service twin of the Hadoop-dir rename commit
+        in metadata/commit.py — same artifacts, different atomicity
+        primitive (server-side check-and-set instead of rename)."""
+        requirements = [
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": parent_snapshot_id,
+            }
+        ]
+        updates = [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snapshot["snapshot-id"],
+            },
+        ]
+        return self.commit_table(namespace, table, requirements, updates)
 
     # -- catalog operations ------------------------------------------------
 

@@ -151,3 +151,125 @@ def test_client_from_profile(rest_server):
     c = client_from_profile(p)
     assert c.test_connection()
     assert c.list_tables("analytics") == ["orders_t", "parts_t"]
+
+
+# ---------------------------------------------------------- commit plane
+
+
+def _stateful_server():
+    """A second in-process server whose orders_t metadata is MUTABLE:
+    do_POST implements the spec's CommitTableRequest with requirement
+    checking (assert-ref-snapshot-id → 409 on mismatch)."""
+    import copy
+
+    state = {"doc": copy.deepcopy(METADATA_DOC), "main": 42}
+
+    class _CommitHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, doc):
+            body = json.dumps(doc).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.headers.get("Authorization") != f"Bearer {TOKEN}":
+                return self._send(401, {"error": "unauthorized"})
+            u = urlparse(self.path)
+            if u.path == "/v1/config":
+                return self._send(200, {"defaults": {}, "overrides": {}})
+            if u.path == "/v1/namespaces/analytics/tables/orders_t":
+                return self._send(
+                    200,
+                    {"metadata-location": "s3://w/meta/head.metadata.json",
+                     "metadata": state["doc"]},
+                )
+            return self._send(404, {"error": self.path})
+
+        def do_POST(self):
+            if self.headers.get("Authorization") != f"Bearer {TOKEN}":
+                return self._send(401, {"error": "unauthorized"})
+            u = urlparse(self.path)
+            if u.path != "/v1/namespaces/analytics/tables/orders_t":
+                return self._send(404, {"error": self.path})
+            ln = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(ln).decode())
+            for r in req.get("requirements", []):
+                if r.get("type") == "assert-ref-snapshot-id" and r.get("ref") == "main":
+                    if state["main"] != r.get("snapshot-id"):
+                        return self._send(
+                            409,
+                            {"error": f"ref main is at {state['main']}, "
+                                      f"required {r.get('snapshot-id')}"},
+                        )
+            for up in req.get("updates", []):
+                if up["action"] == "add-snapshot":
+                    state["doc"]["snapshots"].append(up["snapshot"])
+                elif up["action"] == "set-snapshot-ref" and up["ref-name"] == "main":
+                    state["main"] = up["snapshot-id"]
+                    state["doc"]["current-snapshot-id"] = up["snapshot-id"]
+            return self._send(
+                200,
+                {"metadata-location": "s3://w/meta/head2.metadata.json",
+                 "metadata": state["doc"]},
+            )
+
+    srv = HTTPServer(("127.0.0.1", 0), _CommitHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_port}", state
+
+
+def test_commit_append_snapshot_and_conflict(spark):
+    from hielo_spark.catalog.rest import CommitConflictError
+
+    srv, uri, state = _stateful_server()
+    try:
+        client = RestCatalogClient(uri, token=TOKEN)
+        new_snap = {
+            "snapshot-id": 43,
+            "parent-snapshot-id": 42,
+            "sequence-number": 3,
+            "timestamp-ms": 1700172800000,
+            "manifest-list": "s3://w/meta/snap-43.avro",
+            "schema-id": 1,
+            "summary": {"operation": "append", "added-records": "5"},
+        }
+        out = client.commit_append_snapshot("analytics", "orders_t", new_snap, 42)
+        assert state["main"] == 43
+        ids = [s["snapshot-id"] for s in out["metadata"]["snapshots"]]
+        assert ids == [41, 42, 43]
+
+        # the committed table drives the same snapshot operators
+        snaps = client.snapshots(spark, "analytics", "orders_t")
+        assert snaps.count() == 3
+
+        # stale parent → spec 409 → CommitConflictError, state unchanged
+        stale = dict(new_snap, **{"snapshot-id": 44})
+        with pytest.raises(CommitConflictError):
+            client.commit_append_snapshot("analytics", "orders_t", stale, 42)
+        assert state["main"] == 43
+        assert len(state["doc"]["snapshots"]) == 3
+    finally:
+        srv.shutdown()
+
+
+def test_commit_requires_auth(spark):
+    srv, uri, state = _stateful_server()
+    try:
+        import urllib.error
+
+        client = RestCatalogClient(uri, token="wrong")
+        with pytest.raises(urllib.error.HTTPError):
+            client.commit_append_snapshot(
+                "analytics", "orders_t",
+                {"snapshot-id": 99, "timestamp-ms": 1, "manifest-list": "x",
+                 "summary": {}}, 42,
+            )
+        assert state["main"] == 42
+    finally:
+        srv.shutdown()
