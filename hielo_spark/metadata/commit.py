@@ -38,10 +38,14 @@ What this enables honestly:
     commit that drops expired snapshot entries from the metadata
     (ops/analysis.remove_orphan_files then reclaims the files).
 
-Out of scope (documented): catalog-service commits (REST/Glue commit
-endpoints need a live service; the Hadoop dir protocol is the
-no-service mode), schema-evolution commits, and spec-complete manifest
-stats (column bounds/null counts).
+Catalog-service commits: catalog/rest.py speaks the REST spec's
+CommitTableRequest (assert-ref requirements + add-snapshot/set-ref
+updates, 409 → CommitConflictError) — tested against an in-process
+protocol server; a live service would make it end-to-end. Glue's
+UpdateTable commit is the same pattern (not implemented). Remaining
+out of scope (documented): spec-complete manifest stats (column
+bounds/null counts); schema evolution is add-column only (read-side
+mergeSchema).
 
 Scale note: commits are planning-plane work — one manifest row per
 data file, driver-side Avro/JSON writes of KB-scale artifacts, exactly
