@@ -99,3 +99,72 @@ def test_range_join_matches_naive(spark_prop, left, right, bucket_s):
         ).collect()
     }
     assert got == _naive_range(left, right, 0, 120000)
+
+
+# ------------------------------------------------------------ codec cores
+# (pure numpy/stdlib — no Spark session, so these run fast and shrink)
+
+
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_any_bytes(data, mcs):
+    from hielo_spark.operators.gif import _LZWDecoder, _lzw_encode
+
+    # indices must fit the initial table
+    idx = bytes(b % (1 << mcs) for b in data)
+    assert _LZWDecoder(mcs).decode(_lzw_encode(idx, mcs)) == idx
+
+
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    ft=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_filter_roundtrip_any_shape(h, w, ft, seed):
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    sr=st.sampled_from([4000, 8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_16bit_roundtrip_any_signal(n, sr, seed):
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import decode_wav, encode_wav
+
+    x = np.random.default_rng(seed).uniform(-1, 1, size=n)
+    samples, got_sr = decode_wav(encode_wav(x, sr))
+    assert got_sr == sr and samples.size == n
+    # ±0.5/32768 rounding plus the 32767-encode/32768-decode full-scale
+    # asymmetry (worst ≈ 1.5/32768 at |x|→1)
+    assert np.abs(samples - x).max() < 1.6 / 32768
+
+
+@given(
+    h=st.integers(min_value=1, max_value=6).map(lambda k: k * 8),
+    w=st.integers(min_value=1, max_value=6).map(lambda k: k * 8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_444_error_bound_any_shape(h, w, seed):
+    import numpy as np
+
+    from hielo_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quant=4))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 24
