@@ -74,7 +74,10 @@ MANIFEST_ENTRY_SCHEMA_V2 = """
    {"name":"record_count","type":"long"},
    {"name":"file_size_in_bytes","type":"long"},
    {"name":"partition_values","type":["null",{"type":"map","values":"string"}],"default":null},
-   {"name":"partition_types","type":["null",{"type":"map","values":"string"}],"default":null}]}}]}
+   {"name":"partition_types","type":["null",{"type":"map","values":"string"}],"default":null},
+   {"name":"lower_bounds","type":["null",{"type":"map","values":"string"}],"default":null},
+   {"name":"upper_bounds","type":["null",{"type":"map","values":"string"}],"default":null},
+   {"name":"bounds_types","type":["null",{"type":"map","values":"string"}],"default":null}]}}]}
 """
 
 MANIFEST_LIST_SCHEMA_V2 = """
@@ -329,18 +332,39 @@ def append(
     ptypes = (
         {c: dtypes[c] for c in partition_by} if partition_by else None
     )
-    n_records_per = {
-        p: int(c)
-        for p, c in (
-            spark.read.parquet(data_dir)
-            .selectExpr("_metadata.file_path as fp", "1 as one")
-            .groupBy("fp")
-            .count()
-            .toPandas()
-            .set_index("fp")["count"]
-            .items()
+    # one stats pass over the written files: per-file row count + per-
+    # column min/max (the manifest bounds an Iceberg planner skips files
+    # by). Bounds cover orderable primitive columns not already carried
+    # as partition values.
+    from pyspark.sql import functions as F
+
+    _BOUNDABLE = ("tinyint", "smallint", "int", "bigint", "float", "double",
+                  "string", "date", "timestamp", "timestamp_ntz")
+    bound_cols = [
+        c for c, t in dtypes.items()
+        if t in _BOUNDABLE and c not in (partition_by or [])
+    ]
+    btypes = {c: dtypes[c] for c in bound_cols} or None
+    stats_rows = (
+        spark.read.parquet(data_dir)
+        .select(F.col("_metadata.file_path").alias("fp"), *bound_cols)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.min(c).cast("string").alias(f"_lo_{c}") for c in bound_cols],
+            *[F.max(c).cast("string").alias(f"_hi_{c}") for c in bound_cols],
         )
-    }
+        .collect()  # one row per written file — planning plane
+    )
+    n_records_per = {r["fp"]: int(r["_n"]) for r in stats_rows}
+
+    def bounds_of(p: str) -> tuple[dict | None, dict | None]:
+        for r in stats_rows:
+            if r["fp"].endswith(os.path.basename(p)):
+                lo = {c: r[f"_lo_{c}"] for c in bound_cols if r[f"_lo_{c}"] is not None}
+                hi = {c: r[f"_hi_{c}"] for c in bound_cols if r[f"_hi_{c}"] is not None}
+                return (lo or None, hi or None)
+        return (None, None)
 
     def records_of(p: str) -> int:
         for fp, n in n_records_per.items():
@@ -366,6 +390,9 @@ def append(
                     "file_size_in_bytes": os.path.getsize(p),
                     "partition_values": partition_of(p),
                     "partition_types": ptypes,
+                    "lower_bounds": bounds_of(p)[0],
+                    "upper_bounds": bounds_of(p)[1],
+                    "bounds_types": btypes,
                 },
             }
             for p in parts

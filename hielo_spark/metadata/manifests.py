@@ -145,6 +145,9 @@ def read_manifest(
                     int(seq) if seq is not None else inherited_seq,
                     _pymap(_get(df_rec, "partition_values")),
                     _pymap(_get(df_rec, "partition_types")),
+                    _pymap(_get(df_rec, "lower_bounds")),
+                    _pymap(_get(df_rec, "upper_bounds")),
+                    _pymap(_get(df_rec, "bounds_types")),
                 )
             )
     finally:
@@ -153,7 +156,9 @@ def read_manifest(
         rows,
         "status int, snapshot_id long, file_path string, file_format string, "
         "record_count long, file_size_in_bytes long, content int, sequence_number long, "
-        "partition_values map<string,string>, partition_types map<string,string>",
+        "partition_values map<string,string>, partition_types map<string,string>, "
+        "lower_bounds map<string,string>, upper_bounds map<string,string>, "
+        "bounds_types map<string,string>",
     )
 
 
@@ -203,7 +208,9 @@ def files_from_manifest_list(
             [],
             "table_name string, file_path string, file_size_in_bytes long, "
             "record_count long, sequence_number long, "
-            "partition_values map<string,string>, partition_types map<string,string>",
+            "partition_values map<string,string>, partition_types map<string,string>, "
+            "lower_bounds map<string,string>, upper_bounds map<string,string>, "
+            "bounds_types map<string,string>",
         )
     return (
         out.filter((F.col("status") != 2) & (F.col("content") == content))
@@ -215,8 +222,62 @@ def files_from_manifest_list(
             "sequence_number",
             "partition_values",
             "partition_types",
+            "lower_bounds",
+            "upper_bounds",
+            "bounds_types",
         )
     )
+
+
+_NUMERIC_BOUND_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+)
+
+
+def _file_may_match(f: dict, skip_filter: tuple) -> bool:
+    """Can a file's manifest bounds satisfy ``(col, op, value)``?
+    True on any missing information (no bounds recorded, unknown column,
+    unknown op) — skipping must never drop a possibly-matching file.
+    Numeric types compare as floats; strings/dates/timestamps compare
+    lexicographically on their stringified form (ISO timestamps sort
+    correctly as strings)."""
+    col, op, value = skip_filter
+    lb, ub, bt = f.get("lb") or {}, f.get("ub") or {}, f.get("bt") or {}
+    lo, hi = lb.get(col), ub.get(col)
+    if lo is None or hi is None:
+        return True
+    if bt.get(col) in _NUMERIC_BOUND_TYPES:
+        try:
+            lo, hi, value = float(lo), float(hi), float(value)
+        except (TypeError, ValueError):
+            return True
+    else:
+        value = str(value)
+    if op == "=":
+        return lo <= value <= hi
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    return True
+
+
+def _row_predicate(skip_filter: tuple):
+    """The row-level Column for ``(col, op, value)`` — applied after file
+    skipping so the result is exact, not just a file superset."""
+    col, op, value = skip_filter
+    c = F.col(col)
+    return {
+        "=": c == value,
+        ">": c > value,
+        ">=": c >= value,
+        "<": c < value,
+        "<=": c <= value,
+    }.get(op, F.lit(True))
 
 
 def read_data_at_snapshot(
@@ -225,6 +286,8 @@ def read_data_at_snapshot(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     partition_filter: dict | None = None,
+    skip_filter: tuple | None = None,
+    apply_row_filter: bool = True,
 ) -> DataFrame:
     """Executable time travel without the Iceberg runtime (S12): pick a
     snapshot from the table-metadata JSON (by id, by ``as_of_ms`` — the
@@ -282,18 +345,19 @@ def read_data_at_snapshot(
 
     from ..metadata.metadata_json import _strip_scheme
 
-    def live_files(content: int) -> list:
+    def live_files(content: int) -> list[dict]:
         files = files_from_manifest_list(spark, "t", mlist, content=content)
         return [
-            (
-                r.file_path.removeprefix("file:"),
-                r.sequence_number,
-                dict(r.partition_values) if r.partition_values else None,
-                dict(r.partition_types) if r.partition_types else None,
-            )
-            for r in files.select(
-                "file_path", "sequence_number", "partition_values", "partition_types"
-            ).collect()
+            {
+                "path": r.file_path.removeprefix("file:"),
+                "seq": r.sequence_number,
+                "pvals": dict(r.partition_values) if r.partition_values else None,
+                "ptypes": dict(r.partition_types) if r.partition_types else None,
+                "lb": dict(r.lower_bounds) if r.lower_bounds else None,
+                "ub": dict(r.upper_bounds) if r.upper_bounds else None,
+                "bt": dict(r.bounds_types) if r.bounds_types else None,
+            }
+            for r in files.collect()
         ]
 
     data_files = live_files(0)
@@ -310,11 +374,25 @@ def read_data_at_snapshot(
         data_files = [
             f
             for f in data_files
-            if f[2] is None or all(f[2].get(k, str(v)) == str(v) for k, v in want.items())
+            if f["pvals"] is None
+            or all(f["pvals"].get(k, str(v)) == str(v) for k, v in want.items())
         ]
         if not data_files:
             raise ValueError(
                 f"partition filter {partition_filter} prunes every file of "
+                f"snapshot {chosen['snapshot-id']}"
+            )
+
+    # metadata skipping on column bounds: keep only files whose manifest
+    # min/max CAN satisfy the predicate — Iceberg's scan-planning file
+    # filter. Planning-level: the survivors' rows are a superset of the
+    # matches, so callers still apply the row filter (the returned frame
+    # does it when apply_row_filter=True, the default).
+    if skip_filter:
+        data_files = [f for f in data_files if _file_may_match(f, skip_filter)]
+        if not data_files:
+            raise ValueError(
+                f"skip filter {skip_filter} prunes every file of "
                 f"snapshot {chosen['snapshot-id']}"
             )
 
@@ -324,7 +402,7 @@ def read_data_at_snapshot(
     # partitions of the snapshot — planning-plane, like any planner's
     # per-partition scan groups)
     def group_key(f):
-        return tuple(sorted(f[2].items())) if f[2] else None
+        return tuple(sorted(f["pvals"].items())) if f["pvals"] else None
 
     groups: dict = {}
     for f in data_files:
@@ -336,14 +414,14 @@ def read_data_at_snapshot(
         # for added fields; a snapshot containing only pre-evolution files
         # never surfaces the column (its file set IS its schema here)
         g = spark.read.option("mergeSchema", "true").parquet(
-            *[p for p, _, _, _ in fs]
+            *[f["path"] for f in fs]
         ).select(
             "*",
             _strip_scheme(F.col("_metadata.file_path")).alias("_fp"),
             F.col("_metadata.row_index").alias("_pos"),
         )
         if key:
-            ptypes = fs[0][3] or {}
+            ptypes = fs[0]["ptypes"] or {}
             for col, sval in key:
                 g = g.withColumn(
                     col, F.lit(sval).cast(ptypes.get(col, "string"))
@@ -352,6 +430,8 @@ def read_data_at_snapshot(
     data = parts[0]
     for g in parts[1:]:
         data = data.unionByName(g, allowMissingColumns=True)
+    if skip_filter and apply_row_filter:
+        data = data.filter(_row_predicate(skip_filter))
     out_cols = [c for c in data.columns if c not in ("_fp", "_pos")]
 
     pos_delete_files = live_files(1)
@@ -363,13 +443,14 @@ def read_data_at_snapshot(
     # plane) path→seq map so delete scoping is a join predicate, not a
     # per-file driver loop over the data
     seq_map = spark.createDataFrame(
-        [(p, s) for p, s, _, _ in data_files], "_fp string, _dataseq long"
+        [(f["path"], f["seq"]) for f in data_files], "_fp string, _dataseq long"
     ).select(_strip_scheme(F.col("_fp")).alias("_fp"), "_dataseq")
     data = data.join(F.broadcast(seq_map), "_fp", "left")
 
     if pos_delete_files:
         dels = None
-        for p, dseq, _pv, _pt in pos_delete_files:
+        for d in pos_delete_files:
+            p, dseq = d["path"], d["seq"]
             one = spark.read.parquet(p).select(
                 _strip_scheme(F.col("file_path")).alias("_dfp"),
                 F.col("pos").cast("long").alias("_dpos"),
@@ -388,7 +469,8 @@ def read_data_at_snapshot(
             )
         )
         data = data.join(dels, cond, "left_anti")
-    for p, dseq, _pv, _pt in eq_delete_files:
+    for d in eq_delete_files:
+        p, dseq = d["path"], d["seq"]
         eq = spark.read.parquet(p)
         keys = [c for c in eq.columns if c in out_cols]
         if keys:

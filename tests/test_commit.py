@@ -359,3 +359,49 @@ def test_rewrite_zorder_strategy_runs_and_preserves_rows(spark, tmp_path):
     assert set(after.columns) == {"x", "y", "v"}  # zkey dropped
     with pytest.raises(ValueError, match="at most one"):
         C.rewrite_data_files(spark, t, sort_by=["x"], zorder_by=["y"])
+
+
+def test_column_bounds_file_skipping(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    # range-sorted write → disjoint per-file k-ranges in the manifests
+    df = (
+        spark.range(0, 1000).withColumnRenamed("id", "k")
+        .withColumn("label", F.concat(F.lit("row_"), F.lpad(F.col("k"), 4, "0")))
+        .repartitionByRange(5, "k")
+        .sortWithinPartitions("k")
+    )
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000)
+    mpath = C.current_metadata_path(t)
+
+    full = read_data_at_snapshot(spark, mpath)
+    n_all = len(set(full.inputFiles()))
+    assert n_all == 5
+
+    # numeric bound skip: k > 900 lives in one file
+    hot = read_data_at_snapshot(spark, mpath, skip_filter=("k", ">", 900))
+    assert len(set(hot.inputFiles())) == 1
+    assert {r.k for r in hot.collect()} == set(range(901, 1000))
+
+    # equality probe on the string column (lexicographic bounds)
+    one = read_data_at_snapshot(spark, mpath, skip_filter=("label", "=", "row_0042"))
+    assert len(set(one.inputFiles())) == 1
+    assert [r.k for r in one.collect()] == [42]
+
+    # planning-only mode: superset rows from surviving files
+    sup = read_data_at_snapshot(
+        spark, mpath, skip_filter=("k", ">", 900), apply_row_filter=False
+    )
+    assert sup.count() > 99  # whole surviving file, unfiltered
+
+    # everything pruned → explicit error
+    with pytest.raises(ValueError, match="prunes every file"):
+        read_data_at_snapshot(spark, mpath, skip_filter=("k", ">", 10_000))
+
+    # bounds survive MOR deletes: skip + sequence-scoped delete compose
+    C.delete_equality(spark, t, spark.createDataFrame([(950,)], ["k"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    mpath = C.current_metadata_path(t)
+    hot2 = read_data_at_snapshot(spark, mpath, skip_filter=("k", ">", 900))
+    assert {r.k for r in hot2.collect()} == set(range(901, 1000)) - {950}
