@@ -38,14 +38,18 @@ What this enables honestly:
     commit that drops expired snapshot entries from the metadata
     (ops/analysis.remove_orphan_files then reclaims the files).
 
+Appends also record per-file column min/max bounds (single stats pass)
+that the read side's ``skip_filter`` prunes files by, and
+``create_ref``/``drop_ref`` commit named tags/branches that time travel
+resolves (``VERSION AS OF 'name'`` semantics).
+
 Catalog-service commits: catalog/rest.py speaks the REST spec's
 CommitTableRequest (assert-ref requirements + add-snapshot/set-ref
 updates, 409 → CommitConflictError) — tested against an in-process
 protocol server; a live service would make it end-to-end. Glue's
 UpdateTable commit is the same pattern (not implemented). Remaining
-out of scope (documented): spec-complete manifest stats (column
-bounds/null counts); schema evolution is add-column only (read-side
-mergeSchema).
+out of scope (documented): null/nan counts in manifest stats; schema
+evolution is add-column only (read-side mergeSchema).
 
 Scale note: commits are planning-plane work — one manifest row per
 data file, driver-side Avro/JSON writes of KB-scale artifacts, exactly
@@ -796,3 +800,33 @@ def delete_where(
             "added-delete-records": str(n_deleted),
         },
     )
+
+
+def create_ref(
+    table_dir: str, name: str, snapshot_id: int, ref_type: str = "tag"
+) -> str:
+    """Metadata-only commit adding a named ref (Iceberg ``refs``: tags
+    pin a snapshot forever, branches are movable heads) — what makes
+    ``VERSION AS OF 'name'`` resolvable."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError("ref_type must be 'tag' or 'branch'")
+    doc, prev_version = _load_doc(table_dir)
+    ids = {s["snapshot-id"] for s in doc.get("snapshots", [])}
+    if snapshot_id not in ids:
+        raise ValueError(f"snapshot {snapshot_id} not in table (have {sorted(ids)})")
+    doc = dict(doc)
+    refs = dict(doc.get("refs", {}))
+    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    doc["refs"] = refs
+    return _commit_doc(table_dir, doc, prev_version)
+
+
+def drop_ref(table_dir: str, name: str) -> str:
+    doc, prev_version = _load_doc(table_dir)
+    refs = dict(doc.get("refs", {}))
+    if name not in refs:
+        raise ValueError(f"no ref named {name!r}")
+    del refs[name]
+    doc = dict(doc)
+    doc["refs"] = refs
+    return _commit_doc(table_dir, doc, prev_version)

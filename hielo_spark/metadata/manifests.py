@@ -288,6 +288,7 @@ def read_data_at_snapshot(
     partition_filter: dict | None = None,
     skip_filter: tuple | None = None,
     apply_row_filter: bool = True,
+    ref: str | None = None,
 ) -> DataFrame:
     """Executable time travel without the Iceberg runtime (S12): pick a
     snapshot from the table-metadata JSON (by id, by ``as_of_ms`` — the
@@ -323,8 +324,15 @@ def read_data_at_snapshot(
     snaps = sorted(doc.get("snapshots", []), key=lambda s: int(s["timestamp-ms"]))
     if not snaps:
         raise ValueError(f"no snapshots in {metadata_json_path}")
-    if (snapshot_id is not None) and (as_of_ms is not None):
-        raise ValueError("pass at most one of snapshot_id / as_of_ms")
+    if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
+        raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
+    if ref is not None:
+        refs = doc.get("refs", {})
+        if ref not in refs:
+            raise ValueError(
+                f"no ref named {ref!r} (have {sorted(refs)})"
+            )
+        snapshot_id = int(refs[ref]["snapshot-id"])
     if snapshot_id is not None:
         matching = [s for s in snaps if int(s["snapshot-id"]) == snapshot_id]
         if not matching:

@@ -405,3 +405,32 @@ def test_column_bounds_file_skipping(spark, tmp_path):
     mpath = C.current_metadata_path(t)
     hot2 = read_data_at_snapshot(spark, mpath, skip_filter=("k", ">", 900))
     assert {r.k for r in hot2.collect()} == set(range(901, 1000)) - {950}
+
+
+def test_refs_tags_and_branches(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1,), (2,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.create_ref(t, "v1.0", 101, ref_type="tag")
+    C.append(spark, t, spark.createDataFrame([(3,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.create_ref(t, "dev", 102, ref_type="branch")
+
+    mpath = C.current_metadata_path(t)
+    assert {r.id for r in read_data_at_snapshot(spark, mpath, ref="v1.0").collect()} == {1, 2}
+    assert {r.id for r in read_data_at_snapshot(spark, mpath, ref="dev").collect()} == {1, 2, 3}
+    # tag pins the old state even as the table moves on
+    assert {r.id for r in read_data_at_snapshot(spark, mpath).collect()} == {1, 2, 3}
+
+    with pytest.raises(ValueError, match="no ref named"):
+        read_data_at_snapshot(spark, mpath, ref="nope")
+    with pytest.raises(ValueError, match="at most one"):
+        read_data_at_snapshot(spark, mpath, snapshot_id=101, ref="v1.0")
+    with pytest.raises(ValueError, match="not in table"):
+        C.create_ref(t, "bad", 999)
+
+    C.drop_ref(t, "dev")
+    mpath = C.current_metadata_path(t)
+    with pytest.raises(ValueError, match="no ref named"):
+        read_data_at_snapshot(spark, mpath, ref="dev")
+    assert {r.id for r in read_data_at_snapshot(spark, mpath, ref="v1.0").collect()} == {1, 2}
