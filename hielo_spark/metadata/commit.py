@@ -143,6 +143,62 @@ def write_avro(spark: SparkSession, path: str, schema_json: str, rows: list[dict
         dfw.close()
 
 
+class _FileStats:
+    """One distributed stats pass over a freshly-written data dir:
+    per-file row count + per-column min/max (the manifest bounds an
+    Iceberg planner skips files by). Bounds cover orderable primitive
+    columns not in ``exclude_cols`` (partition values are carried
+    separately). One collected row per written file — planning plane."""
+
+    _BOUNDABLE = (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "date", "timestamp", "timestamp_ntz",
+    )
+
+    def __init__(self, spark, data_dir, dtypes, exclude_cols):
+        from pyspark.sql import functions as F
+
+        self.bound_cols = [
+            c for c, t in dtypes.items()
+            if t in self._BOUNDABLE and c not in exclude_cols
+        ]
+        self.btypes = {c: dtypes[c] for c in self.bound_cols} or None
+        self.rows = (
+            spark.read.parquet(data_dir)
+            .select(F.col("_metadata.file_path").alias("fp"), *self.bound_cols)
+            .groupBy("fp")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.min(c).cast("string").alias(f"_lo_{c}") for c in self.bound_cols],
+                *[F.max(c).cast("string").alias(f"_hi_{c}") for c in self.bound_cols],
+            )
+            .collect()
+        )
+
+    def _row_of(self, p):
+        base = os.path.basename(p)
+        for r in self.rows:
+            if r["fp"].endswith(base):
+                return r
+        return None
+
+    def records_of(self, p: str) -> int:
+        r = self._row_of(p)
+        return int(r["_n"]) if r is not None else 0
+
+    def bounds_of(self, p: str) -> tuple[dict | None, dict | None]:
+        r = self._row_of(p)
+        if r is None:
+            return (None, None)
+        lo = {c: r[f"_lo_{c}"] for c in self.bound_cols if r[f"_lo_{c}"] is not None}
+        hi = {c: r[f"_hi_{c}"] for c in self.bound_cols if r[f"_hi_{c}"] is not None}
+        return (lo or None, hi or None)
+
+
+def _file_stats(spark, data_dir, dtypes, exclude_cols) -> _FileStats:
+    return _FileStats(spark, data_dir, dtypes, exclude_cols)
+
+
 # -- table-dir state -------------------------------------------------------
 
 
@@ -336,45 +392,8 @@ def append(
     ptypes = (
         {c: dtypes[c] for c in partition_by} if partition_by else None
     )
-    # one stats pass over the written files: per-file row count + per-
-    # column min/max (the manifest bounds an Iceberg planner skips files
-    # by). Bounds cover orderable primitive columns not already carried
-    # as partition values.
-    from pyspark.sql import functions as F
-
-    _BOUNDABLE = ("tinyint", "smallint", "int", "bigint", "float", "double",
-                  "string", "date", "timestamp", "timestamp_ntz")
-    bound_cols = [
-        c for c, t in dtypes.items()
-        if t in _BOUNDABLE and c not in (partition_by or [])
-    ]
-    btypes = {c: dtypes[c] for c in bound_cols} or None
-    stats_rows = (
-        spark.read.parquet(data_dir)
-        .select(F.col("_metadata.file_path").alias("fp"), *bound_cols)
-        .groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[F.min(c).cast("string").alias(f"_lo_{c}") for c in bound_cols],
-            *[F.max(c).cast("string").alias(f"_hi_{c}") for c in bound_cols],
-        )
-        .collect()  # one row per written file — planning plane
-    )
-    n_records_per = {r["fp"]: int(r["_n"]) for r in stats_rows}
-
-    def bounds_of(p: str) -> tuple[dict | None, dict | None]:
-        for r in stats_rows:
-            if r["fp"].endswith(os.path.basename(p)):
-                lo = {c: r[f"_lo_{c}"] for c in bound_cols if r[f"_lo_{c}"] is not None}
-                hi = {c: r[f"_hi_{c}"] for c in bound_cols if r[f"_hi_{c}"] is not None}
-                return (lo or None, hi or None)
-        return (None, None)
-
-    def records_of(p: str) -> int:
-        for fp, n in n_records_per.items():
-            if fp.endswith(os.path.basename(p)):
-                return n
-        return 0
+    stats = _file_stats(spark, data_dir, dtypes, exclude_cols=partition_by or [])
+    records_of, bounds_of, btypes = stats.records_of, stats.bounds_of, stats.btypes
 
     # 2. manifest for the added files (entry seq null → inherited)
     manifest_path = os.path.join(mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro")
@@ -629,24 +648,11 @@ def rewrite_data_files(
         live = live.repartition(n_out)
     live.write.parquet(data_dir)
     parts = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
-    n_records_per = {
-        fp: int(c)
-        for fp, c in (
-            spark.read.parquet(data_dir)
-            .selectExpr("_metadata.file_path as fp")
-            .groupBy("fp")
-            .count()
-            .toPandas()
-            .set_index("fp")["count"]
-            .items()
-        )
-    }
-
-    def records_of(p: str) -> int:
-        for fp, n in n_records_per.items():
-            if fp.endswith(os.path.basename(p)):
-                return n
-        return 0
+    # same stats pass as append: compacted files get fresh column bounds,
+    # which is where sort/zorder strategies pay off (tight disjoint
+    # ranges → skip_filter reads touch one file)
+    stats = _file_stats(spark, data_dir, dict(live.dtypes), exclude_cols=[])
+    records_of = stats.records_of
 
     manifest_path = os.path.join(
         mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
@@ -665,6 +671,9 @@ def rewrite_data_files(
                     "file_format": "PARQUET",
                     "record_count": records_of(p),
                     "file_size_in_bytes": os.path.getsize(p),
+                    "lower_bounds": stats.bounds_of(p)[0],
+                    "upper_bounds": stats.bounds_of(p)[1],
+                    "bounds_types": stats.btypes,
                 },
             }
             for p in parts

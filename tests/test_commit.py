@@ -434,3 +434,20 @@ def test_refs_tags_and_branches(spark, tmp_path):
     with pytest.raises(ValueError, match="no ref named"):
         read_data_at_snapshot(spark, mpath, ref="dev")
     assert {r.id for r in read_data_at_snapshot(spark, mpath, ref="v1.0").collect()} == {1, 2}
+
+
+def test_sorted_rewrite_enables_file_skipping(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    C.append(spark, t, df.repartition(6), snapshot_id=101, timestamp_ms=1700000000000)
+    C.rewrite_data_files(
+        spark, t, target_file_size_bytes=2000, sort_by=["k"],
+        snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    mpath = C.current_metadata_path(t)
+    full = read_data_at_snapshot(spark, mpath)
+    n_all = len(set(full.inputFiles()))
+    assert n_all > 1
+    hot = read_data_at_snapshot(spark, mpath, skip_filter=("k", ">=", 990))
+    assert len(set(hot.inputFiles())) == 1  # compacted bounds skip files
+    assert {r.k for r in hot.collect()} == set(range(990, 1000))
