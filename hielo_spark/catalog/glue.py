@@ -190,6 +190,43 @@ class GlueCatalogClient:
         """S7 — one table document."""
         return self._call("GetTable", {"DatabaseName": database, "Name": name})["Table"]
 
+    def update_table_metadata_location(
+        self, database: str, name: str, new_location: str, version_id: str
+    ) -> dict:
+        """Iceberg-on-Glue commit: UpdateTable flips
+        ``Parameters.metadata_location`` (previous value preserved under
+        ``previous_metadata_location``, the public convention), guarded
+        by Glue's optimistic ``VersionId`` lock — a stale version
+        surfaces ConcurrentModificationException, mapped to the same
+        CommitConflictError the REST commit plane raises."""
+        import urllib.error
+
+        from .rest import CommitConflictError
+
+        table = self.get_table(database, name)
+        params = dict(table.get("Parameters", {}))
+        prev = params.get("metadata_location")
+        params["metadata_location"] = new_location
+        if prev:
+            params["previous_metadata_location"] = prev
+        try:
+            return self._call(
+                "UpdateTable",
+                {
+                    "DatabaseName": database,
+                    "TableInput": {"Name": name, "Parameters": params},
+                    "VersionId": version_id,
+                },
+            )
+        except urllib.error.HTTPError as e:
+            body = e.read().decode("utf-8", "replace")
+            if "ConcurrentModificationException" in body:
+                raise CommitConflictError(
+                    f"Glue table {database}.{name} moved past version "
+                    f"{version_id}: {body}"
+                ) from e
+            raise
+
     # -- DataFrame surfaces ------------------------------------------------
 
     @staticmethod

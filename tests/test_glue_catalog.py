@@ -205,3 +205,68 @@ def test_client_from_profile(glue_server):
                 "endpoint": glue_server, "warehouse": "s3://w"},
     )
     assert client_from_profile(p).test_connection()
+
+
+# ---------------------------------------------------------- commit plane
+
+
+def _stateful_glue_server():
+    """Mutable orders_t with Glue's VersionId optimistic lock: UpdateTable
+    with a stale VersionId returns ConcurrentModificationException."""
+    state = {
+        "version": "3",
+        "params": {"table_type": "ICEBERG",
+                   "metadata_location": "s3://w/meta/v3.metadata.json"},
+    }
+
+    class _H(_GlueHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            if not self._verify_sigv4(body):
+                return self._send(403, {"__type": "AccessDeniedException"})
+            op = self.headers.get("X-Amz-Target", "").removeprefix("AWSGlue.")
+            req = json.loads(body or b"{}")
+            if op == "GetTable":
+                return self._send(200, {"Table": {
+                    "Name": "orders_t", "VersionId": state["version"],
+                    "Parameters": dict(state["params"])}})
+            if op == "UpdateTable":
+                if req.get("VersionId") != state["version"]:
+                    return self._send(
+                        400, {"__type": "ConcurrentModificationException",
+                              "Message": f"version is {state['version']}"})
+                state["params"] = dict(req["TableInput"]["Parameters"])
+                state["version"] = str(int(state["version"]) + 1)
+                return self._send(200, {})
+            return self._send(400, {"__type": f"UnknownOperation:{op}"})
+
+    srv = HTTPServer(("127.0.0.1", 0), _H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_port}", state
+
+
+def test_glue_update_table_commit_and_conflict():
+    from hielo_spark.catalog.rest import CommitConflictError
+
+    srv, endpoint, state = _stateful_glue_server()
+    try:
+        c = _client(endpoint)
+        table = c.get_table("analytics", "orders_t")
+        assert table["VersionId"] == "3"
+        c.update_table_metadata_location(
+            "analytics", "orders_t", "s3://w/meta/v4.metadata.json", "3"
+        )
+        assert state["params"]["metadata_location"] == "s3://w/meta/v4.metadata.json"
+        assert state["params"]["previous_metadata_location"] == "s3://w/meta/v3.metadata.json"
+        assert state["version"] == "4"
+
+        # stale VersionId → conflict, state unchanged
+        with pytest.raises(CommitConflictError):
+            c.update_table_metadata_location(
+                "analytics", "orders_t", "s3://w/meta/v5.metadata.json", "3"
+            )
+        assert state["params"]["metadata_location"] == "s3://w/meta/v4.metadata.json"
+        assert state["version"] == "4"
+    finally:
+        srv.shutdown()
