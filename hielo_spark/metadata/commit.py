@@ -47,9 +47,10 @@ Catalog-service commits: catalog/rest.py speaks the REST spec's
 CommitTableRequest (assert-ref requirements + add-snapshot/set-ref
 updates, 409 → CommitConflictError) — tested against an in-process
 protocol server; a live service would make it end-to-end. Glue's
-UpdateTable commit is the same pattern (not implemented). Remaining
-out of scope (documented): null/nan counts in manifest stats; schema
-evolution is add-column only (read-side mergeSchema).
+UpdateTable commit (VersionId optimistic lock) is implemented the same
+way in catalog/glue.py. Remaining out of scope (documented): null/nan
+counts in manifest stats; schema evolution is add-column only
+(read-side mergeSchema).
 
 Scale note: commits are planning-plane work — one manifest row per
 data file, driver-side Avro/JSON writes of KB-scale artifacts, exactly

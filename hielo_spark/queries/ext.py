@@ -396,6 +396,23 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X4 — learned BPE tokenizer (rows-only): merges trained on the corpus
+# itself (distributed word count → driver merge loop over the bounded
+# frequency table, the standard trainer shape), then Arrow-batched
+# encoding. Deterministic (lexicographic tie-breaks), pinned against the
+# published Sennrich et al. example in tests/test_bpe.py; no SQL oracle
+# — DuckDB cannot run the merge procedure.
+# --------------------------------------------------------------------------
+@query("doc_bpe_tokens")
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(500)
+    merges = B.learn_bpe(docs, n_merges=80)
+    return B.bpe_token_stats(docs, merges)
+
+
+# --------------------------------------------------------------------------
 # X1/X2 — duplicate-group resolution: connected components over the
 # near-dup pair graph (min reachable id = group representative). The
 # oracle recomputes components with a recursive CTE — a fully independent
