@@ -209,12 +209,24 @@ class GlueCatalogClient:
         params["metadata_location"] = new_location
         if prev:
             params["previous_metadata_location"] = prev
+        # Glue UpdateTable REPLACES the whole definition: every writable
+        # field of the current table must be carried into TableInput or
+        # it is dropped (StorageDescriptor/schema loss on real Glue).
+        # Copy everything except the read-only/response-only fields.
+        _READ_ONLY = {
+            "DatabaseName", "CreateTime", "UpdateTime", "CreatedBy",
+            "IsRegisteredWithLakeFormation", "CatalogId", "VersionId",
+            "FederatedTable", "IsMultiDialectView", "Status",
+        }
+        table_input = {k: v for k, v in table.items() if k not in _READ_ONLY}
+        table_input["Name"] = name
+        table_input["Parameters"] = params
         try:
             return self._call(
                 "UpdateTable",
                 {
                     "DatabaseName": database,
-                    "TableInput": {"Name": name, "Parameters": params},
+                    "TableInput": table_input,
                     "VersionId": version_id,
                 },
             )

@@ -176,10 +176,20 @@ class _FileStats:
             .collect()
         )
 
+    @staticmethod
+    def _norm(p: str) -> str:
+        import re
+        from urllib.parse import unquote
+
+        return unquote(re.sub(r"^file:/+", "/", p))
+
     def _row_of(self, p):
-        base = os.path.basename(p)
+        # full-path match: partitioned writes can produce IDENTICAL
+        # basenames under different col=value dirs (one task, many
+        # partitions), so basename matching would swap files' stats
+        want = os.path.abspath(self._norm(p))
         for r in self.rows:
-            if r["fp"].endswith(base):
+            if os.path.abspath(self._norm(r["fp"])) == want:
                 return r
         return None
 

@@ -233,6 +233,8 @@ _NUMERIC_BOUND_TYPES = (
     "tinyint", "smallint", "int", "bigint", "float", "double",
 )
 
+_SKIP_OPS = ("=", ">", ">=", "<", "<=")
+
 
 def _file_may_match(f: dict, skip_filter: tuple) -> bool:
     """Can a file's manifest bounds satisfy ``(col, op, value)``?
@@ -277,7 +279,7 @@ def _row_predicate(skip_filter: tuple):
         ">=": c >= value,
         "<": c < value,
         "<=": c <= value,
-    }.get(op, F.lit(True))
+    }[op]
 
 
 def read_data_at_snapshot(
@@ -326,6 +328,12 @@ def read_data_at_snapshot(
         raise ValueError(f"no snapshots in {metadata_json_path}")
     if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
         raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
+    if skip_filter is not None and skip_filter[1] not in _SKIP_OPS:
+        raise ValueError(
+            f"unsupported skip_filter op {skip_filter[1]!r} (supported: {_SKIP_OPS})"
+        )
+    if partition_filter and any(v is None for v in partition_filter.values()):
+        raise ValueError("partition_filter values must be non-null")
     if ref is not None:
         refs = doc.get("refs", {})
         if ref not in refs:
@@ -431,9 +439,14 @@ def read_data_at_snapshot(
         if key:
             ptypes = fs[0]["ptypes"] or {}
             for col, sval in key:
-                g = g.withColumn(
-                    col, F.lit(sval).cast(ptypes.get(col, "string"))
+                # Spark writes NULL partition values to the hive default
+                # dir; round-trip them back to NULL, not the sentinel
+                lit = (
+                    F.lit(None)
+                    if sval == "__HIVE_DEFAULT_PARTITION__"
+                    else F.lit(sval)
                 )
+                g = g.withColumn(col, lit.cast(ptypes.get(col, "string")))
         parts.append(g)
     data = parts[0]
     for g in parts[1:]:

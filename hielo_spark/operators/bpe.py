@@ -126,10 +126,13 @@ def bpe_token_stats(
             out.append(n)
         return pd.Series(out, dtype="int64")
 
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # empty-token removal keeps n_words consistent with the tokenizer's
+    # str.split(): '' / whitespace-only / NULL text → 0 words, 0 tokens
+    words = F.array_remove(F.split(F.trim(t), r"\s+"), "")
     return df.select(
         F.col(id_col),
-        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_words"),
+        F.size(words).cast("long").alias("n_words"),
         count_tokens(t).alias("n_tokens"),
         F.length(t).cast("long").alias("n_chars"),
     )

@@ -418,6 +418,32 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     planes = [
         np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
     ]
+    return _decode_scan(
+        b, pos, frame, comps, scan, qtables, dc_tables, ac_tables,
+        restart_interval, planes, mcus_x, mcus_y, hmax, vmax,
+    )
+
+
+def _decode_scan(
+    b, pos, frame, comps, scan, qtables, dc_tables, ac_tables,
+    restart_interval, planes, mcus_x, mcus_y, hmax, vmax,
+):
+    try:
+        return _decode_scan_inner(
+            b, pos, frame, comps, scan, qtables, dc_tables, ac_tables,
+            restart_interval, planes, mcus_x, mcus_y, hmax, vmax,
+        )
+    except (_MarkerHit, IndexError) as e:
+        # entropy-coded data ended (marker or buffer end) mid-MCU: the
+        # payload is truncated/corrupt — surface the module's documented
+        # error contract, not a private exception type
+        raise ValueError("truncated or corrupt JPEG scan data") from e
+
+
+def _decode_scan_inner(
+    b, pos, frame, comps, scan, qtables, dc_tables, ac_tables,
+    restart_interval, planes, mcus_x, mcus_y, hmax, vmax,
+):
     scan_by_id = {s["id"]: s for s in scan}
     br = _BitReader(b, pos)
     preds = [0] * len(comps)

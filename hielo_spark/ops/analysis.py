@@ -42,8 +42,15 @@ def _snapshot_files(spark: SparkSession, metadata_json_path: str, snaps: list[di
         local = mlist.removeprefix("file:")
         if not os.path.isabs(local):
             local = os.path.join(os.path.dirname(metadata_json_path), local)
-        f = files_from_manifest_list(spark, "t", local).select("file_path")
-        out = f if out is None else out.unionByName(f)
+        # the LIVE set must span all content kinds: data files (0) AND
+        # position/equality delete files (1/2) — a referenced delete
+        # parquet is not an orphan, and sweeping it would corrupt MOR
+        # reads of the current snapshot
+        for content in (0, 1, 2):
+            f = files_from_manifest_list(
+                spark, "t", local, content=content
+            ).select("file_path")
+            out = f if out is None else out.unionByName(f)
     return out.distinct() if out is not None else None
 
 

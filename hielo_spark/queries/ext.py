@@ -377,7 +377,12 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import semantic_dedup
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(500)
+    # deterministic id-range selection (an unordered limit(500) could
+    # pick rows missing vec_id < 25 under a different file split, which
+    # would break the constant oracle)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 500
+    )
     copies = e.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )

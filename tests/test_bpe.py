@@ -67,3 +67,14 @@ def test_learn_and_encode_through_spark(spark, sf_dir):
     base = {r.doc_id: r.n_tokens for r in B.bpe_token_stats(docs, []).collect()}
     learned = {r.doc_id: r.n_tokens for r in stats}
     assert sum(learned.values()) < 0.8 * sum(base.values())
+
+
+def test_empty_and_null_text_consistent(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in B.bpe_token_stats(docs, []).collect()}
+    assert (rows[1].n_words, rows[1].n_tokens) == (2, 12)  # char-level + 2 END
+    for i in (2, 3, 4):
+        assert rows[i].n_words == 0 and rows[i].n_tokens == 0

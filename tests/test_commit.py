@@ -451,3 +451,78 @@ def test_sorted_rewrite_enables_file_skipping(spark, tmp_path):
     hot = read_data_at_snapshot(spark, mpath, skip_filter=("k", ">=", 990))
     assert len(set(hot.inputFiles())) == 1  # compacted bounds skip files
     assert {r.k for r in hot.collect()} == set(range(990, 1000))
+
+
+def test_orphan_sweep_spares_live_delete_files(spark, tmp_path):
+    """Review fix: the live set must include position/equality delete
+    parquets — sweeping a referenced delete file would resurrect deleted
+    rows (or break the read outright)."""
+    import os
+    import time
+
+    from hielo_spark.ops.analysis import remove_orphan_files
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(i, "x") for i in range(8)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_equality(spark, t, spark.createDataFrame([(2,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, "id = 5", snapshot_id=103, timestamp_ms=1700200000000)
+    mpath = C.current_metadata_path(t)
+    before = {r.id for r in read_data_at_snapshot(spark, mpath).collect()}
+    assert before == set(range(8)) - {2, 5}
+    removed = remove_orphan_files(
+        spark, os.path.join(t, "data"), mpath,
+        older_than_ms=int(time.time() * 1000) + 10_000,
+    )
+    assert removed == []  # every parquet under data/ is referenced
+    after = {r.id for r in read_data_at_snapshot(spark, mpath).collect()}
+    assert after == before  # deletes still applied
+
+
+def test_partitioned_stats_survive_basename_collisions(spark, tmp_path):
+    """Review fix: one task writing several hive partitions produces
+    identical part-file basenames under different col=value dirs; stats
+    must match on full paths or counts/bounds swap between files."""
+    from hielo_spark.metadata.manifests import files_from_manifest_list
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.createDataFrame(
+        [(i, "us" if i < 30 else "eu") for i in range(40)], ["id", "region"]
+    ).coalesce(1)  # ONE task writes both partition dirs → same basenames
+    snap = C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000,
+                    partition_by=["region"])
+    assert snap["summary"]["total-records"] == "40"
+    files = files_from_manifest_list(
+        spark, "t", snap["manifest-list"].removeprefix("file:")
+    ).collect()
+    counts = {r.partition_values["region"]: r.record_count for r in files}
+    assert counts == {"us": 30, "eu": 10}
+    bounds = {r.partition_values["region"]: (r.lower_bounds["id"], r.upper_bounds["id"])
+              for r in files}
+    assert bounds == {"us": ("0", "29"), "eu": ("30", "39")}
+
+
+def test_null_partition_value_roundtrips_as_null(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.createDataFrame(
+        [(1, "us"), (2, None), (3, "eu")], ["id", "region"]
+    )
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000,
+             partition_by=["region"])
+    mpath = C.current_metadata_path(t)
+    got = {r.id: r.region for r in read_data_at_snapshot(spark, mpath).collect()}
+    assert got == {1: "us", 2: None, 3: "eu"}
+    with pytest.raises(ValueError, match="non-null"):
+        read_data_at_snapshot(spark, mpath, partition_filter={"region": None})
+
+
+def test_unsupported_skip_filter_op_raises(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    mpath = C.current_metadata_path(t)
+    for op in ("!=", "in", "=="):
+        with pytest.raises(ValueError, match="unsupported skip_filter op"):
+            read_data_at_snapshot(spark, mpath, skip_filter=("id", op, 1))

@@ -147,3 +147,14 @@ def test_jpeg_through_spark_stage(spark, sf_dir):
     assert all(out[k].feature == again[k] for k in out)
     # features differ across ids (base color is md5-derived)
     assert len({tuple(r.feature) for r in out.values()}) > 10
+
+
+def test_truncated_scan_data_is_a_value_error():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    enc = J.encode_jpeg(img, quant=8)
+    # chop the entropy-coded data well before EOI
+    sos = enc.index(b"\xff\xda")
+    truncated = enc[: sos + 40] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        J.decode_jpeg(truncated)
