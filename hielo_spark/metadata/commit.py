@@ -48,9 +48,10 @@ CommitTableRequest (assert-ref requirements + add-snapshot/set-ref
 updates, 409 → CommitConflictError) — tested against an in-process
 protocol server; a live service would make it end-to-end. Glue's
 UpdateTable commit (VersionId optimistic lock) is implemented the same
-way in catalog/glue.py. Remaining out of scope (documented): null/nan
-counts in manifest stats; schema evolution is add-column only
-(read-side mergeSchema).
+way in catalog/glue.py. Manifest stats cover min/max bounds and null
+counts (is_null/is_not_null skipping); remaining out of scope
+(documented): nan counts and distinct counts; schema evolution is
+add-column only (read-side mergeSchema).
 
 Scale note: commits are planning-plane work — one manifest row per
 data file, driver-side Avro/JSON writes of KB-scale artifacts, exactly
@@ -82,7 +83,8 @@ MANIFEST_ENTRY_SCHEMA_V2 = """
    {"name":"partition_types","type":["null",{"type":"map","values":"string"}],"default":null},
    {"name":"lower_bounds","type":["null",{"type":"map","values":"string"}],"default":null},
    {"name":"upper_bounds","type":["null",{"type":"map","values":"string"}],"default":null},
-   {"name":"bounds_types","type":["null",{"type":"map","values":"string"}],"default":null}]}}]}
+   {"name":"bounds_types","type":["null",{"type":"map","values":"string"}],"default":null},
+   {"name":"null_counts","type":["null",{"type":"map","values":"string"}],"default":null}]}}]}
 """
 
 MANIFEST_LIST_SCHEMA_V2 = """
@@ -172,6 +174,10 @@ class _FileStats:
                 F.count(F.lit(1)).alias("_n"),
                 *[F.min(c).cast("string").alias(f"_lo_{c}") for c in self.bound_cols],
                 *[F.max(c).cast("string").alias(f"_hi_{c}") for c in self.bound_cols],
+                *[
+                    (F.count(F.lit(1)) - F.count(c)).cast("string").alias(f"_nn_{c}")
+                    for c in self.bound_cols
+                ],
             )
             .collect()
         )
@@ -204,6 +210,12 @@ class _FileStats:
         lo = {c: r[f"_lo_{c}"] for c in self.bound_cols if r[f"_lo_{c}"] is not None}
         hi = {c: r[f"_hi_{c}"] for c in self.bound_cols if r[f"_hi_{c}"] is not None}
         return (lo or None, hi or None)
+
+    def null_counts_of(self, p: str) -> dict | None:
+        r = self._row_of(p)
+        if r is None:
+            return None
+        return {c: r[f"_nn_{c}"] for c in self.bound_cols} or None
 
 
 def _file_stats(spark, data_dir, dtypes, exclude_cols) -> _FileStats:
@@ -427,6 +439,7 @@ def append(
                     "lower_bounds": bounds_of(p)[0],
                     "upper_bounds": bounds_of(p)[1],
                     "bounds_types": btypes,
+                    "null_counts": stats.null_counts_of(p),
                 },
             }
             for p in parts
@@ -685,6 +698,7 @@ def rewrite_data_files(
                     "lower_bounds": stats.bounds_of(p)[0],
                     "upper_bounds": stats.bounds_of(p)[1],
                     "bounds_types": stats.btypes,
+                    "null_counts": stats.null_counts_of(p),
                 },
             }
             for p in parts

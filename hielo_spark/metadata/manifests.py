@@ -148,6 +148,7 @@ def read_manifest(
                     _pymap(_get(df_rec, "lower_bounds")),
                     _pymap(_get(df_rec, "upper_bounds")),
                     _pymap(_get(df_rec, "bounds_types")),
+                    _pymap(_get(df_rec, "null_counts")),
                 )
             )
     finally:
@@ -158,7 +159,7 @@ def read_manifest(
         "record_count long, file_size_in_bytes long, content int, sequence_number long, "
         "partition_values map<string,string>, partition_types map<string,string>, "
         "lower_bounds map<string,string>, upper_bounds map<string,string>, "
-        "bounds_types map<string,string>",
+        "bounds_types map<string,string>, null_counts map<string,string>",
     )
 
 
@@ -210,7 +211,7 @@ def files_from_manifest_list(
             "record_count long, sequence_number long, "
             "partition_values map<string,string>, partition_types map<string,string>, "
             "lower_bounds map<string,string>, upper_bounds map<string,string>, "
-            "bounds_types map<string,string>",
+            "bounds_types map<string,string>, null_counts map<string,string>",
         )
     return (
         out.filter((F.col("status") != 2) & (F.col("content") == content))
@@ -225,6 +226,7 @@ def files_from_manifest_list(
             "lower_bounds",
             "upper_bounds",
             "bounds_types",
+            "null_counts",
         )
     )
 
@@ -233,7 +235,7 @@ _NUMERIC_BOUND_TYPES = (
     "tinyint", "smallint", "int", "bigint", "float", "double",
 )
 
-_SKIP_OPS = ("=", ">", ">=", "<", "<=")
+_SKIP_OPS = ("=", ">", ">=", "<", "<=", "is_null", "is_not_null")
 
 
 def _file_may_match(f: dict, skip_filter: tuple) -> bool:
@@ -245,6 +247,12 @@ def _file_may_match(f: dict, skip_filter: tuple) -> bool:
     correctly as strings)."""
     col, op, value = skip_filter
     lb, ub, bt = f.get("lb") or {}, f.get("ub") or {}, f.get("bt") or {}
+    if op in ("is_null", "is_not_null"):
+        nc = (f.get("nc") or {}).get(col)
+        records = f.get("records")
+        if nc is None or records is None:
+            return True
+        return int(nc) > 0 if op == "is_null" else int(nc) < int(records)
     lo, hi = lb.get(col), ub.get(col)
     if lo is None or hi is None:
         return True
@@ -279,6 +287,8 @@ def _row_predicate(skip_filter: tuple):
         ">=": c >= value,
         "<": c < value,
         "<=": c <= value,
+        "is_null": c.isNull(),
+        "is_not_null": c.isNotNull(),
     }[op]
 
 
@@ -372,6 +382,8 @@ def read_data_at_snapshot(
                 "lb": dict(r.lower_bounds) if r.lower_bounds else None,
                 "ub": dict(r.upper_bounds) if r.upper_bounds else None,
                 "bt": dict(r.bounds_types) if r.bounds_types else None,
+                "nc": dict(r.null_counts) if r.null_counts else None,
+                "records": r.record_count,
             }
             for r in files.collect()
         ]

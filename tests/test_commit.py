@@ -526,3 +526,26 @@ def test_unsupported_skip_filter_op_raises(spark, tmp_path):
     for op in ("!=", "in", "=="):
         with pytest.raises(ValueError, match="unsupported skip_filter op"):
             read_data_at_snapshot(spark, mpath, skip_filter=("id", op, 1))
+
+
+def test_null_count_stats_and_is_null_skipping(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    # file A (ids 0-9): v all null; file B (ids 10-19): v never null —
+    # two appends make the file boundary deterministic
+    a = spark.range(0, 10).select(F.col("id"), F.lit(None).cast("string").alias("v")).coalesce(1)
+    b = spark.range(10, 20).select(F.col("id"), F.lit("x").alias("v")).coalesce(1)
+    C.append(spark, t, a, snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, b, snapshot_id=102, timestamp_ms=1700100000000)
+    mpath = C.current_metadata_path(t)
+    full = read_data_at_snapshot(spark, mpath)
+    assert len(set(full.inputFiles())) == 2
+
+    nulls = read_data_at_snapshot(spark, mpath, skip_filter=("v", "is_null", None))
+    assert len(set(nulls.inputFiles())) == 1  # file B skipped by null_counts
+    assert {r.id for r in nulls.collect()} == set(range(10))
+
+    vals = read_data_at_snapshot(spark, mpath, skip_filter=("v", "is_not_null", None))
+    assert len(set(vals.inputFiles())) == 1  # file A skipped: all-null column
+    assert {r.id for r in vals.collect()} == set(range(10, 20))
