@@ -2161,16 +2161,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
     ).select("p_partkey", "p_name")
     eligible = costs.join(part, F.col("p_partkey") == F.col("l_partkey"))
-    best = eligible.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    # the correlated MIN as a window over the partkey partitioning: one
+    # pass over eligible instead of the groupBy + equality-join-back form
+    # (which plans the costs⋈part subtree twice — Catalyst has no CSE
+    # across self-joins; measured 2× at sf0.1). Same result as the
+    # oracle's decorrelated-join formulation.
+    w = Window.partitionBy("p_partkey")
     winner = (
-        eligible.join(
-            best,
-            (F.col("p_partkey") == F.col("b_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
-        .groupBy("p_partkey", "p_name", "unit_cost")
+        eligible.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .groupBy("p_partkey", "p_name", F.col("unit_cost"))
         .agg(F.min("l_suppkey").alias("win_suppkey"))
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
