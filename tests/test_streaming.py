@@ -218,3 +218,36 @@ def test_stream_append_to_iceberg_table_exactly_once(spark, sf_dir, tmp_path):
         n_snaps_after = len(json.load(f)["snapshots"])
     assert n_snaps_after == n_snaps_before  # no duplicate snapshots
     assert read_data_at_snapshot(spark, mpath2).count() == want  # no dup rows
+
+
+def test_streaming_media_decode_matches_batch(spark, tmp_path):
+    """Multimodal decode composes with Structured Streaming unchanged:
+    the same mapInPandas stage over a file stream (availableNow) produces
+    exactly the batch result — the landing-zone media-ingest shape."""
+    import pyspark.sql.functions as F
+
+    from hielo_spark.operators import multimodal as MM
+
+    src = str(tmp_path / "media_src")
+    media = MM.attach_ppm_media(
+        spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    )
+    media.write.parquet(src)
+
+    batch = {r.doc_id: tuple(r.feature) for r in
+             MM.decode_image_features(spark.read.parquet(src), fake=False).collect()}
+
+    stream = spark.readStream.schema(media.schema).parquet(src)
+    out_rows = []
+    q = (
+        MM.decode_image_features(stream, fake=False)
+        .writeStream.foreachBatch(
+            lambda df, bid: out_rows.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {r.doc_id: tuple(r.feature) for r in out_rows}
+    assert streamed == batch and len(streamed) == 30
