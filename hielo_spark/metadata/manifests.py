@@ -520,3 +520,62 @@ def read_data_at_snapshot(
                 cond = cond & (data[k] == eqd[k])
             data = data.join(eqd, cond, "left_anti")
     return data.select(*out_cols)
+
+
+def read_incremental(
+    spark: SparkSession,
+    metadata_json_path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg's incremental append scan: rows ADDED strictly after
+    ``from_snapshot_id`` up to and including ``to_snapshot_id`` (default:
+    current) — the CDC-ish consumption pattern ("give me what's new since
+    my last checkpoint"). Matches the runtime's semantics: every snapshot
+    in the range must be an append (replace/delete/overwrite snapshots
+    make "added rows" ill-defined for an append scan — raise, exactly as
+    the Iceberg incremental scan does). File selection is the difference
+    of manifest file sets, so only new files are scanned; planning is
+    metadata-only."""
+    import json
+    import os
+
+    with open(metadata_json_path) as f:
+        doc = json.load(f)
+    snaps = sorted(doc.get("snapshots", []), key=lambda s: int(s["timestamp-ms"]))
+    by_id = {int(s["snapshot-id"]): s for s in snaps}
+    if from_snapshot_id not in by_id:
+        raise ValueError(f"from_snapshot {from_snapshot_id} not in table")
+    if to_snapshot_id is None:
+        to_snapshot_id = int(snaps[-1]["snapshot-id"])
+    if to_snapshot_id not in by_id:
+        raise ValueError(f"to_snapshot {to_snapshot_id} not in table")
+    i_from = snaps.index(by_id[from_snapshot_id])
+    i_to = snaps.index(by_id[to_snapshot_id])
+    if i_to < i_from:
+        raise ValueError("to_snapshot precedes from_snapshot")
+    in_range = snaps[i_from + 1 : i_to + 1]
+    for s in in_range:
+        op = s.get("summary", {}).get("operation", "append")
+        if op != "append":
+            raise ValueError(
+                f"incremental append scan crosses a non-append snapshot "
+                f"{s['snapshot-id']} (operation={op!r})"
+            )
+
+    def files_of(s: dict) -> set[str]:
+        mlist = s["manifest-list"]
+        if not os.path.isabs(mlist.removeprefix("file:")):
+            mlist = os.path.join(os.path.dirname(metadata_json_path), mlist)
+        return {
+            r.file_path.removeprefix("file:")
+            for r in files_from_manifest_list(
+                spark, "t", mlist.removeprefix("file:")
+            ).select("file_path").collect()
+        }
+
+    new_files = sorted(files_of(by_id[to_snapshot_id]) - files_of(by_id[from_snapshot_id]))
+    if not new_files:
+        schema = spark.read.parquet(*sorted(files_of(by_id[to_snapshot_id]))).schema
+        return spark.createDataFrame([], schema)
+    return spark.read.option("mergeSchema", "true").parquet(*new_files)

@@ -549,3 +549,30 @@ def test_null_count_stats_and_is_null_skipping(spark, tmp_path):
     vals = read_data_at_snapshot(spark, mpath, skip_filter=("v", "is_not_null", None))
     assert len(set(vals.inputFiles())) == 1  # file A skipped: all-null column
     assert {r.id for r in vals.collect()} == set(range(10, 20))
+
+
+def test_incremental_append_scan(spark, tmp_path):
+    from hielo_spark.metadata.manifests import read_incremental
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1,), (2,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(3,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.append(spark, t, spark.createDataFrame([(4,), (5,)], ["id"]),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    mpath = C.current_metadata_path(t)
+
+    assert {r.id for r in read_incremental(spark, mpath, 101).collect()} == {3, 4, 5}
+    assert {r.id for r in read_incremental(spark, mpath, 101, 102).collect()} == {3}
+    assert {r.id for r in read_incremental(spark, mpath, 102, 103).collect()} == {4, 5}
+    assert read_incremental(spark, mpath, 103).count() == 0  # nothing new
+
+    # a delete snapshot in the range invalidates the append scan
+    C.delete_equality(spark, t, spark.createDataFrame([(1,)], ["id"]),
+                      snapshot_id=104, timestamp_ms=1700300000000)
+    mpath = C.current_metadata_path(t)
+    with pytest.raises(ValueError, match="non-append"):
+        read_incremental(spark, mpath, 101)
+    # ranges that avoid the delete still work
+    assert {r.id for r in read_incremental(spark, mpath, 101, 103).collect()} == {3, 4, 5}
