@@ -165,10 +165,13 @@ class _FileStats:
             c for c, t in dtypes.items()
             if t in self._BOUNDABLE and c not in exclude_cols
         ]
+        # null counts need no ordering — cover every non-excluded column
+        # (boolean/binary/decimal/array too), unlike min/max bounds
+        self.null_cols = [c for c in dtypes if c not in exclude_cols]
         self.btypes = {c: dtypes[c] for c in self.bound_cols} or None
         self.rows = (
             spark.read.parquet(data_dir)
-            .select(F.col("_metadata.file_path").alias("fp"), *self.bound_cols)
+            .select(F.col("_metadata.file_path").alias("fp"), *self.null_cols)
             .groupBy("fp")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
@@ -176,7 +179,7 @@ class _FileStats:
                 *[F.max(c).cast("string").alias(f"_hi_{c}") for c in self.bound_cols],
                 *[
                     (F.count(F.lit(1)) - F.count(c)).cast("string").alias(f"_nn_{c}")
-                    for c in self.bound_cols
+                    for c in self.null_cols
                 ],
             )
             .collect()
@@ -215,7 +218,7 @@ class _FileStats:
         r = self._row_of(p)
         if r is None:
             return None
-        return {c: r[f"_nn_{c}"] for c in self.bound_cols} or None
+        return {c: r[f"_nn_{c}"] for c in self.null_cols} or None
 
 
 def _file_stats(spark, data_dir, dtypes, exclude_cols) -> _FileStats:

@@ -292,6 +292,53 @@ def _row_predicate(skip_filter: tuple):
     }[op]
 
 
+def _read_files_with_partitions(spark: SparkSession, data_files: list[dict]) -> DataFrame:
+    """Read a list of file dicts (as produced by files_from_manifest_list
+    consumption: path/pvals/ptypes keys), grouped by partition tuple:
+    partitionBy-written files don't carry the partition columns in the
+    parquet, so each group re-attaches them as typed literals from the
+    manifest metadata (group count = live partitions — planning-plane,
+    like any planner's per-partition scan groups). Adds _fp/_pos
+    metadata columns for delete application; callers project them away."""
+    from ..metadata.metadata_json import _strip_scheme
+
+    def group_key(f):
+        return tuple(sorted(f["pvals"].items())) if f["pvals"] else None
+
+    groups: dict = {}
+    for f in data_files:
+        groups.setdefault(group_key(f), []).append(f)
+    parts = []
+    for key, fs in groups.items():
+        # mergeSchema: add-column schema evolution — files written before
+        # the column carry null for it, exactly the Iceberg read behavior
+        # for added fields; a snapshot containing only pre-evolution files
+        # never surfaces the column (its file set IS its schema here)
+        g = spark.read.option("mergeSchema", "true").parquet(
+            *[f["path"] for f in fs]
+        ).select(
+            "*",
+            _strip_scheme(F.col("_metadata.file_path")).alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        if key:
+            ptypes = fs[0]["ptypes"] or {}
+            for col, sval in key:
+                # Spark writes NULL partition values to the hive default
+                # dir; round-trip them back to NULL, not the sentinel
+                lit = (
+                    F.lit(None)
+                    if sval == "__HIVE_DEFAULT_PARTITION__"
+                    else F.lit(sval)
+                )
+                g = g.withColumn(col, lit.cast(ptypes.get(col, "string")))
+        parts.append(g)
+    data = parts[0]
+    for g in parts[1:]:
+        data = data.unionByName(g, allowMissingColumns=True)
+    return data
+
+
 def read_data_at_snapshot(
     spark: SparkSession,
     metadata_json_path: str,
@@ -424,45 +471,7 @@ def read_data_at_snapshot(
                 f"snapshot {chosen['snapshot-id']}"
             )
 
-    # group by partition tuple: partitionBy-written files don't carry the
-    # partition columns in the parquet, so each group re-attaches them as
-    # typed literals from the manifest metadata (group count = live
-    # partitions of the snapshot — planning-plane, like any planner's
-    # per-partition scan groups)
-    def group_key(f):
-        return tuple(sorted(f["pvals"].items())) if f["pvals"] else None
-
-    groups: dict = {}
-    for f in data_files:
-        groups.setdefault(group_key(f), []).append(f)
-    parts = []
-    for key, fs in groups.items():
-        # mergeSchema: add-column schema evolution — files written before
-        # the column carry null for it, exactly the Iceberg read behavior
-        # for added fields; a snapshot containing only pre-evolution files
-        # never surfaces the column (its file set IS its schema here)
-        g = spark.read.option("mergeSchema", "true").parquet(
-            *[f["path"] for f in fs]
-        ).select(
-            "*",
-            _strip_scheme(F.col("_metadata.file_path")).alias("_fp"),
-            F.col("_metadata.row_index").alias("_pos"),
-        )
-        if key:
-            ptypes = fs[0]["ptypes"] or {}
-            for col, sval in key:
-                # Spark writes NULL partition values to the hive default
-                # dir; round-trip them back to NULL, not the sentinel
-                lit = (
-                    F.lit(None)
-                    if sval == "__HIVE_DEFAULT_PARTITION__"
-                    else F.lit(sval)
-                )
-                g = g.withColumn(col, lit.cast(ptypes.get(col, "string")))
-        parts.append(g)
-    data = parts[0]
-    for g in parts[1:]:
-        data = data.unionByName(g, allowMissingColumns=True)
+    data = _read_files_with_partitions(spark, data_files)
     if skip_filter and apply_row_filter:
         data = data.filter(_row_predicate(skip_filter))
     out_cols = [c for c in data.columns if c not in ("_fp", "_pos")]
@@ -530,52 +539,83 @@ def read_incremental(
 ) -> DataFrame:
     """Iceberg's incremental append scan: rows ADDED strictly after
     ``from_snapshot_id`` up to and including ``to_snapshot_id`` (default:
-    current) — the CDC-ish consumption pattern ("give me what's new since
-    my last checkpoint"). Matches the runtime's semantics: every snapshot
-    in the range must be an append (replace/delete/overwrite snapshots
-    make "added rows" ill-defined for an append scan — raise, exactly as
-    the Iceberg incremental scan does). File selection is the difference
-    of manifest file sets, so only new files are scanned; planning is
+    the CURRENT snapshot) — the CDC-ish consumption pattern ("give me
+    what's new since my last checkpoint").
+
+    The range is resolved by walking ``parent-snapshot-id`` lineage from
+    the to-snapshot back to the from-snapshot (NOT by timestamp order:
+    branched histories interleave non-ancestor snapshots by time), and
+    every snapshot on that ancestry path must be an append — a missing
+    or non-append operation raises, matching the Iceberg incremental
+    scan contract (removal snapshots make "added rows" ill-defined).
+    File selection is the difference of the manifest file sets, so only
+    new files are scanned, with partition columns re-attached from
+    manifest metadata exactly as in read_data_at_snapshot. Planning is
     metadata-only."""
     import json
-    import os
 
     with open(metadata_json_path) as f:
         doc = json.load(f)
-    snaps = sorted(doc.get("snapshots", []), key=lambda s: int(s["timestamp-ms"]))
-    by_id = {int(s["snapshot-id"]): s for s in snaps}
+    by_id = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
     if from_snapshot_id not in by_id:
         raise ValueError(f"from_snapshot {from_snapshot_id} not in table")
     if to_snapshot_id is None:
-        to_snapshot_id = int(snaps[-1]["snapshot-id"])
+        to_snapshot_id = doc.get("current-snapshot-id")
+        if to_snapshot_id is None:
+            raise ValueError("table has no current snapshot")
+        to_snapshot_id = int(to_snapshot_id)
     if to_snapshot_id not in by_id:
         raise ValueError(f"to_snapshot {to_snapshot_id} not in table")
-    i_from = snaps.index(by_id[from_snapshot_id])
-    i_to = snaps.index(by_id[to_snapshot_id])
-    if i_to < i_from:
-        raise ValueError("to_snapshot precedes from_snapshot")
-    in_range = snaps[i_from + 1 : i_to + 1]
-    for s in in_range:
-        op = s.get("summary", {}).get("operation", "append")
+
+    # ancestry walk: to → ... → from
+    chain = []
+    cur = to_snapshot_id
+    while cur != from_snapshot_id:
+        s_ = by_id.get(cur)
+        if s_ is None:
+            raise ValueError(
+                f"from_snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id}"
+            )
+        chain.append(s_)
+        parent = s_.get("parent-snapshot-id")
+        if parent is None:
+            raise ValueError(
+                f"from_snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id}"
+            )
+        cur = int(parent)
+    for s_ in chain:
+        op = s_.get("summary", {}).get("operation")
         if op != "append":
+            # unknown operation is treated as unsafe, not as append: the
+            # guard's job is to reject ill-defined ranges
             raise ValueError(
                 f"incremental append scan crosses a non-append snapshot "
-                f"{s['snapshot-id']} (operation={op!r})"
+                f"{s_['snapshot-id']} (operation={op!r})"
             )
 
-    def files_of(s: dict) -> set[str]:
-        mlist = s["manifest-list"]
-        if not os.path.isabs(mlist.removeprefix("file:")):
-            mlist = os.path.join(os.path.dirname(metadata_json_path), mlist)
+    def files_of(s_: dict) -> dict[str, dict]:
+        mlist = _resolve(metadata_json_path, s_["manifest-list"])
         return {
-            r.file_path.removeprefix("file:")
-            for r in files_from_manifest_list(
-                spark, "t", mlist.removeprefix("file:")
-            ).select("file_path").collect()
+            r.file_path.removeprefix("file:"): {
+                "path": r.file_path.removeprefix("file:"),
+                "pvals": dict(r.partition_values) if r.partition_values else None,
+                "ptypes": dict(r.partition_types) if r.partition_types else None,
+            }
+            for r in files_from_manifest_list(spark, "t", mlist).collect()
         }
 
-    new_files = sorted(files_of(by_id[to_snapshot_id]) - files_of(by_id[from_snapshot_id]))
+    to_files = files_of(by_id[to_snapshot_id])
+    from_files = files_of(by_id[from_snapshot_id])
+    new_files = [to_files[p] for p in sorted(set(to_files) - set(from_files))]
     if not new_files:
-        schema = spark.read.parquet(*sorted(files_of(by_id[to_snapshot_id]))).schema
+        if not to_files:
+            raise ValueError(
+                f"snapshot {to_snapshot_id} has no live data files"
+            )
+        schema = _read_files_with_partitions(
+            spark, list(to_files.values())
+        ).drop("_fp", "_pos").schema
         return spark.createDataFrame([], schema)
-    return spark.read.option("mergeSchema", "true").parquet(*new_files)
+    return _read_files_with_partitions(spark, new_files).drop("_fp", "_pos")

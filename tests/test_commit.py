@@ -576,3 +576,61 @@ def test_incremental_append_scan(spark, tmp_path):
         read_incremental(spark, mpath, 101)
     # ranges that avoid the delete still work
     assert {r.id for r in read_incremental(spark, mpath, 101, 103).collect()} == {3, 4, 5}
+
+
+def test_incremental_scan_preserves_partition_columns(spark, tmp_path):
+    """Review fix: partitionBy-written files lack the partition column in
+    the parquet; incremental reads must re-attach it from manifests."""
+    from hielo_spark.metadata.manifests import read_incremental
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df1 = spark.createDataFrame([(1, "us"), (2, "eu")], ["id", "region"])
+    df2 = spark.createDataFrame([(3, "us"), (4, "eu")], ["id", "region"])
+    C.append(spark, t, df1, snapshot_id=101, timestamp_ms=1700000000000,
+             partition_by=["region"])
+    C.append(spark, t, df2, snapshot_id=102, timestamp_ms=1700100000000,
+             partition_by=["region"])
+    mpath = C.current_metadata_path(t)
+    inc = read_incremental(spark, mpath, 101)
+    assert set(inc.columns) == {"id", "region"}
+    assert {(r.id, r.region) for r in inc.collect()} == {(3, "us"), (4, "eu")}
+
+
+def test_incremental_scan_rejects_non_ancestor(spark, tmp_path):
+    from hielo_spark.metadata.manifests import read_incremental
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(2,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    mpath = C.current_metadata_path(t)
+    # 102's lineage does not contain 103 (nonexistent) nor is 102 an
+    # ancestor of 101
+    with pytest.raises(ValueError, match="not in table"):
+        read_incremental(spark, mpath, 103)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_incremental(spark, mpath, 102, 101)
+
+
+def test_null_counts_cover_non_orderable_columns(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from hielo_spark.metadata.manifests import files_from_manifest_list
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.range(0, 4).select(
+        "id",
+        F.when(F.col("id") < 2, F.lit(True)).alias("flag"),  # boolean, 2 nulls
+    )
+    snap = C.append(spark, t, df.coalesce(1), snapshot_id=101,
+                    timestamp_ms=1700000000000)
+    files = files_from_manifest_list(
+        spark, "t", snap["manifest-list"].removeprefix("file:")
+    ).collect()
+    assert files[0].null_counts["flag"] == "2"
+    mpath = C.current_metadata_path(t)
+    # is_not_null on the boolean column uses the counts (no skip here —
+    # single file — but the row filter applies)
+    vals = read_data_at_snapshot(spark, mpath, skip_filter=("flag", "is_not_null", None))
+    assert {r.id for r in vals.collect()} == {0, 1}
