@@ -1,0 +1,148 @@
+"""Recommendation → action autopilot over a real table directory.
+
+The reference stops at recommending maintenance (analytics.rs:442-507
+emits MaintenanceActionType rows; data.rs:315-321 names the actions);
+this module closes the loop end-to-end with no Iceberg jar: analyze the
+table's OWN metadata (snapshots + manifests), derive the same
+recommendation categories, and execute each one through the commit plane
+— compaction as a REPLACE snapshot, snapshot expiry as a metadata
+commit, orphan reclamation as a distributed sweep.
+
+Planning is metadata-only (one metadata.json read + manifest parse);
+execution costs are the actions themselves. ``plan_maintenance`` is the
+dry run, ``run_maintenance`` applies it and reports what changed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from ..metadata import commit as C
+from ..metadata.manifests import files_from_manifest_list
+from . import analysis
+
+#: reference-shaped thresholds (analytics.rs small-file band edges; the
+#: 64 MB target is the smallest "optimal" band edge there)
+SMALL_FILE_BYTES = 32 * 1024 * 1024
+TARGET_FILE_BYTES = 64 * 1024 * 1024
+MIN_FILES_FOR_COMPACTION = 4
+RETENTION_DAYS = 7
+RETAIN_LAST = 3
+ORPHAN_GRACE_MS = 60 * 60 * 1000  # Iceberg's default safety window shape
+
+
+def plan_maintenance(
+    spark: SparkSession, table_dir: str, now_ms: int | None = None
+) -> list[dict]:
+    """Ordered action plan for a Hadoop-catalog table dir. Each entry:
+    {action, reason, params} — the executable twin of the reference's
+    recommendation rows."""
+    now_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+    mpath = C.current_metadata_path(table_dir)
+    if mpath is None:
+        return []
+    with open(mpath) as f:
+        doc = json.load(f)
+    snaps = sorted(doc.get("snapshots", []), key=lambda s: int(s["timestamp-ms"]))
+    if not snaps:
+        return []
+    current = next(
+        (s for s in snaps if s["snapshot-id"] == doc.get("current-snapshot-id")),
+        snaps[-1],
+    )
+    files = files_from_manifest_list(
+        spark, os.path.basename(table_dir),
+        current["manifest-list"].removeprefix("file:"),
+    ).collect()
+    plan: list[dict] = []
+
+    n_files = len(files)
+    total_bytes = sum(int(r.file_size_in_bytes or 0) for r in files)
+    avg = total_bytes / n_files if n_files else 0
+    n_delete_files = len(
+        files_from_manifest_list(
+            spark, "t", current["manifest-list"].removeprefix("file:"), content=2
+        ).collect()
+    ) + len(
+        files_from_manifest_list(
+            spark, "t", current["manifest-list"].removeprefix("file:"), content=1
+        ).collect()
+    )
+    if (n_files >= MIN_FILES_FOR_COMPACTION and avg < SMALL_FILE_BYTES) or n_delete_files:
+        plan.append(
+            {
+                "action": "rewrite_data_files",
+                "reason": (
+                    f"{n_files} data files averaging {avg / 1048576:.1f} MiB"
+                    + (f" + {n_delete_files} merge-on-read delete files" if n_delete_files else "")
+                ),
+                "params": {"target_file_size_bytes": TARGET_FILE_BYTES},
+            }
+        )
+
+    cutoff = now_ms - RETENTION_DAYS * 86_400_000
+    expirable = [
+        s for s in snaps[:-RETAIN_LAST]
+        if int(s["timestamp-ms"]) < cutoff
+        and s["snapshot-id"] != doc.get("current-snapshot-id")
+    ]
+    if expirable:
+        plan.append(
+            {
+                "action": "expire_snapshots",
+                "reason": f"{len(expirable)} snapshots older than {RETENTION_DAYS} days",
+                "params": {"older_than_ms": cutoff, "retain_last": RETAIN_LAST},
+            }
+        )
+
+    # orphan sweep is always planned LAST: compaction/expiry create the
+    # unreferenced files it reclaims
+    plan.append(
+        {
+            "action": "remove_orphan_files",
+            "reason": "reclaim files no snapshot references (post-compaction/expiry)",
+            "params": {"older_than_ms": now_ms - ORPHAN_GRACE_MS},
+        }
+    )
+    return plan
+
+
+def run_maintenance(
+    spark: SparkSession,
+    table_dir: str,
+    now_ms: int | None = None,
+    plan: list[dict] | None = None,
+) -> dict:
+    """Execute the plan (default: plan_maintenance's) and report what
+    each action did. Safe ordering: compact → expire → sweep."""
+    now_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+    plan = plan if plan is not None else plan_maintenance(spark, table_dir, now_ms)
+    report: dict = {"table_dir": table_dir, "actions": []}
+    for step in plan:
+        entry = dict(step)
+        if step["action"] == "rewrite_data_files":
+            snap = C.rewrite_data_files(spark, table_dir, **step["params"])
+            entry["result"] = {
+                "snapshot_id": snap["snapshot-id"],
+                "rewritten": int(snap["summary"]["rewritten-data-files"]),
+                "added": int(snap["summary"]["added-data-files"]),
+            }
+        elif step["action"] == "expire_snapshots":
+            expired = C.expire_snapshots(table_dir, **step["params"])
+            entry["result"] = {"expired_snapshot_ids": expired}
+        elif step["action"] == "remove_orphan_files":
+            removed = analysis.remove_orphan_files(
+                spark,
+                os.path.join(table_dir, "data"),
+                C.current_metadata_path(table_dir),
+                older_than_ms=step["params"]["older_than_ms"],
+            )
+            entry["result"] = {"removed_files": len(removed)}
+        else:
+            raise ValueError(f"unknown maintenance action {step['action']!r}")
+        report["actions"].append(entry)
+    return report

@@ -1,0 +1,75 @@
+"""Recommendation → action autopilot (ops/autopilot.py): on a messy table
+(small files + MOR deletes + stale snapshots + a backdated stray file)
+the plan derives the reference's recommendation categories and EXECUTES
+them through the commit plane, leaving a healthy table with the same
+rows."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from hielo_spark.metadata import commit as C
+from hielo_spark.metadata.manifests import read_data_at_snapshot
+from hielo_spark.ops.autopilot import plan_maintenance, run_maintenance
+
+DAY = 86_400_000
+
+
+def _messy_table(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    base = 1_700_000_000_000
+    for i in range(3):  # three appends, each forced into 3 small files
+        df = spark.createDataFrame(
+            [(i * 100 + j, f"v{j}") for j in range(30)], ["id", "v"]
+        ).repartition(3)
+        C.append(spark, t, df, snapshot_id=101 + i, timestamp_ms=base + i * DAY)
+    C.delete_equality(spark, t, spark.createDataFrame([(5,), (105,)], ["id"]),
+                      snapshot_id=104, timestamp_ms=base + 3 * DAY)
+    # stray file, backdated past the orphan grace window
+    stray = os.path.join(t, "data", "stray.parquet")
+    spark.createDataFrame([(999,)], ["junk"]).coalesce(1).write.parquet(
+        os.path.join(t, "data", "_stray_tmp"))
+    part = glob.glob(os.path.join(t, "data", "_stray_tmp", "part-*.parquet"))[0]
+    os.rename(part, stray)
+    os.utime(stray, (1, 1))
+    return t, base
+
+
+def test_plan_derives_reference_recommendations(spark, tmp_path):
+    t, base = _messy_table(spark, tmp_path)
+    now = base + 30 * DAY
+    plan = plan_maintenance(spark, t, now_ms=now)
+    actions = [p["action"] for p in plan]
+    assert actions == ["rewrite_data_files", "expire_snapshots", "remove_orphan_files"]
+    assert "small" in plan[0]["reason"] or "delete files" in plan[0]["reason"] or "data files" in plan[0]["reason"]
+
+
+def test_run_maintenance_executes_and_heals(spark, tmp_path):
+    t, base = _messy_table(spark, tmp_path)
+    now = base + 30 * DAY
+    mpath = C.current_metadata_path(t)
+    before = {r.id for r in read_data_at_snapshot(spark, mpath).collect()}
+    assert before == {i * 100 + j for i in range(3) for j in range(30)} - {5, 105}
+
+    report = run_maintenance(spark, t, now_ms=now)
+    by_action = {a["action"]: a["result"] for a in report["actions"]}
+    assert by_action["rewrite_data_files"]["rewritten"] == 9
+    assert by_action["rewrite_data_files"]["added"] == 1
+    assert by_action["expire_snapshots"]["expired_snapshot_ids"]  # old ones gone
+    assert by_action["remove_orphan_files"]["removed_files"] >= 1  # the stray
+
+    mpath = C.current_metadata_path(t)
+    after = read_data_at_snapshot(spark, mpath)
+    assert {r.id for r in after.collect()} == before  # rows preserved
+    assert len(set(after.inputFiles())) == 1          # compacted
+    with open(mpath) as f:
+        doc = json.load(f)
+    assert len(doc["snapshots"]) <= 3                 # retention applied
+    assert not os.path.exists(os.path.join(t, "data", "stray.parquet"))
+
+    # idempotence: a second pass has nothing left to compact/expire
+    plan2 = plan_maintenance(spark, t, now_ms=now + DAY)
+    actions2 = [p["action"] for p in plan2]
+    assert "rewrite_data_files" not in actions2 or len(set(after.inputFiles())) > 1
