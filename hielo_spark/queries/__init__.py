@@ -155,9 +155,14 @@ for mod in (relational, meta, ext):
 #   emb_cosine_topk (r3 green; the exact-top-k family is held by
 #     emb_ann_recall's hash-matched exact side — makes room for the new
 #     meta_partition_pruning head row, the partition-plane golden)
+#   doc_neardup_jaccard (r3 green; the exact blocked-Jaccard family is
+#     ALSO the truth side inside doc_minhash_recall's hash-matched
+#     oracle — makes room for the new meta_autopilot head row, the
+#     recommendation→action loop golden)
 _DEFERRED = [
     "doc_dedup_components",
     "emb_cosine_topk",
+    "doc_neardup_jaccard",
     "doc_shard_packing",
     "doc_contamination",
     "doc_tfidf_top_terms",

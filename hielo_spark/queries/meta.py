@@ -1047,3 +1047,67 @@ def meta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "read_kind string, n_rows long, files_pruned boolean"
     ).orderBy("read_kind")
+
+
+# --------------------------------------------------------------------------
+# S11 closing golden (r4) — the full recommendation → action loop through
+# our own planes: a messy table (3×3 small files via three appends, MOR
+# equality deletes, stale snapshots, a backdated stray file) is healed by
+# the autopilot — compaction REPLACE snapshot, retention expiry commit,
+# orphan sweep — and every action's key metric plus the preserved row
+# count are constants the oracle pins.
+# --------------------------------------------------------------------------
+@query(
+    "meta_autopilot",
+    """
+    SELECT * FROM (VALUES
+      ('expired_snapshots',   CAST(2 AS BIGINT)),
+      ('orphans_removed',     CAST(1 AS BIGINT)),
+      ('rewritten_files',     CAST(9 AS BIGINT)),
+      ('rows_after',          CAST(88 AS BIGINT))
+    ) AS t(metric, n)
+    """,
+)
+def meta_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.manifests import read_data_at_snapshot
+    from ..ops.autopilot import run_maintenance
+
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_autopilot_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    base = 1_700_000_000_000
+    day = 86_400_000
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(i * 100 + j, f"v{j}") for j in range(30)], ["id", "v"]
+        ).repartition(3)
+        C.append(spark, t, df, snapshot_id=101 + i, timestamp_ms=base + i * day)
+    C.delete_equality(spark, t, spark.createDataFrame([(5,), (105,)], ["id"]),
+                      snapshot_id=104, timestamp_ms=base + 3 * day)
+    spark.createDataFrame([(999,)], ["junk"]).coalesce(1).write.parquet(
+        os.path.join(t, "data", "_stray_tmp"))
+    part = glob.glob(os.path.join(t, "data", "_stray_tmp", "part-*.parquet"))[0]
+    stray = os.path.join(t, "data", "stray.parquet")
+    os.rename(part, stray)
+    os.utime(stray, (1, 1))
+
+    report = run_maintenance(spark, t, now_ms=base + 30 * day)
+    by = {a["action"]: a["result"] for a in report["actions"]}
+    rows_after = read_data_at_snapshot(spark, C.current_metadata_path(t)).count()
+    return spark.createDataFrame(
+        [
+            ("expired_snapshots", len(by["expire_snapshots"]["expired_snapshot_ids"])),
+            ("orphans_removed", by["remove_orphan_files"]["removed_files"]),
+            ("rewritten_files", by["rewrite_data_files"]["rewritten"]),
+            ("rows_after", rows_after),
+        ],
+        "metric string, n long",
+    ).orderBy("metric")
