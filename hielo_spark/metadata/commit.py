@@ -839,6 +839,214 @@ def delete_where(
     )
 
 
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source_df: DataFrame,
+    on: list[str],
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict | None:
+    """``MERGE INTO`` as a SINGLE merge-on-read snapshot (the Iceberg
+    v2 row-level-operations shape, SURVEY §2.1 S11): one commit carries
+    BOTH an equality-delete manifest for the matched keys AND a data
+    manifest for the appended rows, at the same sequence number. The
+    spec's scan-planning rule — an equality delete applies only to data
+    files with a STRICTLY LOWER sequence number — is what makes this
+    atomic composition correct: the commit's own appended files survive
+    its own delete, while every matched pre-existing row disappears.
+    Readers see either the whole merge or none of it (the metadata.json
+    version bump is the atomic commit point).
+
+    ``when_matched``: ``"update"`` (matched target rows are replaced by
+    the matching source rows — duplicate target keys all die, duplicate
+    source rows all land), ``"delete"``, or ``None`` (leave matched
+    rows alone). ``when_not_matched``: ``"insert"`` or ``None``.
+    Returns the new snapshot dict, or ``None`` when the merge is a
+    no-op (no matched keys to change and nothing to insert) — Iceberg
+    likewise skips empty commits.
+
+    Scale: the match split is one distributed semi/anti join of the
+    source against the target's live rows (delete-key side is
+    ``on``-projected + distinct — small by construction); data files
+    are written by distributed parquet writes; only planning-plane file
+    lists and two scalar counts cross the driver."""
+    import time
+
+    from .manifests import read_data_at_snapshot
+
+    if when_matched not in ("update", "delete", None):
+        raise ValueError("when_matched must be 'update', 'delete', or None")
+    if when_not_matched not in ("insert", None):
+        raise ValueError("when_not_matched must be 'insert' or None")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("merge with no clauses is a no-op by construction")
+    if not on:
+        raise ValueError("merge requires at least one key column")
+    missing = [c for c in on if c not in source_df.columns]
+    if missing:
+        raise ValueError(f"key columns missing from source: {missing}")
+
+    doc, prev_version = _load_doc(table_dir)
+    if doc.get("current-snapshot-id") is None:
+        raise ValueError("cannot merge into a table with no current snapshot")
+    seq = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    mdir = os.path.join(table_dir, "metadata")
+
+    target = read_data_at_snapshot(spark, current_metadata_path(table_dir))
+    if when_matched == "update" or when_not_matched == "insert":
+        if set(source_df.columns) != set(target.columns):
+            raise ValueError(
+                f"source columns {sorted(source_df.columns)} != target "
+                f"columns {sorted(target.columns)} (update/insert clauses "
+                "write full rows)"
+            )
+        source_df = source_df.select(*target.columns)
+
+    target_keys = target.select(*on).distinct()
+    matched_src = source_df.join(target_keys, on, "left_semi")
+    delete_keys = matched_src.select(*on).distinct()
+    # deletes only materialize when a matched clause will change rows
+    n_delete_keys = delete_keys.count() if when_matched is not None else 0
+
+    to_append = None
+    if when_matched == "update":
+        to_append = matched_src
+    if when_not_matched == "insert":
+        unmatched_src = source_df.join(target_keys, on, "left_anti")
+        to_append = (
+            unmatched_src if to_append is None else to_append.unionByName(unmatched_src)
+        )
+
+    # deleted-row count for the summary (matched keys can hit several
+    # target rows); one distributed count, planning-plane scalar
+    n_deleted_rows = (
+        target.join(delete_keys, on, "left_semi").count() if n_delete_keys else 0
+    )
+
+    manifest_rows = _carry_forward_rows(spark, mdir, doc)
+
+    if n_delete_keys:
+        del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
+        delete_keys.coalesce(1).write.parquet(del_dir)
+        del_parts = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
+        del_manifest = os.path.join(
+            mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+        )
+        write_avro(
+            spark,
+            del_manifest,
+            MANIFEST_ENTRY_SCHEMA_V2,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "content": 2,  # equality deletes
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "record_count": n_delete_keys,
+                        "file_size_in_bytes": os.path.getsize(p),
+                    },
+                }
+                for p in del_parts
+            ],
+        )
+        manifest_rows.append(
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": 0,
+                "content": 1,  # delete manifest
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(del_parts),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+            }
+        )
+
+    added_records = 0
+    data_parts: list[str] = []
+    if to_append is not None:
+        data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}")
+        to_append.write.parquet(data_dir)
+        data_parts = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
+        stats = _file_stats(spark, data_dir, dict(to_append.dtypes), exclude_cols=[])
+        added_records = sum(stats.records_of(p) for p in data_parts)
+        if added_records == 0:
+            data_parts = []  # empty append side: skip the data manifest
+        else:
+            data_manifest = os.path.join(
+                mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+            )
+            write_avro(
+                spark,
+                data_manifest,
+                MANIFEST_ENTRY_SCHEMA_V2,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": p,
+                            "file_format": "PARQUET",
+                            "record_count": stats.records_of(p),
+                            "file_size_in_bytes": os.path.getsize(p),
+                            "lower_bounds": stats.bounds_of(p)[0],
+                            "upper_bounds": stats.bounds_of(p)[1],
+                            "bounds_types": stats.btypes,
+                            "null_counts": stats.null_counts_of(p),
+                        },
+                    }
+                    for p in data_parts
+                ],
+            )
+            manifest_rows.append(
+                {
+                    "manifest_path": data_manifest,
+                    "manifest_length": os.path.getsize(data_manifest),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(data_parts),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                }
+            )
+
+    if not n_delete_keys and added_records == 0:
+        return None  # empty merge: commit nothing, like Iceberg
+
+    current = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    prior_total = int(current.get("summary", {}).get("total-records", "0") or 0)
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, manifest_rows,
+        snapshot_id, timestamp_ms, seq,
+        {
+            "operation": "overwrite",
+            "added-data-files": str(len(data_parts)),
+            "added-records": str(added_records),
+            "deleted-records": str(n_deleted_rows),
+            "equality-delete-files": str(1 if n_delete_keys else 0),
+            "added-delete-records": str(n_delete_keys),
+            "total-records": str(prior_total - n_deleted_rows + added_records),
+        },
+    )
+
+
 def create_ref(
     table_dir: str, name: str, snapshot_id: int, ref_type: str = "tag"
 ) -> str:

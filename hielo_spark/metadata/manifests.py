@@ -619,3 +619,153 @@ def read_incremental(
         ).drop("_fp", "_pos").schema
         return spark.createDataFrame([], schema)
     return _read_files_with_partitions(spark, new_files).drop("_fp", "_pos")
+
+
+def read_changelog(
+    spark: SparkSession,
+    metadata_json_path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """CDC changelog between two snapshots (the Iceberg
+    ``create_changelog_view`` shape): every row change committed AFTER
+    ``from_snapshot_id`` (exclusive; ``None`` = from the table's root,
+    so the first snapshot's rows appear as inserts) up to and including
+    ``to_snapshot_id`` (default current), as data rows plus three
+    metadata columns — ``_change_type`` (``'INSERT'`` / ``'DELETE'``;
+    an update is a DELETE+INSERT pair in the same ordinal, exactly how
+    Iceberg's changelog renders MERGE), ``_commit_snapshot_id``, and
+    ``_change_ordinal`` (0-based position along the lineage walk).
+
+    Per-snapshot strategy, chosen by the commit's operation:
+
+    * ``append`` — fast path: only the snapshot's NEW files (manifest
+      file-set difference vs the parent) are scanned and emitted as
+      inserts; no diff join at all.
+    * ``replace`` (compaction) — no logical row change by construction;
+      emits nothing, matching Iceberg's changelog which skips rewrite
+      snapshots.
+    * anything else (``delete`` / ``overwrite`` / unknown) — the
+      general multiset diff: ``live(parent) EXCEPT ALL live(snapshot)``
+      rows are deletes, the reverse are inserts. Both sides read
+      through the sequence-scoped MOR path, so equality/position
+      deletes and schema evolution are already applied.
+
+    Scale: appends never shuffle (file-diff planning + scan). The diff
+    path is two shuffles per changed snapshot over only the snapshots
+    in range — the same cost Iceberg pays to resolve overwrite
+    changelogs without tracked row lineage. Planning (lineage walk,
+    file lists) is metadata-only."""
+    import json
+
+    with open(metadata_json_path) as f:
+        doc = json.load(f)
+    by_id = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
+    if to_snapshot_id is None:
+        to_snapshot_id = doc.get("current-snapshot-id")
+        if to_snapshot_id is None:
+            raise ValueError("table has no current snapshot")
+        to_snapshot_id = int(to_snapshot_id)
+    if to_snapshot_id not in by_id:
+        raise ValueError(f"to_snapshot {to_snapshot_id} not in table")
+    if from_snapshot_id is not None and from_snapshot_id not in by_id:
+        raise ValueError(f"from_snapshot {from_snapshot_id} not in table")
+
+    # lineage walk to → ... → from (exclusive); from=None walks to root
+    chain: list[dict] = []
+    cur: int | None = to_snapshot_id
+    while cur is not None and cur != from_snapshot_id:
+        s_ = by_id.get(cur)
+        if s_ is None:
+            raise ValueError(
+                f"from_snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id}"
+            )
+        chain.append(s_)
+        parent = s_.get("parent-snapshot-id")
+        cur = int(parent) if parent is not None else None
+    if cur is None and from_snapshot_id is not None:
+        raise ValueError(
+            f"from_snapshot {from_snapshot_id} is not an ancestor of "
+            f"{to_snapshot_id}"
+        )
+    chain.reverse()  # oldest change first
+
+    def live(snap_id: int | None) -> DataFrame | None:
+        if snap_id is None:
+            return None
+        try:
+            return read_data_at_snapshot(
+                spark, metadata_json_path, snapshot_id=snap_id
+            )
+        except ValueError as e:
+            if "no live data files" in str(e):
+                return None
+            raise
+
+    def tag(df: DataFrame, change: str, snap_id: int, ordinal: int) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(change).alias("_change_type"),
+            F.lit(snap_id).cast("long").alias("_commit_snapshot_id"),
+            F.lit(ordinal).cast("int").alias("_change_ordinal"),
+        )
+
+    def append_inserts(s_: dict, parent_id: int | None) -> DataFrame | None:
+        """New-files-only scan for an append snapshot."""
+        def paths_of(sid: int) -> dict[str, dict]:
+            mlist = _resolve(metadata_json_path, by_id[sid]["manifest-list"])
+            return {
+                r.file_path.removeprefix("file:"): {
+                    "path": r.file_path.removeprefix("file:"),
+                    "pvals": dict(r.partition_values) if r.partition_values else None,
+                    "ptypes": dict(r.partition_types) if r.partition_types else None,
+                }
+                for r in files_from_manifest_list(spark, "t", mlist).collect()
+            }
+
+        now = paths_of(int(s_["snapshot-id"]))
+        before = paths_of(parent_id) if parent_id is not None else {}
+        new_files = [now[p] for p in sorted(set(now) - set(before))]
+        if not new_files:
+            return None
+        return _read_files_with_partitions(spark, new_files).drop("_fp", "_pos")
+
+    out: DataFrame | None = None
+    ordinal = 0
+    for s_ in chain:
+        sid = int(s_["snapshot-id"])
+        parent = s_.get("parent-snapshot-id")
+        parent_id = int(parent) if parent is not None else None
+        op = s_.get("summary", {}).get("operation")
+        pieces: list[DataFrame] = []
+        if op == "replace":
+            ordinal += 1  # compaction: no logical change, but it still
+            continue      # occupies its position on the lineage walk
+        if op == "append":
+            ins = append_inserts(s_, parent_id)
+            if ins is not None:
+                pieces.append(tag(ins, "INSERT", sid, ordinal))
+        else:
+            now_df, prev_df = live(sid), live(parent_id)
+            if prev_df is not None and now_df is not None:
+                # schema evolution: diff on the columns common to parent
+                # and child (add-column evolution would otherwise make
+                # every untouched row look changed via its new null)
+                cols = [c for c in prev_df.columns if c in now_df.columns]
+                dels = prev_df.select(*cols).exceptAll(now_df.select(*cols))
+                pieces.append(tag(dels, "DELETE", sid, ordinal))
+                ins = now_df.select(*cols).exceptAll(prev_df.select(*cols))
+                pieces.append(tag(ins, "INSERT", sid, ordinal))
+            elif now_df is not None:
+                pieces.append(tag(now_df, "INSERT", sid, ordinal))
+            elif prev_df is not None:
+                pieces.append(tag(prev_df, "DELETE", sid, ordinal))
+        for p in pieces:
+            out = p if out is None else out.unionByName(p, allowMissingColumns=True)
+        ordinal += 1
+    if out is None:
+        raise ValueError(
+            "changelog range contains no logical row changes"
+        )
+    return out

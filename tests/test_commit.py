@@ -634,3 +634,199 @@ def test_null_counts_cover_non_orderable_columns(spark, tmp_path):
     # single file — but the row filter applies)
     vals = read_data_at_snapshot(spark, mpath, skip_filter=("flag", "is_not_null", None))
     assert {r.id for r in vals.collect()} == {0, 1}
+
+
+# -- MERGE INTO (single-snapshot MOR upsert) -------------------------------
+
+
+def _rows(spark, mpath, **kw):
+    return {
+        (r.id, r.v)
+        for r in read_data_at_snapshot(spark, mpath, **kw).collect()
+    }
+
+
+def test_merge_into_upsert_single_snapshot(spark, tmp_path):
+    """One merge commit = one snapshot + one metadata version, carrying
+    both the equality-delete and the appended rows atomically."""
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(
+        spark, t,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000,
+    )
+    src = spark.createDataFrame([(2, "B2"), (9, "new")], ["id", "v"])
+    snap = C.merge_into(
+        spark, t, src, on=["id"], snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    assert snap["summary"]["added-records"] == "2"
+    assert snap["summary"]["deleted-records"] == "1"
+    assert snap["summary"]["total-records"] == "4"
+    mpath = C.current_metadata_path(t)
+    assert mpath.endswith("v2.metadata.json")  # exactly one version bump
+    assert _rows(spark, mpath) == {(1, "a"), (2, "B2"), (3, "c"), (9, "new")}
+    # pre-merge snapshot untouched by time travel
+    assert _rows(spark, mpath, snapshot_id=101) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_into_delete_clause(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(
+        spark, t,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000,
+    )
+    # matched rows die, unmatched source rows insert
+    src = spark.createDataFrame([(1, "x"), (7, "g")], ["id", "v"])
+    C.merge_into(
+        spark, t, src, on=["id"], when_matched="delete",
+        snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    mpath = C.current_metadata_path(t)
+    assert _rows(spark, mpath) == {(2, "b"), (3, "c"), (7, "g")}
+
+    # delete-only merge: no insert clause → matched keys just vanish
+    C.merge_into(
+        spark, t, spark.createDataFrame([(2, "?")], ["id", "v"]),
+        on=["id"], when_matched="delete", when_not_matched=None,
+        snapshot_id=103, timestamp_ms=1700200000000,
+    )
+    mpath = C.current_metadata_path(t)
+    assert _rows(spark, mpath) == {(3, "c"), (7, "g")}
+
+
+def test_merge_into_chained_merges_sequence_scoped(spark, tmp_path):
+    """A second merge must update rows the FIRST merge appended — i.e.
+    the first merge's data files (written at seq N alongside its own
+    delete at seq N) are correctly older than the second merge's delete
+    at seq N+1."""
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.merge_into(spark, t, spark.createDataFrame([(1, "a2")], ["id", "v"]),
+                 on=["id"], snapshot_id=102, timestamp_ms=1700100000000)
+    C.merge_into(spark, t, spark.createDataFrame([(1, "a3")], ["id", "v"]),
+                 on=["id"], snapshot_id=103, timestamp_ms=1700200000000)
+    mpath = C.current_metadata_path(t)
+    assert _rows(spark, mpath) == {(1, "a3")}
+    assert _rows(spark, mpath, snapshot_id=102) == {(1, "a2")}
+    assert _rows(spark, mpath, snapshot_id=101) == {(1, "a")}
+
+
+def test_merge_into_noop_and_validation(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    # nothing matches and insert clause off → no commit at all
+    out = C.merge_into(
+        spark, t, spark.createDataFrame([(9, "z")], ["id", "v"]),
+        on=["id"], when_matched="update", when_not_matched=None,
+        snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    assert out is None
+    assert C.current_metadata_path(t).endswith("v1.metadata.json")
+
+    with pytest.raises(ValueError, match="no clauses"):
+        C.merge_into(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+                     on=["id"], when_matched=None, when_not_matched=None)
+    with pytest.raises(ValueError, match="key columns missing"):
+        C.merge_into(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+                     on=["nope"])
+    with pytest.raises(ValueError, match="columns"):
+        C.merge_into(spark, t, spark.createDataFrame([(1,)], ["id"]),
+                     on=["id"])
+
+
+def test_merge_into_duplicate_target_keys_all_replaced(spark, tmp_path):
+    """Matched keys kill EVERY matching target row (equality-delete
+    semantics), then the source rows land once."""
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(
+        spark, t,
+        spark.createDataFrame([(1, "a"), (1, "dup"), (2, "b")], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000,
+    )
+    snap = C.merge_into(
+        spark, t, spark.createDataFrame([(1, "one")], ["id", "v"]),
+        on=["id"], snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    assert snap["summary"]["deleted-records"] == "2"
+    mpath = C.current_metadata_path(t)
+    assert _rows(spark, mpath) == {(1, "one"), (2, "b")}
+
+
+# -- CDC changelog ---------------------------------------------------------
+
+
+def _changes(spark, mpath, **kw):
+    from hielo_spark.metadata.manifests import read_changelog
+
+    return {
+        (r._change_ordinal, r._change_type, r.id, r.v)
+        for r in read_changelog(spark, mpath, **kw).collect()
+    }
+
+
+def test_changelog_full_lineage(spark, tmp_path):
+    """append → append → merge-update → delete_where, replayed as
+    INSERT/DELETE rows with per-snapshot ordinals."""
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t,
+             spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(3, "c")], ["id", "v"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.merge_into(spark, t, spark.createDataFrame([(2, "B")], ["id", "v"]),
+                 on=["id"], snapshot_id=103, timestamp_ms=1700200000000)
+    C.delete_where(spark, t, "id = 1",
+                   snapshot_id=104, timestamp_ms=1700300000000)
+    mpath = C.current_metadata_path(t)
+
+    assert _changes(spark, mpath) == {
+        (0, "INSERT", 1, "a"), (0, "INSERT", 2, "b"),   # root append
+        (1, "INSERT", 3, "c"),                           # second append
+        (2, "DELETE", 2, "b"), (2, "INSERT", 2, "B"),    # merge = del+ins pair
+        (3, "DELETE", 1, "a"),                           # delete_where
+    }
+    # bounded range: changes strictly after 102
+    assert _changes(spark, mpath, from_snapshot_id=102) == {
+        (0, "DELETE", 2, "b"), (0, "INSERT", 2, "B"),
+        (1, "DELETE", 1, "a"),
+    }
+    # snapshot ids ride along
+    from hielo_spark.metadata.manifests import read_changelog
+    sids = {
+        (r._change_ordinal, r._commit_snapshot_id)
+        for r in read_changelog(spark, mpath, from_snapshot_id=102).collect()
+    }
+    assert sids == {(0, 103), (1, 104)}
+
+
+def test_changelog_skips_compaction(spark, tmp_path):
+    """A replace (rewrite_data_files) snapshot changes no logical rows
+    and must not appear in the changelog."""
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.rewrite_data_files(spark, t, snapshot_id=102, timestamp_ms=1700100000000)
+    C.append(spark, t, spark.createDataFrame([(3, "c")], ["id", "v"]),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    mpath = C.current_metadata_path(t)
+    assert _changes(spark, mpath, from_snapshot_id=101) == {
+        (1, "INSERT", 3, "c"),  # ordinal 0 was the skipped replace
+    }
+
+
+def test_changelog_validation(spark, tmp_path):
+    from hielo_spark.metadata.manifests import read_changelog
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    mpath = C.current_metadata_path(t)
+    with pytest.raises(ValueError, match="not in table"):
+        read_changelog(spark, mpath, from_snapshot_id=999)
+    with pytest.raises(ValueError, match="no logical row changes"):
+        # empty range: from == to
+        read_changelog(spark, mpath, from_snapshot_id=101, to_snapshot_id=101)
