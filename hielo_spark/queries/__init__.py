@@ -159,7 +159,37 @@ for mod in (relational, meta, ext):
 #     ALSO the truth side inside doc_minhash_recall's hash-matched
 #     oracle — makes room for the new meta_autopilot head row, the
 #     recommendation→action loop golden)
+# Round-4 session 3: three new planes take head slots so they get driver
+# rows at all — meta_changelog (the CDC plane: single-snapshot MERGE
+# INTO + DELETE WHERE replayed by read_changelog), doc_dup_ngram_coverage
+# (span-level duplicated-substring statistic, oracle re-derives coverage
+# from literal grams so the xxhash64 key is cross-checked), and
+# doc_boilerplate_lines (corpus-level line dedup through the real
+# operator). Three r3-green entries defer, families covered:
+#   events_hourly_windows (r3 green; windowed-agg family held by
+#     events_sliding_windows + events_recent_windows head rows and the
+#     streaming parity tests)
+#   meta_latest_snapshot (r3 green; O6 latest-selection also inside
+#     meta_health's freshness columns and meta_snapshot_timeline's sort)
+#   meta_file_histogram (r3 green; A7x histogram family held by
+#     meta_health's file-health columns + manifest→histogram pytest)
+#   meta_catalog_search (r3 green; F2 substring family held by
+#     meta_table_type_split's browse plane, the glue/warehouse discovery
+#     rows, and tests/test_catalog.py)
+#   doc_simhash_precision (registered after the former head boundary —
+#     never held a driver slot; the SimHash family stays pytest-pinned,
+#     with the hash-family driver story carried by doc_neardup_minhash +
+#     doc_minhash_recall)
+#   emb_quantize_error (r3 green; quantization error bound also pinned
+#     by tests/test_sketches.py, sketch-accuracy family held by
+#     lineitem_sketch_quantiles' head row)
 _DEFERRED = [
+    "events_hourly_windows",
+    "meta_latest_snapshot",
+    "meta_file_histogram",
+    "meta_catalog_search",
+    "doc_simhash_precision",
+    "emb_quantize_error",
     "doc_dedup_components",
     "emb_cosine_topk",
     "doc_neardup_jaccard",

@@ -1245,3 +1245,106 @@ def doc_simhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = sets.agg(F.count("*").cast("bigint").alias("n_docs"))
     return n_docs.crossJoin(prec)
+
+
+# --------------------------------------------------------------------------
+# X1/X4 corpus-level cleanups (r4 session 3, operators/corpus.py).
+# doc_dup_ngram_coverage — per-doc fraction of token positions covered
+# by an 8-gram shared with >=2 distinct docs (the span-level dedup
+# statistic MinHash doc-level dedup can't see). Internally the gram key
+# is xxhash64 (fixed-width shuffle key); the oracle re-derives the same
+# coverage from the literal gram strings, so a hash collision would
+# show up as a mismatch.
+# --------------------------------------------------------------------------
+@query(
+    "doc_dup_ngram_coverage",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+    starts AS (SELECT doc_id, t, unnest(range(1, n_tokens - 6)) AS i
+               FROM base WHERE n_tokens >= 8),
+    grams AS (SELECT doc_id, i AS start,
+                     array_to_string(t[i:i+7], chr(31)) AS gram
+              FROM starts),
+    dup AS (SELECT gram FROM grams GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2),
+    occ AS (SELECT g.doc_id, g.start, unnest(range(0, 8)) AS o
+            FROM grams g JOIN dup USING (gram)),
+    cov AS (SELECT doc_id, count(DISTINCT start + o) AS covered
+            FROM occ GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered,
+           CAST(round(coalesce(cov.covered, 0) * 1.0 / b.n_tokens, 6) AS DOUBLE)
+             AS coverage
+    FROM base b LEFT JOIN cov USING (doc_id)
+    """,
+)
+def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus.dup_ngram_coverage(d, n=8, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# X4 boilerplate-line removal (RefinedWeb-style): the fixture docs are
+# single-line, so BOTH sides first re-segment deterministically into
+# 10-token lines, then lines appearing in >=2 distinct docs are removed
+# by the real operator; the oracle recomputes the removal arithmetic in
+# SQL. Rebuilt-text ordering semantics are pinned by tests/test_corpus.py.
+# --------------------------------------------------------------------------
+@query(
+    "doc_boilerplate_lines",
+    """
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    nl AS (SELECT doc_id, lang, t, CAST(ceil(len(t) / 10.0) AS BIGINT) AS nlines
+           FROM toks),
+    ls AS (SELECT doc_id, lang, nlines, unnest(range(1, nlines + 1)) AS i, t
+           FROM nl),
+    lx AS (SELECT doc_id, lang, nlines,
+                  trim(array_to_string(t[(i-1)*10+1:(i-1)*10+10], ' ')) AS key
+           FROM ls),
+    bp AS (SELECT key FROM lx WHERE length(key) >= 1
+           GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
+    per_doc AS (
+      SELECT l.doc_id, any_value(l.lang) AS lang, any_value(l.nlines) AS n_lines,
+             sum(CASE WHEN length(l.key) >= 1 AND bp.key IS NOT NULL
+                      THEN 1 ELSE 0 END) AS n_removed
+      FROM lx l LEFT JOIN bp ON l.key = bp.key
+      GROUP BY l.doc_id)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_affected,
+           CAST(sum(n_lines) AS BIGINT) AS total_lines,
+           CAST(sum(n_removed) AS BIGINT) AS lines_removed
+    FROM per_doc GROUP BY lang
+    """,
+)
+def doc_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = F.split(F.col("text"), " ", -1)
+    nl = F.ceil(F.size(t) / F.lit(10)).cast("int")
+    reseg = d.select(
+        "doc_id",
+        "lang",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nl - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i * 10 + 1, 10)),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    cleaned = corpus.remove_boilerplate_lines(reseg, min_docs=2)
+    return cleaned.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_affected"),
+        F.sum("n_lines").cast("bigint").alias("total_lines"),
+        F.sum("n_removed").cast("bigint").alias("lines_removed"),
+    )

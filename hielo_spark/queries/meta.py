@@ -1111,3 +1111,58 @@ def meta_autopilot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "metric string, n long",
     ).orderBy("metric")
+
+
+# --------------------------------------------------------------------------
+# S11/S12 CDC plane (r4 session 3) — changelog golden: a full lineage
+# through our own commits (append → single-snapshot MERGE INTO →
+# DELETE WHERE) replayed by read_changelog as INSERT/DELETE rows. The
+# merge must surface as a DELETE+INSERT pair in ONE ordinal (one
+# snapshot = one atomic commit), compaction-free lineage keeps the
+# ordinals dense. Constant oracle; semantics pinned deeper by
+# tests/test_commit.py.
+# --------------------------------------------------------------------------
+@query(
+    "meta_changelog",
+    """
+    SELECT * FROM (VALUES
+      (0, 'INSERT', CAST(3 AS BIGINT), CAST(101 AS BIGINT)),
+      (1, 'DELETE', CAST(1 AS BIGINT), CAST(102 AS BIGINT)),
+      (1, 'INSERT', CAST(2 AS BIGINT), CAST(102 AS BIGINT)),
+      (2, 'DELETE', CAST(1 AS BIGINT), CAST(103 AS BIGINT))
+    ) AS t(change_ordinal, change_type, n_rows, snapshot_id)
+    """,
+)
+def meta_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.manifests import read_changelog
+
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_changelog_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    C.append(spark, t, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.merge_into(spark, t, spark.createDataFrame(
+        [(2, "B"), (9, "z")], ["id", "v"]),
+        on=["id"], snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, "id = 1",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    log = read_changelog(spark, C.current_metadata_path(t))
+    return (
+        log.groupBy(
+            F.col("_change_ordinal").alias("change_ordinal"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.first("_commit_snapshot_id").cast("bigint").alias("snapshot_id"),
+        )
+        .orderBy("change_ordinal", "change_type")
+    )

@@ -322,3 +322,19 @@ def test_minhash_recall_no_cartesian_no_corpus_broadcast(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_corpus_ops_shuffle_on_hash_keys_no_cartesian(spark, sf_dir):
+    """The corpus-level cleanups (dup-ngram coverage, boilerplate
+    removal) must join occurrences to the corpus-frequency side by key —
+    hash/merge joins only, no CartesianProduct, and no forced broadcast
+    of a frame that scales with the corpus (AQE may still size-gate a
+    broadcast at test scale; the assertion is on the *logical* hint)."""
+    for name in ("doc_dup_ngram_coverage", "doc_boilerplate_lines"):
+        df = QUERIES[name](spark, sf_dir)
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        # no broadcast HINT in the optimized logical plan (physical
+        # BroadcastHashJoin chosen by AQE's size estimate is fine)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical, name
