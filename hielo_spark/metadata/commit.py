@@ -378,12 +378,21 @@ def append(
     (``col=value/`` dirs, distributed ``partitionBy`` write) and each
     manifest entry records the file's typed partition values — which is
     what makes ``read_data_at_snapshot(partition_filter=...)`` prune
-    files from metadata alone, the Iceberg planner behavior.
+    files from metadata alone, the Iceberg planner behavior. Entries
+    may be identity columns OR Iceberg hidden-partitioning transforms
+    (``"days(ts)"``, ``"months(ts)"``, ``"years(ts)"``, ``"hours(ts)"``,
+    ``"bucket(8, id)"``, ``"truncate(4, s)"`` — metadata/transforms.py,
+    spec-exact murmur3 bucketing): the derived partition value exists
+    ONLY in directory layout + manifest metadata, while the source
+    column stays in the data files, so readers filter on the source
+    column and prune via the transform — Iceberg's hidden partitioning.
 
     ``snapshot_id`` / ``timestamp_ms`` are injectable for deterministic
     tests (defaults: sequence-derived id, current wall clock)."""
     import time
     from urllib.parse import unquote
+
+    from .transforms import parse_partition_by
 
     doc, prev_version = _load_doc(table_dir)
     seq = int(doc.get("last-sequence-number", 0)) + 1
@@ -397,8 +406,16 @@ def append(
     # 1. data files — distributed parquet write into a per-commit dir
     data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}")
     dtypes = dict(df.dtypes)
-    if partition_by:
-        df.write.partitionBy(*partition_by).parquet(data_dir)
+    transforms = parse_partition_by(partition_by) if partition_by else []
+    for t in transforms:
+        if t.source not in dtypes:
+            raise ValueError(f"partition source column {t.source!r} not in frame")
+    if transforms:
+        wdf = df
+        for t in transforms:
+            if t.kind != "identity":
+                wdf = wdf.withColumn(t.field, t.expr(dtypes[t.source]))
+        wdf.write.partitionBy(*[t.field for t in transforms]).parquet(data_dir)
         parts = sorted(
             _glob.glob(os.path.join(data_dir, "**", "part-*.parquet"), recursive=True)
         )
@@ -407,7 +424,7 @@ def append(
         parts = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
 
     def partition_of(p: str) -> dict | None:
-        if not partition_by:
+        if not transforms:
             return None
         vals = {}
         for seg in os.path.relpath(p, data_dir).split(os.sep)[:-1]:
@@ -415,10 +432,28 @@ def append(
             vals[k] = unquote(v)
         return vals
 
+    # identity partitions carry their SQL type (the read side reattaches
+    # them as typed literals); transform partitions carry their spec
+    # behind a marker — the source column is IN the data, nothing to
+    # reattach, but time travel still prunes on the recorded value
     ptypes = (
-        {c: dtypes[c] for c in partition_by} if partition_by else None
+        {
+            t.field: (
+                dtypes[t.source]
+                if t.kind == "identity"
+                else f"transform:{t.spec}"
+            )
+            for t in transforms
+        }
+        if transforms
+        else None
     )
-    stats = _file_stats(spark, data_dir, dtypes, exclude_cols=partition_by or [])
+    stats = _file_stats(
+        spark,
+        data_dir,
+        dtypes,
+        exclude_cols=[t.source for t in transforms if t.kind == "identity"],
+    )
     records_of, bounds_of, btypes = stats.records_of, stats.bounds_of, stats.btypes
 
     # 2. manifest for the added files (entry seq null → inherited)
@@ -835,6 +870,137 @@ def delete_where(
             "operation": "delete",
             "position-delete-files": str(len(parts)),
             "added-delete-records": str(n_deleted),
+        },
+    )
+
+
+def rewrite_manifests(
+    spark: SparkSession,
+    table_dir: str,
+    entries_per_manifest: int = 100_000,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict | None:
+    """The last of the reference's recommended procedures
+    (`CALL c.system.rewrite_manifests`, SURVEY §2.1 S11): consolidate
+    the current snapshot's DATA manifest entries into size-targeted
+    manifests without touching a single data file — pure planning-plane
+    metadata compaction (many small appends leave one tiny manifest per
+    commit; scan planning then reads hundreds of Avro files to list the
+    table). Delete manifests are carried through unchanged (their
+    sequence numbers scope row-level deletes and must not be disturbed).
+    The commit's data snapshot is logically identical, so the snapshot
+    records ``operation: replace`` and the changelog skips it. Returns
+    the new snapshot dict, or ``None`` when the table already has a
+    single data manifest (nothing to consolidate)."""
+    import time
+
+    from .manifests import _resolve, read_manifest, read_manifest_list
+
+    doc, prev_version = _load_doc(table_dir)
+    if doc.get("current-snapshot-id") is None:
+        raise ValueError("cannot rewrite manifests of a table with no snapshot")
+    seq = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    mdir = os.path.join(table_dir, "metadata")
+    current = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    mlist = _resolve(
+        os.path.join(mdir, "x"), current["manifest-list"].removeprefix("file:")
+    )
+    manifests = read_manifest_list(spark, mlist).collect()
+    data_manifests = [m for m in manifests if (m.content or 0) == 0]
+    delete_rows = [
+        {
+            "manifest_path": m.manifest_path,
+            "manifest_length": m.manifest_length,
+            "partition_spec_id": m.partition_spec_id or 0,
+            "content": m.content,
+            "sequence_number": m.sequence_number if m.sequence_number is not None else 0,
+            "min_sequence_number": m.sequence_number if m.sequence_number is not None else 0,
+            "added_snapshot_id": m.added_snapshot_id or 0,
+            "added_files_count": m.added_files_count or 0,
+            "existing_files_count": m.existing_files_count or 0,
+            "deleted_files_count": 0,
+        }
+        for m in manifests
+        if (m.content or 0) == 1
+    ]
+    if len(data_manifests) <= 1:
+        return None  # already consolidated
+
+    # gather every live data-file entry, PRESERVING each file's data
+    # sequence number (existing entries written explicitly, per the
+    # spec: inheritance only applies to null seqs on ADDED entries)
+    entries: list[dict] = []
+    min_seq = seq
+    for m in data_manifests:
+        inherited = m.sequence_number if m.sequence_number is not None else 0
+        for r in read_manifest(
+            spark, _resolve(mlist, m.manifest_path), inherited_seq=inherited
+        ).collect():
+            if r.status == 2 or (r.content or 0) != 0:
+                continue  # deleted entries / stray delete files drop out
+            fseq = r.sequence_number if r.sequence_number is not None else inherited
+            min_seq = min(min_seq, fseq)
+            entries.append(
+                {
+                    "status": 0,  # existing, not added
+                    "snapshot_id": r.snapshot_id or m.added_snapshot_id or 0,
+                    "sequence_number": fseq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": r.file_path,
+                        "file_format": r.file_format or "PARQUET",
+                        "record_count": r.record_count or 0,
+                        "file_size_in_bytes": r.file_size_in_bytes or 0,
+                        "partition_values": dict(r.partition_values)
+                        if r.partition_values
+                        else None,
+                        "partition_types": dict(r.partition_types)
+                        if r.partition_types
+                        else None,
+                        "lower_bounds": dict(r.lower_bounds) if r.lower_bounds else None,
+                        "upper_bounds": dict(r.upper_bounds) if r.upper_bounds else None,
+                        "bounds_types": dict(r.bounds_types) if r.bounds_types else None,
+                        "null_counts": dict(r.null_counts) if r.null_counts else None,
+                    },
+                }
+            )
+
+    new_rows = []
+    for i in range(0, len(entries), entries_per_manifest):
+        chunk = entries[i : i + entries_per_manifest]
+        mpath = os.path.join(
+            mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+        )
+        write_avro(spark, mpath, MANIFEST_ENTRY_SCHEMA_V2, chunk)
+        new_rows.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": len(chunk),
+                "deleted_files_count": 0,
+            }
+        )
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, new_rows + delete_rows,
+        snapshot_id, timestamp_ms, seq,
+        {
+            "operation": "replace",
+            "rewritten-manifests": str(len(data_manifests)),
+            "added-manifests": str(len(new_rows)),
+            "total-records": current.get("summary", {}).get("total-records", "0"),
         },
     )
 

@@ -324,6 +324,11 @@ def _read_files_with_partitions(spark: SparkSession, data_files: list[dict]) -> 
         if key:
             ptypes = fs[0]["ptypes"] or {}
             for col, sval in key:
+                # hidden-partitioning transforms (days/bucket/truncate…)
+                # exist only in metadata — the SOURCE column is in the
+                # data files, so there is nothing to reattach
+                if ptypes.get(col, "").startswith("transform:"):
+                    continue
                 # Spark writes NULL partition values to the hive default
                 # dir; round-trip them back to NULL, not the sentinel
                 lit = (
@@ -765,7 +770,13 @@ def read_changelog(
             out = p if out is None else out.unionByName(p, allowMissingColumns=True)
         ordinal += 1
     if out is None:
-        raise ValueError(
-            "changelog range contains no logical row changes"
-        )
+        # range held only no-op snapshots (replace/compaction) or was
+        # empty: a correctly-shaped empty changelog, not an error
+        end = live(to_snapshot_id)
+        if end is None:
+            raise ValueError(
+                f"snapshot {to_snapshot_id} has no live data files and the "
+                "changelog range contains no changes"
+            )
+        return tag(end.limit(0), "INSERT", to_snapshot_id, 0)
     return out

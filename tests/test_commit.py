@@ -827,6 +827,68 @@ def test_changelog_validation(spark, tmp_path):
     mpath = C.current_metadata_path(t)
     with pytest.raises(ValueError, match="not in table"):
         read_changelog(spark, mpath, from_snapshot_id=999)
-    with pytest.raises(ValueError, match="no logical row changes"):
-        # empty range: from == to
-        read_changelog(spark, mpath, from_snapshot_id=101, to_snapshot_id=101)
+    # empty range (from == to): a correctly-shaped empty changelog
+    empty = read_changelog(spark, mpath, from_snapshot_id=101, to_snapshot_id=101)
+    assert empty.count() == 0
+    assert {"_change_type", "_commit_snapshot_id", "_change_ordinal"} <= set(empty.columns)
+
+
+# -- rewrite_manifests (metadata compaction) -------------------------------
+
+
+def test_rewrite_manifests_consolidates_without_touching_data(spark, tmp_path):
+    """Five tiny appends leave five data manifests; rewrite_manifests
+    collapses them to one, rows and time travel unchanged, deletes
+    still scoped, changelog skips the replace snapshot."""
+    from hielo_spark.metadata.manifests import (
+        read_changelog, read_manifest_list,
+    )
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    for i in range(5):
+        C.append(spark, t, spark.createDataFrame([(i, f"v{i}")], ["id", "v"]),
+                 snapshot_id=101 + i, timestamp_ms=1700000000000 + i * 1000)
+    # a MOR equality delete rides along and must survive untouched
+    C.delete_equality(spark, t, spark.createDataFrame([(1,)], ["id"]),
+                      snapshot_id=110, timestamp_ms=1700010000000)
+
+    snap = C.rewrite_manifests(spark, t, snapshot_id=111,
+                               timestamp_ms=1700020000000)
+    assert snap["summary"]["operation"] == "replace"
+    assert snap["summary"]["rewritten-manifests"] == "5"
+    assert snap["summary"]["added-manifests"] == "1"
+
+    manifests = read_manifest_list(
+        spark, snap["manifest-list"].removeprefix("file:")
+    ).collect()
+    assert sum(1 for m in manifests if (m.content or 0) == 0) == 1
+    assert sum(1 for m in manifests if (m.content or 0) == 1) == 1  # delete kept
+
+    mpath = C.current_metadata_path(t)
+    assert _rows(spark, mpath) == {(0, "v0"), (2, "v2"), (3, "v3"), (4, "v4")}
+    # data-file seqs preserved: a delete at seq 6 still kills id=1 rows
+    # from the seq-2 file even though the manifest was rewritten at seq 7
+    assert _rows(spark, mpath, snapshot_id=103) == {(0, "v0"), (1, "v1"), (2, "v2")}
+    # changelog skips it
+    log = read_changelog(spark, mpath, from_snapshot_id=110)
+    assert log.count() == 0
+
+
+def test_rewrite_manifests_noop_when_single_manifest(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    assert C.rewrite_manifests(spark, t) is None
+
+
+def test_rewrite_manifests_chunking(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    for i in range(4):
+        C.append(spark, t,
+                 spark.createDataFrame([(i, "x")], ["id", "v"]).coalesce(1),
+                 snapshot_id=101 + i, timestamp_ms=1700000000000 + i)
+    snap = C.rewrite_manifests(spark, t, entries_per_manifest=3,
+                               snapshot_id=120, timestamp_ms=1700100000000)
+    assert snap["summary"]["added-manifests"] == "2"  # 4 entries / 3-cap
+    mpath = C.current_metadata_path(t)
+    assert {r.id for r in read_data_at_snapshot(spark, mpath).collect()} == {0, 1, 2, 3}

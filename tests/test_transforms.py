@@ -1,0 +1,148 @@
+"""Iceberg partition transforms (metadata/transforms.py): spec parsing,
+spec-exact murmur3 bucket vectors, literal→partition-value mapping, and
+hidden-partitioning commits (write-side derivation + metadata-only
+pruning + source columns untouched in data)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from hielo_spark.metadata import commit as C
+from hielo_spark.metadata.manifests import (
+    files_from_manifest_list,
+    read_data_at_snapshot,
+)
+from hielo_spark.metadata.transforms import (
+    PartitionTransform,
+    murmur3_32_bytes,
+    murmur3_32_long,
+    parse_partition_by,
+)
+
+
+def test_murmur3_spec_vectors():
+    """The published Iceberg spec appendix-B bucket hash vectors."""
+    assert int(murmur3_32_long([34])[0]) == 2017239379
+    assert murmur3_32_bytes("iceberg".encode()) == 1210000089
+    days = (datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)).days
+    assert int(murmur3_32_long([days])[0]) == -653330422
+    micros = int(
+        datetime.datetime(
+            2017, 11, 16, 22, 31, 8, tzinfo=datetime.timezone.utc
+        ).timestamp()
+        * 1_000_000
+    )
+    assert int(murmur3_32_long([micros])[0]) == -2047944441
+
+
+def test_parse_specs_and_fields():
+    ts = parse_partition_by(["region", "days(ts)", "bucket(8, id)", "truncate(4, s)"])
+    assert [(t.kind, t.field) for t in ts] == [
+        ("identity", "region"),
+        ("days", "ts_day"),
+        ("bucket", "id_bucket"),
+        ("truncate", "s_truncate"),
+    ]
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        parse_partition_by(["median(ts)"])
+    with pytest.raises(ValueError, match="positive"):
+        parse_partition_by(["bucket(0, id)"])
+    with pytest.raises(ValueError, match="duplicate"):
+        parse_partition_by(["days(ts)", "days(ts)"])
+
+
+def test_value_of_maps_literals_to_partitions():
+    d = PartitionTransform("days(ts)")
+    assert d.value_of("2024-03-05T10:30:00") == "2024-03-05"
+    m = PartitionTransform("months(ts)")
+    assert m.value_of(datetime.datetime(2024, 3, 5, 10)) == "2024-03"
+    t = PartitionTransform("truncate(3, s)")
+    assert t.value_of("alphabet") == "alp"
+    ti = PartitionTransform("truncate(10, v)")
+    assert ti.value_of(-7) == -10  # floors toward -inf, per the spec
+    b = PartitionTransform("bucket(16, id)")
+    assert b.value_of(34) == 2017239379 % 16
+    bs = PartitionTransform("bucket(16, s)")
+    assert bs.value_of("iceberg") == 1210000089 % 16
+
+
+def test_hidden_partition_commit_roundtrip_and_pruning(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 10:00:00"),
+            (2, "b", "2024-01-01 23:59:59"),
+            (3, "c", "2024-01-02 00:00:01"),
+            (4, "d", "2024-01-03 12:00:00"),
+        ],
+        ["id", "v", "ts_s"],
+    ).selectExpr("id", "v", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts")
+    snap = C.append(spark, t, df, partition_by=["days(ts)", "bucket(4, id)"],
+                    snapshot_id=101, timestamp_ms=1700000000000)
+    mpath = C.current_metadata_path(t)
+
+    # schema identical to the source frame: no partition columns leak in
+    back = read_data_at_snapshot(spark, mpath)
+    assert set(back.columns) == {"id", "v", "ts"}
+    assert {r.id for r in back.collect()} == {1, 2, 3, 4}
+
+    # manifest records the derived values
+    files = files_from_manifest_list(
+        spark, "t", snap["manifest-list"].removeprefix("file:")
+    ).collect()
+    daysets = {f.partition_values["ts_day"] for f in files}
+    assert daysets == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert all("id_bucket" in f.partition_values for f in files)
+
+    # metadata-only day pruning
+    day2 = read_data_at_snapshot(
+        spark, mpath, partition_filter={"ts_day": "2024-01-02"}
+    )
+    assert {r.id for r in day2.collect()} == {3}
+
+    # bucket pruning via the literal→value mapping (hidden partitioning:
+    # the caller reasons about id, the engine derives the bucket)
+    b = PartitionTransform("bucket(4, id)")
+    want = read_data_at_snapshot(
+        spark, mpath, partition_filter={"id_bucket": str(b.value_of(4))}
+    )
+    assert 4 in {r.id for r in want.collect()}
+
+
+def test_hidden_partition_mixed_identity_and_deletes(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.createDataFrame(
+        [(1, "us", "x"), (2, "us", "y"), (3, "eu", "z")],
+        ["id", "region", "v"],
+    )
+    C.append(spark, t, df, partition_by=["region", "bucket(2, id)"],
+             snapshot_id=101, timestamp_ms=1700000000000)
+    mpath = C.current_metadata_path(t)
+    back = read_data_at_snapshot(spark, mpath)
+    # identity partition is reattached, hidden bucket is not
+    assert set(back.columns) == {"id", "region", "v"}
+    assert {(r.id, r.region) for r in back.collect()} == {
+        (1, "us"), (2, "us"), (3, "eu"),
+    }
+    us = read_data_at_snapshot(spark, mpath, partition_filter={"region": "us"})
+    assert {r.id for r in us.collect()} == {1, 2}
+
+    # MOR equality delete composes with hidden partitioning
+    C.delete_equality(spark, t, spark.createDataFrame([(2,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    mpath = C.current_metadata_path(t)
+    assert {r.id for r in read_data_at_snapshot(spark, mpath).collect()} == {1, 3}
+
+
+def test_bucket_distribution_is_spec_stable(spark):
+    """The Spark-side bucket expression equals the scalar spec math for
+    every value (vectorized numpy path == scalar reference path)."""
+    import pyspark.sql.functions as F
+
+    t = PartitionTransform("bucket(8, id)")
+    df = spark.range(-500, 500).select(F.col("id").cast("bigint").alias("id"))
+    got = {r.id: r.b for r in df.select("id", t.expr("bigint").alias("b")).collect()}
+    for v in (-500, -1, 0, 1, 34, 499):
+        assert got[v] == t.value_of(v), v
