@@ -293,14 +293,16 @@ def _commit_doc(table_dir: str, doc: dict, prev_version: int) -> str:
 # -- commits ---------------------------------------------------------------
 
 
-def _carry_forward_rows(spark: SparkSession, mdir: str, doc: dict) -> list[dict]:
-    """Prior current snapshot's manifest-list rows, re-emitted with their
-    own sequence numbers (a commit keeps history; only the new manifest
-    is added)."""
+def _carry_forward_rows(
+    spark: SparkSession, mdir: str, doc: dict, base_id: int | None = None
+) -> list[dict]:
+    """Base snapshot's manifest-list rows (default: the current
+    snapshot), re-emitted with their own sequence numbers (a commit
+    keeps history; only the new manifest is added)."""
     from .manifests import _resolve, read_manifest_list
 
     snaps = doc.get("snapshots", [])
-    current_id = doc.get("current-snapshot-id")
+    current_id = base_id if base_id is not None else doc.get("current-snapshot-id")
     current = next((s for s in snaps if s.get("snapshot-id") == current_id), None)
     if current is None:
         return []
@@ -337,15 +339,22 @@ def _finalize_commit(
     timestamp_ms: int,
     seq: int,
     summary: dict[str, str],
+    branch: str | None = None,
+    parent_id: int | None = None,
 ) -> dict:
     """Write the manifest list, append the snapshot entry, bump the
-    metadata version."""
+    metadata version. With ``branch``, the commit moves that branch ref
+    instead of the main ``current-snapshot-id`` — the write half of the
+    write-audit-publish pattern (stage commits on a branch, publish via
+    ``fast_forward``)."""
     mdir = os.path.join(table_dir, "metadata")
     list_path = os.path.join(mdir, f"snap-{snapshot_id}-{_uuid.uuid4().hex[:8]}.avro")
     write_avro(spark, list_path, MANIFEST_LIST_SCHEMA_V2, manifest_rows)
     snapshot = {
         "snapshot-id": snapshot_id,
-        "parent-snapshot-id": doc.get("current-snapshot-id"),
+        "parent-snapshot-id": (
+            parent_id if branch is not None else doc.get("current-snapshot-id")
+        ),
         "sequence-number": seq,
         "timestamp-ms": timestamp_ms,
         "manifest-list": list_path,
@@ -354,7 +363,12 @@ def _finalize_commit(
     }
     doc = dict(doc)
     doc["snapshots"] = doc.get("snapshots", []) + [snapshot]
-    doc["current-snapshot-id"] = snapshot_id
+    if branch is None:
+        doc["current-snapshot-id"] = snapshot_id
+    else:
+        refs = dict(doc.get("refs", {}))
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        doc["refs"] = refs
     doc["last-sequence-number"] = seq
     doc["last-updated-ms"] = timestamp_ms
     _commit_doc(table_dir, doc, prev_version)
@@ -369,10 +383,17 @@ def append(
     timestamp_ms: int | None = None,
     partition_by: list[str] | None = None,
     extra_summary: dict[str, str] | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Append ``df`` as a new snapshot. Returns the new snapshot dict.
     ``extra_summary`` entries are merged into the snapshot summary (used
     by the streaming sink to record its exactly-once batch marker).
+
+    With ``branch``, the commit extends that branch ref (creating it
+    from the current snapshot if absent) and leaves the main
+    ``current-snapshot-id`` untouched — write-audit-publish staging;
+    readers see the staged rows only via ``ref=branch`` until
+    ``fast_forward`` publishes the branch.
 
     With ``partition_by``, data files are written hive-layout
     (``col=value/`` dirs, distributed ``partitionBy`` write) and each
@@ -400,6 +421,13 @@ def append(
     timestamp_ms = (
         timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     )
+    base_id = doc.get("current-snapshot-id")
+    if branch is not None:
+        ref = doc.get("refs", {}).get(branch)
+        if ref is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            base_id = int(ref["snapshot-id"])
     mdir = os.path.join(table_dir, "metadata")
     os.makedirs(mdir, exist_ok=True)
 
@@ -484,10 +512,10 @@ def append(
         ],
     )
 
-    # 3. manifest list = prior snapshot's manifests (carried forward,
+    # 3. manifest list = base snapshot's manifests (carried forward,
     # keeping their own sequence numbers) + the new manifest; then the
     # snapshot entry + metadata.json version bump
-    prior_rows = _carry_forward_rows(spark, mdir, doc)
+    prior_rows = _carry_forward_rows(spark, mdir, doc, base_id)
     new_row = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
@@ -502,14 +530,14 @@ def append(
     }
     added_records = sum(records_of(p) for p in parts)
     total_records = added_records
-    current = next(
+    base = next(
         (s for s in doc.get("snapshots", [])
-         if s.get("snapshot-id") == doc.get("current-snapshot-id")),
+         if s.get("snapshot-id") == base_id),
         None,
     )
-    if current is not None:
+    if base is not None:
         total_records += int(
-            current.get("summary", {}).get("total-records", "0") or 0
+            base.get("summary", {}).get("total-records", "0") or 0
         )
     return _finalize_commit(
         spark, table_dir, doc, prev_version, prior_rows + [new_row],
@@ -522,6 +550,8 @@ def append(
             "added-files-size": str(sum(os.path.getsize(p) for p in parts)),
             **(extra_summary or {}),
         },
+        branch=branch,
+        parent_id=base_id,
     )
 
 
@@ -1211,6 +1241,37 @@ def merge_into(
             "total-records": str(prior_total - n_deleted_rows + added_records),
         },
     )
+
+
+def fast_forward(table_dir: str, branch: str) -> str:
+    """Publish a staged branch (the Iceberg ``fast_forward`` procedure,
+    the publish half of write-audit-publish): move the main
+    ``current-snapshot-id`` to the branch head, REQUIRING that the
+    current snapshot is an ancestor of that head — a diverged branch
+    cannot be fast-forwarded (that would silently drop main's commits;
+    Iceberg raises there too). The branch ref stays, now equal to main.
+    Metadata-only commit; returns the new metadata path."""
+    doc, prev_version = _load_doc(table_dir)
+    ref = doc.get("refs", {}).get(branch)
+    if ref is None or ref.get("type") != "branch":
+        raise ValueError(f"no branch named {branch!r}")
+    head = int(ref["snapshot-id"])
+    current = doc.get("current-snapshot-id")
+    if current is not None and int(current) != head:
+        by_id = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
+        cur: int | None = head
+        while cur is not None and cur != int(current):
+            parent = by_id.get(cur, {}).get("parent-snapshot-id")
+            cur = int(parent) if parent is not None else None
+        if cur is None:
+            raise ValueError(
+                f"branch {branch!r} (head {head}) has diverged from the "
+                f"current snapshot {current}: not an ancestor, cannot "
+                "fast-forward"
+            )
+    doc = dict(doc)
+    doc["current-snapshot-id"] = head
+    return _commit_doc(table_dir, doc, prev_version)
 
 
 def create_ref(

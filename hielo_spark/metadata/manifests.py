@@ -414,7 +414,13 @@ def read_data_at_snapshot(
             raise ValueError(f"no snapshot at or before {as_of_ms}")
         chosen = before[-1]
     else:
-        chosen = snaps[-1]
+        # the default read follows current-snapshot-id (Iceberg
+        # semantics: rollback flips it, staged BRANCH commits never move
+        # it) — newest-by-timestamp only when the pointer is absent
+        cur = doc.get("current-snapshot-id")
+        chosen = next(
+            (s for s in snaps if int(s["snapshot-id"]) == int(cur)), snaps[-1]
+        ) if cur is not None else snaps[-1]
 
     mlist = chosen["manifest-list"]
     if not os.path.isabs(mlist.removeprefix("file:")):

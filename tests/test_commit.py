@@ -892,3 +892,67 @@ def test_rewrite_manifests_chunking(spark, tmp_path):
     assert snap["summary"]["added-manifests"] == "2"  # 4 entries / 3-cap
     mpath = C.current_metadata_path(t)
     assert {r.id for r in read_data_at_snapshot(spark, mpath).collect()} == {0, 1, 2, 3}
+
+
+# -- write-audit-publish: branch commits + fast_forward ---------------------
+
+
+def test_branch_commits_and_fast_forward(spark, tmp_path):
+    """Stage appends on a branch, main never sees them, then publish
+    with fast_forward; diverged branches refuse to publish."""
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    # two staged commits on the audit branch
+    s2 = C.append(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]),
+                  snapshot_id=102, timestamp_ms=1700100000000, branch="audit")
+    s3 = C.append(spark, t, spark.createDataFrame([(3, "c")], ["id", "v"]),
+                  snapshot_id=103, timestamp_ms=1700200000000, branch="audit")
+    assert s2["parent-snapshot-id"] == 101
+    assert s3["parent-snapshot-id"] == 102
+
+    mpath = C.current_metadata_path(t)
+    # main still sees only the published row
+    assert _rows(spark, mpath) == {(1, "a")}
+    # the branch sees the staged state
+    assert _rows(spark, mpath, ref="audit") == {(1, "a"), (2, "b"), (3, "c")}
+
+    C.fast_forward(t, "audit")
+    mpath = C.current_metadata_path(t)
+    assert _rows(spark, mpath) == {(1, "a"), (2, "b"), (3, "c")}
+
+    # main moves on; the stale branch can no longer fast-forward if it
+    # diverges (commit to main, then to the branch from its old head)
+    C.append(spark, t, spark.createDataFrame([(4, "d")], ["id", "v"]),
+             snapshot_id=104, timestamp_ms=1700300000000)
+    C.append(spark, t, spark.createDataFrame([(9, "z")], ["id", "v"]),
+             snapshot_id=105, timestamp_ms=1700400000000, branch="side")
+    # side branched from 104 (current at its creation) → ancestor holds
+    C.fast_forward(t, "side")
+    assert _rows(spark, C.current_metadata_path(t)) == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"), (9, "z")}
+
+
+def test_fast_forward_rejects_diverged_branch(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]),
+             snapshot_id=102, timestamp_ms=1700100000000, branch="wap")
+    # main advances independently → branch head no longer descends from main
+    C.append(spark, t, spark.createDataFrame([(3, "c")], ["id", "v"]),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    with pytest.raises(ValueError, match="diverged"):
+        C.fast_forward(t, "wap")
+    with pytest.raises(ValueError, match="no branch"):
+        C.fast_forward(t, "nope")
+
+
+def test_branch_append_rejects_tag_ref(spark, tmp_path):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.create_ref(t, "v1", 101, ref_type="tag")
+    with pytest.raises(ValueError, match="tag, not a branch"):
+        C.append(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]),
+                 snapshot_id=102, timestamp_ms=1700100000000, branch="v1")
