@@ -292,6 +292,60 @@ def _commit_doc(table_dir: str, doc: dict, prev_version: int) -> str:
 
 # -- commits ---------------------------------------------------------------
 
+_ICEBERG_TYPES = {
+    "boolean": "boolean", "tinyint": "int", "smallint": "int", "int": "int",
+    "bigint": "long", "float": "float", "double": "double", "date": "date",
+    "timestamp_ntz": "timestamp", "timestamp": "timestamptz",
+    "string": "string", "binary": "binary",
+}
+
+
+def _record_table_shape(doc: dict, dtypes: dict[str, str], transforms) -> None:
+    """First commit on a fresh table: record the Iceberg ``schemas`` /
+    ``partition-specs`` blocks in the metadata document so the schema
+    plane (J1/J2: schemas_from_metadata_json, partition_source_join)
+    reads our own tables like any Iceberg table's. Field ids are
+    assigned in column order from 1; partition field ids from 1000
+    (both per the spec's conventions). Decimal/nested types pass
+    through their SQL rendering (display-compatible with
+    parse_metadata_document's fallback). Later appends never rewrite
+    the shape (schema evolution is add-column via mergeSchema on the
+    read side, documented)."""
+    if "schemas" in doc:
+        return
+    field_id = {c: i + 1 for i, c in enumerate(dtypes)}
+    doc["schemas"] = [
+        {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {
+                    "id": field_id[c],
+                    "name": c,
+                    "required": False,
+                    "type": _ICEBERG_TYPES.get(t, t),
+                }
+                for c, t in dtypes.items()
+            ],
+        }
+    ]
+    doc["current-schema-id"] = 0
+    doc["partition-specs"] = [
+        {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": t.field,
+                    "transform": t.iceberg_name,
+                    "source-id": field_id[t.source],
+                    "field-id": 1000 + i,
+                }
+                for i, t in enumerate(transforms)
+            ],
+        }
+    ]
+    doc["default-spec-id"] = 0
+
 
 def _carry_forward_rows(
     spark: SparkSession, mdir: str, doc: dict, base_id: int | None = None
@@ -438,6 +492,7 @@ def append(
     for t in transforms:
         if t.source not in dtypes:
             raise ValueError(f"partition source column {t.source!r} not in frame")
+    _record_table_shape(doc, dtypes, transforms)
     if transforms:
         wdf = df
         for t in transforms:

@@ -180,3 +180,29 @@ def snapshots_from_metadata_json(
     with open(path) as f:
         doc = json.load(f)
     return spark.createDataFrame(snapshot_rows_from_doc(table_name, doc), SNAPSHOT_SCHEMA)
+
+
+def partition_spec_rows_from_doc(table_name: str, doc: dict) -> list[tuple]:
+    """Partition-spec rows of a table-metadata document in the J1 specs
+    shape ``(table_name, spec_id, field_id, source_id, name,
+    transform)`` — the frame ``schemas.partition_source_join`` resolves
+    against the schema plane. Handles the v2 ``partition-specs`` list
+    and the v1 single ``partition-spec`` list."""
+    specs = doc.get("partition-specs")
+    if specs is None and "partition-spec" in doc:
+        specs = [{"spec-id": 0, "fields": doc["partition-spec"]}]
+    rows = []
+    for s in specs or []:
+        sid = int(s.get("spec-id", 0))
+        for f in s.get("fields", []):
+            rows.append(
+                (
+                    table_name,
+                    sid,
+                    int(f.get("field-id", 0)),
+                    int(f.get("source-id", 0)),
+                    f.get("name"),
+                    f.get("transform", "identity"),
+                )
+            )
+    return rows

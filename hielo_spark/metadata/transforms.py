@@ -133,6 +133,17 @@ class PartitionTransform:
         "hours": "yyyy-MM-dd-HH",
     }
 
+    @property
+    def iceberg_name(self) -> str:
+        """The transform's name in Iceberg metadata-JSON form (the
+        vocabulary the reference parses at iceberg_adapter.rs:226-243):
+        identity, year/month/day/hour, bucket[N], truncate[W]."""
+        if self.kind == "identity":
+            return "identity"
+        if self.kind in self._TIME_FMT:
+            return self.kind.rstrip("s")
+        return f"{self.kind}[{self.param}]"
+
     def expr(self, dtype: str) -> Column:
         src = F.col(self.source)
         if self.kind == "identity":

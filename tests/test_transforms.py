@@ -146,3 +146,56 @@ def test_bucket_distribution_is_spec_stable(spark):
     got = {r.id: r.b for r in df.select("id", t.expr("bigint").alias("b")).collect()}
     for v in (-500, -1, 0, 1, 34, 499):
         assert got[v] == t.value_of(v), v
+
+
+def test_committed_tables_feed_the_schema_and_spec_planes(spark, tmp_path):
+    """First append records Iceberg schemas/partition-specs in the
+    metadata document; the J1/J2 read plane then treats our own tables
+    like any Iceberg table's."""
+    import json
+
+    from hielo_spark.metadata.metadata_json import (
+        partition_spec_rows_from_doc,
+        schemas_from_metadata_json,
+    )
+    from hielo_spark.metadata.schemas import partition_source_join
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:00:00")], ["id", "v", "ts_s"]
+    ).selectExpr("id", "v", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts")
+    C.append(spark, t, df, partition_by=["days(ts)", "bucket(4, id)"],
+             snapshot_id=101, timestamp_ms=1700000000000)
+    mpath = C.current_metadata_path(t)
+    doc = json.loads(open(mpath).read())
+
+    assert [f["name"] for f in doc["schemas"][0]["fields"]] == ["id", "v", "ts"]
+    assert [f["type"] for f in doc["schemas"][0]["fields"]] == [
+        "long", "string", "timestamp"]
+    spec_rows = partition_spec_rows_from_doc("t", doc)
+    assert spec_rows == [
+        ("t", 0, 1000, 3, "ts_day", "day"),
+        ("t", 0, 1001, 1, "id_bucket", "bucket[4]"),
+    ]
+
+    # J1 end-to-end: source-id resolves to the source column name
+    schemas_long = schemas_from_metadata_json(spark, [("t", mpath)])
+    specs = spark.createDataFrame(
+        spec_rows,
+        "table_name string, spec_id int, field_id int, source_id int, "
+        "name string, transform string",
+    )
+    joined = {
+        r.name: (r.source_field, r.transform)
+        for r in partition_source_join(specs, schemas_long).collect()
+    }
+    assert joined == {
+        "ts_day": ("ts", "day"),
+        "id_bucket": ("id", "bucket[4]"),
+    }
+
+    # a second append must not rewrite the recorded shape
+    C.append(spark, t, df, snapshot_id=102, timestamp_ms=1700100000000)
+    doc2 = json.loads(open(C.current_metadata_path(t)).read())
+    assert doc2["schemas"] == doc["schemas"]
+    assert doc2["partition-specs"] == doc["partition-specs"]
