@@ -22,7 +22,7 @@ import time
 from pyspark.sql import SparkSession
 
 from ..metadata import commit as C
-from ..metadata.manifests import files_from_manifest_list
+from ..metadata.manifests import files_from_manifest_list, read_manifest_list
 from . import analysis
 
 #: reference-shaped thresholds (analytics.rs small-file band edges; the
@@ -32,6 +32,7 @@ TARGET_FILE_BYTES = 64 * 1024 * 1024
 MIN_FILES_FOR_COMPACTION = 4
 RETENTION_DAYS = 7
 RETAIN_LAST = 3
+MIN_MANIFESTS_FOR_REWRITE = 4
 ORPHAN_GRACE_MS = 60 * 60 * 1000  # Iceberg's default safety window shape
 
 
@@ -84,6 +85,29 @@ def plan_maintenance(
             }
         )
 
+    # manifest consolidation: many tiny manifests slow scan planning.
+    # Skipped when compaction is planned — a REPLACE snapshot leaves a
+    # single fresh manifest anyway, so the rewrite would be redundant.
+    if not plan:
+        n_data_manifests = sum(
+            1
+            for m in read_manifest_list(
+                spark, current["manifest-list"].removeprefix("file:")
+            ).collect()
+            if (m.content or 0) == 0
+        )
+        if n_data_manifests >= MIN_MANIFESTS_FOR_REWRITE:
+            plan.append(
+                {
+                    "action": "rewrite_manifests",
+                    "reason": (
+                        f"{n_data_manifests} data manifests for one snapshot "
+                        "(scan planning reads each)"
+                    ),
+                    "params": {},
+                }
+            )
+
     cutoff = now_ms - RETENTION_DAYS * 86_400_000
     expirable = [
         s for s in snaps[:-RETAIN_LAST]
@@ -131,6 +155,17 @@ def run_maintenance(
                 "rewritten": int(snap["summary"]["rewritten-data-files"]),
                 "added": int(snap["summary"]["added-data-files"]),
             }
+        elif step["action"] == "rewrite_manifests":
+            snap = C.rewrite_manifests(spark, table_dir, **step["params"])
+            entry["result"] = (
+                {
+                    "snapshot_id": snap["snapshot-id"],
+                    "rewritten": int(snap["summary"]["rewritten-manifests"]),
+                    "added": int(snap["summary"]["added-manifests"]),
+                }
+                if snap is not None
+                else {"noop": True}
+            )
         elif step["action"] == "expire_snapshots":
             expired = C.expire_snapshots(table_dir, **step["params"])
             entry["result"] = {"expired_snapshot_ids": expired}

@@ -73,3 +73,50 @@ def test_run_maintenance_executes_and_heals(spark, tmp_path):
     plan2 = plan_maintenance(spark, t, now_ms=now + DAY)
     actions2 = [p["action"] for p in plan2]
     assert "rewrite_data_files" not in actions2 or len(set(after.inputFiles())) > 1
+
+
+def test_autopilot_consolidates_manifests_when_compaction_not_needed(spark, tmp_path):
+    """Healthy-sized data files but many manifests → the plan recommends
+    rewrite_manifests (not compaction), and running it consolidates."""
+    from hielo_spark.metadata import commit as C
+    from hielo_spark.metadata.manifests import read_manifest_list
+    from hielo_spark.ops.autopilot import plan_maintenance, run_maintenance
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    # few large-ish files per commit won't trip the small-file trigger:
+    # avg file size check uses SMALL_FILE_BYTES; write one file per
+    # commit with enough bytes by padding a string column
+    import pyspark.sql.functions as F
+    for i in range(5):
+        df = spark.range(1).select(
+            F.lit(i).alias("id"),
+            F.lit("x" * 64).alias("pad"),
+        )
+        C.append(spark, t, df.coalesce(1), snapshot_id=101 + i,
+                 timestamp_ms=1700000000000 + i)
+    # monkeypatch-free: small fixture files ARE below the small-file
+    # threshold, so force the compaction trigger off by checking the
+    # plan branch directly — assert rewrite_manifests appears when the
+    # compaction condition is absent
+    import hielo_spark.ops.autopilot as ap
+    old = ap.SMALL_FILE_BYTES
+    ap.SMALL_FILE_BYTES = 1  # nothing is "small" now
+    try:
+        plan = plan_maintenance(spark, t, now_ms=1700000010000)
+        actions = [p["action"] for p in plan]
+        assert "rewrite_manifests" in actions
+        assert "rewrite_data_files" not in actions
+        report = run_maintenance(spark, t, now_ms=1700000010000, plan=plan)
+        mres = next(
+            e["result"] for e in report["actions"]
+            if e["action"] == "rewrite_manifests"
+        )
+        assert mres["rewritten"] == 5 and mres["added"] == 1
+    finally:
+        ap.SMALL_FILE_BYTES = old
+    snap_list = read_manifest_list(
+        spark,
+        __import__("json").load(open(C.current_metadata_path(t)))[
+            "snapshots"][-1]["manifest-list"].removeprefix("file:"),
+    ).collect()
+    assert sum(1 for m in snap_list if (m.content or 0) == 0) == 1
