@@ -206,3 +206,51 @@ def partition_spec_rows_from_doc(table_name: str, doc: dict) -> list[tuple]:
                 )
             )
     return rows
+
+
+def history_rows_from_doc(table_name: str, doc: dict) -> list[tuple]:
+    """The ``t.history`` metadata-table shape from a table-metadata
+    document: ``(table_name, made_current_at_ms, snapshot_id,
+    parent_id, is_current_ancestor)`` — one row per snapshot in commit
+    order. ``is_current_ancestor`` walks parent lineage from the
+    current snapshot, so rolled-back or staged-branch heads show
+    ``false`` (exactly how Iceberg's history table distinguishes the
+    live line from abandoned ones)."""
+    snaps = sorted(doc.get("snapshots", []), key=lambda s: int(s["timestamp-ms"]))
+    by_id = {int(s["snapshot-id"]): s for s in snaps}
+    ancestors: set[int] = set()
+    cur = doc.get("current-snapshot-id")
+    cur = int(cur) if cur is not None else None
+    while cur is not None and cur in by_id:
+        ancestors.add(cur)
+        parent = by_id[cur].get("parent-snapshot-id")
+        cur = int(parent) if parent is not None else None
+    return [
+        (
+            table_name,
+            int(s["timestamp-ms"]),
+            int(s["snapshot-id"]),
+            int(s["parent-snapshot-id"])
+            if s.get("parent-snapshot-id") is not None
+            else None,
+            int(s["snapshot-id"]) in ancestors,
+        )
+        for s in snaps
+    ]
+
+
+def refs_rows_from_doc(table_name: str, doc: dict) -> list[tuple]:
+    """The ``t.refs`` metadata-table shape: ``(table_name, name, type,
+    snapshot_id)``. The implicit ``main`` branch (current-snapshot-id)
+    is emitted first when present, as Iceberg does."""
+    rows = []
+    cur = doc.get("current-snapshot-id")
+    if cur is not None:
+        rows.append((table_name, "main", "branch", int(cur)))
+    for name, ref in sorted(doc.get("refs", {}).items()):
+        if name == "main":
+            continue
+        rows.append(
+            (table_name, name, ref.get("type", "branch"), int(ref["snapshot-id"]))
+        )
+    return rows

@@ -155,3 +155,51 @@ def test_full_no_jar_metadata_plane(spark, tmp_path):
     files = files_from_manifest_list(spark, "real_t", manifest_list_path)
     hist = {r.bucket: r.n_files for r in file_size_histogram(files).collect()}
     assert hist == {"large(>512MB)": 2}
+
+
+def test_history_and_refs_surfaces(spark, tmp_path):
+    """t.history / t.refs shapes from our own commits: branch heads are
+    refs but not current-ancestors until published; rollback flips
+    ancestry."""
+    import json
+
+    from hielo_spark.metadata import commit as C
+    from hielo_spark.metadata.metadata_json import (
+        history_rows_from_doc,
+        refs_rows_from_doc,
+    )
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(2,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.append(spark, t, spark.createDataFrame([(3,)], ["id"]),
+             snapshot_id=103, timestamp_ms=1700200000000, branch="audit")
+    C.create_ref(t, "v1", 101, ref_type="tag")
+    doc = json.load(open(C.current_metadata_path(t)))
+
+    hist = history_rows_from_doc("t", doc)
+    assert [(h[2], h[3], h[4]) for h in hist] == [
+        (101, None, True),
+        (102, 101, True),
+        (103, 102, False),  # staged branch head: not a current ancestor
+    ]
+    assert refs_rows_from_doc("t", doc) == [
+        ("t", "main", "branch", 102),
+        ("t", "audit", "branch", 103),
+        ("t", "v1", "tag", 101),
+    ]
+
+    # publish: the branch head becomes the current line
+    C.fast_forward(t, "audit")
+    doc = json.load(open(C.current_metadata_path(t)))
+    assert [(h[2], h[4]) for h in history_rows_from_doc("t", doc)] == [
+        (101, True), (102, True), (103, True)]
+    assert refs_rows_from_doc("t", doc)[0] == ("t", "main", "branch", 103)
+
+    # rollback: later snapshots drop off the current line
+    C.rollback_to_snapshot(t, 101)
+    doc = json.load(open(C.current_metadata_path(t)))
+    assert [(h[2], h[4]) for h in history_rows_from_doc("t", doc)] == [
+        (101, True), (102, False), (103, False)]
