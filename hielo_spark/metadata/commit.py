@@ -1099,6 +1099,7 @@ def merge_into(
     when_not_matched: str | None = "insert",
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> dict | None:
     """``MERGE INTO`` as a SINGLE merge-on-read snapshot (the Iceberg
     v2 row-level-operations shape, SURVEY §2.1 S11): one commit carries
@@ -1294,6 +1295,7 @@ def merge_into(
             "equality-delete-files": str(1 if n_delete_keys else 0),
             "added-delete-records": str(n_delete_keys),
             "total-records": str(prior_total - n_deleted_rows + added_records),
+            **(extra_summary or {}),
         },
     )
 

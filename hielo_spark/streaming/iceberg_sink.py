@@ -79,3 +79,48 @@ def append_stream_to_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def upsert_stream_to_table(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    on: list[str],
+    query_name: str = "iceberg_upsert",
+):
+    """CDC-style streaming upsert: every micro-batch becomes ONE
+    merge-on-read MERGE snapshot (``metadata/commit.merge_into`` —
+    matched keys updated, new keys inserted, atomically). Within a
+    batch, duplicate keys collapse via ``dropDuplicates(on)`` (add a
+    version column upstream and pre-aggregate if last-write-wins
+    ordering matters). The first batch on a fresh table is a plain
+    append. Exactly-once via the same ``(query-id, batch-id)`` summary
+    markers as ``append_stream_to_table``."""
+    from ..metadata.commit import append, current_metadata_path, merge_into
+
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        qid = query_name
+        if batch_id in committed_batch_ids(table_dir, qid):
+            return
+        if batch.isEmpty():
+            return
+        batch = batch.dropDuplicates(on)
+        markers = {
+            "streaming-query-id": qid,
+            "streaming-batch-id": str(batch_id),
+        }
+        if current_metadata_path(table_dir) is None:
+            append(spark, table_dir, batch, extra_summary=markers)
+        else:
+            merge_into(
+                spark, table_dir, batch, on=on, extra_summary=markers
+            )
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

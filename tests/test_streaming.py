@@ -251,3 +251,60 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path):
     q.awaitTermination()
     streamed = {r.doc_id: tuple(r.feature) for r in out_rows}
     assert streamed == batch and len(streamed) == 30
+
+
+def test_streaming_upsert_sink_merges_batches_exactly_once(spark, tmp_path):
+    """CDC upsert sink: each micro-batch lands as one MERGE snapshot;
+    later batches update earlier keys; checkpoint-wipe replay commits
+    nothing new."""
+    import json
+    import shutil
+
+    from hielo_spark.metadata import commit as C
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.streaming.iceberg_sink import upsert_stream_to_table
+
+    src = str(tmp_path / "cdc_src")
+    # two files → (maxFilesPerTrigger=1) two ordered micro-batches:
+    # batch 0 inserts k1/k2, batch 1 updates k2 and inserts k3
+    spark.createDataFrame([(1, "a0"), (2, "b0")], ["id", "v"]).coalesce(1)\
+        .write.parquet(src + "/f0")
+    spark.createDataFrame([(2, "b1"), (3, "c1")], ["id", "v"]).coalesce(1)\
+        .write.parquet(src + "/f1")
+    # the file source orders micro-batches by modification time — pin it
+    # so f1's update deterministically lands after f0's insert
+    import glob as _g
+    import os as _os
+    for i, pat in enumerate(("/f0/*.parquet", "/f1/*.parquet")):
+        for p in _g.glob(src + pat):
+            _os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    t = str(tmp_path / "wh" / "ns" / "cdc_t")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("id long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = upsert_stream_to_table(stream, t, ckpt, on=["id"], query_name="cdc")
+    q.awaitTermination()
+
+    mpath = C.current_metadata_path(t)
+    rows = {(r.id, r.v) for r in read_data_at_snapshot(spark, mpath).collect()}
+    assert rows == {(1, "a0"), (2, "b1"), (3, "c1")}
+    with open(mpath) as f:
+        doc = json.load(f)
+    ops = [s["summary"]["operation"] for s in doc["snapshots"]]
+    assert ops[0] == "append" and "overwrite" in ops[1:]
+    n_before = len(doc["snapshots"])
+
+    # replay everything: no new snapshots, same rows
+    shutil.rmtree(ckpt)
+    q2 = upsert_stream_to_table(stream, t, ckpt, on=["id"], query_name="cdc")
+    q2.awaitTermination()
+    mpath2 = C.current_metadata_path(t)
+    with open(mpath2) as f:
+        doc2 = json.load(f)
+    assert len(doc2["snapshots"]) == n_before
+    rows2 = {(r.id, r.v) for r in read_data_at_snapshot(spark, mpath2).collect()}
+    assert rows2 == rows
