@@ -338,3 +338,23 @@ def test_corpus_ops_shuffle_on_hash_keys_no_cartesian(spark, sf_dir):
         # BroadcastHashJoin chosen by AQE's size estimate is fine)
         logical = df._jdf.queryExecution().optimizedPlan().toString()
         assert "ResolvedHint" not in logical, name
+
+
+def test_r4_tpch_family_plan_shapes(spark, sf_dir):
+    """The six session-2 decorrelation shapes: no pair explosion
+    anywhere; q2 keeps its window-form correlated MIN (no join-back
+    double-plan), q13 its left-outer histogram join, q20 its semi-join
+    chain; every one joins by key (hash/merge), never CartesianProduct."""
+    expect = {
+        "q2_min_cost_supplier": ("Window", "TakeOrderedAndProject"),
+        "q9_profit_by_nation_year": ("BroadcastHashJoin",),
+        "q11_important_part_value": ("BroadcastHashJoin",),
+        "q13_order_count_distribution": ("LeftOuter",),
+        "q15_top_supplier": ("BroadcastHashJoin",),
+        "q20_heavy_part_shippers": ("LeftSemi",),
+    }
+    for name, feats in expect.items():
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        for f in feats:
+            assert f in p, (name, f)
