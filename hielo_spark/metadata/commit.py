@@ -429,70 +429,13 @@ def _finalize_commit(
     return snapshot
 
 
-def append(
-    spark: SparkSession,
-    table_dir: str,
-    df: DataFrame,
-    snapshot_id: int | None = None,
-    timestamp_ms: int | None = None,
-    partition_by: list[str] | None = None,
-    extra_summary: dict[str, str] | None = None,
-    branch: str | None = None,
-) -> dict:
-    """Append ``df`` as a new snapshot. Returns the new snapshot dict.
-    ``extra_summary`` entries are merged into the snapshot summary (used
-    by the streaming sink to record its exactly-once batch marker).
-
-    With ``branch``, the commit extends that branch ref (creating it
-    from the current snapshot if absent) and leaves the main
-    ``current-snapshot-id`` untouched — write-audit-publish staging;
-    readers see the staged rows only via ``ref=branch`` until
-    ``fast_forward`` publishes the branch.
-
-    With ``partition_by``, data files are written hive-layout
-    (``col=value/`` dirs, distributed ``partitionBy`` write) and each
-    manifest entry records the file's typed partition values — which is
-    what makes ``read_data_at_snapshot(partition_filter=...)`` prune
-    files from metadata alone, the Iceberg planner behavior. Entries
-    may be identity columns OR Iceberg hidden-partitioning transforms
-    (``"days(ts)"``, ``"months(ts)"``, ``"years(ts)"``, ``"hours(ts)"``,
-    ``"bucket(8, id)"``, ``"truncate(4, s)"`` — metadata/transforms.py,
-    spec-exact murmur3 bucketing): the derived partition value exists
-    ONLY in directory layout + manifest metadata, while the source
-    column stays in the data files, so readers filter on the source
-    column and prune via the transform — Iceberg's hidden partitioning.
-
-    ``snapshot_id`` / ``timestamp_ms`` are injectable for deterministic
-    tests (defaults: sequence-derived id, current wall clock)."""
-    import time
+def _write_data_files(spark, data_dir: str, df: DataFrame, transforms, dtypes):
+    """Shared distributed data-file write for append/merge: derive any
+    hidden-partition columns, write (hive layout when partitioned),
+    and return ``(parts, partition_of, ptypes, stats)`` — the pieces a
+    manifest entry needs."""
     from urllib.parse import unquote
 
-    from .transforms import parse_partition_by
-
-    doc, prev_version = _load_doc(table_dir)
-    seq = int(doc.get("last-sequence-number", 0)) + 1
-    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
-    timestamp_ms = (
-        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
-    )
-    base_id = doc.get("current-snapshot-id")
-    if branch is not None:
-        ref = doc.get("refs", {}).get(branch)
-        if ref is not None:
-            if ref.get("type") != "branch":
-                raise ValueError(f"ref {branch!r} is a tag, not a branch")
-            base_id = int(ref["snapshot-id"])
-    mdir = os.path.join(table_dir, "metadata")
-    os.makedirs(mdir, exist_ok=True)
-
-    # 1. data files — distributed parquet write into a per-commit dir
-    data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}")
-    dtypes = dict(df.dtypes)
-    transforms = parse_partition_by(partition_by) if partition_by else []
-    for t in transforms:
-        if t.source not in dtypes:
-            raise ValueError(f"partition source column {t.source!r} not in frame")
-    _record_table_shape(doc, dtypes, transforms)
     if transforms:
         wdf = df
         for t in transforms:
@@ -536,6 +479,123 @@ def append(
         data_dir,
         dtypes,
         exclude_cols=[t.source for t in transforms if t.kind == "identity"],
+    )
+    return parts, partition_of, ptypes, stats
+
+
+def _spec_transforms_from_doc(doc: dict):
+    """Reconstruct the default partition spec recorded in the metadata
+    document as PartitionTransform objects, so MERGE (and any other
+    writer) keeps producing spec-conformant file layout. Returns [] when
+    the table is unpartitioned or the spec can't be resolved against the
+    current schema (foreign metadata) — callers then write unpartitioned,
+    which is always correct, just unpruned."""
+    import re as _re
+
+    from .transforms import parse_partition_by
+
+    specs = doc.get("partition-specs") or []
+    default_id = doc.get("default-spec-id", 0)
+    spec = next((s for s in specs if s.get("spec-id") == default_id), None)
+    if not spec or not spec.get("fields"):
+        return []
+    schema = next(
+        (
+            s
+            for s in doc.get("schemas", [])
+            if s.get("schema-id") == doc.get("current-schema-id", 0)
+        ),
+        None,
+    )
+    id2name = {f["id"]: f["name"] for f in (schema or {}).get("fields", [])}
+    out = []
+    for f in spec["fields"]:
+        srcname = id2name.get(f.get("source-id"))
+        if srcname is None:
+            return []
+        tr = f.get("transform", "identity")
+        if tr == "identity":
+            out.append(srcname)
+        elif tr in ("year", "month", "day", "hour"):
+            out.append(f"{tr}s({srcname})")
+        else:
+            m = _re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
+            if m is None:
+                return []
+            out.append(f"{m.group(1)}({m.group(2)}, {srcname})")
+    ts = parse_partition_by(out)
+    # recorded field names must agree with the derived ones, else the
+    # manifest keys would diverge from prior commits
+    if [t.field for t in ts] != [f.get("name") for f in spec["fields"]]:
+        return []
+    return ts
+
+
+def append(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    partition_by: list[str] | None = None,
+    extra_summary: dict[str, str] | None = None,
+    branch: str | None = None,
+) -> dict:
+    """Append ``df`` as a new snapshot. Returns the new snapshot dict.
+    ``extra_summary`` entries are merged into the snapshot summary (used
+    by the streaming sink to record its exactly-once batch marker).
+
+    With ``branch``, the commit extends that branch ref (creating it
+    from the current snapshot if absent) and leaves the main
+    ``current-snapshot-id`` untouched — write-audit-publish staging;
+    readers see the staged rows only via ``ref=branch`` until
+    ``fast_forward`` publishes the branch.
+
+    With ``partition_by``, data files are written hive-layout
+    (``col=value/`` dirs, distributed ``partitionBy`` write) and each
+    manifest entry records the file's typed partition values — which is
+    what makes ``read_data_at_snapshot(partition_filter=...)`` prune
+    files from metadata alone, the Iceberg planner behavior. Entries
+    may be identity columns OR Iceberg hidden-partitioning transforms
+    (``"days(ts)"``, ``"months(ts)"``, ``"years(ts)"``, ``"hours(ts)"``,
+    ``"bucket(8, id)"``, ``"truncate(4, s)"`` — metadata/transforms.py,
+    spec-exact murmur3 bucketing): the derived partition value exists
+    ONLY in directory layout + manifest metadata, while the source
+    column stays in the data files, so readers filter on the source
+    column and prune via the transform — Iceberg's hidden partitioning.
+
+    ``snapshot_id`` / ``timestamp_ms`` are injectable for deterministic
+    tests (defaults: sequence-derived id, current wall clock)."""
+    import time
+
+    from .transforms import parse_partition_by
+
+    doc, prev_version = _load_doc(table_dir)
+    seq = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    base_id = doc.get("current-snapshot-id")
+    if branch is not None:
+        ref = doc.get("refs", {}).get(branch)
+        if ref is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            base_id = int(ref["snapshot-id"])
+    mdir = os.path.join(table_dir, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+
+    # 1. data files — distributed parquet write into a per-commit dir
+    data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}")
+    dtypes = dict(df.dtypes)
+    transforms = parse_partition_by(partition_by) if partition_by else []
+    for t in transforms:
+        if t.source not in dtypes:
+            raise ValueError(f"partition source column {t.source!r} not in frame")
+    _record_table_shape(doc, dtypes, transforms)
+    parts, partition_of, ptypes, stats = _write_data_files(
+        spark, data_dir, df, transforms, dtypes
     )
     records_of, bounds_of, btypes = stats.records_of, stats.bounds_of, stats.btypes
 
@@ -1229,9 +1289,13 @@ def merge_into(
     data_parts: list[str] = []
     if to_append is not None:
         data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}")
-        to_append.write.parquet(data_dir)
-        data_parts = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
-        stats = _file_stats(spark, data_dir, dict(to_append.dtypes), exclude_cols=[])
+        # keep the table's recorded partition spec: merged rows land in
+        # the same hive layout + manifest partition values as appends,
+        # so pruning never degrades as a table takes merges
+        spec_transforms = _spec_transforms_from_doc(doc)
+        data_parts, partition_of, ptypes, stats = _write_data_files(
+            spark, data_dir, to_append, spec_transforms, dict(to_append.dtypes)
+        )
         added_records = sum(stats.records_of(p) for p in data_parts)
         if added_records == 0:
             data_parts = []  # empty append side: skip the data manifest
@@ -1253,6 +1317,8 @@ def merge_into(
                             "file_format": "PARQUET",
                             "record_count": stats.records_of(p),
                             "file_size_in_bytes": os.path.getsize(p),
+                            "partition_values": partition_of(p),
+                            "partition_types": ptypes,
                             "lower_bounds": stats.bounds_of(p)[0],
                             "upper_bounds": stats.bounds_of(p)[1],
                             "bounds_types": stats.btypes,

@@ -199,3 +199,38 @@ def test_committed_tables_feed_the_schema_and_spec_planes(spark, tmp_path):
     doc2 = json.loads(open(C.current_metadata_path(t)).read())
     assert doc2["schemas"] == doc["schemas"]
     assert doc2["partition-specs"] == doc["partition-specs"]
+
+
+def test_merge_into_honors_recorded_partition_spec(spark, tmp_path):
+    """MERGE writes its data files in the table's recorded partition
+    layout (manifest partition values included), so pruning never
+    degrades as a table takes merges."""
+    from hielo_spark.metadata.commit import merge_into
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.createDataFrame(
+        [(1, "us", "a"), (2, "eu", "b")], ["id", "region", "v"]
+    )
+    C.append(spark, t, df, partition_by=["region", "bucket(2, id)"],
+             snapshot_id=101, timestamp_ms=1700000000000)
+    snap = merge_into(
+        spark, t,
+        spark.createDataFrame([(2, "eu", "B"), (3, "us", "c")],
+                              ["id", "region", "v"]),
+        on=["id"], snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    files = files_from_manifest_list(
+        spark, "t", snap["manifest-list"].removeprefix("file:")
+    ).collect()
+    # every data file (original + merged) carries both partition keys
+    assert all(
+        f.partition_values and {"region", "id_bucket"} <= set(f.partition_values)
+        for f in files
+    )
+    mpath = C.current_metadata_path(t)
+    back = {(r.id, r.region, r.v)
+            for r in read_data_at_snapshot(spark, mpath).collect()}
+    assert back == {(1, "us", "a"), (2, "eu", "B"), (3, "us", "c")}
+    # pruning still metadata-only after the merge
+    us = read_data_at_snapshot(spark, mpath, partition_filter={"region": "us"})
+    assert {r.id for r in us.collect()} == {1, 3}
