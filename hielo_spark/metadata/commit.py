@@ -347,6 +347,63 @@ def _record_table_shape(doc: dict, dtypes: dict[str, str], transforms) -> None:
     doc["default-spec-id"] = 0
 
 
+def update_partition_spec(table_dir: str, partition_by: list[str]) -> int:
+    """Partition evolution (Iceberg ``ALTER TABLE ... WRITE ORDERED/
+    PARTITIONED BY`` shape): record a NEW partition spec on an existing
+    table and make it the default. Metadata-only commit — no data file
+    moves; files written under older specs keep their old partition
+    values, and mixed-spec reads stay correct because pruning treats a
+    missing partition key as may-match while identity reattachment is
+    per-file-group. Subsequent ``append``/``merge_into`` calls (without
+    an explicit ``partition_by``) write under the new spec. Returns the
+    new spec-id."""
+    from .transforms import parse_partition_by
+
+    doc, prev_version = _load_doc(table_dir)
+    if "schemas" not in doc:
+        raise ValueError("table has no recorded schema (commit data first)")
+    schema = next(
+        s
+        for s in doc["schemas"]
+        if s.get("schema-id") == doc.get("current-schema-id", 0)
+    )
+    name2id = {f["name"]: f["id"] for f in schema.get("fields", [])}
+    transforms = parse_partition_by(partition_by)
+    for t in transforms:
+        if t.source not in name2id:
+            raise ValueError(
+                f"partition source column {t.source!r} not in table schema"
+            )
+    specs = list(doc.get("partition-specs", []))
+    new_id = max((int(s.get("spec-id", 0)) for s in specs), default=-1) + 1
+    next_field_id = (
+        max(
+            (int(f.get("field-id", 999)) for s in specs for f in s.get("fields", [])),
+            default=999,
+        )
+        + 1
+    )
+    specs.append(
+        {
+            "spec-id": new_id,
+            "fields": [
+                {
+                    "name": t.field,
+                    "transform": t.iceberg_name,
+                    "source-id": name2id[t.source],
+                    "field-id": next_field_id + i,
+                }
+                for i, t in enumerate(transforms)
+            ],
+        }
+    )
+    doc = dict(doc)
+    doc["partition-specs"] = specs
+    doc["default-spec-id"] = new_id
+    _commit_doc(table_dir, doc, prev_version)
+    return new_id
+
+
 def _carry_forward_rows(
     spark: SparkSession, mdir: str, doc: dict, base_id: int | None = None
 ) -> list[dict]:
@@ -589,7 +646,14 @@ def append(
     # 1. data files — distributed parquet write into a per-commit dir
     data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}")
     dtypes = dict(df.dtypes)
-    transforms = parse_partition_by(partition_by) if partition_by else []
+    # explicit partition_by wins; otherwise write under the table's
+    # recorded default spec (Iceberg writer behavior — partition
+    # evolution via update_partition_spec takes effect on the next write)
+    transforms = (
+        parse_partition_by(partition_by)
+        if partition_by
+        else _spec_transforms_from_doc(doc)
+    )
     for t in transforms:
         if t.source not in dtypes:
             raise ValueError(f"partition source column {t.source!r} not in frame")
@@ -634,7 +698,7 @@ def append(
     new_row = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": int(doc.get("default-spec-id", 0)),
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,

@@ -6,6 +6,7 @@ pruning + source columns untouched in data)."""
 from __future__ import annotations
 
 import datetime
+import os
 
 import pytest
 
@@ -234,3 +235,53 @@ def test_merge_into_honors_recorded_partition_spec(spark, tmp_path):
     # pruning still metadata-only after the merge
     us = read_data_at_snapshot(spark, mpath, partition_filter={"region": "us"})
     assert {r.id for r in us.collect()} == {1, 3}
+
+
+def test_partition_evolution(spark, tmp_path):
+    """update_partition_spec records a new default spec; later appends
+    (no explicit partition_by) write under it, old files keep their old
+    values, mixed-spec reads and pruning stay correct."""
+    from hielo_spark.metadata.commit import update_partition_spec
+    from hielo_spark.metadata.metadata_json import partition_spec_rows_from_doc
+    import json
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df1 = spark.createDataFrame(
+        [(1, "us", "2024-01-01 10:00:00"), (2, "eu", "2024-01-02 10:00:00")],
+        ["id", "region", "ts_s"],
+    ).selectExpr("id", "region", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts")
+    C.append(spark, t, df1, partition_by=["region"],
+             snapshot_id=101, timestamp_ms=1700000000000)
+
+    new_id = update_partition_spec(t, ["days(ts)"])
+    assert new_id == 1
+
+    df2 = spark.createDataFrame(
+        [(3, "us", "2024-02-05 09:00:00")], ["id", "region", "ts_s"]
+    ).selectExpr("id", "region", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts")
+    snap = C.append(spark, t, df2, snapshot_id=102, timestamp_ms=1700100000000)
+
+    files = {os.path.basename(f.file_path): dict(f.partition_values or {})
+             for f in files_from_manifest_list(
+                 spark, "t", snap["manifest-list"].removeprefix("file:")
+             ).collect()}
+    assert any("region" in v for v in files.values())        # old spec files
+    assert any(v.get("ts_day") == "2024-02-05" for v in files.values())
+
+    mpath = C.current_metadata_path(t)
+    back = read_data_at_snapshot(spark, mpath)
+    assert {(r.id, r.region) for r in back.collect()} == {
+        (1, "us"), (2, "eu"), (3, "us")}
+
+    # pruning: region filter keeps new-spec files (missing key = may
+    # match) but drops the eu file; day filter keeps old-spec files
+    us = read_data_at_snapshot(spark, mpath, partition_filter={"region": "us"})
+    assert {r.id for r in us.collect()} == {1, 3}
+    feb = read_data_at_snapshot(spark, mpath, partition_filter={"ts_day": "2024-02-05"})
+    assert 3 in {r.id for r in feb.collect()}
+
+    # both specs live in the metadata, J1-readable
+    doc = json.load(open(mpath))
+    rows = partition_spec_rows_from_doc("t", doc)
+    assert ("t", 0, 1000, 2, "region", "identity") in rows
+    assert any(r[1] == 1 and r[4] == "ts_day" and r[5] == "day" for r in rows)
