@@ -183,7 +183,12 @@ for mod in (relational, meta, ext):
 #   emb_quantize_error (r3 green; quantization error bound also pinned
 #     by tests/test_sketches.py, sketch-accuracy family held by
 #     lineitem_sketch_quantiles' head row)
+#   events_resample_1h (r4-new, enters at the tail by choice: the
+#     windowed-agg family already holds head rows via
+#     events_sliding_windows/events_recent_windows; the gap-fill
+#     semantics are oracle-checked by the local harness)
 _DEFERRED = [
+    "events_resample_1h",
     "events_hourly_windows",
     "meta_latest_snapshot",
     "meta_file_histogram",

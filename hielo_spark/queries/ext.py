@@ -1348,3 +1348,60 @@ def doc_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_lines").cast("bigint").alias("total_lines"),
         F.sum("n_removed").cast("bigint").alias("lines_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.7-W time-series regularization (r4 session 3, operators/timeseries.py):
+# hourly resample per event type with forward-filled gaps. Buckets as
+# epoch seconds (timezone-free on both engines); the fill carries the
+# rounded hourly average so partial-agg ordering can't flip the hash.
+# --------------------------------------------------------------------------
+@query(
+    "events_resample_1h",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
+             value
+      FROM events
+    ),
+    obs AS (SELECT event_type, b, count(*) AS n,
+                   round(avg(value), 6) AS av
+            FROM e GROUP BY event_type, b),
+    bounds AS (SELECT event_type, min(b) AS lo, max(b) AS hi
+               FROM obs GROUP BY event_type),
+    grid AS (SELECT event_type, unnest(range(lo, hi + 1, 3600)) AS b
+             FROM bounds),
+    j AS (SELECT g.event_type, g.b, obs.n, obs.av
+          FROM grid g LEFT JOIN obs ON g.event_type = obs.event_type
+                                   AND g.b = obs.b)
+    SELECT event_type,
+           CAST(b AS BIGINT) AS bucket_s,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           CAST(last_value(av IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS avg_value_filled,
+           CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM j
+    """,
+)
+def events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample_ffill
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    r = resample_ffill(
+        e,
+        ts_col="ts",
+        key_cols=["event_type"],
+        step_seconds=3600,
+        aggs={"n_events": "count(*)", "av": "round(avg(value), 6)"},
+        fill_cols=["av"],
+    )
+    return r.select(
+        "event_type",
+        "bucket_s",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("av_filled").cast("double").alias("avg_value_filled"),
+        "is_gap",
+    )

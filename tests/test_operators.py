@@ -509,3 +509,41 @@ def test_embedding_neardup_gram_edge_cases(spark):
         for r in dedup.embedding_neardup_pairs(df, threshold=0.9, strategy="salted").collect()
     )
     assert gram == salted == [("a", 1, 2, 1.0)]
+
+
+def test_resample_ffill_hand_computed(spark):
+    """Grid spans first→last bucket per key; gaps carry the last value;
+    counts stay null on gaps (coalesce is the caller's choice)."""
+    from hielo_spark.operators.timeseries import resample_ffill
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:05:00", 10.0),
+            ("a", "2024-01-01 00:55:00", 20.0),
+            # hour 1 empty
+            ("a", "2024-01-01 02:10:00", 40.0),
+            ("b", "2024-01-01 05:00:00", 1.0),
+        ],
+        ["k", "ts_s", "v"],
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    out = {
+        (r.k, r.bucket_s): (r.n, r.av, r.av_filled, r.is_gap)
+        for r in resample_ffill(
+            df, "ts", ["k"], 3600,
+            aggs={"n": "count(*)", "av": "avg(v)"}, fill_cols=["av"],
+        ).collect()
+    }
+    h0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert out[("a", h0)] == (2, 15.0, 15.0, 0)
+    assert out[("a", h0 + 3600)] == (None, None, 15.0, 1)   # gap carries 15.0
+    assert out[("a", h0 + 7200)] == (1, 40.0, 40.0, 0)
+    assert out[("b", h0 + 5 * 3600)] == (1, 1.0, 1.0, 0)
+    assert len(out) == 4  # b's grid is a single bucket — no global grid
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        resample_ffill(df, "ts", ["k"], 0, aggs={"n": "count(*)"})
+    with _pytest.raises(ValueError, match="fill_cols"):
+        resample_ffill(df, "ts", ["k"], 60, aggs={"n": "count(*)"},
+                       fill_cols=["nope"])
