@@ -1405,3 +1405,29 @@ def events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("av_filled").cast("double").alias("avg_value_filled"),
         "is_gap",
     )
+
+
+# --------------------------------------------------------------------------
+# X4 quality classifier (r4 session 3, operators/classifier.py): train
+# the hashing-trick logistic regression on a weak label (lang == 'en')
+# and report per-label score mass. Rows-only by design — iterative
+# gradient descent is not SQL-expressible; convergence/ranking semantics
+# are pinned by tests/test_classifier.py.
+# --------------------------------------------------------------------------
+@query("doc_quality_classifier")
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import score_hashed_logreg, train_hashed_logreg
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    model = train_hashed_logreg(d, "text", "label", dim=1 << 14, iters=5, lr=2.0)
+    scored = score_hashed_logreg(d, model, "text")
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("quality_prob"), 4).alias("avg_prob"),
+        )
+        .orderBy("label")
+    )
