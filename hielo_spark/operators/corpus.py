@@ -193,3 +193,99 @@ def dup_ngram_coverage(
             F.round(F.col("covered") / F.col("n_tokens"), 6),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    token_sep: str = " ",
+) -> DataFrame:
+    """Substring-level dedup (the removal half of Lee et al.'s analysis,
+    completing ``dup_ngram_coverage``): for every ``n``-gram appearing
+    in ``min_docs``-or-more distinct documents, the document with the
+    LOWEST id keeps its copy (the canonical owner) and every other
+    document loses the covered token positions. Returns the input frame
+    with ``text_col`` rebuilt from the kept tokens plus ``n_tokens`` /
+    ``n_removed`` counters.
+
+    Same plan family as coverage — one extra join against the per-gram
+    owner (min-id aggregate, computed in the same groupBy as the
+    distinct-doc count) and a positional anti-join for the rebuild; all
+    shuffle keys are fixed-width hashes or (id, pos) pairs."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    toks = F.split(F.col(text_col), _re.escape(token_sep), -1)
+    base = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
+        "_n_tokens", F.size("_t")
+    )
+    grams = base.filter(F.col("_n_tokens") >= n).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n_tokens") - n),
+                lambda i: F.xxhash64(F.concat_ws(_US, F.slice("_t", i + 1, n))),
+            )
+        ).alias("_start", "_gram"),
+    )
+    owners = (
+        grams.groupBy("_gram")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("_nd"),
+            F.min(F.col(id_col)).alias("_owner"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gram", "_owner")
+    )
+    drop_pos = (
+        grams.join(owners, "_gram")
+        .filter(F.col(id_col) != F.col("_owner"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + (n - 1))
+            ).alias("_p"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        F.col(id_col), "_n_tokens", F.posexplode("_t").alias("_p", "_tok")
+    )
+    kept = tokens.join(drop_pos, [id_col, "_p"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.first("_n_tokens").alias("_nt"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                token_sep,
+            ).alias("_clean"),
+            F.count(F.lit(1)).alias("_nkept"),
+        )
+    )
+    # docs whose EVERY token was removed disappear from `kept` — restore
+    # them with empty text via a left join from the full corpus
+    return (
+        docs.drop(text_col)
+        .join(
+            base.select(id_col, F.col("_n_tokens").cast("bigint").alias("n_tokens")),
+            id_col,
+        )
+        .join(rebuilt.select(
+            id_col,
+            F.col("_clean"),
+            F.col("_nkept").cast("bigint").alias("_nkept"),
+        ), id_col, "left")
+        .withColumn("_clean", F.coalesce(F.col("_clean"), F.lit("")))
+        .withColumn(
+            "n_removed",
+            (F.col("n_tokens") - F.coalesce(F.col("_nkept"), F.lit(0))).cast("bigint"),
+        )
+        .drop("_nkept")
+        .withColumnRenamed("_clean", text_col)
+    )

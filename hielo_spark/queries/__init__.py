@@ -183,12 +183,16 @@ for mod in (relational, meta, ext):
 #   emb_quantize_error (r3 green; quantization error bound also pinned
 #     by tests/test_sketches.py, sketch-accuracy family held by
 #     lineitem_sketch_quantiles' head row)
+#   doc_dedup_spans (r4-new, tail by choice: the substring-dedup family
+#     holds a head row via doc_dup_ngram_coverage; the removal half is
+#     md5-pinned by the local harness + pytest)
 #   events_resample_1h (r4-new, enters at the tail by choice: the
 #     windowed-agg family already holds head rows via
 #     events_sliding_windows/events_recent_windows; the gap-fill
 #     semantics are oracle-checked by the local harness)
 _DEFERRED = [
     "events_resample_1h",
+    "doc_dedup_spans",
     "events_hourly_windows",
     "meta_latest_snapshot",
     "meta_file_histogram",

@@ -1431,3 +1431,58 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# X1 substring-level dedup (removal half): canonical owner (lowest
+# doc_id) keeps each duplicated 8-gram, other docs lose the covered
+# positions. The oracle recomputes removal AND pins the rebuilt text by
+# md5, so token order and separator handling are hash-checked, not just
+# counts. Tail by choice (head at capacity); local harness checks it.
+# --------------------------------------------------------------------------
+@query(
+    "doc_dedup_spans",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+    starts AS (SELECT doc_id, t, unnest(range(1, n_tokens - 6)) AS i
+               FROM base WHERE n_tokens >= 8),
+    grams AS (SELECT doc_id, i AS start,
+                     array_to_string(t[i:i+7], chr(31)) AS gram
+              FROM starts),
+    owners AS (SELECT gram, min(doc_id) AS owner
+               FROM grams GROUP BY gram
+               HAVING count(DISTINCT doc_id) >= 2),
+    dropped AS (SELECT DISTINCT g.doc_id, g.start + o.o AS p
+                FROM grams g JOIN owners USING (gram),
+                     (SELECT unnest(range(0, 8)) AS o) o
+                WHERE g.doc_id <> owners.owner),
+    toklong AS (SELECT doc_id, unnest(t) AS tok,
+                       generate_subscripts(t, 1) AS p
+                FROM base),
+    kept AS (SELECT tl.doc_id, tl.tok, tl.p
+             FROM toklong tl LEFT JOIN dropped d
+               ON tl.doc_id = d.doc_id AND tl.p = d.p
+             WHERE d.doc_id IS NULL),
+    rebuilt AS (SELECT doc_id,
+                       count(*) AS nkept,
+                       md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+                FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_tokens - coalesce(r.nkept, 0) AS BIGINT) AS n_removed,
+           coalesce(r.clean_md5, md5('')) AS clean_md5
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def doc_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import remove_duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_duplicated_spans(d, n=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("text").alias("clean_md5"),
+    )

@@ -115,3 +115,39 @@ def test_dup_ngram_coverage_within_doc_repeat_not_duplicated(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: r.covered for r in corpus.dup_ngram_coverage(docs, n=3).collect()}
     assert out == {1: 0, 2: 0}
+
+
+def test_remove_duplicated_spans_owner_keeps_copy(spark):
+    """Docs 1/2 share 'a b c d'; doc 1 (lowest id) keeps it, doc 2
+    loses the covered positions; disjoint doc 3 untouched."""
+    rows = [
+        (1, "a b c d x y"),
+        (2, "p q a b c d"),
+        (3, "m n o r s t"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in corpus.remove_duplicated_spans(docs, n=3).collect()
+    }
+    assert out[1] == ("a b c d x y", 6, 0)   # canonical owner untouched
+    assert out[2] == ("p q", 6, 4)            # span cut
+    assert out[3] == ("m n o r s t", 6, 0)
+
+
+def test_remove_duplicated_spans_total_removal_yields_empty(spark):
+    rows = [(1, "a b c"), (2, "a b c")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.text, r.n_removed)
+           for r in corpus.remove_duplicated_spans(docs, n=3).collect()}
+    assert out[1] == ("a b c", 0)
+    assert out[2] == ("", 3)  # fully-duplicated doc empties, stays present
+
+
+def test_remove_duplicated_spans_three_way(spark):
+    """With three sharers the lowest id owns; both others are cut."""
+    rows = [(5, "z z a b c"), (7, "a b c q"), (9, "w a b c")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.n_removed
+           for r in corpus.remove_duplicated_spans(docs, n=3).collect()}
+    assert out == {5: 0, 7: 3, 9: 3}
