@@ -404,6 +404,44 @@ def update_partition_spec(table_dir: str, partition_by: list[str]) -> int:
     return new_id
 
 
+def _with_totals(
+    summary: dict,
+    doc: dict,
+    base_id,
+    d_files: int,
+    d_bytes: int,
+    d_deletes: int,
+    reset: bool = False,
+) -> dict:
+    """Carry the running ``total-data-files`` / ``total-delete-files`` /
+    ``total-size`` summary keys (the keys the reference's health suite
+    reads from snapshot summaries — data.rs:98-108 — and A6/A7 compute
+    storage metrics from), accumulated from the base snapshot; ``reset``
+    for REPLACE commits whose file set starts over."""
+    base = next(
+        (
+            s
+            for s in doc.get("snapshots", [])
+            if s.get("snapshot-id") == base_id
+        ),
+        None,
+    )
+    bs = (base or {}).get("summary", {})
+
+    def g(k: str) -> int:
+        if reset:
+            return 0
+        try:
+            return int(bs.get(k, "0") or 0)
+        except ValueError:
+            return 0
+
+    summary["total-data-files"] = str(g("total-data-files") + d_files)
+    summary["total-delete-files"] = str(g("total-delete-files") + d_deletes)
+    summary["total-size"] = str(g("total-size") + d_bytes)
+    return summary
+
+
 def _carry_forward_rows(
     spark: SparkSession, mdir: str, doc: dict, base_id: int | None = None
 ) -> list[dict]:
@@ -721,14 +759,18 @@ def append(
     return _finalize_commit(
         spark, table_dir, doc, prev_version, prior_rows + [new_row],
         snapshot_id, timestamp_ms, seq,
-        {
-            "operation": "append",
-            "added-data-files": str(len(parts)),
-            "added-records": str(added_records),
-            "total-records": str(total_records),
-            "added-files-size": str(sum(os.path.getsize(p) for p in parts)),
-            **(extra_summary or {}),
-        },
+        _with_totals(
+            {
+                "operation": "append",
+                "added-data-files": str(len(parts)),
+                "added-records": str(added_records),
+                "total-records": str(total_records),
+                "added-files-size": str(sum(os.path.getsize(p) for p in parts)),
+                **(extra_summary or {}),
+            },
+            doc, base_id,
+            len(parts), sum(os.path.getsize(p) for p in parts), 0,
+        ),
         branch=branch,
         parent_id=base_id,
     )
@@ -804,11 +846,14 @@ def delete_equality(
     return _finalize_commit(
         spark, table_dir, doc, prev_version, prior_rows + [new_row],
         snapshot_id, timestamp_ms, seq,
-        {
-            "operation": "delete",
-            "equality-delete-files": str(len(parts)),
-            "added-delete-records": str(n_keys),
-        },
+        _with_totals(
+            {
+                "operation": "delete",
+                "equality-delete-files": str(len(parts)),
+                "added-delete-records": str(n_keys),
+            },
+            doc, doc.get("current-snapshot-id"), 0, 0, len(parts),
+        ),
     )
 
 
@@ -967,13 +1012,18 @@ def rewrite_data_files(
     return _finalize_commit(
         spark, table_dir, doc, prev_version, [new_row],  # REPLACE: no carry-forward
         snapshot_id, timestamp_ms, seq,
-        {
-            "operation": "replace",
-            "rewritten-data-files": str(len(old_files)),
-            "added-data-files": str(len(parts)),
-            "total-records": str(total_records),
-            "added-files-size": str(sum(os.path.getsize(p) for p in parts)),
-        },
+        _with_totals(
+            {
+                "operation": "replace",
+                "rewritten-data-files": str(len(old_files)),
+                "added-data-files": str(len(parts)),
+                "total-records": str(total_records),
+                "added-files-size": str(sum(os.path.getsize(p) for p in parts)),
+            },
+            doc, None,
+            len(parts), sum(os.path.getsize(p) for p in parts), 0,
+            reset=True,
+        ),
     )
 
 
@@ -1075,11 +1125,14 @@ def delete_where(
     return _finalize_commit(
         spark, table_dir, doc, prev_version, prior_rows + [new_row],
         snapshot_id, timestamp_ms, seq,
-        {
-            "operation": "delete",
-            "position-delete-files": str(len(parts)),
-            "added-delete-records": str(n_deleted),
-        },
+        _with_totals(
+            {
+                "operation": "delete",
+                "position-delete-files": str(len(parts)),
+                "added-delete-records": str(n_deleted),
+            },
+            doc, doc.get("current-snapshot-id"), 0, 0, len(parts),
+        ),
     )
 
 
@@ -1205,12 +1258,15 @@ def rewrite_manifests(
     return _finalize_commit(
         spark, table_dir, doc, prev_version, new_rows + delete_rows,
         snapshot_id, timestamp_ms, seq,
-        {
-            "operation": "replace",
-            "rewritten-manifests": str(len(data_manifests)),
-            "added-manifests": str(len(new_rows)),
-            "total-records": current.get("summary", {}).get("total-records", "0"),
-        },
+        _with_totals(
+            {
+                "operation": "replace",
+                "rewritten-manifests": str(len(data_manifests)),
+                "added-manifests": str(len(new_rows)),
+                "total-records": current.get("summary", {}).get("total-records", "0"),
+            },
+            doc, doc.get("current-snapshot-id"), 0, 0, 0,
+        ),
     )
 
 
@@ -1417,16 +1473,22 @@ def merge_into(
     return _finalize_commit(
         spark, table_dir, doc, prev_version, manifest_rows,
         snapshot_id, timestamp_ms, seq,
-        {
-            "operation": "overwrite",
-            "added-data-files": str(len(data_parts)),
-            "added-records": str(added_records),
-            "deleted-records": str(n_deleted_rows),
-            "equality-delete-files": str(1 if n_delete_keys else 0),
-            "added-delete-records": str(n_delete_keys),
-            "total-records": str(prior_total - n_deleted_rows + added_records),
-            **(extra_summary or {}),
-        },
+        _with_totals(
+            {
+                "operation": "overwrite",
+                "added-data-files": str(len(data_parts)),
+                "added-records": str(added_records),
+                "deleted-records": str(n_deleted_rows),
+                "equality-delete-files": str(1 if n_delete_keys else 0),
+                "added-delete-records": str(n_delete_keys),
+                "total-records": str(prior_total - n_deleted_rows + added_records),
+                **(extra_summary or {}),
+            },
+            doc, doc.get("current-snapshot-id"),
+            len(data_parts),
+            sum(os.path.getsize(p) for p in data_parts),
+            1 if n_delete_keys else 0,
+        ),
     )
 
 

@@ -956,3 +956,48 @@ def test_branch_append_rejects_tag_ref(spark, tmp_path):
     with pytest.raises(ValueError, match="tag, not a branch"):
         C.append(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]),
                  snapshot_id=102, timestamp_ms=1700100000000, branch="v1")
+
+
+def test_summary_totals_feed_health_suite(spark, tmp_path):
+    """Commit summaries carry running total-data-files/total-delete-
+    files/total-size (the keys the reference's health suite reads), so
+    the A-family operators run meaningfully on our own tables."""
+    import json
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(i, "x" * 50) for i in range(20)], ["id", "v"]).coalesce(2),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(99, "y")], ["id", "v"]).coalesce(1),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_equality(spark, t, spark.createDataFrame([(1,)], ["id"]),
+                      snapshot_id=103, timestamp_ms=1700200000000)
+    C.merge_into(spark, t, spark.createDataFrame([(2, "Z"), (500, "n")],
+                                                 ["id", "v"]),
+                 on=["id"], snapshot_id=104, timestamp_ms=1700300000000)
+    C.rewrite_data_files(spark, t, snapshot_id=105, timestamp_ms=1700400000000)
+
+    doc = json.load(open(C.current_metadata_path(t)))
+    summ = {s["snapshot-id"]: s["summary"] for s in doc["snapshots"]}
+    assert summ[101]["total-data-files"] == "2"
+    assert summ[102]["total-data-files"] == "3"
+    assert summ[102]["total-delete-files"] == "0"
+    assert summ[103]["total-data-files"] == "3"   # deletes add no data files
+    assert summ[103]["total-delete-files"] == "1"
+    assert int(summ[104]["total-data-files"]) >= 4  # merge adds data files
+    assert summ[104]["total-delete-files"] == "2"
+    # rewrite resets to the compacted file set
+    assert int(summ[105]["total-data-files"]) == int(
+        summ[105]["added-data-files"])
+    assert int(summ[105]["total-size"]) > 0
+    for s in summ.values():
+        assert int(s["total-size"]) >= 0
+
+    # the health suite runs on our own committed metadata
+    from hielo_spark.analytics.health import health_metrics
+    from hielo_spark.metadata.metadata_json import snapshots_from_metadata_json
+
+    snaps = snapshots_from_metadata_json(
+        spark, "t", C.current_metadata_path(t))
+    hm = health_metrics(snaps, as_of="2023-11-20 00:00:00").collect()[0]
+    assert hm.total_size_gb > 0
