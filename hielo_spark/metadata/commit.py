@@ -417,7 +417,13 @@ def _with_totals(
     ``total-size`` summary keys (the keys the reference's health suite
     reads from snapshot summaries — data.rs:98-108 — and A6/A7 compute
     storage metrics from), accumulated from the base snapshot; ``reset``
-    for REPLACE commits whose file set starts over."""
+    for REPLACE commits whose file set starts over. ``total-size``
+    includes delete-file bytes (Iceberg's total-files-size semantics).
+
+    A base snapshot written before totals existed (its summary lacks the
+    keys) poisons the accumulation — a delta masquerading as a total is
+    a false fact — so absence PROPAGATES: no totals are emitted until a
+    reset-style commit (rewrite_data_files) re-establishes them."""
     base = next(
         (
             s
@@ -427,6 +433,8 @@ def _with_totals(
         None,
     )
     bs = (base or {}).get("summary", {})
+    if not reset and base is not None and "total-data-files" not in bs:
+        return summary  # pre-totals lineage: don't fabricate a baseline
 
     def g(k: str) -> int:
         if reset:
@@ -746,6 +754,7 @@ def append(
         "deleted_files_count": 0,
     }
     added_records = sum(records_of(p) for p in parts)
+    added_bytes = sum(os.path.getsize(p) for p in parts)
     total_records = added_records
     base = next(
         (s for s in doc.get("snapshots", [])
@@ -753,9 +762,12 @@ def append(
         None,
     )
     if base is not None:
-        total_records += int(
-            base.get("summary", {}).get("total-records", "0") or 0
-        )
+        try:
+            total_records += int(
+                base.get("summary", {}).get("total-records", "0") or 0
+            )
+        except ValueError:
+            pass  # junk-tolerant, like _with_totals
     return _finalize_commit(
         spark, table_dir, doc, prev_version, prior_rows + [new_row],
         snapshot_id, timestamp_ms, seq,
@@ -765,11 +777,11 @@ def append(
                 "added-data-files": str(len(parts)),
                 "added-records": str(added_records),
                 "total-records": str(total_records),
-                "added-files-size": str(sum(os.path.getsize(p) for p in parts)),
+                "added-files-size": str(added_bytes),
                 **(extra_summary or {}),
             },
             doc, base_id,
-            len(parts), sum(os.path.getsize(p) for p in parts), 0,
+            len(parts), added_bytes, 0,
         ),
         branch=branch,
         parent_id=base_id,
@@ -852,7 +864,8 @@ def delete_equality(
                 "equality-delete-files": str(len(parts)),
                 "added-delete-records": str(n_keys),
             },
-            doc, doc.get("current-snapshot-id"), 0, 0, len(parts),
+            doc, doc.get("current-snapshot-id"),
+            0, sum(os.path.getsize(p) for p in parts), len(parts),
         ),
     )
 
@@ -1009,6 +1022,7 @@ def rewrite_data_files(
         "deleted_files_count": 0,
     }
     total_records = sum(records_of(p) for p in parts)
+    added_bytes = sum(os.path.getsize(p) for p in parts)
     return _finalize_commit(
         spark, table_dir, doc, prev_version, [new_row],  # REPLACE: no carry-forward
         snapshot_id, timestamp_ms, seq,
@@ -1018,10 +1032,10 @@ def rewrite_data_files(
                 "rewritten-data-files": str(len(old_files)),
                 "added-data-files": str(len(parts)),
                 "total-records": str(total_records),
-                "added-files-size": str(sum(os.path.getsize(p) for p in parts)),
+                "added-files-size": str(added_bytes),
             },
             doc, None,
-            len(parts), sum(os.path.getsize(p) for p in parts), 0,
+            len(parts), added_bytes, 0,
             reset=True,
         ),
     )
@@ -1131,7 +1145,8 @@ def delete_where(
                 "position-delete-files": str(len(parts)),
                 "added-delete-records": str(n_deleted),
             },
-            doc, doc.get("current-snapshot-id"), 0, 0, len(parts),
+            doc, doc.get("current-snapshot-id"),
+            0, sum(os.path.getsize(p) for p in parts), len(parts),
         ),
     )
 
@@ -1364,10 +1379,11 @@ def merge_into(
 
     manifest_rows = _carry_forward_rows(spark, mdir, doc)
 
+    del_parts: list[str] = []
     if n_delete_keys:
         del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
         delete_keys.coalesce(1).write.parquet(del_dir)
-        del_parts = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
+        del_parts.extend(sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet"))))
         del_manifest = os.path.join(
             mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
         )
@@ -1486,8 +1502,8 @@ def merge_into(
             },
             doc, doc.get("current-snapshot-id"),
             len(data_parts),
-            sum(os.path.getsize(p) for p in data_parts),
-            1 if n_delete_keys else 0,
+            sum(os.path.getsize(p) for p in data_parts + del_parts),
+            len(del_parts),
         ),
     )
 

@@ -1001,3 +1001,49 @@ def test_summary_totals_feed_health_suite(spark, tmp_path):
         spark, "t", C.current_metadata_path(t))
     hm = health_metrics(snaps, as_of="2023-11-20 00:00:00").collect()[0]
     assert hm.total_size_gb > 0
+
+
+def test_totals_absence_propagates_for_pre_totals_lineage(spark, tmp_path):
+    """A base snapshot without totals keys (pre-upgrade table) must not
+    seed a delta-as-total false fact: totals stay absent until a
+    REPLACE re-establishes them."""
+    import json
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    # simulate a pre-totals snapshot: strip the keys from v1's summary
+    mpath = C.current_metadata_path(t)
+    doc = json.load(open(mpath))
+    for k in ("total-data-files", "total-delete-files", "total-size"):
+        doc["snapshots"][0]["summary"].pop(k, None)
+    with open(mpath, "w") as f:
+        json.dump(doc, f)
+
+    C.append(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    doc = json.load(open(C.current_metadata_path(t)))
+    s102 = next(s for s in doc["snapshots"] if s["snapshot-id"] == 102)
+    assert "total-data-files" not in s102["summary"]  # absence propagates
+
+    # a rewrite (reset) re-establishes honest totals
+    C.rewrite_data_files(spark, t, snapshot_id=103, timestamp_ms=1700200000000)
+    doc = json.load(open(C.current_metadata_path(t)))
+    s103 = next(s for s in doc["snapshots"] if s["snapshot-id"] == 103)
+    assert int(s103["summary"]["total-data-files"]) >= 1
+    assert int(s103["summary"]["total-size"]) > 0
+
+
+def test_delete_files_count_toward_total_size(spark, tmp_path):
+    import json
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_equality(spark, t, spark.createDataFrame([(1,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    doc = json.load(open(C.current_metadata_path(t)))
+    summ = {s["snapshot-id"]: s["summary"] for s in doc["snapshots"]}
+    # delete commit grows total-size by its delete parquet bytes
+    assert int(summ[102]["total-size"]) > int(summ[101]["total-size"])
+    assert summ[102]["total-data-files"] == summ[101]["total-data-files"]
