@@ -498,6 +498,7 @@ def _finalize_commit(
     summary: dict[str, str],
     branch: str | None = None,
     parent_id: int | None = None,
+    extra_properties: dict[str, str] | None = None,
 ) -> dict:
     """Write the manifest list, append the snapshot entry, bump the
     metadata version. With ``branch``, the commit moves that branch ref
@@ -528,6 +529,8 @@ def _finalize_commit(
         doc["refs"] = refs
     doc["last-sequence-number"] = seq
     doc["last-updated-ms"] = timestamp_ms
+    if extra_properties:
+        doc["properties"] = {**doc.get("properties", {}), **extra_properties}
     _commit_doc(table_dir, doc, prev_version)
     return snapshot
 
@@ -643,6 +646,7 @@ def append(
     partition_by: list[str] | None = None,
     extra_summary: dict[str, str] | None = None,
     branch: str | None = None,
+    extra_properties: dict[str, str] | None = None,
 ) -> dict:
     """Append ``df`` as a new snapshot. Returns the new snapshot dict.
     ``extra_summary`` entries are merged into the snapshot summary (used
@@ -785,6 +789,7 @@ def append(
         ),
         branch=branch,
         parent_id=base_id,
+        extra_properties=extra_properties,
     )
 
 
@@ -1295,6 +1300,7 @@ def merge_into(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     extra_summary: dict[str, str] | None = None,
+    extra_properties: dict[str, str] | None = None,
 ) -> dict | None:
     """``MERGE INTO`` as a SINGLE merge-on-read snapshot (the Iceberg
     v2 row-level-operations shape, SURVEY §2.1 S11): one commit carries
@@ -1505,6 +1511,7 @@ def merge_into(
             sum(os.path.getsize(p) for p in data_parts + del_parts),
             len(del_parts),
         ),
+        extra_properties=extra_properties,
     )
 
 

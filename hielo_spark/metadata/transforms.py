@@ -219,10 +219,33 @@ class PartitionTransform:
 
         return bucket_long(col)
 
-    def value_of(self, literal):
-        """The partition value a source-column literal lands in —
-        what turns a predicate on the SOURCE column into a
-        ``partition_filter`` on the hidden partition field."""
+    @staticmethod
+    def _as_datetime(literal):
+        """Literal → naive-UTC datetime (the write side records the UTC
+        instant under the enforced-UTC session, so aware literals
+        convert and naive ones are taken as already-UTC)."""
+        import datetime
+
+        if isinstance(literal, str):
+            literal = datetime.datetime.fromisoformat(literal)
+        if isinstance(literal, datetime.datetime):
+            if literal.tzinfo is not None:
+                literal = literal.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return literal
+        if isinstance(literal, datetime.date):
+            return datetime.datetime(literal.year, literal.month, literal.day)
+        raise TypeError(f"not a date/timestamp literal: {literal!r}")
+
+    def value_of(self, literal, dtype: str | None = None):
+        """The partition value a source-column literal lands in — what
+        turns a predicate on the SOURCE column into a
+        ``partition_filter`` on the hidden partition field. Pass the
+        source column's ``dtype`` to disambiguate string literals (an
+        ISO string aimed at a timestamp bucket column must hash as
+        epoch micros, not as UTF-8 bytes); without it, Python-type
+        dispatch applies and strings hash as strings."""
         import datetime
 
         if self.kind == "identity":
@@ -234,21 +257,31 @@ class PartitionTransform:
                 "days": "%Y-%m-%d",
                 "hours": "%Y-%m-%d-%H",
             }[self.kind]
-            if isinstance(literal, str):
-                literal = datetime.datetime.fromisoformat(literal)
-            return literal.strftime(fmt)
+            return self._as_datetime(literal).strftime(fmt)
         if self.kind == "truncate":
             if isinstance(literal, str):
                 return literal[: self.param]
             return literal - (((literal % self.param) + self.param) % self.param)
         if self.kind == "bucket":
+            if dtype is not None:
+                if dtype.startswith("timestamp"):
+                    literal = self._as_datetime(literal)
+                elif dtype == "date":
+                    if isinstance(literal, str):
+                        literal = datetime.date.fromisoformat(literal)
+                elif dtype == "string":
+                    literal = str(literal)
+                else:
+                    literal = int(literal)
             if isinstance(literal, str):
                 h = murmur3_32_bytes(literal.encode("utf-8"))
             elif isinstance(literal, datetime.datetime):
-                epoch = datetime.datetime(
-                    1970, 1, 1, tzinfo=literal.tzinfo
+                lit = self._as_datetime(literal)
+                # exact integer micros — float total_seconds() rounds
+                # off-by-one for microsecond-precision literals
+                micros = (lit - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+                    microseconds=1
                 )
-                micros = int((literal - epoch).total_seconds() * 1_000_000)
                 h = int(murmur3_32_long([micros])[0])
             elif isinstance(literal, datetime.date):
                 h = int(murmur3_32_long([(literal - datetime.date(1970, 1, 1)).days])[0])

@@ -43,6 +43,45 @@ def _edges(docs: DataFrame, text_col: str, id_col: str, dim: int) -> DataFrame:
     )
 
 
+def _perdoc_features(docs, text_col, id_col, dim):
+    """(id, _bs, _xs): per-doc hashed-bucket lists with L2-normalized
+    counts — the ONE feature assembly both training and scoring use (a
+    divergence here would silently corrupt every score)."""
+    edges = _edges(docs, text_col, id_col, dim)
+    norm = edges.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_cnt") * F.col("_cnt"))).alias("_nrm")
+    )
+    normalized = edges.join(norm, "_id").select(
+        "_id", "_bucket", (F.col("_cnt") / F.col("_nrm")).alias("_x")
+    )
+    perdoc = normalized.groupBy("_id").agg(
+        F.collect_list("_bucket").alias("_bs"),
+        F.collect_list("_x").alias("_xs"),
+    )
+    return normalized, perdoc
+
+
+def _margin_udf(bw, bias: float):
+    """Arrow-batched sigmoid(bias + w·x) over (bucket-list, value-list)
+    columns against the broadcast weight vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def prob(bs, xs):
+        import pandas as pd
+
+        wv = bw.value
+        out = np.empty(len(bs))
+        for i, (b, x) in enumerate(zip(bs, xs)):
+            m = bias + float(
+                np.dot(wv[np.asarray(b, dtype=np.int64)], np.asarray(x))
+            )
+            out[i] = 1.0 / (1.0 + np.exp(-m))
+        return pd.Series(out)
+
+    return prob
+
+
 def train_hashed_logreg(
     docs: DataFrame,
     text_col: str,
@@ -57,33 +96,16 @@ def train_hashed_logreg(
     "bias": float, "dim": int, "losses": [float per iteration]}``.
     Full-batch gradient descent with L2; counts are per-doc
     L2-normalized so document length doesn't dominate the margin."""
-    from pyspark.sql.functions import pandas_udf
-
     spark = docs.sparkSession
-    edges = _edges(docs, text_col, id_col, dim)
-    norm = edges.groupBy("_id").agg(
-        F.sqrt(F.sum(F.col("_cnt") * F.col("_cnt"))).alias("_nrm")
-    )
-    edges = (
-        edges.join(norm, "_id")
-        .select("_id", "_bucket", (F.col("_cnt") / F.col("_nrm")).alias("_x"))
-        .persist()
-    )
-    perdoc = (
-        edges.groupBy("_id")
-        .agg(
-            F.collect_list("_bucket").alias("_bs"),
-            F.collect_list("_x").alias("_xs"),
-        )
-        .join(
-            docs.select(
-                F.col(id_col).alias("_id"),
-                F.col(label_col).cast("double").alias("_y"),
-            ),
-            "_id",
-        )
-        .persist()
-    )
+    edges, perdoc = _perdoc_features(docs, text_col, id_col, dim)
+    edges = edges.persist()
+    perdoc = perdoc.join(
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).cast("double").alias("_y"),
+        ),
+        "_id",
+    ).persist()
     n_docs = perdoc.count()
     if n_docs == 0:
         raise ValueError("no documents with tokens to train on")
@@ -94,18 +116,7 @@ def train_hashed_logreg(
     sc = spark.sparkContext
     for _ in range(iters):
         bw = sc.broadcast(w)
-        b0 = float(bias)
-
-        @pandas_udf("double")
-        def prob(bs, xs):
-            import pandas as pd
-
-            wv = bw.value
-            out = np.empty(len(bs))
-            for i, (b, x) in enumerate(zip(bs, xs)):
-                m = b0 + float(np.dot(wv[np.asarray(b, dtype=np.int64)], np.asarray(x)))
-                out[i] = 1.0 / (1.0 + np.exp(-m))
-            return pd.Series(out)
+        prob = _margin_udf(bw, float(bias))
 
         scored = perdoc.select(
             "_id", "_y", prob("_bs", "_xs").alias("_p")
@@ -153,38 +164,13 @@ def score_hashed_logreg(
     """Attach the model's probability to every document (one explode +
     one groupBy + the broadcast dot product; empty/whitespace docs score
     at the bias)."""
-    from pyspark.sql.functions import pandas_udf
-
     spark = docs.sparkSession
     dim = int(model["dim"])
     bias = float(model["bias"])
     bw = spark.sparkContext.broadcast(np.asarray(model["weights"], dtype=np.float64))
 
-    edges = _edges(docs, text_col, id_col, dim)
-    norm = edges.groupBy("_id").agg(
-        F.sqrt(F.sum(F.col("_cnt") * F.col("_cnt"))).alias("_nrm")
-    )
-    perdoc = (
-        edges.join(norm, "_id")
-        .select("_id", "_bucket", (F.col("_cnt") / F.col("_nrm")).alias("_x"))
-        .groupBy("_id")
-        .agg(
-            F.collect_list("_bucket").alias("_bs"),
-            F.collect_list("_x").alias("_xs"),
-        )
-    )
-
-    @pandas_udf("double")
-    def prob(bs, xs):
-        import pandas as pd
-
-        wv = bw.value
-        out = np.empty(len(bs))
-        for i, (b, x) in enumerate(zip(bs, xs)):
-            m = bias + float(np.dot(wv[np.asarray(b, dtype=np.int64)], np.asarray(x)))
-            out[i] = 1.0 / (1.0 + np.exp(-m))
-        return pd.Series(out)
-
+    _, perdoc = _perdoc_features(docs, text_col, id_col, dim)
+    prob = _margin_udf(bw, bias)
     scored = perdoc.select("_id", prob("_bs", "_xs").alias(out_col))
     return docs.join(
         scored.withColumnRenamed("_id", id_col), id_col, "left"

@@ -126,6 +126,26 @@ def line_frequencies(
     )
 
 
+def _gram_frame(docs, text_col, id_col, n, token_sep):
+    """(base, grams): tokenized base frame with token counts, and the
+    per-doc (id, _start, _gram-hash) occurrence frame — the shared
+    front half of coverage and removal."""
+    toks = F.split(F.col(text_col), _re.escape(token_sep), -1)
+    base = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
+        "_n_tokens", F.size("_t")
+    )
+    grams = base.filter(F.col("_n_tokens") >= n).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n_tokens") - n),
+                lambda i: F.xxhash64(F.concat_ws(_US, F.slice("_t", i + 1, n))),
+            )
+        ).alias("_start", "_gram"),
+    )
+    return base, grams
+
+
 def dup_ngram_coverage(
     docs: DataFrame,
     text_col: str = "text",
@@ -153,20 +173,7 @@ def dup_ngram_coverage(
     """
     if n < 2:
         raise ValueError("n must be >= 2 (unigrams are vocabulary, not spans)")
-    toks = F.split(F.col(text_col), _re.escape(token_sep), -1)
-    base = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
-        "_n_tokens", F.size("_t")
-    )
-
-    grams = base.filter(F.col("_n_tokens") >= n).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("_n_tokens") - n),
-                lambda i: F.xxhash64(F.concat_ws(_US, F.slice("_t", i + 1, n))),
-            )
-        ).alias("_start", "_gram"),
-    )
+    base, grams = _gram_frame(docs, text_col, id_col, n, token_sep)
     dup = (
         grams.groupBy("_gram")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
@@ -217,19 +224,7 @@ def remove_duplicated_spans(
     shuffle keys are fixed-width hashes or (id, pos) pairs."""
     if n < 2:
         raise ValueError("n must be >= 2")
-    toks = F.split(F.col(text_col), _re.escape(token_sep), -1)
-    base = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
-        "_n_tokens", F.size("_t")
-    )
-    grams = base.filter(F.col("_n_tokens") >= n).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("_n_tokens") - n),
-                lambda i: F.xxhash64(F.concat_ws(_US, F.slice("_t", i + 1, n))),
-            )
-        ).alias("_start", "_gram"),
-    )
+    base, grams = _gram_frame(docs, text_col, id_col, n, token_sep)
     owners = (
         grams.groupBy("_gram")
         .agg(
@@ -239,17 +234,25 @@ def remove_duplicated_spans(
         .filter(F.col("_nd") >= min_docs)
         .select("_gram", "_owner")
     )
-    drop_pos = (
-        grams.join(owners, "_gram")
-        .filter(F.col(id_col) != F.col("_owner"))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("_start"), F.col("_start") + (n - 1))
-            ).alias("_p"),
-        )
+    owned_occ = grams.join(owners, "_gram")
+    span = F.explode(
+        F.sequence(F.col("_start"), F.col("_start") + (n - 1))
+    ).alias("_p")
+    foreign_pos = (
+        owned_occ.filter(F.col(id_col) != F.col("_owner"))
+        .select(F.col(id_col), span)
         .distinct()
     )
+    # positions covered by a gram THIS doc owns are protected — without
+    # this, an overlapping gram owned by a third doc could cut tokens
+    # out of the canonical copy too, partially erasing the passage from
+    # the whole corpus
+    owned_pos = (
+        owned_occ.filter(F.col(id_col) == F.col("_owner"))
+        .select(F.col(id_col), span)
+        .distinct()
+    )
+    drop_pos = foreign_pos.join(owned_pos, [id_col, "_p"], "left_anti")
     tokens = base.select(
         F.col(id_col), "_n_tokens", F.posexplode("_t").alias("_p", "_tok")
     )
@@ -257,7 +260,6 @@ def remove_duplicated_spans(
     rebuilt = (
         kept.groupBy(id_col)
         .agg(
-            F.first("_n_tokens").alias("_nt"),
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("_p", "_tok"))),

@@ -1436,7 +1436,8 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # X1 substring-level dedup (removal half): canonical owner (lowest
 # doc_id) keeps each duplicated 8-gram, other docs lose the covered
-# positions. The oracle recomputes removal AND pins the rebuilt text by
+# positions — except positions protected by a gram the doc itself owns
+# (overlap rule). The oracle recomputes removal AND pins the rebuilt text by
 # md5, so token order and separator handling are hash-checked, not just
 # counts. Tail by choice (head at capacity); local harness checks it.
 # --------------------------------------------------------------------------
@@ -1453,10 +1454,16 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     owners AS (SELECT gram, min(doc_id) AS owner
                FROM grams GROUP BY gram
                HAVING count(DISTINCT doc_id) >= 2),
-    dropped AS (SELECT DISTINCT g.doc_id, g.start + o.o AS p
-                FROM grams g JOIN owners USING (gram),
-                     (SELECT unnest(range(0, 8)) AS o) o
-                WHERE g.doc_id <> owners.owner),
+    foreign_pos AS (SELECT DISTINCT g.doc_id, g.start + o.o AS p
+                    FROM grams g JOIN owners USING (gram),
+                         (SELECT unnest(range(0, 8)) AS o) o
+                    WHERE g.doc_id <> owners.owner),
+    owned_pos AS (SELECT DISTINCT g.doc_id, g.start + o.o AS p
+                  FROM grams g JOIN owners USING (gram),
+                       (SELECT unnest(range(0, 8)) AS o) o
+                  WHERE g.doc_id = owners.owner),
+    dropped AS (SELECT doc_id, p FROM foreign_pos
+                EXCEPT SELECT doc_id, p FROM owned_pos),
     toklong AS (SELECT doc_id, unnest(t) AS tok,
                        generate_subscripts(t, 1) AS p
                 FROM base),

@@ -25,8 +25,12 @@ from pyspark.sql import DataFrame
 
 
 def committed_batch_ids(table_dir: str, query_id: str) -> set[int]:
-    """Batch ids already committed for ``query_id``, from snapshot
-    summaries (one JSON read — planning plane)."""
+    """Batch ids already committed for ``query_id``: the per-snapshot
+    summary markers PLUS everything at or below the table-property
+    high-water mark ``streaming.<qid>.last-batch-id``. The property
+    survives ``expire_snapshots`` (which drops old snapshot entries and
+    their summaries), so a checkpoint wipe after maintenance still
+    cannot replay expired batches. One JSON read — planning plane."""
     from ..metadata.commit import current_metadata_path
 
     mpath = current_metadata_path(table_dir)
@@ -39,6 +43,10 @@ def committed_batch_ids(table_dir: str, query_id: str) -> set[int]:
         summ = s.get("summary", {})
         if summ.get("streaming-query-id") == query_id and "streaming-batch-id" in summ:
             out.add(int(summ["streaming-batch-id"]))
+    hwm = doc.get("properties", {}).get(f"streaming.{query_id}.last-batch-id")
+    if hwm is not None:
+        # batches commit in order, so the mark covers every id below it
+        out.update(range(int(hwm) + 1))
     return out
 
 
@@ -51,7 +59,13 @@ def append_stream_to_table(
 ):
     """Start a foreachBatch writer committing each micro-batch as an
     append snapshot. Returns the StreamingQuery (caller awaits
-    termination). Replayed batches are skipped via the summary marker."""
+    termination). Replayed batches are skipped via the summary marker +
+    the expiry-proof table-property high-water mark.
+
+    ``query_name`` is the marker NAMESPACE and must be unique per
+    logical stream writing this table: two different streams sharing a
+    name would treat each other's batch ids as already-committed and
+    silently drop data."""
     from ..metadata.commit import append
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
@@ -69,6 +83,9 @@ def append_stream_to_table(
             extra_summary={
                 "streaming-query-id": qid,
                 "streaming-batch-id": str(batch_id),
+            },
+            extra_properties={
+                f"streaming.{qid}.last-batch-id": str(batch_id),
             },
         )
 
@@ -110,11 +127,14 @@ def upsert_stream_to_table(
             "streaming-query-id": qid,
             "streaming-batch-id": str(batch_id),
         }
+        props = {f"streaming.{qid}.last-batch-id": str(batch_id)}
         if current_metadata_path(table_dir) is None:
-            append(spark, table_dir, batch, extra_summary=markers)
+            append(spark, table_dir, batch, extra_summary=markers,
+                   extra_properties=props)
         else:
             merge_into(
-                spark, table_dir, batch, on=on, extra_summary=markers
+                spark, table_dir, batch, on=on, extra_summary=markers,
+                extra_properties=props,
             )
 
     return (

@@ -151,3 +151,25 @@ def test_remove_duplicated_spans_three_way(spark):
     out = {r.doc_id: r.n_removed
            for r in corpus.remove_duplicated_spans(docs, n=3).collect()}
     assert out == {5: 0, 7: 3, 9: 3}
+
+
+def test_remove_duplicated_spans_owner_protected_from_overlap(spark):
+    """An overlapping gram owned by a THIRD doc must not cut tokens out
+    of a passage's canonical copy: doc 2 owns 'b c d' vs doc 3, and its
+    overlapping 'a b c' (owned by doc 1) may not carve holes in it."""
+    rows = [
+        (1, "a b c x y z"),        # owns 'a b c'
+        (2, "a b c d q r"),        # owns 'b c d' (vs doc 3); loses only a-b-c? no:
+                                    # positions of 'b c d' are self-owned → protected
+        (3, "p b c d s t"),        # foreign copy of 'b c d' → cut
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.text, r.n_removed)
+           for r in corpus.remove_duplicated_spans(docs, n=3).collect()}
+    # doc 2: 'a' (pos 0) is foreign-covered only via 'a b c'; 'b','c'
+    # are covered by its self-owned 'b c d' → protected; 'd' self-owned
+    assert out[2] == ("b c d q r", 1)
+    # doc 3 loses its copy of 'b c d'
+    assert out[3] == ("p s t", 3)
+    # doc 1 keeps everything (owns its only dup gram)
+    assert out[1] == ("a b c x y z", 0)

@@ -308,3 +308,26 @@ def test_streaming_upsert_sink_merges_batches_exactly_once(spark, tmp_path):
     assert len(doc2["snapshots"]) == n_before
     rows2 = {(r.id, r.v) for r in read_data_at_snapshot(spark, mpath2).collect()}
     assert rows2 == rows
+
+
+def test_sink_markers_survive_snapshot_expiry(spark, tmp_path):
+    """expire_snapshots drops old snapshot summaries; the table-property
+    high-water mark must still block replays of expired batches."""
+    from hielo_spark.metadata import commit as C
+    from hielo_spark.streaming.iceberg_sink import committed_batch_ids
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    for bid in range(3):
+        C.append(
+            spark, t,
+            spark.createDataFrame([(bid,)], ["id"]),
+            snapshot_id=101 + bid, timestamp_ms=1700000000000 + bid * 1000,
+            extra_summary={"streaming-query-id": "q",
+                           "streaming-batch-id": str(bid)},
+            extra_properties={"streaming.q.last-batch-id": str(bid)},
+        )
+    assert committed_batch_ids(t, "q") == {0, 1, 2}
+    # expire everything but the newest snapshot
+    expired = C.expire_snapshots(t, older_than_ms=1700000002000, retain_last=1)
+    assert expired  # summaries for batches 0..1 are gone
+    assert committed_batch_ids(t, "q") == {0, 1, 2}  # property floor holds

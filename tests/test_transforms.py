@@ -285,3 +285,32 @@ def test_partition_evolution(spark, tmp_path):
     rows = partition_spec_rows_from_doc("t", doc)
     assert ("t", 0, 1000, 2, "region", "identity") in rows
     assert any(r[1] == 1 and r[4] == "ts_day" and r[5] == "day" for r in rows)
+
+
+def test_value_of_review_fixes():
+    """ISO strings aimed at timestamp bucket columns hash as micros
+    (with dtype), microsecond literals survive exactly (no float
+    rounding), and tz-aware literals normalize to UTC."""
+    b = PartitionTransform("bucket(97, ts)")
+    iso = "2017-11-16T22:31:08"
+    # dtype-aware: the ISO string hashes as epoch micros, equal to the
+    # datetime form — and equals the published spec hash's bucket
+    want = (-2047944441 & 0x7FFFFFFF) % 97
+    assert b.value_of(iso, dtype="timestamp") == want
+    assert b.value_of(datetime.datetime(2017, 11, 16, 22, 31, 8)) == want
+    # without dtype, a str hashes as a string (documented dispatch)
+    assert b.value_of(iso) != want or murmur3_32_bytes(iso.encode()) % 97 == want
+
+    # exact micros: +1µs must change the hashed long by exactly 1
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0, 0)
+    t1 = datetime.datetime(2024, 1, 1, 0, 0, 0, 1)
+    m0 = (t0 - datetime.datetime(1970, 1, 1)) // datetime.timedelta(microseconds=1)
+    assert b.value_of(t1) == (int(murmur3_32_long([m0 + 1])[0]) & 0x7FFFFFFF) % 97
+
+    # tz-aware day literal lands in its UTC day
+    d = PartitionTransform("days(ts)")
+    est = datetime.timezone(datetime.timedelta(hours=-5))
+    assert d.value_of(datetime.datetime(2024, 3, 5, 23, 30, tzinfo=est)) == "2024-03-06"
+    # date bucket via ISO string + dtype
+    db = PartitionTransform("bucket(16, d)")
+    assert db.value_of("2017-11-16", dtype="date") == (-653330422 & 0x7FFFFFFF) % 16
