@@ -1493,3 +1493,34 @@ def doc_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5("text").alias("clean_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4 end-to-end tokenize→pack pipeline (r4 session 3): learn a BPE
+# vocabulary from the corpus, count per-doc BPE tokens, pack docs into
+# ~2048-token training shards per language, and report the shard
+# manifest. Rows-only by design (BPE learning is iterative); the
+# tokenizer's merge order and the packer's prefix-sum cut rule are
+# pinned by tests/test_bpe.py and tests/test_sampling.py.
+# --------------------------------------------------------------------------
+@query("doc_tokenize_pack")
+def doc_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_token_stats, learn_bpe
+    from ..operators.sampling import pack_shards
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    merges = learn_bpe(d, n_merges=100)
+    stats = bpe_token_stats(d, merges).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    packed = pack_shards(
+        stats, "doc_id", F.col("n_tokens"), budget=2048, partition_col="lang"
+    )
+    return (
+        packed.groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+        .orderBy("lang", "shard_id")
+    )
