@@ -213,3 +213,48 @@ def asof_join_cogroup(
         .cogroup(r_in.groupby(on))
         .applyInPandas(lambda lp, rp: merge(lp, rp), schema=out_fields)
     )
+
+
+def interval_union(
+    df,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+):
+    """Coalesce overlapping/touching intervals per key (the canonical
+    gaps-and-islands operator): rows whose ``[start, end]`` intervals
+    overlap or abut merge into one island. Returns one row per island —
+    ``(*key_cols, island_start, island_end, n_intervals)``.
+
+    Classic single-window formulation: an interval starts a new island
+    exactly when its start exceeds the running maximum of all previous
+    ends (per key, ordered by start); the prefix sum of those flags is
+    the island id, and the rest is a plain groupBy. Two window passes +
+    one aggregation, all shuffling only on the key columns — the same
+    cost as a per-key sort at any scale.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    order = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max_end = F.max(F.col(end_col)).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new_island",
+        (prev_max_end.isNull() | (F.col(start_col) > prev_max_end)).cast("int"),
+    ).withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy(*key_cols, "_island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        )
+        .drop("_island")
+    )

@@ -186,6 +186,9 @@ for mod in (relational, meta, ext):
 #   doc_dedup_spans (r4-new, tail by choice: the substring-dedup family
 #     holds a head row via doc_dup_ngram_coverage; the removal half is
 #     md5-pinned by the local harness + pytest)
+#   events_interval_union (r4-new, tail by choice: the window family
+#     holds head rows via events_sessionization; gaps-and-islands
+#     running-max semantics oracle-checked by the local harness)
 #   events_resample_1h (r4-new, enters at the tail by choice: the
 #     windowed-agg family already holds head rows via
 #     events_sliding_windows/events_recent_windows; the gap-fill
@@ -193,6 +196,7 @@ for mod in (relational, meta, ext):
 _DEFERRED = [
     "events_resample_1h",
     "doc_dedup_spans",
+    "events_interval_union",
     "events_hourly_windows",
     "meta_latest_snapshot",
     "meta_file_histogram",

@@ -1524,3 +1524,62 @@ def doc_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard_id")
     )
+
+
+# --------------------------------------------------------------------------
+# §2.5/§2.7-W interval coalescing (r4 session 3, operators/relational.py
+# ::interval_union): 5-minute activity intervals per user merged into
+# islands (gaps-and-islands with running-max semantics — a contained
+# interval must not split an island). Epochs in microseconds on both
+# engines; tail by choice with the head at capacity.
+# --------------------------------------------------------------------------
+@query(
+    "events_interval_union",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                  THEN 1 ELSE 0 END AS ni
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    g AS (
+      SELECT user_id, s, e,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM f
+    ),
+    isl AS (SELECT user_id, island, min(s) AS st, max(e) AS en,
+                   count(*) AS n
+            FROM g GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(en - st) AS BIGINT) AS covered_us,
+           CAST(max(en - st) AS BIGINT) AS longest_us,
+           CAST(max(n) AS BIGINT) AS busiest_island_events
+    FROM isl GROUP BY user_id
+    """,
+)
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import interval_union
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+    ).withColumn("e", F.col("s") + 300_000_000)
+    islands = interval_union(e, ["user_id"], "s", "e")
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start"))
+        .cast("bigint")
+        .alias("covered_us"),
+        F.max(F.col("island_end") - F.col("island_start"))
+        .cast("bigint")
+        .alias("longest_us"),
+        F.max("n_intervals").cast("bigint").alias("busiest_island_events"),
+    )

@@ -92,3 +92,44 @@ def test_range_join_bucket_size_invariance(spark):
             ).collect()
         )
     assert pairs(300000) == pairs(60000) == pairs(7000)
+
+
+def test_interval_union_hand_computed(spark):
+    """Overlap, abutment (start == prev end merges), gap, and the
+    contained-interval case where the running max matters (a long
+    interval swallows a later short one whose own end is not the max)."""
+    from hielo_spark.operators.relational import interval_union
+
+    rows = [
+        # key a: [1,5] [4,8] → island [1,8]; [8,9] abuts (start==end) →
+        # still island [1,9]; [20,25] [21,22] contained; [30,31] gap
+        ("a", 1, 5), ("a", 4, 8), ("a", 8, 9),
+        ("a", 20, 25), ("a", 21, 22), ("a", 30, 31),
+        # key b: single interval
+        ("b", 2, 3),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    out = {
+        (r.k, r.island_start, r.island_end): r.n_intervals
+        for r in interval_union(df, ["k"], "s", "e").collect()
+    }
+    assert out == {
+        ("a", 1, 9): 3,
+        ("a", 20, 25): 2,
+        ("a", 30, 31): 1,
+        ("b", 2, 3): 1,
+    }
+
+
+def test_interval_union_contained_then_extending(spark):
+    """Running-max (not lag) semantics: after a long interval, a
+    contained one must NOT end the island early for the next."""
+    from hielo_spark.operators.relational import interval_union
+
+    rows = [("u", 0, 100), ("u", 10, 20), ("u", 50, 150), ("u", 200, 210)]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    out = sorted(
+        (r.island_start, r.island_end, r.n_intervals)
+        for r in interval_union(df, ["k"], "s", "e").collect()
+    )
+    assert out == [(0, 150, 3), (200, 210, 1)]
