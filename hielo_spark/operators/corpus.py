@@ -238,10 +238,11 @@ def remove_duplicated_spans(
     span = F.explode(
         F.sequence(F.col("_start"), F.col("_start") + (n - 1))
     ).alias("_p")
+    # no .distinct() on either side: both frames feed anti-joins, whose
+    # semantics tolerate duplicate keys — two fewer shuffles
     foreign_pos = (
         owned_occ.filter(F.col(id_col) != F.col("_owner"))
         .select(F.col(id_col), span)
-        .distinct()
     )
     # positions covered by a gram THIS doc owns are protected — without
     # this, an overlapping gram owned by a third doc could cut tokens
@@ -250,7 +251,6 @@ def remove_duplicated_spans(
     owned_pos = (
         owned_occ.filter(F.col(id_col) == F.col("_owner"))
         .select(F.col(id_col), span)
-        .distinct()
     )
     drop_pos = foreign_pos.join(owned_pos, [id_col, "_p"], "left_anti")
     tokens = base.select(
