@@ -893,13 +893,18 @@ rollback_to_snapshot = set_current_snapshot
 def expire_snapshots(table_dir: str, older_than_ms: int, retain_last: int = 1) -> list[int]:
     """Real commit of the ops/analysis.py dry run: drop snapshot entries
     older than ``older_than_ms`` while retaining the newest
-    ``retain_last`` and the current snapshot. Returns expired ids.
+    ``retain_last``, the current snapshot, and every snapshot pinned by
+    a named ref — a tag's whole point is surviving retention, and
+    expiring a branch head would orphan the branch (Iceberg's
+    expire_snapshots protects refs the same way). Returns expired ids.
     (File deletion is a separate orphan sweep, as in Iceberg itself.)"""
     doc, prev_version = _load_doc(table_dir)
     snaps = sorted(doc.get("snapshots", []), key=lambda s: int(s["timestamp-ms"]))
     keep_ids = {s["snapshot-id"] for s in snaps[-retain_last:]} if retain_last else set()
     if doc.get("current-snapshot-id") is not None:
         keep_ids.add(doc["current-snapshot-id"])
+    for ref in doc.get("refs", {}).values():
+        keep_ids.add(int(ref["snapshot-id"]))
     kept, expired = [], []
     for s in snaps:
         if int(s["timestamp-ms"]) < older_than_ms and s["snapshot-id"] not in keep_ids:

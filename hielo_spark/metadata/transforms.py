@@ -297,3 +297,50 @@ def parse_partition_by(specs: list[str]) -> list[PartitionTransform]:
     if len(set(fields)) != len(fields):
         raise ValueError(f"duplicate partition field names: {fields}")
     return ts
+
+
+def prune_filter_for(doc: dict, col: str, literal) -> dict[str, str]:
+    """Build the ``partition_filter`` dict for an equality predicate on
+    a SOURCE column from the table's recorded default spec — the
+    hidden-partitioning UX: callers reason about ``col = literal``, the
+    engine derives which partition field prunes it. Returns {} when no
+    default-spec field derives from ``col`` (nothing prunable —
+    callers just skip the filter)."""
+    specs = doc.get("partition-specs") or []
+    spec = next(
+        (s for s in specs if s.get("spec-id") == doc.get("default-spec-id", 0)),
+        None,
+    )
+    if not spec:
+        return {}
+    schema = next(
+        (
+            s
+            for s in doc.get("schemas", [])
+            if s.get("schema-id") == doc.get("current-schema-id", 0)
+        ),
+        None,
+    )
+    id2 = {f["id"]: (f["name"], f.get("type", "string")) for f in (schema or {}).get("fields", [])}
+    out: dict[str, str] = {}
+    for f in spec.get("fields", []):
+        name, ftype = id2.get(f.get("source-id"), (None, None))
+        if name != col:
+            continue
+        tr = f.get("transform", "identity")
+        if tr == "identity":
+            pt = PartitionTransform(col)
+        elif tr in ("year", "month", "day", "hour"):
+            pt = PartitionTransform(f"{tr}s({col})")
+        else:
+            m = re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
+            if m is None:
+                continue
+            pt = PartitionTransform(f"{m.group(1)}({m.group(2)}, {col})")
+        # map Iceberg schema type back to a SQL-ish dtype for value_of
+        dtype = {
+            "long": "bigint", "int": "int", "timestamp": "timestamp",
+            "timestamptz": "timestamp", "date": "date", "string": "string",
+        }.get(ftype, ftype)
+        out[f.get("name", pt.field)] = str(pt.value_of(literal, dtype=dtype))
+    return out

@@ -314,3 +314,40 @@ def test_value_of_review_fixes():
     # date bucket via ISO string + dtype
     db = PartitionTransform("bucket(16, d)")
     assert db.value_of("2017-11-16", dtype="date") == (-653330422 & 0x7FFFFFFF) % 16
+
+
+def test_prune_filter_for_and_refs_protected_expiry(spark, tmp_path):
+    import json
+
+    from hielo_spark.metadata.transforms import prune_filter_for
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.createDataFrame(
+        [(1, "us", "2024-01-01 10:00:00"), (2, "eu", "2024-01-02 10:00:00")],
+        ["id", "region", "ts_s"],
+    ).selectExpr("id", "region", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts")
+    C.append(spark, t, df, partition_by=["region", "days(ts)", "bucket(4, id)"],
+             snapshot_id=101, timestamp_ms=1700000000000)
+    doc = json.load(open(C.current_metadata_path(t)))
+
+    # one call derives every prunable partition field for a predicate
+    pf = prune_filter_for(doc, "ts", "2024-01-02T10:00:00")
+    assert pf == {"ts_day": "2024-01-02"}
+    pf_id = prune_filter_for(doc, "id", 2)
+    b = PartitionTransform("bucket(4, id)")
+    assert pf_id == {"id_bucket": str(b.value_of(2))}
+    assert prune_filter_for(doc, "v_nope", 1) == {}
+    got = read_data_at_snapshot(spark, C.current_metadata_path(t),
+                                partition_filter=pf)
+    assert {r.id for r in got.collect()} == {2}
+
+    # refs protect snapshots from expiry
+    C.append(spark, t, df, snapshot_id=102, timestamp_ms=1700100000000)
+    C.append(spark, t, df, snapshot_id=103, timestamp_ms=1700200000000)
+    C.create_ref(t, "v1", 101, ref_type="tag")
+    expired = C.expire_snapshots(t, older_than_ms=1700200000000, retain_last=1)
+    assert 101 not in expired  # tagged → survives retention
+    assert 102 in expired
+    # the tag still time-travels
+    rows = read_data_at_snapshot(spark, C.current_metadata_path(t), ref="v1")
+    assert rows.count() == 2
