@@ -786,3 +786,83 @@ def read_changelog(
             )
         return tag(end.limit(0), "INSERT", to_snapshot_id, 0)
     return out
+
+
+def read_table(
+    spark: SparkSession,
+    table_dir: str,
+    where: tuple | None = None,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """The one-call read for a no-jar table dir: resolve the current
+    metadata, and — given ``where=(col, op, value)`` on a SOURCE
+    column — apply every pruning layer the metadata supports before the
+    scan is planned:
+
+    * equality predicates derive a ``partition_filter`` from the
+      table's recorded default partition spec (hidden partitioning:
+      ``("ts", "=", "2024-01-02T10:00:00")`` prunes via ``ts_day`` and
+      any bucket field without the caller knowing the spec exists);
+    * every supported op becomes a manifest-bounds ``skip_filter``
+      (min/max + null-count file skipping);
+    * the row-level filter still applies (pruning is planning-level).
+
+    Time travel passes through (``snapshot_id`` / ``as_of_ms`` /
+    ``ref``)."""
+    from .commit import current_metadata_path
+    from .transforms import prune_filter_for
+
+    mpath = current_metadata_path(table_dir)
+    if mpath is None:
+        raise ValueError(f"no table metadata under {table_dir}")
+    pfilter = None
+    sfilter = None
+    if where is not None:
+        import datetime as _dt
+        import json as _json
+
+        col, op, value = where
+        with open(mpath) as f:
+            doc = _json.load(f)
+        schema = next(
+            (
+                s
+                for s in doc.get("schemas", [])
+                if s.get("schema-id") == doc.get("current-schema-id", 0)
+            ),
+            None,
+        )
+        ctype = next(
+            (
+                f.get("type")
+                for f in (schema or {}).get("fields", [])
+                if f.get("name") == col
+            ),
+            None,
+        )
+        svalue = value
+        if ctype in ("timestamp", "timestamptz"):
+            # manifest bounds stringify timestamps with a space
+            # separator (Spark's cast); normalize ISO literals so the
+            # lexicographic bounds compare is apples-to-apples
+            if isinstance(svalue, str):
+                svalue = svalue.replace("T", " ")
+            elif isinstance(svalue, _dt.datetime):
+                svalue = svalue.isoformat(sep=" ")
+        if op in _SKIP_OPS:
+            sfilter = (col, op, svalue)
+        if op == "=":
+            pf = prune_filter_for(doc, col, value)
+            if pf:
+                pfilter = pf
+    return read_data_at_snapshot(
+        spark,
+        mpath,
+        snapshot_id=snapshot_id,
+        as_of_ms=as_of_ms,
+        ref=ref,
+        partition_filter=pfilter,
+        skip_filter=sfilter,
+    )

@@ -351,3 +351,29 @@ def test_prune_filter_for_and_refs_protected_expiry(spark, tmp_path):
     # the tag still time-travels
     rows = read_data_at_snapshot(spark, C.current_metadata_path(t), ref="v1")
     assert rows.count() == 2
+
+
+def test_read_table_one_call_pruning(spark, tmp_path):
+    """read_table derives partition pruning AND bounds skipping from a
+    plain (col, op, value) predicate — no spec knowledge needed."""
+    from hielo_spark.metadata.manifests import read_table
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "a"),
+            (2, "2024-01-02 10:00:00", "b"),
+            (3, "2024-01-03 10:00:00", "c"),
+        ],
+        ["id", "ts_s", "v"],
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts", "v")
+    C.append(spark, t, df, partition_by=["days(ts)"],
+             snapshot_id=101, timestamp_ms=1700000000000)
+
+    out = read_table(spark, t, where=("ts", "=", "2024-01-02T10:00:00"))
+    assert {r.id for r in out.collect()} == {2}
+    # range predicate: bounds skipping + row filter, no partition filter
+    hi = read_table(spark, t, where=("id", ">", 2))
+    assert {r.id for r in hi.collect()} == {3}
+    # no predicate: plain current read
+    assert read_table(spark, t).count() == 3
