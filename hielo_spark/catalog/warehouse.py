@@ -114,3 +114,31 @@ def snapshots_for_warehouse(spark: SparkSession, warehouse_dir: str) -> DataFram
 
         return spark.createDataFrame([], SNAPSHOT_SCHEMA)
     return out
+
+
+def attach_warehouse(
+    spark: SparkSession, warehouse_dir: str, prefix: str = "wh"
+) -> list[str]:
+    """Register every discovered table's CURRENT snapshot as a Spark
+    temp view ``<prefix>_<ns with _>_<table>`` so plain ``spark.sql``
+    queries it — the no-jar stand-in for attaching a session catalog
+    (S1's Spark-SQL half, jar-blocked as a real catalog plugin). Views
+    resolve time travel through our own read plane (MOR deletes,
+    partition metadata, schema evolution included) and pin the snapshot
+    AT ATTACH TIME — re-attach to see later commits, exactly a
+    catalog's cached-table semantics. Returns the view names."""
+    import re
+
+    from ..metadata.manifests import read_data_at_snapshot
+
+    names: list[str] = []
+    rows = discover_tables(spark, warehouse_dir).collect()  # planning plane
+    for r in rows:
+        path = re.sub(r"^[a-zA-Z][a-zA-Z0-9.+-]*:/+", "/", r.metadata_json_path)
+        view = "_".join(
+            re.sub(r"[^A-Za-z0-9_]", "_", part)
+            for part in (prefix, r.namespace, r.table_name)
+        )
+        read_data_at_snapshot(spark, path).createOrReplaceTempView(view)
+        names.append(view)
+    return sorted(names)

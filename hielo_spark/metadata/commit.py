@@ -84,7 +84,8 @@ MANIFEST_ENTRY_SCHEMA_V2 = """
    {"name":"lower_bounds","type":["null",{"type":"map","values":"string"}],"default":null},
    {"name":"upper_bounds","type":["null",{"type":"map","values":"string"}],"default":null},
    {"name":"bounds_types","type":["null",{"type":"map","values":"string"}],"default":null},
-   {"name":"null_counts","type":["null",{"type":"map","values":"string"}],"default":null}]}}]}
+   {"name":"null_counts","type":["null",{"type":"map","values":"string"}],"default":null},
+   {"name":"distinct_counts","type":["null",{"type":"map","values":"string"}],"default":null}]}}]}
 """
 
 MANIFEST_LIST_SCHEMA_V2 = """
@@ -181,6 +182,12 @@ class _FileStats:
                     (F.count(F.lit(1)) - F.count(c)).cast("string").alias(f"_nn_{c}")
                     for c in self.null_cols
                 ],
+                # per-file NDV estimates (HLL) — the stats a planner's
+                # join-size / dictionary-encoding decisions read
+                *[
+                    F.approx_count_distinct(c).cast("string").alias(f"_dv_{c}")
+                    for c in self.bound_cols
+                ],
             )
             .collect()
         )
@@ -219,6 +226,12 @@ class _FileStats:
         if r is None:
             return None
         return {c: r[f"_nn_{c}"] for c in self.null_cols} or None
+
+    def distinct_counts_of(self, p: str) -> dict | None:
+        r = self._row_of(p)
+        if r is None:
+            return None
+        return {c: r[f"_dv_{c}"] for c in self.bound_cols} or None
 
 
 def _file_stats(spark, data_dir, dtypes, exclude_cols) -> _FileStats:
@@ -735,6 +748,7 @@ def append(
                     "upper_bounds": bounds_of(p)[1],
                     "bounds_types": btypes,
                     "null_counts": stats.null_counts_of(p),
+                    "distinct_counts": stats.distinct_counts_of(p),
                 },
             }
             for p in parts
@@ -975,6 +989,9 @@ def rewrite_data_files(
 
     if sort_by and zorder_by:
         raise ValueError("pass at most one of sort_by / zorder_by")
+    if not sort_by and not zorder_by:
+        # no explicit strategy: follow the table's recorded sort order
+        sort_by = _sort_cols_from_doc(doc) or None
     live = read_data_at_snapshot(spark, current_metadata_path(table_dir))
     data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-rewrite")
     if zorder_by:
@@ -1014,6 +1031,7 @@ def rewrite_data_files(
                     "upper_bounds": stats.bounds_of(p)[1],
                     "bounds_types": stats.btypes,
                     "null_counts": stats.null_counts_of(p),
+                    "distinct_counts": stats.distinct_counts_of(p),
                 },
             }
             for p in parts
@@ -1161,6 +1179,75 @@ def delete_where(
     )
 
 
+def update_sort_order(table_dir: str, cols: list[str]) -> int:
+    """Record a table sort order (Iceberg ``sort-orders`` /
+    ``default-sort-order-id`` metadata): a metadata-only commit naming
+    the columns compaction should range-sort by. ``rewrite_data_files``
+    picks it up automatically when no explicit strategy is passed, so
+    the maintenance autopilot produces sorted, tightly-bounded files
+    without per-call configuration. Returns the new order id."""
+    if not cols:
+        raise ValueError("sort order needs at least one column")
+    doc, prev_version = _load_doc(table_dir)
+    if "schemas" not in doc:
+        raise ValueError("table has no recorded schema (commit data first)")
+    schema = next(
+        s
+        for s in doc["schemas"]
+        if s.get("schema-id") == doc.get("current-schema-id", 0)
+    )
+    name2id = {f["name"]: f["id"] for f in schema.get("fields", [])}
+    missing = [c for c in cols if c not in name2id]
+    if missing:
+        raise ValueError(f"sort columns not in table schema: {missing}")
+    orders = list(doc.get("sort-orders", []))
+    new_id = max((int(o.get("order-id", 0)) for o in orders), default=0) + 1
+    orders.append(
+        {
+            "order-id": new_id,
+            "fields": [
+                {
+                    "source-id": name2id[c],
+                    "transform": "identity",
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+                for c in cols
+            ],
+        }
+    )
+    doc = dict(doc)
+    doc["sort-orders"] = orders
+    doc["default-sort-order-id"] = new_id
+    _commit_doc(table_dir, doc, prev_version)
+    return new_id
+
+
+def _sort_cols_from_doc(doc: dict) -> list[str]:
+    """Column names of the default sort order, [] when none/unresolvable."""
+    orders = doc.get("sort-orders") or []
+    oid = doc.get("default-sort-order-id")
+    order = next((o for o in orders if o.get("order-id") == oid), None)
+    if order is None:
+        return []
+    schema = next(
+        (
+            s
+            for s in doc.get("schemas", [])
+            if s.get("schema-id") == doc.get("current-schema-id", 0)
+        ),
+        None,
+    )
+    id2name = {f["id"]: f["name"] for f in (schema or {}).get("fields", [])}
+    cols = []
+    for f in order.get("fields", []):
+        name = id2name.get(f.get("source-id"))
+        if name is None or f.get("transform", "identity") != "identity":
+            return []
+        cols.append(name)
+    return cols
+
+
 def rewrite_manifests(
     spark: SparkSession,
     table_dir: str,
@@ -1255,6 +1342,9 @@ def rewrite_manifests(
                         "upper_bounds": dict(r.upper_bounds) if r.upper_bounds else None,
                         "bounds_types": dict(r.bounds_types) if r.bounds_types else None,
                         "null_counts": dict(r.null_counts) if r.null_counts else None,
+                        "distinct_counts": dict(r.distinct_counts)
+                        if getattr(r, "distinct_counts", None)
+                        else None,
                     },
                 }
             )
@@ -1470,6 +1560,7 @@ def merge_into(
                             "upper_bounds": stats.bounds_of(p)[1],
                             "bounds_types": stats.btypes,
                             "null_counts": stats.null_counts_of(p),
+                            "distinct_counts": stats.distinct_counts_of(p),
                         },
                     }
                     for p in data_parts

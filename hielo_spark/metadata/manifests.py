@@ -149,6 +149,7 @@ def read_manifest(
                     _pymap(_get(df_rec, "upper_bounds")),
                     _pymap(_get(df_rec, "bounds_types")),
                     _pymap(_get(df_rec, "null_counts")),
+                    _pymap(_get(df_rec, "distinct_counts")),
                 )
             )
     finally:
@@ -159,7 +160,8 @@ def read_manifest(
         "record_count long, file_size_in_bytes long, content int, sequence_number long, "
         "partition_values map<string,string>, partition_types map<string,string>, "
         "lower_bounds map<string,string>, upper_bounds map<string,string>, "
-        "bounds_types map<string,string>, null_counts map<string,string>",
+        "bounds_types map<string,string>, null_counts map<string,string>, "
+        "distinct_counts map<string,string>",
     )
 
 
@@ -211,7 +213,8 @@ def files_from_manifest_list(
             "record_count long, sequence_number long, "
             "partition_values map<string,string>, partition_types map<string,string>, "
             "lower_bounds map<string,string>, upper_bounds map<string,string>, "
-            "bounds_types map<string,string>, null_counts map<string,string>",
+            "bounds_types map<string,string>, null_counts map<string,string>, "
+            "distinct_counts map<string,string>",
         )
     return (
         out.filter((F.col("status") != 2) & (F.col("content") == content))
@@ -227,6 +230,7 @@ def files_from_manifest_list(
             "upper_bounds",
             "bounds_types",
             "null_counts",
+            "distinct_counts",
         )
     )
 

@@ -76,3 +76,31 @@ def test_live_catalog_tree(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS browse_db.region_t")
         spark.sql("DROP TABLE IF EXISTS browse_db.nation_t")
         spark.sql("DROP DATABASE IF EXISTS browse_db")
+
+
+def test_attach_warehouse_sql_over_committed_tables(spark, tmp_path):
+    """attach_warehouse turns a Hadoop-catalog dir into spark.sql-able
+    views through our own read plane, MOR deletes included."""
+    from hielo_spark.catalog.warehouse import attach_warehouse
+    from hielo_spark.metadata import commit as C
+
+    wh = str(tmp_path / "wh")
+    C.append(spark, wh + "/ns1/orders_t",
+             spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, wh + "/ns1/items_t",
+             spark.createDataFrame([(7, 1)], ["item", "order_id"]),
+             snapshot_id=201, timestamp_ms=1700000000000)
+    C.delete_equality(spark, wh + "/ns1/orders_t",
+                      spark.createDataFrame([(2,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+
+    views = attach_warehouse(spark, wh, prefix="t")
+    assert views == ["t_ns1_items_t", "t_ns1_orders_t"]
+    # SQL over both views, MOR delete applied, join works
+    got = spark.sql(
+        "SELECT o.id, o.v, i.item FROM t_ns1_orders_t o "
+        "JOIN t_ns1_items_t i ON o.id = i.order_id"
+    ).collect()
+    assert [(r.id, r.v, r.item) for r in got] == [(1, "a", 7)]
+    assert spark.sql("SELECT count(*) AS n FROM t_ns1_orders_t").collect()[0].n == 1

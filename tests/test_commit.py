@@ -1047,3 +1047,54 @@ def test_delete_files_count_toward_total_size(spark, tmp_path):
     # delete commit grows total-size by its delete parquet bytes
     assert int(summ[102]["total-size"]) > int(summ[101]["total-size"])
     assert summ[102]["total-data-files"] == summ[101]["total-data-files"]
+
+
+def test_recorded_sort_order_drives_compaction(spark, tmp_path):
+    """update_sort_order + plain rewrite_data_files → range-sorted
+    output files with disjoint id bounds (no per-call config)."""
+    from hielo_spark.metadata.manifests import files_from_manifest_list
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    import pyspark.sql.functions as F
+    df = spark.range(0, 400).select(
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 7).cast("string").alias("v"),
+    ).repartition(4)  # unsorted, interleaved files
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000)
+    assert C.update_sort_order(t, ["id"]) == 1
+
+    snap = C.rewrite_data_files(spark, t, target_file_size_bytes=2000,
+                                snapshot_id=102, timestamp_ms=1700100000000)
+    files = files_from_manifest_list(
+        spark, "t", snap["manifest-list"].removeprefix("file:")
+    ).collect()
+    assert len(files) >= 2
+    ranges = sorted(
+        (int(f.lower_bounds["id"]), int(f.upper_bounds["id"])) for f in files
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint: the recorded order was applied
+    assert {r.id for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()} == set(range(400))
+
+    with pytest.raises(ValueError, match="not in table schema"):
+        C.update_sort_order(t, ["nope"])
+
+
+def test_distinct_count_stats_recorded(spark, tmp_path):
+    """Per-file NDV estimates (HLL) land in manifest entries next to
+    bounds/null counts; exact within tolerance on small files."""
+    from hielo_spark.metadata.manifests import files_from_manifest_list
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    df = spark.range(0, 300).select(
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 10).cast("string").alias("v"),
+    ).coalesce(1)
+    snap = C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000)
+    f = files_from_manifest_list(
+        spark, "t", snap["manifest-list"].removeprefix("file:")
+    ).collect()[0]
+    assert abs(int(f.distinct_counts["v"]) - 10) <= 1
+    assert abs(int(f.distinct_counts["id"]) - 300) <= 15  # HLL ~5% rsd
