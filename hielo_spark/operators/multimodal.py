@@ -17,11 +17,11 @@ for real too (pure-numpy ITU-T T.81 implementation in operators/
 jpeg.py: Huffman + dequant + IDCT + chroma upsampling), as does GIF
 (operators/gif.py: full variable-width LZW, interlace, palettes). Audio
 decodes
-for real (RIFF/WAVE 8/16-bit PCM + DSP features), as does video frame
+for real (RIFF/WAVE 8/16-bit PCM and mono IMA-ADPCM + DSP features), as does video frame
 extraction from uncompressed AVI ('00db' DIB frames — same RIFF walk as
 WAV, same pixel layout as BMP). The remaining stub boundary is small
 and documented: progressive/arithmetic JPEG, compressed AVI fourccs,
-non-PCM WAV, 16-bit/interlaced/palette PNG raise NotImplementedError
+non-PCM/non-IMA WAV, 16-bit/interlaced/palette PNG raise NotImplementedError
 (no PIL/ffmpeg in this environment) unless ``fake=True`` selects the
 deterministic stand-in — the Spark-side plumbing (schemas, batching,
 partitioning) is identical on every path.
@@ -500,14 +500,25 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         chunk = b[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if ctype == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", chunk)
+            base = struct.unpack_from("<HHIIHH", chunk)
+            extra = ()
+            if len(chunk) >= 20:
+                extra = struct.unpack_from("<HH", chunk, 16)
+            fmt = base + extra
         elif ctype == b"data":
             data = chunk
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt /data chunk")
-    audio_format, n_channels, sample_rate, _rate, _align, bits = fmt
+    audio_format, n_channels, sample_rate, _rate, _align, bits = fmt[:6]
+    if audio_format == 17:
+        # IMA ADPCM: block_align from fmt, samples-per-block from the
+        # extra fmt bytes (cbSize then wSamplesPerBlock, both uint16)
+        if n_channels != 1:
+            raise NotImplementedError("only mono IMA-ADPCM WAV")
+        spb = fmt[7] if len(fmt) >= 8 else (_align - 4) * 2 + 1
+        return _decode_ima_adpcm(data, _align, int(spb)), int(sample_rate)
     if audio_format != 1:
-        raise NotImplementedError(f"only PCM WAV (got format tag {audio_format})")
+        raise NotImplementedError(f"only PCM/IMA-ADPCM WAV (got format tag {audio_format})")
     if bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
@@ -518,6 +529,118 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         x = x[: (x.size // n_channels) * n_channels]
         x = x.reshape(-1, n_channels).mean(axis=1)
     return x, int(sample_rate)
+
+
+# IMA ADPCM (WAV format tag 17) — published DVI/IMA tables and nibble
+# rule; 4 bits/sample lossy codec, block-structured (predictor+index
+# header per block). Decoder is the real path; encoder is its test twin.
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+
+
+def _ima_step_decode(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA nibble → (new predictor, new index), per the spec rule."""
+    step = int(_IMA_STEP[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nibble])))
+    return pred, index
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int, samples_per_block: int = 505
+) -> bytes:
+    """Minimal mono IMA-ADPCM RIFF/WAVE writer (format tag 17) — the
+    spec-valid fixture twin of the decoder. ``samples`` are floats in
+    [-1, 1]; each block carries (samples_per_block) samples: one 16-bit
+    header sample + samples_per_block-1 nibbles (odd nibble counts pad
+    with zero nibbles, as real encoders do)."""
+    import struct
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (x * 32767.0).round().astype(np.int64)
+    spb = samples_per_block
+    nib_per_block = spb - 1
+    block_align = 4 + (nib_per_block + 1) // 2
+    blocks = []
+    index = 0
+    for b0 in range(0, len(pcm), spb):
+        chunk = pcm[b0 : b0 + spb]
+        pred = int(chunk[0])
+        hdr = struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEP[index])
+            delta = int(s) - pred
+            n = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            pred, index = _ima_step_decode(n, pred, index)
+            nibbles.append(n)
+        while len(nibbles) < nib_per_block:
+            nibbles.append(0)
+            # keep codec state in sync with the padding nibbles the
+            # decoder will also consume
+            pred, index = _ima_step_decode(0, pred, index)
+        packed = bytearray()
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2] + [0][: len(nibbles) % 2]):
+            packed.append((hi << 4) | lo)
+        blocks.append(hdr + bytes(packed))
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        17, 1, sample_rate,
+        sample_rate * block_align // spb or 1,
+        block_align, 4, 2, spb,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int, spb: int) -> np.ndarray:
+    """Mono IMA-ADPCM data chunk → float64 samples in [-1, 1]."""
+    import struct
+
+    out = []
+    for b0 in range(0, len(data) - 3, block_align):
+        block = data[b0 : b0 + block_align]
+        pred, index, _ = struct.unpack_from("<hBB", block)
+        index = max(0, min(88, index))
+        out.append(pred)
+        produced = 1
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                if produced >= spb:
+                    break
+                pred, index = _ima_step_decode(nib, pred, index)
+                out.append(pred)
+                produced += 1
+    return np.asarray(out, dtype=np.float64) / 32768.0
 
 
 def audio_feature_vector(samples: np.ndarray, sample_rate: int) -> dict:
