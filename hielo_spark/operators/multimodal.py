@@ -20,7 +20,7 @@ decodes
 for real (RIFF/WAVE 8/16-bit PCM and mono IMA-ADPCM + DSP features), as does video frame
 extraction from uncompressed AVI ('00db' DIB frames — same RIFF walk as
 WAV, same pixel layout as BMP). The remaining stub boundary is small
-and documented: progressive/arithmetic JPEG, compressed AVI fourccs,
+and documented: progressive/arithmetic JPEG, non-MJPG AVI fourccs,
 non-PCM/non-IMA WAV, 16-bit/interlaced/palette PNG raise NotImplementedError
 (no PIL/ffmpeg in this environment) unless ``fake=True`` selects the
 deterministic stand-in — the Spark-side plumbing (schemas, batching,
@@ -789,20 +789,26 @@ def encode_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+_MJPG = int.from_bytes(b"MJPG", "little")
+
+
 def decode_avi_frames(b: bytes, every_n: int = 1) -> tuple[list[tuple[int, np.ndarray]], int]:
-    """Uncompressed AVI → ([(frame_idx, (h, w, 3) RGB uint8)], n_frames),
-    sampling every ``every_n``-th frame. Stdlib struct RIFF walk;
-    compressed streams ('00dc' with a non-DIB fourcc) raise
+    """AVI → ([(frame_idx, (h, w, 3) RGB uint8)], n_frames), sampling
+    every ``every_n``-th frame. Stdlib struct RIFF walk. Two real
+    stream kinds: uncompressed 24-bit DIB ('00db') and Motion-JPEG
+    ('00dc' with the MJPG fourcc — each frame is a baseline JPEG, fed
+    to our own decoder). Other compressed fourccs raise
     NotImplementedError."""
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     w = h = None
+    mode = "dib"
     frames_raw: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal w, h
+        nonlocal w, h, mode
         pos = start
         while pos + 8 <= end:
             ctype = b[pos : pos + 4]
@@ -812,13 +818,20 @@ def decode_avi_frames(b: bytes, every_n: int = 1) -> tuple[list[tuple[int, np.nd
                 walk(data_start + 4, data_start + ln)  # skip list kind
             elif ctype == b"strf" and ln >= 40:
                 _sz, bw, bh, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, data_start)
-                if bpp != 24 or comp != 0:
+                if comp == _MJPG:
+                    mode = "mjpg"
+                elif bpp != 24 or comp != 0:
                     raise NotImplementedError(
-                        f"only uncompressed 24-bit AVI (got {bpp} bpp, compression {comp})"
+                        f"only uncompressed-24-bit or MJPG AVI "
+                        f"(got {bpp} bpp, compression {comp})"
                     )
                 w, h = bw, abs(bh)
             elif ctype == b"00dc" and ln > 0:
-                raise NotImplementedError("compressed AVI stream (00dc) unsupported")
+                if mode != "mjpg":
+                    raise NotImplementedError(
+                        "compressed AVI stream (00dc) with non-MJPG fourcc"
+                    )
+                frames_raw.append(b[data_start : data_start + ln])
             elif ctype == b"00db":
                 frames_raw.append(b[data_start : data_start + ln])
             pos = data_start + ln + (ln & 1)
@@ -826,13 +839,50 @@ def decode_avi_frames(b: bytes, every_n: int = 1) -> tuple[list[tuple[int, np.nd
     walk(12, len(b))
     if w is None or h is None:
         raise ValueError("AVI missing strf header")
-    row_bytes = (w * 3 + 3) & ~3
     out = []
+    if mode == "mjpg":
+        from .jpeg import decode_jpeg
+
+        for idx in range(0, len(frames_raw), every_n):
+            out.append((idx, decode_jpeg(frames_raw[idx])))
+        return out, len(frames_raw)
+    row_bytes = (w * 3 + 3) & ~3
     for idx in range(0, len(frames_raw), every_n):
         raw = np.frombuffer(frames_raw[idx], dtype=np.uint8, count=row_bytes * h)
         img = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
         out.append((idx, img[::-1, :, ::-1].copy()))  # bottom-up BGR → top-down RGB
     return out, len(frames_raw)
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 25, quant: int = 8) -> bytes:
+    """Motion-JPEG AVI writer (MJPG fourcc, each frame a baseline JPEG
+    from operators/jpeg.py) — the compressed-video fixture twin."""
+    import struct
+
+    from .jpeg import encode_jpeg
+
+    h, w, _ = frames[0].shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG, 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", encode_jpeg(f, quant=quant)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def attach_avi_media(df: DataFrame, id_col: str = "doc_id", n_frames: int = 6) -> DataFrame:

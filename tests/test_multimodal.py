@@ -537,3 +537,52 @@ def test_ima_adpcm_features_match_pcm_twin():
         int(np.abs(np.fft.rfft(y[: x.size])).argmax())
     ]
     assert abs(peak_hz - 440.0) < 2.0
+
+
+def test_mjpg_avi_roundtrip_and_sampling():
+    """Motion-JPEG AVI: each 00dc frame is a baseline JPEG decoded by
+    our own codec; every-n sampling and frame count intact; smooth
+    frames reconstruct within JPEG tolerance."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    frames = []
+    for k in range(4):
+        y, x = np.mgrid[0:16, 0:16]
+        img = np.stack(
+            [(x * 16 + k * 7) % 256, (y * 16) % 256, ((x + y) * 8) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        frames.append(img)
+    avi = encode_avi_mjpeg(frames, quant=4)
+    got, n = decode_avi_frames(avi)
+    assert n == 4 and [i for i, _ in got] == [0, 1, 2, 3]
+    for (_, dec), orig in zip(got, frames):
+        assert dec.shape == orig.shape
+        err = np.abs(dec.astype(int) - orig.astype(int)).mean()
+        assert err < 12, err  # JPEG-lossy but close
+
+    sampled, n2 = decode_avi_frames(avi, every_n=2)
+    assert n2 == 4 and [i for i, _ in sampled] == [0, 2]
+
+
+def test_non_mjpg_compressed_avi_still_raises():
+    import struct
+
+    import pytest as _pytest
+
+    from hielo_spark.operators.multimodal import decode_avi_frames, encode_avi_mjpeg
+    import numpy as np
+
+    avi = bytearray(encode_avi_mjpeg([np.zeros((8, 8, 3), np.uint8)]))
+    # flip the strf fourcc to XVID: the 00dc chunk must now refuse
+    i = bytes(avi).find(b"MJPG", 50)  # strf copy (strh holds the first)
+    avi[i : i + 4] = b"XVID"
+    i2 = bytes(avi).find(b"MJPG")
+    avi[i2 : i2 + 4] = b"XVID"
+    with _pytest.raises(NotImplementedError, match="MJPG AVI"):
+        decode_avi_frames(bytes(avi))
