@@ -672,11 +672,17 @@ def audio_feature_vector(samples: np.ndarray, sample_rate: int) -> dict:
     }
 
 
-def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic VALID 16-bit PCM WAV payloads derived from the id:
-    0.25 s at 8 kHz of a sine at 200 + (id % 20)·50 Hz plus a quieter
-    second harmonic — the audio twin of attach_ppm_media; features
-    recovered by decode_audio_features pin the frequency analytically."""
+def attach_wav_media(
+    df: DataFrame, id_col: str = "doc_id", codec: str = "pcm"
+) -> DataFrame:
+    """Deterministic VALID WAV payloads derived from the id: 0.25 s at
+    8 kHz of a sine at 200 + (id % 20)·50 Hz plus a quieter second
+    harmonic — the audio twin of attach_ppm_media; features recovered
+    by decode_audio_features pin the frequency analytically.
+    ``codec="mixed"`` writes odd ids as IMA-ADPCM (format tag 17), so
+    the decode stage exercises real per-payload codec routing."""
+    if codec not in ("pcm", "mixed"):
+        raise ValueError("codec must be 'pcm' or 'mixed'")
 
     @F.pandas_udf(BinaryType())
     def make_wav(ids: pd.Series) -> pd.Series:
@@ -685,7 +691,10 @@ def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             f0 = 200.0 + (int(i) % 20) * 50.0
             t = np.arange(2000) / 8000.0
             x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.1 * np.sin(2 * np.pi * 2 * f0 * t)
-            out.append(encode_wav(x, 8000))
+            if codec == "mixed" and int(i) % 2:
+                out.append(encode_wav_adpcm(x, 8000))
+            else:
+                out.append(encode_wav(x, 8000))
         return pd.Series(out)
 
     k = F.col(id_col)

@@ -333,7 +333,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     d = load_table(spark, sf_dir, "documents").select("doc_id").limit(500)
-    return MM.decode_audio_features(MM.attach_wav_media(d))
+    # mixed PCM + IMA-ADPCM payloads: the decode stage routes per
+    # format tag, the real-world shape of a heterogeneous media lake
+    return MM.decode_audio_features(MM.attach_wav_media(d, codec="mixed"))
 
 
 # --------------------------------------------------------------------------
