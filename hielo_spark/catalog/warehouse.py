@@ -132,13 +132,22 @@ def attach_warehouse(
     from ..metadata.manifests import read_data_at_snapshot
 
     names: list[str] = []
+    taken: set[str] = set()
     rows = discover_tables(spark, warehouse_dir).collect()  # planning plane
-    for r in rows:
+    for r in sorted(rows, key=lambda x: (x.namespace, x.table_name)):
         path = re.sub(r"^[a-zA-Z][a-zA-Z0-9.+-]*:/+", "/", r.metadata_json_path)
         view = "_".join(
             re.sub(r"[^A-Za-z0-9_]", "_", part)
             for part in (prefix, r.namespace, r.table_name)
         )
+        if view in taken:
+            # sanitization can collide (ns 'a.b' table 'c' vs ns 'a'
+            # table 'b_c'); disambiguate deterministically instead of
+            # silently clobbering the earlier view
+            import hashlib
+
+            view = f"{view}_{hashlib.md5((r.namespace + chr(0) + r.table_name).encode()).hexdigest()[:6]}"
+        taken.add(view)
         read_data_at_snapshot(spark, path).createOrReplaceTempView(view)
         names.append(view)
     return sorted(names)

@@ -426,10 +426,7 @@ def read_data_at_snapshot(
             (s for s in snaps if int(s["snapshot-id"]) == int(cur)), snaps[-1]
         ) if cur is not None else snaps[-1]
 
-    mlist = chosen["manifest-list"]
-    if not os.path.isabs(mlist.removeprefix("file:")):
-        mlist = os.path.join(os.path.dirname(metadata_json_path), mlist)
-    mlist = mlist.removeprefix("file:")
+    mlist = _resolve(metadata_json_path, chosen["manifest-list"])
 
     from ..metadata.metadata_json import _strip_scheme
 
@@ -541,7 +538,9 @@ def read_data_at_snapshot(
             )
             cond = scope
             for k in keys:
-                cond = cond & (data[k] == eqd[k])
+                # null-SAFE equality: per the spec a null key in an
+                # equality delete matches null column values
+                cond = cond & data[k].eqNullSafe(eqd[k])
             data = data.join(eqd, cond, "left_anti")
     return data.select(*out_cols)
 

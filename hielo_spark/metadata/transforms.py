@@ -204,20 +204,26 @@ class PartitionTransform:
 
     @staticmethod
     def _bucket_long_of(col: Column, n: int) -> Column:
+        """Spec-exact murmur3 bucket over a LONG column via the numpy
+        Arrow kernel. Exactness guard: nulls are COALESCED away before
+        the UDF so the Arrow batch stays int64 end-to-end (a batch
+        containing any null would otherwise arrive as float64 and round
+        values above 2^53 to the wrong bucket); the null mask is
+        re-applied outside. A pure-expression murmur3 was tried and
+        reverted — its ~50-node tree blows up whole-stage codegen when
+        inlined into partitioned-write sorts."""
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("int")
         def bucket_long(s):
+            h = murmur3_32_long(s.to_numpy(dtype="int64", na_value=0))
             import pandas as pd
 
-            mask = s.notna()
-            out = pd.Series([None] * len(s), dtype="object")
-            if mask.any():
-                h = murmur3_32_long(s[mask].astype("int64").to_numpy())
-                out[mask] = ((h & 0x7FFFFFFF) % n).astype("int32")
-            return out.astype("Int32")
+            return pd.Series(((h & 0x7FFFFFFF) % n).astype("int32"))
 
-        return bucket_long(col)
+        return F.when(
+            col.isNull(), F.lit(None).cast("int")
+        ).otherwise(bucket_long(F.coalesce(col.cast("bigint"), F.lit(0))))
 
     @staticmethod
     def _as_datetime(literal):
@@ -259,6 +265,10 @@ class PartitionTransform:
             }[self.kind]
             return self._as_datetime(literal).strftime(fmt)
         if self.kind == "truncate":
+            if dtype is not None and dtype != "string":
+                literal = int(literal)  # "42" aimed at an int column
+            elif dtype == "string":
+                literal = str(literal)
             if isinstance(literal, str):
                 return literal[: self.param]
             return literal - (((literal % self.param) + self.param) % self.param)
@@ -269,6 +279,8 @@ class PartitionTransform:
                 elif dtype == "date":
                     if isinstance(literal, str):
                         literal = datetime.date.fromisoformat(literal)
+                    elif isinstance(literal, datetime.datetime):
+                        literal = literal.date()  # date column: hash DAYS
                 elif dtype == "string":
                     literal = str(literal)
                 else:

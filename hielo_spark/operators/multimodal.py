@@ -413,12 +413,17 @@ def decode_image_features(
                 continue
             ids, uris, widths, heights, feats = [], [], [], [], []
             for doc_id, m in zip(pdf[id_col], pdf[media_col]):
+                if m is None or m["payload"] is None:
+                    continue  # null media: skip, never TypeError the stage
                 img = decode_image(bytes(m["payload"]))
                 ids.append(int(doc_id))
                 uris.append(m["uri"])
                 heights.append(img.shape[0])
                 widths.append(img.shape[1])
                 feats.append(image_feature_vector(img, feature_dim))
+            if not ids:
+                continue  # all-null batch: an empty frame would carry
+                          # wrong dtypes into Arrow (float64 'feature')
             yield pd.DataFrame(
                 {"doc_id": ids, "uri": uris, "width": widths, "height": heights, "feature": feats}
             )
@@ -722,6 +727,8 @@ def decode_audio_features(
         for pdf in batches:
             rows = []
             for doc_id, m in zip(pdf[id_col], pdf[media_col]):
+                if m is None or m["payload"] is None:
+                    continue  # null media: skip, never TypeError the stage
                 samples, sr = decode_wav(bytes(m["payload"]))
                 feats = audio_feature_vector(samples, sr)
                 rows.append(
@@ -732,7 +739,8 @@ def decode_audio_features(
                         **feats,
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
     return df.select(id_col, media_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
@@ -940,6 +948,8 @@ def decode_video_frame_features(
         for pdf in batches:
             rows = []
             for doc_id, m in zip(pdf[id_col], pdf[media_col]):
+                if m is None or m["payload"] is None:
+                    continue  # null media: skip, never TypeError the stage
                 sampled, n_total = decode_avi_frames(bytes(m["payload"]), every_n)
                 for idx, img in sampled:
                     rows.append(
@@ -953,7 +963,8 @@ def decode_video_frame_features(
                             "feature": image_feature_vector(img, feature_dim),
                         }
                     )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
     return df.select(id_col, media_col).mapInPandas(run, VIDEO_FRAME_FEATURES_SCHEMA)
 
@@ -1020,7 +1031,11 @@ def repartition_media_by_bytes(
     from .sampling import pack_shards
 
     lane = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int")
-    with_lane = df.withColumn("_lane", lane)
+    # persist BEFORE the planning action: the byte-sum below is an
+    # eager job, and without the persist it would recompute the whole
+    # upstream lineage (payload-producing UDFs, binaryFile scans) a
+    # second time when the repartitioned result is consumed
+    with_lane = df.withColumn("_lane", lane).persist()
     packed = pack_shards(
         with_lane,
         id_col,
@@ -1028,10 +1043,11 @@ def repartition_media_by_bytes(
         target_bytes,
         partition_col="_lane",
     )
+    # count (lane, shard) GROUPS, not plain bytes/target: per-lane
+    # rounding adds up to one shard per lane, and range partitions
+    # should hold ~1 group each for the byte-balance guarantee
     n = packed.select(
-        (F.ceil(F.sum(f"{media_col}.n_bytes") / F.lit(target_bytes)) + 1)
-        .cast("int")
-        .alias("n")
+        F.count_distinct(F.col("_lane"), F.col("shard_id")).alias("n")
     ).first()["n"]
     return (
         packed.repartitionByRange(

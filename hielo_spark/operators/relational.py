@@ -73,27 +73,32 @@ def asof_join(
         .orderBy("_t", "_side", *[F.col(f"{c}{suffix}") for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the carry is ONE struct = the entire latest right row (time +
+    # every carried column together). Carrying columns independently
+    # with last(ignorenulls) would stitch values from DIFFERENT right
+    # rows whenever the newest right row holds a null in some carried
+    # column — a row that never existed; true as-of (and DuckDB's ASOF
+    # JOIN, the oracle) has whole-row semantics, nulls included.
+    right_row = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_t").alias("_rt"),
+            *[F.col(f"{c}{suffix}").alias(c) for c in right_cols],
+        ),
+    )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"_carry_{c}")
-            for c in right_cols
-        ],
-        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w).alias("_carry_t"),
+        "*", F.last(right_row, ignorenulls=True).over(w).alias("_carry")
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_ms is not None:
-        in_tol = (F.unix_millis(F.col("_t")) - F.unix_millis(F.col("_carry_t"))) <= tolerance_ms
-        out = out.select(
-            "*",
-            *[
-                F.when(in_tol, F.col(f"_carry_{c}")).alias(f"_tol_{c}")
-                for c in right_cols
-            ],
-        )
-        carry = {c: F.col(f"_tol_{c}") for c in right_cols}
+        in_tol = (
+            F.unix_millis(F.col("_t")) - F.unix_millis(F.col("_carry._rt"))
+        ) <= tolerance_ms
+        carry = {
+            c: F.when(in_tol, F.col(f"_carry.{c}")) for c in right_cols
+        }
     else:
-        carry = {c: F.col(f"_carry_{c}") for c in right_cols}
+        carry = {c: F.col(f"_carry.{c}") for c in right_cols}
     return out.select(
         F.col(on),
         F.col("_t").alias(left_time),
@@ -159,11 +164,18 @@ def asof_join_cogroup(
     import pandas as pd
 
     l_cols = list(left.columns)
+    lt = left_time
+    # both time columns go through timestamp, exactly like the window
+    # form (epoch-longs / ISO strings would otherwise crash merge_asof's
+    # Timedelta tolerance); the output carries left_time as timestamp
+    left = left.withColumn(lt, F.col(lt).cast("timestamp"))
     out_fields = ", ".join(
-        [f"`{c}` {t}" for c, t in left.dtypes]
+        [
+            f"`{c}` {'timestamp' if c == lt else t}"
+            for c, t in left.dtypes
+        ]
         + [f"`{c}{suffix}` {dict(right.dtypes)[c]}" for c in right_cols]
     )
-    lt = left_time
     tol = pd.Timedelta(milliseconds=tolerance_ms) if tolerance_ms is not None else None
 
     # Rename the right side's non-key columns to private names BEFORE the
@@ -173,7 +185,7 @@ def asof_join_cogroup(
     # grouping key — the right pandas frame arrives with only `on` in it.
     r_in = right.select(
         F.col(on),
-        F.col(right_time).alias("_r_t"),
+        F.col(right_time).cast("timestamp").alias("_r_t"),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
 
@@ -193,8 +205,8 @@ def asof_join_cogroup(
                 ["_r_t"] + [f"_r_{c}" for c in right_cols], kind="mergesort"
             )
             .groupby("_r_t", as_index=False)
-            .last()
-        )
+            .nth(-1)  # row-wise last: .last() is per-column and would
+        )             # stitch tied rows' values across null gaps
         rsel = pd.DataFrame({"_rt": rpdf["_r_t"].to_numpy()})
         for c in right_cols:
             rsel[f"{c}{suffix}"] = rpdf[f"_r_{c}"].to_numpy()

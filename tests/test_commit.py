@@ -1098,3 +1098,16 @@ def test_distinct_count_stats_recorded(spark, tmp_path):
     ).collect()[0]
     assert abs(int(f.distinct_counts["v"]) - 10) <= 1
     assert abs(int(f.distinct_counts["id"]) - 300) <= 15  # HLL ~5% rsd
+
+
+def test_equality_delete_null_key_matches_null_rows(spark, tmp_path):
+    """Iceberg equality deletes treat null as equal to null: a delete
+    row with id=NULL must kill data rows whose id IS NULL."""
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(None, "nullrow"), (1, "a"), (2, "b")], "id int, v string"),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_equality(spark, t, spark.createDataFrame([(None,)], "id int"),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    mpath = C.current_metadata_path(t)
+    assert {r.v for r in read_data_at_snapshot(spark, mpath).collect()} == {"a", "b"}

@@ -608,3 +608,28 @@ def test_audio_decode_routes_mixed_codecs(spark):
         assert abs(feats[i].rms - np.sqrt(0.5**2 / 2 + 0.1**2 / 2)) < 0.02
         if i % 2 == 0:  # PCM rows keep the tight centroid pin
             assert abs(feats[i].spectral_centroid_hz - f0) < f0 * 0.6
+
+
+def test_null_payload_rows_skipped_not_crashed(spark):
+    """MEDIA_STRUCT declares payload nullable: a null payload row must
+    skip cleanly in every decode stage, not TypeError the whole job."""
+    import pyspark.sql.functions as F
+
+    from hielo_spark.operators import multimodal as MM
+
+    d = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    media = MM.attach_ppm_media(d).withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.col("media")
+        ).otherwise(
+            F.struct(
+                F.col("media.uri").alias("uri"),
+                F.col("media.mime").alias("mime"),
+                F.col("media.n_bytes").alias("n_bytes"),
+                F.lit(None).cast("binary").alias("payload"),
+            )
+        ),
+    )
+    out = MM.decode_image_features(media, fake=False).collect()
+    assert {r.doc_id for r in out} == {0, 2}  # null rows skipped

@@ -133,3 +133,27 @@ def test_interval_union_contained_then_extending(spark):
         for r in interval_union(df, ["k"], "s", "e").collect()
     )
     assert out == [(0, 150, 3), (200, 210, 1)]
+
+
+def test_asof_carries_whole_right_row_including_nulls(spark):
+    """The latest right row wins AS A ROW: its null columns must ride
+    along, not be backfilled from an older right row (and with a
+    tolerance, out-of-tolerance older values must not leak in)."""
+    from hielo_spark.operators.relational import asof_join, asof_join_cogroup
+
+    left = spark.createDataFrame([("k", "2024-01-01 00:00:03")], ["k", "lt"]) \
+        .selectExpr("k", "CAST(lt AS TIMESTAMP) AS lt")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:01", 5, 6),
+         ("k", "2024-01-01 00:00:02", 7, None)],
+        "k string, rt string, a int, b int",
+    ).selectExpr("k", "CAST(rt AS TIMESTAMP) AS rt", "a", "b")
+
+    for impl in (asof_join, asof_join_cogroup):
+        r = impl(left, right, on="k", left_time="lt", right_time="rt",
+                 right_cols=["a", "b"]).collect()[0]
+        assert (r.a_right, r.b_right) == (7, None), impl.__name__
+        # tolerance excludes the t=1 row entirely — no leak of b=6
+        r2 = impl(left, right, on="k", left_time="lt", right_time="rt",
+                  right_cols=["a", "b"], tolerance_ms=1500).collect()[0]
+        assert (r2.a_right, r2.b_right) == (7, None), impl.__name__

@@ -139,7 +139,8 @@ def test_hidden_partition_mixed_identity_and_deletes(spark, tmp_path):
 
 def test_bucket_distribution_is_spec_stable(spark):
     """The Spark-side bucket expression equals the scalar spec math for
-    every value (vectorized numpy path == scalar reference path)."""
+    every value — including magnitudes past 2^53 (the float64 cliff the
+    old Arrow path fell off) and NULLs."""
     import pyspark.sql.functions as F
 
     t = PartitionTransform("bucket(8, id)")
@@ -147,6 +148,25 @@ def test_bucket_distribution_is_spec_stable(spark):
     got = {r.id: r.b for r in df.select("id", t.expr("bigint").alias("b")).collect()}
     for v in (-500, -1, 0, 1, 34, 499):
         assert got[v] == t.value_of(v), v
+
+    big = [
+        (9007199254740993,),          # 2^53 + 1: float64 would round it
+        (9007199254740992,),
+        (-9007199254740993,),
+        (2**62 + 12345,),
+        (None,),
+    ]
+    bdf = spark.createDataFrame(big, "id bigint")
+    gb = {r.id: r.b for r in bdf.select("id", t.expr("bigint").alias("b")).collect()}
+    for (v,) in big:
+        if v is None:
+            assert gb[None] is None
+        else:
+            assert gb[v] == t.value_of(v), v
+    # adjacent giants land in different buckets (proves no rounding
+    # collapsed them)
+    assert int(murmur3_32_long([9007199254740993])[0]) != int(
+        murmur3_32_long([9007199254740992])[0])
 
 
 def test_committed_tables_feed_the_schema_and_spec_planes(spark, tmp_path):
@@ -377,3 +397,13 @@ def test_read_table_one_call_pruning(spark, tmp_path):
     assert {r.id for r in hi.collect()} == {3}
     # no predicate: plain current read
     assert read_table(spark, t).count() == 3
+
+
+def test_value_of_dtype_coercions_truncate_and_date():
+    tr = PartitionTransform("truncate(10, id)")
+    assert tr.value_of("42", dtype="bigint") == 40   # was "42"[:10]
+    assert tr.value_of("abcdefghijkl", dtype="string") == "abcdefghij"
+    db = PartitionTransform("bucket(16, d)")
+    # datetime literal aimed at a DATE column hashes days, not micros
+    want = (-653330422 & 0x7FFFFFFF) % 16
+    assert db.value_of(datetime.datetime(2017, 11, 16, 12, 30), dtype="date") == want
