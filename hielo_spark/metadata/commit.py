@@ -68,39 +68,184 @@ import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-MANIFEST_ENTRY_SCHEMA_V2 = """
-{"type":"record","name":"manifest_entry","fields":[
- {"name":"status","type":"int"},
- {"name":"snapshot_id","type":["null","long"],"default":null},
- {"name":"sequence_number","type":["null","long"],"default":null},
- {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-   {"name":"content","type":"int"},
-   {"name":"file_path","type":"string"},
-   {"name":"file_format","type":"string"},
-   {"name":"record_count","type":"long"},
-   {"name":"file_size_in_bytes","type":"long"},
-   {"name":"partition_values","type":["null",{"type":"map","values":"string"}],"default":null},
-   {"name":"partition_types","type":["null",{"type":"map","values":"string"}],"default":null},
-   {"name":"lower_bounds","type":["null",{"type":"map","values":"string"}],"default":null},
-   {"name":"upper_bounds","type":["null",{"type":"map","values":"string"}],"default":null},
-   {"name":"bounds_types","type":["null",{"type":"map","values":"string"}],"default":null},
-   {"name":"null_counts","type":["null",{"type":"map","values":"string"}],"default":null},
-   {"name":"distinct_counts","type":["null",{"type":"map","values":"string"}],"default":null}]}}]}
-"""
+# Spark-SQL partition-value types → Avro types for the r102 partition
+# record (identity int-ish transforms; everything else rides as string,
+# matching the stringified hive directory values we derive them from)
+_AVRO_PARTITION_TYPES = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "long",
+}
 
-MANIFEST_LIST_SCHEMA_V2 = """
-{"type":"record","name":"manifest_file","fields":[
- {"name":"manifest_path","type":"string"},
- {"name":"manifest_length","type":"long"},
- {"name":"partition_spec_id","type":"int"},
- {"name":"content","type":"int"},
- {"name":"sequence_number","type":"long"},
- {"name":"min_sequence_number","type":"long"},
- {"name":"added_snapshot_id","type":"long"},
- {"name":"added_files_count","type":"int"},
- {"name":"existing_files_count","type":"int"},
- {"name":"deleted_files_count","type":"int"}]}
-"""
+
+def manifest_entry_schema(
+    partition_fields: list[tuple[str, str, int]] | None = None,
+) -> str:
+    """The manifest_entry Avro writer schema, carrying the spec's
+    permanently-assigned field ids as the ``field-id`` attribute
+    (Iceberg Appendix A: Avro field ids live in that schema property —
+    how id-based readers match columns independent of names) and a
+    typed ``partition`` record (r102, field 102) built from
+    ``partition_fields`` = [(name, spark_type, partition_field_id)]
+    — empty r102 for unpartitioned/delete manifests, per the spec.
+
+    The ``partition_values``/``*_bounds`` string maps alongside are this
+    engine's extensions (no field-id); an id-based or name-resolving
+    reader ignores them, while our read plane consumes them directly."""
+    part_fields = [
+        {
+            "name": name,
+            "type": ["null", _AVRO_PARTITION_TYPES.get(spark_type, "string")],
+            "default": None,
+            "field-id": fid,
+        }
+        for name, spark_type, fid in (partition_fields or [])
+    ]
+    doc = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {"name": "partition", "field-id": 102, "type": {
+                        "type": "record", "name": "r102",
+                        "fields": part_fields,
+                    }},
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                    {"name": "sort_order_id", "type": ["null", "int"],
+                     "default": None, "field-id": 140},
+                    # engine extensions (stringified stats keyed by
+                    # column NAME; the spec's 108/109/110/125/128 maps
+                    # are keyed by field id with binary values)
+                    {"name": "partition_values",
+                     "type": ["null", {"type": "map", "values": "string"}],
+                     "default": None},
+                    {"name": "partition_types",
+                     "type": ["null", {"type": "map", "values": "string"}],
+                     "default": None},
+                    {"name": "lower_bounds",
+                     "type": ["null", {"type": "map", "values": "string"}],
+                     "default": None},
+                    {"name": "upper_bounds",
+                     "type": ["null", {"type": "map", "values": "string"}],
+                     "default": None},
+                    {"name": "bounds_types",
+                     "type": ["null", {"type": "map", "values": "string"}],
+                     "default": None},
+                    {"name": "null_counts",
+                     "type": ["null", {"type": "map", "values": "string"}],
+                     "default": None},
+                    {"name": "distinct_counts",
+                     "type": ["null", {"type": "map", "values": "string"}],
+                     "default": None},
+                ],
+            }},
+        ],
+    }
+    return json.dumps(doc)
+
+
+#: unpartitioned form (delete manifests, legacy call sites)
+MANIFEST_ENTRY_SCHEMA_V2 = manifest_entry_schema(None)
+
+
+def _partition_avro_fields(
+    doc: dict, ptypes: dict[str, str] | None, spec_id: int | None = None
+) -> list[tuple[str, str, int]]:
+    """``[(name, spark_type, partition_field_id)]`` for the table's
+    recorded spec (default spec unless ``spec_id`` given) — the shape
+    :func:`manifest_entry_schema` builds the r102 partition record
+    from, ids matching the metadata.json partition-specs block."""
+    specs = doc.get("partition-specs") or []
+    want = spec_id if spec_id is not None else doc.get("default-spec-id", 0)
+    spec = next((s for s in specs if s.get("spec-id") == want), None)
+    return [
+        (
+            f["name"],
+            (ptypes or {}).get(f["name"], "string"),
+            int(f.get("field-id", 1000 + i)),
+        )
+        for i, f in enumerate((spec or {}).get("fields", []))
+    ]
+
+
+def _typed_partition(
+    pvals: dict[str, str] | None, pfields: list[tuple[str, str, int]]
+) -> dict:
+    """Stringified hive partition values → the typed r102 record dict
+    (int-ish identity/bucket/truncate values parse back to ints; nulls
+    stay null)."""
+    out = {}
+    for name, spark_type, _fid in pfields:
+        v = (pvals or {}).get(name)
+        if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+            out[name] = None
+        elif _AVRO_PARTITION_TYPES.get(spark_type) in ("int", "long"):
+            try:
+                out[name] = int(v)
+            except (TypeError, ValueError):
+                out[name] = None
+        else:
+            out[name] = str(v)
+    return out
+
+
+def _manifest_header_meta(doc: dict, spec_id: int, content: str) -> dict[str, str]:
+    """The spec-required Avro header metadata for a manifest file:
+    table schema JSON, the spec's partition-fields JSON, spec id,
+    format version, and content kind."""
+    schema = next(
+        (
+            s for s in doc.get("schemas", [])
+            if s.get("schema-id") == doc.get("current-schema-id", 0)
+        ),
+        {"type": "struct", "schema-id": 0, "fields": []},
+    )
+    spec = next(
+        (
+            s for s in (doc.get("partition-specs") or [])
+            if s.get("spec-id") == spec_id
+        ),
+        None,
+    )
+    return {
+        "schema": json.dumps(schema),
+        "partition-spec": json.dumps((spec or {}).get("fields", [])),
+        "partition-spec-id": str(spec_id),
+        "format-version": "2",
+        "content": content,
+    }
+
+#: full v2 manifest_file shape — required fields + spec field ids
+#: (spec "Manifest Lists" table; rows-count fields are required in v2)
+MANIFEST_LIST_SCHEMA_V2 = json.dumps({
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+})
 
 
 def _avro_json_value(field_schema, v):
@@ -117,6 +262,7 @@ def _avro_json_value(field_schema, v):
         )
         return {member.getType().getName(): _avro_json_value(member, v)}
     if t == "record":
+        v = v if v is not None else {}  # empty record (e.g. r102) when absent
         return {
             f.name(): _avro_json_value(f.schema(), v.get(f.name()))
             for f in field_schema.getFields()
@@ -127,14 +273,25 @@ def _avro_json_value(field_schema, v):
     return v
 
 
-def write_avro(spark: SparkSession, path: str, schema_json: str, rows: list[dict]) -> None:
+def write_avro(
+    spark: SparkSession,
+    path: str,
+    schema_json: str,
+    rows: list[dict],
+    meta: dict[str, str] | None = None,
+) -> None:
     """Write an Avro container file with Spark's bundled Apache Avro JVM
-    library (the same library the read plane parses with)."""
+    library (the same library the read plane parses with). ``meta``
+    entries land in the container header key-value metadata — where the
+    Iceberg spec puts ``schema`` / ``partition-spec-id`` / ``content`` /
+    ``format-version`` on manifests and manifest lists."""
     jvm = spark._jvm
     schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
     writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
     reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
     dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    for k, v in (meta or {}).items():
+        dfw.setMeta(k, str(v))
     dfw.create(schema, jvm.java.io.File(path))
     try:
         for row in rows:
@@ -358,6 +515,10 @@ def _record_table_shape(doc: dict, dtypes: dict[str, str], transforms) -> None:
         }
     ]
     doc["default-spec-id"] = 0
+    # v2 required trackers: highest assigned column / partition field id
+    # (999 when unpartitioned, per the spec's 1000-based assignment)
+    doc["last-column-id"] = max(field_id.values(), default=0)
+    doc["last-partition-id"] = 999 + len(transforms)
 
 
 def update_partition_spec(table_dir: str, partition_by: list[str]) -> int:
@@ -413,6 +574,10 @@ def update_partition_spec(table_dir: str, partition_by: list[str]) -> int:
     doc = dict(doc)
     doc["partition-specs"] = specs
     doc["default-spec-id"] = new_id
+    doc["last-partition-id"] = max(
+        int(doc.get("last-partition-id", 999)),
+        next_field_id + len(transforms) - 1 if transforms else 999,
+    )
     _commit_doc(table_dir, doc, prev_version)
     return new_id
 
@@ -460,6 +625,10 @@ def _with_totals(
     summary["total-data-files"] = str(g("total-data-files") + d_files)
     summary["total-delete-files"] = str(g("total-delete-files") + d_deletes)
     summary["total-size"] = str(g("total-size") + d_bytes)
+    # the SPEC's name for the same number is total-files-size; emit both
+    # so a spec-only consumer and the reference's health suite each find
+    # their key (metadata/spec.py SUMMARY_METRIC_KEYS)
+    summary["total-files-size"] = summary["total-size"]
     return summary
 
 
@@ -494,6 +663,10 @@ def _carry_forward_rows(
                 "existing_files_count": (m.added_files_count or 0)
                 + (m.existing_files_count or 0),
                 "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": (m.added_rows_count or 0)
+                + (m.existing_rows_count or 0),
+                "deleted_rows_count": 0,
             }
         )
     return rows
@@ -520,7 +693,18 @@ def _finalize_commit(
     ``fast_forward``)."""
     mdir = os.path.join(table_dir, "metadata")
     list_path = os.path.join(mdir, f"snap-{snapshot_id}-{_uuid.uuid4().hex[:8]}.avro")
-    write_avro(spark, list_path, MANIFEST_LIST_SCHEMA_V2, manifest_rows)
+    for row in manifest_rows:  # v2 requires the rows counts; fill holes
+        row.setdefault("added_rows_count", 0)
+        row.setdefault("existing_rows_count", 0)
+        row.setdefault("deleted_rows_count", 0)
+    write_avro(
+        spark, list_path, MANIFEST_LIST_SCHEMA_V2, manifest_rows,
+        meta={
+            "snapshot-id": str(snapshot_id),
+            "sequence-number": str(seq),
+            "format-version": "2",
+        },
+    )
     snapshot = {
         "snapshot-id": snapshot_id,
         "parent-snapshot-id": (
@@ -536,12 +720,20 @@ def _finalize_commit(
     doc["snapshots"] = doc.get("snapshots", []) + [snapshot]
     if branch is None:
         doc["current-snapshot-id"] = snapshot_id
+        # spec: snapshot-log records every change of the current
+        # snapshot (main branch history — what TIMESTAMP AS OF reads)
+        doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+            {"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}
+        ]
     else:
         refs = dict(doc.get("refs", {}))
         refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
         doc["refs"] = refs
     doc["last-sequence-number"] = seq
     doc["last-updated-ms"] = timestamp_ms
+    # v2 requires sort-orders even when the table is unsorted
+    doc.setdefault("sort-orders", [{"order-id": 0, "fields": []}])
+    doc.setdefault("default-sort-order-id", 0)
     if extra_properties:
         doc["properties"] = {**doc.get("properties", {}), **extra_properties}
     _commit_doc(table_dir, doc, prev_version)
@@ -726,12 +918,21 @@ def append(
     )
     records_of, bounds_of, btypes = stats.records_of, stats.bounds_of, stats.btypes
 
-    # 2. manifest for the added files (entry seq null → inherited)
+    # 2. manifest for the added files (entry seq null → inherited),
+    # with the spec's typed r102 partition record + header metadata
+    spec_id = int(doc.get("default-spec-id", 0))
+    pfields = _partition_avro_fields(doc, ptypes, spec_id)
+    if [t.field for t in transforms] != [n for n, _, _ in pfields]:
+        # explicit partition_by overriding the recorded default spec
+        pfields = [
+            (t.field, (ptypes or {}).get(t.field, "string"), 1000 + i)
+            for i, t in enumerate(transforms)
+        ]
     manifest_path = os.path.join(mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro")
     write_avro(
         spark,
         manifest_path,
-        MANIFEST_ENTRY_SCHEMA_V2,
+        manifest_entry_schema(pfields),
         [
             {
                 "status": 1,
@@ -740,6 +941,7 @@ def append(
                     "content": 0,
                     "file_path": p,
                     "file_format": "PARQUET",
+                    "partition": _typed_partition(partition_of(p), pfields),
                     "record_count": records_of(p),
                     "file_size_in_bytes": os.path.getsize(p),
                     "partition_values": partition_of(p),
@@ -753,6 +955,7 @@ def append(
             }
             for p in parts
         ],
+        meta=_manifest_header_meta(doc, spec_id, "data"),
     )
 
     # 3. manifest list = base snapshot's manifests (carried forward,
@@ -770,6 +973,9 @@ def append(
         "added_files_count": len(parts),
         "existing_files_count": 0,
         "deleted_files_count": 0,
+        "added_rows_count": sum(records_of(p) for p in parts),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
     }
     added_records = sum(records_of(p) for p in parts)
     added_bytes = sum(os.path.getsize(p) for p in parts)
@@ -860,6 +1066,7 @@ def delete_equality(
             }
             for p in parts
         ],
+        meta=_manifest_header_meta(doc, 0, "deletes"),
     )
     new_row = {
         "manifest_path": manifest_path,
@@ -872,6 +1079,9 @@ def delete_equality(
         "added_files_count": len(parts),
         "existing_files_count": 0,
         "deleted_files_count": 0,
+        "added_rows_count": n_keys * len(parts),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
     }
     prior_rows = _carry_forward_rows(spark, mdir, doc)
     return _finalize_commit(
@@ -891,13 +1101,20 @@ def delete_equality(
 
 def set_current_snapshot(table_dir: str, snapshot_id: int) -> str:
     """Metadata-only commit flipping current-snapshot-id (the executable
-    form of rollback_to_snapshot when aimed at an ancestor)."""
+    form of rollback_to_snapshot when aimed at an ancestor). Appends a
+    snapshot-log entry, per the spec: the log records every change of
+    the current snapshot."""
+    import time
+
     doc, prev_version = _load_doc(table_dir)
     ids = {s["snapshot-id"] for s in doc.get("snapshots", [])}
     if snapshot_id not in ids:
         raise ValueError(f"snapshot {snapshot_id} not in table (have {sorted(ids)})")
     doc = dict(doc)
     doc["current-snapshot-id"] = snapshot_id
+    doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": int(time.time() * 1000), "snapshot-id": snapshot_id}
+    ]
     return _commit_doc(table_dir, doc, prev_version)
 
 
@@ -917,8 +1134,36 @@ def expire_snapshots(table_dir: str, older_than_ms: int, retain_last: int = 1) -
     keep_ids = {s["snapshot-id"] for s in snaps[-retain_last:]} if retain_last else set()
     if doc.get("current-snapshot-id") is not None:
         keep_ids.add(doc["current-snapshot-id"])
+    # Branch refs protect their branch-only ancestry, not just the head:
+    # expiring an intermediate branch-only snapshot would orphan the
+    # branch history (fast_forward's ancestry walk hits a missing id and
+    # wrongly reports "diverged"; read_changelog over the branch breaks).
+    # The walk stops where the branch rejoins the main line — shared
+    # ancestors stay governed by the normal retention rules, so tagging
+    # or branching the head never turns expiration into a no-op. Tags
+    # pin only their own snapshot, as in Iceberg.
+    by_id = {int(s["snapshot-id"]): s for s in snaps}
+    main_line: set[int] = set()
+    cur = doc.get("current-snapshot-id")
+    if cur is not None:
+        walk = int(cur)
+        while walk in by_id and walk not in main_line:
+            main_line.add(walk)
+            parent = by_id[walk].get("parent-snapshot-id")
+            if parent is None:
+                break
+            walk = int(parent)
     for ref in doc.get("refs", {}).values():
         keep_ids.add(int(ref["snapshot-id"]))
+        if ref.get("type") != "branch":
+            continue
+        walk = int(ref["snapshot-id"])
+        while walk in by_id and walk not in main_line:
+            keep_ids.add(walk)
+            parent = by_id[walk].get("parent-snapshot-id")
+            if parent is None:
+                break
+            walk = int(parent)
     kept, expired = [], []
     for s in snaps:
         if int(s["timestamp-ms"]) < older_than_ms and s["snapshot-id"] not in keep_ids:
@@ -929,6 +1174,12 @@ def expire_snapshots(table_dir: str, older_than_ms: int, retain_last: int = 1) -
         return []
     doc = dict(doc)
     doc["snapshots"] = kept
+    if "snapshot-log" in doc:
+        # spec: expired snapshots must drop out of the snapshot log
+        gone = set(expired)
+        doc["snapshot-log"] = [
+            e for e in doc["snapshot-log"] if e.get("snapshot-id") not in gone
+        ]
     _commit_doc(table_dir, doc, prev_version)
     return expired
 
@@ -1036,7 +1287,9 @@ def rewrite_data_files(
             }
             for p in parts
         ],
+        meta=_manifest_header_meta(doc, 0, "data"),
     )
+    total_records = sum(records_of(p) for p in parts)
     new_row = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
@@ -1048,8 +1301,10 @@ def rewrite_data_files(
         "added_files_count": len(parts),
         "existing_files_count": 0,
         "deleted_files_count": 0,
+        "added_rows_count": total_records,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
     }
-    total_records = sum(records_of(p) for p in parts)
     added_bytes = sum(os.path.getsize(p) for p in parts)
     return _finalize_commit(
         spark, table_dir, doc, prev_version, [new_row],  # REPLACE: no carry-forward
@@ -1150,6 +1405,7 @@ def delete_where(
             }
             for p in parts
         ],
+        meta=_manifest_header_meta(doc, 0, "deletes"),
     )
     new_row = {
         "manifest_path": manifest_path,
@@ -1162,6 +1418,9 @@ def delete_where(
         "added_files_count": len(parts),
         "existing_files_count": 0,
         "deleted_files_count": 0,
+        "added_rows_count": n_deleted * len(parts),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
     }
     prior_rows = _carry_forward_rows(spark, mdir, doc)
     return _finalize_commit(
@@ -1300,6 +1559,9 @@ def rewrite_manifests(
             "added_files_count": m.added_files_count or 0,
             "existing_files_count": m.existing_files_count or 0,
             "deleted_files_count": 0,
+            "added_rows_count": m.added_rows_count or 0,
+            "existing_rows_count": m.existing_rows_count or 0,
+            "deleted_rows_count": 0,
         }
         for m in manifests
         if (m.content or 0) == 1
@@ -1310,10 +1572,16 @@ def rewrite_manifests(
     # gather every live data-file entry, PRESERVING each file's data
     # sequence number (existing entries written explicitly, per the
     # spec: inheritance only applies to null seqs on ADDED entries)
-    entries: list[dict] = []
+    # entries grouped by the SOURCE manifest's partition spec id so the
+    # consolidated manifests keep the correct spec attribution after
+    # partition evolution (a manifest's entries all share one spec in
+    # Iceberg; mixing specs in one output manifest would misattribute
+    # partition layouts in metadata)
+    entries_by_spec: dict[int, list[dict]] = {}
     min_seq = seq
     for m in data_manifests:
         inherited = m.sequence_number if m.sequence_number is not None else 0
+        entries = entries_by_spec.setdefault(int(m.partition_spec_id or 0), [])
         for r in read_manifest(
             spark, _resolve(mlist, m.manifest_path), inherited_seq=inherited
         ).collect():
@@ -1350,17 +1618,34 @@ def rewrite_manifests(
             )
 
     new_rows = []
-    for i in range(0, len(entries), entries_per_manifest):
-        chunk = entries[i : i + entries_per_manifest]
+    for spec_id, chunk in (
+        (sid, grp[i : i + entries_per_manifest])
+        for sid, grp in sorted(entries_by_spec.items())
+        for i in range(0, len(grp), entries_per_manifest)
+    ):
+        # rebuild the typed r102 partition record per group (one spec
+        # per output manifest); value types recovered from the carried
+        # partition_types extension maps
+        sample_ptypes: dict[str, str] = {}
+        for e in chunk:
+            sample_ptypes.update(e["data_file"].get("partition_types") or {})
+        pfields = _partition_avro_fields(doc, sample_ptypes, spec_id)
+        for e in chunk:
+            e["data_file"]["partition"] = _typed_partition(
+                e["data_file"].get("partition_values"), pfields
+            )
         mpath = os.path.join(
             mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
         )
-        write_avro(spark, mpath, MANIFEST_ENTRY_SCHEMA_V2, chunk)
+        write_avro(
+            spark, mpath, manifest_entry_schema(pfields), chunk,
+            meta=_manifest_header_meta(doc, spec_id, "data"),
+        )
         new_rows.append(
             {
                 "manifest_path": mpath,
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": 0,
                 "sequence_number": seq,
                 "min_sequence_number": min_seq,
@@ -1368,6 +1653,11 @@ def rewrite_manifests(
                 "added_files_count": 0,
                 "existing_files_count": len(chunk),
                 "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    int(e["data_file"].get("record_count") or 0) for e in chunk
+                ),
+                "deleted_rows_count": 0,
             }
         )
     return _finalize_commit(
@@ -1506,6 +1796,7 @@ def merge_into(
                 }
                 for p in del_parts
             ],
+            meta=_manifest_header_meta(doc, 0, "deletes"),
         )
         manifest_rows.append(
             {
@@ -1519,6 +1810,9 @@ def merge_into(
                 "added_files_count": len(del_parts),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
+                "added_rows_count": n_delete_keys * len(del_parts),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
             }
         )
 
@@ -1540,10 +1834,12 @@ def merge_into(
             data_manifest = os.path.join(
                 mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
             )
+            merge_spec_id = int(doc.get("default-spec-id", 0))
+            merge_pfields = _partition_avro_fields(doc, ptypes, merge_spec_id)
             write_avro(
                 spark,
                 data_manifest,
-                MANIFEST_ENTRY_SCHEMA_V2,
+                manifest_entry_schema(merge_pfields),
                 [
                     {
                         "status": 1,
@@ -1552,6 +1848,9 @@ def merge_into(
                             "content": 0,
                             "file_path": p,
                             "file_format": "PARQUET",
+                            "partition": _typed_partition(
+                                partition_of(p), merge_pfields
+                            ),
                             "record_count": stats.records_of(p),
                             "file_size_in_bytes": os.path.getsize(p),
                             "partition_values": partition_of(p),
@@ -1565,12 +1864,17 @@ def merge_into(
                     }
                     for p in data_parts
                 ],
+                meta=_manifest_header_meta(doc, merge_spec_id, "data"),
             )
             manifest_rows.append(
                 {
                     "manifest_path": data_manifest,
                     "manifest_length": os.path.getsize(data_manifest),
-                    "partition_spec_id": 0,
+                    # the merged files were written through the table's
+                    # recorded DEFAULT spec (spec_transforms above), so
+                    # attribute them to it — not spec 0 — after
+                    # partition evolution
+                    "partition_spec_id": merge_spec_id,
                     "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
@@ -1578,6 +1882,9 @@ def merge_into(
                     "added_files_count": len(data_parts),
                     "existing_files_count": 0,
                     "deleted_files_count": 0,
+                    "added_rows_count": added_records,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
                 }
             )
 
@@ -1637,8 +1944,13 @@ def fast_forward(table_dir: str, branch: str) -> str:
                 f"current snapshot {current}: not an ancestor, cannot "
                 "fast-forward"
             )
+    import time as _time
+
     doc = dict(doc)
     doc["current-snapshot-id"] = head
+    doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": int(_time.time() * 1000), "snapshot-id": head}
+    ]
     return _commit_doc(table_dir, doc, prev_version)
 
 

@@ -87,6 +87,11 @@ def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
 
             content = _py(_get(r, "content"))
             seq = _py(_get(r, "sequence_number"))
+
+            def rows_count(name):
+                v = _py(_get(r, name))
+                return int(v) if v is not None else None
+
             rows.append(
                 (
                     _py(_get(r, "manifest_path")),
@@ -98,6 +103,9 @@ def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
                     count("deleted_files_count"),
                     int(content) if content is not None else 0,
                     int(seq) if seq is not None else None,
+                    rows_count("added_rows_count"),
+                    rows_count("existing_rows_count"),
+                    rows_count("deleted_rows_count"),
                 )
             )
     finally:
@@ -106,7 +114,8 @@ def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "manifest_path string, manifest_length long, partition_spec_id int, "
         "added_snapshot_id long, added_files_count int, existing_files_count int, "
-        "deleted_files_count int, content int, sequence_number long",
+        "deleted_files_count int, content int, sequence_number long, "
+        "added_rows_count long, existing_rows_count long, deleted_rows_count long",
     )
 
 
@@ -180,25 +189,34 @@ def files_from_manifest_list(
     spark: SparkSession,
     table_name: str,
     manifest_list_path: str,
-    content: int = 0,
+    content: int | None = 0,
+    manifest_rows: list | None = None,
 ) -> DataFrame:
     """The ``t.files`` frame of a snapshot, straight from its manifest
     list: parse the list, parse each referenced manifest, keep live
     entries (status != 2 deleted) of the requested ``content`` kind
     (0 data files — the default, `file_size_histogram`-compatible;
-    1 position deletes; 2 equality deletes), and emit the canonical
-    files shape plus each file's data ``sequence_number`` (entry-level,
-    inherited from the manifest list when null — the key MOR deletes are
-    scoped by; null when the table carries no sequence metadata)."""
+    1 position deletes; 2 equality deletes; ``None`` for ALL kinds in
+    one pass, with a ``content`` column in the output — the shape
+    maintenance planning aggregates over without re-walking the list
+    per kind), and emit the canonical files shape plus each file's data
+    ``sequence_number`` (entry-level, inherited from the manifest list
+    when null — the key MOR deletes are scoped by; null when the table
+    carries no sequence metadata). ``manifest_rows`` reuses an already
+    collected ``read_manifest_list`` result so a caller that also needs
+    manifest-level facts reads the list exactly once."""
     from pyspark.sql import functions as F
 
-    want_delete_manifests = content != 0
-    mlist = read_manifest_list(spark, manifest_list_path).collect()
+    mlist = (
+        manifest_rows
+        if manifest_rows is not None
+        else read_manifest_list(spark, manifest_list_path).collect()
+    )
     out = None
     for m in mlist:
         # manifest-level content (v2): 0 data / 1 deletes — skip whole
         # manifests of the wrong kind before parsing them
-        if (m.content == 1) != want_delete_manifests:
+        if content is not None and (m.content == 1) != (content != 0):
             continue
         entries = read_manifest(
             spark,
@@ -206,20 +224,29 @@ def files_from_manifest_list(
             inherited_seq=m.sequence_number,
         )
         out = entries if out is None else out.unionByName(entries)
+    content_cols = ["content"] if content is None else []
     if out is None:
         return spark.createDataFrame(
             [],
-            "table_name string, file_path string, file_size_in_bytes long, "
+            "table_name string, "
+            + ("content int, " if content is None else "")
+            + "file_path string, file_size_in_bytes long, "
             "record_count long, sequence_number long, "
             "partition_values map<string,string>, partition_types map<string,string>, "
             "lower_bounds map<string,string>, upper_bounds map<string,string>, "
             "bounds_types map<string,string>, null_counts map<string,string>, "
             "distinct_counts map<string,string>",
         )
+    live = (
+        out.filter(F.col("status") != 2)
+        if content is None
+        else out.filter((F.col("status") != 2) & (F.col("content") == content))
+    )
     return (
-        out.filter((F.col("status") != 2) & (F.col("content") == content))
+        live
         .select(
             F.lit(table_name).alias("table_name"),
+            *content_cols,
             "file_path",
             "file_size_in_bytes",
             "record_count",
@@ -413,7 +440,29 @@ def read_data_at_snapshot(
             raise ValueError(f"snapshot {snapshot_id} not in {metadata_json_path}")
         chosen = matching[0]
     elif as_of_ms is not None:
-        before = [s for s in snaps if int(s["timestamp-ms"]) <= as_of_ms]
+        # TIMESTAMP AS OF resolves against the MAIN branch's history
+        # (Iceberg: the snapshot log tracks current-snapshot-id flips),
+        # never against staged branch-only commits — otherwise a read
+        # taken after `append(branch=...)` would leak unpublished,
+        # unaudited rows and break write-audit-publish isolation. Walk
+        # parent-snapshot-id lineage from current-snapshot-id to build
+        # the candidate set; tables with no current pointer (legacy /
+        # synthetic) fall back to all snapshots.
+        cur = doc.get("current-snapshot-id")
+        if cur is not None:
+            by_id = {int(s["snapshot-id"]): s for s in snaps}
+            main_ids: set[int] = set()
+            walk = int(cur)
+            while walk in by_id and walk not in main_ids:
+                main_ids.add(walk)
+                parent = by_id[walk].get("parent-snapshot-id")
+                if parent is None:
+                    break
+                walk = int(parent)
+            candidates = [s for s in snaps if int(s["snapshot-id"]) in main_ids]
+        else:
+            candidates = snaps
+        before = [s for s in candidates if int(s["timestamp-ms"]) <= as_of_ms]
         if not before:
             raise ValueError(f"no snapshot at or before {as_of_ms}")
         chosen = before[-1]

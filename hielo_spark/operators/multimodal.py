@@ -1014,6 +1014,7 @@ def repartition_media_by_bytes(
     id_col: str = "doc_id",
     target_bytes: int = 64 * 1024 * 1024,
     salt_buckets: int = 64,
+    unpersist_after: bool = True,
 ) -> DataFrame:
     """Even out decode tasks before a heavy mapInPandas stage: decode
     cost scales with payload BYTES, not rows, so row-count-balanced
@@ -1027,7 +1028,17 @@ def repartition_media_by_bytes(
     one payload; tasks hold ~1 group each (range boundaries come from
     sampling, so a task may occasionally carry a couple of adjacent
     groups — bounded slack, unlike hash collisions which pile up
-    unboundedly). Lanes are deterministic (xxhash64 of the id)."""
+    unboundedly). Lanes are deterministic (xxhash64 of the id).
+
+    Cache lifetime: the planning count below is an eager job, so the
+    input is persisted first (otherwise the payload-producing lineage
+    runs twice). With ``unpersist_after=True`` (default) the cache is
+    dropped before returning — repeated calls in a long session never
+    accumulate cached media payloads in executor storage, at the cost
+    of one upstream recompute when the result is consumed. Pass
+    ``unpersist_after=False`` to keep the cache hot for consumption;
+    the caller then owns the lifetime and releases it with
+    :func:`release_media_cache` on the returned frame."""
     from .sampling import pack_shards
 
     lane = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int")
@@ -1049,9 +1060,22 @@ def repartition_media_by_bytes(
     n = packed.select(
         F.count_distinct(F.col("_lane"), F.col("shard_id")).alias("n")
     ).first()["n"]
-    return (
+    out = (
         packed.repartitionByRange(
             max(int(n or 1), 1), F.col("_lane"), F.col("shard_id")
         )
         .drop("_lane", "shard_id")
     )
+    if unpersist_after:
+        with_lane.unpersist(blocking=False)
+    else:
+        out._hielo_media_cache = with_lane  # released via release_media_cache
+    return out
+
+
+def release_media_cache(df: DataFrame) -> None:
+    """Release the cache held by ``repartition_media_by_bytes(...,
+    unpersist_after=False)`` once the result has been materialized."""
+    cached = getattr(df, "_hielo_media_cache", None)
+    if cached is not None:
+        cached.unpersist(blocking=False)

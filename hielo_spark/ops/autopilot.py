@@ -55,23 +55,34 @@ def plan_maintenance(
         (s for s in snaps if s["snapshot-id"] == doc.get("current-snapshot-id")),
         snaps[-1],
     )
-    files = files_from_manifest_list(
-        spark, os.path.basename(table_dir),
-        current["manifest-list"].removeprefix("file:"),
-    ).collect()
+    # ONE manifest-list read, ONE files frame over every content kind,
+    # ONE distributed groupBy(content) aggregate, collect <= 3 rows —
+    # never the per-file rows themselves (a million-file table would
+    # otherwise ship a million rows to the driver, four times)
+    from pyspark.sql import functions as F
+
+    mlist_path = current["manifest-list"].removeprefix("file:")
+    manifest_rows = read_manifest_list(spark, mlist_path).collect()
+    by_content = {
+        int(r.content): r
+        for r in files_from_manifest_list(
+            spark, os.path.basename(table_dir), mlist_path,
+            content=None, manifest_rows=manifest_rows,
+        )
+        .groupBy("content")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("file_size_in_bytes").alias("bytes"),
+        )
+        .collect()
+    }
     plan: list[dict] = []
 
-    n_files = len(files)
-    total_bytes = sum(int(r.file_size_in_bytes or 0) for r in files)
+    n_files = int(by_content[0].n) if 0 in by_content else 0
+    total_bytes = int(by_content[0].bytes or 0) if 0 in by_content else 0
     avg = total_bytes / n_files if n_files else 0
-    n_delete_files = len(
-        files_from_manifest_list(
-            spark, "t", current["manifest-list"].removeprefix("file:"), content=2
-        ).collect()
-    ) + len(
-        files_from_manifest_list(
-            spark, "t", current["manifest-list"].removeprefix("file:"), content=1
-        ).collect()
+    n_delete_files = sum(
+        int(by_content[c].n) for c in (1, 2) if c in by_content
     )
     if (n_files >= MIN_FILES_FOR_COMPACTION and avg < SMALL_FILE_BYTES) or n_delete_files:
         plan.append(
@@ -88,13 +99,10 @@ def plan_maintenance(
     # manifest consolidation: many tiny manifests slow scan planning.
     # Skipped when compaction is planned — a REPLACE snapshot leaves a
     # single fresh manifest anyway, so the rewrite would be redundant.
+    # Counted from the already-read manifest list, not a second read.
     if not plan:
         n_data_manifests = sum(
-            1
-            for m in read_manifest_list(
-                spark, current["manifest-list"].removeprefix("file:")
-            ).collect()
-            if (m.content or 0) == 0
+            1 for m in manifest_rows if (m.content or 0) == 0
         )
         if n_data_manifests >= MIN_MANIFESTS_FOR_REWRITE:
             plan.append(

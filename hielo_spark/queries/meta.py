@@ -1166,3 +1166,77 @@ def meta_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_ordinal", "change_type")
     )
+
+
+# --------------------------------------------------------------------------
+# S12/WAP golden (r5, VERDICT item 7) — the write-audit-publish branch
+# lifecycle through our own commit plane, driver-checked end to end:
+# main append → two commits STAGED on an audit branch (main default
+# reads AND timestamp travel must not see them — the r5 branch-isolation
+# fix) → fast_forward publish (now both see them) → a second branch with
+# an intermediate commit → expire_snapshots, which must reap the old
+# main-line ancestors while PROTECTING the branch-only ancestry (else
+# the final fast_forward would wrongly report divergence). Constant
+# oracle; ids 1-3 main, 4-6 staged on 'audit', 7-8 staged on 'dev'.
+# --------------------------------------------------------------------------
+@query(
+    "meta_wap_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('t1_main_before_publish', CAST(3 AS BIGINT)),
+      ('t2_staged_via_ref',      CAST(6 AS BIGINT)),
+      ('t3_asof_before_publish', CAST(3 AS BIGINT)),
+      ('t4_published',           CAST(6 AS BIGINT)),
+      ('t5_asof_after_publish',  CAST(6 AS BIGINT)),
+      ('t6_expired_snapshots',   CAST(2 AS BIGINT)),
+      ('t7_final_published',     CAST(8 AS BIGINT))
+    ) AS t(step, n)
+    """,
+)
+def meta_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.manifests import read_data_at_snapshot
+
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_wap_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    C.append(spark, t, spark.createDataFrame(
+        [(1,), (2,), (3,)], ["id"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(4,), (5,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000, branch="audit")
+    C.append(spark, t, spark.createDataFrame([(6,)], ["id"]),
+             snapshot_id=103, timestamp_ms=1700200000000, branch="audit")
+    mpath = C.current_metadata_path(t)
+    rows = [
+        ("t1_main_before_publish",
+         read_data_at_snapshot(spark, mpath).count()),
+        ("t2_staged_via_ref",
+         read_data_at_snapshot(spark, mpath, ref="audit").count()),
+        ("t3_asof_before_publish",
+         read_data_at_snapshot(spark, mpath, as_of_ms=1700250000000).count()),
+    ]
+    C.fast_forward(t, "audit")
+    mpath = C.current_metadata_path(t)
+    rows += [
+        ("t4_published", read_data_at_snapshot(spark, mpath).count()),
+        ("t5_asof_after_publish",
+         read_data_at_snapshot(spark, mpath, as_of_ms=1700250000000).count()),
+    ]
+    C.append(spark, t, spark.createDataFrame([(7,)], ["id"]),
+             snapshot_id=104, timestamp_ms=1700300000000, branch="dev")
+    C.append(spark, t, spark.createDataFrame([(8,)], ["id"]),
+             snapshot_id=105, timestamp_ms=1700400000000, branch="dev")
+    expired = C.expire_snapshots(t, older_than_ms=1700500000000, retain_last=1)
+    rows.append(("t6_expired_snapshots", len(expired)))
+    C.fast_forward(t, "dev")
+    mpath = C.current_metadata_path(t)
+    rows.append(("t7_final_published",
+                 read_data_at_snapshot(spark, mpath).count()))
+    return spark.createDataFrame(rows, "step string, n long").orderBy("step")

@@ -24,30 +24,46 @@ import json
 from pyspark.sql import DataFrame
 
 
-def committed_batch_ids(table_dir: str, query_id: str) -> set[int]:
-    """Batch ids already committed for ``query_id``: the per-snapshot
-    summary markers PLUS everything at or below the table-property
-    high-water mark ``streaming.<qid>.last-batch-id``. The property
-    survives ``expire_snapshots`` (which drops old snapshot entries and
-    their summaries), so a checkpoint wipe after maintenance still
-    cannot replay expired batches. One JSON read — planning plane."""
+def committed_state(table_dir: str, query_id: str) -> tuple[int, set[int]]:
+    """``(hwm, summary_ids)`` for ``query_id``: the table-property
+    high-water mark ``streaming.<qid>.last-batch-id`` (-1 when absent)
+    plus the per-snapshot summary markers. Batches commit in order, so
+    the mark covers every id at or below it — returned AS the scalar,
+    never expanded into a set (a long-lived stream's hwm is in the
+    millions; materializing ``range(hwm+1)`` per micro-batch would be
+    O(hwm) time/memory for a membership check). The property survives
+    ``expire_snapshots`` (which drops old snapshot entries and their
+    summaries), so a checkpoint wipe after maintenance still cannot
+    replay expired batches. One JSON read — planning plane."""
     from ..metadata.commit import current_metadata_path
 
     mpath = current_metadata_path(table_dir)
     if mpath is None:
-        return set()
+        return -1, set()
     with open(mpath) as f:
         doc = json.load(f)
-    out = set()
+    summary_ids = set()
     for s in doc.get("snapshots", []):
         summ = s.get("summary", {})
         if summ.get("streaming-query-id") == query_id and "streaming-batch-id" in summ:
-            out.add(int(summ["streaming-batch-id"]))
+            summary_ids.add(int(summ["streaming-batch-id"]))
     hwm = doc.get("properties", {}).get(f"streaming.{query_id}.last-batch-id")
-    if hwm is not None:
-        # batches commit in order, so the mark covers every id below it
-        out.update(range(int(hwm) + 1))
-    return out
+    return (int(hwm) if hwm is not None else -1), summary_ids
+
+
+def is_batch_committed(table_dir: str, query_id: str, batch_id: int) -> bool:
+    """Membership check against the hwm + summary markers without ever
+    expanding the hwm range."""
+    hwm, summary_ids = committed_state(table_dir, query_id)
+    return batch_id <= hwm or batch_id in summary_ids
+
+
+def committed_batch_ids(table_dir: str, query_id: str) -> set[int]:
+    """Materialized id set — kept for tests/introspection on SHORT
+    histories; sinks use :func:`is_batch_committed` (O(1) in hwm)."""
+    hwm, summary_ids = committed_state(table_dir, query_id)
+    summary_ids.update(range(hwm + 1))
+    return summary_ids
 
 
 def append_stream_to_table(
@@ -71,7 +87,7 @@ def append_stream_to_table(
     def _commit(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         qid = query_name  # stable across restarts (query.id changes with checkpoint wipes)
-        if batch_id in committed_batch_ids(table_dir, qid):
+        if is_batch_committed(table_dir, qid, batch_id):
             return  # replayed batch — already a snapshot
         if batch.isEmpty():
             return
@@ -118,7 +134,7 @@ def upsert_stream_to_table(
     def _commit(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         qid = query_name
-        if batch_id in committed_batch_ids(table_dir, qid):
+        if is_batch_committed(table_dir, qid, batch_id):
             return
         if batch.isEmpty():
             return

@@ -1111,3 +1111,123 @@ def test_equality_delete_null_key_matches_null_rows(spark, tmp_path):
                       snapshot_id=102, timestamp_ms=1700100000000)
     mpath = C.current_metadata_path(t)
     assert {r.v for r in read_data_at_snapshot(spark, mpath).collect()} == {"a", "b"}
+
+
+# -- r5 ADVICE regressions: branch isolation of timestamp travel, ----------
+# -- ref-ancestry-aware expiration, spec-id carry through rewrites ---------
+
+
+def test_timestamp_travel_ignores_staged_branch_commits(spark, tmp_path):
+    """TIMESTAMP AS OF resolves against the MAIN branch's lineage
+    (Iceberg: the snapshot log), so a staged write-audit-publish branch
+    commit never leaks into a timestamp read — only fast_forward
+    publishes it."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(2,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000, branch="audit")
+    mpath = C.current_metadata_path(t)
+    # a read "as of now" (after the staged commit) sees main only
+    seen = {r.id for r in read_data_at_snapshot(
+        spark, mpath, as_of_ms=1700200000000).collect()}
+    assert seen == {1}
+    # the staged rows remain reachable via the ref, as documented
+    via_ref = {r.id for r in read_data_at_snapshot(
+        spark, mpath, ref="audit").collect()}
+    assert via_ref == {1, 2}
+    # publish, then the same timestamp read includes the branch commit
+    C.fast_forward(t, "audit")
+    mpath = C.current_metadata_path(t)
+    seen = {r.id for r in read_data_at_snapshot(
+        spark, mpath, as_of_ms=1700200000000).collect()}
+    assert seen == {1, 2}
+
+
+def test_expire_protects_branch_ancestry_not_just_head(spark, tmp_path):
+    """expire_snapshots keeps every branch-only ancestor of a branch
+    head (else fast_forward's ancestry walk breaks on the missing id),
+    while main-line snapshots beyond retention still expire."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=11, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(2,)], ["id"]),
+             snapshot_id=12, timestamp_ms=1700100000000)
+    C.append(spark, t, spark.createDataFrame([(3,)], ["id"]),
+             snapshot_id=13, timestamp_ms=1700200000000, branch="dev")
+    C.append(spark, t, spark.createDataFrame([(4,)], ["id"]),
+             snapshot_id=14, timestamp_ms=1700300000000, branch="dev")
+    expired = C.expire_snapshots(t, older_than_ms=1700400000000, retain_last=1)
+    # 11: main ancestor beyond retention -> expired. 12: current. 13:
+    # branch-only intermediate -> protected. 14: branch head + newest.
+    assert expired == [11]
+    # the surviving lineage still publishes cleanly (expiry drops
+    # HISTORY entries, never rows — snapshot 14's manifests still carry
+    # the file appended at 11)
+    C.fast_forward(t, "dev")
+    mpath = C.current_metadata_path(t)
+    assert {r.id for r in read_data_at_snapshot(spark, mpath).collect()} == {1, 2, 3, 4}
+
+
+def test_expire_keeps_tags_head_only(spark, tmp_path):
+    """Tags pin their own snapshot, not their ancestry (Iceberg tag
+    semantics) — a tag on the head must not turn expiration into a
+    no-op."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=21, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(2,)], ["id"]),
+             snapshot_id=22, timestamp_ms=1700100000000)
+    C.append(spark, t, spark.createDataFrame([(3,)], ["id"]),
+             snapshot_id=23, timestamp_ms=1700200000000)
+    C.create_ref(t, "v3", 23, ref_type="tag")
+    expired = C.expire_snapshots(t, older_than_ms=1700300000000, retain_last=1)
+    assert expired == [21, 22]
+
+
+def test_rewrite_manifests_carries_source_spec_ids(spark, tmp_path):
+    """After partition evolution, consolidated manifests keep each
+    source manifest's partition_spec_id instead of collapsing to 0, and
+    merge-written data manifests carry the default spec id."""
+    from hielo_spark.metadata.manifests import read_manifest_list, _resolve
+    import os
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "x")], ["id", "p"]),
+             partition_by=["p"], snapshot_id=101, timestamp_ms=1700000000000)
+    new_spec = C.update_partition_spec(t, ["id"])
+    assert new_spec == 1
+    C.append(spark, t, spark.createDataFrame([(2, "y")], ["id", "p"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    snap = C.rewrite_manifests(spark, t, entries_per_manifest=1)
+    assert snap is not None
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     snap["manifest-list"].removeprefix("file:"))
+    specs = sorted(
+        (m.partition_spec_id or 0)
+        for m in read_manifest_list(spark, mlist).collect()
+        if (m.content or 0) == 0
+    )
+    assert specs == [0, 1]
+    mpath = C.current_metadata_path(t)
+    assert {r.id for r in read_data_at_snapshot(spark, mpath).collect()} == {1, 2}
+
+
+def test_merge_manifest_records_default_spec_id(spark, tmp_path):
+    from hielo_spark.metadata.manifests import read_manifest_list, _resolve
+    import os
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.update_partition_spec(t, ["id"])
+    snap = C.merge_into(
+        spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]),
+        on=["id"], snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     snap["manifest-list"].removeprefix("file:"))
+    rows = read_manifest_list(spark, mlist).collect()
+    merged_data = [m for m in rows
+                   if (m.content or 0) == 0 and m.added_snapshot_id == 102]
+    assert merged_data and all(m.partition_spec_id == 1 for m in merged_data)
