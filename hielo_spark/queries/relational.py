@@ -13,7 +13,26 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 from pyspark.sql.functions import broadcast
 
-from ..io import load_table
+from ..io import load_table, synth_partsupp
+
+# The DuckDB twin of io.synth_partsupp — IDENTICAL integer arithmetic
+# (0-based TPC-H supplier-assignment rule + seeded hashes), so the five
+# faithful partsupp shapes (q2/q9/q11/q16/q20) oracle-check bit-for-bit
+# over the same parquet inputs. `//` is DuckDB integer division, `div`
+# on the Spark side.
+PARTSUPP_CTE = """
+  SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
+         CAST((p_partkey + gen.i * (sc.n // 4 + p_partkey // sc.n)) % sc.n
+              AS BIGINT) AS ps_suppkey,
+         CAST((p_partkey * 31 + gen.i * 17) % 9999 + 1 AS BIGINT) AS ps_availqty,
+         CAST((p_partkey * 7919 + gen.i * 104729) % 19900 + 100 AS DOUBLE)
+              / 100.0 AS ps_supplycost,
+         CAST((p_partkey * 7919 + gen.i * 104729) % 19900 + 100
+              AS BIGINT) AS ps_supplycost_cents
+  FROM part
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier) sc
+  CROSS JOIN (VALUES (0), (1), (2), (3)) gen(i)
+"""
 
 QUERIES = {}
 ORACLE = {}
@@ -1856,18 +1875,26 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A14/O3 — supplier variety per brand/type (TPC-H Q16 shape; lineitem is
-# the part↔supplier bridge since the fixture has no partsupp). Two-phase
-# distinct aggregate + top-k with full tiebreak.
+# A14/O3 — supplier variety per brand/type/size (the FAITHFUL TPC-H Q16,
+# r5: partsupp is the part↔supplier bridge, with the NOT IN supplier
+# exclusion — negative-balance suppliers stand in for the spec's
+# complaint filter since the fixture has no s_comment). The NOT IN
+# decorrelates to a LEFT ANTI join (safe: s_suppkey is never null).
+# Two-phase distinct aggregate + top-k with full unique tiebreak
+# (brand, type, size is the group key). partsupp/part shuffle on
+# partkey; the excluded-supplier frame is tiny but derived, not hinted.
 # --------------------------------------------------------------------------
 @query(
     "q16_supplier_variety",
-    """
-    SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem JOIN part ON p_partkey = l_partkey
+    f"""
+    WITH partsupp AS ({PARTSUPP_CTE})
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
     WHERE p_brand <> 'Brand#13' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
-    GROUP BY p_brand, p_type
-    ORDER BY supplier_cnt DESC, p_brand, p_type
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     LIMIT 20
     """,
 )
@@ -1875,13 +1902,19 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#13")
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = synth_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
     )
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("p_brand", "p_type")
-        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
-        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+        ps.join(bad_supp, F.col("s_suppkey") == F.col("ps_suppkey"), "left_anti")
+        .join(part, F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
         .limit(20)
     )
 
@@ -2104,114 +2137,112 @@ def events_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # --------------------------------------------------------------------------
-# J4 — min-cost supplier per part (TPC-H Q2 shape, fixture columns: the
-# fixture has no partsupp/ps_supplycost, so the per-(part, supplier) unit
-# cost is derived from lineitem as avg(extendedprice/quantity)). The
-# correlated MIN subquery decorrelates to: per-pair costs → per-part min →
-# equality join back, with a deterministic min-suppkey tie-break.
-# Scale: costs is one groupBy over (partkey, suppkey) — map-side combine
-# shrinks 100 TB of lineitem to |part|×|supp-per-part| rows; the min and
-# the join-back shuffle only that reduced frame on partkey. supplier is
-# SF-scaling so it is NOT force-broadcast; nation/region are fixed 25/5
-# rows and are.
+# J4 — min-cost supplier per part (the FAITHFUL TPC-H Q2, r5: the 3-way
+# correlated MIN over partsupp within a region — hielo query surface
+# parity via the synthesized deterministic partsupp, io.synth_partsupp /
+# PARTSUPP_CTE). The correlated subquery decorrelates to a window MIN
+# over the region-scoped partsupp⋈supplier frame: one pass, no repeated
+# subtree (Catalyst has no CSE across self-joins — measured 2× at sf0.1
+# on the join-back form). All rows achieving the min survive, as in the
+# spec query; the ORDER BY carries a full unique tiebreak so LIMIT is
+# deterministic. Scale: partsupp (4|part| rows, SF-scaling) and supplier
+# are NOT force-broadcast; nation/region (25/5 rows) are; the window
+# shuffles once on ps_partkey.
 # --------------------------------------------------------------------------
 @query(
     "q2_min_cost_supplier",
-    """
-    WITH costs AS (
-      SELECT l_partkey, l_suppkey,
-             CAST(round(avg(l_extendedprice / l_quantity), 2) AS DOUBLE) AS unit_cost
-      FROM lineitem GROUP BY l_partkey, l_suppkey
-    ),
-    eligible AS (
-      SELECT p_partkey, p_name, unit_cost, l_suppkey
-      FROM costs JOIN part ON p_partkey = l_partkey
-      WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+    f"""
+    WITH partsupp AS ({PARTSUPP_CTE}),
+    eu_offers AS (
+      SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+      FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+                    JOIN nation   ON n_nationkey = s_nationkey
+                    JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
     ),
     best AS (
-      SELECT p_partkey AS b_partkey, min(unit_cost) AS min_cost
-      FROM eligible GROUP BY p_partkey
-    ),
-    winner AS (
-      SELECT e.p_partkey, e.p_name, e.unit_cost, min(e.l_suppkey) AS win_suppkey
-      FROM eligible e JOIN best b
-        ON e.p_partkey = b.b_partkey AND e.unit_cost = b.min_cost
-      GROUP BY e.p_partkey, e.p_name, e.unit_cost
+      SELECT ps_partkey AS b_partkey, min(ps_supplycost) AS min_cost
+      FROM eu_offers GROUP BY ps_partkey
     )
-    SELECT s_name, n_name,
+    SELECT CAST(round(s_acctbal, 2) AS DOUBLE) AS acctbal,
+           s_name, n_name,
            CAST(p_partkey AS BIGINT) AS partkey,
            p_name AS part_name,
-           unit_cost AS min_cost
-    FROM winner JOIN supplier ON s_suppkey = win_suppkey
-                JOIN nation   ON n_nationkey = s_nationkey
-                JOIN region   ON r_regionkey = n_regionkey
-    WHERE r_name = 'EUROPE'
-    ORDER BY min_cost, partkey
-    LIMIT 50
+           ps_supplycost AS supply_cost
+    FROM eu_offers
+      JOIN best ON ps_partkey = b_partkey AND ps_supplycost = min_cost
+      JOIN part ON p_partkey = ps_partkey
+    WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+    ORDER BY acctbal DESC, n_name, s_name, partkey
+    LIMIT 100
     """,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    ps = synth_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
     )
-    costs = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("unit_cost")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
     )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_offers = (
+        ps.join(supp, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    # cost equality on doubles is safe: the window min IS one of the
+    # values it compares against (same bits)
+    w = Window.partitionBy("ps_partkey")
+    winners = eu_offers.withColumn(
+        "min_cost", F.min("ps_supplycost").over(w)
+    ).filter(F.col("ps_supplycost") == F.col("min_cost"))
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
     ).select("p_partkey", "p_name")
-    eligible = costs.join(part, F.col("p_partkey") == F.col("l_partkey"))
-    # the correlated MIN as a window over the partkey partitioning: one
-    # pass over eligible instead of the groupBy + equality-join-back form
-    # (which plans the costs⋈part subtree twice — Catalyst has no CSE
-    # across self-joins; measured 2× at sf0.1). Same result as the
-    # oracle's decorrelated-join formulation.
-    w = Window.partitionBy("p_partkey")
-    winner = (
-        eligible.withColumn("min_cost", F.min("unit_cost").over(w))
-        .filter(F.col("unit_cost") == F.col("min_cost"))
-        .groupBy("p_partkey", "p_name", F.col("unit_cost"))
-        .agg(F.min("l_suppkey").alias("win_suppkey"))
-    )
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     return (
-        winner.join(supp, F.col("win_suppkey") == F.col("s_suppkey"))
-        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        winners.join(part, F.col("p_partkey") == F.col("ps_partkey"))
         .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
             "s_name",
             "n_name",
-            F.col("p_partkey").cast("bigint").alias("partkey"),
+            F.col("ps_partkey").cast("bigint").alias("partkey"),
             F.col("p_name").alias("part_name"),
-            F.col("unit_cost").alias("min_cost"),
+            F.col("ps_supplycost").alias("supply_cost"),
         )
-        .orderBy("min_cost", "partkey")
-        .limit(50)
+        .orderBy(F.col("acctbal").desc(), "n_name", "s_name", "partkey")
+        .limit(100)
     )
 
 
 # --------------------------------------------------------------------------
-# J4 — profit by supplier-nation and order-year (TPC-H Q9 shape; no
-# ps_supplycost in the fixture, so profit is the discounted revenue of
-# lines whose part name matches). Five-way join: the three SF-scaling
-# sides (supplier, part, orders) are NOT force-broadcast — AQE size-gates
-# them at bench scale; at 100 TB each degrades to a shuffle join on its
-# key. nation (25 rows) is the only hinted side. Group-by is 25×7 cells —
-# partial agg collapses everything before the final shuffle. The revenue
-# sum is an exact DECIMAL(18,2) product on both engines: double sums here
-# land close enough to a half-cent that round(…, 2) flipped between
-# Spark and DuckDB (observed at sf0.01).
+# J4 — profit by supplier-nation and order-year (the FAITHFUL TPC-H Q9,
+# r5: revenue MINUS ps_supplycost*l_quantity through the synthesized
+# partsupp, joined on BOTH (l_partkey, l_suppkey)). Six-way join: the
+# four SF-scaling sides (partsupp, supplier, part, orders) are NOT
+# force-broadcast — AQE size-gates them at bench scale; at 100 TB each
+# degrades to a shuffle join on its key. nation (25 rows) is the only
+# hinted side. Group-by is 25×7 cells — partial agg collapses everything
+# before the final shuffle. Cross-engine determinism: revenue sums as
+# exact DECIMAL(18,2), cost as exact BIGINT cents, and the profit is
+# rounded while STILL an exact decimal — rounding the double flipped a
+# half-cent boundary between engines at sf0.001 (Spark rounds the
+# shortest decimal repr, DuckDB the raw binary).
 # --------------------------------------------------------------------------
 @query(
     "q9_profit_by_nation_year",
-    """
+    f"""
+    WITH partsupp AS ({PARTSUPP_CTE})
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS profit
-    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           CAST(CAST(round(
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) * 100
+             - sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT)),
+             0) AS BIGINT) AS DOUBLE) / 100.0 AS profit
+    FROM lineitem JOIN partsupp ON ps_partkey = l_partkey
+                                AND ps_suppkey = l_suppkey
+                  JOIN supplier ON s_suppkey = l_suppkey
                   JOIN nation   ON n_nationkey = s_nationkey
                   JOIN orders   ON o_orderkey = l_orderkey
                   JOIN part     ON p_partkey = l_partkey
@@ -2221,7 +2252,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    ps = synth_partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost_cents"
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -2231,8 +2266,20 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").like("%widget%"))
         .select("p_partkey")
     )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    cost_cents = F.sum(
+        F.col("ps_supplycost_cents") * F.col("l_quantity").cast("bigint")
+    )
     return (
-        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        li.join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -2241,63 +2288,75 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("profit")
+            # exact path: decimal revenue × 100 minus integer cost cents,
+            # rounded while STILL exact, then one deterministic double
+            # division — round(double, 2) differs between engines at
+            # half-cent boundaries (Spark rounds the shortest decimal
+            # repr, DuckDB the raw binary), observed at sf0.001
+            (
+                F.round(revenue * 100 - cost_cents, 0)
+                .cast("bigint")
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("profit")
         )
     )
 
 
 # --------------------------------------------------------------------------
-# A14 + J4 — important part value (TPC-H Q11 shape; scope is suppliers in
-# one region instead of one nation so the sf0.01 fixture keeps enough
-# rows). HAVING against a scalar subquery over the SAME scoped frame:
-# the threshold is a 1-row aggregate (broadcast is exact and safe at any
-# SF); the per-part sums shuffle once on partkey. The unrounded HAVING
-# comparison mirrors Q11 semantics; outputs are rounded for hashing.
+# A14 + J4 — important stock value (the FAITHFUL TPC-H Q11, r5: stock
+# value is ps_supplycost × ps_availqty over the synthesized partsupp,
+# scoped to one region's suppliers; the fixture's 0-based nations are
+# synthetic names so the region scope keeps sf0.01 rows). HAVING against
+# a scalar subquery over the SAME scoped frame — the threshold is a
+# 1-row aggregate (broadcast exact and safe at any SF); per-part sums
+# shuffle once on partkey. Cross-engine determinism: value accumulates
+# as exact BIGINT cents (double accumulation order flips borderline
+# HAVING comparisons); the >0.1%-of-total threshold compares integers.
 # --------------------------------------------------------------------------
 @query(
     "q11_important_part_value",
-    """
-    WITH scoped AS (
-      SELECT l_partkey, l_extendedprice
-      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    f"""
+    WITH partsupp AS ({PARTSUPP_CTE}),
+    scoped AS (
+      SELECT ps_partkey,
+             ps_supplycost_cents * ps_availqty AS v_cents
+      FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
                     JOIN nation   ON n_nationkey = s_nationkey
       WHERE n_regionkey = 2
     )
-    SELECT CAST(l_partkey AS BIGINT) AS partkey,
-           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS part_value
+    SELECT CAST(ps_partkey AS BIGINT) AS partkey,
+           CAST(CAST(sum(v_cents) AS DOUBLE) / 100.0 AS DOUBLE) AS part_value
     FROM scoped
-    GROUP BY l_partkey
-    HAVING sum(l_extendedprice) > (SELECT sum(l_extendedprice) * 0.0008 FROM scoped)
+    GROUP BY ps_partkey
+    HAVING sum(v_cents) * 1000 > (SELECT sum(v_cents) FROM scoped)
     """,
 )
 def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    ps = synth_partsupp(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = (
         load_table(spark, sf_dir, "nation")
         .filter(F.col("n_regionkey") == 2)
         .select("n_nationkey")
     )
-    scoped = li.join(supp, F.col("s_suppkey") == F.col("l_suppkey")).join(
-        broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
-    )
-    thr = scoped.agg((F.sum("l_extendedprice") * 0.0008).alias("thr"))
-    return (
-        scoped.groupBy("l_partkey")
-        .agg(F.sum("l_extendedprice").alias("raw_value"))
-        .join(broadcast(thr))
-        .filter(F.col("raw_value") > F.col("thr"))
+    scoped = (
+        ps.join(supp, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(
-            F.col("l_partkey").cast("bigint").alias("partkey"),
-            F.round("raw_value", 2).alias("part_value"),
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v_cents"),
+        )
+    )
+    thr = scoped.agg(F.sum("v_cents").alias("thr_cents"))
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("v_cents").alias("sum_cents"))
+        .join(broadcast(thr))
+        .filter(F.col("sum_cents") * 1000 > F.col("thr_cents"))
+        .select(
+            F.col("ps_partkey").cast("bigint").alias("partkey"),
+            (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("part_value"),
         )
     )
 
@@ -2388,30 +2447,43 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# J4 — heavy shippers of a part family (TPC-H Q20 shape: the nested
-# IN-subquery chain part-filter → per-supplier quantity → relative
-# threshold → supplier semi-join → nation scope; availqty is replaced by
-# shipped quantity since the fixture has no partsupp). Scale: the inner
-# aggregate shuffles once on suppkey; the threshold is a 1-row broadcast;
-# the outer filter is a LEFT SEMI join (no row multiplication); supplier
-# is NOT force-broadcast, nation (25 rows) is.
+# J4 — excess-stock shippers of a part family (the FAITHFUL TPC-H Q20,
+# r5: the nested IN chain over partsupp — part-name filter → per
+# (part, supplier) shipped quantity in a year → the CORRELATED
+# ps_availqty > ½·sum(l_quantity) comparison → supplier semi-join →
+# nation scope). The correlated scalar decorrelates to an INNER join of
+# partsupp against the (partkey, suppkey)-grouped shipped frame — pairs
+# with no shipments drop out exactly as the NULL comparison drops them
+# in the spec's form. Scale: shipped shuffles lineitem once on the pair
+# key; partsupp joins on the same key (no broadcast of SF-scaling
+# sides); supplier semi-join; nation (25 rows) is the only hinted side.
+# Cross-engine determinism: quantities are integral doubles, the ½·qty
+# threshold halves an exact small sum — no accumulation-order risk.
 # --------------------------------------------------------------------------
 @query(
     "q20_heavy_part_shippers",
-    """
-    WITH shipped AS (
-      SELECT l_suppkey, sum(l_quantity) AS qty
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_name LIKE 'red%'
-        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    f"""
+    WITH partsupp AS ({PARTSUPP_CTE}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      GROUP BY l_suppkey
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE p_name LIKE 'red%'
+        AND ps_availqty > 0.5 * qty
     )
     SELECT s_name, CAST(round(s_acctbal, 2) AS DOUBLE) AS acctbal
     FROM supplier JOIN nation ON n_nationkey = s_nationkey
     WHERE n_regionkey = 3
-      AND s_suppkey IN (SELECT l_suppkey FROM shipped
-                        WHERE qty > (SELECT avg(qty) * 1.1 FROM shipped))
+      AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+    ORDER BY s_name
     """,
 )
 def q20_heavy_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2424,16 +2496,22 @@ def q20_heavy_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
-    shipped = (
-        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty"))
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
     )
-    thr = shipped.agg((F.avg("qty") * 1.1).alias("thr"))
-    heavy = (
-        shipped.join(broadcast(thr))
-        .filter(F.col("qty") > F.col("thr"))
-        .select("l_suppkey")
+    ps = synth_partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_availqty"
+    )
+    excess = (
+        ps.join(part, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
     )
     nation = (
         load_table(spark, sf_dir, "nation")
@@ -2443,6 +2521,7 @@ def q20_heavy_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         supp.join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
     )
