@@ -22,6 +22,40 @@ def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
     return partial.groupBy(key).agg(F.sum("_n").alias("n"))
 
 
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, Column],
+    merges: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """General two-phase salted aggregation: phase 1 computes ``aggs``
+    per (keys, salt) — a hot key's rows spread over ``salt_buckets``
+    tasks instead of stalling one — phase 2 re-aggregates the partials
+    per key with ``merges`` (referencing the phase-1 aliases). Exact for
+    any decomposable aggregate (count→sum, sum→sum, min→min, …); pass
+    decimal-cast sums when cross-engine bit-stability matters (double
+    re-summation is accumulation-order sensitive).
+
+    Same guarantee Spark's own partial aggregation gives — EXCEPT that
+    built-in partials still hash-shuffle every pre-aggregated (key)
+    group to ONE reducer task, which for a key holding 10%+ of the data
+    means one task receives the whole hot key's partials AND, worse,
+    map-side partials only help when upstream partitions see repeated
+    keys. The salt guarantees a ``salt_buckets``-way split regardless
+    of upstream layout."""
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+    )
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[c.alias(n) for n, c in merges.items()]
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

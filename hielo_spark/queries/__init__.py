@@ -193,15 +193,38 @@ for mod in (relational, meta, ext):
 #     windowed-agg family already holds head rows via
 #     events_sliding_windows/events_recent_windows; the gap-fill
 #     semantics are oracle-checked by the local harness)
+# Round-5 rotation (VERDICT r4 item 4): the r4-new tail evidence enters
+# the head — doc_dedup_spans, events_interval_union, events_resample_1h,
+# doc_simhash_precision (never driver-checked), and the two rows-only
+# planes doc_bpe_tokens + doc_quality_classifier (exempted below like
+# doc_neardup_minhash: a rows-only driver row beats no row for a
+# brand-new operator family). Two r5-new queries also take head slots
+# (meta_wap_roundtrip — the WAP lifecycle golden, VERDICT item 7 — and
+# events_hot_account_stats — the salted hot-key shape, VERDICT item 6).
+# Eight r4-green entries defer to make room, families covered:
+#   lineitem_quantiles → lineitem_sketch_quantiles (strict superset) stays
+#   events_sliding_windows → events_recent_windows keeps windowed aggs
+#   events_user_gaps → events_sessionization keeps the lag-window family
+#   first_order_per_customer → doc_exact_dedup keeps min-by-key dedup (O5)
+#   filter_orders_multi → meta_snapshot_timeline keeps F1 multi-predicate
+#   doc_repetition_stats → doc_lm_surprisal keeps quality scoring
+#   meta_recommendations → meta_autopilot derives AND executes the same
+#     recommendation categories (r4 green)
+#   q17_small_quantity_revenue → the correlated-scalar family is held by
+#     the r5-faithful q2 (correlated MIN) + q20 (correlated threshold)
 _DEFERRED = [
-    "events_resample_1h",
-    "doc_dedup_spans",
-    "events_interval_union",
+    "lineitem_quantiles",
+    "events_sliding_windows",
+    "events_user_gaps",
+    "first_order_per_customer",
+    "filter_orders_multi",
+    "doc_repetition_stats",
+    "meta_recommendations",
+    "q17_small_quantity_revenue",
     "events_hourly_windows",
     "meta_latest_snapshot",
     "meta_file_histogram",
     "meta_catalog_search",
-    "doc_simhash_precision",
     "emb_quantize_error",
     "doc_dedup_components",
     "emb_cosine_topk",
@@ -269,10 +292,14 @@ _DEFERRED = [
     "doc_chunks",
 ]
 # rows-only queries (no oracle SQL → weaker driver check) also yield the
-# head to oracle-checked ones, except doc_neardup_minhash — the scale-path
-# near-dup operator earns the one remaining head slot so its rows-only
-# check lands in the driver file at all.
-_ROWS_ONLY_TAIL = [n for n in QUERIES if n not in ORACLE and n != "doc_neardup_minhash"]
+# head to oracle-checked ones, except doc_neardup_minhash (the scale-path
+# near-dup operator), and — r5 rotation — doc_bpe_tokens and
+# doc_quality_classifier, whose operator families have no driver row of
+# any kind yet (VERDICT r4 item 4).
+_ROWS_ONLY_HEAD = {
+    "doc_neardup_minhash", "doc_bpe_tokens", "doc_quality_classifier",
+}
+_ROWS_ONLY_TAIL = [n for n in QUERIES if n not in ORACLE and n not in _ROWS_ONLY_HEAD]
 _tail = set(_DEFERRED) | set(_ROWS_ONLY_TAIL)
 QUERIES = (
     {n: QUERIES[n] for n in QUERIES if n not in _tail}

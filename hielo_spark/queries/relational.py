@@ -2525,3 +2525,57 @@ def q20_heavy_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
         .orderBy("s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# X4+/X6 — hot-key aggregation through the SALTED two-phase shape (r5,
+# VERDICT item 6: exercise operators/skew.py in an oracle-checked
+# query). The fixture's events are near-uniform per user, so the query
+# derives a deterministic skewed key: every user_id % 3 == 0 collapses
+# into one hot account (-1) holding ~a third of all events — the
+# one-task-stall shape at 100 TB. salted_agg spreads the hot key over
+# 16 salt buckets in phase 1 and merges per key in phase 2; the result
+# is EXACTLY groupBy(key).agg(...) (proven by the DuckDB oracle, which
+# computes the plain single-phase form). Cross-engine determinism: the
+# value sum accumulates as per-row DECIMAL(18,6) casts — exact under
+# any partial/salt grouping order.
+# --------------------------------------------------------------------------
+@query(
+    "events_hot_account_stats",
+    """
+    WITH keyed AS (
+      SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS account_id,
+             value
+      FROM events
+    )
+    SELECT CAST(account_id AS BIGINT) AS account_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM keyed
+    GROUP BY account_id
+    """,
+)
+def events_hot_account_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("account_id"),
+        F.col("value").cast("decimal(18,6)").alias("value_dec"),
+    )
+    out = salted_agg(
+        ev,
+        ["account_id"],
+        aggs={
+            "_n": F.count(F.lit(1)),
+            "_s": F.sum("value_dec"),
+        },
+        merges={
+            "n_events": F.sum("_n").cast("bigint"),
+            "total_value": F.sum("_s").cast("double"),
+        },
+        salt_buckets=16,
+    )
+    return out.select("account_id", "n_events", "total_value")

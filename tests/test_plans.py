@@ -358,3 +358,22 @@ def test_r4_tpch_family_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in p, name
         for f in feats:
             assert f in p, (name, f)
+
+
+def test_salted_agg_two_phase_shape(spark, sf_dir):
+    """events_hot_account_stats (r5): the hot key must be spread by the
+    salt BEFORE any per-key exchange — the plan carries two aggregation
+    levels with the phase-1 exchange keyed on (account_id, _salt), so no
+    single task ever receives the whole hot key."""
+    p = plan_of(spark, sf_dir, "events_hot_account_stats")
+    assert "_salt" in p, "salt column missing from the physical plan"
+    import re
+
+    # an Exchange hashpartitioning that includes both the key and salt
+    assert re.search(r"hashpartitioning\([^)]*account_id[^)]*_salt", p) or re.search(
+        r"hashpartitioning\([^)]*_salt[^)]*account_id", p
+    ), "phase-1 exchange is not keyed on (account_id, _salt)"
+    # and a later per-key-only exchange for the merge phase
+    assert re.search(r"hashpartitioning\(account_id[^_]", p), (
+        "phase-2 per-key exchange missing"
+    )
