@@ -21,7 +21,7 @@ for real (RIFF/WAVE 8/16-bit PCM and mono IMA-ADPCM + DSP features), as does vid
 extraction from uncompressed AVI ('00db' DIB frames — same RIFF walk as
 WAV, same pixel layout as BMP). The remaining stub boundary is small
 and documented: progressive/arithmetic JPEG, non-MJPG AVI fourccs,
-non-PCM/non-IMA WAV, 16-bit/interlaced/palette PNG raise NotImplementedError
+non-PCM/non-IMA WAV, 16-bit/interlaced PNG raise NotImplementedError
 (no PIL/ffmpeg in this environment) unless ``fake=True`` selects the
 deterministic stand-in — the Spark-side plumbing (schemas, batching,
 partitioning) is identical on every path.
@@ -107,7 +107,10 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     as ``attach_ppm_media`` (md5-hex → 48 RGB bytes), zlib-compressed in
     an Arrow batch stage with the per-row filter type cycling through all
     five PNG filters — the compressed-format twin; `decode_image_features
-    (fake=False)` really inflates + unfilters these."""
+    (fake=False)` really inflates + unfilters these. Every 4th id is
+    written as a PALETTE PNG (color type 3, r5) of the same pixels, so
+    the registry corpus exercises the PLTE decode path alongside
+    truecolor under one mime type."""
     import hashlib
 
     from pyspark.sql.types import BinaryType as _Bin
@@ -118,7 +121,10 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for i in ids:
             hx = hashlib.md5(str(int(i)).encode()).hexdigest()
             img = np.frombuffer(bytes.fromhex(hx * 3), np.uint8).reshape(4, 4, 3)
-            out.append(encode_png(img, filter_type=int(i) % 5))
+            if int(i) % 4 == 3:
+                out.append(encode_png_palette(img))
+            else:
+                out.append(encode_png(img, filter_type=int(i) % 5))
         return pd.Series(out)
 
     k = F.col(id_col)
@@ -220,11 +226,13 @@ def _png_unfilter_row(
 
 def decode_png(b: bytes) -> np.ndarray:
     """Non-interlaced 8-bit PNG → (h, w, 3) uint8 RGB. Stdlib zlib +
-    numpy: chunk walk (IHDR/IDAT/IEND), one zlib stream across all IDAT
-    chunks, per-scanline filter reconstruction. Gray/gray+alpha expand
-    to RGB; RGBA drops alpha (composite against black would need a
-    policy choice — features use color planes only). 16-bit, interlaced
-    (Adam7), and palette PNGs raise NotImplementedError."""
+    numpy: chunk walk (IHDR/PLTE/IDAT/IEND), one zlib stream across all
+    IDAT chunks, per-scanline filter reconstruction. Gray/gray+alpha
+    expand to RGB; RGBA drops alpha (composite against black would need
+    a policy choice — features use color planes only); palette (color
+    type 3, r5) indexes the PLTE RGB triples, tRNS alpha dropped like
+    RGBA. 16-bit and interlaced (Adam7) PNGs raise
+    NotImplementedError."""
     import struct
     import zlib
 
@@ -233,6 +241,7 @@ def decode_png(b: bytes) -> np.ndarray:
     pos = 8
     ihdr: tuple | None = None
     idat = bytearray()
+    plte: bytes | None = None
     while pos + 8 <= len(b):
         (ln,) = struct.unpack_from(">I", b, pos)
         ctype = b[pos + 4 : pos + 8]
@@ -240,6 +249,8 @@ def decode_png(b: bytes) -> np.ndarray:
         pos += 12 + ln  # length + type + data + CRC
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -251,9 +262,12 @@ def decode_png(b: bytes) -> np.ndarray:
         raise NotImplementedError(f"only 8-bit PNG (got depth {depth})")
     if interlace != 0:
         raise NotImplementedError("interlaced (Adam7) PNG unsupported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
-        raise NotImplementedError(f"palette/unknown PNG color type {color}")
+        raise NotImplementedError(f"unknown PNG color type {color}")
+    if color == 3:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG missing/malformed PLTE")
     stride = w * channels
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if raw.size != (stride + 1) * h:
@@ -266,6 +280,12 @@ def decode_png(b: bytes) -> np.ndarray:
         out[y] = cur
         prev = cur
     img = out.reshape(h, w, channels)
+    if color == 3:
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("palette index out of PLTE range")
+        return palette[idx]
     if channels == 1:
         return np.repeat(img, 3, axis=2)
     if channels == 2:
@@ -324,6 +344,40 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     idat = zlib.compress(b"".join(rows))
     return PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def encode_png_palette(img: np.ndarray) -> bytes:
+    """Palette (color type 3) PNG writer — the fixture twin of the r5
+    PLTE decode path: distinct RGB colors (≤256) become the PLTE, pixels
+    become 8-bit indices (filter 0 rows). Raises on richer images; this
+    is a fixture/registry encoder, not a quantizer."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if palette.shape[0] > 256:
+        raise ValueError(f"{palette.shape[0]} distinct colors (palette max 256)")
+    rows = idx.astype(np.uint8).reshape(h, w)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rows[y]) for y in range(h))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_image(b: bytes) -> np.ndarray:

@@ -254,8 +254,12 @@ def test_png_unsupported_variants_raise():
         decode_png(png_hdr(depth=16))
     with pytest.raises(NotImplementedError, match="interlaced"):
         decode_png(png_hdr(interlace=1))
-    with pytest.raises(NotImplementedError, match="palette"):
+    # palette (color type 3) is SUPPORTED since r5 — but only with a
+    # PLTE chunk; a bare color-3 payload fails loudly, never silently
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png(png_hdr(color=3))
+    with pytest.raises(NotImplementedError, match="color type"):
+        decode_png(png_hdr(color=5))
 
 
 def test_registry_query_decodes_all_codec_payloads(spark, sf_dir):
@@ -633,3 +637,84 @@ def test_null_payload_rows_skipped_not_crashed(spark):
     )
     out = MM.decode_image_features(media, fake=False).collect()
     assert {r.doc_id for r in out} == {0, 2}  # null rows skipped
+
+
+def test_palette_png_cross_codec_agreement():
+    """The same pixels via truecolor PNG and palette PNG (r5 PLTE path)
+    must decode identically and yield identical feature vectors — the
+    VERDICT r4 item-5 'done' bar."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        encode_png_palette,
+        image_feature_vector,
+    )
+
+    rng = np.random.default_rng(11)
+    # 6 distinct colors tiled -> well under the 256-entry palette cap
+    colors = rng.integers(0, 256, size=(6, 3), dtype=np.uint8)
+    idx = rng.integers(0, 6, size=(8, 8))
+    img = colors[idx]
+    truecolor = encode_png(img, filter_type=2)
+    palette = encode_png_palette(img)
+    a, b = decode_image(truecolor), decode_image(palette)
+    assert (a == img).all() and (b == img).all()
+    assert image_feature_vector(a) == image_feature_vector(b)
+
+
+def test_palette_png_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from hielo_spark.operators.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    # >256 distinct colors refuse to encode (not a quantizer)
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="palette max 256"):
+        encode_png_palette(big)
+    # palette payload with the PLTE chunk stripped fails loudly
+    small = big[:4, :4]
+    small = (small // 64) * 64  # few colors
+    from hielo_spark.operators.multimodal import PNG_SIGNATURE
+    import struct, zlib
+
+    payload = encode_png_palette(small)
+    # remove the PLTE chunk
+    pos, out = 8, bytearray(PNG_SIGNATURE)
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype != b"PLTE":
+            out += payload[pos : pos + 12 + ln]
+        pos += 12 + ln
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(bytes(out))
+
+
+def test_registry_corpus_contains_palette_payloads(spark):
+    """attach_png_media now mixes palette PNGs in: the decode stage must
+    route both forms and agree with the PPM twin's pixels."""
+    import numpy as np
+
+    from hielo_spark.operators import multimodal as MM
+
+    df = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    feats = MM.decode_image_features(MM.attach_png_media(df), fake=False)
+    ppm_feats = MM.decode_image_features(MM.attach_ppm_media(df), fake=False)
+    a = {r.doc_id: r for r in feats.collect()}
+    b = {r.doc_id: r for r in ppm_feats.collect()}
+    assert set(a) == set(b) == set(range(8))
+    for k in a:
+        assert list(a[k].feature) == list(b[k].feature)
+        assert (a[k].width, a[k].height) == (b[k].width, b[k].height)
+    # and the payloads for ids 3 and 7 really are color-type-3 PNGs
+    rows = MM.attach_png_media(df).select("doc_id", "media.payload").collect()
+    for r in rows:
+        color_type = r.payload[8 + 8 + 9]  # IHDR data byte 9 = color type
+        assert color_type == (3 if r.doc_id % 4 == 3 else 2)
