@@ -76,6 +76,23 @@ _AVRO_PARTITION_TYPES = {
 }
 
 
+def _kv_array(key_id: int, val_id: int, key_type: str, val_type: str) -> dict:
+    """Iceberg's Avro shape for a non-string-keyed map: an array of
+    key/value records with ``logicalType: map`` (spec Appendix A)."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": f"k{key_id}_v{val_id}",
+            "fields": [
+                {"name": "key", "type": key_type, "field-id": key_id},
+                {"name": "value", "type": val_type, "field-id": val_id},
+            ],
+        },
+    }
+
+
 def manifest_entry_schema(
     partition_fields: list[tuple[str, str, int]] | None = None,
 ) -> str:
@@ -122,21 +139,43 @@ def manifest_entry_schema(
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    # the SPEC's field-id-keyed stats maps (Avro has no
+                    # int-keyed map, so Iceberg stores them as
+                    # logicalType-map arrays of key/value records —
+                    # Appendix A). Bounds values are Appendix D binary
+                    # single-value serializations (metadata/values.py).
+                    {"name": "value_counts", "field-id": 109,
+                     "type": ["null", _kv_array(119, 120, "int", "long")],
+                     "default": None},
+                    {"name": "null_value_counts", "field-id": 110,
+                     "type": ["null", _kv_array(121, 122, "int", "long")],
+                     "default": None},
+                    {"name": "nan_value_counts", "field-id": 137,
+                     "type": ["null", _kv_array(138, 139, "int", "long")],
+                     "default": None},
+                    {"name": "lower_bounds", "field-id": 125,
+                     "type": ["null", _kv_array(126, 127, "int", "bytes")],
+                     "default": None},
+                    {"name": "upper_bounds", "field-id": 128,
+                     "type": ["null", _kv_array(129, 130, "int", "bytes")],
+                     "default": None},
                     {"name": "sort_order_id", "type": ["null", "int"],
                      "default": None, "field-id": 140},
                     # engine extensions (stringified stats keyed by
-                    # column NAME; the spec's 108/109/110/125/128 maps
-                    # are keyed by field id with binary values)
+                    # column NAME — the fast path our read plane
+                    # consumes; *_str names avoid colliding with the
+                    # spec fields above so a spec-only reader resolves
+                    # cleanly and ignores these)
                     {"name": "partition_values",
                      "type": ["null", {"type": "map", "values": "string"}],
                      "default": None},
                     {"name": "partition_types",
                      "type": ["null", {"type": "map", "values": "string"}],
                      "default": None},
-                    {"name": "lower_bounds",
+                    {"name": "lower_bounds_str",
                      "type": ["null", {"type": "map", "values": "string"}],
                      "default": None},
-                    {"name": "upper_bounds",
+                    {"name": "upper_bounds_str",
                      "type": ["null", {"type": "map", "values": "string"}],
                      "default": None},
                     {"name": "bounds_types",
@@ -145,7 +184,7 @@ def manifest_entry_schema(
                     {"name": "null_counts",
                      "type": ["null", {"type": "map", "values": "string"}],
                      "default": None},
-                    {"name": "distinct_counts",
+                    {"name": "distinct_counts_str",
                      "type": ["null", {"type": "map", "values": "string"}],
                      "default": None},
                 ],
@@ -198,6 +237,69 @@ def _typed_partition(
         else:
             out[name] = str(v)
     return out
+
+
+def _name2id(doc: dict) -> dict[str, int]:
+    """Column name → schema field id for the current schema."""
+    schema = next(
+        (
+            s for s in doc.get("schemas", [])
+            if s.get("schema-id") == doc.get("current-schema-id", 0)
+        ),
+        None,
+    )
+    return {f["name"]: int(f["id"]) for f in (schema or {}).get("fields", [])}
+
+
+def _spec_stats(
+    name2id: dict[str, int],
+    btypes: dict[str, str] | None,
+    lo: dict[str, str] | None,
+    hi: dict[str, str] | None,
+    null_counts: dict[str, str] | None,
+    records: int,
+    nan_counts: dict[str, str] | None = None,
+) -> dict:
+    """The spec's field-id-keyed per-file stats (value_counts 109,
+    null_value_counts 110, nan_value_counts 137, lower_bounds 125,
+    upper_bounds 128) derived from the same stringified stats the
+    engine extensions carry — bounds serialized per Appendix D
+    (metadata/values.py). Columns without a recorded field id are
+    skipped (foreign/partial schemas)."""
+    from .values import SPARK_TO_ICEBERG, serialize_value
+
+    def bounds(d: dict[str, str] | None) -> list[dict] | None:
+        out = []
+        for c, s in (d or {}).items():
+            fid = name2id.get(c)
+            itype = SPARK_TO_ICEBERG.get((btypes or {}).get(c, ""))
+            if fid is None or itype is None or s is None:
+                continue
+            out.append({"key": fid, "value": serialize_value(itype, s)})
+        return out or None
+
+    nvc = [
+        {"key": name2id[c], "value": int(v)}
+        for c, v in (null_counts or {}).items()
+        if c in name2id and v is not None
+    ] or None
+    nanc = [
+        {"key": name2id[c], "value": int(v)}
+        for c, v in (nan_counts or {}).items()
+        if c in name2id and v is not None
+    ] or None
+    vc = [
+        {"key": name2id[c], "value": records}
+        for c in (null_counts or {})
+        if c in name2id
+    ] or None
+    return {
+        "value_counts": vc,
+        "null_value_counts": nvc,
+        "nan_value_counts": nanc,
+        "lower_bounds": bounds(lo),
+        "upper_bounds": bounds(hi),
+    }
 
 
 def _manifest_header_meta(doc: dict, spec_id: int, content: str) -> dict[str, str]:
@@ -270,6 +372,12 @@ def _avro_json_value(field_schema, v):
     if t == "map":
         vs = field_schema.getValueType()
         return {str(k): _avro_json_value(vs, val) for k, val in v.items()}
+    if t == "array":
+        items = field_schema.getElementType()
+        return [_avro_json_value(items, x) for x in (v or [])]
+    if t == "bytes":
+        # Avro JSON encoding of bytes: ISO-8859-1 string (one char per byte)
+        return v.decode("latin-1") if isinstance(v, (bytes, bytearray)) else v
     return v
 
 
@@ -326,6 +434,11 @@ class _FileStats:
         # null counts need no ordering — cover every non-excluded column
         # (boolean/binary/decimal/array too), unlike min/max bounds
         self.null_cols = [c for c in dtypes if c not in exclude_cols]
+        # NaN counts (spec data_file field 137) exist only for
+        # floating-point columns — same single stats pass
+        self.nan_cols = [
+            c for c in self.null_cols if dtypes[c] in ("float", "double")
+        ]
         self.btypes = {c: dtypes[c] for c in self.bound_cols} or None
         self.rows = (
             spark.read.parquet(data_dir)
@@ -338,6 +451,12 @@ class _FileStats:
                 *[
                     (F.count(F.lit(1)) - F.count(c)).cast("string").alias(f"_nn_{c}")
                     for c in self.null_cols
+                ],
+                *[
+                    F.sum(F.when(F.isnan(c), 1).otherwise(0))
+                    .cast("string")
+                    .alias(f"_nan_{c}")
+                    for c in self.nan_cols
                 ],
                 # per-file NDV estimates (HLL) — the stats a planner's
                 # join-size / dictionary-encoding decisions read
@@ -383,6 +502,12 @@ class _FileStats:
         if r is None:
             return None
         return {c: r[f"_nn_{c}"] for c in self.null_cols} or None
+
+    def nan_counts_of(self, p: str) -> dict | None:
+        r = self._row_of(p)
+        if r is None:
+            return None
+        return {c: r[f"_nan_{c}"] for c in self.nan_cols} or None
 
     def distinct_counts_of(self, p: str) -> dict | None:
         r = self._row_of(p)
@@ -929,6 +1054,7 @@ def append(
             for i, t in enumerate(transforms)
         ]
     manifest_path = os.path.join(mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro")
+    name2id = _name2id(doc)
     write_avro(
         spark,
         manifest_path,
@@ -944,13 +1070,18 @@ def append(
                     "partition": _typed_partition(partition_of(p), pfields),
                     "record_count": records_of(p),
                     "file_size_in_bytes": os.path.getsize(p),
+                    **_spec_stats(
+                        name2id, btypes, bounds_of(p)[0], bounds_of(p)[1],
+                        stats.null_counts_of(p), records_of(p),
+                        stats.nan_counts_of(p),
+                    ),
                     "partition_values": partition_of(p),
                     "partition_types": ptypes,
-                    "lower_bounds": bounds_of(p)[0],
-                    "upper_bounds": bounds_of(p)[1],
+                    "lower_bounds_str": bounds_of(p)[0],
+                    "upper_bounds_str": bounds_of(p)[1],
                     "bounds_types": btypes,
                     "null_counts": stats.null_counts_of(p),
-                    "distinct_counts": stats.distinct_counts_of(p),
+                    "distinct_counts_str": stats.distinct_counts_of(p),
                 },
             }
             for p in parts
@@ -1264,6 +1395,7 @@ def rewrite_data_files(
     manifest_path = os.path.join(
         mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
     )
+    name2id = _name2id(doc)
     write_avro(
         spark,
         manifest_path,
@@ -1278,11 +1410,16 @@ def rewrite_data_files(
                     "file_format": "PARQUET",
                     "record_count": records_of(p),
                     "file_size_in_bytes": os.path.getsize(p),
-                    "lower_bounds": stats.bounds_of(p)[0],
-                    "upper_bounds": stats.bounds_of(p)[1],
+                    **_spec_stats(
+                        name2id, stats.btypes, stats.bounds_of(p)[0],
+                        stats.bounds_of(p)[1], stats.null_counts_of(p),
+                        records_of(p), stats.nan_counts_of(p),
+                    ),
+                    "lower_bounds_str": stats.bounds_of(p)[0],
+                    "upper_bounds_str": stats.bounds_of(p)[1],
                     "bounds_types": stats.btypes,
                     "null_counts": stats.null_counts_of(p),
-                    "distinct_counts": stats.distinct_counts_of(p),
+                    "distinct_counts_str": stats.distinct_counts_of(p),
                 },
             }
             for p in parts
@@ -1579,6 +1716,7 @@ def rewrite_manifests(
     # partition layouts in metadata)
     entries_by_spec: dict[int, list[dict]] = {}
     min_seq = seq
+    name2id = _name2id(doc)
     for m in data_manifests:
         inherited = m.sequence_number if m.sequence_number is not None else 0
         entries = entries_by_spec.setdefault(int(m.partition_spec_id or 0), [])
@@ -1600,17 +1738,25 @@ def rewrite_manifests(
                         "file_format": r.file_format or "PARQUET",
                         "record_count": r.record_count or 0,
                         "file_size_in_bytes": r.file_size_in_bytes or 0,
+                        **_spec_stats(
+                            name2id,
+                            dict(r.bounds_types) if r.bounds_types else None,
+                            dict(r.lower_bounds) if r.lower_bounds else None,
+                            dict(r.upper_bounds) if r.upper_bounds else None,
+                            dict(r.null_counts) if r.null_counts else None,
+                            int(r.record_count or 0),
+                        ),
                         "partition_values": dict(r.partition_values)
                         if r.partition_values
                         else None,
                         "partition_types": dict(r.partition_types)
                         if r.partition_types
                         else None,
-                        "lower_bounds": dict(r.lower_bounds) if r.lower_bounds else None,
-                        "upper_bounds": dict(r.upper_bounds) if r.upper_bounds else None,
+                        "lower_bounds_str": dict(r.lower_bounds) if r.lower_bounds else None,
+                        "upper_bounds_str": dict(r.upper_bounds) if r.upper_bounds else None,
                         "bounds_types": dict(r.bounds_types) if r.bounds_types else None,
                         "null_counts": dict(r.null_counts) if r.null_counts else None,
-                        "distinct_counts": dict(r.distinct_counts)
+                        "distinct_counts_str": dict(r.distinct_counts)
                         if getattr(r, "distinct_counts", None)
                         else None,
                     },
@@ -1836,6 +1982,7 @@ def merge_into(
             )
             merge_spec_id = int(doc.get("default-spec-id", 0))
             merge_pfields = _partition_avro_fields(doc, ptypes, merge_spec_id)
+            name2id = _name2id(doc)
             write_avro(
                 spark,
                 data_manifest,
@@ -1853,13 +2000,19 @@ def merge_into(
                             ),
                             "record_count": stats.records_of(p),
                             "file_size_in_bytes": os.path.getsize(p),
+                            **_spec_stats(
+                                name2id, stats.btypes, stats.bounds_of(p)[0],
+                                stats.bounds_of(p)[1],
+                                stats.null_counts_of(p), stats.records_of(p),
+                                stats.nan_counts_of(p),
+                            ),
                             "partition_values": partition_of(p),
                             "partition_types": ptypes,
-                            "lower_bounds": stats.bounds_of(p)[0],
-                            "upper_bounds": stats.bounds_of(p)[1],
+                            "lower_bounds_str": stats.bounds_of(p)[0],
+                            "upper_bounds_str": stats.bounds_of(p)[1],
                             "bounds_types": stats.btypes,
                             "null_counts": stats.null_counts_of(p),
-                            "distinct_counts": stats.distinct_counts_of(p),
+                            "distinct_counts_str": stats.distinct_counts_of(p),
                         },
                     }
                     for p in data_parts

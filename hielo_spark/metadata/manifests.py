@@ -119,6 +119,54 @@ def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+#: Iceberg primitive → the Spark dtype names the skip-filter comparators
+#: understand (synthesized bounds_types when decoding SPEC binary bounds)
+_ICEBERG_TO_SPARK = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "date": "date",
+    "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+    "string": "string", "binary": "binary",
+}
+
+
+def _java_bytes(bb) -> bytes:
+    """java.nio.ByteBuffer (Avro bytes field) → Python bytes."""
+    arr = bb.array()
+    off = bb.arrayOffset() + bb.position()
+    return bytes(arr[off : bb.arrayOffset() + bb.limit()])
+
+
+def _py_kv_list(v) -> dict[int, object]:
+    """Iceberg's Avro array-of-(key,value)-records map form (Appendix A)
+    → {int key: java value}."""
+    out: dict[int, object] = {}
+    it = v.iterator()
+    while it.hasNext():
+        rec = it.next()
+        out[int(str(rec.get("key")))] = rec.get("value")
+    return out
+
+
+def _header_schema_fields(dfr) -> dict[int, tuple[str, str]]:
+    """field-id → (name, iceberg type) from a manifest's spec-required
+    ``schema`` header metadata; {} when absent (legacy fixtures)."""
+    import json as _json
+
+    raw = dfr.getMetaString("schema")
+    if not raw:
+        return {}
+    try:
+        doc = _json.loads(raw)
+    except ValueError:
+        return {}
+    out = {}
+    for f in doc.get("fields", []):
+        t = f.get("type")
+        if isinstance(t, str):  # primitives only — nested stats unsupported
+            out[int(f["id"])] = (f["name"], t)
+    return out
+
+
 def read_manifest(
     spark: SparkSession, path: str, inherited_seq: int | None = None
 ) -> DataFrame:
@@ -133,15 +181,62 @@ def read_manifest(
     inheritance only for ADDED entries, but null on EXISTING/DELETED is
     malformed rather than meaningful, so we inherit there too instead of
     failing). v1 manifests carry no sequence numbers at all → null.
+
+    Stats resolution (r5): the engine-extension string maps
+    (``lower_bounds_str``/``upper_bounds_str``/``null_counts``/
+    ``distinct_counts_str``) are the fast path; when absent, the SPEC's
+    field-id-keyed forms (125/128 binary bounds per Appendix D, 110
+    null_value_counts, 111 distinct_counts) are decoded through the
+    manifest header's ``schema`` metadata — so a manifest written by a
+    real Iceberg writer yields the same bounds/skipping frames as our
+    own. Legacy pre-r5 tables (string maps under the spec names) still
+    read via the name fallback.
     """
     dfr = _avro_reader(spark, path)
     rows = []
     try:
+        id2field = _header_schema_fields(dfr)
+
+        def _map_or_spec(rec, ext_name, spec_name, decode):
+            v = _get(rec, ext_name)
+            if v is not None:
+                return _pymap(v)
+            v = _get(rec, spec_name)
+            if v is None:
+                return None
+            cn = v.getClass().getName()
+            if "Array" in cn or "List" in cn:
+                out = {}
+                for fid, jval in _py_kv_list(v).items():
+                    f = id2field.get(fid)
+                    if f is None or jval is None:
+                        continue
+                    out[f[0]] = decode(f[1], jval)
+                return out or None
+            return _pymap(v)  # legacy: string map under the spec name
+
+        def _decode_bound(itype, jval):
+            from .values import deserialize_value
+
+            return deserialize_value(itype, _java_bytes(jval))
+
+        def _decode_long(_itype, jval):
+            return str(int(str(jval)))
+
         while dfr.hasNext():
             r = dfr.next()
             df_rec = _get(r, "data_file")
             fcontent = _py(_get(df_rec, "content"))
             seq = _py(_get(r, "sequence_number"))
+            lb = _map_or_spec(df_rec, "lower_bounds_str", "lower_bounds", _decode_bound)
+            ub = _map_or_spec(df_rec, "upper_bounds_str", "upper_bounds", _decode_bound)
+            bt = _pymap(_get(df_rec, "bounds_types"))
+            if bt is None and (lb or ub) and id2field:
+                bt = {
+                    name: _ICEBERG_TO_SPARK.get(itype, itype)
+                    for name, itype in id2field.values()
+                    if name in (lb or {}) or name in (ub or {})
+                }
             rows.append(
                 (
                     int(_py(_get(r, "status"))),
@@ -154,11 +249,11 @@ def read_manifest(
                     int(seq) if seq is not None else inherited_seq,
                     _pymap(_get(df_rec, "partition_values")),
                     _pymap(_get(df_rec, "partition_types")),
-                    _pymap(_get(df_rec, "lower_bounds")),
-                    _pymap(_get(df_rec, "upper_bounds")),
-                    _pymap(_get(df_rec, "bounds_types")),
-                    _pymap(_get(df_rec, "null_counts")),
-                    _pymap(_get(df_rec, "distinct_counts")),
+                    lb,
+                    ub,
+                    bt,
+                    _map_or_spec(df_rec, "null_counts", "null_value_counts", _decode_long),
+                    _map_or_spec(df_rec, "distinct_counts_str", "distinct_counts", _decode_long),
                 )
             )
     finally:

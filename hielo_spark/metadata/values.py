@@ -1,0 +1,126 @@
+"""Iceberg single-value BINARY serialization (spec Appendix D,
+https://iceberg.apache.org/spec/#binary-single-value-serialization —
+public document): the encoding of per-column lower/upper bounds inside
+``data_file`` manifest entries (fields 125/128, ``map<int, binary>``
+keyed by schema field id).
+
+Our stats plane carries bounds as Spark ``cast("string")`` forms (the
+engine-extension ``*_str`` maps); these helpers convert between that
+stringified form and the spec bytes so the write plane emits REAL
+spec-conformant bounds and the read plane can consume a third-party
+manifest's bounds. Encodings per the spec:
+
+  boolean      0x00 / 0x01
+  int, date    4-byte little-endian (date = days from 1970-01-01)
+  long, time,
+  timestamp(tz) 8-byte little-endian (micros from epoch)
+  float        4-byte IEEE-754 little-endian
+  double       8-byte IEEE-754 little-endian
+  string       UTF-8 bytes
+  binary/fixed raw bytes
+  decimal(P,S) unscaled value, minimal two's-complement BIG-endian
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import date, datetime, timedelta, timezone
+
+_EPOCH_DATE = date(1970, 1, 1)
+
+#: Spark SQL dtype → Iceberg primitive type (the subset the stats plane
+#: bounds; timestamps are written tz-less by our µs-normalized loaders)
+SPARK_TO_ICEBERG = {
+    "boolean": "boolean",
+    "tinyint": "int", "smallint": "int", "int": "int",
+    "bigint": "long",
+    "float": "float", "double": "double",
+    "date": "date",
+    "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+    "string": "string",
+    "binary": "binary",
+}
+
+
+def _parse_ts_micros(s: str) -> int:
+    """Spark's cast-to-string timestamp form → µs since epoch (UTC —
+    the session tz is pinned UTC across this engine)."""
+    fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in s else "%Y-%m-%d %H:%M:%S"
+    dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000 + dt.microsecond
+
+
+def _format_ts(micros: int) -> str:
+    dt = datetime.fromtimestamp(micros // 1_000_000, tz=timezone.utc)
+    frac = micros % 1_000_000
+    base = dt.strftime("%Y-%m-%d %H:%M:%S")
+    return f"{base}.{frac:06d}" if frac else base
+
+
+def serialize_value(iceberg_type: str, s: str) -> bytes:
+    """Stringified value → Appendix D bytes. Raises on types the stats
+    plane never bounds (struct/list/map/uuid/fixed/decimal-string)."""
+    t = iceberg_type
+    if t == "boolean":
+        return b"\x01" if s.lower() in ("true", "1") else b"\x00"
+    if t == "int":
+        return struct.pack("<i", int(s))
+    if t == "long":
+        return struct.pack("<q", int(s))
+    if t == "float":
+        return struct.pack("<f", float(s))
+    if t == "double":
+        return struct.pack("<d", float(s))
+    if t == "date":
+        return struct.pack("<i", (date.fromisoformat(s) - _EPOCH_DATE).days)
+    if t in ("timestamp", "timestamptz"):
+        return struct.pack("<q", _parse_ts_micros(s))
+    if t == "string":
+        return s.encode("utf-8")
+    if t == "binary":
+        return s.encode("utf-8")  # stats never bound binary; defensive
+    if t.startswith("decimal"):
+        # unscaled int, minimal two's-complement big-endian
+        digits = s.replace(".", "").lstrip("+")
+        unscaled = int(digits)
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    raise ValueError(f"unsupported type for single-value serialization: {t}")
+
+
+def deserialize_value(iceberg_type: str, b: bytes) -> str:
+    """Appendix D bytes → the stringified form the read plane's
+    skip-filter comparators consume (numbers as plain decimal strings,
+    timestamps in Spark's cast-to-string shape)."""
+    t = iceberg_type
+    if t == "boolean":
+        return "true" if b != b"\x00" else "false"
+    if t == "int":
+        return str(struct.unpack("<i", b)[0])
+    if t == "long":
+        return str(struct.unpack("<q", b)[0])
+    if t == "float":
+        v = struct.unpack("<f", b)[0]
+        return str(int(v)) if float(v).is_integer() else repr(v)
+    if t == "double":
+        v = struct.unpack("<d", b)[0]
+        return str(int(v)) if v.is_integer() else repr(v)
+    if t == "date":
+        return (_EPOCH_DATE + timedelta(days=struct.unpack("<i", b)[0])).isoformat()
+    if t in ("timestamp", "timestamptz"):
+        return _format_ts(struct.unpack("<q", b)[0])
+    if t == "string":
+        return b.decode("utf-8")
+    if t == "binary":
+        return b.decode("utf-8", errors="replace")
+    if t.startswith("decimal"):
+        unscaled = int.from_bytes(b, "big", signed=True)
+        scale = 0
+        if "(" in t:
+            scale = int(t.split(",")[1].rstrip(") "))
+        if scale == 0:
+            return str(unscaled)
+        sign = "-" if unscaled < 0 else ""
+        digits = str(abs(unscaled)).rjust(scale + 1, "0")
+        return f"{sign}{digits[:-scale]}.{digits[-scale:]}"
+    raise ValueError(f"unsupported type for single-value deserialization: {t}")

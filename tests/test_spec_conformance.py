@@ -356,3 +356,189 @@ def test_spec_inventory_counts_pinned():
     assert df_by_name["content"] == 134
     assert df_by_name["sort_order_id"] == 140
     assert S.SUMMARY_OPERATIONS == {"append", "replace", "overwrite", "delete"}
+
+
+# -- Appendix D single-value serialization (r5) ----------------------------
+
+
+def test_appendix_d_pinned_vectors():
+    """Hand-derived byte pins straight from the spec's encoding rules
+    (little-endian ints/floats, date days, timestamp micros, UTF-8
+    strings, big-endian minimal two's-complement decimals)."""
+    from hielo_spark.metadata.values import deserialize_value, serialize_value
+
+    pins = [
+        ("boolean", "true", b"\x01"),
+        ("boolean", "false", b"\x00"),
+        ("int", "1", b"\x01\x00\x00\x00"),
+        ("int", "-1", b"\xff\xff\xff\xff"),
+        ("long", "500", b"\xf4\x01\x00\x00\x00\x00\x00\x00"),
+        ("float", "1.0", b"\x00\x00\x80\x3f"),
+        ("double", "-1.5", b"\x00\x00\x00\x00\x00\x00\xf8\xbf"),
+        ("date", "1970-01-03", b"\x02\x00\x00\x00"),
+        ("timestamp", "1970-01-01 00:00:01", b"\x40\x42\x0f\x00\x00\x00\x00\x00"),
+        ("string", "iceberg", b"iceberg"),
+        ("decimal(9,2)", "12.34", b"\x04\xd2"),
+        ("decimal(9,2)", "-12.34", b"\xfb\x2e"),
+    ]
+    for itype, s, want in pins:
+        got = serialize_value(itype, s)
+        assert got == want, f"{itype} {s}: {got.hex()} != {want.hex()}"
+        back = deserialize_value(itype, want)
+        if itype in ("float", "double"):
+            assert float(back) == float(s)
+        else:
+            assert back == s, f"{itype}: round-trip {back!r} != {s!r}"
+
+
+def test_own_manifests_carry_spec_binary_bounds(spark, committed_table):
+    """Our written data manifests embed the spec's field-id-keyed
+    Appendix D binary bounds (125/128) + null_value_counts (110) +
+    value_counts (109) with values matching the engine-extension string
+    stats."""
+    from hielo_spark.metadata.manifests import (
+        _java_bytes, _py_kv_list, read_manifest_list, _resolve,
+    )
+    from hielo_spark.metadata.values import deserialize_value
+
+    doc = _doc(committed_table)
+    snap101 = next(s for s in doc["snapshots"] if s["snapshot-id"] == 101)
+    mlist = snap101["manifest-list"].removeprefix("file:")
+    m = next(m for m in read_manifest_list(spark, mlist).collect()
+             if (m.content or 0) == 0)
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader.openReader(
+        jvm.java.io.File(_resolve(mlist, m.manifest_path)), reader
+    )
+    schema_fields = {
+        f["id"]: (f["name"], f["type"])
+        for f in json.loads(dfr.getMetaString("schema"))["fields"]
+    }
+    n = 0
+    try:
+        while dfr.hasNext():
+            r = dfr.next()
+            data_file = r.get("data_file")
+            lb_spec = _py_kv_list(data_file.get("lower_bounds"))
+            lb_str = {
+                str(e.getKey()): str(e.getValue())
+                for e in data_file.get("lower_bounds_str").entrySet().toArray()
+            }
+            nvc = _py_kv_list(data_file.get("null_value_counts"))
+            vc = _py_kv_list(data_file.get("value_counts"))
+            assert lb_spec and nvc and vc
+            for fid, jval in lb_spec.items():
+                name, itype = schema_fields[fid]
+                decoded = deserialize_value(itype, _java_bytes(jval))
+                assert decoded == lb_str[name], (name, decoded, lb_str[name])
+            assert all(int(str(v)) >= 0 for v in nvc.values())
+            assert {int(str(v)) for v in vc.values()} == {
+                int(str(data_file.get("record_count")))
+            }
+            n += 1
+    finally:
+        dfr.close()
+    assert n >= 1
+
+
+def test_spec_only_manifest_reads_bounds_and_skips(spark, tmp_path):
+    """A manifest carrying ONLY the spec stats (no engine-extension
+    string maps) — the foreign-writer shape — yields the same bounds
+    frame, with bounds_types synthesized from the header schema, and
+    drives file skipping."""
+    from hielo_spark.metadata.commit import (
+        MANIFEST_ENTRY_SCHEMA_V2, write_avro,
+    )
+    from hielo_spark.metadata.manifests import read_manifest
+    from hielo_spark.metadata.values import serialize_value
+
+    mpath = str(tmp_path / "foreign-manifest.avro")
+    header_schema = json.dumps({
+        "type": "struct", "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+        ],
+    })
+    write_avro(
+        spark, mpath, MANIFEST_ENTRY_SCHEMA_V2,
+        [{
+            "status": 1,
+            "snapshot_id": 7,
+            "data_file": {
+                "content": 0,
+                "file_path": "/data/f1.parquet",
+                "file_format": "PARQUET",
+                "record_count": 10,
+                "file_size_in_bytes": 100,
+                "lower_bounds": [
+                    {"key": 1, "value": serialize_value("long", "5")},
+                    {"key": 2, "value": serialize_value("string", "apple")},
+                ],
+                "upper_bounds": [
+                    {"key": 1, "value": serialize_value("long", "42")},
+                    {"key": 2, "value": serialize_value("string", "pear")},
+                ],
+                "null_value_counts": [{"key": 1, "value": 3}],
+            },
+        }],
+        meta={"schema": header_schema, "partition-spec": "[]",
+              "partition-spec-id": "0", "format-version": "2",
+              "content": "data"},
+    )
+    row = read_manifest(spark, mpath).collect()[0]
+    assert dict(row.lower_bounds) == {"id": "5", "v": "apple"}
+    assert dict(row.upper_bounds) == {"id": "42", "v": "pear"}
+    assert dict(row.bounds_types) == {"id": "bigint", "v": "string"}
+    assert dict(row.null_counts) == {"id": "3"}
+    # and the decoded bounds drive skipping exactly like native stats
+    from hielo_spark.metadata.manifests import _file_may_match
+
+    f = {"lb": dict(row.lower_bounds), "ub": dict(row.upper_bounds),
+         "bt": dict(row.bounds_types), "nc": dict(row.null_counts),
+         "records": row.record_count}
+    assert _file_may_match(f, ("id", ">=", 5))
+    assert not _file_may_match(f, ("id", ">", 42))
+    assert _file_may_match(f, ("v", "=", "banana"))
+    assert not _file_may_match(f, ("v", "=", "zebra"))
+
+
+def test_nan_value_counts_recorded(spark, tmp_path):
+    """Float/double columns get spec nan_value_counts (field 137) in the
+    same stats pass; non-float columns are absent from the map."""
+    from hielo_spark.metadata.manifests import (
+        _py_kv_list, read_manifest_list, _resolve,
+    )
+
+    t = str(tmp_path / "t")
+    snap = C.append(
+        spark, t,
+        spark.createDataFrame(
+            [(1, float("nan")), (2, 1.5), (3, float("nan")), (4, None)],
+            "id int, x double",
+        ).coalesce(1),
+        snapshot_id=101, timestamp_ms=1700000000000,
+    )
+    mlist = snap["manifest-list"].removeprefix("file:")
+    m = next(m for m in read_manifest_list(spark, mlist).collect()
+             if (m.content or 0) == 0)
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader.openReader(
+        jvm.java.io.File(_resolve(mlist, m.manifest_path)), reader
+    )
+    try:
+        r = dfr.next()
+        data_file = r.get("data_file")
+        schema_fields = {
+            f["name"]: f["id"]
+            for f in json.loads(dfr.getMetaString("schema"))["fields"]
+        }
+        nanc = {
+            int(k): int(str(v))
+            for k, v in _py_kv_list(data_file.get("nan_value_counts")).items()
+        }
+        assert nanc == {schema_fields["x"]: 2}  # NaN rows only; null is not NaN
+    finally:
+        dfr.close()
