@@ -1,0 +1,188 @@
+"""Pure-Python Avro OBJECT CONTAINER FILE reader (no JVM, no pip) —
+implemented from the published Avro 1.12 specification
+(https://avro.apache.org/docs/1.12.0/specification/ — public document:
+container format §"Object Container Files", binary encoding §"Binary
+Encoding").
+
+Why it exists: the JVM-backed reader in ``manifests.py`` drives Spark's
+bundled Avro library through py4j, which only works where a
+SparkSession's gateway lives. The Python DataSource API
+(sources/iceberg_source.py) plans partitions and reads data inside
+plain Python worker processes with NO JVM access — so manifest lists
+and manifests must be decodable in pure Python. Scope: the subset the
+Iceberg manifest formats use — records, maps, arrays, unions, strings,
+bytes, fixed, enums, all primitives; ``null`` and ``deflate`` codecs
+(zlib is stdlib; real Iceberg writers default to deflate).
+
+Datum representation mirrors JSON: records/maps → dict, arrays → list,
+bytes/fixed → bytes, unions unwrap to the branch value.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+_MAGIC = b"Obj\x01"
+
+
+class _Decoder:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, data: bytes):
+        self.buf = data
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        if len(b) != n:
+            raise EOFError("truncated avro data")
+        self.pos += n
+        return b
+
+    def long(self) -> int:
+        """zigzag varint (spec: int and long share the encoding)."""
+        shift = 0
+        acc = 0
+        while True:
+            byte = self.buf[self.pos]
+            self.pos += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def float_(self) -> float:
+        return struct.unpack("<f", self.read(4))[0]
+
+    def double(self) -> float:
+        return struct.unpack("<d", self.read(8))[0]
+
+    def bytes_(self) -> bytes:
+        return self.read(self.long())
+
+    def string(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+    def boolean(self) -> bool:
+        return self.read(1) != b"\x00"
+
+
+def _decode_datum(dec: _Decoder, schema):
+    """One datum per the writer schema (JSON-parsed Avro schema)."""
+    if isinstance(schema, list):  # union: long branch index, then value
+        return _decode_datum(dec, schema[dec.long()])
+    if isinstance(schema, str):
+        t = schema
+    else:
+        t = schema["type"]
+        if isinstance(t, list):  # inline union as a field type
+            return _decode_datum(dec, t)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return dec.boolean()
+    if t in ("int", "long"):
+        return dec.long()
+    if t == "float":
+        return dec.float_()
+    if t == "double":
+        return dec.double()
+    if t == "bytes":
+        return dec.bytes_()
+    if t == "string":
+        return dec.string()
+    if t == "fixed":
+        return dec.read(int(schema["size"]))
+    if t == "enum":
+        return schema["symbols"][dec.long()]
+    if t == "record":
+        return {
+            f["name"]: _decode_datum(dec, f["type"]) for f in schema["fields"]
+        }
+    if t == "array":
+        out = []
+        while True:
+            n = dec.long()
+            if n == 0:
+                break
+            if n < 0:  # negative count → byte size follows (skippable blocks)
+                dec.long()
+                n = -n
+            for _ in range(n):
+                out.append(_decode_datum(dec, schema["items"]))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = dec.long()
+            if n == 0:
+                break
+            if n < 0:
+                dec.long()
+                n = -n
+            for _ in range(n):
+                k = dec.string()
+                out[k] = _decode_datum(dec, schema["values"])
+        return out
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def _resolve_named(schema, defs=None):
+    """Inline re-uses of named types (a second reference appears as a
+    bare name string) — resolve against earlier definitions."""
+    defs = defs if defs is not None else {}
+    if isinstance(schema, list):
+        return [_resolve_named(s, defs) for s in schema]
+    if isinstance(schema, str):
+        return defs.get(schema, schema)
+    if not isinstance(schema, dict):
+        return schema
+    t = schema.get("type")
+    if t in ("record", "fixed", "enum") and "name" in schema:
+        defs[schema["name"]] = schema
+    out = dict(schema)
+    if t == "record":
+        out["fields"] = [
+            {**f, "type": _resolve_named(f["type"], defs)}
+            for f in schema["fields"]
+        ]
+    elif t == "array":
+        out["items"] = _resolve_named(schema["items"], defs)
+    elif t == "map":
+        out["values"] = _resolve_named(schema["values"], defs)
+    elif isinstance(t, (dict, list)):
+        out["type"] = _resolve_named(t, defs)
+    return out
+
+
+def read_avro_file(path: str) -> tuple[dict, dict[str, bytes], list]:
+    """→ (writer schema JSON-dict, header metadata, decoded rows)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != _MAGIC:
+        raise ValueError(f"not an Avro container file: {path}")
+    dec = _Decoder(data)
+    dec.pos = 4
+    meta_schema = {"type": "map", "values": "bytes"}
+    meta = _decode_datum(dec, meta_schema)  # str keys, bytes values
+    sync = dec.read(16)
+    schema = _resolve_named(json.loads(meta["avro.schema"].decode("utf-8")))
+    codec = meta.get("avro.codec", b"null")
+    rows = []
+    while dec.pos < len(dec.buf):
+        n = dec.long()
+        size = dec.long()
+        block = dec.read(size)
+        if codec == b"deflate":
+            block = zlib.decompress(block, -15)  # raw deflate per spec
+        elif codec != b"null":
+            raise ValueError(f"unsupported avro codec {codec!r}")
+        bdec = _Decoder(block)
+        for _ in range(n):
+            rows.append(_decode_datum(bdec, schema))
+        if dec.read(16) != sync:
+            raise ValueError("avro sync marker mismatch")
+    return schema, meta, rows

@@ -212,7 +212,15 @@ for mod in (relational, meta, ext):
 #     recommendation categories (r4 green)
 #   q17_small_quantity_revenue → the correlated-scalar family is held by
 #     the r5-faithful q2 (correlated MIN) + q20 (correlated threshold)
+# Late-r5: meta_datasource_roundtrip (the Python DataSource plane —
+# format("hielo_iceberg") batch reads with time travel, MOR deletes and
+# file pruning, planned by the pure-Python Avro decoder) takes a head
+# slot so the brand-new plane gets a driver row; q13 defers:
+#   q13_order_count_distribution → r4 green; the left-join count
+#     histogram is pinned by the local harness, grouped-agg family held
+#     by q1 and the count-correlated q22
 _DEFERRED = [
+    "q13_order_count_distribution",
     "lineitem_quantiles",
     "events_sliding_windows",
     "events_user_gaps",

@@ -1240,3 +1240,63 @@ def meta_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(("t7_final_published",
                  read_data_at_snapshot(spark, mpath).count()))
     return spark.createDataFrame(rows, "step string, n long").orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# S10/S12 DataSource plane (r5) — the no-jar table format mounted as a
+# REGISTERED Spark data source (Spark 4 Python DataSource API,
+# sources/iceberg_source.py): plan in pure Python (metadata.json +
+# metadata/avro_py.py manifest decode), scan per-file on executors via
+# pyarrow with sequence-scoped MOR deletes, pushed filters pruning whole
+# files from the plan by manifest bounds. The golden drives
+# spark.read.format("hielo_iceberg") through current / VERSION AS OF /
+# TIMESTAMP AS OF reads plus a filtered read, against a constant oracle
+# — the same fixture lineage as meta_commit_roundtrip so the two planes
+# (JVM read path, Python DataSource) are pinned to identical answers.
+# --------------------------------------------------------------------------
+@query(
+    "meta_datasource_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('t1_current',        CAST(2 AS BIGINT)),
+      ('t2_version_101',    CAST(3 AS BIGINT)),
+      ('t3_asof_postdelete',CAST(1 AS BIGINT)),
+      ('t4_filtered_ge_2',  CAST(1 AS BIGINT))
+    ) AS t(read_kind, n_rows)
+    """,
+)
+def meta_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..sources import register
+
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_ds_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    C.append(spark, t, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_equality(spark, t, spark.createDataFrame([(2,), (3,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    C.append(spark, t, spark.createDataFrame([(3, "c2")], ["id", "v"]),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    register(spark)
+    fmt = spark.read.format("hielo_iceberg")
+    rows = [
+        ("t1_current", fmt.load(t).count()),
+        ("t2_version_101",
+         spark.read.format("hielo_iceberg")
+         .option("snapshot-id", "101").load(t).count()),
+        ("t3_asof_postdelete",
+         spark.read.format("hielo_iceberg")
+         .option("as-of-ms", "1700150000000").load(t).count()),
+        ("t4_filtered_ge_2", fmt.load(t).filter("id >= 2").count()),
+    ]
+    return spark.createDataFrame(rows, "read_kind string, n_rows long").orderBy(
+        "read_kind"
+    )

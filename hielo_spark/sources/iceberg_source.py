@@ -1,0 +1,575 @@
+"""``spark.read.format("hielo_iceberg")`` — the no-jar Iceberg read
+plane as a REGISTERED Spark data source (Spark 4 Python DataSource API,
+public: pyspark.sql.datasource), plus a Structured Streaming source for
+table appends.
+
+The reference mounts tables through the Iceberg runtime
+(iceberg_adapter.rs:11-65); here the same table directories become
+first-class Spark sources with no jar:
+
+    from hielo_spark.sources import register
+    register(spark)
+    df = (spark.read.format("hielo_iceberg")
+          .option("snapshot-id", 101)          # or as-of-ms / ref
+          .load("/warehouse/ns/t"))
+    stream = (spark.readStream.format("hielo_iceberg")
+              .load("/warehouse/ns/t"))        # append micro-batches
+
+Execution model (and why a PURE-PYTHON metadata plane exists):
+``schema()``/``partitions()`` run in a Python process with NO JVM
+gateway, so planning reads metadata.json with stdlib json and the
+manifest Avro with ``metadata/avro_py.py`` (spec-derived container
+decoder); ``read()`` runs on executors and scans parquet via pyarrow,
+applying the snapshot's merge-on-read deletes with the SAME
+sequence-number scoping as manifests.read_data_at_snapshot (position
+deletes ``delete_seq >= data_seq``, equality ``>``).
+
+Scale notes: one InputPartition per live data file (natural parquet
+parallelism); pushed filters prune whole files from the plan via the
+manifest bounds (spec binary bounds or the engine's string stats —
+both planes read here) before any scan; Spark re-applies the filters
+row-level, so pruning is conservative-safe. The JVM path
+(``manifests.read_data_at_snapshot``) stays the raw-throughput route —
+whole-stage codegen over the parquet scan — while this source is the
+standard-API surface (SQL via ``.load().createOrReplaceTempView``,
+``readStream``, third-party tooling).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from ..metadata.avro_py import read_avro_file
+
+_ICEBERG_TO_DDL = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "date": "date",
+    "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+    "string": "string", "binary": "binary", "uuid": "string",
+}
+
+#: iceberg type → the Spark dtype names _file_may_match treats numeric
+_NUMERIC = {"int", "long", "float", "double"}
+
+
+def _current_metadata_path(table_dir: str) -> str:
+    mdir = os.path.join(table_dir, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            p = os.path.join(mdir, f"v{f.read().strip()}.metadata.json")
+        if os.path.exists(p):
+            return p
+    best = None
+    for name in os.listdir(mdir) if os.path.isdir(mdir) else []:
+        stem = name.split(".")[0].lstrip("v")
+        if name.endswith(".metadata.json") and stem.isdigit():
+            if best is None or int(stem) > best[0]:
+                best = (int(stem), os.path.join(mdir, name))
+    if best is None:
+        raise FileNotFoundError(f"no metadata.json under {table_dir}")
+    return best[1]
+
+
+def _load_doc(table_dir: str) -> dict:
+    with open(_current_metadata_path(table_dir)) as f:
+        return json.load(f)
+
+
+def _resolve_rel(base: str, p: str) -> str:
+    p = p.removeprefix("file:")
+    if not os.path.isabs(p):
+        p = os.path.join(os.path.dirname(base), p)
+    return p
+
+
+def _select_snapshot(doc: dict, options) -> dict:
+    snaps = sorted(doc.get("snapshots", []), key=lambda s: int(s["timestamp-ms"]))
+    if not snaps:
+        raise ValueError("table has no snapshots")
+    sid = options.get("snapshot-id")
+    ref = options.get("ref")
+    as_of = options.get("as-of-ms")
+    if sum(x is not None for x in (sid, ref, as_of)) > 1:
+        raise ValueError("pass at most one of snapshot-id / ref / as-of-ms")
+    if ref is not None:
+        refs = doc.get("refs", {})
+        if ref not in refs:
+            raise ValueError(f"no ref named {ref!r}")
+        sid = int(refs[ref]["snapshot-id"])
+    if sid is not None:
+        return next(s for s in snaps if int(s["snapshot-id"]) == int(sid))
+    by_id = {int(s["snapshot-id"]): s for s in snaps}
+    cur = doc.get("current-snapshot-id")
+    if as_of is not None:
+        # main-branch lineage only, like manifests.read_data_at_snapshot
+        main: set[int] = set()
+        walk = int(cur) if cur is not None else None
+        while walk in by_id and walk not in main:
+            main.add(walk)
+            parent = by_id[walk].get("parent-snapshot-id")
+            walk = int(parent) if parent is not None else None
+        cands = [s for s in snaps if not main or int(s["snapshot-id"]) in main]
+        before = [s for s in cands if int(s["timestamp-ms"]) <= int(as_of)]
+        if not before:
+            raise ValueError(f"no snapshot at or before {as_of}")
+        return before[-1]
+    if cur is not None and int(cur) in by_id:
+        return by_id[int(cur)]
+    return snaps[-1]
+
+
+def _manifest_entries(mlist_path: str) -> Iterator[tuple[dict, dict]]:
+    """(manifest-list row, live entry) pairs across all manifests."""
+    _, _, mrows = read_avro_file(mlist_path)
+    for m in mrows:
+        mpath = _resolve_rel(mlist_path, m["manifest_path"])
+        _, header, entries = read_avro_file(mpath)
+        inherited = m.get("sequence_number")
+        id2field = {}
+        raw = header.get("schema")
+        if raw:
+            try:
+                for f in json.loads(raw.decode("utf-8")).get("fields", []):
+                    if isinstance(f.get("type"), str):
+                        id2field[int(f["id"])] = (f["name"], f["type"])
+            except ValueError:
+                pass
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            seq = e.get("sequence_number")
+            e["_seq"] = seq if seq is not None else inherited
+            e["_id2field"] = id2field
+            yield m, e
+
+
+def _entry_bounds(e: dict) -> tuple[dict, dict, dict]:
+    """(lower, upper, types) in stringified form — extension maps first,
+    spec binary maps decoded via metadata/values.py otherwise."""
+    from ..metadata.values import deserialize_value
+
+    data_file = e["data_file"]
+    lo = data_file.get("lower_bounds_str")
+    hi = data_file.get("upper_bounds_str")
+    bt = data_file.get("bounds_types") or {}
+    if lo is not None or hi is not None:
+        return lo or {}, hi or {}, bt
+    id2field = e.get("_id2field") or {}
+
+    def decode(kvs):
+        out = {}
+        for kv in kvs or []:
+            f = id2field.get(int(kv["key"]))
+            if f is not None and kv.get("value") is not None:
+                out[f[0]] = deserialize_value(f[1], kv["value"])
+        return out
+
+    lo = decode(data_file.get("lower_bounds"))
+    hi = decode(data_file.get("upper_bounds"))
+    bt = {
+        name: ("bigint" if t in _NUMERIC else t)
+        for name, t in id2field.values()
+    }
+    return lo, hi, bt
+
+
+def _file_survives(filters, e: dict) -> bool:
+    """Conservative manifest-bounds pruning for the pushed filters —
+    identical comparator rules to manifests._file_may_match; any missing
+    information keeps the file."""
+    lo, hi, bt = _entry_bounds(e)
+
+    def cmp_ok(col, op, value):
+        l, h = lo.get(col), hi.get(col)
+        if l is None or h is None:
+            return True
+        if bt.get(col) in ("tinyint", "smallint", "int", "bigint",
+                           "float", "double", "long"):
+            try:
+                l, h, value = float(l), float(h), float(value)
+            except (TypeError, ValueError):
+                return True
+        else:
+            value = str(value)
+        if op == "=":
+            return l <= value <= h
+        if op == ">":
+            return h > value
+        if op == ">=":
+            return h >= value
+        if op == "<":
+            return l < value
+        if op == "<=":
+            return l <= value
+        return True
+
+    for f in filters:
+        col = f.attribute[0] if hasattr(f, "attribute") else None
+        if col is None:
+            continue
+        if isinstance(f, EqualTo) and not cmp_ok(col, "=", f.value):
+            return False
+        if isinstance(f, GreaterThan) and not cmp_ok(col, ">", f.value):
+            return False
+        if isinstance(f, GreaterThanOrEqual) and not cmp_ok(col, ">=", f.value):
+            return False
+        if isinstance(f, LessThan) and not cmp_ok(col, "<", f.value):
+            return False
+        if isinstance(f, LessThanOrEqual) and not cmp_ok(col, "<=", f.value):
+            return False
+    return True
+
+
+class _ScanPartition(InputPartition):
+    def __init__(self, path, seq, pos_deletes, eq_deletes, columns,
+                 pvals=None):
+        self.path = path
+        self.seq = seq
+        self.pos_deletes = pos_deletes  # [(delete_parquet_path, seq)]
+        self.eq_deletes = eq_deletes    # [(delete_parquet_path, seq)]
+        self.columns = columns          # [(name, ddl_type)] full schema
+        self.pvals = pvals or {}        # hive-partition values (strings)
+
+
+def _read_partition(part: _ScanPartition):
+    """Executor-side scan: pyarrow parquet + sequence-scoped MOR deletes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(part.path)
+    keep = None
+    # position deletes: rows of (file_path, pos), applied when
+    # delete_seq >= data_seq
+    doomed: set[int] = set()
+    for dpath, dseq in part.pos_deletes:
+        if part.seq is not None and dseq is not None and dseq < part.seq:
+            continue
+        dt = pq.read_table(dpath)
+        fp = dt.column("file_path").to_pylist()
+        pos = dt.column("pos").to_pylist()
+        want = os.path.abspath(part.path)
+        for p, i in zip(fp, pos):
+            if os.path.abspath(str(p).removeprefix("file:")) == want:
+                doomed.add(int(i))
+    if doomed:
+        keep = [i for i in range(table.num_rows) if i not in doomed]
+        table = table.take(keep)
+    # hive-partitioned files store identity partition columns only in
+    # the directory layout + manifest partition values — reattach them
+    # as typed constants so the batch matches the declared schema
+    for name, ddl in part.columns:
+        if name in table.column_names or name not in part.pvals:
+            continue
+        sval = part.pvals[name]
+        if sval == "__HIVE_DEFAULT_PARTITION__":
+            pyval = None
+        elif ddl in ("int", "bigint", "smallint", "tinyint"):
+            pyval = int(sval)
+        elif ddl in ("float", "double"):
+            pyval = float(sval)
+        else:
+            pyval = sval
+        patype = {
+            "int": pa.int32(), "bigint": pa.int64(),
+            "smallint": pa.int16(), "tinyint": pa.int8(),
+            "float": pa.float32(), "double": pa.float64(),
+            "string": pa.string(), "date": pa.date32(),
+        }.get(ddl, pa.string())
+        table = table.append_column(
+            name, pa.array([pyval] * table.num_rows, type=patype)
+        )
+    # equality deletes: delete rows carrying the equality columns,
+    # applied only when delete_seq > data_seq (re-inserts survive)
+    for dpath, dseq in part.eq_deletes:
+        if part.seq is not None and dseq is not None and dseq <= part.seq:
+            continue
+        dt = pq.read_table(dpath)
+        cols = dt.column_names
+        if not cols or table.num_rows == 0:
+            continue
+        # null-safe membership: build the set of delete-key tuples
+        del_keys = set(zip(*[dt.column(c).to_pylist() for c in cols]))
+        data_cols = [table.column(c).to_pylist() for c in cols]
+        mask = [tuple(vals) not in del_keys for vals in zip(*data_cols)]
+        table = table.filter(pa.array(mask, type=pa.bool_()))
+    if part.columns:
+        # the declared schema's exact column order; columns a file
+        # predates (add-column evolution) come back as nulls
+        patype_of = {
+            "int": pa.int32(), "bigint": pa.int64(),
+            "smallint": pa.int16(), "tinyint": pa.int8(),
+            "float": pa.float32(), "double": pa.float64(),
+            "string": pa.string(), "date": pa.date32(),
+            "boolean": pa.bool_(), "binary": pa.binary(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+            "timestamp_ntz": pa.timestamp("us"),
+        }
+        cols = []
+        for name, ddl in part.columns:
+            if name in table.column_names:
+                cols.append(table.column(name))
+            else:
+                cols.append(pa.nulls(
+                    table.num_rows, type=patype_of.get(ddl, pa.string())
+                ))
+        table = pa.table(cols, names=[n for n, _ in part.columns])
+    yield from table.to_batches()
+
+
+class HieloIcebergReader(DataSourceReader):
+    def __init__(self, table_dir: str, options, schema_cols):
+        self.table_dir = table_dir
+        self.options = options
+        self.schema_cols = schema_cols
+        self.filters: list[Filter] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        supported = (EqualTo, GreaterThan, GreaterThanOrEqual,
+                     LessThan, LessThanOrEqual, IsNull, IsNotNull)
+        for f in filters:
+            if isinstance(f, supported) and len(getattr(f, "attribute", ())) == 1:
+                self.filters.append(f)
+            # every filter is re-applied by Spark (file pruning is
+            # conservative, not row-exact), so yield them all back
+            yield f
+
+    def partitions(self):
+        doc = _load_doc(self.table_dir)
+        snap = _select_snapshot(doc, self.options)
+        mlist = _resolve_rel(
+            os.path.join(self.table_dir, "metadata", "x"),
+            snap["manifest-list"],
+        )
+        data, pos_del, eq_del = [], [], []
+        for m, e in _manifest_entries(mlist):
+            content = e["data_file"].get("content", 0)
+            path = e["data_file"]["file_path"].removeprefix("file:")
+            if content == 0:
+                data.append((path, e))
+            elif content == 1:
+                pos_del.append((path, e["_seq"]))
+            elif content == 2:
+                eq_del.append((path, e["_seq"]))
+        parts = []
+        for path, e in data:
+            if not _file_survives(self.filters, e):
+                continue
+            data_file = e["data_file"]
+            pvals = data_file.get("partition_values")
+            if pvals is None and data_file.get("partition"):
+                pvals = {
+                    k: str(v)
+                    for k, v in data_file["partition"].items()
+                    if v is not None
+                }
+            parts.append(
+                _ScanPartition(path, e["_seq"], pos_del, eq_del,
+                               self.schema_cols, pvals)
+            )
+        if not parts:
+            # Spark requires >= 1 partition; an empty scan still needs one
+            parts = [_ScanPartition(None, None, [], [], self.schema_cols)]
+        return parts
+
+    def read(self, partition: _ScanPartition):
+        if partition.path is None:
+            return iter(())
+        return _read_partition(partition)
+
+
+class HieloIcebergStreamReader(DataSourceStreamReader):
+    """Append-only micro-batch source over the table's snapshot lineage:
+    each batch is the set of data files ADDED by snapshots in
+    (start, end]. Non-append snapshots (delete/replace/overwrite) stop
+    the stream with an error rather than silently emitting wrong rows —
+    the same contract as manifests.read_incremental."""
+
+    def __init__(self, table_dir: str, options, schema_cols):
+        self.table_dir = table_dir
+        self.options = options
+        self.schema_cols = schema_cols
+
+    def initialOffset(self):  # noqa: N802
+        if self.options.get("initial-snapshot", "latest") == "earliest":
+            return {"snapshot_id": -1}
+        doc = _load_doc(self.table_dir)
+        cur = doc.get("current-snapshot-id")
+        return {"snapshot_id": int(cur) if cur is not None else -1}
+
+    def latestOffset(self):  # noqa: N802
+        doc = _load_doc(self.table_dir)
+        cur = doc.get("current-snapshot-id")
+        return {"snapshot_id": int(cur) if cur is not None else -1}
+
+    def _lineage(self, doc, start_id, end_id):
+        by_id = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
+        chain = []
+        cur = end_id
+        while cur is not None and cur != start_id and cur in by_id:
+            chain.append(by_id[cur])
+            parent = by_id[cur].get("parent-snapshot-id")
+            cur = int(parent) if parent is not None else None
+        return list(reversed(chain))
+
+    def partitions(self, start, end):
+        start_id, end_id = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if end_id == -1 or start_id == end_id:
+            return [_ScanPartition(None, None, [], [], self.schema_cols)]
+        doc = _load_doc(self.table_dir)
+        chain = self._lineage(doc, None if start_id == -1 else start_id, end_id)
+        new_ids = set()
+        for s in chain:
+            op = s.get("summary", {}).get("operation")
+            if op != "append":
+                raise ValueError(
+                    f"streaming read crossed a non-append snapshot "
+                    f"{s['snapshot-id']} (operation={op!r})"
+                )
+            new_ids.add(int(s["snapshot-id"]))
+        if not chain:
+            return [_ScanPartition(None, None, [], [], self.schema_cols)]
+        mlist = _resolve_rel(
+            os.path.join(self.table_dir, "metadata", "x"),
+            chain[-1]["manifest-list"],
+        )
+        parts = []
+        for m, e in _manifest_entries(mlist):
+            if e["data_file"].get("content", 0) != 0:
+                continue
+            snap_of_entry = e.get("snapshot_id") or m.get("added_snapshot_id")
+            if e.get("status") == 1 and int(snap_of_entry or -2) in new_ids:
+                parts.append(
+                    _ScanPartition(
+                        e["data_file"]["file_path"].removeprefix("file:"),
+                        e["_seq"], [], [], self.schema_cols,
+                    )
+                )
+        return parts or [_ScanPartition(None, None, [], [], self.schema_cols)]
+
+    def read(self, partition: _ScanPartition):
+        if partition.path is None:
+            return iter(())
+        return _read_partition(partition)
+
+    def commit(self, end):
+        pass
+
+
+class HieloIcebergDataSource(DataSource):
+    """Register with ``spark.dataSource.register(HieloIcebergDataSource)``
+    (or sources.register(spark)); then ``format("hielo_iceberg")``."""
+
+    @classmethod
+    def name(cls):
+        return "hielo_iceberg"
+
+    def schema(self):
+        table_dir = self.options.get("path")
+        if not table_dir:
+            raise ValueError("load(<table_dir>) path is required")
+        doc = _load_doc(table_dir)
+        schema = next(
+            (
+                s for s in doc.get("schemas", [])
+                if s.get("schema-id") == doc.get("current-schema-id", 0)
+            ),
+            None,
+        )
+        if schema is None:
+            raise ValueError("table metadata carries no schema block")
+        cols = []
+        for f in schema.get("fields", []):
+            t = f["type"]
+            ddl = _ICEBERG_TO_DDL.get(t) if isinstance(t, str) else None
+            if ddl is None:
+                ddl = t if isinstance(t, str) else "string"
+            cols.append(f"{f['name']} {ddl}")
+        return ", ".join(cols)
+
+    def _schema_cols(self):
+        doc = _load_doc(self.options["path"])
+        schema = next(
+            s for s in doc.get("schemas", [])
+            if s.get("schema-id") == doc.get("current-schema-id", 0)
+        )
+        return [
+            (
+                f["name"],
+                _ICEBERG_TO_DDL.get(f["type"], "string")
+                if isinstance(f["type"], str) else "string",
+            )
+            for f in schema.get("fields", [])
+        ]
+
+    def reader(self, schema):
+        return HieloIcebergReader(
+            self.options["path"], dict(self.options), self._schema_cols()
+        )
+
+    def streamReader(self, schema):  # noqa: N802
+        return HieloIcebergStreamReader(
+            self.options["path"], dict(self.options), self._schema_cols()
+        )
+
+
+def register(spark) -> None:
+    """Make ``format("hielo_iceberg")`` available on this session (and
+    enable Python-source filter pushdown so pushed filters reach the
+    manifest-bounds file pruning).
+
+    The DataSource class is pickled BY REFERENCE into separate Python
+    worker processes, so ``hielo_spark`` must be importable there — the
+    normal cluster deployment ships a wheel via ``--py-files``; here a
+    zip of the package is built once per session and attached with
+    ``addPyFile`` so registration works from any working directory."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static conf on some builds; reader then needs it preset
+    _ship_package(spark)
+    spark.dataSource.register(HieloIcebergDataSource)
+
+
+def _ship_package(spark) -> None:
+    import tempfile
+    import zipfile
+
+    if getattr(spark, "_hielo_pyfile_shipped", False):
+        return
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.dirname(pkg_root)
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_spark_pkg_{spark.sparkContext.applicationId}.zip",
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for dirpath, _dirs, files in os.walk(pkg_root):
+                for name in files:
+                    if not name.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, name)
+                    zf.write(full, os.path.relpath(full, base))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+        spark._hielo_pyfile_shipped = True
+    except Exception:
+        pass  # already added under this name, or restricted context
