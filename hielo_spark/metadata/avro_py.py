@@ -186,3 +186,129 @@ def read_avro_file(path: str) -> tuple[dict, dict[str, bytes], list]:
         if dec.read(16) != sync:
             raise ValueError("avro sync marker mismatch")
     return schema, meta, rows
+
+
+# -- writer half (r5: the Python DataSource write path) --------------------
+
+
+class _Encoder:
+    __slots__ = ("out",)
+
+    def __init__(self):
+        self.out = bytearray()
+
+    def long(self, v: int) -> None:
+        """zigzag varint (int and long share the encoding)."""
+        v = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+        # equivalent branch-free zigzag for arbitrary python ints:
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self.out.append(b | 0x80)
+            else:
+                self.out.append(b)
+                break
+
+    def bytes_(self, b: bytes) -> None:
+        self.long(len(b))
+        self.out += b
+
+    def string(self, s: str) -> None:
+        self.bytes_(s.encode("utf-8"))
+
+    def boolean(self, v: bool) -> None:
+        self.out.append(1 if v else 0)
+
+    def float_(self, v: float) -> None:
+        self.out += struct.pack("<f", v)
+
+    def double(self, v: float) -> None:
+        self.out += struct.pack("<d", v)
+
+
+def _encode_datum(enc: _Encoder, schema, v) -> None:
+    if isinstance(schema, list):  # union — this writer needs ["null", X]
+        if len(schema) == 2 and schema[0] == "null":
+            if v is None:
+                enc.long(0)
+                return
+            enc.long(1)
+            _encode_datum(enc, schema[1], v)
+            return
+        raise ValueError("writer supports only [null, X] unions")
+    t = schema if isinstance(schema, str) else schema["type"]
+    if isinstance(t, list):
+        _encode_datum(enc, t, v)
+        return
+    if t == "null":
+        return
+    if t == "boolean":
+        enc.boolean(bool(v))
+    elif t in ("int", "long"):
+        enc.long(int(v))
+    elif t == "float":
+        enc.float_(float(v))
+    elif t == "double":
+        enc.double(float(v))
+    elif t == "bytes":
+        enc.bytes_(bytes(v))
+    elif t == "string":
+        enc.string(str(v))
+    elif t == "fixed":
+        enc.out += bytes(v)
+    elif t == "record":
+        for f in schema["fields"]:
+            _encode_datum(enc, f["type"], (v or {}).get(f["name"]))
+    elif t == "array":
+        items = v or []
+        if items:
+            enc.long(len(items))
+            for x in items:
+                _encode_datum(enc, schema["items"], x)
+        enc.long(0)
+    elif t == "map":
+        entries = v or {}
+        if entries:
+            enc.long(len(entries))
+            for k, val in entries.items():
+                enc.string(str(k))
+                _encode_datum(enc, schema["values"], val)
+        enc.long(0)
+    else:
+        raise ValueError(f"unsupported avro type {t!r}")
+
+
+def write_avro_file(
+    path: str,
+    schema_json: str,
+    rows: list,
+    meta: dict | None = None,
+) -> None:
+    """Pure-Python Avro container writer (null codec) — byte-compatible
+    with the JVM-written files (same container framing, same binary
+    encoding), so the DataSource write path can compose manifests in
+    worker processes with no JVM. Readable back by BOTH this module and
+    Spark's Avro library (round-trip pinned in tests)."""
+    import os as _os
+
+    schema = json.loads(schema_json)
+    enc = _Encoder()
+    enc.out += _MAGIC
+    header_meta = {"avro.schema": json.dumps(schema).encode("utf-8"),
+                   "avro.codec": b"null"}
+    for k, v in (meta or {}).items():
+        header_meta[k] = v if isinstance(v, bytes) else str(v).encode("utf-8")
+    _encode_datum(enc, {"type": "map", "values": "bytes"}, header_meta)
+    sync = _os.urandom(16)
+    enc.out += sync
+    block = _Encoder()
+    resolved = _resolve_named(schema)
+    for row in rows:
+        _encode_datum(block, resolved, row)
+    enc.long(len(rows))
+    enc.long(len(block.out))
+    enc.out += block.out
+    enc.out += sync
+    with open(path, "wb") as f:
+        f.write(bytes(enc.out))

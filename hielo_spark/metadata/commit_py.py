@@ -1,0 +1,211 @@
+"""Pure-Python append COMMIT (no JVM) — the metadata half of
+``commit.append`` recomposed for processes that cannot reach a
+SparkSession: the Python DataSource writer's ``commit()`` runs in a
+plain worker, receives the parquet files its executors wrote, and must
+still produce a real snapshot (manifest Avro → manifest list →
+metadata.json version bump with the Hadoop-catalog rename guard).
+
+Artifacts are IDENTICAL to the JVM path's: same Avro schemas
+(``commit.MANIFEST_ENTRY_SCHEMA_V2`` / ``MANIFEST_LIST_SCHEMA_V2``,
+spec field-ids + r102 + Appendix D binary bounds), same header
+metadata, same metadata.json fields (snapshot-log, sort-orders,
+last-column-id, running totals) — written through
+``metadata/avro_py.write_avro_file`` instead of the JVM library, and
+pinned equal by tests (the JVM read plane reads these commits back
+bit-for-bit).
+
+Scope: unpartitioned appends (the DataSource writer's v1 surface —
+``partitionBy`` on the write path is documented future work; reads of
+partitioned tables are full-featured). Concurrency: the same
+``os.link`` optimistic rename in ``commit._commit_doc``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid as _uuid
+
+from . import commit as C
+from .avro_py import read_avro_file, write_avro_file
+
+
+def _carry_forward_rows_py(mdir: str, doc: dict) -> list[dict]:
+    """Pure-python twin of commit._carry_forward_rows: the current
+    snapshot's manifest-list rows re-emitted as existing."""
+    snaps = doc.get("snapshots", [])
+    cur = next(
+        (s for s in snaps if s.get("snapshot-id") == doc.get("current-snapshot-id")),
+        None,
+    )
+    if cur is None:
+        return []
+    mlist = cur["manifest-list"].removeprefix("file:")
+    if not os.path.isabs(mlist):
+        mlist = os.path.join(mdir, mlist)
+    _, _, rows = read_avro_file(mlist)
+    out = []
+    for m in rows:
+        out.append(
+            {
+                "manifest_path": m["manifest_path"],
+                "manifest_length": m["manifest_length"],
+                "partition_spec_id": m.get("partition_spec_id") or 0,
+                "content": m.get("content") or 0,
+                "sequence_number": m.get("sequence_number") or 0,
+                "min_sequence_number": m.get("min_sequence_number") or 0,
+                "added_snapshot_id": m.get("added_snapshot_id") or 0,
+                "added_files_count": 0,
+                "existing_files_count": (m.get("added_files_count") or 0)
+                + (m.get("existing_files_count") or 0),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": (m.get("added_rows_count") or 0)
+                + (m.get("existing_rows_count") or 0),
+                "deleted_rows_count": 0,
+            }
+        )
+    return out
+
+
+def append_files(
+    table_dir: str,
+    files: list[dict],
+    dtypes: dict[str, str],
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    extra_summary: dict[str, str] | None = None,
+) -> dict:
+    """Commit already-written parquet ``files`` as one append snapshot.
+
+    Each file dict: ``{path, record_count, file_size_in_bytes,
+    lower_bounds, upper_bounds, null_counts}`` with bounds/counts as the
+    stringified engine-extension maps (``bounds_types`` = ``dtypes``
+    restricted to bounded columns). Returns the snapshot dict."""
+    doc, prev_version = C._load_doc(table_dir)
+    seq = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    mdir = os.path.join(table_dir, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    C._record_table_shape(doc, dtypes, [])
+    name2id = C._name2id(doc)
+    btypes = {
+        c: t for c, t in dtypes.items()
+        if any(c in (f.get("lower_bounds") or {}) for f in files)
+    } or None
+
+    manifest_path = os.path.join(
+        mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro_file(
+        manifest_path,
+        C.MANIFEST_ENTRY_SCHEMA_V2,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f["path"],
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(f["record_count"]),
+                    "file_size_in_bytes": int(f["file_size_in_bytes"]),
+                    **C._spec_stats(
+                        name2id, btypes, f.get("lower_bounds"),
+                        f.get("upper_bounds"), f.get("null_counts"),
+                        int(f["record_count"]),
+                    ),
+                    "lower_bounds_str": f.get("lower_bounds"),
+                    "upper_bounds_str": f.get("upper_bounds"),
+                    "bounds_types": btypes,
+                    "null_counts": f.get("null_counts"),
+                },
+            }
+            for f in files
+        ],
+        meta=C._manifest_header_meta(doc, 0, "data"),
+    )
+
+    added_records = sum(int(f["record_count"]) for f in files)
+    added_bytes = sum(int(f["file_size_in_bytes"]) for f in files)
+    prior_rows = _carry_forward_rows_py(mdir, doc)
+    new_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": int(doc.get("default-spec-id", 0)),
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_records,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+
+    base = next(
+        (s for s in doc.get("snapshots", [])
+         if s.get("snapshot-id") == doc.get("current-snapshot-id")),
+        None,
+    )
+    total_records = added_records
+    if base is not None:
+        try:
+            total_records += int(
+                base.get("summary", {}).get("total-records", "0") or 0
+            )
+        except ValueError:
+            pass
+    summary = C._with_totals(
+        {
+            "operation": "append",
+            "added-data-files": str(len(files)),
+            "added-records": str(added_records),
+            "total-records": str(total_records),
+            "added-files-size": str(added_bytes),
+            **(extra_summary or {}),
+        },
+        doc, doc.get("current-snapshot-id"),
+        len(files), added_bytes, 0,
+    )
+
+    list_path = os.path.join(
+        mdir, f"snap-{snapshot_id}-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro_file(
+        list_path,
+        C.MANIFEST_LIST_SCHEMA_V2,
+        prior_rows + [new_row],
+        meta={
+            "snapshot-id": str(snapshot_id),
+            "sequence-number": str(seq),
+            "format-version": "2",
+        },
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": doc.get("current-snapshot-id"),
+        "sequence-number": seq,
+        "timestamp-ms": timestamp_ms,
+        "manifest-list": list_path,
+        "schema-id": doc.get("current-schema-id", 0),
+        "summary": summary,
+    }
+    doc = dict(doc)
+    doc["snapshots"] = doc.get("snapshots", []) + [snapshot]
+    doc["current-snapshot-id"] = snapshot_id
+    doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}
+    ]
+    doc["last-sequence-number"] = seq
+    doc["last-updated-ms"] = timestamp_ms
+    doc.setdefault("sort-orders", [{"order-id": 0, "fields": []}])
+    doc.setdefault("default-sort-order-id", 0)
+    C._commit_doc(table_dir, doc, prev_version)
+    return snapshot

@@ -43,6 +43,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -54,6 +55,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from ..metadata.avro_py import read_avro_file
@@ -473,6 +475,132 @@ class HieloIcebergStreamReader(DataSourceStreamReader):
         pass
 
 
+class _WrittenFiles(WriterCommitMessage):
+    def __init__(self, files, dtypes):
+        self.files = files    # [{path, record_count, file_size_in_bytes, ...}]
+        self.dtypes = dtypes  # {col: spark dtype}
+
+
+_ARROW_TO_SPARK = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "float": "float", "double": "double", "string": "string",
+    "large_string": "string", "bool": "boolean", "binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _spark_dtype_of(arrow_type) -> str:
+    s = str(arrow_type)
+    if s.startswith("timestamp"):
+        return "timestamp" if "tz=" in s else "timestamp_ntz"
+    return _ARROW_TO_SPARK.get(s, "string")
+
+
+class HieloIcebergWriter(DataSourceArrowWriter):
+    """``df.write.format("hielo_iceberg").mode("append").save(dir)`` —
+    executors stream their Arrow batches into one parquet file each
+    (data plane, fully distributed) and report (path, stats); the
+    driver-side ``commit()`` composes ONE append snapshot through the
+    pure-Python commit plane (metadata/commit_py.py) — manifest +
+    manifest list + metadata.json, identical artifacts to the JVM path.
+
+    Exactly-once: only files named in SUCCESSFUL tasks' commit messages
+    enter the manifest; retried/zombie task outputs are unreferenced
+    and reclaimed by remove_orphan_files, the Iceberg pattern. Writes
+    are append-only and unpartitioned in this surface (documented);
+    overwrite mode is rejected loudly."""
+
+    def __init__(self, table_dir: str, options):
+        self.table_dir = table_dir
+        self.options = options
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _WrittenFiles([], {})
+        table = pa.Table.from_batches(batches)
+        data_dir = os.path.join(self.table_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        import uuid as _uuid
+
+        path = os.path.join(data_dir, f"ds-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(table, path)
+        lo, hi, nulls, dtypes = {}, {}, {}, {}
+        import pyarrow.compute as pc
+
+        for name in table.column_names:
+            col = table.column(name)
+            dtypes[name] = _spark_dtype_of(col.type)
+            nulls[name] = str(col.null_count)
+            if dtypes[name] in ("tinyint", "smallint", "int", "bigint",
+                                "float", "double", "string", "date",
+                                "timestamp", "timestamp_ntz"):
+                if col.null_count < len(col):
+                    mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+                    if mn is not None:
+                        lo[name] = _stringify_stat(mn)
+                        hi[name] = _stringify_stat(mx)
+        return _WrittenFiles(
+            [{
+                "path": path,
+                "record_count": table.num_rows,
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": lo or None,
+                "upper_bounds": hi or None,
+                "null_counts": nulls or None,
+            }],
+            dtypes,
+        )
+
+    def commit(self, messages):
+        from ..metadata.commit_py import append_files
+
+        files, dtypes = [], {}
+        for m in messages:
+            if m is None:
+                continue
+            files.extend(m.files)
+            dtypes.update(m.dtypes)
+        if not files:
+            return  # empty write: no snapshot, like Iceberg
+        append_files(
+            self.table_dir, files, dtypes,
+            snapshot_id=(
+                int(self.options["snapshot-id"])
+                if self.options.get("snapshot-id") is not None else None
+            ),
+            timestamp_ms=(
+                int(self.options["timestamp-ms"])
+                if self.options.get("timestamp-ms") is not None else None
+            ),
+        )
+
+    def abort(self, messages):
+        for m in messages or []:
+            for f in getattr(m, "files", []) or []:
+                try:
+                    os.remove(f["path"])
+                except OSError:
+                    pass
+
+
+def _stringify_stat(v) -> str:
+    """Match the Spark cast-to-string forms the bounds comparators and
+    Appendix D serializer parse (timestamps 'YYYY-MM-DD HH:MM:SS[.us]',
+    dates ISO, numbers plain)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        return f"{s}.{v.microsecond:06d}" if v.microsecond else s
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
+
+
 class HieloIcebergDataSource(DataSource):
     """Register with ``spark.dataSource.register(HieloIcebergDataSource)``
     (or sources.register(spark)); then ``format("hielo_iceberg")``."""
@@ -528,6 +656,14 @@ class HieloIcebergDataSource(DataSource):
         return HieloIcebergStreamReader(
             self.options["path"], dict(self.options), self._schema_cols()
         )
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "hielo_iceberg writes are append-only (mode('append')); "
+                "use metadata.commit.rewrite_data_files for replacement"
+            )
+        return HieloIcebergWriter(self.options["path"], dict(self.options))
 
 
 def register(spark) -> None:

@@ -151,3 +151,97 @@ def test_streaming_source_appends(registered, tmp_path):
     # exactly the two new snapshots' rows arrive — no replays, no gaps
     assert sorted((r.id, r.v) for r in spark.read.parquet(out).collect()) == [
         (1, "a"), (2, "b"), (3, "c")]
+
+
+def test_write_format_appends_and_both_planes_agree(registered, tmp_path):
+    """df.write.format('hielo_iceberg') commits real snapshots through
+    the pure-Python commit plane; the JVM read plane and the DataSource
+    read plane both read them back identically, with time travel."""
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    spark = registered
+    t = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]) \
+        .write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "101").option("timestamp-ms", "1700000000000") \
+        .save(t)
+    spark.createDataFrame([(3, "c")], ["id", "v"]) \
+        .write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "102").option("timestamp-ms", "1700100000000") \
+        .save(t)
+    via_source = sorted(
+        (r.id, r.v)
+        for r in spark.read.format("hielo_iceberg").load(t).collect())
+    via_jvm = sorted(
+        (r.id, r.v)
+        for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)).collect())
+    assert via_source == via_jvm == [(1, "a"), (2, "b"), (3, "c")]
+    old = (spark.read.format("hielo_iceberg")
+           .option("snapshot-id", "101").load(t))
+    assert sorted(r.id for r in old.collect()) == [1, 2]
+
+
+def test_write_then_jvm_maintenance_roundtrip(registered, tmp_path):
+    """Cross-plane lifecycle: snapshots committed by the pure-Python
+    writer are first-class to the JVM maintenance plane — equality
+    delete, compaction REPLACE, expiry all compose on top."""
+    spark = registered
+    t = str(tmp_path / "t")
+    for i, sid in enumerate((101, 102, 103)):
+        spark.createDataFrame([(i * 10 + k,) for k in range(5)], ["id"]) \
+            .write.format("hielo_iceberg").mode("append") \
+            .option("snapshot-id", str(sid)) \
+            .option("timestamp-ms", str(1700000000000 + i * 1000)).save(t)
+    C.delete_equality(spark, t, spark.createDataFrame([(0,), (10,)], ["id"]),
+                      snapshot_id=104, timestamp_ms=1700100000000)
+    snap = C.rewrite_data_files(spark, t, snapshot_id=105,
+                                timestamp_ms=1700200000000)
+    assert snap["summary"]["operation"] == "replace"
+    df = spark.read.format("hielo_iceberg").load(t)
+    assert df.count() == 13  # 15 written - 2 deleted, post-compaction
+    assert sorted(r.id for r in df.collect())[:3] == [1, 2, 3]
+
+
+def test_write_stats_feed_pruning(registered, tmp_path):
+    """Bounds computed by the Arrow writer land in the manifests and
+    prune files for filtered source reads."""
+    from hielo_spark.sources.iceberg_source import HieloIcebergReader
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    spark = registered
+    t = str(tmp_path / "t")
+    spark.range(0, 10).coalesce(1).write.format("hielo_iceberg") \
+        .mode("append").save(t)
+    spark.range(100, 110).coalesce(1).write.format("hielo_iceberg") \
+        .mode("append").save(t)
+    r_flt = HieloIcebergReader(t, {}, [("id", "bigint")])
+    list(r_flt.pushFilters([GreaterThanOrEqual(("id",), 100)]))
+    assert len(r_flt.partitions()) == 1
+
+
+def test_write_overwrite_rejected(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "t")
+    with pytest.raises(Exception, match="append-only"):
+        spark.range(3).write.format("hielo_iceberg").mode("overwrite").save(t)
+
+
+def test_python_written_avro_readable_by_jvm(spark, tmp_path):
+    from hielo_spark.metadata.avro_py import write_avro_file
+    from hielo_spark.metadata.commit import MANIFEST_LIST_SCHEMA_V2
+    from hielo_spark.metadata.manifests import read_manifest_list
+
+    p = str(tmp_path / "x.avro")
+    rows = [{
+        "manifest_path": "/m1.avro", "manifest_length": 9,
+        "partition_spec_id": 0, "content": 1, "sequence_number": 7,
+        "min_sequence_number": 6, "added_snapshot_id": 101,
+        "added_files_count": 2, "existing_files_count": 3,
+        "deleted_files_count": 0, "added_rows_count": 10,
+        "existing_rows_count": 4, "deleted_rows_count": 0,
+    }]
+    write_avro_file(p, MANIFEST_LIST_SCHEMA_V2, rows, meta={"snapshot-id": "101"})
+    r = read_manifest_list(spark, p).collect()[0]
+    assert (r.manifest_path, r.content, r.sequence_number,
+            r.added_rows_count, r.existing_rows_count) == ("/m1.avro", 1, 7, 10, 4)
