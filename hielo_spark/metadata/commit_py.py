@@ -75,6 +75,7 @@ def append_files(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     extra_summary: dict[str, str] | None = None,
+    extra_properties: dict[str, str] | None = None,
 ) -> dict:
     """Commit already-written parquet ``files`` as one append snapshot.
 
@@ -207,5 +208,7 @@ def append_files(
     doc["last-updated-ms"] = timestamp_ms
     doc.setdefault("sort-orders", [{"order-id": 0, "fields": []}])
     doc.setdefault("default-sort-order-id", 0)
+    if extra_properties:
+        doc["properties"] = {**doc.get("properties", {}), **extra_properties}
     C._commit_doc(table_dir, doc, prev_version)
     return snapshot

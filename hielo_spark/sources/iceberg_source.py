@@ -587,6 +587,83 @@ class HieloIcebergWriter(DataSourceArrowWriter):
                     pass
 
 
+from pyspark.sql.datasource import DataSourceStreamArrowWriter
+
+
+class HieloIcebergStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("hielo_iceberg")`` — every micro-batch
+    becomes one append snapshot with the same exactly-once contract as
+    streaming/iceberg_sink.py: the snapshot summary records
+    ``(streaming-query-id, streaming-batch-id)`` and the table property
+    ``streaming.<qid>.last-batch-id`` is the expiry-proof high-water
+    mark; a replayed epoch (checkpoint wipe, commit/checkpoint race)
+    finds the mark and skips, leaving its files as orphans for the
+    sweep. ``option("query-name", ...)`` namespaces the markers — must
+    be unique per logical stream writing the table."""
+
+    def __init__(self, table_dir: str, options):
+        self.table_dir = table_dir
+        self.options = options
+
+    # per-task Arrow write is identical to the batch writer's
+    write = HieloIcebergWriter.write
+
+    def commit(self, messages, batchId=None):  # noqa: N802 (API name)
+        import json as _json
+
+        from ..metadata.commit_py import append_files
+
+        qid = self.options.get("query-name", "hielo_iceberg_stream")
+        if batchId is not None:
+            try:
+                with open(_current_metadata_path(self.table_dir)) as f:
+                    doc = _json.load(f)
+                hwm = doc.get("properties", {}).get(
+                    f"streaming.{qid}.last-batch-id"
+                )
+                replayed = hwm is not None and int(batchId) <= int(hwm)
+                if not replayed:
+                    replayed = any(
+                        s.get("summary", {}).get("streaming-query-id") == qid
+                        and s.get("summary", {}).get("streaming-batch-id")
+                        == str(batchId)
+                        for s in doc.get("snapshots", [])
+                    )
+                if replayed:
+                    self.abort(messages, batchId)  # drop the replay's files
+                    return
+            except FileNotFoundError:
+                pass  # first commit on a fresh table
+        files, dtypes = [], {}
+        for m in messages:
+            if m is None:
+                continue
+            files.extend(m.files)
+            dtypes.update(m.dtypes)
+        if not files:
+            return
+        markers = (
+            {
+                "streaming-query-id": qid,
+                "streaming-batch-id": str(batchId),
+            }
+            if batchId is not None
+            else {}
+        )
+        append_files(
+            self.table_dir, files, dtypes,
+            extra_summary=markers,
+            extra_properties=(
+                {f"streaming.{qid}.last-batch-id": str(batchId)}
+                if batchId is not None
+                else None
+            ),
+        )
+
+    def abort(self, messages, batchId=None):  # noqa: N802
+        HieloIcebergWriter.abort(self, messages)
+
+
 def _stringify_stat(v) -> str:
     """Match the Spark cast-to-string forms the bounds comparators and
     Appendix D serializer parse (timestamps 'YYYY-MM-DD HH:MM:SS[.us]',
@@ -664,6 +741,13 @@ class HieloIcebergDataSource(DataSource):
                 "use metadata.commit.rewrite_data_files for replacement"
             )
         return HieloIcebergWriter(self.options["path"], dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        if overwrite:
+            raise ValueError("hielo_iceberg streaming writes are append-only")
+        return HieloIcebergStreamWriter(
+            self.options["path"], dict(self.options)
+        )
 
 
 def register(spark) -> None:

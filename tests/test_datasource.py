@@ -245,3 +245,44 @@ def test_python_written_avro_readable_by_jvm(spark, tmp_path):
     r = read_manifest_list(spark, p).collect()[0]
     assert (r.manifest_path, r.content, r.sequence_number,
             r.added_rows_count, r.existing_rows_count) == ("/m1.avro", 1, 7, 10, 4)
+
+
+def test_stream_write_sink_exactly_once(registered, tmp_path):
+    """writeStream.format('hielo_iceberg'): each epoch is one marked
+    append snapshot; a checkpoint WIPE replays the batches but the
+    high-water-mark property makes the replays no-ops — no duplicates."""
+    import os
+
+    spark = registered
+    src = str(tmp_path / "src")
+    t, ck, ck2 = str(tmp_path / "t"), str(tmp_path / "ck"), str(tmp_path / "ck2")
+    os.makedirs(src)
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).coalesce(1) \
+        .write.json(src + "/b1")
+    stream = spark.readStream.schema("id long, v string").json(src + "/*")
+
+    def drain(checkpoint):
+        q = (stream.writeStream.format("hielo_iceberg")
+             .option("checkpointLocation", checkpoint)
+             .option("query-name", "s1")
+             .trigger(availableNow=True).start(t))
+        q.awaitTermination(120)
+
+    drain(ck)
+    spark.createDataFrame([(3, "c")], ["id", "v"]).coalesce(1) \
+        .write.json(src + "/b2")
+    drain(ck)
+    df = spark.read.format("hielo_iceberg").load(t)
+    assert sorted((r.id, r.v) for r in df.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")]
+    doc = json.load(open(C.current_metadata_path(t)))
+    assert [s["summary"].get("streaming-batch-id")
+            for s in doc["snapshots"]] == ["0", "1"]
+    assert doc["properties"]["streaming.s1.last-batch-id"] == "1"
+    # checkpoint wipe → the fresh query replays batch ids from 0; the
+    # hwm mark turns them into skips
+    drain(ck2)
+    df = spark.read.format("hielo_iceberg").load(t)
+    assert df.count() == 3
+    doc = json.load(open(C.current_metadata_path(t)))
+    assert len(doc["snapshots"]) == 2  # no replay snapshots
