@@ -1273,28 +1273,14 @@ def expire_snapshots(table_dir: str, older_than_ms: int, retain_last: int = 1) -
     # ancestors stay governed by the normal retention rules, so tagging
     # or branching the head never turns expiration into a no-op. Tags
     # pin only their own snapshot, as in Iceberg.
-    by_id = {int(s["snapshot-id"]): s for s in snaps}
-    main_line: set[int] = set()
-    cur = doc.get("current-snapshot-id")
-    if cur is not None:
-        walk = int(cur)
-        while walk in by_id and walk not in main_line:
-            main_line.add(walk)
-            parent = by_id[walk].get("parent-snapshot-id")
-            if parent is None:
-                break
-            walk = int(parent)
+    from .lineage import ancestor_ids, main_line_ids
+
+    main_line = main_line_ids(doc)
     for ref in doc.get("refs", {}).values():
         keep_ids.add(int(ref["snapshot-id"]))
         if ref.get("type") != "branch":
             continue
-        walk = int(ref["snapshot-id"])
-        while walk in by_id and walk not in main_line:
-            keep_ids.add(walk)
-            parent = by_id[walk].get("parent-snapshot-id")
-            if parent is None:
-                break
-            walk = int(parent)
+        keep_ids |= ancestor_ids(doc, int(ref["snapshot-id"]), stop_at=main_line)
     kept, expired = [], []
     for s in snaps:
         if int(s["timestamp-ms"]) < older_than_ms and s["snapshot-id"] not in keep_ids:

@@ -92,6 +92,24 @@ def append_files(
     mdir = os.path.join(table_dir, "metadata")
     os.makedirs(mdir, exist_ok=True)
     C._record_table_shape(doc, dtypes, [])
+    # this surface writes UNPARTITIONED files (empty r102, spec-0 header
+    # meta); committing them as the default spec of a PARTITIONED table
+    # would attribute spec fields to entries that carry none — refuse
+    # loudly rather than record inconsistent metadata
+    default_spec = next(
+        (
+            s for s in doc.get("partition-specs", [])
+            if s.get("spec-id") == doc.get("default-spec-id", 0)
+        ),
+        None,
+    )
+    if default_spec and default_spec.get("fields"):
+        raise ValueError(
+            "hielo_iceberg DataSource writes are unpartitioned; table "
+            f"{table_dir!r} has a partitioned default spec — append "
+            "through metadata.commit.append (JVM plane) instead"
+        )
+    spec_id = int(doc.get("default-spec-id", 0))  # unpartitioned, per guard
     name2id = C._name2id(doc)
     btypes = {
         c: t for c, t in dtypes.items()
@@ -128,7 +146,7 @@ def append_files(
             }
             for f in files
         ],
-        meta=C._manifest_header_meta(doc, 0, "data"),
+        meta=C._manifest_header_meta(doc, spec_id, "data"),
     )
 
     added_records = sum(int(f["record_count"]) for f in files)
@@ -137,7 +155,9 @@ def append_files(
     new_row = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": int(doc.get("default-spec-id", 0)),
+        # matches the header meta + empty r102 above: the guard ensures
+        # this spec is unpartitioned
+        "partition_spec_id": spec_id,
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,

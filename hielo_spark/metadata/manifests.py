@@ -539,24 +539,17 @@ def read_data_at_snapshot(
         # (Iceberg: the snapshot log tracks current-snapshot-id flips),
         # never against staged branch-only commits — otherwise a read
         # taken after `append(branch=...)` would leak unpublished,
-        # unaudited rows and break write-audit-publish isolation. Walk
-        # parent-snapshot-id lineage from current-snapshot-id to build
-        # the candidate set; tables with no current pointer (legacy /
-        # synthetic) fall back to all snapshots.
-        cur = doc.get("current-snapshot-id")
-        if cur is not None:
-            by_id = {int(s["snapshot-id"]): s for s in snaps}
-            main_ids: set[int] = set()
-            walk = int(cur)
-            while walk in by_id and walk not in main_ids:
-                main_ids.add(walk)
-                parent = by_id[walk].get("parent-snapshot-id")
-                if parent is None:
-                    break
-                walk = int(parent)
-            candidates = [s for s in snaps if int(s["snapshot-id"]) in main_ids]
-        else:
-            candidates = snaps
+        # unaudited rows and break write-audit-publish isolation.
+        # Tables with no current pointer (legacy/synthetic) fall back
+        # to all snapshots.
+        from .lineage import main_line_ids
+
+        main_ids = main_line_ids(doc)
+        candidates = (
+            [s for s in snaps if int(s["snapshot-id"]) in main_ids]
+            if main_ids
+            else snaps
+        )
         before = [s for s in candidates if int(s["timestamp-ms"]) <= as_of_ms]
         if not before:
             raise ValueError(f"no snapshot at or before {as_of_ms}")

@@ -42,12 +42,23 @@ SPARK_TO_ICEBERG = {
 }
 
 
+_EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
 def _parse_ts_micros(s: str) -> int:
     """Spark's cast-to-string timestamp form → µs since epoch (UTC —
-    the session tz is pinned UTC across this engine)."""
+    the session tz is pinned UTC across this engine). Computed via a
+    timedelta so PRE-EPOCH fractional seconds keep their sign
+    (int(timestamp())*1e6 + microsecond is off by a second before
+    1970 — timedelta normalization carries the fraction correctly)."""
     fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in s else "%Y-%m-%d %H:%M:%S"
     dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
-    return int(dt.timestamp()) * 1_000_000 + dt.microsecond
+    delta = dt - _EPOCH_DT
+    return (
+        delta.days * 86_400_000_000
+        + delta.seconds * 1_000_000
+        + delta.microseconds
+    )
 
 
 def _format_ts(micros: int) -> str:

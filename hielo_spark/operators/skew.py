@@ -12,12 +12,25 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 
+def _row_salt(df: DataFrame, salt_buckets: int):
+    """DETERMINISTIC per-row salt: xxhash64 over every column. A
+    nondeterministic salt (rand / monotonically_increasing_id) re-salts
+    rows differently when a lost shuffle output forces partial stage
+    recomputation — phase-2 merges then double-count some rows and drop
+    others, exactly in the executor-loss scenarios salting exists for.
+    Content hashing is stable across reruns; the documented trade is
+    that fully-IDENTICAL rows share a bucket (dedup'd/keyed data — the
+    normal case — is unaffected; a hot key made of byte-identical rows
+    would need an upstream row id to spread)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+
+
 def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
     """Two-phase count per key: phase 1 aggregates (key, salt) — spreading
     a hot key over salt_buckets tasks — phase 2 merges per key. Identical
     result to ``groupBy(key).count()``; twice the (tiny) shuffles, none of
     the single-hot-task stalls."""
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    salted = df.withColumn("_salt", _row_salt(df, salt_buckets))
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_n"))
     return partial.groupBy(key).agg(F.sum("_n").alias("n"))
 
@@ -43,11 +56,8 @@ def salted_agg(
     means one task receives the whole hot key's partials AND, worse,
     map-side partials only help when upstream partitions see repeated
     keys. The salt guarantees a ``salt_buckets``-way split regardless
-    of upstream layout."""
-    salted = df.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
-    )
+    of upstream layout (deterministic content hash — see _row_salt)."""
+    salted = df.withColumn("_salt", _row_salt(df, salt_buckets))
     partial = salted.groupBy(*key_cols, "_salt").agg(
         *[c.alias(n) for n, c in aggs.items()]
     )
@@ -67,9 +77,7 @@ def salted_join(
     bucket, and the join runs on (key, salt). Result equals
     ``big.join(small, key)``; use when AQE skew-split can't help (e.g.
     the skew is in the build side's match fan-out)."""
-    big_s = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
-    )
+    big_s = big.withColumn("_salt", _row_salt(big, salt_buckets))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

@@ -72,22 +72,14 @@ _NUMERIC = {"int", "long", "float", "double"}
 
 
 def _current_metadata_path(table_dir: str) -> str:
-    mdir = os.path.join(table_dir, "metadata")
-    hint = os.path.join(mdir, "version-hint.text")
-    if os.path.exists(hint):
-        with open(hint) as f:
-            p = os.path.join(mdir, f"v{f.read().strip()}.metadata.json")
-        if os.path.exists(p):
-            return p
-    best = None
-    for name in os.listdir(mdir) if os.path.isdir(mdir) else []:
-        stem = name.split(".")[0].lstrip("v")
-        if name.endswith(".metadata.json") and stem.isdigit():
-            if best is None or int(stem) > best[0]:
-                best = (int(stem), os.path.join(mdir, name))
-    if best is None:
+    # one resolver across planes (metadata/commit.py) — pyspark's
+    # module import is available in DataSource workers, just no session
+    from ..metadata.commit import current_metadata_path
+
+    p = current_metadata_path(table_dir)
+    if p is None:
         raise FileNotFoundError(f"no metadata.json under {table_dir}")
-    return best[1]
+    return p
 
 
 def _load_doc(table_dir: str) -> dict:
@@ -117,17 +109,22 @@ def _select_snapshot(doc: dict, options) -> dict:
             raise ValueError(f"no ref named {ref!r}")
         sid = int(refs[ref]["snapshot-id"])
     if sid is not None:
-        return next(s for s in snaps if int(s["snapshot-id"]) == int(sid))
+        match = next(
+            (s for s in snaps if int(s["snapshot-id"]) == int(sid)), None
+        )
+        if match is None:
+            raise ValueError(
+                f"snapshot {sid} not in table (have "
+                f"{sorted(int(s['snapshot-id']) for s in snaps)})"
+            )
+        return match
     by_id = {int(s["snapshot-id"]): s for s in snaps}
     cur = doc.get("current-snapshot-id")
     if as_of is not None:
         # main-branch lineage only, like manifests.read_data_at_snapshot
-        main: set[int] = set()
-        walk = int(cur) if cur is not None else None
-        while walk in by_id and walk not in main:
-            main.add(walk)
-            parent = by_id[walk].get("parent-snapshot-id")
-            walk = int(parent) if parent is not None else None
+        from ..metadata.lineage import main_line_ids
+
+        main = main_line_ids(doc)
         cands = [s for s in snaps if not main or int(s["snapshot-id"]) in main]
         before = [s for s in cands if int(s["timestamp-ms"]) <= int(as_of)]
         if not before:
@@ -177,6 +174,9 @@ def _entry_bounds(e: dict) -> tuple[dict, dict, dict]:
     id2field = e.get("_id2field") or {}
 
     def decode(kvs):
+        if isinstance(kvs, dict):
+            # legacy pre-r5 tables: string map under the spec name
+            return {str(k): str(v) for k, v in kvs.items()}
         out = {}
         for kv in kvs or []:
             f = id2field.get(int(kv["key"]))
@@ -203,14 +203,25 @@ def _file_survives(filters, e: dict) -> bool:
         l, h = lo.get(col), hi.get(col)
         if l is None or h is None:
             return True
-        if bt.get(col) in ("tinyint", "smallint", "int", "bigint",
-                           "float", "double", "long"):
+        # pushed TimestampType values arrive as tz-aware datetimes;
+        # bounds strings are tz-less UTC — normalize through the same
+        # stringification the stats plane uses, else every timestamp
+        # comparison carries a '+00:00' suffix (or a session-tz shift)
+        # and wrongly prunes matching files
+        value = _stringify_stat(value)
+        ctype = bt.get(col)
+        if ctype is None:
+            # unknown column type (legacy manifest without bounds_types
+            # AND without a header schema): comparing numerics
+            # lexicographically can WRONGLY prune ("10" < "9") — keep
+            # the file, pruning must stay conservative
+            return True
+        if ctype in ("tinyint", "smallint", "int", "bigint",
+                     "float", "double", "long"):
             try:
                 l, h, value = float(l), float(h), float(value)
             except (TypeError, ValueError):
                 return True
-        else:
-            value = str(value)
         if op == "=":
             return l <= value <= h
         if op == ">":
@@ -245,8 +256,14 @@ class _ScanPartition(InputPartition):
                  pvals=None):
         self.path = path
         self.seq = seq
-        self.pos_deletes = pos_deletes  # [(delete_parquet_path, seq)]
-        self.eq_deletes = eq_deletes    # [(delete_parquet_path, seq)]
+        # deletes are MATERIALIZED at planning time (delete files are
+        # small by construction — the keys/positions any planner holds):
+        # pos_deletes = sorted positions applying to THIS file only;
+        # eq_deletes = [(cols, key_tuples, seq)] shared across files.
+        # This avoids the O(data_files x delete_files) re-reads a naive
+        # per-task delete-parquet scan would do.
+        self.pos_deletes = pos_deletes
+        self.eq_deletes = eq_deletes
         self.columns = columns          # [(name, ddl_type)] full schema
         self.pvals = pvals or {}        # hive-partition values (strings)
 
@@ -257,20 +274,8 @@ def _read_partition(part: _ScanPartition):
     import pyarrow.parquet as pq
 
     table = pq.read_table(part.path)
-    keep = None
-    # position deletes: rows of (file_path, pos), applied when
-    # delete_seq >= data_seq
-    doomed: set[int] = set()
-    for dpath, dseq in part.pos_deletes:
-        if part.seq is not None and dseq is not None and dseq < part.seq:
-            continue
-        dt = pq.read_table(dpath)
-        fp = dt.column("file_path").to_pylist()
-        pos = dt.column("pos").to_pylist()
-        want = os.path.abspath(part.path)
-        for p, i in zip(fp, pos):
-            if os.path.abspath(str(p).removeprefix("file:")) == want:
-                doomed.add(int(i))
+    # position deletes: already filtered to this file at planning time
+    doomed = set(part.pos_deletes or ())
     if doomed:
         keep = [i for i in range(table.num_rows) if i not in doomed]
         table = table.take(keep)
@@ -298,17 +303,14 @@ def _read_partition(part: _ScanPartition):
         table = table.append_column(
             name, pa.array([pyval] * table.num_rows, type=patype)
         )
-    # equality deletes: delete rows carrying the equality columns,
+    # equality deletes: delete-key tuples materialized at planning,
     # applied only when delete_seq > data_seq (re-inserts survive)
-    for dpath, dseq in part.eq_deletes:
+    for cols, key_tuples, dseq in part.eq_deletes or ():
         if part.seq is not None and dseq is not None and dseq <= part.seq:
             continue
-        dt = pq.read_table(dpath)
-        cols = dt.column_names
         if not cols or table.num_rows == 0:
             continue
-        # null-safe membership: build the set of delete-key tuples
-        del_keys = set(zip(*[dt.column(c).to_pylist() for c in cols]))
+        del_keys = set(key_tuples)  # null-safe: None == None in tuples
         data_cols = [table.column(c).to_pylist() for c in cols]
         mask = [tuple(vals) not in del_keys for vals in zip(*data_cols)]
         table = table.filter(pa.array(mask, type=pa.bool_()))
@@ -326,12 +328,23 @@ def _read_partition(part: _ScanPartition):
         }
         cols = []
         for name, ddl in part.columns:
+            want = patype_of.get(ddl, pa.string())
             if name in table.column_names:
-                cols.append(table.column(name))
+                col = table.column(name)
+                if col.type != want:
+                    # normalize to the declared schema type: INT96
+                    # parquet arrives as timestamp[ns] (Spark's Arrow
+                    # ingest rejects ns), widened ints after add-column
+                    # evolution, etc. safe=False permits the ns→µs
+                    # truncation; incompatible casts keep the original
+                    # and fail loudly downstream
+                    try:
+                        col = col.cast(want, safe=False)
+                    except pa.lib.ArrowInvalid:
+                        pass
+                cols.append(col)
             else:
-                cols.append(pa.nulls(
-                    table.num_rows, type=patype_of.get(ddl, pa.string())
-                ))
+                cols.append(pa.nulls(table.num_rows, type=want))
         table = pa.table(cols, names=[n for n, _ in part.columns])
     yield from table.to_batches()
 
@@ -354,22 +367,44 @@ class HieloIcebergReader(DataSourceReader):
             yield f
 
     def partitions(self):
+        import pyarrow.parquet as pq
+
         doc = _load_doc(self.table_dir)
         snap = _select_snapshot(doc, self.options)
         mlist = _resolve_rel(
             os.path.join(self.table_dir, "metadata", "x"),
             snap["manifest-list"],
         )
-        data, pos_del, eq_del = [], [], []
+        data, pos_del_files, eq_del_files = [], [], []
         for m, e in _manifest_entries(mlist):
             content = e["data_file"].get("content", 0)
             path = e["data_file"]["file_path"].removeprefix("file:")
             if content == 0:
                 data.append((path, e))
             elif content == 1:
-                pos_del.append((path, e["_seq"]))
+                pos_del_files.append((path, e["_seq"]))
             elif content == 2:
-                eq_del.append((path, e["_seq"]))
+                eq_del_files.append((path, e["_seq"]))
+        # materialize deletes ONCE (planning plane — delete files are
+        # keys/positions, small by construction): per-file position
+        # lists and shared equality key tuples
+        pos_by_file: dict[str, list[tuple[int, int | None]]] = {}
+        for dpath, dseq in pos_del_files:
+            dt = pq.read_table(dpath)
+            for p, i in zip(dt.column("file_path").to_pylist(),
+                            dt.column("pos").to_pylist()):
+                key = os.path.abspath(str(p).removeprefix("file:"))
+                pos_by_file.setdefault(key, []).append((int(i), dseq))
+        eq_del = []
+        for dpath, dseq in eq_del_files:
+            dt = pq.read_table(dpath)
+            cols = dt.column_names
+            eq_del.append((
+                cols,
+                list(zip(*[dt.column(c).to_pylist() for c in cols]))
+                if cols else [],
+                dseq,
+            ))
         parts = []
         for path, e in data:
             if not _file_survives(self.filters, e):
@@ -382,8 +417,15 @@ class HieloIcebergReader(DataSourceReader):
                     for k, v in data_file["partition"].items()
                     if v is not None
                 }
+            # this file's position deletes, sequence-scoped here so the
+            # task ships only the applicable positions
+            seq = e["_seq"]
+            my_pos = [
+                i for i, dseq in pos_by_file.get(os.path.abspath(path), ())
+                if seq is None or dseq is None or dseq >= seq
+            ]
             parts.append(
-                _ScanPartition(path, e["_seq"], pos_del, eq_del,
+                _ScanPartition(path, seq, my_pos, eq_del,
                                self.schema_cols, pvals)
             )
         if not parts:
@@ -671,6 +713,8 @@ def _stringify_stat(v) -> str:
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         s = v.strftime("%Y-%m-%d %H:%M:%S")
         return f"{s}.{v.microsecond:06d}" if v.microsecond else s
     if isinstance(v, _dt.date):

@@ -286,3 +286,102 @@ def test_stream_write_sink_exactly_once(registered, tmp_path):
     assert df.count() == 3
     doc = json.load(open(C.current_metadata_path(t)))
     assert len(doc["snapshots"]) == 2  # no replay snapshots
+
+
+def test_timestamp_filter_pruning_not_overzealous(registered, tmp_path):
+    """r5 review finding: pushed TimestampType filters arrive tz-aware;
+    stringifying them with a '+00:00' suffix made every bound comparison
+    lexicographically wrong and pruned matching files."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from hielo_spark.sources.iceberg_source import HieloIcebergReader
+
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 5, 1)), (2, dt.datetime(2024, 6, 15))],
+        "id long, ts timestamp",
+    ).coalesce(1)
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000)
+    r = HieloIcebergReader(t, {}, [("id", "bigint"), ("ts", "timestamp")])
+    list(r.pushFilters([GreaterThanOrEqual(
+        ("ts",), dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc))]))
+    # the file's upper bound (2024-06-15) satisfies >= 2024-06-01:
+    # it must NOT be pruned
+    assert len(r.partitions()) == 1
+    got = (spark.read.format("hielo_iceberg").load(t)
+           .filter("ts >= timestamp'2024-06-01 00:00:00'").collect())
+    assert [r_.id for r_ in got] == [2]
+
+
+def test_legacy_string_map_bounds_do_not_break_planning(registered, tmp_path):
+    """r5 review finding: pre-r5 manifests carry string maps under the
+    spec bound names; planning must fall back, not TypeError."""
+    from hielo_spark.metadata.avro_py import write_avro_file
+    from hielo_spark.metadata.commit import (
+        MANIFEST_LIST_SCHEMA_V2, write_avro,
+    )
+    import os
+
+    spark = registered
+    # build a legacy-shaped table by hand: manifest with string-map
+    # bounds under the SPEC names (the pre-r5 writer's layout)
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(5,)], ["id"]).coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    doc = json.load(open(C.current_metadata_path(t)))
+    snap = doc["snapshots"][0]
+    mlist = snap["manifest-list"].removeprefix("file:")
+    from hielo_spark.metadata.avro_py import read_avro_file
+
+    _, _, mrows = read_avro_file(mlist)
+    mpath = mrows[0]["manifest_path"]
+    _, _, entries = read_avro_file(mpath)
+    legacy_schema = json.dumps({
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds",
+                     "type": ["null", {"type": "map", "values": "string"}],
+                     "default": None},
+                    {"name": "upper_bounds",
+                     "type": ["null", {"type": "map", "values": "string"}],
+                     "default": None},
+                ]}},
+        ]})
+    e = entries[0]
+    legacy_rows = [{
+        "status": 1, "snapshot_id": 101, "sequence_number": 1,
+        "data_file": {
+            "content": 0,
+            "file_path": e["data_file"]["file_path"],
+            "file_format": "PARQUET",
+            "record_count": 1, "file_size_in_bytes": 100,
+            "lower_bounds": {"id": "5"}, "upper_bounds": {"id": "5"},
+        }}]
+    write_avro_file(mpath, legacy_schema, legacy_rows)
+    df = spark.read.format("hielo_iceberg").load(t)
+    assert [r.id for r in df.collect()] == [5]
+    # this synthetic legacy manifest has NO bounds_types and NO header
+    # schema — the column type is unknown, so pruning must stay
+    # conservative and KEEP the file (lexicographic numeric comparison
+    # would wrongly prune "10" < "9" shapes); the row-level filter
+    # still yields the right answer
+    from pyspark.sql.datasource import GreaterThan
+    from hielo_spark.sources.iceberg_source import HieloIcebergReader
+
+    r = HieloIcebergReader(t, {}, [("id", "bigint")])
+    list(r.pushFilters([GreaterThan(("id",), 100)]))
+    parts = [p for p in r.partitions() if p.path is not None]
+    assert len(parts) == 1
+    assert spark.read.format("hielo_iceberg").load(t).filter("id > 100").count() == 0

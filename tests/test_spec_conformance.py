@@ -542,3 +542,19 @@ def test_nan_value_counts_recorded(spark, tmp_path):
         assert nanc == {schema_fields["x"]: 2}  # NaN rows only; null is not NaN
     finally:
         dfr.close()
+
+
+def test_appendix_d_pre_epoch_timestamps():
+    """r5 review finding: pre-1970 fractional seconds must keep their
+    sign (int(ts)*1e6 + microsecond was a second late)."""
+    from hielo_spark.metadata.values import deserialize_value, serialize_value
+
+    import struct
+
+    s = "1969-12-31 23:59:59.500000"
+    b = serialize_value("timestamp", s)
+    assert struct.unpack("<q", b)[0] == -500_000
+    assert deserialize_value("timestamp", b) == s
+    assert deserialize_value(
+        "timestamp", serialize_value("timestamp", "1969-12-31 23:59:59")
+    ) == "1969-12-31 23:59:59"
