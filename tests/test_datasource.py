@@ -385,3 +385,18 @@ def test_legacy_string_map_bounds_do_not_break_planning(registered, tmp_path):
     parts = [p for p in r.partitions() if p.path is not None]
     assert len(parts) == 1
     assert spark.read.format("hielo_iceberg").load(t).filter("id > 100").count() == 0
+
+
+def test_sql_over_datasource_view(registered, tmp_path):
+    """The source composes with plain Spark SQL: load → temp view →
+    joins/aggregates run through Catalyst like any other relation."""
+    spark = registered
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "us"), (2, "eu"), (3, "us")], ["id", "region"]) \
+        .write.format("hielo_iceberg").mode("append").save(t)
+    spark.read.format("hielo_iceberg").load(t).createOrReplaceTempView("ds_t")
+    rows = spark.sql(
+        "SELECT region, count(*) AS n FROM ds_t GROUP BY region ORDER BY region"
+    ).collect()
+    assert [(r.region, r.n) for r in rows] == [("eu", 1), ("us", 2)]
