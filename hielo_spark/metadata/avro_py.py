@@ -284,19 +284,24 @@ def write_avro_file(
     schema_json: str,
     rows: list,
     meta: dict | None = None,
+    codec: str = "null",
 ) -> None:
-    """Pure-Python Avro container writer (null codec) — byte-compatible
-    with the JVM-written files (same container framing, same binary
-    encoding), so the DataSource write path can compose manifests in
-    worker processes with no JVM. Readable back by BOTH this module and
-    Spark's Avro library (round-trip pinned in tests)."""
+    """Pure-Python Avro container writer — byte-compatible with the
+    JVM-written files (same container framing, same binary encoding),
+    so the DataSource write path can compose manifests in worker
+    processes with no JVM. Readable back by BOTH this module and
+    Spark's Avro library (round-trip pinned in tests). ``codec`` may be
+    ``"deflate"`` (raw zlib per the spec — what real Iceberg writers
+    default to) or ``"null"``."""
     import os as _os
 
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
     schema = json.loads(schema_json)
     enc = _Encoder()
     enc.out += _MAGIC
     header_meta = {"avro.schema": json.dumps(schema).encode("utf-8"),
-                   "avro.codec": b"null"}
+                   "avro.codec": codec.encode()}
     for k, v in (meta or {}).items():
         header_meta[k] = v if isinstance(v, bytes) else str(v).encode("utf-8")
     _encode_datum(enc, {"type": "map", "values": "bytes"}, header_meta)
@@ -306,9 +311,13 @@ def write_avro_file(
     resolved = _resolve_named(schema)
     for row in rows:
         _encode_datum(block, resolved, row)
+    payload = bytes(block.out)
+    if codec == "deflate":
+        co = zlib.compressobj(wbits=-15)  # raw deflate per the spec
+        payload = co.compress(payload) + co.flush()
     enc.long(len(rows))
-    enc.long(len(block.out))
-    enc.out += block.out
+    enc.long(len(payload))
+    enc.out += payload
     enc.out += sync
     with open(path, "wb") as f:
         f.write(bytes(enc.out))

@@ -1,0 +1,131 @@
+"""Property tests for the pure-Python Avro container codec
+(metadata/avro_py.py) and the Appendix D single-value codec
+(metadata/values.py) — hypothesis round-trips over the value spaces the
+manifest formats actually carry, plus deflate-codec parity and
+JVM cross-reads."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hielo_spark.metadata.avro_py import read_avro_file, write_avro_file
+
+_ROW_SCHEMA = json.dumps({
+    "type": "record", "name": "r", "fields": [
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "ob", "type": ["null", "boolean"], "default": None},
+        {"name": "m", "type": ["null", {"type": "map", "values": "long"}],
+         "default": None},
+        {"name": "a", "type": {"type": "array", "items": {
+            "type": "record", "name": "kv", "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"},
+            ]}}},
+    ],
+})
+
+_row = st.fixed_dictionaries({
+    "i": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "d": st.floats(allow_nan=False, allow_infinity=False),
+    "s": st.text(max_size=40),
+    "b": st.binary(max_size=40),
+    "ob": st.none() | st.booleans(),
+    "m": st.none() | st.dictionaries(st.text(min_size=1, max_size=8),
+                                     st.integers(-(2**40), 2**40),
+                                     max_size=4),
+    "a": st.lists(st.fixed_dictionaries({
+        "key": st.integers(0, 10_000),
+        "value": st.binary(max_size=16),
+    }), max_size=4),
+})
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=st.lists(_row, max_size=8), deflate=st.booleans())
+def test_avro_container_roundtrip(tmp_path_factory, rows, deflate):
+    p = str(tmp_path_factory.mktemp("avro") / "x.avro")
+    write_avro_file(p, _ROW_SCHEMA, rows,
+                    codec="deflate" if deflate else "null")
+    _, meta, back = read_avro_file(p)
+    assert meta["avro.codec"] == (b"deflate" if deflate else b"null")
+    assert back == rows
+
+
+def test_deflate_file_readable_by_jvm(spark, tmp_path):
+    from hielo_spark.metadata.commit import MANIFEST_LIST_SCHEMA_V2
+    from hielo_spark.metadata.manifests import read_manifest_list
+
+    p = str(tmp_path / "x.avro")
+    rows = [{
+        "manifest_path": f"/m{i}.avro", "manifest_length": i,
+        "partition_spec_id": 0, "content": 0, "sequence_number": i,
+        "min_sequence_number": i, "added_snapshot_id": 100 + i,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": i,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    } for i in range(5)]
+    write_avro_file(p, MANIFEST_LIST_SCHEMA_V2, rows, codec="deflate")
+    got = read_manifest_list(spark, p).collect()
+    assert sorted(r.manifest_path for r in got) == [f"/m{i}.avro" for i in range(5)]
+
+
+_APPENDIX_D_CASES = [
+    ("int", st.integers(-(2**31), 2**31 - 1), str),
+    ("long", st.integers(-(2**63), 2**63 - 1), str),
+    ("string", st.text(max_size=60), str),
+    ("date", st.dates(), lambda d: d.isoformat()),
+]
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_appendix_d_roundtrip_property(data):
+    from hielo_spark.metadata.values import deserialize_value, serialize_value
+
+    itype, strat, fmt = data.draw(st.sampled_from(_APPENDIX_D_CASES))
+    v = fmt(data.draw(strat))
+    assert deserialize_value(itype, serialize_value(itype, v)) == v
+
+
+@settings(max_examples=60, deadline=None)
+@given(micros=st.integers(min_value=-(2**52), max_value=2**52))
+def test_appendix_d_timestamp_roundtrip_property(micros):
+    """Any µs instant (incl. pre-epoch) survives string → bytes →
+    string; the bytes are exactly the little-endian micros."""
+    import struct
+
+    from hielo_spark.metadata.values import (
+        _format_ts, deserialize_value, serialize_value,
+    )
+
+    s = _format_ts(micros)
+    b = serialize_value("timestamp", s)
+    assert struct.unpack("<q", b)[0] == micros
+    assert deserialize_value("timestamp", b) == s
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    unscaled=st.integers(min_value=-(10**15), max_value=10**15),
+    scale=st.integers(min_value=0, max_value=6),
+)
+def test_appendix_d_decimal_roundtrip_property(unscaled, scale):
+    from hielo_spark.metadata.values import deserialize_value, serialize_value
+
+    t = f"decimal(18,{scale})"
+    if scale == 0:
+        s = str(unscaled)
+    else:
+        sign = "-" if unscaled < 0 else ""
+        digits = str(abs(unscaled)).rjust(scale + 1, "0")
+        s = f"{sign}{digits[:-scale]}.{digits[-scale:]}"
+    assert deserialize_value(t, serialize_value(t, s)) == s
