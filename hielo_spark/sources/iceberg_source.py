@@ -722,9 +722,122 @@ def _stringify_stat(v) -> str:
     return str(v)
 
 
+# -- metadata surfaces (the reference IS a metadata viewer: expose the
+# -- same frames through the standard source API, planning-plane sized)
+
+_META_SURFACES = {
+    "snapshots": (
+        "snapshot_id bigint, parent_id bigint, sequence_number bigint, "
+        "timestamp_ms bigint, operation string, manifest_list string, "
+        "summary_json string"
+    ),
+    "history": "timestamp_ms bigint, snapshot_id bigint",
+    "refs": "name string, type string, snapshot_id bigint",
+    "manifests": (
+        "manifest_path string, manifest_length bigint, "
+        "partition_spec_id int, content int, sequence_number bigint, "
+        "added_snapshot_id bigint, added_files_count int, "
+        "existing_files_count int, deleted_files_count int, "
+        "added_rows_count bigint"
+    ),
+    "files": (
+        "content int, file_path string, record_count bigint, "
+        "file_size_in_bytes bigint, sequence_number bigint, "
+        "partition_json string"
+    ),
+}
+
+
+def _meta_surface_rows(table_dir: str, surface: str, options) -> list[tuple]:
+    doc = _load_doc(table_dir)
+    if surface == "snapshots":
+        return [
+            (
+                int(s["snapshot-id"]),
+                int(s["parent-snapshot-id"])
+                if s.get("parent-snapshot-id") is not None else None,
+                int(s["sequence-number"])
+                if s.get("sequence-number") is not None else None,
+                int(s["timestamp-ms"]),
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+                json.dumps(s.get("summary") or {}, sort_keys=True),
+            )
+            for s in doc.get("snapshots", [])
+        ]
+    if surface == "history":
+        return [
+            (int(e["timestamp-ms"]), int(e["snapshot-id"]))
+            for e in doc.get("snapshot-log", [])
+        ]
+    if surface == "refs":
+        return [
+            (name, r.get("type"), int(r["snapshot-id"]))
+            for name, r in sorted(doc.get("refs", {}).items())
+        ]
+    snap = _select_snapshot(doc, options)
+    mlist = _resolve_rel(
+        os.path.join(table_dir, "metadata", "x"), snap["manifest-list"]
+    )
+    if surface == "manifests":
+        _, _, mrows = read_avro_file(mlist)
+        return [
+            (
+                m["manifest_path"], m.get("manifest_length"),
+                m.get("partition_spec_id") or 0, m.get("content") or 0,
+                m.get("sequence_number"), m.get("added_snapshot_id"),
+                m.get("added_files_count"), m.get("existing_files_count"),
+                m.get("deleted_files_count"), m.get("added_rows_count"),
+            )
+            for m in mrows
+        ]
+    if surface == "files":
+        out = []
+        for _m, e in _manifest_entries(mlist):
+            data_file = e["data_file"]
+            pvals = data_file.get("partition_values") or {
+                k: str(v) for k, v in (data_file.get("partition") or {}).items()
+                if v is not None
+            }
+            out.append(
+                (
+                    data_file.get("content") or 0,
+                    data_file["file_path"],
+                    data_file.get("record_count"),
+                    data_file.get("file_size_in_bytes"),
+                    e.get("_seq"),
+                    json.dumps(pvals or {}, sort_keys=True),
+                )
+            )
+        return out
+    raise ValueError(
+        f"unknown surface {surface!r} (have data, {', '.join(_META_SURFACES)})"
+    )
+
+
+class _MetaSurfaceReader(DataSourceReader):
+    """Planning-plane metadata frames — one partition, rows computed in
+    pure Python (bounded by snapshot/manifest/file counts, the same
+    listings any planner materializes)."""
+
+    def __init__(self, table_dir: str, surface: str, options):
+        self.table_dir = table_dir
+        self.surface = surface
+        self.options = options
+
+    def partitions(self):
+        return [InputPartition(0)]
+
+    def read(self, partition):
+        yield from _meta_surface_rows(self.table_dir, self.surface, self.options)
+
+
 class HieloIcebergDataSource(DataSource):
     """Register with ``spark.dataSource.register(HieloIcebergDataSource)``
-    (or sources.register(spark)); then ``format("hielo_iceberg")``."""
+    (or sources.register(spark)); then ``format("hielo_iceberg")``.
+    ``option("surface", "snapshots"|"history"|"refs"|"manifests"|"files")``
+    selects a metadata table instead of the data (t.snapshots-style
+    frames; maps ride as JSON strings)."""
 
     @classmethod
     def name(cls):
@@ -734,6 +847,14 @@ class HieloIcebergDataSource(DataSource):
         table_dir = self.options.get("path")
         if not table_dir:
             raise ValueError("load(<table_dir>) path is required")
+        surface = self.options.get("surface", "data")
+        if surface != "data":
+            if surface not in _META_SURFACES:
+                raise ValueError(
+                    f"unknown surface {surface!r} "
+                    f"(have data, {', '.join(_META_SURFACES)})"
+                )
+            return _META_SURFACES[surface]
         doc = _load_doc(table_dir)
         schema = next(
             (
@@ -769,6 +890,11 @@ class HieloIcebergDataSource(DataSource):
         ]
 
     def reader(self, schema):
+        surface = self.options.get("surface", "data")
+        if surface != "data":
+            return _MetaSurfaceReader(
+                self.options["path"], surface, dict(self.options)
+            )
         return HieloIcebergReader(
             self.options["path"], dict(self.options), self._schema_cols()
         )

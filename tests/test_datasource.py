@@ -400,3 +400,41 @@ def test_sql_over_datasource_view(registered, tmp_path):
         "SELECT region, count(*) AS n FROM ds_t GROUP BY region ORDER BY region"
     ).collect()
     assert [(r.region, r.n) for r in rows] == [("eu", 1), ("us", 2)]
+
+
+def test_metadata_surfaces(registered, mor_table):
+    """option('surface', ...) exposes the t.snapshots-style metadata
+    frames through the standard source API, consistent with the JVM
+    metadata plane."""
+    spark = registered
+
+    def load(surface):
+        return (spark.read.format("hielo_iceberg")
+                .option("surface", surface).load(mor_table))
+
+    snaps = load("snapshots").orderBy("snapshot_id").collect()
+    assert [r.snapshot_id for r in snaps] == [101, 102, 103]
+    assert [r.operation for r in snaps] == ["append", "delete", "append"]
+    assert snaps[1].parent_id == 101
+    assert json.loads(snaps[0].summary_json)["operation"] == "append"
+
+    hist = load("history").orderBy("timestamp_ms").collect()
+    assert [r.snapshot_id for r in hist] == [101, 102, 103]
+
+    mans = load("manifests").collect()
+    assert {m.content for m in mans} == {0, 1}  # data + delete manifests
+    assert all(m.manifest_length > 0 for m in mans)
+
+    files = load("files").collect()
+    assert {f.content for f in files} == {0, 2}  # data + equality deletes
+    data_files = [f for f in files if f.content == 0]
+    assert sum(f.record_count for f in data_files) == 4  # 3 appended + 1
+    # time travel applies to file-level surfaces too
+    old_files = (spark.read.format("hielo_iceberg")
+                 .option("surface", "files").option("snapshot-id", "101")
+                 .load(mor_table).collect())
+    assert {f.content for f in old_files} == {0}
+    # refs on a branch table
+    C.create_ref(mor_table, "v1", 101, ref_type="tag")
+    refs = load("refs").collect()
+    assert [(r.name, r.type, r.snapshot_id) for r in refs] == [("v1", "tag", 101)]
