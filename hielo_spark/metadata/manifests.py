@@ -41,39 +41,27 @@ _COUNT_ALIASES = {
 }
 
 
-def _py(v):
-    """py4j value → Python scalar (Utf8/GenericEnumSymbol → str)."""
-    if v is None or isinstance(v, (int, float, bool, str)):
-        return v
-    return v.toString()
-
-
-def _get(rec, name):
-    """Null-safe field access: Avro 1.12's Record.get THROWS on fields
-    absent from the writer schema (older versions returned null)."""
-    if rec.getSchema().getField(name) is None:
-        return None
-    return rec.get(name)
-
-
-def _pymap(v) -> dict | None:
-    """py4j java.util.Map (Avro map field) → {str: str}, or None."""
-    if v is None:
-        return None
-    out = {}
-    it = v.entrySet().iterator()
-    while it.hasNext():
-        e = it.next()
-        out[str(e.getKey())] = str(e.getValue())
+def live_data_file_dicts(manifest_list_path: str) -> dict[str, dict]:
+    """Pure-Python planning helper: live DATA files of a snapshot as
+    ``{path: {path, pvals, ptypes}}`` — one avro pass, no Spark hops
+    (the same r5 planning-latency fix read_data_at_snapshot got, shared
+    by the incremental/changelog planners)."""
+    _, _, mlist_rows = read_avro_file(manifest_list_path)
+    out: dict[str, dict] = {}
+    for m in mlist_rows:
+        if (m.get("content") or 0) != 0:
+            continue
+        for e in decode_manifest(
+            _resolve(manifest_list_path, m["manifest_path"]),
+            inherited_seq=m.get("sequence_number"),
+        ):
+            status, _sid, fpath, *_rest = e
+            pvals, ptypes = e[8], e[9]
+            if status == 2 or (e[6] or 0) != 0:
+                continue
+            p = fpath.removeprefix("file:")
+            out[p] = {"path": p, "pvals": pvals, "ptypes": ptypes}
     return out
-
-
-def _avro_reader(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    reader = jvm.org.apache.avro.generic.GenericDatumReader()
-    return jvm.org.apache.avro.file.DataFileReader.openReader(
-        jvm.java.io.File(path), reader
-    )
 
 
 def read_manifest_list(spark: SparkSession, path: str) -> DataFrame:
@@ -148,26 +136,6 @@ def _py_kv_list(v) -> dict[int, object]:
     while it.hasNext():
         rec = it.next()
         out[int(str(rec.get("key")))] = rec.get("value")
-    return out
-
-
-def _header_schema_fields(dfr) -> dict[int, tuple[str, str]]:
-    """field-id → (name, iceberg type) from a manifest's spec-required
-    ``schema`` header metadata; {} when absent (legacy fixtures)."""
-    import json as _json
-
-    raw = dfr.getMetaString("schema")
-    if not raw:
-        return {}
-    try:
-        doc = _json.loads(raw)
-    except ValueError:
-        return {}
-    out = {}
-    for f in doc.get("fields", []):
-        t = f.get("type")
-        if isinstance(t, str):  # primitives only — nested stats unsupported
-            out[int(f["id"])] = (f["name"], t)
     return out
 
 
@@ -802,15 +770,9 @@ def read_incremental(
             )
 
     def files_of(s_: dict) -> dict[str, dict]:
-        mlist = _resolve(metadata_json_path, s_["manifest-list"])
-        return {
-            r.file_path.removeprefix("file:"): {
-                "path": r.file_path.removeprefix("file:"),
-                "pvals": dict(r.partition_values) if r.partition_values else None,
-                "ptypes": dict(r.partition_types) if r.partition_types else None,
-            }
-            for r in files_from_manifest_list(spark, "t", mlist).collect()
-        }
+        return live_data_file_dicts(
+            _resolve(metadata_json_path, s_["manifest-list"])
+        )
 
     to_files = files_of(by_id[to_snapshot_id])
     from_files = files_of(by_id[from_snapshot_id])
@@ -920,15 +882,9 @@ def read_changelog(
     def append_inserts(s_: dict, parent_id: int | None) -> DataFrame | None:
         """New-files-only scan for an append snapshot."""
         def paths_of(sid: int) -> dict[str, dict]:
-            mlist = _resolve(metadata_json_path, by_id[sid]["manifest-list"])
-            return {
-                r.file_path.removeprefix("file:"): {
-                    "path": r.file_path.removeprefix("file:"),
-                    "pvals": dict(r.partition_values) if r.partition_values else None,
-                    "ptypes": dict(r.partition_types) if r.partition_types else None,
-                }
-                for r in files_from_manifest_list(spark, "t", mlist).collect()
-            }
+            return live_data_file_dicts(
+                _resolve(metadata_json_path, by_id[sid]["manifest-list"])
+            )
 
         now = paths_of(int(s_["snapshot-id"]))
         before = paths_of(parent_id) if parent_id is not None else {}

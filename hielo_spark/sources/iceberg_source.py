@@ -780,14 +780,25 @@ def _meta_surface_rows(table_dir: str, surface: str, options) -> list[tuple]:
         os.path.join(table_dir, "metadata", "x"), snap["manifest-list"]
     )
     if surface == "manifests":
+        from ..metadata.manifests import _COUNT_ALIASES
+
         _, _, mrows = read_avro_file(mlist)
+
+        def count(m, name):
+            for alias in _COUNT_ALIASES[name]:  # v2 name, then v1 alias
+                v = m.get(alias)
+                if v is not None:
+                    return int(v)
+            return None
+
         return [
             (
                 m["manifest_path"], m.get("manifest_length"),
                 m.get("partition_spec_id") or 0, m.get("content") or 0,
                 m.get("sequence_number"), m.get("added_snapshot_id"),
-                m.get("added_files_count"), m.get("existing_files_count"),
-                m.get("deleted_files_count"), m.get("added_rows_count"),
+                count(m, "added_files_count"),
+                count(m, "existing_files_count"),
+                count(m, "deleted_files_count"), m.get("added_rows_count"),
             )
             for m in mrows
         ]
@@ -899,12 +910,21 @@ class HieloIcebergDataSource(DataSource):
             self.options["path"], dict(self.options), self._schema_cols()
         )
 
+    def _reject_surface(self, what: str) -> None:
+        if self.options.get("surface", "data") != "data":
+            raise ValueError(
+                f"the 'surface' option applies to batch reads only; "
+                f"{what} operate on the data plane"
+            )
+
     def streamReader(self, schema):  # noqa: N802
+        self._reject_surface("streaming reads")
         return HieloIcebergStreamReader(
             self.options["path"], dict(self.options), self._schema_cols()
         )
 
     def writer(self, schema, overwrite: bool):
+        self._reject_surface("writes")
         if overwrite:
             raise ValueError(
                 "hielo_iceberg writes are append-only (mode('append')); "
@@ -913,6 +933,7 @@ class HieloIcebergDataSource(DataSource):
         return HieloIcebergWriter(self.options["path"], dict(self.options))
 
     def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        self._reject_surface("streaming writes")
         if overwrite:
             raise ValueError("hielo_iceberg streaming writes are append-only")
         return HieloIcebergStreamWriter(

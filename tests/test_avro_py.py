@@ -61,8 +61,11 @@ def test_avro_container_roundtrip(tmp_path_factory, rows, deflate):
 
 
 def test_deflate_file_readable_by_jvm(spark, tmp_path):
+    """The 'readable by BOTH' guarantee needs an INDEPENDENT reader:
+    since r5 read_manifest_list decodes via avro_py itself, this test
+    drives Spark's bundled JVM Avro library directly (the same pattern
+    as test_spec_conformance)."""
     from hielo_spark.metadata.commit import MANIFEST_LIST_SCHEMA_V2
-    from hielo_spark.metadata.manifests import read_manifest_list
 
     p = str(tmp_path / "x.avro")
     rows = [{
@@ -74,8 +77,21 @@ def test_deflate_file_readable_by_jvm(spark, tmp_path):
         "existing_rows_count": 0, "deleted_rows_count": 0,
     } for i in range(5)]
     write_avro_file(p, MANIFEST_LIST_SCHEMA_V2, rows, codec="deflate")
-    got = read_manifest_list(spark, p).collect()
-    assert sorted(r.manifest_path for r in got) == [f"/m{i}.avro" for i in range(5)]
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader.openReader(
+        jvm.java.io.File(p), reader
+    )
+    got = []
+    try:
+        assert dfr.getMetaString("avro.codec") == "deflate"
+        while dfr.hasNext():
+            r = dfr.next()
+            got.append((str(r.get("manifest_path")),
+                        int(str(r.get("sequence_number")))))
+    finally:
+        dfr.close()
+    assert got == [(f"/m{i}.avro", i) for i in range(5)]
 
 
 _APPENDIX_D_CASES = [
