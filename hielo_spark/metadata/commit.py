@@ -587,6 +587,23 @@ def _commit_doc(table_dir: str, doc: dict, prev_version: int) -> str:
 
 # -- commits ---------------------------------------------------------------
 
+
+def _default_snapshot_id(doc: dict, seq: int) -> int:
+    """Deterministic ``1000 + seq`` by convention, but NEVER a duplicate:
+    if an earlier commit supplied an explicit id in that range, a silent
+    collision would corrupt by-id lookups, parent lineage walks, and
+    time travel — fall back to a random 63-bit id (Iceberg's own
+    assignment strategy) until it's fresh."""
+    candidate = 1000 + seq
+    existing = {
+        int(s["snapshot-id"]) for s in doc.get("snapshots", [])
+        if s.get("snapshot-id") is not None
+    }
+    while candidate in existing:
+        candidate = _uuid.uuid4().int >> 65  # positive 63-bit
+    return candidate
+
+
 _ICEBERG_TYPES = {
     "boolean": "boolean", "tinyint": "int", "smallint": "int", "int": "int",
     "bigint": "long", "float": "float", "double": "double", "date": "date",
@@ -1009,7 +1026,10 @@ def append(
 
     doc, prev_version = _load_doc(table_dir)
     seq = int(doc.get("last-sequence-number", 0)) + 1
-    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq)
+    )
     timestamp_ms = (
         timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     )
@@ -1165,7 +1185,10 @@ def delete_equality(
     if doc.get("current-snapshot-id") is None:
         raise ValueError("cannot delete from a table with no current snapshot")
     seq = int(doc.get("last-sequence-number", 0)) + 1
-    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq)
+    )
     timestamp_ms = (
         timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     )
@@ -1339,7 +1362,10 @@ def rewrite_data_files(
     if doc.get("current-snapshot-id") is None:
         raise ValueError("cannot rewrite a table with no current snapshot")
     seq = int(doc.get("last-sequence-number", 0)) + 1
-    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq)
+    )
     timestamp_ms = (
         timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     )
@@ -1476,7 +1502,10 @@ def delete_where(
     if doc.get("current-snapshot-id") is None:
         raise ValueError("cannot delete from a table with no current snapshot")
     seq = int(doc.get("last-sequence-number", 0)) + 1
-    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq)
+    )
     timestamp_ms = (
         timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     )
@@ -1657,7 +1686,10 @@ def rewrite_manifests(
     if doc.get("current-snapshot-id") is None:
         raise ValueError("cannot rewrite manifests of a table with no snapshot")
     seq = int(doc.get("last-sequence-number", 0)) + 1
-    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq)
+    )
     timestamp_ms = (
         timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     )
@@ -1863,7 +1895,10 @@ def merge_into(
     if doc.get("current-snapshot-id") is None:
         raise ValueError("cannot merge into a table with no current snapshot")
     seq = int(doc.get("last-sequence-number", 0)) + 1
-    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq)
+    )
     timestamp_ms = (
         timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     )

@@ -85,7 +85,10 @@ def append_files(
     restricted to bounded columns). Returns the snapshot dict."""
     doc, prev_version = C._load_doc(table_dir)
     seq = int(doc.get("last-sequence-number", 0)) + 1
-    snapshot_id = snapshot_id if snapshot_id is not None else 1000 + seq
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else C._default_snapshot_id(doc, seq)
+    )
     timestamp_ms = (
         timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     )

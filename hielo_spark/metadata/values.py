@@ -65,7 +65,12 @@ def _format_ts(micros: int) -> str:
     dt = datetime.fromtimestamp(micros // 1_000_000, tz=timezone.utc)
     frac = micros % 1_000_000
     base = dt.strftime("%Y-%m-%d %H:%M:%S")
-    return f"{base}.{frac:06d}" if frac else base
+    # trailing fraction zeros trimmed to match Spark's cast-to-string
+    # form ('…05.1') — the skip-filter comparators compare these
+    # lexicographically against JVM-plane bounds strings, and a padded
+    # '…05.100000' sorts above its trimmed twin, falsely pruning files
+    fs = f"{frac:06d}".rstrip("0")
+    return f"{base}.{fs}" if fs else base
 
 
 def serialize_value(iceberg_type: str, s: str) -> bytes:
@@ -91,10 +96,26 @@ def serialize_value(iceberg_type: str, s: str) -> bytes:
     if t == "binary":
         return s.encode("utf-8")  # stats never bound binary; defensive
     if t.startswith("decimal"):
-        # unscaled int, minimal two's-complement big-endian
-        digits = s.replace(".", "").lstrip("+")
-        unscaled = int(digits)
-        length = max(1, (unscaled.bit_length() + 8) // 8)
+        # unscaled int AT THE DECLARED SCALE ('1.5' under decimal(p,2)
+        # is 150, not 15), minimal two's-complement big-endian
+        from decimal import Decimal
+
+        scale = 0
+        if "(" in t:
+            scale = int(t.split(",")[1].rstrip(") "))
+        scaled = Decimal(s).scaleb(scale)
+        unscaled = int(scaled)
+        if unscaled != scaled:
+            raise ValueError(
+                f"value {s!r} does not fit scale {scale} of {t}"
+            )
+        # minimal length: non-negatives need bit_length+1 bits (sign
+        # bit), negatives are minimal at (~v).bit_length()+1 bits —
+        # -128 is ONE byte (0x80), which the symmetric formula overpads
+        if unscaled >= 0:
+            length = (unscaled.bit_length() + 8) // 8
+        else:
+            length = (~unscaled).bit_length() // 8 + 1
         return unscaled.to_bytes(length, "big", signed=True)
     raise ValueError(f"unsupported type for single-value serialization: {t}")
 

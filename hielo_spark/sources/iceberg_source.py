@@ -292,6 +292,20 @@ def _read_partition(part: _ScanPartition):
             pyval = int(sval)
         elif ddl in ("float", "double"):
             pyval = float(sval)
+        elif ddl == "date":
+            # hive layout stores ISO strings; pa.array with a date32
+            # type rejects raw strings (ArrowTypeError) — parse first
+            import datetime as _dt
+
+            pyval = _dt.date.fromisoformat(sval)
+        elif ddl == "boolean":
+            pyval = sval.lower() == "true"
+        elif ddl in ("timestamp", "timestamp_ntz"):
+            import datetime as _dt
+
+            pyval = _dt.datetime.fromisoformat(sval.replace(" ", "T"))
+            if ddl == "timestamp" and pyval.tzinfo is None:
+                pyval = pyval.replace(tzinfo=_dt.timezone.utc)
         else:
             pyval = sval
         patype = {
@@ -299,6 +313,9 @@ def _read_partition(part: _ScanPartition):
             "smallint": pa.int16(), "tinyint": pa.int8(),
             "float": pa.float32(), "double": pa.float64(),
             "string": pa.string(), "date": pa.date32(),
+            "boolean": pa.bool_(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+            "timestamp_ntz": pa.timestamp("us"),
         }.get(ddl, pa.string())
         table = table.append_column(
             name, pa.array([pyval] * table.num_rows, type=patype)
@@ -716,7 +733,15 @@ def _stringify_stat(v) -> str:
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         s = v.strftime("%Y-%m-%d %H:%M:%S")
-        return f"{s}.{v.microsecond:06d}" if v.microsecond else s
+        # Spark's cast-to-string trims trailing fraction zeros
+        # ('…05.1', not '…05.100000'); the bounds comparators match
+        # these strings lexicographically against JVM-plane *_bounds_str
+        # values, so BOTH renderings must be canonical — a padded form
+        # sorts above its trimmed twin and wrongly prunes files whose
+        # bound equals the filter value (trimmed fractions still compare
+        # correctly as strings: '05.09' < '05.1' < '05.15')
+        frac = f"{v.microsecond:06d}".rstrip("0")
+        return f"{s}.{frac}" if frac else s
     if isinstance(v, _dt.date):
         return v.isoformat()
     return str(v)
@@ -879,10 +904,20 @@ class HieloIcebergDataSource(DataSource):
         cols = []
         for f in schema.get("fields", []):
             t = f["type"]
-            ddl = _ICEBERG_TO_DDL.get(t) if isinstance(t, str) else None
-            if ddl is None:
-                ddl = t if isinstance(t, str) else "string"
-            cols.append(f"{f['name']} {ddl}")
+            if not isinstance(t, str):
+                # struct/list/map arrive as dicts in the schema JSON;
+                # silently declaring them 'string' yields confusing
+                # Arrow cast errors deep in executors — fail loudly,
+                # like the partitioned-write and overwrite guards
+                raise NotImplementedError(
+                    f"column {f['name']!r} has a nested Iceberg type "
+                    f"({(t or {}).get('type', t)!r}) — nested types are "
+                    "unsupported by the hielo_iceberg DataSource; read "
+                    "through metadata.manifests.read_data_at_snapshot"
+                )
+            # decimal(p,s)/fixed[n] pass through: their Iceberg renderings
+            # are valid (decimal) or rejected loudly by Spark's DDL parser
+            cols.append(f"{f['name']} {_ICEBERG_TO_DDL.get(t, t)}")
         return ", ".join(cols)
 
     def _schema_cols(self):
@@ -892,11 +927,10 @@ class HieloIcebergDataSource(DataSource):
             if s.get("schema-id") == doc.get("current-schema-id", 0)
         )
         return [
-            (
-                f["name"],
-                _ICEBERG_TO_DDL.get(f["type"], "string")
-                if isinstance(f["type"], str) else "string",
-            )
+            # nested (non-str) types never reach here: schema() raises
+            # NotImplementedError during planning before any reader is
+            # constructed
+            (f["name"], _ICEBERG_TO_DDL.get(f["type"], "string"))
             for f in schema.get("fields", [])
         ]
 

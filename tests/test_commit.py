@@ -1231,3 +1231,43 @@ def test_merge_manifest_records_default_spec_id(spark, tmp_path):
     merged_data = [m for m in rows
                    if (m.content or 0) == 0 and m.added_snapshot_id == 102]
     assert merged_data and all(m.partition_spec_id == 1 for m in merged_data)
+
+
+def test_default_snapshot_id_never_collides(spark, tmp_path):
+    """ADVICE r5 low: an explicit snapshot id inside the 1000+seq range
+    must not make a later default-id commit create a duplicate (which
+    would corrupt by-id lookups and lineage walks) — the default falls
+    back to a fresh random id on collision, in both commit planes."""
+    import json
+
+    t = str(tmp_path / "t")
+    # seq 1 commit takes the id a seq-2 default would want (1002)
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=1002, timestamp_ms=1700000000000)
+    snap = C.append(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]),
+                    timestamp_ms=1700100000000)
+    assert snap["snapshot-id"] != 1002
+    doc = json.load(open(C.current_metadata_path(t)))
+    ids = [s["snapshot-id"] for s in doc["snapshots"]]
+    assert len(ids) == len(set(ids)) == 2
+
+    # pure-Python plane: same guard
+    from hielo_spark.metadata.commit_py import append_files
+
+    t2 = str(tmp_path / "t2")
+    C.append(spark, t2, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=1002, timestamp_ms=1700000000000)
+    files_dir = str(tmp_path / "extra")
+    spark.createDataFrame([(3, "c")], ["id", "v"]).coalesce(1) \
+        .write.parquet(files_dir)
+    import glob
+    import os
+    p = glob.glob(os.path.join(files_dir, "part-*.parquet"))[0]
+    s2 = append_files(t2, [{
+        "path": p, "record_count": 1,
+        "file_size_in_bytes": os.path.getsize(p),
+    }], {"id": "bigint", "v": "string"}, timestamp_ms=1700100000000)
+    assert s2["snapshot-id"] != 1002
+    doc2 = json.load(open(C.current_metadata_path(t2)))
+    ids2 = [s["snapshot-id"] for s in doc2["snapshots"]]
+    assert len(ids2) == len(set(ids2)) == 2

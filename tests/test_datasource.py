@@ -438,3 +438,116 @@ def test_metadata_surfaces(registered, mor_table):
     C.create_ref(mor_table, "v1", 101, ref_type="tag")
     refs = load("refs").collect()
     assert [(r.name, r.type, r.snapshot_id) for r in refs] == [("v1", "tag", 101)]
+
+
+# -- r6 ADVICE fixes -------------------------------------------------------
+
+
+def test_date_partitioned_read(registered, tmp_path):
+    """Hive layout stores date partition values as ISO strings; the
+    executor-side reattach must parse them before building the Arrow
+    date32 array (ADVICE r5: pa.array(['2024-01-02'], date32()) raises
+    ArrowTypeError, crashing every read of a date-partitioned table)."""
+    import datetime as dt
+
+    spark = registered
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(1, dt.date(2024, 1, 2), "a"), (2, dt.date(2024, 1, 3), "b"),
+         (3, dt.date(2024, 1, 2), "c")],
+        "id bigint, d date, v string"),
+        partition_by=["d"], snapshot_id=101, timestamp_ms=1700000000000)
+    df = spark.read.format("hielo_iceberg").load(t)
+    assert sorted((r.id, r.d) for r in df.collect()) == [
+        (1, dt.date(2024, 1, 2)), (2, dt.date(2024, 1, 3)),
+        (3, dt.date(2024, 1, 2))]
+    assert sorted(r.id for r in df.filter("d = DATE'2024-01-02'").collect()) \
+        == [1, 3]
+
+
+def test_nested_type_schema_rejected(tmp_path):
+    """A table whose schema carries struct/list/map columns must fail
+    loudly at planning, not silently declare 'string' and die later in
+    an executor Arrow cast."""
+    import json as _json
+    import os
+
+    from hielo_spark.sources.iceberg_source import HieloIcebergDataSource
+
+    t = str(tmp_path / "t")
+    mdir = os.path.join(t, "metadata")
+    os.makedirs(mdir)
+    doc = {
+        "format-version": 2,
+        "current-schema-id": 0,
+        "schemas": [{
+            "type": "struct", "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "payload", "required": False,
+                 "type": {"type": "struct", "fields": []}},
+            ],
+        }],
+        "snapshots": [],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        _json.dump(doc, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    ds = HieloIcebergDataSource({"path": t})
+    with pytest.raises(NotImplementedError, match="nested"):
+        ds.schema()
+
+
+def test_timestamp_bound_rendering_is_canonical(registered, tmp_path):
+    """ADVICE r5 medium: _stringify_stat padded fractions to 6 digits
+    while JVM-plane bounds strings are Spark cast-to-string (trailing
+    zeros trimmed); the lexicographic comparator then wrongly pruned
+    files whose bound EQUALS the filter value. Both renderings are now
+    trimmed, and an equality filter on the exact upper bound keeps the
+    file — end to end through the registered source."""
+    import datetime as dt
+
+    from hielo_spark.sources.iceberg_source import (
+        _file_survives, _stringify_stat,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    # unit level: trimmed rendering + no false prune at the bound
+    v = dt.datetime(2024, 1, 2, 3, 4, 5, 100000, tzinfo=dt.timezone.utc)
+    assert _stringify_stat(v) == "2024-01-02 03:04:05.1"
+    entry = {"data_file": {
+        "lower_bounds_str": {"ts": "2024-01-02 03:04:05.05"},
+        "upper_bounds_str": {"ts": "2024-01-02 03:04:05.1"},
+        "bounds_types": {"ts": "timestamp"},
+    }}
+    assert _file_survives([EqualTo(("ts",), v)], entry)
+    # and ordering still works on trimmed fractions
+    past = dt.datetime(2024, 1, 2, 3, 4, 5, 90000, tzinfo=dt.timezone.utc)
+    assert _file_survives([EqualTo(("ts",), past)], entry)  # .09 in range
+    gone = dt.datetime(2024, 1, 2, 3, 4, 5, 150000, tzinfo=dt.timezone.utc)
+    assert not _file_survives([EqualTo(("ts",), gone)], entry)  # .15 > .1
+
+    # end to end: a committed fractional-second row is found by equality
+    spark = registered
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.sql(
+        "SELECT CAST(1 AS BIGINT) id, TIMESTAMP'2024-01-02 03:04:05.1' ts"
+    ), snapshot_id=101, timestamp_ms=1700000000000)
+    df = (spark.read.format("hielo_iceberg").load(t)
+          .filter("ts = TIMESTAMP'2024-01-02 03:04:05.1'"))
+    assert df.count() == 1
+
+
+def test_spec_ts_bounds_render_trimmed():
+    """values._format_ts (spec-binary bound decode) emits the same
+    trimmed form, so JVM-plane comparisons over DataSource-written
+    spec bounds don't false-prune either (the mirror image)."""
+    from hielo_spark.metadata.values import _format_ts, _parse_ts_micros
+
+    micros = _parse_ts_micros("2024-01-02 03:04:05.1")
+    assert _format_ts(micros) == "2024-01-02 03:04:05.1"
+    assert _format_ts(_parse_ts_micros("2024-01-02 03:04:05")) == \
+        "2024-01-02 03:04:05"
+    assert _format_ts(_parse_ts_micros("2024-01-02 03:04:05.000001")) == \
+        "2024-01-02 03:04:05.000001"

@@ -554,7 +554,25 @@ def test_appendix_d_pre_epoch_timestamps():
     s = "1969-12-31 23:59:59.500000"
     b = serialize_value("timestamp", s)
     assert struct.unpack("<q", b)[0] == -500_000
-    assert deserialize_value("timestamp", b) == s
+    # decode renders the CANONICAL (Spark cast-to-string) trimmed form
+    assert deserialize_value("timestamp", b) == "1969-12-31 23:59:59.5"
     assert deserialize_value(
         "timestamp", serialize_value("timestamp", "1969-12-31 23:59:59")
     ) == "1969-12-31 23:59:59"
+
+
+def test_decimal_scale_and_minimal_negative_length():
+    """ADVICE r5 low: decimal serialization must honor the DECLARED
+    scale ('1.5' under decimal(p,2) is unscaled 150, not 15) and use the
+    minimal two's-complement length for negatives (-1.28 → one byte
+    0x80, not two)."""
+    from hielo_spark.metadata.values import deserialize_value, serialize_value
+
+    assert serialize_value("decimal(9,2)", "1.5") == b"\x00\x96"     # 150
+    assert deserialize_value("decimal(9,2)", b"\x00\x96") == "1.50"
+    assert serialize_value("decimal(9,2)", "-1.28") == b"\x80"       # -128
+    assert deserialize_value("decimal(9,2)", b"\x80") == "-1.28"
+    assert serialize_value("decimal(9,2)", "-1.29") == b"\xff\x7f"   # -129
+    assert serialize_value("decimal(9,0)", "0") == b"\x00"
+    # spec renders scale with a space too: 'decimal(10, 2)'
+    assert serialize_value("decimal(10, 2)", "12.34") == b"\x04\xd2"
