@@ -1194,10 +1194,15 @@ def delete_equality(
     )
     mdir = os.path.join(table_dir, "metadata")
 
+    # distributed write, natural partitioning (keys frames are usually
+    # small; when they're not, the tasks that produced them write in
+    # parallel — no coalesce(1) single-task funnel), spec-sorted within
+    # each task; per-file counts from the parquet footers
     del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
-    keys_df.coalesce(1).write.parquet(del_dir)
-    parts = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
-    n_keys = keys_df.count()
+    parts, rows_of = _write_delete_parts(
+        keys_df, del_dir, list(keys_df.columns)
+    )
+    n_keys = sum(rows_of.values())
 
     manifest_path = os.path.join(
         mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
@@ -1214,7 +1219,7 @@ def delete_equality(
                     "content": 2,  # equality deletes
                     "file_path": p,
                     "file_format": "PARQUET",
-                    "record_count": n_keys,
+                    "record_count": rows_of[p],
                     "file_size_in_bytes": os.path.getsize(p),
                 },
             }
@@ -1233,7 +1238,7 @@ def delete_equality(
         "added_files_count": len(parts),
         "existing_files_count": 0,
         "deleted_files_count": 0,
-        "added_rows_count": n_keys * len(parts),
+        "added_rows_count": n_keys,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
@@ -1473,6 +1478,62 @@ def rewrite_data_files(
     )
 
 
+def _conjunct_skip_filters(condition) -> list[tuple]:
+    """Best-effort ``(col, op, value)`` conjuncts extracted from a SQL
+    condition string, for manifest-bounds candidate pruning. STRICTLY
+    conservative: OR / NOT / parenthesized / non-literal clauses (and
+    Column conditions) contribute no pruning — a missed conjunct only
+    means more files scanned, never missing rows."""
+    import re
+
+    if not isinstance(condition, str):
+        return []
+    if re.search(r"(?i)\bor\b|\bnot\b|\(", condition):
+        return []
+    out = []
+    for clause in re.split(r"(?i)\band\b", condition):
+        m = re.fullmatch(
+            r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|>=|<=|>|<)\s*(.+?)\s*",
+            clause,
+        )
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        if len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'":
+            out.append((col, op, lit[1:-1]))
+        else:
+            try:
+                out.append((col, op, float(lit)))
+            except ValueError:
+                pass  # DATE'…'/expressions: no pruning from this clause
+    return out
+
+
+def _write_delete_parts(
+    df: DataFrame, del_dir: str, sort_cols: list[str]
+) -> tuple[list[str], dict[str, int]]:
+    """Distributed delete-file write: a plain parquet write — NEVER
+    ``coalesce(1)``, which funnels every matched row through one task (a
+    DELETE WHERE touching 1% of a 100 TB table is billions of rows) —
+    spec-ordered within each task, with zero-row task outputs removed.
+    Returns ``(parts, rows_of)`` with per-file footer row counts (one
+    local footer read per file: planning-plane, bounded by the task
+    count)."""
+    import pyarrow.parquet as pq
+
+    df.sortWithinPartitions(*sort_cols).write.parquet(del_dir)
+    parts = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
+    rows_of: dict[str, int] = {}
+    for p in list(parts):
+        n = pq.ParquetFile(p).metadata.num_rows
+        if n == 0:
+            os.remove(p)  # empty shuffle partition — no manifest entry
+            parts.remove(p)
+        else:
+            rows_of[p] = n
+    return parts, rows_of
+
+
 def delete_where(
     spark: SparkSession,
     table_dir: str,
@@ -1481,22 +1542,33 @@ def delete_where(
     timestamp_ms: int | None = None,
 ) -> dict:
     """v2 merge-on-read position-delete commit — ``DELETE WHERE`` without
-    rewriting data files: scan the current snapshot's data files with
-    their ``_metadata`` coordinates, evaluate ``condition`` (SQL string
-    or Column), and commit the matching (file_path, pos) pairs as a
-    position-delete parquet behind a content=1 delete manifest at the
-    next sequence number. The sequence-scoped read side
-    (manifests.read_data_at_snapshot) then drops those positions from
-    data files with sequence <= the delete's, while files appended later
-    are untouched. The scan+filter is fully distributed; only file paths
-    pass through the driver (planning plane)."""
+    rewriting data files: prune candidate data files against the
+    condition's conjuncts using the manifest bounds (the same
+    ``_file_may_match`` machinery the read planes skip with — a bounded
+    DELETE on a 100 TB table scans only files whose min/max can match),
+    scan the survivors with their ``_metadata`` coordinates, evaluate
+    ``condition`` (SQL string or Column), and commit the matching
+    (file_path, pos) pairs as position-delete parquet files behind a
+    content=1 delete manifest at the next sequence number. The
+    sequence-scoped read side (manifests.read_data_at_snapshot) then
+    drops those positions from data files with sequence <= the delete's,
+    while files appended later are untouched.
+
+    Scale: candidate planning is pure Python over the manifests (no
+    Spark collect); the scan+filter is fully distributed; the delete
+    files are written by N tasks hash-partitioned on ``file_path`` and
+    sorted (file_path, pos) within each per the spec's position-delete
+    ordering — never a single-task funnel."""
     import time
 
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    from .manifests import files_from_manifest_list
-    from .metadata_json import _strip_scheme
+    from .manifests import (
+        _file_may_match,
+        _read_files_with_partitions,
+        live_data_file_dicts,
+    )
 
     doc, prev_version = _load_doc(table_dir)
     if doc.get("current-snapshot-id") is None:
@@ -1514,27 +1586,33 @@ def delete_where(
     current = next(
         s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
     )
-    data_files = [
-        r.file_path.removeprefix("file:")
-        for r in files_from_manifest_list(
-            spark, os.path.basename(table_dir),
-            current["manifest-list"].removeprefix("file:"),
-        ).select("file_path").collect()
-    ]
+    candidates = list(
+        live_data_file_dicts(
+            current["manifest-list"].removeprefix("file:")
+        ).values()
+    )
+    for sf in _conjunct_skip_filters(condition):
+        candidates = [f for f in candidates if _file_may_match(f, sf)]
     cond = F.expr(condition) if isinstance(condition, str) else condition
     assert isinstance(cond, Column)
-    positions = (
-        spark.read.parquet(*data_files)
-        .filter(cond)
-        .select(
-            _strip_scheme(F.col("_metadata.file_path")).alias("file_path"),
-            F.col("_metadata.row_index").cast("long").alias("pos"),
-        )
-    )
     del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-posdeletes")
-    positions.coalesce(1).write.parquet(del_dir)
-    parts = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
-    n_deleted = spark.read.parquet(del_dir).count()
+    parts: list[str] = []
+    rows_of: dict[str, int] = {}
+    if candidates:
+        # partition-aware scan (hive-layout files carry identity
+        # partition columns only in metadata — reattach so conditions on
+        # them evaluate) with _fp/_pos row coordinates
+        scan = _read_files_with_partitions(spark, candidates, "fp_pos")
+        positions = scan.filter(cond).select(
+            F.col("_fp").alias("file_path"),
+            F.col("_pos").cast("long").alias("pos"),
+        )
+        parts, rows_of = _write_delete_parts(
+            positions.repartition(F.col("file_path")),
+            del_dir,
+            ["file_path", "pos"],
+        )
+    n_deleted = sum(rows_of.values())
 
     manifest_path = os.path.join(
         mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
@@ -1551,7 +1629,7 @@ def delete_where(
                     "content": 1,  # position deletes
                     "file_path": p,
                     "file_format": "PARQUET",
-                    "record_count": n_deleted,
+                    "record_count": rows_of[p],
                     "file_size_in_bytes": os.path.getsize(p),
                 },
             }
@@ -1570,7 +1648,7 @@ def delete_where(
         "added_files_count": len(parts),
         "existing_files_count": 0,
         "deleted_files_count": 0,
-        "added_rows_count": n_deleted * len(parts),
+        "added_rows_count": n_deleted,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
@@ -1939,9 +2017,12 @@ def merge_into(
 
     del_parts: list[str] = []
     if n_delete_keys:
+        # distributed delete-key write (no coalesce(1) funnel; the keys
+        # frame keeps the join's partitioning), spec-sorted per task
         del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
-        delete_keys.coalesce(1).write.parquet(del_dir)
-        del_parts.extend(sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet"))))
+        del_parts, del_rows_of = _write_delete_parts(
+            delete_keys, del_dir, list(on)
+        )
         del_manifest = os.path.join(
             mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
         )
@@ -1957,7 +2038,7 @@ def merge_into(
                         "content": 2,  # equality deletes
                         "file_path": p,
                         "file_format": "PARQUET",
-                        "record_count": n_delete_keys,
+                        "record_count": del_rows_of[p],
                         "file_size_in_bytes": os.path.getsize(p),
                     },
                 }
@@ -1977,7 +2058,7 @@ def merge_into(
                 "added_files_count": len(del_parts),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": n_delete_keys * len(del_parts),
+                "added_rows_count": sum(del_rows_of.values()),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
@@ -2078,7 +2159,7 @@ def merge_into(
                 "added-data-files": str(len(data_parts)),
                 "added-records": str(added_records),
                 "deleted-records": str(n_deleted_rows),
-                "equality-delete-files": str(1 if n_delete_keys else 0),
+                "equality-delete-files": str(len(del_parts)),
                 "added-delete-records": str(n_delete_keys),
                 "total-records": str(prior_total - n_deleted_rows + added_records),
                 **(extra_summary or {}),

@@ -43,9 +43,12 @@ _COUNT_ALIASES = {
 
 def live_data_file_dicts(manifest_list_path: str) -> dict[str, dict]:
     """Pure-Python planning helper: live DATA files of a snapshot as
-    ``{path: {path, pvals, ptypes}}`` — one avro pass, no Spark hops
-    (the same r5 planning-latency fix read_data_at_snapshot got, shared
-    by the incremental/changelog planners)."""
+    ``{path: {path, pvals, ptypes, seq, records, lb, ub, bt, nc}}`` —
+    one avro pass, no Spark hops (the same r5 planning-latency fix
+    read_data_at_snapshot got, shared by the incremental/changelog
+    planners). The bound keys feed ``_file_may_match`` so callers
+    (delete_where's candidate pruning) skip files straight off the
+    manifest stats."""
     _, _, mlist_rows = read_avro_file(manifest_list_path)
     out: dict[str, dict] = {}
     for m in mlist_rows:
@@ -55,12 +58,15 @@ def live_data_file_dicts(manifest_list_path: str) -> dict[str, dict]:
             _resolve(manifest_list_path, m["manifest_path"]),
             inherited_seq=m.get("sequence_number"),
         ):
-            status, _sid, fpath, *_rest = e
-            pvals, ptypes = e[8], e[9]
-            if status == 2 or (e[6] or 0) != 0:
+            (status, _sid, fpath, _fmt, records, _size, fcontent, seq,
+             pvals, ptypes, lb, ub, bt, nc, _dc) = e
+            if status == 2 or (fcontent or 0) != 0:
                 continue
             p = fpath.removeprefix("file:")
-            out[p] = {"path": p, "pvals": pvals, "ptypes": ptypes}
+            out[p] = {
+                "path": p, "pvals": pvals, "ptypes": ptypes, "seq": seq,
+                "records": records, "lb": lb, "ub": ub, "bt": bt, "nc": nc,
+            }
     return out
 
 
