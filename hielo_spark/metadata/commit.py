@@ -1567,6 +1567,7 @@ def delete_where(
     from .manifests import (
         _file_may_match,
         _read_files_with_partitions,
+        evolved_read_plan,
         live_data_file_dicts,
     )
 
@@ -1601,8 +1602,15 @@ def delete_where(
     if candidates:
         # partition-aware scan (hive-layout files carry identity
         # partition columns only in metadata — reattach so conditions on
-        # them evaluate) with _fp/_pos row coordinates
-        scan = _read_files_with_partitions(spark, candidates, "fp_pos")
+        # them evaluate) with _fp/_pos row coordinates; evolved tables
+        # scan under the current schema (renames/widens resolve)
+        ev_cols, ev_aliases = evolved_read_plan(
+            doc, doc.get("current-schema-id")
+        )
+        scan = _read_files_with_partitions(
+            spark, candidates, "fp_pos",
+            schema_cols=ev_cols, aliases=ev_aliases,
+        )
         positions = scan.filter(cond).select(
             F.col("_fp").alias("file_path"),
             F.col("_pos").cast("long").alias("pos"),
@@ -1666,6 +1674,153 @@ def delete_where(
             0, sum(os.path.getsize(p) for p in parts), len(parts),
         ),
     )
+
+
+#: legal primitive type promotions per the Iceberg spec's Schema
+#: Evolution rules (https://iceberg.apache.org/spec/#schema-evolution)
+_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def _decimal_parts(t: str) -> tuple[int, int] | None:
+    if not t.startswith("decimal("):
+        return None
+    try:
+        p, s = t[len("decimal("):].rstrip(")").split(",")
+        return int(p), int(s)
+    except ValueError:
+        return None
+
+
+def update_schema(
+    table_dir: str,
+    add: list[tuple[str, str]] | None = None,
+    drop: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+    widen: dict[str, str] | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """First-class schema-evolution commit (Iceberg ``UpdateSchema``):
+    derive a NEW schema from the current one and append it to the
+    table's ``schemas`` history, with spec-conformant field-id
+    management — added columns take fresh ids above ``last-column-id``
+    (which bumps), renames and widenings KEEP their field id, dropped
+    ids are never reused. ``current-schema-id`` flips to the new entry
+    and every subsequent snapshot records it (J3 linkage), so the
+    schema-evolution matrix (J2, reference ``components.rs:533-597``;
+    schema list ``data.rs:21-33``) works over tables our own write
+    plane evolved, not just fixture metadata.
+
+    ``add``: ``[(name, sql_type)]``; ``drop``: ``[name]`` (refused for
+    partition source fields, per the spec); ``rename``: ``{old: new}``;
+    ``widen``: ``{name: sql_type}`` restricted to the spec's legal
+    promotions (int→long, float→double, decimal precision increase at
+    the same scale). ``widen`` keys use post-rename names. Returns the
+    new schema id.
+
+    Read semantics across the boundary: files written before an added
+    column read as null for it; dropped columns vanish; renamed columns
+    resolve by field-id history (name-mapping fallback — our parquet
+    carries no field ids); widened columns are type-promoted by the
+    parquet reader. Both read planes (manifests.read_data_at_snapshot
+    via ``evolved_read_plan``, and the hielo_iceberg DataSource) apply
+    these rules; time travel reads under the SNAPSHOT's schema-id."""
+    import time
+
+    add, drop = list(add or []), list(drop or [])
+    rename, widen = dict(rename or {}), dict(widen or {})
+    if not (add or drop or rename or widen):
+        raise ValueError("update_schema with no changes is a no-op")
+    doc, prev_version = _load_doc(table_dir)
+    if "schemas" not in doc:
+        raise ValueError("table has no recorded schema (commit data first)")
+    cur = next(
+        s for s in doc["schemas"]
+        if s.get("schema-id") == doc.get("current-schema-id", 0)
+    )
+    fields = [dict(f) for f in cur.get("fields", [])]
+
+    dropping = set(drop)
+    missing = dropping - {f["name"] for f in fields}
+    if missing:
+        raise ValueError(f"cannot drop columns not in schema: {sorted(missing)}")
+    spec_sources = {
+        pf["source-id"]
+        for spec in doc.get("partition-specs", [])
+        for pf in spec.get("fields", [])
+    }
+    blocked = [
+        f["name"] for f in fields
+        if f["name"] in dropping and f["id"] in spec_sources
+    ]
+    if blocked:
+        raise ValueError(
+            f"cannot drop partition source fields: {blocked} (spec: a "
+            "partition field's source column must exist in the schema)"
+        )
+    fields = [f for f in fields if f["name"] not in dropping]
+
+    names = {f["name"] for f in fields}
+    for old, new in rename.items():
+        if old not in names:
+            raise ValueError(f"cannot rename missing column {old!r}")
+        if new in (names - {old}) or new in {n for n, _ in add}:
+            raise ValueError(f"rename target {new!r} already exists")
+        names.discard(old)
+        names.add(new)
+    for f in fields:
+        if f["name"] in rename:
+            f["name"] = rename[f["name"]]
+
+    for name, new_sql in widen.items():
+        f = next((f for f in fields if f["name"] == name), None)
+        if f is None:
+            raise ValueError(f"cannot widen missing column {name!r}")
+        new_t = _ICEBERG_TYPES.get(new_sql, new_sql)
+        old_t = f["type"]
+        ok = (old_t, new_t) in _PROMOTIONS
+        if not ok:
+            dp_old, dp_new = _decimal_parts(old_t), _decimal_parts(new_t)
+            ok = (
+                dp_old is not None and dp_new is not None
+                and dp_new[1] == dp_old[1] and dp_new[0] >= dp_old[0]
+            )
+        if not ok:
+            raise ValueError(
+                f"illegal type promotion {old_t} -> {new_t} for {name!r} "
+                "(spec allows int->long, float->double, decimal "
+                "precision increase at the same scale)"
+            )
+        f["type"] = new_t
+
+    last_id = int(
+        doc.get("last-column-id", max((f["id"] for f in fields), default=0))
+    )
+    for name, sql_t in add:
+        if name in names:
+            raise ValueError(f"cannot add duplicate column {name!r}")
+        names.add(name)
+        last_id += 1
+        fields.append(
+            {
+                "id": last_id,
+                "name": name,
+                "required": False,
+                "type": _ICEBERG_TYPES.get(sql_t, sql_t),
+            }
+        )
+
+    new_sid = max(int(s.get("schema-id", 0)) for s in doc["schemas"]) + 1
+    doc = dict(doc)
+    doc["schemas"] = doc["schemas"] + [
+        {"type": "struct", "schema-id": new_sid, "fields": fields}
+    ]
+    doc["current-schema-id"] = new_sid
+    doc["last-column-id"] = max(last_id, int(doc.get("last-column-id", 0)))
+    doc["last-updated-ms"] = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    _commit_doc(table_dir, doc, prev_version)
+    return new_sid
 
 
 def update_sort_order(table_dir: str, cols: list[str]) -> int:

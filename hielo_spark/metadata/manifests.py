@@ -415,8 +415,53 @@ def _row_predicate(skip_filter: tuple):
     }[op]
 
 
+def evolved_read_plan(
+    doc: dict, schema_id: int | None = None
+) -> tuple[list[tuple] | None, dict[str, list[str]] | None]:
+    """``(schema_cols, aliases)`` for reading data files under an
+    evolved table schema, or ``(None, None)`` for the single-schema fast
+    path (behavior unchanged). ``schema_cols`` is ``[(name, spark_ddl)]``
+    of the requested schema's fields in order; ``aliases`` maps a field's
+    CURRENT name to its older names (most recent first) collected by
+    field-id across the schema history — our parquet files carry no
+    Iceberg field ids, so renamed columns resolve through this
+    name-mapping fallback (the spec's ``schema.name-mapping.default``
+    mechanism) instead of id-based column resolution."""
+    schemas = doc.get("schemas") or []
+    if len(schemas) < 2:
+        return None, None
+    sid = schema_id if schema_id is not None else doc.get("current-schema-id", 0)
+    target = next((s for s in schemas if s.get("schema-id") == sid), None)
+    if target is None:
+        return None, None
+    by_id = sorted(schemas, key=lambda s: int(s.get("schema-id", 0)))
+    cols: list[tuple] = []
+    aliases: dict[str, list[str]] = {}
+    for f in target.get("fields", []):
+        t = f["type"]
+        if not isinstance(t, str):
+            return None, None  # nested types: fall back to mergeSchema
+        cols.append((f["name"], _ICEBERG_TO_SPARK.get(t, t)))
+        hist: list[str] = []
+        for s in by_id:
+            for g in s.get("fields", []):
+                if (
+                    g["id"] == f["id"]
+                    and g["name"] != f["name"]
+                    and g["name"] not in hist
+                ):
+                    hist.append(g["name"])
+        if hist:
+            aliases[f["name"]] = hist[::-1]
+    return cols, aliases
+
+
 def _read_files_with_partitions(
-    spark: SparkSession, data_files: list[dict], row_coords: str = "fp_pos"
+    spark: SparkSession,
+    data_files: list[dict],
+    row_coords: str = "fp_pos",
+    schema_cols: list[tuple] | None = None,
+    aliases: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Read a list of file dicts (as produced by files_from_manifest_list
     consumption: path/pvals/ptypes keys), grouped by partition tuple:
@@ -449,13 +494,32 @@ def _read_files_with_partitions(
         "fp": [lambda: _strip_scheme(F.col("_metadata.file_path")).alias("_fp")],
         "none": [],
     }[row_coords]
+    # with an evolved schema the read is EXPLICIT-schema (not
+    # mergeSchema): Spark 4's parquet reader promotes int32→int64 /
+    # float→double per the requested type (mergeSchema refuses to merge
+    # them), absent columns (added after a file was written, or dropped
+    # names) come back null, and renamed columns ride along under their
+    # historical names (aliases) to be coalesced below
+    read_schema = None
+    if schema_cols is not None:
+        read_fields = list(schema_cols)
+        declared = {n for n, _ in read_fields}
+        for new, olds in (aliases or {}).items():
+            ddl = dict(schema_cols)[new]
+            read_fields += [(o, ddl) for o in olds if o not in declared]
+        read_schema = ", ".join(f"`{n}` {t}" for n, t in read_fields)
     parts = []
     for key, fs in groups.items():
         # mergeSchema: add-column schema evolution — files written before
         # the column carry null for it, exactly the Iceberg read behavior
         # for added fields; a snapshot containing only pre-evolution files
         # never surfaces the column (its file set IS its schema here)
-        g = spark.read.option("mergeSchema", "true").parquet(
+        reader = (
+            spark.read.schema(read_schema)
+            if read_schema is not None
+            else spark.read.option("mergeSchema", "true")
+        )
+        g = reader.parquet(
             *[f["path"] for f in fs]
         ).select("*", *[mk() for mk in meta_cols])
         if key:
@@ -478,6 +542,19 @@ def _read_files_with_partitions(
     data = parts[0]
     for g in parts[1:]:
         data = data.unionByName(g, allowMissingColumns=True)
+    if schema_cols is not None:
+        # resolve renames: a row came from a pre-rename file iff the new
+        # name is null and an old name is set (they never coexist in one
+        # file), then project to exactly the requested schema's columns
+        for new, olds in (aliases or {}).items():
+            present = [o for o in olds if o in data.columns]
+            if present:
+                data = data.withColumn(new, F.coalesce(new, *present))
+        keep = [n for n, _ in schema_cols] + (
+            ["_fp", "_pos"] if row_coords == "fp_pos"
+            else (["_fp"] if row_coords == "fp" else [])
+        )
+        data = data.select(*keep)
     return data
 
 
@@ -651,7 +728,13 @@ def read_data_at_snapshot(
     row_coords = (
         "fp_pos" if pos_delete_files else ("fp" if eq_delete_files else "none")
     )
-    data = _read_files_with_partitions(spark, data_files, row_coords)
+    # evolved tables read under the SNAPSHOT's schema (Iceberg scans
+    # use the schema the snapshot recorded, so time travel across an
+    # evolution boundary shows the historical shape)
+    schema_cols, aliases = evolved_read_plan(doc, chosen.get("schema-id"))
+    data = _read_files_with_partitions(
+        spark, data_files, row_coords, schema_cols=schema_cols, aliases=aliases
+    )
     if skip_filter and apply_row_filter:
         data = data.filter(_row_predicate(skip_filter))
     out_cols = [c for c in data.columns if c not in ("_fp", "_pos")]

@@ -282,7 +282,7 @@ def _read_partition(part: _ScanPartition):
     # hive-partitioned files store identity partition columns only in
     # the directory layout + manifest partition values — reattach them
     # as typed constants so the batch matches the declared schema
-    for name, ddl in part.columns:
+    for name, ddl, *_aliases in part.columns:
         if name in table.column_names or name not in part.pvals:
             continue
         sval = part.pvals[name]
@@ -320,17 +320,6 @@ def _read_partition(part: _ScanPartition):
         table = table.append_column(
             name, pa.array([pyval] * table.num_rows, type=patype)
         )
-    # equality deletes: delete-key tuples materialized at planning,
-    # applied only when delete_seq > data_seq (re-inserts survive)
-    for cols, key_tuples, dseq in part.eq_deletes or ():
-        if part.seq is not None and dseq is not None and dseq <= part.seq:
-            continue
-        if not cols or table.num_rows == 0:
-            continue
-        del_keys = set(key_tuples)  # null-safe: None == None in tuples
-        data_cols = [table.column(c).to_pylist() for c in cols]
-        mask = [tuple(vals) not in del_keys for vals in zip(*data_cols)]
-        table = table.filter(pa.array(mask, type=pa.bool_()))
     if part.columns:
         # the declared schema's exact column order; columns a file
         # predates (add-column evolution) come back as nulls
@@ -344,15 +333,25 @@ def _read_partition(part: _ScanPartition):
             "timestamp_ntz": pa.timestamp("us"),
         }
         cols = []
-        for name, ddl in part.columns:
+        for name, ddl, *rest in part.columns:
             want = patype_of.get(ddl, pa.string())
-            if name in table.column_names:
-                col = table.column(name)
+            src = name
+            if src not in table.column_names:
+                # renamed column: a file written before the rename
+                # carries the field under a historical name (field-id
+                # history from the schema plane) — read it from there
+                src = next(
+                    (a for a in (rest[0] if rest else ())
+                     if a in table.column_names),
+                    None,
+                )
+            if src is not None:
+                col = table.column(src)
                 if col.type != want:
                     # normalize to the declared schema type: INT96
                     # parquet arrives as timestamp[ns] (Spark's Arrow
-                    # ingest rejects ns), widened ints after add-column
-                    # evolution, etc. safe=False permits the ns→µs
+                    # ingest rejects ns), widened ints after type
+                    # promotion, etc. safe=False permits the ns→µs
                     # truncation; incompatible casts keep the original
                     # and fail loudly downstream
                     try:
@@ -362,7 +361,20 @@ def _read_partition(part: _ScanPartition):
                 cols.append(col)
             else:
                 cols.append(pa.nulls(table.num_rows, type=want))
-        table = pa.table(cols, names=[n for n, _ in part.columns])
+        table = pa.table(cols, names=[c[0] for c in part.columns])
+    # equality deletes: delete-key tuples materialized at planning,
+    # applied only when delete_seq > data_seq (re-inserts survive).
+    # Applied AFTER schema normalization so delete keys on renamed
+    # columns resolve by the current name even in pre-rename files.
+    for cols, key_tuples, dseq in part.eq_deletes or ():
+        if part.seq is not None and dseq is not None and dseq <= part.seq:
+            continue
+        if not cols or table.num_rows == 0:
+            continue
+        del_keys = set(key_tuples)  # null-safe: None == None in tuples
+        data_cols = [table.column(c).to_pylist() for c in cols]
+        mask = [tuple(vals) not in del_keys for vals in zip(*data_cols)]
+        table = table.filter(pa.array(mask, type=pa.bool_()))
     yield from table.to_batches()
 
 
@@ -922,17 +934,35 @@ class HieloIcebergDataSource(DataSource):
 
     def _schema_cols(self):
         doc = _load_doc(self.options["path"])
+        schemas = doc.get("schemas", [])
         schema = next(
-            s for s in doc.get("schemas", [])
+            s for s in schemas
             if s.get("schema-id") == doc.get("current-schema-id", 0)
         )
-        return [
+        by_id = sorted(schemas, key=lambda s: int(s.get("schema-id", 0)))
+        out = []
+        for f in schema.get("fields", []):
+            # rename history by field id (most recent old name first):
+            # our parquet carries no Iceberg field ids, so a file
+            # predating a rename resolves through these historical
+            # names — the spec's name-mapping fallback
+            hist: list[str] = []
+            for s in by_id:
+                for g in s.get("fields", []):
+                    if (
+                        g["id"] == f["id"]
+                        and g["name"] != f["name"]
+                        and g["name"] not in hist
+                    ):
+                        hist.append(g["name"])
             # nested (non-str) types never reach here: schema() raises
             # NotImplementedError during planning before any reader is
             # constructed
-            (f["name"], _ICEBERG_TO_DDL.get(f["type"], "string"))
-            for f in schema.get("fields", [])
-        ]
+            out.append(
+                (f["name"], _ICEBERG_TO_DDL.get(f["type"], "string"),
+                 tuple(hist[::-1]))
+            )
+        return out
 
     def reader(self, schema):
         surface = self.options.get("surface", "data")

@@ -1291,9 +1291,9 @@ def test_delete_where_prunes_candidate_files(spark, tmp_path, monkeypatch):
     seen = {}
     real = M._read_files_with_partitions
 
-    def spy(spark_, files, row_coords="fp_pos"):
+    def spy(spark_, files, row_coords="fp_pos", **kw):
         seen["paths"] = [f["path"] for f in files]
-        return real(spark_, files, row_coords)
+        return real(spark_, files, row_coords, **kw)
 
     monkeypatch.setattr(M, "_read_files_with_partitions", spy)
     snap = C.delete_where(spark, t, "id >= 1000 AND id < 1050",
