@@ -5,4 +5,50 @@ as Spark DataFrames. With a live Iceberg catalog these frames come from the
 ``t.snapshots`` / ``t.metadata_log_entries`` metadata tables; in this repo
 they come from deterministic fixtures (fixtures.py) so the operators are
 testable without a catalog service.
+
+The table WRITE plane (commit.py) and executable read plane (manifests.py)
+are re-exported here as the engine's stable API: ``append`` /
+``delete_where`` / ``merge_into`` / ``rewrite_data_files`` for data
+commits, ``update_schema`` / ``update_partition_spec`` /
+``update_sort_order`` for metadata-only evolution commits
+(reference ``data.rs:21-33``, ``components.rs:533-597``), and
+``read_data_at_snapshot`` for time travel.
 """
+
+from .commit import (  # noqa: F401
+    append,
+    create_ref,
+    current_metadata_path,
+    delete_equality,
+    delete_where,
+    drop_ref,
+    expire_snapshots,
+    fast_forward,
+    merge_into,
+    rewrite_data_files,
+    rewrite_manifests,
+    set_current_snapshot,
+    update_partition_spec,
+    update_schema,
+    update_sort_order,
+)
+from .manifests import read_data_at_snapshot  # noqa: F401
+
+__all__ = [
+    "append",
+    "create_ref",
+    "current_metadata_path",
+    "delete_equality",
+    "delete_where",
+    "drop_ref",
+    "expire_snapshots",
+    "fast_forward",
+    "merge_into",
+    "read_data_at_snapshot",
+    "rewrite_data_files",
+    "rewrite_manifests",
+    "set_current_snapshot",
+    "update_partition_spec",
+    "update_schema",
+    "update_sort_order",
+]

@@ -595,10 +595,22 @@ def _default_snapshot_id(doc: dict, seq: int) -> int:
     time travel — fall back to a random 63-bit id (Iceberg's own
     assignment strategy) until it's fresh."""
     candidate = 1000 + seq
+    # collision set covers MORE than retained snapshots: after
+    # expire_snapshots a freed 1000+seq id could be reassigned while
+    # still referenced by refs, the snapshot log, or external lineage
+    # consumers — those histories keep their ids reserved forever
     existing = {
         int(s["snapshot-id"]) for s in doc.get("snapshots", [])
         if s.get("snapshot-id") is not None
     }
+    existing.update(
+        int(r["snapshot-id"]) for r in doc.get("refs", {}).values()
+        if r.get("snapshot-id") is not None
+    )
+    existing.update(
+        int(e["snapshot-id"]) for e in doc.get("snapshot-log", [])
+        if e.get("snapshot-id") is not None
+    )
     while candidate in existing:
         candidate = _uuid.uuid4().int >> 65  # positive 63-bit
     return candidate
@@ -1500,7 +1512,9 @@ def _conjunct_skip_filters(condition) -> list[tuple]:
             continue
         col, op, lit = m.groups()
         if len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'":
-            out.append((col, op, lit[1:-1]))
+            # SQL-unescape doubled quotes ('O''Brien' → O'Brien) so the
+            # literal matches the bound-string rendering
+            out.append((col, op, lit[1:-1].replace("''", "'")))
         else:
             try:
                 out.append((col, op, float(lit)))
@@ -1592,8 +1606,12 @@ def delete_where(
             current["manifest-list"].removeprefix("file:")
         ).values()
     )
+    # evolved tables delete under the CURRENT schema; the alias history
+    # also feeds bounds pruning so a condition on a renamed column still
+    # consults pre-rename files' bounds (recorded under the old name)
+    ev_cols, ev_aliases = evolved_read_plan(doc, doc.get("current-schema-id"))
     for sf in _conjunct_skip_filters(condition):
-        candidates = [f for f in candidates if _file_may_match(f, sf)]
+        candidates = [f for f in candidates if _file_may_match(f, sf, ev_aliases)]
     cond = F.expr(condition) if isinstance(condition, str) else condition
     assert isinstance(cond, Column)
     del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-posdeletes")
@@ -1604,9 +1622,6 @@ def delete_where(
         # partition columns only in metadata — reattach so conditions on
         # them evaluate) with _fp/_pos row coordinates; evolved tables
         # scan under the current schema (renames/widens resolve)
-        ev_cols, ev_aliases = evolved_read_plan(
-            doc, doc.get("current-schema-id")
-        )
         scan = _read_files_with_partitions(
             spark, candidates, "fp_pos",
             schema_cols=ev_cols, aliases=ev_aliases,
@@ -1759,12 +1774,31 @@ def update_schema(
         )
     fields = [f for f in fields if f["name"] not in dropping]
 
+    # historical name → field ids that ever carried it, across EVERY
+    # schema: our parquet files carry no Iceberg field ids, so renamed
+    # columns resolve by name-mapping fallback — reusing a name a
+    # DIFFERENT field held in any prior schema would make pre-change
+    # files' data silently attribute to the wrong column. Refuse.
+    hist_ids: dict[str, set[int]] = {}
+    for s in doc["schemas"]:
+        for g in s.get("fields", []):
+            hist_ids.setdefault(g["name"], set()).add(int(g["id"]))
+
     names = {f["name"] for f in fields}
     for old, new in rename.items():
         if old not in names:
             raise ValueError(f"cannot rename missing column {old!r}")
         if new in (names - {old}) or new in {n for n, _ in add}:
             raise ValueError(f"rename target {new!r} already exists")
+        fid = next(f["id"] for f in fields if f["name"] == old)
+        other_ids = hist_ids.get(new, set()) - {int(fid)}
+        if other_ids:
+            raise ValueError(
+                f"rename target {new!r} was used by field id(s) "
+                f"{sorted(other_ids)} in a prior schema — parquet files "
+                "carry no field ids, so reusing the name would "
+                "misattribute pre-rename data (pick a fresh name)"
+            )
         names.discard(old)
         names.add(new)
     for f in fields:
@@ -1798,6 +1832,13 @@ def update_schema(
     for name, sql_t in add:
         if name in names:
             raise ValueError(f"cannot add duplicate column {name!r}")
+        if name in hist_ids:
+            raise ValueError(
+                f"cannot add column {name!r}: the name was used by field "
+                f"id(s) {sorted(hist_ids[name])} in a prior schema — "
+                "parquet files carry no field ids, so old files' data "
+                "under that name would misattribute to the new column"
+            )
         names.add(name)
         last_id += 1
         fields.append(

@@ -361,31 +361,92 @@ _NUMERIC_BOUND_TYPES = (
 _SKIP_OPS = ("=", ">", ">=", "<", "<=", "is_null", "is_not_null")
 
 
-def _file_may_match(f: dict, skip_filter: tuple) -> bool:
+def _trim_ts_fraction(s: str) -> str:
+    """Trim trailing fraction zeros from a timestamp string so padded
+    pre-fix bounds ('…05.100000') compare equal to the canonical
+    trimmed form ('…05.1') — normalizing at COMPARISON time covers
+    manifests written before the write-side trimming fix."""
+    if "." not in s:
+        return s
+    head, frac = s.rsplit(".", 1)
+    frac = frac.rstrip("0")
+    return f"{head}.{frac}" if frac else head
+
+
+def _canon_ts_value(s: str) -> str | None:
+    """Canonicalize a timestamp literal to the bound-string rendering
+    (values._format_ts shape: space separator, trimmed fraction).
+    None when the literal doesn't parse — caller must not prune."""
+    from .values import _format_ts, _parse_ts_micros
+
+    try:
+        return _format_ts(_parse_ts_micros(s.replace("T", " ")))
+    except (ValueError, TypeError):
+        return None
+
+
+def _file_may_match(
+    f: dict, skip_filter: tuple, aliases: dict[str, list[str]] | None = None
+) -> bool:
     """Can a file's manifest bounds satisfy ``(col, op, value)``?
     True on any missing information (no bounds recorded, unknown column,
     unknown op) — skipping must never drop a possibly-matching file.
-    Numeric types compare as floats; strings/dates/timestamps compare
-    lexicographically on their stringified form (ISO timestamps sort
-    correctly as strings)."""
+    Numeric types compare as floats (decimals exactly via Decimal);
+    strings/dates/timestamps compare lexicographically on their
+    CANONICALIZED stringified form (ISO timestamps sort correctly as
+    strings once both sides have trailing fraction zeros trimmed).
+
+    ``aliases`` maps a column's CURRENT name to its historical names
+    (evolved_read_plan's shape): a file written before a rename carries
+    its bounds under the old name, so pruning consults those keys too —
+    otherwise a renamed-column filter silently stops pruning."""
     col, op, value = skip_filter
     lb, ub, bt = f.get("lb") or {}, f.get("ub") or {}, f.get("bt") or {}
+    # resolve the filter's current-name column to whichever name this
+    # file's stats were recorded under (current first, then history)
+    key = col
+    if key not in bt and aliases:
+        key = next(
+            (a for a in aliases.get(col, ()) if a in bt or a in lb), col
+        )
     if op in ("is_null", "is_not_null"):
-        nc = (f.get("nc") or {}).get(col)
+        nc_map = f.get("nc") or {}
+        nc = nc_map.get(key if key in nc_map else col)
         records = f.get("records")
         if nc is None or records is None:
             return True
         return int(nc) > 0 if op == "is_null" else int(nc) < int(records)
-    lo, hi = lb.get(col), ub.get(col)
+    lo, hi = lb.get(key), ub.get(key)
     if lo is None or hi is None:
         return True
-    if bt.get(col) in _NUMERIC_BOUND_TYPES:
+    btype = bt.get(key) or ""
+    if btype in _NUMERIC_BOUND_TYPES:
         try:
             lo, hi, value = float(lo), float(hi), float(value)
         except (TypeError, ValueError):
             return True
+    elif btype.startswith("decimal"):
+        from decimal import Decimal, InvalidOperation
+
+        try:
+            lo, hi, value = Decimal(lo), Decimal(hi), Decimal(str(value))
+        except (InvalidOperation, TypeError, ValueError):
+            return True
     else:
-        value = str(value)
+        # string-compared bound types: only a STRING literal can prune
+        # (an unquoted numeric on a string column stringifies as
+        # '123.0' vs bound '123' — falsely pruning; contribute nothing)
+        if not isinstance(value, str):
+            return True
+        if btype.startswith("timestamp"):
+            # canonicalize BOTH sides: the literal to the bound-string
+            # rendering ('…00.500000' → '…00.5'), and the bounds
+            # themselves (pre-fix manifests carry padded fractions)
+            canon = _canon_ts_value(value)
+            if canon is None:
+                return True
+            value = canon
+            lo, hi = _trim_ts_fraction(lo), _trim_ts_fraction(hi)
     if op == "=":
         return lo <= value <= hi
     if op == ">":
@@ -604,6 +665,9 @@ def read_data_at_snapshot(
         raise ValueError(f"no snapshots in {metadata_json_path}")
     if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
         raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
+    # remember whether this is TIME TRAVEL (explicit snapshot/as-of/ref)
+    # or a LATEST read — they resolve the read schema differently below
+    time_travel = any(x is not None for x in (snapshot_id, as_of_ms, ref))
     if skip_filter is not None and skip_filter[1] not in _SKIP_OPS:
         raise ValueError(
             f"unsupported skip_filter op {skip_filter[1]!r} (supported: {_SKIP_OPS})"
@@ -710,13 +774,30 @@ def read_data_at_snapshot(
                 f"snapshot {chosen['snapshot-id']}"
             )
 
+    # schema resolution: a LATEST read scans under the table's CURRENT
+    # schema (Iceberg semantics — update_schema is a metadata-only
+    # commit that adds no snapshot, so the snapshot's recorded schema-id
+    # can lag current-schema-id); TIME TRAVEL reads under the SNAPSHOT's
+    # schema so history shows its historical shape.
+    read_schema_id = (
+        chosen.get("schema-id")
+        if time_travel
+        else doc.get("current-schema-id", chosen.get("schema-id"))
+    )
+    schema_cols, aliases = evolved_read_plan(doc, read_schema_id)
+
     # metadata skipping on column bounds: keep only files whose manifest
     # min/max CAN satisfy the predicate — Iceberg's scan-planning file
     # filter. Planning-level: the survivors' rows are a superset of the
     # matches, so callers still apply the row filter (the returned frame
-    # does it when apply_row_filter=True, the default).
+    # does it when apply_row_filter=True, the default). Alias-aware: a
+    # file written before a rename records its bounds under the OLD
+    # name, so the filter's current-name column resolves through the
+    # schema history rather than silently ceasing to prune.
     if skip_filter:
-        data_files = [f for f in data_files if _file_may_match(f, skip_filter)]
+        data_files = [
+            f for f in data_files if _file_may_match(f, skip_filter, aliases)
+        ]
         if not data_files:
             raise ValueError(
                 f"skip filter {skip_filter} prunes every file of "
@@ -728,10 +809,6 @@ def read_data_at_snapshot(
     row_coords = (
         "fp_pos" if pos_delete_files else ("fp" if eq_delete_files else "none")
     )
-    # evolved tables read under the SNAPSHOT's schema (Iceberg scans
-    # use the schema the snapshot recorded, so time travel across an
-    # evolution boundary shows the historical shape)
-    schema_cols, aliases = evolved_read_plan(doc, chosen.get("schema-id"))
     data = _read_files_with_partitions(
         spark, data_files, row_coords, schema_cols=schema_cols, aliases=aliases
     )
@@ -772,12 +849,38 @@ def read_data_at_snapshot(
             )
         )
         data = data.join(dels, cond, "left_anti")
+    # equality-delete key columns carry the names current when the
+    # delete was WRITTEN — resolve each through the rename history
+    # (historical → current) so a delete written before a rename still
+    # applies; a key column whose field was DROPPED makes the delete
+    # inexact (a partial key over-deletes), so skip it loudly instead.
+    hist2cur = {h: c for c, hs in (aliases or {}).items() for h in hs}
     for d in eq_delete_files:
         p, dseq = d["path"], d["seq"]
         eq = spark.read.parquet(p)
-        keys = [c for c in eq.columns if c in out_cols]
+        resolved: dict[str, str] = {}
+        unresolved: list[str] = []
+        for c in eq.columns:
+            rc = c if c in out_cols else hist2cur.get(c)
+            if rc in out_cols:
+                resolved[c] = rc
+            else:
+                unresolved.append(c)
+        if unresolved:
+            import warnings
+
+            warnings.warn(
+                f"equality-delete file {p} keys {unresolved} do not "
+                "resolve against the read schema (dropped column?) — "
+                "delete not applied",
+                stacklevel=2,
+            )
+            continue
+        keys = list(resolved.values())
         if keys:
-            eqd = eq.select(keys).distinct()
+            eqd = eq.select(
+                *[F.col(c).alias(rc) for c, rc in resolved.items()]
+            ).distinct()
             # spec: equality deletes apply only at delete_seq > data_seq
             # (a file written in or after the delete's commit survives)
             scope = (

@@ -219,7 +219,14 @@ for mod in (relational, meta, ext):
 #   q13_order_count_distribution → r4 green; the left-join count
 #     histogram is pinned by the local harness, grouped-agg family held
 #     by q1 and the count-correlated q22
+# Round-7: meta_schema_evolution_roundtrip (the S15 evolution plane —
+# update_schema + cross-plane evolved reads + J2 over own metadata)
+# takes a head slot so the brand-new plane gets a driver row;
+# events_interval_union defers (r6 green; the gaps-and-islands window
+# family keeps its head story via events_sessionization, and the
+# interval-union semantics stay oracle-checked by the local harness):
 _DEFERRED = [
+    "events_interval_union",
     "q13_order_count_distribution",
     "lineitem_quantiles",
     "events_sliding_windows",

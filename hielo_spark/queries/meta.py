@@ -1300,3 +1300,118 @@ def meta_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "read_kind string, n_rows long").orderBy(
         "read_kind"
     )
+
+
+# --------------------------------------------------------------------------
+# S15/J2/J3 (r7) — schema-evolution round-trip golden: create → evolve
+# (rename + add + int→long widen via update_schema, the Iceberg
+# UpdateSchema surface; reference data.rs:21-33, components.rs:533-597)
+# → post-evolution append, read back through BOTH read planes. Pins:
+# (a) a LATEST read sees a metadata-only evolution commit immediately
+# (current-schema-id, not the snapshot's schema-id — the r6 judge bug);
+# (b) pre-rename files' data surfaces under the CURRENT name; (c) time
+# travel keeps the HISTORICAL shape; (d) the Python DataSource agrees
+# with the JVM plane row-for-row; (e) the J2 evolution matrix classifies
+# the changes over OUR OWN evolved metadata.json (not fixture metadata).
+# Constant oracle; all counts derive from a 3-row + 2-row fixture.
+# --------------------------------------------------------------------------
+@query(
+    "meta_schema_evolution_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('c1_metadata_only_visible', CAST(1 AS BIGINT)),
+      ('c2_latest_cols_ok',        CAST(1 AS BIGINT)),
+      ('c3_latest_rows',           CAST(5 AS BIGINT)),
+      ('c4_latest_amount_sum',     CAST(150 AS BIGINT)),
+      ('c5_latest_null_scores',    CAST(3 AS BIGINT)),
+      ('c6_travel_cols_ok',        CAST(1 AS BIGINT)),
+      ('c7_travel_n_sum',          CAST(60 AS BIGINT)),
+      ('c8_datasource_agrees',     CAST(1 AS BIGINT)),
+      ('c9_matrix_added',          CAST(1 AS BIGINT)),
+      ('c10_matrix_renamed',       CAST(1 AS BIGINT)),
+      ('c11_matrix_type_changed',  CAST(1 AS BIGINT))
+    ) AS t(check_name, value)
+    ORDER BY check_name
+    """,
+)
+def meta_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata import update_schema
+    from ..metadata.manifests import read_data_at_snapshot
+    from ..metadata.metadata_json import schemas_from_metadata_json
+    from ..sources import register
+
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_evolution_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    C.append(
+        spark, t,
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "id int, n int, s string",
+        ),
+        snapshot_id=101, timestamp_ms=1700000000000,
+    )
+    update_schema(
+        t, rename={"n": "amount"}, add=[("score", "double")],
+        widen={"id": "bigint"}, timestamp_ms=1700100000000,
+    )
+    # (a) metadata-only state: no data commit since the evolution, yet
+    # the latest read already shows the evolved shape on both planes
+    mpath = C.current_metadata_path(t)
+    evolved_cols = ["id", "amount", "s", "score"]
+    meta_only_ok = read_data_at_snapshot(spark, mpath).columns == evolved_cols
+
+    C.append(
+        spark, t,
+        spark.createDataFrame(
+            [(4, 40, "d", 0.5), (5, 50, "e", 1.5)],
+            "id bigint, amount int, s string, score double",
+        ),
+        snapshot_id=102, timestamp_ms=1700200000000,
+    )
+    mpath = C.current_metadata_path(t)
+
+    latest = read_data_at_snapshot(spark, mpath)
+    latest_rows = sorted(
+        (r.id, r.amount, r.s, r.score) for r in latest.collect()
+    )
+    travel = read_data_at_snapshot(spark, mpath, snapshot_id=101)
+
+    register(spark)
+    ds_rows = sorted(
+        (r.id, r.amount, r.s, r.score)
+        for r in spark.read.format("hielo_iceberg").load(t).collect()
+    )
+
+    changes = {
+        r.change: r.n
+        for r in sch.evolution_changes(
+            schemas_from_metadata_json(spark, [("t", mpath)])
+        )
+        .filter("schema_id = 1")
+        .groupBy("change").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = [
+        ("c1_metadata_only_visible", int(meta_only_ok)),
+        ("c2_latest_cols_ok", int(latest.columns == evolved_cols)),
+        ("c3_latest_rows", len(latest_rows)),
+        ("c4_latest_amount_sum", sum(r[1] for r in latest_rows)),
+        ("c5_latest_null_scores", sum(1 for r in latest_rows if r[3] is None)),
+        ("c6_travel_cols_ok", int(travel.columns == ["id", "n", "s"])),
+        ("c7_travel_n_sum", sum(r.n for r in travel.collect())),
+        ("c8_datasource_agrees", int(ds_rows == latest_rows)),
+        ("c9_matrix_added", changes.get("added", 0)),
+        ("c10_matrix_renamed", changes.get("renamed", 0)),
+        ("c11_matrix_type_changed", changes.get("type_changed", 0)),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, value long"
+    ).orderBy("check_name")

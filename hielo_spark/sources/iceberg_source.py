@@ -253,7 +253,7 @@ def _file_survives(filters, e: dict) -> bool:
 
 class _ScanPartition(InputPartition):
     def __init__(self, path, seq, pos_deletes, eq_deletes, columns,
-                 pvals=None):
+                 pvals=None, out_names=None, scan_log=None):
         self.path = path
         self.seq = seq
         # deletes are MATERIALIZED at planning time (delete files are
@@ -264,21 +264,56 @@ class _ScanPartition(InputPartition):
         # per-task delete-parquet scan would do.
         self.pos_deletes = pos_deletes
         self.eq_deletes = eq_deletes
-        self.columns = columns          # [(name, ddl_type)] full schema
+        # [(name, ddl_type, hist)] columns this task MATERIALIZES: the
+        # pruned projection plus any equality-delete key columns the
+        # projection dropped (deletes must still apply)
+        self.columns = columns
         self.pvals = pvals or {}        # hive-partition values (strings)
+        # the projection Spark asked for, in its order; None = everything
+        # in `columns` (no pruning)
+        self.out_names = out_names
+        self.scan_log = scan_log        # debug: file to append scan info to
 
 
 def _read_partition(part: _ScanPartition):
-    """Executor-side scan: pyarrow parquet + sequence-scoped MOR deletes."""
+    """Executor-side scan: pyarrow parquet + sequence-scoped MOR deletes.
+    Column-pruned: only the columns in ``part.columns`` are read from the
+    parquet (resolved to each file's own historical names), so a
+    2-of-20-columns projection on a wide table reads 2 columns' pages,
+    not 20 — the read-amplification fix for 100 TB-wide tables."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pq.read_table(part.path)
+    pf = pq.ParquetFile(part.path)
+    avail = set(pf.schema_arrow.names)
+    # resolve each wanted column to the name THIS file carries it under
+    # (current name, else first historical alias present); columns the
+    # file predates resolve to nothing and become nulls below
+    want_src = []
+    for name, _ddl, *rest in part.columns or ():
+        if name in avail:
+            want_src.append(name)
+        else:
+            src = next(
+                (a for a in (rest[0] if rest else ()) if a in avail), None
+            )
+            if src is not None:
+                want_src.append(src)
+    table = (
+        pf.read(columns=want_src)
+        if part.columns
+        else pq.read_table(part.path)
+    )
+    if part.scan_log:
+        with open(part.scan_log, "a") as f:
+            f.write(f"{part.path}\t{','.join(sorted(want_src))}\n")
     # position deletes: already filtered to this file at planning time
     doomed = set(part.pos_deletes or ())
     if doomed:
         keep = [i for i in range(table.num_rows) if i not in doomed]
-        table = table.take(keep)
+        # typed index array: an empty python list infers null type,
+        # which the take kernel rejects (fully-deleted file case)
+        table = table.take(pa.array(keep, type=pa.int64()))
     # hive-partitioned files store identity partition columns only in
     # the directory layout + manifest partition values — reattach them
     # as typed constants so the batch matches the declared schema
@@ -364,25 +399,57 @@ def _read_partition(part: _ScanPartition):
         table = pa.table(cols, names=[c[0] for c in part.columns])
     # equality deletes: delete-key tuples materialized at planning,
     # applied only when delete_seq > data_seq (re-inserts survive).
-    # Applied AFTER schema normalization so delete keys on renamed
-    # columns resolve by the current name even in pre-rename files.
+    # Applied AFTER schema normalization so the data side carries
+    # CURRENT names — but the delete file's own key columns carry the
+    # names current when the delete was WRITTEN, so each resolves
+    # through the same field-id alias history as data columns
+    # (historical → current). A key column that resolves to nothing
+    # (its field was dropped) makes the delete inexact: skip the delete
+    # file with a loud warning rather than crash or over-delete.
+    hist2cur = {
+        a: name
+        for name, _ddl, *rest in part.columns or ()
+        for a in (rest[0] if rest else ())
+    }
+    cur_names = set(table.column_names)
     for cols, key_tuples, dseq in part.eq_deletes or ():
         if part.seq is not None and dseq is not None and dseq <= part.seq:
             continue
         if not cols or table.num_rows == 0:
             continue
+        rcols = [
+            c if c in cur_names else hist2cur.get(c) for c in cols
+        ]
+        missing = [c for c, rc in zip(cols, rcols) if rc not in cur_names]
+        if missing:
+            import warnings
+
+            warnings.warn(
+                f"equality-delete keys {missing} do not resolve against "
+                "the current schema (dropped column?) — delete file "
+                "not applied",
+                stacklevel=2,
+            )
+            continue
         del_keys = set(key_tuples)  # null-safe: None == None in tuples
-        data_cols = [table.column(c).to_pylist() for c in cols]
+        data_cols = [table.column(c).to_pylist() for c in rcols]
         mask = [tuple(vals) not in del_keys for vals in zip(*data_cols)]
         table = table.filter(pa.array(mask, type=pa.bool_()))
+    # final projection: drop equality-delete key columns the pruned
+    # schema didn't ask for, and emit in Spark's requested column order
+    if part.out_names is not None and list(table.column_names) != part.out_names:
+        table = table.select(part.out_names)
     yield from table.to_batches()
 
 
 class HieloIcebergReader(DataSourceReader):
-    def __init__(self, table_dir: str, options, schema_cols):
+    def __init__(self, table_dir: str, options, schema_cols, out_names=None):
         self.table_dir = table_dir
         self.options = options
-        self.schema_cols = schema_cols
+        self.schema_cols = schema_cols  # FULL table schema (resolution)
+        # the pruned projection Spark asked for (reader(schema)); None =
+        # no pruning requested
+        self.out_names = out_names
         self.filters: list[Filter] = []
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
@@ -434,6 +501,27 @@ class HieloIcebergReader(DataSourceReader):
                 if cols else [],
                 dseq,
             ))
+        # column pruning: tasks materialize the pruned projection PLUS
+        # any equality-delete key columns the projection dropped (the
+        # deletes must still apply even when their keys aren't selected);
+        # the extras are dropped again after delete application.
+        task_cols, out_names = self.schema_cols, None
+        if self.out_names is not None:
+            hist2cur = {
+                a: name
+                for name, _ddl, *rest in self.schema_cols
+                for a in (rest[0] if rest else ())
+            }
+            needed = set(self.out_names)
+            for cols, _tuples, _dseq in eq_del:
+                for c in cols:
+                    cur = c if c in {n for n, *_ in self.schema_cols} \
+                        else hist2cur.get(c)
+                    if cur is not None:
+                        needed.add(cur)
+            task_cols = [c for c in self.schema_cols if c[0] in needed]
+            out_names = list(self.out_names)
+        scan_log = self.options.get("scan_log")
         parts = []
         for path, e in data:
             if not _file_survives(self.filters, e):
@@ -455,11 +543,13 @@ class HieloIcebergReader(DataSourceReader):
             ]
             parts.append(
                 _ScanPartition(path, seq, my_pos, eq_del,
-                               self.schema_cols, pvals)
+                               task_cols, pvals,
+                               out_names=out_names, scan_log=scan_log)
             )
         if not parts:
             # Spark requires >= 1 partition; an empty scan still needs one
-            parts = [_ScanPartition(None, None, [], [], self.schema_cols)]
+            parts = [_ScanPartition(None, None, [], [], task_cols,
+                                    out_names=out_names)]
         return parts
 
     def read(self, partition: _ScanPartition):
@@ -929,8 +1019,28 @@ class HieloIcebergDataSource(DataSource):
                 )
             # decimal(p,s)/fixed[n] pass through: their Iceberg renderings
             # are valid (decimal) or rejected loudly by Spark's DDL parser
-            cols.append(f"{f['name']} {_ICEBERG_TO_DDL.get(t, t)}")
-        return ", ".join(cols)
+            cols.append((f["name"], f"{f['name']} {_ICEBERG_TO_DDL.get(t, t)}"))
+        # explicit projection pushdown: option("columns", "a,b") narrows
+        # the declared schema, so tasks read only those columns' parquet
+        # pages (Spark 4.1's PythonScanBuilder has no
+        # SupportsPushDownRequiredColumns — it always hands reader() the
+        # FULL declared schema, so automatic .select() pruning can't
+        # reach the scan; the option is the user-controlled path until
+        # the JVM API grows column pruning, at which point reader()'s
+        # schema threading engages with no further change)
+        wanted = self.options.get("columns")
+        if wanted:
+            want = [w.strip() for w in wanted.split(",") if w.strip()]
+            have = {n for n, _ in cols}
+            missing = [w for w in want if w not in have]
+            if missing:
+                raise ValueError(
+                    f"option('columns') names not in table schema: "
+                    f"{missing} (have {sorted(have)})"
+                )
+            by_name = dict(cols)
+            return ", ".join(by_name[w] for w in want)
+        return ", ".join(ddl for _, ddl in cols)
 
     def _schema_cols(self):
         doc = _load_doc(self.options["path"])
@@ -970,8 +1080,15 @@ class HieloIcebergDataSource(DataSource):
             return _MetaSurfaceReader(
                 self.options["path"], surface, dict(self.options)
             )
+        # column pruning: Spark passes the schema the scan actually
+        # needs — when it's narrower than the table schema, tasks read
+        # only those columns' parquet pages (plus delete keys)
+        full = self._schema_cols()
+        requested = [f.name for f in schema.fields]
+        out_names = requested if requested != [c[0] for c in full] else None
         return HieloIcebergReader(
-            self.options["path"], dict(self.options), self._schema_cols()
+            self.options["path"], dict(self.options), full,
+            out_names=out_names,
         )
 
     def _reject_surface(self, what: str) -> None:

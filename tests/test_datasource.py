@@ -551,3 +551,52 @@ def test_spec_ts_bounds_render_trimmed():
         "2024-01-02 03:04:05"
     assert _format_ts(_parse_ts_micros("2024-01-02 03:04:05.000001")) == \
         "2024-01-02 03:04:05.000001"
+
+
+# -- column pruning (r7) ------------------------------------------------------
+
+
+def test_columns_option_prunes_parquet_read(registered, spark, tmp_path):
+    """option("columns", ...) narrows the declared schema so tasks read
+    only those columns' parquet pages — plus any equality-delete key
+    columns, which must still apply even when not projected. (Spark 4.1's
+    PythonScanBuilder has no SupportsPushDownRequiredColumns, so a plain
+    .select() cannot reach the scan; the option is the explicit path.)"""
+    t = str(tmp_path / "t")
+    C.append(
+        spark, t,
+        spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(10)],
+            "id int, v string, x double",
+        ),
+        snapshot_id=101, timestamp_ms=1700000000000,
+    )
+    C.delete_equality(spark, t, spark.createDataFrame([(3,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    log = str(tmp_path / "scanlog.txt")
+    pr = (spark.read.format("hielo_iceberg")
+          .option("scan_log", log).option("columns", "v").load(t))
+    assert pr.columns == ["v"]
+    # the eq delete on id=3 applies even though id wasn't projected
+    assert sorted(r.v for r in pr.collect()) == [
+        f"v{i}" for i in range(10) if i != 3
+    ]
+    cols_read = {line.split("\t")[1] for line in open(log).read().splitlines()}
+    assert cols_read == {"id,v"}  # x never read; id only for the delete key
+
+    with pytest.raises(Exception, match="names not in table schema"):
+        spark.read.format("hielo_iceberg").option("columns", "nope").load(t)
+
+
+def test_columns_option_resolves_renamed_history(registered, spark, tmp_path):
+    """Pruned reads resolve a renamed column to the historical name a
+    pre-rename file carries it under."""
+    from hielo_spark.metadata import update_schema
+
+    t = str(tmp_path / "t")
+    C.append(spark, t,
+             spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    update_schema(t, rename={"v": "label"}, timestamp_ms=1700100000000)
+    pr = spark.read.format("hielo_iceberg").option("columns", "label").load(t)
+    assert sorted(r.label for r in pr.collect()) == ["a", "b"]
