@@ -30,12 +30,18 @@ from . import commit as C
 from .avro_py import read_avro_file, write_avro_file
 
 
-def _carry_forward_rows_py(mdir: str, doc: dict) -> list[dict]:
-    """Pure-python twin of commit._carry_forward_rows: the current
-    snapshot's manifest-list rows re-emitted as existing."""
+def _carry_forward_rows_py(
+    mdir: str, doc: dict, base_id: int | None = None
+) -> list[dict]:
+    """Pure-python twin of commit._carry_forward_rows: the base
+    snapshot's manifest-list rows re-emitted as existing. ``base_id``
+    defaults to the current snapshot; branch commits pass the branch
+    head instead."""
     snaps = doc.get("snapshots", [])
+    if base_id is None:
+        base_id = doc.get("current-snapshot-id")
     cur = next(
-        (s for s in snaps if s.get("snapshot-id") == doc.get("current-snapshot-id")),
+        (s for s in snaps if s.get("snapshot-id") == base_id),
         None,
     )
     if cur is None:
@@ -76,14 +82,33 @@ def append_files(
     timestamp_ms: int | None = None,
     extra_summary: dict[str, str] | None = None,
     extra_properties: dict[str, str] | None = None,
+    mode: str = "append",
+    branch: str | None = None,
 ) -> dict:
-    """Commit already-written parquet ``files`` as one append snapshot.
+    """Commit already-written parquet ``files`` as one snapshot.
 
     Each file dict: ``{path, record_count, file_size_in_bytes,
     lower_bounds, upper_bounds, null_counts}`` with bounds/counts as the
     stringified engine-extension maps (``bounds_types`` = ``dtypes``
-    restricted to bounded columns). Returns the snapshot dict."""
+    restricted to bounded columns). Returns the snapshot dict.
+
+    ``mode="overwrite"`` composes a REPLACE-style snapshot: no manifest
+    carry-forward (the new files ARE the table), summary operation
+    ``overwrite`` with reset running totals — Iceberg's truncate-and-
+    write. ``branch`` stages the commit on that branch ref instead of
+    moving ``current-snapshot-id`` (the write half of write-audit-
+    publish; publish with ``commit.fast_forward``); readers see the
+    staged rows only via ``ref=branch`` / ``option("branch", ...)``."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported commit mode {mode!r}")
     doc, prev_version = C._load_doc(table_dir)
+    base_id = doc.get("current-snapshot-id")
+    if branch is not None:
+        ref = doc.get("refs", {}).get(branch)
+        if ref is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            base_id = int(ref["snapshot-id"])
     seq = int(doc.get("last-sequence-number", 0)) + 1
     snapshot_id = (
         snapshot_id if snapshot_id is not None
@@ -154,7 +179,10 @@ def append_files(
 
     added_records = sum(int(f["record_count"]) for f in files)
     added_bytes = sum(int(f["file_size_in_bytes"]) for f in files)
-    prior_rows = _carry_forward_rows_py(mdir, doc)
+    overwrite = mode == "overwrite"
+    prior_rows = (
+        [] if overwrite else _carry_forward_rows_py(mdir, doc, base_id)
+    )
     new_row = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
@@ -175,11 +203,11 @@ def append_files(
 
     base = next(
         (s for s in doc.get("snapshots", [])
-         if s.get("snapshot-id") == doc.get("current-snapshot-id")),
+         if s.get("snapshot-id") == base_id),
         None,
     )
     total_records = added_records
-    if base is not None:
+    if base is not None and not overwrite:
         try:
             total_records += int(
                 base.get("summary", {}).get("total-records", "0") or 0
@@ -188,15 +216,16 @@ def append_files(
             pass
     summary = C._with_totals(
         {
-            "operation": "append",
+            "operation": "overwrite" if overwrite else "append",
             "added-data-files": str(len(files)),
             "added-records": str(added_records),
             "total-records": str(total_records),
             "added-files-size": str(added_bytes),
             **(extra_summary or {}),
         },
-        doc, doc.get("current-snapshot-id"),
+        doc, base_id,
         len(files), added_bytes, 0,
+        reset=overwrite,
     )
 
     list_path = os.path.join(
@@ -214,7 +243,7 @@ def append_files(
     )
     snapshot = {
         "snapshot-id": snapshot_id,
-        "parent-snapshot-id": doc.get("current-snapshot-id"),
+        "parent-snapshot-id": base_id,
         "sequence-number": seq,
         "timestamp-ms": timestamp_ms,
         "manifest-list": list_path,
@@ -223,10 +252,17 @@ def append_files(
     }
     doc = dict(doc)
     doc["snapshots"] = doc.get("snapshots", []) + [snapshot]
-    doc["current-snapshot-id"] = snapshot_id
-    doc["snapshot-log"] = doc.get("snapshot-log", []) + [
-        {"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}
-    ]
+    if branch is None:
+        doc["current-snapshot-id"] = snapshot_id
+        # spec: snapshot-log records changes of the CURRENT snapshot;
+        # staged branch commits never move the main line
+        doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+            {"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}
+        ]
+    else:
+        refs = dict(doc.get("refs", {}))
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        doc["refs"] = refs
     doc["last-sequence-number"] = seq
     doc["last-updated-ms"] = timestamp_ms
     doc.setdefault("sort-orders", [{"order-id": 0, "fields": []}])

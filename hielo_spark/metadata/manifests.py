@@ -41,6 +41,18 @@ _COUNT_ALIASES = {
 }
 
 
+def inherited_seq_of(m: dict) -> int | None:
+    """The sequence number a manifest-list row passes down to entries
+    with a null/absent one. Spec v1→v2 inheritance: a v1 manifest list
+    has NO ``sequence_number`` field at all, and all v1 sequence
+    numbers read as 0 — distinguish key-absent (v1 → 0) from
+    present-but-null (malformed v2 → None, the conservative
+    apply-to-everything fallback for delete scoping)."""
+    if "sequence_number" not in m:
+        return 0
+    return m["sequence_number"]
+
+
 def live_data_file_dicts(manifest_list_path: str) -> dict[str, dict]:
     """Pure-Python planning helper: live DATA files of a snapshot as
     ``{path: {path, pvals, ptypes, seq, records, lb, ub, bt, nc}}`` —
@@ -56,7 +68,7 @@ def live_data_file_dicts(manifest_list_path: str) -> dict[str, dict]:
             continue
         for e in decode_manifest(
             _resolve(manifest_list_path, m["manifest_path"]),
-            inherited_seq=m.get("sequence_number"),
+            inherited_seq=inherited_seq_of(m),
         ):
             (status, _sid, fpath, _fmt, records, _size, fcontent, seq,
              pvals, ptypes, lb, ub, bt, nc, _dc) = e
@@ -728,7 +740,7 @@ def read_data_at_snapshot(
     for m in mlist_rows:
         for e in decode_manifest(
             _resolve(mlist, m["manifest_path"]),
-            inherited_seq=m.get("sequence_number"),
+            inherited_seq=inherited_seq_of(m),
         ):
             (status, _sid, fpath, _fmt, records, _size, fcontent, seq,
              pvals, ptypes, lb, ub, bt, nc, _dc) = e

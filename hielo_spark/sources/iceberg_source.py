@@ -87,6 +87,24 @@ def _load_doc(table_dir: str) -> dict:
         return json.load(f)
 
 
+def _current_schema_block(doc: dict) -> dict | None:
+    """The current schema struct: v2 tables key it by
+    ``current-schema-id`` into ``schemas``; v1 tables carry a single
+    top-level ``schema`` (spec v1 compatibility — real catalogs are
+    full of v1 tables, and v1 writers are not required to emit the v2
+    list form)."""
+    schemas = doc.get("schemas")
+    if schemas:
+        return next(
+            (
+                s for s in schemas
+                if s.get("schema-id") == doc.get("current-schema-id", 0)
+            ),
+            None,
+        )
+    return doc.get("schema")
+
+
 def _resolve_rel(base: str, p: str) -> str:
     p = p.removeprefix("file:")
     if not os.path.isabs(p):
@@ -137,11 +155,15 @@ def _select_snapshot(doc: dict, options) -> dict:
 
 def _manifest_entries(mlist_path: str) -> Iterator[tuple[dict, dict]]:
     """(manifest-list row, live entry) pairs across all manifests."""
+    from ..metadata.manifests import inherited_seq_of
+
     _, _, mrows = read_avro_file(mlist_path)
     for m in mrows:
         mpath = _resolve_rel(mlist_path, m["manifest_path"])
         _, header, entries = read_avro_file(mpath)
-        inherited = m.get("sequence_number")
+        # v1 manifest lists carry no sequence_number field at all →
+        # every v1 sequence number reads as 0 (spec v1→v2 inheritance)
+        inherited = inherited_seq_of(m)
         id2field = {}
         raw = header.get("schema")
         if raw:
@@ -668,12 +690,18 @@ class HieloIcebergWriter(DataSourceArrowWriter):
     Exactly-once: only files named in SUCCESSFUL tasks' commit messages
     enter the manifest; retried/zombie task outputs are unreferenced
     and reclaimed by remove_orphan_files, the Iceberg pattern. Writes
-    are append-only and unpartitioned in this surface (documented);
-    overwrite mode is rejected loudly."""
+    are unpartitioned in this surface (documented).
+    ``mode("overwrite")`` composes a REPLACE commit (no manifest
+    carry-forward, reset totals — Iceberg truncate-and-write);
+    ``option("branch", name)`` stages the snapshot on that branch ref
+    for write-audit-publish (readers see it only via
+    ``option("ref"/"branch", name)``; publish with
+    ``metadata.fast_forward``)."""
 
-    def __init__(self, table_dir: str, options):
+    def __init__(self, table_dir: str, options, overwrite: bool = False):
         self.table_dir = table_dir
         self.options = options
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import pyarrow as pa
@@ -725,8 +753,8 @@ class HieloIcebergWriter(DataSourceArrowWriter):
                 continue
             files.extend(m.files)
             dtypes.update(m.dtypes)
-        if not files:
-            return  # empty write: no snapshot, like Iceberg
+        if not files and not self.overwrite:
+            return  # empty append: no snapshot, like Iceberg
         append_files(
             self.table_dir, files, dtypes,
             snapshot_id=(
@@ -737,6 +765,8 @@ class HieloIcebergWriter(DataSourceArrowWriter):
                 int(self.options["timestamp-ms"])
                 if self.options.get("timestamp-ms") is not None else None
             ),
+            mode="overwrite" if self.overwrite else "append",
+            branch=self.options.get("branch"),
         )
 
     def abort(self, messages):
@@ -994,13 +1024,7 @@ class HieloIcebergDataSource(DataSource):
                 )
             return _META_SURFACES[surface]
         doc = _load_doc(table_dir)
-        schema = next(
-            (
-                s for s in doc.get("schemas", [])
-                if s.get("schema-id") == doc.get("current-schema-id", 0)
-            ),
-            None,
-        )
+        schema = _current_schema_block(doc)
         if schema is None:
             raise ValueError("table metadata carries no schema block")
         cols = []
@@ -1045,10 +1069,9 @@ class HieloIcebergDataSource(DataSource):
     def _schema_cols(self):
         doc = _load_doc(self.options["path"])
         schemas = doc.get("schemas", [])
-        schema = next(
-            s for s in schemas
-            if s.get("schema-id") == doc.get("current-schema-id", 0)
-        )
+        schema = _current_schema_block(doc)
+        if schema is None:
+            raise ValueError("table metadata carries no schema block")
         by_id = sorted(schemas, key=lambda s: int(s.get("schema-id", 0)))
         out = []
         for f in schema.get("fields", []):
@@ -1106,12 +1129,9 @@ class HieloIcebergDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         self._reject_surface("writes")
-        if overwrite:
-            raise ValueError(
-                "hielo_iceberg writes are append-only (mode('append')); "
-                "use metadata.commit.rewrite_data_files for replacement"
-            )
-        return HieloIcebergWriter(self.options["path"], dict(self.options))
+        return HieloIcebergWriter(
+            self.options["path"], dict(self.options), overwrite=overwrite
+        )
 
     def streamWriter(self, schema, overwrite: bool):  # noqa: N802
         self._reject_surface("streaming writes")

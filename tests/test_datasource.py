@@ -220,11 +220,79 @@ def test_write_stats_feed_pruning(registered, tmp_path):
     assert len(r_flt.partitions()) == 1
 
 
-def test_write_overwrite_rejected(registered, tmp_path):
+def test_write_overwrite_replaces_table(registered, tmp_path):
+    """mode("overwrite") is a REPLACE commit: no carry-forward, reset
+    running totals, operation=overwrite; both read planes see only the
+    new rows, and time travel still reads the pre-overwrite snapshot."""
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
     spark = registered
     t = str(tmp_path / "t")
-    with pytest.raises(Exception, match="append-only"):
-        spark.range(3).write.format("hielo_iceberg").mode("overwrite").save(t)
+    spark.range(0, 10).coalesce(1).write.format("hielo_iceberg") \
+        .option("snapshot-id", "101").option("timestamp-ms", "1700000000000") \
+        .mode("append").save(t)
+    spark.range(100, 103).coalesce(1).write.format("hielo_iceberg") \
+        .option("snapshot-id", "102").option("timestamp-ms", "1700100000000") \
+        .mode("overwrite").save(t)
+
+    ds = spark.read.format("hielo_iceberg").load(t)
+    assert sorted(r.id for r in ds.collect()) == [100, 101, 102]
+    mpath = C.current_metadata_path(t)
+    jvm = read_data_at_snapshot(spark, mpath)
+    assert sorted(r.id for r in jvm.collect()) == [100, 101, 102]
+    # pre-overwrite snapshot still time-travelable
+    old = read_data_at_snapshot(spark, mpath, snapshot_id=101)
+    assert old.count() == 10
+    doc = json.load(open(mpath))
+    snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == 102)
+    assert snap["summary"]["operation"] == "overwrite"
+    assert snap["summary"]["total-records"] == "3"
+    assert snap["summary"]["total-data-files"] == "1"
+
+
+def test_write_branch_stages_wap_commit(registered, tmp_path):
+    """option("branch", ...) stages the snapshot on a branch ref: the
+    main read is untouched until fast_forward publishes it — the
+    write-audit-publish flow through the standard writer API."""
+    from hielo_spark.metadata import fast_forward
+
+    spark = registered
+    t = str(tmp_path / "t")
+    spark.range(0, 5).coalesce(1).write.format("hielo_iceberg") \
+        .option("snapshot-id", "101").option("timestamp-ms", "1700000000000") \
+        .mode("append").save(t)
+    spark.range(5, 8).coalesce(1).write.format("hielo_iceberg") \
+        .option("snapshot-id", "102").option("timestamp-ms", "1700100000000") \
+        .option("branch", "audit").mode("append").save(t)
+
+    # main plane unchanged; branch sees staged rows
+    main = spark.read.format("hielo_iceberg").load(t)
+    assert main.count() == 5
+    staged = spark.read.format("hielo_iceberg").option("ref", "audit").load(t)
+    assert sorted(r.id for r in staged.collect()) == list(range(8))
+    doc = json.load(open(C.current_metadata_path(t)))
+    assert doc["current-snapshot-id"] == 101
+    assert doc["refs"]["audit"]["snapshot-id"] == 102
+    # snapshot-log never records staged commits
+    assert [e["snapshot-id"] for e in doc["snapshot-log"]] == [101]
+
+    fast_forward(t, "audit")
+    published = spark.read.format("hielo_iceberg").load(t)
+    assert published.count() == 8
+
+
+def test_write_branch_overwrite_rejects_tag(registered, tmp_path):
+    from hielo_spark.metadata import create_ref
+
+    spark = registered
+    t = str(tmp_path / "t")
+    spark.range(0, 3).coalesce(1).write.format("hielo_iceberg") \
+        .option("snapshot-id", "101").option("timestamp-ms", "1700000000000") \
+        .mode("append").save(t)
+    create_ref(t, "v1", 101, ref_type="tag")
+    with pytest.raises(Exception, match="tag, not a branch"):
+        spark.range(3).coalesce(1).write.format("hielo_iceberg") \
+            .option("branch", "v1").mode("append").save(t)
 
 
 def test_python_written_avro_readable_by_jvm(spark, tmp_path):

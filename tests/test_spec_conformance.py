@@ -576,3 +576,153 @@ def test_decimal_scale_and_minimal_negative_length():
     assert serialize_value("decimal(9,0)", "0") == b"\x00"
     # spec renders scale with a space too: 'decimal(10, 2)'
     assert serialize_value("decimal(10, 2)", "12.34") == b"\x04\xd2"
+
+
+# -- v1-compat reads (r7, ADVICE r5 #4 second half) ---------------------------
+
+
+V1_MANIFEST_ENTRY_SCHEMA = json.dumps({
+    # the v1 manifest_entry shape: NO sequence_number on the entry, NO
+    # content on data_file, v1 count field names on the list (below)
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 1},
+        {
+            "name": "data_file", "field-id": 2,
+            "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                ],
+            },
+        },
+    ],
+})
+
+V1_MANIFEST_LIST_SCHEMA = json.dumps({
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        # v1 count names (v2 renamed them without the _data_ infix)
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+    ],
+})
+
+
+@pytest.fixture()
+def v1_table(spark, tmp_path):
+    """A hand-built FORMAT VERSION 1 table: single top-level ``schema``
+    (no ``schemas`` list), no sequence numbers anywhere, v1 manifest-list
+    field names — the shape a real v1 catalog serves."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hielo_spark.metadata.avro_py import write_avro_file
+
+    t = tmp_path / "v1t"
+    (t / "metadata").mkdir(parents=True)
+    (t / "data").mkdir()
+    dpath = str(t / "data" / "f1.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array(["a", "b", "c"])}),
+        dpath,
+    )
+    mpath = str(t / "metadata" / "m1.avro")
+    write_avro_file(mpath, V1_MANIFEST_ENTRY_SCHEMA, [
+        {"status": 1, "snapshot_id": 90001, "data_file": {
+            "file_path": dpath, "file_format": "PARQUET",
+            "record_count": 3,
+            "file_size_in_bytes": os.path.getsize(dpath),
+        }},
+    ])
+    lpath = str(t / "metadata" / "snap-90001.avro")
+    write_avro_file(lpath, V1_MANIFEST_LIST_SCHEMA, [
+        {"manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
+         "partition_spec_id": 0, "added_snapshot_id": 90001,
+         "added_data_files_count": 1, "existing_data_files_count": 0,
+         "deleted_data_files_count": 0},
+    ])
+    doc = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-0000000000v1",
+        "location": str(t),
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "string"},
+            ],
+        },
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": 90001,
+        "snapshots": [{
+            "snapshot-id": 90001,
+            "timestamp-ms": 1700000000000,
+            "manifest-list": lpath,
+            "summary": {"operation": "append"},
+        }],
+    }
+    with open(t / "metadata" / "v1.metadata.json", "w") as f:
+        json.dump(doc, f)
+    with open(t / "metadata" / "version-hint.text", "w") as f:
+        f.write("1")
+    return str(t)
+
+
+def test_v1_sequence_and_content_defaults(v1_table):
+    """Spec v1→v2 inheritance: reading v1 metadata, all sequence numbers
+    default to 0 and all files are content=data — key-ABSENT (v1) maps
+    to 0, while a present-but-null v2 sequence stays None (the
+    conservative delete-scoping fallback)."""
+    from hielo_spark.metadata.manifests import (
+        inherited_seq_of,
+        live_data_file_dicts,
+    )
+
+    assert inherited_seq_of({"manifest_path": "x"}) == 0          # v1
+    assert inherited_seq_of({"sequence_number": None}) is None    # bad v2
+    assert inherited_seq_of({"sequence_number": 7}) == 7
+
+    doc = json.load(open(os.path.join(v1_table, "metadata", "v1.metadata.json")))
+    files = live_data_file_dicts(doc["snapshots"][0]["manifest-list"])
+    assert len(files) == 1
+    (f,) = files.values()
+    assert f["seq"] == 0
+    assert f["records"] == 3
+
+
+def test_v1_table_reads_on_both_planes(spark, v1_table):
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.sources import register
+    from hielo_spark.sources.iceberg_source import _manifest_entries
+
+    mpath = os.path.join(v1_table, "metadata", "v1.metadata.json")
+    jvm = read_data_at_snapshot(spark, mpath)
+    assert sorted((r.id, r.v) for r in jvm.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")]
+
+    register(spark)
+    ds = spark.read.format("hielo_iceberg").load(v1_table)
+    assert ds.columns == ["id", "v"]  # v1 single top-level schema block
+    assert sorted((r.id, r.v) for r in ds.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")]
+
+    doc = json.load(open(mpath))
+    for _m, e in _manifest_entries(doc["snapshots"][0]["manifest-list"]):
+        assert e["_seq"] == 0                           # spec default
+        assert e["data_file"].get("content", 0) == 0    # data
