@@ -14,10 +14,13 @@ last-column-id, running totals) — written through
 pinned equal by tests (the JVM read plane reads these commits back
 bit-for-bit).
 
-Scope: unpartitioned appends (the DataSource writer's v1 surface —
-``partitionBy`` on the write path is documented future work; reads of
-partitioned tables are full-featured). Concurrency: the same
-``os.link`` optimistic rename in ``commit._commit_doc``.
+Scope: appends/overwrites under the table's recorded default spec —
+unpartitioned, or identity-partitioned with the WRITER tasks splitting
+rows per partition and attaching per-file ``partition_values`` (hive
+semantics: values live in the manifest r102 record + engine-extension
+maps, not the files). Non-identity transforms on this surface raise
+loudly (the JVM plane handles them). Concurrency: the same ``os.link``
+optimistic rename in ``commit._commit_doc``.
 """
 
 from __future__ import annotations
@@ -120,24 +123,38 @@ def append_files(
     mdir = os.path.join(table_dir, "metadata")
     os.makedirs(mdir, exist_ok=True)
     C._record_table_shape(doc, dtypes, [])
-    # this surface writes UNPARTITIONED files (empty r102, spec-0 header
-    # meta); committing them as the default spec of a PARTITIONED table
-    # would attribute spec fields to entries that carry none — refuse
-    # loudly rather than record inconsistent metadata
+    # partitioned tables: the writer tasks must have split their rows by
+    # the spec's identity fields and attached per-file partition_values
+    # (hive semantics — the values live in the manifest, not the file).
+    # A partitioned spec with files missing those values would attribute
+    # spec fields to entries that carry none — refuse loudly rather than
+    # record inconsistent metadata.
+    spec_id = int(doc.get("default-spec-id", 0))
     default_spec = next(
         (
             s for s in doc.get("partition-specs", [])
-            if s.get("spec-id") == doc.get("default-spec-id", 0)
+            if s.get("spec-id") == spec_id
         ),
         None,
     )
-    if default_spec and default_spec.get("fields"):
+    partitioned = bool(default_spec and default_spec.get("fields"))
+    if partitioned and any(f.get("partition_values") is None for f in files):
         raise ValueError(
-            "hielo_iceberg DataSource writes are unpartitioned; table "
-            f"{table_dir!r} has a partitioned default spec — append "
-            "through metadata.commit.append (JVM plane) instead"
+            f"table {table_dir!r} has a partitioned default spec but the "
+            "write produced files without partition values — the writer "
+            "must split rows by the spec's identity fields"
         )
-    spec_id = int(doc.get("default-spec-id", 0))  # unpartitioned, per guard
+    ptypes = None
+    if partitioned:
+        ptypes = {}
+        for f in files:
+            ptypes.update(f.get("partition_types") or {})
+    pfields = C._partition_avro_fields(doc, ptypes, spec_id)
+    entry_schema = (
+        C.manifest_entry_schema(pfields)
+        if partitioned
+        else C.MANIFEST_ENTRY_SCHEMA_V2
+    )
     name2id = C._name2id(doc)
     btypes = {
         c: t for c, t in dtypes.items()
@@ -149,7 +166,7 @@ def append_files(
     )
     write_avro_file(
         manifest_path,
-        C.MANIFEST_ENTRY_SCHEMA_V2,
+        entry_schema,
         [
             {
                 "status": 1,
@@ -158,13 +175,22 @@ def append_files(
                     "content": 0,
                     "file_path": f["path"],
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": C._typed_partition(
+                        f.get("partition_values"), pfields
+                    ) if partitioned else {},
                     "record_count": int(f["record_count"]),
                     "file_size_in_bytes": int(f["file_size_in_bytes"]),
                     **C._spec_stats(
                         name2id, btypes, f.get("lower_bounds"),
                         f.get("upper_bounds"), f.get("null_counts"),
                         int(f["record_count"]),
+                    ),
+                    **(
+                        {
+                            "partition_values": f.get("partition_values"),
+                            "partition_types": f.get("partition_types"),
+                        }
+                        if partitioned else {}
                     ),
                     "lower_bounds_str": f.get("lower_bounds"),
                     "upper_bounds_str": f.get("upper_bounds"),
@@ -186,8 +212,6 @@ def append_files(
     new_row = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        # matches the header meta + empty r102 above: the guard ensures
-        # this spec is unpartitioned
         "partition_spec_id": spec_id,
         "content": 0,
         "sequence_number": seq,

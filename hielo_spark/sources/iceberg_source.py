@@ -702,24 +702,55 @@ class HieloIcebergWriter(DataSourceArrowWriter):
         self.table_dir = table_dir
         self.options = options
         self.overwrite = overwrite
+        # resolved once in the planner (which has table-metadata access)
+        # and pickled to tasks: [(spec_field_name, source_column)] of the
+        # default spec's IDENTITY fields — tasks split rows per value
+        self.partition_cols = self._identity_spec_cols()
 
-    def write(self, iterator):
-        import pyarrow as pa
+    def _identity_spec_cols(self) -> list[tuple[str, str]]:
+        try:
+            doc = _load_doc(self.table_dir)
+        except (TypeError, FileNotFoundError):
+            return []  # first write to a new table: unpartitioned
+        spec = next(
+            (
+                s for s in doc.get("partition-specs", [])
+                if s.get("spec-id") == doc.get("default-spec-id", 0)
+            ),
+            None,
+        )
+        if not spec or not spec.get("fields"):
+            return []
+        schema = _current_schema_block(doc) or {}
+        id2name = {f["id"]: f["name"] for f in schema.get("fields", [])}
+        cols = []
+        for pf in spec["fields"]:
+            tr = pf.get("transform", "identity")
+            if tr != "identity":
+                raise NotImplementedError(
+                    "hielo_iceberg writes support identity partitioning "
+                    f"only; spec field {pf.get('name')!r} uses transform "
+                    f"{tr!r} — append through metadata.commit.append "
+                    "(JVM plane)"
+                )
+            src = id2name.get(pf.get("source-id"))
+            if src is None:
+                raise ValueError(
+                    f"partition spec field {pf.get('name')!r} has no "
+                    "resolvable source column in the current schema"
+                )
+            cols.append((pf.get("name") or src, src))
+        return cols
+
+    @staticmethod
+    def _file_entry(table, path):
+        """Write ``table`` to ``path`` and return (file_dict, dtypes)
+        with the engine-extension stats maps."""
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        batches = list(iterator)
-        if not batches or sum(b.num_rows for b in batches) == 0:
-            return _WrittenFiles([], {})
-        table = pa.Table.from_batches(batches)
-        data_dir = os.path.join(self.table_dir, "data")
-        os.makedirs(data_dir, exist_ok=True)
-        import uuid as _uuid
-
-        path = os.path.join(data_dir, f"ds-{_uuid.uuid4().hex}.parquet")
         pq.write_table(table, path)
         lo, hi, nulls, dtypes = {}, {}, {}, {}
-        import pyarrow.compute as pc
-
         for name in table.column_names:
             col = table.column(name)
             dtypes[name] = _spark_dtype_of(col.type)
@@ -732,17 +763,79 @@ class HieloIcebergWriter(DataSourceArrowWriter):
                     if mn is not None:
                         lo[name] = _stringify_stat(mn)
                         hi[name] = _stringify_stat(mx)
-        return _WrittenFiles(
-            [{
+        return (
+            {
                 "path": path,
                 "record_count": table.num_rows,
                 "file_size_in_bytes": os.path.getsize(path),
                 "lower_bounds": lo or None,
                 "upper_bounds": hi or None,
                 "null_counts": nulls or None,
-            }],
+            },
             dtypes,
         )
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import uuid as _uuid
+        from urllib.parse import quote
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _WrittenFiles([], {})
+        table = pa.Table.from_batches(batches)
+        data_dir = os.path.join(self.table_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+
+        if not self.partition_cols:
+            path = os.path.join(data_dir, f"ds-{_uuid.uuid4().hex}.parquet")
+            entry, dtypes = self._file_entry(table, path)
+            return _WrittenFiles([entry], dtypes)
+
+        # identity-partitioned: split THIS task's rows per partition
+        # tuple (hive semantics — values live in the manifest, the
+        # partition columns are stripped from the file and reattached by
+        # the read planes). Per-task distinct values bound the fan-out,
+        # the same shape as Spark's partitionBy writer tasks.
+        missing = [s for _, s in self.partition_cols
+                   if s not in table.column_names]
+        if missing:
+            raise ValueError(
+                f"frame lacks partition source columns {missing}"
+            )
+        ptypes = {
+            name: _spark_dtype_of(table.column(src).type)
+            for name, src in self.partition_cols
+        }
+        full_dtypes = {
+            name: _spark_dtype_of(table.column(name).type)
+            for name in table.column_names
+        }
+        keys = list(zip(*[
+            table.column(src).to_pylist() for _, src in self.partition_cols
+        ]))
+        files = []
+        for tup in sorted(set(keys), key=lambda t: tuple(map(str, t))):
+            mask = pa.array([k == tup for k in keys], type=pa.bool_())
+            sub = table.filter(mask).drop_columns(
+                [s for _, s in self.partition_cols]
+            )
+            pvals, segs = {}, []
+            for (name, _src), v in zip(self.partition_cols, tup):
+                sval = (
+                    "__HIVE_DEFAULT_PARTITION__" if v is None
+                    else _stringify_stat(v)
+                )
+                pvals[name] = sval
+                segs.append(f"{name}={quote(sval, safe='')}")
+            pdir = os.path.join(data_dir, *segs)
+            os.makedirs(pdir, exist_ok=True)
+            path = os.path.join(pdir, f"ds-{_uuid.uuid4().hex}.parquet")
+            entry, _dt = self._file_entry(sub, path)
+            entry["partition_values"] = pvals
+            entry["partition_types"] = ptypes
+            files.append(entry)
+        return _WrittenFiles(files, full_dtypes)
 
     def commit(self, messages):
         from ..metadata.commit_py import append_files
@@ -795,9 +888,15 @@ class HieloIcebergStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, table_dir: str, options):
         self.table_dir = table_dir
         self.options = options
+        self.partition_cols = HieloIcebergWriter._identity_spec_cols(self)
 
-    # per-task Arrow write is identical to the batch writer's
+    # per-task Arrow write is identical to the batch writer's (incl.
+    # identity-partitioned splitting — the helpers only touch table_dir)
     write = HieloIcebergWriter.write
+    _identity_spec_cols = HieloIcebergWriter._identity_spec_cols
+    # re-wrap: accessing a staticmethod through the class yields the bare
+    # function, which would rebind as an instance method here
+    _file_entry = staticmethod(HieloIcebergWriter._file_entry)
 
     def commit(self, messages, batchId=None):  # noqa: N802 (API name)
         import json as _json

@@ -668,3 +668,107 @@ def test_columns_option_resolves_renamed_history(registered, spark, tmp_path):
     update_schema(t, rename={"v": "label"}, timestamp_ms=1700100000000)
     pr = spark.read.format("hielo_iceberg").option("columns", "label").load(t)
     assert sorted(r.label for r in pr.collect()) == ["a", "b"]
+
+
+# -- partitioned writes (r7) --------------------------------------------------
+
+
+def test_write_partitioned_table_via_datasource(registered, spark, tmp_path):
+    """A table whose default spec is identity-partitioned accepts
+    DataSource appends: each task splits its rows per partition value,
+    strips the partition columns (hive semantics), and the manifest
+    carries typed r102 + partition_values; both read planes reattach
+    and partition-prune."""
+    from hielo_spark.metadata import update_partition_spec
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    t = str(tmp_path / "t")
+    # establish the table + spec through the JVM plane
+    C.append(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "us", 1.0), (1, "eu", 2.0)],
+            "id int, region string, x double",
+        ),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        partition_by=["region"],
+    )
+    # DataSource append into the partitioned table
+    spark.createDataFrame(
+        [(2, "us", 3.0), (3, "ap", 4.0)], "id int, region string, x double"
+    ).coalesce(1).write.format("hielo_iceberg") \
+        .option("snapshot-id", "102").option("timestamp-ms", "1700100000000") \
+        .mode("append").save(t)
+
+    mpath = C.current_metadata_path(t)
+    jvm = read_data_at_snapshot(spark, mpath)
+    got = sorted((r.id, r.region, r.x) for r in jvm.collect())
+    assert got == [(0, "us", 1.0), (1, "eu", 2.0), (2, "us", 3.0),
+                   (3, "ap", 4.0)]
+    ds = spark.read.format("hielo_iceberg").load(t)
+    assert sorted((r.id, r.region, r.x) for r in ds.collect()) == got
+
+    # partition pruning consults the DataSource-written file's values
+    us = read_data_at_snapshot(spark, mpath, partition_filter={"region": "us"})
+    assert sorted(r.id for r in us.collect()) == [0, 2]
+    n_all = len(set(jvm.inputFiles()))
+    assert len(set(us.inputFiles())) < n_all
+
+    # the written file is hive-laid-out and does NOT contain the
+    # partition column
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    ds_files = glob.glob(os.path.join(t, "data", "region=*", "ds-*.parquet"))
+    assert len(ds_files) == 2  # us + ap
+    for f in ds_files:
+        assert "region" not in pq.ParquetFile(f).schema_arrow.names
+
+    # spec-less path: update_partition_spec alone also enables it
+    t2 = str(tmp_path / "t2")
+    spark.createDataFrame([(1, "a")], "id int, k string").coalesce(1) \
+        .write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "201").option("timestamp-ms", "1700000000000") \
+        .save(t2)
+    update_partition_spec(t2, ["k"])
+    spark.createDataFrame([(2, "b")], "id int, k string").coalesce(1) \
+        .write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "202").option("timestamp-ms", "1700100000000") \
+        .save(t2)
+    out = spark.read.format("hielo_iceberg").load(t2)
+    assert sorted((r.id, r.k) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_write_partitioned_null_value_roundtrip(registered, spark, tmp_path):
+    from hielo_spark.metadata import update_partition_spec
+
+    t = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id int, k string").coalesce(1) \
+        .write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "101").option("timestamp-ms", "1700000000000") \
+        .save(t)
+    update_partition_spec(t, ["k"])
+    spark.createDataFrame([(2, None)], "id int, k string").coalesce(1) \
+        .write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "102").option("timestamp-ms", "1700100000000") \
+        .save(t)
+    ds = spark.read.format("hielo_iceberg").load(t)
+    got = sorted(((r.id, r.k) for r in ds.collect()), key=str)
+    assert got == [(1, "a"), (2, None)]
+
+
+def test_write_transform_partitioned_rejected(registered, spark, tmp_path):
+    """Non-identity transforms (bucket/days/...) are the JVM plane's
+    job; the Python writer refuses loudly instead of mislabeling."""
+    t = str(tmp_path / "t")
+    C.append(
+        spark, t,
+        spark.createDataFrame([(1, "a")], "id int, k string"),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        partition_by=["bucket(4, id)"],
+    )
+    with pytest.raises(Exception, match="identity partitioning only"):
+        spark.createDataFrame([(2, "b")], "id int, k string").coalesce(1) \
+            .write.format("hielo_iceberg").mode("append").save(t)
