@@ -637,7 +637,18 @@ def _record_table_shape(doc: dict, dtypes: dict[str, str], transforms) -> None:
     read side, documented)."""
     if "schemas" in doc:
         return
+    from .types import max_field_id, sql_to_iceberg
+
     field_id = {c: i + 1 for i, c in enumerate(dtypes)}
+    # nested element/key/value/struct-field ids are allocated ABOVE the
+    # top-level ids (spec requires uniqueness, not contiguity), keeping
+    # top-level ids stable at 1..n
+    next_id = [len(dtypes)]
+
+    def alloc() -> int:
+        next_id[0] += 1
+        return next_id[0]
+
     doc["schemas"] = [
         {
             "type": "struct",
@@ -647,7 +658,7 @@ def _record_table_shape(doc: dict, dtypes: dict[str, str], transforms) -> None:
                     "id": field_id[c],
                     "name": c,
                     "required": False,
-                    "type": _ICEBERG_TYPES.get(t, t),
+                    "type": sql_to_iceberg(t, alloc),
                 }
                 for c, t in dtypes.items()
             ],
@@ -671,7 +682,8 @@ def _record_table_shape(doc: dict, dtypes: dict[str, str], transforms) -> None:
     doc["default-spec-id"] = 0
     # v2 required trackers: highest assigned column / partition field id
     # (999 when unpartitioned, per the spec's 1000-based assignment)
-    doc["last-column-id"] = max(field_id.values(), default=0)
+    # nested ids count toward the tracker too (next_id followed them)
+    doc["last-column-id"] = next_id[0]
     doc["last-partition-id"] = 999 + len(transforms)
 
 
@@ -1603,7 +1615,8 @@ def delete_where(
     )
     candidates = list(
         live_data_file_dicts(
-            current["manifest-list"].removeprefix("file:")
+            current["manifest-list"].removeprefix("file:"),
+            doc.get("format-version", 2),
         ).values()
     )
     # evolved tables delete under the CURRENT schema; the alias history
@@ -1826,9 +1839,17 @@ def update_schema(
             )
         f["type"] = new_t
 
+    from .types import sql_to_iceberg
+
     last_id = int(
         doc.get("last-column-id", max((f["id"] for f in fields), default=0))
     )
+    alloc_box = [last_id]
+
+    def _alloc() -> int:
+        alloc_box[0] += 1
+        return alloc_box[0]
+
     for name, sql_t in add:
         if name in names:
             raise ValueError(f"cannot add duplicate column {name!r}")
@@ -1840,15 +1861,18 @@ def update_schema(
                 "under that name would misattribute to the new column"
             )
         names.add(name)
-        last_id += 1
+        fid = _alloc()
         fields.append(
             {
-                "id": last_id,
+                "id": fid,
                 "name": name,
                 "required": False,
-                "type": _ICEBERG_TYPES.get(sql_t, sql_t),
+                # nested types (array<...>/map<...>/struct<...>) record
+                # their spec JSON form with fresh element/key/value ids
+                "type": sql_to_iceberg(sql_t, _alloc),
             }
         )
+    last_id = alloc_box[0]
 
     new_sid = max(int(s.get("schema-id", 0)) for s in doc["schemas"]) + 1
     doc = dict(doc)

@@ -41,19 +41,22 @@ _COUNT_ALIASES = {
 }
 
 
-def inherited_seq_of(m: dict) -> int | None:
+def inherited_seq_of(m: dict, format_version: int = 2) -> int | None:
     """The sequence number a manifest-list row passes down to entries
-    with a null/absent one. Spec v1→v2 inheritance: a v1 manifest list
-    has NO ``sequence_number`` field at all, and all v1 sequence
-    numbers read as 0 — distinguish key-absent (v1 → 0) from
-    present-but-null (malformed v2 → None, the conservative
+    with a null/absent one. Spec v1→v2 inheritance: reading v1 metadata,
+    ALL sequence numbers default to 0 — so under ``format_version=1`` a
+    missing value is 0. Under v2 the field is required; a missing/null
+    value is malformed and yields None (the conservative
     apply-to-everything fallback for delete scoping)."""
-    if "sequence_number" not in m:
+    v = m.get("sequence_number")
+    if v is None and int(format_version or 2) == 1:
         return 0
-    return m["sequence_number"]
+    return v
 
 
-def live_data_file_dicts(manifest_list_path: str) -> dict[str, dict]:
+def live_data_file_dicts(
+    manifest_list_path: str, format_version: int = 2
+) -> dict[str, dict]:
     """Pure-Python planning helper: live DATA files of a snapshot as
     ``{path: {path, pvals, ptypes, seq, records, lb, ub, bt, nc}}`` —
     one avro pass, no Spark hops (the same r5 planning-latency fix
@@ -68,9 +71,9 @@ def live_data_file_dicts(manifest_list_path: str) -> dict[str, dict]:
             continue
         for e in decode_manifest(
             _resolve(manifest_list_path, m["manifest_path"]),
-            inherited_seq=inherited_seq_of(m),
+            inherited_seq=inherited_seq_of(m, format_version),
         ):
-            (status, _sid, fpath, _fmt, records, _size, fcontent, seq,
+            (status, sid, fpath, _fmt, records, _size, fcontent, seq,
              pvals, ptypes, lb, ub, bt, nc, _dc) = e
             if status == 2 or (fcontent or 0) != 0:
                 continue
@@ -78,6 +81,7 @@ def live_data_file_dicts(manifest_list_path: str) -> dict[str, dict]:
             out[p] = {
                 "path": p, "pvals": pvals, "ptypes": ptypes, "seq": seq,
                 "records": records, "lb": lb, "ub": ub, "bt": bt, "nc": nc,
+                "sid": sid,  # the snapshot that ADDED the file
             }
     return out
 
@@ -510,11 +514,15 @@ def evolved_read_plan(
     by_id = sorted(schemas, key=lambda s: int(s.get("schema-id", 0)))
     cols: list[tuple] = []
     aliases: dict[str, list[str]] = {}
+    from .types import iceberg_to_ddl
+
     for f in target.get("fields", []):
         t = f["type"]
-        if not isinstance(t, str):
-            return None, None  # nested types: fall back to mergeSchema
-        cols.append((f["name"], _ICEBERG_TO_SPARK.get(t, t)))
+        try:
+            ddl = iceberg_to_ddl(t)  # nested types render as Spark DDL
+        except ValueError:
+            return None, None  # unknown type kind: fall back to mergeSchema
+        cols.append((f["name"], ddl))
         hist: list[str] = []
         for s in by_id:
             for g in s.get("fields", []):
@@ -740,7 +748,7 @@ def read_data_at_snapshot(
     for m in mlist_rows:
         for e in decode_manifest(
             _resolve(mlist, m["manifest_path"]),
-            inherited_seq=inherited_seq_of(m),
+            inherited_seq=inherited_seq_of(m, doc.get("format-version", 2)),
         ):
             (status, _sid, fpath, _fmt, records, _size, fcontent, seq,
              pvals, ptypes, lb, ub, bt, nc, _dc) = e
@@ -914,6 +922,8 @@ def read_incremental(
     metadata_json_path: str,
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
+    skip_replace: bool = False,
+    skip_delete: bool = False,
 ) -> DataFrame:
     """Iceberg's incremental append scan: rows ADDED strictly after
     ``from_snapshot_id`` up to and including ``to_snapshot_id`` (default:
@@ -929,7 +939,19 @@ def read_incremental(
     File selection is the difference of the manifest file sets, so only
     new files are scanned, with partition columns re-attached from
     manifest metadata exactly as in read_data_at_snapshot. Planning is
-    metadata-only."""
+    metadata-only.
+
+    ``skip_replace`` / ``skip_delete`` mirror Iceberg's
+    ``streaming-skip-overwrite-snapshots`` / ``-skip-delete-snapshots``:
+    instead of raising, a replace (compaction) or delete snapshot on
+    the path is SKIPPED — no files it added are emitted (a compaction
+    rewrites rows a consumer already saw; a MOR delete adds no data
+    files). File attribution then switches from set-difference to the
+    manifest entries' ``added_snapshot_id``, so only files added by the
+    path's APPEND snapshots flow. Caveat (same as Iceberg's): a
+    compaction that rewrites rows appended INSIDE the requested range
+    drops those rows from the incremental view — skip options assume
+    compaction trails the consumer's offset."""
     import json
 
     with open(metadata_json_path) as f:
@@ -963,9 +985,18 @@ def read_incremental(
                 f"{to_snapshot_id}"
             )
         cur = int(parent)
+    skipped_ops = (
+        ({"replace"} if skip_replace else set())
+        | ({"delete"} if skip_delete else set())
+    )
+    append_ids, any_skipped = set(), False
     for s_ in chain:
         op = s_.get("summary", {}).get("operation")
-        if op != "append":
+        if op == "append":
+            append_ids.add(int(s_["snapshot-id"]))
+        elif op in skipped_ops:
+            any_skipped = True
+        else:
             # unknown operation is treated as unsafe, not as append: the
             # guard's job is to reject ill-defined ranges
             raise ValueError(
@@ -975,12 +1006,24 @@ def read_incremental(
 
     def files_of(s_: dict) -> dict[str, dict]:
         return live_data_file_dicts(
-            _resolve(metadata_json_path, s_["manifest-list"])
+            _resolve(metadata_json_path, s_["manifest-list"]),
+            doc.get("format-version", 2),
         )
 
     to_files = files_of(by_id[to_snapshot_id])
-    from_files = files_of(by_id[from_snapshot_id])
-    new_files = [to_files[p] for p in sorted(set(to_files) - set(from_files))]
+    if any_skipped:
+        # set-difference is ill-defined across a skipped snapshot
+        # (compaction replaces the file set wholesale) — attribute by
+        # the manifest entries' adding snapshot instead
+        new_files = [
+            to_files[p] for p in sorted(to_files)
+            if to_files[p].get("sid") in append_ids
+        ]
+    else:
+        from_files = files_of(by_id[from_snapshot_id])
+        new_files = [
+            to_files[p] for p in sorted(set(to_files) - set(from_files))
+        ]
     if not new_files:
         if not to_files:
             raise ValueError(

@@ -1,0 +1,141 @@
+"""Spark SQL ⇄ Iceberg type conversion, including NESTED types.
+
+The Iceberg spec (https://iceberg.apache.org/spec/#schemas) represents
+nested types as JSON objects carrying their own field ids::
+
+  list   {"type": "list", "element-id": N, "element": T,
+          "element-required": bool}
+  map    {"type": "map", "key-id": N, "key": K,
+          "value-id": M, "value": V, "value-required": bool}
+  struct {"type": "struct", "fields": [{"id", "name", "required",
+          "type"}, ...]}
+
+Spark renders the same shapes as DDL strings (``array<float>``,
+``map<string,int>``, ``struct<a:int,b:string>``). These converters are
+shared by the write plane (recording spec-conformant schemas for frames
+with nested columns — e.g. the ``embeddings`` table's ``array<float>``
+vector), the read planes (declaring nested columns to Spark / Arrow),
+and ``update_schema`` (adding nested columns with fresh ids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+#: Spark SQL dtype → Iceberg primitive (the nested converters recurse
+#: through this for leaf types)
+_SQL_TO_ICEBERG = {
+    "boolean": "boolean", "tinyint": "int", "smallint": "int", "int": "int",
+    "bigint": "long", "float": "float", "double": "double", "date": "date",
+    "timestamp_ntz": "timestamp", "timestamp": "timestamptz",
+    "string": "string", "binary": "binary",
+}
+
+#: Iceberg primitive → Spark DDL
+_ICEBERG_TO_SQL = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "date": "date",
+    "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+    "string": "string", "binary": "binary", "uuid": "string",
+}
+
+
+def split_top(s: str) -> list[str]:
+    """Split on commas at angle-bracket depth 0 (``a:int,b:map<int,int>``
+    → two parts)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def sql_to_iceberg(sql_type: str, alloc: Callable[[], int]):
+    """Spark SQL dtype string → Iceberg type (str for primitives, JSON
+    dict for nested). ``alloc`` returns a fresh field id per call —
+    nested element/key/value/struct-field ids are spec-required and
+    assigned in declaration order."""
+    t = sql_type.strip()
+    low = t.lower()
+    if low.startswith("array<") and low.endswith(">"):
+        return {
+            "type": "list",
+            "element-id": alloc(),
+            "element": sql_to_iceberg(t[6:-1], alloc),
+            "element-required": False,
+        }
+    if low.startswith("map<") and low.endswith(">"):
+        k, v = split_top(t[4:-1])
+        return {
+            "type": "map",
+            "key-id": alloc(),
+            "key": sql_to_iceberg(k, alloc),
+            "value-id": alloc(),
+            "value": sql_to_iceberg(v, alloc),
+            "value-required": False,
+        }
+    if low.startswith("struct<") and low.endswith(">"):
+        fields = []
+        for part in split_top(t[7:-1]):
+            name, _, ft = part.partition(":")
+            fields.append(
+                {
+                    "id": alloc(),
+                    "name": name.strip(),
+                    "required": False,
+                    "type": sql_to_iceberg(ft, alloc),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    # primitives + decimal(p,s)/fixed[n] (pass through their rendering)
+    return _SQL_TO_ICEBERG.get(low, t)
+
+
+def iceberg_to_ddl(t) -> str:
+    """Iceberg type (str or nested JSON dict) → Spark DDL string."""
+    if isinstance(t, str):
+        return _ICEBERG_TO_SQL.get(t, t)
+    kind = t.get("type")
+    if kind == "list":
+        return f"array<{iceberg_to_ddl(t['element'])}>"
+    if kind == "map":
+        return (
+            f"map<{iceberg_to_ddl(t['key'])},{iceberg_to_ddl(t['value'])}>"
+        )
+    if kind == "struct":
+        inner = ",".join(
+            f"{f['name']}:{iceberg_to_ddl(f['type'])}"
+            for f in t.get("fields", [])
+        )
+        return f"struct<{inner}>"
+    raise ValueError(f"unknown Iceberg type: {t!r}")
+
+
+def max_field_id(t, default: int = 0) -> int:
+    """Highest field id used inside an Iceberg type (for last-column-id
+    accounting across nested element/key/value/struct ids)."""
+    if isinstance(t, str):
+        return default
+    kind = t.get("type")
+    if kind == "list":
+        return max(int(t["element-id"]), max_field_id(t["element"], default))
+    if kind == "map":
+        return max(
+            int(t["key-id"]), int(t["value-id"]),
+            max_field_id(t["key"], default), max_field_id(t["value"], default),
+        )
+    if kind == "struct":
+        return max(
+            (
+                max(int(f["id"]), max_field_id(f["type"], default))
+                for f in t.get("fields", [])
+            ),
+            default=default,
+        )
+    return default

@@ -153,7 +153,9 @@ def _select_snapshot(doc: dict, options) -> dict:
     return snaps[-1]
 
 
-def _manifest_entries(mlist_path: str) -> Iterator[tuple[dict, dict]]:
+def _manifest_entries(
+    mlist_path: str, format_version: int = 2
+) -> Iterator[tuple[dict, dict]]:
     """(manifest-list row, live entry) pairs across all manifests."""
     from ..metadata.manifests import inherited_seq_of
 
@@ -163,7 +165,7 @@ def _manifest_entries(mlist_path: str) -> Iterator[tuple[dict, dict]]:
         _, header, entries = read_avro_file(mpath)
         # v1 manifest lists carry no sequence_number field at all →
         # every v1 sequence number reads as 0 (spec v1→v2 inheritance)
-        inherited = inherited_seq_of(m)
+        inherited = inherited_seq_of(m, format_version)
         id2field = {}
         raw = header.get("schema")
         if raw:
@@ -379,19 +381,12 @@ def _read_partition(part: _ScanPartition):
         )
     if part.columns:
         # the declared schema's exact column order; columns a file
-        # predates (add-column evolution) come back as nulls
-        patype_of = {
-            "int": pa.int32(), "bigint": pa.int64(),
-            "smallint": pa.int16(), "tinyint": pa.int8(),
-            "float": pa.float32(), "double": pa.float64(),
-            "string": pa.string(), "date": pa.date32(),
-            "boolean": pa.bool_(), "binary": pa.binary(),
-            "timestamp": pa.timestamp("us", tz="UTC"),
-            "timestamp_ntz": pa.timestamp("us"),
-        }
+        # predates (add-column evolution) come back as nulls. Nested
+        # DDL (array/map/struct) converts recursively; unparseable
+        # types keep the file's own arrow type (no cast).
         cols = []
         for name, ddl, *rest in part.columns:
-            want = patype_of.get(ddl, pa.string())
+            want = _arrow_type_of_ddl(ddl)
             src = name
             if src not in table.column_names:
                 # renamed column: a file written before the rename
@@ -404,20 +399,25 @@ def _read_partition(part: _ScanPartition):
                 )
             if src is not None:
                 col = table.column(src)
-                if col.type != want:
+                if want is not None and col.type != want:
                     # normalize to the declared schema type: INT96
                     # parquet arrives as timestamp[ns] (Spark's Arrow
                     # ingest rejects ns), widened ints after type
-                    # promotion, etc. safe=False permits the ns→µs
+                    # promotion, list field-name variants (element vs
+                    # item), etc. safe=False permits the ns→µs
                     # truncation; incompatible casts keep the original
                     # and fail loudly downstream
                     try:
                         col = col.cast(want, safe=False)
-                    except pa.lib.ArrowInvalid:
+                    except (pa.lib.ArrowInvalid,
+                            pa.lib.ArrowNotImplementedError,
+                            pa.lib.ArrowTypeError):
                         pass
                 cols.append(col)
             else:
-                cols.append(pa.nulls(table.num_rows, type=want))
+                cols.append(
+                    pa.nulls(table.num_rows, type=want or pa.string())
+                )
         table = pa.table(cols, names=[c[0] for c in part.columns])
     # equality deletes: delete-key tuples materialized at planning,
     # applied only when delete_seq > data_seq (re-inserts survive).
@@ -494,7 +494,8 @@ class HieloIcebergReader(DataSourceReader):
             snap["manifest-list"],
         )
         data, pos_del_files, eq_del_files = [], [], []
-        for m, e in _manifest_entries(mlist):
+        fv = doc.get("format-version", 2)
+        for m, e in _manifest_entries(mlist, fv):
             content = e["data_file"].get("content", 0)
             path = e["data_file"]["file_path"].removeprefix("file:")
             if content == 0:
@@ -620,15 +621,28 @@ class HieloIcebergStreamReader(DataSourceStreamReader):
             return [_ScanPartition(None, None, [], [], self.schema_cols)]
         doc = _load_doc(self.table_dir)
         chain = self._lineage(doc, None if start_id == -1 else start_id, end_id)
+        # Iceberg streaming parity: option("skip-replace", "true") /
+        # option("skip-delete", "true") let the stream cross compaction
+        # (rows already consumed, rewritten into new files we must NOT
+        # re-emit) and MOR-delete snapshots (no data files added)
+        # instead of stopping. Caveat (same as Iceberg's
+        # streaming-skip-overwrite-snapshots): a compaction rewriting
+        # rows appended INSIDE the uncommitted range drops them.
+        skipped_ops = set()
+        if str(self.options.get("skip-replace", "")).lower() == "true":
+            skipped_ops.add("replace")
+        if str(self.options.get("skip-delete", "")).lower() == "true":
+            skipped_ops.add("delete")
         new_ids = set()
         for s in chain:
             op = s.get("summary", {}).get("operation")
-            if op != "append":
+            if op == "append":
+                new_ids.add(int(s["snapshot-id"]))
+            elif op not in skipped_ops:
                 raise ValueError(
                     f"streaming read crossed a non-append snapshot "
                     f"{s['snapshot-id']} (operation={op!r})"
                 )
-            new_ids.add(int(s["snapshot-id"]))
         if not chain:
             return [_ScanPartition(None, None, [], [], self.schema_cols)]
         mlist = _resolve_rel(
@@ -636,7 +650,7 @@ class HieloIcebergStreamReader(DataSourceStreamReader):
             chain[-1]["manifest-list"],
         )
         parts = []
-        for m, e in _manifest_entries(mlist):
+        for m, e in _manifest_entries(mlist, doc.get("format-version", 2)):
             if e["data_file"].get("content", 0) != 0:
                 continue
             snap_of_entry = e.get("snapshot_id") or m.get("added_snapshot_id")
@@ -673,10 +687,73 @@ _ARROW_TO_SPARK = {
 
 
 def _spark_dtype_of(arrow_type) -> str:
-    s = str(arrow_type)
+    import pyarrow as pa
+
+    t = arrow_type
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        return f"array<{_spark_dtype_of(t.value_type)}>"
+    if pa.types.is_map(t):
+        return f"map<{_spark_dtype_of(t.key_type)},{_spark_dtype_of(t.item_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{_spark_dtype_of(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    s = str(t)
     if s.startswith("timestamp"):
         return "timestamp" if "tz=" in s else "timestamp_ntz"
     return _ARROW_TO_SPARK.get(s, "string")
+
+
+def _arrow_type_of_ddl(ddl: str):
+    """Spark DDL type string → pyarrow type (None when unparseable —
+    callers then skip casting/declare string)."""
+    import pyarrow as pa
+
+    from ..metadata.types import split_top
+
+    t = ddl.strip()
+    low = t.lower()
+    prim = {
+        "int": pa.int32(), "bigint": pa.int64(),
+        "smallint": pa.int16(), "tinyint": pa.int8(),
+        "float": pa.float32(), "double": pa.float64(),
+        "string": pa.string(), "date": pa.date32(),
+        "boolean": pa.bool_(), "binary": pa.binary(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if low in prim:
+        return prim[low]
+    if low.startswith("decimal") and "(" in t:
+        try:
+            p, s = t[t.index("(") + 1:t.rindex(")")].split(",")
+            return pa.decimal128(int(p), int(s))
+        except (ValueError, IndexError):
+            return None
+    if low.startswith("array<") and low.endswith(">"):
+        inner = _arrow_type_of_ddl(t[6:-1])
+        return pa.list_(inner) if inner is not None else None
+    if low.startswith("map<") and low.endswith(">"):
+        parts = split_top(t[4:-1])
+        if len(parts) != 2:
+            return None
+        kt, vt = (_arrow_type_of_ddl(p) for p in parts)
+        return pa.map_(kt, vt) if kt is not None and vt is not None else None
+    if low.startswith("struct<") and low.endswith(">"):
+        fields = []
+        for part in split_top(t[7:-1]):
+            name, _, ft = part.partition(":")
+            at = _arrow_type_of_ddl(ft)
+            if at is None:
+                return None
+            fields.append(pa.field(name.strip(), at))
+        return pa.struct(fields)
+    return None
 
 
 class HieloIcebergWriter(DataSourceArrowWriter):
@@ -1126,23 +1203,14 @@ class HieloIcebergDataSource(DataSource):
         schema = _current_schema_block(doc)
         if schema is None:
             raise ValueError("table metadata carries no schema block")
+        from ..metadata.types import iceberg_to_ddl
+
         cols = []
         for f in schema.get("fields", []):
-            t = f["type"]
-            if not isinstance(t, str):
-                # struct/list/map arrive as dicts in the schema JSON;
-                # silently declaring them 'string' yields confusing
-                # Arrow cast errors deep in executors — fail loudly,
-                # like the partitioned-write and overwrite guards
-                raise NotImplementedError(
-                    f"column {f['name']!r} has a nested Iceberg type "
-                    f"({(t or {}).get('type', t)!r}) — nested types are "
-                    "unsupported by the hielo_iceberg DataSource; read "
-                    "through metadata.manifests.read_data_at_snapshot"
-                )
-            # decimal(p,s)/fixed[n] pass through: their Iceberg renderings
-            # are valid (decimal) or rejected loudly by Spark's DDL parser
-            cols.append((f["name"], f"{f['name']} {_ICEBERG_TO_DDL.get(t, t)}"))
+            # nested list/map/struct JSON renders to Spark DDL
+            # recursively; decimal(p,s)/fixed[n] pass through (valid
+            # DDL, or rejected loudly by Spark's parser)
+            cols.append((f["name"], f"{f['name']} {iceberg_to_ddl(f['type'])}"))
         # explicit projection pushdown: option("columns", "a,b") narrows
         # the declared schema, so tasks read only those columns' parquet
         # pages (Spark 4.1's PythonScanBuilder has no
@@ -1187,12 +1255,10 @@ class HieloIcebergDataSource(DataSource):
                         and g["name"] not in hist
                     ):
                         hist.append(g["name"])
-            # nested (non-str) types never reach here: schema() raises
-            # NotImplementedError during planning before any reader is
-            # constructed
+            from ..metadata.types import iceberg_to_ddl
+
             out.append(
-                (f["name"], _ICEBERG_TO_DDL.get(f["type"], "string"),
-                 tuple(hist[::-1]))
+                (f["name"], iceberg_to_ddl(f["type"]), tuple(hist[::-1]))
             )
         return out
 

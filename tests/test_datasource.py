@@ -533,10 +533,10 @@ def test_date_partitioned_read(registered, tmp_path):
         == [1, 3]
 
 
-def test_nested_type_schema_rejected(tmp_path):
-    """A table whose schema carries struct/list/map columns must fail
-    loudly at planning, not silently declare 'string' and die later in
-    an executor Arrow cast."""
+def test_nested_type_schema_renders_ddl(tmp_path):
+    """A table whose schema carries struct/list/map columns declares
+    real nested Spark DDL (r7 — previously a loud NotImplementedError;
+    end-to-end nested reads/writes live in test_nested_types.py)."""
     import json as _json
     import os
 
@@ -553,7 +553,14 @@ def test_nested_type_schema_rejected(tmp_path):
             "fields": [
                 {"id": 1, "name": "id", "required": False, "type": "long"},
                 {"id": 2, "name": "payload", "required": False,
-                 "type": {"type": "struct", "fields": []}},
+                 "type": {"type": "struct", "fields": [
+                     {"id": 3, "name": "a", "required": False,
+                      "type": "string"},
+                     {"id": 4, "name": "v", "required": False,
+                      "type": {"type": "list", "element-id": 5,
+                               "element": "float",
+                               "element-required": False}},
+                 ]}},
             ],
         }],
         "snapshots": [],
@@ -563,8 +570,7 @@ def test_nested_type_schema_rejected(tmp_path):
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write("1")
     ds = HieloIcebergDataSource({"path": t})
-    with pytest.raises(NotImplementedError, match="nested"):
-        ds.schema()
+    assert ds.schema() == "id bigint, payload struct<a:string,v:array<float>>"
 
 
 def test_timestamp_bound_rendering_is_canonical(registered, tmp_path):
@@ -772,3 +778,67 @@ def test_write_transform_partitioned_rejected(registered, spark, tmp_path):
     with pytest.raises(Exception, match="identity partitioning only"):
         spark.createDataFrame([(2, "b")], "id int, k string").coalesce(1) \
             .write.format("hielo_iceberg").mode("append").save(t)
+
+
+# -- streaming across maintenance snapshots (r7) ------------------------------
+
+
+def test_streaming_skip_replace_and_delete_snapshots(registered, tmp_path):
+    """Iceberg streaming parity (streaming-skip-overwrite/delete):
+    with the skip options the stream crosses compaction and MOR-delete
+    snapshots — emitting only genuine append rows, never re-emitting
+    compacted rewrites — instead of stopping with an error."""
+    spark = registered
+    t = str(tmp_path / "t")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+
+    def drain(**opts):
+        reader = (spark.readStream.format("hielo_iceberg")
+                  .option("initial-snapshot", "earliest"))
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (reader.load(t)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    # maintenance happens: a MOR delete then a compaction REPLACE
+    C.delete_equality(spark, t, spark.createDataFrame([(1,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    C.rewrite_data_files(spark, t, snapshot_id=103,
+                         timestamp_ms=1700200000000)
+    C.append(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]),
+             snapshot_id=104, timestamp_ms=1700300000000)
+
+    # without the options the stream stops loudly
+    with pytest.raises(Exception, match="non-append"):
+        drain()
+    # with them, only the new append's rows arrive — the compacted
+    # rewrite of already-consumed rows is NOT re-emitted
+    drain(**{"skip-delete": "true", "skip-replace": "true"})
+    got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_read_incremental_skip_options(spark, tmp_path):
+    from hielo_spark.metadata.manifests import read_incremental
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_equality(spark, t, spark.createDataFrame([(1,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    C.rewrite_data_files(spark, t, snapshot_id=103, timestamp_ms=1700200000000)
+    C.append(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]),
+             snapshot_id=104, timestamp_ms=1700300000000)
+    mpath = C.current_metadata_path(t)
+
+    with pytest.raises(ValueError, match="non-append"):
+        read_incremental(spark, mpath, 101)
+    inc = read_incremental(spark, mpath, 101,
+                           skip_replace=True, skip_delete=True)
+    assert [(r.id, r.v) for r in inc.collect()] == [(2, "b")]

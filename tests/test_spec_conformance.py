@@ -685,21 +685,25 @@ def v1_table(spark, tmp_path):
 
 
 def test_v1_sequence_and_content_defaults(v1_table):
-    """Spec v1→v2 inheritance: reading v1 metadata, all sequence numbers
-    default to 0 and all files are content=data — key-ABSENT (v1) maps
-    to 0, while a present-but-null v2 sequence stays None (the
-    conservative delete-scoping fallback)."""
+    """Spec v1→v2 inheritance: reading FORMAT VERSION 1 metadata, all
+    sequence numbers default to 0 and all files are content=data; under
+    v2 a missing/null sequence stays None (malformed v2 keeps the
+    conservative delete-scoping fallback — pinned by the hand-rolled
+    no-seq 'v2' fixture in test_manifests.py)."""
     from hielo_spark.metadata.manifests import (
         inherited_seq_of,
         live_data_file_dicts,
     )
 
-    assert inherited_seq_of({"manifest_path": "x"}) == 0          # v1
-    assert inherited_seq_of({"sequence_number": None}) is None    # bad v2
-    assert inherited_seq_of({"sequence_number": 7}) == 7
+    assert inherited_seq_of({"manifest_path": "x"}, 1) == 0       # v1
+    assert inherited_seq_of({"manifest_path": "x"}, 2) is None    # bad v2
+    assert inherited_seq_of({"sequence_number": None}, 2) is None
+    assert inherited_seq_of({"sequence_number": 7}, 1) == 7
 
     doc = json.load(open(os.path.join(v1_table, "metadata", "v1.metadata.json")))
-    files = live_data_file_dicts(doc["snapshots"][0]["manifest-list"])
+    files = live_data_file_dicts(
+        doc["snapshots"][0]["manifest-list"], doc["format-version"]
+    )
     assert len(files) == 1
     (f,) = files.values()
     assert f["seq"] == 0
@@ -723,6 +727,8 @@ def test_v1_table_reads_on_both_planes(spark, v1_table):
         (1, "a"), (2, "b"), (3, "c")]
 
     doc = json.load(open(mpath))
-    for _m, e in _manifest_entries(doc["snapshots"][0]["manifest-list"]):
+    for _m, e in _manifest_entries(
+        doc["snapshots"][0]["manifest-list"], doc["format-version"]
+    ):
         assert e["_seq"] == 0                           # spec default
         assert e["data_file"].get("content", 0) == 0    # data
