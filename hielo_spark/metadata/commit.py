@@ -275,7 +275,10 @@ def _spec_stats(
             itype = SPARK_TO_ICEBERG.get((btypes or {}).get(c, ""))
             if fid is None or itype is None or s is None:
                 continue
-            out.append({"key": fid, "value": serialize_value(itype, s)})
+            try:
+                out.append({"key": fid, "value": serialize_value(itype, s)})
+            except (ValueError, TypeError):
+                continue  # unparseable stat rendering: no spec bound
         return out or None
 
     nvc = [
@@ -1223,7 +1226,7 @@ def delete_equality(
     # parallel — no coalesce(1) single-task funnel), spec-sorted within
     # each task; per-file counts from the parquet footers
     del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
-    parts, rows_of = _write_delete_parts(
+    parts, rows_of, bounds_of = _write_delete_parts(
         keys_df, del_dir, list(keys_df.columns)
     )
     n_keys = sum(rows_of.values())
@@ -1231,6 +1234,10 @@ def delete_equality(
     manifest_path = os.path.join(
         mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
     )
+    # equality-delete files carry key-column bounds (spec), enabling
+    # future per-scan delete-file skipping on key ranges
+    eq_btypes = dict(keys_df.dtypes)
+    name2id = _name2id(doc)
     write_avro(
         spark,
         manifest_path,
@@ -1245,6 +1252,15 @@ def delete_equality(
                     "file_format": "PARQUET",
                     "record_count": rows_of[p],
                     "file_size_in_bytes": os.path.getsize(p),
+                    **_spec_stats(
+                        name2id, eq_btypes,
+                        bounds_of.get(p, ({}, {}))[0],
+                        bounds_of.get(p, ({}, {}))[1],
+                        None, rows_of[p],
+                    ),
+                    "lower_bounds_str": bounds_of.get(p, ({}, {}))[0] or None,
+                    "upper_bounds_str": bounds_of.get(p, ({}, {}))[1] or None,
+                    "bounds_types": eq_btypes,
                 },
             }
             for p in parts
@@ -1537,27 +1553,85 @@ def _conjunct_skip_filters(condition) -> list[tuple]:
 
 def _write_delete_parts(
     df: DataFrame, del_dir: str, sort_cols: list[str]
-) -> tuple[list[str], dict[str, int]]:
+) -> tuple[list[str], dict[str, int], dict[str, tuple[dict, dict]]]:
     """Distributed delete-file write: a plain parquet write — NEVER
     ``coalesce(1)``, which funnels every matched row through one task (a
     DELETE WHERE touching 1% of a 100 TB table is billions of rows) —
     spec-ordered within each task, with zero-row task outputs removed.
-    Returns ``(parts, rows_of)`` with per-file footer row counts (one
-    local footer read per file: planning-plane, bounded by the task
-    count)."""
+    Returns ``(parts, rows_of, bounds_of)`` with per-file footer row
+    counts and per-file column min/max aggregated from the parquet
+    ROW-GROUP STATISTICS (footer-only — no data read; parquet stat
+    truncation keeps stored mins <= real and maxes >= real, so the
+    bounds stay conservative-valid for pruning). One local footer read
+    per file: planning-plane, bounded by the task count. The bounds let
+    read planners skip whole delete files whose referenced range can't
+    intersect a scan (spec: delete files carry bounds like data files —
+    a position delete's ``file_path`` bounds say which data files it
+    touches)."""
     import pyarrow.parquet as pq
 
     df.sortWithinPartitions(*sort_cols).write.parquet(del_dir)
     parts = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
     rows_of: dict[str, int] = {}
+    bounds_of: dict[str, tuple[dict, dict]] = {}
     for p in list(parts):
-        n = pq.ParquetFile(p).metadata.num_rows
-        if n == 0:
+        md = pq.ParquetFile(p).metadata
+        if md.num_rows == 0:
             os.remove(p)  # empty shuffle partition — no manifest entry
             parts.remove(p)
-        else:
-            rows_of[p] = n
-    return parts, rows_of
+            continue
+        rows_of[p] = md.num_rows
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        complete: set[str] = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or not st.has_min_max:
+                    complete.discard(name)
+                    lo.pop(name, None)
+                    hi.pop(name, None)
+                    continue
+                if rg == 0:
+                    complete.add(name)
+                if name not in complete:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        complete.discard(name)
+                        lo.pop(name, None)
+                        hi.pop(name, None)
+                        continue
+                lo[name] = mn if name not in lo else min(lo[name], mn)
+                hi[name] = mx if name not in hi else max(hi[name], mx)
+
+        def canon(v):
+            # the canonical stringified-stat forms the comparators and
+            # the Appendix D serializer parse (timestamps space-
+            # separated with trimmed fractions, dates ISO)
+            import datetime as _dt
+
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                s = v.strftime("%Y-%m-%d %H:%M:%S")
+                frac = f"{v.microsecond:06d}".rstrip("0")
+                return f"{s}.{frac}" if frac else s
+            if isinstance(v, _dt.date):
+                return v.isoformat()
+            return str(v)
+
+        bounds_of[p] = (
+            {k: canon(v) for k, v in lo.items()},
+            {k: canon(v) for k, v in hi.items()},
+        )
+    return parts, rows_of, bounds_of
 
 
 def delete_where(
@@ -1643,16 +1717,25 @@ def delete_where(
             F.col("_fp").alias("file_path"),
             F.col("_pos").cast("long").alias("pos"),
         )
-        parts, rows_of = _write_delete_parts(
+        parts, rows_of, bounds_of = _write_delete_parts(
             positions.repartition(F.col("file_path")),
             del_dir,
             ["file_path", "pos"],
         )
+    else:
+        bounds_of = {}
     n_deleted = sum(rows_of.values())
 
     manifest_path = os.path.join(
         mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
     )
+    # delete files carry bounds like data files (spec): a position
+    # delete's file_path min/max says which data files it can reference,
+    # so a scan materializes only the delete files that may touch its
+    # surviving candidates. Spec bounds use the reserved field ids
+    # (2147483546 file_path / 2147483545 pos).
+    _POS_DELETE_IDS = {"file_path": 2147483546, "pos": 2147483545}
+    _POS_DELETE_TYPES = {"file_path": "string", "pos": "bigint"}
     write_avro(
         spark,
         manifest_path,
@@ -1667,6 +1750,15 @@ def delete_where(
                     "file_format": "PARQUET",
                     "record_count": rows_of[p],
                     "file_size_in_bytes": os.path.getsize(p),
+                    **_spec_stats(
+                        _POS_DELETE_IDS, _POS_DELETE_TYPES,
+                        bounds_of.get(p, ({}, {}))[0],
+                        bounds_of.get(p, ({}, {}))[1],
+                        None, rows_of[p],
+                    ),
+                    "lower_bounds_str": bounds_of.get(p, ({}, {}))[0] or None,
+                    "upper_bounds_str": bounds_of.get(p, ({}, {}))[1] or None,
+                    "bounds_types": _POS_DELETE_TYPES,
                 },
             }
             for p in parts
@@ -2240,12 +2332,14 @@ def merge_into(
         # distributed delete-key write (no coalesce(1) funnel; the keys
         # frame keeps the join's partitioning), spec-sorted per task
         del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
-        del_parts, del_rows_of = _write_delete_parts(
+        del_parts, del_rows_of, del_bounds_of = _write_delete_parts(
             delete_keys, del_dir, list(on)
         )
         del_manifest = os.path.join(
             mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
         )
+        eq_btypes = dict(delete_keys.dtypes)
+        name2id = _name2id(doc)
         write_avro(
             spark,
             del_manifest,
@@ -2260,6 +2354,17 @@ def merge_into(
                         "file_format": "PARQUET",
                         "record_count": del_rows_of[p],
                         "file_size_in_bytes": os.path.getsize(p),
+                        **_spec_stats(
+                            name2id, eq_btypes,
+                            del_bounds_of.get(p, ({}, {}))[0],
+                            del_bounds_of.get(p, ({}, {}))[1],
+                            None, del_rows_of[p],
+                        ),
+                        "lower_bounds_str":
+                            del_bounds_of.get(p, ({}, {}))[0] or None,
+                        "upper_bounds_str":
+                            del_bounds_of.get(p, ({}, {}))[1] or None,
+                        "bounds_types": eq_btypes,
                     },
                 }
                 for p in del_parts

@@ -476,6 +476,33 @@ def _file_may_match(
     return True
 
 
+def _prune_pos_deletes(
+    pos_delete_files: list[dict], data_paths: list[str]
+) -> list[dict]:
+    """Skip position-delete files whose ``file_path`` bounds can't
+    reference any of the scan's surviving data files — the delete-side
+    twin of data-file skipping (a 100 TB table's scan of one partition
+    must not materialize every delete file in the snapshot). A delete
+    file without bounds (older writers) is kept — pruning never drops a
+    possibly-applicable file."""
+    import bisect
+
+    def norm(s: str) -> str:
+        return s[5:] if s.startswith("file:") else s
+
+    paths = sorted(norm(p) for p in data_paths)
+
+    def may_reference(d: dict) -> bool:
+        lo = (d.get("lb") or {}).get("file_path")
+        hi = (d.get("ub") or {}).get("file_path")
+        if lo is None or hi is None:
+            return True
+        i = bisect.bisect_left(paths, norm(lo))
+        return i < len(paths) and paths[i] <= norm(hi)
+
+    return [d for d in pos_delete_files if may_reference(d)]
+
+
 def _row_predicate(skip_filter: tuple):
     """The row-level Column for ``(col, op, value)`` — applied after file
     skipping so the result is exact, not just a file superset."""
@@ -824,7 +851,9 @@ def read_data_at_snapshot(
                 f"snapshot {chosen['snapshot-id']}"
             )
 
-    pos_delete_files = live_files(1)
+    pos_delete_files = _prune_pos_deletes(
+        live_files(1), [f["path"] for f in data_files]
+    )
     eq_delete_files = live_files(2)
     row_coords = (
         "fp_pos" if pos_delete_files else ("fp" if eq_delete_files else "none")

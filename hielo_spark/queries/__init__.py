@@ -226,6 +226,12 @@ for mod in (relational, meta, ext):
 # family keeps its head story via events_sessionization, and the
 # interval-union semantics stay oracle-checked by the local harness):
 _DEFERRED = [
+    # r7-new planes enter at the TAIL by choice this round (local
+    # harness oracle-checks them; head-50 churn stays limited to the
+    # advised meta_schema_evolution_roundtrip slot) — rotation
+    # candidates for the next round's head:
+    "meta_writer_surface_roundtrip",
+    "meta_nested_roundtrip",
     "events_interval_union",
     "q13_order_count_distribution",
     "lineitem_quantiles",

@@ -1415,3 +1415,200 @@ def meta_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         rows, "check_name string, value long"
     ).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# r7 writer-surface golden: the Python DataSource's full write matrix —
+# identity-partitioned append (task-split + manifest partition values),
+# overwrite REPLACE, and branch-staged WAP commit published by
+# fast_forward — read back through BOTH planes. Constant oracle.
+# --------------------------------------------------------------------------
+@query(
+    "meta_writer_surface_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('c1_partitioned_rows',      CAST(41 AS BIGINT)),
+      ('c2_partition_pruned_scan', CAST(1 AS BIGINT)),
+      ('c3_overwrite_rows',        CAST(3 AS BIGINT)),
+      ('c4_overwrite_op_ok',       CAST(1 AS BIGINT)),
+      ('c5_branch_main_isolated',  CAST(3 AS BIGINT)),
+      ('c6_branch_staged_rows',    CAST(5 AS BIGINT)),
+      ('c7_published_rows',        CAST(5 AS BIGINT)),
+      ('c8_planes_agree',          CAST(1 AS BIGINT))
+    ) AS t(check_name, value)
+    ORDER BY check_name
+    """,
+)
+def meta_writer_surface_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata import fast_forward
+    from ..metadata.manifests import read_data_at_snapshot
+    from ..sources import register
+
+    register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_writer_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    # 1) identity-partitioned DataSource append: the JVM plane creates
+    # the partitioned table (spec established), then the Python writer
+    # appends into it — task-split per partition value, manifest pvals
+    t1 = os.path.join(base, "t1")
+    C.append(
+        spark, t1,
+        spark.range(0, 20).selectExpr(
+            "CAST(id AS INT) AS id",
+            "CASE WHEN id % 2 = 0 THEN 'us' ELSE 'eu' END AS region",
+        ),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        partition_by=["region"],
+    )
+    spark.range(20, 40).selectExpr(
+        "CAST(id AS INT) AS id",
+        "CASE WHEN id % 2 = 0 THEN 'us' ELSE 'eu' END AS region",
+    ).coalesce(1).write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "102").option("timestamp-ms", "1700100000000") \
+        .save(t1)
+    spark.sql("SELECT CAST(40 AS INT) id, 'ap' region").coalesce(1) \
+        .write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "103").option("timestamp-ms", "1700200000000") \
+        .save(t1)
+    m1 = C.current_metadata_path(t1)
+    full1 = read_data_at_snapshot(spark, m1)
+    ap = read_data_at_snapshot(spark, m1, partition_filter={"region": "ap"})
+    n_partitioned = full1.count()
+    pruned_ok = int(
+        len(set(ap.inputFiles())) < len(set(full1.inputFiles()))
+        and ap.count() == 1
+    )
+
+    # 2) overwrite REPLACE
+    t2 = os.path.join(base, "t2")
+    spark.range(0, 10).coalesce(1).write.format("hielo_iceberg") \
+        .mode("append") \
+        .option("snapshot-id", "201").option("timestamp-ms", "1700000000000") \
+        .save(t2)
+    spark.range(100, 103).coalesce(1).write.format("hielo_iceberg") \
+        .mode("overwrite") \
+        .option("snapshot-id", "202").option("timestamp-ms", "1700100000000") \
+        .save(t2)
+    doc2 = json.load(open(C.current_metadata_path(t2)))
+    snap202 = next(s for s in doc2["snapshots"] if s["snapshot-id"] == 202)
+    ow_rows = read_data_at_snapshot(spark, C.current_metadata_path(t2)).count()
+    ow_op_ok = int(snap202["summary"]["operation"] == "overwrite")
+
+    # 3) branch-staged WAP commit, published by fast_forward
+    t3 = os.path.join(base, "t3")
+    spark.range(0, 3).coalesce(1).write.format("hielo_iceberg") \
+        .mode("append") \
+        .option("snapshot-id", "301").option("timestamp-ms", "1700000000000") \
+        .save(t3)
+    spark.range(3, 5).coalesce(1).write.format("hielo_iceberg") \
+        .mode("append").option("branch", "audit") \
+        .option("snapshot-id", "302").option("timestamp-ms", "1700100000000") \
+        .save(t3)
+    main_n = spark.read.format("hielo_iceberg").load(t3).count()
+    staged_n = (
+        spark.read.format("hielo_iceberg").option("ref", "audit")
+        .load(t3).count()
+    )
+    fast_forward(t3, "audit")
+    pub = spark.read.format("hielo_iceberg").load(t3)
+    pub_n = pub.count()
+    jvm_n = read_data_at_snapshot(spark, C.current_metadata_path(t3)).count()
+
+    rows = [
+        ("c1_partitioned_rows", n_partitioned),
+        ("c2_partition_pruned_scan", pruned_ok),
+        ("c3_overwrite_rows", ow_rows),
+        ("c4_overwrite_op_ok", ow_op_ok),
+        ("c5_branch_main_isolated", main_n),
+        ("c6_branch_staged_rows", staged_n),
+        ("c7_published_rows", pub_n),
+        ("c8_planes_agree", int(pub_n == jvm_n)),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, value long"
+    ).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# r7 nested-type golden: array/struct columns through commit (spec JSON
+# schema with element/field ids), both read planes, and the embeddings
+# fixture's array<float> vector. Constant oracle.
+# --------------------------------------------------------------------------
+@query(
+    "meta_nested_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('c1_rows',              CAST(5 AS BIGINT)),
+      ('c2_schema_list_ok',    CAST(1 AS BIGINT)),
+      ('c3_vec_sum_x10',       CAST(100 AS BIGINT)),
+      ('c4_struct_a_sum',      CAST(10 AS BIGINT)),
+      ('c5_planes_agree',      CAST(1 AS BIGINT)),
+      ('c6_added_nested_null', CAST(5 AS BIGINT))
+    ) AS t(check_name, value)
+    ORDER BY check_name
+    """,
+)
+def meta_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata import update_schema
+    from ..metadata.manifests import read_data_at_snapshot
+    from ..sources import register
+
+    register(spark)
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_nested_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    df = spark.sql("""
+        SELECT CAST(id AS INT) AS id,
+               array(CAST(id AS FLOAT), CAST(id * 9 AS FLOAT)) AS vec,
+               named_struct('a', CAST(id AS INT), 'b',
+                            CAST(id AS STRING)) AS s
+        FROM range(5)
+    """)
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000)
+    doc = json.load(open(C.current_metadata_path(t)))
+    vec_f = next(
+        f for f in doc["schemas"][0]["fields"] if f["name"] == "vec"
+    )
+    schema_ok = int(
+        vec_f["type"]["type"] == "list" and vec_f["type"]["element"] == "float"
+    )
+    update_schema(t, add=[("tags", "array<string>")],
+                  timestamp_ms=1700100000000)
+
+    jvm = read_data_at_snapshot(spark, C.current_metadata_path(t))
+    ds = spark.read.format("hielo_iceberg").load(t)
+    j = sorted(
+        (r.id, tuple(r.vec), r.s.a, r.s.b, r.tags) for r in jvm.collect()
+    )
+    d = sorted(
+        (r.id, tuple(r.vec), r.s.a, r.s.b, r.tags) for r in ds.collect()
+    )
+    rows = [
+        ("c1_rows", len(j)),
+        ("c2_schema_list_ok", schema_ok),
+        ("c3_vec_sum_x10", int(sum(x[1][0] + x[1][1] for x in j))),
+        ("c4_struct_a_sum", sum(x[2] for x in j)),
+        ("c5_planes_agree", int(j == d)),
+        ("c6_added_nested_null", sum(1 for x in j if x[4] is None)),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, value long"
+    ).orderBy("check_name")

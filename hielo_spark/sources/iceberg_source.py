@@ -499,16 +499,38 @@ class HieloIcebergReader(DataSourceReader):
             content = e["data_file"].get("content", 0)
             path = e["data_file"]["file_path"].removeprefix("file:")
             if content == 0:
-                data.append((path, e))
+                # pushed filters prune data files HERE so the delete
+                # materialization below only touches delete files that
+                # can reference a surviving data file
+                if _file_survives(self.filters, e):
+                    data.append((path, e))
             elif content == 1:
-                pos_del_files.append((path, e["_seq"]))
+                pos_del_files.append((path, e["_seq"], e))
             elif content == 2:
                 eq_del_files.append((path, e["_seq"]))
         # materialize deletes ONCE (planning plane — delete files are
         # keys/positions, small by construction): per-file position
-        # lists and shared equality key tuples
+        # lists and shared equality key tuples. Position-delete files
+        # whose file_path bounds can't touch any surviving data file are
+        # never even read (the delete-side twin of data-file skipping).
+        surviving = sorted(p for p, _e in data)
+
+        def _may_reference(e) -> bool:
+            import bisect
+
+            lo_m, hi_m, _bt = _entry_bounds(e)
+            lo, hi = (lo_m or {}).get("file_path"), (hi_m or {}).get("file_path")
+            if lo is None or hi is None:
+                return True
+            lo = lo.removeprefix("file:")
+            hi = hi.removeprefix("file:")
+            i = bisect.bisect_left(surviving, lo)
+            return i < len(surviving) and surviving[i] <= hi
+
         pos_by_file: dict[str, list[tuple[int, int | None]]] = {}
-        for dpath, dseq in pos_del_files:
+        for dpath, dseq, de in pos_del_files:
+            if not _may_reference(de):
+                continue
             dt = pq.read_table(dpath)
             for p, i in zip(dt.column("file_path").to_pylist(),
                             dt.column("pos").to_pylist()):
@@ -546,9 +568,7 @@ class HieloIcebergReader(DataSourceReader):
             out_names = list(self.out_names)
         scan_log = self.options.get("scan_log")
         parts = []
-        for path, e in data:
-            if not _file_survives(self.filters, e):
-                continue
+        for path, e in data:  # already filter-pruned above
             data_file = e["data_file"]
             pvals = data_file.get("partition_values")
             if pvals is None and data_file.get("partition"):

@@ -1396,3 +1396,99 @@ def test_no_single_partition_delete_write_plan(spark):
     )
     plan = positions._jdf.queryExecution().executedPlan().toString()
     assert "Coalesce 1" not in plan and "SinglePartition" not in plan
+
+
+def test_position_delete_files_carry_bounds_and_prune(spark, tmp_path):
+    """r7: position-delete files carry file_path bounds (footer-derived,
+    spec reserved ids 2147483546/2147483545) and the read planner skips
+    delete files that can't reference any surviving data file — a
+    partition-scoped scan of a 100 TB table must not materialize every
+    delete file in the snapshot."""
+    from hielo_spark.metadata.manifests import (
+        _prune_pos_deletes,
+        read_data_at_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    # two disjoint-range files, then two DELETEs each touching one file
+    C.append(spark, t, spark.range(0, 100).selectExpr("id AS k").coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t,
+             spark.range(1000, 1100).selectExpr("id AS k").coalesce(1),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, "k < 10",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    C.delete_where(spark, t, "k >= 1090",
+                   snapshot_id=104, timestamp_ms=1700300000000)
+    mpath = C.current_metadata_path(t)
+
+    # bounds present in the delete manifest entries
+    import json as _json
+
+    from hielo_spark.metadata.manifests import live_data_file_dicts
+    from hielo_spark.metadata.avro_py import read_avro_file
+
+    doc = _json.load(open(mpath))
+    snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == 104)
+    _, _, mrows = read_avro_file(snap["manifest-list"].removeprefix("file:"))
+    del_entries = []
+    for m in mrows:
+        if (m.get("content") or 0) != 1:
+            continue
+        _, _, entries = read_avro_file(m["manifest_path"])
+        del_entries += [e["data_file"] for e in entries]
+    assert del_entries
+    for df_rec in del_entries:
+        lb = df_rec.get("lower_bounds_str") or {}
+        assert "file_path" in lb
+        # spec binary bounds under the reserved position-delete ids
+        spec_ids = {kv["key"] for kv in (df_rec.get("lower_bounds") or [])}
+        assert 2147483546 in spec_ids
+
+    # full read still correct (both deletes apply)
+    full = read_data_at_snapshot(spark, mpath)
+    assert full.count() == 180
+
+    # a scan pruned to the second data file must not read the FIRST
+    # file's delete parquet: inputFiles lists every scanned parquet
+    hot = read_data_at_snapshot(spark, mpath, skip_filter=("k", ">=", 1000))
+    scanned = {f.removeprefix("file:") for f in hot.inputFiles()}
+    del_parquets = sorted(
+        d["path"] if isinstance(d, dict) else d
+        for d in (e["file_path"] for e in del_entries)
+    )
+    first_file_delete = next(p for p in del_parquets if "seq-00003" in p)
+    second_file_delete = next(p for p in del_parquets if "seq-00004" in p)
+    assert not any(first_file_delete in s for s in scanned)
+    assert any(second_file_delete in s for s in scanned)
+    assert {r.k for r in hot.collect()} == set(range(1000, 1090))
+
+    # unit: a boundless delete file is never pruned
+    kept = _prune_pos_deletes([{"lb": None, "ub": None}], ["/a/b.parquet"])
+    assert len(kept) == 1
+
+
+def test_equality_delete_files_carry_key_bounds(spark, tmp_path):
+    from hielo_spark.metadata.avro_py import read_avro_file
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(5, "a"), (9, "b")],
+                                             "k int, v string"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_equality(spark, t, spark.createDataFrame([(5,)], "k int"),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    import json as _json
+
+    doc = _json.load(open(C.current_metadata_path(t)))
+    snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == 102)
+    _, _, mrows = read_avro_file(snap["manifest-list"].removeprefix("file:"))
+    eq = []
+    for m in mrows:
+        if (m.get("content") or 0) != 1:
+            continue
+        _, _, entries = read_avro_file(m["manifest_path"])
+        eq += [e["data_file"] for e in entries
+               if e["data_file"].get("content") == 2]
+    assert eq
+    assert (eq[0].get("lower_bounds_str") or {}).get("k") == "5"
+    assert (eq[0].get("upper_bounds_str") or {}).get("k") == "5"

@@ -842,3 +842,45 @@ def test_read_incremental_skip_options(spark, tmp_path):
     inc = read_incremental(spark, mpath, 101,
                            skip_replace=True, skip_delete=True)
     assert [(r.id, r.v) for r in inc.collect()] == [(2, "b")]
+
+
+def test_datasource_prunes_delete_files_by_bounds(spark, tmp_path, monkeypatch):
+    """The DataSource planner must not even READ a position-delete
+    parquet whose file_path bounds can't touch a surviving data file."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from hielo_spark.sources import iceberg_source as S
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 100).selectExpr("id AS k").coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t,
+             spark.range(1000, 1100).selectExpr("id AS k").coalesce(1),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, "k < 10",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    C.delete_where(spark, t, "k >= 1090",
+                   snapshot_id=104, timestamp_ms=1700300000000)
+
+    import pyarrow.parquet as pq
+
+    read_paths = []
+    real = pq.read_table
+
+    def spy(path, *a, **kw):
+        read_paths.append(str(path))
+        return real(path, *a, **kw)
+
+    # partitions() imports pyarrow.parquet locally, so patching the
+    # module attribute intercepts its reads
+    monkeypatch.setattr(pq, "read_table", spy)
+
+    r = S.HieloIcebergReader(t, {}, [("k", "bigint")])
+    list(r.pushFilters([GreaterThanOrEqual(("k",), 1000)]))
+    parts = r.partitions()
+    # one surviving data file; only the second delete file was read
+    assert len(parts) == 1
+    delete_reads = [p for p in read_paths if "-posdeletes" in p]
+    assert len(delete_reads) == 1 and "seq-00004" in delete_reads[0]
+    # and its positions apply to the surviving file
+    assert len(parts[0].pos_deletes) == 10
