@@ -802,25 +802,6 @@ def read_data_at_snapshot(
     if not data_files:
         raise ValueError(f"snapshot {chosen['snapshot-id']} has no live data files")
 
-    # partition pruning: drop files whose manifest partition values
-    # contradict the filter BEFORE any scan is planned — the same
-    # metadata-only pruning an Iceberg planner does. String-compared
-    # (values are stored stringified); a file with no partition metadata
-    # is never pruned (it may contain matching rows).
-    if partition_filter:
-        want = {k: str(v) for k, v in partition_filter.items()}
-        data_files = [
-            f
-            for f in data_files
-            if f["pvals"] is None
-            or all(f["pvals"].get(k, str(v)) == str(v) for k, v in want.items())
-        ]
-        if not data_files:
-            raise ValueError(
-                f"partition filter {partition_filter} prunes every file of "
-                f"snapshot {chosen['snapshot-id']}"
-            )
-
     # schema resolution: a LATEST read scans under the table's CURRENT
     # schema (Iceberg semantics — update_schema is a metadata-only
     # commit that adds no snapshot, so the snapshot's recorded schema-id
@@ -832,6 +813,42 @@ def read_data_at_snapshot(
         else doc.get("current-schema-id", chosen.get("schema-id"))
     )
     schema_cols, aliases = evolved_read_plan(doc, read_schema_id)
+
+    # partition pruning: drop files whose manifest partition values
+    # contradict the filter BEFORE any scan is planned — the same
+    # metadata-only pruning an Iceberg planner does. String-compared
+    # (values are stored stringified); a file with no partition metadata
+    # is never pruned (it may contain matching rows). Alias-aware: after
+    # a rename of the partition source column the files' pvals keys
+    # carry the OLD name, so a filter on the current name resolves
+    # through the schema history — otherwise it would silently match
+    # every file (matching nothing is pruning; matching everything on a
+    # stale key is a wrong answer).
+    if partition_filter:
+        def pval_of(f: dict, k: str):
+            pv = f["pvals"] or {}
+            if k in pv:
+                return pv[k]
+            for a in (aliases or {}).get(k, ()):
+                if a in pv:
+                    return pv[a]
+            return None
+
+        want = {k: str(v) for k, v in partition_filter.items()}
+        data_files = [
+            f
+            for f in data_files
+            if f["pvals"] is None
+            or all(
+                (pval_of(f, k) is None or pval_of(f, k) == str(v))
+                for k, v in want.items()
+            )
+        ]
+        if not data_files:
+            raise ValueError(
+                f"partition filter {partition_filter} prunes every file of "
+                f"snapshot {chosen['snapshot-id']}"
+            )
 
     # metadata skipping on column bounds: keep only files whose manifest
     # min/max CAN satisfy the predicate — Iceberg's scan-planning file

@@ -340,11 +340,20 @@ def _read_partition(part: _ScanPartition):
         table = table.take(pa.array(keep, type=pa.int64()))
     # hive-partitioned files store identity partition columns only in
     # the directory layout + manifest partition values — reattach them
-    # as typed constants so the batch matches the declared schema
-    for name, ddl, *_aliases in part.columns:
-        if name in table.column_names or name not in part.pvals:
+    # as typed constants so the batch matches the declared schema.
+    # Alias-aware: after a rename of the partition source column the
+    # file's pvals carry the OLD name, so the current name resolves
+    # through the field-id history like data columns do.
+    for name, ddl, *rest0 in part.columns:
+        if name in table.column_names:
             continue
-        sval = part.pvals[name]
+        pkey = name if name in part.pvals else next(
+            (a for a in (rest0[0] if rest0 else ()) if a in part.pvals),
+            None,
+        )
+        if pkey is None:
+            continue
+        sval = part.pvals[pkey]
         if sval == "__HIVE_DEFAULT_PARTITION__":
             pyval = None
         elif ddl in ("int", "bigint", "smallint", "tinyint"):

@@ -340,3 +340,46 @@ def test_schema_matrix_over_own_evolved_table(spark, tmp_path):
     }
     assert changes[("amount", 1)] == "renamed"
     assert changes[("extra", 1)] == "added"
+
+
+def test_partition_source_rename_both_planes(registered, spark, tmp_path):
+    """Renaming a partition source column: the files' partition values
+    stay keyed by the OLD name, so (a) the DataSource reattaches them
+    through the alias history (previously the renamed column read back
+    null) and (b) a partition_filter on the CURRENT name resolves and
+    prunes (previously it silently matched every file)."""
+    t = str(tmp_path / "t")
+    C.append(
+        spark, t,
+        spark.createDataFrame([(1, "us"), (2, "eu")],
+                              "id int, region string"),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        partition_by=["region"],
+    )
+    M.update_schema(t, rename={"region": "area"}, timestamp_ms=1700100000000)
+    mpath = C.current_metadata_path(t)
+
+    ds = spark.read.format("hielo_iceberg").load(t)
+    assert sorted((r.id, r.area) for r in ds.collect()) == [
+        (1, "us"), (2, "eu")]
+
+    jvm = read_data_at_snapshot(spark, mpath)
+    assert sorted((r.id, r.area) for r in jvm.collect()) == [
+        (1, "us"), (2, "eu")]
+
+    # current-name filter prunes to the one matching partition file
+    us = read_data_at_snapshot(spark, mpath, partition_filter={"area": "us"})
+    assert sorted(r.id for r in us.collect()) == [1]
+    assert len(set(us.inputFiles())) < len(set(jvm.inputFiles()))
+    # historical-name filter keeps working (pvals carry it directly)
+    us2 = read_data_at_snapshot(spark, mpath,
+                                partition_filter={"region": "us"})
+    assert sorted(r.id for r in us2.collect()) == [1]
+
+    # DELETE WHERE on the renamed partition column still resolves
+    C.delete_where(spark, t, "area = 'eu'",
+                   snapshot_id=102, timestamp_ms=1700200000000)
+    after = read_data_at_snapshot(spark, C.current_metadata_path(t))
+    assert sorted(r.id for r in after.collect()) == [1]
+    ds2 = spark.read.format("hielo_iceberg").load(t)
+    assert sorted(r.id for r in ds2.collect()) == [1]
