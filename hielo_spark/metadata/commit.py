@@ -567,9 +567,42 @@ def _load_doc(table_dir: str) -> tuple[dict, int]:
 def _commit_doc(table_dir: str, doc: dict, prev_version: int) -> str:
     """Hadoop-catalog optimistic-concurrency commit: temp write + atomic
     rename onto the next version; a concurrent committer wins the rename
-    race and we raise instead of clobbering."""
+    race and we raise instead of clobbering.
+
+    Maintains the spec's ``metadata-log`` (previous metadata files with
+    their last-updated timestamps — what ``t.metadata_log_entries``
+    reads and point-in-time metadata recovery walks), trimmed to the
+    ``write.metadata.previous-versions-max`` table property (Iceberg's
+    default 100)."""
     mdir = os.path.join(table_dir, "metadata")
     os.makedirs(mdir, exist_ok=True)
+    prev_path = current_metadata_path(table_dir)
+    if prev_path is not None:
+        try:
+            with open(prev_path) as f:
+                prev_ts = json.load(f).get("last-updated-ms")
+        except (OSError, ValueError):
+            prev_ts = None
+        log = list(doc.get("metadata-log", []))
+        log.append(
+            {
+                "timestamp-ms": (
+                    int(prev_ts) if prev_ts is not None
+                    else int(doc.get("last-updated-ms", 0))
+                ),
+                "metadata-file": prev_path,
+            }
+        )
+        try:
+            keep = int(
+                doc.get("properties", {}).get(
+                    "write.metadata.previous-versions-max", 100
+                )
+            )
+        except (TypeError, ValueError):
+            keep = 100
+        doc = dict(doc)
+        doc["metadata-log"] = log[-keep:]
     target = os.path.join(mdir, f"v{prev_version + 1}.metadata.json")
     tmp = os.path.join(mdir, f".tmp-{_uuid.uuid4().hex}.metadata.json")
     with open(tmp, "w") as f:

@@ -1094,6 +1094,10 @@ _META_SURFACES = {
         "summary_json string"
     ),
     "history": "timestamp_ms bigint, snapshot_id bigint",
+    "metadata_log": (
+        "timestamp_ms bigint, file string, latest_snapshot_id bigint, "
+        "latest_schema_id int"
+    ),
     "refs": "name string, type string, snapshot_id bigint",
     "manifests": (
         "manifest_path string, manifest_length bigint, "
@@ -1132,6 +1136,28 @@ def _meta_surface_rows(table_dir: str, surface: str, options) -> list[tuple]:
             (int(e["timestamp-ms"]), int(e["snapshot-id"]))
             for e in doc.get("snapshot-log", [])
         ]
+    if surface == "metadata_log":
+        # t.metadata_log_entries: each previous metadata file, enriched
+        # with the snapshot/schema that file pointed at (resolved by
+        # reading it — bounded by previous-versions-max, planning-plane)
+        out = []
+        for e in doc.get("metadata-log", []):
+            snap_id, schema_id = None, None
+            try:
+                with open(str(e["metadata-file"]).removeprefix("file:")) as f:
+                    old = json.load(f)
+                snap_id = old.get("current-snapshot-id")
+                schema_id = old.get("current-schema-id")
+            except (OSError, ValueError):
+                pass  # expired/relocated metadata file: ids unknown
+            out.append(
+                (
+                    int(e["timestamp-ms"]), e.get("metadata-file"),
+                    int(snap_id) if snap_id is not None else None,
+                    int(schema_id) if schema_id is not None else None,
+                )
+            )
+        return out
     if surface == "refs":
         return [
             (name, r.get("type"), int(r["snapshot-id"]))

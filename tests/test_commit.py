@@ -1492,3 +1492,48 @@ def test_equality_delete_files_carry_key_bounds(spark, tmp_path):
     assert eq
     assert (eq[0].get("lower_bounds_str") or {}).get("k") == "5"
     assert (eq[0].get("upper_bounds_str") or {}).get("k") == "5"
+
+
+def test_metadata_log_maintained_and_trimmed(spark, tmp_path):
+    """Spec: every commit appends the PREVIOUS metadata file to
+    metadata-log (with its last-updated timestamp), trimmed to
+    write.metadata.previous-versions-max."""
+    import json as _json
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    doc = _json.load(open(C.current_metadata_path(t)))
+    assert doc.get("metadata-log") in (None, [])  # first commit: no prior
+
+    C.append(spark, t, spark.createDataFrame([(2,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.append(spark, t, spark.createDataFrame([(3,)], ["id"]),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    doc = _json.load(open(C.current_metadata_path(t)))
+    log = doc["metadata-log"]
+    assert [e["metadata-file"].rsplit("/", 1)[-1] for e in log] == [
+        "v1.metadata.json", "v2.metadata.json"]
+    # timestamps are the PREVIOUS docs' last-updated-ms
+    assert [e["timestamp-ms"] for e in log] == [
+        1700000000000, 1700100000000]
+
+    # metadata-only commits track it too
+    from hielo_spark.metadata import update_schema
+
+    update_schema(t, add=[("x", "double")], timestamp_ms=1700300000000)
+    doc = _json.load(open(C.current_metadata_path(t)))
+    assert len(doc["metadata-log"]) == 3
+
+    # trimming honors the table property
+    t2 = str(tmp_path / "t2")
+    C.append(spark, t2, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=201, timestamp_ms=1700000000000,
+             extra_properties={"write.metadata.previous-versions-max": "2"})
+    for i in range(4):
+        C.append(spark, t2, spark.createDataFrame([(i,)], ["id"]),
+                 snapshot_id=210 + i, timestamp_ms=1700100000000 + i)
+    doc2 = _json.load(open(C.current_metadata_path(t2)))
+    assert len(doc2["metadata-log"]) == 2
+    assert doc2["metadata-log"][-1]["metadata-file"].endswith(
+        "v4.metadata.json")

@@ -884,3 +884,23 @@ def test_datasource_prunes_delete_files_by_bounds(spark, tmp_path, monkeypatch):
     assert len(delete_reads) == 1 and "seq-00004" in delete_reads[0]
     # and its positions apply to the surviving file
     assert len(parts[0].pos_deletes) == 10
+
+
+def test_metadata_log_surface(registered, spark, tmp_path):
+    """option("surface", "metadata_log") — t.metadata_log_entries over
+    the spec metadata-log our commits now maintain."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(2,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.append(spark, t, spark.createDataFrame([(3,)], ["id"]),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    log = (spark.read.format("hielo_iceberg")
+           .option("surface", "metadata_log").load(t))
+    rows = sorted((r.timestamp_ms, r.file.rsplit("/", 1)[-1],
+                   r.latest_snapshot_id) for r in log.collect())
+    assert rows == [
+        (1700000000000, "v1.metadata.json", 101),
+        (1700100000000, "v2.metadata.json", 102),
+    ]
