@@ -27,6 +27,7 @@ from .commit import (  # noqa: F401
     merge_into,
     rewrite_data_files,
     rewrite_manifests,
+    rewrite_position_deletes,
     set_current_snapshot,
     update_partition_spec,
     update_schema,
@@ -47,6 +48,7 @@ __all__ = [
     "read_data_at_snapshot",
     "rewrite_data_files",
     "rewrite_manifests",
+    "rewrite_position_deletes",
     "set_current_snapshot",
     "update_partition_spec",
     "update_schema",

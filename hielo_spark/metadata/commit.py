@@ -2082,6 +2082,186 @@ def _sort_cols_from_doc(doc: dict) -> list[str]:
     return cols
 
 
+def rewrite_position_deletes(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict | None:
+    """Compact the current snapshot's POSITION-delete files (Iceberg's
+    ``rewrite_position_delete_files`` maintenance action): the
+    per-commit delete files accumulated by ``delete_where``/MERGE merge
+    into one hash-partitioned set at the new sequence number, dropping
+    (a) rows whose target data file is no longer live (compacted away —
+    dead weight every scan still reads), (b) rows that never applied
+    (``delete_seq < target's data_seq``: raising their sequence must
+    not activate them), and (c) duplicate ``(file_path, pos)`` pairs.
+    Raising the surviving rows' sequence number is EXACT for position
+    deletes — the ``file_path`` pins the target, whose data_seq is
+    fixed and already ``<=`` the original delete seq, so any higher seq
+    applies identically. Equality-delete files are untouched (their
+    scoping is by key, where seq DOES change semantics).
+
+    Scale: distributed union → seq-scoped join against the live
+    (path, data_seq) list → dedup → hash-partitioned write (the same
+    no-single-task-funnel contract as _write_delete_parts); planning is
+    pure Python over the manifests. Returns the new snapshot dict, or
+    None when the table has fewer than two position-delete files."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .manifests import decode_manifest, inherited_seq_of, read_avro_file, _resolve
+
+    doc, prev_version = _load_doc(table_dir)
+    if doc.get("current-snapshot-id") is None:
+        raise ValueError("table has no current snapshot")
+    current = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    mdir = os.path.join(table_dir, "metadata")
+    mlist = _resolve(
+        os.path.join(mdir, "x"), current["manifest-list"].removeprefix("file:")
+    )
+    fv = doc.get("format-version", 2)
+    _, _, mlist_rows = read_avro_file(mlist)
+    pos_files: list[tuple[str, int | None]] = []  # (path, delete seq)
+    live_paths: list[tuple[str, int | None]] = []  # (path, data seq)
+    pure_pos_manifests: set[str] = set()
+    for m in mlist_rows:
+        entries = decode_manifest(
+            _resolve(mlist, m["manifest_path"]),
+            inherited_seq=inherited_seq_of(m, fv),
+        )
+        kinds = set()
+        for e in entries:
+            (status, _sid, fpath, _fmt, _rec, _size, fcontent, seq,
+             *_rest) = e
+            if status == 2:
+                continue
+            kinds.add(fcontent)
+            if fcontent == 0:
+                live_paths.append((fpath.removeprefix("file:"), seq))
+            elif fcontent == 1:
+                pos_files.append((fpath.removeprefix("file:"), seq))
+        if kinds == {1}:
+            pure_pos_manifests.add(m["manifest_path"])
+    if len(pos_files) < 2:
+        return None  # nothing to compact
+
+    seq_new = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq_new)
+    )
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+
+    merged = None
+    for p, dseq in pos_files:
+        one = spark.read.parquet(p).select(
+            "file_path", F.col("pos").cast("long").alias("pos"),
+            F.lit(dseq).cast("long").alias("_dseq"),
+        )
+        merged = one if merged is None else merged.unionByName(one)
+    live_df = spark.createDataFrame(
+        live_paths, "live_path string, data_seq long"
+    )
+    from .metadata_json import _strip_scheme
+
+    cond = (
+        (_strip_scheme(merged["file_path"])
+         == _strip_scheme(live_df["live_path"]))
+        & (
+            merged["_dseq"].isNull()
+            | live_df["data_seq"].isNull()
+            | (merged["_dseq"] >= live_df["data_seq"])
+        )
+    )
+    survivors = (
+        merged.join(live_df, cond, "left_semi")
+        .select("file_path", "pos").distinct()
+    )
+    old_bytes = sum(os.path.getsize(p) for p, _ in pos_files)
+
+    del_dir = os.path.join(table_dir, "data", f"seq-{seq_new:05d}-posrewrite")
+    parts, rows_of, bounds_of = _write_delete_parts(
+        survivors.repartition(F.col("file_path")), del_dir,
+        ["file_path", "pos"],
+    )
+    _POS_IDS = {"file_path": 2147483546, "pos": 2147483545}
+    _POS_TYPES = {"file_path": "string", "pos": "bigint"}
+    manifest_path = os.path.join(
+        mdir, f"delete-manifest-{seq_new:05d}-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(
+        spark, manifest_path, MANIFEST_ENTRY_SCHEMA_V2,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "record_count": rows_of[p],
+                    "file_size_in_bytes": os.path.getsize(p),
+                    **_spec_stats(
+                        _POS_IDS, _POS_TYPES,
+                        bounds_of.get(p, ({}, {}))[0],
+                        bounds_of.get(p, ({}, {}))[1],
+                        None, rows_of[p],
+                    ),
+                    "lower_bounds_str": bounds_of.get(p, ({}, {}))[0] or None,
+                    "upper_bounds_str": bounds_of.get(p, ({}, {}))[1] or None,
+                    "bounds_types": _POS_TYPES,
+                },
+            }
+            for p in parts
+        ],
+        meta=_manifest_header_meta(doc, 0, "deletes"),
+    )
+    n_rows = sum(rows_of.values())
+    new_bytes = sum(os.path.getsize(p) for p in parts)
+    new_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq_new,
+        "min_sequence_number": seq_new,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(parts),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    # carry forward every manifest EXCEPT the pure position-delete ones
+    # just rewritten (a mixed/foreign delete manifest stays untouched)
+    prior_rows = [
+        r for r in _carry_forward_rows(spark, mdir, doc)
+        if r["manifest_path"] not in pure_pos_manifests
+    ]
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, prior_rows + [new_row],
+        snapshot_id, timestamp_ms, seq_new,
+        _with_totals(
+            {
+                "operation": "replace",
+                "rewritten-delete-files": str(len(pos_files)),
+                "added-delete-files": str(len(parts)),
+                "added-delete-records": str(n_rows),
+            },
+            doc, doc.get("current-snapshot-id"),
+            0, new_bytes - old_bytes, len(parts) - len(pos_files),
+        ),
+    )
+
+
 def rewrite_manifests(
     spark: SparkSession,
     table_dir: str,

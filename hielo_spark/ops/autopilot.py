@@ -81,10 +81,16 @@ def plan_maintenance(
     n_files = int(by_content[0].n) if 0 in by_content else 0
     total_bytes = int(by_content[0].bytes or 0) if 0 in by_content else 0
     avg = total_bytes / n_files if n_files else 0
-    n_delete_files = sum(
-        int(by_content[c].n) for c in (1, 2) if c in by_content
-    )
-    if (n_files >= MIN_FILES_FOR_COMPACTION and avg < SMALL_FILE_BYTES) or n_delete_files:
+    n_pos_delete_files = int(by_content[1].n) if 1 in by_content else 0
+    n_eq_delete_files = int(by_content[2].n) if 2 in by_content else 0
+    n_delete_files = n_pos_delete_files + n_eq_delete_files
+    # full data rewrite: small files, or EQUALITY deletes (their per-scan
+    # anti-join can only be removed by baking them in — position deletes
+    # have the cheaper dedicated compaction below)
+    if (
+        (n_files >= MIN_FILES_FOR_COMPACTION and avg < SMALL_FILE_BYTES)
+        or n_eq_delete_files
+    ):
         plan.append(
             {
                 "action": "rewrite_data_files",
@@ -96,11 +102,30 @@ def plan_maintenance(
             }
         )
 
+    # position-delete compaction (rewrite_position_deletes): when the
+    # DATA files are healthy (no full rewrite planned) but per-commit
+    # position-delete files have piled up, merging just the delete side
+    # is far cheaper than rewriting the data — every scan stops paying
+    # one read per accumulated delete file
+    if not plan and n_pos_delete_files >= 2:
+        plan.append(
+            {
+                "action": "rewrite_position_deletes",
+                "reason": (
+                    f"{n_pos_delete_files} position-delete files "
+                    "accumulated (each scan reads all of them)"
+                ),
+                "params": {},
+            }
+        )
+
     # manifest consolidation: many tiny manifests slow scan planning.
-    # Skipped when compaction is planned — a REPLACE snapshot leaves a
-    # single fresh manifest anyway, so the rewrite would be redundant.
-    # Counted from the already-read manifest list, not a second read.
-    if not plan:
+    # Skipped when DATA compaction is planned — a REPLACE snapshot
+    # leaves a single fresh manifest anyway, so the rewrite would be
+    # redundant. (Position-delete compaction carries data manifests
+    # forward, so it does NOT obviate this.) Counted from the
+    # already-read manifest list, not a second read.
+    if not any(a["action"] == "rewrite_data_files" for a in plan):
         n_data_manifests = sum(
             1 for m in manifest_rows if (m.content or 0) == 0
         )
@@ -163,6 +188,19 @@ def run_maintenance(
                 "rewritten": int(snap["summary"]["rewritten-data-files"]),
                 "added": int(snap["summary"]["added-data-files"]),
             }
+        elif step["action"] == "rewrite_position_deletes":
+            snap = C.rewrite_position_deletes(
+                spark, table_dir, **step["params"]
+            )
+            entry["result"] = (
+                {
+                    "snapshot_id": snap["snapshot-id"],
+                    "rewritten": int(snap["summary"]["rewritten-delete-files"]),
+                    "added": int(snap["summary"]["added-delete-files"]),
+                }
+                if snap is not None
+                else {"noop": True}
+            )
         elif step["action"] == "rewrite_manifests":
             snap = C.rewrite_manifests(spark, table_dir, **step["params"])
             entry["result"] = (

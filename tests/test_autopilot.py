@@ -184,3 +184,33 @@ def test_all_content_files_frame_matches_per_kind(spark, tmp_path):
     got = {c: {r.file_path for r in all_rows if r.content == c} for c in (0, 1, 2)}
     assert got == per_kind
     assert len(all_rows) == sum(len(v) for v in per_kind.values())
+
+
+def test_autopilot_plans_position_delete_compaction(spark, tmp_path):
+    """Healthy data files + piled-up position-delete files → the plan
+    prefers the cheap rewrite_position_deletes over a full data rewrite,
+    and run_maintenance executes it."""
+    from hielo_spark.metadata import commit as C
+    from hielo_spark.ops.autopilot import plan_maintenance, run_maintenance
+
+    t = str(tmp_path / "t")
+    # ONE healthy-sized data file (below MIN_FILES_FOR_COMPACTION) with
+    # several delete commits on top
+    C.append(spark, t, spark.range(0, 5000).selectExpr("id AS k").coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    for i, cond in enumerate(("k < 5", "k >= 4995", "k = 17")):
+        C.delete_where(spark, t, cond, snapshot_id=102 + i,
+                       timestamp_ms=1700100000000 + i)
+
+    plan = plan_maintenance(spark, t, now_ms=1700200000000)
+    actions = [a["action"] for a in plan]
+    assert "rewrite_position_deletes" in actions
+    assert "rewrite_data_files" not in actions
+
+    report = run_maintenance(spark, t, now_ms=1700200000000, plan=plan)
+    done = {a["action"]: a.get("result") for a in report["actions"]}
+    assert done["rewrite_position_deletes"]["rewritten"] == 3
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    df = read_data_at_snapshot(spark, C.current_metadata_path(t))
+    assert df.count() == 5000 - 11
