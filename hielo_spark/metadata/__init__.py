@@ -17,6 +17,7 @@ commits, ``update_schema`` / ``update_partition_spec`` /
 
 from .commit import (  # noqa: F401
     append,
+    cherrypick_snapshot,
     create_ref,
     current_metadata_path,
     delete_equality,
@@ -37,6 +38,7 @@ from .manifests import read_data_at_snapshot  # noqa: F401
 
 __all__ = [
     "append",
+    "cherrypick_snapshot",
     "create_ref",
     "current_metadata_path",
     "delete_equality",

@@ -2747,6 +2747,182 @@ def fast_forward(table_dir: str, branch: str) -> str:
     return _commit_doc(table_dir, doc, prev_version)
 
 
+def cherrypick_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    source_snapshot_id: int,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Iceberg's ``cherrypick_snapshot`` procedure: replay an APPEND
+    snapshot's added data files as a NEW append on top of the current
+    snapshot — the path for picking individual staged commits off a
+    DIVERGED branch (where ``fast_forward`` refuses) or re-applying a
+    commit orphaned by a rollback. Only append sources are supported,
+    like Iceberg itself: deletes/replaces are defined relative to their
+    parent's file set, so replaying them elsewhere is ill-defined.
+
+    Metadata-only data plane: the source's file entries (with their
+    stats) are re-committed at the next sequence number pointing at the
+    SAME parquet files — no data is copied or rewritten."""
+    import time
+
+    from .manifests import decode_manifest, inherited_seq_of, read_avro_file, _resolve
+
+    doc, prev_version = _load_doc(table_dir)
+    src = next(
+        (s for s in doc.get("snapshots", [])
+         if int(s["snapshot-id"]) == int(source_snapshot_id)),
+        None,
+    )
+    if src is None:
+        raise ValueError(f"snapshot {source_snapshot_id} not in table")
+    op = (src.get("summary") or {}).get("operation")
+    if op != "append":
+        raise ValueError(
+            f"cherrypick supports append snapshots only; {source_snapshot_id} "
+            f"is operation={op!r} (deletes/replaces are parent-relative)"
+        )
+    cur = doc.get("current-snapshot-id")
+    if cur is not None and int(cur) == int(source_snapshot_id):
+        raise ValueError("source snapshot is already current")
+
+    mdir = os.path.join(table_dir, "metadata")
+    seq = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq)
+    )
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+
+    # the files the source snapshot ADDED (status=1 entries attributed
+    # to it), with their raw entry dicts so stats ride along verbatim
+    fv = doc.get("format-version", 2)
+    src_list = _resolve(
+        os.path.join(mdir, "x"), src["manifest-list"].removeprefix("file:")
+    )
+    _, _, mrows = read_avro_file(src_list)
+    added_entries: list[dict] = []
+    for m in mrows:
+        mpath = _resolve(src_list, m["manifest_path"])
+        _, _, raw = read_avro_file(mpath)
+        for e in raw:
+            if e.get("status") != 1:
+                continue
+            sid = e.get("snapshot_id") or m.get("added_snapshot_id")
+            if sid is None or int(sid) != int(source_snapshot_id):
+                continue
+            if (e.get("data_file") or {}).get("content", 0) != 0:
+                raise ValueError(
+                    "cherrypick source added delete files — not an "
+                    "append-only snapshot"
+                )
+            added_entries.append(e)
+    if not added_entries:
+        raise ValueError(
+            f"snapshot {source_snapshot_id} added no data files"
+        )
+    # refuse double-application: any of the files already live on the
+    # current snapshot means the commit (or a prior pick) is present
+    current_live = set()
+    if cur is not None:
+        cur_snap = next(
+            s for s in doc["snapshots"] if s["snapshot-id"] == cur
+        )
+        from .manifests import live_data_file_dicts
+
+        current_live = set(
+            live_data_file_dicts(
+                _resolve(
+                    os.path.join(mdir, "x"),
+                    cur_snap["manifest-list"].removeprefix("file:"),
+                ),
+                fv,
+            )
+        )
+    dupes = [
+        e["data_file"]["file_path"].removeprefix("file:")
+        for e in added_entries
+        if e["data_file"]["file_path"].removeprefix("file:") in current_live
+    ]
+    if dupes:
+        raise ValueError(
+            f"cherrypick would double-apply: {len(dupes)} of the source's "
+            f"files are already live on the current snapshot "
+            f"(e.g. {dupes[0]})"
+        )
+
+    manifest_path = os.path.join(
+        mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(
+        spark, manifest_path, MANIFEST_ENTRY_SCHEMA_V2,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": dict(e["data_file"]),
+            }
+            for e in added_entries
+        ],
+        meta=_manifest_header_meta(doc, 0, "data"),
+    )
+    added_records = sum(
+        int((e["data_file"] or {}).get("record_count") or 0)
+        for e in added_entries
+    )
+    added_bytes = sum(
+        int((e["data_file"] or {}).get("file_size_in_bytes") or 0)
+        for e in added_entries
+    )
+    new_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(added_entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_records,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    total_records = added_records
+    base = next(
+        (s for s in doc.get("snapshots", []) if s.get("snapshot-id") == cur),
+        None,
+    )
+    if base is not None:
+        try:
+            total_records += int(
+                base.get("summary", {}).get("total-records", "0") or 0
+            )
+        except ValueError:
+            pass
+    prior_rows = _carry_forward_rows(spark, mdir, doc)
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, prior_rows + [new_row],
+        snapshot_id, timestamp_ms, seq,
+        _with_totals(
+            {
+                "operation": "append",
+                "added-data-files": str(len(added_entries)),
+                "added-records": str(added_records),
+                "total-records": str(total_records),
+                "added-files-size": str(added_bytes),
+                "cherry-picked-snapshot-id": str(source_snapshot_id),
+            },
+            doc, cur,
+            len(added_entries), added_bytes, 0,
+        ),
+    )
+
+
 def create_ref(
     table_dir: str, name: str, snapshot_id: int, ref_type: str = "tag"
 ) -> str:

@@ -1537,3 +1537,57 @@ def test_metadata_log_maintained_and_trimmed(spark, tmp_path):
     assert len(doc2["metadata-log"]) == 2
     assert doc2["metadata-log"][-1]["metadata-file"].endswith(
         "v4.metadata.json")
+
+
+def test_cherrypick_snapshot_from_diverged_branch(spark, tmp_path):
+    """r7: cherrypick_snapshot replays a staged append's files as a new
+    append on current — the path fast_forward refuses for diverged
+    branches. Metadata-only: same parquet files, fresh manifest."""
+    from hielo_spark.metadata import cherrypick_snapshot
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1,), (2,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    # stage an append on a branch…
+    C.append(spark, t, spark.createDataFrame([(10,), (11,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000, branch="audit")
+    # …then main moves on: the branch is now diverged
+    C.append(spark, t, spark.createDataFrame([(3,)], ["id"]),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    with pytest.raises(ValueError, match="diverged"):
+        C.fast_forward(t, "audit")
+
+    snap = cherrypick_snapshot(spark, t, 102, snapshot_id=104,
+                               timestamp_ms=1700300000000)
+    assert snap["summary"]["cherry-picked-snapshot-id"] == "102"
+    df = read_data_at_snapshot(spark, C.current_metadata_path(t))
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3, 10, 11]
+
+    # double application refused
+    with pytest.raises(ValueError, match="double-apply"):
+        cherrypick_snapshot(spark, t, 102)
+
+    # non-append sources refused
+    C.delete_equality(spark, t, spark.createDataFrame([(1,)], ["id"]),
+                      snapshot_id=105, timestamp_ms=1700400000000)
+    with pytest.raises(ValueError, match="append snapshots only"):
+        cherrypick_snapshot(spark, t, 105)
+
+
+def test_cherrypick_after_rollback_restores_commit(spark, tmp_path):
+    from hielo_spark.metadata import cherrypick_snapshot
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.createDataFrame([(2,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.rollback_to_snapshot(t, 101)  # 102 is now orphaned off main
+    df = read_data_at_snapshot(spark, C.current_metadata_path(t))
+    assert sorted(r.id for r in df.collect()) == [1]
+    cherrypick_snapshot(spark, t, 102, snapshot_id=106,
+                        timestamp_ms=1700200000000)
+    df2 = read_data_at_snapshot(spark, C.current_metadata_path(t))
+    assert sorted(r.id for r in df2.collect()) == [1, 2]

@@ -383,3 +383,92 @@ def test_partition_source_rename_both_planes(registered, spark, tmp_path):
     assert sorted(r.id for r in after.collect()) == [1]
     ds2 = spark.read.format("hielo_iceberg").load(t)
     assert sorted(r.id for r in ds2.collect()) == [1]
+
+
+# -- property: random evolution sequences keep the invariants ----------------
+
+
+def test_random_evolution_sequences_keep_invariants(spark, tmp_path):
+    """Hypothesis-style stateful check (deterministic seed, pure-Python
+    plane — no per-example Spark jobs): random sequences of
+    add/drop/rename/widen ops must keep (a) field ids unique across
+    every schema incl. nested ids, (b) last-column-id monotone and >=
+    every id, (c) current-schema-id resolvable, (d) renamed fields
+    keeping their id, (e) every historical name mapping to exactly one
+    field id (the name-mapping invariant the readers rely on)."""
+    import random
+
+    from hielo_spark.metadata.types import max_field_id
+
+    rng = random.Random(20260815)
+    t = str(tmp_path / "t")
+    _mk(spark, t)
+
+    def current(d):
+        return next(
+            s for s in d["schemas"]
+            if s["schema-id"] == d["current-schema-id"]
+        )
+
+    n_applied = 0
+    for step in range(40):
+        d = _doc(t)
+        cur = current(d)
+        names = [f["name"] for f in cur["fields"]]
+        op = rng.choice(("add", "drop", "rename", "widen"))
+        try:
+            if op == "add":
+                ty = rng.choice(
+                    ("int", "double", "string", "array<float>",
+                     "struct<a:int,b:string>"))
+                M.update_schema(t, add=[(f"c{step}", ty)],
+                                timestamp_ms=1700100000000 + step)
+            elif op == "drop" and len(names) > 1:
+                M.update_schema(t, drop=[rng.choice(names)],
+                                timestamp_ms=1700100000000 + step)
+            elif op == "rename":
+                M.update_schema(
+                    t, rename={rng.choice(names): f"r{step}"},
+                    timestamp_ms=1700100000000 + step)
+            elif op == "widen":
+                ints = [
+                    f["name"] for f in cur["fields"] if f["type"] == "int"
+                ]
+                if not ints:
+                    continue
+                M.update_schema(t, widen={rng.choice(ints): "bigint"},
+                                timestamp_ms=1700100000000 + step)
+            else:
+                continue
+            n_applied += 1
+        except ValueError:
+            continue  # refusals (name reuse etc.) are themselves correct
+
+        d = _doc(t)
+        # (a) top-level ids unique within every schema version (nested
+        # ids are covered by the last-column-id bound in (b))
+        for s in d["schemas"]:
+            ids = [int(f["id"]) for f in s["fields"]]
+            assert len(ids) == len(set(ids)), s
+        # (b) last-column-id >= every id ever used (incl. nested)
+        top_ids = [
+            max(int(f["id"]), max_field_id(f["type"], 0))
+            for s in d["schemas"] for f in s["fields"]
+        ]
+        assert int(d["last-column-id"]) >= max(top_ids)
+        # (c) current schema resolvable
+        assert current(d) is not None
+        # (e) every historical name maps to exactly ONE field id
+        seen: dict[str, set[int]] = {}
+        for s in d["schemas"]:
+            for f in s["fields"]:
+                seen.setdefault(f["name"], set()).add(int(f["id"]))
+        for name, idset in seen.items():
+            assert len(idset) == 1, (name, idset)
+    assert n_applied >= 10  # the walk actually exercised the surface
+
+    # and the table still READS under the final schema
+    final_cols = [f["name"] for f in current(_doc(t))["fields"]]
+    got = read_data_at_snapshot(spark, C.current_metadata_path(t))
+    assert got.columns == final_cols
+    assert got.count() == 2
