@@ -2857,8 +2857,17 @@ def cherrypick_snapshot(
     manifest_path = os.path.join(
         mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
     )
+    # partitioned sources keep their typed r102 record: rebuild the
+    # entry schema from the spec + the entries' partition types
+    ptypes: dict[str, str] = {}
+    for e in added_entries:
+        ptypes.update((e["data_file"] or {}).get("partition_types") or {})
+    pfields = _partition_avro_fields(doc, ptypes)
+    entry_schema = (
+        manifest_entry_schema(pfields) if pfields else MANIFEST_ENTRY_SCHEMA_V2
+    )
     write_avro(
-        spark, manifest_path, MANIFEST_ENTRY_SCHEMA_V2,
+        spark, manifest_path, entry_schema,
         [
             {
                 "status": 1,

@@ -1591,3 +1591,30 @@ def test_cherrypick_after_rollback_restores_commit(spark, tmp_path):
                         timestamp_ms=1700200000000)
     df2 = read_data_at_snapshot(spark, C.current_metadata_path(t))
     assert sorted(r.id for r in df2.collect()) == [1, 2]
+
+
+def test_cherrypick_partitioned_snapshot_keeps_partition_values(spark, tmp_path):
+    from hielo_spark.metadata import cherrypick_snapshot
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(1, "us"), (2, "eu")], "id int, region string"),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        partition_by=["region"])
+    C.append(spark, t, spark.createDataFrame(
+        [(3, "ap")], "id int, region string"),
+        snapshot_id=102, timestamp_ms=1700100000000, branch="stage")
+    C.append(spark, t, spark.createDataFrame(
+        [(4, "us")], "id int, region string"),
+        snapshot_id=103, timestamp_ms=1700200000000)
+    cherrypick_snapshot(spark, t, 102, snapshot_id=104,
+                        timestamp_ms=1700300000000)
+    mpath = C.current_metadata_path(t)
+    df = read_data_at_snapshot(spark, mpath)
+    assert sorted((r.id, r.region) for r in df.collect()) == [
+        (1, "us"), (2, "eu"), (3, "ap"), (4, "us")]
+    # partition pruning still works for the cherry-picked file
+    ap = read_data_at_snapshot(spark, mpath, partition_filter={"region": "ap"})
+    assert sorted(r.id for r in ap.collect()) == [3]
+    assert len(set(ap.inputFiles())) < len(set(df.inputFiles()))
