@@ -137,6 +137,38 @@ class RestCatalogClient:
         ]
         return self.commit_table(namespace, table, requirements, updates)
 
+    def commit_schema_update(
+        self,
+        namespace,
+        table: str,
+        new_schema: dict,
+        expected_current_schema_id: int | None = None,
+    ) -> dict:
+        """Commit a schema-evolution metadata update the spec-shaped way
+        (the catalog-service twin of ``metadata.update_schema``): assert
+        the current schema hasn't moved underneath us
+        (``assert-current-schema-id`` → 409 CommitConflictError on a
+        concurrent evolution), then ``add-schema`` + the
+        ``set-current-schema`` sentinel -1 ("the schema just added",
+        per the REST spec). ``new_schema`` is the full spec struct
+        ``{"type": "struct", "schema-id": N, "fields": [...]}`` — derive
+        it with the same field-id rules update_schema applies locally."""
+        requirements = (
+            [
+                {
+                    "type": "assert-current-schema-id",
+                    "current-schema-id": expected_current_schema_id,
+                }
+            ]
+            if expected_current_schema_id is not None
+            else []
+        )
+        updates = [
+            {"action": "add-schema", "schema": new_schema},
+            {"action": "set-current-schema", "schema-id": -1},
+        ]
+        return self.commit_table(namespace, table, requirements, updates)
+
     # -- catalog operations ------------------------------------------------
 
     def test_connection(self) -> bool:

@@ -206,12 +206,31 @@ def _stateful_server():
                             {"error": f"ref main is at {state['main']}, "
                                       f"required {r.get('snapshot-id')}"},
                         )
+            for r in req.get("requirements", []):
+                if r.get("type") == "assert-current-schema-id":
+                    have = state["doc"].get("current-schema-id", 0)
+                    if have != r.get("current-schema-id"):
+                        return self._send(
+                            409,
+                            {"error": f"current schema is {have}, "
+                                      f"required {r.get('current-schema-id')}"},
+                        )
+            last_added_schema_id = None
             for up in req.get("updates", []):
                 if up["action"] == "add-snapshot":
                     state["doc"]["snapshots"].append(up["snapshot"])
                 elif up["action"] == "set-snapshot-ref" and up["ref-name"] == "main":
                     state["main"] = up["snapshot-id"]
                     state["doc"]["current-snapshot-id"] = up["snapshot-id"]
+                elif up["action"] == "add-schema":
+                    state["doc"].setdefault("schemas", []).append(up["schema"])
+                    last_added_schema_id = up["schema"].get("schema-id")
+                elif up["action"] == "set-current-schema":
+                    sid = up["schema-id"]
+                    # spec sentinel -1 = the schema added in this commit
+                    state["doc"]["current-schema-id"] = (
+                        last_added_schema_id if sid == -1 else sid
+                    )
             return self._send(
                 200,
                 {"metadata-location": "s3://w/meta/head2.metadata.json",
@@ -271,5 +290,40 @@ def test_commit_requires_auth(spark):
                  "summary": {}}, 42,
             )
         assert state["main"] == 42
+    finally:
+        srv.shutdown()
+
+
+def test_commit_schema_update_and_conflict(spark):
+    """r7: schema evolution over the REST protocol — add-schema +
+    set-current-schema(-1 sentinel) behind assert-current-schema-id,
+    with the 409 conflict surfaced as CommitConflictError."""
+    from hielo_spark.catalog.rest import CommitConflictError
+
+    srv, uri, state = _stateful_server()
+    try:
+        client = RestCatalogClient(uri, token=TOKEN)
+        base_sid = state["doc"].get("current-schema-id", 0)
+        new_schema = {
+            "type": "struct", "schema-id": base_sid + 1,
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 9, "name": "added", "required": False,
+                 "type": "double"},
+            ],
+        }
+        client.commit_schema_update(
+            "analytics", "orders_t", new_schema,
+            expected_current_schema_id=base_sid,
+        )
+        assert state["doc"]["current-schema-id"] == base_sid + 1
+        assert state["doc"]["schemas"][-1]["schema-id"] == base_sid + 1
+
+        # a second evolution asserting the STALE schema id conflicts
+        with pytest.raises(CommitConflictError):
+            client.commit_schema_update(
+                "analytics", "orders_t", new_schema,
+                expected_current_schema_id=base_sid,
+            )
     finally:
         srv.shutdown()
