@@ -224,14 +224,49 @@ def _png_unfilter_row(
     return cur
 
 
+#: Adam7 interlace pass origins/strides, per the PNG spec: each pass is
+#: an independently filtered sub-image over the pixels at
+#: (x0 + i*dx, y0 + j*dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter_block(
+    raw: np.ndarray, offset: int, width_px: int, height: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``height`` scanlines of ``width_px*bpp`` bytes starting
+    at ``offset`` in the decompressed stream; returns ``(rows, next
+    offset)`` — shared by the sequential image and each Adam7 pass
+    (passes restart the filter predictor: prev row = zeros)."""
+    stride = width_px * bpp
+    need = (stride + 1) * height
+    if offset + need > raw.size:
+        raise ValueError("PNG scanline data has wrong size")
+    block = raw[offset:offset + need].reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        cur = _png_unfilter_row(
+            int(block[y, 0]), block[y, 1:].astype(np.int64), prev, bpp
+        )
+        out[y] = cur
+        prev = cur
+    return out, offset + need
+
+
 def decode_png(b: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG → (h, w, 3) uint8 RGB. Stdlib zlib +
-    numpy: chunk walk (IHDR/PLTE/IDAT/IEND), one zlib stream across all
-    IDAT chunks, per-scanline filter reconstruction. Gray/gray+alpha
-    expand to RGB; RGBA drops alpha (composite against black would need
-    a policy choice — features use color planes only); palette (color
-    type 3, r5) indexes the PLTE RGB triples, tRNS alpha dropped like
-    RGBA. 16-bit and interlaced (Adam7) PNGs raise
+    """PNG → (h, w, 3) uint8 RGB. Stdlib zlib + numpy: chunk walk
+    (IHDR/PLTE/IDAT/IEND), one zlib stream across all IDAT chunks,
+    per-scanline filter reconstruction. 8- AND 16-bit depths (16-bit
+    samples are big-endian; filters operate on BYTES with bpp doubled,
+    per the spec — output takes the high byte), sequential AND Adam7
+    interlaced (each pass an independently filtered sub-image).
+    Gray/gray+alpha expand to RGB; RGBA drops alpha (composite against
+    black would need a policy choice — features use color planes only);
+    palette (color type 3, r5) indexes the PLTE RGB triples, tRNS alpha
+    dropped like RGBA. Sub-byte depths (1/2/4-bit) remain a documented
     NotImplementedError."""
     import struct
     import zlib
@@ -258,28 +293,49 @@ def decode_png(b: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG (got depth {depth})")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PNG (got depth {depth}; sub-byte depths "
+            "unsupported)"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"unknown PNG color type {color}")
     if color == 3:
+        if depth == 16:
+            raise ValueError("16-bit palette PNG is not a legal combination")
         if plte is None or len(plte) % 3 != 0 or not plte:
             raise ValueError("palette PNG missing/malformed PLTE")
-    stride = w * channels
+    bps = depth // 8              # bytes per sample
+    bpp = channels * bps          # filter byte distance
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != (stride + 1) * h:
-        raise ValueError("PNG scanline data has wrong size")
-    raw = raw.reshape(h, stride + 1)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        cur = _png_unfilter_row(int(raw[y, 0]), raw[y, 1:].astype(np.int64), prev, channels)
-        out[y] = cur
-        prev = cur
-    img = out.reshape(h, w, channels)
+    if interlace == 0:
+        out, end = _png_unfilter_block(raw, 0, w, h, bpp)
+        if end != raw.size:
+            raise ValueError("PNG scanline data has wrong size")
+        bytes_img = out.reshape(h, w, bpp)
+    else:
+        # Adam7: seven passes, each its own filtered sub-image; pixels
+        # scatter back to (x0 + i*dx, y0 + j*dy)
+        bytes_img = np.zeros((h, w, bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, offset = _png_unfilter_block(raw, offset, pw, ph, bpp)
+            bytes_img[y0::dy, x0::dx] = rows.reshape(ph, pw, bpp)
+        if offset != raw.size:
+            raise ValueError("PNG scanline data has wrong size")
+    if depth == 16:
+        # big-endian 16-bit samples → high byte (the spec's 16→8
+        # downsample within our uint8 RGB feature contract)
+        img = bytes_img.reshape(h, w, channels, 2)[:, :, :, 0]
+    else:
+        img = bytes_img
     if color == 3:
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = img[:, :, 0]
@@ -290,7 +346,7 @@ def decode_png(b: bytes) -> np.ndarray:
         return np.repeat(img, 3, axis=2)
     if channels == 2:
         return np.repeat(img[:, :, :1], 3, axis=2)
-    return img[:, :, :3]
+    return np.ascontiguousarray(img[:, :, :3])
 
 
 def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:

@@ -250,10 +250,12 @@ def test_png_unsupported_variants_raise():
                 + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
                 + chunk(b"IEND", b""))
 
-    with pytest.raises(NotImplementedError, match="16|depth"):
-        decode_png(png_hdr(depth=16))
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(png_hdr(interlace=1))
+    # 16-bit and Adam7 are SUPPORTED since r7 (tests above); sub-byte
+    # depths still refuse loudly, and truncated payloads fail on size
+    with pytest.raises(NotImplementedError, match="sub-byte"):
+        decode_png(png_hdr(depth=4))
+    with pytest.raises(ValueError, match="wrong size"):
+        decode_png(png_hdr(depth=16))  # 1x1 16-bit RGB needs 7 bytes
     # palette (color type 3) is SUPPORTED since r5 — but only with a
     # PLTE chunk; a bare color-3 payload fails loudly, never silently
     with pytest.raises(ValueError, match="PLTE"):
@@ -718,3 +720,117 @@ def test_registry_corpus_contains_palette_payloads(spark):
     for r in rows:
         color_type = r.payload[8 + 8 + 9]  # IHDR data byte 9 = color type
         assert color_type == (3 if r.doc_id % 4 == 3 else 2)
+
+
+# -- 16-bit + Adam7 PNG (r7) --------------------------------------------------
+
+
+def _png_chunks(ihdr_fields, idat_payload, plte=None):
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(idat_payload)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_16bit_decodes_high_byte():
+    """16-bit samples are big-endian; filters run on BYTES with bpp
+    doubled; the decoder keeps the high byte (spec 16→8 downsample)."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import decode_png
+
+    # 2x2 16-bit RGB, filter 0 rows, values chosen so high/low bytes
+    # differ (a low-byte mixup would be loud)
+    px = np.array(
+        [[[0x1234, 0x5678, 0x9ABC], [0xFF01, 0x0001, 0x8000]],
+         [[0x0000, 0xFFFF, 0x7F80], [0x4040, 0x2020, 0x1010]]],
+        dtype=np.uint16,
+    )
+    payload = b""
+    for y in range(2):
+        payload += b"\x00" + px[y].astype(">u2").tobytes()
+    b = _png_chunks((2, 2, 16, 2, 0, 0, 0), payload)
+    got = decode_png(b)
+    assert got.dtype == np.uint8 and got.shape == (2, 2, 3)
+    assert (got == (px >> 8).astype(np.uint8)).all()
+
+    # 16-bit GRAY with the Up filter (byte-wise across the 2-byte bpp)
+    g = np.array([[0x0102, 0x0304], [0x0506, 0x0708]], dtype=np.uint16)
+    row0 = g[0].astype(">u2").tobytes()
+    row1_filt = bytes(
+        (b1 - b0) & 0xFF
+        for b0, b1 in zip(row0, g[1].astype(">u2").tobytes())
+    )
+    b2 = _png_chunks((2, 2, 16, 0, 0, 0, 0),
+                     b"\x00" + row0 + b"\x02" + row1_filt)
+    got2 = decode_png(b2)
+    assert (got2[:, :, 0] == (g >> 8).astype(np.uint8)).all()
+
+
+def test_png_adam7_matches_sequential():
+    """An Adam7-interlaced PNG decodes to the same pixels as the
+    sequential encoding of the same image — pass geometry built in-test
+    straight from the spec's origin/stride table."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
+
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    payload = b""
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            payload += b"\x00" + sub[y].tobytes()  # filter 0 rows
+    b = _png_chunks((img.shape[1], img.shape[0], 8, 2, 0, 0, 1), payload)
+    got = decode_png(b)
+    assert (got == img).all()
+    # and equals the round trip through our own sequential encoder
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_16bit_adam7_combined():
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    img16 = rng.integers(0, 65536, size=(5, 6, 3), dtype=np.uint16)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    payload = b""
+    for x0, y0, dx, dy in passes:
+        sub = img16[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            payload += b"\x00" + sub[y].astype(">u2").tobytes()
+    b = _png_chunks((6, 5, 16, 2, 0, 0, 1), payload)
+    got = decode_png(b)
+    assert (got == (img16 >> 8).astype(np.uint8)).all()
+
+
+def test_png_subbyte_depth_still_rejected():
+    import pytest as _pytest
+
+    from hielo_spark.operators.multimodal import decode_png
+
+    b = _png_chunks((4, 4, 4, 0, 0, 0, 0), b"\x00\x00\x00")
+    with _pytest.raises(NotImplementedError, match="sub-byte"):
+        decode_png(b)
+    with _pytest.raises(ValueError, match="not a legal combination"):
+        decode_png(_png_chunks((2, 2, 16, 3, 0, 0, 0), b"\x00\x00",
+                               plte=b"\x00\x00\x00"))
