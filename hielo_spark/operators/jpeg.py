@@ -4,13 +4,18 @@ no PIL, no libjpeg.
 Why it exists: the reference treats image payloads as decodable columns;
 this environment has no imaging library, and JPEG is the dominant
 real-world format, so X5's decode stage implements the public baseline
-spec directly. Scope (decoder): baseline DCT sequential, 8-bit, grayscale
-or YCbCr, 4:4:4 / 4:2:2 / 4:2:0 chroma sampling, restart intervals,
-multiple DQT/DHT segments. Progressive, arithmetic coding, and 12-bit
-precision raise NotImplementedError.
+spec directly. Scope (decoder): baseline DCT sequential (SOF0/1), 8-bit,
+grayscale or YCbCr, 4:4:4 / 4:2:2 / 4:2:0 chroma sampling, restart
+intervals, multiple DQT/DHT segments — and PROGRESSIVE (SOF2, r7):
+spectral selection, successive approximation (DC/AC first + refinement
+scans with EOB runs and correction bits, T.81 Annex G). Arithmetic
+coding, lossless/hierarchical modes, and 12-bit precision raise
+NotImplementedError.
 
-The encoder is the test twin: spec-valid output (SOI/APP0/DQT/SOF0/DHT/
-SOS/EOI, byte stuffing, optional restart markers) using flat quantization
+The encoders are the test twins: spec-valid sequential output
+(SOI/APP0/DQT/SOF0/DHT/SOS/EOI, byte stuffing, optional restart markers)
+plus a progressive encoder (SOF2 scan scripts with configurable spectral
+bands) using flat quantization
 tables and simple single-length canonical Huffman tables (12 DC symbols
 at 4 bits, 162 AC symbols at 8 bits — valid per DHT's counts-per-length
 encoding, just not size-optimal). The decoder never assumes those
@@ -336,6 +341,216 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ------------------------------------------------- progressive encoder twin
+
+#: AC table for progressive scans: EOB0..EOB14 (run<<4, size 0), ZRL,
+#: and the (run, size) pairs — 176 symbols, all at 8 bits (canonical)
+_AC_PROG_SYMBOLS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_PROG_COUNTS = [0] * 7 + [len(_AC_PROG_SYMBOLS)] + [0] * 8
+
+
+def _pt_toward_zero(v: int, al: int) -> int:
+    """The spec's AC point transform: divide by 2^Al truncating TOWARD
+    ZERO (an arithmetic shift would round negatives away from zero)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+class _ProgACState:
+    """Cross-block EOB-run state for one AC scan: the run length and the
+    correction bits stashed to emit after the EOBn code (spec G.1.2.3 —
+    each correction bit rides with the symbol whose decoding passes its
+    coefficient)."""
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush(self, bw: _BitWriter, ac_codes) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            c, ln = ac_codes[r << 4]
+            bw.write(c, ln)
+            if r:
+                bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.pending:
+            bw.write(bit, 1)
+        self.pending = []
+
+
+def _encode_ac_first_block(bw, blk, ss, se, al, ac_codes, state):
+    run = 0
+    for k in range(ss, se + 1):
+        t = _pt_toward_zero(int(blk[k]), al)
+        if t == 0:
+            run += 1
+            continue
+        state.flush(bw, ac_codes)
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        size = _category(t)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(t if t >= 0 else t + (1 << size) - 1, size)
+        run = 0
+    if run:
+        state.eobrun += 1
+        if state.eobrun == 32767:
+            state.flush(bw, ac_codes)
+
+
+def _encode_ac_refine_block(bw, blk, ss, se, al, ac_codes, state):
+    """Refinement coding by SIMULATING the decoder's pass structure:
+    newly-nonzero coefficients emit (zero-run, 1) + sign; correction
+    bits for already-nonzero coefficients are emitted exactly where the
+    decoder consumes them (inline within the pass each symbol causes)."""
+    t = [abs(int(v)) >> al for v in blk]
+    pos = [int(v) >= 0 for v in blk]
+    new_ks = [k for k in range(ss, se + 1) if t[k] == 1]
+    k = ss
+    for nk in new_ks:
+        while sum(1 for j in range(k, nk) if t[j] == 0) > 15:
+            state.flush(bw, ac_codes)
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            z = 0
+            while z < 16:  # pass 16 zero-history coeffs, corrections inline
+                if t[k] == 0:
+                    z += 1
+                elif t[k] > 1:
+                    bw.write(t[k] & 1, 1)
+                k += 1
+        state.flush(bw, ac_codes)
+        run = sum(1 for j in range(k, nk) if t[j] == 0)
+        c, ln = ac_codes[(run << 4) | 1]
+        bw.write(c, ln)
+        bw.write(1 if pos[nk] else 0, 1)
+        for j in range(k, nk):
+            if t[j] > 1:
+                bw.write(t[j] & 1, 1)
+        k = nk + 1
+    if k <= se:  # tail covered by an EOB run; corrections ride with it
+        state.eobrun += 1
+        state.pending.extend(t[j] & 1 for j in range(k, se + 1) if t[j] > 1)
+        if state.eobrun == 32767:
+            state.flush(bw, ac_codes)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quant: int = 8, gray: bool = False,
+    bands: tuple[tuple[int, int], ...] = ((1, 63),),
+) -> bytes:
+    """RGB (h, w, 3) uint8 → PROGRESSIVE JFIF bytes (SOF2, 4:4:4): a
+    four-stage scan script exercising every progressive scan type — DC
+    first at Al=1 (interleaved), DC refinement, then per component AC
+    first 1..63 at Al=1 and AC refinement to Al=0. The decoder twin
+    never assumes this script; it follows whatever scans the stream
+    declares."""
+    h, w, _ = img.shape
+    ycc = _rgb_to_ycbcr(img)
+    q_tab = np.full(64, float(quant))
+    q_tab[0] = max(1.0, quant / 2)
+    bx_n = (w + 7) // 8
+    by_n = (h + 7) // 8
+    ncomp = 1 if gray else 3
+    grids = []
+    for ci in range(ncomp):
+        plane = _pad_to(ycc[..., ci], by_n * 8, bx_n * 8)
+        g = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                coefs = _A @ (block - 128.0) @ _A.T
+                g[by, bx] = np.round(
+                    coefs.reshape(64) / q_tab
+                ).astype(np.int64)[ZIGZAG]
+        grids.append(g)
+
+    dc_codes = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _encode_codes(_AC_PROG_COUNTS, _AC_PROG_SYMBOLS)
+    cids = (1,) if gray else (1, 2, 3)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(q_tab[ZIGZAG[i]]) for i in range(64)
+    )
+    comps = b"".join(bytes([cid, 0x11, 0]) for cid in cids)
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp
+    ) + comps
+    for tc, counts, syms in (
+        (0, _DC_COUNTS, _DC_SYMBOLS), (1, _AC_PROG_COUNTS, _AC_PROG_SYMBOLS)
+    ):
+        payload = bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    def sos(sel, ss, se, ah, al):
+        seg = bytes([len(sel)])
+        seg += b"".join(bytes([cid, 0x00]) for cid in sel)
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    # scan 1: DC first, Al=1, interleaved (4:4:4 → one block per comp/MCU)
+    out += sos(cids, 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci in range(ncomp):
+                v = int(grids[ci][by, bx, 0]) >> 1  # DC PT is arithmetic
+                diff = v - preds[ci]
+                preds[ci] = v
+                size = _category(diff)
+                c, ln = dc_codes[size]
+                bw.write(c, ln)
+                if size:
+                    bw.write(diff if diff >= 0 else diff + (1 << size) - 1,
+                             size)
+    bw.align()
+    out += bw.out
+    # scan 2: DC refinement to Al=0 — one bit per block
+    out += sos(cids, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci in range(ncomp):
+                bw.write(int(grids[ci][by, bx, 0]) & 1, 1)
+    bw.align()
+    out += bw.out
+    # scans 3..: per-component, per-band AC first then AC refinement
+    # (``bands`` beyond the default exercises spectral selection)
+    for ci, cid in enumerate(cids):
+        for ss_b, se_b in bands:
+            out += sos((cid,), ss_b, se_b, 0, 1)
+            bw, state = _BitWriter(), _ProgACState()
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    _encode_ac_first_block(
+                        bw, grids[ci][by, bx], ss_b, se_b, 1, ac_codes, state)
+            state.flush(bw, ac_codes)
+            bw.align()
+            out += bw.out
+    for ci, cid in enumerate(cids):
+        for ss_b, se_b in bands:
+            out += sos((cid,), ss_b, se_b, 1, 0)
+            bw, state = _BitWriter(), _ProgACState()
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    _encode_ac_refine_block(
+                        bw, grids[ci][by, bx], ss_b, se_b, 0, ac_codes, state)
+            state.flush(bw, ac_codes)
+            bw.align()
+            out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- decoder
 def decode_jpeg(b: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale expands to
@@ -349,6 +564,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     frame = None  # (h, w, comps)
     restart_interval = 0
     scan = None
+    prog_coef = None  # progressive: per-component zigzag coefficient grids
 
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -382,7 +598,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 syms = list(seg[p + 17 : p + 17 + n])
                 (dc_tables if tc == 0 else ac_tables)[th] = _canonical_codes(counts, syms)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, fh, fw, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -390,9 +606,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG (SOF0)")
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline-sequential (SOF0/1) and progressive (SOF2) "
+                "JPEG (arithmetic/lossless/hierarchical modes unsupported)"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -401,10 +621,28 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if frame.get("progressive"):
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                pos += seg_len
+                if prog_coef is None:
+                    prog_coef = _alloc_progressive(frame)
+                pos = _decode_progressive_scan(
+                    b, pos, frame, scan, ss, se, ahal >> 4, ahal & 0xF,
+                    prog_coef, dc_tables, ac_tables, restart_interval,
+                )
+                scan = None  # consumed; keep walking to the next marker
+                continue
             pos += seg_len
-            break  # entropy-coded data follows
+            break  # sequential: entropy-coded data follows
         pos += seg_len
 
+    if frame is not None and frame.get("progressive"):
+        if prog_coef is None:
+            raise ValueError("progressive JPEG with no scans")
+        return _finish_progressive(frame, prog_coef, qtables)
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
 
@@ -422,6 +660,216 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         b, pos, frame, comps, scan, qtables, dc_tables, ac_tables,
         restart_interval, planes, mcus_x, mcus_y, hmax, vmax,
     )
+
+
+# ------------------------------------------------------------- progressive
+
+
+def _frame_geometry(frame):
+    """(hmax, vmax, mcus_x, mcus_y, per-component natural block dims) —
+    component i spans ceil(w*h_i/hmax) × ceil(h*v_i/vmax) samples, its
+    non-interleaved block grid is that rounded up to whole blocks."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    nb = []
+    for c in comps:
+        cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+        ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+        nb.append(((ch + 7) // 8, (cw + 7) // 8))
+    return hmax, vmax, mcus_x, mcus_y, nb
+
+
+def _alloc_progressive(frame):
+    """Per-component (BY, BX, 64) int64 zigzag coefficient grids sized to
+    the padded MCU grid (interleaved DC scans write the pad blocks)."""
+    hmax, vmax, mcus_x, mcus_y, _nb = _frame_geometry(frame)
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for c in frame["comps"]
+    ]
+
+
+def _decode_progressive_scan(
+    b, pos, frame, scan, ss, se, ah, al, coef, dc_tables, ac_tables,
+    restart_interval,
+):
+    """One progressive scan (T.81 §G.2) into the coefficient grids:
+    DC first / DC refinement (interleaved or single-component), AC first
+    with EOB runs, AC refinement with correction bits. Returns the byte
+    position after the scan's entropy-coded data."""
+    comps = frame["comps"]
+    hmax, vmax, mcus_x, mcus_y, nb = _frame_geometry(frame)
+    idx_of = {c["id"]: i for i, c in enumerate(comps)}
+    br = _BitReader(b, pos)
+    try:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            preds = [0] * len(comps)
+            members = [(idx_of[s["id"]], s) for s in scan]
+
+            def dc_block(ci, s, by, bx):
+                if ah == 0:
+                    size = _read_huff_symbol(br, dc_tables[s["dc"]])
+                    diff = _extend(br.bits(size), size) if size else 0
+                    preds[ci] += diff
+                    coef[ci][by, bx, 0] = preds[ci] << al
+                elif br.bit():
+                    # two's-complement OR matches the encoder's
+                    # (value >> Al) & 1 bit for negatives too
+                    coef[ci][by, bx, 0] |= 1 << al
+
+            if len(scan) > 1:
+                units = mcus_x * mcus_y
+                unit = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            br.byte_align()
+                            m = br.skip_marker()
+                            if not (0xFFD0 <= m <= 0xFFD7):
+                                raise ValueError(f"expected RST, got {m:#x}")
+                            preds = [0] * len(comps)
+                        for ci, s in members:
+                            c = comps[ci]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    dc_block(ci, s,
+                                             my * c["v"] + by,
+                                             mx * c["h"] + bx)
+                        unit += 1
+            else:
+                ci, s = members[0]
+                bh, bw = nb[ci]
+                unit = 0
+                for by in range(bh):
+                    for bx in range(bw):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            br.byte_align()
+                            m = br.skip_marker()
+                            if not (0xFFD0 <= m <= 0xFFD7):
+                                raise ValueError(f"expected RST, got {m:#x}")
+                            preds = [0] * len(comps)
+                        dc_block(ci, s, by, bx)
+                        unit += 1
+        else:
+            if len(scan) != 1:
+                raise ValueError("progressive AC scans are single-component")
+            s = scan[0]
+            ci = idx_of[s["id"]]
+            act = ac_tables[s["ac"]]
+            grid = coef[ci]
+            bh, bw = nb[ci]
+            eobrun = 0
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        br.byte_align()
+                        m = br.skip_marker()
+                        if not (0xFFD0 <= m <= 0xFFD7):
+                            raise ValueError(f"expected RST, got {m:#x}")
+                        eobrun = 0
+                    unit += 1
+                    blk = grid[by, bx]
+                    if ah == 0:
+                        # AC first scan (G.2.2): values at precision Al,
+                        # EOBn codes end runs of all-zero blocks
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = _read_huff_symbol(br, act)
+                            r, sz = sym >> 4, sym & 0xF
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            blk[k] = _extend(br.bits(sz), sz) << al
+                            k += 1
+                    else:
+                        # AC refinement (G.2.3): newly nonzero coeffs are
+                        # ±1<<Al run/sign codes; already-nonzero coeffs
+                        # consume one correction bit wherever passed
+                        p1, m1 = 1 << al, -1 << al
+
+                        def correct(k0, k1, stop_at_zero_run):
+                            # advance from k0 while emitting correction
+                            # bits; with stop_at_zero_run = r, stop after
+                            # passing r zero-history coefficients and
+                            # return that position
+                            k = k0
+                            r = stop_at_zero_run
+                            while k <= k1:
+                                if blk[k]:
+                                    if br.bit() and not (blk[k] & p1):
+                                        blk[k] += p1 if blk[k] > 0 else m1
+                                else:
+                                    if r == 0:
+                                        return k
+                                    r -= 1
+                                k += 1
+                            return k
+
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = _read_huff_symbol(br, act)
+                                r, sz = sym >> 4, sym & 0xF
+                                if sz == 0:
+                                    if r < 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += br.bits(r)
+                                        break
+                                    # ZRL: pass 16 zero-history coeffs
+                                    k = correct(k, se, 15)
+                                    k += 1
+                                    continue
+                                if sz != 1:
+                                    raise ValueError(
+                                        "AC refinement codes only ±1")
+                                val = p1 if br.bit() else m1
+                                k = correct(k, se, r)
+                                if k > se:
+                                    raise ValueError("AC run past band end")
+                                blk[k] = val
+                                k += 1
+                        if eobrun:
+                            correct(k, se, 64)  # corrections to band end
+                            eobrun -= 1
+    except (_MarkerHit, IndexError) as e:
+        raise ValueError("truncated or corrupt JPEG scan data") from e
+    return br.pos
+
+
+def _finish_progressive(frame, coef, qtables) -> np.ndarray:
+    """Dequantize + inverse DCT every accumulated block (vectorized per
+    component) and assemble like the sequential path."""
+    comps = frame["comps"]
+    hmax, vmax, _mx, _my, _nb = _frame_geometry(frame)
+    planes = []
+    for ci, comp in enumerate(comps):
+        q = qtables[comp["tq"]]
+        arr = coef[ci]
+        deq = np.zeros(arr.shape, dtype=np.float64)
+        deq[..., ZIGZAG] = arr * q[ZIGZAG]
+        by, bx = arr.shape[0], arr.shape[1]
+        blocks = deq.reshape(by, bx, 8, 8)
+        spatial = np.einsum("ij,yxjk,kl->yxil", _A.T, blocks, _A) + 128.0
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _assemble_planes(frame, comps, planes, hmax, vmax)
 
 
 def _decode_scan(
@@ -490,6 +938,12 @@ def _decode_scan_inner(
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
             mcu_count += 1
 
+    return _assemble_planes(frame, comps, planes, hmax, vmax)
+
+
+def _assemble_planes(frame, comps, planes, hmax, vmax) -> np.ndarray:
+    """Upsample subsampled chroma planes, crop to the frame size, and
+    convert to RGB — shared by the sequential and progressive paths."""
     h, w = frame["h"], frame["w"]
     full = []
     for ci, comp in enumerate(comps):

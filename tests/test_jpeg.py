@@ -104,16 +104,25 @@ def test_byte_stuffing_roundtrip():
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
 
 
-def test_progressive_and_bad_streams_raise():
+def test_unsupported_modes_and_bad_streams_raise():
     import struct
 
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(9)
-    with pytest.raises(NotImplementedError):
-        J.decode_jpeg(sof2)
+    # progressive (SOF2) is SUPPORTED since r7; arithmetic coding (SOF9)
+    # and lossless (SOF3) still refuse loudly
+    for sof in (0xC9, 0xC3):
+        payload = struct.pack(">HBHHB", 11, 8, 1, 1, 1) + bytes(3)
+        with pytest.raises(NotImplementedError, match="arithmetic"):
+            J.decode_jpeg(b"\xff\xd8" + bytes([0xFF, sof]) + payload[0:2]
+                          + payload[2:])
     with pytest.raises(ValueError):
         J.decode_jpeg(b"NOTAJPEG")
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+    # a progressive stream with no scans at all is malformed
+    sof2 = (b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 11, 8, 1, 1, 1)
+            + bytes([1, 0x11, 0]) + b"\xff\xd9")
+    with pytest.raises(ValueError, match="no scans"):
+        J.decode_jpeg(sof2)
 
 
 def test_cross_codec_agreement_with_png():
@@ -158,3 +167,63 @@ def test_truncated_scan_data_is_a_value_error():
     truncated = enc[: sos + 40] + b"\xff\xd9"
     with pytest.raises(ValueError, match="truncated or corrupt"):
         J.decode_jpeg(truncated)
+
+
+# -- progressive (SOF2, r7) ---------------------------------------------------
+
+
+def test_progressive_decode_matches_baseline_bitexact():
+    """The same image through the progressive scan script (DC first at
+    Al=1 → DC refine → per-component AC first at Al=1 → AC refine) must
+    decode BIT-IDENTICALLY to the baseline encoding — the coefficients
+    are the same, only the scan structure differs, so any progressive
+    decode bug (EOB runs, correction bits, point transforms) shows as a
+    pixel diff."""
+    yy, xx = np.mgrid[0:21, 0:19]
+    img = np.stack(
+        [(yy * 6 + 20) % 256, (xx * 9 + 60) % 256, ((xx + yy) * 4) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    for quant in (2, 4, 12):
+        d_prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quant=quant))
+        d_base = J.decode_jpeg(J.encode_jpeg(img, quant=quant))
+        assert (d_prog == d_base).all(), f"quant={quant}"
+
+
+def test_progressive_spectral_selection_bands():
+    """Splitting the AC band across several scans (spectral selection)
+    exercises per-band EOB runs; the result must not change."""
+    yy, xx = np.mgrid[0:17, 0:23]
+    img = np.stack(
+        [(yy * 6 + 20) % 256, (xx * 9 + 60) % 256, ((xx + yy) * 4) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, quant=4))
+    for bands in (((1, 63),), ((1, 5), (6, 20), (21, 63)), ((1, 1), (2, 63))):
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(img, quant=4, bands=bands))
+        assert (prog == base).all(), bands
+
+
+def test_progressive_noise_and_gray_and_flat():
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert (J.decode_jpeg(J.encode_jpeg_progressive(noise, quant=2))
+            == J.decode_jpeg(J.encode_jpeg(noise, quant=2))).all()
+    # flat image: every AC scan is one long EOB run
+    flat = np.full((24, 24, 3), 137, dtype=np.uint8)
+    assert (J.decode_jpeg(J.encode_jpeg_progressive(flat, quant=8))
+            == J.decode_jpeg(J.encode_jpeg(flat, quant=8))).all()
+    # grayscale single-component frame
+    g = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    assert (J.decode_jpeg(J.encode_jpeg_progressive(g, quant=4, gray=True))
+            == J.decode_jpeg(J.encode_jpeg(g, quant=4, gray=True))).all()
+
+
+def test_progressive_negative_dc_refinement():
+    """Dark images give negative DC coefficients — the refinement bit
+    must compose with two's-complement OR on negatives."""
+    img = np.full((16, 16, 3), 3, dtype=np.uint8)  # DC ≈ (3-128)*8 < 0
+    img[4:8, 4:8] = 9
+    assert (J.decode_jpeg(J.encode_jpeg_progressive(img, quant=3))
+            == J.decode_jpeg(J.encode_jpeg(img, quant=3))).all()
