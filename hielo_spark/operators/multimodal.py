@@ -12,19 +12,21 @@ row-by-row. Codec status (r4): **PPM (P6), 24-bit uncompressed BMP, and
 non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA) decode for real** —
 PPM/BMP with numpy alone, PNG with stdlib ``zlib`` + numpy (full filter
 reconstruction: None/Sub/Up/Average/Paeth per the public PNG spec).
-Nearest-neighbor resize is numpy index striding. Baseline JPEG decodes
-for real too (pure-numpy ITU-T T.81 implementation in operators/
-jpeg.py: Huffman + dequant + IDCT + chroma upsampling), as does GIF
-(operators/gif.py: full variable-width LZW, interlace, palettes). Audio
-decodes
-for real (RIFF/WAVE 8/16-bit PCM and mono IMA-ADPCM + DSP features), as does video frame
-extraction from uncompressed AVI ('00db' DIB frames — same RIFF walk as
-WAV, same pixel layout as BMP). The remaining stub boundary is small
-and documented: progressive/arithmetic JPEG, non-MJPG AVI fourccs,
-non-PCM/non-IMA WAV, 16-bit/interlaced PNG raise NotImplementedError
-(no PIL/ffmpeg in this environment) unless ``fake=True`` selects the
-deterministic stand-in — the Spark-side plumbing (schemas, batching,
-partitioning) is identical on every path.
+Nearest-neighbor resize is numpy index striding. Baseline AND
+progressive (SOF2, r7) JPEG decode for real (pure-numpy ITU-T T.81
+implementation in operators/jpeg.py: Huffman + dequant + IDCT + chroma
+upsampling + Annex G successive approximation), as does GIF
+(operators/gif.py: full variable-width LZW, interlace, palettes). PNG
+covers 8/16-bit depths and Adam7 interlace (r7). Audio decodes for
+real (RIFF/WAVE 8/16-bit PCM, mono IMA-ADPCM, and G.711 µ-law/A-law
+(r7) + DSP features), as does video frame extraction from uncompressed
+AVI ('00db' DIB frames — same RIFF walk as WAV, same pixel layout as
+BMP). The remaining stub boundary is small and documented:
+arithmetic/lossless JPEG, non-MJPG AVI fourccs, other compressed WAV
+tags, sub-byte-depth PNG raise NotImplementedError (no PIL/ffmpeg in
+this environment) unless ``fake=True`` selects the deterministic
+stand-in — the Spark-side plumbing (schemas, batching, partitioning)
+is identical on every path.
 """
 
 from __future__ import annotations
@@ -632,8 +634,18 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError("only mono IMA-ADPCM WAV")
         spb = fmt[7] if len(fmt) >= 8 else (_align - 4) * 2 + 1
         return _decode_ima_adpcm(data, _align, int(spb)), int(sample_rate)
+    if audio_format in (6, 7):
+        # G.711 A-law (6) / µ-law (7): one byte per sample
+        x = _g711_decode(np.frombuffer(data, np.uint8), audio_format)
+        if n_channels > 1:
+            x = x[: (x.size // n_channels) * n_channels]
+            x = x.reshape(-1, n_channels).mean(axis=1)
+        return x, int(sample_rate)
     if audio_format != 1:
-        raise NotImplementedError(f"only PCM/IMA-ADPCM WAV (got format tag {audio_format})")
+        raise NotImplementedError(
+            "only PCM/IMA-ADPCM/G.711 WAV "
+            f"(got format tag {audio_format})"
+        )
     if bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
@@ -644,6 +656,73 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         x = x[: (x.size // n_channels) * n_channels]
         x = x.reshape(-1, n_channels).mean(axis=1)
     return x, int(sample_rate)
+
+
+# G.711 µ-law / A-law (WAV format tags 7 / 6) — the ITU-T G.711
+# companding formulas computed directly (segment + mantissa expansion),
+# no baked-in tables; telephony corpora are full of these.
+
+
+def _g711_decode(codes: np.ndarray, fmt: int) -> np.ndarray:
+    """Encoded bytes → mono float64 in [-1, 1]. µ-law: invert the
+    8-bit compressed form of |x|+33 (bias) scaled by 2^segment; A-law:
+    even-bit-inverted (0x55 XOR) segment/mantissa form."""
+    c = codes.astype(np.int64)
+    if fmt == 7:  # µ-law: stored complemented
+        u = (~c) & 0xFF
+        sign = np.where(u & 0x80, -1, 1)
+        seg = (u >> 4) & 0x07
+        man = u & 0x0F
+        mag = (((man << 1) | 0x21) << seg) - 0x21
+        return sign * mag / 8031.0  # µ-law decoded max (seg 7, man 15)
+    if fmt == 6:  # A-law: even bits inverted on the wire
+        a = c ^ 0x55
+        sign = np.where(a & 0x80, -1, 1)
+        seg = (a >> 4) & 0x07
+        man = a & 0x0F
+        mag = np.where(
+            seg == 0,
+            (man << 1) | 1,
+            ((man << 1) | 0x21) << (seg - 1),
+        )
+        return sign * mag / 4032.0  # A-law decoded max (seg 7, man 15)
+    raise ValueError(f"not a G.711 format tag: {fmt}")
+
+
+def _g711_encode(x: np.ndarray, fmt: int) -> bytes:
+    """Float samples in [-1, 1] → G.711 bytes — the test twin, built by
+    searching the decode formula's segment structure rather than tables."""
+    if fmt == 7:
+        mag = np.clip(np.abs(x) * 8031.0, 0, 8031).astype(np.int64) + 0x21
+        seg = (np.floor(np.log2(mag / 32.0)).astype(np.int64)).clip(0, 7)
+        man = ((mag >> (seg + 1)) - 0x10) & 0x0F
+        u = (np.where(np.asarray(x) < 0, 0x80, 0x00) | (seg << 4) | man)
+        return bytes(((~u) & 0xFF).astype(np.uint8))
+    if fmt == 6:
+        mag = np.clip(np.abs(x) * 4032.0, 0, 4095).astype(np.int64)
+        seg = np.where(
+            mag < 32, 0,
+            (np.floor(np.log2(np.maximum(mag, 32) / 16.0))).astype(np.int64)
+        ).clip(0, 7)
+        man = np.where(seg == 0, mag >> 1, (mag >> seg) & 0x0F)
+        a = (np.where(np.asarray(x) < 0, 0x80, 0x00) | (seg << 4) | man)
+        return bytes((a ^ 0x55).astype(np.uint8))
+    raise ValueError(f"not a G.711 format tag: {fmt}")
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int, fmt: int = 7) -> bytes:
+    """Minimal mono G.711 RIFF/WAVE writer (format tag 7 µ-law / 6
+    A-law) — decode_wav's test twin for telephony payloads."""
+    import struct
+
+    payload = _g711_encode(np.asarray(samples, dtype=np.float64), fmt)
+    fmt_chunk = struct.pack("<HHIIHH", fmt, 1, sample_rate, sample_rate, 1, 8)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks) - 4) + chunks
 
 
 # IMA ADPCM (WAV format tag 17) — published DVI/IMA tables and nibble

@@ -134,10 +134,10 @@ def test_real_decode_through_spark_stage(spark):
 
 
 def test_stub_boundary_raises(spark):
-    """r4 moved baseline JPEG to the real path; the remaining stub
-    boundary is progressive JPEG (SOF2) and unknown formats. Malformed
-    payloads of known formats are data errors, not missing-codec
-    errors."""
+    """r4 moved baseline JPEG to the real path, r7 progressive; the
+    remaining stub boundary is arithmetic-coded JPEG and unknown
+    formats. Malformed payloads of known formats are data errors, not
+    missing-codec errors."""
     import struct as _struct
 
     import pytest as _pytest
@@ -147,10 +147,11 @@ def test_stub_boundary_raises(spark):
     # truncated/malformed JPEG: data error now that baseline decodes
     with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0....JFIF....")
-    # progressive JPEG (SOF2 marker): explicit NotImplementedError
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + _struct.pack(">H", 11) + bytes(9)
+    # arithmetic-coded JPEG (SOF9): explicit NotImplementedError
+    sof9 = (b"\xff\xd8\xff\xc9"
+            + _struct.pack(">HBHHB", 11, 8, 1, 1, 1) + bytes([1, 0x11, 0]))
     with _pytest.raises(NotImplementedError):
-        decode_image(sof2)
+        decode_image(sof9)
     with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
     with _pytest.raises(NotImplementedError):
@@ -834,3 +835,67 @@ def test_png_subbyte_depth_still_rejected():
     with _pytest.raises(ValueError, match="not a legal combination"):
         decode_png(_png_chunks((2, 2, 16, 3, 0, 0, 0), b"\x00\x00",
                                plte=b"\x00\x00\x00"))
+
+
+# -- G.711 µ-law / A-law WAV (r7) ---------------------------------------------
+
+
+def test_g711_reference_points_and_roundtrip():
+    """ITU-T G.711 companding: spec-pinned code points (µ-law silence
+    0xFF, full-scale 0x80; A-law wire inversion 0x55) plus round-trip
+    SNR on a sine — telephony-grade (> 30 dB at 0.6 FS)."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import (
+        _g711_decode,
+        _g711_encode,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    assert _g711_decode(np.array([0xFF], np.uint8), 7)[0] == 0.0
+    assert abs(_g711_decode(np.array([0x80], np.uint8), 7)[0] - 1.0) < 1e-9
+    assert abs(_g711_decode(np.array([0xAA], np.uint8), 6)[0] + 1.0) < 1e-9
+    assert abs(_g711_decode(np.array([0x55], np.uint8), 6)[0]) < 0.001
+
+    t = np.arange(8000) / 8000.0
+    x = 0.6 * np.sin(2 * np.pi * 440 * t)
+    for fmt in (7, 6):
+        y = _g711_decode(np.frombuffer(_g711_encode(x, fmt), np.uint8), fmt)
+        snr = 10 * np.log10((x ** 2).mean() / ((x - y) ** 2).mean())
+        assert snr > 30, (fmt, snr)
+        wav = encode_wav_g711(x, 8000, fmt=fmt)
+        z, sr = decode_wav(wav)
+        assert sr == 8000 and len(z) == len(x)
+        assert np.corrcoef(x, z)[0, 1] > 0.999
+
+
+def test_g711_exact_requantization():
+    """decode(encode(decode(c))) must reproduce every code's level
+    exactly — the companding segments are self-consistent."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import _g711_decode, _g711_encode
+
+    codes = np.arange(256, dtype=np.uint8)
+    for fmt in (7, 6):
+        levels = _g711_decode(codes, fmt)
+        back = _g711_decode(
+            np.frombuffer(_g711_encode(levels, fmt), np.uint8), fmt
+        )
+        assert np.allclose(levels, back, atol=1e-12), fmt
+
+
+def test_unknown_wav_format_still_rejected():
+    import struct
+
+    import pytest as _pytest
+
+    from hielo_spark.operators.multimodal import decode_wav
+
+    fmt_chunk = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8)  # MS-ADPCM
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt_chunk
+           + b"data" + struct.pack("<I", 2) + b"\x00\x00")
+    with _pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav(wav)
