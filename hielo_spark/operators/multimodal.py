@@ -873,8 +873,9 @@ def attach_wav_media(
     8 kHz of a sine at 200 + (id % 20)·50 Hz plus a quieter second
     harmonic — the audio twin of attach_ppm_media; features recovered
     by decode_audio_features pin the frequency analytically.
-    ``codec="mixed"`` writes odd ids as IMA-ADPCM (format tag 17), so
-    the decode stage exercises real per-payload codec routing."""
+    ``codec="mixed"`` routes by id — PCM, IMA-ADPCM (format tag 17),
+    G.711 µ-law (7) and A-law (6) — so the decode stage exercises real
+    per-payload codec routing across all four WAV codecs."""
     if codec not in ("pcm", "mixed"):
         raise ValueError("codec must be 'pcm' or 'mixed'")
 
@@ -885,8 +886,13 @@ def attach_wav_media(
             f0 = 200.0 + (int(i) % 20) * 50.0
             t = np.arange(2000) / 8000.0
             x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.1 * np.sin(2 * np.pi * 2 * f0 * t)
-            if codec == "mixed" and int(i) % 2:
+            sel = int(i) % 4 if codec == "mixed" else 0
+            if sel == 1:
                 out.append(encode_wav_adpcm(x, 8000))
+            elif sel == 2:
+                out.append(encode_wav_g711(x, 8000, fmt=7))
+            elif sel == 3:
+                out.append(encode_wav_g711(x, 8000, fmt=6))
             else:
                 out.append(encode_wav(x, 8000))
         return pd.Series(out)
@@ -1172,6 +1178,8 @@ def attach_jpeg_media(
 
     @F.pandas_udf(BinaryType())
     def make_jpeg(ids: pd.Series) -> pd.Series:
+        from .jpeg import encode_jpeg_progressive
+
         out = []
         yy, xx = np.mgrid[0:8, 0:8]
         for i in ids:
@@ -1181,7 +1189,12 @@ def attach_jpeg_media(
                 base[None, None, :] + yy[:, :, None] * 4 + xx[:, :, None] * 2,
                 0, 255,
             ).astype(np.uint8)
-            out.append(encode_jpeg(img, quant=4, subsample=subsample))
+            if int(i) % 3 == 1 and not subsample:
+                # every 3rd id ships PROGRESSIVE (SOF2) — the registry
+                # corpus exercises the Annex G decode path for real
+                out.append(encode_jpeg_progressive(img, quant=4))
+            else:
+                out.append(encode_jpeg(img, quant=4, subsample=subsample))
         return pd.Series(out)
 
     k = F.col(id_col)
