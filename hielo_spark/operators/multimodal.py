@@ -18,15 +18,16 @@ implementation in operators/jpeg.py: Huffman + dequant + IDCT + chroma
 upsampling + Annex G successive approximation), as does GIF
 (operators/gif.py: full variable-width LZW, interlace, palettes). PNG
 covers 8/16-bit depths and Adam7 interlace (r7). Audio decodes for
-real (RIFF/WAVE 8/16-bit PCM, mono IMA-ADPCM, and G.711 µ-law/A-law
-(r7) + DSP features), as does video frame extraction from uncompressed
-AVI ('00db' DIB frames — same RIFF walk as WAV, same pixel layout as
-BMP). The remaining stub boundary is small and documented:
-arithmetic/lossless JPEG, non-MJPG AVI fourccs, other compressed WAV
-tags, sub-byte-depth PNG raise NotImplementedError (no PIL/ffmpeg in
-this environment) unless ``fake=True`` selects the deterministic
-stand-in — the Spark-side plumbing (schemas, batching, partitioning)
-is identical on every path.
+real (RIFF/WAVE 8/16-bit PCM, mono IMA-ADPCM, MS-ADPCM, and G.711
+µ-law/A-law (r7) + DSP features), as does video frame extraction from
+uncompressed AVI ('00db' DIB frames — same RIFF walk as WAV, same
+pixel layout as BMP). The remaining stub boundary is small and
+documented: arithmetic/lossless JPEG, non-MJPG AVI fourccs,
+perceptual-codec WAV tags (MP3/AAC-in-WAV), sub-byte-depth PNG raise
+NotImplementedError (no PIL/ffmpeg in this environment) unless
+``fake=True`` selects the deterministic stand-in — the Spark-side
+plumbing (schemas, batching, partitioning) is identical on every
+path.
 """
 
 from __future__ import annotations
@@ -634,6 +635,12 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError("only mono IMA-ADPCM WAV")
         spb = fmt[7] if len(fmt) >= 8 else (_align - 4) * 2 + 1
         return _decode_ima_adpcm(data, _align, int(spb)), int(sample_rate)
+    if audio_format == 2:
+        # MS-ADPCM: block-structured, per-block predictor pair + delta
+        if n_channels != 1:
+            raise NotImplementedError("only mono MS-ADPCM WAV")
+        spb = fmt[7] if len(fmt) >= 8 else (_align - 7) * 2 + 2
+        return _decode_ms_adpcm(data, _align, int(spb)), int(sample_rate)
     if audio_format in (6, 7):
         # G.711 A-law (6) / µ-law (7): one byte per sample
         x = _g711_decode(np.frombuffer(data, np.uint8), audio_format)
@@ -643,7 +650,7 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         return x, int(sample_rate)
     if audio_format != 1:
         raise NotImplementedError(
-            "only PCM/IMA-ADPCM/G.711 WAV "
+            "only PCM/IMA-ADPCM/MS-ADPCM/G.711 WAV "
             f"(got format tag {audio_format})"
         )
     if bits == 16:
@@ -656,6 +663,109 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         x = x[: (x.size // n_channels) * n_channels]
         x = x.reshape(-1, n_channels).mean(axis=1)
     return x, int(sample_rate)
+
+
+# MS-ADPCM (WAV format tag 2) — Microsoft's published block format:
+# per-block predictor-pair index + adaptive delta, 4-bit signed nibbles
+# against a two-tap linear predictor. Tables are the published constants.
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230], dtype=np.int64
+)
+_MS_COEFS = ((256, 0), (512, -256), (0, 64), (192, 64),
+             (240, 0), (460, -208), (392, -232))
+
+
+def _decode_ms_adpcm(data: bytes, block_align: int, spb: int) -> np.ndarray:
+    """Mono MS-ADPCM blocks → float64 in [-1, 1]. Per block: header =
+    predictor index (1 B), initial delta (int16), sample1, sample2
+    (int16 each, sample2 is the OLDER); then two nibbles per byte, high
+    first."""
+    import struct as _struct
+
+    out: list[float] = []
+    for off in range(0, len(data) - 6, block_align):
+        blk = data[off:off + block_align]
+        pred = blk[0]
+        if pred >= len(_MS_COEFS):
+            raise ValueError(f"MS-ADPCM predictor index {pred} out of range")
+        c1, c2 = _MS_COEFS[pred]
+        delta, s1, s2 = _struct.unpack_from("<hhh", blk, 1)
+        samples = [s2, s1]
+        for byte in blk[7:]:
+            for nib in ((byte >> 4) & 0xF, byte & 0xF):
+                signed = nib - 16 if nib & 0x8 else nib
+                predicted = (s1 * c1 + s2 * c2) >> 8
+                s = max(-32768, min(32767, predicted + signed * delta))
+                s2, s1 = s1, s
+                delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+                samples.append(s)
+                if len(samples) >= spb:
+                    break
+            if len(samples) >= spb:
+                break
+        out.extend(samples[:spb])
+    return np.asarray(out, dtype=np.float64) / 32768.0
+
+
+def _encode_ms_adpcm_block(x16: np.ndarray, spb: int) -> bytes:
+    """One mono MS-ADPCM block (predictor 0 = pure first-order; the
+    decoder never assumes this choice)."""
+    import struct as _struct
+
+    c1, c2 = _MS_COEFS[0]
+    s2 = int(x16[0]) if len(x16) > 0 else 0
+    s1 = int(x16[1]) if len(x16) > 1 else 0
+    delta = 128
+    out = bytearray()
+    out += bytes([0]) + _struct.pack("<hhh", delta, s1, s2)
+    nibbles: list[int] = []
+    for i in range(2, spb):
+        v = int(x16[i]) if i < len(x16) else 0
+        predicted = (s1 * c1 + s2 * c2) >> 8
+        err = v - predicted
+        code = max(-8, min(7, int(round(err / delta))))
+        nib = code & 0xF
+        s = max(-32768, min(32767, predicted + code * delta))
+        s2, s1 = s1, s
+        delta = max(16, int(_MS_ADAPT[nib] * delta) >> 8)
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    for a, b2 in zip(nibbles[0::2], nibbles[1::2]):
+        out.append((a << 4) | b2)
+    return bytes(out)
+
+
+def encode_wav_ms_adpcm(
+    samples: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """Minimal mono MS-ADPCM RIFF/WAVE writer (format tag 2) —
+    decode_wav's test twin."""
+    import struct as _struct
+
+    x16 = np.clip(
+        np.asarray(samples, dtype=np.float64) * 32768.0, -32768, 32767
+    ).astype(np.int64)
+    spb = (block_align - 7) * 2 + 2
+    payload = bytearray()
+    for off in range(0, len(x16), spb):
+        payload += _encode_ms_adpcm_block(x16[off:off + spb], spb)
+    # fmt extra: cbSize=4+7*4? minimal: wSamplesPerBlock + wNumCoef +
+    # the 7 published coefficient pairs (what real writers emit)
+    extra = _struct.pack("<HH", spb, len(_MS_COEFS))
+    for a, b2 in _MS_COEFS:
+        extra += _struct.pack("<hh", a, b2)
+    fmt_chunk = _struct.pack(
+        "<HHIIHHH", 2, 1, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, len(extra)
+    ) + extra
+    chunks = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + _struct.pack("<I", len(payload)) + bytes(payload)
+    )
+    return b"RIFF" + _struct.pack("<I", len(chunks) + 4) + chunks
 
 
 # G.711 µ-law / A-law (WAV format tags 7 / 6) — the ITU-T G.711
