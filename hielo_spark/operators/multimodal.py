@@ -984,8 +984,9 @@ def attach_wav_media(
     harmonic — the audio twin of attach_ppm_media; features recovered
     by decode_audio_features pin the frequency analytically.
     ``codec="mixed"`` routes by id — PCM, IMA-ADPCM (format tag 17),
-    G.711 µ-law (7) and A-law (6) — so the decode stage exercises real
-    per-payload codec routing across all four WAV codecs."""
+    G.711 µ-law (7), A-law (6) and MS-ADPCM (2) — so the decode stage
+    exercises real per-payload codec routing across all five WAV
+    codecs."""
     if codec not in ("pcm", "mixed"):
         raise ValueError("codec must be 'pcm' or 'mixed'")
 
@@ -996,13 +997,15 @@ def attach_wav_media(
             f0 = 200.0 + (int(i) % 20) * 50.0
             t = np.arange(2000) / 8000.0
             x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.1 * np.sin(2 * np.pi * 2 * f0 * t)
-            sel = int(i) % 4 if codec == "mixed" else 0
+            sel = int(i) % 5 if codec == "mixed" else 0
             if sel == 1:
                 out.append(encode_wav_adpcm(x, 8000))
             elif sel == 2:
                 out.append(encode_wav_g711(x, 8000, fmt=7))
             elif sel == 3:
                 out.append(encode_wav_g711(x, 8000, fmt=6))
+            elif sel == 4:
+                out.append(encode_wav_ms_adpcm(x, 8000))
             else:
                 out.append(encode_wav(x, 8000))
         return pd.Series(out)

@@ -596,24 +596,25 @@ def test_non_mjpg_compressed_avi_still_raises():
 
 
 def test_audio_decode_routes_mixed_codecs(spark):
-    """A mixed PCM/ADPCM corpus decodes through ONE stage; the
-    analytical frequency pin holds for both codecs."""
+    """A mixed five-codec corpus (PCM, IMA-ADPCM, G.711 µ/A-law,
+    MS-ADPCM) decodes through ONE stage; the analytical frequency pin
+    holds for every codec."""
     import numpy as np
 
     from hielo_spark.operators import multimodal as MM
 
-    d = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    d = spark.range(0, 10).withColumnRenamed("id", "doc_id")
     feats = {r.doc_id: r for r in MM.decode_audio_features(
         MM.attach_wav_media(d, codec="mixed")).collect()}
-    for i in range(8):
+    for i in range(10):
         f0 = 200.0 + (i % 20) * 50.0
-        # zero-crossing rate recovers the fundamental for BOTH codecs
+        # zero-crossing rate recovers the fundamental for EVERY codec
         # (2·f0/sr sign flips per sample; robust to ADPCM's broadband
         # noise, unlike the magnitude-weighted centroid)
         assert abs(feats[i].zero_crossing_rate - 2 * f0 / 8000.0) < 0.01, (
             i, feats[i].zero_crossing_rate, f0)
         assert abs(feats[i].rms - np.sqrt(0.5**2 / 2 + 0.1**2 / 2)) < 0.02
-        if i % 2 == 0:  # PCM rows keep the tight centroid pin
+        if i % 5 in (0, 2, 3):  # PCM/G.711 rows keep the centroid pin
             assert abs(feats[i].spectral_centroid_hz - f0) < f0 * 0.6
 
 
