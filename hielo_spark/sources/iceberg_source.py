@@ -785,6 +785,47 @@ def _arrow_type_of_ddl(ddl: str):
     return None
 
 
+def _transform_partition_values(t, col) -> list:
+    """Derived partition values for one spec field over a task's Arrow
+    column — the no-Spark twin of ``PartitionTransform.expr`` (writer
+    tasks have no SQL engine). Canonical forms match
+    metadata/transforms.py: time transforms render the date_format
+    shapes, truncate floors / prefixes, bucket is the spec-exact
+    murmur3 ordinal (vectorized over int/date/timestamp sources via the
+    same numpy kernel the Arrow bucket UDF uses; strings take the
+    scalar UTF-8 hash)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..metadata.transforms import murmur3_32_long
+
+    if t.kind == "identity":
+        return col.to_pylist()
+    if t.kind == "bucket":
+        ty = col.type
+        ints = None
+        if pa.types.is_timestamp(ty):
+            # spec: timestamps hash their epoch MICROseconds
+            ints = col.cast(pa.timestamp("us", tz=ty.tz)).cast(pa.int64())
+        elif pa.types.is_date(ty):
+            ints = col.cast(pa.date32()).cast(pa.int32()).cast(pa.int64())
+        elif pa.types.is_integer(ty):
+            ints = col.cast(pa.int64())
+        if ints is not None:
+            vals = ints.to_pylist()
+            idx = [i for i, v in enumerate(vals) if v is not None]
+            out: list = [None] * len(vals)
+            if idx:
+                h = murmur3_32_long(
+                    np.asarray([vals[i] for i in idx], dtype=np.int64)
+                )
+                buckets = (h.astype(np.int64) & 0x7FFFFFFF) % t.param
+                for i, b in zip(idx, buckets):
+                    out[i] = int(b)
+            return out
+    return [None if v is None else t.value_of(v) for v in col.to_pylist()]
+
+
 class HieloIcebergWriter(DataSourceArrowWriter):
     """``df.write.format("hielo_iceberg").mode("append").save(dir)`` —
     executors stream their Arrow batches into one parquet file each
@@ -796,7 +837,10 @@ class HieloIcebergWriter(DataSourceArrowWriter):
     Exactly-once: only files named in SUCCESSFUL tasks' commit messages
     enter the manifest; retried/zombie task outputs are unreferenced
     and reclaimed by remove_orphan_files, the Iceberg pattern. Writes
-    are unpartitioned in this surface (documented).
+    follow the table's recorded default partition spec — identity AND
+    hidden-partitioning transforms (bucket/truncate/year/month/day/
+    hour), derived per task from the Arrow batches with the same
+    spec-exact murmur3 kernel as the JVM plane.
     ``mode("overwrite")`` composes a REPLACE commit (no manifest
     carry-forward, reset totals — Iceberg truncate-and-write);
     ``option("branch", name)`` stages the snapshot on that branch ref
@@ -809,11 +853,18 @@ class HieloIcebergWriter(DataSourceArrowWriter):
         self.options = options
         self.overwrite = overwrite
         # resolved once in the planner (which has table-metadata access)
-        # and pickled to tasks: [(spec_field_name, source_column)] of the
-        # default spec's IDENTITY fields — tasks split rows per value
-        self.partition_cols = self._identity_spec_cols()
+        # and pickled to tasks: the default spec's PartitionTransform
+        # list (plain strings/ints — picklable) — tasks split rows per
+        # derived partition tuple
+        self.partition_transforms = self._spec_partition_transforms()
 
-    def _identity_spec_cols(self) -> list[tuple[str, str]]:
+    def _spec_partition_transforms(self):
+        """The default spec as ``PartitionTransform`` objects —
+        identity AND hidden-partitioning transforms (bucket/truncate/
+        year/month/day/hour), the same reconstruction the JVM-plane
+        writer uses, so both planes lay out files identically."""
+        from ..metadata.commit import _spec_transforms_from_doc
+
         try:
             doc = _load_doc(self.table_dir)
         except (TypeError, FileNotFoundError):
@@ -827,26 +878,14 @@ class HieloIcebergWriter(DataSourceArrowWriter):
         )
         if not spec or not spec.get("fields"):
             return []
-        schema = _current_schema_block(doc) or {}
-        id2name = {f["id"]: f["name"] for f in schema.get("fields", [])}
-        cols = []
-        for pf in spec["fields"]:
-            tr = pf.get("transform", "identity")
-            if tr != "identity":
-                raise NotImplementedError(
-                    "hielo_iceberg writes support identity partitioning "
-                    f"only; spec field {pf.get('name')!r} uses transform "
-                    f"{tr!r} — append through metadata.commit.append "
-                    "(JVM plane)"
-                )
-            src = id2name.get(pf.get("source-id"))
-            if src is None:
-                raise ValueError(
-                    f"partition spec field {pf.get('name')!r} has no "
-                    "resolvable source column in the current schema"
-                )
-            cols.append((pf.get("name") or src, src))
-        return cols
+        ts = _spec_transforms_from_doc(doc)
+        if not ts:
+            raise ValueError(
+                "table has a partitioned default spec that does not "
+                "resolve against the current schema — cannot derive "
+                "partition values for the write"
+            )
+        return ts
 
     @staticmethod
     def _file_entry(table, path):
@@ -893,47 +932,61 @@ class HieloIcebergWriter(DataSourceArrowWriter):
         data_dir = os.path.join(self.table_dir, "data")
         os.makedirs(data_dir, exist_ok=True)
 
-        if not self.partition_cols:
+        if not self.partition_transforms:
             path = os.path.join(data_dir, f"ds-{_uuid.uuid4().hex}.parquet")
             entry, dtypes = self._file_entry(table, path)
             return _WrittenFiles([entry], dtypes)
 
-        # identity-partitioned: split THIS task's rows per partition
-        # tuple (hive semantics — values live in the manifest, the
-        # partition columns are stripped from the file and reattached by
-        # the read planes). Per-task distinct values bound the fan-out,
-        # the same shape as Spark's partitionBy writer tasks.
-        missing = [s for _, s in self.partition_cols
-                   if s not in table.column_names]
+        # partitioned: split THIS task's rows per derived partition
+        # tuple (hive semantics — values live in the manifest; IDENTITY
+        # source columns are stripped from the file and reattached by
+        # the read planes, while transform sources stay in the data —
+        # that's what makes the partitioning hidden). Per-task distinct
+        # values bound the fan-out, the same shape as Spark's
+        # partitionBy writer tasks.
+        missing = [t.source for t in self.partition_transforms
+                   if t.source not in table.column_names]
         if missing:
             raise ValueError(
                 f"frame lacks partition source columns {missing}"
             )
+        # same manifest ptype convention as the JVM plane
+        # (commit._write_data_files): identity fields carry the source
+        # SQL type for typed reattachment; transform fields carry the
+        # spec behind a marker — nothing to reattach, but pruning and
+        # time travel still match on the recorded value
         ptypes = {
-            name: _spark_dtype_of(table.column(src).type)
-            for name, src in self.partition_cols
+            t.field: (
+                _spark_dtype_of(table.column(t.source).type)
+                if t.kind == "identity"
+                else f"transform:{t.spec}"
+            )
+            for t in self.partition_transforms
         }
         full_dtypes = {
             name: _spark_dtype_of(table.column(name).type)
             for name in table.column_names
         }
         keys = list(zip(*[
-            table.column(src).to_pylist() for _, src in self.partition_cols
+            _transform_partition_values(t, table.column(t.source))
+            for t in self.partition_transforms
         ]))
+        ident_srcs = [
+            t.source for t in self.partition_transforms
+            if t.kind == "identity"
+        ]
         files = []
         for tup in sorted(set(keys), key=lambda t: tuple(map(str, t))):
             mask = pa.array([k == tup for k in keys], type=pa.bool_())
-            sub = table.filter(mask).drop_columns(
-                [s for _, s in self.partition_cols]
-            )
+            sub = table.filter(mask).drop_columns(ident_srcs)
             pvals, segs = {}, []
-            for (name, _src), v in zip(self.partition_cols, tup):
+            for t, v in zip(self.partition_transforms, tup):
                 sval = (
                     "__HIVE_DEFAULT_PARTITION__" if v is None
                     else _stringify_stat(v)
                 )
-                pvals[name] = sval
-                segs.append(f"{name}={quote(sval, safe='')}")
+                pvals[t.field] = sval
+                segs.append(f"{t.field}={quote(sval, safe='')}")
             pdir = os.path.join(data_dir, *segs)
             os.makedirs(pdir, exist_ok=True)
             path = os.path.join(pdir, f"ds-{_uuid.uuid4().hex}.parquet")
@@ -994,12 +1047,14 @@ class HieloIcebergStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, table_dir: str, options):
         self.table_dir = table_dir
         self.options = options
-        self.partition_cols = HieloIcebergWriter._identity_spec_cols(self)
+        self.partition_transforms = (
+            HieloIcebergWriter._spec_partition_transforms(self)
+        )
 
     # per-task Arrow write is identical to the batch writer's (incl.
-    # identity-partitioned splitting — the helpers only touch table_dir)
+    # spec-partitioned splitting — the helpers only touch table_dir)
     write = HieloIcebergWriter.write
-    _identity_spec_cols = HieloIcebergWriter._identity_spec_cols
+    _spec_partition_transforms = HieloIcebergWriter._spec_partition_transforms
     # re-wrap: accessing a staticmethod through the class yields the bare
     # function, which would rebind as an instance method here
     _file_entry = staticmethod(HieloIcebergWriter._file_entry)

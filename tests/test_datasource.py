@@ -765,19 +765,111 @@ def test_write_partitioned_null_value_roundtrip(registered, spark, tmp_path):
     assert got == [(1, "a"), (2, None)]
 
 
-def test_write_transform_partitioned_rejected(registered, spark, tmp_path):
-    """Non-identity transforms (bucket/days/...) are the JVM plane's
-    job; the Python writer refuses loudly instead of mislabeling."""
+def test_write_transform_partitioned_via_datasource(registered, spark, tmp_path):
+    """Hidden-partitioning transforms on the DataSource writer (r7):
+    tasks derive bucket/day values from their Arrow batches with the
+    same spec-exact murmur3 kernel as the JVM plane, the SOURCE columns
+    stay in the data files (that is what 'hidden' means), null sources
+    land in the default partition, and both read planes agree and
+    partition-prune the DataSource-written files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.metadata.transforms import PartitionTransform
+
     t = str(tmp_path / "t")
     C.append(
         spark, t,
-        spark.createDataFrame([(1, "a")], "id int, k string"),
+        spark.createDataFrame(
+            [(1, "2024-01-02 03:04:05"), (2, "2024-03-05 10:00:00")],
+            "id int, ts_s string",
+        ).selectExpr("id", "cast(ts_s as timestamp) ts"),
         snapshot_id=101, timestamp_ms=1700000000000,
-        partition_by=["bucket(4, id)"],
+        partition_by=["bucket(4, id)", "days(ts)"],
     )
-    with pytest.raises(Exception, match="identity partitioning only"):
-        spark.createDataFrame([(2, "b")], "id int, k string").coalesce(1) \
-            .write.format("hielo_iceberg").mode("append").save(t)
+    spark.createDataFrame(
+        [(3, "2024-01-02 23:59:59"), (4, None)], "id int, ts_s string"
+    ).selectExpr("id", "cast(ts_s as timestamp) ts") \
+        .coalesce(1).write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "102") \
+        .option("timestamp-ms", "1700100000000").save(t)
+
+    mpath = C.current_metadata_path(t)
+    jvm = read_data_at_snapshot(spark, mpath)
+    got = sorted((r.id, str(r.ts)) for r in jvm.collect())
+    assert [i for i, _ in got] == [1, 2, 3, 4]
+    ds = spark.read.format("hielo_iceberg").load(t)
+    assert sorted((r.id, str(r.ts)) for r in ds.collect()) == got
+
+    # hive layout: derived values in the dirs — the bucket ordinal is
+    # the spec murmur3 value, the day the date_format rendering, a null
+    # source the default partition — and the SOURCE columns stay in
+    # the file (nothing stripped, unlike identity partitioning)
+    bt = PartitionTransform("bucket(4, id)")
+    ds_files = sorted(glob.glob(
+        os.path.join(t, "data", "**", "ds-*.parquet"), recursive=True))
+    rel = [os.path.relpath(p, os.path.join(t, "data")) for p in ds_files]
+    assert any(
+        r.startswith(f"id_bucket={bt.value_of(3)}/ts_day=2024-01-02")
+        for r in rel
+    ), rel
+    assert any(
+        r.startswith(f"id_bucket={bt.value_of(4)}/"
+                     "ts_day=__HIVE_DEFAULT_PARTITION__")
+        for r in rel
+    ), rel
+    for f in ds_files:
+        names = pq.ParquetFile(f).schema_arrow.names
+        assert "id" in names and "ts" in names
+
+    # partition pruning consults the DataSource-written derived values
+    pr = read_data_at_snapshot(
+        spark, mpath, partition_filter={"ts_day": "2024-01-02"})
+    assert sorted(r.id for r in pr.collect()) == [1, 3]
+    assert len(set(pr.inputFiles())) < len(set(jvm.inputFiles()))
+
+
+def test_write_truncate_partitioned_via_datasource(registered, spark, tmp_path):
+    """truncate(w) on string and integer sources through the DataSource
+    writer: prefix / floored-multiple partition values, identical to
+    the JVM plane's rendering."""
+    import glob
+    import os
+
+    from hielo_spark.metadata import update_partition_spec
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    t = str(tmp_path / "t")
+    spark.createDataFrame([(7, "alpha")], "n int, s string").coalesce(1) \
+        .write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "101") \
+        .option("timestamp-ms", "1700000000000").save(t)
+    update_partition_spec(t, ["truncate(10, n)", "truncate(2, s)"])
+    spark.createDataFrame(
+        [(17, "alps"), (-3, "beta")], "n int, s string"
+    ).coalesce(1).write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "102") \
+        .option("timestamp-ms", "1700100000000").save(t)
+
+    dirs = sorted(
+        os.path.relpath(p, os.path.join(t, "data"))
+        for p in glob.glob(os.path.join(t, "data", "n_truncate=*", "*", "ds-*.parquet"))
+    )
+    # 17 floors to 10, -3 floors to -10 (spec: toward negative infinity)
+    assert dirs[0].startswith("n_truncate=-10/s_truncate=be")
+    assert dirs[1].startswith("n_truncate=10/s_truncate=al")
+
+    mpath = C.current_metadata_path(t)
+    pruned = read_data_at_snapshot(
+        spark, mpath, partition_filter={"n_truncate": "10"})
+    # the pre-spec-evolution file (n=7) has no partition values, so it
+    # may-matches (conservative); the -10 partition is pruned away
+    assert sorted(r.n for r in pruned.collect()) == [7, 17]
+    both = spark.read.format("hielo_iceberg").load(t)
+    assert sorted(r.n for r in both.collect()) == [-3, 7, 17]
 
 
 # -- streaming across maintenance snapshots (r7) ------------------------------
