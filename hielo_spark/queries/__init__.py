@@ -232,6 +232,7 @@ _DEFERRED = [
     # candidates for the next round's head:
     "meta_writer_surface_roundtrip",
     "meta_nested_roundtrip",
+    "meta_hidden_partitioning_roundtrip",
     "events_interval_union",
     "q13_order_count_distribution",
     "lineitem_quantiles",

@@ -1612,3 +1612,122 @@ def meta_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "check_name string, value long"
     ).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# r7 hidden-partitioning golden: transform-partitioned writes on BOTH
+# planes (JVM append + Python DataSource writer) — spec-exact murmur3
+# bucket ordinals, date_format day rendering, null sources in the
+# default partition, source columns kept in the files, and
+# partition-pruned scans over the mixed-writer table. Constant oracle.
+# --------------------------------------------------------------------------
+@query(
+    "meta_hidden_partitioning_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('c1_rows',                CAST(8 AS BIGINT)),
+      ('c2_bucket_dirs_agree',   CAST(1 AS BIGINT)),
+      ('c3_day_pruned_rows',     CAST(4 AS BIGINT)),
+      ('c4_day_pruned_files',    CAST(1 AS BIGINT)),
+      ('c5_null_day_rows',       CAST(1 AS BIGINT)),
+      ('c6_sources_in_files',    CAST(1 AS BIGINT)),
+      ('c7_planes_agree',        CAST(1 AS BIGINT))
+    ) AS t(check_name, value)
+    ORDER BY check_name
+    """,
+)
+def meta_hidden_partitioning_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..metadata import commit as C
+    from ..metadata.manifests import read_data_at_snapshot
+    from ..metadata.transforms import PartitionTransform
+    from ..sources import register
+
+    register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_hidden_part_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = os.path.join(base, "t")
+
+    def frame(lo: int, hi: int):
+        # ids lo..hi; day alternates 01-02 / 03-04; one null ts per write
+        return spark.range(lo, hi).selectExpr(
+            "CAST(id AS INT) AS id",
+            "CASE WHEN id % 4 = 3 THEN NULL "
+            "     WHEN id % 2 = 0 THEN TIMESTAMP '2024-01-02 03:00:00' "
+            "     ELSE TIMESTAMP '2024-03-04 05:00:00' END AS ts",
+        )
+
+    # JVM plane establishes the transform spec and writes half the rows
+    C.append(spark, t, frame(0, 4),
+             snapshot_id=101, timestamp_ms=1700000000000,
+             partition_by=["bucket(4, id)", "days(ts)"])
+    # Python DataSource writer appends the other half under the same spec
+    frame(4, 8).coalesce(1).write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "102") \
+        .option("timestamp-ms", "1700100000000").save(t)
+
+    mpath = C.current_metadata_path(t)
+    jvm = read_data_at_snapshot(spark, mpath)
+    ds = spark.read.format("hielo_iceberg").load(t)
+    j = sorted((r.id, str(r.ts)) for r in jvm.collect())
+    d = sorted((r.id, str(r.ts)) for r in ds.collect())
+
+    # every DataSource-written hive dir carries the spec-exact murmur3
+    # bucket ordinal for some id it contains, and keeps the sources
+    bt = PartitionTransform("bucket(4, id)")
+    ds_files = glob.glob(
+        os.path.join(t, "data", "id_bucket=*", "*", "ds-*.parquet"))
+    dirs_ok, sources_ok = 1, 1
+    for p in ds_files:
+        seg = next(s for s in p.split(os.sep) if s.startswith("id_bucket="))
+        want = int(seg.split("=", 1)[1])
+        tbl = pq.read_table(p)
+        ids = tbl.column("id").to_pylist()
+        if not ids or any(bt.value_of(i) != want for i in ids):
+            dirs_ok = 0
+        if "id" not in tbl.column_names or "ts" not in tbl.column_names:
+            sources_ok = 0
+
+    # hidden-partition pruning: a filter on the DERIVED day reads only
+    # matching partitions' files from BOTH writers' commits
+    pruned = read_data_at_snapshot(
+        spark, mpath, partition_filter={"ts_day": "2024-01-02"})
+    pruned_rows = sorted(r.id for r in pruned.collect())
+    n_all = len(set(jvm.inputFiles()))
+    n_pruned = len(set(pruned.inputFiles()))
+
+    null_day = read_data_at_snapshot(
+        spark, mpath,
+        partition_filter={"ts_day": "__HIVE_DEFAULT_PARTITION__"})
+    # ids 3 and 7 have null ts; each write put them in the default
+    # partition — count the DataSource-written one via its file name
+    null_ds = [
+        r.id for r in null_day.collect()
+        if r.id >= 4
+    ]
+
+    rows = [
+        ("c1_rows", len(j)),
+        ("c2_bucket_dirs_agree", int(dirs_ok and len(ds_files) > 0)),
+        ("c3_day_pruned_rows", len(pruned_rows)),
+        ("c4_day_pruned_files", int(0 < n_pruned < n_all)),
+        ("c5_null_day_rows", len(null_ds)),
+        ("c6_sources_in_files", sources_ok),
+        ("c7_planes_agree", int(j == d and all(
+            i == r[0] for i, r in enumerate(j)))),
+    ]
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "check_name string, value long"
+    ).orderBy("check_name")
