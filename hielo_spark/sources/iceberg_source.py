@@ -1166,6 +1166,11 @@ _META_SURFACES = {
         "file_size_in_bytes bigint, sequence_number bigint, "
         "partition_json string"
     ),
+    "partitions": (
+        "partition_json string, spec_id int, record_count bigint, "
+        "file_count int, total_data_file_size_in_bytes bigint, "
+        "position_delete_file_count int, equality_delete_file_count int"
+    ),
 }
 
 
@@ -1264,6 +1269,37 @@ def _meta_surface_rows(table_dir: str, surface: str, options) -> list[tuple]:
                 )
             )
         return out
+    if surface == "partitions":
+        # Iceberg's t.partitions metadata table: live files at the
+        # selected snapshot grouped by partition tuple — per-partition
+        # row/file/byte counts plus delete-file counts (planning-plane:
+        # one pass over the manifest entries, no data read)
+        agg: dict = {}
+        for _m, e in _manifest_entries(mlist):
+            data_file = e["data_file"]
+            pvals = data_file.get("partition_values") or {
+                k: str(v) for k, v in (data_file.get("partition") or {}).items()
+                if v is not None
+            }
+            key = (
+                json.dumps(pvals or {}, sort_keys=True),
+                int(_m.get("partition_spec_id") or 0),
+            )
+            a = agg.setdefault(key, [0, 0, 0, 0, 0])
+            content = data_file.get("content") or 0
+            if content == 0:
+                a[0] += int(data_file.get("record_count") or 0)
+                a[1] += 1
+                a[2] += int(data_file.get("file_size_in_bytes") or 0)
+            elif content == 1:
+                a[3] += 1
+            else:
+                a[4] += 1
+        return [
+            (pj, spec_id, n, files, size, posd, eqd)
+            for (pj, spec_id), (n, files, size, posd, eqd)
+            in sorted(agg.items())
+        ]
     raise ValueError(
         f"unknown surface {surface!r} (have data, {', '.join(_META_SURFACES)})"
     )

@@ -508,6 +508,55 @@ def test_metadata_surfaces(registered, mor_table):
     assert [(r.name, r.type, r.snapshot_id) for r in refs] == [("v1", "tag", 101)]
 
 
+def test_partitions_metadata_surface(registered, spark, tmp_path):
+    """option('surface', 'partitions') — Iceberg's t.partitions table:
+    per-partition record/file/byte counts plus delete-file counts, time
+    travel applying like the other file-level surfaces."""
+    t = str(tmp_path / "t")
+    C.append(
+        spark, t,
+        spark.createDataFrame(
+            [(i, "us" if i % 2 == 0 else "eu") for i in range(6)],
+            "id int, region string",
+        ),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        partition_by=["region"],
+    )
+    C.delete_where(spark, t, "id = 0",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+
+    parts = (spark.read.format("hielo_iceberg")
+             .option("surface", "partitions").load(t)
+             .orderBy("partition_json").collect())
+    by_region = {json.loads(r.partition_json).get("region"): r for r in parts}
+    assert {"us", "eu"} <= set(by_region)
+    assert by_region["us"].record_count == 3
+    assert by_region["eu"].record_count == 3
+    data_rows = [by_region["us"], by_region["eu"]]
+    assert all(r.file_count >= 1 for r in data_rows)
+    assert all(r.total_data_file_size_in_bytes > 0 for r in data_rows)
+    # the position delete file is partition-agnostic (written hash-split
+    # by file_path) → it aggregates under the empty tuple with no data
+    assert sum(r.position_delete_file_count for r in parts) == 1
+    if None in by_region:
+        assert by_region[None].file_count == 0
+        assert by_region[None].record_count == 0
+    assert sum(r.equality_delete_file_count for r in parts) == 0
+    # time travel: before the delete there are no delete files
+    old = (spark.read.format("hielo_iceberg")
+           .option("surface", "partitions").option("snapshot-id", "101")
+           .load(t).collect())
+    assert sum(r.position_delete_file_count for r in old) == 0
+    # an unpartitioned table aggregates under the empty partition tuple
+    t2 = str(tmp_path / "t2")
+    C.append(spark, t2, spark.range(0, 5),
+             snapshot_id=201, timestamp_ms=1700000000000)
+    up = (spark.read.format("hielo_iceberg")
+          .option("surface", "partitions").load(t2).collect())
+    assert len(up) == 1 and up[0].partition_json == "{}"
+    assert up[0].record_count == 5
+
+
 # -- r6 ADVICE fixes -------------------------------------------------------
 
 
