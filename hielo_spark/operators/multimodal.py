@@ -17,17 +17,17 @@ progressive (SOF2, r7) JPEG decode for real (pure-numpy ITU-T T.81
 implementation in operators/jpeg.py: Huffman + dequant + IDCT + chroma
 upsampling + Annex G successive approximation), as does GIF
 (operators/gif.py: full variable-width LZW, interlace, palettes). PNG
-covers 8/16-bit depths and Adam7 interlace (r7). Audio decodes for
-real (RIFF/WAVE 8/16-bit PCM, mono IMA-ADPCM, MS-ADPCM, and G.711
-µ-law/A-law (r7) + DSP features), as does video frame extraction from
-uncompressed AVI ('00db' DIB frames — same RIFF walk as WAV, same
-pixel layout as BMP). The remaining stub boundary is small and
-documented: arithmetic/lossless JPEG, non-MJPG AVI fourccs,
-perceptual-codec WAV tags (MP3/AAC-in-WAV), sub-byte-depth PNG raise
-NotImplementedError (no PIL/ffmpeg in this environment) unless
-``fake=True`` selects the deterministic stand-in — the Spark-side
-plumbing (schemas, batching, partitioning) is identical on every
-path.
+covers every legal bit depth — 1/2/4-bit packed gray+palette, 8- and
+16-bit — and Adam7 interlace (r7). Audio decodes for real (RIFF/WAVE
+8/16-bit PCM, mono IMA-ADPCM, MS-ADPCM, and G.711 µ-law/A-law (r7) +
+DSP features), as does video frame extraction from uncompressed AVI
+('00db' DIB frames — same RIFF walk as WAV, same pixel layout as
+BMP). The remaining stub boundary is small and documented:
+arithmetic/lossless JPEG, non-MJPG AVI fourccs, perceptual-codec WAV
+tags (MP3/AAC-in-WAV) raise NotImplementedError (no PIL/ffmpeg in
+this environment) unless ``fake=True`` selects the deterministic
+stand-in — the Spark-side plumbing (schemas, batching, partitioning)
+is identical on every path.
 """
 
 from __future__ import annotations
@@ -237,13 +237,14 @@ _ADAM7 = (
 
 
 def _png_unfilter_block(
-    raw: np.ndarray, offset: int, width_px: int, height: int, bpp: int
+    raw: np.ndarray, offset: int, stride: int, height: int, bpp: int
 ) -> tuple[np.ndarray, int]:
-    """Unfilter ``height`` scanlines of ``width_px*bpp`` bytes starting
+    """Unfilter ``height`` scanlines of ``stride`` bytes starting
     at ``offset`` in the decompressed stream; returns ``(rows, next
     offset)`` — shared by the sequential image and each Adam7 pass
-    (passes restart the filter predictor: prev row = zeros)."""
-    stride = width_px * bpp
+    (passes restart the filter predictor: prev row = zeros). ``stride``
+    is ceil(width·channels·depth/8), so sub-byte rows stay packed here
+    (the spec filters PACKED bytes with bpp=1)."""
     need = (stride + 1) * height
     if offset + need > raw.size:
         raise ValueError("PNG scanline data has wrong size")
@@ -259,6 +260,77 @@ def _png_unfilter_block(
     return out, offset + need
 
 
+def _png_unpack_subbyte(
+    rows: np.ndarray, depth: int, width: int
+) -> np.ndarray:
+    """Packed sub-byte scanlines → (h, width) sample values. PNG packs
+    samples MSB-first within each byte; trailing pad bits in the last
+    byte of a row are ignored."""
+    bits = np.unpackbits(rows, axis=1)
+    h = rows.shape[0]
+    groups = bits.reshape(h, -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (groups * weights).sum(axis=2)[:, :width].astype(np.uint8)
+
+
+def encode_png_subbyte(
+    samples: np.ndarray,
+    depth: int,
+    color: int = 0,
+    plte: bytes | None = None,
+    filter_type: int = 0,
+) -> bytes:
+    """Sub-byte (1/2/4-bit) PNG writer for gray (color 0) or palette
+    (color 3) SAMPLE values — decode_png's fixture twin: packs samples
+    MSB-first per scanline and forward-filters the PACKED bytes (the
+    same bpp=1 spec arithmetic the decoder inverts)."""
+    import struct
+    import zlib
+
+    if depth not in (1, 2, 4):
+        raise ValueError(f"not a sub-byte depth: {depth}")
+    if int(samples.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample value out of range for depth {depth}")
+    h, w = samples.shape
+    weights = np.arange(depth - 1, -1, -1)
+    bits = (samples[:, :, None] >> weights) & 1
+    packed = np.packbits(bits.reshape(h, -1).astype(np.uint8), axis=1)
+    rows = []
+    prev = np.zeros(packed.shape[1], dtype=np.int64)
+    for y in range(h):
+        cur = packed[y].astype(np.int64)
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(1, dtype=np.int64), cur[:-1]])
+            filt = (cur - left) & 0xFF
+        elif filter_type == 2:
+            filt = (cur - prev) & 0xFF
+        else:
+            raise ValueError(f"unsupported fixture filter {filter_type}")
+        rows.append(bytes([filter_type]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    out = PNG_SIGNATURE + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    )
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG needs a PLTE")
+        out += chunk(b"PLTE", plte)
+    return out + chunk(
+        b"IDAT", zlib.compress(b"".join(rows))
+    ) + chunk(b"IEND", b"")
+
+
 def decode_png(b: bytes) -> np.ndarray:
     """PNG → (h, w, 3) uint8 RGB. Stdlib zlib + numpy: chunk walk
     (IHDR/PLTE/IDAT/IEND), one zlib stream across all IDAT chunks,
@@ -269,8 +341,9 @@ def decode_png(b: bytes) -> np.ndarray:
     Gray/gray+alpha expand to RGB; RGBA drops alpha (composite against
     black would need a policy choice — features use color planes only);
     palette (color type 3, r5) indexes the PLTE RGB triples, tRNS alpha
-    dropped like RGBA. Sub-byte depths (1/2/4-bit) remain a documented
-    NotImplementedError."""
+    dropped like RGBA. Sub-byte depths (1/2/4-bit gray and palette, r7)
+    unpack MSB-first after byte-level unfiltering (spec: packed rows
+    filter with bpp=1) and gray samples scale to full range."""
     import struct
     import zlib
 
@@ -296,47 +369,70 @@ def decode_png(b: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"only 8/16-bit PNG (got depth {depth}; sub-byte depths "
-            "unsupported)"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"unknown PNG color type {color}")
+    sub_byte = depth < 8
+    if sub_byte and color not in (0, 3):
+        raise ValueError(
+            f"depth-{depth} PNG is only legal for gray/palette "
+            f"(got color type {color})"
+        )
     if color == 3:
         if depth == 16:
             raise ValueError("16-bit palette PNG is not a legal combination")
         if plte is None or len(plte) % 3 != 0 or not plte:
             raise ValueError("palette PNG missing/malformed PLTE")
-    bps = depth // 8              # bytes per sample
-    bpp = channels * bps          # filter byte distance
+    # filter byte distance = ceil(bits per pixel / 8): sub-byte rows
+    # filter on PACKED bytes with bpp 1, per the spec
+    bpp = max((channels * depth + 7) // 8, 1)
+
+    def stride_of(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace == 0:
-        out, end = _png_unfilter_block(raw, 0, w, h, bpp)
+        out, end = _png_unfilter_block(raw, 0, stride_of(w), h, bpp)
         if end != raw.size:
             raise ValueError("PNG scanline data has wrong size")
-        bytes_img = out.reshape(h, w, bpp)
+        if sub_byte:
+            bytes_img = _png_unpack_subbyte(out, depth, w)[:, :, None]
+        else:
+            bytes_img = out.reshape(h, w, bpp)
     else:
         # Adam7: seven passes, each its own filtered sub-image; pixels
-        # scatter back to (x0 + i*dx, y0 + j*dy)
-        bytes_img = np.zeros((h, w, bpp), dtype=np.uint8)
+        # scatter back to (x0 + i*dx, y0 + j*dy). Sub-byte passes pack
+        # their OWN rows (pass stride = ceil(pw·depth/8)).
+        bytes_img = np.zeros((h, w, 1 if sub_byte else bpp), dtype=np.uint8)
         offset = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            rows, offset = _png_unfilter_block(raw, offset, pw, ph, bpp)
-            bytes_img[y0::dy, x0::dx] = rows.reshape(ph, pw, bpp)
+            rows, offset = _png_unfilter_block(
+                raw, offset, stride_of(pw), ph, bpp
+            )
+            if sub_byte:
+                bytes_img[y0::dy, x0::dx, 0] = _png_unpack_subbyte(
+                    rows, depth, pw
+                )
+            else:
+                bytes_img[y0::dy, x0::dx] = rows.reshape(ph, pw, bpp)
         if offset != raw.size:
             raise ValueError("PNG scanline data has wrong size")
     if depth == 16:
         # big-endian 16-bit samples → high byte (the spec's 16→8
         # downsample within our uint8 RGB feature contract)
         img = bytes_img.reshape(h, w, channels, 2)[:, :, :, 0]
+    elif sub_byte and color == 0:
+        # spec sample scaling to full range: v · 255/(2^depth − 1),
+        # integer-exact (255, 85, 17 for depths 1/2/4)
+        img = (bytes_img * (255 // ((1 << depth) - 1))).astype(np.uint8)
     else:
         img = bytes_img
     if color == 3:

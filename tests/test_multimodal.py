@@ -251,10 +251,13 @@ def test_png_unsupported_variants_raise():
                 + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
                 + chunk(b"IEND", b""))
 
-    # 16-bit and Adam7 are SUPPORTED since r7 (tests above); sub-byte
-    # depths still refuse loudly, and truncated payloads fail on size
-    with pytest.raises(NotImplementedError, match="sub-byte"):
-        decode_png(png_hdr(depth=4))
+    # 16-bit, Adam7 AND sub-byte depths are SUPPORTED since r7 (tests
+    # above); an invalid depth refuses loudly, a sub-byte depth on an
+    # RGB color type is illegal, truncated payloads fail on size
+    with pytest.raises(ValueError, match="invalid PNG bit depth"):
+        decode_png(png_hdr(depth=3))
+    with pytest.raises(ValueError, match="only legal for gray/palette"):
+        decode_png(png_hdr(depth=4, color=2))
     with pytest.raises(ValueError, match="wrong size"):
         decode_png(png_hdr(depth=16))  # 1x1 16-bit RGB needs 7 bytes
     # palette (color type 3) is SUPPORTED since r5 — but only with a
@@ -825,17 +828,116 @@ def test_png_16bit_adam7_combined():
     assert (got == (img16 >> 8).astype(np.uint8)).all()
 
 
-def test_png_subbyte_depth_still_rejected():
+def test_png_illegal_combinations_rejected():
     import pytest as _pytest
 
     from hielo_spark.operators.multimodal import decode_png
 
-    b = _png_chunks((4, 4, 4, 0, 0, 0, 0), b"\x00\x00\x00")
-    with _pytest.raises(NotImplementedError, match="sub-byte"):
+    b = _png_chunks((4, 4, 4, 0, 0, 0, 0), b"\x00\x00\x00")  # bad size
+    with _pytest.raises(ValueError, match="wrong size"):
         decode_png(b)
     with _pytest.raises(ValueError, match="not a legal combination"):
         decode_png(_png_chunks((2, 2, 16, 3, 0, 0, 0), b"\x00\x00",
                                plte=b"\x00\x00\x00"))
+
+
+# -- sub-byte PNG (r7: depths 1/2/4, gray + palette) --------------------------
+
+
+def test_png_subbyte_gray_roundtrip_and_scaling():
+    """4/2/1-bit gray PNGs decode through the encoder twin with the
+    spec's exact full-range scaling (17/85/255 factors), including a
+    width that leaves pad bits in the last packed byte."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import (
+        decode_png,
+        encode_png_subbyte,
+    )
+
+    rng = np.random.default_rng(3)
+    for depth, scale in ((4, 17), (2, 85), (1, 255)):
+        # width 5: 4-bit rows pack to 3 bytes (4 pad bits), 2-bit to 2
+        # bytes, 1-bit to 1 byte — pad handling is exercised every time
+        s = rng.integers(0, 1 << depth, size=(4, 5), dtype=np.uint8)
+        got = decode_png(encode_png_subbyte(s, depth))
+        assert got.shape == (4, 5, 3)
+        assert (got[:, :, 0] == s * scale).all(), depth
+        assert (got[:, :, 0] == got[:, :, 1]).all()
+
+
+def test_png_subbyte_filters_run_on_packed_bytes():
+    """Sub/Up filters on sub-byte rows operate on the PACKED bytes with
+    bpp=1 — the encoder twin forward-filters the same way."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import (
+        decode_png,
+        encode_png_subbyte,
+    )
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 16, size=(6, 11), dtype=np.uint8)
+    for ft in (1, 2):
+        got = decode_png(encode_png_subbyte(s, 4, filter_type=ft))
+        assert (got[:, :, 0] == s * 17).all(), ft
+
+
+def test_png_subbyte_palette():
+    """2-bit palette PNG: packed indices into a 4-entry PLTE."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import (
+        decode_png,
+        encode_png_subbyte,
+    )
+
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 3]], dtype=np.uint8)
+    b = encode_png_subbyte(idx, 2, color=3, plte=palette.tobytes())
+    got = decode_png(b)
+    assert (got == palette[idx]).all()
+    # an index past the PLTE still fails loudly
+    import pytest as _pytest
+
+    short = encode_png_subbyte(idx, 2, color=3, plte=palette[:3].tobytes())
+    with _pytest.raises(ValueError, match="PLTE range"):
+        decode_png(short)
+
+
+def test_png_subbyte_adam7_matches_sequential():
+    """Adam7-interlaced sub-byte PNG: each pass packs its OWN rows
+    (pass stride = ceil(pw·depth/8)) — decodes to the same pixels as
+    the sequential encoding."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import (
+        decode_png,
+        encode_png_subbyte,
+    )
+
+    rng = np.random.default_rng(9)
+    s = rng.integers(0, 16, size=(10, 9), dtype=np.uint8)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    payload = b""
+    for x0, y0, dx, dy in passes:
+        sub = s[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            bits = ((sub[y][:, None] >> np.arange(3, -1, -1)) & 1)
+            payload += b"\x00" + np.packbits(bits.reshape(-1)).tobytes()
+    b = _png_chunks((9, 10, 4, 0, 0, 0, 1), payload)
+    got = decode_png(b)
+    assert (got[:, :, 0] == s * 17).all()
+    seq = decode_png(encode_png_subbyte(s, 4))
+    assert (got == seq).all()
 
 
 # -- G.711 µ-law / A-law WAV (r7) ---------------------------------------------
