@@ -6,10 +6,12 @@ this environment has no imaging library, and JPEG is the dominant
 real-world format, so X5's decode stage implements the public baseline
 spec directly. Scope (decoder): baseline DCT sequential (SOF0/1), 8-bit,
 grayscale or YCbCr, 4:4:4 / 4:2:2 / 4:2:0 chroma sampling, restart
-intervals, multiple DQT/DHT segments — and PROGRESSIVE (SOF2, r7):
+intervals, multiple DQT/DHT segments — PROGRESSIVE (SOF2, r7):
 spectral selection, successive approximation (DC/AC first + refinement
-scans with EOB runs and correction bits, T.81 Annex G). Arithmetic
-coding, lossless/hierarchical modes, and 12-bit precision raise
+scans with EOB runs and correction bits, T.81 Annex G) — and LOSSLESS
+(SOF3, r7): the Annex H spatial predictors (all 7), 2-16-bit
+precision, point transform, modulo-2^16 differences. Arithmetic
+coding, hierarchical mode, and 12-bit DCT precision raise
 NotImplementedError.
 
 The encoders are the test twins: spec-valid sequential output
@@ -598,20 +600,26 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 syms = list(seg[p + 17 : p + 17 + n])
                 (dc_tables if tc == 0 else ac_tables)[th] = _canonical_codes(counts, syms)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless
             prec, fh, fw, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
-            if prec != 8:
+            if marker == 0xC3:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"invalid lossless precision {prec}")
+            elif prec != 8:
                 raise NotImplementedError("only 8-bit precision")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps,
-                     "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": fh, "w": fw, "comps": comps, "prec": prec,
+                     "progressive": marker == 0xC2,
+                     "lossless": marker == 0xC3}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline-sequential (SOF0/1) and progressive (SOF2) "
-                "JPEG (arithmetic/lossless/hierarchical modes unsupported)"
+                "only baseline-sequential (SOF0/1), progressive (SOF2) and "
+                "lossless (SOF3) JPEG (arithmetic/hierarchical modes "
+                "unsupported)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -623,6 +631,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if frame.get("lossless"):
+                predictor = seg[1 + 2 * ns]           # Ss = predictor
+                pt = seg[3 + 2 * ns] & 0xF            # Al = point transform
+                return _decode_lossless_scan(
+                    b, pos + seg_len, frame, scan, predictor, pt,
+                    dc_tables, restart_interval,
+                )
             if frame.get("progressive"):
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 ahal = seg[3 + 2 * ns]
@@ -955,3 +970,186 @@ def _assemble_planes(frame, comps, planes, hmax, vmax) -> np.ndarray:
         y = np.clip(full[0].round(), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# ------------------------------------------------------- lossless (SOF3)
+
+#: Huffman table for lossless difference categories 0..16 (T.81 H.1.2:
+#: SSSS up to 16; the Annex K DC table stops at 11) — 17 canonical
+#: 5-bit codes, valid (17 < 2^5) and shared by encoder and decoder.
+_LL_DC_SYMBOLS = list(range(17))
+_LL_DC_COUNTS = [0, 0, 0, 0, 17] + [0] * 11
+
+
+def _ll_predict(
+    samples: np.ndarray, y: int, x: int, sel: int, default: int,
+    fresh: bool,
+) -> int:
+    """T.81 H.1.2.1-2: a=left, b=above, c=above-left; the first sample
+    (or the first after a restart) takes the default 2^(P-Pt-1), the
+    rest of the first line predict from a, the first column predicts
+    from b."""
+    if fresh:
+        return default
+    if y == 0:
+        return int(samples[0, x - 1])  # first line: predictor 1
+    if x == 0:
+        return int(samples[y - 1, 0])  # first column: predictor 2
+    a = int(samples[y, x - 1])
+    b = int(samples[y - 1, x])
+    c = int(samples[y - 1, x - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"invalid lossless predictor {sel}")
+
+
+def _decode_lossless_scan(
+    b: bytes, pos: int, frame, scan, predictor: int, pt: int,
+    dc_tables, restart_interval: int,
+) -> np.ndarray:
+    """Lossless JPEG (T.81 Annex H): per sample, Huffman-decode the
+    difference category with a DC table (SSSS 16 means +32768, no extra
+    bits), extend, add the predicted value modulo 2^16, finally shift
+    left by the point transform. Components interleave sample-by-sample
+    (all must be unsubsampled); output maps the precision's high bits
+    into the uint8 RGB contract (gray ×3 for one component, raw RGB for
+    three — lossless JPEG defines no color transform)."""
+    comps = frame["comps"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError("subsampled lossless JPEG")
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan lossless JPEG")
+    prec = frame.get("prec", 8)
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    id2scan = {s["id"]: s for s in scan}
+    tables = [dc_tables[id2scan[c["id"]]["dc"]] for c in comps]
+    h, w = frame["h"], frame["w"]
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+    default = 1 << (prec - pt - 1)
+
+    br = _BitReader(b, pos)
+    fresh = [True] * len(comps)
+    count = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                br.byte_align()
+                m = br.skip_marker()
+                if not 0xFFD0 <= m <= 0xFFD7:
+                    raise ValueError(f"expected RSTn, got {m:#x}")
+                fresh = [True] * len(comps)
+            for ci, tab in enumerate(tables):
+                ssss = _read_huff_symbol(br, tab)
+                if ssss == 16:
+                    diff = 32768
+                elif ssss:
+                    diff = _extend(br.bits(ssss), ssss)
+                else:
+                    diff = 0
+                px = _ll_predict(
+                    planes[ci], y, x, predictor, default, fresh[ci]
+                )
+                fresh[ci] = False
+                planes[ci][y, x] = (px + diff) & 0xFFFF
+            count += 1
+
+    out = []
+    for p in planes:
+        v = p << pt
+        v = v >> (prec - 8) if prec >= 8 else v << (8 - prec)
+        out.append(np.clip(v, 0, 255).astype(np.uint8))
+    if len(out) == 1:
+        return np.repeat(out[0][:, :, None], 3, axis=2)
+    if len(out) == 3:
+        return np.stack(out, axis=2)
+    raise NotImplementedError(f"{len(out)}-component lossless JPEG")
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 4,
+    pt: int = 0,
+    restart_interval: int = 0,
+    precision: int = 8,
+) -> bytes:
+    """(h, w) or (h, w, 3) integer samples → lossless JFIF bytes
+    (SOF3) — decode_jpeg's exact-round-trip twin. ``pt`` drops that
+    many low bits before coding (the spec's point transform — the only
+    lossy knob); ``restart_interval`` is in samples (MCUs). Samples
+    must fit ``precision`` bits."""
+    if img.ndim == 2:
+        chans = [img]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        chans = [img[:, :, i] for i in range(3)]
+    else:
+        raise ValueError("need (h, w) or (h, w, 3) samples")
+    h, w = chans[0].shape
+    if any(int(c.max(initial=0)) >= (1 << precision) for c in chans):
+        raise ValueError(f"sample out of range for precision {precision}")
+    planes = [np.asarray(c, dtype=np.int64) >> pt for c in chans]
+    default = 1 << (precision - pt - 1)
+    codes = _encode_codes(_LL_DC_COUNTS, _LL_DC_SYMBOLS)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    cids = tuple(range(1, len(planes) + 1))
+    comps = b"".join(bytes([cid, 0x11, 0]) for cid in cids)
+    out += b"\xff\xc3" + struct.pack(
+        ">HBHHB", 8 + 3 * len(cids), precision, h, w, len(cids)
+    ) + comps
+    payload = bytes([0x00]) + bytes(_LL_DC_COUNTS) + bytes(_LL_DC_SYMBOLS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(cids), len(cids))
+    out += b"".join(bytes([cid, 0x00]) for cid in cids)
+    out += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah=0, Al=pt
+
+    bw = _BitWriter()
+    fresh = [True] * len(planes)
+    rst = 0
+    count = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                bw.align()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                fresh = [True] * len(planes)
+            for ci, p in enumerate(planes):
+                px = _ll_predict(p, y, x, predictor, default, fresh[ci])
+                fresh[ci] = False
+                diff = (int(p[y, x]) - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536  # modulo-2^16 signed window
+                if diff == -32768:
+                    c_, ln = codes[16]
+                    bw.write(c_, ln)  # SSSS 16: no extra bits
+                    continue
+                size = _category(diff)
+                c_, ln = codes[size]
+                bw.write(c_, ln)
+                if size:
+                    bw.write(
+                        diff if diff >= 0 else diff + (1 << size) - 1, size
+                    )
+            count += 1
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1402,6 +1402,11 @@ def attach_jpeg_media(
                 # every 3rd id ships PROGRESSIVE (SOF2) — the registry
                 # corpus exercises the Annex G decode path for real
                 out.append(encode_jpeg_progressive(img, quant=4))
+            elif int(i) % 3 == 2 and not subsample:
+                # and every other 3rd LOSSLESS (SOF3, Annex H)
+                from .jpeg import encode_jpeg_lossless
+
+                out.append(encode_jpeg_lossless(img))
             else:
                 out.append(encode_jpeg(img, quant=4, subsample=subsample))
         return pd.Series(out)

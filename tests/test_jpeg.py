@@ -107,9 +107,9 @@ def test_byte_stuffing_roundtrip():
 def test_unsupported_modes_and_bad_streams_raise():
     import struct
 
-    # progressive (SOF2) is SUPPORTED since r7; arithmetic coding (SOF9)
-    # and lossless (SOF3) still refuse loudly
-    for sof in (0xC9, 0xC3):
+    # progressive (SOF2) and lossless (SOF3) are SUPPORTED since r7;
+    # arithmetic coding (SOF9) and hierarchical (SOF5) still refuse
+    for sof in (0xC9, 0xC5):
         payload = struct.pack(">HBHHB", 11, 8, 1, 1, 1) + bytes(3)
         with pytest.raises(NotImplementedError, match="arithmetic"):
             J.decode_jpeg(b"\xff\xd8" + bytes([0xFF, sof]) + payload[0:2]
@@ -227,3 +227,54 @@ def test_progressive_negative_dc_refinement():
     img[4:8, 4:8] = 9
     assert (J.decode_jpeg(J.encode_jpeg_progressive(img, quant=3))
             == J.decode_jpeg(J.encode_jpeg(img, quant=3))).all()
+
+
+# -- lossless (SOF3, r7) -------------------------------------------------------
+
+
+def test_lossless_exact_roundtrip_all_predictors():
+    """Lossless JPEG is EXACT: every Annex H predictor round-trips
+    random 8-bit gray and RGB pixel-for-pixel."""
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 256, size=(12, 11), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(9, 14, 3), dtype=np.uint8)
+    for sel in range(1, 8):
+        got = J.decode_jpeg(J.encode_jpeg_lossless(g, predictor=sel))
+        assert (got[:, :, 0] == g).all(), sel
+        assert (got[:, :, 0] == got[:, :, 1]).all()
+        got3 = J.decode_jpeg(J.encode_jpeg_lossless(rgb, predictor=sel))
+        assert (got3 == rgb).all(), sel
+
+
+def test_lossless_point_transform_and_restarts():
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(8, 10), dtype=np.uint8)
+    # pt=2 drops two low bits: decode returns (v>>2)<<2
+    got = J.decode_jpeg(J.encode_jpeg_lossless(img, pt=2))
+    assert (got[:, :, 0] == (img >> 2) << 2).all()
+    # restart markers reset prediction; round trip stays exact
+    got2 = J.decode_jpeg(J.encode_jpeg_lossless(img, restart_interval=10))
+    assert (got2[:, :, 0] == img).all()
+
+
+def test_lossless_16bit_precision_and_ssss16():
+    """16-bit lossless: differences span the full modulo-2^16 window —
+    including the SSSS=16 (+32768, no extra bits) special case — and
+    the decoder maps the high byte into the uint8 contract."""
+    img = np.array([[0, 32768, 65535, 1]], dtype=np.int64)
+    b = J.encode_jpeg_lossless(img, predictor=1, precision=16)
+    got = J.decode_jpeg(b)
+    assert (got[0, :, 0] == (img[0] >> 8)).all()
+    rng = np.random.default_rng(19)
+    big = rng.integers(0, 65536, size=(6, 7), dtype=np.int64)
+    assert (J.decode_jpeg(
+        J.encode_jpeg_lossless(big, precision=16))[:, :, 0]
+        == (big >> 8)).all()
+
+
+def test_lossless_rejects_bad_inputs():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="predictor"):
+        J.decode_jpeg(J.encode_jpeg_lossless(img, predictor=0))
+    with pytest.raises(ValueError, match="out of range"):
+        J.encode_jpeg_lossless(np.full((2, 2), 300), precision=8)
