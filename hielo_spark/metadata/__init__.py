@@ -35,6 +35,7 @@ from .commit import (  # noqa: F401
     update_sort_order,
 )
 from .manifests import read_data_at_snapshot  # noqa: F401
+from .puffin import ndv_of, write_statistics  # noqa: F401
 
 __all__ = [
     "append",
@@ -47,6 +48,7 @@ __all__ = [
     "expire_snapshots",
     "fast_forward",
     "merge_into",
+    "ndv_of",
     "read_data_at_snapshot",
     "rewrite_data_files",
     "rewrite_manifests",
@@ -55,4 +57,5 @@ __all__ = [
     "update_partition_spec",
     "update_schema",
     "update_sort_order",
+    "write_statistics",
 ]

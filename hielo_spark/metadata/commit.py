@@ -1392,11 +1392,18 @@ def expire_snapshots(table_dir: str, older_than_ms: int, retain_last: int = 1) -
         return []
     doc = dict(doc)
     doc["snapshots"] = kept
+    gone = set(expired)
     if "snapshot-log" in doc:
         # spec: expired snapshots must drop out of the snapshot log
-        gone = set(expired)
         doc["snapshot-log"] = [
             e for e in doc["snapshot-log"] if e.get("snapshot-id") not in gone
+        ]
+    if doc.get("statistics"):
+        # spec: statistics files are bound to snapshots — an expired
+        # snapshot's Puffin entry drops too (the file itself becomes
+        # orphan-sweepable, like data files)
+        doc["statistics"] = [
+            e for e in doc["statistics"] if e.get("snapshot-id") not in gone
         ]
     _commit_doc(table_dir, doc, prev_version)
     return expired

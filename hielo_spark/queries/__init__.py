@@ -233,6 +233,7 @@ _DEFERRED = [
     "meta_writer_surface_roundtrip",
     "meta_nested_roundtrip",
     "meta_hidden_partitioning_roundtrip",
+    "meta_statistics_roundtrip",
     "events_interval_union",
     "q13_order_count_distribution",
     "lineitem_quantiles",

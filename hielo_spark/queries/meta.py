@@ -1731,3 +1731,79 @@ def meta_hidden_partitioning_roundtrip(
     return spark.createDataFrame(
         rows, "check_name string, value long"
     ).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# r7 statistics golden: Puffin NDV sketches committed to metadata.json's
+# statistics field — exact below the sketch's k, entry replacement,
+# surface read, and snapshot-expiry cleanup. Constant oracle.
+# --------------------------------------------------------------------------
+@query(
+    "meta_statistics_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('c1_ndv_small_exact',   CAST(37 AS BIGINT)),
+      ('c2_ndv_user_exact',    CAST(500 AS BIGINT)),
+      ('c3_ndv_id_close',      CAST(1 AS BIGINT)),
+      ('c4_one_entry',         CAST(1 AS BIGINT)),
+      ('c5_surface_blobs',     CAST(3 AS BIGINT)),
+      ('c6_expired_dropped',   CAST(1 AS BIGINT))
+    ) AS t(check_name, value)
+    ORDER BY check_name
+    """,
+)
+def meta_statistics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata import ndv_of, write_statistics
+    from ..sources import register
+
+    register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_stats_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = os.path.join(base, "t")
+    C.append(
+        spark, t,
+        spark.range(0, 3000).selectExpr(
+            "CAST(id AS BIGINT) AS id",
+            "CAST(id % 37 AS INT) AS small",
+            "concat('u', CAST(id % 500 AS STRING)) AS user",
+        ),
+        snapshot_id=101, timestamp_ms=1700000000000,
+    )
+    write_statistics(spark, t)
+    write_statistics(spark, t)  # same snapshot: replaces, no duplicate
+    ndv = ndv_of(t)
+    doc = json.load(open(C.current_metadata_path(t)))
+    blobs = (spark.read.format("hielo_iceberg")
+             .option("surface", "statistics").load(t).count())
+
+    # a second snapshot + stats, then expire the first: its entry drops
+    C.append(spark, t, spark.range(0, 10).selectExpr(
+        "CAST(id AS BIGINT) AS id", "CAST(0 AS INT) AS small",
+        "'u0' AS user"),
+        snapshot_id=102, timestamp_ms=1700100000000)
+    write_statistics(spark, t, columns=["small"])
+    C.expire_snapshots(t, older_than_ms=1700050000000, retain_last=1)
+    doc2 = json.load(open(C.current_metadata_path(t)))
+
+    rows = [
+        ("c1_ndv_small_exact", ndv["small"]),
+        ("c2_ndv_user_exact", ndv["user"]),
+        ("c3_ndv_id_close", int(abs(ndv["id"] - 3000) / 3000 < 0.10)),
+        ("c4_one_entry", len(doc["statistics"])),
+        ("c5_surface_blobs", blobs),
+        ("c6_expired_dropped", int(
+            [e["snapshot-id"] for e in doc2["statistics"]] == [102])),
+    ]
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "check_name string, value long"
+    ).orderBy("check_name")

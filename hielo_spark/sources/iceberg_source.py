@@ -1171,6 +1171,11 @@ _META_SURFACES = {
         "file_count int, total_data_file_size_in_bytes bigint, "
         "position_delete_file_count int, equality_delete_file_count int"
     ),
+    "statistics": (
+        "snapshot_id bigint, statistics_path string, "
+        "file_size_in_bytes bigint, blob_type string, fields_json string, "
+        "ndv bigint"
+    ),
 }
 
 
@@ -1223,6 +1228,24 @@ def _meta_surface_rows(table_dir: str, surface: str, options) -> list[tuple]:
             (name, r.get("type"), int(r["snapshot-id"]))
             for name, r in sorted(doc.get("refs", {}).items())
         ]
+    if surface == "statistics":
+        # one row per Puffin blob across every statistics entry; the
+        # ndv column surfaces the planner-facing blob property
+        out = []
+        for e in doc.get("statistics", []):
+            for bm in e.get("blob-metadata", []):
+                ndv = (bm.get("properties") or {}).get("ndv")
+                out.append(
+                    (
+                        int(e["snapshot-id"]),
+                        e.get("statistics-path"),
+                        e.get("file-size-in-bytes"),
+                        bm.get("type"),
+                        json.dumps(bm.get("fields") or []),
+                        int(ndv) if ndv is not None else None,
+                    )
+                )
+        return out
     snap = _select_snapshot(doc, options)
     mlist = _resolve_rel(
         os.path.join(table_dir, "metadata", "x"), snap["manifest-list"]
