@@ -169,6 +169,48 @@ class RestCatalogClient:
         ]
         return self.commit_table(namespace, table, requirements, updates)
 
+    def commit_statistics(
+        self,
+        namespace,
+        table: str,
+        statistics: dict,
+        expected_ref_snapshot_id: int | None = None,
+    ) -> dict:
+        """Commit a Puffin statistics entry the spec-shaped way
+        (``set-statistics`` — the catalog-service twin of
+        ``metadata.write_statistics``'s local metadata edit).
+        ``statistics`` is the spec struct metadata.json carries
+        (snapshot-id / statistics-path / sizes / blob-metadata);
+        ``expected_ref_snapshot_id`` optionally asserts main hasn't
+        moved (statistics describe a specific snapshot — committing
+        them after the table advanced is usually a bug)."""
+        requirements = (
+            [
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": expected_ref_snapshot_id,
+                }
+            ]
+            if expected_ref_snapshot_id is not None
+            else []
+        )
+        updates = [
+            {
+                "action": "set-statistics",
+                "snapshot-id": int(statistics["snapshot-id"]),
+                "statistics": statistics,
+            }
+        ]
+        return self.commit_table(namespace, table, requirements, updates)
+
+    def remove_statistics(self, namespace, table: str, snapshot_id: int) -> dict:
+        """The spec's ``remove-statistics`` update (expiry cleanup)."""
+        return self.commit_table(
+            namespace, table, [],
+            [{"action": "remove-statistics", "snapshot-id": int(snapshot_id)}],
+        )
+
     # -- catalog operations ------------------------------------------------
 
     def test_connection(self) -> bool:

@@ -231,6 +231,17 @@ def _stateful_server():
                     state["doc"]["current-schema-id"] = (
                         last_added_schema_id if sid == -1 else sid
                     )
+                elif up["action"] == "set-statistics":
+                    st = [
+                        e for e in state["doc"].get("statistics", [])
+                        if e.get("snapshot-id") != up["snapshot-id"]
+                    ]
+                    state["doc"]["statistics"] = st + [up["statistics"]]
+                elif up["action"] == "remove-statistics":
+                    state["doc"]["statistics"] = [
+                        e for e in state["doc"].get("statistics", [])
+                        if e.get("snapshot-id") != up["snapshot-id"]
+                    ]
             return self._send(
                 200,
                 {"metadata-location": "s3://w/meta/head2.metadata.json",
@@ -325,5 +336,46 @@ def test_commit_schema_update_and_conflict(spark):
                 "analytics", "orders_t", new_schema,
                 expected_current_schema_id=base_sid,
             )
+    finally:
+        srv.shutdown()
+
+
+def test_commit_statistics_over_rest(spark):
+    """r7: Puffin statistics entries over the REST protocol —
+    set-statistics replaces per snapshot, remove-statistics drops, and
+    a stale main-ref assertion conflicts."""
+    from hielo_spark.catalog.rest import CommitConflictError
+
+    srv, uri, state = _stateful_server()
+    try:
+        client = RestCatalogClient(uri, token=TOKEN)
+        main = state["main"]
+        entry = {
+            "snapshot-id": main,
+            "statistics-path": "s3://w/meta/s.puffin",
+            "file-size-in-bytes": 123,
+            "file-footer-size-in-bytes": 40,
+            "blob-metadata": [
+                {"type": "hielo-kmv-theta-v1", "fields": [1],
+                 "snapshot-id": main, "sequence-number": 1,
+                 "properties": {"ndv": "42"}}
+            ],
+        }
+        client.commit_statistics(
+            "analytics", "orders_t", entry, expected_ref_snapshot_id=main
+        )
+        assert state["doc"]["statistics"] == [entry]
+        # same snapshot again: replaced, not duplicated
+        entry2 = dict(entry, **{"file-size-in-bytes": 456})
+        client.commit_statistics("analytics", "orders_t", entry2)
+        assert state["doc"]["statistics"] == [entry2]
+        # stale ref assertion conflicts
+        with pytest.raises(CommitConflictError):
+            client.commit_statistics(
+                "analytics", "orders_t", entry,
+                expected_ref_snapshot_id=main + 999,
+            )
+        client.remove_statistics("analytics", "orders_t", main)
+        assert state["doc"]["statistics"] == []
     finally:
         srv.shutdown()
