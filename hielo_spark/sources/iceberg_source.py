@@ -610,6 +610,128 @@ class HieloIcebergReader(DataSourceReader):
         return _read_partition(partition)
 
 
+def _snapshot_lineage(doc: dict, start_id, end_id) -> list[dict]:
+    """Parent-chain walk from ``end_id`` back to (exclusive)
+    ``start_id``; returned oldest-first. ``start_id`` None walks to the
+    root."""
+    by_id = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
+    chain = []
+    cur = end_id
+    while cur is not None and cur != start_id and cur in by_id:
+        chain.append(by_id[cur])
+        parent = by_id[cur].get("parent-snapshot-id")
+        cur = int(parent) if parent is not None else None
+    return list(reversed(chain))
+
+
+class _ChangesPartition(InputPartition):
+    def __init__(self, scan: _ScanPartition, snap_id: int, ordinal: int):
+        self.scan = scan
+        self.snap_id = snap_id
+        self.ordinal = ordinal
+
+
+class HieloIcebergChangesReader(DataSourceReader):
+    """CDC changelog through the standard source API —
+    ``option("surface", "changes")`` with optional ``from-snapshot-id``
+    (exclusive) / ``to-snapshot-id`` (inclusive, default current):
+    emits the rows ADDED by each append snapshot in range with
+    Iceberg's changelog metadata columns (``_change_type`` /
+    ``_commit_snapshot_id`` / ``_change_ordinal``). Each append's files
+    come from ITS OWN manifest list (status=1 entries it added), so a
+    later compaction never drops its changes; replace snapshots emit
+    nothing (no logical row change); delete/overwrite snapshots raise —
+    their changelog needs the multiset diff only the JVM plane runs
+    (``metadata.read_changelog``). Deletes committed later are separate
+    changes, so insert scans read the raw files (no MOR application) —
+    the Iceberg changelog contract."""
+
+    def __init__(self, table_dir: str, options, schema_cols):
+        self.table_dir = table_dir
+        self.options = options
+        self.schema_cols = schema_cols
+
+    def partitions(self):
+        doc = _load_doc(self.table_dir)
+        to_opt = self.options.get("to-snapshot-id")
+        to_id = (
+            int(to_opt) if to_opt is not None
+            else doc.get("current-snapshot-id")
+        )
+        if to_id is None:
+            return [_ChangesPartition(
+                _ScanPartition(None, None, [], [], self.schema_cols), 0, 0)]
+        from_opt = self.options.get("from-snapshot-id")
+        from_id = int(from_opt) if from_opt is not None else None
+        chain = _snapshot_lineage(doc, from_id, int(to_id))
+        if from_id is not None and (
+            not chain or chain[0].get("parent-snapshot-id") != from_id
+        ):
+            raise ValueError(
+                f"from-snapshot-id {from_id} is not an ancestor of "
+                f"{to_id} on this table"
+            )
+        fv = doc.get("format-version", 2)
+        parts = []
+        for ordinal, s in enumerate(chain):
+            op = s.get("summary", {}).get("operation")
+            if op == "replace":
+                continue  # compaction: no logical row change
+            if op != "append":
+                # ValueError, NOT NotImplementedError: the DataSource
+                # protocol treats NotImplementedError from partitions()
+                # as the "single partition" sentinel and swallows it
+                raise ValueError(
+                    f"changes range crosses snapshot {s['snapshot-id']} "
+                    f"(operation={op!r}) — its changelog needs the "
+                    "multiset diff; use metadata.read_changelog"
+                )
+            snap_id = int(s["snapshot-id"])
+            mlist = _resolve_rel(
+                os.path.join(self.table_dir, "metadata", "x"),
+                s["manifest-list"],
+            )
+            for m, e in _manifest_entries(mlist, fv):
+                if e["data_file"].get("content", 0) != 0:
+                    continue
+                added_by = e.get("snapshot_id") or m.get("added_snapshot_id")
+                if e.get("status") == 1 and int(added_by or -2) == snap_id:
+                    parts.append(
+                        _ChangesPartition(
+                            _ScanPartition(
+                                e["data_file"]["file_path"]
+                                .removeprefix("file:"),
+                                e["_seq"], [], [], self.schema_cols,
+                                pvals=e["data_file"].get("partition_values"),
+                            ),
+                            snap_id, ordinal,
+                        )
+                    )
+        return parts or [_ChangesPartition(
+            _ScanPartition(None, None, [], [], self.schema_cols), 0, 0)]
+
+    def read(self, partition: _ChangesPartition):
+        import pyarrow as pa
+
+        if partition.scan.path is None:
+            return
+        for batch in _read_partition(partition.scan):
+            t = pa.Table.from_batches([batch])
+            n = t.num_rows
+            t = t.append_column(
+                "_change_type", pa.array(["INSERT"] * n, pa.string())
+            )
+            t = t.append_column(
+                "_commit_snapshot_id",
+                pa.array([partition.snap_id] * n, pa.int64()),
+            )
+            t = t.append_column(
+                "_change_ordinal",
+                pa.array([partition.ordinal] * n, pa.int32()),
+            )
+            yield from t.to_batches()
+
+
 class HieloIcebergStreamReader(DataSourceStreamReader):
     """Append-only micro-batch source over the table's snapshot lineage:
     each batch is the set of data files ADDED by snapshots in
@@ -635,14 +757,7 @@ class HieloIcebergStreamReader(DataSourceStreamReader):
         return {"snapshot_id": int(cur) if cur is not None else -1}
 
     def _lineage(self, doc, start_id, end_id):
-        by_id = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
-        chain = []
-        cur = end_id
-        while cur is not None and cur != start_id and cur in by_id:
-            chain.append(by_id[cur])
-            parent = by_id[cur].get("parent-snapshot-id")
-            cur = int(parent) if parent is not None else None
-        return list(reversed(chain))
+        return _snapshot_lineage(doc, start_id, end_id)
 
     def partitions(self, start, end):
         start_id, end_id = int(start["snapshot_id"]), int(end["snapshot_id"])
@@ -1356,30 +1471,45 @@ class HieloIcebergDataSource(DataSource):
     def name(cls):
         return "hielo_iceberg"
 
-    def schema(self):
-        table_dir = self.options.get("path")
-        if not table_dir:
-            raise ValueError("load(<table_dir>) path is required")
-        surface = self.options.get("surface", "data")
-        if surface != "data":
-            if surface not in _META_SURFACES:
-                raise ValueError(
-                    f"unknown surface {surface!r} "
-                    f"(have data, {', '.join(_META_SURFACES)})"
-                )
-            return _META_SURFACES[surface]
+    @staticmethod
+    def _data_cols_ddl(table_dir: str) -> list[tuple[str, str]]:
+        """[(name, 'name ddl')] for the current schema — nested
+        list/map/struct JSON renders to Spark DDL recursively;
+        decimal(p,s)/fixed[n] pass through (valid DDL, or rejected
+        loudly by Spark's parser)."""
         doc = _load_doc(table_dir)
         schema = _current_schema_block(doc)
         if schema is None:
             raise ValueError("table metadata carries no schema block")
         from ..metadata.types import iceberg_to_ddl
 
-        cols = []
-        for f in schema.get("fields", []):
-            # nested list/map/struct JSON renders to Spark DDL
-            # recursively; decimal(p,s)/fixed[n] pass through (valid
-            # DDL, or rejected loudly by Spark's parser)
-            cols.append((f["name"], f"{f['name']} {iceberg_to_ddl(f['type'])}"))
+        return [
+            (f["name"], f"{f['name']} {iceberg_to_ddl(f['type'])}")
+            for f in schema.get("fields", [])
+        ]
+
+    def schema(self):
+        table_dir = self.options.get("path")
+        if not table_dir:
+            raise ValueError("load(<table_dir>) path is required")
+        surface = self.options.get("surface", "data")
+        if surface == "changes":
+            # the data schema + Iceberg's changelog metadata columns
+            data_ddl = ", ".join(
+                ddl for _n, ddl in self._data_cols_ddl(table_dir)
+            )
+            return (
+                f"{data_ddl}, _change_type string, "
+                "_commit_snapshot_id bigint, _change_ordinal int"
+            )
+        if surface != "data":
+            if surface not in _META_SURFACES:
+                raise ValueError(
+                    f"unknown surface {surface!r} "
+                    f"(have data, changes, {', '.join(_META_SURFACES)})"
+                )
+            return _META_SURFACES[surface]
+        cols = self._data_cols_ddl(table_dir)
         # explicit projection pushdown: option("columns", "a,b") narrows
         # the declared schema, so tasks read only those columns' parquet
         # pages (Spark 4.1's PythonScanBuilder has no
@@ -1433,6 +1563,11 @@ class HieloIcebergDataSource(DataSource):
 
     def reader(self, schema):
         surface = self.options.get("surface", "data")
+        if surface == "changes":
+            return HieloIcebergChangesReader(
+                self.options["path"], dict(self.options),
+                self._schema_cols(),
+            )
         if surface != "data":
             return _MetaSurfaceReader(
                 self.options["path"], surface, dict(self.options)

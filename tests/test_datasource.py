@@ -1045,3 +1045,59 @@ def test_metadata_log_surface(registered, spark, tmp_path):
         (1700000000000, "v1.metadata.json", 101),
         (1700100000000, "v2.metadata.json", 102),
     ]
+
+
+def test_changes_surface_append_changelog(registered, spark, tmp_path):
+    """option('surface','changes'): Iceberg's changelog fast path —
+    rows ADDED per append snapshot in (from, to], with
+    _change_type/_commit_snapshot_id/_change_ordinal, replace
+    snapshots silent, delete snapshots refused toward the JVM-plane
+    multiset diff."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 3),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.range(3, 5),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.rewrite_data_files(spark, t, snapshot_id=103,
+                         timestamp_ms=1700200000000)
+    C.append(spark, t, spark.range(5, 6),
+             snapshot_id=104, timestamp_ms=1700300000000)
+
+    full = (spark.read.format("hielo_iceberg")
+            .option("surface", "changes").load(t).collect())
+    by_snap = {}
+    for r in full:
+        assert r._change_type == "INSERT"
+        by_snap.setdefault(r._commit_snapshot_id, []).append(r.id)
+    # the compaction (103) emits nothing; each append's rows are its own
+    assert {k: sorted(v) for k, v in by_snap.items()} == {
+        101: [0, 1, 2], 102: [3, 4], 104: [5]}
+    # ordinals follow lineage order
+    ords = {r._commit_snapshot_id: r._change_ordinal for r in full}
+    assert ords[101] < ords[102] < ords[104]
+
+    # bounded range: (101, 102] only
+    part = (spark.read.format("hielo_iceberg")
+            .option("surface", "changes")
+            .option("from-snapshot-id", "101")
+            .option("to-snapshot-id", "102").load(t).collect())
+    assert sorted(r.id for r in part) == [3, 4]
+
+    # a delete snapshot in range refuses toward read_changelog
+    C.delete_where(spark, t, "id = 0",
+                   snapshot_id=105, timestamp_ms=1700400000000)
+    with pytest.raises(Exception, match="read_changelog"):
+        (spark.read.format("hielo_iceberg")
+         .option("surface", "changes").load(t).collect())
+    # but a range stopping before it still works
+    ok = (spark.read.format("hielo_iceberg")
+          .option("surface", "changes")
+          .option("to-snapshot-id", "104").load(t).collect())
+    assert sorted(r.id for r in ok) == [0, 1, 2, 3, 4, 5]
+
+    # a bogus from id fails loudly
+    with pytest.raises(Exception, match="not an ancestor"):
+        (spark.read.format("hielo_iceberg")
+         .option("surface", "changes")
+         .option("from-snapshot-id", "9999")
+         .option("to-snapshot-id", "104").load(t).collect())
