@@ -1398,14 +1398,28 @@ def expire_snapshots(table_dir: str, older_than_ms: int, retain_last: int = 1) -
         doc["snapshot-log"] = [
             e for e in doc["snapshot-log"] if e.get("snapshot-id") not in gone
         ]
+    dropped_stats = []
     if doc.get("statistics"):
         # spec: statistics files are bound to snapshots — an expired
-        # snapshot's Puffin entry drops too (the file itself becomes
-        # orphan-sweepable, like data files)
+        # snapshot's Puffin entry drops too
+        dropped_stats = [
+            e for e in doc["statistics"] if e.get("snapshot-id") in gone
+        ]
         doc["statistics"] = [
             e for e in doc["statistics"] if e.get("snapshot-id") not in gone
         ]
     _commit_doc(table_dir, doc, prev_version)
+    # Puffin sidecars live under metadata/ where the orphan sweep (which
+    # lists data_dir *.parquet) never looks, so delete them here — they
+    # are engine-owned and referenced ONLY by the entries just dropped
+    # (Iceberg's expireSnapshots cleans statistics files the same way).
+    for e in dropped_stats:
+        p = e.get("statistics-path")
+        if p and os.path.exists(p):
+            try:
+                os.remove(p)
+            except OSError:
+                pass  # best-effort: a stale entry must not fail expiry
     return expired
 
 

@@ -96,6 +96,24 @@ def parse_metadata_document(table_name: str, doc: dict):
         yield from _field_rows(table_name, sid, s.get("fields", []), None)
 
 
+def current_schema_block(doc: dict) -> dict | None:
+    """The CURRENT schema struct of a table-metadata document: v2 keys
+    ``current-schema-id`` into the ``schemas`` list; v1 carries a single
+    top-level ``schema`` (spec v1 compatibility — real catalogs are full
+    of v1 tables). Returns None when the document has neither — callers
+    own the error message."""
+    schemas = doc.get("schemas")
+    if schemas:
+        return next(
+            (
+                s for s in schemas
+                if s.get("schema-id") == doc.get("current-schema-id", 0)
+            ),
+            None,
+        )
+    return doc.get("schema")
+
+
 def _strip_scheme(c):
     """URI → scheme-less path usable as a join key: 'file:///a/b', 'file:/a/b'
     and '/a/b' all normalize to '/a/b'; 's3a://bucket/k' → '/bucket/k'."""

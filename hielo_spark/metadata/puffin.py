@@ -30,6 +30,8 @@ import struct
 
 import numpy as np
 
+from .metadata_json import current_schema_block
+
 MAGIC = b"PFA1"
 
 #: sketch parameter: estimates are exact below K distinct values and
@@ -101,6 +103,50 @@ class KmvSketch:
             np.uint64
         )
         return cls(h, k)
+
+
+# ------------------------------------------- deletion-vector-v1 blobs
+
+#: Iceberg v3 deletion vectors (spec "Puffin types"): one blob per data
+#: file, framed for byte-compatibility with Delta's DV file layout
+DV_BLOB_TYPE = "deletion-vector-v1"
+_DV_MAGIC = bytes([0xD1, 0xD3, 0x39, 0x64])
+
+
+def dv_payload(positions) -> bytes:
+    """Frame deleted row positions as a ``deletion-vector-v1`` blob
+    payload per the spec: 4-byte BIG-endian combined length of magic +
+    vector, the magic ``D1 D3 39 64``, the portable 64-bit roaring
+    serialization of the positions, and a 4-byte big-endian CRC-32 of
+    magic + vector."""
+    import zlib
+
+    from .roaring import serialize_64
+
+    vec = serialize_64(positions)
+    body = _DV_MAGIC + vec
+    return (
+        struct.pack(">I", len(body))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def decode_dv_payload(payload: bytes) -> "np.ndarray":
+    """``deletion-vector-v1`` blob payload → sorted uint64 positions.
+    Validates the length framing, magic, and CRC-32."""
+    import zlib
+
+    from .roaring import deserialize_64
+
+    (blen,) = struct.unpack_from(">I", payload, 0)
+    body = payload[4: 4 + blen]
+    if len(body) != blen or body[:4] != _DV_MAGIC:
+        raise ValueError("not a deletion-vector-v1 payload (bad magic)")
+    (crc,) = struct.unpack_from(">I", payload, 4 + blen)
+    if crc != (zlib.crc32(body) & 0xFFFFFFFF):
+        raise ValueError("deletion vector CRC mismatch")
+    return deserialize_64(body, 4)
 
 
 # ------------------------------------------------------ Puffin container
@@ -196,15 +242,18 @@ def write_statistics(
         s for s in doc.get("snapshots", []) if s["snapshot-id"] == snap_id
     )
     seq = int(snap.get("sequence-number", 0) or 0)
-    schema = next(
-        s
-        for s in doc.get("schemas", [])
-        if s.get("schema-id") == doc.get("current-schema-id", 0)
-    )
+    schema = current_schema_block(doc)  # v1 single-schema fallback too
+    if schema is None:
+        raise ValueError("table metadata carries no current schema")
     name2id = {
         f["name"]: f["id"]
         for f in schema.get("fields", [])
         if isinstance(f.get("type"), str)  # primitive columns only
+    }
+    name2type = {
+        f["name"]: f["type"]
+        for f in schema.get("fields", [])
+        if isinstance(f.get("type"), str)
     }
     cols = columns if columns is not None else sorted(name2id)
     missing = [c for c in cols if c not in name2id]
@@ -213,9 +262,25 @@ def write_statistics(
             f"statistics columns not primitive/in schema: {missing}"
         )
 
+    # canonicalize JVM-side: every column becomes its Spark string
+    # rendering BEFORE the Arrow hop. Hashing pandas-converted values
+    # directly is wrong twice over — a partition with any null promotes
+    # int64 to float64 (str(1.0) != str(1), so the same value hashes
+    # differently per partition and NDV inflates), and int64 above 2^53
+    # collapses to the same float (NDV deflates). Spark's cast is exact
+    # and partition-independent; binary/fixed go through hex (cast would
+    # mangle non-UTF-8 bytes).
+    from pyspark.sql import functions as F
+
+    def canon(c: str):
+        t = name2type.get(c, "")
+        if t == "binary" or t.startswith("fixed"):
+            return F.hex(F.col(c)).alias(c)
+        return F.col(c).cast("string").alias(c)
+
     df = read_data_at_snapshot(
         spark, current_metadata_path(table_dir)
-    ).select(*cols)
+    ).select(*[canon(c) for c in cols])
 
     # one partial sketch per (partition, column): Arrow batches in, a
     # k-bounded binary row out — the distributed-sketch shape
@@ -227,7 +292,9 @@ def write_statistics(
         sk = {c: KmvSketch(k=kcap) for c in cols}
         for pdf in batches:
             for c in cols:
-                vals = pdf[c].dropna().tolist()
+                # dedup per batch first: blake2b runs once per DISTINCT
+                # value, not per row (rows/NDV can be millions to one)
+                vals = pdf[c].dropna().unique().tolist()
                 if vals:
                     sk[c].update(vals)
         yield pd.DataFrame(
@@ -303,11 +370,9 @@ def ndv_of(table_dir: str, column: str | None = None) -> dict[str, int]:
     )
     if entry is None:
         return {}
-    schema = next(
-        s
-        for s in doc.get("schemas", [])
-        if s.get("schema-id") == doc.get("current-schema-id", 0)
-    )
+    schema = current_schema_block(doc)
+    if schema is None:
+        return {}
     id2name = {f["id"]: f["name"] for f in schema.get("fields", [])}
     out = {}
     for b in entry.get("blob-metadata", []):

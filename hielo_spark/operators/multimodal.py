@@ -22,12 +22,14 @@ covers every legal bit depth — 1/2/4-bit packed gray+palette, 8- and
 8/16-bit PCM, mono IMA-ADPCM, MS-ADPCM, and G.711 µ-law/A-law (r7) +
 DSP features), as does video frame extraction from uncompressed AVI
 ('00db' DIB frames — same RIFF walk as WAV, same pixel layout as
-BMP). The remaining stub boundary is small and documented:
-arithmetic/lossless JPEG, non-MJPG AVI fourccs, perceptual-codec WAV
-tags (MP3/AAC-in-WAV) raise NotImplementedError (no PIL/ffmpeg in
-this environment) unless ``fake=True`` selects the deterministic
-stand-in — the Spark-side plumbing (schemas, batching, partitioning)
-is identical on every path.
+BMP). JPEG covers baseline, progressive (SOF2), and lossless (SOF3,
+Annex H) — see operators/jpeg.py. The remaining stub boundary is
+small and documented: arithmetic-coded JPEG, non-MJPG AVI fourccs,
+and perceptual-codec WAV tags (MP3/AAC-in-WAV) raise
+NotImplementedError (no PIL/ffmpeg in this environment) unless
+``fake=True`` selects the deterministic stand-in — the Spark-side
+plumbing (schemas, batching, partitioning) is identical on every
+path.
 """
 
 from __future__ import annotations
@@ -791,7 +793,11 @@ def _decode_ms_adpcm(data: bytes, block_align: int, spb: int) -> np.ndarray:
         for byte in blk[7:]:
             for nib in ((byte >> 4) & 0xF, byte & 0xF):
                 signed = nib - 16 if nib & 0x8 else nib
-                predicted = (s1 * c1 + s2 * c2) >> 8
+                # the spec's C expression divides by 256 truncating
+                # toward ZERO; >> 8 floors, drifting 1 low on negative
+                # sums and feeding back through the s1/s2 recursion
+                num = s1 * c1 + s2 * c2
+                predicted = num // 256 if num >= 0 else -((-num) // 256)
                 s = max(-32768, min(32767, predicted + signed * delta))
                 s2, s1 = s1, s
                 delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
@@ -812,13 +818,24 @@ def _encode_ms_adpcm_block(x16: np.ndarray, spb: int) -> bytes:
     c1, c2 = _MS_COEFS[0]
     s2 = int(x16[0]) if len(x16) > 0 else 0
     s1 = int(x16[1]) if len(x16) > 1 else 0
-    delta = 128
+    # initial delta from the block's own first differences (what real
+    # writers do): a fixed 128 saturates the 4-bit quantizer for the
+    # first few samples of every block of steeper material (max step
+    # 7*delta), injecting periodic transients. Mean |diff|/4 keeps the
+    # codes in range while the adaptation table takes over; int16 field.
+    if len(x16) > 2:
+        diffs = np.abs(np.diff(x16[: min(len(x16), 64)]))
+        delta = int(diffs.mean()) // 4
+    else:
+        delta = 128
+    delta = max(16, min(32767, delta))
     out = bytearray()
     out += bytes([0]) + _struct.pack("<hhh", delta, s1, s2)
     nibbles: list[int] = []
     for i in range(2, spb):
         v = int(x16[i]) if i < len(x16) else 0
-        predicted = (s1 * c1 + s2 * c2) >> 8
+        num = s1 * c1 + s2 * c2  # truncate toward zero, like the decoder
+        predicted = num // 256 if num >= 0 else -((-num) // 256)
         err = v - predicted
         code = max(-8, min(7, int(round(err / delta))))
         nib = code & 0xF

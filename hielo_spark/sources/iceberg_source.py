@@ -88,21 +88,11 @@ def _load_doc(table_dir: str) -> dict:
 
 
 def _current_schema_block(doc: dict) -> dict | None:
-    """The current schema struct: v2 tables key it by
-    ``current-schema-id`` into ``schemas``; v1 tables carry a single
-    top-level ``schema`` (spec v1 compatibility — real catalogs are
-    full of v1 tables, and v1 writers are not required to emit the v2
-    list form)."""
-    schemas = doc.get("schemas")
-    if schemas:
-        return next(
-            (
-                s for s in schemas
-                if s.get("schema-id") == doc.get("current-schema-id", 0)
-            ),
-            None,
-        )
-    return doc.get("schema")
+    """The current schema struct (v2 ``schemas`` list or v1 single
+    ``schema``) — shared with the metadata plane."""
+    from ..metadata.metadata_json import current_schema_block
+
+    return current_schema_block(doc)
 
 
 def _resolve_rel(base: str, p: str) -> str:
@@ -661,9 +651,22 @@ class HieloIcebergChangesReader(DataSourceReader):
         if to_id is None:
             return [_ChangesPartition(
                 _ScanPartition(None, None, [], [], self.schema_cols), 0, 0)]
+        to_id = int(to_id)
+        known = {int(s["snapshot-id"]) for s in doc.get("snapshots", [])}
+        if to_id not in known:
+            # loud, like the from-side check below — a typo'd id must
+            # not read as "zero changes"
+            raise ValueError(
+                f"to-snapshot-id {to_id} is not a snapshot of this table"
+            )
         from_opt = self.options.get("from-snapshot-id")
         from_id = int(from_opt) if from_opt is not None else None
-        chain = _snapshot_lineage(doc, from_id, int(to_id))
+        if from_id is not None and from_id == to_id:
+            # the standard incremental poll: consumer stored snapshot S,
+            # table hasn't advanced — an EMPTY changeset, not an error
+            return [_ChangesPartition(
+                _ScanPartition(None, None, [], [], self.schema_cols), 0, 0)]
+        chain = _snapshot_lineage(doc, from_id, to_id)
         if from_id is not None and (
             not chain or chain[0].get("parent-snapshot-id") != from_id
         ):

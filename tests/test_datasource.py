@@ -1101,3 +1101,30 @@ def test_changes_surface_append_changelog(registered, spark, tmp_path):
          .option("surface", "changes")
          .option("from-snapshot-id", "9999")
          .option("to-snapshot-id", "104").load(t).collect())
+
+
+def test_changes_surface_empty_poll_and_unknown_to(registered, spark,
+                                                   tmp_path):
+    """The standard incremental CDC poll — from == to because the table
+    hasn't advanced — is an EMPTY changeset, not an error; a typo'd
+    to-snapshot-id fails loudly instead of reading as zero changes."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 3),
+             snapshot_id=101, timestamp_ms=1700000000000)
+
+    # explicit from == to
+    out = (spark.read.format("hielo_iceberg")
+           .option("surface", "changes")
+           .option("from-snapshot-id", "101")
+           .option("to-snapshot-id", "101").load(t).collect())
+    assert out == []
+    # and with `to` defaulted to current (the poll consumers actually run)
+    out2 = (spark.read.format("hielo_iceberg")
+            .option("surface", "changes")
+            .option("from-snapshot-id", "101").load(t).collect())
+    assert out2 == []
+
+    with pytest.raises(Exception, match="not a snapshot"):
+        (spark.read.format("hielo_iceberg")
+         .option("surface", "changes")
+         .option("to-snapshot-id", "9999").load(t).collect())

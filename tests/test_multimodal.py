@@ -1030,3 +1030,45 @@ def test_ms_adpcm_wav_roundtrip():
     bad[data_at] = 9  # predictor index beyond the 7 published pairs
     with _pytest.raises(ValueError, match="predictor index"):
         decode_wav(bytes(bad))
+
+
+def test_ms_adpcm_negative_predictor_truncates_toward_zero():
+    """The spec's C expression divides the two-tap predictor sum by 256
+    truncating toward ZERO; a floor shift (>>8) lands 1 low on negative
+    sums and the error feeds back through the s1/s2 recursion. Pin a
+    hand-built block whose first predictor sum is -320: trunc gives -1,
+    floor would give -2."""
+    import struct
+
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import _decode_ms_adpcm
+
+    # predictor 2 = (c1=0, c2=64); header samples s1=7, s2=-5; one data
+    # byte of two zero nibbles. First decode step: predicted =
+    # 7*0 + (-5)*64 = -320 -> trunc(-320/256) = -1 (floor: -2).
+    # Second step: s1=-1, s2=7 -> 7*64 = 448 -> 1 either way.
+    blk = bytes([2]) + struct.pack("<hhh", 16, 7, -5) + b"\x00"
+    out = _decode_ms_adpcm(blk, block_align=8, spb=4)
+    np.testing.assert_array_equal(
+        np.round(out * 32768.0).astype(int), [-5, 7, -1, 1]
+    )
+
+
+def test_ms_adpcm_block_start_transients_bounded():
+    """The encoder twin derives each block's initial delta from the
+    block's own first differences — a fixed delta=128 saturated the
+    4-bit quantizer on steep material, injecting ~0.19-amplitude
+    transients at samples 3-5 of EVERY block (periodic clicks across
+    the fixture corpus)."""
+    import numpy as np
+
+    from hielo_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ms_adpcm,
+    )
+
+    t = np.arange(4000) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 700 * t)  # slope ~5600 int16/sample
+    y, _ = decode_wav(encode_wav_ms_adpcm(x, 8000))
+    assert np.abs(y[: len(x)] - x).max() < 0.06

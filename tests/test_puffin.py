@@ -141,11 +141,47 @@ def test_statistics_drop_with_expired_snapshots(spark, tmp_path):
     C.append(spark, t, spark.range(10, 20),
              snapshot_id=102, timestamp_ms=1700100000000)
     write_statistics(spark, t)
+    doc0 = json.load(open(C.current_metadata_path(t)))
+    paths = {e["snapshot-id"]: e["statistics-path"]
+             for e in doc0["statistics"]}
     expired = C.expire_snapshots(t, older_than_ms=1700050000000,
                                  retain_last=1)
     assert expired == [101]
     doc = json.load(open(C.current_metadata_path(t)))
     assert [e["snapshot-id"] for e in doc["statistics"]] == [102]
+    # the expired snapshot's Puffin sidecar is reclaimed (it lives under
+    # metadata/ where the data-dir orphan sweep never looks); the kept
+    # snapshot's file survives
+    import os
+
+    assert not os.path.exists(paths[101])
+    assert os.path.exists(paths[102])
+
+
+def test_ndv_canonical_across_null_promoting_partitions(spark, tmp_path):
+    """Integer NDV must be partition-independent. The Arrow→pandas hop
+    promotes an int64 partition containing any NULL to float64, so the
+    same value used to hash as '2.0' in one partition and '2' in
+    another (NDV inflation), and distinct ids above 2^53 collapsed to
+    one float (NDV deflation). Values are canonicalized to their Spark
+    string rendering BEFORE the Python hop, so both appends' partitions
+    agree."""
+    from hielo_spark.metadata import ndv_of
+
+    t = str(tmp_path / "t")
+    big = 2 ** 60
+    # append 1: no nulls, two >2^53 ids that are distinct ints but the
+    # SAME float64 — old code counted them once
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, big), (4, big + 1)], "id int, v long"
+    )
+    # append 2: a null alongside a repeat of v=2 — old code promoted
+    # this partition to float and hashed '2.0', counting 2 twice
+    b = spark.createDataFrame([(5, None), (6, 2)], "id int, v long")
+    C.append(spark, t, a, snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, b, snapshot_id=102, timestamp_ms=1700100000000)
+    write_statistics(spark, t, columns=["v"])
+    assert ndv_of(t)["v"] == 4  # exactly {1, 2, 2^60, 2^60+1}
 
 
 def test_write_statistics_rejects_bad_columns(spark, tmp_path):
