@@ -33,6 +33,7 @@ from .commit import (  # noqa: F401
     update_partition_spec,
     update_schema,
     update_sort_order,
+    upgrade_format_version,
 )
 from .manifests import read_data_at_snapshot  # noqa: F401
 from .puffin import ndv_of, write_statistics  # noqa: F401
@@ -57,5 +58,6 @@ __all__ = [
     "update_partition_spec",
     "update_schema",
     "update_sort_order",
+    "upgrade_format_version",
     "write_statistics",
 ]

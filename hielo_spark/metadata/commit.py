@@ -161,6 +161,18 @@ def manifest_entry_schema(
                      "default": None},
                     {"name": "sort_order_id", "type": ["null", "int"],
                      "default": None, "field-id": 140},
+                    # v3 deletion vectors (spec data_file fields): a DV
+                    # entry's file_path is the Puffin file; these say
+                    # which data file it deletes from and where the
+                    # blob lives inside the Puffin container
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"],
+                     "default": None, "field-id": 143},
+                    {"name": "content_offset", "type": ["null", "long"],
+                     "default": None, "field-id": 144},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"],
+                     "default": None, "field-id": 145},
                     # engine extensions (stringified stats keyed by
                     # column NAME — the fast path our read plane
                     # consumes; *_str names avoid colliding with the
@@ -1755,9 +1767,7 @@ def delete_where(
         candidates = [f for f in candidates if _file_may_match(f, sf, ev_aliases)]
     cond = F.expr(condition) if isinstance(condition, str) else condition
     assert isinstance(cond, Column)
-    del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-posdeletes")
-    parts: list[str] = []
-    rows_of: dict[str, int] = {}
+    positions = None
     if candidates:
         # partition-aware scan (hive-layout files carry identity
         # partition columns only in metadata — reattach so conditions on
@@ -1771,13 +1781,23 @@ def delete_where(
             F.col("_fp").alias("file_path"),
             F.col("_pos").cast("long").alias("pos"),
         )
+    if int(doc.get("format-version", 2)) >= 3:
+        # v3 forbids position-delete files: deletes commit as deletion
+        # vectors (one roaring bitmap per touched data file)
+        return _commit_deletion_vectors(
+            spark, table_dir, doc, prev_version, positions,
+            seq, snapshot_id, timestamp_ms, mdir, current,
+        )
+    del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-posdeletes")
+    parts: list[str] = []
+    rows_of: dict[str, int] = {}
+    bounds_of = {}
+    if positions is not None:
         parts, rows_of, bounds_of = _write_delete_parts(
             positions.repartition(F.col("file_path")),
             del_dir,
             ["file_path", "pos"],
         )
-    else:
-        bounds_of = {}
     n_deleted = sum(rows_of.values())
 
     manifest_path = os.path.join(
@@ -1848,6 +1868,355 @@ def delete_where(
             0, sum(os.path.getsize(p) for p in parts), len(parts),
         ),
     )
+
+
+def _live_dv_entries(mlist: str, fv: int) -> list[dict]:
+    """Live v3 deletion-vector entries of a snapshot: one dict per DV
+    with the Puffin path, blob region, referenced data file, sequence
+    number, and OWNING manifest path (supersession rewrites need it).
+    Pure-Python planning — no Spark hops."""
+    from .manifests import (
+        _resolve,
+        decode_manifest,
+        inherited_seq_of,
+        read_avro_file,
+    )
+
+    _, _, mlist_rows = read_avro_file(mlist)
+    out = []
+    for m in mlist_rows:
+        if (m.get("content") or 0) != 1:
+            continue
+        for e in decode_manifest(
+            _resolve(mlist, m["manifest_path"]),
+            inherited_seq=inherited_seq_of(m, fv),
+        ):
+            status, fpath, seq, dv = e[0], e[2], e[7], e[15]
+            if status == 2 or dv is None:
+                continue
+            out.append(
+                {
+                    "puffin": fpath.removeprefix("file:"),
+                    "seq": seq,
+                    "dv": dv,
+                    "manifest": m["manifest_path"],
+                }
+            )
+    return out
+
+
+def _rewrite_manifest_dropping_dvs(
+    manifest_path: str, refs: set[str], mdir: str, seq: int
+) -> tuple[str, int, int] | None:
+    """Rewrite a delete manifest WITHOUT the DV entries referencing
+    ``refs`` (data files that just got a replacement DV — the spec
+    allows at most one DV per data file, so the previous one must leave
+    the live set). Raw-record rewrite under the manifest's own writer
+    schema, so foreign stats/fields survive byte-exact. Returns
+    ``(new_path, live_files, live_rows)``, or None when nothing stays
+    live (the caller drops the manifest from the carry-forward)."""
+    import json as _json
+
+    from .avro_py import write_avro_file
+    from .manifests import _resolve, read_avro_file
+
+    local = _resolve(os.path.join(mdir, "x"), manifest_path)
+    schema, meta, raw = read_avro_file(local)
+    kept = []
+    for e in raw:
+        ref = (e.get("data_file") or {}).get("referenced_data_file")
+        if (
+            ref is not None
+            and str(ref).removeprefix("file:") in refs
+            and e.get("status") != 2
+        ):
+            continue
+        kept.append(e)
+    if not any(e.get("status") != 2 for e in kept):
+        return None
+    new_path = os.path.join(
+        mdir, f"delete-manifest-{seq:05d}-rw-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    hdr = {
+        k: v for k, v in (meta or {}).items() if not k.startswith("avro.")
+    }
+    write_avro_file(new_path, _json.dumps(schema), kept, meta=hdr)
+    live = [e for e in kept if e.get("status") != 2]
+    live_rows = sum(
+        int((e.get("data_file") or {}).get("record_count") or 0)
+        for e in live
+    )
+    return new_path, len(live), live_rows
+
+
+def _commit_deletion_vectors(
+    spark: SparkSession,
+    table_dir: str,
+    doc: dict,
+    prev_version: int,
+    positions,
+    seq: int,
+    snapshot_id: int,
+    timestamp_ms: int,
+    mdir: str,
+    current: dict,
+) -> dict:
+    """DELETE WHERE on a format-version ≥ 3 table: commit the matched
+    row positions as DELETION VECTORS — one ``deletion-vector-v1``
+    Puffin blob (portable 64-bit roaring bitmap) per touched data file
+    — instead of position-delete parquet, per the Iceberg v3 spec's
+    row-level-delete rules. A data file has at most ONE DV: each new
+    vector is the union of the new positions with the file's previous
+    DV, and the superseded entries are dropped from the carried-forward
+    delete manifests (raw-record rewrite).
+
+    Scale: bitmap construction is one ``applyInPandas`` group per
+    touched file (the previous DV's bytes ride in via a broadcast
+    join); the driver collects one serialized bitmap per file — bounded
+    by candidate-file count × compressed bitmap size (≤ 8 KiB per 64 Ki
+    rows), never by row count. Reads then fetch ONE blob region per
+    scanned file instead of joining a growing pile of delete parquet —
+    the v3 design's point at 100 TB."""
+    import time  # noqa: F401  (parallel with delete_where's imports)
+
+    from pyspark.sql import functions as F
+
+    from .manifests import _resolve
+    from .puffin import DV_BLOB_TYPE, write_puffin
+
+    fv = int(doc.get("format-version", 2))
+    # MAX-seq DV per referenced file (ascending sort → later overrides)
+    old_dvs: dict[str, dict] = {}
+    for d in sorted(
+        _live_dv_entries(
+            _resolve(
+                os.path.join(mdir, "x"),
+                current["manifest-list"].removeprefix("file:"),
+            ),
+            fv,
+        ),
+        key=lambda d: d["seq"] or 0,
+    ):
+        old_dvs[d["dv"]["referenced"].removeprefix("file:")] = d
+
+    rows = []
+    if positions is not None:
+        old_rows = []
+        for ref, d in old_dvs.items():
+            with open(d["puffin"], "rb") as fh:
+                fh.seek(d["dv"]["offset"])
+                old_rows.append((ref, bytearray(fh.read(d["dv"]["size"]))))
+        if old_rows:
+            old_df = spark.createDataFrame(
+                old_rows, "file_path string, _old binary"
+            )
+            pos2 = positions.join(F.broadcast(old_df), "file_path", "left")
+        else:
+            pos2 = positions.withColumn(
+                "_old", F.lit(None).cast("binary")
+            )
+
+        def _build(pdf):
+            import numpy as np
+            import pandas as pd
+
+            from hielo_spark.metadata.puffin import (
+                decode_dv_payload,
+                dv_payload,
+            )
+
+            fp = pdf["file_path"].iloc[0]
+            pos = np.unique(
+                pdf["pos"].to_numpy(dtype="int64").astype("uint64")
+            )
+            old = pdf["_old"].iloc[0]
+            if old is not None and not (
+                isinstance(old, float) and np.isnan(old)
+            ):
+                pos = np.union1d(pos, decode_dv_payload(bytes(old)))
+            return pd.DataFrame(
+                {
+                    "file_path": [fp],
+                    "dv": [dv_payload(pos)],
+                    "cardinality": [int(len(pos))],
+                }
+            )
+
+        rows = (
+            pos2.groupBy("file_path")
+            .applyInPandas(
+                _build, "file_path string, dv binary, cardinality long"
+            )
+            .collect()
+        )
+
+    replaced = {r.file_path for r in rows} & set(old_dvs)
+    entries = []
+    total_cardinality = 0
+    puffin_size = 0
+    if rows:
+        puffin_path = os.path.join(
+            table_dir, "data",
+            f"seq-{seq:05d}-dvs-{_uuid.uuid4().hex[:8]}.puffin",
+        )
+        os.makedirs(os.path.dirname(puffin_path), exist_ok=True)
+        ordered = sorted(rows, key=lambda r: r.file_path)
+        blobs = [
+            {
+                # spec: DV blob metadata sets referenced-data-file and
+                # cardinality properties; fields is unused for DVs
+                "type": DV_BLOB_TYPE,
+                "fields": [],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "payload": bytes(r.dv),
+                "properties": {
+                    "referenced-data-file": r.file_path,
+                    "cardinality": str(int(r.cardinality)),
+                },
+            }
+            for r in ordered
+        ]
+        _fsize, _foot, metas = write_puffin(
+            puffin_path, blobs, {"created-by": "hielo_spark"}
+        )
+        puffin_size = os.path.getsize(puffin_path)
+        for r, meta in zip(ordered, metas):
+            total_cardinality += int(r.cardinality)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "content": 1,  # DVs are position deletes
+                        "file_path": puffin_path,
+                        "file_format": "PUFFIN",
+                        "record_count": int(r.cardinality),
+                        "file_size_in_bytes": puffin_size,
+                        "referenced_data_file": r.file_path,
+                        "content_offset": int(meta["offset"]),
+                        "content_size_in_bytes": int(meta["length"]),
+                    },
+                }
+            )
+
+    manifest_path = os.path.join(
+        mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(
+        spark, manifest_path, MANIFEST_ENTRY_SCHEMA_V2, entries,
+        meta=_manifest_header_meta(doc, 0, "deletes"),
+    )
+
+    prior_rows = _carry_forward_rows(spark, mdir, doc)
+    if replaced:
+        by_manifest: dict[str, set[str]] = {}
+        for ref in replaced:
+            by_manifest.setdefault(old_dvs[ref]["manifest"], set()).add(ref)
+        rewritten_rows = []
+        for r in prior_rows:
+            refs = by_manifest.get(r["manifest_path"])
+            if not refs:
+                rewritten_rows.append(r)
+                continue
+            rw = _rewrite_manifest_dropping_dvs(
+                r["manifest_path"], refs, mdir, seq
+            )
+            if rw is None:
+                continue  # only superseded DVs lived there — drop it
+            new_path, live_files, live_rows = rw
+            rewritten_rows.append(
+                dict(
+                    r,
+                    manifest_path=new_path,
+                    manifest_length=os.path.getsize(new_path),
+                    existing_files_count=live_files,
+                    existing_rows_count=live_rows,
+                )
+            )
+        prior_rows = rewritten_rows
+
+    new_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_cardinality,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, prior_rows + [new_row],
+        snapshot_id, timestamp_ms, seq,
+        _with_totals(
+            {
+                "operation": "delete",
+                "added-dvs": str(len(entries)),
+                "replaced-dvs": str(len(replaced)),
+                "added-delete-records": str(total_cardinality),
+            },
+            doc, doc.get("current-snapshot-id"),
+            0, puffin_size, len(entries),
+        ),
+    )
+
+
+def upgrade_format_version(table_dir: str, to_version: int = 3) -> int:
+    """Metadata-only commit bumping the table's ``format-version``
+    (Iceberg's one-way upgrade). v3 forbids position-delete FILES —
+    any live parquet position deletes must be compacted away first
+    (``rewrite_data_files`` materializes them), after which new
+    ``delete_where`` commits write deletion vectors. Equality deletes
+    remain legal in v3 and don't block the upgrade."""
+    doc, prev_version = _load_doc(table_dir)
+    cur = int(doc.get("format-version", 2))
+    if to_version == cur:
+        return cur
+    if to_version < cur:
+        raise ValueError("format-version downgrade is not allowed")
+    if to_version != 3:
+        raise ValueError(f"cannot upgrade to format-version {to_version}")
+    if doc.get("current-snapshot-id") is not None:
+        from .manifests import (
+            _resolve,
+            decode_manifest,
+            inherited_seq_of,
+            read_avro_file,
+        )
+
+        current = next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+        mlist = _resolve(
+            os.path.join(table_dir, "metadata", "x"),
+            current["manifest-list"].removeprefix("file:"),
+        )
+        _, _, mlist_rows = read_avro_file(mlist)
+        for m in mlist_rows:
+            if (m.get("content") or 0) != 1:
+                continue
+            for e in decode_manifest(
+                _resolve(mlist, m["manifest_path"]),
+                inherited_seq=inherited_seq_of(m, cur),
+            ):
+                status, fpath, fcontent, dv = e[0], e[2], e[6], e[15]
+                if status != 2 and fcontent == 1 and dv is None:
+                    raise ValueError(
+                        "cannot upgrade to v3: live position-delete "
+                        f"file {fpath} exists — compact it away first "
+                        "(rewrite_data_files), then upgrade"
+                    )
+    doc = dict(doc)
+    doc["format-version"] = to_version
+    _commit_doc(table_dir, doc, prev_version)
+    return to_version
 
 
 #: legal primitive type promotions per the Iceberg spec's Schema
@@ -2159,12 +2528,18 @@ def rewrite_position_deletes(
         for e in entries:
             (status, _sid, fpath, _fmt, _rec, _size, fcontent, seq,
              *_rest) = e
+            dv = e[15]
             if status == 2:
                 continue
-            kinds.add(fcontent)
+            # v3 deletion vectors are not parquet position-delete files:
+            # they are already one-blob-per-data-file, so there is
+            # nothing to compact here — and marking their manifest
+            # "pure position deletes" would drop live DVs from the
+            # carry-forward
+            kinds.add("dv" if dv is not None else fcontent)
             if fcontent == 0:
                 live_paths.append((fpath.removeprefix("file:"), seq))
-            elif fcontent == 1:
+            elif fcontent == 1 and dv is None:
                 pos_files.append((fpath.removeprefix("file:"), seq))
         if kinds == {1}:
             pure_pos_manifests.add(m["manifest_path"])

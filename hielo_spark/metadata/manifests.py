@@ -74,7 +74,7 @@ def live_data_file_dicts(
             inherited_seq=inherited_seq_of(m, format_version),
         ):
             (status, sid, fpath, _fmt, records, _size, fcontent, seq,
-             pvals, ptypes, lb, ub, bt, nc, _dc) = e
+             pvals, ptypes, lb, ub, bt, nc, _dc, _dv) = e
             if status == 2 or (fcontent or 0) != 0:
                 continue
             p = fpath.removeprefix("file:")
@@ -239,6 +239,20 @@ def decode_manifest(path: str, inherited_seq: int | None = None) -> list[tuple]:
                 bt,
                 _map_or_spec(df_rec, "null_counts", "null_value_counts", _decode_long),
                 _map_or_spec(df_rec, "distinct_counts_str", "distinct_counts", _decode_long),
+                # v3 deletion vector: which data file this content=1
+                # entry deletes from and where its blob lives inside
+                # the Puffin file at file_path
+                (
+                    {
+                        "referenced": str(df_rec["referenced_data_file"]),
+                        "offset": int(df_rec.get("content_offset") or 0),
+                        "size": int(
+                            df_rec.get("content_size_in_bytes") or 0
+                        ),
+                    }
+                    if df_rec.get("referenced_data_file") is not None
+                    else None
+                ),
             )
         )
     return rows
@@ -270,7 +284,7 @@ def read_manifest(
     read via the name fallback. Decoded by the pure-Python Avro reader
     (same planning-speed rationale as read_manifest_list).
     """
-    rows = decode_manifest(path, inherited_seq)
+    rows = [r[:15] for r in decode_manifest(path, inherited_seq)]
     return spark.createDataFrame(
         rows,
         "status int, snapshot_id long, file_path string, file_format string, "
@@ -778,7 +792,7 @@ def read_data_at_snapshot(
             inherited_seq=inherited_seq_of(m, doc.get("format-version", 2)),
         ):
             (status, _sid, fpath, _fmt, records, _size, fcontent, seq,
-             pvals, ptypes, lb, ub, bt, nc, _dc) = e
+             pvals, ptypes, lb, ub, bt, nc, _dc, dv) = e
             if status == 2:
                 continue
             entries_by_kind.setdefault(fcontent, []).append(
@@ -792,6 +806,7 @@ def read_data_at_snapshot(
                     "bt": bt,
                     "nc": nc,
                     "records": records,
+                    "dv": dv,
                 }
             )
 
@@ -868,12 +883,31 @@ def read_data_at_snapshot(
                 f"snapshot {chosen['snapshot-id']}"
             )
 
+    all_pos = live_files(1)
     pos_delete_files = _prune_pos_deletes(
-        live_files(1), [f["path"] for f in data_files]
+        [d for d in all_pos if not d.get("dv")],
+        [f["path"] for f in data_files],
     )
+    # v3 deletion vectors: at most one DV applies per data file (the
+    # spec's invariant; our writer merges the prior DV into each new
+    # one, so the max-sequence DV is a superset of every older one).
+    # Restrict to the files this scan still reads — pruned-away files'
+    # DV blobs are never even fetched.
+    scan_paths = {f["path"] for f in data_files}
+    dv_best: dict[str, dict] = {}
+    for d in all_pos:
+        if not d.get("dv"):
+            continue
+        ref = d["dv"]["referenced"].removeprefix("file:")
+        if ref not in scan_paths:
+            continue
+        cur = dv_best.get(ref)
+        if cur is None or (d["seq"] or 0) > (cur["seq"] or 0):
+            dv_best[ref] = d
     eq_delete_files = live_files(2)
     row_coords = (
-        "fp_pos" if pos_delete_files else ("fp" if eq_delete_files else "none")
+        "fp_pos" if (pos_delete_files or dv_best)
+        else ("fp" if eq_delete_files else "none")
     )
     data = _read_files_with_partitions(
         spark, data_files, row_coords, schema_cols=schema_cols, aliases=aliases
@@ -882,7 +916,7 @@ def read_data_at_snapshot(
         data = data.filter(_row_predicate(skip_filter))
     out_cols = [c for c in data.columns if c not in ("_fp", "_pos")]
 
-    if not pos_delete_files and not eq_delete_files:
+    if not pos_delete_files and not eq_delete_files and not dv_best:
         return data.select(*out_cols)
 
     # attach each row's data sequence number from the (tiny, planning-
@@ -893,7 +927,7 @@ def read_data_at_snapshot(
     ).select(_strip_scheme(F.col("_fp")).alias("_fp"), "_dataseq")
     data = data.join(F.broadcast(seq_map), "_fp", "left")
 
-    if pos_delete_files:
+    if pos_delete_files or dv_best:
         dels = None
         for d in pos_delete_files:
             p, dseq = d["path"], d["seq"]
@@ -903,6 +937,54 @@ def read_data_at_snapshot(
                 F.lit(dseq).cast("long").alias("_dseq"),
             )
             dels = one if dels is None else dels.unionByName(one)
+        if dv_best:
+            # the driver fetches only the blob REGIONS (content_offset /
+            # content_size — KBs per file, never positions); the
+            # positions rehydrate executor-side, one task per blob
+            blob_rows = []
+            for ref, d in dv_best.items():
+                with open(d["path"], "rb") as fh:
+                    fh.seek(d["dv"]["offset"])
+                    payload = fh.read(d["dv"]["size"])
+                blob_rows.append((ref, d["seq"], bytearray(payload)))
+
+            def _explode_dv(batches):
+                import pandas as pd
+
+                from hielo_spark.metadata.puffin import decode_dv_payload
+
+                for pdf in batches:
+                    for fp, seq_, blob in zip(
+                        pdf["_dfp"], pdf["_dseq"], pdf["_blob"]
+                    ):
+                        pos = decode_dv_payload(bytes(blob)).astype(
+                            "int64"
+                        )
+                        sv = None if pd.isna(seq_) else int(seq_)
+                        yield pd.DataFrame(
+                            {
+                                "_dfp": fp,
+                                "_dpos": pos,
+                                "_dseq": pd.array(
+                                    [sv] * len(pos), dtype="Int64"
+                                ),
+                            }
+                        )
+
+            dvdels = (
+                spark.createDataFrame(
+                    blob_rows, "_dfp string, _dseq long, _blob binary"
+                )
+                .select(
+                    _strip_scheme(F.col("_dfp")).alias("_dfp"),
+                    "_dseq", "_blob",
+                )
+                .repartition(min(len(blob_rows), 64))
+                .mapInPandas(
+                    _explode_dv, "_dfp string, _dpos long, _dseq long"
+                )
+            )
+            dels = dvdels if dels is None else dels.unionByName(dvdels)
         # spec: position deletes apply at delete_seq >= data_seq; null
         # seq info on either side → unscoped fallback (apply)
         cond = (

@@ -154,12 +154,14 @@ def decode_dv_payload(payload: bytes) -> "np.ndarray":
 
 def write_puffin(
     path: str, blobs: list[dict], properties: dict | None = None
-) -> tuple[int, int]:
+) -> tuple[int, int, list[dict]]:
     """Write a Puffin file: each blob dict carries ``type``, ``fields``
     (schema field ids), ``snapshot-id``, ``sequence-number``,
     ``payload`` (bytes) and optional ``properties``. Returns
-    ``(file_size, footer_size)`` — what metadata.json's statistics
-    entry records."""
+    ``(file_size, footer_size, blob_metas)`` — the sizes metadata.json's
+    statistics entry records, plus each blob's footer metadata (with its
+    ``offset``/``length`` — what a DV manifest entry's content_offset /
+    content_size_in_bytes point at)."""
     out = bytearray(MAGIC)
     metas = []
     for b in blobs:
@@ -193,7 +195,7 @@ def write_puffin(
     out += footer
     with open(path, "wb") as f:
         f.write(bytes(out))
-    return len(out), len(footer)
+    return len(out), len(footer), metas
 
 
 def read_puffin(path: str) -> tuple[list[dict], dict]:
@@ -325,7 +327,7 @@ def write_statistics(
         }
         for c in cols
     ]
-    file_size, footer_size = write_puffin(
+    file_size, footer_size, _metas = write_puffin(
         stats_path, blobs, {"created-by": "hielo_spark"}
     )
     entry = {

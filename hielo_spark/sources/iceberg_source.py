@@ -492,7 +492,7 @@ class HieloIcebergReader(DataSourceReader):
             os.path.join(self.table_dir, "metadata", "x"),
             snap["manifest-list"],
         )
-        data, pos_del_files, eq_del_files = [], [], []
+        data, pos_del_files, eq_del_files, dv_files = [], [], [], []
         fv = doc.get("format-version", 2)
         for m, e in _manifest_entries(mlist, fv):
             content = e["data_file"].get("content", 0)
@@ -504,7 +504,12 @@ class HieloIcebergReader(DataSourceReader):
                 if _file_survives(self.filters, e):
                     data.append((path, e))
             elif content == 1:
-                pos_del_files.append((path, e["_seq"], e))
+                if e["data_file"].get("referenced_data_file") is not None:
+                    # v3 deletion vector: the entry points at ONE data
+                    # file and a blob region inside a Puffin file
+                    dv_files.append((path, e["_seq"], e["data_file"]))
+                else:
+                    pos_del_files.append((path, e["_seq"], e))
             elif content == 2:
                 eq_del_files.append((path, e["_seq"]))
         # materialize deletes ONCE (planning plane — delete files are
@@ -535,6 +540,32 @@ class HieloIcebergReader(DataSourceReader):
                             dt.column("pos").to_pylist()):
                 key = os.path.abspath(str(p).removeprefix("file:"))
                 pos_by_file.setdefault(key, []).append((int(i), dseq))
+        if dv_files:
+            # v3 deletion vectors: at most one applies per data file —
+            # keep the max-sequence one (our writer merges the prior DV
+            # into each replacement, so it's a superset). Only blob
+            # REGIONS of surviving files are ever read.
+            from ..metadata.puffin import decode_dv_payload
+
+            surviving_abs = {os.path.abspath(p) for p in surviving}
+            dv_best: dict[str, tuple] = {}
+            for ppath, dseq, df_rec in dv_files:
+                key = os.path.abspath(
+                    str(df_rec["referenced_data_file"]).removeprefix("file:")
+                )
+                if key not in surviving_abs:
+                    continue
+                cur = dv_best.get(key)
+                if cur is None or (dseq or 0) > (cur[1] or 0):
+                    dv_best[key] = (ppath, dseq, df_rec)
+            for key, (ppath, dseq, df_rec) in dv_best.items():
+                with open(ppath, "rb") as fh:
+                    fh.seek(int(df_rec["content_offset"]))
+                    payload = fh.read(int(df_rec["content_size_in_bytes"]))
+                pos_by_file.setdefault(key, []).extend(
+                    (int(i), dseq)
+                    for i in decode_dv_payload(payload).tolist()
+                )
         eq_del = []
         for dpath, dseq in eq_del_files:
             dt = pq.read_table(dpath)

@@ -1,0 +1,203 @@
+"""Iceberg v3 deletion vectors (metadata/commit.py `_commit_deletion_
+vectors`, metadata/roaring.py, metadata/puffin.py): DELETE WHERE on a
+format-version-3 table commits one deletion-vector-v1 Puffin blob per
+touched data file instead of position-delete parquet; both read planes
+apply them; a replacement DV merges the prior one and supersedes it
+(at most one DV per data file, the spec invariant)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from hielo_spark.metadata import commit as C
+from hielo_spark.metadata import upgrade_format_version
+from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+
+@pytest.fixture()
+def registered(spark):
+    from hielo_spark.sources import register
+
+    register(spark)
+    return spark
+
+
+def _current_mlist(t):
+    from hielo_spark.metadata.manifests import _resolve
+
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    return _resolve(os.path.join(t, "metadata", "x"),
+                    cur["manifest-list"].removeprefix("file:"))
+
+
+def _v3_table(spark, tmp_path, n=100):
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.range(0, n),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    assert upgrade_format_version(t, 3) == 3
+    doc = json.load(open(C.current_metadata_path(t)))
+    assert doc["format-version"] == 3
+    return t
+
+
+def test_v3_delete_where_commits_deletion_vectors(spark, tmp_path,
+                                                  registered):
+    t = _v3_table(spark, tmp_path)
+    snap = C.delete_where(spark, t, "id % 10 = 0",
+                          snapshot_id=102, timestamp_ms=1700100000000)
+    assert snap["summary"]["operation"] == "delete"
+    assert snap["summary"]["added-delete-records"] == "10"
+    assert int(snap["summary"]["added-dvs"]) >= 1
+    # NO position-delete parquet was written; a Puffin file was
+    assert not glob.glob(os.path.join(t, "data", "*posdeletes*"))
+    puffins = glob.glob(os.path.join(t, "data", "*-dvs-*.puffin"))
+    assert len(puffins) == 1
+
+    # the delete manifest entries carry the v3 DV fields
+    dvs = C._live_dv_entries(_current_mlist(t), 3)
+    assert dvs and all(
+        d["puffin"].endswith(".puffin")
+        and d["dv"]["size"] > 0
+        for d in dvs
+    )
+    # each blob decodes to its manifest-recorded cardinality
+    from hielo_spark.metadata.puffin import decode_dv_payload
+
+    total = 0
+    for d in dvs:
+        with open(d["puffin"], "rb") as fh:
+            fh.seek(d["dv"]["offset"])
+            pos = decode_dv_payload(fh.read(d["dv"]["size"]))
+        total += len(pos)
+    assert total == 10
+
+    expect = sorted(i for i in range(100) if i % 10)
+    mpath = C.current_metadata_path(t)
+    got = sorted(r.id for r in read_data_at_snapshot(spark, mpath).collect())
+    assert got == expect
+    # DataSource plane agrees (blob decoded in-process, no join)
+    ds = sorted(r.id for r in
+                spark.read.format("hielo_iceberg").load(t).collect())
+    assert ds == expect
+    # pushed filters compose with DV application
+    f = (spark.read.format("hielo_iceberg").load(t)
+         .filter("id >= 50").collect())
+    assert sorted(r.id for r in f) == [i for i in expect if i >= 50]
+
+
+def test_v3_second_delete_merges_and_supersedes(spark, tmp_path,
+                                                registered):
+    t = _v3_table(spark, tmp_path)
+    C.delete_where(spark, t, "id % 10 = 0",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    snap = C.delete_where(spark, t, "id % 7 = 0",
+                          snapshot_id=103, timestamp_ms=1700200000000)
+    # the replacement merged the prior DV and superseded it
+    assert int(snap["summary"]["replaced-dvs"]) >= 1
+    dvs = C._live_dv_entries(_current_mlist(t), 3)
+    # AT MOST ONE live DV per referenced data file — the spec invariant
+    refs = [d["dv"]["referenced"] for d in dvs]
+    assert len(refs) == len(set(refs))
+    # and the merged DV holds the UNION of both deletes
+    from hielo_spark.metadata.puffin import decode_dv_payload
+
+    total = 0
+    for d in dvs:
+        with open(d["puffin"], "rb") as fh:
+            fh.seek(d["dv"]["offset"])
+            total += len(decode_dv_payload(fh.read(d["dv"]["size"])))
+    killed = {i for i in range(100) if i % 10 == 0 or i % 7 == 0}
+    assert total == len(killed)
+
+    expect = sorted(set(range(100)) - killed)
+    mpath = C.current_metadata_path(t)
+    assert sorted(
+        r.id for r in read_data_at_snapshot(spark, mpath).collect()
+    ) == expect
+    assert sorted(
+        r.id for r in spark.read.format("hielo_iceberg").load(t).collect()
+    ) == expect
+
+    # TIME TRAVEL: the first delete's snapshot still reads through its
+    # own manifests (supersession rewrote only the NEW snapshot's
+    # carry-forward, not history)
+    at_102 = sorted(
+        r.id for r in read_data_at_snapshot(
+            spark, mpath, snapshot_id=102
+        ).collect()
+    )
+    assert at_102 == [i for i in range(100) if i % 10]
+
+
+def test_v3_appends_after_dv_survive_and_compaction_bakes_in(
+    spark, tmp_path
+):
+    t = _v3_table(spark, tmp_path, n=20)
+    C.delete_where(spark, t, "id < 5",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    # rows appended AFTER the DV commit are untouched (sequence scoping)
+    C.append(spark, t, spark.range(0, 3),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    mpath = C.current_metadata_path(t)
+    got = sorted(r.id for r in read_data_at_snapshot(spark, mpath).collect())
+    assert got == sorted(list(range(5, 20)) + [0, 1, 2])
+    # compaction applies the DVs and drops them
+    C.rewrite_data_files(spark, t, snapshot_id=104,
+                         timestamp_ms=1700300000000)
+    assert C._live_dv_entries(_current_mlist(t), 3) == []
+    got2 = sorted(
+        r.id for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)
+        ).collect()
+    )
+    assert got2 == got
+
+
+def test_v3_equality_deletes_still_apply(spark, tmp_path):
+    """v3 keeps equality-delete files (only position-delete FILES are
+    outlawed); merge_into's equality-delete commit works unchanged."""
+    t = str(tmp_path / "t")
+    C.append(spark, t,
+             spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    upgrade_format_version(t, 3)
+    C.merge_into(
+        spark, t,
+        spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]),
+        on=["id"], snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    got = {(r.id, r.v) for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_upgrade_guard_rails(spark, tmp_path):
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 10),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    # v2 position deletes block the upgrade until compacted away
+    C.delete_where(spark, t, "id = 3",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    with pytest.raises(ValueError, match="position-delete"):
+        upgrade_format_version(t, 3)
+    C.rewrite_data_files(spark, t, snapshot_id=103,
+                         timestamp_ms=1700200000000)
+    assert upgrade_format_version(t, 3) == 3
+    # idempotent; downgrades and unknown targets refused
+    assert upgrade_format_version(t, 3) == 3
+    with pytest.raises(ValueError, match="downgrade"):
+        upgrade_format_version(t, 2)
+    with pytest.raises(ValueError, match="format-version 4"):
+        upgrade_format_version(t, 4)
+    # and the upgraded table's deletes are DVs from here on
+    C.delete_where(spark, t, "id = 5",
+                   snapshot_id=104, timestamp_ms=1700300000000)
+    got = sorted(r.id for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    assert got == [0, 1, 2, 4, 6, 7, 8, 9]

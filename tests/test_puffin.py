@@ -36,13 +36,14 @@ def test_puffin_container_geometry(tmp_path):
     recorded offset, footer payload size field, zero flags."""
     p = str(tmp_path / "s.puffin")
     payload = b"\x01\x02\x03\x04\x05"
-    size, footer = write_puffin(
+    size, footer, metas = write_puffin(
         p,
         [{"type": "hielo-kmv-theta-v1", "fields": [1], "snapshot-id": 7,
           "sequence-number": 3, "payload": payload,
           "properties": {"ndv": "5"}}],
         {"created-by": "hielo_spark"},
     )
+    assert (metas[0]["offset"], metas[0]["length"]) == (4, 5)
     raw = open(p, "rb").read()
     assert len(raw) == size
     assert raw[:4] == MAGIC and raw[-4:] == MAGIC
