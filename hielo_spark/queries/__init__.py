@@ -228,12 +228,18 @@ for mod in (relational, meta, ext):
 _DEFERRED = [
     # r7-new planes enter at the TAIL by choice this round (local
     # harness oracle-checks them; head-50 churn stays limited to the
-    # advised meta_schema_evolution_roundtrip slot) — rotation
-    # candidates for the next round's head:
+    # advised meta_schema_evolution_roundtrip slot plus — session 3 —
+    # meta_deletion_vectors_roundtrip, the v3 DV plane, which takes the
+    # slot doc_dedup_spans yields below) — rotation candidates for the
+    # next round's head:
     "meta_writer_surface_roundtrip",
     "meta_nested_roundtrip",
     "meta_hidden_partitioning_roundtrip",
     "meta_statistics_roundtrip",
+    # r7 session 3: dup-ngram-span family stays head-covered by
+    # doc_dup_ngram_coverage; its span-removal twin defers so the
+    # brand-new v3 deletion-vector plane gets a driver row
+    "doc_dedup_spans",
     "events_interval_union",
     "q13_order_count_distribution",
     "lineitem_quantiles",

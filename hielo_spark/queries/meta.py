@@ -1807,3 +1807,110 @@ def meta_statistics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "check_name string, value long"
     ).orderBy("check_name")
+
+
+@query(
+    "meta_deletion_vectors_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('c1_format_version',   CAST(3 AS BIGINT)),
+      ('c2_one_dv_per_file',  CAST(1 AS BIGINT)),
+      ('c3_dv_cardinality',   CAST(23 AS BIGINT)),
+      ('c4_rows_after',       CAST(77 AS BIGINT)),
+      ('c5_planes_agree',     CAST(1 AS BIGINT)),
+      ('c6_time_travel_102',  CAST(90 AS BIGINT)),
+      ('c7_no_pos_parquet',   CAST(1 AS BIGINT)),
+      ('c8_compaction_drops', CAST(1 AS BIGINT))
+    ) AS t(check_name, value)
+    ORDER BY check_name
+    """,
+)
+def meta_deletion_vectors_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v3 deletion vectors end to end: upgrade to
+    format-version 3, DELETE WHERE twice (the second merges each file's
+    prior DV and supersedes it — at most one DV per data file), both
+    read planes agree, time travel reads the first delete's state, no
+    position-delete parquet is ever written, and compaction bakes the
+    DVs in. Constant-valued oracle (VALUES) — the checks recompute the
+    whole lifecycle from scratch each run."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata import upgrade_format_version
+    from ..metadata.manifests import read_data_at_snapshot
+    from ..sources import register
+
+    register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_dv_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = os.path.join(base, "t")
+    C.append(spark, t, spark.range(0, 100),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    fv = upgrade_format_version(t, 3)
+    C.delete_where(spark, t, "id % 10 = 0",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, "id % 7 = 0",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+
+    def _mlist():
+        doc = json.load(open(C.current_metadata_path(t)))
+        cur = next(s for s in doc["snapshots"]
+                   if s["snapshot-id"] == doc["current-snapshot-id"])
+        from ..metadata.manifests import _resolve
+
+        return _resolve(os.path.join(t, "metadata", "x"),
+                        cur["manifest-list"].removeprefix("file:"))
+
+    dvs = C._live_dv_entries(_mlist(), 3)
+    refs = [d["dv"]["referenced"] for d in dvs]
+    from ..metadata.puffin import decode_dv_payload
+
+    cardinality = 0
+    for d in dvs:
+        with open(d["puffin"], "rb") as fh:
+            fh.seek(d["dv"]["offset"])
+            cardinality += len(decode_dv_payload(fh.read(d["dv"]["size"])))
+
+    mpath = C.current_metadata_path(t)
+    jvm_ids = sorted(
+        r.id for r in read_data_at_snapshot(spark, mpath).collect()
+    )
+    ds_ids = sorted(
+        r.id for r in spark.read.format("hielo_iceberg").load(t).collect()
+    )
+    tt_102 = read_data_at_snapshot(spark, mpath, snapshot_id=102).count()
+    no_pos = int(not _glob.glob(os.path.join(t, "data", "*posdeletes*")))
+
+    C.rewrite_data_files(spark, t, snapshot_id=104,
+                         timestamp_ms=1700300000000)
+    compaction_drops = int(
+        C._live_dv_entries(_mlist(), 3) == []
+        and read_data_at_snapshot(
+            spark, C.current_metadata_path(t)
+        ).count() == len(jvm_ids)
+    )
+
+    rows = [
+        ("c1_format_version", fv),
+        ("c2_one_dv_per_file",
+         int(len(dvs) > 0 and len(refs) == len(set(refs)))),
+        ("c3_dv_cardinality", cardinality),
+        ("c4_rows_after", len(jvm_ids)),
+        ("c5_planes_agree", int(jvm_ids == ds_ids)),
+        ("c6_time_travel_102", tt_102),
+        ("c7_no_pos_parquet", no_pos),
+        ("c8_compaction_drops", compaction_drops),
+    ]
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "check_name string, value long"
+    ).orderBy("check_name")
