@@ -27,6 +27,7 @@ from .commit import (  # noqa: F401
     fast_forward,
     merge_into,
     rewrite_data_files,
+    rewrite_deletion_vectors,
     rewrite_manifests,
     rewrite_position_deletes,
     set_current_snapshot,
@@ -52,6 +53,7 @@ __all__ = [
     "ndv_of",
     "read_data_at_snapshot",
     "rewrite_data_files",
+    "rewrite_deletion_vectors",
     "rewrite_manifests",
     "rewrite_position_deletes",
     "set_current_snapshot",

@@ -2219,6 +2219,188 @@ def upgrade_format_version(table_dir: str, to_version: int = 3) -> int:
     return to_version
 
 
+def rewrite_deletion_vectors(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    min_files: int = 2,
+) -> dict | None:
+    """Deletion-vector maintenance for v3 tables: every ``delete_where``
+    commit writes its vectors into a NEW Puffin file, so a
+    frequently-deleted table accumulates many small containers (each
+    holding live blobs next to superseded garbage). This REPLACE commit
+    rewrites all live DVs into ONE Puffin file behind one delete
+    manifest — the v3 twin of ``rewrite_position_deletes``. Blob bytes
+    pass through VERBATIM (no decode/re-encode — the live vector is
+    already the merged truth for its file) at a fresh sequence number,
+    which is safe for position-content deletes: they bind to data files
+    by PATH, so a higher sequence number cannot widen what they apply
+    to. Returns the new snapshot, or None when fewer than ``min_files``
+    Puffin containers are live (nothing worth compacting).
+
+    Scale: pure planning-plane — blob regions are read and re-framed by
+    the driver, bounded by live-DV count × bitmap size; no data scan,
+    no Spark job."""
+    import time
+
+    from .manifests import _resolve
+    from .puffin import DV_BLOB_TYPE, write_puffin
+
+    doc, prev_version = _load_doc(table_dir)
+    fv = int(doc.get("format-version", 2))
+    if fv < 3:
+        raise ValueError(
+            "rewrite_deletion_vectors needs a format-version >= 3 table "
+            "(v2 position deletes compact via rewrite_position_deletes)"
+        )
+    if doc.get("current-snapshot-id") is None:
+        return None
+    current = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    mdir = os.path.join(table_dir, "metadata")
+    mlist = _resolve(
+        os.path.join(mdir, "x"),
+        current["manifest-list"].removeprefix("file:"),
+    )
+    dvs = _live_dv_entries(mlist, fv)
+    if len({d["puffin"] for d in dvs}) < min_files:
+        return None
+    # max-seq per referenced file (the live invariant; defensive here)
+    best: dict[str, dict] = {}
+    for d in sorted(dvs, key=lambda d: d["seq"] or 0):
+        best[d["dv"]["referenced"].removeprefix("file:")] = d
+
+    seq_new = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq_new)
+    )
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+
+    puffin_path = os.path.join(
+        table_dir, "data",
+        f"seq-{seq_new:05d}-dvs-{_uuid.uuid4().hex[:8]}.puffin",
+    )
+    blobs = []
+    cards = {}
+    for ref in sorted(best):
+        d = best[ref]
+        with open(d["puffin"], "rb") as fh:
+            fh.seek(d["dv"]["offset"])
+            payload = fh.read(d["dv"]["size"])
+        from .puffin import decode_dv_payload
+
+        cards[ref] = len(decode_dv_payload(payload))
+        blobs.append(
+            {
+                "type": DV_BLOB_TYPE,
+                "fields": [],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq_new,
+                "payload": payload,
+                "properties": {
+                    "referenced-data-file": ref,
+                    "cardinality": str(cards[ref]),
+                },
+            }
+        )
+    _fsize, _foot, metas = write_puffin(
+        puffin_path, blobs, {"created-by": "hielo_spark"}
+    )
+    puffin_size = os.path.getsize(puffin_path)
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 1,
+                "file_path": puffin_path,
+                "file_format": "PUFFIN",
+                "record_count": cards[b["properties"]["referenced-data-file"]],
+                "file_size_in_bytes": puffin_size,
+                "referenced_data_file": b["properties"][
+                    "referenced-data-file"
+                ],
+                "content_offset": int(m["offset"]),
+                "content_size_in_bytes": int(m["length"]),
+            },
+        }
+        for b, m in zip(blobs, metas)
+    ]
+    manifest_path = os.path.join(
+        mdir, f"delete-manifest-{seq_new:05d}-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(
+        spark, manifest_path, MANIFEST_ENTRY_SCHEMA_V2, entries,
+        meta=_manifest_header_meta(doc, 0, "deletes"),
+    )
+
+    # carry forward everything except the rewritten DV entries: rewrite
+    # each prior delete manifest without them; a manifest left with no
+    # live entries drops entirely
+    all_refs = set(best)
+    by_manifest: dict[str, set[str]] = {}
+    for d in dvs:
+        by_manifest.setdefault(d["manifest"], set()).add(
+            d["dv"]["referenced"].removeprefix("file:")
+        )
+    prior_rows = []
+    for r in _carry_forward_rows(spark, mdir, doc):
+        refs = by_manifest.get(r["manifest_path"])
+        if not refs:
+            prior_rows.append(r)
+            continue
+        rw = _rewrite_manifest_dropping_dvs(
+            r["manifest_path"], all_refs, mdir, seq_new
+        )
+        if rw is None:
+            continue
+        new_path, live_files, live_rows = rw
+        prior_rows.append(
+            dict(
+                r,
+                manifest_path=new_path,
+                manifest_length=os.path.getsize(new_path),
+                existing_files_count=live_files,
+                existing_rows_count=live_rows,
+            )
+        )
+
+    new_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq_new,
+        "min_sequence_number": seq_new,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(cards.values()),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, prior_rows + [new_row],
+        snapshot_id, timestamp_ms, seq_new,
+        _with_totals(
+            {
+                "operation": "replace",
+                "rewritten-dv-files": str(len({d["puffin"] for d in dvs})),
+                "added-dvs": str(len(entries)),
+            },
+            doc, doc.get("current-snapshot-id"),
+            0, puffin_size, len(entries),
+        ),
+    )
+
+
 #: legal primitive type promotions per the Iceberg spec's Schema
 #: Evolution rules (https://iceberg.apache.org/spec/#schema-evolution)
 _PROMOTIONS = {("int", "long"), ("float", "double")}

@@ -64,10 +64,14 @@ def orphan_files(
     spark: SparkSession,
     data_dir: str,
     metadata_json_path: str,
-    glob: str = "*.parquet",
+    glob: str = "*.{parquet,puffin}",
 ) -> DataFrame:
     """Files under ``data_dir`` referenced by no snapshot:
-    (path, length, modificationTime) of each orphan."""
+    (path, length, modificationTime) of each orphan. The default glob
+    also lists Puffin files — v3 deletion-vector containers live in the
+    data dir and are referenced through delete-manifest entries, so a
+    superseded/expired one becomes sweepable exactly like data
+    parquet."""
     listed = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)

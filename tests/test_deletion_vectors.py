@@ -177,6 +177,76 @@ def test_v3_equality_deletes_still_apply(spark, tmp_path):
     assert got == {(1, "a"), (2, "B"), (3, "c")}
 
 
+def test_rewrite_deletion_vectors_compacts_containers(spark, tmp_path,
+                                                      registered):
+    """Every delete commit writes a new Puffin container; the
+    maintenance rewrite folds all live DVs into ONE container behind
+    one manifest, byte-verbatim, without changing what any scan
+    reads."""
+    t = _v3_table(spark, tmp_path)
+    C.delete_where(spark, t, "id % 10 = 0",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, "id in (1, 11)",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    before = sorted(
+        r.id for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)
+        ).collect()
+    )
+    assert len({d["puffin"] for d in C._live_dv_entries(
+        _current_mlist(t), 3)}) == 2
+
+    snap = C.rewrite_deletion_vectors(spark, t, snapshot_id=104,
+                                      timestamp_ms=1700300000000)
+    assert snap["summary"]["operation"] == "replace"
+    dvs = C._live_dv_entries(_current_mlist(t), 3)
+    assert len({d["puffin"] for d in dvs}) == 1
+    refs = [d["dv"]["referenced"] for d in dvs]
+    assert len(refs) == len(set(refs))
+    # scans unchanged, both planes
+    mpath = C.current_metadata_path(t)
+    assert sorted(
+        r.id for r in read_data_at_snapshot(spark, mpath).collect()
+    ) == before
+    assert sorted(
+        r.id for r in spark.read.format("hielo_iceberg").load(t).collect()
+    ) == before
+    # nothing left to compact; a second call is a no-op
+    assert C.rewrite_deletion_vectors(spark, t) is None
+    # v2 tables are pointed at the position-delete compactor
+    t2 = str(tmp_path / "v2t")
+    C.append(spark, t2, spark.range(0, 5),
+             snapshot_id=201, timestamp_ms=1700000000000)
+    with pytest.raises(ValueError, match="rewrite_position_deletes"):
+        C.rewrite_deletion_vectors(spark, t2)
+
+
+def test_orphan_sweep_reclaims_superseded_puffins(spark, tmp_path):
+    """A superseded DV container stays referenced by RETAINED history
+    (time travel), but once those snapshots expire it must be listed by
+    the orphan sweep — Puffin files live in the data dir and the
+    default glob now covers them."""
+    from hielo_spark.ops.analysis import orphan_files
+
+    t = _v3_table(spark, tmp_path)
+    C.delete_where(spark, t, "id % 10 = 0",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, "id % 7 = 0",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    mpath = C.current_metadata_path(t)
+    # both containers referenced while 102 is retained
+    orphans = {r.path for r in orphan_files(
+        spark, os.path.join(t, "data"), mpath).collect()}
+    assert not any(p.endswith(".puffin") for p in orphans)
+    # expire 101+102: the first DV container (superseded by 103's merge)
+    # loses its last reference and becomes sweepable
+    C.expire_snapshots(t, older_than_ms=1700150000000, retain_last=1)
+    orphans2 = {r.path for r in orphan_files(
+        spark, os.path.join(t, "data"), C.current_metadata_path(t)
+    ).collect()}
+    assert sum(1 for p in orphans2 if p.endswith(".puffin")) == 1
+
+
 def test_upgrade_guard_rails(spark, tmp_path):
     t = str(tmp_path / "t")
     C.append(spark, t, spark.range(0, 10),
