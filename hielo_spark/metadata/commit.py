@@ -2001,6 +2001,12 @@ def _commit_deletion_vectors(
 
     rows = []
     if positions is not None:
+        # the bitmap kernel unpickles on workers via `import
+        # hielo_spark` — ship the package zip so the commit API works
+        # from any working directory (same contract as the DataSource)
+        from ..session import _ship_package
+
+        _ship_package(spark)
         old_rows = []
         for ref, d in old_dvs.items():
             with open(d["puffin"], "rb") as fh:

@@ -941,6 +941,9 @@ def read_data_at_snapshot(
             # the driver fetches only the blob REGIONS (content_offset /
             # content_size — KBs per file, never positions); the
             # positions rehydrate executor-side, one task per blob
+            from ..session import _ship_package
+
+            _ship_package(spark)
             blob_rows = []
             for ref, d in dv_best.items():
                 with open(d["path"], "rb") as fh:

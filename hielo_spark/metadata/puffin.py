@@ -280,6 +280,11 @@ def write_statistics(
             return F.hex(F.col(c)).alias(c)
         return F.col(c).cast("string").alias(c)
 
+    # the sketch kernel unpickles KmvSketch on workers via `import
+    # hielo_spark` — ship the package zip so this works from any cwd
+    from ..session import _ship_package
+
+    _ship_package(spark)
     df = read_data_at_snapshot(
         spark, current_metadata_path(table_dir)
     ).select(*[canon(c) for c in cols])

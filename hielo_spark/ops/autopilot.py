@@ -73,6 +73,9 @@ def plan_maintenance(
         .agg(
             F.count("*").alias("n"),
             F.sum("file_size_in_bytes").alias("bytes"),
+            # v3 deletion vectors: many ENTRIES share one Puffin
+            # container; maintenance cares about container count
+            F.countDistinct("file_path").alias("nfiles"),
         )
         .collect()
     }
@@ -102,12 +105,28 @@ def plan_maintenance(
             }
         )
 
-    # position-delete compaction (rewrite_position_deletes): when the
-    # DATA files are healthy (no full rewrite planned) but per-commit
-    # position-delete files have piled up, merging just the delete side
-    # is far cheaper than rewriting the data — every scan stops paying
-    # one read per accumulated delete file
-    if not plan and n_pos_delete_files >= 2:
+    # delete-side compaction when the DATA files are healthy (no full
+    # rewrite planned) but per-commit delete artifacts have piled up —
+    # merging just the delete side is far cheaper than rewriting data.
+    # v3 tables accumulate Puffin DV CONTAINERS (one per delete commit,
+    # live blobs next to superseded garbage) → rewrite_deletion_vectors;
+    # v2 tables accumulate position-delete parquet → the parquet
+    # compactor.
+    fv = int(doc.get("format-version", 2))
+    n_dv_containers = int(by_content[1].nfiles) if 1 in by_content else 0
+    if not plan and fv >= 3 and n_dv_containers >= 2:
+        plan.append(
+            {
+                "action": "rewrite_deletion_vectors",
+                "reason": (
+                    f"{n_dv_containers} deletion-vector containers "
+                    "accumulated (one per delete commit; superseded "
+                    "blobs ride along as garbage)"
+                ),
+                "params": {},
+            }
+        )
+    elif not plan and fv < 3 and n_pos_delete_files >= 2:
         plan.append(
             {
                 "action": "rewrite_position_deletes",
@@ -197,6 +216,19 @@ def run_maintenance(
                     "snapshot_id": snap["snapshot-id"],
                     "rewritten": int(snap["summary"]["rewritten-delete-files"]),
                     "added": int(snap["summary"]["added-delete-files"]),
+                }
+                if snap is not None
+                else {"noop": True}
+            )
+        elif step["action"] == "rewrite_deletion_vectors":
+            snap = C.rewrite_deletion_vectors(
+                spark, table_dir, **step["params"]
+            )
+            entry["result"] = (
+                {
+                    "snapshot_id": snap["snapshot-id"],
+                    "rewritten": int(snap["summary"]["rewritten-dv-files"]),
+                    "added": int(snap["summary"]["added-dvs"]),
                 }
                 if snap is not None
                 else {"noop": True}

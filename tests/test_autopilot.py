@@ -214,3 +214,42 @@ def test_autopilot_plans_position_delete_compaction(spark, tmp_path):
 
     df = read_data_at_snapshot(spark, C.current_metadata_path(t))
     assert df.count() == 5000 - 11
+
+
+def test_autopilot_plans_dv_compaction_on_v3(spark, tmp_path):
+    """On a format-version-3 table the delete-side rule plans
+    rewrite_deletion_vectors (container count, not entry count) instead
+    of the v2 parquet compactor, and run_maintenance executes it."""
+    from hielo_spark.metadata import commit as C
+    from hielo_spark.metadata import upgrade_format_version
+    from hielo_spark.ops.autopilot import plan_maintenance, run_maintenance
+
+    t = str(tmp_path / "t")
+    # TWO data files, deletes touching a different file per commit —
+    # each commit leaves its own live DV container (a single-file table
+    # would collapse to one container by supersession)
+    C.append(spark, t, spark.range(0, 2500).selectExpr("id AS k").coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t,
+             spark.range(2500, 5000).selectExpr("id AS k").coalesce(1),
+             snapshot_id=102, timestamp_ms=1700050000000)
+    upgrade_format_version(t, 3)
+    C.delete_where(spark, t, "k < 5",
+                   snapshot_id=103, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, "k >= 4994",
+                   snapshot_id=104, timestamp_ms=1700100000001)
+
+    plan = plan_maintenance(spark, t, now_ms=1700200000000)
+    actions = [a["action"] for a in plan]
+    assert "rewrite_deletion_vectors" in actions
+    assert "rewrite_position_deletes" not in actions
+    assert "rewrite_data_files" not in actions
+
+    report = run_maintenance(spark, t, now_ms=1700200000000, plan=plan)
+    done = {a["action"]: a.get("result") for a in report["actions"]}
+    assert done["rewrite_deletion_vectors"]["rewritten"] == 2  # containers
+    assert done["rewrite_deletion_vectors"]["added"] == 2      # live DVs
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    df = read_data_at_snapshot(spark, C.current_metadata_path(t))
+    assert df.count() == 5000 - 11
