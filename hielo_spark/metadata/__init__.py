@@ -31,6 +31,7 @@ from .commit import (  # noqa: F401
     rewrite_manifests,
     rewrite_position_deletes,
     set_current_snapshot,
+    set_table_properties,
     update_partition_spec,
     update_schema,
     update_sort_order,
@@ -57,6 +58,7 @@ __all__ = [
     "rewrite_manifests",
     "rewrite_position_deletes",
     "set_current_snapshot",
+    "set_table_properties",
     "update_partition_spec",
     "update_schema",
     "update_sort_order",

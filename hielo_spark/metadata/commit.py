@@ -2173,6 +2173,26 @@ def _commit_deletion_vectors(
     )
 
 
+def set_table_properties(
+    table_dir: str,
+    set_props: dict[str, str] | None = None,
+    remove: list[str] | None = None,
+) -> dict[str, str]:
+    """Metadata-only properties commit (Iceberg's set/unset properties
+    update): merge ``set_props`` into ``properties``, drop ``remove``
+    keys. Returns the table's properties after the commit. No snapshot
+    is added — same shape as ``update_schema``'s metadata-only bump."""
+    doc, prev_version = _load_doc(table_dir)
+    doc = dict(doc)
+    props = dict(doc.get("properties", {}))
+    for k in remove or []:
+        props.pop(k, None)
+    props.update({str(k): str(v) for k, v in (set_props or {}).items()})
+    doc["properties"] = props
+    _commit_doc(table_dir, doc, prev_version)
+    return props
+
+
 def upgrade_format_version(table_dir: str, to_version: int = 3) -> int:
     """Metadata-only commit bumping the table's ``format-version``
     (Iceberg's one-way upgrade). v3 forbids position-delete FILES —

@@ -1810,6 +1810,83 @@ def meta_statistics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "meta_replication_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('c1_bootstrap_rows',   CAST(2 AS BIGINT)),
+      ('c2_tables_agree',     CAST(1 AS BIGINT)),
+      ('c3_noop_stable',      CAST(0 AS BIGINT)),
+      ('c4_watermark',        CAST(104 AS BIGINT)),
+      ('c5_final_rows',       CAST(3 AS BIGINT))
+    ) AS t(check_name, value)
+    ORDER BY check_name
+    """,
+)
+def meta_replication_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental CDC replication end to end (ops/replicate.py):
+    bootstrap copy, changelog apply across an append + DELETE + MERGE,
+    exactly-once watermark, and a no-op once caught up. Constant-valued
+    oracle — the checks rebuild both tables from scratch each run."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.manifests import read_data_at_snapshot
+    from ..ops.replicate import replicate_changes
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_repl_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+    C.append(spark, src,
+             spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    r1 = replicate_changes(spark, src, dst, keys=["id"])
+    boot_rows = read_data_at_snapshot(
+        spark, C.current_metadata_path(dst)).count()
+
+    C.append(spark, src, spark.createDataFrame([(3, "c")], ["id", "v"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, src, "id = 1",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    C.merge_into(
+        spark, src,
+        spark.createDataFrame([(2, "B"), (4, "d")], ["id", "v"]),
+        on=["id"], snapshot_id=104, timestamp_ms=1700300000000,
+    )
+    r2 = replicate_changes(spark, src, dst, keys=["id"])
+
+    def rows(t):
+        return sorted(
+            (r.id, r.v)
+            for r in read_data_at_snapshot(
+                spark, C.current_metadata_path(t)
+            ).collect()
+        )
+
+    agree = int(rows(src) == rows(dst))
+    final_rows = len(rows(dst))
+    r3 = replicate_changes(spark, src, dst, keys=["id"])
+
+    out = [
+        ("c1_bootstrap_rows", boot_rows),
+        ("c2_tables_agree", agree),
+        ("c3_noop_stable", len(r3["applied"])),
+        ("c4_watermark", r2["watermark"]),
+        ("c5_final_rows", final_rows),
+    ]
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "check_name string, value long"
+    ).orderBy("check_name")
+
+
+@query(
     "meta_deletion_vectors_roundtrip",
     """
     SELECT * FROM (VALUES

@@ -1,0 +1,119 @@
+"""Incremental CDC replication (ops/replicate.py): bootstrap, per-
+snapshot changelog apply via merge_into, exactly-once watermark in the
+destination's properties, idempotent re-apply, and agreement between
+the two tables after appends, deletes, and merges on the source."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hielo_spark.metadata import commit as C
+from hielo_spark.metadata.manifests import read_data_at_snapshot
+from hielo_spark.ops.replicate import replicate_changes
+
+
+def _rows(spark, t):
+    return sorted(
+        (r.id, r.v)
+        for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)
+        ).collect()
+    )
+
+
+def test_replicate_bootstrap_then_incremental(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    C.append(spark, src,
+             spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+
+    r1 = replicate_changes(spark, src, dst, keys=["id"])
+    assert r1["bootstrapped"] and r1["watermark"] == 101
+    assert _rows(spark, dst) == [(1, "a"), (2, "b")]
+
+    # caught up → no-op, no new dst snapshot
+    n_before = len(json.load(open(C.current_metadata_path(dst)))["snapshots"])
+    r2 = replicate_changes(spark, src, dst, keys=["id"])
+    assert r2["applied"] == [] and r2["watermark"] == 101
+    assert len(
+        json.load(open(C.current_metadata_path(dst)))["snapshots"]
+    ) == n_before
+
+    # source advances: an append, a delete, and a merge (update+insert)
+    C.append(spark, src, spark.createDataFrame([(3, "c")], ["id", "v"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, src, "id = 1",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    C.merge_into(
+        spark, src,
+        spark.createDataFrame([(2, "B"), (4, "d")], ["id", "v"]),
+        on=["id"], snapshot_id=104, timestamp_ms=1700300000000,
+    )
+    r3 = replicate_changes(spark, src, dst, keys=["id"])
+    assert r3["applied"] == [102, 103, 104]
+    assert _rows(spark, dst) == _rows(spark, src) == [
+        (2, "B"), (3, "c"), (4, "d")]
+
+    # idempotent: nothing more to do, contents stable
+    r4 = replicate_changes(spark, src, dst, keys=["id"])
+    assert r4["applied"] == []
+    assert _rows(spark, dst) == _rows(spark, src)
+
+
+def test_replicate_resumes_by_watermark_slice(spark, tmp_path):
+    """max_snapshots bounds one call; the watermark sits at the last
+    APPLIED snapshot so the next call resumes exactly there."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    C.append(spark, src,
+             spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    replicate_changes(spark, src, dst, keys=["id"])
+    for i in range(3):
+        C.append(
+            spark, src,
+            spark.createDataFrame([(10 + i, f"x{i}")], ["id", "v"]),
+            snapshot_id=102 + i, timestamp_ms=1700100000000 + i,
+        )
+    r = replicate_changes(spark, src, dst, keys=["id"], max_snapshots=2)
+    assert r["applied"] == [102, 103] and r["watermark"] == 103
+    r2 = replicate_changes(spark, src, dst, keys=["id"])
+    assert r2["applied"] == [104]
+    assert _rows(spark, dst) == _rows(spark, src)
+
+
+def test_replicate_compaction_advances_watermark_without_commits(
+    spark, tmp_path
+):
+    """A replace (compaction) snapshot changes no rows — the changelog
+    emits nothing for it, and replication advances the watermark with a
+    properties-only commit instead of stalling on it forever."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    C.append(spark, src,
+             spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    replicate_changes(spark, src, dst, keys=["id"])
+    C.delete_where(spark, src, "id = 1",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    C.rewrite_data_files(spark, src, snapshot_id=103,
+                         timestamp_ms=1700200000000)
+    r = replicate_changes(spark, src, dst, keys=["id"])
+    assert r["applied"] == [102, 103] and r["watermark"] == 103
+    assert _rows(spark, dst) == _rows(spark, src) == [(2, "b")]
+    # and the marker really is in dst's properties
+    props = json.load(open(C.current_metadata_path(dst)))["properties"]
+    assert any(k.startswith("hielo.replicate.") and v == "103"
+               for k, v in props.items())
+
+
+def test_replicate_requires_keys_and_source(spark, tmp_path):
+    with pytest.raises(ValueError, match="key columns"):
+        replicate_changes(spark, str(tmp_path / "a"),
+                          str(tmp_path / "b"), keys=[])
+    with pytest.raises(ValueError, match="no table metadata"):
+        replicate_changes(spark, str(tmp_path / "missing"),
+                          str(tmp_path / "b"), keys=["id"])
