@@ -161,6 +161,11 @@ def manifest_entry_schema(
                      "default": None},
                     {"name": "sort_order_id", "type": ["null", "int"],
                      "default": None, "field-id": 140},
+                    # v3 row lineage (spec data_file field 142): the
+                    # _row_id of the file's first row; null on rewritten
+                    # files whose rows carry MATERIALIZED _row_id columns
+                    {"name": "first_row_id", "type": ["null", "long"],
+                     "default": None, "field-id": 142},
                     # v3 deletion vectors (spec data_file fields): a DV
                     # entry's file_path is the Puffin file; these say
                     # which data file it deletes from and where the
@@ -931,6 +936,19 @@ def _finalize_commit(
         "summary": summary,
     }
     doc = dict(doc)
+    if int(doc.get("format-version", 2)) >= 3:
+        # v3 row lineage: the snapshot records the first _row_id it
+        # assigned and the table watermark advances by the rows its NEW
+        # data manifests added (delete/DV manifests assign none)
+        first = int(doc.get("next-row-id", 0))
+        assigned = sum(
+            int(r.get("added_rows_count") or 0)
+            for r in manifest_rows
+            if (r.get("content") or 0) == 0
+            and int(r.get("added_snapshot_id") or -1) == snapshot_id
+        )
+        snapshot["first-row-id"] = first
+        doc["next-row-id"] = first + assigned
     doc["snapshots"] = doc.get("snapshots", []) + [snapshot]
     if branch is None:
         doc["current-snapshot-id"] = snapshot_id
@@ -1147,6 +1165,15 @@ def append(
         ]
     manifest_path = os.path.join(mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro")
     name2id = _name2id(doc)
+    # v3 row lineage: every added file gets the _row_id of its first row
+    # (field 142) — contiguous from the table's next-row-id watermark in
+    # manifest order; _finalize_commit advances the watermark
+    first_row_id_of: dict[str, int | None] = {p: None for p in parts}
+    if int(doc.get("format-version", 2)) >= 3:
+        rid = int(doc.get("next-row-id", 0))
+        for p in parts:
+            first_row_id_of[p] = rid
+            rid += records_of(p)
     write_avro(
         spark,
         manifest_path,
@@ -1159,6 +1186,7 @@ def append(
                     "content": 0,
                     "file_path": p,
                     "file_format": "PARQUET",
+                    "first_row_id": first_row_id_of[p],
                     "partition": _typed_partition(partition_of(p), pfields),
                     "record_count": records_of(p),
                     "file_size_in_bytes": os.path.getsize(p),
@@ -1497,7 +1525,17 @@ def rewrite_data_files(
     if not sort_by and not zorder_by:
         # no explicit strategy: follow the table's recorded sort order
         sort_by = _sort_cols_from_doc(doc) or None
-    live = read_data_at_snapshot(spark, current_metadata_path(table_dir))
+    # v3 row lineage: compaction must PRESERVE row ids (spec) — read
+    # with lineage and write _row_id / _last_updated_sequence_number as
+    # MATERIALIZED columns in the rewritten parquet; rewritten entries
+    # carry first_row_id=null and lineage reads coalesce to the columns
+    fv3_lineage = (
+        int(doc.get("format-version", 2)) >= 3
+        and doc.get("next-row-id") is not None
+    )
+    live = read_data_at_snapshot(
+        spark, current_metadata_path(table_dir), row_lineage=fv3_lineage
+    )
     data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-rewrite")
     if zorder_by:
         from ..operators.layout import zorder_sort
@@ -2241,6 +2279,11 @@ def upgrade_format_version(table_dir: str, to_version: int = 3) -> int:
                     )
     doc = dict(doc)
     doc["format-version"] = to_version
+    # v3 row lineage: start the id watermark; files written BEFORE the
+    # upgrade carry no first_row_id and read _row_id as null (the
+    # upgrade assigns nothing retroactively), files written after get
+    # contiguous ids from here
+    doc.setdefault("next-row-id", 0)
     _commit_doc(table_dir, doc, prev_version)
     return to_version
 
@@ -3227,6 +3270,13 @@ def merge_into(
             merge_spec_id = int(doc.get("default-spec-id", 0))
             merge_pfields = _partition_avro_fields(doc, ptypes, merge_spec_id)
             name2id = _name2id(doc)
+            # v3 row lineage: merged-in rows are NEW rows — fresh ids
+            frid_of: dict[str, int | None] = {p: None for p in data_parts}
+            if int(doc.get("format-version", 2)) >= 3:
+                rid = int(doc.get("next-row-id", 0))
+                for p in data_parts:
+                    frid_of[p] = rid
+                    rid += stats.records_of(p)
             write_avro(
                 spark,
                 data_manifest,
@@ -3239,6 +3289,7 @@ def merge_into(
                             "content": 0,
                             "file_path": p,
                             "file_format": "PARQUET",
+                            "first_row_id": frid_of[p],
                             "partition": _typed_partition(
                                 partition_of(p), merge_pfields
                             ),

@@ -74,7 +74,7 @@ def live_data_file_dicts(
             inherited_seq=inherited_seq_of(m, format_version),
         ):
             (status, sid, fpath, _fmt, records, _size, fcontent, seq,
-             pvals, ptypes, lb, ub, bt, nc, _dc, _dv) = e
+             pvals, ptypes, lb, ub, bt, nc, _dc, _dv, _frid) = e
             if status == 2 or (fcontent or 0) != 0:
                 continue
             p = fpath.removeprefix("file:")
@@ -251,6 +251,12 @@ def decode_manifest(path: str, inherited_seq: int | None = None) -> list[tuple]:
                         ),
                     }
                     if df_rec.get("referenced_data_file") is not None
+                    else None
+                ),
+                # v3 row lineage: the file's first _row_id (142)
+                (
+                    int(df_rec["first_row_id"])
+                    if df_rec.get("first_row_id") is not None
                     else None
                 ),
             )
@@ -664,6 +670,12 @@ def _read_files_with_partitions(
     data = parts[0]
     for g in parts[1:]:
         data = data.unionByName(g, allowMissingColumns=True)
+    if schema_cols is None:
+        # v3 compaction materializes the RESERVED lineage columns into
+        # rewritten parquet (spec metadata columns — user columns can
+        # never carry these names); a plain mergeSchema read must not
+        # surface them as data
+        data = data.drop("_row_id", "_last_updated_sequence_number")
     if schema_cols is not None:
         # resolve renames: a row came from a pre-rename file iff the new
         # name is null and an old name is set (they never coexist in one
@@ -689,6 +701,7 @@ def read_data_at_snapshot(
     skip_filter: tuple | None = None,
     apply_row_filter: bool = True,
     ref: str | None = None,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Executable time travel without the Iceberg runtime (S12): pick a
     snapshot from the table-metadata JSON (by id, by ``as_of_ms`` — the
@@ -792,7 +805,7 @@ def read_data_at_snapshot(
             inherited_seq=inherited_seq_of(m, doc.get("format-version", 2)),
         ):
             (status, _sid, fpath, _fmt, records, _size, fcontent, seq,
-             pvals, ptypes, lb, ub, bt, nc, _dc, dv) = e
+             pvals, ptypes, lb, ub, bt, nc, _dc, dv, frid) = e
             if status == 2:
                 continue
             entries_by_kind.setdefault(fcontent, []).append(
@@ -807,6 +820,7 @@ def read_data_at_snapshot(
                     "nc": nc,
                     "records": records,
                     "dv": dv,
+                    "frid": frid,
                 }
             )
 
@@ -904,16 +918,69 @@ def read_data_at_snapshot(
         cur = dv_best.get(ref)
         if cur is None or (d["seq"] or 0) > (cur["seq"] or 0):
             dv_best[ref] = d
+    if row_lineage and int(doc.get("format-version", 2)) < 3:
+        raise ValueError(
+            "row lineage requires a format-version >= 3 table "
+            "(upgrade_format_version)"
+        )
     eq_delete_files = live_files(2)
     row_coords = (
-        "fp_pos" if (pos_delete_files or dv_best)
+        "fp_pos" if (pos_delete_files or dv_best or row_lineage)
         else ("fp" if eq_delete_files else "none")
     )
+    if row_lineage and schema_cols is None:
+        # single-schema fast path has no explicit column plan, but a
+        # lineage read NEEDS one (the materialized _row_id columns of
+        # rewritten files must be requested explicitly and absent ones
+        # read as null — mergeSchema would surface them as data columns)
+        from .metadata_json import current_schema_block
+        from .types import iceberg_to_ddl
+
+        blk = next(
+            (
+                s for s in doc.get("schemas", [])
+                if s.get("schema-id") == read_schema_id
+            ),
+            None,
+        ) or current_schema_block(doc)
+        if blk is None:
+            raise ValueError("row lineage needs a table schema to plan")
+        schema_cols = [
+            (f["name"], iceberg_to_ddl(f["type"]))
+            for f in blk.get("fields", [])
+        ]
+    read_cols = schema_cols
+    if row_lineage and schema_cols is not None:
+        # v3 row lineage: ALSO request the materialized lineage columns
+        # (compaction writes them into rewritten parquet; files written
+        # by normal appends lack them and read null — the coalesce
+        # below falls back to first_row_id + position)
+        read_cols = list(schema_cols) + [
+            ("_row_id", "bigint"),
+            ("_last_updated_sequence_number", "bigint"),
+        ]
     data = _read_files_with_partitions(
-        spark, data_files, row_coords, schema_cols=schema_cols, aliases=aliases
+        spark, data_files, row_coords, schema_cols=read_cols, aliases=aliases
     )
     if skip_filter and apply_row_filter:
         data = data.filter(_row_predicate(skip_filter))
+    if row_lineage:
+        # per-file lineage map (planning-plane, broadcast): the file's
+        # first_row_id (142) and data sequence number
+        lmap = spark.createDataFrame(
+            [(f["path"], f.get("frid"), f["seq"]) for f in data_files],
+            "_fp string, _frid long, _lseq long",
+        ).select(_strip_scheme(F.col("_fp")).alias("_fp"), "_frid", "_lseq")
+        data = data.join(F.broadcast(lmap), "_fp", "left")
+        data = data.withColumn(
+            "_row_id",
+            F.coalesce(F.col("_row_id"), F.col("_frid") + F.col("_pos")),
+        ).withColumn(
+            "_last_updated_sequence_number",
+            F.coalesce(
+                F.col("_last_updated_sequence_number"), F.col("_lseq")
+            ),
+        ).drop("_frid", "_lseq")
     out_cols = [c for c in data.columns if c not in ("_fp", "_pos")]
 
     if not pos_delete_files and not eq_delete_files and not dv_best:

@@ -237,6 +237,7 @@ _DEFERRED = [
     "meta_hidden_partitioning_roundtrip",
     "meta_statistics_roundtrip",
     "meta_replication_roundtrip",
+    "meta_row_lineage_roundtrip",
     # r7 session 3: dup-ngram-span family stays head-covered by
     # doc_dup_ngram_coverage; its span-removal twin defers so the
     # brand-new v3 deletion-vector plane gets a driver row

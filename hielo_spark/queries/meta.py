@@ -1810,6 +1810,94 @@ def meta_statistics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "meta_row_lineage_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('c1_next_row_id',      CAST(100 AS BIGINT)),
+      ('c2_ids_contiguous',   CAST(1 AS BIGINT)),
+      ('c3_dv_keeps_ids',     CAST(1 AS BIGINT)),
+      ('c4_compaction_stable',CAST(1 AS BIGINT)),
+      ('c5_planes_agree',     CAST(1 AS BIGINT))
+    ) AS t(check_name, value)
+    ORDER BY check_name
+    """,
+)
+def meta_row_lineage_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v3 row lineage end to end: appends assign contiguous
+    _row_id ranges from the next-row-id watermark, a DV delete keeps
+    survivors' ids, compaction preserves them by materializing the
+    lineage columns, and both read planes agree. Constant-valued
+    oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata import upgrade_format_version
+    from ..metadata.manifests import read_data_at_snapshot
+    from ..sources import register
+
+    register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_lineage_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = os.path.join(base, "t")
+    C.append(spark, t, spark.range(0, 60),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    upgrade_format_version(t, 3)
+    C.append(spark, t, spark.range(60, 160),
+             snapshot_id=102, timestamp_ms=1700100000000)
+
+    def lineage(via_ds=False):
+        if via_ds:
+            df = (spark.read.format("hielo_iceberg")
+                  .option("row-lineage", "true").load(t))
+        else:
+            df = read_data_at_snapshot(
+                spark, C.current_metadata_path(t), row_lineage=True
+            )
+        return {r.id: r._row_id for r in df.collect()}
+
+    import json
+
+    doc = json.load(open(C.current_metadata_path(t)))
+    next_rid = doc["next-row-id"]
+    lin = lineage()
+    assigned = sorted(v for k, v in lin.items() if k >= 60)
+    contiguous = int(assigned == list(range(100)))
+
+    before = lineage()
+    C.delete_where(spark, t, "id % 4 = 0",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    after = lineage()
+    dv_keeps = int(
+        set(after) == {k for k in before if k % 4}
+        and all(after[k] == before[k] for k in after)
+    )
+    C.rewrite_data_files(spark, t, snapshot_id=104,
+                         timestamp_ms=1700300000000)
+    post = lineage()
+    stable = int(post == after)
+    agree = int(lineage(via_ds=True) == post)
+
+    rows = [
+        ("c1_next_row_id", next_rid),
+        ("c2_ids_contiguous", contiguous),
+        ("c3_dv_keeps_ids", dv_keeps),
+        ("c4_compaction_stable", stable),
+        ("c5_planes_agree", agree),
+    ]
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "check_name string, value long"
+    ).orderBy("check_name")
+
+
+@query(
     "meta_replication_roundtrip",
     """
     SELECT * FROM (VALUES

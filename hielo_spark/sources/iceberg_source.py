@@ -82,6 +82,10 @@ def _current_metadata_path(table_dir: str) -> str:
     return p
 
 
+def _opt_true(v) -> bool:
+    return str(v).lower() in ("true", "1", "yes") if v is not None else False
+
+
 def _load_doc(table_dir: str) -> dict:
     with open(_current_metadata_path(table_dir)) as f:
         return json.load(f)
@@ -267,7 +271,13 @@ def _file_survives(filters, e: dict) -> bool:
 
 class _ScanPartition(InputPartition):
     def __init__(self, path, seq, pos_deletes, eq_deletes, columns,
-                 pvals=None, out_names=None, scan_log=None):
+                 pvals=None, out_names=None, scan_log=None,
+                 frid=None, lineage=False):
+        # v3 row lineage: the file's first_row_id (manifest field 142;
+        # None for rewritten files carrying MATERIALIZED _row_id
+        # columns) + whether this scan surfaces the lineage columns
+        self.frid = frid
+        self.lineage = lineage
         self.path = path
         self.seq = seq
         # deletes are MATERIALIZED at planning time (delete files are
@@ -323,11 +333,34 @@ def _read_partition(part: _ScanPartition):
             f.write(f"{part.path}\t{','.join(sorted(want_src))}\n")
     # position deletes: already filtered to this file at planning time
     doomed = set(part.pos_deletes or ())
+    kept_pos = None
     if doomed:
-        keep = [i for i in range(table.num_rows) if i not in doomed]
+        kept_pos = [i for i in range(table.num_rows) if i not in doomed]
         # typed index array: an empty python list infers null type,
         # which the take kernel rejects (fully-deleted file case)
-        table = table.take(pa.array(keep, type=pa.int64()))
+        table = table.take(pa.array(kept_pos, type=pa.int64()))
+    if part.lineage:
+        # v3 row lineage: synthesize _row_id = first_row_id + position
+        # for files without MATERIALIZED lineage columns (rewritten
+        # files carry them in the parquet and were read above); files
+        # predating the v3 upgrade have neither and read null
+        n = table.num_rows
+        if "_row_id" not in table.column_names:
+            if part.frid is not None:
+                pos = kept_pos if kept_pos is not None else range(n)
+                rid = pa.array(
+                    [part.frid + p for p in pos], type=pa.int64()
+                )
+            else:
+                rid = pa.nulls(n, type=pa.int64())
+            table = table.append_column("_row_id", rid)
+        if "_last_updated_sequence_number" not in table.column_names:
+            table = table.append_column(
+                "_last_updated_sequence_number",
+                pa.array([part.seq] * n, type=pa.int64())
+                if part.seq is not None
+                else pa.nulls(n, type=pa.int64()),
+            )
     # hive-partitioned files store identity partition columns only in
     # the directory layout + manifest partition values — reattach them
     # as typed constants so the batch matches the declared schema.
@@ -596,6 +629,15 @@ class HieloIcebergReader(DataSourceReader):
                         needed.add(cur)
             task_cols = [c for c in self.schema_cols if c[0] in needed]
             out_names = list(self.out_names)
+        lineage = _opt_true(self.options.get("row-lineage"))
+        if lineage:
+            # declared schema puts the lineage columns at the END;
+            # tasks materialize them (from parquet when rewritten files
+            # carry them, else synthesized from first_row_id + pos)
+            task_cols = list(task_cols) + [
+                ("_row_id", "bigint", ()),
+                ("_last_updated_sequence_number", "bigint", ()),
+            ]
         scan_log = self.options.get("scan_log")
         parts = []
         for path, e in data:  # already filter-pruned above
@@ -614,10 +656,14 @@ class HieloIcebergReader(DataSourceReader):
                 i for i, dseq in pos_by_file.get(os.path.abspath(path), ())
                 if seq is None or dseq is None or dseq >= seq
             ]
+            frid = data_file.get("first_row_id")
             parts.append(
                 _ScanPartition(path, seq, my_pos, eq_del,
                                task_cols, pvals,
-                               out_names=out_names, scan_log=scan_log)
+                               out_names=out_names, scan_log=scan_log,
+                               frid=(int(frid) if frid is not None
+                                     else None),
+                               lineage=lineage)
             )
         if not parts:
             # Spark requires >= 1 partition; an empty scan still needs one
@@ -1553,6 +1599,19 @@ class HieloIcebergDataSource(DataSource):
         # the JVM API grows column pruning, at which point reader()'s
         # schema threading engages with no further change)
         wanted = self.options.get("columns")
+        # v3 row lineage: the reserved metadata columns ride at the END
+        # of the declared schema when requested
+        lineage_ddl = ""
+        if _opt_true(self.options.get("row-lineage")):
+            doc = _load_doc(table_dir)
+            if int(doc.get("format-version", 2)) < 3:
+                raise ValueError(
+                    "option('row-lineage') requires a format-version "
+                    ">= 3 table (upgrade_format_version)"
+                )
+            lineage_ddl = (
+                ", _row_id bigint, _last_updated_sequence_number bigint"
+            )
         if wanted:
             want = [w.strip() for w in wanted.split(",") if w.strip()]
             have = {n for n, _ in cols}
@@ -1563,8 +1622,8 @@ class HieloIcebergDataSource(DataSource):
                     f"{missing} (have {sorted(have)})"
                 )
             by_name = dict(cols)
-            return ", ".join(by_name[w] for w in want)
-        return ", ".join(ddl for _, ddl in cols)
+            return ", ".join(by_name[w] for w in want) + lineage_ddl
+        return ", ".join(ddl for _, ddl in cols) + lineage_ddl
 
     def _schema_cols(self):
         doc = _load_doc(self.options["path"])
