@@ -2022,6 +2022,77 @@ def _commit_deletion_vectors(
     from .manifests import _resolve
     from .puffin import DV_BLOB_TYPE, write_puffin
 
+    entries, puffin_size, total_cardinality, replaced, old_dvs = (
+        _build_dv_entries(
+            spark, table_dir, doc, mdir, current, positions, seq,
+            snapshot_id,
+        )
+    )
+
+    manifest_path = os.path.join(
+        mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(
+        spark, manifest_path, MANIFEST_ENTRY_SCHEMA_V2, entries,
+        meta=_manifest_header_meta(doc, 0, "deletes"),
+    )
+
+    prior_rows = _supersede_dv_rows(
+        _carry_forward_rows(spark, mdir, doc), replaced, old_dvs, mdir, seq
+    )
+
+    new_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_cardinality,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, prior_rows + [new_row],
+        snapshot_id, timestamp_ms, seq,
+        _with_totals(
+            {
+                "operation": "delete",
+                "added-dvs": str(len(entries)),
+                "replaced-dvs": str(len(replaced)),
+                "added-delete-records": str(total_cardinality),
+            },
+            doc, doc.get("current-snapshot-id"),
+            0, puffin_size, len(entries),
+        ),
+    )
+
+
+def _build_dv_entries(
+    spark: SparkSession,
+    table_dir: str,
+    doc: dict,
+    mdir: str,
+    current: dict,
+    positions,
+    seq: int,
+    snapshot_id: int,
+) -> tuple[list[dict], int, int, set[str], dict[str, dict]]:
+    """Shared DV-write machinery (delete_where's v3 path AND the v3
+    merge): turn a distributed ``(file_path, pos)`` frame into ONE new
+    Puffin container of merged deletion vectors, returning the
+    manifest ENTRIES for it plus what supersession needs —
+    ``(entries, puffin_size, total_cardinality, replaced_refs,
+    old_dvs)``."""
+    from pyspark.sql import functions as F
+
+    from .manifests import _resolve
+    from .puffin import DV_BLOB_TYPE, write_puffin
+
     fv = int(doc.get("format-version", 2))
     # MAX-seq DV per referenced file (ascending sort → later overrides)
     old_dvs: dict[str, dict] = {}
@@ -2144,71 +2215,46 @@ def _commit_deletion_vectors(
                 }
             )
 
-    manifest_path = os.path.join(
-        mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
-    )
-    write_avro(
-        spark, manifest_path, MANIFEST_ENTRY_SCHEMA_V2, entries,
-        meta=_manifest_header_meta(doc, 0, "deletes"),
-    )
+    return entries, puffin_size, total_cardinality, replaced, old_dvs
 
-    prior_rows = _carry_forward_rows(spark, mdir, doc)
-    if replaced:
-        by_manifest: dict[str, set[str]] = {}
-        for ref in replaced:
-            by_manifest.setdefault(old_dvs[ref]["manifest"], set()).add(ref)
-        rewritten_rows = []
-        for r in prior_rows:
-            refs = by_manifest.get(r["manifest_path"])
-            if not refs:
-                rewritten_rows.append(r)
-                continue
-            rw = _rewrite_manifest_dropping_dvs(
-                r["manifest_path"], refs, mdir, seq
-            )
-            if rw is None:
-                continue  # only superseded DVs lived there — drop it
-            new_path, live_files, live_rows = rw
-            rewritten_rows.append(
-                dict(
-                    r,
-                    manifest_path=new_path,
-                    manifest_length=os.path.getsize(new_path),
-                    existing_files_count=live_files,
-                    existing_rows_count=live_rows,
-                )
-            )
-        prior_rows = rewritten_rows
 
-    new_row = {
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
-        "content": 1,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_files_count": len(entries),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": total_cardinality,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
-    return _finalize_commit(
-        spark, table_dir, doc, prev_version, prior_rows + [new_row],
-        snapshot_id, timestamp_ms, seq,
-        _with_totals(
-            {
-                "operation": "delete",
-                "added-dvs": str(len(entries)),
-                "replaced-dvs": str(len(replaced)),
-                "added-delete-records": str(total_cardinality),
-            },
-            doc, doc.get("current-snapshot-id"),
-            0, puffin_size, len(entries),
-        ),
-    )
+def _supersede_dv_rows(
+    prior_rows: list[dict],
+    replaced: set[str],
+    old_dvs: dict[str, dict],
+    mdir: str,
+    seq: int,
+) -> list[dict]:
+    """Drop superseded DV entries from the carried-forward delete
+    manifests (spec: at most one DV per data file) - rewrite each
+    affected manifest, drop ones left with no live entries."""
+    if not replaced:
+        return prior_rows
+    by_manifest: dict[str, set[str]] = {}
+    for ref in replaced:
+        by_manifest.setdefault(old_dvs[ref]["manifest"], set()).add(ref)
+    rewritten_rows = []
+    for r in prior_rows:
+        refs = by_manifest.get(r["manifest_path"])
+        if not refs:
+            rewritten_rows.append(r)
+            continue
+        rw = _rewrite_manifest_dropping_dvs(
+            r["manifest_path"], refs, mdir, seq
+        )
+        if rw is None:
+            continue  # only superseded DVs lived there - drop it
+        new_path, live_files, live_rows = rw
+        rewritten_rows.append(
+            dict(
+                r,
+                manifest_path=new_path,
+                manifest_length=os.path.getsize(new_path),
+                existing_files_count=live_files,
+                existing_rows_count=live_rows,
+            )
+        )
+    return rewritten_rows
 
 
 def set_table_properties(
@@ -3187,8 +3233,83 @@ def merge_into(
 
     manifest_rows = _carry_forward_rows(spark, mdir, doc)
 
+    fv = int(doc.get("format-version", 2))
     del_parts: list[str] = []
-    if n_delete_keys:
+    dv_entries_count = 0
+    dv_puffin_size = 0
+    current = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    if n_delete_keys and fv >= 3:
+        # v3 merge: resolve the matched keys to ROW POSITIONS and commit
+        # deletion vectors instead of equality deletes — scans then pay
+        # one blob fetch per touched file instead of an anti-join per
+        # equality-delete file, and the table stays DV-only (the v3
+        # shape). Same one-commit atomicity: the DV manifest and the
+        # data manifest land at the same sequence number, and position
+        # deletes apply at delete_seq >= data_seq BY FILE PATH, so the
+        # merge's own appended files are never touched.
+        from pyspark.sql import functions as F
+
+        from .manifests import (
+            _read_files_with_partitions,
+            evolved_read_plan,
+            live_data_file_dicts,
+        )
+
+        ev_cols, ev_aliases = evolved_read_plan(
+            doc, doc.get("current-schema-id")
+        )
+        candidates = list(
+            live_data_file_dicts(
+                current["manifest-list"].removeprefix("file:"),
+                fv,
+            ).values()
+        )
+        coords = _read_files_with_partitions(
+            spark, candidates, "fp_pos",
+            schema_cols=ev_cols, aliases=ev_aliases,
+        )
+        positions = coords.join(delete_keys, on, "left_semi").select(
+            F.col("_fp").alias("file_path"),
+            F.col("_pos").cast("long").alias("pos"),
+        )
+        dv_entries, dv_puffin_size, dv_cardinality, dv_replaced, dv_old = (  # noqa: E501
+            _build_dv_entries(
+                spark, table_dir, doc, mdir, current, positions, seq,
+                snapshot_id,
+            )
+        )
+        dv_entries_count = len(dv_entries)
+        del_manifest = os.path.join(
+            mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+        )
+        write_avro(
+            spark, del_manifest, MANIFEST_ENTRY_SCHEMA_V2, dv_entries,
+            meta=_manifest_header_meta(doc, 0, "deletes"),
+        )
+        manifest_rows = _supersede_dv_rows(
+            manifest_rows, dv_replaced, dv_old, mdir, seq
+        )
+        manifest_rows.append(
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": dv_entries_count,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": dv_cardinality,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    elif n_delete_keys:
         # distributed delete-key write (no coalesce(1) funnel; the keys
         # frame keeps the join's partitioning), spec-sorted per task
         del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
@@ -3339,9 +3460,6 @@ def merge_into(
     if not n_delete_keys and added_records == 0:
         return None  # empty merge: commit nothing, like Iceberg
 
-    current = next(
-        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
-    )
     prior_total = int(current.get("summary", {}).get("total-records", "0") or 0)
     return _finalize_commit(
         spark, table_dir, doc, prev_version, manifest_rows,
@@ -3353,14 +3471,19 @@ def merge_into(
                 "added-records": str(added_records),
                 "deleted-records": str(n_deleted_rows),
                 "equality-delete-files": str(len(del_parts)),
+                **(
+                    {"added-dvs": str(dv_entries_count)}
+                    if dv_entries_count else {}
+                ),
                 "added-delete-records": str(n_delete_keys),
                 "total-records": str(prior_total - n_deleted_rows + added_records),
                 **(extra_summary or {}),
             },
             doc, doc.get("current-snapshot-id"),
             len(data_parts),
-            sum(os.path.getsize(p) for p in data_parts + del_parts),
-            len(del_parts),
+            sum(os.path.getsize(p) for p in data_parts + del_parts)
+            + dv_puffin_size,
+            len(del_parts) + dv_entries_count,
         ),
         extra_properties=extra_properties,
     )

@@ -159,22 +159,53 @@ def test_v3_appends_after_dv_survive_and_compaction_bakes_in(
     assert got2 == got
 
 
-def test_v3_equality_deletes_still_apply(spark, tmp_path):
-    """v3 keeps equality-delete files (only position-delete FILES are
-    outlawed); merge_into's equality-delete commit works unchanged."""
+def test_v3_merge_writes_deletion_vectors(spark, tmp_path):
+    """MERGE INTO on a v3 table resolves matched keys to ROW POSITIONS
+    and commits deletion vectors in the same snapshot as the appended
+    rows — no equality-delete parquet — and equality deletes remain
+    legal via the direct delete_equality op."""
     t = str(tmp_path / "t")
     C.append(spark, t,
              spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
              snapshot_id=101, timestamp_ms=1700000000000)
     upgrade_format_version(t, 3)
-    C.merge_into(
+    snap = C.merge_into(
         spark, t,
         spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]),
         on=["id"], snapshot_id=102, timestamp_ms=1700100000000,
     )
+    assert int(snap["summary"]["added-dvs"]) >= 1
+    assert snap["summary"]["equality-delete-files"] == "0"
+    assert not glob.glob(os.path.join(t, "data", "seq-*-deletes",
+                                      "*.parquet"))
     got = {(r.id, r.v) for r in read_data_at_snapshot(
         spark, C.current_metadata_path(t)).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # both planes agree after the DV merge
+    from hielo_spark.sources import register
+
+    register(spark)
+    ds = {(r.id, r.v) for r in
+          spark.read.format("hielo_iceberg").load(t).collect()}
+    assert ds == got
+    # a second merge supersedes the first merge's DV for the same file
+    C.merge_into(
+        spark, t, spark.createDataFrame([(1, "A")], ["id", "v"]),
+        on=["id"], snapshot_id=103, timestamp_ms=1700200000000,
+    )
+    dvs = C._live_dv_entries(_current_mlist(t), 3)
+    refs = [d["dv"]["referenced"] for d in dvs]
+    assert len(refs) == len(set(refs))
+    got2 = {(r.id, r.v) for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()}
+    assert got2 == {(1, "A"), (2, "B"), (3, "c")}
+
+    # the direct equality-delete commit stays legal on v3
+    C.delete_equality(spark, t, spark.createDataFrame([("B",)], ["v"]),
+                      snapshot_id=104, timestamp_ms=1700300000000)
+    got3 = {(r.id, r.v) for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()}
+    assert got3 == {(1, "A"), (3, "c")}
 
 
 def test_rewrite_deletion_vectors_compacts_containers(spark, tmp_path,
