@@ -1929,7 +1929,7 @@ def _live_dv_entries(mlist: str, fv: int) -> list[dict]:
             _resolve(mlist, m["manifest_path"]),
             inherited_seq=inherited_seq_of(m, fv),
         ):
-            status, fpath, seq, dv = e[0], e[2], e[7], e[15]
+            status, fpath, records, seq, dv = e[0], e[2], e[4], e[7], e[15]
             if status == 2 or dv is None:
                 continue
             out.append(
@@ -1937,6 +1937,7 @@ def _live_dv_entries(mlist: str, fv: int) -> list[dict]:
                     "puffin": fpath.removeprefix("file:"),
                     "seq": seq,
                     "dv": dv,
+                    "records": int(records or 0),  # DV cardinality
                     "manifest": m["manifest_path"],
                 }
             )
@@ -2015,19 +2016,18 @@ def _commit_deletion_vectors(
     rows), never by row count. Reads then fetch ONE blob region per
     scanned file instead of joining a growing pile of delete parquet —
     the v3 design's point at 100 TB."""
-    import time  # noqa: F401  (parallel with delete_where's imports)
-
-    from pyspark.sql import functions as F
-
-    from .manifests import _resolve
-    from .puffin import DV_BLOB_TYPE, write_puffin
-
     entries, puffin_size, total_cardinality, replaced, old_dvs = (
         _build_dv_entries(
             spark, table_dir, doc, mdir, current, positions, seq,
             snapshot_id,
         )
     )
+    # NET the summary totals: a replacement DV supersedes the prior one,
+    # so live delete-file count/bytes must not grow monotonically on a
+    # table whose live delete set is constant (blob sizes are the live
+    # accounting; superseded container bytes await the orphan sweep)
+    replaced_bytes = sum(old_dvs[r]["dv"]["size"] for r in replaced)
+    replaced_records = sum(old_dvs[r]["records"] for r in replaced)
 
     manifest_path = os.path.join(
         mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
@@ -2064,10 +2064,14 @@ def _commit_deletion_vectors(
                 "operation": "delete",
                 "added-dvs": str(len(entries)),
                 "replaced-dvs": str(len(replaced)),
-                "added-delete-records": str(total_cardinality),
+                # NEW positions only (merged-union minus the replaced
+                # DVs' prior cardinality): re-deleting nothing new adds 0
+                "added-delete-records": str(
+                    total_cardinality - replaced_records
+                ),
             },
             doc, doc.get("current-snapshot-id"),
-            0, puffin_size, len(entries),
+            0, puffin_size - replaced_bytes, len(entries) - len(replaced),
         ),
     )
 
@@ -2087,7 +2091,8 @@ def _build_dv_entries(
     Puffin container of merged deletion vectors, returning the
     manifest ENTRIES for it plus what supersession needs —
     ``(entries, puffin_size, total_cardinality, replaced_refs,
-    old_dvs)``."""
+    old_dvs)``. ``old_dvs[ref]["records"]`` carries each replaced DV's
+    prior cardinality so callers can net the snapshot-summary totals."""
     from pyspark.sql import functions as F
 
     from .manifests import _resolve
@@ -2116,8 +2121,16 @@ def _build_dv_entries(
         from ..session import _ship_package
 
         _ship_package(spark)
+        # fetch prior DVs ONLY for the files this delete touches — the
+        # touched set is planning-plane small (bounded by candidate
+        # files), while the table's live-DV population is not
+        touched = {
+            r.file_path
+            for r in positions.select("file_path").distinct().collect()
+        }
         old_rows = []
-        for ref, d in old_dvs.items():
+        for ref in sorted(touched & set(old_dvs)):
+            d = old_dvs[ref]
             with open(d["puffin"], "rb") as fh:
                 fh.seek(d["dv"]["offset"])
                 old_rows.append((ref, bytearray(fh.read(d["dv"]["size"]))))
@@ -2408,9 +2421,9 @@ def rewrite_deletion_vectors(
         with open(d["puffin"], "rb") as fh:
             fh.seek(d["dv"]["offset"])
             payload = fh.read(d["dv"]["size"])
-        from .puffin import decode_dv_payload
-
-        cards[ref] = len(decode_dv_payload(payload))
+        # cardinality comes from the live entry's record_count — no
+        # decode: the bytes really do pass through verbatim
+        cards[ref] = d["records"]
         blobs.append(
             {
                 "type": DV_BLOB_TYPE,
@@ -2455,36 +2468,16 @@ def rewrite_deletion_vectors(
         meta=_manifest_header_meta(doc, 0, "deletes"),
     )
 
-    # carry forward everything except the rewritten DV entries: rewrite
-    # each prior delete manifest without them; a manifest left with no
-    # live entries drops entirely
-    all_refs = set(best)
-    by_manifest: dict[str, set[str]] = {}
-    for d in dvs:
-        by_manifest.setdefault(d["manifest"], set()).add(
-            d["dv"]["referenced"].removeprefix("file:")
-        )
-    prior_rows = []
-    for r in _carry_forward_rows(spark, mdir, doc):
-        refs = by_manifest.get(r["manifest_path"])
-        if not refs:
-            prior_rows.append(r)
-            continue
-        rw = _rewrite_manifest_dropping_dvs(
-            r["manifest_path"], all_refs, mdir, seq_new
-        )
-        if rw is None:
-            continue
-        new_path, live_files, live_rows = rw
-        prior_rows.append(
-            dict(
-                r,
-                manifest_path=new_path,
-                manifest_length=os.path.getsize(new_path),
-                existing_files_count=live_files,
-                existing_rows_count=live_rows,
-            )
-        )
+    # carry forward everything except the rewritten DV entries — shared
+    # supersession machinery (every live ref is being rewritten, so
+    # supersede by each DV's own manifest attribution)
+    rewritten_old = {
+        d["dv"]["referenced"].removeprefix("file:"): d for d in dvs
+    }
+    prior_rows = _supersede_dv_rows(
+        _carry_forward_rows(spark, mdir, doc),
+        set(rewritten_old), rewritten_old, mdir, seq_new,
+    )
 
     new_row = {
         "manifest_path": manifest_path,
@@ -2501,6 +2494,7 @@ def rewrite_deletion_vectors(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
+    old_blob_bytes = sum(d["dv"]["size"] for d in dvs)
     return _finalize_commit(
         spark, table_dir, doc, prev_version, prior_rows + [new_row],
         snapshot_id, timestamp_ms, seq_new,
@@ -2511,7 +2505,8 @@ def rewrite_deletion_vectors(
                 "added-dvs": str(len(entries)),
             },
             doc, doc.get("current-snapshot-id"),
-            0, puffin_size, len(entries),
+            # net: every prior live DV is superseded by its rewrite
+            0, puffin_size - old_blob_bytes, len(entries) - len(dvs),
         ),
     )
 
@@ -2976,7 +2971,7 @@ def rewrite_manifests(
     single data manifest (nothing to consolidate)."""
     import time
 
-    from .manifests import _resolve, read_manifest, read_manifest_list
+    from .manifests import _resolve, read_manifest_list
 
     doc, prev_version = _load_doc(table_dir)
     if doc.get("current-snapshot-id") is None:
@@ -3031,48 +3026,46 @@ def rewrite_manifests(
     entries_by_spec: dict[int, list[dict]] = {}
     min_seq = seq
     name2id = _name2id(doc)
+    from .manifests import decode_manifest
+
     for m in data_manifests:
         inherited = m.sequence_number if m.sequence_number is not None else 0
         entries = entries_by_spec.setdefault(int(m.partition_spec_id or 0), [])
-        for r in read_manifest(
-            spark, _resolve(mlist, m.manifest_path), inherited_seq=inherited
-        ).collect():
-            if r.status == 2 or (r.content or 0) != 0:
+        # pure-Python decode (no Spark hop per manifest); the tuple form
+        # carries EVERY field including v3 first_row_id (142) — the
+        # frame-based rebuild silently dropped it, nulling row lineage
+        # from a metadata-only maintenance op
+        for e in decode_manifest(
+            _resolve(mlist, m.manifest_path), inherited_seq=inherited
+        ):
+            (status, sid, fpath, fmt, records, fsize, fcontent, eseq,
+             pvals, ptypes, lb, ub, bt, nc, dc, _dv, frid) = e
+            if status == 2 or (fcontent or 0) != 0:
                 continue  # deleted entries / stray delete files drop out
-            fseq = r.sequence_number if r.sequence_number is not None else inherited
+            fseq = eseq if eseq is not None else inherited
             min_seq = min(min_seq, fseq)
             entries.append(
                 {
                     "status": 0,  # existing, not added
-                    "snapshot_id": r.snapshot_id or m.added_snapshot_id or 0,
+                    "snapshot_id": sid or m.added_snapshot_id or 0,
                     "sequence_number": fseq,
                     "data_file": {
                         "content": 0,
-                        "file_path": r.file_path,
-                        "file_format": r.file_format or "PARQUET",
-                        "record_count": r.record_count or 0,
-                        "file_size_in_bytes": r.file_size_in_bytes or 0,
+                        "file_path": fpath,
+                        "file_format": fmt or "PARQUET",
+                        "record_count": records or 0,
+                        "file_size_in_bytes": fsize or 0,
+                        "first_row_id": frid,
                         **_spec_stats(
-                            name2id,
-                            dict(r.bounds_types) if r.bounds_types else None,
-                            dict(r.lower_bounds) if r.lower_bounds else None,
-                            dict(r.upper_bounds) if r.upper_bounds else None,
-                            dict(r.null_counts) if r.null_counts else None,
-                            int(r.record_count or 0),
+                            name2id, bt, lb, ub, nc, int(records or 0),
                         ),
-                        "partition_values": dict(r.partition_values)
-                        if r.partition_values
-                        else None,
-                        "partition_types": dict(r.partition_types)
-                        if r.partition_types
-                        else None,
-                        "lower_bounds_str": dict(r.lower_bounds) if r.lower_bounds else None,
-                        "upper_bounds_str": dict(r.upper_bounds) if r.upper_bounds else None,
-                        "bounds_types": dict(r.bounds_types) if r.bounds_types else None,
-                        "null_counts": dict(r.null_counts) if r.null_counts else None,
-                        "distinct_counts_str": dict(r.distinct_counts)
-                        if getattr(r, "distinct_counts", None)
-                        else None,
+                        "partition_values": pvals,
+                        "partition_types": ptypes,
+                        "lower_bounds_str": lb,
+                        "upper_bounds_str": ub,
+                        "bounds_types": bt,
+                        "null_counts": nc,
+                        "distinct_counts_str": dc,
                     },
                 }
             )
@@ -3236,7 +3229,8 @@ def merge_into(
     fv = int(doc.get("format-version", 2))
     del_parts: list[str] = []
     dv_entries_count = 0
-    dv_puffin_size = 0
+    dv_net_files = 0
+    dv_net_bytes = 0
     current = next(
         s for s in doc["snapshots"]
         if s["snapshot-id"] == doc["current-snapshot-id"]
@@ -3282,6 +3276,11 @@ def merge_into(
             )
         )
         dv_entries_count = len(dv_entries)
+        # net totals: replacements supersede prior DVs (see delete_where)
+        dv_net_files = dv_entries_count - len(dv_replaced)
+        dv_net_bytes = dv_puffin_size - sum(
+            dv_old[r]["dv"]["size"] for r in dv_replaced
+        )
         del_manifest = os.path.join(
             mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
         )
@@ -3482,8 +3481,8 @@ def merge_into(
             doc, doc.get("current-snapshot-id"),
             len(data_parts),
             sum(os.path.getsize(p) for p in data_parts + del_parts)
-            + dv_puffin_size,
-            len(del_parts) + dv_entries_count,
+            + dv_net_bytes,
+            len(del_parts) + dv_net_files,
         ),
         extra_properties=extra_properties,
     )

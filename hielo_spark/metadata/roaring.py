@@ -53,9 +53,12 @@ def _serialize_container(lows: np.ndarray) -> bytes:
 
 def serialize_32(values) -> bytes:
     """Portable no-run serialization of a set of uint32 values."""
-    vals = np.unique(np.asarray(values, dtype=np.uint64)).astype(np.uint32)
-    if len(vals) and int(vals.max()) > 0xFFFFFFFF:
+    vals64 = np.unique(np.asarray(values, dtype=np.uint64))
+    if len(vals64) and int(vals64.max()) > 0xFFFFFFFF:
+        # check BEFORE the narrowing cast — after it the max can never
+        # exceed 32 bits and out-of-range values silently truncate
         raise ValueError("serialize_32 values must fit in 32 bits")
+    vals = vals64.astype(np.uint32)
     keys = (vals >> np.uint32(16)).astype(np.uint32)
     lows = (vals & np.uint32(0xFFFF)).astype(np.uint32)
     uk, starts = np.unique(keys, return_index=True)

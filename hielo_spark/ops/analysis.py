@@ -134,7 +134,7 @@ def remove_orphan_files(
     spark: SparkSession,
     data_dir: str,
     metadata_json_path: str,
-    glob: str = "*.parquet",
+    glob: str = "*.{parquet,puffin}",
     older_than_ms: int | None = None,
 ) -> list[str]:
     """Execute half of ``orphan_files`` (the reference recommends the

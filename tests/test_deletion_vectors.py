@@ -276,6 +276,18 @@ def test_orphan_sweep_reclaims_superseded_puffins(spark, tmp_path):
         spark, os.path.join(t, "data"), C.current_metadata_path(t)
     ).collect()}
     assert sum(1 for p in orphans2 if p.endswith(".puffin")) == 1
+    # and the EXECUTING half actually deletes it (same default glob)
+    from hielo_spark.ops.analysis import remove_orphan_files
+
+    removed = remove_orphan_files(
+        spark, os.path.join(t, "data"), C.current_metadata_path(t)
+    )
+    assert sum(1 for p in removed if p.endswith(".puffin")) == 1
+    assert glob.glob(os.path.join(t, "data", "*.puffin"))  # live one stays
+    # reads still green after the sweep
+    assert read_data_at_snapshot(
+        spark, C.current_metadata_path(t)
+    ).count() == len([i for i in range(100) if i % 10 and i % 7])
 
 
 def test_upgrade_guard_rails(spark, tmp_path):

@@ -84,6 +84,10 @@ def test_rejects_garbage_and_sign_bit():
         deserialize_32(struct.pack("<II", 999, 0))
     with pytest.raises(ValueError, match="non-negative"):
         serialize_64([1 << 63])
+    # range check must fire BEFORE the uint32 narrowing (a post-cast
+    # check can never fire and out-of-range values silently truncate)
+    with pytest.raises(ValueError, match="32 bits"):
+        serialize_32([(1 << 32) + 5])
 
 
 @settings(max_examples=50, deadline=None)

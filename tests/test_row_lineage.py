@@ -99,6 +99,43 @@ def test_compaction_materializes_and_preserves_ids(spark, tmp_path):
     assert "_row_id" not in plain.columns
 
 
+def test_rewrite_manifests_preserves_first_row_id(spark, tmp_path):
+    """Manifest consolidation is metadata-only — it must carry the v3
+    first_row_id field through verbatim (the frame-based rebuild used
+    to drop it, nulling every non-compacted file's row ids)."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 5),
+             snapshot_id=100, timestamp_ms=1699000000000)
+    upgrade_format_version(t, 3)
+    C.append(spark, t, spark.range(5, 9),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.range(9, 12),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    before = _lineage(spark, t)
+    assert any(rid is not None for rid, _ in before.values())
+    snap = C.rewrite_manifests(spark, t, snapshot_id=103,
+                               timestamp_ms=1700200000000)
+    assert snap is not None
+    assert _lineage(spark, t) == before
+
+
+def test_dv_replacement_keeps_totals_net(spark, tmp_path):
+    """Summary totals track the LIVE delete set: a second delete that
+    replaces a file's DV must not grow total-delete-files forever."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 20).coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    upgrade_format_version(t, 3)
+    s1 = C.delete_where(spark, t, "id = 1",
+                        snapshot_id=102, timestamp_ms=1700100000000)
+    s2 = C.delete_where(spark, t, "id = 2",
+                        snapshot_id=103, timestamp_ms=1700200000000)
+    assert s1["summary"]["total-delete-files"] == "1"
+    assert s2["summary"]["total-delete-files"] == "1"  # replaced, not +1
+    # newly-added delete records exclude the re-merged prior positions
+    assert s2["summary"]["added-delete-records"] == "1"
+
+
 def test_merge_updates_get_fresh_ids(spark, tmp_path):
     t = str(tmp_path / "t")
     C.append(spark, t,
