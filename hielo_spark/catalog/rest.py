@@ -211,6 +211,33 @@ class RestCatalogClient:
             [{"action": "remove-statistics", "snapshot-id": int(snapshot_id)}],
         )
 
+    def commit_properties(
+        self,
+        namespace,
+        table: str,
+        set_props: dict[str, str] | None = None,
+        remove: list[str] | None = None,
+    ) -> dict:
+        """Table-properties commit over the REST protocol — the
+        catalog-service twin of ``metadata.set_table_properties``
+        (spec updates ``set-properties`` / ``remove-properties``; one
+        commit carries both, removals applied before sets per the
+        spec's update ordering)."""
+        updates: list[dict] = []
+        if remove:
+            updates.append(
+                {"action": "remove-properties",
+                 "removals": [str(k) for k in remove]}
+            )
+        if set_props:
+            updates.append(
+                {"action": "set-properties",
+                 "updates": {str(k): str(v) for k, v in set_props.items()}}
+            )
+        if not updates:
+            raise ValueError("nothing to commit: no properties to set/remove")
+        return self.commit_table(namespace, table, [], updates)
+
     # -- catalog operations ------------------------------------------------
 
     def test_connection(self) -> bool:

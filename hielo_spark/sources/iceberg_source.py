@@ -1359,7 +1359,9 @@ _META_SURFACES = {
     "files": (
         "content int, file_path string, record_count bigint, "
         "file_size_in_bytes bigint, sequence_number bigint, "
-        "partition_json string"
+        "partition_json string, referenced_data_file string, "
+        "content_offset bigint, content_size_in_bytes bigint, "
+        "first_row_id bigint"
     ),
     "partitions": (
         "partition_json string, spec_id int, record_count bigint, "
@@ -1484,6 +1486,11 @@ def _meta_surface_rows(table_dir: str, surface: str, options) -> list[tuple]:
                     data_file.get("file_size_in_bytes"),
                     e.get("_seq"),
                     json.dumps(pvals or {}, sort_keys=True),
+                    # v3: DV blob coordinates + row-lineage base
+                    data_file.get("referenced_data_file"),
+                    data_file.get("content_offset"),
+                    data_file.get("content_size_in_bytes"),
+                    data_file.get("first_row_id"),
                 )
             )
         return out

@@ -77,6 +77,16 @@ def test_v3_delete_where_commits_deletion_vectors(spark, tmp_path,
         total += len(pos)
     assert total == 10
 
+    # the files surface exposes the DV coordinates for operators
+    frows = (spark.read.format("hielo_iceberg")
+             .option("surface", "files").load(t).collect())
+    dv_rows = [r for r in frows if r.content == 1]
+    assert dv_rows and all(
+        r.referenced_data_file and r.content_size_in_bytes > 0
+        and r.file_path.endswith(".puffin")
+        for r in dv_rows
+    )
+
     expect = sorted(i for i in range(100) if i % 10)
     mpath = C.current_metadata_path(t)
     got = sorted(r.id for r in read_data_at_snapshot(spark, mpath).collect())

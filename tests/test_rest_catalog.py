@@ -242,6 +242,14 @@ def _stateful_server():
                         e for e in state["doc"].get("statistics", [])
                         if e.get("snapshot-id") != up["snapshot-id"]
                     ]
+                elif up["action"] == "remove-properties":
+                    props = state["doc"].setdefault("properties", {})
+                    for k in up["removals"]:
+                        props.pop(k, None)
+                elif up["action"] == "set-properties":
+                    state["doc"].setdefault("properties", {}).update(
+                        up["updates"]
+                    )
             return self._send(
                 200,
                 {"metadata-location": "s3://w/meta/head2.metadata.json",
@@ -377,5 +385,31 @@ def test_commit_statistics_over_rest(spark):
             )
         client.remove_statistics("analytics", "orders_t", main)
         assert state["doc"]["statistics"] == []
+    finally:
+        srv.shutdown()
+
+
+def test_rest_properties_commit():
+    """set-properties / remove-properties over the REST protocol:
+    one commit can carry both (removals applied first per the spec's
+    update ordering); empty commits refuse locally."""
+    srv, uri, state = _stateful_server()
+    try:
+        client = RestCatalogClient(uri, token=TOKEN)
+        client.commit_properties(
+            "analytics", "orders_t",
+            set_props={"write.target-size": "134217728", "owner": "etl"},
+        )
+        assert state["doc"]["properties"]["owner"] == "etl"
+        # removal + set in one commit; values stringified
+        client.commit_properties(
+            "analytics", "orders_t",
+            set_props={"owner": "analytics"}, remove=["write.target-size"],
+        )
+        assert state["doc"]["properties"] == {"owner": "analytics"}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="nothing to commit"):
+            client.commit_properties("analytics", "orders_t")
     finally:
         srv.shutdown()
