@@ -161,6 +161,17 @@ def append_files(
         if any(c in (f.get("lower_bounds") or {}) for f in files)
     } or None
 
+    # v3 row lineage: the DataSource write plane assigns ids exactly
+    # like the JVM-plane append (field 142 per file, contiguous from
+    # the next-row-id watermark; the snapshot/doc advance below)
+    fv = int(doc.get("format-version", 2))
+    first_row_id_of: dict[str, int | None] = {f["path"]: None for f in files}
+    if fv >= 3:
+        rid = int(doc.get("next-row-id", 0))
+        for f in files:
+            first_row_id_of[f["path"]] = rid
+            rid += int(f["record_count"])
+
     manifest_path = os.path.join(
         mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
     )
@@ -175,6 +186,7 @@ def append_files(
                     "content": 0,
                     "file_path": f["path"],
                     "file_format": "PARQUET",
+                    "first_row_id": first_row_id_of[f["path"]],
                     "partition": C._typed_partition(
                         f.get("partition_values"), pfields
                     ) if partitioned else {},
@@ -275,6 +287,10 @@ def append_files(
         "summary": summary,
     }
     doc = dict(doc)
+    if fv >= 3:
+        first = int(doc.get("next-row-id", 0))
+        snapshot["first-row-id"] = first
+        doc["next-row-id"] = first + added_records
     doc["snapshots"] = doc.get("snapshots", []) + [snapshot]
     if branch is None:
         doc["current-snapshot-id"] = snapshot_id

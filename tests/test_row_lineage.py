@@ -198,6 +198,40 @@ def test_datasource_lineage_agrees_with_jvm_plane(spark, tmp_path):
          .option("row-lineage", "true").load(t2).collect())
 
 
+def test_datasource_writer_assigns_row_ids(spark, tmp_path):
+    """The DataSource write plane (commit_py.append_files, no JVM)
+    assigns v3 row ids exactly like the JVM-plane append — contiguous
+    from the next-row-id watermark, snapshot first-row-id recorded —
+    so a table written through df.write.format('hielo_iceberg') has
+    the same lineage as one written through commit.append."""
+    import json
+
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 4),
+             snapshot_id=100, timestamp_ms=1699000000000)
+    upgrade_format_version(t, 3)
+    spark.range(4, 9).write.format("hielo_iceberg").mode("append").save(t)
+    spark.range(9, 12).write.format("hielo_iceberg").mode("append").save(t)
+    doc = json.load(open(C.current_metadata_path(t)))
+    assert doc["next-row-id"] == 8  # 5 + 3 rows assigned post-upgrade
+    snaps = sorted(
+        (s["snapshot-id"] for s in doc["snapshots"]
+         if "first-row-id" in s),
+    )
+    assert len(snaps) == 2
+    lin = _lineage(spark, t)
+    post = sorted(rid for k, (rid, _) in lin.items() if k >= 4)
+    assert post == list(range(8))
+    # and the DataSource lineage read agrees
+    ds = {r.id: r._row_id for r in
+          (spark.read.format("hielo_iceberg")
+           .option("row-lineage", "true").load(t).collect())}
+    assert ds == {k: rid for k, (rid, _) in lin.items()}
+
+
 def test_row_lineage_requires_v3(spark, tmp_path):
     t = str(tmp_path / "t")
     C.append(spark, t, spark.range(0, 3),
