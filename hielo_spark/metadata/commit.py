@@ -939,13 +939,20 @@ def _finalize_commit(
     if int(doc.get("format-version", 2)) >= 3:
         # v3 row lineage: the snapshot records the first _row_id it
         # assigned and the table watermark advances by the rows its NEW
-        # data manifests added (delete/DV manifests assign none)
+        # data manifests added (delete/DV manifests assign none). A
+        # REPLACE (compaction) assigns nothing — its rewritten files
+        # carry first_row_id=null with MATERIALIZED lineage columns, so
+        # advancing would burn watermark ranges no row ever uses.
         first = int(doc.get("next-row-id", 0))
-        assigned = sum(
-            int(r.get("added_rows_count") or 0)
-            for r in manifest_rows
-            if (r.get("content") or 0) == 0
-            and int(r.get("added_snapshot_id") or -1) == snapshot_id
+        assigned = (
+            0
+            if summary.get("operation") == "replace"
+            else sum(
+                int(r.get("added_rows_count") or 0)
+                for r in manifest_rows
+                if (r.get("content") or 0) == 0
+                and int(r.get("added_snapshot_id") or -1) == snapshot_id
+            )
         )
         snapshot["first-row-id"] = first
         doc["next-row-id"] = first + assigned

@@ -85,6 +85,9 @@ def test_compaction_materializes_and_preserves_ids(spark, tmp_path):
                          timestamp_ms=1700200000000)
     after = _lineage(spark, t)
     assert after == before  # ids AND last-updated seq survive rewrite
+    # compaction assigns NO new ids — the watermark must not advance
+    before_doc = json.load(open(C.current_metadata_path(t)))
+    assert before_doc["next-row-id"] == 10
     # the rewritten parquet physically carries the lineage columns
     import pyarrow.parquet as pq
 
