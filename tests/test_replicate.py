@@ -110,6 +110,33 @@ def test_replicate_compaction_advances_watermark_without_commits(
                for k, v in props.items())
 
 
+def test_replicate_from_v3_dv_source(spark, tmp_path):
+    """A format-version-3 source whose deletes are DELETION VECTORS
+    replicates the same way — the changelog's multiset diff reads
+    through the DV-aware MOR plane, so the destination converges."""
+    from hielo_spark.metadata import upgrade_format_version
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    C.append(spark, src,
+             spark.createDataFrame(
+                 [(i, f"v{i}") for i in range(8)], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    upgrade_format_version(src, 3)
+    replicate_changes(spark, src, dst, keys=["id"])
+
+    C.delete_where(spark, src, "id IN (1, 3)",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    C.merge_into(
+        spark, src,
+        spark.createDataFrame([(2, "B"), (9, "n")], ["id", "v"]),
+        on=["id"], snapshot_id=103, timestamp_ms=1700200000000,
+    )
+    r = replicate_changes(spark, src, dst, keys=["id"])
+    assert r["applied"] == [102, 103]
+    assert _rows(spark, dst) == _rows(spark, src)
+
+
 def test_replicate_requires_keys_and_source(spark, tmp_path):
     with pytest.raises(ValueError, match="key columns"):
         replicate_changes(spark, str(tmp_path / "a"),
