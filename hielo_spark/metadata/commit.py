@@ -75,6 +75,12 @@ _AVRO_PARTITION_TYPES = {
     "tinyint": "int", "smallint": "int", "int": "int", "bigint": "long",
 }
 
+# DV commits touching at most this many data files write one Puffin
+# container driver-side (bounded: one ≤8 KiB blob per touched file);
+# above it, tasks write per-task containers and the driver collects
+# only blob coordinates — the v2 distributed delete-parts shape
+_DV_DRIVER_CONTAINER_MAX = 64
+
 
 def _kv_array(key_id: int, val_id: int, key_type: str, val_type: str) -> dict:
     """Iceberg's Avro shape for a non-string-keyed map: an array of
@@ -2103,7 +2109,6 @@ def _build_dv_entries(
     from pyspark.sql import functions as F
 
     from .manifests import _resolve
-    from .puffin import DV_BLOB_TYPE, write_puffin
 
     fv = int(doc.get("format-version", 2))
     # MAX-seq DV per referenced file (ascending sort → later overrides)
@@ -2177,65 +2182,170 @@ def _build_dv_entries(
                 }
             )
 
-        rows = (
-            pos2.groupBy("file_path")
-            .applyInPandas(
-                _build, "file_path string, dv binary, cardinality long"
-            )
-            .collect()
+        rows_df = pos2.groupBy("file_path").applyInPandas(
+            _build, "file_path string, dv binary, cardinality long"
         )
+        if len(touched) <= _DV_DRIVER_CONTAINER_MAX:
+            # few touched files: collect the (bounded-per-blob) bitmaps
+            # and write ONE container driver-side — skips a second
+            # Python-worker stage
+            collected = rows_df.collect()
+            coords = _write_dv_container_driver(
+                collected, table_dir, seq, snapshot_id,
+            )
+        else:
+            # many touched files: per-TASK Puffin containers, the v2
+            # distributed delete-parts shape — each task writes one
+            # container holding its batch of DVs and the driver
+            # collects only (file_path, container, offset, length,
+            # cardinality, container_size) coordinate rows, never
+            # blob bytes. Container count targets ~128 blobs each.
+            import math
 
-    replaced = {r.file_path for r in rows} & set(old_dvs)
+            dv_dir = os.path.join(table_dir, "data")
+            os.makedirs(dv_dir, exist_ok=True)
+            prefix = f"seq-{seq:05d}-dvs"
+            snap_id, seq_v = snapshot_id, seq
+
+            def _write_container(batches):
+                import os as _os
+                import uuid as _u
+
+                import pandas as pd
+
+                from hielo_spark.metadata.puffin import (
+                    DV_BLOB_TYPE as _BT,
+                )
+                from hielo_spark.metadata.puffin import (
+                    write_puffin as _wp,
+                )
+
+                acc = []
+                for pdf in batches:
+                    acc.extend(
+                        (fp, bytes(dv), int(card))
+                        for fp, dv, card in zip(
+                            pdf["file_path"], pdf["dv"],
+                            pdf["cardinality"],
+                        )
+                    )
+                if not acc:
+                    return
+                acc.sort(key=lambda r: r[0])
+                path = _os.path.join(
+                    dv_dir, f"{prefix}-{_u.uuid4().hex[:8]}.puffin"
+                )
+                blobs = [
+                    {
+                        "type": _BT,
+                        "fields": [],
+                        "snapshot-id": snap_id,
+                        "sequence-number": seq_v,
+                        "payload": dv,
+                        "properties": {
+                            "referenced-data-file": fp,
+                            "cardinality": str(card),
+                        },
+                    }
+                    for fp, dv, card in acc
+                ]
+                _fs, _ft, metas = _wp(
+                    path, blobs, {"created-by": "hielo_spark"}
+                )
+                fsize = _os.path.getsize(path)
+                yield pd.DataFrame(
+                    {
+                        "file_path": [r[0] for r in acc],
+                        "puffin": path,
+                        "offset": [int(m["offset"]) for m in metas],
+                        "length": [int(m["length"]) for m in metas],
+                        "cardinality": [r[2] for r in acc],
+                        "fsize": fsize,
+                    }
+                )
+
+            n_containers = max(1, math.ceil(len(touched) / 128))
+            coords = [
+                (r.file_path, r.puffin, r.offset, r.length,
+                 r.cardinality, r.fsize)
+                for r in rows_df.repartition(n_containers)
+                .mapInPandas(
+                    _write_container,
+                    "file_path string, puffin string, offset long, "
+                    "length long, cardinality long, fsize long",
+                )
+                .collect()
+            ]
+        rows = coords
+
+    replaced = {c[0] for c in rows} & set(old_dvs)
     entries = []
     total_cardinality = 0
-    puffin_size = 0
-    if rows:
-        puffin_path = os.path.join(
-            table_dir, "data",
-            f"seq-{seq:05d}-dvs-{_uuid.uuid4().hex[:8]}.puffin",
-        )
-        os.makedirs(os.path.dirname(puffin_path), exist_ok=True)
-        ordered = sorted(rows, key=lambda r: r.file_path)
-        blobs = [
+    puffin_size = sum({c[1]: c[5] for c in rows}.values())
+    for fp, ppath, off, length, card, fsize in sorted(rows):
+        total_cardinality += int(card)
+        entries.append(
             {
-                # spec: DV blob metadata sets referenced-data-file and
-                # cardinality properties; fields is unused for DVs
-                "type": DV_BLOB_TYPE,
-                "fields": [],
-                "snapshot-id": snapshot_id,
-                "sequence-number": seq,
-                "payload": bytes(r.dv),
-                "properties": {
-                    "referenced-data-file": r.file_path,
-                    "cardinality": str(int(r.cardinality)),
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,  # DVs are position deletes
+                    "file_path": ppath,
+                    "file_format": "PUFFIN",
+                    "record_count": int(card),
+                    "file_size_in_bytes": int(fsize),
+                    "referenced_data_file": fp,
+                    "content_offset": int(off),
+                    "content_size_in_bytes": int(length),
                 },
             }
-            for r in ordered
-        ]
-        _fsize, _foot, metas = write_puffin(
-            puffin_path, blobs, {"created-by": "hielo_spark"}
         )
-        puffin_size = os.path.getsize(puffin_path)
-        for r, meta in zip(ordered, metas):
-            total_cardinality += int(r.cardinality)
-            entries.append(
-                {
-                    "status": 1,
-                    "snapshot_id": snapshot_id,
-                    "data_file": {
-                        "content": 1,  # DVs are position deletes
-                        "file_path": puffin_path,
-                        "file_format": "PUFFIN",
-                        "record_count": int(r.cardinality),
-                        "file_size_in_bytes": puffin_size,
-                        "referenced_data_file": r.file_path,
-                        "content_offset": int(meta["offset"]),
-                        "content_size_in_bytes": int(meta["length"]),
-                    },
-                }
-            )
 
     return entries, puffin_size, total_cardinality, replaced, old_dvs
+
+
+def _write_dv_container_driver(
+    collected, table_dir: str, seq: int, snapshot_id: int
+) -> list[tuple]:
+    """Write ONE Puffin container of DV blobs driver-side (the
+    few-touched-files path) and return coordinate rows of the same
+    shape the distributed writer yields: ``(file_path, puffin, offset,
+    length, cardinality, container_size)``."""
+    from .puffin import DV_BLOB_TYPE, write_puffin
+
+    if not collected:
+        return []
+    puffin_path = os.path.join(
+        table_dir, "data",
+        f"seq-{seq:05d}-dvs-{_uuid.uuid4().hex[:8]}.puffin",
+    )
+    os.makedirs(os.path.dirname(puffin_path), exist_ok=True)
+    ordered = sorted(collected, key=lambda r: r.file_path)
+    blobs = [
+        {
+            # spec: DV blob metadata sets referenced-data-file and
+            # cardinality properties; fields is unused for DVs
+            "type": DV_BLOB_TYPE,
+            "fields": [],
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "payload": bytes(r.dv),
+            "properties": {
+                "referenced-data-file": r.file_path,
+                "cardinality": str(int(r.cardinality)),
+            },
+        }
+        for r in ordered
+    ]
+    _fsize, _foot, metas = write_puffin(
+        puffin_path, blobs, {"created-by": "hielo_spark"}
+    )
+    fsize = os.path.getsize(puffin_path)
+    return [
+        (r.file_path, puffin_path, int(m["offset"]), int(m["length"]),
+         int(r.cardinality), fsize)
+        for r, m in zip(ordered, metas)
+    ]
 
 
 def _supersede_dv_rows(

@@ -34,6 +34,11 @@ from .avro_py import read_avro_file
 
 # Iceberg spec field names; v1/v2 disagree on the count columns
 # (https://iceberg.apache.org/spec/#manifest-lists — public spec).
+# DV rehydration: total cardinalities at or below this decode driver-
+# side (skips a Python-worker stage); above it, executors read + decode
+# each blob from its (path, offset, size) coordinates beside the scan
+_DV_DRIVER_DECODE_MAX = 1_000_000
+
 _COUNT_ALIASES = {
     "added_files_count": ("added_files_count", "added_data_files_count"),
     "existing_files_count": ("existing_files_count", "existing_data_files_count"),
@@ -1005,31 +1010,31 @@ def read_data_at_snapshot(
             )
             dels = one if dels is None else dels.unionByName(one)
         if dv_best:
-            # the driver fetches only the blob REGIONS (content_offset /
-            # content_size — KBs per file, never positions). Rehydration
-            # strategy picks by TOTAL CARDINALITY, known from the
-            # manifest entries BEFORE any decode: small delete sets
-            # decode driver-side straight into a local frame (skipping a
-            # whole Python-worker stage — measured ~0.5 s of fixed cost
-            # at local scale); big ones rehydrate executor-side, one
-            # task per blob, so positions never mass on the driver.
+            # Rehydration strategy picks by TOTAL CARDINALITY, known
+            # from the manifest entries BEFORE any decode or byte
+            # fetch: small delete sets decode driver-side straight into
+            # a local frame (skipping a whole Python-worker stage —
+            # measured ~0.5 s of fixed cost at local scale, and bounded
+            # by the 1M-position threshold); big ones ship only each
+            # blob's (path, offset, size) COORDINATES to executors —
+            # one task per blob reads its own region and decodes beside
+            # the scan, so neither positions nor blob bytes ever mass
+            # on the driver (planning holds O(files) coordinate rows).
             total_card = sum(
                 int(d.get("records") or 0) for d in dv_best.values()
             )
-            blob_rows = []
-            for ref, d in dv_best.items():
-                with open(d["path"], "rb") as fh:
-                    fh.seek(d["dv"]["offset"])
-                    payload = fh.read(d["dv"]["size"])
-                blob_rows.append((ref, d["seq"], bytearray(payload)))
-            if 0 < total_card <= 1_000_000:
+            if 0 < total_card <= _DV_DRIVER_DECODE_MAX:
                 from .puffin import decode_dv_payload
 
-                local = [
-                    (ref, int(p), seq_)
-                    for ref, seq_, blob in blob_rows
-                    for p in decode_dv_payload(bytes(blob)).tolist()
-                ]
+                local = []
+                for ref, d in dv_best.items():
+                    with open(d["path"], "rb") as fh:
+                        fh.seek(d["dv"]["offset"])
+                        payload = fh.read(d["dv"]["size"])
+                    local.extend(
+                        (ref, int(p), d["seq"])
+                        for p in decode_dv_payload(payload).tolist()
+                    )
                 dvdels = spark.createDataFrame(
                     local, "_dfp string, _dpos long, _dseq long"
                 ).select(
@@ -1040,6 +1045,11 @@ def read_data_at_snapshot(
                 from ..session import _ship_package
 
                 _ship_package(spark)
+                coord_rows = [
+                    (ref, d["seq"], d["path"], int(d["dv"]["offset"]),
+                     int(d["dv"]["size"]))
+                    for ref, d in dv_best.items()
+                ]
 
                 def _explode_dv(batches):
                     import pandas as pd
@@ -1049,12 +1059,14 @@ def read_data_at_snapshot(
                     )
 
                     for pdf in batches:
-                        for fp, seq_, blob in zip(
-                            pdf["_dfp"], pdf["_dseq"], pdf["_blob"]
+                        for fp, seq_, bpath, off, size in zip(
+                            pdf["_dfp"], pdf["_dseq"], pdf["_bpath"],
+                            pdf["_boff"], pdf["_bsize"],
                         ):
-                            pos = decode_dv_payload(bytes(blob)).astype(
-                                "int64"
-                            )
+                            with open(bpath, "rb") as fh:
+                                fh.seek(int(off))
+                                blob = fh.read(int(size))
+                            pos = decode_dv_payload(blob).astype("int64")
                             sv = None if pd.isna(seq_) else int(seq_)
                             yield pd.DataFrame(
                                 {
@@ -1068,13 +1080,15 @@ def read_data_at_snapshot(
 
                 dvdels = (
                     spark.createDataFrame(
-                        blob_rows, "_dfp string, _dseq long, _blob binary"
+                        coord_rows,
+                        "_dfp string, _dseq long, _bpath string, "
+                        "_boff long, _bsize long",
                     )
                     .select(
                         _strip_scheme(F.col("_dfp")).alias("_dfp"),
-                        "_dseq", "_blob",
+                        "_dseq", "_bpath", "_boff", "_bsize",
                     )
-                    .repartition(min(len(blob_rows), 64))
+                    .repartition(min(len(coord_rows), 64))
                     .mapInPandas(
                         _explode_dv, "_dfp string, _dpos long, _dseq long"
                     )

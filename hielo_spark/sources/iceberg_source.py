@@ -272,7 +272,7 @@ def _file_survives(filters, e: dict) -> bool:
 class _ScanPartition(InputPartition):
     def __init__(self, path, seq, pos_deletes, eq_deletes, columns,
                  pvals=None, out_names=None, scan_log=None,
-                 frid=None, lineage=False):
+                 frid=None, lineage=False, dv_ref=None):
         # v3 row lineage: the file's first_row_id (manifest field 142;
         # None for rewritten files carrying MATERIALIZED _row_id
         # columns) + whether this scan surfaces the lineage columns
@@ -280,14 +280,18 @@ class _ScanPartition(InputPartition):
         self.lineage = lineage
         self.path = path
         self.seq = seq
-        # deletes are MATERIALIZED at planning time (delete files are
-        # small by construction — the keys/positions any planner holds):
-        # pos_deletes = sorted positions applying to THIS file only;
-        # eq_deletes = [(cols, key_tuples, seq)] shared across files.
-        # This avoids the O(data_files x delete_files) re-reads a naive
-        # per-task delete-parquet scan would do.
+        # deletes ride as REFERENCES and are read/decoded beside the
+        # scan task (never on the driver — positions for a 100 TB table
+        # under heavy deletes must not mass at planning):
+        # pos_deletes = [(delete_parquet_path, seq)] already bounds- and
+        # sequence-scoped to THIS file; eq_deletes =
+        # [(delete_parquet_path, key_cols, seq)] shared across files
+        # (key_cols from the parquet footer, read at planning for
+        # projection widening); dv_ref = (puffin_path, offset, size) of
+        # this file's v3 deletion-vector blob region, or None.
         self.pos_deletes = pos_deletes
         self.eq_deletes = eq_deletes
+        self.dv_ref = dv_ref
         # [(name, ddl_type, hist)] columns this task MATERIALIZES: the
         # pruned projection plus any equality-delete key columns the
         # projection dropped (deletes must still apply)
@@ -331,8 +335,27 @@ def _read_partition(part: _ScanPartition):
     if part.scan_log:
         with open(part.scan_log, "a") as f:
             f.write(f"{part.path}\t{','.join(sorted(want_src))}\n")
-    # position deletes: already filtered to this file at planning time
-    doomed = set(part.pos_deletes or ())
+    # position deletes: planning attached only the delete files whose
+    # file_path bounds + sequence can apply to THIS file; decode them
+    # here, beside the scan (driver never holds a position)
+    doomed: set[int] = set()
+    me = os.path.abspath(part.path)
+    for dpath, _dseq in part.pos_deletes or ():
+        dt = pq.read_table(dpath, columns=["file_path", "pos"])
+        for p, i in zip(dt.column("file_path").to_pylist(),
+                        dt.column("pos").to_pylist()):
+            if os.path.abspath(str(p).removeprefix("file:")) == me:
+                doomed.add(int(i))
+    if part.dv_ref is not None:
+        # v3 deletion vector: read this file's ≤8 KiB blob REGION and
+        # decode the roaring bitmap in-task
+        from ..metadata.puffin import decode_dv_payload
+
+        ppath, off, size = part.dv_ref
+        with open(ppath, "rb") as fh:
+            fh.seek(off)
+            payload = fh.read(size)
+        doomed.update(int(i) for i in decode_dv_payload(payload))
     kept_pos = None
     if doomed:
         kept_pos = [i for i in range(table.num_rows) if i not in doomed]
@@ -466,7 +489,7 @@ def _read_partition(part: _ScanPartition):
         for a in (rest[0] if rest else ())
     }
     cur_names = set(table.column_names)
-    for cols, key_tuples, dseq in part.eq_deletes or ():
+    for dpath, cols, dseq in part.eq_deletes or ():
         if part.seq is not None and dseq is not None and dseq <= part.seq:
             continue
         if not cols or table.num_rows == 0:
@@ -485,6 +508,12 @@ def _read_partition(part: _ScanPartition):
                 stacklevel=2,
             )
             continue
+        # key tuples are read HERE, in-task (planning shipped only the
+        # file path + footer column names)
+        ddt = pq.read_table(dpath, columns=list(cols))
+        key_tuples = list(
+            zip(*[ddt.column(c).to_pylist() for c in cols])
+        )
         del_keys = set(key_tuples)  # null-safe: None == None in tuples
         data_cols = [table.column(c).to_pylist() for c in rcols]
         mask = [tuple(vals) not in del_keys for vals in zip(*data_cols)]
@@ -532,8 +561,8 @@ class HieloIcebergReader(DataSourceReader):
             path = e["data_file"]["file_path"].removeprefix("file:")
             if content == 0:
                 # pushed filters prune data files HERE so the delete
-                # materialization below only touches delete files that
-                # can reference a surviving data file
+                # planning below only references delete files that can
+                # touch a surviving data file
                 if _file_survives(self.filters, e):
                     data.append((path, e))
             elif content == 1:
@@ -545,43 +574,50 @@ class HieloIcebergReader(DataSourceReader):
                     pos_del_files.append((path, e["_seq"], e))
             elif content == 2:
                 eq_del_files.append((path, e["_seq"]))
-        # materialize deletes ONCE (planning plane — delete files are
-        # keys/positions, small by construction): per-file position
-        # lists and shared equality key tuples. Position-delete files
-        # whose file_path bounds can't touch any surviving data file are
-        # never even read (the delete-side twin of data-file skipping).
+        # Deletes are planned as REFERENCES, never materialized here:
+        # the driver keeps only (delete file path / blob region
+        # coordinates) per surviving data file, and each scan task
+        # reads/decodes its own deletes beside the scan
+        # (_read_partition). At 100 TB under heavy deletes no position
+        # ever masses on the driver — planning cost is O(delete files),
+        # not O(deleted rows). Position-delete files whose file_path
+        # bounds can't touch a surviving data file are never attached
+        # (the delete-side twin of data-file skipping).
         surviving = sorted(p for p, _e in data)
 
-        def _may_reference(e) -> bool:
+        def _pos_del_bounds(e):
+            lo_m, hi_m, _bt = _entry_bounds(e)
+            lo = (lo_m or {}).get("file_path")
+            hi = (hi_m or {}).get("file_path")
+            return (
+                lo.removeprefix("file:") if lo is not None else None,
+                hi.removeprefix("file:") if hi is not None else None,
+            )
+
+        def _may_reference(lo, hi) -> bool:
             import bisect
 
-            lo_m, hi_m, _bt = _entry_bounds(e)
-            lo, hi = (lo_m or {}).get("file_path"), (hi_m or {}).get("file_path")
             if lo is None or hi is None:
                 return True
-            lo = lo.removeprefix("file:")
-            hi = hi.removeprefix("file:")
             i = bisect.bisect_left(surviving, lo)
             return i < len(surviving) and surviving[i] <= hi
 
-        pos_by_file: dict[str, list[tuple[int, int | None]]] = {}
+        # (dpath, dseq, lo, hi) for delete files that can touch ANY
+        # surviving file; per-partition attachment re-checks the bounds
+        # against that file's own path below
+        pos_del_refs = []
         for dpath, dseq, de in pos_del_files:
-            if not _may_reference(de):
-                continue
-            dt = pq.read_table(dpath)
-            for p, i in zip(dt.column("file_path").to_pylist(),
-                            dt.column("pos").to_pylist()):
-                key = os.path.abspath(str(p).removeprefix("file:"))
-                pos_by_file.setdefault(key, []).append((int(i), dseq))
+            lo, hi = _pos_del_bounds(de)
+            if _may_reference(lo, hi):
+                pos_del_refs.append((dpath, dseq, lo, hi))
+        dv_best: dict[str, tuple] = {}
         if dv_files:
             # v3 deletion vectors: at most one applies per data file —
             # keep the max-sequence one (our writer merges the prior DV
-            # into each replacement, so it's a superset). Only blob
-            # REGIONS of surviving files are ever read.
-            from ..metadata.puffin import decode_dv_payload
-
+            # into each replacement, so it's a superset). Planning only
+            # records each blob's (path, offset, size) coordinates; the
+            # scan task reads its own ≤8 KiB region and decodes there.
             surviving_abs = {os.path.abspath(p) for p in surviving}
-            dv_best: dict[str, tuple] = {}
             for ppath, dseq, df_rec in dv_files:
                 key = os.path.abspath(
                     str(df_rec["referenced_data_file"]).removeprefix("file:")
@@ -591,24 +627,14 @@ class HieloIcebergReader(DataSourceReader):
                 cur = dv_best.get(key)
                 if cur is None or (dseq or 0) > (cur[1] or 0):
                     dv_best[key] = (ppath, dseq, df_rec)
-            for key, (ppath, dseq, df_rec) in dv_best.items():
-                with open(ppath, "rb") as fh:
-                    fh.seek(int(df_rec["content_offset"]))
-                    payload = fh.read(int(df_rec["content_size_in_bytes"]))
-                pos_by_file.setdefault(key, []).extend(
-                    (int(i), dseq)
-                    for i in decode_dv_payload(payload).tolist()
-                )
+        # equality deletes: the projection must be widened by the
+        # delete files' KEY columns, which planning learns from each
+        # parquet FOOTER only (read_schema — no row is decoded); the
+        # key tuples themselves are read in-task
         eq_del = []
         for dpath, dseq in eq_del_files:
-            dt = pq.read_table(dpath)
-            cols = dt.column_names
-            eq_del.append((
-                cols,
-                list(zip(*[dt.column(c).to_pylist() for c in cols]))
-                if cols else [],
-                dseq,
-            ))
+            cols = pq.read_schema(dpath).names
+            eq_del.append((dpath, list(cols), dseq))
         # column pruning: tasks materialize the pruned projection PLUS
         # any equality-delete key columns the projection dropped (the
         # deletes must still apply even when their keys aren't selected);
@@ -621,7 +647,7 @@ class HieloIcebergReader(DataSourceReader):
                 for a in (rest[0] if rest else ())
             }
             needed = set(self.out_names)
-            for cols, _tuples, _dseq in eq_del:
+            for _dpath, cols, _dseq in eq_del:
                 for c in cols:
                     cur = c if c in {n for n, *_ in self.schema_cols} \
                         else hist2cur.get(c)
@@ -649,21 +675,33 @@ class HieloIcebergReader(DataSourceReader):
                     for k, v in data_file["partition"].items()
                     if v is not None
                 }
-            # this file's position deletes, sequence-scoped here so the
-            # task ships only the applicable positions
+            # this file's delete REFERENCES, bounds- and sequence-scoped
+            # here so the task reads only delete files that can apply
+            # to it (spec: position deletes apply at dseq >= data seq)
             seq = e["_seq"]
-            my_pos = [
-                i for i, dseq in pos_by_file.get(os.path.abspath(path), ())
-                if seq is None or dseq is None or dseq >= seq
+            my_refs = [
+                (dpath, dseq)
+                for dpath, dseq, lo, hi in pos_del_refs
+                if (lo is None or hi is None or lo <= path <= hi)
+                and (seq is None or dseq is None or dseq >= seq)
             ]
+            dv = dv_best.get(os.path.abspath(path))
+            dv_ref = None
+            if dv is not None:
+                _ppath, _dseq, df_rec = dv
+                dv_ref = (
+                    _ppath,
+                    int(df_rec["content_offset"]),
+                    int(df_rec["content_size_in_bytes"]),
+                )
             frid = data_file.get("first_row_id")
             parts.append(
-                _ScanPartition(path, seq, my_pos, eq_del,
+                _ScanPartition(path, seq, my_refs, eq_del,
                                task_cols, pvals,
                                out_names=out_names, scan_log=scan_log,
                                frid=(int(frid) if frid is not None
                                      else None),
-                               lineage=lineage)
+                               lineage=lineage, dv_ref=dv_ref)
             )
         if not parts:
             # Spark requires >= 1 partition; an empty scan still needs one

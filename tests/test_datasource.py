@@ -985,9 +985,15 @@ def test_read_incremental_skip_options(spark, tmp_path):
     assert [(r.id, r.v) for r in inc.collect()] == [(2, "b")]
 
 
-def test_datasource_prunes_delete_files_by_bounds(spark, tmp_path, monkeypatch):
-    """The DataSource planner must not even READ a position-delete
-    parquet whose file_path bounds can't touch a surviving data file."""
+def test_datasource_planning_never_materializes_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """The DataSource planner ships delete REFERENCES only: it must not
+    read a single position-delete parquet row nor decode a DV blob at
+    planning — at 100 TB under heavy deletes the deleted positions must
+    never mass on the driver. Bounds pruning still applies: a delete
+    file whose file_path bounds can't touch a surviving data file is
+    not even attached to a partition."""
     from pyspark.sql.datasource import GreaterThanOrEqual
 
     from hielo_spark.sources import iceberg_source as S
@@ -1005,26 +1011,66 @@ def test_datasource_prunes_delete_files_by_bounds(spark, tmp_path, monkeypatch):
 
     import pyarrow.parquet as pq
 
-    read_paths = []
-    real = pq.read_table
+    from hielo_spark.metadata import puffin as P
 
-    def spy(path, *a, **kw):
-        read_paths.append(str(path))
-        return real(path, *a, **kw)
+    def no_rows(path, *a, **kw):  # planning may read footers, not rows
+        raise AssertionError(f"planning read parquet rows: {path}")
+
+    def no_decode(*a, **kw):
+        raise AssertionError("planning decoded a DV payload")
 
     # partitions() imports pyarrow.parquet locally, so patching the
-    # module attribute intercepts its reads
-    monkeypatch.setattr(pq, "read_table", spy)
+    # module attributes intercepts any planning-time row read
+    monkeypatch.setattr(pq, "read_table", no_rows)
+    monkeypatch.setattr(pq, "ParquetFile", no_rows)
+    monkeypatch.setattr(P, "decode_dv_payload", no_decode)
 
     r = S.HieloIcebergReader(t, {}, [("k", "bigint")])
     list(r.pushFilters([GreaterThanOrEqual(("k",), 1000)]))
     parts = r.partitions()
-    # one surviving data file; only the second delete file was read
+    # one surviving data file; only the second delete file is attached
+    # (the first's file_path bounds can't touch the surviving file)
     assert len(parts) == 1
-    delete_reads = [p for p in read_paths if "-posdeletes" in p]
-    assert len(delete_reads) == 1 and "seq-00004" in delete_reads[0]
-    # and its positions apply to the surviving file
-    assert len(parts[0].pos_deletes) == 10
+    refs = parts[0].pos_deletes
+    assert len(refs) == 1 and "seq-00004" in refs[0][0]
+
+
+def test_datasource_dv_planning_ships_coordinates(registered, spark,
+                                                  tmp_path, monkeypatch):
+    """v3 tables: planning ships each file's DV blob (path, offset,
+    size) — decode happens in the scan task, and the read is still
+    exact."""
+    from hielo_spark.metadata import puffin as P
+    from hielo_spark.sources import iceberg_source as S
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 100).selectExpr("id AS k").coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    from hielo_spark.metadata import upgrade_format_version
+
+    upgrade_format_version(t, 3)
+    C.delete_where(spark, t, "k % 10 = 3",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+
+    calls = []
+    real = P.decode_dv_payload
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(P, "decode_dv_payload", spy)
+    r = S.HieloIcebergReader(t, {}, [("k", "bigint")])
+    parts = [p for p in r.partitions() if p.path is not None]
+    assert not calls, "planning must not decode DV payloads"
+    assert len(parts) == 1 and parts[0].dv_ref is not None
+    ppath, off, size = parts[0].dv_ref
+    assert ppath.endswith(".puffin") and size > 0
+    # task-side application: the full read drops exactly the 10 rows
+    got = sorted(
+        r.k for r in spark.read.format("hielo_iceberg").load(t).collect()
+    )
+    assert got == [k for k in range(100) if k % 10 != 3]
 
 
 def test_metadata_log_surface(registered, spark, tmp_path):

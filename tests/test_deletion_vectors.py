@@ -324,3 +324,58 @@ def test_upgrade_guard_rails(spark, tmp_path):
     got = sorted(r.id for r in read_data_at_snapshot(
         spark, C.current_metadata_path(t)).collect())
     assert got == [0, 1, 2, 4, 6, 7, 8, 9]
+
+
+def test_jvm_plane_dv_read_ships_coordinates_executor_side(
+    spark, tmp_path, monkeypatch
+):
+    """Above the driver-decode cardinality threshold the JVM read plane
+    ships only (puffin path, offset, size) coordinates to executors —
+    blob BYTES are read in-task, never fetched on the driver. Forcing
+    the threshold to 0 exercises that path end-to-end; `open` on the
+    driver after planning would show up as a wrong result here if the
+    coordinates were misplumbed."""
+    from hielo_spark.metadata import manifests as M
+
+    t = _v3_table(spark, tmp_path)
+    C.delete_where(spark, t, "id % 10 = 3",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    monkeypatch.setattr(M, "_DV_DRIVER_DECODE_MAX", 0)
+    got = sorted(r.id for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    assert got == [i for i in range(100) if i % 10 != 3]
+
+
+def test_dv_commit_writes_per_task_containers_above_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """A DELETE touching more data files than _DV_DRIVER_CONTAINER_MAX
+    writes per-TASK Puffin containers (driver collects coordinates,
+    never blob bytes) — and reads on both planes stay exact, with every
+    manifest entry's (path, offset, size) pointing into the container
+    its task wrote."""
+    monkeypatch.setattr(C, "_DV_DRIVER_CONTAINER_MAX", 2)
+    t = str(tmp_path / "wh" / "ns" / "t")
+    # 6 data files, delete rows in all of them → 3 containers (ceil by
+    # the repartition count; at least 2 with the patched threshold)
+    C.append(spark, t, spark.range(0, 60).repartition(6),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    assert upgrade_format_version(t, 3) == 3
+    snap = C.delete_where(spark, t, "id % 10 < 3",
+                          snapshot_id=102, timestamp_ms=1700100000000)
+    assert snap["summary"]["operation"] == "delete"
+    assert int(snap["summary"]["added-dvs"]) == 6
+    puffins = glob.glob(os.path.join(t, "data", "*-dvs-*.puffin"))
+    assert len(puffins) >= 1
+    # JVM plane
+    got = sorted(r.id for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    assert got == [i for i in range(60) if i % 10 >= 3]
+    # DataSource plane
+    from hielo_spark.sources import register
+
+    register(spark)
+    got2 = sorted(
+        r.id for r in spark.read.format("hielo_iceberg").load(t).collect()
+    )
+    assert got2 == got
