@@ -875,6 +875,15 @@ def _carry_forward_rows(
     )
     rows = []
     for m in read_manifest_list(spark, prev_list).collect():
+        # a manifest whose only content was status=2 tombstones (DV
+        # supersession visibility) lives exactly one snapshot — the
+        # spec keeps deleted entries only in the snapshot that deleted
+        # them, so the next commit drops the row
+        if (
+            (m.added_files_count or 0) + (m.existing_files_count or 0) == 0
+            and (m.deleted_files_count or 0) > 0
+        ):
+            continue
         rows.append(
             {
                 "manifest_path": m.manifest_path,
@@ -1757,7 +1766,7 @@ def delete_where(
     condition,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
-) -> dict:
+) -> dict | None:
     """v2 merge-on-read position-delete commit — ``DELETE WHERE`` without
     rewriting data files: prune candidate data files against the
     condition's conjuncts using the manifest bounds (the same
@@ -1775,7 +1784,11 @@ def delete_where(
     Spark collect); the scan+filter is fully distributed; the delete
     files are written by N tasks hash-partitioned on ``file_path`` and
     sorted (file_path, pos) within each per the spec's position-delete
-    ordering — never a single-task funnel."""
+    ordering — never a single-task funnel.
+
+    On a format-version ≥ 3 table the matched positions commit as
+    deletion vectors instead; a v3 delete matching ZERO rows no-ops and
+    returns None (Iceberg's empty-delete rule — no empty snapshot)."""
     import time
 
     from pyspark.sql import Column
@@ -1958,15 +1971,20 @@ def _live_dv_entries(mlist: str, fv: int) -> list[dict]:
 
 
 def _rewrite_manifest_dropping_dvs(
-    manifest_path: str, refs: set[str], mdir: str, seq: int
-) -> tuple[str, int, int] | None:
-    """Rewrite a delete manifest WITHOUT the DV entries referencing
-    ``refs`` (data files that just got a replacement DV — the spec
-    allows at most one DV per data file, so the previous one must leave
-    the live set). Raw-record rewrite under the manifest's own writer
-    schema, so foreign stats/fields survive byte-exact. Returns
-    ``(new_path, live_files, live_rows)``, or None when nothing stays
-    live (the caller drops the manifest from the carry-forward)."""
+    manifest_path: str, refs: set[str], mdir: str, seq: int,
+    snapshot_id: int | None = None,
+) -> tuple[str, int, int, int, int] | None:
+    """Rewrite a delete manifest with the DV entries referencing
+    ``refs`` re-emitted as status=2 TOMBSTONES (data files that just
+    got a replacement DV — the spec allows at most one DV per data
+    file, so the previous one must leave the live set, and the removal
+    must stay OBSERVABLE to metadata/incremental consumers). Raw-record
+    rewrite under the manifest's own writer schema, so foreign
+    stats/fields survive byte-exact; tombstoned entries get the
+    superseding snapshot's id, per the spec's deleted-entry rule.
+    Returns ``(new_path, live_files, live_rows, dropped_files,
+    dropped_rows)``, or None when nothing stays live OR tombstoned
+    (the caller drops the manifest from the carry-forward)."""
     import json as _json
 
     from .avro_py import write_avro_file
@@ -1974,7 +1992,7 @@ def _rewrite_manifest_dropping_dvs(
 
     local = _resolve(os.path.join(mdir, "x"), manifest_path)
     schema, meta, raw = read_avro_file(local)
-    kept = []
+    kept, dropped_files, dropped_rows = [], 0, 0
     for e in raw:
         ref = (e.get("data_file") or {}).get("referenced_data_file")
         if (
@@ -1982,9 +2000,21 @@ def _rewrite_manifest_dropping_dvs(
             and str(ref).removeprefix("file:") in refs
             and e.get("status") != 2
         ):
+            t = dict(e, status=2)
+            if snapshot_id is not None:
+                t["snapshot_id"] = snapshot_id
+            kept.append(t)
+            dropped_files += 1
+            dropped_rows += int(
+                (e.get("data_file") or {}).get("record_count") or 0
+            )
+            continue
+        # prior tombstones are NOT carried again — the spec keeps a
+        # deleted entry only in the snapshot that deleted it
+        if e.get("status") == 2:
             continue
         kept.append(e)
-    if not any(e.get("status") != 2 for e in kept):
+    if not kept:
         return None
     new_path = os.path.join(
         mdir, f"delete-manifest-{seq:05d}-rw-{_uuid.uuid4().hex[:8]}.avro"
@@ -1998,7 +2028,7 @@ def _rewrite_manifest_dropping_dvs(
         int((e.get("data_file") or {}).get("record_count") or 0)
         for e in live
     )
-    return new_path, len(live), live_rows
+    return new_path, len(live), live_rows, dropped_files, dropped_rows
 
 
 def _commit_deletion_vectors(
@@ -2035,6 +2065,10 @@ def _commit_deletion_vectors(
             snapshot_id,
         )
     )
+    if not entries and not replaced:
+        # Iceberg no-ops a DELETE matching zero rows (candidates pruned
+        # or filter matched nothing) — don't commit an empty snapshot
+        return None
     # NET the summary totals: a replacement DV supersedes the prior one,
     # so live delete-file count/bytes must not grow monotonically on a
     # table whose live delete set is constant (blob sizes are the live
@@ -2051,7 +2085,8 @@ def _commit_deletion_vectors(
     )
 
     prior_rows = _supersede_dv_rows(
-        _carry_forward_rows(spark, mdir, doc), replaced, old_dvs, mdir, seq
+        _carry_forward_rows(spark, mdir, doc), replaced, old_dvs, mdir,
+        seq, snapshot_id=snapshot_id,
     )
 
     new_row = {
@@ -2354,10 +2389,13 @@ def _supersede_dv_rows(
     old_dvs: dict[str, dict],
     mdir: str,
     seq: int,
+    snapshot_id: int | None = None,
 ) -> list[dict]:
-    """Drop superseded DV entries from the carried-forward delete
-    manifests (spec: at most one DV per data file) - rewrite each
-    affected manifest, drop ones left with no live entries."""
+    """Tombstone superseded DV entries in the carried-forward delete
+    manifests (spec: at most one DV per data file) — rewrite each
+    affected manifest re-emitting the superseded entries as status=2
+    with the superseding snapshot's id, drop manifests left with
+    nothing live or tombstoned."""
     if not replaced:
         return prior_rows
     by_manifest: dict[str, set[str]] = {}
@@ -2370,11 +2408,11 @@ def _supersede_dv_rows(
             rewritten_rows.append(r)
             continue
         rw = _rewrite_manifest_dropping_dvs(
-            r["manifest_path"], refs, mdir, seq
+            r["manifest_path"], refs, mdir, seq, snapshot_id=snapshot_id
         )
         if rw is None:
-            continue  # only superseded DVs lived there - drop it
-        new_path, live_files, live_rows = rw
+            continue  # nothing live or tombstoned — drop the manifest
+        new_path, live_files, live_rows, dropped_files, dropped_rows = rw
         rewritten_rows.append(
             dict(
                 r,
@@ -2382,6 +2420,10 @@ def _supersede_dv_rows(
                 manifest_length=os.path.getsize(new_path),
                 existing_files_count=live_files,
                 existing_rows_count=live_rows,
+                # supersession stays OBSERVABLE: the manifest-list row
+                # reports the tombstoned DV entries it carries
+                deleted_files_count=dropped_files,
+                deleted_rows_count=dropped_rows,
             )
         )
     return rewritten_rows
@@ -2594,6 +2636,7 @@ def rewrite_deletion_vectors(
     prior_rows = _supersede_dv_rows(
         _carry_forward_rows(spark, mdir, doc),
         set(rewritten_old), rewritten_old, mdir, seq_new,
+        snapshot_id=snapshot_id,
     )
 
     new_row = {
@@ -3256,6 +3299,7 @@ def merge_into(
     timestamp_ms: int | None = None,
     extra_summary: dict[str, str] | None = None,
     extra_properties: dict[str, str] | None = None,
+    extra_delete_keys: DataFrame | None = None,
 ) -> dict | None:
     """``MERGE INTO`` as a SINGLE merge-on-read snapshot (the Iceberg
     v2 row-level-operations shape, SURVEY §2.1 S11): one commit carries
@@ -3275,6 +3319,15 @@ def merge_into(
     Returns the new snapshot dict, or ``None`` when the merge is a
     no-op (no matched keys to change and nothing to insert) — Iceberg
     likewise skips empty commits.
+
+    ``extra_delete_keys``: an additional keys-only frame whose matching
+    target rows are deleted in the SAME commit without any
+    corresponding insert — what lets a replicated source snapshot
+    carrying both deletes and upserts land as ONE atomic destination
+    snapshot (ops/replicate.py) instead of a delete commit followed by
+    an upsert commit with an observable intermediate state. Keys that
+    match no live target row are dropped (idempotent re-apply stays a
+    no-op).
 
     Scale: the match split is one distributed semi/anti join of the
     source against the target's live rows (delete-key side is
@@ -3323,8 +3376,28 @@ def merge_into(
     target_keys = target.select(*on).distinct()
     matched_src = source_df.join(target_keys, on, "left_semi")
     delete_keys = matched_src.select(*on).distinct()
+    if extra_delete_keys is not None:
+        missing = [c for c in on if c not in extra_delete_keys.columns]
+        if missing:
+            raise ValueError(
+                f"key columns missing from extra_delete_keys: {missing}"
+            )
+        # only keys that match a live target row delete (idempotency:
+        # re-applying an already-applied delete stays a no-op)
+        extra = (
+            extra_delete_keys.select(*on).distinct()
+            .join(target_keys, on, "left_semi")
+        )
+        delete_keys = (
+            delete_keys.unionByName(extra).distinct()
+            if when_matched is not None else extra
+        )
     # deletes only materialize when a matched clause will change rows
-    n_delete_keys = delete_keys.count() if when_matched is not None else 0
+    n_delete_keys = (
+        delete_keys.count()
+        if when_matched is not None or extra_delete_keys is not None
+        else 0
+    )
 
     to_append = None
     if when_matched == "update":
@@ -3406,7 +3479,8 @@ def merge_into(
             meta=_manifest_header_meta(doc, 0, "deletes"),
         )
         manifest_rows = _supersede_dv_rows(
-            manifest_rows, dv_replaced, dv_old, mdir, seq
+            manifest_rows, dv_replaced, dv_old, mdir, seq,
+            snapshot_id=snapshot_id,
         )
         manifest_rows.append(
             {

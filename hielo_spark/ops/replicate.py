@@ -103,26 +103,49 @@ def replicate_changes(
         return {"bootstrapped": False, "applied": [],
                 "watermark": int(last)}
 
-    changes = read_changelog(
-        spark, src_mpath, from_snapshot_id=last,
-        to_snapshot_id=src_current,
-    )
     # replicate along the LINEAGE, not the changelog's row-bearing
     # snapshots: a replace (compaction) emits no rows but must still
-    # advance the watermark, or the range would be re-planned forever
+    # advance the watermark, or the range would be re-planned forever.
+    # The walk runs BEFORE the changelog read so an expired lineage
+    # fails with re-bootstrap guidance, not a changelog lookup error.
     by_id = {int(s["snapshot-id"]): s
              for s in src_doc.get("snapshots", [])}
+    if last not in by_id:
+        raise ValueError(
+            f"watermark snapshot {last} has been expired from the "
+            "source metadata — re-bootstrap required (drop the "
+            "destination or clear its watermark property)"
+        )
     chain = []
     cur = int(src_current)
     while cur != last:
         chain.append(cur)
-        parent = by_id[cur].get("parent-snapshot-id")
+        snap = by_id.get(cur)
+        if snap is None:
+            raise ValueError(
+                f"source lineage expired past watermark {last}: snapshot "
+                f"{cur} is no longer in the source metadata — "
+                "re-bootstrap required (drop the destination or clear "
+                "its watermark property)"
+            )
+        parent = snap.get("parent-snapshot-id")
         if parent is None:
-            break
+            # walked to the root without meeting the watermark: the
+            # watermark snapshot itself was expired (or the source was
+            # recreated) — replaying from the root would double-apply
+            raise ValueError(
+                f"source lineage cannot reach watermark {last} from "
+                f"{src_current} (watermark snapshot expired or source "
+                "recreated) — re-bootstrap required"
+            )
         cur = int(parent)
     chain.reverse()  # oldest first
     if max_snapshots is not None:
         chain = chain[:max_snapshots]
+    changes = read_changelog(
+        spark, src_mpath, from_snapshot_id=last,
+        to_snapshot_id=src_current,
+    )
     applied = []
     for snap_id in chain:
         batch = changes.filter(changes["_commit_snapshot_id"] == snap_id)
@@ -140,17 +163,23 @@ def replicate_changes(
         n_ins = ins.limit(1).count()
         n_del = del_keys.limit(1).count()
         marker_committed = False
-        if n_del:
-            snap = C.merge_into(
-                spark, dst_table_dir, del_keys, on=keys,
-                when_matched="delete", when_not_matched=None,
-                extra_properties=None if n_ins else marker,
-            )
-            marker_committed = (not n_ins) and snap is not None
         if n_ins:
+            # ONE atomic destination snapshot per source snapshot: the
+            # source snapshot's pure deletes ride the same commit as
+            # its upserts (extra_delete_keys), so destination readers
+            # never observe a deletes-applied/inserts-missing
+            # intermediate state
             snap = C.merge_into(
                 spark, dst_table_dir, ins, on=keys,
                 when_matched="update", when_not_matched="insert",
+                extra_delete_keys=del_keys if n_del else None,
+                extra_properties=marker,
+            )
+            marker_committed = snap is not None
+        elif n_del:
+            snap = C.merge_into(
+                spark, dst_table_dir, del_keys, on=keys,
+                when_matched="delete", when_not_matched=None,
                 extra_properties=marker,
             )
             marker_committed = snap is not None

@@ -236,8 +236,14 @@ _DEFERRED = [
     "meta_nested_roundtrip",
     "meta_hidden_partitioning_roundtrip",
     "meta_statistics_roundtrip",
-    "meta_replication_roundtrip",
-    "meta_row_lineage_roundtrip",
+    # r8: meta_replication_roundtrip + meta_row_lineage_roundtrip
+    # PROMOTED to the head (VERDICT r7 item 3 — they are r7's biggest
+    # new operators); q18_large_orders defers (top-k group-having:
+    # TakeOrderedAndProject held by q3, group-having semi-join by q21)
+    # and q15_top_supplier defers (view-max selection: decorrelated
+    # min/max family held by q2 and q20's subquery chains)
+    "q18_large_orders",
+    "q15_top_supplier",
     # r7 session 3: dup-ngram-span family stays head-covered by
     # doc_dup_ngram_coverage; its span-removal twin defers so the
     # brand-new v3 deletion-vector plane gets a driver row

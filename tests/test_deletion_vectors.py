@@ -379,3 +379,55 @@ def test_dv_commit_writes_per_task_containers_above_threshold(
         r.id for r in spark.read.format("hielo_iceberg").load(t).collect()
     )
     assert got2 == got
+
+
+def test_dv_supersession_is_observable_in_metadata(spark, tmp_path):
+    """Replacing a file's DV must leave a visible record: the rewritten
+    carried-forward delete manifest re-emits the superseded entry as a
+    status=2 tombstone attributed to the superseding snapshot, and its
+    manifest-list row reports deleted_files_count/deleted_rows_count.
+    The tombstone lives exactly one snapshot (the spec's deleted-entry
+    rule) — the next commit's carry-forward drops a tombstone-only
+    manifest."""
+    from hielo_spark.metadata.manifests import (
+        _resolve, read_avro_file, read_manifest_list,
+    )
+
+    t = str(tmp_path / "wh" / "ns" / "t")
+    C.append(spark, t, spark.range(0, 100).coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    assert upgrade_format_version(t, 3) == 3
+    C.delete_where(spark, t, "id < 5",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, "id >= 95",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"] if s["snapshot-id"] == 103)
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     cur["manifest-list"].removeprefix("file:"))
+    rows = read_manifest_list(spark, mlist).collect()
+    rewritten = [r for r in rows
+                 if r.content == 1 and (r.deleted_files_count or 0) > 0]
+    assert len(rewritten) == 1
+    assert rewritten[0].deleted_files_count == 1
+    _sch, _meta, raw = read_avro_file(
+        _resolve(os.path.join(t, "metadata", "x"),
+                 rewritten[0].manifest_path.removeprefix("file:")))
+    tomb = [e for e in raw if e.get("status") == 2]
+    assert len(tomb) == 1 and tomb[0]["snapshot_id"] == 103
+    # one snapshot later the tombstone-only manifest is gone
+    C.append(spark, t, spark.range(200, 205),
+             snapshot_id=104, timestamp_ms=1700300000000)
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"] if s["snapshot-id"] == 104)
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     cur["manifest-list"].removeprefix("file:"))
+    rows = read_manifest_list(spark, mlist).collect()
+    assert all((r.deleted_files_count or 0) == 0 for r in rows)
+    assert all((r.added_files_count or 0) + (r.existing_files_count or 0) > 0
+               for r in rows)
+    # and reads remain exact throughout
+    got = sorted(r.id for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    assert got == list(range(5, 95)) + list(range(200, 205))

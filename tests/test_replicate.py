@@ -144,3 +144,61 @@ def test_replicate_requires_keys_and_source(spark, tmp_path):
     with pytest.raises(ValueError, match="no table metadata"):
         replicate_changes(spark, str(tmp_path / "missing"),
                           str(tmp_path / "b"), keys=["id"])
+
+
+def test_replicate_delete_plus_insert_is_one_atomic_commit(spark, tmp_path):
+    """A source snapshot carrying BOTH deletes and inserts (an
+    overwrite/merge) must map to exactly ONE destination snapshot —
+    readers never observe a deletes-applied/inserts-missing
+    intermediate state."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    C.append(spark, src,
+             spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                   ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    replicate_changes(spark, src, dst, keys=["id"])
+    # ONE source snapshot whose changelog has pure deletes (id=1) AND
+    # inserts (id=4): when_matched=delete + when_not_matched=insert
+    C.merge_into(spark, src,
+                 spark.createDataFrame([(1, "a"), (4, "d")], ["id", "v"]),
+                 on=["id"], when_matched="delete",
+                 when_not_matched="insert",
+                 snapshot_id=102, timestamp_ms=1700100000000)
+    n_before = len(
+        json.load(open(C.current_metadata_path(dst)))["snapshots"])
+    r = replicate_changes(spark, src, dst, keys=["id"])
+    assert r["applied"] == [102] and r["watermark"] == 102
+    snaps = json.load(open(C.current_metadata_path(dst)))["snapshots"]
+    # exactly ONE destination snapshot for the delete+insert source
+    # snapshot (previously: a delete commit then an upsert commit)
+    assert len(snaps) == n_before + 1
+    assert _rows(spark, dst) == [(2, "b"), (3, "c"), (4, "d")]
+    # and that single snapshot carries both the delete and the append
+    applied = snaps[-1]["summary"]
+    assert int(applied.get("deleted-records", 0)) >= 1
+    assert int(applied.get("added-records", 0)) >= 1
+
+
+def test_replicate_lineage_expired_raises_descriptive(spark, tmp_path):
+    """If source snapshot expiry removed the lineage between the
+    watermark and current, replication must fail with a clear
+    re-bootstrap message, not a KeyError."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    C.append(spark, src, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    replicate_changes(spark, src, dst, keys=["id"])
+    C.append(spark, src, spark.createDataFrame([(2, "b")], ["id", "v"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.append(spark, src, spark.createDataFrame([(3, "c")], ["id", "v"]),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    # surgically expire 101 and 102 from the metadata (what
+    # expire_snapshots would do given a tight retention)
+    mpath = C.current_metadata_path(src)
+    doc = json.load(open(mpath))
+    doc["snapshots"] = [s for s in doc["snapshots"]
+                        if s["snapshot-id"] == 103]
+    json.dump(doc, open(mpath, "w"))
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        replicate_changes(spark, src, dst, keys=["id"])
