@@ -1157,6 +1157,36 @@ def append(
 
     # 1. data files — distributed parquet write into a per-commit dir
     data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}")
+    # v3 write-default: columns of the current schema that carry a
+    # write-default and are ABSENT from the frame are materialized as
+    # that value (the spec's writer rule) — a later read of this file
+    # then sees the default explicitly, never via the initial-default
+    # fill path
+    cur_schema = next(
+        (
+            s for s in doc.get("schemas", [])
+            if s.get("schema-id") == doc.get("current-schema-id")
+        ),
+        None,
+    )
+    if cur_schema is not None:
+        from pyspark.sql import functions as _F
+
+        from .types import iceberg_to_ddl as _i2d
+        from .values import default_from_json as _dfj
+
+        for f in cur_schema.get("fields", []):
+            if (
+                f.get("write-default") is not None
+                and isinstance(f.get("type"), str)
+                and f["name"] not in df.columns
+            ):
+                df = df.withColumn(
+                    f["name"],
+                    _F.lit(
+                        _dfj(f["type"], f["write-default"])
+                    ).cast(_i2d(f["type"])),
+                )
     dtypes = dict(df.dtypes)
     # explicit partition_by wins; otherwise write under the table's
     # recorded default spec (Iceberg writer behavior — partition
@@ -2705,7 +2735,13 @@ def update_schema(
     schema list ``data.rs:21-33``) works over tables our own write
     plane evolved, not just fixture metadata.
 
-    ``add``: ``[(name, sql_type)]``; ``drop``: ``[name]`` (refused for
+    ``add``: ``[(name, sql_type)]`` or ``[(name, sql_type, default)]``
+    — the 3-tuple form records the value under the spec's v3
+    ``initial-default``/``write-default`` keys (format-version ≥ 3
+    only): files written BEFORE the add read the default where they
+    would read null, and appends that omit the column write it
+    (metadata/values.py JSON single-value serialization).
+    ``drop``: ``[name]`` (refused for
     partition source fields, per the spec); ``rename``: ``{old: new}``;
     ``widen``: ``{name: sql_type}`` restricted to the spec's legal
     promotions (int→long, float→double, decimal precision increase at
@@ -2817,7 +2853,9 @@ def update_schema(
         alloc_box[0] += 1
         return alloc_box[0]
 
-    for name, sql_t in add:
+    for entry in add:
+        name, sql_t = entry[0], entry[1]
+        default = entry[2] if len(entry) > 2 else None
         if name in names:
             raise ValueError(f"cannot add duplicate column {name!r}")
         if name in hist_ids:
@@ -2829,16 +2867,33 @@ def update_schema(
             )
         names.add(name)
         fid = _alloc()
-        fields.append(
-            {
-                "id": fid,
-                "name": name,
-                "required": False,
-                # nested types (array<...>/map<...>/struct<...>) record
-                # their spec JSON form with fresh element/key/value ids
-                "type": sql_to_iceberg(sql_t, _alloc),
-            }
-        )
+        field = {
+            "id": fid,
+            "name": name,
+            "required": False,
+            # nested types (array<...>/map<...>/struct<...>) record
+            # their spec JSON form with fresh element/key/value ids
+            "type": sql_to_iceberg(sql_t, _alloc),
+        }
+        if default is not None:
+            if int(doc.get("format-version", 2)) < 3:
+                raise ValueError(
+                    f"column default for {name!r} requires "
+                    "format-version >= 3 (initial-default/write-default "
+                    "are v3 schema features; upgrade_format_version "
+                    "first)"
+                )
+            if not isinstance(field["type"], str):
+                raise ValueError(
+                    f"defaults on nested-typed column {name!r} are not "
+                    "supported"
+                )
+            from .values import default_to_json
+
+            j = default_to_json(field["type"], default)
+            field["initial-default"] = j
+            field["write-default"] = j
+        fields.append(field)
     last_id = alloc_box[0]
 
     new_sid = max(int(s.get("schema-id", 0)) for s in doc["schemas"]) + 1

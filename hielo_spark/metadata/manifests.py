@@ -589,6 +589,63 @@ def evolved_read_plan(
     return cols, aliases
 
 
+def schema_defaults(
+    doc: dict, schema_id: int | None = None
+) -> dict[str, tuple]:
+    """v3 column defaults for the requested schema:
+    ``{name: (python_value, spark_ddl, first_seq)}`` for every field
+    carrying an ``initial-default``. ``first_seq`` is the lowest data
+    sequence number committed under a schema CONTAINING the field —
+    files with a lower sequence predate the column and read the
+    default where they'd read null (the spec's initial-default rule;
+    exact here because our write plane always writes the full current
+    schema, so any file at or past that sequence carries the column).
+    ``None`` first_seq = no snapshot under such a schema yet (every
+    live file predates)."""
+    schemas = doc.get("schemas") or []
+    sid = (
+        schema_id if schema_id is not None
+        else doc.get("current-schema-id", 0)
+    )
+    target = next(
+        (s for s in schemas if s.get("schema-id") == sid), None
+    )
+    if target is None:
+        return {}
+    from .types import iceberg_to_ddl
+    from .values import default_from_json
+
+    with_defaults = [
+        f for f in target.get("fields", [])
+        if f.get("initial-default") is not None
+        and isinstance(f.get("type"), str)
+    ]
+    if not with_defaults:
+        return {}
+    # field-id set per schema-id, for "which snapshots' schemas contain
+    # this field" (planning-plane: O(snapshots x fields))
+    ids_of = {
+        int(s.get("schema-id", 0)): {
+            int(g["id"]) for g in s.get("fields", [])
+        }
+        for s in schemas
+    }
+    out = {}
+    for f in with_defaults:
+        fid = int(f["id"])
+        seqs = [
+            int(s.get("sequence-number", 0))
+            for s in doc.get("snapshots", [])
+            if fid in ids_of.get(int(s.get("schema-id", -1)), ())
+        ]
+        out[f["name"]] = (
+            default_from_json(f["type"], f["initial-default"]),
+            iceberg_to_ddl(f["type"]),
+            min(seqs) if seqs else None,
+        )
+    return out
+
+
 def _read_files_with_partitions(
     spark: SparkSession,
     data_files: list[dict],
@@ -929,9 +986,12 @@ def read_data_at_snapshot(
             "(upgrade_format_version)"
         )
     eq_delete_files = live_files(2)
+    # v3 initial-default application below is sequence-gated per FILE,
+    # so it needs the _fp coordinate like equality deletes do
+    defaults = schema_defaults(doc, read_schema_id)
     row_coords = (
         "fp_pos" if (pos_delete_files or dv_best or row_lineage)
-        else ("fp" if eq_delete_files else "none")
+        else ("fp" if (eq_delete_files or defaults) else "none")
     )
     if row_lineage and schema_cols is None:
         # single-schema fast path has no explicit column plan, but a
@@ -967,6 +1027,33 @@ def read_data_at_snapshot(
     data = _read_files_with_partitions(
         spark, data_files, row_coords, schema_cols=read_cols, aliases=aliases
     )
+    if defaults:
+        # v3 initial-default: files written BEFORE a column's add read
+        # its default where they'd read null. Sequence-gated via a
+        # broadcast (path → seq) planning-plane map, so explicit nulls
+        # in post-add files stay null.
+        dmap = spark.createDataFrame(
+            [(f["path"], f["seq"]) for f in data_files],
+            "_fp string, _defseq long",
+        ).select(_strip_scheme(F.col("_fp")).alias("_fp"), "_defseq")
+        data = data.join(F.broadcast(dmap), "_fp", "left")
+        for name, (val, ddl, first_seq) in defaults.items():
+            if name not in data.columns:
+                continue
+            pre = (
+                F.lit(True) if first_seq is None
+                else (
+                    F.col("_defseq").isNull()
+                    | (F.col("_defseq") < F.lit(int(first_seq)))
+                )
+            )
+            data = data.withColumn(
+                name,
+                F.when(
+                    pre & F.col(name).isNull(), F.lit(val).cast(ddl)
+                ).otherwise(F.col(name)),
+            )
+        data = data.drop("_defseq")
     if skip_filter and apply_row_filter:
         data = data.filter(_row_predicate(skip_filter))
     if row_lineage:

@@ -37,7 +37,18 @@ _ICEBERG_TO_SQL = {
     "float": "float", "double": "double", "date": "date",
     "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
     "string": "string", "binary": "binary", "uuid": "string",
+    # v3 types, handled GRACEFULLY (the reference panics on these —
+    # iceberg_adapter.rs:138-139 — SURVEY §1.2 commits us to better):
+    # nanosecond timestamps cast to Spark's microsecond precision with
+    # a documented-precision warning (iceberg_to_ddl below); `unknown`
+    # (a column whose type is not yet known; spec: values are always
+    # null and the field is always optional) surfaces as a string
+    # column that reads null — no data file can carry it.
+    "timestamp_ns": "timestamp_ntz", "timestamptz_ns": "timestamp",
+    "unknown": "string",
 }
+
+_PRECISION_LOSS = {"timestamp_ns", "timestamptz_ns"}
 
 
 def split_top(s: str) -> list[str]:
@@ -98,8 +109,20 @@ def sql_to_iceberg(sql_type: str, alloc: Callable[[], int]):
 
 
 def iceberg_to_ddl(t) -> str:
-    """Iceberg type (str or nested JSON dict) → Spark DDL string."""
+    """Iceberg type (str or nested JSON dict) → Spark DDL string.
+
+    v3 nanosecond timestamps map to Spark's microsecond timestamps with
+    a PRECISION warning (sub-microsecond digits truncate on read);
+    ``unknown`` maps to a string column that reads null."""
     if isinstance(t, str):
+        if t in _PRECISION_LOSS:
+            import warnings
+
+            warnings.warn(
+                f"Iceberg type {t!r} read at microsecond precision "
+                "(Spark timestamps are µs; sub-µs digits truncate)",
+                stacklevel=2,
+            )
         return _ICEBERG_TO_SQL.get(t, t)
     kind = t.get("type")
     if kind == "list":

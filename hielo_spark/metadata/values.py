@@ -156,3 +156,55 @@ def deserialize_value(iceberg_type: str, b: bytes) -> str:
         digits = str(abs(unscaled)).rjust(scale + 1, "0")
         return f"{sign}{digits[:-scale]}.{digits[-scale:]}"
     raise ValueError(f"unsupported type for single-value deserialization: {t}")
+
+
+# ---------------------------------------------------------------------------
+# v3 default values — the spec's JSON single-value serialization
+# (iceberg.apache.org/spec/#json-single-value-serialization), the
+# subset our write plane produces: booleans/ints/floats/strings ride
+# as native JSON; date / timestamp / timestamptz as their ISO strings.
+
+def default_to_json(iceberg_type: str, value):
+    """Python value → the JSON form stored under a schema field's
+    ``initial-default`` / ``write-default`` keys. Raises ValueError for
+    types we don't serialize (nested types have no defaults in our
+    writer)."""
+    if value is None:
+        raise ValueError("a default value cannot be null (omit it)")
+    t = iceberg_type
+    if t == "boolean":
+        return bool(value)
+    if t in ("int", "long"):
+        return int(value)
+    if t in ("float", "double"):
+        return float(value)
+    if t in ("string", "uuid") or str(t).startswith("decimal"):
+        return str(value)
+    if t == "date":
+        return value.isoformat() if isinstance(value, date) else str(value)
+    if t in ("timestamp", "timestamptz"):
+        if isinstance(value, datetime):
+            return _format_ts(
+                int((value if value.tzinfo else
+                     value.replace(tzinfo=timezone.utc))
+                    .timestamp() * 1_000_000)
+            ) + ("+00:00" if t == "timestamptz" else "")
+        return str(value)
+    raise ValueError(
+        f"no default-value serialization for Iceberg type {t!r}"
+    )
+
+
+def default_from_json(iceberg_type: str, j):
+    """Inverse of :func:`default_to_json`: the stored JSON form → the
+    Python value both read planes fill (F.lit / pyarrow array)."""
+    t = iceberg_type
+    if t == "date":
+        return date.fromisoformat(str(j))
+    if t in ("timestamp", "timestamptz"):
+        s = str(j).replace(" ", "T")
+        dt = datetime.fromisoformat(s)
+        if t == "timestamptz" and dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt
+    return j

@@ -452,6 +452,7 @@ def _read_partition(part: _ScanPartition):
                      if a in table.column_names),
                     None,
                 )
+            default = rest[1] if len(rest) > 1 else None
             if src is not None:
                 col = table.column(src)
                 if want is not None and col.type != want:
@@ -469,6 +470,16 @@ def _read_partition(part: _ScanPartition):
                             pa.lib.ArrowTypeError):
                         pass
                 cols.append(col)
+            elif default is not None:
+                # v3 initial-default: THIS file predates the column
+                # (its footer doesn't carry it under any name) — fill
+                # the default, not null
+                cols.append(
+                    pa.array(
+                        [default] * table.num_rows,
+                        type=want or pa.string(),
+                    )
+                )
             else:
                 cols.append(
                     pa.nulls(table.num_rows, type=want or pa.string())
@@ -1694,8 +1705,22 @@ class HieloIcebergDataSource(DataSource):
                         hist.append(g["name"])
             from ..metadata.types import iceberg_to_ddl
 
+            # v3 initial-default rides as the 4th element (decoded to a
+            # Python value at planning); tasks fill it where a file
+            # predates the column — exact here, because task-side reads
+            # know column PRESENCE from the file's own footer
+            default = None
+            if f.get("initial-default") is not None and isinstance(
+                f.get("type"), str
+            ):
+                from ..metadata.values import default_from_json
+
+                default = default_from_json(
+                    f["type"], f["initial-default"]
+                )
             out.append(
-                (f["name"], iceberg_to_ddl(f["type"]), tuple(hist[::-1]))
+                (f["name"], iceberg_to_ddl(f["type"]),
+                 tuple(hist[::-1]), default)
             )
         return out
 

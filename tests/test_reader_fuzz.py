@@ -1,0 +1,216 @@
+"""Reader fuzz: mutate OUR OWN committed artifacts the way a foreign
+Iceberg writer legitimately could — record-field order permuted,
+optional stats fields absent from the manifest schema, run-container
+DV serializations, unknown metadata.json keys — and assert both read
+planes still return exact results. This is the cheap proxy for
+their-write→our-read interop while the sandbox has no second engine
+(VERDICT r7 item 5)."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pytest
+
+from hielo_spark.metadata import commit as C
+from hielo_spark.metadata import upgrade_format_version
+from hielo_spark.metadata.avro_py import read_avro_file, write_avro_file
+from hielo_spark.metadata.manifests import _resolve, read_data_at_snapshot
+
+
+@pytest.fixture()
+def registered(spark):
+    from hielo_spark.sources import register
+
+    register(spark)
+    return spark
+
+
+def _both_plane_ids(spark, t):
+    jvm = sorted(r.id for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    ds = sorted(
+        r.id for r in spark.read.format("hielo_iceberg").load(t).collect()
+    )
+    assert jvm == ds
+    return jvm
+
+
+def _data_manifest_paths(t):
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     cur["manifest-list"].removeprefix("file:"))
+    _s, _m, rows = read_avro_file(mlist)
+    return [
+        _resolve(mlist, r["manifest_path"]) for r in rows
+        if r.get("content", 0) == 0
+    ]
+
+
+def _rewrite_manifest(path, mutate_schema, mutate_entry):
+    schema, meta, raw = read_avro_file(path)
+    schema = mutate_schema(schema)
+    raw = [mutate_entry(dict(e)) for e in raw]
+    hdr = {k: v for k, v in (meta or {}).items()
+           if not k.startswith("avro.")}
+    write_avro_file(path, json.dumps(schema), raw, meta=hdr)
+
+
+def test_manifest_field_order_permuted(registered, spark, tmp_path):
+    """A writer may order record fields however it likes — Avro decodes
+    by the WRITER's schema, so readers must not assume our field
+    order. Reverse every record's field list and rewrite."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 50).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+
+    def rev(node):
+        if isinstance(node, dict):
+            out = {k: rev(v) for k, v in node.items()}
+            if out.get("type") == "record":
+                out["fields"] = [rev(f) for f in out["fields"]][::-1]
+            return out
+        if isinstance(node, list):
+            return [rev(x) for x in node]
+        return node
+
+    for mp in _data_manifest_paths(t):
+        _rewrite_manifest(mp, rev, lambda e: e)
+    assert _both_plane_ids(spark, t) == list(range(50))
+
+
+def test_manifest_optional_stats_fields_absent(registered, spark,
+                                               tmp_path):
+    """A minimal foreign writer may omit the optional stats fields
+    ENTIRELY from its manifest schema (not just write nulls). Reads
+    must survive, and bounds-based skipping must degrade to
+    conservative (keep every file), never crash or wrongly prune."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 50).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    dropped = {
+        "column_sizes", "value_counts", "null_value_counts",
+        "nan_value_counts", "lower_bounds", "upper_bounds",
+        "distinct_counts", "key_metadata", "split_offsets",
+        "equality_ids", "sort_order_id",
+    }
+
+    def strip_schema(node):
+        if isinstance(node, dict):
+            out = {k: strip_schema(v) for k, v in node.items()}
+            if out.get("type") == "record":
+                out["fields"] = [
+                    strip_schema(f) for f in out["fields"]
+                    if f.get("name") not in dropped
+                ]
+            return out
+        if isinstance(node, list):
+            return [strip_schema(x) for x in node]
+        return node
+
+    def strip_entry(e):
+        e["data_file"] = {
+            k: v for k, v in e["data_file"].items() if k not in dropped
+        }
+        return e
+
+    for mp in _data_manifest_paths(t):
+        _rewrite_manifest(mp, strip_schema, strip_entry)
+    assert _both_plane_ids(spark, t) == list(range(50))
+    # bounds gone → skipping keeps the file (conservative, not wrong)
+    got = read_data_at_snapshot(
+        spark, C.current_metadata_path(t), skip_filter=("id", ">=", 40)
+    )
+    assert sorted(r.id for r in got.collect()) == list(range(40, 50))
+
+
+def test_run_container_dv_read(registered, spark, tmp_path):
+    """Foreign writers may RUN-compress DV bitmaps (our writer never
+    does). Hand-encode the same position set {5..8} as a run container
+    inside the 64-bit portable framing, splice it into a fresh Puffin
+    blob, repoint the delete manifest entry, and assert both planes
+    still drop exactly those rows."""
+    import zlib
+
+    from hielo_spark.metadata.puffin import _DV_MAGIC, write_puffin
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 20).coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    upgrade_format_version(t, 3)
+    C.delete_where(spark, t, "id >= 5 AND id <= 8",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    assert _both_plane_ids(spark, t) == [
+        i for i in range(20) if not (5 <= i <= 8)
+    ]
+    # run-encoded 32-bit bitmap holding the run (5, len-1=3) → {5..8}
+    run32 = (
+        struct.pack("<I", 12346 | ((1 - 1) << 16))  # run cookie, 1 ctr
+        + b"\x01"                                   # run-flag bitset
+        + struct.pack("<HH", 0, 4 - 1)              # key 0, card-1
+        + struct.pack("<HHH", 1, 5, 3)              # 1 run: start 5 len 4
+    )
+    vec = struct.pack("<Q", 1) + struct.pack("<I", 0) + run32
+    body = _DV_MAGIC + vec
+    payload = (
+        struct.pack(">I", len(body)) + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+    # sanity: the run form decodes to the same positions
+    from hielo_spark.metadata.puffin import decode_dv_payload
+
+    assert decode_dv_payload(payload).tolist() == [5, 6, 7, 8]
+    # splice: new container, repoint the DV manifest entry
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     cur["manifest-list"].removeprefix("file:"))
+    _s, _m, rows = read_avro_file(mlist)
+    dmp = next(_resolve(mlist, r["manifest_path"]) for r in rows
+               if r.get("content") == 1)
+    ppath = os.path.join(t, "data", "fuzz-run-dv.puffin")
+    schema, meta, raw = read_avro_file(dmp)
+    entry = next(e for e in raw
+                 if (e.get("data_file") or {}).get("referenced_data_file"))
+    _fs, _ft, metas = write_puffin(ppath, [{
+        "type": "deletion-vector-v1", "fields": [],
+        "snapshot-id": 102, "sequence-number": 2, "payload": payload,
+        "properties": {
+            "referenced-data-file":
+                entry["data_file"]["referenced_data_file"],
+            "cardinality": "4",
+        },
+    }], {"created-by": "fuzz"})
+    entry["data_file"]["file_path"] = ppath
+    entry["data_file"]["content_offset"] = int(metas[0]["offset"])
+    entry["data_file"]["content_size_in_bytes"] = int(metas[0]["length"])
+    hdr = {k: v for k, v in (meta or {}).items()
+           if not k.startswith("avro.")}
+    write_avro_file(dmp, json.dumps(schema), raw, meta=hdr)
+    assert _both_plane_ids(spark, t) == [
+        i for i in range(20) if not (5 <= i <= 8)
+    ]
+
+
+def test_metadata_json_unknown_keys_ignored(registered, spark, tmp_path):
+    """Future-spec writers add top-level / snapshot / schema-field keys
+    we don't know. Reads must ignore them everywhere."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 10),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    mpath = C.current_metadata_path(t)
+    doc = json.load(open(mpath))
+    doc["future-top-level-key"] = {"nested": [1, 2, 3]}
+    for s in doc["snapshots"]:
+        s["future-snapshot-key"] = "x"
+    for sch in doc["schemas"]:
+        sch["future-schema-key"] = 7
+        for f in sch["fields"]:
+            f["future-field-key"] = True
+    json.dump(doc, open(mpath, "w"))
+    assert _both_plane_ids(spark, t) == list(range(10))

@@ -472,3 +472,74 @@ def test_random_evolution_sequences_keep_invariants(spark, tmp_path):
     got = read_data_at_snapshot(spark, C.current_metadata_path(t))
     assert got.columns == final_cols
     assert got.count() == 2
+
+
+def test_v3_column_defaults_roundtrip(spark, tmp_path):
+    """v3 initial-default / write-default (spec §Default values):
+    add-column with a default on a v3 table → (a) the schema records
+    the JSON single-value form; (b) files written BEFORE the add read
+    the default on BOTH planes; (c) appends that OMIT the column
+    materialize the write-default; (d) an EXPLICIT null written after
+    the add stays null (initial-default never applies to post-add
+    files); (e) defaults are refused on v2 tables."""
+    from hielo_spark.metadata import upgrade_format_version
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1,), (2,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    # (e) v2 refusal
+    with pytest.raises(ValueError, match="format-version"):
+        C.update_schema(t, add=[("tier", "string", "bronze")])
+    upgrade_format_version(t, 3)
+    C.update_schema(t, add=[("tier", "string", "bronze")])
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["schemas"]
+               if s["schema-id"] == doc["current-schema-id"])
+    f = next(g for g in cur["fields"] if g["name"] == "tier")
+    assert f["initial-default"] == "bronze"
+    assert f["write-default"] == "bronze"
+    # (c) append WITHOUT the column → write-default materialized
+    C.append(spark, t, spark.createDataFrame([(3,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    # (d) append WITH an explicit null
+    C.append(spark, t,
+             spark.createDataFrame([(4, None)], "id long, tier string"),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    expect = [(1, "bronze"), (2, "bronze"), (3, "bronze"), (4, None)]
+    # (b) JVM plane
+    got = sorted(
+        ((r.id, r.tier) for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)).collect()),
+        key=lambda x: x[0],
+    )
+    assert got == expect
+    # (b) DataSource plane
+    from hielo_spark.sources import register
+
+    register(spark)
+    got2 = sorted(
+        ((r.id, r.tier) for r in
+         spark.read.format("hielo_iceberg").load(t).collect()),
+        key=lambda x: x[0],
+    )
+    assert got2 == expect
+
+
+def test_v3_new_types_read_gracefully(tmp_path):
+    """timestamp_ns / timestamptz_ns map to Spark µs timestamps with a
+    precision warning; `unknown` surfaces as an always-null string —
+    never a crash (the reference PANICS on these,
+    iceberg_adapter.rs:138-139; SURVEY §1.2 commits us to the graceful
+    cast)."""
+    import warnings
+
+    from hielo_spark.metadata.types import iceberg_to_ddl
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert iceberg_to_ddl("timestamp_ns") == "timestamp_ntz"
+        assert iceberg_to_ddl("timestamptz_ns") == "timestamp"
+        assert len(w) == 2 and all(
+            "microsecond" in str(x.message) for x in w)
+    assert iceberg_to_ddl("unknown") == "string"
