@@ -94,16 +94,36 @@ def plan_maintenance(
         (n_files >= MIN_FILES_FOR_COMPACTION and avg < SMALL_FILE_BYTES)
         or n_eq_delete_files
     ):
-        plan.append(
-            {
-                "action": "rewrite_data_files",
-                "reason": (
-                    f"{n_files} data files averaging {avg / 1048576:.1f} MiB"
-                    + (f" + {n_delete_files} merge-on-read delete files" if n_delete_files else "")
-                ),
-                "params": {"target_file_size_bytes": TARGET_FILE_BYTES},
-            }
-        )
+        step = {
+            "action": "rewrite_data_files",
+            "reason": (
+                f"{n_files} data files averaging {avg / 1048576:.1f} MiB"
+                + (f" + {n_delete_files} merge-on-read delete files" if n_delete_files else "")
+            ),
+            "params": {"target_file_size_bytes": TARGET_FILE_BYTES},
+        }
+        # Puffin NDV statistics (S19) drive the compaction LAYOUT: sort
+        # the rewrite by the highest-cardinality column, so output
+        # files get tight DISJOINT bounds and point/range filters skip
+        # whole files. A column whose NDV can't give each output file
+        # its own key range (ndv < 2x the output file count estimate)
+        # would produce overlapping bounds — skip the advice then.
+        # Planner-facing read only (blob properties, no sketch decode).
+        from ..metadata.puffin import ndv_of
+
+        ndvs = ndv_of(table_dir)
+        if ndvs:
+            import math
+
+            n_out = max(1, math.ceil(total_bytes / TARGET_FILE_BYTES))
+            col, ndv = max(ndvs.items(), key=lambda kv: kv[1])
+            if ndv >= 2 * n_out:
+                step["params"]["sort_by"] = [col]
+                step["reason"] += (
+                    f"; sort by {col} (ndv {ndv} from Puffin statistics"
+                    " — tight disjoint file bounds)"
+                )
+        plan.append(step)
 
     # delete-side compaction when the DATA files are healthy (no full
     # rewrite planned) but per-commit delete artifacts have piled up —
@@ -259,3 +279,85 @@ def run_maintenance(
             raise ValueError(f"unknown maintenance action {step['action']!r}")
         report["actions"].append(entry)
     return report
+
+
+#: Spark's default spark.sql.autoBroadcastJoinThreshold
+BROADCAST_MAX_BYTES = 10 * 1024 * 1024
+#: rows-per-key ratio above which a shuffle join key counts as skewed
+SKEW_ROWS_PER_KEY = 10_000
+
+
+def advise_join_strategy(
+    table_dir: str,
+    key: str,
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+    skew_rows_per_key: int = SKEW_ROWS_PER_KEY,
+) -> dict:
+    """Metadata-only join planning advice for joining ON ``key``
+    against this table — the Puffin NDV statistics plane (S19) feeding
+    an actual decision instead of just existing:
+
+    * ``broadcast`` when the table's live bytes (snapshot summary
+      ``total-files-size``) fit the broadcast threshold — the planner
+      answer Spark itself would reach, but available BEFORE any scan,
+      from one metadata.json read;
+    * otherwise ``shuffle``, with ``skew: True`` when
+      total-records / NDV(key) exceeds ``skew_rows_per_key`` — the
+      high-rows-per-key shape where a plain shuffle join stalls on a
+      few hot partitions and the caller should salt (operators/skew.py)
+      or rely on AQE skew-join.
+
+    No statistics → conservative shuffle advice with ``ndv: None``
+    (never a guess presented as knowledge)."""
+    from ..metadata.commit import _load_doc
+    from ..metadata.puffin import ndv_of
+
+    doc = _load_doc(table_dir)[0]
+    cur = next(
+        (
+            s for s in doc.get("snapshots", [])
+            if s.get("snapshot-id") == doc.get("current-snapshot-id")
+        ),
+        None,
+    )
+    summary = (cur or {}).get("summary", {})
+    total_bytes = int(summary.get("total-files-size", 0) or 0)
+    total_records = int(summary.get("total-records", 0) or 0)
+    ndv = ndv_of(table_dir, key).get(key)
+    if total_bytes and total_bytes <= broadcast_max_bytes:
+        return {
+            "strategy": "broadcast",
+            "reason": (
+                f"live table bytes {total_bytes} <= "
+                f"{broadcast_max_bytes} broadcast threshold"
+            ),
+            "ndv": ndv,
+        }
+    if ndv:
+        per_key = total_records / ndv
+        if per_key > skew_rows_per_key:
+            return {
+                "strategy": "shuffle",
+                "skew": True,
+                "reason": (
+                    f"{total_records} rows over ndv {ndv} ≈ "
+                    f"{per_key:.0f} rows/key > {skew_rows_per_key} — "
+                    "salt the key or enable AQE skew join"
+                ),
+                "ndv": ndv,
+            }
+        return {
+            "strategy": "shuffle",
+            "skew": False,
+            "reason": (
+                f"{total_records} rows over ndv {ndv} ≈ "
+                f"{per_key:.0f} rows/key — even shuffle"
+            ),
+            "ndv": ndv,
+        }
+    return {
+        "strategy": "shuffle",
+        "skew": None,
+        "reason": "no NDV statistics for the key; conservative shuffle",
+        "ndv": None,
+    }

@@ -253,3 +253,62 @@ def test_autopilot_plans_dv_compaction_on_v3(spark, tmp_path):
 
     df = read_data_at_snapshot(spark, C.current_metadata_path(t))
     assert df.count() == 5000 - 11
+
+
+def test_ndv_statistics_drive_compaction_sort_key(spark, tmp_path):
+    """Puffin NDV statistics (S19) must EARN THEIR KEEP in planning:
+    with statistics written, the small-file compaction recommendation
+    picks the highest-cardinality column as the rewrite sort key (tight
+    disjoint file bounds); without statistics the plan is unchanged.
+    run_maintenance then executes the sorted rewrite."""
+    from hielo_spark.metadata.puffin import write_statistics
+    from hielo_spark.ops.autopilot import plan_maintenance, run_maintenance
+
+    t = str(tmp_path / "t")
+    # 6 tiny files; `id` is high-cardinality, `bucket` has 2 values
+    C.append(spark, t,
+             spark.range(0, 600).selectExpr("id", "id % 2 AS bucket")
+             .repartition(6),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    plan0 = plan_maintenance(spark, t, now_ms=1700000001000)
+    rw0 = next(a for a in plan0 if a["action"] == "rewrite_data_files")
+    assert "sort_by" not in rw0["params"]  # no stats → no guess
+
+    write_statistics(spark, t)
+    plan1 = plan_maintenance(spark, t, now_ms=1700000001000)
+    rw1 = next(a for a in plan1 if a["action"] == "rewrite_data_files")
+    assert rw1["params"]["sort_by"] == ["id"]
+    assert "ndv" in rw1["reason"]
+    rep = run_maintenance(spark, t, now_ms=1700000001000, plan=[rw1])
+    assert rep["actions"][0]["result"]["rewritten"] == 6
+
+
+def test_advise_join_strategy_from_metadata(spark, tmp_path):
+    """advise_join_strategy: broadcast for dimension-sized tables from
+    summary bytes alone; skew-flagged shuffle when total-records/NDV
+    says a few hot keys dominate; conservative shuffle with ndv None
+    when no statistics exist."""
+    from hielo_spark.metadata.puffin import write_statistics
+    from hielo_spark.ops.autopilot import advise_join_strategy
+
+    small = str(tmp_path / "small")
+    C.append(spark, small, spark.range(0, 100).selectExpr("id AS k"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    adv = advise_join_strategy(small, "k")
+    assert adv["strategy"] == "broadcast"
+
+    big = str(tmp_path / "big")
+    # 50k rows, 5 distinct keys → 10k rows/key; force the shuffle path
+    # by shrinking the broadcast threshold below the table's bytes
+    C.append(spark, big,
+             spark.range(0, 50_000).selectExpr("id % 5 AS k", "id AS v"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    adv0 = advise_join_strategy(big, "k", broadcast_max_bytes=1)
+    assert adv0["strategy"] == "shuffle" and adv0["ndv"] is None
+    write_statistics(spark, big)
+    adv1 = advise_join_strategy(big, "k", broadcast_max_bytes=1,
+                                skew_rows_per_key=1_000)
+    assert adv1["strategy"] == "shuffle" and adv1["skew"] is True
+    adv2 = advise_join_strategy(big, "v", broadcast_max_bytes=1,
+                                skew_rows_per_key=1_000)
+    assert adv2["strategy"] == "shuffle" and adv2["skew"] is False

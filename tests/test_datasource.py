@@ -1174,3 +1174,42 @@ def test_changes_surface_empty_poll_and_unknown_to(registered, spark,
         (spark.read.format("hielo_iceberg")
          .option("surface", "changes")
          .option("to-snapshot-id", "9999").load(t).collect())
+
+
+def test_streaming_skip_delete_crosses_v3_dv_snapshots(registered,
+                                                       tmp_path):
+    """v3 twin of the skip-delete case: on a format-version-3 table the
+    MOR delete snapshot carries DELETION VECTORS (no data files added);
+    option('skip-delete') must cross it the same way it crosses v2
+    position-delete snapshots, emitting only genuine appends."""
+    from hielo_spark.metadata import upgrade_format_version
+
+    spark = registered
+    t = str(tmp_path / "t")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    upgrade_format_version(t, 3)
+
+    def drain(**opts):
+        reader = (spark.readStream.format("hielo_iceberg")
+                  .option("initial-snapshot", "earliest"))
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (reader.load(t)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    snap = C.delete_where(spark, t, "id = 1",
+                          snapshot_id=102, timestamp_ms=1700100000000)
+    assert int(snap["summary"]["added-dvs"]) == 1  # a real DV snapshot
+    C.append(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    with pytest.raises(Exception, match="non-append"):
+        drain()
+    drain(**{"skip-delete": "true"})
+    got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b")]
