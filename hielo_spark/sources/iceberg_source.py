@@ -584,7 +584,7 @@ class HieloIcebergReader(DataSourceReader):
                 else:
                     pos_del_files.append((path, e["_seq"], e))
             elif content == 2:
-                eq_del_files.append((path, e["_seq"]))
+                eq_del_files.append((path, e["_seq"], e))
         # Deletes are planned as REFERENCES, never materialized here:
         # the driver keeps only (delete file path / blob region
         # coordinates) per surviving data file, and each scan task
@@ -641,11 +641,38 @@ class HieloIcebergReader(DataSourceReader):
         # equality deletes: the projection must be widened by the
         # delete files' KEY columns, which planning learns from each
         # parquet FOOTER only (read_schema — no row is decoded); the
-        # key tuples themselves are read in-task
+        # key tuples themselves are read in-task. Each entry keeps its
+        # manifest KEY-column bounds so per-file attachment below can
+        # skip files whose own bounds are disjoint on any shared key —
+        # the eq-delete twin of data-file skipping (conservative: any
+        # missing bound keeps the attachment).
         eq_del = []
-        for dpath, dseq in eq_del_files:
+        for dpath, dseq, de in eq_del_files:
             cols = pq.read_schema(dpath).names
-            eq_del.append((dpath, list(cols), dseq))
+            eq_del.append(
+                (dpath, list(cols), dseq, _entry_bounds(de))
+            )
+
+        def _eq_may_touch(del_bounds, data_bounds, cols) -> bool:
+            dlo, dhi, dbt = del_bounds
+            flo, fhi, fbt = data_bounds
+            for c in cols:
+                a_lo, a_hi = dlo.get(c), dhi.get(c)
+                b_lo, b_hi = flo.get(c), fhi.get(c)
+                if None in (a_lo, a_hi, b_lo, b_hi):
+                    continue  # missing info: conservative, keep
+                if (dbt.get(c) or fbt.get(c)) in (
+                    "tinyint", "smallint", "int", "bigint",
+                    "float", "double", "long",
+                ):
+                    try:
+                        a_lo, a_hi = float(a_lo), float(a_hi)
+                        b_lo, b_hi = float(b_lo), float(b_hi)
+                    except (TypeError, ValueError):
+                        continue
+                if a_hi < b_lo or b_hi < a_lo:
+                    return False  # disjoint on this key: can't touch
+            return True
         # column pruning: tasks materialize the pruned projection PLUS
         # any equality-delete key columns the projection dropped (the
         # deletes must still apply even when their keys aren't selected);
@@ -658,7 +685,7 @@ class HieloIcebergReader(DataSourceReader):
                 for a in (rest[0] if rest else ())
             }
             needed = set(self.out_names)
-            for _dpath, cols, _dseq in eq_del:
+            for _dpath, cols, _dseq, _bounds in eq_del:
                 for c in cols:
                     cur = c if c in {n for n, *_ in self.schema_cols} \
                         else hist2cur.get(c)
@@ -705,9 +732,20 @@ class HieloIcebergReader(DataSourceReader):
                     int(df_rec["content_offset"]),
                     int(df_rec["content_size_in_bytes"]),
                 )
+            # equality deletes attach per file too: sequence-scoped
+            # (strictly newer than the data file) and bounds-pruned on
+            # the shared key columns, so a task never reads a delete
+            # parquet that cannot touch its file
+            file_bounds = _entry_bounds(e)
+            my_eq = [
+                (dpath, cols, dseq)
+                for dpath, cols, dseq, dbounds in eq_del
+                if (seq is None or dseq is None or dseq > seq)
+                and _eq_may_touch(dbounds, file_bounds, cols)
+            ]
             frid = data_file.get("first_row_id")
             parts.append(
-                _ScanPartition(path, seq, my_refs, eq_del,
+                _ScanPartition(path, seq, my_refs, my_eq,
                                task_cols, pvals,
                                out_names=out_names, scan_log=scan_log,
                                frid=(int(frid) if frid is not None

@@ -1213,3 +1213,38 @@ def test_streaming_skip_delete_crosses_v3_dv_snapshots(registered,
     drain(**{"skip-delete": "true"})
     got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_eq_delete_attachment_pruned_by_key_bounds(registered, spark,
+                                                   tmp_path):
+    """Equality-delete files attach per scan partition, pruned by the
+    manifest's KEY-column bounds: a task whose data file's id-range is
+    disjoint from the delete file's recorded key bounds never reads the
+    delete parquet — and results stay exact."""
+    from hielo_spark.sources import iceberg_source as S
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 100).selectExpr("id").coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t,
+             spark.range(1000, 1100).selectExpr("id").coalesce(1),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_equality(spark, t, spark.createDataFrame([(5,), (7,)], ["id"]),
+                      snapshot_id=103, timestamp_ms=1700200000000)
+    r = S.HieloIcebergReader(t, {}, [("id", "bigint")])
+    parts = sorted(
+        (p for p in r.partitions() if p.path is not None),
+        key=lambda p: p.path,
+    )
+    assert len(parts) == 2
+    # parts sorted by path: seq-00001 (ids 0-99) then seq-00002
+    # (ids 1000+). The low-range file gets the delete part(s) attached
+    # (the distributed delete write may shard the keys into several
+    # parquet parts); the 1000+ file attaches NONE.
+    assert len(parts[0].eq_deletes) >= 1
+    assert len(parts[1].eq_deletes) == 0
+    got = sorted(
+        r.id for r in spark.read.format("hielo_iceberg").load(t).collect()
+    )
+    assert got == [i for i in range(100) if i not in (5, 7)] \
+        + list(range(1000, 1100))
