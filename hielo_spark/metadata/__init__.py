@@ -38,6 +38,11 @@ from .commit import (  # noqa: F401
     upgrade_format_version,
 )
 from .manifests import read_data_at_snapshot  # noqa: F401
+from .partition_stats import (  # noqa: F401
+    partition_skew_report,
+    read_partition_statistics,
+    write_partition_statistics,
+)
 from .puffin import ndv_of, write_statistics  # noqa: F401
 
 __all__ = [
@@ -52,7 +57,9 @@ __all__ = [
     "fast_forward",
     "merge_into",
     "ndv_of",
+    "partition_skew_report",
     "read_data_at_snapshot",
+    "read_partition_statistics",
     "rewrite_data_files",
     "rewrite_deletion_vectors",
     "rewrite_manifests",
@@ -63,5 +70,6 @@ __all__ = [
     "update_schema",
     "update_sort_order",
     "upgrade_format_version",
+    "write_partition_statistics",
     "write_statistics",
 ]

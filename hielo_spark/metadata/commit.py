@@ -1500,6 +1500,16 @@ def expire_snapshots(table_dir: str, older_than_ms: int, retain_last: int = 1) -
         doc["statistics"] = [
             e for e in doc["statistics"] if e.get("snapshot-id") not in gone
         ]
+    if doc.get("partition-statistics"):
+        # partition-statistics files are snapshot-bound the same way
+        dropped_stats += [
+            e for e in doc["partition-statistics"]
+            if e.get("snapshot-id") in gone
+        ]
+        doc["partition-statistics"] = [
+            e for e in doc["partition-statistics"]
+            if e.get("snapshot-id") not in gone
+        ]
     _commit_doc(table_dir, doc, prev_version)
     # Puffin sidecars live under metadata/ where the orphan sweep (which
     # lists data_dir *.parquet) never looks, so delete them here — they

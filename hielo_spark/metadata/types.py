@@ -50,6 +50,18 @@ _ICEBERG_TO_SQL = {
 
 _PRECISION_LOSS = {"timestamp_ns", "timestamptz_ns"}
 
+#: v3 types with no Spark column representation here — reads fail LOUD
+#: with the type named (not a cryptic DDL parse error downstream, and
+#: never the reference's panic)
+_UNSUPPORTED = {"variant", "geometry", "geography"}
+
+
+class UnsupportedIcebergType(Exception):
+    """A spec type this engine cannot materialize as a Spark column.
+    Deliberately NOT a ValueError: schema-plan fallbacks catch
+    ValueError to mean 'use mergeSchema', which would silently misread
+    these columns."""
+
 
 def split_top(s: str) -> list[str]:
     """Split on commas at angle-bracket depth 0 (``a:int,b:map<int,int>``
@@ -122,6 +134,12 @@ def iceberg_to_ddl(t) -> str:
                 f"Iceberg type {t!r} read at microsecond precision "
                 "(Spark timestamps are µs; sub-µs digits truncate)",
                 stacklevel=2,
+            )
+        if t.split("(")[0] in _UNSUPPORTED:
+            raise UnsupportedIcebergType(
+                f"Iceberg type {t!r} has no Spark column mapping in "
+                "this engine — drop or exclude the column to read the "
+                "table"
             )
         return _ICEBERG_TO_SQL.get(t, t)
     kind = t.get("type")

@@ -1460,6 +1460,12 @@ _META_SURFACES = {
         "file_size_in_bytes bigint, blob_type string, fields_json string, "
         "ndv bigint"
     ),
+    # registered partition-statistics files (metadata entries only —
+    # read the parquet itself via metadata.read_partition_statistics)
+    "partition_statistics": (
+        "snapshot_id bigint, statistics_path string, "
+        "file_size_in_bytes bigint"
+    ),
 }
 
 
@@ -1530,6 +1536,15 @@ def _meta_surface_rows(table_dir: str, surface: str, options) -> list[tuple]:
                     )
                 )
         return out
+    if surface == "partition_statistics":
+        return [
+            (
+                int(e["snapshot-id"]),
+                e.get("statistics-path"),
+                e.get("file-size-in-bytes"),
+            )
+            for e in doc.get("partition-statistics", [])
+        ]
     snap = _select_snapshot(doc, options)
     mlist = _resolve_rel(
         os.path.join(table_dir, "metadata", "x"), snap["manifest-list"]

@@ -543,3 +543,18 @@ def test_v3_new_types_read_gracefully(tmp_path):
         assert len(w) == 2 and all(
             "microsecond" in str(x.message) for x in w)
     assert iceberg_to_ddl("unknown") == "string"
+
+
+def test_variant_geometry_fail_loud_not_silent():
+    """variant/geometry/geography have no Spark mapping — reads must
+    fail with the TYPE NAMED, via an exception the mergeSchema
+    ValueError fallback does NOT catch (silent misreads forbidden)."""
+    from hielo_spark.metadata.types import (
+        UnsupportedIcebergType,
+        iceberg_to_ddl,
+    )
+
+    for t in ("variant", "geometry", "geography", "geometry(srid=4326)"):
+        with pytest.raises(UnsupportedIcebergType, match=t.split("(")[0]):
+            iceberg_to_ddl(t)
+    assert not issubclass(UnsupportedIcebergType, ValueError)
