@@ -236,6 +236,10 @@ _DEFERRED = [
     "meta_nested_roundtrip",
     "meta_hidden_partitioning_roundtrip",
     "meta_statistics_roundtrip",
+    # r8-new plane enters at the tail (local harness oracle-checks it;
+    # head churn this round is limited to the two VERDICT-advised
+    # promotions above):
+    "meta_partition_stats_roundtrip",
     # r8: meta_replication_roundtrip + meta_row_lineage_roundtrip
     # PROMOTED to the head (VERDICT r7 item 3 — they are r7's biggest
     # new operators); q18_large_orders defers (top-k group-having:

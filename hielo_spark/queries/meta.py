@@ -2079,3 +2079,66 @@ def meta_deletion_vectors_roundtrip(
     return spark.createDataFrame(
         rows, "check_name string, value long"
     ).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# Partition statistics plane (r8) — the spec's "Partition Statistics"
+# surface end to end: a hive-partitioned append + a row-level delete,
+# write_partition_statistics (one distributed groupBy → the format's
+# single sorted parquet, registered under metadata.json
+# partition-statistics), read the registered file back, and pin the
+# per-partition aggregates as constants. Delete files carry no
+# partition metadata in this engine, so their counts aggregate under
+# the empty-partition row (documented in metadata/partition_stats.py).
+# --------------------------------------------------------------------------
+@query(
+    "meta_partition_stats_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('',   CAST(0  AS BIGINT), CAST(2 AS BIGINT)),
+      ('eu', CAST(20 AS BIGINT), CAST(0 AS BIGINT)),
+      ('us', CAST(20 AS BIGINT), CAST(0 AS BIGINT))
+    ) AS t(region, data_records, pos_delete_records)
+    """,
+)
+def meta_partition_stats_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.partition_stats import (
+        read_partition_statistics,
+        write_partition_statistics,
+    )
+
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_pstats_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    df = spark.range(0, 40).select(
+        F.col("id").cast("long").alias("id"),
+        F.when(F.col("id") % 2 == 0, "us").otherwise("eu").alias("region"),
+    )
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000,
+             partition_by=["region"])
+    C.delete_where(spark, t, "id IN (2, 3)",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    write_partition_statistics(spark, t, timestamp_ms=1700200000000)
+    out = (
+        read_partition_statistics(spark, t)
+        .select(
+            F.coalesce(
+                F.try_element_at("partition", F.lit("region")), F.lit("")
+            ).alias("region"),
+            F.col("data_record_count").alias("data_records"),
+            F.col("position_delete_record_count").alias(
+                "pos_delete_records"
+            ),
+        )
+        .orderBy("region")
+    )
+    return out
