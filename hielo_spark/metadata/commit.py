@@ -167,6 +167,14 @@ def manifest_entry_schema(
                      "default": None},
                     {"name": "sort_order_id", "type": ["null", "int"],
                      "default": None, "field-id": 140},
+                    # spec field 135: the schema field ids an equality
+                    # delete file's rows match on — planners derive the
+                    # key columns from HERE, not from the delete
+                    # parquet's footer
+                    {"name": "equality_ids", "field-id": 135,
+                     "type": ["null", {"type": "array", "items": "int",
+                                       "element-id": 136}],
+                     "default": None},
                     # v3 row lineage (spec data_file field 142): the
                     # _row_id of the file's first row; null on rewritten
                     # files whose rows carry MATERIALIZED _row_id columns
@@ -1377,6 +1385,11 @@ def delete_equality(
                     "file_format": "PARQUET",
                     "record_count": rows_of[p],
                     "file_size_in_bytes": os.path.getsize(p),
+                    # spec field 135: key-column field ids (planners
+                    # read these instead of the parquet footer)
+                    "equality_ids": [
+                        name2id[k] for k in eq_btypes if k in name2id
+                    ] or None,
                     **_spec_stats(
                         name2id, eq_btypes,
                         bounds_of.get(p, ({}, {}))[0],
@@ -3590,6 +3603,10 @@ def merge_into(
                         "file_format": "PARQUET",
                         "record_count": del_rows_of[p],
                         "file_size_in_bytes": os.path.getsize(p),
+                        "equality_ids": [
+                            name2id[k] for k in eq_btypes
+                            if k in name2id
+                        ] or None,
                         **_spec_stats(
                             name2id, eq_btypes,
                             del_bounds_of.get(p, ({}, {}))[0],

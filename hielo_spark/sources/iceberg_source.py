@@ -647,11 +647,30 @@ class HieloIcebergReader(DataSourceReader):
         # the eq-delete twin of data-file skipping (conservative: any
         # missing bound keeps the attachment).
         eq_del = []
+        id2names: dict[int, set[str]] = {}
+        if eq_del_files:
+            for s in doc.get("schemas", []) or (
+                [doc["schema"]] if doc.get("schema") else []
+            ):
+                for g in s.get("fields", []):
+                    id2names.setdefault(int(g["id"]), set()).add(
+                        g["name"]
+                    )
         for dpath, dseq, de in eq_del_files:
-            cols = pq.read_schema(dpath).names
-            eq_del.append(
-                (dpath, list(cols), dseq, _entry_bounds(de))
-            )
+            # spec: the entry's equality_ids name the key FIELDS — no
+            # file read at all when every id maps to a single name
+            # across the schema history (a post-delete rename makes the
+            # parquet's own column names diverge from the current ones;
+            # the footer is then the source of truth)
+            cols = None
+            eq_ids = de["data_file"].get("equality_ids")
+            if eq_ids:
+                cand = [id2names.get(int(i)) for i in eq_ids]
+                if all(c is not None and len(c) == 1 for c in cand):
+                    cols = [next(iter(c)) for c in cand]
+            if cols is None:
+                cols = list(pq.read_schema(dpath).names)
+            eq_del.append((dpath, cols, dseq, _entry_bounds(de)))
 
         def _eq_may_touch(del_bounds, data_bounds, cols) -> bool:
             dlo, dhi, dbt = del_bounds

@@ -1248,3 +1248,39 @@ def test_eq_delete_attachment_pruned_by_key_bounds(registered, spark,
     )
     assert got == [i for i in range(100) if i not in (5, 7)] \
         + list(range(1000, 1100))
+
+
+def test_eq_delete_planning_uses_equality_ids_not_footers(
+    registered, spark, tmp_path, monkeypatch
+):
+    """Eq-delete manifest entries carry spec field 135 (equality_ids);
+    planning derives the key columns from the ids + schema and never
+    opens the delete parquet — not even its footer — when the field
+    names are rename-stable."""
+    import pyarrow.parquet as pq
+
+    from hielo_spark.sources import iceberg_source as S
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_equality(spark, t, spark.createDataFrame([(2,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+
+    def no_footer(path, *a, **kw):
+        raise AssertionError(f"planning read a parquet footer: {path}")
+
+    monkeypatch.setattr(pq, "read_schema", no_footer)
+    monkeypatch.setattr(pq, "read_table", no_footer)
+    monkeypatch.setattr(pq, "ParquetFile", no_footer)
+    r = S.HieloIcebergReader(t, {}, [("id", "bigint"), ("v", "string")])
+    parts = [p for p in r.partitions() if p.path is not None]
+    assert parts and parts[0].eq_deletes
+    assert parts[0].eq_deletes[0][1] == ["id"]  # cols from field ids
+    monkeypatch.undo()
+    got = sorted(
+        (r.id, r.v)
+        for r in spark.read.format("hielo_iceberg").load(t).collect()
+    )
+    assert got == [(1, "a")]
