@@ -337,10 +337,23 @@ def _read_partition(part: _ScanPartition):
             f.write(f"{part.path}\t{','.join(sorted(want_src))}\n")
     # position deletes: planning attached only the delete files whose
     # file_path bounds + sequence can apply to THIS file; decode them
-    # here, beside the scan (driver never holds a position)
+    # here, beside the scan (driver never holds a position). Delete
+    # parts are spec-sorted by (file_path, pos), so the file_path IN
+    # filter prunes whole ROW GROUPS — a task reads its own slice of a
+    # delete file that spans many data files. Zero matches fall back to
+    # a normalizing full read (exotic path forms a foreign writer might
+    # use — "./", symlinks — that the candidate set can't enumerate).
     doomed: set[int] = set()
     me = os.path.abspath(part.path)
+    cands = list({part.path, "file:" + part.path, me, "file:" + me})
     for dpath, _dseq in part.pos_deletes or ():
+        dt = pq.read_table(
+            dpath, columns=["file_path", "pos"],
+            filters=[("file_path", "in", cands)],
+        )
+        if dt.num_rows:
+            doomed.update(int(i) for i in dt.column("pos").to_pylist())
+            continue
         dt = pq.read_table(dpath, columns=["file_path", "pos"])
         for p, i in zip(dt.column("file_path").to_pylist(),
                         dt.column("pos").to_pylist()):
