@@ -1702,12 +1702,24 @@ class HieloIcebergDataSource(DataSource):
         schema = _current_schema_block(doc)
         if schema is None:
             raise ValueError("table metadata carries no schema block")
-        from ..metadata.types import iceberg_to_ddl
+        from ..metadata.types import (
+            UnsupportedIcebergType,
+            iceberg_to_ddl,
+        )
 
-        return [
-            (f["name"], f"{f['name']} {iceberg_to_ddl(f['type'])}")
-            for f in schema.get("fields", [])
-        ]
+        # unsupported types (variant/geometry/…) raise LAZILY: the
+        # exception rides as the entry so a projection that EXCLUDES
+        # the column (option("columns")) still reads the table, as the
+        # error message promises
+        out = []
+        for f in schema.get("fields", []):
+            try:
+                out.append(
+                    (f["name"], f"{f['name']} {iceberg_to_ddl(f['type'])}")
+                )
+            except UnsupportedIcebergType as e:
+                out.append((f["name"], e))
+        return out
 
     def schema(self):
         table_dir = self.options.get("path")
@@ -1763,7 +1775,14 @@ class HieloIcebergDataSource(DataSource):
                     f"{missing} (have {sorted(have)})"
                 )
             by_name = dict(cols)
-            return ", ".join(by_name[w] for w in want) + lineage_ddl
+            picked = [by_name[w] for w in want]
+            for p in picked:
+                if isinstance(p, Exception):
+                    raise p
+            return ", ".join(picked) + lineage_ddl
+        for _n, ddl in cols:
+            if isinstance(ddl, Exception):
+                raise ddl
         return ", ".join(ddl for _, ddl in cols) + lineage_ddl
 
     def _schema_cols(self):
@@ -1788,8 +1807,18 @@ class HieloIcebergDataSource(DataSource):
                         and g["name"] not in hist
                     ):
                         hist.append(g["name"])
-            from ..metadata.types import iceberg_to_ddl
+            from ..metadata.types import (
+                UnsupportedIcebergType,
+                iceberg_to_ddl,
+            )
 
+            # unsupported types are skipped here: schema() has already
+            # raised unless option("columns") EXCLUDED the column, in
+            # which case the scan legitimately proceeds without it
+            try:
+                ddl = iceberg_to_ddl(f["type"])
+            except UnsupportedIcebergType:
+                continue
             # v3 initial-default rides as the 4th element (decoded to a
             # Python value at planning); tasks fill it where a file
             # predates the column — exact here, because task-side reads
@@ -1804,8 +1833,7 @@ class HieloIcebergDataSource(DataSource):
                     f["type"], f["initial-default"]
                 )
             out.append(
-                (f["name"], iceberg_to_ddl(f["type"]),
-                 tuple(hist[::-1]), default)
+                (f["name"], ddl, tuple(hist[::-1]), default)
             )
         return out
 

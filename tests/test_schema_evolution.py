@@ -558,3 +558,33 @@ def test_variant_geometry_fail_loud_not_silent():
         with pytest.raises(UnsupportedIcebergType, match=t.split("(")[0]):
             iceberg_to_ddl(t)
     assert not issubclass(UnsupportedIcebergType, ValueError)
+
+
+def test_variant_column_excludable_via_columns_option(spark, tmp_path):
+    """A table CONTAINING a variant column fails loudly on a full read
+    — but option('columns') that EXCLUDES it reads fine, exactly as
+    the error message promises."""
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    # splice a variant-typed column into the current schema (no data
+    # file carries it — the legal add-column shape)
+    mpath = C.current_metadata_path(t)
+    doc = json.load(open(mpath))
+    sch = next(s for s in doc["schemas"]
+               if s["schema-id"] == doc.get("current-schema-id", 0))
+    fid = int(doc.get("last-column-id", 2)) + 1
+    sch["fields"].append(
+        {"id": fid, "name": "payload", "required": False,
+         "type": "variant"})
+    doc["last-column-id"] = fid
+    json.dump(doc, open(mpath, "w"))
+
+    with pytest.raises(Exception, match="variant"):
+        spark.read.format("hielo_iceberg").load(t).collect()
+    got = (spark.read.format("hielo_iceberg")
+           .option("columns", "id,v").load(t).collect())
+    assert [(r.id, r.v) for r in got] == [(1, "a")]
