@@ -1171,6 +1171,42 @@ class HieloIcebergWriter(DataSourceArrowWriter):
         # list (plain strings/ints — picklable) — tasks split rows per
         # derived partition tuple
         self.partition_transforms = self._spec_partition_transforms()
+        # v3 write-default columns absent from the incoming frame are
+        # materialized in-task (same rule as the JVM-plane append), so
+        # both write planes produce files the read planes agree on
+        self.write_defaults = self._schema_write_defaults()
+
+    def _schema_write_defaults(self):
+        from ..metadata.types import (
+            UnsupportedIcebergType,
+            iceberg_to_ddl,
+        )
+        from ..metadata.values import default_from_json
+
+        try:
+            doc = _load_doc(self.table_dir)
+        except (TypeError, FileNotFoundError):
+            return []  # first write to a new table: no schema yet
+        schema = _current_schema_block(doc)
+        if schema is None:
+            return []
+        out = []
+        for f in schema.get("fields", []):
+            if f.get("write-default") is not None and isinstance(
+                f.get("type"), str
+            ):
+                try:
+                    ddl = iceberg_to_ddl(f["type"])
+                except UnsupportedIcebergType:
+                    continue
+                out.append(
+                    (
+                        f["name"],
+                        default_from_json(f["type"], f["write-default"]),
+                        ddl,
+                    )
+                )
+        return out
 
     def _spec_partition_transforms(self):
         """The default spec as ``PartitionTransform`` objects —
@@ -1243,6 +1279,15 @@ class HieloIcebergWriter(DataSourceArrowWriter):
         if not batches or sum(b.num_rows for b in batches) == 0:
             return _WrittenFiles([], {})
         table = pa.Table.from_batches(batches)
+        for name, val, ddl in self.write_defaults:
+            if name not in table.column_names:
+                table = table.append_column(
+                    name,
+                    pa.array(
+                        [val] * table.num_rows,
+                        type=_arrow_type_of_ddl(ddl) or pa.string(),
+                    ),
+                )
         data_dir = os.path.join(self.table_dir, "data")
         os.makedirs(data_dir, exist_ok=True)
 

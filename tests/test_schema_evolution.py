@@ -588,3 +588,52 @@ def test_variant_column_excludable_via_columns_option(spark, tmp_path):
     got = (spark.read.format("hielo_iceberg")
            .option("columns", "id,v").load(t).collect())
     assert [(r.id, r.v) for r in got] == [(1, "a")]
+
+
+def test_write_default_via_datasource_writer(spark, tmp_path):
+    """df.write.format('hielo_iceberg') omitting a write-default column
+    materializes the default in-task — files from BOTH write planes
+    read identically on BOTH read planes (no seq-gating divergence)."""
+    from hielo_spark.metadata import upgrade_format_version
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    upgrade_format_version(t, 3)
+    C.update_schema(t, add=[("tier", "string", "bronze")])
+    spark.createDataFrame([(2,)], ["id"]) \
+        .write.format("hielo_iceberg").mode("append") \
+        .option("snapshot-id", "102") \
+        .option("timestamp-ms", "1700100000000").save(t)
+    expect = [(1, "bronze"), (2, "bronze")]
+    jvm = sorted((r.id, r.tier) for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    ds = sorted((r.id, r.tier) for r in
+                spark.read.format("hielo_iceberg").load(t).collect())
+    assert jvm == ds == expect
+
+
+def test_eq_delete_applies_after_post_delete_rename(spark, tmp_path):
+    """Rename AFTER an equality delete: planning's equality_ids path
+    detects the multi-name history and falls back to the delete
+    parquet's footer; the task then resolves the old key name against
+    the current schema via the alias history. Both planes exact."""
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_equality(spark, t, spark.createDataFrame([(2,)], ["id"]),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    C.update_schema(t, rename={"id": "key"})
+    jvm = sorted((r.key, r.v) for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    ds = sorted((r.key, r.v) for r in
+                spark.read.format("hielo_iceberg").load(t).collect())
+    assert jvm == ds == [(1, "a")]
