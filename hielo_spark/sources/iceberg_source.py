@@ -1409,11 +1409,15 @@ class HieloIcebergStreamWriter(DataSourceStreamArrowWriter):
         self.partition_transforms = (
             HieloIcebergWriter._spec_partition_transforms(self)
         )
+        self.write_defaults = (
+            HieloIcebergWriter._schema_write_defaults(self)
+        )
 
     # per-task Arrow write is identical to the batch writer's (incl.
     # spec-partitioned splitting — the helpers only touch table_dir)
     write = HieloIcebergWriter.write
     _spec_partition_transforms = HieloIcebergWriter._spec_partition_transforms
+    _schema_write_defaults = HieloIcebergWriter._schema_write_defaults
     # re-wrap: accessing a staticmethod through the class yields the bare
     # function, which would rebind as an instance method here
     _file_entry = staticmethod(HieloIcebergWriter._file_entry)
