@@ -99,6 +99,32 @@ def _current_schema_block(doc: dict) -> dict | None:
     return current_schema_block(doc)
 
 
+def _read_schema_block(doc: dict, options) -> dict | None:
+    """The schema a data read resolves under — the JVM-plane rule
+    (manifests.read_data_at_snapshot): a LATEST read scans under the
+    table's CURRENT schema; TIME TRAVEL (snapshot-id / as-of-ms / ref)
+    scans under the SNAPSHOT's recorded schema-id so history shows its
+    historical shape. Falls back to current when the snapshot predates
+    schema-id tracking."""
+    if any(
+        options.get(k) is not None
+        for k in ("snapshot-id", "as-of-ms", "ref")
+    ):
+        snap = _select_snapshot(doc, options)
+        sid = snap.get("schema-id")
+        if sid is not None:
+            blk = next(
+                (
+                    s for s in doc.get("schemas", [])
+                    if s.get("schema-id") == sid
+                ),
+                None,
+            )
+            if blk is not None:
+                return blk
+    return _current_schema_block(doc)
+
+
 def _resolve_rel(base: str, p: str) -> str:
     p = p.removeprefix("file:")
     if not os.path.isabs(p):
@@ -1742,13 +1768,13 @@ class HieloIcebergDataSource(DataSource):
         return "hielo_iceberg"
 
     @staticmethod
-    def _data_cols_ddl(table_dir: str) -> list[tuple[str, str]]:
+    def _data_cols_ddl(table_dir: str, options=None) -> list[tuple[str, str]]:
         """[(name, 'name ddl')] for the current schema — nested
         list/map/struct JSON renders to Spark DDL recursively;
         decimal(p,s)/fixed[n] pass through (valid DDL, or rejected
         loudly by Spark's parser)."""
         doc = _load_doc(table_dir)
-        schema = _current_schema_block(doc)
+        schema = _read_schema_block(doc, options or {})
         if schema is None:
             raise ValueError("table metadata carries no schema block")
         from ..metadata.types import (
@@ -1791,7 +1817,7 @@ class HieloIcebergDataSource(DataSource):
                     f"(have data, changes, {', '.join(_META_SURFACES)})"
                 )
             return _META_SURFACES[surface]
-        cols = self._data_cols_ddl(table_dir)
+        cols = self._data_cols_ddl(table_dir, self.options)
         # explicit projection pushdown: option("columns", "a,b") narrows
         # the declared schema, so tasks read only those columns' parquet
         # pages (Spark 4.1's PythonScanBuilder has no
@@ -1837,7 +1863,7 @@ class HieloIcebergDataSource(DataSource):
     def _schema_cols(self):
         doc = _load_doc(self.options["path"])
         schemas = doc.get("schemas", [])
-        schema = _current_schema_block(doc)
+        schema = _read_schema_block(doc, self.options)
         if schema is None:
             raise ValueError("table metadata carries no schema block")
         by_id = sorted(schemas, key=lambda s: int(s.get("schema-id", 0)))

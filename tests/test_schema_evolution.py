@@ -637,3 +637,25 @@ def test_eq_delete_applies_after_post_delete_rename(spark, tmp_path):
     ds = sorted((r.key, r.v) for r in
                 spark.read.format("hielo_iceberg").load(t).collect())
     assert jvm == ds == [(1, "a")]
+
+
+def test_datasource_time_travel_reads_snapshot_schema(spark, tmp_path):
+    """JVM-plane parity: a DataSource TIME-TRAVEL read resolves under
+    the SNAPSHOT's recorded schema (history shows its historical
+    shape); a latest read resolves under the current schema."""
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.update_schema(t, add=[("extra", "string")])
+    C.append(spark, t,
+             spark.createDataFrame([(2, "x")], ["id", "extra"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    latest = spark.read.format("hielo_iceberg").load(t)
+    assert set(latest.columns) == {"id", "extra"}
+    old = (spark.read.format("hielo_iceberg")
+           .option("snapshot-id", "101").load(t))
+    assert old.columns == ["id"]  # the snapshot's own schema
+    assert [r.id for r in old.collect()] == [1]
