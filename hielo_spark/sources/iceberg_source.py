@@ -329,6 +329,69 @@ class _ScanPartition(InputPartition):
         self.scan_log = scan_log        # debug: file to append scan info to
 
 
+def _eq_delete_keep_mask(table, rcols, ddt):
+    """Vectorized null-safe equality-delete mask (keep = not deleted).
+
+    Iceberg equality deletes match with NULL-SAFE equality (a null key
+    deletes null rows), which Acero's hash join does NOT do natively
+    (verified: a (null,null) delete key leaves (null,null) rows alive
+    under plain ``left anti``). Each key column therefore joins as up
+    to two derived keys: an ``is_null`` flag plus the values with
+    nulls filled to one shared same-type scalar — flags equal AND
+    filled values equal ⇔ null-safe equal (a real value can never
+    collide with a filled null because their flags differ). When one
+    side of a column is constant-null the flag alone decides it and no
+    fill scalar is needed. The anti-join does not preserve row order,
+    so row positions ride through it and scatter back into a boolean
+    numpy mask in the table's original order. Raises ArrowInvalid /
+    ArrowNotImplementedError for key types the hash join cannot handle
+    (nested structs, uncastable type drift) — the caller falls back to
+    the exact per-row path for those.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    left = table.select(rcols)
+    # delete-file key columns carry their WRITE-TIME names and types:
+    # rename to current names (caller resolved the alias history) and
+    # cast to the data side's already-normalized types so both sides
+    # hash identically after int/decimal promotion
+    right = ddt.rename_columns(list(rcols)).cast(
+        pa.schema([(c, left.schema.field(c).type) for c in rcols])
+    )
+    keys: list[str] = []
+    lcols = {"__pos__": pa.array(np.arange(n, dtype=np.int64))}
+    rkeys = {}
+    for c in rcols:
+        lc = left.column(c)
+        rc = right.column(c)
+        l_null, r_null = lc.null_count, rc.null_count
+        if l_null or r_null:
+            flag = c + "\x00isnull"
+            lcols[flag] = pc.is_null(lc)
+            rkeys[flag] = pc.is_null(rc)
+            keys.append(flag)
+            if l_null < len(lc) and r_null < len(rc):
+                # both sides hold real values too: join them, nulls
+                # filled to one shared scalar (flag disambiguates)
+                fill = pc.drop_null(rc if r_null < len(rc) else lc)[0]
+                lcols[c] = pc.fill_null(lc, fill)
+                rkeys[c] = pc.fill_null(rc, fill)
+                keys.append(c)
+        else:
+            lcols[c] = lc
+            rkeys[c] = rc
+            keys.append(c)
+    survivors = pa.table(lcols).join(
+        pa.table(rkeys), keys=keys, join_type="left anti"
+    )
+    keep = np.zeros(n, dtype=bool)
+    keep[survivors.column("__pos__").to_numpy(zero_copy_only=False)] = True
+    return keep
+
+
 def _read_partition(part: _ScanPartition):
     """Executor-side scan: pyarrow parquet + sequence-scoped MOR deletes.
     Column-pruned: only the columns in ``part.columns`` are read from the
@@ -369,7 +432,13 @@ def _read_partition(part: _ScanPartition):
     # delete file that spans many data files. Zero matches fall back to
     # a normalizing full read (exotic path forms a foreign writer might
     # use — "./", symlinks — that the candidate set can't enumerate).
-    doomed: set[int] = set()
+    # Positions stay numpy end-to-end: per-source arrays concatenate
+    # into one sorted unique vector, the keep-mask is a boolean numpy
+    # fill, never a per-row Python set test.
+    import numpy as np
+    import pyarrow.compute as pc
+
+    doomed_parts: list["np.ndarray"] = []
     me = os.path.abspath(part.path)
     cands = list({part.path, "file:" + part.path, me, "file:" + me})
     for dpath, _dseq in part.pos_deletes or ():
@@ -377,30 +446,49 @@ def _read_partition(part: _ScanPartition):
             dpath, columns=["file_path", "pos"],
             filters=[("file_path", "in", cands)],
         )
+        if not dt.num_rows:
+            dt = pq.read_table(dpath, columns=["file_path", "pos"])
+            # normalize per DISTINCT path (few), then one is_in filter
+            uniq = pc.unique(dt.column("file_path").combine_chunks())
+            mine = [
+                u for u in uniq.to_pylist()
+                if os.path.abspath(str(u).removeprefix("file:")) == me
+            ]
+            if not mine:
+                continue
+            dt = dt.filter(
+                pc.is_in(dt.column("file_path"),
+                         value_set=pa.array(mine, type=uniq.type))
+            )
         if dt.num_rows:
-            doomed.update(int(i) for i in dt.column("pos").to_pylist())
-            continue
-        dt = pq.read_table(dpath, columns=["file_path", "pos"])
-        for p, i in zip(dt.column("file_path").to_pylist(),
-                        dt.column("pos").to_pylist()):
-            if os.path.abspath(str(p).removeprefix("file:")) == me:
-                doomed.add(int(i))
+            doomed_parts.append(
+                dt.column("pos")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
     if part.dv_ref is not None:
         # v3 deletion vector: read this file's ≤8 KiB blob REGION and
-        # decode the roaring bitmap in-task
+        # decode the roaring bitmap in-task (already a numpy vector)
         from ..metadata.puffin import decode_dv_payload
 
         ppath, off, size = part.dv_ref
         with open(ppath, "rb") as fh:
             fh.seek(off)
             payload = fh.read(size)
-        doomed.update(int(i) for i in decode_dv_payload(payload))
+        doomed_parts.append(
+            np.asarray(decode_dv_payload(payload), dtype=np.int64)
+        )
     kept_pos = None
-    if doomed:
-        kept_pos = [i for i in range(table.num_rows) if i not in doomed]
-        # typed index array: an empty python list infers null type,
-        # which the take kernel rejects (fully-deleted file case)
-        table = table.take(pa.array(kept_pos, type=pa.int64()))
+    if doomed_parts:
+        doomed = np.unique(np.concatenate(doomed_parts))
+        doomed = doomed[(doomed >= 0) & (doomed < table.num_rows)]
+        if doomed.size:
+            keep = np.ones(table.num_rows, dtype=bool)
+            keep[doomed] = False
+            kept_pos = np.flatnonzero(keep)
+            # boolean-mask filter keeps row order and is a SIMD kernel;
+            # handles the fully-deleted-file case (all-False mask)
+            table = table.filter(pa.array(keep))
     if part.lineage:
         # v3 row lineage: synthesize _row_id = first_row_id + position
         # for files without MATERIALIZED lineage columns (rewritten
@@ -409,17 +497,19 @@ def _read_partition(part: _ScanPartition):
         n = table.num_rows
         if "_row_id" not in table.column_names:
             if part.frid is not None:
-                pos = kept_pos if kept_pos is not None else range(n)
-                rid = pa.array(
-                    [part.frid + p for p in pos], type=pa.int64()
+                pos = (
+                    kept_pos
+                    if kept_pos is not None
+                    else np.arange(n, dtype=np.int64)
                 )
+                rid = pa.array(part.frid + pos, type=pa.int64())
             else:
                 rid = pa.nulls(n, type=pa.int64())
             table = table.append_column("_row_id", rid)
         if "_last_updated_sequence_number" not in table.column_names:
             table = table.append_column(
                 "_last_updated_sequence_number",
-                pa.array([part.seq] * n, type=pa.int64())
+                pa.array(np.full(n, part.seq, dtype=np.int64))
                 if part.seq is not None
                 else pa.nulls(n, type=pa.int64()),
             )
@@ -561,13 +651,19 @@ def _read_partition(part: _ScanPartition):
         # key tuples are read HERE, in-task (planning shipped only the
         # file path + footer column names)
         ddt = pq.read_table(dpath, columns=list(cols))
-        key_tuples = list(
-            zip(*[ddt.column(c).to_pylist() for c in cols])
-        )
-        del_keys = set(key_tuples)  # null-safe: None == None in tuples
-        data_cols = [table.column(c).to_pylist() for c in rcols]
-        mask = [tuple(vals) not in del_keys for vals in zip(*data_cols)]
-        table = table.filter(pa.array(mask, type=pa.bool_()))
+        try:
+            keep = _eq_delete_keep_mask(table, rcols, ddt)
+        except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError,
+                pa.lib.ArrowTypeError):
+            # exact per-row fallback for key types the vectorized
+            # anti-join can't hash (nested structs, uncastable drift)
+            key_tuples = list(
+                zip(*[ddt.column(c).to_pylist() for c in cols])
+            )
+            del_keys = set(key_tuples)  # null-safe: None == None
+            data_cols = [table.column(c).to_pylist() for c in rcols]
+            keep = [tuple(v) not in del_keys for v in zip(*data_cols)]
+        table = table.filter(pa.array(keep, type=pa.bool_()))
     # final projection: drop equality-delete key columns the pruned
     # schema didn't ask for, and emit in Spark's requested column order
     if part.out_names is not None and list(table.column_names) != part.out_names:

@@ -1284,3 +1284,83 @@ def test_eq_delete_planning_uses_equality_ids_not_footers(
         for r in spark.read.format("hielo_iceberg").load(t).collect()
     )
     assert got == [(1, "a")]
+
+
+# ------------------------------------------------- vectorized eq-delete mask
+
+
+def test_eq_delete_keep_mask_null_safe_and_order_preserving():
+    """The vectorized anti-join kernel must keep Iceberg's NULL-SAFE
+    equality semantics (a null delete key deletes null rows — plain
+    Acero ``left anti`` gets this wrong) and return the mask in the
+    table's original row order (the join itself reorders)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hielo_spark.sources.iceberg_source import _eq_delete_keep_mask
+
+    table = pa.table({
+        "k1": [1, None, 3, 4, None, 1],
+        "k2": ["a", "b", None, "d", None, "x"],
+        "v": [10, 20, 30, 40, 50, 60],
+    })
+    dels = pa.table({"k1": [1, None], "k2": ["a", None]})
+    keep = _eq_delete_keep_mask(table, ["k1", "k2"], dels)
+    # (1,'a') and (null,null) deleted; (null,'b'), (3,null), (4,'d'),
+    # (1,'x') survive — null-safe, not SQL-equality
+    assert list(keep) == [False, True, True, True, False, True]
+    assert table.filter(pa.array(keep)).column("v").to_pylist() == \
+        [20, 30, 40, 60]  # original order, not join order
+    assert isinstance(keep, np.ndarray)
+
+
+def test_eq_delete_keep_mask_fill_never_collides_with_real_value():
+    """Nulls are filled to a real value from the delete side before the
+    join — a data row actually HOLDING that fill value must not be
+    deleted by a null key (the is-null flag disambiguates)."""
+    import pyarrow as pa
+
+    from hielo_spark.sources.iceberg_source import _eq_delete_keep_mask
+
+    # delete key is (7, null): fill scalar for k2 will be drawn from
+    # the delete side's non-null pool = {"z"} — row (7, "z") must live
+    table = pa.table({"k1": [7, 7], "k2": ["z", None]})
+    dels = pa.table({"k1": [7, 8], "k2": [None, "z"]})
+    keep = _eq_delete_keep_mask(table, ["k1", "k2"], dels)
+    assert list(keep) == [True, False]
+
+
+def test_eq_delete_keep_mask_constant_null_sides():
+    """When one side of a key column is all-null the is-null flag alone
+    decides it (no fill scalar exists to borrow)."""
+    import pyarrow as pa
+
+    from hielo_spark.sources.iceberg_source import _eq_delete_keep_mask
+
+    # delete side k2 all-null: only data rows with k2 null can match
+    table = pa.table({"k1": [1, 1, 2], "k2": ["a", None, None]})
+    dels = pa.table({"k1": [1, 2], "k2": pa.nulls(2, pa.string())})
+    keep = _eq_delete_keep_mask(table, ["k1", "k2"], dels)
+    assert list(keep) == [True, False, False]
+    # data side all-null, delete mixes: only the null delete key fires
+    table2 = pa.table({"k": pa.nulls(3, pa.int64())})
+    dels2 = pa.table({"k": [5, None]})
+    keep2 = _eq_delete_keep_mask(table2, ["k"], dels2)
+    assert list(keep2) == [False, False, False]
+
+
+def test_eq_delete_keep_mask_type_promotion_and_empty_deletes():
+    """Delete files written before an int→bigint promotion carry the
+    narrow type: the kernel casts the delete side to the data side's
+    normalized type before hashing. An empty delete file keeps all."""
+    import pyarrow as pa
+
+    from hielo_spark.sources.iceberg_source import _eq_delete_keep_mask
+
+    table = pa.table({"k": pa.array([1, 2, 3], type=pa.int64())})
+    dels = pa.table({"k": pa.array([2], type=pa.int32())})
+    assert list(_eq_delete_keep_mask(table, ["k"], dels)) == \
+        [True, False, True]
+    empty = pa.table({"k": pa.array([], type=pa.int64())})
+    assert list(_eq_delete_keep_mask(table, ["k"], empty)) == \
+        [True, True, True]
