@@ -1357,11 +1357,43 @@ def delete_equality(
     # distributed write, natural partitioning (keys frames are usually
     # small; when they're not, the tasks that produced them write in
     # parallel — no coalesce(1) single-task funnel), spec-sorted within
-    # each task; per-file counts from the parquet footers
+    # each task; per-file counts from the parquet footers.
+    # When every partition-source column is among the delete KEYS, a
+    # key tuple pins its rows to one partition (identity directly;
+    # transforms because exact key equality implies equal transform
+    # values) — so the delete files write hive-partitioned on derived
+    # `__p_*` twins (twins, because partitionBy would otherwise drop
+    # identity KEY columns from the parquet, which readers must keep)
+    # and each file gets its partition stamped; otherwise the delete
+    # stays global (partition-less), which is always correct.
     del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
-    parts, rows_of, bounds_of = _write_delete_parts(
-        keys_df, del_dir, list(keys_df.columns)
+    transforms = _spec_transforms_from_doc(doc)
+    kd = dict(keys_df.dtypes)
+    part_fields: list[str] = []
+    eq_ptypes: dict[str, str] = {}
+    wdf = keys_df
+    if transforms and all(t.source in kd for t in transforms):
+        from pyspark.sql import functions as F
+
+        for t in transforms:
+            wdf = wdf.withColumn(f"__p_{t.field}", t.expr(kd[t.source]))
+        part_fields = [f"__p_{t.field}" for t in transforms]
+        eq_ptypes = {
+            t.field: (
+                kd[t.source] if t.kind == "identity"
+                else f"transform:{t.spec}"
+            )
+            for t in transforms
+        }
+    parts, rows_of, bounds_of, pvals_of = _write_delete_parts(
+        wdf, del_dir, list(keys_df.columns),
+        partition_fields=part_fields or None,
     )
+    # strip the `__p_` twin prefix back to the spec field names
+    pvals_of = {
+        p: {k.removeprefix("__p_"): v for k, v in vals.items()}
+        for p, vals in pvals_of.items()
+    }
     n_keys = sum(rows_of.values())
 
     manifest_path = os.path.join(
@@ -1371,10 +1403,15 @@ def delete_equality(
     # future per-scan delete-file skipping on key ranges
     eq_btypes = dict(keys_df.dtypes)
     name2id = _name2id(doc)
+    spec_id = int(doc.get("default-spec-id", 0)) if part_fields else 0
+    pfields = (
+        _partition_avro_fields(doc, eq_ptypes, spec_id)
+        if part_fields else []
+    )
     write_avro(
         spark,
         manifest_path,
-        MANIFEST_ENTRY_SCHEMA_V2,
+        manifest_entry_schema(pfields),
         [
             {
                 "status": 1,
@@ -1383,6 +1420,7 @@ def delete_equality(
                     "content": 2,  # equality deletes
                     "file_path": p,
                     "file_format": "PARQUET",
+                    "partition": _typed_partition(pvals_of.get(p), pfields),
                     "record_count": rows_of[p],
                     "file_size_in_bytes": os.path.getsize(p),
                     # spec field 135: key-column field ids (planners
@@ -1399,16 +1437,18 @@ def delete_equality(
                     "lower_bounds_str": bounds_of.get(p, ({}, {}))[0] or None,
                     "upper_bounds_str": bounds_of.get(p, ({}, {}))[1] or None,
                     "bounds_types": eq_btypes,
+                    "partition_values": pvals_of.get(p) or None,
+                    "partition_types": eq_ptypes or None,
                 },
             }
             for p in parts
         ],
-        meta=_manifest_header_meta(doc, 0, "deletes"),
+        meta=_manifest_header_meta(doc, spec_id, "deletes"),
     )
     new_row = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": 1,  # delete manifest
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -1731,8 +1771,12 @@ def _conjunct_skip_filters(condition) -> list[tuple]:
 
 
 def _write_delete_parts(
-    df: DataFrame, del_dir: str, sort_cols: list[str]
-) -> tuple[list[str], dict[str, int], dict[str, tuple[dict, dict]]]:
+    df: DataFrame, del_dir: str, sort_cols: list[str],
+    partition_fields: list[str] | None = None,
+) -> tuple[
+    list[str], dict[str, int], dict[str, tuple[dict, dict]],
+    dict[str, dict],
+]:
     """Distributed delete-file write: a plain parquet write — NEVER
     ``coalesce(1)``, which funnels every matched row through one task (a
     DELETE WHERE touching 1% of a 100 TB table is billions of rows) —
@@ -1746,11 +1790,39 @@ def _write_delete_parts(
     read planners skip whole delete files whose referenced range can't
     intersect a scan (spec: delete files carry bounds like data files —
     a position delete's ``file_path`` bounds say which data files it
-    touches)."""
-    import pyarrow.parquet as pq
+    touches).
 
-    df.sortWithinPartitions(*sort_cols).write.parquet(del_dir)
-    parts = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
+    With ``partition_fields``, the frame carries those derived
+    partition columns and the write is hive-laid-out on them (the same
+    shape as :func:`_write_data_files`) so every delete file belongs
+    to exactly ONE partition — the spec's partition-scoped delete
+    files, and what lets the partition-statistics plane attribute
+    delete counts to their true partitions. The returned ``pvals_of``
+    maps each written file to its partition values (parsed back from
+    the hive directory names); empty when unpartitioned."""
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote
+
+    if partition_fields:
+        (
+            df.sortWithinPartitions(*sort_cols)
+            .write.partitionBy(*partition_fields)
+            .parquet(del_dir)
+        )
+        parts = sorted(_glob.glob(
+            os.path.join(del_dir, "**", "part-*.parquet"), recursive=True
+        ))
+    else:
+        df.sortWithinPartitions(*sort_cols).write.parquet(del_dir)
+        parts = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
+    pvals_of: dict[str, dict] = {}
+    if partition_fields:
+        for p in parts:
+            vals = {}
+            for seg in os.path.relpath(p, del_dir).split(os.sep)[:-1]:
+                k, _, v = seg.partition("=")
+                vals[k] = unquote(v)
+            pvals_of[p] = vals
     rows_of: dict[str, int] = {}
     bounds_of: dict[str, tuple[dict, dict]] = {}
     for p in list(parts):
@@ -1810,7 +1882,7 @@ def _write_delete_parts(
             {k: canon(v) for k, v in lo.items()},
             {k: canon(v) for k, v in hi.items()},
         )
-    return parts, rows_of, bounds_of
+    return parts, rows_of, bounds_of, pvals_of
 
 
 def delete_where(
@@ -1885,6 +1957,9 @@ def delete_where(
     cond = F.expr(condition) if isinstance(condition, str) else condition
     assert isinstance(cond, Column)
     positions = None
+    pos_parted = None   # v2: positions + derived partition-field columns
+    part_fields: list[str] = []
+    pdel_ptypes: dict[str, str] = {}
     if candidates:
         # partition-aware scan (hive-layout files carry identity
         # partition columns only in metadata — reattach so conditions on
@@ -1894,10 +1969,42 @@ def delete_where(
             spark, candidates, "fp_pos",
             schema_cols=ev_cols, aliases=ev_aliases,
         )
-        positions = scan.filter(cond).select(
+        matched = scan.filter(cond)
+        positions = matched.select(
             F.col("_fp").alias("file_path"),
             F.col("_pos").cast("long").alias("pos"),
         )
+        # partitioned tables: derive the spec's partition-field values
+        # beside each matched row (identity columns ride the scan;
+        # transforms recompute from their source columns, the same
+        # expressions the data writer uses) so the delete files write
+        # hive-partitioned — every delete file belongs to exactly ONE
+        # partition (spec partition scoping, and what the
+        # partition-statistics plane attributes delete counts by)
+        transforms = _spec_transforms_from_doc(doc)
+        sdt = dict(scan.dtypes)
+        if (
+            int(doc.get("format-version", 2)) < 3
+            and transforms
+            and all(t.source in sdt for t in transforms)
+            and not {t.field for t in transforms} & {"file_path", "pos"}
+        ):
+            pos_parted = matched.select(
+                F.col("_fp").alias("file_path"),
+                F.col("_pos").cast("long").alias("pos"),
+                *[
+                    t.expr(sdt[t.source]).alias(t.field)
+                    for t in transforms
+                ],
+            )
+            part_fields = [t.field for t in transforms]
+            pdel_ptypes = {
+                t.field: (
+                    sdt[t.source] if t.kind == "identity"
+                    else f"transform:{t.spec}"
+                )
+                for t in transforms
+            }
     if int(doc.get("format-version", 2)) >= 3:
         # v3 forbids position-delete files: deletes commit as deletion
         # vectors (one roaring bitmap per touched data file)
@@ -1909,11 +2016,15 @@ def delete_where(
     parts: list[str] = []
     rows_of: dict[str, int] = {}
     bounds_of = {}
+    pvals_of: dict[str, dict] = {}
     if positions is not None:
-        parts, rows_of, bounds_of = _write_delete_parts(
-            positions.repartition(F.col("file_path")),
+        parts, rows_of, bounds_of, pvals_of = _write_delete_parts(
+            pos_parted.repartition(*part_fields, "file_path")
+            if pos_parted is not None
+            else positions.repartition(F.col("file_path")),
             del_dir,
             ["file_path", "pos"],
+            partition_fields=part_fields or None,
         )
     n_deleted = sum(rows_of.values())
 
@@ -1927,10 +2038,17 @@ def delete_where(
     # (2147483546 file_path / 2147483545 pos).
     _POS_DELETE_IDS = {"file_path": 2147483546, "pos": 2147483545}
     _POS_DELETE_TYPES = {"file_path": "string", "pos": "bigint"}
+    # partitioned tables: each hive-laid-out delete file carries its
+    # one partition — typed r102 record + the engine's string maps
+    spec_id = int(doc.get("default-spec-id", 0)) if part_fields else 0
+    pfields = (
+        _partition_avro_fields(doc, pdel_ptypes, spec_id)
+        if part_fields else []
+    )
     write_avro(
         spark,
         manifest_path,
-        MANIFEST_ENTRY_SCHEMA_V2,
+        manifest_entry_schema(pfields),
         [
             {
                 "status": 1,
@@ -1939,6 +2057,7 @@ def delete_where(
                     "content": 1,  # position deletes
                     "file_path": p,
                     "file_format": "PARQUET",
+                    "partition": _typed_partition(pvals_of.get(p), pfields),
                     "record_count": rows_of[p],
                     "file_size_in_bytes": os.path.getsize(p),
                     **_spec_stats(
@@ -1950,16 +2069,18 @@ def delete_where(
                     "lower_bounds_str": bounds_of.get(p, ({}, {}))[0] or None,
                     "upper_bounds_str": bounds_of.get(p, ({}, {}))[1] or None,
                     "bounds_types": _POS_DELETE_TYPES,
+                    "partition_values": pvals_of.get(p) or None,
+                    "partition_types": pdel_ptypes or None,
                 },
             }
             for p in parts
         ],
-        meta=_manifest_header_meta(doc, 0, "deletes"),
+        meta=_manifest_header_meta(doc, spec_id, "deletes"),
     )
     new_row = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": 1,  # delete manifest
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -2367,11 +2488,26 @@ def _build_dv_entries(
         rows = coords
 
     replaced = {c[0] for c in rows} & set(old_dvs)
+    # a DV belongs to its referenced data file's partition — stamp it
+    # so the partition-statistics plane attributes DV delete records to
+    # their true partitions (pure-Python planning pass, O(live files))
+    live = {}
+    if rows:
+        from .manifests import live_data_file_dicts
+
+        live = live_data_file_dicts(
+            _resolve(
+                os.path.join(mdir, "x"),
+                current["manifest-list"].removeprefix("file:"),
+            ),
+            fv,
+        )
     entries = []
     total_cardinality = 0
     puffin_size = sum({c[1]: c[5] for c in rows}.values())
     for fp, ppath, off, length, card, fsize in sorted(rows):
         total_cardinality += int(card)
+        ref = live.get(fp.removeprefix("file:"), {})
         entries.append(
             {
                 "status": 1,
@@ -2385,6 +2521,8 @@ def _build_dv_entries(
                     "referenced_data_file": fp,
                     "content_offset": int(off),
                     "content_size_in_bytes": int(length),
+                    "partition_values": ref.get("pvals") or None,
+                    "partition_types": ref.get("ptypes") or None,
                 },
             }
         )
@@ -3113,7 +3251,7 @@ def rewrite_position_deletes(
     old_bytes = sum(os.path.getsize(p) for p, _ in pos_files)
 
     del_dir = os.path.join(table_dir, "data", f"seq-{seq_new:05d}-posrewrite")
-    parts, rows_of, bounds_of = _write_delete_parts(
+    parts, rows_of, bounds_of, _pvals = _write_delete_parts(
         survivors.repartition(F.col("file_path")), del_dir,
         ["file_path", "pos"],
     )
@@ -3581,7 +3719,7 @@ def merge_into(
         # distributed delete-key write (no coalesce(1) funnel; the keys
         # frame keeps the join's partitioning), spec-sorted per task
         del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
-        del_parts, del_rows_of, del_bounds_of = _write_delete_parts(
+        del_parts, del_rows_of, del_bounds_of, _dpv = _write_delete_parts(
             delete_keys, del_dir, list(on)
         )
         del_manifest = os.path.join(

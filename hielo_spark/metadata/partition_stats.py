@@ -8,18 +8,34 @@ bytes). Engines use it to answer partition-level questions (SHOW
 PARTITIONS, skew inspection, planning heuristics) without walking
 manifests.
 
-Deviation, documented: the spec's ``partition`` field is a struct of
-the unified partition tuple keyed by field id; our parquet files carry
-no Iceberg field ids anywhere (name-mapping engine), so the partition
-rides as the same stringified ``map<string,string>`` the rest of this
-engine uses for partition values (``t.partitions``, manifest pvals).
+Spec fidelity: the file carries exactly the spec's fields, each
+written with its permanently-assigned PARQUET field id so a
+field-id-resolving reader consumes it without name mapping —
+``1 partition`` (a TYPED struct of the unified partition tuple across
+all specs, child field ids = the partition field-ids from
+metadata.json), ``2 spec_id``, ``3 data_record_count``,
+``4 data_file_count``, ``5 total_data_file_size_in_bytes``,
+``6 position_delete_record_count``, ``7 position_delete_file_count``,
+``8 equality_delete_record_count``, ``9 equality_delete_file_count``,
+``10 total_record_count`` (null when delete overlap could make it
+inexact — see below), ``11 last_updated_at``,
+``12 last_updated_snapshot_id``. Delete counts land under their TRUE
+partitions because the delete writers stamp partition values on
+delete files (hive-partitioned position deletes, key-derived equality
+deletes, DV entries inheriting their referenced data file's
+partition); un-stamped legacy/global delete files aggregate under the
+all-null partition tuple.
 
-Second deviation: our row-level delete writers don't stamp partition
-values on delete files (they can span partitions), so delete
-record/file counts without partition metadata aggregate under the
-EMPTY partition row rather than their data partitions — per-partition
-delete attribution would require joining deletes to data files, which
-is scan work, not metadata work.
+Honest residual deviations: time-transform partition values
+(years/months/days/hours) are typed as this engine's canonical
+strings ("2024", "2024-03-05") rather than the spec's int/date
+encodings — matching what the engine records in every other plane;
+and ``total_record_count`` is emitted only where provably exact
+(no equality deletes, and position deletes either v3 DVs — merged,
+one per file — or at most one v2 delete file, so no double-counted
+positions). Unpartitioned tables raise: the unified partition type is
+empty and parquet cannot represent a zero-field group (Iceberg's own
+PartitionStatsHandler requires a partitioned table too).
 
 Scale: the aggregate is one distributed groupBy over the files frame
 (rows = live files, output rows = live partitions); only the final
@@ -29,13 +45,98 @@ its row count is the partition count, planning-plane size.
 
 from __future__ import annotations
 
-import glob as _glob
 import os
-import shutil
 import time
-import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: spec field name → permanently-assigned field id
+_STATS_FIELD_IDS = {
+    "partition": 1,
+    "spec_id": 2,
+    "data_record_count": 3,
+    "data_file_count": 4,
+    "total_data_file_size_in_bytes": 5,
+    "position_delete_record_count": 6,
+    "position_delete_file_count": 7,
+    "equality_delete_record_count": 8,
+    "equality_delete_file_count": 9,
+    "total_record_count": 10,
+    "last_updated_at": 11,
+    "last_updated_snapshot_id": 12,
+}
+
+
+def _unified_partition_fields(doc: dict) -> list[tuple[str, str, int]]:
+    """``[(name, spark_ddl_type, partition_field_id)]`` of the spec's
+    unified partition tuple: every partition field across ALL specs,
+    ordered by field-id. Value types follow what the engine records:
+    identity/truncate → the source column's type, bucket → int,
+    year/month/day/hour → the canonical string forms."""
+    from .types import iceberg_to_ddl
+
+    id2type: dict[int, object] = {}
+    for s in doc.get("schemas", []):
+        for f in s.get("fields", []):
+            id2type.setdefault(f["id"], f.get("type", "string"))
+    cur = next(
+        (
+            s for s in doc.get("schemas", [])
+            if s.get("schema-id") == doc.get("current-schema-id", 0)
+        ),
+        {},
+    )
+    for f in cur.get("fields", []):
+        id2type[f["id"]] = f.get("type", "string")
+    seen: dict[int, tuple[str, str, int]] = {}
+    for spec in sorted(
+        doc.get("partition-specs") or [], key=lambda s: s.get("spec-id", 0)
+    ):
+        for f in spec.get("fields", []):
+            fid = int(f.get("field-id", 1000))
+            if fid in seen:
+                continue
+            tr = str(f.get("transform", "identity"))
+            src = iceberg_to_ddl(id2type.get(f.get("source-id"), "string"))
+            if tr == "identity":
+                t = src
+            elif tr.startswith("bucket"):
+                t = "int"
+            elif tr.startswith("truncate"):
+                t = src
+            else:  # year/month/day/hour → canonical string forms
+                t = "string"
+            seen[fid] = (str(f.get("name", f"p{fid}")), t, fid)
+    return [seen[fid] for fid in sorted(seen)]
+
+
+def _with_stats_field_ids(tbl, pfields: list[tuple[str, str, int]]):
+    """Stamp the spec's PARQUET field ids onto the arrow schema: the
+    top-level stats fields get ids 1-12, the partition struct's
+    children get their partition field-ids from metadata.json."""
+    import pyarrow as pa
+
+    out = []
+    for f in tbl.schema:
+        if f.name == "partition":
+            kids = [
+                pa.field(
+                    child.name, child.type,
+                    metadata={b"PARQUET:field_id": str(fid).encode()},
+                )
+                for child, (_n, _t, fid) in zip(list(f.type), pfields)
+            ]
+            f = pa.field(
+                "partition", pa.struct(kids),
+                metadata={b"PARQUET:field_id": b"1"},
+            )
+        else:
+            f = f.with_metadata(
+                {b"PARQUET:field_id":
+                 str(_STATS_FIELD_IDS[f.name]).encode()}
+            )
+        out.append(f)
+    return tbl.cast(pa.schema(out))
 
 
 def write_partition_statistics(
@@ -46,7 +147,7 @@ def write_partition_statistics(
     """Compute the CURRENT snapshot's partition statistics and register
     the file under metadata.json ``partition-statistics`` (replacing a
     prior entry for the same snapshot). Returns the registered entry.
-    Unpartitioned tables aggregate to a single empty-partition row."""
+    Raises on unpartitioned tables (empty unified partition type)."""
     from pyspark.sql import functions as F
 
     from .commit import _commit_doc, _load_doc, current_metadata_path
@@ -58,6 +159,13 @@ def write_partition_statistics(
         raise ValueError(
             "cannot write partition statistics: table has no snapshot"
         )
+    pfields = _unified_partition_fields(doc)
+    if not pfields:
+        raise ValueError(
+            "partition statistics require a partitioned table (the "
+            "unified partition type is empty — nothing to key rows by)"
+        )
+    fv = int(doc.get("format-version", 2))
     snap = next(
         s for s in doc.get("snapshots", []) if s["snapshot-id"] == snap_id
     )
@@ -69,14 +177,18 @@ def write_partition_statistics(
         spark, os.path.basename(table_dir),
         snap["manifest-list"].removeprefix("file:"), content=None,
     )
+    pv = F.coalesce(
+        "partition_values", F.create_map().cast("map<string,string>")
+    )
+    part_struct = F.struct(
+        *[
+            F.when(pv[name] == "__HIVE_DEFAULT_PARTITION__", None)
+            .otherwise(pv[name]).cast(t).alias(name)
+            for name, t, _fid in pfields
+        ]
+    )
     agg = (
-        files.withColumn(
-            "partition",
-            F.coalesce(
-                "partition_values",
-                F.create_map().cast("map<string,string>"),
-            ),
-        )
+        files.withColumn("partition", part_struct)
         .groupBy("partition")
         .agg(
             F.sum(F.when(F.col("content") == 0, F.col("record_count"))
@@ -94,30 +206,67 @@ def write_partition_statistics(
                   .otherwise(0)).alias("equality_delete_record_count"),
             F.sum(F.when(F.col("content") == 2, 1).otherwise(0))
             .cast("int").alias("equality_delete_file_count"),
-            F.max("sequence_number").alias("last_updated_sequence_number"),
+            F.max("sequence_number").alias("_last_seq"),
         )
-        .withColumn("spec_id", F.lit(int(doc.get("default-spec-id", 0))))
-        .withColumn("last_updated_at", F.lit(int(timestamp_ms)))
     )
-    # the spec mandates ONE file, sorted by partition — the aggregate
-    # above is distributed; only this final write is serial, and its
-    # row count is the live-partition count
-    tmp = os.path.join(
-        table_dir, "metadata", f"_pstats-tmp-{_uuid.uuid4().hex[:8]}"
+    # total_record_count (field 10, optional) only where provably
+    # exact: no equality deletes (key counts ≠ affected rows), and
+    # position deletes either v3 DVs (merged, one live DV per file) or
+    # at most one v2 delete file (no double-counted positions)
+    exact = (F.col("equality_delete_record_count") == 0) & (
+        F.lit(fv >= 3) | (F.col("position_delete_file_count") <= 1)
     )
-    (
-        agg.orderBy(F.map_entries("partition").cast("string"))
-        .coalesce(1)
-        .write.parquet(tmp)
+    ordered = (
+        agg.select(
+            "partition",
+            F.lit(int(doc.get("default-spec-id", 0))).alias("spec_id"),
+            "data_record_count",
+            "data_file_count",
+            "total_data_file_size_in_bytes",
+            "position_delete_record_count",
+            "position_delete_file_count",
+            "equality_delete_record_count",
+            "equality_delete_file_count",
+            F.when(
+                exact,
+                F.col("data_record_count")
+                - F.col("position_delete_record_count"),
+            ).cast("long").alias("total_record_count"),
+            F.lit(int(timestamp_ms)).alias("last_updated_at"),
+            "_last_seq",
+        )
+        # the spec mandates ONE file, sorted by partition — the
+        # aggregate above is distributed; only this final write is
+        # serial, and its row count is the live-partition count
+        .orderBy("partition")
     )
-    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = ordered.toArrow()
+    # field 12: the snapshot that last updated each partition — mapped
+    # from the aggregated max sequence number (planning-plane dict)
+    seq2snap = {
+        int(s.get("sequence-number", 0)): int(s["snapshot-id"])
+        for s in doc.get("snapshots", [])
+    }
+    lus = pa.array(
+        [
+            seq2snap.get(int(s)) if s is not None else None
+            for s in tbl.column("_last_seq").to_pylist()
+        ],
+        type=pa.int64(),
+    )
+    tbl = tbl.remove_column(
+        tbl.column_names.index("_last_seq")
+    ).append_column("last_updated_snapshot_id", lus)
+    tbl = _with_stats_field_ids(tbl, pfields)
     path = os.path.join(
         table_dir, "metadata",
-        f"partition-stats-{snap_id}-{_uuid.uuid4().hex[:8]}.parquet",
+        f"partition-stats-{snap_id}-{_uuid_hex()}.parquet",
     )
-    shutil.move(part, path)
-    shutil.rmtree(tmp, ignore_errors=True)
-
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(tbl, path)
     entry = {
         "snapshot-id": int(snap_id),
         "statistics-path": path,
@@ -137,6 +286,12 @@ def write_partition_statistics(
     _commit_doc(table_dir, doc, prev_version)
     assert current_metadata_path(table_dir) is not None
     return entry
+
+
+def _uuid_hex() -> str:
+    import uuid
+
+    return uuid.uuid4().hex[:8]
 
 
 def read_partition_statistics(
@@ -196,7 +351,7 @@ def partition_skew_report(
     )
     return [
         {
-            "partition": dict(r.partition or {}),
+            "partition": r.partition.asDict() if r.partition else {},
             "data_record_count": int(r.data_record_count),
             "median_record_count": int(med),
             "reason": (

@@ -361,3 +361,45 @@ def advise_join_strategy(
         "reason": "no NDV statistics for the key; conservative shuffle",
         "ndv": None,
     }
+
+
+def advised_join(
+    spark,
+    df,
+    table_dir: str,
+    key: str,
+    salt_buckets: int = 16,
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+    skew_rows_per_key: int = SKEW_ROWS_PER_KEY,
+    **read_kwargs,
+):
+    """Equi-join ``df`` with a no-jar table ON ``key``, the physical
+    strategy picked by :func:`advise_join_strategy` — the statistics
+    plane EXECUTING its advice instead of just returning it:
+
+    * ``broadcast`` advice → explicit ``F.broadcast`` hint on the table
+      side (the plan flips to BroadcastHashJoin even where Spark's own
+      size estimate wouldn't, because the decision comes from the
+      snapshot summary before any scan);
+    * skew-flagged shuffle advice → :func:`operators.skew.salted_join`
+      (the big side salted, the table side replicated per bucket — the
+      written NDV statistics deciding the plan);
+    * even-shuffle / no-statistics advice → plain join, Catalyst/AQE
+      free to pick.
+
+    Result always equals ``df.join(read_table(...), key)``;
+    ``read_kwargs`` pass through to read_table (where/time travel)."""
+    from pyspark.sql import functions as F
+
+    from ..metadata.manifests import read_table
+    from ..operators.skew import salted_join
+
+    advice = advise_join_strategy(
+        table_dir, key, broadcast_max_bytes, skew_rows_per_key
+    )
+    small = read_table(spark, table_dir, **read_kwargs)
+    if advice["strategy"] == "broadcast":
+        return df.join(F.broadcast(small), key)
+    if advice.get("skew"):
+        return salted_join(df, small, key, salt_buckets=salt_buckets)
+    return df.join(small, key)

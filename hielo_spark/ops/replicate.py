@@ -49,6 +49,75 @@ def _watermark_key(src_doc: dict, src_dir: str) -> str:
     return f"hielo.replicate.{uid}.last-snapshot-id"
 
 
+def _follow_source_schema(
+    src_doc: dict, last_snap_id: int, dst_table_dir: str,
+    keys: list[str],
+) -> None:
+    """Replay the source's schema evolution since the watermark onto
+    the destination (one ``update_schema`` commit), diffing the
+    watermark snapshot's schema against the current one BY FIELD ID —
+    renames keep their id, so ``a→b→c`` between calls collapses to one
+    ``a→c``. Destination column names stay in sync with the source by
+    induction: the bootstrap copied them and every replication replays
+    the subsequent changes, so a source rename ``{old: new}`` addresses
+    the right destination column without any cross-table field-id map.
+    Dropping a replication KEY column is refused loudly — the CDC
+    contract (keys uniquely identify rows in both tables) would be
+    silently broken otherwise."""
+    from ..metadata.types import iceberg_to_ddl
+
+    schemas = {
+        s.get("schema-id"): s for s in src_doc.get("schemas", [])
+    }
+    cur_sid = src_doc.get("current-schema-id", 0)
+    by_id = {
+        int(s["snapshot-id"]): s for s in src_doc.get("snapshots", [])
+    }
+    old_sid = (by_id.get(int(last_snap_id)) or {}).get(
+        "schema-id", cur_sid
+    )
+    if old_sid == cur_sid:
+        return
+    old = {
+        f["id"]: f
+        for f in schemas.get(old_sid, {}).get("fields", [])
+    }
+    new = {
+        f["id"]: f
+        for f in schemas.get(cur_sid, {}).get("fields", [])
+    }
+    add: list[tuple[str, str]] = []
+    drop: list[str] = []
+    rename: dict[str, str] = {}
+    widen: dict[str, str] = {}
+    for fid, f in new.items():
+        if fid not in old:
+            add.append(
+                (f["name"], iceberg_to_ddl(f.get("type", "string")))
+            )
+            continue
+        o = old[fid]
+        if o["name"] != f["name"]:
+            rename[o["name"]] = f["name"]
+        if o.get("type") != f.get("type"):
+            # widen keys use post-rename names (update_schema contract)
+            widen[f["name"]] = iceberg_to_ddl(f.get("type", "string"))
+    for fid, o in old.items():
+        if fid not in new:
+            if o["name"] in keys:
+                raise ValueError(
+                    f"source dropped replication key column "
+                    f"{o['name']!r} — the CDC key contract is broken; "
+                    "re-bootstrap with a new key set"
+                )
+            drop.append(o["name"])
+    if add or drop or rename or widen:
+        C.update_schema(
+            dst_table_dir, add=add or None, drop=drop or None,
+            rename=rename or None, widen=widen or None,
+        )
+
+
 def replicate_changes(
     spark: SparkSession,
     src_table_dir: str,
@@ -142,6 +211,10 @@ def replicate_changes(
     chain.reverse()  # oldest first
     if max_snapshots is not None:
         chain = chain[:max_snapshots]
+    # schema evolution mid-stream: the changelog renders under the
+    # source's CURRENT schema, so the destination must follow the
+    # source's evolution since the watermark before any batch applies
+    _follow_source_schema(src_doc, last, dst_table_dir, keys)
     changes = read_changelog(
         spark, src_mpath, from_snapshot_id=last,
         to_snapshot_id=src_current,

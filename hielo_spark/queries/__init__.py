@@ -236,10 +236,14 @@ _DEFERRED = [
     "meta_nested_roundtrip",
     "meta_hidden_partitioning_roundtrip",
     "meta_statistics_roundtrip",
-    # r8-new plane enters at the tail (local harness oracle-checks it;
-    # head churn this round is limited to the two VERDICT-advised
-    # promotions above):
-    "meta_partition_stats_roundtrip",
+    # r9: meta_partition_stats_roundtrip PROMOTED to the head (VERDICT
+    # r8 item 5 — r8's flagship new surface, now spec-typed with
+    # per-partition delete attribution); q11_important_part_value
+    # defers: its shape (grouped agg + HAVING against a broadcast
+    # global-scalar threshold) keeps head coverage via q22 (global
+    # scalar-avg subquery over a filtered frame) and q20 (threshold
+    # subquery chain), and it stays oracle-checked locally
+    "q11_important_part_value",
     # r8: meta_replication_roundtrip + meta_row_lineage_roundtrip
     # PROMOTED to the head (VERDICT r7 item 3 — they are r7's biggest
     # new operators); q18_large_orders defers (top-k group-having:

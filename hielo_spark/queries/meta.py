@@ -1905,7 +1905,8 @@ def meta_row_lineage_roundtrip(
       ('c2_tables_agree',     CAST(1 AS BIGINT)),
       ('c3_noop_stable',      CAST(0 AS BIGINT)),
       ('c4_watermark',        CAST(104 AS BIGINT)),
-      ('c5_final_rows',       CAST(3 AS BIGINT))
+      ('c5_final_rows',       CAST(3 AS BIGINT)),
+      ('c6_evolution_followed', CAST(1 AS BIGINT))
     ) AS t(check_name, value)
     ORDER BY check_name
     """,
@@ -1961,12 +1962,35 @@ def meta_replication_roundtrip(
     final_rows = len(rows(dst))
     r3 = replicate_changes(spark, src, dst, keys=["id"])
 
+    # r9: schema evolution mid-stream — the source adds a column and
+    # renames v → label; the destination must follow via update_schema
+    # before the post-evolution snapshot applies, and the tables agree
+    # under the NEW schema (pre-existing rows read null for the add)
+    C.update_schema(src, add=[("score", "int")], rename={"v": "label"},
+                    timestamp_ms=1700350000000)
+    C.append(spark, src,
+             spark.createDataFrame(
+                 [(5, "e", 50)], "id bigint, label string, score int"),
+             snapshot_id=105, timestamp_ms=1700400000000)
+    replicate_changes(spark, src, dst, keys=["id"])
+
+    def rows2(t):
+        return sorted(
+            (r.id, r.label, r.score)
+            for r in read_data_at_snapshot(
+                spark, C.current_metadata_path(t)
+            ).collect()
+        )
+
+    evolved_agree = int(rows2(src) == rows2(dst))
+
     out = [
         ("c1_bootstrap_rows", boot_rows),
         ("c2_tables_agree", agree),
         ("c3_noop_stable", len(r3["applied"])),
         ("c4_watermark", r2["watermark"]),
         ("c5_final_rows", final_rows),
+        ("c6_evolution_followed", evolved_agree),
     ]
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
@@ -2095,10 +2119,9 @@ def meta_deletion_vectors_roundtrip(
     "meta_partition_stats_roundtrip",
     """
     SELECT * FROM (VALUES
-      ('',   CAST(0  AS BIGINT), CAST(2 AS BIGINT)),
-      ('eu', CAST(20 AS BIGINT), CAST(0 AS BIGINT)),
-      ('us', CAST(20 AS BIGINT), CAST(0 AS BIGINT))
-    ) AS t(region, data_records, pos_delete_records)
+      ('eu', CAST(20 AS BIGINT), CAST(1 AS BIGINT), CAST(19 AS BIGINT)),
+      ('us', CAST(20 AS BIGINT), CAST(1 AS BIGINT), CAST(19 AS BIGINT))
+    ) AS t(region, data_records, pos_delete_records, total_records)
     """,
 )
 def meta_partition_stats_roundtrip(
@@ -2131,13 +2154,20 @@ def meta_partition_stats_roundtrip(
     out = (
         read_partition_statistics(spark, t)
         .select(
-            F.coalesce(
-                F.try_element_at("partition", F.lit("region")), F.lit("")
-            ).alias("region"),
+            # spec fidelity (r9): `partition` is the typed unified
+            # partition tuple (struct keyed by spec field-ids), and the
+            # position deletes land under their TRUE partitions (the
+            # delete writers stamp partition values): id=2 → us,
+            # id=3 → eu — no empty-partition aggregation row, and
+            # total_record_count is exact (single delete file per
+            # partition, no equality deletes)
+            F.coalesce(F.col("partition.region"), F.lit(""))
+            .alias("region"),
             F.col("data_record_count").alias("data_records"),
             F.col("position_delete_record_count").alias(
                 "pos_delete_records"
             ),
+            F.col("total_record_count").alias("total_records"),
         )
         .orderBy("region")
     )

@@ -377,3 +377,60 @@ def test_salted_agg_two_phase_shape(spark, sf_dir):
     assert re.search(r"hashpartitioning\(account_id[^_]", p), (
         "phase-2 per-key exchange missing"
     )
+
+
+def test_advised_join_flips_plan_on_written_statistics(spark, tmp_path):
+    """r9: the NDV/summary statistics plane EXECUTES its advice
+    (ops/autopilot.advised_join): with Spark's own auto-broadcast off,
+    a dimension-sized table joins as BroadcastHashJoin purely because
+    the snapshot summary said so; a skew-flagged table (written NDV
+    stats: few hot keys) joins salted — key AND _salt in the join keys
+    — while the same join without statistics stays a plain shuffle
+    join. The plan flips on nothing but the written statistics."""
+    from hielo_spark.metadata import commit as C
+    from hielo_spark.metadata.puffin import write_statistics
+    from hielo_spark.ops.autopilot import advised_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(0, 10_000).selectExpr("id % 5 AS k", "id AS v")
+
+        dim = str(tmp_path / "dim")
+        C.append(spark, dim,
+                 spark.range(0, 5).selectExpr("id AS k", "id * 10 AS w"),
+                 snapshot_id=101, timestamp_ms=1700000000000)
+        j1 = advised_join(spark, big, dim, "k")
+        p1 = j1._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p1  # summary-bytes advice, not Spark's estimate
+        assert j1.count() == 10_000
+
+        # same data, statistics withheld + broadcast threshold shrunk:
+        # conservative advice → plain shuffle join, no salt, no broadcast
+        j0 = advised_join(spark, big, dim, "k", broadcast_max_bytes=1)
+        p0 = j0._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p0
+        assert "_salt" not in p0
+        assert j0.count() == 10_000
+
+        # write NDV statistics → the same call now sees 2000 rows/key
+        # over ndv(k)=5 and flips to the salted shape
+        write_statistics(spark, dim)
+        # (stats describe the TABLE side; skew advice keys off the
+        # table's totals — make its shape hot: rewrite with 50k rows,
+        # 5 keys)
+        hot = str(tmp_path / "hot")
+        C.append(spark, hot,
+                 spark.range(0, 50_000).selectExpr("id % 5 AS k",
+                                                   "id AS w"),
+                 snapshot_id=101, timestamp_ms=1700000000000)
+        write_statistics(spark, hot)
+        j2 = advised_join(spark, big.limit(100), hot, "k",
+                          broadcast_max_bytes=1,
+                          skew_rows_per_key=1_000, salt_buckets=4)
+        p2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p2
+        assert "_salt" in p2              # NDV stats flipped the plan
+        assert j2.count() == 100 * 10_000  # 100 probe rows x 10k/key
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

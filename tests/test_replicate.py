@@ -202,3 +202,91 @@ def test_replicate_lineage_expired_raises_descriptive(spark, tmp_path):
     json.dump(doc, open(mpath, "w"))
     with pytest.raises(ValueError, match="re-bootstrap"):
         replicate_changes(spark, src, dst, keys=["id"])
+
+
+def test_replicate_follows_source_schema_evolution(spark, tmp_path):
+    """Source does add-column AND rename mid-stream: the destination
+    follows via one update_schema (field-id diff between the watermark
+    snapshot's schema and the current one) before post-evolution
+    snapshots apply — and pre-existing destination rows read null for
+    the added column, matching the source's own evolution semantics."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    C.append(spark, src,
+             spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    replicate_changes(spark, src, dst, keys=["id"])
+
+    # evolve the source: add a column, rename v → label
+    C.update_schema(src, add=[("score", "int")], rename={"v": "label"},
+                    timestamp_ms=1700050000000)
+    C.append(spark, src,
+             spark.createDataFrame(
+                 [(3, "c", 30)], "id bigint, label string, score int"),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.merge_into(
+        spark, src,
+        spark.createDataFrame(
+            [(1, "A", 10)], "id bigint, label string, score int"),
+        on=["id"], snapshot_id=103, timestamp_ms=1700200000000,
+    )
+    r = replicate_changes(spark, src, dst, keys=["id"])
+    assert r["applied"] == [102, 103]
+
+    def full(t):
+        df = read_data_at_snapshot(spark, C.current_metadata_path(t))
+        return sorted(
+            (r.id, r.label, r.score) for r in df.collect()
+        )
+
+    assert full(dst) == full(src) == [
+        (1, "A", 10), (2, "b", None), (3, "c", 30)]
+    # the destination's CURRENT schema followed (rename kept, add kept)
+    dst_doc = json.load(open(C.current_metadata_path(dst)))
+    cur = next(s for s in dst_doc["schemas"]
+               if s["schema-id"] == dst_doc["current-schema-id"])
+    assert [f["name"] for f in cur["fields"]] == ["id", "label", "score"]
+
+
+def test_replicate_refuses_dropped_key_column(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    C.append(spark, src,
+             spark.createDataFrame([(1, "a")], ["id", "v"]),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    replicate_changes(spark, src, dst, keys=["id", "v"])
+    C.update_schema(src, drop=["v"], timestamp_ms=1700050000000)
+    C.append(spark, src, spark.createDataFrame([(2,)], ["id"]),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    with pytest.raises(ValueError, match="key column"):
+        replicate_changes(spark, src, dst, keys=["id", "v"])
+
+
+def test_replicate_follows_source_drop_and_widen(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    C.append(spark, src,
+             spark.createDataFrame(
+                 [(1, "a", 5)],
+                 "id int, v string, n int"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    replicate_changes(spark, src, dst, keys=["id"])
+    C.update_schema(src, drop=["v"], widen={"n": "bigint"},
+                    timestamp_ms=1700050000000)
+    C.append(spark, src,
+             spark.createDataFrame([(2, 6_000_000_000)],
+                                   "id int, n bigint"),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    r = replicate_changes(spark, src, dst, keys=["id"])
+    assert r["applied"] == [102]
+
+    def full(t):
+        df = read_data_at_snapshot(spark, C.current_metadata_path(t))
+        return sorted((r.id, r.n) for r in df.collect())
+
+    assert full(dst) == full(src) == [(1, 5), (2, 6_000_000_000)]
+    dst_doc = json.load(open(C.current_metadata_path(dst)))
+    cur = next(s for s in dst_doc["schemas"]
+               if s["schema-id"] == dst_doc["current-schema-id"])
+    assert {f["name"]: f["type"] for f in cur["fields"]} == {
+        "id": "int", "n": "long"}

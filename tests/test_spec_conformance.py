@@ -732,3 +732,65 @@ def test_v1_table_reads_on_both_planes(spark, v1_table):
     ):
         assert e["_seq"] == 0                           # spec default
         assert e["data_file"].get("content", 0) == 0    # data
+
+
+def test_delete_manifests_carry_typed_r102_partition(spark, tmp_path):
+    """r9: delete files on a partitioned table are partition-scoped —
+    position deletes write hive-partitioned on the spec's fields and
+    equality deletes derive the partition from their keys — and their
+    manifest entries carry the TYPED r102 partition record a
+    spec-only reader resolves (the same pin data manifests have)."""
+    from hielo_spark.metadata.manifests import _resolve, read_manifest_list
+
+    t = str(tmp_path / "t")
+    C.append(
+        spark, t,
+        spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y")], ["id", "p"]
+        ),
+        partition_by=["p"], snapshot_id=101, timestamp_ms=1700000000000,
+    )
+    C.delete_where(spark, t, "id = 1",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_equality(
+        spark, t, spark.createDataFrame([(3, "y")], ["id", "p"]),
+        snapshot_id=103, timestamp_ms=1700200000000,
+    )
+    doc = _doc(t)
+    mlist = _current_snapshot(doc)["manifest-list"].removeprefix("file:")
+    reader_schema = json.dumps({
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": [
+                            {"name": "p", "type": ["null", "string"],
+                             "default": None},
+                        ],
+                    }},
+                ],
+            }},
+        ],
+    })
+    got = []
+    for m in read_manifest_list(spark, mlist).collect():
+        if (m.content or 0) != 1:
+            continue
+        for r in _read_with_reader_schema(
+            spark, _resolve(mlist, m.manifest_path), reader_schema
+        ):
+            df = r.get("data_file")
+            pval = df.get("partition").get("p")
+            got.append(
+                (int(str(df.get("content"))),
+                 str(pval) if pval is not None else None)
+            )
+    # the position delete (id=1) lands in partition x; the equality
+    # delete (key 3,"y") derives partition y from its keys
+    assert (1, "x") in got
+    assert (2, "y") in got
+    assert all(pv is not None for _c, pv in got)
