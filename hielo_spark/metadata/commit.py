@@ -1324,6 +1324,38 @@ def append(
     )
 
 
+def _eq_delete_partition_plan(
+    doc: dict, keys_df: DataFrame
+) -> tuple[DataFrame, list[str], dict[str, str]]:
+    """``(write_frame, partition_fields, ptypes)`` for a
+    partition-scoped equality-delete write. When every partition-source
+    column is among the delete KEYS, a key tuple pins its rows to one
+    partition (identity directly; transforms because exact key equality
+    implies equal transform values) — so the delete files hive-lay-out
+    on derived ``__p_*`` twins (twins, because partitionBy would
+    otherwise drop identity KEY columns from the parquet, which readers
+    must keep). Otherwise the delete stays global: ``([], {})``, which
+    is always correct."""
+    transforms = _spec_transforms_from_doc(doc)
+    kd = dict(keys_df.dtypes)
+    if not transforms or not all(t.source in kd for t in transforms):
+        return keys_df, [], {}
+    wdf = keys_df
+    for t in transforms:
+        wdf = wdf.withColumn(f"__p_{t.field}", t.expr(kd[t.source]))
+    return (
+        wdf,
+        [f"__p_{t.field}" for t in transforms],
+        {
+            t.field: (
+                kd[t.source] if t.kind == "identity"
+                else f"transform:{t.spec}"
+            )
+            for t in transforms
+        },
+    )
+
+
 def delete_equality(
     spark: SparkSession,
     table_dir: str,
@@ -1367,24 +1399,7 @@ def delete_equality(
     # and each file gets its partition stamped; otherwise the delete
     # stays global (partition-less), which is always correct.
     del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
-    transforms = _spec_transforms_from_doc(doc)
-    kd = dict(keys_df.dtypes)
-    part_fields: list[str] = []
-    eq_ptypes: dict[str, str] = {}
-    wdf = keys_df
-    if transforms and all(t.source in kd for t in transforms):
-        from pyspark.sql import functions as F
-
-        for t in transforms:
-            wdf = wdf.withColumn(f"__p_{t.field}", t.expr(kd[t.source]))
-        part_fields = [f"__p_{t.field}" for t in transforms]
-        eq_ptypes = {
-            t.field: (
-                kd[t.source] if t.kind == "identity"
-                else f"transform:{t.spec}"
-            )
-            for t in transforms
-        }
+    wdf, part_fields, eq_ptypes = _eq_delete_partition_plan(doc, keys_df)
     parts, rows_of, bounds_of, pvals_of = _write_delete_parts(
         wdf, del_dir, list(keys_df.columns),
         partition_fields=part_fields or None,
@@ -1770,9 +1785,20 @@ def _conjunct_skip_filters(condition) -> list[tuple]:
     return out
 
 
+#: row-group target for POSITION-delete parquet: the read side pushes a
+#: ``file_path IN`` filter whose pruning is row-group-granular, so a
+#: delete file spanning many data files must flush row groups well
+#: below parquet's 128 MB default or a task scanning ONE data file
+#: decodes every position in the delete file. 1 MiB ≈ a few thousand
+#: sorted (file_path, pos) rows per group — each group covers a handful
+#: of data files, so the IN filter skips all but a task's own slice.
+_POS_DELETE_ROW_GROUP_BYTES = 1 << 20
+
+
 def _write_delete_parts(
     df: DataFrame, del_dir: str, sort_cols: list[str],
     partition_fields: list[str] | None = None,
+    row_group_bytes: int | None = None,
 ) -> tuple[
     list[str], dict[str, int], dict[str, tuple[dict, dict]],
     dict[str, dict],
@@ -1803,17 +1829,23 @@ def _write_delete_parts(
     import pyarrow.parquet as pq
     from urllib.parse import unquote
 
-    if partition_fields:
-        (
-            df.sortWithinPartitions(*sort_cols)
-            .write.partitionBy(*partition_fields)
-            .parquet(del_dir)
+    writer = df.sortWithinPartitions(*sort_cols).write
+    if row_group_bytes:
+        # small row groups keep the read side's file_path IN pushdown
+        # pruning inside large delete files (row-group granularity)
+        writer = writer.option(
+            "parquet.block.size", str(int(row_group_bytes))
+        ).option(
+            "parquet.page.size",
+            str(min(int(row_group_bytes), 1 << 20)),
         )
+    if partition_fields:
+        writer.partitionBy(*partition_fields).parquet(del_dir)
         parts = sorted(_glob.glob(
             os.path.join(del_dir, "**", "part-*.parquet"), recursive=True
         ))
     else:
-        df.sortWithinPartitions(*sort_cols).write.parquet(del_dir)
+        writer.parquet(del_dir)
         parts = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
     pvals_of: dict[str, dict] = {}
     if partition_fields:
@@ -2025,6 +2057,7 @@ def delete_where(
             del_dir,
             ["file_path", "pos"],
             partition_fields=part_fields or None,
+            row_group_bytes=_POS_DELETE_ROW_GROUP_BYTES,
         )
     n_deleted = sum(rows_of.values())
 
@@ -3254,6 +3287,7 @@ def rewrite_position_deletes(
     parts, rows_of, bounds_of, _pvals = _write_delete_parts(
         survivors.repartition(F.col("file_path")), del_dir,
         ["file_path", "pos"],
+        row_group_bytes=_POS_DELETE_ROW_GROUP_BYTES,
     )
     _POS_IDS = {"file_path": 2147483546, "pos": 2147483545}
     _POS_TYPES = {"file_path": "string", "pos": "bigint"}
@@ -3719,18 +3753,35 @@ def merge_into(
         # distributed delete-key write (no coalesce(1) funnel; the keys
         # frame keeps the join's partitioning), spec-sorted per task
         del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-deletes")
-        del_parts, del_rows_of, del_bounds_of, _dpv = _write_delete_parts(
-            delete_keys, del_dir, list(on)
+        mdf, mdel_fields, mdel_ptypes = _eq_delete_partition_plan(
+            doc, delete_keys
         )
+        del_parts, del_rows_of, del_bounds_of, del_pvals = (
+            _write_delete_parts(
+                mdf, del_dir, list(on),
+                partition_fields=mdel_fields or None,
+            )
+        )
+        del_pvals = {
+            p: {k.removeprefix("__p_"): v for k, v in vals.items()}
+            for p, vals in del_pvals.items()
+        }
         del_manifest = os.path.join(
             mdir, f"delete-manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
         )
         eq_btypes = dict(delete_keys.dtypes)
         name2id = _name2id(doc)
+        mdel_spec_id = (
+            int(doc.get("default-spec-id", 0)) if mdel_fields else 0
+        )
+        mdel_pfields = (
+            _partition_avro_fields(doc, mdel_ptypes, mdel_spec_id)
+            if mdel_fields else []
+        )
         write_avro(
             spark,
             del_manifest,
-            MANIFEST_ENTRY_SCHEMA_V2,
+            manifest_entry_schema(mdel_pfields),
             [
                 {
                     "status": 1,
@@ -3739,6 +3790,9 @@ def merge_into(
                         "content": 2,  # equality deletes
                         "file_path": p,
                         "file_format": "PARQUET",
+                        "partition": _typed_partition(
+                            del_pvals.get(p), mdel_pfields
+                        ),
                         "record_count": del_rows_of[p],
                         "file_size_in_bytes": os.path.getsize(p),
                         "equality_ids": [
@@ -3756,17 +3810,19 @@ def merge_into(
                         "upper_bounds_str":
                             del_bounds_of.get(p, ({}, {}))[1] or None,
                         "bounds_types": eq_btypes,
+                        "partition_values": del_pvals.get(p) or None,
+                        "partition_types": mdel_ptypes or None,
                     },
                 }
                 for p in del_parts
             ],
-            meta=_manifest_header_meta(doc, 0, "deletes"),
+            meta=_manifest_header_meta(doc, mdel_spec_id, "deletes"),
         )
         manifest_rows.append(
             {
                 "manifest_path": del_manifest,
                 "manifest_length": os.path.getsize(del_manifest),
-                "partition_spec_id": 0,
+                "partition_spec_id": mdel_spec_id,
                 "content": 1,  # delete manifest
                 "sequence_number": seq,
                 "min_sequence_number": seq,

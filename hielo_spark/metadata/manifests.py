@@ -318,6 +318,31 @@ def _resolve(base_path: str, p: str) -> str:
     return local
 
 
+_REF_SCHEME_RE = None
+
+
+def _norm_ref_path(p, table_root: str | None = None) -> str:
+    """Foreign file_path forms → a comparable local form: URI schemes
+    stripped (``file:/a``, ``file:///a`` → ``/a``), ``./``-relative and
+    bare-relative resolved against the table root. The read plane's
+    tolerance for paths another engine's writer may record (the spec
+    says full URIs SHOULD be used; silent under-deletes on a legal
+    variant are worse than the normalization)."""
+    global _REF_SCHEME_RE
+    if _REF_SCHEME_RE is None:
+        import re
+
+        _REF_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9.+-]*:/+")
+    s = _REF_SCHEME_RE.sub("/", str(p))
+    if not s.startswith("/") and table_root:
+        import os
+
+        s = os.path.join(
+            table_root, s[2:] if s.startswith("./") else s
+        )
+    return s
+
+
 def files_from_manifest_list(
     spark: SparkSession,
     table_name: str,
@@ -522,8 +547,14 @@ def _prune_pos_deletes(
         hi = (d.get("ub") or {}).get("file_path")
         if lo is None or hi is None:
             return True
-        i = bisect.bisect_left(paths, norm(lo))
-        return i < len(paths) and paths[i] <= norm(hi)
+        lo, hi = norm(lo), norm(hi)
+        if not (lo.startswith("/") and hi.startswith("/")):
+            # foreign path forms (s3://, ./-relative): the raw-string
+            # min/max is NOT the min/max of the normalized paths —
+            # never prune on it (the row-level anti-join stays exact)
+            return True
+        i = bisect.bisect_left(paths, lo)
+        return i < len(paths) and paths[i] <= hi
 
     return [d for d in pos_delete_files if may_reference(d)]
 
@@ -570,10 +601,15 @@ def evolved_read_plan(
 
     for f in target.get("fields", []):
         t = f["type"]
-        try:
-            ddl = iceberg_to_ddl(t)  # nested types render as Spark DDL
-        except ValueError:
-            return None, None  # unknown type kind: fall back to mergeSchema
+        if t == "variant":
+            # v3 variant rides the scan as its parquet shape; the read
+            # plane decodes it to JSON strings after the scan
+            ddl = "struct<metadata:binary,value:binary>"
+        else:
+            try:
+                ddl = iceberg_to_ddl(t)  # nested types render as DDL
+            except ValueError:
+                return None, None  # unknown kind: fall back to mergeSchema
         cols.append((f["name"], ddl))
         hist: list[str] = []
         for s in by_id:
@@ -855,6 +891,10 @@ def read_data_at_snapshot(
 
     from ..metadata.metadata_json import _strip_scheme
 
+    # the table location, for resolving foreign relative/scheme-ful
+    # file_path forms a foreign writer may have recorded
+    table_root = os.path.dirname(os.path.dirname(metadata_json_path))
+
     # planning is PURE PYTHON end to end (r5): one avro_py read of the
     # manifest list, decode_manifest per referenced manifest — no
     # createDataFrame/collect Spark hop per content kind (three of those
@@ -872,7 +912,7 @@ def read_data_at_snapshot(
                 continue
             entries_by_kind.setdefault(fcontent, []).append(
                 {
-                    "path": fpath.removeprefix("file:"),
+                    "path": _norm_ref_path(fpath, table_root),
                     "seq": seq,
                     "pvals": pvals,
                     "ptypes": ptypes,
@@ -974,7 +1014,7 @@ def read_data_at_snapshot(
     for d in all_pos:
         if not d.get("dv"):
             continue
-        ref = d["dv"]["referenced"].removeprefix("file:")
+        ref = _norm_ref_path(d["dv"]["referenced"], table_root)
         if ref not in scan_paths:
             continue
         cur = dv_best.get(ref)
@@ -1011,7 +1051,12 @@ def read_data_at_snapshot(
         if blk is None:
             raise ValueError("row lineage needs a table schema to plan")
         schema_cols = [
-            (f["name"], iceberg_to_ddl(f["type"]))
+            (
+                f["name"],
+                "struct<metadata:binary,value:binary>"
+                if f["type"] == "variant"
+                else iceberg_to_ddl(f["type"]),
+            )
             for f in blk.get("fields", [])
         ]
     read_cols = schema_cols
@@ -1073,6 +1118,47 @@ def read_data_at_snapshot(
                 F.col("_last_updated_sequence_number"), F.col("_lseq")
             ),
         ).drop("_frid", "_lseq")
+    # v3 variant columns rode the scan in their parquet shape
+    # (struct<metadata: binary, value: binary>) — decode to the
+    # canonical JSON strings, an Arrow-batched kernel (per-value decode
+    # by necessity: the encoding is a self-describing byte tree)
+    variant_names = [
+        f["name"]
+        for s in (doc.get("schemas") or [])
+        if s.get("schema-id") == read_schema_id
+        for f in s.get("fields", [])
+        if f.get("type") == "variant"
+    ]
+    if variant_names:
+        from pyspark.sql.functions import pandas_udf
+
+        from ..session import _ship_package
+
+        _ship_package(spark)
+
+        @pandas_udf("string")
+        def _vjson(meta, val):
+            import pandas as pd
+
+            from hielo_spark.metadata.variant import variant_to_json
+
+            return pd.Series(
+                [variant_to_json(m, v) for m, v in zip(meta, val)],
+                dtype="object",
+            )
+
+        col_types = dict(data.dtypes)
+        for name in variant_names:
+            if name in col_types and col_types[name].startswith(
+                "struct"
+            ):
+                data = data.withColumn(
+                    name,
+                    _vjson(
+                        F.col(name).getField("metadata"),
+                        F.col(name).getField("value"),
+                    ),
+                )
     out_cols = [c for c in data.columns if c not in ("_fp", "_pos")]
 
     if not pos_delete_files and not eq_delete_files and not dv_best:
@@ -1088,10 +1174,25 @@ def read_data_at_snapshot(
 
     if pos_delete_files or dv_best:
         dels = None
+        # foreign ./-relative file_path references resolve against the
+        # table root; absolute/scheme-ful forms just strip the scheme
+        _root_lit = os.path.abspath(table_root).rstrip("/") + "/"
+
+        def _norm_ref_col(c):
+            stripped = _strip_scheme(c)
+            return F.when(
+                stripped.startswith("/"), stripped
+            ).otherwise(
+                F.concat(
+                    F.lit(_root_lit),
+                    F.regexp_replace(stripped, r"^\./", ""),
+                )
+            )
+
         for d in pos_delete_files:
             p, dseq = d["path"], d["seq"]
             one = spark.read.parquet(p).select(
-                _strip_scheme(F.col("file_path")).alias("_dfp"),
+                _norm_ref_col(F.col("file_path")).alias("_dfp"),
                 F.col("pos").cast("long").alias("_dpos"),
                 F.lit(dseq).cast("long").alias("_dseq"),
             )

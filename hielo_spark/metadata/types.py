@@ -50,9 +50,14 @@ _ICEBERG_TO_SQL = {
 
 _PRECISION_LOSS = {"timestamp_ns", "timestamptz_ns"}
 
-#: v3 types with no Spark column representation here — reads fail LOUD
-#: with the type named (not a cryptic DDL parse error downstream, and
-#: never the reference's panic)
+#: v3 types with no DIRECT Spark column mapping — this generic
+#: converter fails LOUD with the type named (not a cryptic DDL parse
+#: error downstream, and never the reference's panic). ``variant`` is
+#: listed because it has no Spark type here, but BOTH read planes
+#: special-case it before calling this: the column scans in its
+#: parquet shape (struct<metadata,value> binary) and decodes to
+#: canonical JSON strings (metadata/variant.py). geometry/geography
+#: remain read-blocking (excludable via option("columns")).
 _UNSUPPORTED = {"variant", "geometry", "geography"}
 
 

@@ -295,10 +295,37 @@ def _file_survives(filters, e: dict) -> bool:
     return True
 
 
+_SCHEME_RE = None
+
+
+def _norm_path(p, table_root=None) -> str:
+    """Foreign path forms → a comparable local form: URI schemes
+    stripped (``file:/a``, ``file:///a``, ``s3a://bucket/k`` →
+    ``/a`` / ``/bucket/k``), ``./``-relative and bare-relative paths
+    resolved against the table root (spec paths SHOULD be full URIs,
+    but a foreign writer's relative form must not silently
+    under-delete)."""
+    global _SCHEME_RE
+    if _SCHEME_RE is None:
+        import re
+
+        _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9.+-]*:/+")
+    s = _SCHEME_RE.sub("/", str(p))
+    if not s.startswith("/") and table_root:
+        s = os.path.join(
+            table_root, s[2:] if s.startswith("./") else s
+        )
+    return s
+
+
 class _ScanPartition(InputPartition):
     def __init__(self, path, seq, pos_deletes, eq_deletes, columns,
                  pvals=None, out_names=None, scan_log=None,
-                 frid=None, lineage=False, dv_ref=None):
+                 frid=None, lineage=False, dv_ref=None,
+                 table_root=None):
+        # the table location, for resolving foreign ./-relative
+        # file_path references inside delete files
+        self.table_root = table_root
         # v3 row lineage: the file's first_row_id (manifest field 142;
         # None for rewritten files carrying MATERIALIZED _row_id
         # columns) + whether this scan surfaces the lineage columns
@@ -327,6 +354,28 @@ class _ScanPartition(InputPartition):
         # in `columns` (no pruning)
         self.out_names = out_names
         self.scan_log = scan_log        # debug: file to append scan info to
+
+
+def _variant_json_array(col):
+    """A parquet variant column — struct<metadata: binary, value:
+    binary> — decoded to its canonical JSON strings (the engine's
+    variant surface). Per-value Python by necessity: the encoding is a
+    self-describing byte tree with no vectorizable layout; the loop
+    runs inside the Arrow batch, in-task."""
+    import pyarrow as pa
+
+    from ..metadata.variant import variant_to_json
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()  # one contiguous Array
+    if not pa.types.is_struct(col.type):
+        return col.cast(pa.string())
+    md = col.field("metadata").to_pylist()
+    vv = col.field("value").to_pylist()
+    return pa.array(
+        [variant_to_json(m, v) for m, v in zip(md, vv)],
+        type=pa.string(),
+    )
 
 
 def _eq_delete_keep_mask(table, rcols, ddt):
@@ -440,7 +489,14 @@ def _read_partition(part: _ScanPartition):
 
     doomed_parts: list["np.ndarray"] = []
     me = os.path.abspath(part.path)
-    cands = list({part.path, "file:" + part.path, me, "file:" + me})
+    cset = {part.path, "file:" + part.path, me,
+            "file:" + me, "file://" + me}
+    if part.table_root:
+        # foreign ./-relative references resolve against the table root
+        rel = os.path.relpath(me, os.path.abspath(part.table_root))
+        if not rel.startswith(".."):
+            cset |= {rel, "./" + rel}
+    cands = list(cset)
     for dpath, _dseq in part.pos_deletes or ():
         dt = pq.read_table(
             dpath, columns=["file_path", "pos"],
@@ -452,7 +508,9 @@ def _read_partition(part: _ScanPartition):
             uniq = pc.unique(dt.column("file_path").combine_chunks())
             mine = [
                 u for u in uniq.to_pylist()
-                if os.path.abspath(str(u).removeprefix("file:")) == me
+                if os.path.abspath(
+                    _norm_path(u, part.table_root)
+                ) == me
             ]
             if not mine:
                 continue
@@ -582,6 +640,10 @@ def _read_partition(part: _ScanPartition):
                     None,
                 )
             default = rest[1] if len(rest) > 1 else None
+            if src is not None and ddl == "variant":
+                # v3 variant: decode (metadata, value) → JSON strings
+                cols.append(_variant_json_array(table.column(src)))
+                continue
             if src is not None:
                 col = table.column(src)
                 if want is not None and col.type != want:
@@ -704,7 +766,9 @@ class HieloIcebergReader(DataSourceReader):
         fv = doc.get("format-version", 2)
         for m, e in _manifest_entries(mlist, fv):
             content = e["data_file"].get("content", 0)
-            path = e["data_file"]["file_path"].removeprefix("file:")
+            path = _norm_path(
+                e["data_file"]["file_path"], self.table_dir
+            )
             if content == 0:
                 # pushed filters prune data files HERE so the delete
                 # planning below only references delete files that can
@@ -735,10 +799,17 @@ class HieloIcebergReader(DataSourceReader):
             lo_m, hi_m, _bt = _entry_bounds(e)
             lo = (lo_m or {}).get("file_path")
             hi = (hi_m or {}).get("file_path")
-            return (
-                lo.removeprefix("file:") if lo is not None else None,
-                hi.removeprefix("file:") if hi is not None else None,
-            )
+            if lo is None or hi is None:
+                return None, None
+            lo2 = lo.removeprefix("file:")
+            hi2 = hi.removeprefix("file:")
+            if not (lo2.startswith("/") and hi2.startswith("/")):
+                # foreign path forms (s3://, ./-relative): the raw
+                # string min/max is NOT the min/max of the normalized
+                # paths — never prune on it, always attach (the task's
+                # own normalization decides exactly)
+                return None, None
+            return lo2, hi2
 
         def _may_reference(lo, hi) -> bool:
             import bisect
@@ -765,9 +836,9 @@ class HieloIcebergReader(DataSourceReader):
             # scan task reads its own ≤8 KiB region and decodes there.
             surviving_abs = {os.path.abspath(p) for p in surviving}
             for ppath, dseq, df_rec in dv_files:
-                key = os.path.abspath(
-                    str(df_rec["referenced_data_file"]).removeprefix("file:")
-                )
+                key = os.path.abspath(_norm_path(
+                    df_rec["referenced_data_file"], self.table_dir
+                ))
                 if key not in surviving_abs:
                     continue
                 cur = dv_best.get(key)
@@ -904,7 +975,8 @@ class HieloIcebergReader(DataSourceReader):
                                out_names=out_names, scan_log=scan_log,
                                frid=(int(frid) if frid is not None
                                      else None),
-                               lineage=lineage, dv_ref=dv_ref)
+                               lineage=lineage, dv_ref=dv_ref,
+                               table_root=self.table_dir)
             )
         if not parts:
             # Spark requires >= 1 partition; an empty scan still needs one
@@ -1884,6 +1956,11 @@ class HieloIcebergDataSource(DataSource):
         # error message promises
         out = []
         for f in schema.get("fields", []):
+            if f.get("type") == "variant":
+                # v3 variant decodes to its canonical JSON string
+                # (metadata/variant.py) — declared string here
+                out.append((f["name"], f"{f['name']} string"))
+                continue
             try:
                 out.append(
                     (f["name"], f"{f['name']} {iceberg_to_ddl(f['type'])}")
@@ -1983,6 +2060,12 @@ class HieloIcebergDataSource(DataSource):
                 iceberg_to_ddl,
             )
 
+            if f.get("type") == "variant":
+                # the task decodes the parquet (metadata, value) struct
+                # to JSON strings — "variant" sentinel DDL routes it
+                out.append((f["name"], "variant", tuple(hist[::-1]),
+                            None))
+                continue
             # unsupported types are skipped here: schema() has already
             # raised unless option("columns") EXCLUDED the column, in
             # which case the scan legitimately proceeds without it

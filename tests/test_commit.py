@@ -5,6 +5,7 @@ optimistic-concurrency rename guard."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -1618,3 +1619,74 @@ def test_cherrypick_partitioned_snapshot_keeps_partition_values(spark, tmp_path)
     ap = read_data_at_snapshot(spark, mpath, partition_filter={"region": "ap"})
     assert sorted(r.id for r in ap.collect()) == [3]
     assert len(set(ap.inputFiles())) < len(set(df.inputFiles()))
+
+
+def test_pos_delete_row_groups_keep_file_path_pruning(
+    spark, tmp_path, monkeypatch
+):
+    """r9: position-delete files flush SMALL row groups (spec-sorted by
+    file_path, pos) so the read side's ``file_path IN`` pushdown keeps
+    pruning inside a delete file that spans many data files — a task
+    scanning one data file decodes only its own slice, row-group
+    granular. Forces one delete file across 16 data files and measures
+    prunability from the footer statistics."""
+    import pyarrow.parquet as pq
+
+    from hielo_spark.metadata import commit as C2
+
+    monkeypatch.setattr(C2, "_POS_DELETE_ROW_GROUP_BYTES", 4096)
+    t = str(tmp_path / "t")
+    df = (
+        spark.range(0, 16_000)
+        .selectExpr("id", "CAST(id / 1000 AS INT) AS b")
+        .repartition(16, "b")
+        .drop("b")
+    )
+    C2.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        C2.delete_where(spark, t, "id % 2 = 0",
+                        snapshot_id=102, timestamp_ms=1700100000000)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    dels = sorted(glob.glob(
+        os.path.join(t, "data", "seq-*-posdeletes", "**",
+                     "part-*.parquet"),
+        recursive=True,
+    ))
+    assert len(dels) == 1  # one file spanning every data file
+    md = pq.ParquetFile(dels[0]).metadata
+    assert md.num_row_groups >= 8, md.num_row_groups
+    # pick one data file and count the row groups whose file_path
+    # bounds can contain it — the slice a pruned read actually decodes
+    data_files = sorted(glob.glob(
+        os.path.join(t, "data", "seq-00001", "part-*.parquet")))
+    target = data_files[3]
+    matching = 0
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(0).statistics
+        lo, hi = st.min, st.max
+        lo = lo.decode() if isinstance(lo, bytes) else str(lo)
+        hi = hi.decode() if isinstance(hi, bytes) else str(hi)
+        if lo <= target <= hi:
+            matching += 1
+    assert 1 <= matching <= max(2, md.num_row_groups // 4), (
+        matching, md.num_row_groups,
+    )
+    # and the pruned read is still exact
+    got = pq.read_table(
+        dels[0], columns=["file_path", "pos"],
+        filters=[("file_path", "in", [target])],
+    )
+    per_file = pq.read_table(target, columns=["id"]).num_rows
+    assert got.num_rows == per_file // 2
+    # end-to-end: the table reads odd ids only
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    ids = [
+        r.id for r in read_data_at_snapshot(
+            spark, C2.current_metadata_path(t)
+        ).collect()
+    ]
+    assert len(ids) == 8_000 and all(i % 2 == 1 for i in ids)

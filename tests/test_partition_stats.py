@@ -202,3 +202,31 @@ def test_partition_statistics_surface(spark, tmp_path):
     assert rows[0].snapshot_id == 101
     assert rows[0].statistics_path == entry["statistics-path"]
     assert rows[0].file_size_in_bytes == entry["file-size-in-bytes"]
+
+
+def test_merge_eq_delete_counts_attributed(spark, tmp_path):
+    """merge_into's equality-delete files follow the same
+    partition-scoping rule as delete_equality when the merge keys
+    cover the partition sources."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(1, "us"), (2, "us"), (3, "eu")], ["id", "region"]),
+        partition_by=["region"],
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.merge_into(
+        spark, t,
+        spark.createDataFrame([(2, "us"), (4, "eu")], ["id", "region"]),
+        on=["id", "region"],
+        snapshot_id=102, timestamp_ms=1700100000000)
+    write_partition_statistics(spark, t, timestamp_ms=1700200000000)
+    stats = {
+        (r.partition.asDict() or {}).get("region"):
+            r.equality_delete_record_count
+        for r in read_partition_statistics(spark, t).collect()
+    }
+    # the merge's delete keys: (2, us) matched → eq-delete under us;
+    # (4, eu) not matched → pure insert, but merge writes delete keys
+    # for the whole source (upsert semantics) — both partitions carry
+    # their OWN key counts, none under a null partition
+    assert set(stats) == {"us", "eu"}
+    assert stats["us"] >= 1 and stats["eu"] >= 0

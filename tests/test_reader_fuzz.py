@@ -214,3 +214,144 @@ def test_metadata_json_unknown_keys_ignored(registered, spark, tmp_path):
             f["future-field-key"] = True
     json.dump(doc, open(mpath, "w"))
     assert _both_plane_ids(spark, t) == list(range(10))
+
+
+# ----------------------------------------- foreign path forms (r9, item 8)
+
+
+def _all_manifest_paths(t):
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     cur["manifest-list"].removeprefix("file:"))
+    _s, _m, rows = read_avro_file(mlist)
+    return [_resolve(mlist, r["manifest_path"]) for r in rows]
+
+
+def test_data_file_path_file_uri_forms(registered, spark, tmp_path):
+    """Java writers record ``file:///abs`` (and ``file:/abs``) URIs in
+    manifests; both read planes must resolve them to local files."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 50).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+
+    forms = iter(["file://", "file:"])  # alternate both URI spellings
+
+    def uri(e):
+        df = e["data_file"]
+        p = df["file_path"]
+        if not str(p).startswith("file:"):
+            df["file_path"] = next(forms, "file://") + os.path.abspath(p)
+        return e
+
+    for mp in _data_manifest_paths(t):
+        _rewrite_manifest(mp, lambda s: s, uri)
+    assert _both_plane_ids(spark, t) == list(range(50))
+
+
+def test_pos_delete_relative_file_path_refs(registered, spark,
+                                            tmp_path):
+    """A foreign writer may record a position delete's file_path
+    references relative to the table location (``./data/...`` or bare
+    ``data/...``). Both planes must resolve them against the table
+    root — a silent under-delete is data corruption."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 40).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_where(spark, t, "id < 10",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    import glob as g
+
+    dels = g.glob(os.path.join(t, "data", "seq-*-posdeletes", "**",
+                               "part-*.parquet"), recursive=True)
+    assert dels
+    prefixes = ["./", ""]  # both relative spellings
+    for i, dp in enumerate(sorted(dels)):
+        tbl = pq.read_table(dp)
+        rel = [
+            prefixes[i % 2] + os.path.relpath(
+                str(p).removeprefix("file:"), t)
+            for p in tbl.column("file_path").to_pylist()
+        ]
+        fixed = tbl.set_column(
+            tbl.column_names.index("file_path"),
+            "file_path", pa.array(rel, type=pa.string()),
+        )
+        pq.write_table(fixed, dp)
+        crc = os.path.join(os.path.dirname(dp),
+                           "." + os.path.basename(dp) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)  # hadoop checksum beside the rewritten file
+    assert _both_plane_ids(spark, t) == list(range(10, 40))
+
+
+def test_dv_referenced_data_file_uri_form(registered, spark, tmp_path):
+    """v3 deletion-vector entries whose referenced_data_file carries a
+    ``file://`` URI must still match the scan's local data files on
+    both planes."""
+    from hielo_spark.metadata import upgrade_format_version
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 40).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    upgrade_format_version(t, 3)
+    C.delete_where(spark, t, "id < 15",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+
+    def uri(e):
+        df = e["data_file"]
+        ref = df.get("referenced_data_file")
+        if ref is not None and not str(ref).startswith("file:"):
+            df["referenced_data_file"] = (
+                "file://" + os.path.abspath(ref)
+            )
+        return e
+
+    for mp in _all_manifest_paths(t):
+        _rewrite_manifest(mp, lambda s: s, uri)
+    assert _both_plane_ids(spark, t) == list(range(15, 40))
+
+
+def test_variant_column_with_permuted_manifests(registered, spark,
+                                                tmp_path):
+    """Variant decode composes with foreign-writer manifest shapes:
+    permute every manifest record's field order over a v3 variant
+    table and re-read on both planes."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    tv = importlib.import_module("test_variant")
+
+    t = tv._variant_table(
+        spark, tmp_path, [{"n": i, "tag": f"t{i}"} for i in range(8)]
+    )
+
+    def rev(node):
+        if isinstance(node, dict):
+            out = {k: rev(v) for k, v in node.items()}
+            if out.get("type") == "record":
+                out["fields"] = [rev(f) for f in out["fields"]][::-1]
+            return out
+        if isinstance(node, list):
+            return [rev(x) for x in node]
+        return node
+
+    for mp in _all_manifest_paths(t):
+        _rewrite_manifest(mp, rev, lambda e: e)
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    jvm = {
+        r.id: json.loads(r.v)["n"]
+        for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)).collect()
+    }
+    ds = {
+        r.id: json.loads(r.v)["n"]
+        for r in spark.read.format("hielo_iceberg").load(t).collect()
+    }
+    assert jvm == ds == {i: i for i in range(8)}

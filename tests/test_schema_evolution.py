@@ -560,18 +560,20 @@ def test_variant_geometry_fail_loud_not_silent():
     assert not issubclass(UnsupportedIcebergType, ValueError)
 
 
-def test_variant_column_excludable_via_columns_option(spark, tmp_path):
-    """A table CONTAINING a variant column fails loudly on a full read
-    — but option('columns') that EXCLUDES it reads fine, exactly as
-    the error message promises."""
+def test_variant_column_reads_and_geometry_excludable(spark, tmp_path):
+    """r9: a variant column DECODES (JSON strings; null where a file
+    predates the column) instead of blocking the read — the
+    read-blocking path now belongs to geometry/geography only, which
+    stay excludable via option('columns') exactly as the error
+    message promises."""
     from hielo_spark.sources import register
 
     register(spark)
     t = str(tmp_path / "t")
     C.append(spark, t, spark.createDataFrame([(1, "a")], ["id", "v"]),
              snapshot_id=101, timestamp_ms=1700000000000)
-    # splice a variant-typed column into the current schema (no data
-    # file carries it — the legal add-column shape)
+    # splice variant + geometry columns into the current schema (no
+    # data file carries them — the legal add-column shape)
     mpath = C.current_metadata_path(t)
     doc = json.load(open(mpath))
     sch = next(s for s in doc["schemas"]
@@ -580,14 +582,18 @@ def test_variant_column_excludable_via_columns_option(spark, tmp_path):
     sch["fields"].append(
         {"id": fid, "name": "payload", "required": False,
          "type": "variant"})
-    doc["last-column-id"] = fid
+    sch["fields"].append(
+        {"id": fid + 1, "name": "shape", "required": False,
+         "type": "geometry"})
+    doc["last-column-id"] = fid + 1
     json.dump(doc, open(mpath, "w"))
 
-    with pytest.raises(Exception, match="variant"):
+    with pytest.raises(Exception, match="geometry"):
         spark.read.format("hielo_iceberg").load(t).collect()
     got = (spark.read.format("hielo_iceberg")
-           .option("columns", "id,v").load(t).collect())
-    assert [(r.id, r.v) for r in got] == [(1, "a")]
+           .option("columns", "id,v,payload").load(t).collect())
+    # variant reads: null JSON for files predating the column
+    assert [(r.id, r.v, r.payload) for r in got] == [(1, "a", None)]
 
 
 def test_write_default_via_datasource_writer(spark, tmp_path):

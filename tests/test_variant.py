@@ -1,0 +1,148 @@
+"""Iceberg v3 ``variant`` type (metadata/variant.py): the published
+Parquet Variant binary encoding decoded to canonical JSON strings on
+both read planes. The writer never produces variant — the fixtures
+simulate a foreign v3 writer (encode_variant + a metadata.json type
+swap), which is exactly the artifact shape the read path must meet."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import os
+
+import pytest
+
+from hielo_spark.metadata import commit as C
+from hielo_spark.metadata.variant import (
+    decode_variant,
+    encode_variant,
+    variant_to_json,
+)
+
+
+def test_codec_roundtrip_primitives_and_nesting():
+    cases = [
+        None, True, False, 0, 42, -7, 2**20, 2**40, 3.14,
+        "hi", "x" * 100, b"\x00\x01",
+        datetime.date(2024, 3, 5),
+        datetime.datetime(2024, 3, 5, 10, 30,
+                          tzinfo=datetime.timezone.utc),
+        datetime.datetime(2024, 3, 5, 10, 30),
+        decimal.Decimal("12.34"),
+        {"a": 1, "b": [1, 2, {"c": "deep", "a": None}], "s": "str"},
+        list(range(300)),          # large array: 4-byte count path
+        {f"k{i}": i for i in range(10)},
+        [], {},
+    ]
+    for c in cases:
+        assert decode_variant(*encode_variant(c)) == c, c
+
+
+def test_codec_four_byte_offsets():
+    # >255 bytes of dictionary + values forces the wide offset forms
+    big = {f"key_{i:03d}" * 3: "v" * 40 for i in range(30)}
+    assert decode_variant(*encode_variant(big)) == big
+
+
+def test_json_rendering():
+    got = variant_to_json(*encode_variant(
+        {"a": [1, None, "x"], "d": datetime.date(2024, 1, 2)}
+    ))
+    assert json.loads(got) == {"a": [1, None, "x"], "d": "2024-01-02"}
+    assert variant_to_json(None, None) is None
+
+
+def test_unknown_primitive_id_raises_loudly():
+    meta, _val = encode_variant("x")
+    with pytest.raises(ValueError, match="type id 20"):
+        decode_variant(meta, bytes([20 << 2]))
+
+
+def _variant_table(spark, tmp_path, rows):
+    """A v3 table whose column ``v`` is variant — built by appending
+    the parquet shape (struct<metadata,value> binary) and swapping the
+    recorded schema type to "variant", the foreign-writer simulation."""
+    import pyarrow as pa
+    import pandas as pd
+
+    t = str(tmp_path / "t")
+    encoded = [encode_variant(r) for r in rows]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": list(range(len(rows))),
+                "v_meta": [m for m, _ in encoded],
+                "v_val": [v for _, v in encoded],
+            }
+        )
+    ).selectExpr(
+        "CAST(id AS BIGINT) AS id",
+        "named_struct('metadata', v_meta, 'value', v_val) AS v",
+    )
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000)
+    from hielo_spark.metadata import upgrade_format_version
+
+    upgrade_format_version(t, 3)
+    mpath = C.current_metadata_path(t)
+    doc = json.load(open(mpath))
+    for s in doc["schemas"]:
+        for f in s["fields"]:
+            if f["name"] == "v":
+                f["type"] = "variant"
+    json.dump(doc, open(mpath, "w"))
+    return t
+
+
+def test_both_planes_decode_variant_column(spark, tmp_path):
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.sources import register
+
+    register(spark)
+    rows = [
+        {"a": 1, "b": [True, None, "s"]},
+        "plain string",
+        None,
+        [1, 2.5, {"deep": {"x": 9}}],
+    ]
+    t = _variant_table(spark, tmp_path, rows)
+    want = {
+        0: {"a": 1, "b": [True, None, "s"]},
+        1: "plain string",
+        2: None,
+        3: [1, 2.5, {"deep": {"x": 9}}],
+    }
+
+    def check(got):
+        assert {
+            r.id: (json.loads(r.v) if r.v is not None else None)
+            for r in got
+        } == want
+
+    check(read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    check(spark.read.format("hielo_iceberg").load(t).collect())
+
+
+def test_variant_survives_mor_delete_and_projection(spark, tmp_path):
+    """Variant decode composes with the rest of the read path: a v3
+    DV delete drops a row, and a projection excluding the variant
+    column still scans without decoding it."""
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = _variant_table(
+        spark, tmp_path, [{"k": i} for i in range(6)]
+    )
+    C.delete_where(spark, t, "id >= 4",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    got = spark.read.format("hielo_iceberg").load(t).collect()
+    assert {r.id: json.loads(r.v)["k"] for r in got} == {
+        i: i for i in range(4)
+    }
+    only_ids = (
+        spark.read.format("hielo_iceberg")
+        .option("columns", "id").load(t).collect()
+    )
+    assert sorted(r.id for r in only_ids) == [0, 1, 2, 3]
