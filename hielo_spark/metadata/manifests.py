@@ -605,6 +605,12 @@ def evolved_read_plan(
             # v3 variant rides the scan as its parquet shape; the read
             # plane decodes it to JSON strings after the scan
             ddl = "struct<metadata:binary,value:binary>"
+        elif isinstance(t, str) and t.split("(")[0] in (
+            "geometry", "geography"
+        ):
+            # v3 geometry/geography: WKB binary in parquet; the read
+            # plane decodes to WKT strings after the scan
+            ddl = "binary"
         else:
             try:
                 ddl = iceberg_to_ddl(t)  # nested types render as DDL
@@ -1050,13 +1056,17 @@ def read_data_at_snapshot(
         ) or current_schema_block(doc)
         if blk is None:
             raise ValueError("row lineage needs a table schema to plan")
+        def _scan_ddl(t):
+            if t == "variant":
+                return "struct<metadata:binary,value:binary>"
+            if isinstance(t, str) and t.split("(")[0] in (
+                "geometry", "geography"
+            ):
+                return "binary"
+            return iceberg_to_ddl(t)
+
         schema_cols = [
-            (
-                f["name"],
-                "struct<metadata:binary,value:binary>"
-                if f["type"] == "variant"
-                else iceberg_to_ddl(f["type"]),
-            )
+            (f["name"], _scan_ddl(f["type"]))
             for f in blk.get("fields", [])
         ]
     read_cols = schema_cols
@@ -1122,19 +1132,27 @@ def read_data_at_snapshot(
     # (struct<metadata: binary, value: binary>) — decode to the
     # canonical JSON strings, an Arrow-batched kernel (per-value decode
     # by necessity: the encoding is a self-describing byte tree)
-    variant_names = [
-        f["name"]
+    read_fields = [
+        f
         for s in (doc.get("schemas") or [])
         if s.get("schema-id") == read_schema_id
         for f in s.get("fields", [])
-        if f.get("type") == "variant"
     ]
-    if variant_names:
+    variant_names = [
+        f["name"] for f in read_fields if f.get("type") == "variant"
+    ]
+    geo_names = [
+        f["name"] for f in read_fields
+        if isinstance(f.get("type"), str)
+        and f["type"].split("(")[0] in ("geometry", "geography")
+    ]
+    if variant_names or geo_names:
         from pyspark.sql.functions import pandas_udf
 
         from ..session import _ship_package
 
         _ship_package(spark)
+        col_types = dict(data.dtypes)
 
         @pandas_udf("string")
         def _vjson(meta, val):
@@ -1147,7 +1165,6 @@ def read_data_at_snapshot(
                 dtype="object",
             )
 
-        col_types = dict(data.dtypes)
         for name in variant_names:
             if name in col_types and col_types[name].startswith(
                 "struct"
@@ -1159,6 +1176,20 @@ def read_data_at_snapshot(
                         F.col(name).getField("value"),
                     ),
                 )
+
+        @pandas_udf("string")
+        def _wkt(wkb):
+            import pandas as pd
+
+            from hielo_spark.metadata.geo import wkb_to_wkt
+
+            return pd.Series(
+                [wkb_to_wkt(b) for b in wkb], dtype="object"
+            )
+
+        for name in geo_names:
+            if col_types.get(name) == "binary":
+                data = data.withColumn(name, _wkt(F.col(name)))
     out_cols = [c for c in data.columns if c not in ("_fp", "_pos")]
 
     if not pos_delete_files and not eq_delete_files and not dv_best:

@@ -52,12 +52,13 @@ _PRECISION_LOSS = {"timestamp_ns", "timestamptz_ns"}
 
 #: v3 types with no DIRECT Spark column mapping — this generic
 #: converter fails LOUD with the type named (not a cryptic DDL parse
-#: error downstream, and never the reference's panic). ``variant`` is
-#: listed because it has no Spark type here, but BOTH read planes
-#: special-case it before calling this: the column scans in its
-#: parquet shape (struct<metadata,value> binary) and decodes to
-#: canonical JSON strings (metadata/variant.py). geometry/geography
-#: remain read-blocking (excludable via option("columns")).
+#: error downstream, and never the reference's panic). All three are
+#: special-cased by BOTH read planes before calling this, as TOP-LEVEL
+#: columns: ``variant`` scans in its parquet shape (struct<metadata,
+#: value> binary) and decodes to canonical JSON strings
+#: (metadata/variant.py); ``geometry``/``geography`` scan as WKB
+#: binary and decode to WKT strings (metadata/geo.py). NESTED
+#: occurrences (inside struct/list/map) still fail loud here.
 _UNSUPPORTED = {"variant", "geometry", "geography"}
 
 

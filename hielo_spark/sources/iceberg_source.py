@@ -644,6 +644,16 @@ def _read_partition(part: _ScanPartition):
                 # v3 variant: decode (metadata, value) → JSON strings
                 cols.append(_variant_json_array(table.column(src)))
                 continue
+            if src is not None and ddl == "geometry":
+                # v3 geometry/geography: WKB → WKT strings
+                from ..metadata.geo import wkb_to_wkt
+
+                cols.append(pa.array(
+                    [wkb_to_wkt(b)
+                     for b in table.column(src).to_pylist()],
+                    type=pa.string(),
+                ))
+                continue
             if src is not None:
                 col = table.column(src)
                 if want is not None and col.type != want:
@@ -1956,9 +1966,13 @@ class HieloIcebergDataSource(DataSource):
         # error message promises
         out = []
         for f in schema.get("fields", []):
-            if f.get("type") == "variant":
+            if f.get("type") == "variant" or (
+                isinstance(f.get("type"), str)
+                and f["type"].split("(")[0] in ("geometry", "geography")
+            ):
                 # v3 variant decodes to its canonical JSON string
-                # (metadata/variant.py) — declared string here
+                # (metadata/variant.py); geometry/geography WKB decode
+                # to WKT (metadata/geo.py) — declared string here
                 out.append((f["name"], f"{f['name']} string"))
                 continue
             try:
@@ -2064,6 +2078,13 @@ class HieloIcebergDataSource(DataSource):
                 # the task decodes the parquet (metadata, value) struct
                 # to JSON strings — "variant" sentinel DDL routes it
                 out.append((f["name"], "variant", tuple(hist[::-1]),
+                            None))
+                continue
+            if isinstance(f.get("type"), str) and f["type"].split(
+                "("
+            )[0] in ("geometry", "geography"):
+                # WKB binary → WKT strings, decoded in-task
+                out.append((f["name"], "geometry", tuple(hist[::-1]),
                             None))
                 continue
             # unsupported types are skipped here: schema() has already

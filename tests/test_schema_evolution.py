@@ -560,12 +560,10 @@ def test_variant_geometry_fail_loud_not_silent():
     assert not issubclass(UnsupportedIcebergType, ValueError)
 
 
-def test_variant_column_reads_and_geometry_excludable(spark, tmp_path):
-    """r9: a variant column DECODES (JSON strings; null where a file
-    predates the column) instead of blocking the read — the
-    read-blocking path now belongs to geometry/geography only, which
-    stay excludable via option('columns') exactly as the error
-    message promises."""
+def test_variant_and_geometry_columns_read_as_strings(spark, tmp_path):
+    """r9: variant columns DECODE to JSON strings and geometry columns
+    to WKT strings (null where a file predates the column) instead of
+    blocking the read — no excludability dance needed for either."""
     from hielo_spark.sources import register
 
     register(spark)
@@ -588,12 +586,12 @@ def test_variant_column_reads_and_geometry_excludable(spark, tmp_path):
     doc["last-column-id"] = fid + 1
     json.dump(doc, open(mpath, "w"))
 
-    with pytest.raises(Exception, match="geometry"):
-        spark.read.format("hielo_iceberg").load(t).collect()
-    got = (spark.read.format("hielo_iceberg")
-           .option("columns", "id,v,payload").load(t).collect())
-    # variant reads: null JSON for files predating the column
-    assert [(r.id, r.v, r.payload) for r in got] == [(1, "a", None)]
+    got = spark.read.format("hielo_iceberg").load(t).collect()
+    assert [(r.id, r.v, r.payload, r.shape) for r in got] == [
+        (1, "a", None, None)]
+    got2 = (spark.read.format("hielo_iceberg")
+            .option("columns", "id,v").load(t).collect())
+    assert [(r.id, r.v) for r in got2] == [(1, "a")]
 
 
 def test_write_default_via_datasource_writer(spark, tmp_path):
