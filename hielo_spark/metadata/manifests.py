@@ -1146,6 +1146,32 @@ def read_data_at_snapshot(
         if isinstance(f.get("type"), str)
         and f["type"].split("(")[0] in ("geometry", "geography")
     ]
+    if variant_names and schema_cols is not None:
+        # the evolved-schema path scans variant under an EXPLICIT
+        # (metadata, value) struct — a SHREDDED file's typed_value
+        # subtree would silently read as nulls. Probe a bounded number
+        # of footers and refuse loudly instead (the single-schema
+        # mergeSchema path and the DataSource handle shredding fully).
+        import pyarrow.parquet as pq
+
+        for fd in data_files[:8]:
+            sch = pq.read_schema(fd["path"])
+            for name in variant_names:
+                if name not in sch.names:
+                    continue
+                t = sch.field(name).type
+                if any(
+                    t.field(i).name == "typed_value"
+                    for i in range(getattr(t, "num_fields", 0) or 0)
+                ):
+                    raise ValueError(
+                        f"variant column {name!r} is SHREDDED in "
+                        f"{fd['path']} and the table has an evolved "
+                        "schema — the explicit-schema read plane "
+                        "cannot reconstruct shredded variants yet; "
+                        "read via the hielo_iceberg DataSource "
+                        "(per-file footers) instead"
+                    )
     if variant_names or geo_names:
         from pyspark.sql.functions import pandas_udf
 
@@ -1155,13 +1181,18 @@ def read_data_at_snapshot(
         col_types = dict(data.dtypes)
 
         @pandas_udf("string")
-        def _vjson(meta, val):
+        def _vjson(struct_df):
             import pandas as pd
 
-            from hielo_spark.metadata.variant import variant_to_json
+            from hielo_spark.metadata.variant import (
+                shredded_row_to_json,
+            )
 
             return pd.Series(
-                [variant_to_json(m, v) for m, v in zip(meta, val)],
+                [
+                    shredded_row_to_json(r)
+                    for r in struct_df.to_dict("records")
+                ],
                 dtype="object",
             )
 
@@ -1169,13 +1200,10 @@ def read_data_at_snapshot(
             if name in col_types and col_types[name].startswith(
                 "struct"
             ):
-                data = data.withColumn(
-                    name,
-                    _vjson(
-                        F.col(name).getField("metadata"),
-                        F.col(name).getField("value"),
-                    ),
-                )
+                # the whole struct rides into the kernel so the
+                # SHREDDED form (typed_value subcolumns) reconstructs
+                # too, not just the (metadata, value) pair
+                data = data.withColumn(name, _vjson(F.col(name)))
 
         @pandas_udf("string")
         def _wkt(wkb):

@@ -311,3 +311,86 @@ def encode_variant(obj) -> tuple[bytes, bytes]:
     _collect_keys(obj, keys, set())
     key_id = {k: i for i, k in enumerate(keys)}
     return encode_metadata(keys), _encode_value(obj, key_id)
+
+
+# ------------------------------------------------------------- shredding
+# (Parquet VariantShredding.md: a writer may shred a variant column
+# into typed subcolumns — struct<metadata, value?, typed_value?>, with
+# object fields as nested {value?, typed_value?} groups and arrays as
+# lists of such groups. Readers must reconstruct the logical value.)
+
+#: sentinel: an object field whose value AND typed_value are both null
+#: is ABSENT from that row's object (not null-valued)
+MISSING = object()
+
+
+def reconstruct_shredded(node, dictionary: list[str]):
+    """One row's shredded variant node → plain Python object.
+
+    ``node`` is the python form of the parquet group (arrow
+    ``to_pylist``): a dict with optional ``value`` (binary variant
+    fallback for the unshredded remainder) and optional
+    ``typed_value`` (dict = object group of field groups, list =
+    array of element groups, anything else = shredded primitive).
+    Returns :data:`MISSING` when both are null (absent object field;
+    callers render a top-level MISSING as null)."""
+    if node is None:
+        return MISSING
+    tv = node.get("typed_value")
+    val = node.get("value")
+    if tv is not None and type(tv).__module__ == "numpy":
+        # pandas/arrow hand list-typed cells over as numpy arrays (and
+        # scalars as numpy types) — normalize to plain Python
+        tv = tv.tolist() if hasattr(tv, "tolist") else tv
+        if tv is None:
+            tv = None  # numpy NaT/NA collapse
+    import math as _math
+
+    if isinstance(val, float) and _math.isnan(val):
+        val = None  # pandas renders a null binary cell as NaN
+    if isinstance(tv, float) and _math.isnan(tv):
+        tv = None
+    if tv is not None:
+        if isinstance(tv, dict):  # object group: shredded fields
+            obj = {}
+            if val is not None:
+                # the unshredded remainder rides as a partial object
+                part, _ = _decode_value(bytes(val), 0, dictionary)
+                if isinstance(part, dict):
+                    obj.update(part)
+            for k, child in tv.items():
+                v = (
+                    reconstruct_shredded(child, dictionary)
+                    if isinstance(child, dict) else child
+                )
+                if v is not MISSING:
+                    obj[k] = v
+            return obj
+        if isinstance(tv, list):  # array of element groups
+            return [
+                (reconstruct_shredded(e, dictionary)
+                 if isinstance(e, dict) else e)
+                for e in tv
+            ]
+        return tv  # shredded primitive, already typed
+    if val is not None:
+        return _decode_value(bytes(val), 0, dictionary)[0]
+    return MISSING
+
+
+def shredded_row_to_json(row: dict | None) -> str | None:
+    """A whole shredded variant row (incl. its ``metadata``) → the
+    canonical JSON string; null-safe."""
+    if row is None:
+        return None
+    md = row.get("metadata")
+    if md is None or (
+        isinstance(md, float) and md != md  # pandas null → NaN
+    ):
+        return None
+    obj = reconstruct_shredded(row, decode_metadata(bytes(md)))
+    if obj is MISSING:
+        return None
+    return json.dumps(
+        obj, default=_json_default, separators=(",", ":")
+    )

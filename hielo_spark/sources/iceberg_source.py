@@ -358,22 +358,23 @@ class _ScanPartition(InputPartition):
 
 def _variant_json_array(col):
     """A parquet variant column — struct<metadata: binary, value:
-    binary> — decoded to its canonical JSON strings (the engine's
-    variant surface). Per-value Python by necessity: the encoding is a
-    self-describing byte tree with no vectorizable layout; the loop
-    runs inside the Arrow batch, in-task."""
+    binary> or the SHREDDED form with ``typed_value`` subcolumns
+    (Parquet VariantShredding) — decoded to its canonical JSON strings
+    (the engine's variant surface). The task sees each file's own
+    footer, so shredding is handled per file. Per-value Python by
+    necessity: the encoding is a self-describing byte tree with no
+    vectorizable layout; the loop runs inside the Arrow batch,
+    in-task."""
     import pyarrow as pa
 
-    from ..metadata.variant import variant_to_json
+    from ..metadata.variant import shredded_row_to_json
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()  # one contiguous Array
     if not pa.types.is_struct(col.type):
         return col.cast(pa.string())
-    md = col.field("metadata").to_pylist()
-    vv = col.field("value").to_pylist()
     return pa.array(
-        [variant_to_json(m, v) for m, v in zip(md, vv)],
+        [shredded_row_to_json(r) for r in col.to_pylist()],
         type=pa.string(),
     )
 

@@ -146,3 +146,133 @@ def test_variant_survives_mor_delete_and_projection(spark, tmp_path):
         .option("columns", "id").load(t).collect()
     )
     assert sorted(r.id for r in only_ids) == [0, 1, 2, 3]
+
+
+def test_shredded_reconstruction_unit():
+    """Parquet VariantShredding reconstruction: shredded primitives,
+    object groups with an unshredded remainder, array element groups,
+    absent fields, and the plain unshredded fallback."""
+    from hielo_spark.metadata.variant import (
+        _encode_value,
+        encode_metadata,
+        shredded_row_to_json,
+    )
+
+    md = encode_metadata(["a", "b"])
+    kid = {"a": 0, "b": 1}
+    # object: a shredded (int), b rides the binary remainder
+    row = {"metadata": md,
+           "value": _encode_value({"b": "str"}, kid),
+           "typed_value": {"a": {"value": None, "typed_value": 7}}}
+    assert json.loads(shredded_row_to_json(row)) == {"a": 7, "b": "str"}
+    # absent field: both null in its group
+    row2 = {"metadata": md, "value": None,
+            "typed_value": {"a": {"value": None, "typed_value": None},
+                            "b": {"value": None, "typed_value": 1}}}
+    assert json.loads(shredded_row_to_json(row2)) == {"b": 1}
+    # array of element groups, mixed shredded/binary elements
+    md0 = encode_metadata([])
+    row3 = {"metadata": md0, "value": None,
+            "typed_value": [
+                {"value": None, "typed_value": 1},
+                {"value": _encode_value("x", {}), "typed_value": None},
+            ]}
+    assert json.loads(shredded_row_to_json(row3)) == [1, "x"]
+    # shredded primitive / unshredded fallback / all-null
+    assert shredded_row_to_json(
+        {"metadata": md0, "value": None, "typed_value": 42}) == "42"
+    m, v = encode_variant({"z": [1, 2]})
+    assert json.loads(shredded_row_to_json(
+        {"metadata": m, "value": v, "typed_value": None})) \
+        == {"z": [1, 2]}
+    assert shredded_row_to_json(
+        {"metadata": md0, "value": None, "typed_value": None}) is None
+    assert shredded_row_to_json(None) is None
+
+
+def _shredded_table(spark, tmp_path):
+    """A v3 table whose variant column ``v`` is SHREDDED: object field
+    ``a`` as a typed int64 subcolumn, remainder in the binary value."""
+    import pandas as pd
+
+    from hielo_spark.metadata.variant import (
+        _encode_value,
+        encode_metadata,
+    )
+
+    t = str(tmp_path / "t")
+    md = encode_metadata(["a", "b"])
+    kid = {"a": 0, "b": 1}
+    rows = [
+        # (id, remainder-bytes, shredded a)
+        (0, _encode_value({"b": "x"}, kid), 10),
+        (1, None, 20),          # fully shredded object {a: 20}
+        (2, _encode_value({"b": "y"}, kid), None),  # a absent
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "id": [r[0] for r in rows],
+            "m": [md] * len(rows),
+            "rem": [r[1] for r in rows],
+            "a": pd.array([r[2] for r in rows], dtype="Int64"),
+        })
+    ).selectExpr(
+        "CAST(id AS BIGINT) AS id",
+        "named_struct('metadata', m, 'value', rem, 'typed_value', "
+        "named_struct('a', named_struct('value', "
+        "CAST(NULL AS BINARY), 'typed_value', a))) AS v",
+    )
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000)
+    from hielo_spark.metadata import upgrade_format_version
+
+    upgrade_format_version(t, 3)
+    mpath = C.current_metadata_path(t)
+    doc = json.load(open(mpath))
+    for s in doc["schemas"]:
+        for f in s["fields"]:
+            if f["name"] == "v":
+                f["type"] = "variant"
+    json.dump(doc, open(mpath, "w"))
+    return t
+
+
+def test_both_planes_decode_shredded_variant(spark, tmp_path):
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = _shredded_table(spark, tmp_path)
+    want = {0: {"a": 10, "b": "x"}, 1: {"a": 20}, 2: {"b": "y"}}
+
+    ds = {
+        r.id: json.loads(r.v)
+        for r in spark.read.format("hielo_iceberg").load(t).collect()
+    }
+    assert ds == want
+    jvm = {
+        r.id: json.loads(r.v)
+        for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)).collect()
+    }
+    assert jvm == want
+
+
+def test_shredded_variant_evolved_schema_raises_loud(spark, tmp_path):
+    """The explicit-schema (evolved) JVM path cannot see typed_value —
+    it must refuse loudly, never silently null the shredded subtree.
+    The DataSource keeps reading (per-file footers)."""
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = _shredded_table(spark, tmp_path)
+    C.update_schema(t, add=[("note", "string")],
+                    timestamp_ms=1700100000000)
+    with pytest.raises(ValueError, match="SHREDDED"):
+        read_data_at_snapshot(spark, C.current_metadata_path(t))
+    ds = {
+        r.id: json.loads(r.v)
+        for r in spark.read.format("hielo_iceberg").load(t).collect()
+    }
+    assert ds[1] == {"a": 20}
