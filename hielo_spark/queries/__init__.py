@@ -236,6 +236,10 @@ _DEFERRED = [
     "meta_nested_roundtrip",
     "meta_hidden_partitioning_roundtrip",
     "meta_statistics_roundtrip",
+    # r9-new: advised_join driver row enters at the TAIL (the head
+    # churn this round is the advised meta_partition_stats promotion);
+    # rotation candidate for next round
+    "meta_advised_join_roundtrip",
     # r9: meta_partition_stats_roundtrip PROMOTED to the head (VERDICT
     # r8 item 5 — r8's flagship new surface, now spec-typed with
     # per-partition delete attribution); q11_important_part_value

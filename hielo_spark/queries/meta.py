@@ -2172,3 +2172,82 @@ def meta_partition_stats_roundtrip(
         .orderBy("region")
     )
     return out
+
+
+@query(
+    "meta_advised_join_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('c1_dim_broadcast_plan',  CAST(1 AS BIGINT)),
+      ('c2_dim_join_rows',       CAST(5000 AS BIGINT)),
+      ('c3_hot_salted_plan',     CAST(1 AS BIGINT)),
+      ('c4_hot_join_rows',       CAST(100000 AS BIGINT)),
+      ('c5_no_stats_plain_plan', CAST(1 AS BIGINT))
+    ) AS t(check_name, value)
+    ORDER BY check_name
+    """,
+)
+def meta_advised_join_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The statistics plane EXECUTING its join advice (S19 →
+    ops/autopilot.advised_join): with Spark's own auto-broadcast off,
+    a dimension-sized table joins as BroadcastHashJoin purely because
+    the snapshot summary said so; a skew-flagged table (written NDV
+    statistics: few hot keys) joins salted; withholding statistics
+    leaves a plain shuffle join. Constant-valued oracle — the physical
+    plans are the checked artifact."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.puffin import write_statistics
+    from ..ops.autopilot import advised_join
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_adv_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    dim, hot = os.path.join(base, "dim"), os.path.join(base, "hot")
+    C.append(spark, dim,
+             spark.range(0, 5).selectExpr("id AS k", "id * 10 AS w"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, hot,
+             spark.range(0, 50_000).selectExpr("id % 5 AS k",
+                                               "id AS w"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    write_statistics(spark, hot)
+    big = spark.range(0, 5_000).selectExpr("id % 5 AS k", "id AS v")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j1 = advised_join(spark, big, dim, "k")
+        p1 = j1._jdf.queryExecution().executedPlan().toString()
+        c1 = int("BroadcastHashJoin" in p1)
+        c2 = j1.count()
+        j2 = advised_join(spark, big.limit(10), hot, "k",
+                          broadcast_max_bytes=1,
+                          skew_rows_per_key=1_000, salt_buckets=4)
+        p2 = j2._jdf.queryExecution().executedPlan().toString()
+        c3 = int("_salt" in p2 and "BroadcastHashJoin" not in p2)
+        c4 = j2.count()
+        j3 = advised_join(spark, big.limit(10), dim, "k",
+                          broadcast_max_bytes=1)
+        p3 = j3._jdf.queryExecution().executedPlan().toString()
+        c5 = int("BroadcastHashJoin" not in p3 and "_salt" not in p3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            ("c1_dim_broadcast_plan", c1),
+            ("c2_dim_join_rows", int(c2)),
+            ("c3_hot_salted_plan", c3),
+            ("c4_hot_join_rows", int(c4)),
+            ("c5_no_stats_plain_plan", c5),
+        ],
+        "check_name string, value long",
+    ).orderBy("check_name")

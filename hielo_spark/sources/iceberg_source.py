@@ -318,6 +318,51 @@ def _norm_path(p, table_root=None) -> str:
     return s
 
 
+class _PackedScanPartition(InputPartition):
+    """A bin-packed scan task: several FILES ride one Spark partition
+    (Iceberg split planning, ``read.split.target-size``) so a
+    many-small-files table doesn't pay one Python-worker task per tiny
+    file. Each inner file keeps its own :class:`_ScanPartition` (its
+    deletes, partition values, lineage base) and decodes independently
+    inside the shared task."""
+
+    def __init__(self, files: list):
+        self.files = files
+
+
+def _pack_scan_tasks(parts: list, sizes: list, doc: dict, options):
+    """First-fit sequential packing of per-file scan tasks into
+    target-sized Spark partitions. The target follows Iceberg's
+    ``read.split.target-size`` table property (128 MiB default,
+    overridable via ``option("split-target-bytes")``); locally the
+    EFFECTIVE target is lowered so a small table still fans out across
+    the machine's cores instead of serializing into one task — at real
+    scale (files at or above the target) packing is one file per task
+    and this is a no-op."""
+    props = doc.get("properties", {}) or {}
+    target = int(
+        options.get("split-target-bytes")
+        or props.get("read.split.target-size")
+        or 128 * 1024 * 1024
+    )
+    total = sum(sizes)
+    cores = os.cpu_count() or 8
+    # local fan-out: cap each task at its fair share of the table
+    # (2 waves per core) so packing never costs parallelism; the tiny
+    # absolute floor only guards the degenerate all-empty-files case
+    eff = min(target, max(64 * 1024, total // (2 * cores) or 1))
+    packed, cur, cur_bytes = [], [], 0
+    for p, sz in zip(parts, sizes):
+        if cur and cur_bytes + sz > eff:
+            packed.append(_PackedScanPartition(cur))
+            cur, cur_bytes = [], 0
+        cur.append(p)
+        cur_bytes += sz
+    if cur:
+        packed.append(_PackedScanPartition(cur))
+    return packed
+
+
 class _ScanPartition(InputPartition):
     def __init__(self, path, seq, pos_deletes, eq_deletes, columns,
                  pvals=None, out_names=None, scan_log=None,
@@ -940,6 +985,7 @@ class HieloIcebergReader(DataSourceReader):
             ]
         scan_log = self.options.get("scan_log")
         parts = []
+        sizes = []
         for path, e in data:  # already filter-pruned above
             data_file = e["data_file"]
             pvals = data_file.get("partition_values")
@@ -989,16 +1035,21 @@ class HieloIcebergReader(DataSourceReader):
                                lineage=lineage, dv_ref=dv_ref,
                                table_root=self.table_dir)
             )
+            sizes.append(int(data_file.get("file_size_in_bytes") or 0))
         if not parts:
             # Spark requires >= 1 partition; an empty scan still needs one
-            parts = [_ScanPartition(None, None, [], [], task_cols,
-                                    out_names=out_names)]
-        return parts
+            return [_ScanPartition(None, None, [], [], task_cols,
+                                   out_names=out_names)]
+        return _pack_scan_tasks(parts, sizes, doc, self.options)
 
-    def read(self, partition: _ScanPartition):
+    def read(self, partition):
+        if isinstance(partition, _PackedScanPartition):
+            for p in partition.files:
+                yield from _read_partition(p)
+            return
         if partition.path is None:
-            return iter(())
-        return _read_partition(partition)
+            return
+        yield from _read_partition(partition)
 
 
 def _snapshot_lineage(doc: dict, start_id, end_id) -> list[dict]:

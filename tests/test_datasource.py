@@ -12,6 +12,19 @@ import pytest
 from hielo_spark.metadata import commit as C
 
 
+def _tasks(reader):
+    """Flatten bin-packed scan partitions back to per-FILE tasks (the
+    granularity planning/pruning tests assert on)."""
+    from hielo_spark.sources.iceberg_source import _PackedScanPartition
+
+    out = []
+    for p in reader.partitions():
+        out.extend(
+            p.files if isinstance(p, _PackedScanPartition) else [p]
+        )
+    return out
+
+
 @pytest.fixture()
 def registered(spark):
     from hielo_spark.sources import register
@@ -116,8 +129,8 @@ def test_pushed_filters_prune_files(registered, tmp_path):
     r_all = HieloIcebergReader(t, {}, cols)
     r_flt = HieloIcebergReader(t, {}, cols)
     list(r_flt.pushFilters([GreaterThanOrEqual(("id",), 100)]))
-    assert len(r_all.partitions()) == 2
-    assert len(r_flt.partitions()) == 1
+    assert len(_tasks(r_all)) == 2
+    assert len(_tasks(r_flt)) == 1
     # and the full query still returns exactly the filtered rows
     df = spark.read.format("hielo_iceberg").load(t).filter("id >= 100")
     assert df.count() == 10
@@ -217,7 +230,7 @@ def test_write_stats_feed_pruning(registered, tmp_path):
         .mode("append").save(t)
     r_flt = HieloIcebergReader(t, {}, [("id", "bigint")])
     list(r_flt.pushFilters([GreaterThanOrEqual(("id",), 100)]))
-    assert len(r_flt.partitions()) == 1
+    assert len(_tasks(r_flt)) == 1
 
 
 def test_write_overwrite_replaces_table(registered, tmp_path):
@@ -378,7 +391,7 @@ def test_timestamp_filter_pruning_not_overzealous(registered, tmp_path):
         ("ts",), dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc))]))
     # the file's upper bound (2024-06-15) satisfies >= 2024-06-01:
     # it must NOT be pruned
-    assert len(r.partitions()) == 1
+    assert len(_tasks(r)) == 1
     got = (spark.read.format("hielo_iceberg").load(t)
            .filter("ts >= timestamp'2024-06-01 00:00:00'").collect())
     assert [r_.id for r_ in got] == [2]
@@ -450,7 +463,7 @@ def test_legacy_string_map_bounds_do_not_break_planning(registered, tmp_path):
 
     r = HieloIcebergReader(t, {}, [("id", "bigint")])
     list(r.pushFilters([GreaterThan(("id",), 100)]))
-    parts = [p for p in r.partitions() if p.path is not None]
+    parts = [p for p in _tasks(r) if p.path is not None]
     assert len(parts) == 1
     assert spark.read.format("hielo_iceberg").load(t).filter("id > 100").count() == 0
 
@@ -1027,7 +1040,7 @@ def test_datasource_planning_never_materializes_deletes(
 
     r = S.HieloIcebergReader(t, {}, [("k", "bigint")])
     list(r.pushFilters([GreaterThanOrEqual(("k",), 1000)]))
-    parts = r.partitions()
+    parts = _tasks(r)
     # one surviving data file; only the second delete file is attached
     # (the first's file_path bounds can't touch the surviving file)
     assert len(parts) == 1
@@ -1061,7 +1074,7 @@ def test_datasource_dv_planning_ships_coordinates(registered, spark,
 
     monkeypatch.setattr(P, "decode_dv_payload", spy)
     r = S.HieloIcebergReader(t, {}, [("k", "bigint")])
-    parts = [p for p in r.partitions() if p.path is not None]
+    parts = [p for p in _tasks(r) if p.path is not None]
     assert not calls, "planning must not decode DV payloads"
     assert len(parts) == 1 and parts[0].dv_ref is not None
     ppath, off, size = parts[0].dv_ref
@@ -1233,7 +1246,7 @@ def test_eq_delete_attachment_pruned_by_key_bounds(registered, spark,
                       snapshot_id=103, timestamp_ms=1700200000000)
     r = S.HieloIcebergReader(t, {}, [("id", "bigint")])
     parts = sorted(
-        (p for p in r.partitions() if p.path is not None),
+        (p for p in _tasks(r) if p.path is not None),
         key=lambda p: p.path,
     )
     assert len(parts) == 2
@@ -1275,7 +1288,7 @@ def test_eq_delete_planning_uses_equality_ids_not_footers(
     monkeypatch.setattr(pq, "read_table", no_footer)
     monkeypatch.setattr(pq, "ParquetFile", no_footer)
     r = S.HieloIcebergReader(t, {}, [("id", "bigint"), ("v", "string")])
-    parts = [p for p in r.partitions() if p.path is not None]
+    parts = [p for p in _tasks(r) if p.path is not None]
     assert parts and parts[0].eq_deletes
     assert parts[0].eq_deletes[0][1] == ["id"]  # cols from field ids
     monkeypatch.undo()
@@ -1364,3 +1377,33 @@ def test_eq_delete_keep_mask_type_promotion_and_empty_deletes():
     empty = pa.table({"k": pa.array([], type=pa.int64())})
     assert list(_eq_delete_keep_mask(table, ["k"], empty)) == \
         [True, True, True]
+
+
+def test_scan_task_bin_packing(registered, spark, tmp_path):
+    """Many small files pack into few Spark partitions (Iceberg
+    read.split.target-size split planning) with identical results; an
+    explicit option('split-target-bytes') caps the packing, and files
+    at/above the target get one task each."""
+    from hielo_spark.sources.iceberg_source import (
+        HieloIcebergReader,
+        _PackedScanPartition,
+    )
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 2_000).repartition(40),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    cols = [("id", "bigint")]
+    packed = HieloIcebergReader(t, {}, cols).partitions()
+    assert all(isinstance(p, _PackedScanPartition) for p in packed)
+    assert len(packed) < 40                       # actually packed
+    assert sum(len(p.files) for p in packed) == 40  # nothing dropped
+    # a tiny explicit target forces one file per task
+    solo = HieloIcebergReader(
+        t, {"split-target-bytes": "1"}, cols).partitions()
+    assert len(solo) == 40
+    # end-to-end equality
+    got = sorted(
+        r.id for r in spark.read.format("hielo_iceberg").load(t)
+        .collect()
+    )
+    assert got == list(range(2_000))
