@@ -1829,7 +1829,15 @@ def _write_delete_parts(
     import pyarrow.parquet as pq
     from urllib.parse import unquote
 
-    writer = df.sortWithinPartitions(*sort_cols).write
+    # With a hive partitionBy, Spark's dynamic-partition write inserts
+    # its OWN task-local sort on the partition columns, which would
+    # destroy a bare (file_path, pos) order. Lead the sort with the
+    # partition fields so the writer's required ordering is already
+    # satisfied and no destructive re-sort is inserted — rows within
+    # each partition directory stay spec-ordered by ``sort_cols``.
+    writer = df.sortWithinPartitions(
+        *(partition_fields or []), *sort_cols
+    ).write
     if row_group_bytes:
         # small row groups keep the read side's file_path IN pushdown
         # pruning inside large delete files (row-group granularity)

@@ -225,21 +225,48 @@ for mod in (relational, meta, ext):
 # events_interval_union defers (r6 green; the gaps-and-islands window
 # family keeps its head story via events_sessionization, and the
 # interval-union semantics stay oracle-checked by the local harness):
+# Round-10 rotation (VERDICT r9 item 1 — rotate stale driver evidence):
+# ten never-driver-checked oracle-backed queries enter the head — the
+# five r7-r9 roundtrip planes (meta_writer_surface_roundtrip,
+# meta_nested_roundtrip, meta_hidden_partitioning_roundtrip,
+# meta_statistics_roundtrip, meta_advised_join_roundtrip — the newest
+# write/read planes, checked only locally until now) plus five
+# operator families with no external row of any kind:
+# events_user_cardinality (exact-distinct/HLL family),
+# events_type_pivot (pivot column-explosion), orders_profile
+# (one-pass per-column profiler), events_attribution_join
+# (watermark-shaped interval join, batch twin), doc_train_shuffle
+# (deterministic training-export shuffle). Ten r9-green entries defer,
+# families covered:
+#   q7_nation_volume / q9_profit_by_nation_year / q10_returned_customers
+#     → q5 keeps the broadcast-dimension join+agg chain, q3 the
+#     join+topk, q21/q20 the complex multi-join shapes (q7/q10 carried
+#     exactly this rationale in earlier rounds)
+#   q2_min_cost_supplier → correlated-MIN family held by q20's
+#     threshold-subquery chain + q21's double correlation
+#   events_recent_windows → events_resample_1h + events_hot_account_stats
+#     keep the windowed-agg family (plus streaming parity tests)
+#   meta_health_subscores → A8/A9 sub-score banding is recomputed
+#     inside the meta_health head row's columns
+#   meta_schema_matrix → J2 change classes held by
+#     meta_schema_evolution_roundtrip (same matrix over own metadata)
+#   doc_lang_stats → text-stats family held by doc_lm_surprisal +
+#     doc_curation_pipeline (embeds quality/lang columns)
+#   doc_boilerplate_lines → corpus line-dedup family held by
+#     doc_exact_dedup + doc_dup_ngram_coverage
+#   doc_simhash_precision → hash-family external story carried by
+#     doc_minhash_recall (hash-matched truth pin) + doc_neardup_minhash
 _DEFERRED = [
-    # r7-new planes enter at the TAIL by choice this round (local
-    # harness oracle-checks them; head-50 churn stays limited to the
-    # advised meta_schema_evolution_roundtrip slot plus — session 3 —
-    # meta_deletion_vectors_roundtrip, the v3 DV plane, which takes the
-    # slot doc_dedup_spans yields below) — rotation candidates for the
-    # next round's head:
-    "meta_writer_surface_roundtrip",
-    "meta_nested_roundtrip",
-    "meta_hidden_partitioning_roundtrip",
-    "meta_statistics_roundtrip",
-    # r9-new: advised_join driver row enters at the TAIL (the head
-    # churn this round is the advised meta_partition_stats promotion);
-    # rotation candidate for next round
-    "meta_advised_join_roundtrip",
+    "q7_nation_volume",
+    "q9_profit_by_nation_year",
+    "q10_returned_customers",
+    "q2_min_cost_supplier",
+    "events_recent_windows",
+    "meta_health_subscores",
+    "meta_schema_matrix",
+    "doc_lang_stats",
+    "doc_boilerplate_lines",
+    "doc_simhash_precision",
     # r9: meta_partition_stats_roundtrip PROMOTED to the head (VERDICT
     # r8 item 5 — r8's flagship new surface, now spec-typed with
     # per-partition delete attribution); q11_important_part_value
@@ -297,8 +324,6 @@ _DEFERRED = [
     "q19_disjunctive_revenue",
     "supplier_semi_join_nations",
     "top3_customers_per_segment",
-    "events_attribution_join",
-    "orders_profile",
     "part_two_groups",
     "events_by_type",
     "nations_union",
@@ -319,12 +344,9 @@ _DEFERRED = [
     "topk_per_group_agg",
     "events_asof_cogroup",
     "doc_fingerprints",
-    "events_type_pivot",
-    "events_user_cardinality",
     "meta_snapshot_span",
     "doc_pii_scan",
     "events_range_join",
-    "doc_train_shuffle",
     "doc_top_ngrams",
     "doc_quality",
     "doc_bigram_surprisal",

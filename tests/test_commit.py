@@ -1382,6 +1382,45 @@ def test_delete_where_partition_column_condition(spark, tmp_path):
     assert out.filter("region = 'eu'").count() == 0
 
 
+def test_partitioned_position_delete_files_are_sorted(spark, tmp_path):
+    """Hive-partitioned position-delete files must still be sorted by
+    (file_path, pos) WITHIN each partition directory: Spark's dynamic
+    partitionBy write inserts its own task-local sort on the partition
+    columns, so the pre-write sort has to lead with them or the
+    writer's re-sort destroys file_path order (Iceberg spec requires
+    position deletes ordered by file_path then position, and the
+    row-group pruning rationale in commit.py assumes it)."""
+    import pyarrow.parquet as pq
+    from hielo_spark.metadata.manifests import files_from_manifest_list
+
+    t = str(tmp_path / "t")
+    # several data files per partition so each partition's delete file
+    # references multiple file_paths (the order-destroying case)
+    df = spark.range(0, 600).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'us' ELSE 'eu' END AS region"
+    ).repartition(6)
+    C.append(spark, t, df, partition_by=["region"],
+             snapshot_id=101, timestamp_ms=1700000000000)
+    snap = C.delete_where(spark, t, "id % 5 = 0",
+                          snapshot_id=102, timestamp_ms=1700100000000)
+    entries = files_from_manifest_list(
+        spark, "t", snap["manifest-list"].removeprefix("file:"), content=1
+    ).collect()
+    assert entries, "expected partition-scoped delete files"
+    checked = 0
+    for e in entries:
+        tb = pq.ParquetFile(e.file_path.removeprefix("file:")).read()
+        rows = list(zip(tb.column("file_path").to_pylist(),
+                        tb.column("pos").to_pylist()))
+        assert rows == sorted(rows), \
+            f"unsorted position delete file {e.file_path}"
+        if len({fp for fp, _ in rows}) > 1:
+            checked += 1
+    # at least one delete file spans multiple data files, or the test
+    # wouldn't exercise the destructive-re-sort scenario
+    assert checked >= 1
+
+
 def test_no_single_partition_delete_write_plan(spark):
     """Plan-level guard: the delete-write helper never introduces a
     1-partition coalesce/repartition — the physical plan of what it
