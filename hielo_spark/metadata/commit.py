@@ -790,26 +790,38 @@ def update_partition_spec(table_dir: str, partition_by: list[str]) -> int:
         )
         + 1
     )
-    specs.append(
-        {
-            "spec-id": new_id,
-            "fields": [
-                {
-                    "name": t.field,
-                    "transform": t.iceberg_name,
-                    "source-id": name2id[t.source],
-                    "field-id": next_field_id + i,
-                }
-                for i, t in enumerate(transforms)
-            ],
-        }
-    )
+    # spec rule (v2+): an identical (source-id, transform) pair REUSES
+    # its existing field-id across specs — the unified partition tuple
+    # is keyed by field-id, so a re-appearing field must stay the SAME
+    # field, not a same-named duplicate
+    existing = {
+        (int(f.get("source-id", -1)), str(f.get("transform", ""))):
+            (int(f.get("field-id", 999)), str(f.get("name", "")))
+        for s in specs
+        for f in s.get("fields", [])
+    }
+    new_fields = []
+    for t in transforms:
+        key = (name2id[t.source], t.iceberg_name)
+        if key in existing:
+            fid, fname = existing[key]
+        else:
+            fid, fname = next_field_id, t.field
+            next_field_id += 1
+        new_fields.append(
+            {
+                "name": fname,
+                "transform": t.iceberg_name,
+                "source-id": name2id[t.source],
+                "field-id": fid,
+            }
+        )
+    specs.append({"spec-id": new_id, "fields": new_fields})
     doc = dict(doc)
     doc["partition-specs"] = specs
     doc["default-spec-id"] = new_id
     doc["last-partition-id"] = max(
-        int(doc.get("last-partition-id", 999)),
-        next_field_id + len(transforms) - 1 if transforms else 999,
+        int(doc.get("last-partition-id", 999)), next_field_id - 1
     )
     _commit_doc(table_dir, doc, prev_version)
     return new_id

@@ -349,6 +349,7 @@ def files_from_manifest_list(
     manifest_list_path: str,
     content: int | None = 0,
     manifest_rows: list | None = None,
+    with_spec_id: bool = False,
 ) -> DataFrame:
     """The ``t.files`` frame of a snapshot, straight from its manifest
     list: parse the list, parse each referenced manifest, keep live
@@ -381,13 +382,24 @@ def files_from_manifest_list(
             _resolve(manifest_list_path, m.manifest_path),
             inherited_seq=m.sequence_number,
         )
+        if with_spec_id:
+            # each manifest belongs to exactly ONE partition spec (the
+            # manifest_file's partition-spec-id, field 502) — stamp it
+            # per entry so mixed-spec tables attribute files correctly
+            entries = entries.withColumn(
+                "spec_id",
+                F.lit(int(getattr(m, "partition_spec_id", None) or 0)),
+            )
         out = entries if out is None else out.unionByName(entries)
     content_cols = ["content"] if content is None else []
+    if with_spec_id:
+        content_cols = content_cols + ["spec_id"]
     if out is None:
         return spark.createDataFrame(
             [],
             "table_name string, "
             + ("content int, " if content is None else "")
+            + ("spec_id int, " if with_spec_id else "")
             + "file_path string, file_size_in_bytes long, "
             "record_count long, sequence_number long, "
             "partition_values map<string,string>, partition_types map<string,string>, "
@@ -796,6 +808,35 @@ def _read_files_with_partitions(
     return data
 
 
+def _variant_json_udf(spark):
+    """Arrow-batched whole-struct variant→JSON kernel (per-value decode
+    by necessity: the encoding is a self-describing byte tree). The full
+    struct rides in so SHREDDED forms (typed_value subcolumns,
+    VariantShredding.md) reconstruct too, not just the plain
+    (metadata, value) pair."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import _ship_package
+
+    _ship_package(spark)
+
+    @pandas_udf("string")
+    def _vjson(struct_df):
+        import pandas as pd
+
+        from hielo_spark.metadata.variant import shredded_row_to_json
+
+        return pd.Series(
+            [
+                shredded_row_to_json(r)
+                for r in struct_df.to_dict("records")
+            ],
+            dtype="object",
+        )
+
+    return _vjson
+
+
 def read_data_at_snapshot(
     spark: SparkSession,
     metadata_json_path: str,
@@ -1079,9 +1120,78 @@ def read_data_at_snapshot(
             ("_row_id", "bigint"),
             ("_last_updated_sequence_number", "bigint"),
         ]
-    data = _read_files_with_partitions(
-        spark, data_files, row_coords, schema_cols=read_cols, aliases=aliases
-    )
+    # v3 variant columns ride the scan in their parquet shape and decode
+    # to canonical JSON strings after. With an EXPLICIT (evolved) scan
+    # schema a SHREDDED file's typed_value subtree exists only in its
+    # footer — negotiate per file: probe EVERY planned footer (a
+    # metadata-only read_schema, planning-plane, bounded by the file
+    # count), group files by each variant column's actual struct shape,
+    # scan each group under its true shape and decode variant→JSON per
+    # group BEFORE the union (the decoded string column unions cleanly
+    # across heterogeneous shredding shapes).
+    read_fields = [
+        f
+        for s in (doc.get("schemas") or [])
+        if s.get("schema-id") == read_schema_id
+        for f in s.get("fields", [])
+    ]
+    variant_names = [
+        f["name"] for f in read_fields if f.get("type") == "variant"
+    ]
+    geo_names = [
+        f["name"] for f in read_fields
+        if isinstance(f.get("type"), str)
+        and f["type"].split("(")[0] in ("geometry", "geography")
+    ]
+    shape_groups: dict[tuple, list[dict]] | None = None
+    if variant_names and schema_cols is not None:
+        import pyarrow.parquet as pq
+
+        from .types import arrow_to_ddl
+
+        def _vshape(path: str) -> tuple:
+            sch = pq.read_schema(path)
+            shape = []
+            for name in variant_names:
+                # a pre-rename file carries the column under an OLD name
+                for cand in (name, *(aliases or {}).get(name, ())):
+                    if cand not in sch.names:
+                        continue
+                    t = sch.field(cand).type
+                    if any(
+                        t.field(i).name == "typed_value"
+                        for i in range(getattr(t, "num_fields", 0) or 0)
+                    ):
+                        shape.append((name, arrow_to_ddl(t)))
+                    break
+            return tuple(shape)
+
+        by_shape: dict[tuple, list[dict]] = {}
+        for fd in data_files:
+            by_shape.setdefault(_vshape(fd["path"]), []).append(fd)
+        if any(by_shape):  # at least one shredded shape present
+            shape_groups = by_shape
+    if shape_groups is None:
+        data = _read_files_with_partitions(
+            spark, data_files, row_coords, schema_cols=read_cols,
+            aliases=aliases,
+        )
+    else:
+        _vjson_pre = _variant_json_udf(spark)
+        shape_parts = []
+        for shape, fs in shape_groups.items():
+            override = dict(shape)
+            cols = [(n, override.get(n, t)) for n, t in read_cols]
+            g = _read_files_with_partitions(
+                spark, fs, row_coords, schema_cols=cols, aliases=aliases
+            )
+            for name in variant_names:
+                if dict(g.dtypes).get(name, "").startswith("struct"):
+                    g = g.withColumn(name, _vjson_pre(F.col(name)))
+            shape_parts.append(g)
+        data = shape_parts[0]
+        for g in shape_parts[1:]:
+            data = data.unionByName(g)
     if defaults:
         # v3 initial-default: files written BEFORE a column's add read
         # its default where they'd read null. Sequence-gated via a
@@ -1128,50 +1238,10 @@ def read_data_at_snapshot(
                 F.col("_last_updated_sequence_number"), F.col("_lseq")
             ),
         ).drop("_frid", "_lseq")
-    # v3 variant columns rode the scan in their parquet shape
-    # (struct<metadata: binary, value: binary>) — decode to the
-    # canonical JSON strings, an Arrow-batched kernel (per-value decode
-    # by necessity: the encoding is a self-describing byte tree)
-    read_fields = [
-        f
-        for s in (doc.get("schemas") or [])
-        if s.get("schema-id") == read_schema_id
-        for f in s.get("fields", [])
-    ]
-    variant_names = [
-        f["name"] for f in read_fields if f.get("type") == "variant"
-    ]
-    geo_names = [
-        f["name"] for f in read_fields
-        if isinstance(f.get("type"), str)
-        and f["type"].split("(")[0] in ("geometry", "geography")
-    ]
-    if variant_names and schema_cols is not None:
-        # the evolved-schema path scans variant under an EXPLICIT
-        # (metadata, value) struct — a SHREDDED file's typed_value
-        # subtree would silently read as nulls. Probe a bounded number
-        # of footers and refuse loudly instead (the single-schema
-        # mergeSchema path and the DataSource handle shredding fully).
-        import pyarrow.parquet as pq
-
-        for fd in data_files[:8]:
-            sch = pq.read_schema(fd["path"])
-            for name in variant_names:
-                if name not in sch.names:
-                    continue
-                t = sch.field(name).type
-                if any(
-                    t.field(i).name == "typed_value"
-                    for i in range(getattr(t, "num_fields", 0) or 0)
-                ):
-                    raise ValueError(
-                        f"variant column {name!r} is SHREDDED in "
-                        f"{fd['path']} and the table has an evolved "
-                        "schema — the explicit-schema read plane "
-                        "cannot reconstruct shredded variants yet; "
-                        "read via the hielo_iceberg DataSource "
-                        "(per-file footers) instead"
-                    )
+    # v3 variant columns that rode the scan in struct shape (single-
+    # schema mergeSchema path, or unshredded explicit-schema groups)
+    # decode to the canonical JSON strings here; shape-negotiated
+    # groups above arrive already decoded (string dtype) and skip.
     if variant_names or geo_names:
         from pyspark.sql.functions import pandas_udf
 
@@ -1180,29 +1250,11 @@ def read_data_at_snapshot(
         _ship_package(spark)
         col_types = dict(data.dtypes)
 
-        @pandas_udf("string")
-        def _vjson(struct_df):
-            import pandas as pd
-
-            from hielo_spark.metadata.variant import (
-                shredded_row_to_json,
-            )
-
-            return pd.Series(
-                [
-                    shredded_row_to_json(r)
-                    for r in struct_df.to_dict("records")
-                ],
-                dtype="object",
-            )
-
+        _vjson = _variant_json_udf(spark)
         for name in variant_names:
             if name in col_types and col_types[name].startswith(
                 "struct"
             ):
-                # the whole struct rides into the kernel so the
-                # SHREDDED form (typed_value subcolumns) reconstructs
-                # too, not just the (metadata, value) pair
                 data = data.withColumn(name, _vjson(F.col(name)))
 
         @pandas_udf("string")

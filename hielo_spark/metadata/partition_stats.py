@@ -26,13 +26,16 @@ deletes, DV entries inheriting their referenced data file's
 partition); un-stamped legacy/global delete files aggregate under the
 all-null partition tuple.
 
-Honest residual deviations: time-transform partition values
-(years/months/days/hours) are typed as this engine's canonical
-strings ("2024", "2024-03-05") rather than the spec's int/date
-encodings — matching what the engine records in every other plane;
-and ``total_record_count`` is emitted only where provably exact
-(no equality deletes, and position deletes either v3 DVs — merged,
-one per file — or at most one v2 delete file, so no double-counted
+Time-transform partition values (years/months/days/hours) are emitted
+in the SPEC's encodings — int years/months/hours from epoch, date for
+day — converted from the canonical strings ("2024", "2024-03-05") the
+engine records in every other plane (those remain the display layer).
+``spec_id`` (field 2) is per partition: the spec id of the most
+recently updated entry in that partition, so mixed-spec tables
+attribute rows to their true spec. Honest residual deviation:
+``total_record_count`` is emitted only where provably exact (no
+equality deletes, and position deletes either v3 DVs — merged, one
+per file — or at most one v2 delete file, so no double-counted
 positions). Unpartitioned tables raise: the unified partition type is
 empty and parquet cannot represent a zero-field group (Iceberg's own
 PartitionStatsHandler requires a partitioned table too).
@@ -67,12 +70,14 @@ _STATS_FIELD_IDS = {
 }
 
 
-def _unified_partition_fields(doc: dict) -> list[tuple[str, str, int]]:
-    """``[(name, spark_ddl_type, partition_field_id)]`` of the spec's
-    unified partition tuple: every partition field across ALL specs,
-    ordered by field-id. Value types follow what the engine records:
-    identity/truncate → the source column's type, bucket → int,
-    year/month/day/hour → the canonical string forms."""
+def _unified_partition_fields(
+    doc: dict,
+) -> list[tuple[str, str, int, str]]:
+    """``[(name, spark_ddl_type, partition_field_id, transform)]`` of
+    the spec's unified partition tuple: every partition field across
+    ALL specs, ordered by field-id. Value types follow the SPEC's
+    encodings: identity/truncate → the source column's type, bucket →
+    int, year/month/hour → int (from epoch), day → date."""
     from .types import iceberg_to_ddl
 
     id2type: dict[int, object] = {}
@@ -88,7 +93,7 @@ def _unified_partition_fields(doc: dict) -> list[tuple[str, str, int]]:
     )
     for f in cur.get("fields", []):
         id2type[f["id"]] = f.get("type", "string")
-    seen: dict[int, tuple[str, str, int]] = {}
+    seen: dict[int, tuple[str, str, int, str]] = {}
     for spec in sorted(
         doc.get("partition-specs") or [], key=lambda s: s.get("spec-id", 0)
     ):
@@ -104,10 +109,43 @@ def _unified_partition_fields(doc: dict) -> list[tuple[str, str, int]]:
                 t = "int"
             elif tr.startswith("truncate"):
                 t = src
-            else:  # year/month/day/hour → canonical string forms
+            elif tr == "day":
+                t = "date"  # spec: day transform results are dates
+            elif tr in ("year", "month", "hour"):
+                t = "int"  # spec: ordinals from the 1970 epoch
+            else:
                 t = "string"
-            seen[fid] = (str(f.get("name", f"p{fid}")), t, fid)
+            seen[fid] = (str(f.get("name", f"p{fid}")), t, fid, tr)
     return [seen[fid] for fid in sorted(seen)]
+
+
+def _spec_partition_value(pv, name: str, transform: str, ddl: str):
+    """The spec-typed column for one unified-tuple field: the engine
+    records time-transform values as canonical strings ("2024",
+    "2024-03", "2024-03-05", "2024-03-05-14") in every metadata plane,
+    so the stats file converts them to the spec's encodings here
+    (int years/months/hours since the 1970 epoch, date for day).
+    Timestamps parse under the session TZ — the engine mandates UTC
+    (session.configure warns loudly otherwise)."""
+    from pyspark.sql import functions as F
+
+    raw = F.when(
+        pv[name] == "__HIVE_DEFAULT_PARTITION__", None
+    ).otherwise(pv[name])
+    if transform == "year":
+        return (raw.cast("int") - F.lit(1970)).alias(name)
+    if transform == "month":
+        parts = F.split(raw, "-")
+        return (
+            (parts[0].cast("int") - F.lit(1970)) * F.lit(12)
+            + (parts[1].cast("int") - F.lit(1))
+        ).alias(name)
+    if transform == "day":
+        return F.to_date(raw, "yyyy-MM-dd").alias(name)
+    if transform == "hour":
+        ts = F.to_timestamp(raw, "yyyy-MM-dd-HH")
+        return (F.unix_timestamp(ts) / F.lit(3600)).cast("int").alias(name)
+    return raw.cast(ddl).alias(name)
 
 
 def _with_stats_field_ids(tbl, pfields: list[tuple[str, str, int]]):
@@ -124,7 +162,7 @@ def _with_stats_field_ids(tbl, pfields: list[tuple[str, str, int]]):
                     child.name, child.type,
                     metadata={b"PARQUET:field_id": str(fid).encode()},
                 )
-                for child, (_n, _t, fid) in zip(list(f.type), pfields)
+                for child, (_n, _t, fid, _tr) in zip(list(f.type), pfields)
             ]
             f = pa.field(
                 "partition", pa.struct(kids),
@@ -176,15 +214,15 @@ def write_partition_statistics(
     files = files_from_manifest_list(
         spark, os.path.basename(table_dir),
         snap["manifest-list"].removeprefix("file:"), content=None,
+        with_spec_id=True,
     )
     pv = F.coalesce(
         "partition_values", F.create_map().cast("map<string,string>")
     )
     part_struct = F.struct(
         *[
-            F.when(pv[name] == "__HIVE_DEFAULT_PARTITION__", None)
-            .otherwise(pv[name]).cast(t).alias(name)
-            for name, t, _fid in pfields
+            _spec_partition_value(pv, name, tr, t)
+            for name, t, _fid, tr in pfields
         ]
     )
     agg = (
@@ -207,6 +245,12 @@ def write_partition_statistics(
             F.sum(F.when(F.col("content") == 2, 1).otherwise(0))
             .cast("int").alias("equality_delete_file_count"),
             F.max("sequence_number").alias("_last_seq"),
+            # field 2: per-partition spec id — the spec of the most
+            # recently updated entry, so mixed-spec tables attribute
+            # each partition to its true (current-for-it) spec instead
+            # of the table default
+            F.max_by("spec_id", F.coalesce("sequence_number", F.lit(0)))
+            .cast("int").alias("_spec_id"),
         )
     )
     # total_record_count (field 10, optional) only where provably
@@ -219,7 +263,9 @@ def write_partition_statistics(
     ordered = (
         agg.select(
             "partition",
-            F.lit(int(doc.get("default-spec-id", 0))).alias("spec_id"),
+            F.coalesce(
+                "_spec_id", F.lit(int(doc.get("default-spec-id", 0)))
+            ).cast("int").alias("spec_id"),
             "data_record_count",
             "data_file_count",
             "total_data_file_size_in_bytes",

@@ -186,3 +186,53 @@ def max_field_id(t, default: int = 0) -> int:
             default=default,
         )
     return default
+
+
+def arrow_to_ddl(t) -> str:
+    """Arrow type → Spark DDL string, for footer-driven per-file schema
+    negotiation (shredded variant columns: the typed_value subtree's
+    shape exists only in each parquet footer, so the scan schema must be
+    derived from the file, not the table schema). Covers the types the
+    VariantShredding spec allows as typed_value leaves plus the group
+    shapes (struct/list); anything else raises rather than guessing."""
+    import pyarrow as pa
+
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"`{t.field(i).name}`:{arrow_to_ddl(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{arrow_to_ddl(t.value_type)}>"
+    if pa.types.is_map(t):
+        return f"map<{arrow_to_ddl(t.key_type)},{arrow_to_ddl(t.item_type)}>"
+    if (
+        pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_fixed_size_binary(t)
+    ):
+        return "binary"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp" if t.tz else "timestamp_ntz"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    raise ValueError(f"no Spark DDL mapping for arrow type {t}")

@@ -203,7 +203,15 @@ def encode_metadata(keys: list[str]) -> bytes:
     datas = [k.encode("utf-8") for k in keys]
     total = sum(len(d) for d in datas)
     offset_size = 1 if total < 256 and len(keys) < 256 else 4
-    hdr = 0x01 | ((offset_size - 1) << 6)
+    # sorted_strings (header bit 4): set when the dictionary is sorted
+    # and duplicate-free, so a spec reader may binary-search by name —
+    # and object field-id order then coincides with field-NAME order,
+    # the ordering VariantEncoding.md requires of object fields
+    is_sorted = all(
+        keys[i] < keys[i + 1] for i in range(len(keys) - 1)
+    )
+    hdr = 0x01 | (0x10 if is_sorted and keys else 0) \
+        | ((offset_size - 1) << 6)
     out = bytearray([hdr])
     out += len(keys).to_bytes(offset_size, "little")
     pos = 0
@@ -306,9 +314,15 @@ def _encode_value(obj, key_id: dict[str, int]) -> bytes:
 
 
 def encode_variant(obj) -> tuple[bytes, bytes]:
-    """Python object → (metadata, value) byte pair (test fixtures)."""
+    """Python object → (metadata, value) byte pair (test fixtures).
+    The dictionary is NAME-SORTED (with the sorted_strings metadata
+    bit), so the encoder simulates a conformant foreign writer: object
+    field ids ordered by id coincide with ordering by name, which
+    VariantEncoding.md requires and name-binary-searching readers rely
+    on."""
     keys: list[str] = []
     _collect_keys(obj, keys, set())
+    keys.sort()
     key_id = {k: i for i, k in enumerate(keys)}
     return encode_metadata(keys), _encode_value(obj, key_id)
 

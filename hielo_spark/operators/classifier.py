@@ -63,7 +63,11 @@ def _perdoc_features(docs, text_col, id_col, dim):
 
 def _margin_udf(bw, bias: float):
     """Arrow-batched sigmoid(bias + w·x) over (bucket-list, value-list)
-    columns against the broadcast weight vector."""
+    columns against the broadcast weight vector. The ragged per-doc
+    lists flatten into one CSR-shaped (values, segment-starts) pair per
+    batch, so the dots are a single gather-multiply +
+    ``np.add.reduceat`` — no per-row Python arithmetic (r10; the loop
+    this replaces was the last per-row numpy loop in the package)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -71,13 +75,28 @@ def _margin_udf(bw, bias: float):
         import pandas as pd
 
         wv = bw.value
-        out = np.empty(len(bs))
-        for i, (b, x) in enumerate(zip(bs, xs)):
-            m = bias + float(
-                np.dot(wv[np.asarray(b, dtype=np.int64)], np.asarray(x))
-            )
-            out[i] = 1.0 / (1.0 + np.exp(-m))
-        return pd.Series(out)
+        n = len(bs)
+        # ragged → CSR: per-row conversion only reshapes (no math)
+        arrs_b = [
+            np.asarray(b, dtype=np.int64)
+            if b is not None else np.empty(0, dtype=np.int64)
+            for b in bs
+        ]
+        arrs_x = [
+            np.asarray(x, dtype=np.float64)
+            if x is not None else np.empty(0, dtype=np.float64)
+            for x in xs
+        ]
+        lens = np.fromiter((a.size for a in arrs_b), np.int64, count=n)
+        dots = np.zeros(n, dtype=np.float64)
+        if n and lens.any():
+            prods = wv[np.concatenate(arrs_b)] * np.concatenate(arrs_x)
+            starts = np.cumsum(lens) - lens
+            nz = lens > 0
+            # reduceat over the NONZERO segment starts only: an empty
+            # segment would alias its successor's first element
+            dots[nz] = np.add.reduceat(prods, starts[nz])
+        return pd.Series(1.0 / (1.0 + np.exp(-(bias + dots))))
 
     return prob
 

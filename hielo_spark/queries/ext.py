@@ -524,12 +524,15 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_minhash_recall): the exact brute-force top-10 per query is
 # recomputed by DuckDB (pair count + mean exact cosine hash-matched); the
 # IVF path's mean recall against that truth rides along as a pinned
-# boolean. Floor 0.35: probing 4 of 16 inverted lists covers 25% of a
-# structure-free corpus, so 0.35 asserts the centroid routing genuinely
-# beats random probing (measured 0.48-0.52 on the fixtures, which are
-# near-uniform synthetic vectors — real embedding corpora cluster and
-# recall rises with them). Ranking uses 6-dp-rounded cosine so double
-# last-ulp noise can't flip top-k membership between engines.
+# boolean. Pin ≥0.8 (r10, raised from 0.35): multi-assignment
+# (n_assign=2 — every vector indexed in its 2 nearest cells, the IVF
+# "spill" refinement) + multi-probe (8 of 16 lists) measures 0.92-0.98
+# on the fixtures, which are near-uniform synthetic vectors — the WORST
+# case for IVF (real embedding corpora cluster, and recall rises).
+# Single-assignment at the same probe fraction measures 0.74-0.76, so
+# the pin catches both probe-selection and assignment regressions.
+# Ranking uses 6-dp-rounded cosine so double last-ulp noise can't flip
+# top-k membership between engines.
 # --------------------------------------------------------------------------
 @query(
     "emb_ann_recall",
@@ -547,7 +550,7 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
            CAST(round(avg(sim), 6) AS DOUBLE) AS avg_exact_sim,
-           TRUE AS recall_ge_035
+           TRUE AS recall_ge_080
     FROM ranked WHERE rn <= 10
     """,
 )
@@ -566,17 +569,17 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
     )
-    ann = similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4).select(
-        "query_id", "vec_id", F.lit(1).alias("hit")
-    )
+    ann = similarity.ivf_topk(
+        e, q, k=10, n_centroids=16, n_probe=8, n_assign=2
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
     return (
         exact.join(ann, ["query_id", "vec_id"], "left")
         .agg(
             F.count("*").cast("bigint").alias("exact_pairs"),
             F.round(F.avg("sim"), 6).alias("avg_exact_sim"),
             (
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*") >= 0.35
-            ).alias("recall_ge_035"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*") >= 0.8
+            ).alias("recall_ge_080"),
         )
     )
 

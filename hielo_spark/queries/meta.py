@@ -2106,27 +2106,45 @@ def meta_deletion_vectors_roundtrip(
 
 
 # --------------------------------------------------------------------------
-# Partition statistics plane (r8) — the spec's "Partition Statistics"
-# surface end to end: a hive-partitioned append + a row-level delete,
-# write_partition_statistics (one distributed groupBy → the format's
-# single sorted parquet, registered under metadata.json
-# partition-statistics), read the registered file back, and pin the
-# per-partition aggregates as constants. Delete files carry no
-# partition metadata in this engine, so their counts aggregate under
-# the empty-partition row (documented in metadata/partition_stats.py).
+# Partition statistics plane (r8, spec-typed r9/r10) — the spec's
+# "Partition Statistics" surface end to end: hive-partitioned appends +
+# row-level deletes, write_partition_statistics (one distributed
+# groupBy → the format's single sorted parquet registered under
+# metadata.json partition-statistics), read the registered file back,
+# and pin per-partition aggregates as constants. Position deletes land
+# under their TRUE partitions (the delete writers stamp partition
+# values); time-transform partition values use the SPEC's int-ordinal
+# encodings; spec evolution yields per-partition spec ids.
 # --------------------------------------------------------------------------
 @query(
     "meta_partition_stats_roundtrip",
     """
     SELECT * FROM (VALUES
-      ('eu', CAST(20 AS BIGINT), CAST(1 AS BIGINT), CAST(19 AS BIGINT)),
-      ('us', CAST(20 AS BIGINT), CAST(1 AS BIGINT), CAST(19 AS BIGINT))
-    ) AS t(region, data_records, pos_delete_records, total_records)
+      ('c01_eu_data',          CAST(20 AS BIGINT)),
+      ('c02_eu_pos_deletes',   CAST(1 AS BIGINT)),
+      ('c03_eu_total',         CAST(19 AS BIGINT)),
+      ('c04_us_data',          CAST(20 AS BIGINT)),
+      ('c05_us_pos_deletes',   CAST(1 AS BIGINT)),
+      ('c06_us_total',         CAST(19 AS BIGINT)),
+      ('c07_spec0_month_ord',  CAST(650 AS BIGINT)),
+      ('c08_spec0_spec_id',    CAST(0 AS BIGINT)),
+      ('c09_spec1_month_ord',  CAST(651 AS BIGINT)),
+      ('c10_spec1_spec_id',    CAST(1 AS BIGINT)),
+      ('c11_spec1_data_rows',  CAST(8 AS BIGINT))
+    ) AS t(check_name, value)
+    ORDER BY check_name
     """,
 )
 def meta_partition_stats_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Two fixtures: (1) a hive-partitioned table with row-level
+    deletes — position deletes land under their TRUE partitions and
+    total_record_count is exact; (2) a months(ts)-partitioned table
+    whose partition spec EVOLVES (adds bucket(4,id)) — the stats file
+    carries the SPEC's time-transform encodings (int months since the
+    1970 epoch: 2024-03 → 650) and per-partition spec ids (0 for the
+    pre-evolution partition, 1 for post), r10."""
     import os
     import shutil
     import tempfile
@@ -2137,11 +2155,12 @@ def meta_partition_stats_roundtrip(
         write_partition_statistics,
     )
 
-    t = os.path.join(
+    base = os.path.join(
         tempfile.gettempdir(),
         f"hielo_pstats_fixture_{spark.sparkContext.applicationId}",
     )
-    shutil.rmtree(t, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+    t = os.path.join(base, "t1")
     df = spark.range(0, 40).select(
         F.col("id").cast("long").alias("id"),
         F.when(F.col("id") % 2 == 0, "us").otherwise("eu").alias("region"),
@@ -2151,27 +2170,57 @@ def meta_partition_stats_roundtrip(
     C.delete_where(spark, t, "id IN (2, 3)",
                    snapshot_id=102, timestamp_ms=1700100000000)
     write_partition_statistics(spark, t, timestamp_ms=1700200000000)
-    out = (
-        read_partition_statistics(spark, t)
-        .select(
-            # spec fidelity (r9): `partition` is the typed unified
-            # partition tuple (struct keyed by spec field-ids), and the
-            # position deletes land under their TRUE partitions (the
-            # delete writers stamp partition values): id=2 → us,
-            # id=3 → eu — no empty-partition aggregation row, and
-            # total_record_count is exact (single delete file per
-            # partition, no equality deletes)
-            F.coalesce(F.col("partition.region"), F.lit(""))
-            .alias("region"),
-            F.col("data_record_count").alias("data_records"),
-            F.col("position_delete_record_count").alias(
-                "pos_delete_records"
-            ),
-            F.col("total_record_count").alias("total_records"),
-        )
-        .orderBy("region")
+    s1 = read_partition_statistics(spark, t).select(
+        F.col("partition.region").alias("region"),
+        "data_record_count",
+        "position_delete_record_count",
+        "total_record_count",
+    ).collect()
+    by_region = {r.region: r for r in s1}
+
+    # fixture 2: time-transform partitioning + spec evolution
+    t2 = os.path.join(base, "t2")
+    d1 = spark.range(0, 10).selectExpr(
+        "id", "timestamp'2024-03-15 12:00:00' AS ts"
     )
-    return out
+    C.append(spark, t2, d1, snapshot_id=101,
+             timestamp_ms=1700000000000, partition_by=["months(ts)"])
+    C.update_partition_spec(t2, ["months(ts)", "bucket(4, id)"])
+    d2 = spark.range(100, 108).selectExpr(
+        "id", "timestamp'2024-04-10 12:00:00' AS ts"
+    )
+    C.append(spark, t2, d2, snapshot_id=102,
+             timestamp_ms=1700100000000)
+    write_partition_statistics(spark, t2, timestamp_ms=1700200000000)
+    s2 = read_partition_statistics(spark, t2).select(
+        F.col("partition.ts_month").cast("long").alias("month_ord"),
+        "spec_id",
+        "data_record_count",
+    ).collect()
+    spec0 = [r for r in s2 if r.spec_id == 0]
+    spec1 = [r for r in s2 if r.spec_id == 1]
+    checks = [
+        ("c01_eu_data", int(by_region["eu"].data_record_count)),
+        ("c02_eu_pos_deletes",
+         int(by_region["eu"].position_delete_record_count)),
+        ("c03_eu_total", int(by_region["eu"].total_record_count)),
+        ("c04_us_data", int(by_region["us"].data_record_count)),
+        ("c05_us_pos_deletes",
+         int(by_region["us"].position_delete_record_count)),
+        ("c06_us_total", int(by_region["us"].total_record_count)),
+        ("c07_spec0_month_ord",
+         int(spec0[0].month_ord) if len(spec0) == 1 else -1),
+        ("c08_spec0_spec_id", 0 if len(spec0) == 1 else -1),
+        ("c09_spec1_month_ord",
+         min((int(r.month_ord) for r in spec1), default=-1)),
+        ("c10_spec1_spec_id", 1 if spec1 else -1),
+        ("c11_spec1_data_rows",
+         sum(int(r.data_record_count) for r in spec1)),
+    ]
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        checks, "check_name string, value long"
+    ).orderBy("check_name")
 
 
 @query(

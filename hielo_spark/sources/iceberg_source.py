@@ -1127,7 +1127,10 @@ class HieloIcebergChangesReader(DataSourceReader):
                 f"{to_id} on this table"
             )
         fv = doc.get("format-version", 2)
-        parts = []
+        # many-small-file appends pack into target-sized tasks exactly
+        # like the batch scan — grouped per (snapshot, ordinal) so the
+        # change-metadata columns stay per-partition constants
+        groups: dict[tuple, tuple[list, list]] = {}
         for ordinal, s in enumerate(chain):
             op = s.get("summary", {}).get("operation")
             if op == "replace":
@@ -1151,40 +1154,53 @@ class HieloIcebergChangesReader(DataSourceReader):
                     continue
                 added_by = e.get("snapshot_id") or m.get("added_snapshot_id")
                 if e.get("status") == 1 and int(added_by or -2) == snap_id:
-                    parts.append(
-                        _ChangesPartition(
-                            _ScanPartition(
-                                e["data_file"]["file_path"]
-                                .removeprefix("file:"),
-                                e["_seq"], [], [], self.schema_cols,
-                                pvals=e["data_file"].get("partition_values"),
-                            ),
-                            snap_id, ordinal,
+                    scans, szs = groups.setdefault(
+                        (snap_id, ordinal), ([], [])
+                    )
+                    scans.append(
+                        _ScanPartition(
+                            e["data_file"]["file_path"]
+                            .removeprefix("file:"),
+                            e["_seq"], [], [], self.schema_cols,
+                            pvals=e["data_file"].get("partition_values"),
                         )
                     )
+                    szs.append(
+                        int(e["data_file"].get("file_size_in_bytes") or 0)
+                    )
+        parts = []
+        for (snap_id, ordinal), (scans, szs) in groups.items():
+            for packed in _pack_scan_tasks(scans, szs, doc, self.options):
+                parts.append(_ChangesPartition(packed, snap_id, ordinal))
         return parts or [_ChangesPartition(
             _ScanPartition(None, None, [], [], self.schema_cols), 0, 0)]
 
     def read(self, partition: _ChangesPartition):
         import pyarrow as pa
 
-        if partition.scan.path is None:
-            return
-        for batch in _read_partition(partition.scan):
-            t = pa.Table.from_batches([batch])
-            n = t.num_rows
-            t = t.append_column(
-                "_change_type", pa.array(["INSERT"] * n, pa.string())
-            )
-            t = t.append_column(
-                "_commit_snapshot_id",
-                pa.array([partition.snap_id] * n, pa.int64()),
-            )
-            t = t.append_column(
-                "_change_ordinal",
-                pa.array([partition.ordinal] * n, pa.int32()),
-            )
-            yield from t.to_batches()
+        scans = (
+            partition.scan.files
+            if isinstance(partition.scan, _PackedScanPartition)
+            else [partition.scan]
+        )
+        for scan in scans:
+            if scan.path is None:
+                continue
+            for batch in _read_partition(scan):
+                t = pa.Table.from_batches([batch])
+                n = t.num_rows
+                t = t.append_column(
+                    "_change_type", pa.array(["INSERT"] * n, pa.string())
+                )
+                t = t.append_column(
+                    "_commit_snapshot_id",
+                    pa.array([partition.snap_id] * n, pa.int64()),
+                )
+                t = t.append_column(
+                    "_change_ordinal",
+                    pa.array([partition.ordinal] * n, pa.int32()),
+                )
+                yield from t.to_batches()
 
 
 class HieloIcebergStreamReader(DataSourceStreamReader):
@@ -1248,7 +1264,7 @@ class HieloIcebergStreamReader(DataSourceStreamReader):
             os.path.join(self.table_dir, "metadata", "x"),
             chain[-1]["manifest-list"],
         )
-        parts = []
+        parts, sizes = [], []
         for m, e in _manifest_entries(mlist, doc.get("format-version", 2)):
             if e["data_file"].get("content", 0) != 0:
                 continue
@@ -1260,12 +1276,23 @@ class HieloIcebergStreamReader(DataSourceStreamReader):
                         e["_seq"], [], [], self.schema_cols,
                     )
                 )
-        return parts or [_ScanPartition(None, None, [], [], self.schema_cols)]
+                sizes.append(
+                    int(e["data_file"].get("file_size_in_bytes") or 0)
+                )
+        if not parts:
+            return [_ScanPartition(None, None, [], [], self.schema_cols)]
+        # a micro-batch of many small appended files packs into
+        # target-sized tasks, same policy as the batch scan
+        return _pack_scan_tasks(parts, sizes, doc, self.options)
 
-    def read(self, partition: _ScanPartition):
+    def read(self, partition):
+        if isinstance(partition, _PackedScanPartition):
+            for p in partition.files:
+                yield from _read_partition(p)
+            return
         if partition.path is None:
-            return iter(())
-        return _read_partition(partition)
+            return
+        yield from _read_partition(partition)
 
     def commit(self, end):
         pass

@@ -1407,3 +1407,61 @@ def test_scan_task_bin_packing(registered, spark, tmp_path):
         .collect()
     )
     assert got == list(range(2_000))
+
+
+def test_stream_and_changes_scan_task_bin_packing(
+    registered, spark, tmp_path
+):
+    """r10: the streaming and changes readers pack many-small-file
+    batches with the same first-fit policy as the batch scan
+    (previously one Spark partition per file), results unchanged."""
+    from hielo_spark.sources.iceberg_source import (
+        HieloIcebergStreamReader,
+        _PackedScanPartition,
+    )
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 1_000).repartition(30),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    snap0 = 101
+
+    # changes surface: packed partitions, same rows
+    parts = (
+        spark.read.format("hielo_iceberg")
+        .option("surface", "changes").load(t)
+    )
+    rows = parts.collect()
+    assert sorted(r.id for r in rows) == list(range(1_000))
+    assert all(r._commit_snapshot_id == snap0 for r in rows)
+    from hielo_spark.sources.iceberg_source import (
+        HieloIcebergChangesReader,
+    )
+
+    cols = [("id", "bigint")]
+    creader = HieloIcebergChangesReader(t, {}, cols)
+    cparts = creader.partitions()
+    assert len(cparts) < 30, "changes reader did not pack"
+    n_files = sum(
+        len(p.scan.files)
+        if isinstance(p.scan, _PackedScanPartition) else 1
+        for p in cparts
+    )
+    assert n_files == 30
+
+    # stream reader: packed micro-batch, one partition per file with a
+    # tiny explicit target
+    sreader = HieloIcebergStreamReader(t, {}, cols)
+    start, end = {"snapshot_id": -1}, {"snapshot_id": snap0}
+    sparts = sreader.partitions(start, end)
+    assert all(isinstance(p, _PackedScanPartition) for p in sparts)
+    assert len(sparts) < 30
+    assert sum(len(p.files) for p in sparts) == 30
+    solo = HieloIcebergStreamReader(
+        t, {"split-target-bytes": "1"}, cols
+    ).partitions(start, end)
+    assert len(solo) == 30
+    got = []
+    for p in sparts:
+        for batch in sreader.read(p):
+            got.extend(batch.column("id").to_pylist())
+    assert sorted(got) == list(range(1_000))

@@ -190,6 +190,18 @@ def test_ivf_topk_clustered_recall(spark):
     assert len(exact & ivf) >= 8
     assert all(v < 100 for v in ivf)
 
+    # multi-assignment (n_assign=2): recall never drops vs single
+    # assignment, and the (query, vec) pairs stay deduplicated even
+    # though boundary vectors are indexed in two cells
+    rows2 = similarity.ivf_topk(
+        emb, q, k=10, n_centroids=8, n_probe=3, n_assign=2
+    ).collect()
+    pairs = [(r["query_id"], r["vec_id"]) for r in rows2]
+    assert len(pairs) == len(set(pairs))
+    assert len(exact & {v for _q, v in pairs}) >= len(exact & ivf)
+    assert [r["rank"] for r in sorted(rows2, key=lambda r: r["rank"])] == \
+        list(range(1, len(rows2) + 1))
+
 
 def test_repetition_stats_known_values(spark):
     rows = [

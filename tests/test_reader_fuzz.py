@@ -355,3 +355,121 @@ def test_variant_column_with_permuted_manifests(registered, spark,
         for r in spark.read.format("hielo_iceberg").load(t).collect()
     }
     assert jvm == ds == {i: i for i in range(8)}
+
+
+def test_multi_spec_manifest_list(registered, spark, tmp_path):
+    """Partition evolution (r10, VERDICT r9 item 8): ONE manifest list
+    referencing manifests of TWO partition specs (spec 0 = identity
+    region, spec 1 = bucket(4,id)). Both planes read everything; a
+    partition filter on the OLD spec's key prunes old-spec files while
+    keeping new-spec files (a missing partition key is may-match —
+    pruning them would silently drop rows)."""
+    from hielo_spark.metadata.manifests import read_manifest_list
+
+    t = str(tmp_path / "t")
+    d1 = spark.range(0, 20).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'us' ELSE 'eu' END AS region")
+    C.append(spark, t, d1, snapshot_id=101,
+             timestamp_ms=1700000000000, partition_by=["region"])
+    from hielo_spark.metadata import update_partition_spec
+
+    update_partition_spec(t, ["bucket(4, id)"])
+    d2 = spark.range(20, 30).selectExpr("id", "'apac' AS region")
+    C.append(spark, t, d2, snapshot_id=102,
+             timestamp_ms=1700100000000)
+
+    doc = json.load(open(C.current_metadata_path(t)))
+    snap = next(s for s in doc["snapshots"]
+                if s["snapshot-id"] == 102)
+    mlist = snap["manifest-list"].removeprefix("file:")
+    spec_ids = {
+        r.partition_spec_id or 0
+        for r in read_manifest_list(spark, mlist).collect()
+    }
+    assert spec_ids == {0, 1}, "manifest list should span both specs"
+    assert _both_plane_ids(spark, t) == list(range(30))
+    got = read_data_at_snapshot(
+        spark, C.current_metadata_path(t),
+        partition_filter={"region": "us"},
+    )
+    ids = sorted(r.id for r in got.collect())
+    # old-spec eu files pruned; new-spec files kept (may-match), so
+    # their rows all survive the metadata-level filter
+    assert ids == [i for i in range(20) if i % 2 == 0] + list(
+        range(20, 30))
+
+
+def test_mixed_version_metadata_log(registered, spark, tmp_path):
+    """A long-lived table's metadata-log spans FORMAT VERSIONS (r10):
+    the current doc is v3, logged entries point at v2-era metadata
+    files, and the oldest is rewritten to the v1 single-schema shape a
+    pre-v2 writer would have produced. Current reads stay exact on
+    both planes, and point-in-time reads THROUGH each logged file work
+    at that file's own version."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 10).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.range(10, 20).selectExpr("id"),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    upgrade_format_version(t, 3)
+    C.delete_where(spark, t, "id >= 18",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+
+    mpath = C.current_metadata_path(t)
+    doc = json.load(open(mpath))
+    assert int(doc["format-version"]) == 3
+    log = doc.get("metadata-log", [])
+    assert len(log) >= 2
+    logged = [e["metadata-file"].removeprefix("file:") for e in log]
+    versions = [
+        int(json.load(open(p)).get("format-version", 2)) for p in logged
+    ]
+    assert 2 in versions, "v3 table's log should carry v2-era files"
+
+    # point-in-time read through the first SNAPSHOT-bearing logged file
+    for p in logged:
+        old = json.load(open(p))
+        if old.get("current-snapshot-id") is not None:
+            ids = sorted(
+                r.id for r in read_data_at_snapshot(spark, p).collect())
+            assert ids == list(range(10))
+            first_logged = p
+            break
+    else:
+        pytest.fail("no snapshot-bearing logged metadata file")
+
+    # rewrite the oldest snapshot-bearing logged file to the v1 SHAPE:
+    # single top-level schema block, v1 partition-spec list, no
+    # sequence numbers — then re-read through it
+    old = json.load(open(first_logged))
+    sid = old["current-snapshot-id"]
+    schema_block = next(
+        s for s in old["schemas"]
+        if s.get("schema-id") == old.get("current-schema-id", 0))
+    v1 = {
+        "format-version": 1,
+        "table-uuid": old.get("table-uuid", "0" * 32),
+        "location": old.get("location", t),
+        "last-updated-ms": old.get("last-updated-ms", 0),
+        "last-column-id": old.get("last-column-id", 1),
+        "schema": {
+            "type": "struct", "fields": schema_block["fields"]},
+        "partition-spec": [],
+        "properties": old.get("properties", {}),
+        "current-snapshot-id": sid,
+        "snapshots": [
+            {k: v for k, v in s.items() if k != "sequence-number"}
+            for s in old["snapshots"] if s["snapshot-id"] == sid
+        ],
+    }
+    json.dump(v1, open(first_logged, "w"))
+    ids = sorted(
+        r.id for r in read_data_at_snapshot(spark, first_logged).collect())
+    assert ids == list(range(10))
+
+    # the CURRENT v3 read is untouched by the log mutation
+    cur = sorted(
+        r.id for r in read_data_at_snapshot(spark, mpath).collect())
+    assert cur == list(range(18))
+    ds = spark.read.format("hielo_iceberg").load(t)
+    assert sorted(r.id for r in ds.collect()) == list(range(18))

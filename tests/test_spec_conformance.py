@@ -794,3 +794,85 @@ def test_delete_manifests_carry_typed_r102_partition(spark, tmp_path):
     assert (1, "x") in got
     assert (2, "y") in got
     assert all(pv is not None for _c, pv in got)
+
+
+def test_partition_stats_time_transforms_spec_typed(spark, tmp_path):
+    """Partition-statistics files carry the SPEC's time-transform
+    encodings, not the engine's canonical display strings: month →
+    int32 months since 1970-01 with the partition field's PARQUET
+    field id, day → date32 days since epoch (r10; previously typed
+    as strings, an ADVICE-flagged silent-misread risk for field-id
+    resolving readers)."""
+    import pyarrow.parquet as pq
+
+    from hielo_spark.metadata import commit as C
+    from hielo_spark.metadata.partition_stats import (
+        write_partition_statistics,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 6).selectExpr(
+        "id", "timestamp'2024-03-15 12:00:00' AS ts",
+        "date'2024-03-05' AS d",
+    )
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000,
+             partition_by=["months(ts)", "days(d)"])
+    entry = write_partition_statistics(
+        spark, t, timestamp_ms=1700100000000)
+    tbl = pq.read_table(entry["statistics-path"])
+    part = tbl.schema.field("partition")
+    import pyarrow as pa
+
+    month_f = part.type.field(part.type.get_field_index("ts_month"))
+    day_f = part.type.field(part.type.get_field_index("d_day"))
+    assert month_f.type == pa.int32()
+    assert day_f.type == pa.date32()
+    assert month_f.metadata[b"PARQUET:field_id"] == b"1000"
+    assert day_f.metadata[b"PARQUET:field_id"] == b"1001"
+    row = tbl.column("partition").to_pylist()[0]
+    assert row["ts_month"] == (2024 - 1970) * 12 + (3 - 1)  # 650
+    import datetime as dt
+
+    assert row["d_day"] == dt.date(2024, 3, 5)
+
+
+def test_partition_spec_evolution_reuses_field_ids(spark, tmp_path):
+    """Spec rule (v2+): an identical (source-id, transform) pair keeps
+    its field-id across partition specs — the unified partition tuple
+    is keyed by field-id, so re-allocating would fork one field into
+    same-named duplicates. Also pins per-partition spec_id in the
+    stats file for a mixed-spec table."""
+    import json as _json
+
+    from hielo_spark.metadata import commit as C
+    from hielo_spark.metadata import update_partition_spec
+    from hielo_spark.metadata.partition_stats import (
+        read_partition_statistics,
+        write_partition_statistics,
+    )
+
+    t = str(tmp_path / "t")
+    d1 = spark.range(0, 5).selectExpr(
+        "id", "timestamp'2024-03-15 00:00:00' AS ts")
+    C.append(spark, t, d1, snapshot_id=101,
+             timestamp_ms=1700000000000, partition_by=["months(ts)"])
+    new_id = update_partition_spec(t, ["months(ts)", "bucket(4, id)"])
+    assert new_id == 1
+    doc = _json.load(open(C.current_metadata_path(t)))
+    specs = {s["spec-id"]: s["fields"] for s in doc["partition-specs"]}
+    # months(ts) keeps field-id 1000 in BOTH specs; bucket gets 1001
+    assert [f["field-id"] for f in specs[0]] == [1000]
+    assert [(f["name"], f["field-id"]) for f in specs[1]] == [
+        ("ts_month", 1000), ("id_bucket", 1001)]
+    d2 = spark.range(10, 14).selectExpr(
+        "id", "timestamp'2024-04-10 00:00:00' AS ts")
+    C.append(spark, t, d2, snapshot_id=102, timestamp_ms=1700100000000)
+    write_partition_statistics(spark, t, timestamp_ms=1700200000000)
+    rows = read_partition_statistics(spark, t).collect()
+    by_spec = {}
+    for r in rows:
+        by_spec.setdefault(r.spec_id, []).append(r)
+    assert set(by_spec) == {0, 1}
+    assert [r.partition.ts_month for r in by_spec[0]] == [650]
+    assert all(r.partition.ts_month == 651 for r in by_spec[1])
+    assert all(r.partition.id_bucket is not None for r in by_spec[1])

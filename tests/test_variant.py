@@ -258,10 +258,12 @@ def test_both_planes_decode_shredded_variant(spark, tmp_path):
     assert jvm == want
 
 
-def test_shredded_variant_evolved_schema_raises_loud(spark, tmp_path):
-    """The explicit-schema (evolved) JVM path cannot see typed_value —
-    it must refuse loudly, never silently null the shredded subtree.
-    The DataSource keeps reading (per-file footers)."""
+def test_shredded_variant_evolved_schema_both_planes(spark, tmp_path):
+    """The explicit-schema (evolved) JVM path negotiates each file's
+    variant shape from its parquet footer, so shredded files
+    reconstruct instead of refusing (r9's loud guard) or silently
+    nulling typed_value. Both planes agree on values, and the added
+    column reads null for pre-evolution files."""
     from hielo_spark.metadata.manifests import read_data_at_snapshot
     from hielo_spark.sources import register
 
@@ -269,10 +271,82 @@ def test_shredded_variant_evolved_schema_raises_loud(spark, tmp_path):
     t = _shredded_table(spark, tmp_path)
     C.update_schema(t, add=[("note", "string")],
                     timestamp_ms=1700100000000)
-    with pytest.raises(ValueError, match="SHREDDED"):
-        read_data_at_snapshot(spark, C.current_metadata_path(t))
+    want = {0: {"a": 10, "b": "x"}, 1: {"a": 20}, 2: {"b": "y"}}
+    jvm = read_data_at_snapshot(spark, C.current_metadata_path(t))
+    assert "note" in jvm.columns
+    got = {r.id: json.loads(r.v) for r in jvm.collect()}
+    assert got == want
     ds = {
         r.id: json.loads(r.v)
         for r in spark.read.format("hielo_iceberg").load(t).collect()
     }
-    assert ds[1] == {"a": 20}
+    assert ds == want
+
+
+def test_mixed_shredded_unshredded_evolved_schema(spark, tmp_path):
+    """Evolved-schema matrix: one file SHREDDED, a later file plain
+    (metadata, value) — the footer negotiation groups them by shape
+    and both reconstruct to the same JSON plane after the union."""
+    import pandas as pd
+
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.metadata.variant import encode_variant
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = _shredded_table(spark, tmp_path)
+    # second append: UNSHREDDED rows in the plain parquet shape
+    m3, v3 = encode_variant({"a": 30, "c": True})
+    m4, v4 = encode_variant([1, "two"])
+    df2 = spark.createDataFrame(
+        pd.DataFrame({
+            "id": [3, 4],
+            "m": [m3, m4],
+            "val": [v3, v4],
+        })
+    ).selectExpr(
+        "CAST(id AS BIGINT) AS id",
+        "named_struct('metadata', m, 'value', val) AS v",
+    )
+    C.append(spark, t, df2, snapshot_id=102,
+             timestamp_ms=1700050000000)
+    C.update_schema(t, add=[("note", "string")],
+                    timestamp_ms=1700100000000)
+    want = {
+        0: {"a": 10, "b": "x"}, 1: {"a": 20}, 2: {"b": "y"},
+        3: {"a": 30, "c": True}, 4: [1, "two"],
+    }
+    jvm = {
+        r.id: json.loads(r.v)
+        for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)).collect()
+    }
+    assert jvm == want
+    ds = {
+        r.id: json.loads(r.v)
+        for r in spark.read.format("hielo_iceberg").load(t).collect()
+    }
+    assert ds == want
+
+
+def test_encoder_metadata_name_sorted_with_bit():
+    """The fixture encoder simulates a CONFORMANT foreign writer:
+    metadata dictionary sorted by name with the sorted_strings header
+    bit set, and object field ids (assigned from the sorted dict) in
+    name order — what a name-binary-searching spec reader relies on."""
+    from hielo_spark.metadata.variant import (
+        decode_metadata,
+        decode_variant,
+        encode_variant,
+    )
+
+    m, v = encode_variant({"zeta": 1, "alpha": {"mid": 2}, "beta": 3})
+    assert m[0] & 0x10, "sorted_strings bit not set"
+    keys = decode_metadata(m)
+    assert keys == sorted(keys) == ["alpha", "beta", "mid", "zeta"]
+    assert decode_variant(m, v) == {
+        "zeta": 1, "alpha": {"mid": 2}, "beta": 3}
+    # object items were emitted in id order == name order: re-encode of
+    # a permuted dict yields byte-identical value (order-insensitive)
+    m2, v2 = encode_variant({"beta": 3, "alpha": {"mid": 2}, "zeta": 1})
+    assert (m2, v2) == (m, v)
