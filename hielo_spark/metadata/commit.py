@@ -113,14 +113,21 @@ def manifest_entry_schema(
     The ``partition_values``/``*_bounds`` string maps alongside are this
     engine's extensions (no field-id); an id-based or name-resolving
     reader ignores them, while our read plane consumes them directly."""
+    def _avro_ptype(spark_type: str):
+        if spark_type == "date":
+            # Avro logical date: int days from epoch (spec r102 type
+            # for the day transform)
+            return {"type": "int", "logicalType": "date"}
+        return _AVRO_PARTITION_TYPES.get(spark_type, "string")
+
     part_fields = [
         {
-            "name": name,
-            "type": ["null", _AVRO_PARTITION_TYPES.get(spark_type, "string")],
+            "name": f[0],
+            "type": ["null", _avro_ptype(f[1])],
             "default": None,
-            "field-id": fid,
+            "field-id": f[2],
         }
-        for name, spark_type, fid in (partition_fields or [])
+        for f in (partition_fields or [])
     ]
     doc = {
         "type": "record", "name": "manifest_entry",
@@ -229,37 +236,110 @@ def manifest_entry_schema(
 MANIFEST_ENTRY_SCHEMA_V2 = manifest_entry_schema(None)
 
 
+def _r102_spark_type(
+    transform: str, name: str, source_id, doc: dict,
+    ptypes: dict[str, str] | None,
+) -> str:
+    """The SPEC's r102 value type for one partition field: identity →
+    the source column's type (from the recorded ptypes, falling back to
+    the schema), bucket → int, year/month/hour → int (ordinals from the
+    1970 epoch), day → date, truncate → the source column's type."""
+    tr = str(transform)
+    if tr.startswith("bucket"):
+        return "int"
+    if tr == "day":
+        return "date"
+    if tr in ("year", "month", "hour"):
+        return "int"
+    recorded = (ptypes or {}).get(name)
+    if recorded and not recorded.startswith("transform:"):
+        return recorded
+    # truncate (or identity with no recorded type): resolve the source
+    # column's type from the current schema
+    from .types import iceberg_to_ddl
+
+    for s in doc.get("schemas", []) or []:
+        if s.get("schema-id") == doc.get("current-schema-id", 0):
+            for g in s.get("fields", []):
+                if g["id"] == source_id:
+                    try:
+                        return iceberg_to_ddl(g["type"])
+                    except ValueError:
+                        return "string"
+    return "string"
+
+
 def _partition_avro_fields(
     doc: dict, ptypes: dict[str, str] | None, spec_id: int | None = None
-) -> list[tuple[str, str, int]]:
-    """``[(name, spark_type, partition_field_id)]`` for the table's
-    recorded spec (default spec unless ``spec_id`` given) — the shape
-    :func:`manifest_entry_schema` builds the r102 partition record
-    from, ids matching the metadata.json partition-specs block."""
+) -> list[tuple[str, str, int, str]]:
+    """``[(name, spark_type, partition_field_id, transform)]`` for the
+    table's recorded spec (default spec unless ``spec_id`` given) — the
+    shape :func:`manifest_entry_schema` builds the r102 partition
+    record from, ids matching the metadata.json partition-specs block,
+    value types per the SPEC's transform result types (r10: previously
+    non-int transforms all fell back to string)."""
     specs = doc.get("partition-specs") or []
     want = spec_id if spec_id is not None else doc.get("default-spec-id", 0)
     spec = next((s for s in specs if s.get("spec-id") == want), None)
     return [
         (
             f["name"],
-            (ptypes or {}).get(f["name"], "string"),
+            _r102_spark_type(
+                f.get("transform", "identity"), f["name"],
+                f.get("source-id"), doc, ptypes,
+            ),
             int(f.get("field-id", 1000 + i)),
+            str(f.get("transform", "identity")),
         )
         for i, f in enumerate((spec or {}).get("fields", []))
     ]
 
 
+_EPOCH_DAY = None  # lazy datetime.date(1970, 1, 1)
+
+
+def _time_transform_ordinal(transform: str, v: str):
+    """Canonical hive string → the spec's r102 encoding: year "2024" →
+    54, month "2024-03" → 650, day "2024-03-05" → days from epoch
+    (the Avro logical-date int), hour "2024-03-05-14" → hours from
+    epoch. None when unparseable (conservative null, never a wrong
+    value)."""
+    import datetime as _dt
+
+    try:
+        if transform == "year":
+            return int(v) - 1970
+        if transform == "month":
+            y, m = v.split("-")
+            return (int(y) - 1970) * 12 + (int(m) - 1)
+        if transform == "day":
+            return (_dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)).days
+        if transform == "hour":
+            y, m, d, h = v.split("-")
+            days = (
+                _dt.date(int(y), int(m), int(d)) - _dt.date(1970, 1, 1)
+            ).days
+            return days * 24 + int(h)
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
 def _typed_partition(
-    pvals: dict[str, str] | None, pfields: list[tuple[str, str, int]]
+    pvals: dict[str, str] | None, pfields: list[tuple]
 ) -> dict:
     """Stringified hive partition values → the typed r102 record dict
-    (int-ish identity/bucket/truncate values parse back to ints; nulls
-    stay null)."""
+    (int-ish identity/bucket/truncate values parse back to ints,
+    time-transform canonical strings convert to the spec's epoch
+    ordinals; nulls stay null)."""
     out = {}
-    for name, spark_type, _fid in pfields:
+    for name, spark_type, _fid, *rest in pfields:
+        transform = rest[0] if rest else "identity"
         v = (pvals or {}).get(name)
         if v is None or v == "__HIVE_DEFAULT_PARTITION__":
             out[name] = None
+        elif transform in ("year", "month", "day", "hour"):
+            out[name] = _time_transform_ordinal(transform, v)
         elif _AVRO_PARTITION_TYPES.get(spark_type) in ("int", "long"):
             try:
                 out[name] = int(v)
@@ -1229,10 +1309,19 @@ def append(
     # with the spec's typed r102 partition record + header metadata
     spec_id = int(doc.get("default-spec-id", 0))
     pfields = _partition_avro_fields(doc, ptypes, spec_id)
-    if [t.field for t in transforms] != [n for n, _, _ in pfields]:
+    if [t.field for t in transforms] != [f[0] for f in pfields]:
         # explicit partition_by overriding the recorded default spec
+        n2i = _name2id(doc)
         pfields = [
-            (t.field, (ptypes or {}).get(t.field, "string"), 1000 + i)
+            (
+                t.field,
+                _r102_spark_type(
+                    t.iceberg_name, t.field, n2i.get(t.source), doc,
+                    ptypes,
+                ),
+                1000 + i,
+                t.iceberg_name,
+            )
             for i, t in enumerate(transforms)
         ]
     manifest_path = os.path.join(mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro")

@@ -1166,9 +1166,18 @@ def read_data_at_snapshot(
                     break
             return tuple(shape)
 
+        # footer probes are tiny metadata reads but file-count many —
+        # thread them (I/O bound) so a many-file snapshot's planning
+        # doesn't serialize on the driver
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            shapes = list(
+                pool.map(lambda fd: _vshape(fd["path"]), data_files)
+            )
         by_shape: dict[tuple, list[dict]] = {}
-        for fd in data_files:
-            by_shape.setdefault(_vshape(fd["path"]), []).append(fd)
+        for fd, shape in zip(data_files, shapes):
+            by_shape.setdefault(shape, []).append(fd)
         if any(by_shape):  # at least one shredded shape present
             shape_groups = by_shape
     if shape_groups is None:

@@ -876,3 +876,57 @@ def test_partition_spec_evolution_reuses_field_ids(spark, tmp_path):
     assert [r.partition.ts_month for r in by_spec[0]] == [650]
     assert all(r.partition.ts_month == 651 for r in by_spec[1])
     assert all(r.partition.id_bucket is not None for r in by_spec[1])
+
+
+def test_r102_transform_values_spec_typed(spark, tmp_path):
+    """r10 (ADVICE): transform partition values in r102 records use the
+    SPEC's result types — bucket/truncate int, year/month/hour int
+    ordinals from epoch, day an Avro logical date — on BOTH data and
+    delete manifests, instead of the stringified hive forms a field-id
+    resolving foreign reader would misread."""
+    from hielo_spark.metadata.avro_py import read_avro_file
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 8).selectExpr(
+        "id", "timestamp'2024-03-15 12:00:00' AS ts",
+        "date'2024-03-05' AS d", "CAST(id % 3 AS INT) AS small")
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000,
+             partition_by=["months(ts)", "days(d)", "bucket(4, id)",
+                           "truncate(2, small)"])
+    C.delete_where(spark, t, "id IN (0, 1)",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+
+    doc = json.load(open(C.current_metadata_path(t)))
+    snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == 102)
+    _, _, mrows = read_avro_file(
+        snap["manifest-list"].removeprefix("file:"))
+    d_day = 19787  # 2024-03-05 in days from epoch
+    seen = {0: 0, 1: 0}
+    for m in mrows:
+        content = int(m.get("content") or 0)
+        sch, _, entries = read_avro_file(
+            m["manifest_path"].removeprefix("file:"))
+        schema = json.loads(sch) if isinstance(sch, str) else sch
+        df_field = next(
+            f for f in schema["fields"] if f["name"] == "data_file")
+        tf = (df_field["type"] if isinstance(df_field["type"], dict)
+              else df_field["type"][-1])
+        part = next(
+            g for g in tf["fields"] if g["name"] == "partition")
+        ptypes = {
+            g["name"]: g["type"][-1]
+            for g in (part["type"] if isinstance(part["type"], dict)
+                      else part["type"][-1])["fields"]
+        }
+        assert ptypes["ts_month"] == "int"
+        assert ptypes["d_day"] == {"type": "int", "logicalType": "date"}
+        assert ptypes["id_bucket"] == "int"
+        assert ptypes["small_truncate"] == "int"
+        for e in entries:
+            pv = e["data_file"]["partition"]
+            assert pv["ts_month"] == (2024 - 1970) * 12 + 2  # 650
+            assert pv["d_day"] == d_day
+            assert isinstance(pv["id_bucket"], int)
+            assert isinstance(pv["small_truncate"], int)
+            seen[content] += 1
+    assert seen[0] >= 1 and seen[1] >= 1, "data AND delete entries"
