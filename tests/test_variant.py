@@ -350,3 +350,45 @@ def test_encoder_metadata_name_sorted_with_bit():
     # a permuted dict yields byte-identical value (order-insensitive)
     m2, v2 = encode_variant({"beta": 3, "alpha": {"mid": 2}, "zeta": 1})
     assert (m2, v2) == (m, v)
+
+
+def test_shredded_evolved_schema_composes_with_deletes(spark, tmp_path):
+    """The shape-negotiated evolved read composes with the rest of the
+    plane: schema evolution (added column) + a position delete over a
+    table with BOTH shredded and plain variant files — groups scan
+    under their own shapes, deletes apply across groups, both planes
+    agree."""
+    import pandas as pd
+
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.metadata.variant import encode_variant
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = _shredded_table(spark, tmp_path)  # ids 0-2, shredded
+    m3, v3 = encode_variant({"a": 30})
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"id": [3], "m": [m3], "val": [v3]})
+    ).selectExpr(
+        "CAST(id AS BIGINT) AS id",
+        "named_struct('metadata', m, 'value', val) AS v",
+    )
+    C.append(spark, t, df2, snapshot_id=102,
+             timestamp_ms=1700050000000)
+    C.update_schema(t, add=[("note", "string")],
+                    timestamp_ms=1700100000000)
+    # one deleted row in the SHREDDED file, one in the plain file
+    C.delete_where(spark, t, "id IN (1, 3)",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    want = {0: {"a": 10, "b": "x"}, 2: {"b": "y"}}
+    jvm = {
+        r.id: json.loads(r.v)
+        for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)).collect()
+    }
+    assert jvm == want
+    ds = {
+        r.id: json.loads(r.v)
+        for r in spark.read.format("hielo_iceberg").load(t).collect()
+    }
+    assert ds == want
