@@ -392,3 +392,31 @@ def test_shredded_evolved_schema_composes_with_deletes(spark, tmp_path):
         for r in spark.read.format("hielo_iceberg").load(t).collect()
     }
     assert ds == want
+
+
+def test_codec_roundtrip_hypothesis():
+    """Property fuzz over arbitrary JSON-shaped values: encode→decode
+    is the identity (ints exact across the 1/2/4/8-byte forms, nested
+    objects/arrays at any mix, name-sorted dictionaries)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = (
+        st.none() | st.booleans()
+        | st.integers(min_value=-(2**62), max_value=2**62)
+        | st.floats(allow_nan=False, allow_infinity=False)
+        | st.text(max_size=24)
+    )
+    values = st.recursive(
+        scalars,
+        lambda c: st.lists(c, max_size=5)
+        | st.dictionaries(st.text(min_size=1, max_size=8), c, max_size=5),
+        max_leaves=25,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(values)
+    def check(v):
+        assert decode_variant(*encode_variant(v)) == v
+
+    check()
