@@ -771,7 +771,10 @@ _ICEBERG_TYPES = {
 }
 
 
-def _record_table_shape(doc: dict, dtypes: dict[str, str], transforms) -> None:
+def _record_table_shape(
+    doc: dict, dtypes: dict[str, str], transforms,
+    variant_cols: set[str] | frozenset[str] = frozenset(),
+) -> None:
     """First commit on a fresh table: record the Iceberg ``schemas`` /
     ``partition-specs`` blocks in the metadata document so the schema
     plane (J1/J2: schemas_from_metadata_json, partition_source_join)
@@ -805,7 +808,14 @@ def _record_table_shape(doc: dict, dtypes: dict[str, str], transforms) -> None:
                     "id": field_id[c],
                     "name": c,
                     "required": False,
-                    "type": sql_to_iceberg(t, alloc),
+                    # variant columns ride the parquet as
+                    # struct<metadata,value> but their Iceberg type is
+                    # the v3 ``variant`` — the read planes key their
+                    # JSON decode off this
+                    "type": (
+                        "variant" if c in variant_cols
+                        else sql_to_iceberg(t, alloc)
+                    ),
                 }
                 for c, t in dtypes.items()
             ],
@@ -832,6 +842,101 @@ def _record_table_shape(doc: dict, dtypes: dict[str, str], transforms) -> None:
     # nested ids count toward the tracker too (next_id followed them)
     doc["last-column-id"] = next_id[0]
     doc["last-partition-id"] = 999 + len(transforms)
+
+
+def _variant_encode_udf(spark):
+    """Arrow-batched JSON-string → Parquet Variant (metadata, value)
+    encoder (VariantEncoding.md; name-sorted dictionary with the
+    sorted_strings bit — metadata/variant.py's conformant encoder).
+    Per-value Python by necessity: the encoding is a self-describing
+    byte tree. Nulls stay null."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import _ship_package
+
+    _ship_package(spark)
+
+    @pandas_udf("struct<metadata:binary,value:binary>")
+    def enc(s):
+        import json as _json
+
+        import pandas as pd
+
+        from hielo_spark.metadata.variant import encode_variant
+
+        metas, vals = [], []
+        for x in s:
+            if x is None or (isinstance(x, float) and x != x):
+                metas.append(None)
+                vals.append(None)
+            else:
+                m, v = encode_variant(_json.loads(x))
+                metas.append(m)
+                vals.append(v)
+        return pd.DataFrame({"metadata": metas, "value": vals})
+
+    return enc
+
+
+_VARIANT_PARQUET_DDL = "struct<metadata:binary,value:binary>"
+
+
+def _prepare_variant_columns(
+    spark: SparkSession, df: DataFrame, doc: dict,
+    variant_cols: list[str],
+) -> DataFrame:
+    """The write half of the v3 ``variant`` type: each named column —
+    a JSON string (encoded here) or an already-shaped
+    struct<metadata:binary,value:binary> (passed through) — lands in
+    parquet as the spec's unshredded variant pair, and the table
+    schema records the column as ``variant``. New tables commit as
+    format-version 3 (variant is a v3 type); a v2 table must
+    ``upgrade_format_version`` first — loud, never a silent v2 file a
+    foreign reader would mistype."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    enc = None
+    for c in variant_cols:
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(f"variant column {c!r} not in frame")
+        if t == "string":
+            if enc is None:
+                enc = _variant_encode_udf(spark)
+            df = df.withColumn(c, enc(F.col(c)))
+        elif t.replace(" ", "") == _VARIANT_PARQUET_DDL:
+            pass  # already the parquet shape
+        else:
+            raise ValueError(
+                f"variant column {c!r} must be a JSON string or "
+                f"{_VARIANT_PARQUET_DDL}, got {t}"
+            )
+    if "schemas" in doc:
+        fv = int(doc.get("format-version", 2))
+        if fv < 3:
+            raise ValueError(
+                "variant columns need a format-version >= 3 table "
+                "(upgrade_format_version first)"
+            )
+        cur = next(
+            (
+                s for s in doc.get("schemas", [])
+                if s.get("schema-id") == doc.get("current-schema-id", 0)
+            ),
+            {},
+        )
+        recorded = {f["name"]: f.get("type") for f in cur.get("fields", [])}
+        for c in variant_cols:
+            if recorded.get(c) != "variant":
+                raise ValueError(
+                    f"column {c!r} is recorded as {recorded.get(c)!r}, "
+                    "not variant — appending variant data to it would "
+                    "corrupt the table (evolve the schema explicitly)"
+                )
+    else:
+        doc["format-version"] = 3  # variant is a v3 type
+    return df
 
 
 def update_partition_spec(table_dir: str, partition_by: list[str]) -> int:
@@ -1206,10 +1311,19 @@ def append(
     extra_summary: dict[str, str] | None = None,
     branch: str | None = None,
     extra_properties: dict[str, str] | None = None,
+    variant_cols: list[str] | None = None,
 ) -> dict:
     """Append ``df`` as a new snapshot. Returns the new snapshot dict.
     ``extra_summary`` entries are merged into the snapshot summary (used
     by the streaming sink to record its exactly-once batch marker).
+
+    ``variant_cols`` names columns to commit as the v3 ``variant``
+    type: JSON strings are encoded to the Parquet Variant
+    (metadata, value) binary pair (VariantEncoding.md, name-sorted
+    dictionaries), already-shaped structs pass through, and the table
+    schema records the columns as ``variant`` — both read planes then
+    surface canonical JSON strings. New tables commit at
+    format-version 3; v2 tables must upgrade first (loud).
 
     With ``branch``, the commit extends that branch ref (creating it
     from the current snapshot if absent) and leaves the main
@@ -1287,6 +1401,8 @@ def append(
                         _dfj(f["type"], f["write-default"])
                     ).cast(_i2d(f["type"])),
                 )
+    if variant_cols:
+        df = _prepare_variant_columns(spark, df, doc, variant_cols)
     dtypes = dict(df.dtypes)
     # explicit partition_by wins; otherwise write under the table's
     # recorded default spec (Iceberg writer behavior — partition
@@ -1299,7 +1415,9 @@ def append(
     for t in transforms:
         if t.source not in dtypes:
             raise ValueError(f"partition source column {t.source!r} not in frame")
-    _record_table_shape(doc, dtypes, transforms)
+    _record_table_shape(
+        doc, dtypes, transforms, frozenset(variant_cols or ())
+    )
     parts, partition_of, ptypes, stats = _write_data_files(
         spark, data_dir, df, transforms, dtypes
     )

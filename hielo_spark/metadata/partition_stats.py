@@ -124,9 +124,8 @@ def _spec_partition_value(pv, name: str, transform: str, ddl: str):
     records time-transform values as canonical strings ("2024",
     "2024-03", "2024-03-05", "2024-03-05-14") in every metadata plane,
     so the stats file converts them to the spec's encodings here
-    (int years/months/hours since the 1970 epoch, date for day).
-    Timestamps parse under the session TZ — the engine mandates UTC
-    (session.configure warns loudly otherwise)."""
+    (int years/months/hours since the 1970 epoch, date for day) —
+    pure string/date arithmetic, no session-TZ sensitivity."""
     from pyspark.sql import functions as F
 
     raw = F.when(
@@ -143,8 +142,15 @@ def _spec_partition_value(pv, name: str, transform: str, ddl: str):
     if transform == "day":
         return F.to_date(raw, "yyyy-MM-dd").alias(name)
     if transform == "hour":
-        ts = F.to_timestamp(raw, "yyyy-MM-dd-HH")
-        return (F.unix_timestamp(ts) / F.lit(3600)).cast("int").alias(name)
+        # pure date arithmetic (datediff is TZ-free) — a session TZ
+        # drift must not shift the ordinal the pure-Python r102 writer
+        # computes for the same value
+        parts = F.split(raw, "-")
+        d = F.to_date(F.concat_ws("-", parts[0], parts[1], parts[2]))
+        return (
+            F.datediff(d, F.to_date(F.lit("1970-01-01"))) * F.lit(24)
+            + parts[3].cast("int")
+        ).cast("int").alias(name)
     return raw.cast(ddl).alias(name)
 
 

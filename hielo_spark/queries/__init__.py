@@ -257,6 +257,10 @@ for mod in (relational, meta, ext):
 #   doc_simhash_precision → hash-family external story carried by
 #     doc_minhash_recall (hash-matched truth pin) + doc_neardup_minhash
 _DEFERRED = [
+    # r10-new: the variant WRITE plane golden enters at the TAIL (the
+    # local harness oracle-checks it; this round's head churn is the
+    # ten-slot rotation above) — rotation candidate for next round
+    "meta_variant_write_roundtrip",
     "q7_nation_volume",
     "q9_profit_by_nation_year",
     "q10_returned_customers",

@@ -2300,3 +2300,88 @@ def meta_advised_join_roundtrip(
         ],
         "check_name string, value long",
     ).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# v3 variant WRITE plane (r10) — append(variant_cols=[...]) encodes JSON
+# strings to the Parquet Variant (metadata, value) pair (name-sorted
+# dictionary, sorted_strings bit), records the column as ``variant``,
+# commits the new table at format-version 3, and both read planes
+# surface canonical JSON. Constant oracle: the JSON round-trip values
+# and plane agreement are the checked artifacts.
+# --------------------------------------------------------------------------
+@query(
+    "meta_variant_write_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('c1_format_version',  CAST(3 AS BIGINT)),
+      ('c2_schema_variant',  CAST(1 AS BIGINT)),
+      ('c3_planes_agree',    CAST(1 AS BIGINT)),
+      ('c4_values_roundtrip',CAST(1 AS BIGINT)),
+      ('c5_rows_after_delete', CAST(4 AS BIGINT))
+    ) AS t(check_name, value)
+    ORDER BY check_name
+    """,
+)
+def meta_variant_write_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.manifests import read_data_at_snapshot
+    from ..sources import register
+
+    register(spark)
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_varw_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(0, '{"b": 1, "a": [true, null, "s"]}'),
+         (1, '"plain"'),
+         (2, None),
+         (3, '{"nested": {"deep": [1, 2.5]}}'),
+         (4, '{"x": 9}')],
+        "id long, v string")
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000, variant_cols=["v"])
+    C.delete_where(spark, t, "id = 1",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    doc = _json.load(open(C.current_metadata_path(t)))
+    c1 = int(doc["format-version"])
+    c2 = int(
+        [f["type"] for f in doc["schemas"][0]["fields"]
+         if f["name"] == "v"] == ["variant"]
+    )
+
+    def decode(rows):
+        return {
+            r.id: (_json.loads(r.v) if r.v is not None else None)
+            for r in rows
+        }
+
+    jvm = decode(read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    ds = decode(
+        spark.read.format("hielo_iceberg").load(t).collect())
+    want = {0: {"a": [True, None, "s"], "b": 1}, 2: None,
+            3: {"nested": {"deep": [1, 2.5]}}, 4: {"x": 9}}
+    c3 = int(jvm == ds)
+    c4 = int(jvm == want)
+    c5 = len(jvm)
+    shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            ("c1_format_version", c1),
+            ("c2_schema_variant", c2),
+            ("c3_planes_agree", c3),
+            ("c4_values_roundtrip", c4),
+            ("c5_rows_after_delete", c5),
+        ],
+        "check_name string, value long",
+    ).orderBy("check_name")

@@ -420,3 +420,111 @@ def test_codec_roundtrip_hypothesis():
         assert decode_variant(*encode_variant(v)) == v
 
     check()
+
+
+def test_variant_write_path_both_planes(spark, tmp_path):
+    """r10: the WRITE half of v3 variant — append(variant_cols=[...])
+    encodes JSON strings to the spec's (metadata, value) pair, records
+    the column as ``variant``, commits new tables at format-version 3,
+    and both read planes surface canonical JSON. Composes with a
+    second append and a DV delete."""
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, '{"b": 1, "a": [true, null, "s"]}'),
+         (1, '"plain"'),
+         (2, None),
+         (3, '{"nested": {"deep": [1, 2.5]}}')],
+        "id long, v string")
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000, variant_cols=["v"])
+    doc = json.loads(
+        open(C.current_metadata_path(t)).read())
+    assert int(doc["format-version"]) == 3
+    assert [f["type"] for f in doc["schemas"][0]["fields"]
+            if f["name"] == "v"] == ["variant"]
+    want = {0: {"a": [True, None, "s"], "b": 1}, 1: "plain",
+            2: None, 3: {"nested": {"deep": [1, 2.5]}}}
+
+    def decode(rows):
+        return {r.id: (json.loads(r.v) if r.v is not None else None)
+                for r in rows}
+
+    assert decode(read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()) == want
+    assert decode(
+        spark.read.format("hielo_iceberg").load(t).collect()) == want
+
+    # a later append + DV delete compose
+    C.append(spark, t,
+             spark.createDataFrame([(4, '{"x": 9}')], "id long, v string"),
+             snapshot_id=102, timestamp_ms=1700100000000,
+             variant_cols=["v"])
+    C.delete_where(spark, t, "id = 1",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    got = decode(spark.read.format("hielo_iceberg").load(t).collect())
+    assert got == {0: want[0], 2: None, 3: want[3], 4: {"x": 9}}
+
+
+def test_variant_write_refusals(spark, tmp_path):
+    """Guard rails: v2 tables refuse variant appends (upgrade first);
+    a column recorded as non-variant refuses (silent corruption
+    otherwise); non-string/non-struct frames refuse."""
+    from hielo_spark.metadata import upgrade_format_version
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(3).selectExpr("id", "'x' AS v"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    with pytest.raises(ValueError, match="format-version"):
+        C.append(spark, t,
+                 spark.createDataFrame([(9, '{"k":1}')],
+                                       "id long, v string"),
+                 snapshot_id=102, timestamp_ms=1700100000000,
+                 variant_cols=["v"])
+    upgrade_format_version(t, 3)
+    with pytest.raises(ValueError, match="recorded as"):
+        C.append(spark, t,
+                 spark.createDataFrame([(9, '{"k":1}')],
+                                       "id long, v string"),
+                 snapshot_id=102, timestamp_ms=1700100000000,
+                 variant_cols=["v"])
+    t2 = str(tmp_path / "t2")
+    with pytest.raises(ValueError, match="JSON string"):
+        C.append(spark, t2, spark.range(3).selectExpr("id", "id AS v"),
+                 snapshot_id=101, timestamp_ms=1700000000000,
+                 variant_cols=["v"])
+
+
+def test_variant_column_added_by_schema_evolution(spark, tmp_path):
+    """update_schema can ADD a variant column to a v3 table; files
+    written before the add read null, later variant appends decode on
+    both planes (the evolved-schema shape negotiation handles the
+    missing-column group)."""
+    from hielo_spark.metadata import upgrade_format_version
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(3).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    upgrade_format_version(t, 3)
+    C.update_schema(t, add=[("v", "variant")],
+                    timestamp_ms=1700050000000)
+    C.append(spark, t,
+             spark.createDataFrame([(3, '{"k": 1}')], "id long, v string"),
+             snapshot_id=102, timestamp_ms=1700100000000,
+             variant_cols=["v"])
+    want = {0: None, 1: None, 2: None, 3: {"k": 1}}
+
+    def decode(rows):
+        return {r.id: (json.loads(r.v) if r.v is not None else None)
+                for r in rows}
+
+    assert decode(read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()) == want
+    assert decode(
+        spark.read.format("hielo_iceberg").load(t).collect()) == want
