@@ -880,10 +880,111 @@ def _variant_encode_udf(spark):
 
 _VARIANT_PARQUET_DDL = "struct<metadata:binary,value:binary>"
 
+#: shred target types the writer supports (VariantShredding.md allows
+#: any primitive; these cover the common cases without guessing)
+_SHRED_TYPES = {"bigint", "double", "string", "boolean"}
+
+
+def _variant_shred_udf(spark, shred: dict[str, str]):
+    """Arrow-batched JSON-string → SHREDDED Parquet Variant
+    (VariantShredding.md): the named top-level object fields land as
+    typed subcolumns (struct<value binary, typed_value T> field
+    groups — type-matching values shred, mismatches ride the group's
+    binary ``value``, absent fields leave both null), the remaining
+    fields ride the row's binary ``value`` remainder, and non-object
+    rows fall back to the plain (metadata, value) pair with a null
+    typed_value."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import _ship_package
+
+    _ship_package(spark)
+    fields = dict(shred)
+    inner = ",".join(
+        f"`{k}`:struct<value:binary,typed_value:{t}>"
+        for k, t in fields.items()
+    )
+    ddl = (
+        "struct<metadata:binary,value:binary,"
+        f"typed_value:struct<{inner}>>"
+    )
+    py_of = {
+        "bigint": int, "double": float, "string": str, "boolean": bool,
+    }
+
+    @pandas_udf(ddl)
+    def enc(s):
+        import json as _json
+
+        import pandas as pd
+
+        from hielo_spark.metadata.variant import (
+            _collect_keys,
+            _encode_value,
+            encode_metadata,
+        )
+
+        metas, vals, typed = [], [], []
+        for x in s:
+            if x is None or (isinstance(x, float) and x != x):
+                metas.append(None)
+                vals.append(None)
+                typed.append(None)
+                continue
+            obj = _json.loads(x)
+            # name-sorted dictionary over the FULL object (a superset
+            # covering shredded fields is spec-legal and keeps ids
+            # stable whichever side a value lands on)
+            keys: list[str] = []
+            _collect_keys(obj, keys, set())
+            keys.sort()
+            key_id = {k: i for i, k in enumerate(keys)}
+            metas.append(encode_metadata(keys))
+            if not isinstance(obj, dict):
+                vals.append(_encode_value(obj, key_id))
+                typed.append(None)
+                continue
+            groups = {}
+            rest = {}
+            for k, v in obj.items():
+                if k not in fields:
+                    rest[k] = v
+                    continue
+                want = py_of[fields[k]]
+                # bool is an int subclass — keep the check exact
+                matches = (
+                    isinstance(v, want)
+                    and not (want is int and isinstance(v, bool))
+                )
+                if matches:
+                    groups[k] = {"value": None, "typed_value": v}
+                else:
+                    # JSON null INCLUDED: a null-valued field is a
+                    # present variant-null (0x00), not an absent field
+                    # (both-null group) — reconstruction must keep it
+                    groups[k] = {
+                        "value": _encode_value(v, key_id),
+                        "typed_value": None,
+                    }
+            for k in fields:
+                groups.setdefault(
+                    k, {"value": None, "typed_value": None}
+                )
+            vals.append(
+                _encode_value(rest, key_id) if rest else None
+            )
+            typed.append(groups)
+        return pd.DataFrame(
+            {"metadata": metas, "value": vals, "typed_value": typed}
+        )
+
+    return enc
+
 
 def _prepare_variant_columns(
     spark: SparkSession, df: DataFrame, doc: dict,
     variant_cols: list[str],
+    variant_shred: dict[str, dict[str, str]] | None = None,
 ) -> DataFrame:
     """The write half of the v3 ``variant`` type: each named column —
     a JSON string (encoded here) or an already-shaped
@@ -901,7 +1002,20 @@ def _prepare_variant_columns(
         t = dtypes.get(c)
         if t is None:
             raise ValueError(f"variant column {c!r} not in frame")
-        if t == "string":
+        shred = (variant_shred or {}).get(c)
+        if shred is not None:
+            bad = {st for st in shred.values() if st not in _SHRED_TYPES}
+            if bad:
+                raise ValueError(
+                    f"unsupported shred target types {sorted(bad)} "
+                    f"(supported: {sorted(_SHRED_TYPES)})"
+                )
+            if t != "string":
+                raise ValueError(
+                    f"shredding needs a JSON string column, {c!r} is {t}"
+                )
+            df = df.withColumn(c, _variant_shred_udf(spark, shred)(F.col(c)))
+        elif t == "string":
             if enc is None:
                 enc = _variant_encode_udf(spark)
             df = df.withColumn(c, enc(F.col(c)))
@@ -1312,6 +1426,7 @@ def append(
     branch: str | None = None,
     extra_properties: dict[str, str] | None = None,
     variant_cols: list[str] | None = None,
+    variant_shred: dict[str, dict[str, str]] | None = None,
 ) -> dict:
     """Append ``df`` as a new snapshot. Returns the new snapshot dict.
     ``extra_summary`` entries are merged into the snapshot summary (used
@@ -1324,6 +1439,11 @@ def append(
     schema records the columns as ``variant`` — both read planes then
     surface canonical JSON strings. New tables commit at
     format-version 3; v2 tables must upgrade first (loud).
+    ``variant_shred`` optionally SHREDS named top-level object fields
+    into typed subcolumns (VariantShredding.md), e.g.
+    ``variant_shred={"v": {"a": "bigint"}}`` — type-matching values
+    land typed, mismatches and extra fields ride the binary
+    remainder, readers reconstruct either way.
 
     With ``branch``, the commit extends that branch ref (creating it
     from the current snapshot if absent) and leaves the main
@@ -1402,7 +1522,9 @@ def append(
                     ).cast(_i2d(f["type"])),
                 )
     if variant_cols:
-        df = _prepare_variant_columns(spark, df, doc, variant_cols)
+        df = _prepare_variant_columns(
+            spark, df, doc, variant_cols, variant_shred
+        )
     dtypes = dict(df.dtypes)
     # explicit partition_by wins; otherwise write under the table's
     # recorded default spec (Iceberg writer behavior — partition

@@ -528,3 +528,122 @@ def test_variant_column_added_by_schema_evolution(spark, tmp_path):
         spark, C.current_metadata_path(t)).collect()) == want
     assert decode(
         spark.read.format("hielo_iceberg").load(t).collect()) == want
+
+
+def test_variant_shredded_write_roundtrip(spark, tmp_path):
+    """r10: the SHREDDING writer (VariantShredding.md) —
+    append(variant_shred={"v": {"a": "bigint"}}) lands type-matching
+    fields as typed subcolumns, mismatches and extra fields in the
+    binary remainder, JSON null as a present variant-null (never
+    absent), scalars unshredded. Both planes reconstruct, including
+    after schema evolution (the engine now reads its OWN shredded
+    files through the r10 evolved-path shape negotiation)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, '{"a": 7, "b": "x"}'),          # a shreds typed
+         (1, '{"a": "not-int", "b": "y"}'),  # mismatch → group binary
+         (2, '{"b": "z"}'),                  # a absent
+         (3, '{"a": null}'),                 # JSON null stays present
+         (4, '"scalar"'),                    # non-object
+         (5, None)],
+        "id long, v string")
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000,
+             variant_cols=["v"], variant_shred={"v": {"a": "bigint"}})
+    f = sorted(_glob.glob(t + "/data/**/*.parquet", recursive=True))[0]
+    vt = pq.read_schema(f).field("v").type
+    assert [vt.field(i).name for i in range(vt.num_fields)] == [
+        "metadata", "value", "typed_value"]
+    want = {0: {"a": 7, "b": "x"}, 1: {"a": "not-int", "b": "y"},
+            2: {"b": "z"}, 3: {"a": None}, 4: "scalar", 5: None}
+
+    def decode(rows):
+        return {r.id: (json.loads(r.v) if r.v is not None else None)
+                for r in rows}
+
+    assert decode(read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()) == want
+    assert decode(
+        spark.read.format("hielo_iceberg").load(t).collect()) == want
+
+    # evolved schema: our own shredded files ride the r10 footer-driven
+    # shape negotiation
+    C.update_schema(t, add=[("note", "string")],
+                    timestamp_ms=1700100000000)
+    evolved = read_data_at_snapshot(spark, C.current_metadata_path(t))
+    assert "note" in evolved.columns
+    assert decode(evolved.collect()) == want
+
+    # unsupported shred target types refuse
+    with pytest.raises(ValueError, match="unsupported shred"):
+        C.append(spark, str(tmp_path / "t2"), df,
+                 snapshot_id=101, timestamp_ms=1700000000000,
+                 variant_cols=["v"],
+                 variant_shred={"v": {"a": "decimal(4,2)"}})
+
+
+def test_array_shredded_variant_both_planes(spark, tmp_path):
+    """Array-of-element-groups shredding (VariantShredding.md's array
+    form — a foreign writer may shred list elements): typed elements,
+    binary-remainder elements, and whole-row fallbacks reconstruct on
+    both planes. Complements the object-group fixture."""
+    import pandas as pd
+
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+    from hielo_spark.metadata.variant import (
+        _encode_value,
+        encode_metadata,
+    )
+    from hielo_spark.sources import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    md0 = encode_metadata([])
+    rows = [
+        # (id, remainder, [(elem_value_bytes, elem_typed)])
+        (0, None, [(None, 1), (None, 2)]),                 # all typed
+        (1, None, [(_encode_value("x", {}), None), (None, 9)]),  # mixed
+        (2, _encode_value("whole", {}), None),             # unshredded
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "id": [r[0] for r in rows],
+            "m": [md0] * len(rows),
+            "rem": [r[1] for r in rows],
+            "elems": [r[2] for r in rows],
+        })
+    ).selectExpr(
+        "CAST(id AS BIGINT) AS id",
+        "named_struct('metadata', m, 'value', rem, 'typed_value', "
+        "transform(elems, e -> named_struct("
+        "'value', e._1, 'typed_value', CAST(e._2 AS BIGINT)))) AS v",
+    )
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000)
+    from hielo_spark.metadata import upgrade_format_version
+
+    upgrade_format_version(t, 3)
+    mpath = C.current_metadata_path(t)
+    doc = json.load(open(mpath))
+    for s in doc["schemas"]:
+        for f in s["fields"]:
+            if f["name"] == "v":
+                f["type"] = "variant"
+    json.dump(doc, open(mpath, "w"))
+
+    want = {0: [1, 2], 1: ["x", 9], 2: "whole"}
+
+    def decode(rows_):
+        return {r.id: json.loads(r.v) for r in rows_}
+
+    assert decode(read_data_at_snapshot(spark, mpath).collect()) == want
+    assert decode(
+        spark.read.format("hielo_iceberg").load(t).collect()) == want
