@@ -340,6 +340,11 @@ def _typed_partition(
             out[name] = None
         elif transform in ("year", "month", "day", "hour"):
             out[name] = _time_transform_ordinal(transform, v)
+        elif spark_type == "date":
+            # identity partition on a DATE column: the r102 field is an
+            # Avro logical date (int days from epoch), so the hive ISO
+            # string must convert — a string here fails the writer
+            out[name] = _time_transform_ordinal("day", v)
         elif _AVRO_PARTITION_TYPES.get(spark_type) in ("int", "long"):
             try:
                 out[name] = int(v)

@@ -503,6 +503,19 @@ def _read_partition(part: _ScanPartition):
     # file predates resolve to nothing and become nulls below
     want_src = []
     for name, _ddl, *rest in part.columns or ():
+        if isinstance(_ddl, str) and _ddl.startswith("vextract:"):
+            # derived column: read the VARIANT SOURCE column's pages
+            _t, vcol, _fld, _vddl, aliases = (
+                _ddl.split(":", 4) + [""]
+            )[:5]
+            src = next(
+                (c for c in (vcol, *filter(None, aliases.split(",")))
+                 if c in avail),
+                None,
+            )
+            if src is not None:
+                want_src.append(src)
+            continue
         if name in avail:
             want_src.append(name)
         else:
@@ -511,6 +524,7 @@ def _read_partition(part: _ScanPartition):
             )
             if src is not None:
                 want_src.append(src)
+    want_src = list(dict.fromkeys(want_src))  # v + v_extract dedup
     table = (
         pf.read(columns=want_src)
         if part.columns
@@ -674,6 +688,25 @@ def _read_partition(part: _ScanPartition):
         # types keep the file's own arrow type (no cast).
         cols = []
         for name, ddl, *rest in part.columns:
+            if isinstance(ddl, str) and ddl.startswith("vextract:"):
+                _t, vcol, vfield, vddl, aliases = (
+                    ddl.split(":", 4) + [""]
+                )[:5]
+                vsrc = next(
+                    (c for c in (vcol,
+                                 *filter(None, aliases.split(",")))
+                     if c in table.column_names),
+                    None,
+                )
+                if vsrc is None:
+                    cols.append(pa.nulls(
+                        table.num_rows,
+                        type=_arrow_type_of_ddl(vddl) or pa.string(),
+                    ))
+                else:
+                    cols.append(_variant_extract_array(
+                        table.column(vsrc), vfield, vddl))
+                continue
             want = _arrow_type_of_ddl(ddl)
             src = name
             if src not in table.column_names:
@@ -787,6 +820,137 @@ def _read_partition(part: _ScanPartition):
     if part.out_names is not None and list(table.column_names) != part.out_names:
         table = table.select(part.out_names)
     yield from table.to_batches()
+
+
+def _parse_variant_extracts(options) -> list[tuple[str, str, str, str]]:
+    """``option("variant-extract", "v.a:bigint,v.b:string")`` →
+    ``[(out_name, src_col, field, ddl)]`` with out_name
+    ``{src}_{field}``. Top-level object fields only."""
+    spec = options.get("variant-extract")
+    if not spec:
+        return []
+    out = []
+    for item in str(spec).split(","):
+        item = item.strip()
+        if not item:
+            continue
+        path, _, ddl = item.partition(":")
+        src, _, fld = path.partition(".")
+        if not (src and fld and ddl):
+            raise ValueError(
+                f"variant-extract entry {item!r} must be "
+                "'<col>.<field>:<spark-type>'"
+            )
+        out.append((f"{src}_{fld}", src.strip(), fld.strip(), ddl.strip()))
+    return out
+
+
+def _variant_extract_array(col, field: str, want_ddl: str):
+    """ONE top-level object field of a parquet variant column as a
+    typed arrow array — the read-side payoff of shredding: when the
+    file shredded this field (typed_value subcolumn), rows where it
+    landed typed are served STRAIGHT from the columnar subfield with
+    zero JSON decode; only rows where the field rode a binary
+    remainder (mismatch, unshredded writer) fall back to per-row
+    reconstruction. Values not matching the requested type surface
+    null (typed extraction semantics, like a cast)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..metadata.variant import (
+        MISSING,
+        decode_metadata,
+        reconstruct_shredded,
+    )
+
+    want = _arrow_type_of_ddl(want_ddl) or pa.string()
+    n = len(col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_struct(col.type):
+        return pa.nulls(n, type=want)
+
+    def _coerce(v):
+        if v is None or v is MISSING:
+            return None
+        if pa.types.is_integer(want):
+            return v if isinstance(v, int) and not isinstance(v, bool) \
+                else None
+        if pa.types.is_floating(want):
+            return float(v) if isinstance(v, (int, float)) \
+                and not isinstance(v, bool) else None
+        if pa.types.is_string(want):
+            return v if isinstance(v, str) else None
+        if pa.types.is_boolean(want):
+            return v if isinstance(v, bool) else None
+        return v
+
+    names = {col.type.field(i).name for i in range(col.type.num_fields)}
+    typed_fast = None
+    grp_val = None
+    if "typed_value" in names:
+        tv = col.field("typed_value")
+        if pa.types.is_struct(tv.type):
+            tnames = {
+                tv.type.field(i).name for i in range(tv.type.num_fields)
+            }
+            if field in tnames:
+                grp = tv.field(field)
+                if pa.types.is_struct(grp.type):
+                    gnames = {
+                        grp.type.field(i).name
+                        for i in range(grp.type.num_fields)
+                    }
+                    if "typed_value" in gnames:
+                        typed_fast = grp.field("typed_value")
+                    if "value" in gnames:
+                        grp_val = grp.field("value")
+    row_val = col.field("value") if "value" in names else None
+    if typed_fast is not None:
+        # rows needing the slow path: typed slot null AND some binary
+        # could still carry the field (group value or row remainder)
+        need = pc.is_null(typed_fast)
+        binary_possible = None
+        for candidate in (grp_val, row_val):
+            if candidate is None:
+                continue
+            v = pc.is_valid(candidate)
+            binary_possible = (
+                v if binary_possible is None
+                else pc.or_(binary_possible, v)
+            )
+        if binary_possible is not None:
+            need = pc.and_(need, binary_possible)
+        idx = np.flatnonzero(need.to_numpy(zero_copy_only=False))
+        try:
+            out_np = typed_fast.cast(want, safe=False).to_pylist()
+        except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError,
+                pa.lib.ArrowTypeError):
+            out_np = [_coerce(v) for v in typed_fast.to_pylist()]
+        if idx.size:
+            slow_rows = col.take(pa.array(idx)).to_pylist()
+            for i, row in zip(idx.tolist(), slow_rows):
+                md = row.get("metadata") if row else None
+                if md is None:
+                    continue
+                obj = reconstruct_shredded(row, decode_metadata(bytes(md)))
+                v = obj.get(field, MISSING) if isinstance(obj, dict) \
+                    else MISSING
+                out_np[i] = _coerce(v)
+        return pa.array(out_np, type=want)
+    # unshredded (or differently-shredded) file: per-row reconstruction,
+    # but straight to the one field — no JSON string round trip
+    vals = []
+    for row in col.to_pylist():
+        md = row.get("metadata") if row else None
+        if md is None:
+            vals.append(None)
+            continue
+        obj = reconstruct_shredded(row, decode_metadata(bytes(md)))
+        v = obj.get(field, MISSING) if isinstance(obj, dict) else MISSING
+        vals.append(_coerce(v))
+    return pa.array(vals, type=want)
 
 
 class HieloIcebergReader(DataSourceReader):
@@ -2106,6 +2270,25 @@ class HieloIcebergDataSource(DataSource):
             lineage_ddl = (
                 ", _row_id bigint, _last_updated_sequence_number bigint"
             )
+        # variant-extract derived columns: typed top-level fields of a
+        # variant column, declared after the data columns (shredded
+        # files serve them from the typed subcolumn, no JSON decode)
+        extract_ddl = ""
+        extracts = _parse_variant_extracts(self.options)
+        if extracts:
+            doc = _load_doc(table_dir)
+            blk = _read_schema_block(doc, self.options) or {}
+            vnames = {
+                f["name"] for f in blk.get("fields", [])
+                if f.get("type") == "variant"
+            }
+            for out_name, src, _fld, ddl in extracts:
+                if src not in vnames:
+                    raise ValueError(
+                        f"variant-extract source {src!r} is not a "
+                        "variant column of this table"
+                    )
+                extract_ddl += f", {out_name} {ddl}"
         if wanted:
             want = [w.strip() for w in wanted.split(",") if w.strip()]
             have = {n for n, _ in cols}
@@ -2120,11 +2303,12 @@ class HieloIcebergDataSource(DataSource):
             for p in picked:
                 if isinstance(p, Exception):
                     raise p
-            return ", ".join(picked) + lineage_ddl
+            return ", ".join(picked) + extract_ddl + lineage_ddl
         for _n, ddl in cols:
             if isinstance(ddl, Exception):
                 raise ddl
-        return ", ".join(ddl for _, ddl in cols) + lineage_ddl
+        return ", ".join(ddl for _, ddl in cols) + extract_ddl \
+            + lineage_ddl
 
     def _schema_cols(self):
         doc = _load_doc(self.options["path"])
@@ -2159,6 +2343,8 @@ class HieloIcebergDataSource(DataSource):
                 out.append((f["name"], "variant", tuple(hist[::-1]),
                             None))
                 continue
+            # (variant-extract derived columns are appended after the
+            # loop, once every source's rename history is known)
             if isinstance(f.get("type"), str) and f["type"].split(
                 "("
             )[0] in ("geometry", "geography"):
@@ -2189,6 +2375,29 @@ class HieloIcebergDataSource(DataSource):
             out.append(
                 (f["name"], ddl, tuple(hist[::-1]), default)
             )
+        # variant-extract derived columns ride at the END (matching
+        # schema()'s declared order): the sentinel DDL carries the
+        # source column + its rename history, so tasks read the
+        # variant column's pages and — when the file shredded the
+        # field — serve the typed subcolumn with zero JSON decode
+        if self.options.get("surface", "data") == "data":
+            by_name = {e[0]: e for e in out}
+            for out_name, src, fld, ddl in _parse_variant_extracts(
+                self.options
+            ):
+                entry = by_name.get(src)
+                if entry is None or entry[1] != "variant":
+                    raise ValueError(
+                        f"variant-extract source {src!r} is not a "
+                        "variant column of this table"
+                    )
+                aliases = ",".join(entry[2])
+                out.append((
+                    out_name,
+                    f"vextract:{src}:{fld}:{ddl}:{aliases}",
+                    (),
+                    None,
+                ))
         return out
 
     def reader(self, schema):

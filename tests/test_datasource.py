@@ -1465,3 +1465,53 @@ def test_stream_and_changes_scan_task_bin_packing(
         for batch in sreader.read(p):
             got.extend(batch.column("id").to_pylist())
     assert sorted(got) == list(range(1_000))
+
+
+def test_variant_extract_typed_subcolumn(registered, spark, tmp_path):
+    """r10: option('variant-extract', 'v.a:bigint') surfaces a typed
+    top-level variant field as its own column — shredded files serve
+    it from the typed_value subcolumn (zero JSON decode), binary
+    remainders and unshredded files reconstruct per row, mismatched
+    types surface null. Composes with option('columns') pruning."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, '{"a": 7, "b": "x"}'),
+         (1, '{"a": "not-int", "b": "y"}'),
+         (2, '{"b": "z"}'),
+         (3, '{"a": null}'),
+         (4, '"scalar"'),
+         (5, None),
+         (6, '{"a": 42, "b": "w"}')],
+        "id long, v string")
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000,
+             variant_cols=["v"], variant_shred={"v": {"a": "bigint"}})
+    # mixed-shape table: a later UNSHREDDED append
+    C.append(spark, t,
+             spark.createDataFrame([(7, '{"a": 100}')],
+                                   "id long, v string"),
+             snapshot_id=102, timestamp_ms=1700100000000,
+             variant_cols=["v"])
+    out = (spark.read.format("hielo_iceberg")
+           .option("variant-extract", "v.a:bigint, v.b:string")
+           .load(t))
+    assert out.schema.simpleString() == \
+        "struct<id:bigint,v:string,v_a:bigint,v_b:string>"
+    rows = {r.id: (r.v_a, r.v_b) for r in out.collect()}
+    assert rows == {
+        0: (7, "x"), 1: (None, "y"), 2: (None, "z"), 3: (None, None),
+        4: (None, None), 5: (None, None), 6: (42, "w"), 7: (100, None),
+    }
+    narrow = (spark.read.format("hielo_iceberg")
+              .option("variant-extract", "v.a:bigint")
+              .option("columns", "id").load(t))
+    assert narrow.columns == ["id", "v_a"]
+    assert {(r.id, r.v_a) for r in narrow.collect()} == {
+        (0, 7), (1, None), (2, None), (3, None), (4, None), (5, None),
+        (6, 42), (7, 100)}
+    # a non-variant source refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not a variant column"):
+        (spark.read.format("hielo_iceberg")
+         .option("variant-extract", "id.a:bigint").load(t).collect())
