@@ -295,9 +295,6 @@ def _partition_avro_fields(
     ]
 
 
-_EPOCH_DAY = None  # lazy datetime.date(1970, 1, 1)
-
-
 def _time_transform_ordinal(transform: str, v: str):
     """Canonical hive string → the spec's r102 encoding: year "2024" →
     54, month "2024-03" → 650, day "2024-03-05" → days from epoch
