@@ -367,7 +367,12 @@ class _ScanPartition(InputPartition):
     def __init__(self, path, seq, pos_deletes, eq_deletes, columns,
                  pvals=None, out_names=None, scan_log=None,
                  frid=None, lineage=False, dv_ref=None,
-                 table_root=None):
+                 table_root=None, vx_filters=None):
+        # pushed comparison filters on variant-extract columns:
+        # [(src_col, aliases, field, op, value)] — used ONLY for
+        # row-group pruning on the shredded typed subcolumn's footer
+        # stats (Spark re-applies every pushed filter row-exactly)
+        self.vx_filters = vx_filters
         # the table location, for resolving foreign ./-relative
         # file_path references inside delete files
         self.table_root = table_root
@@ -525,11 +530,62 @@ def _read_partition(part: _ScanPartition):
             if src is not None:
                 want_src.append(src)
     want_src = list(dict.fromkeys(want_src))  # v + v_extract dedup
-    table = (
-        pf.read(columns=want_src)
-        if part.columns
-        else pq.read_table(part.path)
-    )
+    # shredded-stats row-group pruning: comparison filters on
+    # variant-extract columns check each row group's typed-subcolumn
+    # footer stats (plus proof that no binary remainder could carry
+    # the field) and skip non-matching groups entirely
+    rg_keep = None
+    if (
+        getattr(part, "vx_filters", None)
+        # row-group skipping renumbers rows, so anything consuming
+        # ABSOLUTE file positions (position deletes, DVs, lineage
+        # synthesis) disables it — correctness over pruning
+        and not part.pos_deletes
+        and part.dv_ref is None
+        and not part.lineage
+    ):
+        resolved = []
+        for src, aliases, fld, op, val in part.vx_filters:
+            fsrc = next(
+                (c for c in (src, *aliases) if c in avail), None
+            )
+            if fsrc is None:
+                continue
+            resolved.append((
+                op, val,
+                f"{fsrc}.typed_value.{fld}.typed_value",
+                f"{fsrc}.typed_value.{fld}.value",
+                f"{fsrc}.value",
+            ))
+        if resolved:
+            md = pf.metadata
+            rg_keep = []
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                paths = {
+                    g.column(ci).path_in_schema: g.column(ci)
+                    for ci in range(g.num_columns)
+                }
+                if _vx_rg_may_match(paths, resolved):
+                    rg_keep.append(rg)
+            if len(rg_keep) == md.num_row_groups:
+                rg_keep = None  # nothing pruned: plain read
+    if rg_keep is not None and not rg_keep:
+        table = pf.schema_arrow.empty_table()
+        if part.columns:
+            table = table.select(
+                [c for c in want_src if c in table.column_names]
+            )
+    elif rg_keep is not None:
+        table = pf.read_row_groups(
+            rg_keep, columns=want_src if part.columns else None
+        )
+    else:
+        table = (
+            pf.read(columns=want_src)
+            if part.columns
+            else pq.read_table(part.path)
+        )
     if part.scan_log:
         with open(part.scan_log, "a") as f:
             f.write(f"{part.path}\t{','.join(sorted(want_src))}\n")
@@ -845,6 +901,54 @@ def _parse_variant_extracts(options) -> list[tuple[str, str, str, str]]:
     return out
 
 
+def _vx_rg_may_match(paths: dict, vx_filters) -> bool:
+    """One row group's footer column-chunk stats vs the pushed
+    variant-extract comparison filters: False ONLY when some filter
+    provably matches no row — which requires (a) the field's typed
+    subcolumn stats to exclude the value range AND (b) proof that no
+    row in the group could carry the field through a BINARY remainder
+    (the group's own ``value`` and the row remainder must be all-null),
+    since binary-carried values are invisible to typed stats. Anything
+    unprovable keeps the group — pruning is an optimization, never a
+    correctness decision (Spark re-applies the filters row-exactly)."""
+    for op, val, tv_path, gv_path, rv_path in vx_filters:
+        tv = paths.get(tv_path)
+        if tv is None:
+            continue  # file not shredded this way: no pruning basis
+        binary_possible = False
+        for p in (gv_path, rv_path):
+            c = paths.get(p)
+            if c is None:
+                continue  # column absent from the file: no values
+            st = c.statistics
+            if (
+                st is None
+                or st.null_count is None
+                or st.null_count < c.num_values
+            ):
+                binary_possible = True  # can't prove all-null
+                break
+        if binary_possible:
+            continue
+        st = tv.statistics
+        if st is None or not st.has_min_max:
+            continue
+        mn, mx = st.min, st.max
+        if not isinstance(val, (int, float)) or isinstance(val, bool) \
+                or not isinstance(mn, (int, float)) \
+                or not isinstance(mx, (int, float)):
+            continue  # numeric-only comparisons; others keep
+        if (
+            (op == "=" and not (mn <= val <= mx))
+            or (op == ">" and not (mx > val))
+            or (op == ">=" and not (mx >= val))
+            or (op == "<" and not (mn < val))
+            or (op == "<=" and not (mn <= val))
+        ):
+            return False
+    return True
+
+
 def _variant_extract_array(col, field: str, want_ddl: str):
     """ONE top-level object field of a parquet variant column as a
     typed arrow array — the read-side payoff of shredding: when the
@@ -1147,6 +1251,37 @@ class HieloIcebergReader(DataSourceReader):
                 ("_row_id", "bigint", ()),
                 ("_last_updated_sequence_number", "bigint", ()),
             ]
+        # pushed comparison filters on variant-extract columns →
+        # per-task row-group pruning hints (src aliases ride along so
+        # pre-rename files resolve)
+        vx_filters = None
+        extracts = {
+            out: (src, fld)
+            for out, src, fld, _ddl in _parse_variant_extracts(
+                self.options
+            )
+        }
+        if extracts:
+            hist_of = {
+                e[0]: (e[2] if len(e) > 2 else ())
+                for e in self.schema_cols
+            }
+            ops = {
+                EqualTo: "=", GreaterThan: ">",
+                GreaterThanOrEqual: ">=", LessThan: "<",
+                LessThanOrEqual: "<=",
+            }
+            vx = []
+            for f in self.filters:
+                attr = getattr(f, "attribute", ())
+                op = ops.get(type(f))
+                if op and len(attr) == 1 and attr[0] in extracts:
+                    src, fld = extracts[attr[0]]
+                    vx.append((
+                        src, tuple(hist_of.get(src, ())), fld, op,
+                        f.value,
+                    ))
+            vx_filters = vx or None
         scan_log = self.options.get("scan_log")
         parts = []
         sizes = []
@@ -1197,7 +1332,8 @@ class HieloIcebergReader(DataSourceReader):
                                frid=(int(frid) if frid is not None
                                      else None),
                                lineage=lineage, dv_ref=dv_ref,
-                               table_root=self.table_dir)
+                               table_root=self.table_dir,
+                               vx_filters=vx_filters)
             )
             sizes.append(int(data_file.get("file_size_in_bytes") or 0))
         if not parts:

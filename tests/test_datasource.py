@@ -1515,3 +1515,66 @@ def test_variant_extract_typed_subcolumn(registered, spark, tmp_path):
     with _pytest.raises(Exception, match="not a variant column"):
         (spark.read.format("hielo_iceberg")
          .option("variant-extract", "id.a:bigint").load(t).collect())
+
+
+def test_variant_extract_rowgroup_pruning(registered, spark, tmp_path):
+    """r10: a pushed comparison filter on a variant-extract column
+    prunes whole ROW GROUPS via the shredded typed subcolumn's footer
+    stats (plus proof that no binary remainder could carry the field).
+    Results stay exact, and any consumer of absolute row positions
+    (position deletes / DVs) disables the pruning entirely."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hielo_spark.sources.iceberg_source import (
+        EqualTo,
+        HieloIcebergReader,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(10_000).selectExpr(
+        "id", 'concat(\'{"a": \', id, \'}\') AS v').coalesce(1)
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000,
+             variant_cols=["v"], variant_shred={"v": {"a": "bigint"}})
+    f = sorted(_glob.glob(t + "/data/**/*.parquet", recursive=True))[0]
+    pq.write_table(pq.read_table(f), f, row_group_size=1000)
+    # in-place rewrite: drop the stale hadoop checksum sidecar or the
+    # JVM-plane delete below fails on ChecksumException
+    crc = os.path.join(os.path.dirname(f),
+                       "." + os.path.basename(f) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert pq.ParquetFile(f).metadata.num_row_groups == 10
+
+    cols = [("id", "bigint", (), None), ("v", "variant", (), None),
+            ("v_a", "vextract:v:a:bigint:", (), None)]
+    r = HieloIcebergReader(t, {"variant-extract": "v.a:bigint"}, cols)
+    list(r.pushFilters([EqualTo(("v_a",), 5500)]))
+    surfaced = sum(
+        b.num_rows for p in r.partitions() for b in r.read(p))
+    assert surfaced == 1000, "expected exactly one row group read"
+
+    out = (spark.read.format("hielo_iceberg")
+           .option("variant-extract", "v.a:bigint").load(t)
+           .filter("v_a = 5500").collect())
+    assert [(x.id, x.v_a) for x in out] == [(5500, 5500)]
+    assert (spark.read.format("hielo_iceberg")
+            .option("variant-extract", "v.a:bigint").load(t)
+            .filter("v_a < 0").count()) == 0
+
+    # position deletes force the full read (absolute positions) — and
+    # results stay exact
+    C.delete_where(spark, t, "id = 5500",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    r2 = HieloIcebergReader(t, {"variant-extract": "v.a:bigint"}, cols)
+    list(r2.pushFilters([EqualTo(("v_a",), 5501)]))
+    surfaced2 = sum(
+        b.num_rows for p in r2.partitions() for b in r2.read(p))
+    assert surfaced2 == 9_999, "deletes must disable row-group pruning"
+    out2 = (spark.read.format("hielo_iceberg")
+            .option("variant-extract", "v.a:bigint").load(t)
+            .filter("v_a IN (5500, 5501)").collect())
+    assert [(x.id, x.v_a) for x in out2] == [(5501, 5501)]
