@@ -4461,13 +4461,27 @@ def cherrypick_snapshot(
     entry_schema = (
         manifest_entry_schema(pfields) if pfields else MANIFEST_ENTRY_SCHEMA_V2
     )
+    def _repicked(df_rec: dict) -> dict:
+        # REBUILD the typed r102 record from the entry's canonical
+        # string partition_values instead of copying the decoded
+        # partition verbatim: the r102 schema types time transforms as
+        # int ordinals / logical dates (r10), so a legacy entry's
+        # string values ("2024-03") would fail — or silently
+        # mis-encode — under the new schema
+        out = dict(df_rec)
+        if pfields:
+            out["partition"] = _typed_partition(
+                df_rec.get("partition_values"), pfields
+            )
+        return out
+
     write_avro(
         spark, manifest_path, entry_schema,
         [
             {
                 "status": 1,
                 "snapshot_id": snapshot_id,
-                "data_file": dict(e["data_file"]),
+                "data_file": _repicked(e["data_file"]),
             }
             for e in added_entries
         ],

@@ -808,6 +808,10 @@ def _read_files_with_partitions(
     return data
 
 
+#: (path, mtime_ns, size) → variant shape tuple; see _cached_vshape
+_VSHAPE_CACHE: dict = {}
+
+
 def _variant_json_udf(spark):
     """Arrow-batched whole-struct variant→JSON kernel (per-value decode
     by necessity: the encoding is a self-describing byte tree). The full
@@ -1167,14 +1171,29 @@ def read_data_at_snapshot(
             return tuple(shape)
 
         # footer probes are tiny metadata reads but file-count many —
-        # thread them (I/O bound) so a many-file snapshot's planning
-        # doesn't serialize on the driver
+        # thread them (I/O bound) and CACHE per (path, mtime, size):
+        # data files are immutable once committed, so repeated reads of
+        # the same snapshot (time travel, per-query planning) pay the
+        # O(files) probe exactly once per process
         from concurrent.futures import ThreadPoolExecutor
 
+        def _cached_vshape(fd):
+            p = fd["path"]
+            try:
+                st = os.stat(p)
+                key = (p, st.st_mtime_ns, st.st_size)
+            except OSError:
+                return _vshape(p)
+            hit = _VSHAPE_CACHE.get(key)
+            if hit is None:
+                hit = _vshape(p)
+                if len(_VSHAPE_CACHE) > 65536:
+                    _VSHAPE_CACHE.clear()  # bounded: planning cache
+                _VSHAPE_CACHE[key] = hit
+            return hit
+
         with ThreadPoolExecutor(max_workers=16) as pool:
-            shapes = list(
-                pool.map(lambda fd: _vshape(fd["path"]), data_files)
-            )
+            shapes = list(pool.map(_cached_vshape, data_files))
         by_shape: dict[tuple, list[dict]] = {}
         for fd, shape in zip(data_files, shapes):
             by_shape.setdefault(shape, []).append(fd)

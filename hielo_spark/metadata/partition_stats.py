@@ -93,6 +93,8 @@ def _unified_partition_fields(
     )
     for f in cur.get("fields", []):
         id2type[f["id"]] = f.get("type", "string")
+    from .commit import _r102_spark_type
+
     seen: dict[int, tuple[str, str, int, str]] = {}
     for spec in sorted(
         doc.get("partition-specs") or [], key=lambda s: s.get("spec-id", 0)
@@ -102,19 +104,20 @@ def _unified_partition_fields(
             if fid in seen:
                 continue
             tr = str(f.get("transform", "identity"))
-            src = iceberg_to_ddl(id2type.get(f.get("source-id"), "string"))
-            if tr == "identity":
-                t = src
-            elif tr.startswith("bucket"):
-                t = "int"
-            elif tr.startswith("truncate"):
-                t = src
-            elif tr == "day":
-                t = "date"  # spec: day transform results are dates
-            elif tr in ("year", "month", "hour"):
-                t = "int"  # spec: ordinals from the 1970 epoch
+            # ONE copy of the spec's transform→result-type table
+            # (commit.py's r102 writer uses the same mapping); identity
+            # and truncate resolve the SOURCE type through the full
+            # schema history here (a dropped source column keeps its
+            # historical type rather than string-fallback)
+            if tr == "identity" or tr.startswith("truncate"):
+                t = iceberg_to_ddl(
+                    id2type.get(f.get("source-id"), "string")
+                )
             else:
-                t = "string"
+                t = _r102_spark_type(
+                    tr, str(f.get("name", "")), f.get("source-id"),
+                    doc, None,
+                )
             seen[fid] = (str(f.get("name", f"p{fid}")), t, fid, tr)
     return [seen[fid] for fid in sorted(seen)]
 

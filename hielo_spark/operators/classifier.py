@@ -88,6 +88,16 @@ def _margin_udf(bw, bias: float):
             for x in xs
         ]
         lens = np.fromiter((a.size for a in arrs_b), np.int64, count=n)
+        xlens = np.fromiter((a.size for a in arrs_x), np.int64, count=n)
+        if not np.array_equal(lens, xlens):
+            # the old per-row np.dot raised on ragged corruption; the
+            # CSR form segments by bucket lengths, so a mismatch would
+            # silently MISALIGN every later row — keep it loud
+            bad = int(np.flatnonzero(lens != xlens)[0])
+            raise ValueError(
+                f"bucket/value list length mismatch at batch row {bad}: "
+                f"{int(lens[bad])} buckets vs {int(xlens[bad])} values"
+            )
         dots = np.zeros(n, dtype=np.float64)
         if n and lens.any():
             prods = wv[np.concatenate(arrs_b)] * np.concatenate(arrs_x)

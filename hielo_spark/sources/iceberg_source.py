@@ -892,12 +892,25 @@ def _parse_variant_extracts(options) -> list[tuple[str, str, str, str]]:
             continue
         path, _, ddl = item.partition(":")
         src, _, fld = path.partition(".")
+        ddl = ddl.strip().lower()
         if not (src and fld and ddl):
             raise ValueError(
                 f"variant-extract entry {item!r} must be "
                 "'<col>.<field>:<spark-type>'"
             )
-        out.append((f"{src}_{fld}", src.strip(), fld.strip(), ddl.strip()))
+        # primitives only: the sentinel DDL is ':'-separated, and the
+        # extraction semantics are typed-scalar (a struct/map request
+        # would also be ambiguous against shredded group encodings)
+        allowed = {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "string", "boolean", "date",
+        }
+        if ddl not in allowed:
+            raise ValueError(
+                f"variant-extract type {ddl!r} unsupported "
+                f"(primitives only: {sorted(allowed)})"
+            )
+        out.append((f"{src}_{fld}", src.strip(), fld.strip(), ddl))
     return out
 
 
@@ -1027,11 +1040,29 @@ def _variant_extract_array(col, field: str, want_ddl: str):
         if binary_possible is not None:
             need = pc.and_(need, binary_possible)
         idx = np.flatnonzero(need.to_numpy(zero_copy_only=False))
-        try:
-            out_np = typed_fast.cast(want, safe=False).to_pylist()
-        except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError,
-                pa.lib.ArrowTypeError):
-            out_np = [_coerce(v) for v in typed_fast.to_pylist()]
+        # typed→requested conversion follows the SAME semantics as the
+        # per-row _coerce (mismatched type families surface null, int
+        # widens to float) — an unsafe arrow cast here would truncate
+        # a double-shredded 2.7 to bigint 2 on the fast path while the
+        # slow path nulls it, making extraction file-shape-dependent
+        tf_t = typed_fast.type
+        fam_ok = (
+            (pa.types.is_integer(want) and pa.types.is_integer(tf_t))
+            or (pa.types.is_floating(want)
+                and (pa.types.is_integer(tf_t)
+                     or pa.types.is_floating(tf_t)))
+            or (pa.types.is_string(want) and pa.types.is_string(tf_t))
+            or (pa.types.is_boolean(want) and pa.types.is_boolean(tf_t))
+        )
+        if not fam_ok:
+            out_np = [None] * n
+        else:
+            try:
+                out_np = typed_fast.cast(want).to_pylist()
+            except (pa.lib.ArrowInvalid,
+                    pa.lib.ArrowNotImplementedError,
+                    pa.lib.ArrowTypeError):
+                out_np = [_coerce(v) for v in typed_fast.to_pylist()]
         if idx.size:
             slow_rows = col.take(pa.array(idx)).to_pylist()
             for i, row in zip(idx.tolist(), slow_rows):

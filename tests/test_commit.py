@@ -1729,3 +1729,50 @@ def test_pos_delete_row_groups_keep_file_path_pruning(
         ).collect()
     ]
     assert len(ids) == 8_000 and all(i % 2 == 1 for i in ids)
+
+
+def test_cherrypick_time_transform_partitioned(spark, tmp_path):
+    """r10 regression: cherrypick of a months()-partitioned staged
+    append must REBUILD the typed r102 record from the canonical
+    string partition values — the r102 schema now types time
+    transforms as int ordinals, so copying the decoded entry verbatim
+    would crash (int("2024-03")) or silently mis-encode."""
+    import json as _json
+
+    from hielo_spark.metadata import cherrypick_snapshot
+    from hielo_spark.metadata.avro_py import read_avro_file
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    t = str(tmp_path / "t")
+    d1 = spark.range(0, 4).selectExpr(
+        "id", "timestamp'2024-03-15 00:00:00' AS ts")
+    C.append(spark, t, d1, snapshot_id=101,
+             timestamp_ms=1700000000000, partition_by=["months(ts)"])
+    d2 = spark.range(10, 14).selectExpr(
+        "id", "timestamp'2024-04-02 00:00:00' AS ts")
+    C.append(spark, t, d2, snapshot_id=102,
+             timestamp_ms=1700100000000, branch="audit")
+    C.append(spark, t,
+             spark.range(20, 22).selectExpr(
+                 "id", "timestamp'2024-05-01 00:00:00' AS ts"),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    snap = cherrypick_snapshot(spark, t, 102, snapshot_id=104,
+                               timestamp_ms=1700300000000)
+    df = read_data_at_snapshot(spark, C.current_metadata_path(t))
+    assert sorted(r.id for r in df.collect()) == \
+        [0, 1, 2, 3, 10, 11, 12, 13, 20, 21]
+    # the cherrypicked manifest carries the SPEC int month ordinal
+    doc = _json.load(open(C.current_metadata_path(t)))
+    s104 = next(s for s in doc["snapshots"]
+                if s["snapshot-id"] == 104)
+    _, _, mrows = read_avro_file(
+        s104["manifest-list"].removeprefix("file:"))
+    picked = [m for m in mrows
+              if int(m.get("added_snapshot_id") or 0) == 104]
+    assert picked
+    for m in picked:
+        _s, _m, entries = read_avro_file(
+            m["manifest_path"].removeprefix("file:"))
+        for e in entries:
+            assert e["data_file"]["partition"]["ts_month"] == \
+                (2024 - 1970) * 12 + 3  # 2024-04 → 651

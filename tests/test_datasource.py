@@ -1578,3 +1578,56 @@ def test_variant_extract_rowgroup_pruning(registered, spark, tmp_path):
             .option("variant-extract", "v.a:bigint").load(t)
             .filter("v_a IN (5500, 5501)").collect())
     assert [(x.id, x.v_a) for x in out2] == [(5501, 5501)]
+
+
+def test_variant_extract_type_mismatch_consistent(
+    registered, spark, tmp_path
+):
+    """r10 review fix: extraction semantics must not depend on file
+    shape. A double-shredded 2.7 requested as bigint surfaces NULL
+    from the shredded fast path exactly as from an unshredded file
+    (an unsafe arrow cast truncated it to 2); int-shredded values
+    requested as double still widen on both shapes."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, '{"a": 2.7}'), (1, '{"a": 3.5}')], "id long, v string")
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000,
+             variant_cols=["v"], variant_shred={"v": {"a": "double"}})
+    C.append(spark, t,
+             spark.createDataFrame([(2, '{"a": 4.2}')],
+                                   "id long, v string"),
+             snapshot_id=102, timestamp_ms=1700100000000,
+             variant_cols=["v"])
+    as_int = (spark.read.format("hielo_iceberg")
+              .option("variant-extract", "v.a:bigint").load(t))
+    assert {r.id: r.v_a for r in as_int.collect()} == {
+        0: None, 1: None, 2: None}
+    as_dbl = (spark.read.format("hielo_iceberg")
+              .option("variant-extract", "v.a:double").load(t))
+    assert {r.id: r.v_a for r in as_dbl.collect()} == {
+        0: 2.7, 1: 3.5, 2: 4.2}
+
+    # int-shredded → double request widens on both shapes
+    t2 = str(tmp_path / "t2")
+    C.append(spark, t2,
+             spark.createDataFrame([(0, '{"k": 7}')],
+                                   "id long, v string"),
+             snapshot_id=101, timestamp_ms=1700000000000,
+             variant_cols=["v"], variant_shred={"v": {"k": "bigint"}})
+    C.append(spark, t2,
+             spark.createDataFrame([(1, '{"k": 9}')],
+                                   "id long, v string"),
+             snapshot_id=102, timestamp_ms=1700100000000,
+             variant_cols=["v"])
+    wide = (spark.read.format("hielo_iceberg")
+            .option("variant-extract", "v.k:double").load(t2))
+    assert {r.id: r.v_k for r in wide.collect()} == {0: 7.0, 1: 9.0}
+
+    # non-primitive extract types refuse at parse time
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="primitives only"):
+        (spark.read.format("hielo_iceberg")
+         .option("variant-extract", "v.k:struct<x:bigint>")
+         .load(t2).collect())
