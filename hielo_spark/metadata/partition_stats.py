@@ -404,9 +404,42 @@ def partition_skew_report(
         .select("partition", "data_record_count")
         .collect()
     )
+    # display layer: the stats FILE stores the spec's time-transform
+    # encodings (int ordinals from epoch); the advisory report renders
+    # the engine's canonical strings ("2024-03") back for humans
+    from .commit import _load_doc
+
+    tr_of = {
+        name: tr
+        for name, _t, _fid, tr in _unified_partition_fields(
+            _load_doc(table_dir)[0]
+        )
+    }
+
+    def _display(name, v):
+        if v is None:
+            return None
+        tr = tr_of.get(name)
+        if tr == "year":
+            return str(1970 + int(v))
+        if tr == "month":
+            y, m = divmod(int(v), 12)
+            return f"{1970 + y}-{m + 1:02d}"
+        if tr == "hour":
+            import datetime as _dt
+
+            d, h = divmod(int(v), 24)
+            day = _dt.date(1970, 1, 1) + _dt.timedelta(days=d)
+            return f"{day.isoformat()}-{h:02d}"
+        return v  # identity/bucket/truncate/day (day is already a date)
+
     return [
         {
-            "partition": r.partition.asDict() if r.partition else {},
+            "partition": (
+                {k: _display(k, v)
+                 for k, v in r.partition.asDict().items()}
+                if r.partition else {}
+            ),
             "data_record_count": int(r.data_record_count),
             "median_record_count": int(med),
             "reason": (

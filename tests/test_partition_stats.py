@@ -230,3 +230,21 @@ def test_merge_eq_delete_counts_attributed(spark, tmp_path):
     # their OWN key counts, none under a null partition
     assert set(stats) == {"us", "eu"}
     assert stats["us"] >= 1 and stats["eu"] >= 0
+
+
+def test_skew_report_renders_canonical_time_values(spark, tmp_path):
+    """The stats FILE stores spec int ordinals for time transforms;
+    the skew report (a human advisory) renders the canonical strings
+    back ("2024-03"), r10 display-layer polish."""
+    t = str(tmp_path / "t")
+    rows = spark.range(0, 220).selectExpr(
+        "id",
+        "CASE WHEN id < 200 THEN timestamp'2024-03-15 00:00:00' "
+        "ELSE timestamp'2024-04-01 00:00:00' END AS ts")
+    C.append(spark, t, rows, snapshot_id=101,
+             timestamp_ms=1700000000000, partition_by=["months(ts)"])
+    write_partition_statistics(spark, t, timestamp_ms=1700100000000)
+    report = partition_skew_report(spark, t, hot_factor=2.0)
+    assert len(report) == 1
+    assert report[0]["partition"] == {"ts_month": "2024-03"}
+    assert report[0]["data_record_count"] == 200
