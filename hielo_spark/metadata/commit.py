@@ -883,28 +883,86 @@ def _variant_encode_udf(spark):
 _VARIANT_PARQUET_DDL = "struct<metadata:binary,value:binary>"
 
 #: shred target types the writer supports (VariantShredding.md allows
-#: any primitive; these cover the common cases without guessing)
+#: any primitive; these cover the common cases without guessing).
+#: r11: also ``array<prim>`` (shredded element groups) and DOTTED
+#: paths as spec keys (``{"v": {"a.b": "bigint"}}``) for nested object
+#: shredding — the typed_value groups nest recursively.
 _SHRED_TYPES = {"bigint", "double", "string", "boolean"}
+
+
+def _shred_spec_ok(t: str) -> bool:
+    if t in _SHRED_TYPES:
+        return True
+    return (
+        t.startswith("array<") and t.endswith(">")
+        and t[6:-1] in _SHRED_TYPES
+    )
+
+
+def _shred_tree(fields: dict[str, str]) -> dict:
+    """Dotted shred paths → a nested tree: each node is
+    ``{"type": leaf-type-or-None, "children": {name: node}}``.
+    A path can't be both a leaf and a prefix of another (loud)."""
+    root: dict = {"type": None, "children": {}}
+    for path, t in fields.items():
+        node = root
+        parts = path.split(".")
+        for p in parts[:-1]:
+            node = node["children"].setdefault(
+                p, {"type": None, "children": {}}
+            )
+            if node["type"] is not None:
+                raise ValueError(
+                    f"shred path {path!r} descends through leaf {p!r}"
+                )
+        leaf = node["children"].setdefault(
+            parts[-1], {"type": None, "children": {}}
+        )
+        if leaf["type"] is not None or leaf["children"]:
+            raise ValueError(f"conflicting shred entries at {path!r}")
+        leaf["type"] = t
+    return root
+
+
+def _shred_ddl(node: dict) -> str:
+    """A shred-tree node → the parquet field group DDL
+    (struct<value binary, typed_value T>), recursing for nested
+    objects; ``array<prim>`` leaves become lists of element groups."""
+    t = node["type"]
+    if t is not None:
+        if t.startswith("array<"):
+            tv = (
+                f"array<struct<value:binary,typed_value:{t[6:-1]}>>"
+            )
+        else:
+            tv = t
+        return f"struct<value:binary,typed_value:{tv}>"
+    inner = ",".join(
+        f"`{k}`:{_shred_ddl(c)}" for k, c in node["children"].items()
+    )
+    return f"struct<value:binary,typed_value:struct<{inner}>>"
 
 
 def _variant_shred_udf(spark, shred: dict[str, str]):
     """Arrow-batched JSON-string → SHREDDED Parquet Variant
-    (VariantShredding.md): the named top-level object fields land as
-    typed subcolumns (struct<value binary, typed_value T> field
-    groups — type-matching values shred, mismatches ride the group's
-    binary ``value``, absent fields leave both null), the remaining
-    fields ride the row's binary ``value`` remainder, and non-object
-    rows fall back to the plain (metadata, value) pair with a null
-    typed_value."""
+    (VariantShredding.md): the named object fields land as typed
+    subcolumns (struct<value binary, typed_value T> field groups —
+    type-matching values shred, mismatches ride the group's binary
+    ``value``, absent fields leave both null), the remaining fields
+    ride the enclosing level's binary ``value`` remainder, and
+    non-object rows fall back to the plain (metadata, value) pair
+    with a null typed_value. r11: dotted paths shred NESTED objects
+    (each level a recursive typed_value group) and ``array<prim>``
+    shreds arrays into element groups — mismatched elements ride
+    their element group's binary value."""
     from pyspark.sql.functions import pandas_udf
 
     from ..session import _ship_package
 
     _ship_package(spark)
-    fields = dict(shred)
+    tree = _shred_tree(dict(shred))
     inner = ",".join(
-        f"`{k}`:struct<value:binary,typed_value:{t}>"
-        for k, t in fields.items()
+        f"`{k}`:{_shred_ddl(c)}" for k, c in tree["children"].items()
     )
     ddl = (
         "struct<metadata:binary,value:binary,"
@@ -926,6 +984,63 @@ def _variant_shred_udf(spark, shred: dict[str, str]):
             encode_metadata,
         )
 
+        def _prim_group(v, t, key_id):
+            want = py_of[t]
+            # bool is an int subclass — keep the check exact
+            if isinstance(v, want) and not (
+                want is int and isinstance(v, bool)
+            ):
+                return {"value": None, "typed_value": v}
+            # JSON null INCLUDED: a null-valued field is a present
+            # variant-null (0x00), not an absent field (both-null
+            # group) — reconstruction must keep it
+            return {
+                "value": _encode_value(v, key_id), "typed_value": None,
+            }
+
+        def _group_of(v, node, key_id):
+            """One PRESENT value vs its shred-tree node → the parquet
+            field group dict."""
+            t = node["type"]
+            if t is not None:
+                if t.startswith("array<"):
+                    if isinstance(v, list):
+                        et = t[6:-1]
+                        return {
+                            "value": None,
+                            "typed_value": [
+                                _prim_group(e, et, key_id) for e in v
+                            ],
+                        }
+                    return {
+                        "value": _encode_value(v, key_id),
+                        "typed_value": None,
+                    }
+                return _prim_group(v, t, key_id)
+            # internal object node: shredded children recurse, the
+            # rest rides THIS level's binary value remainder
+            if not isinstance(v, dict):
+                return {
+                    "value": _encode_value(v, key_id),
+                    "typed_value": None,
+                }
+            groups = {
+                k: (
+                    _group_of(v[k], c, key_id)
+                    if k in v
+                    else {"value": None, "typed_value": None}
+                )
+                for k, c in node["children"].items()
+            }
+            rest = {
+                k: x for k, x in v.items()
+                if k not in node["children"]
+            }
+            return {
+                "value": _encode_value(rest, key_id) if rest else None,
+                "typed_value": groups,
+            }
+
         metas, vals, typed = [], [], []
         for x in s:
             if x is None or (isinstance(x, float) and x != x):
@@ -946,36 +1061,9 @@ def _variant_shred_udf(spark, shred: dict[str, str]):
                 vals.append(_encode_value(obj, key_id))
                 typed.append(None)
                 continue
-            groups = {}
-            rest = {}
-            for k, v in obj.items():
-                if k not in fields:
-                    rest[k] = v
-                    continue
-                want = py_of[fields[k]]
-                # bool is an int subclass — keep the check exact
-                matches = (
-                    isinstance(v, want)
-                    and not (want is int and isinstance(v, bool))
-                )
-                if matches:
-                    groups[k] = {"value": None, "typed_value": v}
-                else:
-                    # JSON null INCLUDED: a null-valued field is a
-                    # present variant-null (0x00), not an absent field
-                    # (both-null group) — reconstruction must keep it
-                    groups[k] = {
-                        "value": _encode_value(v, key_id),
-                        "typed_value": None,
-                    }
-            for k in fields:
-                groups.setdefault(
-                    k, {"value": None, "typed_value": None}
-                )
-            vals.append(
-                _encode_value(rest, key_id) if rest else None
-            )
-            typed.append(groups)
+            top = _group_of(obj, tree, key_id)
+            vals.append(top["value"])
+            typed.append(top["typed_value"])
         return pd.DataFrame(
             {"metadata": metas, "value": vals, "typed_value": typed}
         )
@@ -1006,11 +1094,14 @@ def _prepare_variant_columns(
             raise ValueError(f"variant column {c!r} not in frame")
         shred = (variant_shred or {}).get(c)
         if shred is not None:
-            bad = {st for st in shred.values() if st not in _SHRED_TYPES}
+            bad = {
+                st for st in shred.values() if not _shred_spec_ok(st)
+            }
             if bad:
                 raise ValueError(
                     f"unsupported shred target types {sorted(bad)} "
-                    f"(supported: {sorted(_SHRED_TYPES)})"
+                    f"(supported: {sorted(_SHRED_TYPES)} and "
+                    "array<> of those)"
                 )
             if t != "string":
                 raise ValueError(

@@ -812,6 +812,22 @@ def _read_files_with_partitions(
 _VSHAPE_CACHE: dict = {}
 
 
+def _vshape_probe_threads() -> int:
+    """Footer shape-probe pool size — the planning-latency knob for
+    many-thousand-file snapshots over high-latency object stores
+    (each probe is one tiny metadata read; the pool amortizes the
+    round trips). ``HIELO_VSHAPE_PROBE_THREADS`` overrides the
+    default of 16; clamped to [1, 256]. Measured in SCALE.md."""
+    import os as _os
+
+    raw = _os.environ.get("HIELO_VSHAPE_PROBE_THREADS", "")
+    try:
+        n = int(raw) if raw else 16
+    except ValueError:
+        n = 16
+    return max(1, min(256, n))
+
+
 def _variant_json_udf(spark):
     """Arrow-batched whole-struct variant→JSON kernel (per-value decode
     by necessity: the encoding is a self-describing byte tree). The full
@@ -1192,7 +1208,9 @@ def read_data_at_snapshot(
                 _VSHAPE_CACHE[key] = hit
             return hit
 
-        with ThreadPoolExecutor(max_workers=16) as pool:
+        with ThreadPoolExecutor(
+            max_workers=_vshape_probe_threads()
+        ) as pool:
             shapes = list(pool.map(_cached_vshape, data_files))
         by_shape: dict[tuple, list[dict]] = {}
         for fd, shape in zip(data_files, shapes):

@@ -256,11 +256,37 @@ for mod in (relational, meta, ext):
 #     doc_exact_dedup + doc_dup_ngram_coverage
 #   doc_simhash_precision → hash-family external story carried by
 #     doc_minhash_recall (hash-matched truth pin) + doc_neardup_minhash
+# Round-11 rotation (VERDICT r10 item 2): ten slots churn again. IN —
+# meta_variant_write_roundtrip (the r10-new variant WRITE plane, tail
+# until now) plus nine stale-evidence entries whose newest driver row
+# was ≤ r4 and whose code paths have evolved since: meta_trends (exact
+# slopes, r3), meta_file_histogram (exact t.files mode, r3),
+# meta_properties (r3), meta_recommendations (r4 — the category list
+# grew with autopilot), emb_cosine_topk (r3 — now the bench HEADLINE
+# exact-ANN baseline), doc_neardup_jaccard (r3 — the truth side of
+# minhash recall), events_range_join (r3), orders_rollup (r3 grouping
+# sets), events_funnel (r4 ordered-step windows). OUT — exactly the
+# ten entries whose FIRST driver rows landed in r10 (freshest evidence
+# on record, zero staleness cost): the five roundtrip planes
+# (writer-surface, nested, hidden-partitioning, statistics,
+# advised-join — each also pytest-pinned end-to-end) and the five
+# r10-debut operator families (events_type_pivot,
+# events_user_cardinality, events_attribution_join, doc_train_shuffle,
+# orders_profile), whose families keep head rows via
+# events_sessionization/events_asof_join (window/join shapes),
+# doc_curation_pipeline (text pipeline), and doc_exact_dedup
+# (keyed dedup).
 _DEFERRED = [
-    # r10-new: the variant WRITE plane golden enters at the TAIL (the
-    # local harness oracle-checks it; this round's head churn is the
-    # ten-slot rotation above) — rotation candidate for next round
-    "meta_variant_write_roundtrip",
+    "meta_writer_surface_roundtrip",
+    "meta_nested_roundtrip",
+    "meta_hidden_partitioning_roundtrip",
+    "meta_statistics_roundtrip",
+    "meta_advised_join_roundtrip",
+    "events_type_pivot",
+    "events_user_cardinality",
+    "events_attribution_join",
+    "doc_train_shuffle",
+    "orders_profile",
     "q7_nation_volume",
     "q9_profit_by_nation_year",
     "q10_returned_customers",
@@ -299,22 +325,16 @@ _DEFERRED = [
     "first_order_per_customer",
     "filter_orders_multi",
     "doc_repetition_stats",
-    "meta_recommendations",
     "q17_small_quantity_revenue",
     "events_hourly_windows",
     "meta_latest_snapshot",
-    "meta_file_histogram",
     "meta_catalog_search",
     "emb_quantize_error",
     "doc_dedup_components",
-    "emb_cosine_topk",
-    "doc_neardup_jaccard",
     "doc_shard_packing",
     "doc_contamination",
     "doc_tfidf_top_terms",
     "doc_sample_stratified",
-    "meta_properties",
-    "meta_trends",
     "events_cardinality_sketch",
     "meta_warehouse_discovery",
     "doc_mixture_rebalance",
@@ -350,17 +370,14 @@ _DEFERRED = [
     "doc_fingerprints",
     "meta_snapshot_span",
     "doc_pii_scan",
-    "events_range_join",
     "doc_top_ngrams",
     "doc_quality",
     "doc_bigram_surprisal",
     # r4 rotations out (fresh r3 rows; families covered per above)
     "nation_set_ops",
-    "orders_rollup",
     "events_json_struct",
     "orders_price_quartiles",
     "lineitem_zorder_tiles",
-    "events_funnel",
     "events_time_to_convert",
     "orders_retention_cohort",
     "doc_token_count",

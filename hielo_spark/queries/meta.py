@@ -2318,7 +2318,8 @@ def meta_advised_join_roundtrip(
       ('c2_schema_variant',  CAST(1 AS BIGINT)),
       ('c3_planes_agree',    CAST(1 AS BIGINT)),
       ('c4_values_roundtrip',CAST(1 AS BIGINT)),
-      ('c5_rows_after_delete', CAST(4 AS BIGINT))
+      ('c5_rows_after_delete', CAST(4 AS BIGINT)),
+      ('c6_nested_shred_extract', CAST(1 AS BIGINT))
     ) AS t(check_name, value)
     ORDER BY check_name
     """,
@@ -2374,6 +2375,32 @@ def meta_variant_write_roundtrip(
     c3 = int(jvm == ds)
     c4 = int(jvm == want)
     c5 = len(jvm)
+    # r11: NESTED shredding (dotted path → recursive typed_value
+    # groups; array<prim> → element groups) + typed extraction served
+    # from the nested typed leaf / list offsets, remainder fallback
+    # exact — the write half and the read half of the same spec page
+    t2 = t + "_nested"
+    shutil.rmtree(t2, ignore_errors=True)
+    C.append(
+        spark, t2,
+        spark.createDataFrame(
+            [(0, '{"a": {"b": 7}, "arr": [10, 20]}'),
+             (1, '{"a": {"b": "mismatch"}, "arr": [1]}'),
+             (2, '{"a": {"c": 1}}')],
+            "id long, v string"),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        variant_cols=["v"],
+        variant_shred={"v": {"a.b": "bigint", "arr": "array<bigint>"}},
+    )
+    got = {
+        r.id: (r.v_a_b, r.v_arr_0)
+        for r in (spark.read.format("hielo_iceberg")
+                  .option("variant-extract",
+                          "v.a.b:bigint, v.arr[0]:bigint")
+                  .load(t2).collect())
+    }
+    c6 = int(got == {0: (7, 10), 1: (None, 1), 2: (None, None)})
+    shutil.rmtree(t2, ignore_errors=True)
     shutil.rmtree(t, ignore_errors=True)
     return spark.createDataFrame(
         [
@@ -2382,6 +2409,7 @@ def meta_variant_write_roundtrip(
             ("c3_planes_agree", c3),
             ("c4_values_roundtrip", c4),
             ("c5_rows_after_delete", c5),
+            ("c6_nested_shred_extract", c6),
         ],
         "check_name string, value long",
     ).orderBy("check_name")

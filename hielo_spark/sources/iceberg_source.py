@@ -535,15 +535,7 @@ def _read_partition(part: _ScanPartition):
     # footer stats (plus proof that no binary remainder could carry
     # the field) and skip non-matching groups entirely
     rg_keep = None
-    if (
-        getattr(part, "vx_filters", None)
-        # row-group skipping renumbers rows, so anything consuming
-        # ABSOLUTE file positions (position deletes, DVs, lineage
-        # synthesis) disables it — correctness over pruning
-        and not part.pos_deletes
-        and part.dv_ref is None
-        and not part.lineage
-    ):
+    if getattr(part, "vx_filters", None):
         resolved = []
         for src, aliases, fld, op, val in part.vx_filters:
             fsrc = next(
@@ -551,11 +543,18 @@ def _read_partition(part: _ScanPartition):
             )
             if fsrc is None:
                 continue
+            segs = _vx_path_segments(fld)
+            if any(k == "index" for k, _ in segs):
+                # array-element stats don't map to the chunk's list
+                # stats (they cover ALL elements): no pruning basis
+                continue
+            tv_path = fsrc
+            vpaths = [f"{fsrc}.value"]
+            for _k, name in segs:
+                tv_path += f".typed_value.{name}"
+                vpaths.append(f"{tv_path}.value")
             resolved.append((
-                op, val,
-                f"{fsrc}.typed_value.{fld}.typed_value",
-                f"{fsrc}.typed_value.{fld}.value",
-                f"{fsrc}.value",
+                op, val, f"{tv_path}.typed_value", tuple(vpaths),
             ))
         if resolved:
             md = pf.metadata
@@ -602,6 +601,27 @@ def _read_partition(part: _ScanPartition):
     # fill, never a per-row Python set test.
     import numpy as np
     import pyarrow.compute as pc
+
+    # original-file row positions of each surfaced row when row groups
+    # were skipped: every consumer of ABSOLUTE file positions (position
+    # deletes, DVs, lineage synthesis) remaps through this vector, so
+    # shredded-stats pruning stays ON for MOR tables — production
+    # tables always carry deletes, and an off-under-deletes gate would
+    # turn the scale win off exactly where it matters
+    orig_pos = None
+    if rg_keep is not None:
+        md = pf.metadata
+        starts = np.zeros(md.num_row_groups + 1, dtype=np.int64)
+        for rg in range(md.num_row_groups):
+            starts[rg + 1] = starts[rg] + md.row_group(rg).num_rows
+        orig_pos = (
+            np.concatenate(
+                [np.arange(starts[rg], starts[rg + 1], dtype=np.int64)
+                 for rg in rg_keep]
+            )
+            if rg_keep
+            else np.empty(0, dtype=np.int64)
+        )
 
     doomed_parts: list["np.ndarray"] = []
     me = os.path.abspath(part.path)
@@ -655,7 +675,17 @@ def _read_partition(part: _ScanPartition):
     kept_pos = None
     if doomed_parts:
         doomed = np.unique(np.concatenate(doomed_parts))
-        doomed = doomed[(doomed >= 0) & (doomed < table.num_rows)]
+        if orig_pos is not None:
+            # absolute file positions → local indices of the pruned
+            # read; positions inside skipped groups vanish (those rows
+            # were never surfaced — the pushed filter excludes them
+            # row-exactly anyway)
+            idx = np.searchsorted(orig_pos, doomed)
+            inb = idx < orig_pos.size
+            idx = idx[inb]
+            doomed = idx[orig_pos[idx] == doomed[inb]]
+        else:
+            doomed = doomed[(doomed >= 0) & (doomed < table.num_rows)]
         if doomed.size:
             keep = np.ones(table.num_rows, dtype=bool)
             keep[doomed] = False
@@ -671,11 +701,14 @@ def _read_partition(part: _ScanPartition):
         n = table.num_rows
         if "_row_id" not in table.column_names:
             if part.frid is not None:
-                pos = (
+                local = (
                     kept_pos
                     if kept_pos is not None
                     else np.arange(n, dtype=np.int64)
                 )
+                # local index → ORIGINAL file position when row groups
+                # were skipped (lineage ids are position-based)
+                pos = orig_pos[local] if orig_pos is not None else local
                 rid = pa.array(part.frid + pos, type=pa.int64())
             else:
                 rid = pa.nulls(n, type=pa.int64())
@@ -878,10 +911,35 @@ def _read_partition(part: _ScanPartition):
     yield from table.to_batches()
 
 
+def _vx_path_segments(fieldpath: str) -> list[tuple[str, object]]:
+    """``"a.b"`` → ``[("field","a"),("field","b")]``;
+    ``"arr[0].x"`` → ``[("field","arr"),("index",0),("field","x")]``.
+    Raises on malformed segments (empty names, non-integer indexes)."""
+    import re
+
+    segs: list[tuple[str, object]] = []
+    for raw in fieldpath.split("."):
+        m = re.fullmatch(r"([^\[\]]+)((?:\[\d+\])*)", raw.strip())
+        if not m or not m.group(1):
+            raise ValueError(
+                f"variant-extract path segment {raw!r} must be "
+                "'<name>' or '<name>[<int>]...'"
+            )
+        segs.append(("field", m.group(1)))
+        for idx in re.findall(r"\[(\d+)\]", m.group(2)):
+            segs.append(("index", int(idx)))
+    return segs
+
+
 def _parse_variant_extracts(options) -> list[tuple[str, str, str, str]]:
     """``option("variant-extract", "v.a:bigint,v.b:string")`` →
-    ``[(out_name, src_col, field, ddl)]`` with out_name
-    ``{src}_{field}``. Top-level object fields only."""
+    ``[(out_name, src_col, fieldpath, ddl)]`` with out_name the path
+    flattened to underscores (``v.a.b`` → ``v_a_b``, ``v.arr[0]`` →
+    ``v_arr_0``). r11: nested object paths (``v.a.b``) and shredded
+    array element access (``v.arr[0]``) in addition to top-level
+    fields."""
+    import re
+
     spec = options.get("variant-extract")
     if not spec:
         return []
@@ -896,8 +954,9 @@ def _parse_variant_extracts(options) -> list[tuple[str, str, str, str]]:
         if not (src and fld and ddl):
             raise ValueError(
                 f"variant-extract entry {item!r} must be "
-                "'<col>.<field>:<spark-type>'"
+                "'<col>.<field-path>:<spark-type>'"
             )
+        _vx_path_segments(fld)  # validate the path grammar loudly
         # primitives only: the sentinel DDL is ':'-separated, and the
         # extraction semantics are typed-scalar (a struct/map request
         # would also be ambiguous against shredded group encodings)
@@ -905,13 +964,57 @@ def _parse_variant_extracts(options) -> list[tuple[str, str, str, str]]:
             "tinyint", "smallint", "int", "bigint", "float", "double",
             "string", "boolean", "date",
         }
-        if ddl not in allowed:
+        elem = (
+            ddl[6:-1].strip()
+            if ddl.startswith("array<") and ddl.endswith(">")
+            else None
+        )
+        if ddl not in allowed and elem not in allowed:
             raise ValueError(
                 f"variant-extract type {ddl!r} unsupported "
-                f"(primitives only: {sorted(allowed)})"
+                f"(primitives only: {sorted(allowed)}, or array<> "
+                "of those)"
             )
-        out.append((f"{src}_{fld}", src.strip(), fld.strip(), ddl))
+        flat = re.sub(r"\[(\d+)\]", r"_\1", fld.strip()).replace(
+            ".", "_"
+        )
+        out.append((f"{src}_{flat}", src.strip(), fld.strip(), ddl))
     return out
+
+
+def _vx_cmp_triple(val, mn, mx):
+    """(val, min, max) normalized into ONE comparable family, or None
+    when the families differ (keep the group). Numerics compare
+    directly; strings/bytes compare as UTF-8 bytes — parquet UTF8
+    stats order is unsigned byte order, which equals code-point order
+    for valid UTF-8, and the spec's stat truncation rules keep
+    [min, max] an ENCLOSING range (a truncated min is a prefix ≤ the
+    true min; a truncated max is incremented above the true max), so
+    outside-the-range skips stay safe even on truncated stats; dates
+    compare as dates."""
+    import datetime as _dt
+
+    def _num(x):
+        return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+    if _num(val) and _num(mn) and _num(mx):
+        return val, mn, mx
+    if isinstance(val, (str, bytes)):
+        def _b(x):
+            if isinstance(x, str):
+                return x.encode("utf-8", "surrogatepass")
+            return x if isinstance(x, bytes) else None
+
+        t = (_b(val), _b(mn), _b(mx))
+        return t if t[1] is not None and t[2] is not None else None
+    if isinstance(val, _dt.date) and not isinstance(val, _dt.datetime):
+        def _d(x):
+            return isinstance(x, _dt.date) and not isinstance(
+                x, _dt.datetime
+            )
+
+        return (val, mn, mx) if _d(mn) and _d(mx) else None
+    return None
 
 
 def _vx_rg_may_match(paths: dict, vx_filters) -> bool:
@@ -920,16 +1023,18 @@ def _vx_rg_may_match(paths: dict, vx_filters) -> bool:
     provably matches no row — which requires (a) the field's typed
     subcolumn stats to exclude the value range AND (b) proof that no
     row in the group could carry the field through a BINARY remainder
-    (the group's own ``value`` and the row remainder must be all-null),
-    since binary-carried values are invisible to typed stats. Anything
-    unprovable keeps the group — pruning is an optimization, never a
-    correctness decision (Spark re-applies the filters row-exactly)."""
-    for op, val, tv_path, gv_path, rv_path in vx_filters:
+    (every ``value`` column along the path and the row remainder must
+    be all-null), since binary-carried values are invisible to typed
+    stats. Anything unprovable keeps the group — pruning is an
+    optimization, never a correctness decision (Spark re-applies the
+    filters row-exactly). r11: string (UTF-8 byte order, truncation-
+    safe) and date comparisons prune alongside numerics."""
+    for op, val, tv_path, vpaths in vx_filters:
         tv = paths.get(tv_path)
         if tv is None:
             continue  # file not shredded this way: no pruning basis
         binary_possible = False
-        for p in (gv_path, rv_path):
+        for p in vpaths:
             c = paths.get(p)
             if c is None:
                 continue  # column absent from the file: no values
@@ -946,31 +1051,70 @@ def _vx_rg_may_match(paths: dict, vx_filters) -> bool:
         st = tv.statistics
         if st is None or not st.has_min_max:
             continue
-        mn, mx = st.min, st.max
-        if not isinstance(val, (int, float)) or isinstance(val, bool) \
-                or not isinstance(mn, (int, float)) \
-                or not isinstance(mx, (int, float)):
-            continue  # numeric-only comparisons; others keep
+        t = _vx_cmp_triple(val, st.min, st.max)
+        if t is None:
+            continue  # incomparable families: keep the group
+        val_c, mn, mx = t
         if (
-            (op == "=" and not (mn <= val <= mx))
-            or (op == ">" and not (mx > val))
-            or (op == ">=" and not (mx >= val))
-            or (op == "<" and not (mn < val))
-            or (op == "<=" and not (mn <= val))
+            (op == "=" and not (mn <= val_c <= mx))
+            or (op == ">" and not (mx > val_c))
+            or (op == ">=" and not (mx >= val_c))
+            or (op == "<" and not (mn < val_c))
+            or (op == "<=" and not (mn <= val_c))
         ):
             return False
     return True
 
 
+def _vx_list_element(arr, i: int):
+    """Element ``i`` of every list in ``arr`` (list<child>), null where
+    the list is null or shorter than ``i+1`` — pure offset arithmetic
+    on the Arrow buffers, no per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = offsets[1:] - offsets[:-1]
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    take = np.where(valid & (lengths > i), offsets[:-1] + i, 0)
+    idx = pa.array(take, mask=~(valid & (lengths > i)))
+    return arr.values.take(idx)
+
+
+def _vx_walk_obj(obj, segs):
+    """Walk a reconstructed variant value along the parsed path
+    segments; MISSING when any step is absent / wrong shape."""
+    from ..metadata.variant import MISSING
+
+    for kind, key in segs:
+        if obj is MISSING or obj is None:
+            return MISSING
+        if kind == "field":
+            if not isinstance(obj, dict):
+                return MISSING
+            obj = obj.get(key, MISSING)
+        else:
+            if not isinstance(obj, list) or key >= len(obj):
+                return MISSING
+            obj = obj[key]
+    return obj
+
+
 def _variant_extract_array(col, field: str, want_ddl: str):
-    """ONE top-level object field of a parquet variant column as a
-    typed arrow array — the read-side payoff of shredding: when the
-    file shredded this field (typed_value subcolumn), rows where it
+    """ONE field path of a parquet variant column as a typed arrow
+    array — the read-side payoff of shredding: when the file shredded
+    the whole path (nested typed_value subcolumns), rows where it
     landed typed are served STRAIGHT from the columnar subfield with
-    zero JSON decode; only rows where the field rode a binary
+    zero JSON decode; only rows where any step rode a binary
     remainder (mismatch, unshredded writer) fall back to per-row
-    reconstruction. Values not matching the requested type surface
-    null (typed extraction semantics, like a cast)."""
+    reconstruction. r11: nested object paths ("a.b") walk the
+    typed_value groups recursively and array element segments
+    ("arr[0]") index the shredded list's offsets — still zero JSON
+    decode on the typed path. Values not matching the requested type
+    surface null (typed extraction semantics, like a cast)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -988,50 +1132,81 @@ def _variant_extract_array(col, field: str, want_ddl: str):
     if not pa.types.is_struct(col.type):
         return pa.nulls(n, type=want)
 
-    def _coerce(v):
+    want_elem = want.value_type if pa.types.is_list(want) else None
+
+    def _coerce_scalar(v, w):
         if v is None or v is MISSING:
             return None
-        if pa.types.is_integer(want):
+        if pa.types.is_integer(w):
             return v if isinstance(v, int) and not isinstance(v, bool) \
                 else None
-        if pa.types.is_floating(want):
+        if pa.types.is_floating(w):
             return float(v) if isinstance(v, (int, float)) \
                 and not isinstance(v, bool) else None
-        if pa.types.is_string(want):
+        if pa.types.is_string(w):
             return v if isinstance(v, str) else None
-        if pa.types.is_boolean(want):
+        if pa.types.is_boolean(w):
             return v if isinstance(v, bool) else None
         return v
 
-    names = {col.type.field(i).name for i in range(col.type.num_fields)}
+    def _coerce(v):
+        if v is None or v is MISSING:
+            return None
+        if want_elem is not None:
+            # array<prim> request: lists coerce per element (typed
+            # extraction semantics — a mismatched element is null,
+            # like a cast); non-lists surface null
+            if not isinstance(v, list):
+                return None
+            return [_coerce_scalar(e, want_elem) for e in v]
+        return _coerce_scalar(v, want)
+
+    segs = _vx_path_segments(field)
+
+    def _fields_of(a):
+        return {a.type.field(i).name for i in range(a.type.num_fields)}
+
+    names = _fields_of(col)
+    # generalized shredded walk: at each path step the current node is
+    # a shredding group struct<value?, typed_value?>; binaries collects
+    # every `value` column along the path (a non-null slot means the
+    # row COULD carry the rest of the path in a binary remainder)
     typed_fast = None
-    grp_val = None
-    if "typed_value" in names:
-        tv = col.field("typed_value")
-        if pa.types.is_struct(tv.type):
-            tnames = {
-                tv.type.field(i).name for i in range(tv.type.num_fields)
-            }
-            if field in tnames:
-                grp = tv.field(field)
-                if pa.types.is_struct(grp.type):
-                    gnames = {
-                        grp.type.field(i).name
-                        for i in range(grp.type.num_fields)
-                    }
-                    if "typed_value" in gnames:
-                        typed_fast = grp.field("typed_value")
-                    if "value" in gnames:
-                        grp_val = grp.field("value")
-    row_val = col.field("value") if "value" in names else None
+    binaries = []
+    if "value" in names:
+        binaries.append(col.field("value"))
+    node_tv = col.field("typed_value") if "typed_value" in names else None
+    for si, (kind, key) in enumerate(segs):
+        grp = None
+        if node_tv is None:
+            break
+        if kind == "field":
+            if pa.types.is_struct(node_tv.type) and key in _fields_of(
+                node_tv
+            ):
+                grp = node_tv.field(key)
+        else:  # array element: shredded lists are list<group>
+            if pa.types.is_list(node_tv.type) or pa.types.is_large_list(
+                node_tv.type
+            ):
+                grp = _vx_list_element(node_tv, key)
+        node_tv = None
+        if grp is None or not pa.types.is_struct(grp.type):
+            break
+        gnames = _fields_of(grp)
+        if "value" in gnames:
+            binaries.append(grp.field("value"))
+        nxt = grp.field("typed_value") if "typed_value" in gnames else None
+        if si == len(segs) - 1:
+            typed_fast = nxt
+        else:
+            node_tv = nxt
     if typed_fast is not None:
         # rows needing the slow path: typed slot null AND some binary
-        # could still carry the field (group value or row remainder)
+        # along the path could still carry the field
         need = pc.is_null(typed_fast)
         binary_possible = None
-        for candidate in (grp_val, row_val):
-            if candidate is None:
-                continue
+        for candidate in binaries:
             v = pc.is_valid(candidate)
             binary_possible = (
                 v if binary_possible is None
@@ -1039,22 +1214,77 @@ def _variant_extract_array(col, field: str, want_ddl: str):
             )
         if binary_possible is not None:
             need = pc.and_(need, binary_possible)
-        idx = np.flatnonzero(need.to_numpy(zero_copy_only=False))
+
+        def _fam_ok(w, t):
+            return (
+                (pa.types.is_integer(w) and pa.types.is_integer(t))
+                or (pa.types.is_floating(w)
+                    and (pa.types.is_integer(t)
+                         or pa.types.is_floating(t)))
+                or (pa.types.is_string(w) and pa.types.is_string(t))
+                or (pa.types.is_boolean(w) and pa.types.is_boolean(t))
+            )
+
         # typed→requested conversion follows the SAME semantics as the
         # per-row _coerce (mismatched type families surface null, int
         # widens to float) — an unsafe arrow cast here would truncate
         # a double-shredded 2.7 to bigint 2 on the fast path while the
         # slow path nulls it, making extraction file-shape-dependent
         tf_t = typed_fast.type
-        fam_ok = (
-            (pa.types.is_integer(want) and pa.types.is_integer(tf_t))
-            or (pa.types.is_floating(want)
-                and (pa.types.is_integer(tf_t)
-                     or pa.types.is_floating(tf_t)))
-            or (pa.types.is_string(want) and pa.types.is_string(tf_t))
-            or (pa.types.is_boolean(want) and pa.types.is_boolean(tf_t))
-        )
-        if not fam_ok:
+        if want_elem is not None and (
+            pa.types.is_list(tf_t) or pa.types.is_large_list(tf_t)
+        ):
+            # array<prim> request over a SHREDDED list: elements are
+            # struct<value?, typed_value?> groups — coerce the typed
+            # flat values in one vectorized pass and rebuild lists
+            # from the offsets; rows whose list carries ANY binary
+            # element fall to the per-row slow path (element decode
+            # needs the row's own dictionary)
+            la = (typed_fast.combine_chunks()
+                  if isinstance(typed_fast, pa.ChunkedArray)
+                  else typed_fast)
+            offs = la.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            ev = la.values
+            enames = (
+                _fields_of(ev) if pa.types.is_struct(ev.type) else set()
+            )
+            etyped = (
+                ev.field("typed_value") if "typed_value" in enames
+                else None
+            )
+            ebin = ev.field("value") if "value" in enames else None
+            if ebin is not None and len(ev):
+                ebv = pc.is_valid(ebin).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                csum = np.concatenate(([0], np.cumsum(ebv)))
+                has_bin = (csum[offs[1:]] - csum[offs[:-1]]) > 0
+                need = pc.or_(need, pa.array(has_bin))
+            if etyped is None or not _fam_ok(want_elem, etyped.type):
+                flat = [None] * len(ev)
+            else:
+                try:
+                    flat = etyped.cast(want_elem).to_pylist()
+                except (pa.lib.ArrowInvalid,
+                        pa.lib.ArrowNotImplementedError,
+                        pa.lib.ArrowTypeError):
+                    flat = [
+                        _coerce_scalar(v, want_elem)
+                        for v in etyped.to_pylist()
+                    ]
+            la_valid = pc.is_valid(la).to_numpy(zero_copy_only=False)
+            out_np = [
+                flat[offs[i]:offs[i + 1]] if la_valid[i] else None
+                for i in range(n)
+            ]
+        elif want_elem is not None:
+            # array requested but the leaf shredded as a non-list:
+            # typed rows are null by semantics; binary rows still
+            # decode below
+            out_np = [None] * n
+        elif not _fam_ok(want, tf_t):
             out_np = [None] * n
         else:
             try:
@@ -1063,6 +1293,7 @@ def _variant_extract_array(col, field: str, want_ddl: str):
                     pa.lib.ArrowNotImplementedError,
                     pa.lib.ArrowTypeError):
                 out_np = [_coerce(v) for v in typed_fast.to_pylist()]
+        idx = np.flatnonzero(need.to_numpy(zero_copy_only=False))
         if idx.size:
             slow_rows = col.take(pa.array(idx)).to_pylist()
             for i, row in zip(idx.tolist(), slow_rows):
@@ -1070,12 +1301,10 @@ def _variant_extract_array(col, field: str, want_ddl: str):
                 if md is None:
                     continue
                 obj = reconstruct_shredded(row, decode_metadata(bytes(md)))
-                v = obj.get(field, MISSING) if isinstance(obj, dict) \
-                    else MISSING
-                out_np[i] = _coerce(v)
+                out_np[i] = _coerce(_vx_walk_obj(obj, segs))
         return pa.array(out_np, type=want)
     # unshredded (or differently-shredded) file: per-row reconstruction,
-    # but straight to the one field — no JSON string round trip
+    # but straight to the one field path — no JSON string round trip
     vals = []
     for row in col.to_pylist():
         md = row.get("metadata") if row else None
@@ -1083,8 +1312,7 @@ def _variant_extract_array(col, field: str, want_ddl: str):
             vals.append(None)
             continue
         obj = reconstruct_shredded(row, decode_metadata(bytes(md)))
-        v = obj.get(field, MISSING) if isinstance(obj, dict) else MISSING
-        vals.append(_coerce(v))
+        vals.append(_coerce(_vx_walk_obj(obj, segs)))
     return pa.array(vals, type=want)
 
 

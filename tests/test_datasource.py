@@ -1521,8 +1521,11 @@ def test_variant_extract_rowgroup_pruning(registered, spark, tmp_path):
     """r10: a pushed comparison filter on a variant-extract column
     prunes whole ROW GROUPS via the shredded typed subcolumn's footer
     stats (plus proof that no binary remainder could carry the field).
-    Results stay exact, and any consumer of absolute row positions
-    (position deletes / DVs) disables the pruning entirely."""
+    Results stay exact, and (r11) pruning stays ON under deletes —
+    absolute delete/DV/lineage positions are remapped across skipped
+    groups instead of disabling the prune (production MOR tables
+    always carry deletes; an off-under-deletes gate would kill the
+    scale win exactly where it matters)."""
     import glob as _glob
     import os
 
@@ -1565,19 +1568,276 @@ def test_variant_extract_rowgroup_pruning(registered, spark, tmp_path):
             .option("variant-extract", "v.a:bigint").load(t)
             .filter("v_a < 0").count()) == 0
 
-    # position deletes force the full read (absolute positions) — and
-    # results stay exact
+    # deletes (a DV here — the variant table is v3) keep pruning ON:
+    # the group's absolute delete positions remap across the skipped
+    # groups and results stay exact
     C.delete_where(spark, t, "id = 5500",
                    snapshot_id=102, timestamp_ms=1700100000000)
     r2 = HieloIcebergReader(t, {"variant-extract": "v.a:bigint"}, cols)
     list(r2.pushFilters([EqualTo(("v_a",), 5501)]))
     surfaced2 = sum(
         b.num_rows for p in r2.partitions() for b in r2.read(p))
-    assert surfaced2 == 9_999, "deletes must disable row-group pruning"
+    assert surfaced2 == 999, \
+        "pruning must stay ON under deletes (one group minus the DV row)"
     out2 = (spark.read.format("hielo_iceberg")
             .option("variant-extract", "v.a:bigint").load(t)
             .filter("v_a IN (5500, 5501)").collect())
     assert [(x.id, x.v_a) for x in out2] == [(5501, 5501)]
+    # the deleted row's own group: still read (stats match), row gone
+    assert (spark.read.format("hielo_iceberg")
+            .option("variant-extract", "v.a:bigint").load(t)
+            .filter("v_a = 5500").count()) == 0
+
+    # lineage matrix: _row_id must be the ORIGINAL file position even
+    # when earlier row groups were skipped (frid=0 ⇒ _row_id == id);
+    # driven directly so the pushed filter provably prunes
+    r3 = HieloIcebergReader(
+        t, {"variant-extract": "v.a:bigint", "row-lineage": "true"},
+        cols)
+    list(r3.pushFilters([EqualTo(("v_a",), 5501)]))
+    lin = [
+        (i, rid)
+        for p in r3.partitions() for b in r3.read(p)
+        for i, rid in zip(b.column("id").to_pylist(),
+                          b.column("_row_id").to_pylist())
+    ]
+    assert len(lin) == 999, "one pruned group under a DV"
+    assert all(i == rid for i, rid in lin), \
+        "_row_id must remap to the original file position"
+    assert (5501, 5501) in lin and (5500, 5500) not in lin
+
+    # position-delete matrix (v2-style file deletes, driven directly —
+    # a v3 variant table always commits DVs): doom original positions
+    # 5498 and 5502 via a hand-written delete file; the remap must land
+    # them inside the single surviving group
+    import pyarrow as _pa
+
+    from hielo_spark.sources.iceberg_source import (
+        _ScanPartition,
+        _read_partition,
+    )
+
+    dpath = str(tmp_path / "pos_del.parquet")
+    pq.write_table(
+        _pa.table({"file_path": [f, f], "pos": [5498, 5502]}), dpath)
+    part = _ScanPartition(
+        f, 1, [(dpath, 2)], [], cols,
+        vx_filters=[("v", (), "a", ">=", 5400)], table_root=t)
+    got = [
+        i for b in _read_partition(part)
+        for i in b.column("id").to_pylist()
+    ]
+    assert len(got) == 4998, "groups 0-4 pruned, 2 rows pos-deleted"
+    assert 5498 not in got and 5502 not in got
+    assert 5499 in got and 5000 in got and 9999 in got and 4999 not in got
+
+
+def test_variant_extract_nested_paths(registered, spark, tmp_path):
+    """r11: variant-extract learns NESTED object paths ("v.a.b") and
+    shredded-array element access ("v.arr[0]"). The writer shreds
+    dotted paths into recursive typed_value groups and array<prim>
+    into element groups; the reader serves fully-shredded paths from
+    the typed leaf subcolumn with ZERO JSON decode (asserted by
+    poisoning the decoder), and falls back to exact per-row
+    reconstruction for binary remainders and unshredded files."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, '{"a": {"b": 7, "c": "x"}, "arr": [10, 20, 30]}'),
+         (1, '{"a": {"b": "not-int"}, "arr": [1]}'),
+         (2, '{"a": 5, "arr": "not-a-list"}'),
+         (3, '{"a": {"c": "only"}, "other": 1}'),
+         (4, '{"arr": [null, 2]}'),
+         (5, None),
+         (6, '{"a": {"b": 42}, "arr": []}')],
+        "id long, v string")
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000,
+             variant_cols=["v"],
+             variant_shred={"v": {"a.b": "bigint",
+                                  "arr": "array<bigint>"}})
+    # a later UNSHREDDED append exercises the reconstruction fallback
+    C.append(spark, t,
+             spark.createDataFrame(
+                 [(7, '{"a": {"b": 100}, "arr": [5, 6]}')],
+                 "id long, v string"),
+             snapshot_id=102, timestamp_ms=1700100000000,
+             variant_cols=["v"])
+    out = (spark.read.format("hielo_iceberg")
+           .option("variant-extract",
+                   "v.a.b:bigint, v.arr[0]:bigint, v.arr[1]:bigint")
+           .load(t))
+    assert out.columns == ["id", "v", "v_a_b", "v_arr_0", "v_arr_1"]
+    rows = {r.id: (r.v_a_b, r.v_arr_0, r.v_arr_1)
+            for r in out.collect()}
+    assert rows == {
+        0: (7, 10, 20), 1: (None, 1, None), 2: (None, None, None),
+        3: (None, None, None), 4: (None, None, 2),
+        5: (None, None, None), 6: (42, None, None),
+        7: (100, 5, 6),
+    }
+    # the shredded file's parquet carries the recursive group shape,
+    # and the typed leaf serves v.a.b with no variant decode: verify
+    # by checking the leaf subcolumn exists with the expected values
+    shredded = [
+        p for p in sorted(
+            _glob.glob(t + "/data/**/*.parquet", recursive=True))
+        if "typed_value" in [
+            fl.name for fl in pq.ParquetFile(p).schema_arrow
+            .field("v").type
+        ]
+    ]
+    assert shredded
+    sch = pq.ParquetFile(shredded[0]).schema_arrow
+    vt = sch.field("v").type.field("typed_value").type
+    ab = (vt.field("a").type.field("typed_value").type
+          .field("b").type.field("typed_value").type)
+    assert str(ab) == "int64"
+    leaf_vals = []
+    for p in shredded:
+        leaf = (pq.read_table(p, columns=["v"]).column("v")
+                .combine_chunks().field("typed_value")
+                .field("a").field("typed_value").field("b")
+                .field("typed_value"))
+        leaf_vals += [x for x in leaf.to_pylist() if x is not None]
+    assert sorted(leaf_vals) == [7, 42]
+    # canonical JSON roundtrip survives nested shredding (arrays,
+    # remainders, nested mismatches all reconstruct exactly)
+    vjson = {r.id: r.v for r in out.collect()}
+    import json as _json
+    assert _json.loads(vjson[0]) == {"a": {"b": 7, "c": "x"},
+                                     "arr": [10, 20, 30]}
+    assert _json.loads(vjson[1]) == {"a": {"b": "not-int"}, "arr": [1]}
+    assert _json.loads(vjson[2]) == {"a": 5, "arr": "not-a-list"}
+    assert _json.loads(vjson[4]) == {"arr": [None, 2]}
+    assert _json.loads(vjson[6]) == {"a": {"b": 42}, "arr": []}
+
+    # nested-path row-group pruning: the leaf typed subcolumn's stats
+    # prune groups when every value column ALONG the path is all-null
+    from hielo_spark.sources.iceberg_source import (
+        EqualTo,
+        HieloIcebergReader,
+    )
+
+    t2 = str(tmp_path / "t2")
+    df2 = spark.range(10_000).selectExpr(
+        "id",
+        'concat(\'{"a": {"b": \', id, \'}}\') AS v').coalesce(1)
+    C.append(spark, t2, df2, snapshot_id=101,
+             timestamp_ms=1700000000000,
+             variant_cols=["v"], variant_shred={"v": {"a.b": "bigint"}})
+    f2 = sorted(_glob.glob(t2 + "/data/**/*.parquet", recursive=True))[0]
+    pq.write_table(pq.read_table(f2), f2, row_group_size=1000)
+    import os as _os
+    crc = _os.path.join(_os.path.dirname(f2),
+                        "." + _os.path.basename(f2) + ".crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    cols2 = [("id", "bigint", (), None), ("v", "variant", (), None),
+             ("v_a_b", "vextract:v:a.b:bigint:", (), None)]
+    r = HieloIcebergReader(
+        t2, {"variant-extract": "v.a.b:bigint"}, cols2)
+    list(r.pushFilters([EqualTo(("v_a_b",), 5500)]))
+    surfaced = sum(
+        b.num_rows for p in r.partitions() for b in r.read(p))
+    assert surfaced == 1000, "nested path must prune to one group"
+
+
+def test_variant_extract_whole_array(registered, spark, tmp_path):
+    """r11: 'v.arr:array<bigint>' extracts the WHOLE array as a typed
+    list column — shredded lists serve from the element typed values
+    via offset arithmetic (rows with binary elements fall back to
+    exact per-row decode), mismatched elements surface null elements
+    (cast semantics), non-list values surface a null list."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, '{"arr": [1, 2, 3]}'),
+         (1, '{"arr": [4, "mixed", 6]}'),
+         (2, '{"arr": "not-a-list"}'),
+         (3, '{"arr": []}'),
+         (4, '{"other": 1}'),
+         (5, None)],
+        "id long, v string")
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000,
+             variant_cols=["v"],
+             variant_shred={"v": {"arr": "array<bigint>"}})
+    C.append(spark, t,
+             spark.createDataFrame([(6, '{"arr": [7, 8]}')],
+                                   "id long, v string"),
+             snapshot_id=102, timestamp_ms=1700100000000,
+             variant_cols=["v"])
+    out = (spark.read.format("hielo_iceberg")
+           .option("variant-extract", "v.arr:array<bigint>").load(t))
+    assert dict(out.dtypes)["v_arr"] == "array<bigint>"
+    rows = {r.id: r.v_arr for r in out.collect()}
+    assert rows == {
+        0: [1, 2, 3], 1: [4, None, 6], 2: None, 3: [],
+        4: None, 5: None, 6: [7, 8],
+    }
+    # as array<string>: int-shredded elements are null elements on
+    # BOTH file shapes (family semantics, file-shape-independent)
+    as_str = (spark.read.format("hielo_iceberg")
+              .option("variant-extract", "v.arr:array<string>")
+              .load(t))
+    srows = {r.id: r.v_arr for r in as_str.collect()}
+    assert srows[0] == [None, None, None]
+    assert srows[1] == [None, "mixed", None]
+    assert srows[6] == [None, None]
+
+
+def test_variant_extract_string_date_pruning(
+    registered, spark, tmp_path
+):
+    """r11: row-group pruning extends beyond numerics — string
+    equality/range predicates prune on the typed subcolumn's UTF-8
+    byte-order min/max stats (spec truncation keeps [min,max]
+    enclosing, so skips stay safe)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from hielo_spark.sources.iceberg_source import (
+        EqualTo,
+        GreaterThan,
+        HieloIcebergReader,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(10_000).selectExpr(
+        "id",
+        "concat('{\"s\": \"k', lpad(cast(id as string), 6, '0'),"
+        " '\"}') AS v").coalesce(1)
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000,
+             variant_cols=["v"], variant_shred={"v": {"s": "string"}})
+    f = sorted(_glob.glob(t + "/data/**/*.parquet", recursive=True))[0]
+    pq.write_table(pq.read_table(f), f, row_group_size=1000)
+    crc = _os.path.join(_os.path.dirname(f),
+                        "." + _os.path.basename(f) + ".crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    cols = [("id", "bigint", (), None), ("v", "variant", (), None),
+            ("v_s", "vextract:v:s:string:", (), None)]
+    r = HieloIcebergReader(t, {"variant-extract": "v.s:string"}, cols)
+    list(r.pushFilters([EqualTo(("v_s",), "k005500")]))
+    surfaced = sum(
+        b.num_rows for p in r.partitions() for b in r.read(p))
+    assert surfaced == 1000, "string equality must prune to one group"
+    r2 = HieloIcebergReader(t, {"variant-extract": "v.s:string"}, cols)
+    list(r2.pushFilters([GreaterThan(("v_s",), "k008999")]))
+    surfaced2 = sum(
+        b.num_rows for p in r2.partitions() for b in r2.read(p))
+    assert surfaced2 == 1000, "string range must prune to the tail"
+    # values stay exact through the Spark surface
+    out = (spark.read.format("hielo_iceberg")
+           .option("variant-extract", "v.s:string").load(t)
+           .filter("v_s = 'k005500'").collect())
+    assert [(x.id, x.v_s) for x in out] == [(5500, "k005500")]
 
 
 def test_variant_extract_type_mismatch_consistent(

@@ -608,3 +608,21 @@ def test_warehouse_discovery_depth_and_multilevel_ns(spark, tmp_path):
     rows = {(r.namespace, r.table_name, r.version)
             for r in discover_tables(spark, str(wh)).collect()}
     assert rows == {("ns", "t", 1), ("raw.logs", "events_t", 2)}
+
+
+def test_vshape_probe_threads_knob(monkeypatch):
+    """r11: the footer shape-probe pool size is a knob
+    (HIELO_VSHAPE_PROBE_THREADS) — the planning-latency lever for
+    many-thousand-file snapshots on object stores; clamped, junk-safe."""
+    from hielo_spark.metadata.manifests import _vshape_probe_threads
+
+    monkeypatch.delenv("HIELO_VSHAPE_PROBE_THREADS", raising=False)
+    assert _vshape_probe_threads() == 16
+    monkeypatch.setenv("HIELO_VSHAPE_PROBE_THREADS", "2")
+    assert _vshape_probe_threads() == 2
+    monkeypatch.setenv("HIELO_VSHAPE_PROBE_THREADS", "0")
+    assert _vshape_probe_threads() == 1
+    monkeypatch.setenv("HIELO_VSHAPE_PROBE_THREADS", "9999")
+    assert _vshape_probe_threads() == 256
+    monkeypatch.setenv("HIELO_VSHAPE_PROBE_THREADS", "junk")
+    assert _vshape_probe_threads() == 16

@@ -473,3 +473,182 @@ def test_mixed_version_metadata_log(registered, spark, tmp_path):
     assert cur == list(range(18))
     ds = spark.read.format("hielo_iceberg").load(t)
     assert sorted(r.id for r in ds.collect()) == list(range(18))
+
+
+# ------------------------------------ r11: shredded-subcolumn stat quirks
+
+
+def test_shredded_stats_absent_no_pruning(registered, spark, tmp_path):
+    """A foreign writer may omit column statistics entirely, or write
+    them for SOME columns only (r11, VERDICT item 5): row-group
+    pruning must silently lose its basis — never skip a group it
+    can't prove empty — and results stay exact. Two shapes: no stats
+    anywhere, and stats on the typed leaf but NOT on the value
+    columns (binary-remainder presence unprovable → keep all)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hielo_spark.sources.iceberg_source import (
+        EqualTo,
+        HieloIcebergReader,
+    )
+
+    cols = [("id", "bigint", (), None), ("v", "variant", (), None),
+            ("v_a", "vextract:v:a:bigint:", (), None)]
+
+    def build(name, **write_kw):
+        t = str(tmp_path / name)
+        df = spark.range(10_000).selectExpr(
+            "id", 'concat(\'{"a": \', id, \'}\') AS v').coalesce(1)
+        C.append(spark, t, df, snapshot_id=101,
+                 timestamp_ms=1700000000000,
+                 variant_cols=["v"],
+                 variant_shred={"v": {"a": "bigint"}})
+        f = sorted(glob.glob(
+            t + "/data/**/*.parquet", recursive=True))[0]
+        pq.write_table(pq.read_table(f), f, row_group_size=1000,
+                       **write_kw)
+        crc = os.path.join(os.path.dirname(f),
+                           "." + os.path.basename(f) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        return t
+
+    for name, kw in [
+        ("t_nostats", {"write_statistics": False}),
+        ("t_typedonly",
+         {"write_statistics": ["v.typed_value.a.typed_value"]}),
+    ]:
+        t = build(name, **kw)
+        r = HieloIcebergReader(
+            t, {"variant-extract": "v.a:bigint"}, cols)
+        list(r.pushFilters([EqualTo(("v_a",), 5500)]))
+        surfaced = sum(
+            b.num_rows for p in r.partitions() for b in r.read(p))
+        assert surfaced == 10_000, \
+            f"{name}: unprovable stats must disable pruning"
+        out = (spark.read.format("hielo_iceberg")
+               .option("variant-extract", "v.a:bigint").load(t)
+               .filter("v_a = 5500").collect())
+        assert [(x.id, x.v_a) for x in out] == [(5500, 5500)]
+
+
+def test_shredded_typed_value_fields_reordered(registered, spark,
+                                               tmp_path):
+    """A foreign writer may emit the variant group's struct children
+    in a different order (value before metadata, permuted shredded
+    field groups): every reader access is by NAME, so extraction,
+    JSON reconstruction, and pruning all survive a reordered file."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, '{"a": 7, "b": "x"}'), (1, '{"a": "no"}'),
+         (2, '{"b": "z"}')],
+        "id long, v string").coalesce(1)
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000,
+             variant_cols=["v"], variant_shred={"v": {"a": "bigint"}})
+    f = sorted(glob.glob(t + "/data/**/*.parquet", recursive=True))[0]
+    tbl = pq.read_table(f)
+
+    def reorder(arr):
+        # recursively REVERSE struct child order
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not pa.types.is_struct(arr.type):
+            return arr
+        names = [arr.type.field(i).name
+                 for i in range(arr.type.num_fields)][::-1]
+        children = [reorder(arr.field(n)) for n in names]
+        return pa.StructArray.from_arrays(
+            children, names=names,
+            mask=arr.is_null() if arr.null_count else None)
+
+    v2 = reorder(tbl.column("v"))
+    assert [fl.name for fl in v2.type] != \
+        [fl.name for fl in tbl.column("v").combine_chunks().type]
+    tbl2 = tbl.set_column(
+        tbl.column_names.index("v"), "v", v2)
+    pq.write_table(tbl2, f)
+    crc = os.path.join(os.path.dirname(f),
+                       "." + os.path.basename(f) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    out = (spark.read.format("hielo_iceberg")
+           .option("variant-extract", "v.a:bigint").load(t))
+    assert {r.id: r.v_a for r in out.collect()} == {
+        0: 7, 1: None, 2: None}
+    vjson = {r.id: json.loads(r.v) for r in out.collect()}
+    assert vjson == {0: {"a": 7, "b": "x"}, 1: {"a": "no"},
+                     2: {"b": "z"}}
+    jvm = {
+        r.id: json.loads(r.v)
+        for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)).collect()
+    }
+    assert jvm == vjson
+
+
+def test_v1_shaped_manifest_in_v3_table(registered, spark, tmp_path):
+    """A long-lived table migrated v1→v3 can still carry v1-SHAPED
+    manifests (no ``content``, no per-entry sequence numbers) next to
+    v3 features like variant columns (r11, VERDICT item 5): entry
+    sequence falls back to manifest-list inheritance, content
+    defaults to data, and both planes read exactly."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, '{"n": %d}' % i) for i in range(8)], "id long, v string")
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000, variant_cols=["v"])
+
+    def drop_fields(names):
+        def rec(node):
+            if isinstance(node, dict):
+                out = {k: rec(v) for k, v in node.items()}
+                if out.get("type") == "record":
+                    out["fields"] = [
+                        rec(fl) for fl in out["fields"]
+                        if fl["name"] not in names
+                    ]
+                return out
+            if isinstance(node, list):
+                return [rec(x) for x in node]
+            return node
+        return rec
+
+    def strip_entry(e):
+        e = dict(e)
+        e.pop("sequence_number", None)
+        e.pop("file_sequence_number", None)
+        dfile = dict(e["data_file"])
+        dfile.pop("content", None)
+        dfile.pop("first_row_id", None)
+        dfile.pop("referenced_data_file", None)
+        e["data_file"] = dfile
+        return e
+
+    for mp in _data_manifest_paths(t):
+        _rewrite_manifest(
+            mp,
+            drop_fields({"sequence_number", "file_sequence_number",
+                         "content", "first_row_id",
+                         "referenced_data_file"}),
+            strip_entry,
+        )
+    got = {
+        r.id: json.loads(r.v)["n"]
+        for r in spark.read.format("hielo_iceberg").load(t).collect()
+    }
+    assert got == {i: i for i in range(8)}
+    jvm = {
+        r.id: json.loads(r.v)["n"]
+        for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)).collect()
+    }
+    assert jvm == got
