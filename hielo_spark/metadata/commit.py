@@ -1633,8 +1633,20 @@ def append(
     _record_table_shape(
         doc, dtypes, transforms, frozenset(variant_cols or ())
     )
+    # honor the table's default sort order on appends (identity
+    # transforms only, _sort_cols_from_doc): a LOCAL per-task sort —
+    # no shuffle — so fresh files carry tight column bounds and
+    # file-/row-group pruning bites immediately, not only after the
+    # next sorted compaction (Iceberg writers apply the sort order on
+    # write; spec "sort-orders" / "default-sort-order-id")
+    sort_cols = [c for c in _sort_cols_from_doc(doc) if c in dtypes]
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     parts, partition_of, ptypes, stats = _write_data_files(
         spark, data_dir, df, transforms, dtypes
+    )
+    sort_oid = (
+        int(doc.get("default-sort-order-id", 0)) if sort_cols else None
     )
     records_of, bounds_of, btypes = stats.records_of, stats.bounds_of, stats.btypes
 
@@ -1680,6 +1692,7 @@ def append(
                     "content": 0,
                     "file_path": p,
                     "file_format": "PARQUET",
+                    "sort_order_id": sort_oid,
                     "first_row_id": first_row_id_of[p],
                     "partition": _typed_partition(partition_of(p), pfields),
                     "record_count": records_of(p),

@@ -46,15 +46,18 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNotNull,
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -278,11 +281,28 @@ def _file_survives(filters, e: dict) -> bool:
             return l <= value
         return True
 
+    def prefix_ok(col, prefix):
+        # v startswith p ⟺ p <= v < incr(p): prune when the bounds
+        # range can't intersect that interval (string bounds only;
+        # UTF-8 byte order == code-point order)
+        l, h = lo.get(col), hi.get(col)
+        if l is None or h is None or bt.get(col) != "string" \
+                or not isinstance(prefix, str):
+            return True
+        pb = prefix.encode("utf-8", "surrogatepass")
+        lb = str(l).encode("utf-8", "surrogatepass")
+        hb = str(h).encode("utf-8", "surrogatepass")
+        up = _incr_bytes(pb)
+        return hb >= pb and (up is None or lb < up)
+
     for f in filters:
         col = f.attribute[0] if hasattr(f, "attribute") else None
         if col is None:
             continue
         if isinstance(f, EqualTo) and not cmp_ok(col, "=", f.value):
+            return False
+        if isinstance(f, EqualNullSafe) and f.value is not None \
+                and not cmp_ok(col, "=", f.value):
             return False
         if isinstance(f, GreaterThan) and not cmp_ok(col, ">", f.value):
             return False
@@ -292,7 +312,26 @@ def _file_survives(filters, e: dict) -> bool:
             return False
         if isinstance(f, LessThanOrEqual) and not cmp_ok(col, "<=", f.value):
             return False
+        if isinstance(f, In):
+            vals = [v for v in (f.value or ()) if v is not None]
+            if vals and not any(cmp_ok(col, "=", v) for v in vals):
+                return False
+        if isinstance(f, StringStartsWith) and not prefix_ok(
+            col, f.value
+        ):
+            return False
     return True
+
+
+def _incr_bytes(p: bytes) -> bytes | None:
+    """The smallest byte string strictly greater than every string
+    with prefix ``p`` (rightmost non-0xFF byte incremented, the rest
+    truncated); None when ``p`` is all 0xFF (no upper bound)."""
+    b = bytearray(p)
+    for i in range(len(b) - 1, -1, -1):
+        if b[i] != 0xFF:
+            return bytes(b[:i]) + bytes([b[i] + 1])
+    return None
 
 
 _SCHEME_RE = None
@@ -367,12 +406,16 @@ class _ScanPartition(InputPartition):
     def __init__(self, path, seq, pos_deletes, eq_deletes, columns,
                  pvals=None, out_names=None, scan_log=None,
                  frid=None, lineage=False, dv_ref=None,
-                 table_root=None, vx_filters=None):
+                 table_root=None, vx_filters=None, col_filters=None):
         # pushed comparison filters on variant-extract columns:
         # [(src_col, aliases, field, op, value)] — used ONLY for
         # row-group pruning on the shredded typed subcolumn's footer
         # stats (Spark re-applies every pushed filter row-exactly)
         self.vx_filters = vx_filters
+        # pushed filters on PLAIN table columns:
+        # [(col, aliases, op, value)] with op in =/</>/<=/>=/isnull/
+        # isnotnull — same contract: row-group pruning hints only
+        self.col_filters = col_filters
         # the table location, for resolving foreign ./-relative
         # file_path references inside delete files
         self.table_root = table_root
@@ -535,8 +578,8 @@ def _read_partition(part: _ScanPartition):
     # footer stats (plus proof that no binary remainder could carry
     # the field) and skip non-matching groups entirely
     rg_keep = None
+    vx_resolved = []
     if getattr(part, "vx_filters", None):
-        resolved = []
         for src, aliases, fld, op, val in part.vx_filters:
             fsrc = next(
                 (c for c in (src, *aliases) if c in avail), None
@@ -553,22 +596,34 @@ def _read_partition(part: _ScanPartition):
             for _k, name in segs:
                 tv_path += f".typed_value.{name}"
                 vpaths.append(f"{tv_path}.value")
-            resolved.append((
+            vx_resolved.append((
                 op, val, f"{tv_path}.typed_value", tuple(vpaths),
             ))
-        if resolved:
-            md = pf.metadata
-            rg_keep = []
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                paths = {
-                    g.column(ci).path_in_schema: g.column(ci)
-                    for ci in range(g.num_columns)
-                }
-                if _vx_rg_may_match(paths, resolved):
-                    rg_keep.append(rg)
-            if len(rg_keep) == md.num_row_groups:
-                rg_keep = None  # nothing pruned: plain read
+    # r11: pushed filters on PLAIN columns prune row groups too —
+    # alias-resolved against THIS file's names; files that predate the
+    # column keep every group (a v3 initial-default could match)
+    col_resolved = []
+    if getattr(part, "col_filters", None):
+        for cname, aliases, op, val in part.col_filters:
+            fsrc = next(
+                (c for c in (cname, *aliases) if c in avail), None
+            )
+            if fsrc is not None:
+                col_resolved.append((fsrc, op, val))
+    if vx_resolved or col_resolved:
+        md = pf.metadata
+        rg_keep = []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            paths = {
+                g.column(ci).path_in_schema: g.column(ci)
+                for ci in range(g.num_columns)
+            }
+            if _vx_rg_may_match(paths, vx_resolved) and \
+                    _col_rg_may_match(paths, col_resolved):
+                rg_keep.append(rg)
+        if len(rg_keep) == md.num_row_groups:
+            rg_keep = None  # nothing pruned: plain read
     if rg_keep is not None and not rg_keep:
         table = pf.schema_arrow.empty_table()
         if part.columns:
@@ -1014,7 +1069,102 @@ def _vx_cmp_triple(val, mn, mx):
             )
 
         return (val, mn, mx) if _d(mn) and _d(mx) else None
+    if isinstance(val, _dt.datetime):
+        # timestamps: only when awareness agrees on all three (naive
+        # vs aware comparison raises; mixed semantics unprovable)
+        ts = (val, mn, mx)
+        if all(isinstance(x, _dt.datetime) for x in ts) and (
+            all(x.tzinfo is not None for x in ts)
+            or all(x.tzinfo is None for x in ts)
+        ):
+            return ts
+        return None
+    if isinstance(val, bool):
+        return (
+            (val, mn, mx)
+            if isinstance(mn, bool) and isinstance(mx, bool)
+            else None
+        )
+    import decimal as _decmod
+
+    if isinstance(val, _decmod.Decimal):
+        return (
+            (val, mn, mx)
+            if isinstance(mn, _decmod.Decimal)
+            and isinstance(mx, _decmod.Decimal)
+            else None
+        )
     return None
+
+
+def _col_rg_may_match(paths: dict, col_filters) -> bool:
+    """One row group's footer stats vs pushed PLAIN-column filters:
+    False ONLY when some filter provably matches no row in the group
+    (comparison value outside [min, max], comparison over an all-null
+    chunk, IS NULL over a zero-null chunk, IS NOT NULL over an
+    all-null chunk). Absent/unusable stats keep the group — Spark
+    re-applies every pushed filter row-exactly, so pruning is never a
+    correctness decision."""
+    for fsrc, op, val in col_filters:
+        c = paths.get(fsrc)
+        if c is None:
+            continue  # column physically absent: no pruning basis
+        st = c.statistics
+        if st is None:
+            continue
+        nulls = st.null_count
+        if op == "isnull":
+            if nulls is not None and nulls == 0:
+                return False
+            continue
+        if op == "isnotnull":
+            if nulls is not None and nulls == c.num_values:
+                return False
+            continue
+        # comparisons: SQL nulls never satisfy them, so an all-null
+        # chunk provably matches nothing
+        if nulls is not None and nulls == c.num_values:
+            return False
+        if not st.has_min_max:
+            continue
+        if op == "in":
+            vals = [v for v in val if v is not None]
+            if not vals:
+                return False  # IN () / IN (NULL): matches nothing
+            hit = False
+            for v in vals:
+                t = _vx_cmp_triple(v, st.min, st.max)
+                if t is None or t[1] <= t[0] <= t[2]:
+                    hit = True  # inside bounds, or unprovable: keep
+                    break
+            if not hit:
+                return False
+            continue
+        if op == "startswith":
+            t = _vx_cmp_triple(val, st.min, st.max)
+            if t is None:
+                continue
+            pb, mnb, mxb = t
+            up = _incr_bytes(pb) if isinstance(pb, bytes) else None
+            if not isinstance(pb, bytes):
+                continue
+            # v startswith p ⟺ p <= v < incr(p)
+            if mxb < pb or (up is not None and mnb >= up):
+                return False
+            continue
+        t = _vx_cmp_triple(val, st.min, st.max)
+        if t is None:
+            continue  # incomparable families: keep the group
+        val_c, mn, mx = t
+        if (
+            (op == "=" and not (mn <= val_c <= mx))
+            or (op == ">" and not (mx > val_c))
+            or (op == ">=" and not (mx >= val_c))
+            or (op == "<" and not (mn < val_c))
+            or (op == "<=" and not (mn <= val_c))
+        ):
+            return False
+    return True
 
 
 def _vx_rg_may_match(paths: dict, vx_filters) -> bool:
@@ -1327,8 +1477,9 @@ class HieloIcebergReader(DataSourceReader):
         self.filters: list[Filter] = []
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
-        supported = (EqualTo, GreaterThan, GreaterThanOrEqual,
-                     LessThan, LessThanOrEqual, IsNull, IsNotNull)
+        supported = (EqualTo, EqualNullSafe, GreaterThan,
+                     GreaterThanOrEqual, LessThan, LessThanOrEqual,
+                     In, StringStartsWith, IsNull, IsNotNull)
         for f in filters:
             if isinstance(f, supported) and len(getattr(f, "attribute", ())) == 1:
                 self.filters.append(f)
@@ -1520,27 +1671,57 @@ class HieloIcebergReader(DataSourceReader):
                 self.options
             )
         }
-        if extracts:
-            hist_of = {
-                e[0]: (e[2] if len(e) > 2 else ())
-                for e in self.schema_cols
-            }
-            ops = {
-                EqualTo: "=", GreaterThan: ">",
-                GreaterThanOrEqual: ">=", LessThan: "<",
-                LessThanOrEqual: "<=",
-            }
-            vx = []
-            for f in self.filters:
-                attr = getattr(f, "attribute", ())
-                op = ops.get(type(f))
-                if op and len(attr) == 1 and attr[0] in extracts:
-                    src, fld = extracts[attr[0]]
-                    vx.append((
-                        src, tuple(hist_of.get(src, ())), fld, op,
-                        f.value,
-                    ))
-            vx_filters = vx or None
+        hist_of = {
+            e[0]: (e[2] if len(e) > 2 else ())
+            for e in self.schema_cols
+        }
+        ops = {
+            EqualTo: "=", GreaterThan: ">",
+            GreaterThanOrEqual: ">=", LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        vx = []
+        colf = []
+        for f in self.filters:
+            attr = getattr(f, "attribute", ())
+            if len(attr) != 1:
+                continue
+            name = attr[0]
+            op = ops.get(type(f))
+            if op and name in extracts:
+                src, fld = extracts[name]
+                vx.append((
+                    src, tuple(hist_of.get(src, ())), fld, op,
+                    f.value,
+                ))
+                continue
+            # r11: plain-column filters become row-group pruning hints
+            # (the file-level twin of _file_survives' manifest-bounds
+            # pruning; Spark re-applies every filter row-exactly)
+            if name not in hist_of:
+                continue
+            if isinstance(f, IsNull):
+                op, val = "isnull", None
+            elif isinstance(f, IsNotNull):
+                op, val = "isnotnull", None
+            elif isinstance(f, EqualNullSafe):
+                # a <=> NULL is IS NULL; a <=> v (v non-null) never
+                # matches null rows, so it prunes exactly like "="
+                op, val = (
+                    ("isnull", None) if f.value is None
+                    else ("=", f.value)
+                )
+            elif isinstance(f, In):
+                op, val = "in", tuple(f.value or ())
+            elif isinstance(f, StringStartsWith):
+                op, val = "startswith", f.value
+            elif op:
+                val = f.value
+            else:
+                continue
+            colf.append((name, tuple(hist_of.get(name, ())), op, val))
+        vx_filters = vx or None
+        col_filters = colf or None
         scan_log = self.options.get("scan_log")
         parts = []
         sizes = []
@@ -1592,7 +1773,8 @@ class HieloIcebergReader(DataSourceReader):
                                      else None),
                                lineage=lineage, dv_ref=dv_ref,
                                table_root=self.table_dir,
-                               vx_filters=vx_filters)
+                               vx_filters=vx_filters,
+                               col_filters=col_filters)
             )
             sizes.append(int(data_file.get("file_size_in_bytes") or 0))
         if not parts:

@@ -1082,6 +1082,60 @@ def test_recorded_sort_order_drives_compaction(spark, tmp_path):
         C.update_sort_order(t, ["nope"])
 
 
+def test_append_honors_default_sort_order(spark, tmp_path):
+    """r11: once a default sort order is recorded, APPENDS apply it as
+    a local per-task sort (no shuffle) — fresh files arrive with
+    monotone row-group stats so footer pruning bites immediately, and
+    each manifest entry records the sort_order_id."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from hielo_spark.metadata.avro_py import read_avro_file
+    from hielo_spark.metadata.manifests import _resolve
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 10).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    oid = C.update_sort_order(t, ["id"])
+
+    # shuffled input, ONE task → one file whose rows must come back
+    # sorted by the recorded order
+    shuf = (spark.range(10, 4010)
+            .select(F.col("id"))
+            .orderBy(F.rand(seed=7)).coalesce(1))
+    C.append(spark, t, shuf, snapshot_id=102,
+             timestamp_ms=1700100000000)
+    newest = sorted(
+        glob.glob(t + "/data/seq-00002/**/*.parquet", recursive=True))
+    assert len(newest) == 1
+    ids = pq.read_table(newest[0], columns=["id"]).column(
+        "id").to_pylist()
+    assert ids == sorted(ids), "append must apply the sort order"
+
+    # the manifest entry records the order id for the sorted append
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     cur["manifest-list"].removeprefix("file:"))
+    _s, _m, rows = read_avro_file(mlist)
+    oids = set()
+    for r in rows:
+        mp = _resolve(mlist, r["manifest_path"])
+        _s2, _m2, entries = read_avro_file(mp)
+        for e in entries:
+            oids.add(e["data_file"].get("sort_order_id"))
+    assert oid in oids, "sorted append must stamp sort_order_id"
+    assert None in oids, "the pre-order append stays unstamped"
+
+    # reads stay exact
+    got = sorted(r.id for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    assert got == list(range(4010))
+
+
 def test_distinct_count_stats_recorded(spark, tmp_path):
     """Per-file NDV estimates (HLL) land in manifest entries next to
     bounds/null counts; exact within tolerance on small files."""

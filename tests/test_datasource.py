@@ -1632,6 +1632,85 @@ def test_variant_extract_rowgroup_pruning(registered, spark, tmp_path):
     assert 5499 in got and 5000 in got and 9999 in got and 4999 not in got
 
 
+def test_plain_filter_rowgroup_pruning(registered, spark, tmp_path):
+    """r11: pushed filters on PLAIN columns prune row groups via the
+    parquet footer stats — the within-file twin of the manifest-bounds
+    file pruning. Comparisons, IS NULL / IS NOT NULL, strings, and the
+    all-null-chunk rule all prune; results stay exact, including under
+    deletes (the orig_pos remap is shared with the variant path)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from hielo_spark.sources.iceberg_source import (
+        EqualNullSafe,
+        EqualTo,
+        GreaterThan,
+        HieloIcebergReader,
+        In,
+        IsNotNull,
+        IsNull,
+        StringStartsWith,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(10_000).selectExpr(
+        "id",
+        "concat('s', lpad(cast(id as string), 6, '0')) AS s",
+        "CAST(NULL AS string) AS dead").coalesce(1)
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000)
+    f = sorted(_glob.glob(t + "/data/**/*.parquet", recursive=True))[0]
+    pq.write_table(pq.read_table(f), f, row_group_size=1000)
+    crc = _os.path.join(_os.path.dirname(f),
+                        "." + _os.path.basename(f) + ".crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+    cols = [("id", "bigint", (), None), ("s", "string", (), None),
+            ("dead", "string", (), None)]
+
+    def surfaced(filters):
+        r = HieloIcebergReader(t, {}, cols)
+        list(r.pushFilters(filters))
+        return sum(
+            b.num_rows for p in r.partitions() for b in r.read(p))
+
+    assert surfaced([EqualTo(("id",), 5500)]) == 1000
+    assert surfaced([GreaterThan(("id",), 8999)]) == 1000
+    assert surfaced([EqualTo(("s",), "s005500")]) == 1000
+    # two filters intersect: id in group 5, s in group 8 → nothing
+    assert surfaced([EqualTo(("id",), 5500),
+                     EqualTo(("s",), "s008500")]) == 0
+    # all-null column: IS NOT NULL provably empty, comparisons too
+    assert surfaced([IsNotNull(("dead",))]) == 0
+    assert surfaced([EqualTo(("dead",), "x")]) == 0
+    # no-null column: IS NULL provably empty
+    assert surfaced([IsNull(("id",))]) == 0
+    # IN: groups containing ANY listed value survive (5 and 8 here)
+    assert surfaced([In(("id",), (5500, 8500))]) == 2000
+    # null-safe equality prunes like "="; <=> NULL like IS NULL
+    assert surfaced([EqualNullSafe(("id",), 5500)]) == 1000
+    assert surfaced([EqualNullSafe(("id",), None)]) == 0
+    # prefix: only the group whose range intersects [p, incr(p))
+    assert surfaced([StringStartsWith(("s",), "s0055")]) == 1000
+    assert surfaced([StringStartsWith(("s",), "t")]) == 0
+    # spark-surface results stay exact
+    out = (spark.read.format("hielo_iceberg").load(t)
+           .filter("id = 5500").collect())
+    assert [(x.id, x.s) for x in out] == [(5500, "s005500")]
+    assert (spark.read.format("hielo_iceberg").load(t)
+            .filter("s > 's009998'").count()) == 1
+
+    # deletes: pruning stays on, positions remap (v3 → DV)
+    C.delete_where(spark, t, "id = 5500",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    assert surfaced([EqualTo(("id",), 5501)]) == 999
+    assert (spark.read.format("hielo_iceberg").load(t)
+            .filter("id IN (5500, 5501)").count()) == 1
+
+
 def test_variant_extract_nested_paths(registered, spark, tmp_path):
     """r11: variant-extract learns NESTED object paths ("v.a.b") and
     shredded-array element access ("v.arr[0]"). The writer shreds
