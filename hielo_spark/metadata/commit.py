@@ -1633,20 +1633,43 @@ def append(
     _record_table_shape(
         doc, dtypes, transforms, frozenset(variant_cols or ())
     )
+    # honor the table's write.distribution-mode property (Iceberg
+    # writer behavior): "range" clusters the frame globally by the
+    # default sort order (one shuffle, disjoint per-file ranges),
+    # "hash" clusters by the partition transform sources (each
+    # partition value lands in one task → one file per partition per
+    # commit instead of one per input task), "none"/absent keeps the
+    # caller's distribution
+    order_cols = _sort_cols_from_doc(doc)
+    sort_cols = [c for c in order_cols if c in dtypes]
+    dist = str(
+        (doc.get("properties", {}) or {}).get(
+            "write.distribution-mode", "none"
+        )
+    ).lower()
+    if dist == "range" and sort_cols:
+        df = df.repartitionByRange(*sort_cols)
+    elif dist == "hash" and transforms:
+        srcs = [t.source for t in transforms if t.source in dtypes]
+        if srcs:
+            df = df.repartition(*srcs)
     # honor the table's default sort order on appends (identity
     # transforms only, _sort_cols_from_doc): a LOCAL per-task sort —
-    # no shuffle — so fresh files carry tight column bounds and
+    # no extra shuffle — so fresh files carry tight column bounds and
     # file-/row-group pruning bites immediately, not only after the
     # next sorted compaction (Iceberg writers apply the sort order on
     # write; spec "sort-orders" / "default-sort-order-id")
-    sort_cols = [c for c in _sort_cols_from_doc(doc) if c in dtypes]
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     parts, partition_of, ptypes, stats = _write_data_files(
         spark, data_dir, df, transforms, dtypes
     )
+    # stamp the order id ONLY when every order column was present —
+    # a partial sort must not claim the full order to readers
     sort_oid = (
-        int(doc.get("default-sort-order-id", 0)) if sort_cols else None
+        int(doc.get("default-sort-order-id", 0))
+        if sort_cols and len(sort_cols) == len(order_cols)
+        else None
     )
     records_of, bounds_of, btypes = stats.records_of, stats.bounds_of, stats.btypes
 

@@ -1199,7 +1199,38 @@ def _vx_rg_may_match(paths: dict, vx_filters) -> bool:
         if binary_possible:
             continue
         st = tv.statistics
-        if st is None or not st.has_min_max:
+        if st is None:
+            continue
+        # all binaries proven absent + typed subcolumn all-null: the
+        # field is null/missing in every row — comparisons match none
+        if (
+            st.null_count is not None
+            and st.null_count == tv.num_values
+        ):
+            return False
+        if not st.has_min_max:
+            continue
+        if op == "in":
+            vals = [v for v in val if v is not None]
+            if not vals:
+                return False
+            hit = False
+            for v in vals:
+                t = _vx_cmp_triple(v, st.min, st.max)
+                if t is None or t[1] <= t[0] <= t[2]:
+                    hit = True
+                    break
+            if not hit:
+                return False
+            continue
+        if op == "startswith":
+            t = _vx_cmp_triple(val, st.min, st.max)
+            if t is None or not isinstance(t[0], bytes):
+                continue
+            pb, mnb, mxb = t
+            up = _incr_bytes(pb)
+            if mxb < pb or (up is not None and mnb >= up):
+                return False
             continue
         t = _vx_cmp_triple(val, st.min, st.max)
         if t is None:
@@ -1297,6 +1328,19 @@ def _variant_extract_array(col, field: str, want_ddl: str):
             return v if isinstance(v, str) else None
         if pa.types.is_boolean(w):
             return v if isinstance(v, bool) else None
+        if pa.types.is_date(w):
+            import datetime as _dt
+
+            # only a true variant date decodes to datetime.date; strings
+            # and other families surface null (cast semantics) — a
+            # str passed through here would abort the whole batch at
+            # pa.array(type=date32)
+            return (
+                v
+                if isinstance(v, _dt.date)
+                and not isinstance(v, _dt.datetime)
+                else None
+            )
         return v
 
     def _coerce(v):
@@ -1373,6 +1417,7 @@ def _variant_extract_array(col, field: str, want_ddl: str):
                          or pa.types.is_floating(t)))
                 or (pa.types.is_string(w) and pa.types.is_string(t))
                 or (pa.types.is_boolean(w) and pa.types.is_boolean(t))
+                or (pa.types.is_date(w) and pa.types.is_date(t))
             )
 
         # typed→requested conversion follows the SAME semantics as the
@@ -1688,12 +1733,19 @@ class HieloIcebergReader(DataSourceReader):
                 continue
             name = attr[0]
             op = ops.get(type(f))
-            if op and name in extracts:
+            if name in extracts:
                 src, fld = extracts[name]
-                vx.append((
-                    src, tuple(hist_of.get(src, ())), fld, op,
-                    f.value,
-                ))
+                hist = tuple(hist_of.get(src, ()))
+                if isinstance(f, In):
+                    vx.append((src, hist, fld, "in",
+                               tuple(f.value or ())))
+                elif isinstance(f, StringStartsWith):
+                    vx.append((src, hist, fld, "startswith", f.value))
+                elif isinstance(f, EqualNullSafe):
+                    if f.value is not None:
+                        vx.append((src, hist, fld, "=", f.value))
+                elif op:
+                    vx.append((src, hist, fld, op, f.value))
                 continue
             # r11: plain-column filters become row-group pruning hints
             # (the file-level twin of _file_survives' manifest-bounds

@@ -1136,6 +1136,85 @@ def test_append_honors_default_sort_order(spark, tmp_path):
     assert got == list(range(4010))
 
 
+def test_write_distribution_mode(spark, tmp_path):
+    """r11: the Iceberg write.distribution-mode table property drives
+    append clustering — 'range' shuffles by the default sort order so
+    files carry DISJOINT ranges; 'hash' shuffles by the partition
+    sources so each partition value lands in one file per commit;
+    'none'/absent keeps the caller's distribution."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from hielo_spark.metadata.manifests import files_from_manifest_list
+
+    # range mode: 4 interleaved input partitions → disjoint file ranges
+    t = str(tmp_path / "t_range")
+    C.append(spark, t, spark.range(0, 10).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.update_sort_order(t, ["id"])
+    C.set_table_properties(t, {"write.distribution-mode": "range"})
+    shuf = (spark.range(10, 2010).select(F.col("id"))
+            .orderBy(F.rand(seed=3)).repartition(4))
+    # AQE rightly coalesces a 2k-row range shuffle into one partition;
+    # pin it off so the test can SEE the range clustering
+    old_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        C.append(spark, t, shuf, snapshot_id=102,
+                 timestamp_ms=1700100000000)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            old_coalesce)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    files = files_from_manifest_list(
+        spark, "t", cur["manifest-list"].removeprefix("file:")
+    ).collect()
+    new = [f for f in files if "seq-00002" in f.file_path]
+    assert len(new) >= 2
+    ranges = sorted(
+        (int(f.lower_bounds["id"]), int(f.upper_bounds["id"]))
+        for f in new)
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "range mode must produce disjoint files"
+    got = sorted(r.id for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    assert got == list(range(2010))
+
+    # hash mode: partitioned table, 4 input tasks → ONE file per
+    # partition value for the commit (not one per task per value)
+    t2 = str(tmp_path / "t_hash")
+    df0 = spark.range(0, 8).selectExpr(
+        "id", "cast(id % 2 as string) AS k")
+    C.append(spark, t2, df0, snapshot_id=101,
+             timestamp_ms=1700000000000, partition_by=["k"])
+    C.set_table_properties(t2, {"write.distribution-mode": "hash"})
+    df1 = (spark.range(8, 808)
+           .selectExpr("id", "cast(id % 2 as string) AS k")
+           .repartition(4))
+    C.append(spark, t2, df1, snapshot_id=102,
+             timestamp_ms=1700100000000, partition_by=["k"])
+    per_part = {}
+    for p in glob.glob(t2 + "/data/seq-00002/**/part-*.parquet",
+                       recursive=True):
+        key = [s for s in p.split(os.sep) if s.startswith("k=")][0]
+        per_part[key] = per_part.get(key, 0) + 1
+    assert per_part == {"k=0": 1, "k=1": 1}, \
+        "hash mode must write one file per partition value"
+    assert sorted(
+        r.id for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t2)).collect()
+    ) == list(range(808))
+
+
 def test_distinct_count_stats_recorded(spark, tmp_path):
     """Per-file NDV estimates (HLL) land in manifest entries next to
     bounds/null counts; exact within tolerance on small files."""

@@ -1825,6 +1825,54 @@ def test_variant_extract_nested_paths(registered, spark, tmp_path):
     assert surfaced == 1000, "nested path must prune to one group"
 
 
+def test_variant_extract_date_leaf():
+    """r11 review fix: 'v.d:date' must (a) serve a date32-shredded
+    leaf from the typed fast path (a foreign writer can shred dates
+    even though our JSON-string writer can't) and (b) surface NULL —
+    not abort the batch — when the value decodes to a non-date (a
+    string reaching pa.array(type=date32) raised)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from hielo_spark.metadata.variant import (
+        _collect_keys,
+        _encode_value,
+        encode_metadata,
+    )
+    from hielo_spark.sources.iceberg_source import _variant_extract_array
+
+    # date32-shredded file shape
+    inner = pa.StructArray.from_arrays(
+        [pa.nulls(3, pa.binary()),
+         pa.array([dt.date(2024, 1, 1), None, dt.date(2024, 3, 5)],
+                  pa.date32())],
+        names=["value", "typed_value"])
+    tv = pa.StructArray.from_arrays([inner], names=["d"])
+    col = pa.StructArray.from_arrays(
+        [pa.nulls(3, pa.binary()), pa.nulls(3, pa.binary()), tv],
+        names=["metadata", "value", "typed_value"])
+    assert _variant_extract_array(col, "d", "date").to_pylist() == [
+        dt.date(2024, 1, 1), None, dt.date(2024, 3, 5)]
+    # family mismatch: date leaf as string → nulls
+    assert _variant_extract_array(col, "d", "string").to_pylist() == \
+        [None, None, None]
+
+    # unshredded row carrying a STRING under d, requested as date →
+    # null (previously: ArrowInvalid aborting the whole batch)
+    obj = {"d": "2024-01-01"}
+    keys: list[str] = []
+    _collect_keys(obj, keys, set())
+    keys.sort()
+    key_id = {k: i for i, k in enumerate(keys)}
+    col2 = pa.StructArray.from_arrays(
+        [pa.array([encode_metadata(keys)], pa.binary()),
+         pa.array([_encode_value(obj, key_id)], pa.binary())],
+        names=["metadata", "value"])
+    assert _variant_extract_array(col2, "d", "date").to_pylist() == \
+        [None]
+
+
 def test_variant_extract_whole_array(registered, spark, tmp_path):
     """r11: 'v.arr:array<bigint>' extracts the WHOLE array as a typed
     list column — shredded lists serve from the element typed values
@@ -1912,6 +1960,19 @@ def test_variant_extract_string_date_pruning(
     surfaced2 = sum(
         b.num_rows for p in r2.partitions() for b in r2.read(p))
     assert surfaced2 == 1000, "string range must prune to the tail"
+    # r11: IN and string-prefix predicates prune variant extracts too
+    from hielo_spark.sources.iceberg_source import In, StringStartsWith
+
+    r3 = HieloIcebergReader(t, {"variant-extract": "v.s:string"}, cols)
+    list(r3.pushFilters([In(("v_s",), ("k002500", "k007500"))]))
+    assert sum(
+        b.num_rows for p in r3.partitions() for b in r3.read(p)
+    ) == 2000, "IN must keep exactly the two matching groups"
+    r4 = HieloIcebergReader(t, {"variant-extract": "v.s:string"}, cols)
+    list(r4.pushFilters([StringStartsWith(("v_s",), "k0033")]))
+    assert sum(
+        b.num_rows for p in r4.partitions() for b in r4.read(p)
+    ) == 1000, "prefix must keep exactly the containing group"
     # values stay exact through the Spark surface
     out = (spark.read.format("hielo_iceberg")
            .option("variant-extract", "v.s:string").load(t)
