@@ -4322,6 +4322,14 @@ def merge_into(
         # the same hive layout + manifest partition values as appends,
         # so pruning never degrades as a table takes merges
         spec_transforms = _spec_transforms_from_doc(doc)
+        # merged-in rows honor the default sort order exactly like
+        # appends (local per-task sort — tight bounds on fresh files)
+        merge_sort = [
+            c for c in _sort_cols_from_doc(doc)
+            if c in dict(to_append.dtypes)
+        ]
+        if merge_sort:
+            to_append = to_append.sortWithinPartitions(*merge_sort)
         data_parts, partition_of, ptypes, stats = _write_data_files(
             spark, data_dir, to_append, spec_transforms, dict(to_append.dtypes)
         )

@@ -1135,6 +1135,18 @@ def test_append_honors_default_sort_order(spark, tmp_path):
         spark, C.current_metadata_path(t)).collect())
     assert got == list(range(4010))
 
+    # MERGE-appended rows honor the order too
+    src = (spark.range(4010, 5010).selectExpr("id")
+           .orderBy(F.rand(seed=11)).coalesce(1))
+    C.merge_into(spark, t, src, on=["id"], snapshot_id=103,
+                 timestamp_ms=1700200000000)
+    merged = sorted(
+        glob.glob(t + "/data/seq-00003/**/*.parquet", recursive=True))
+    assert len(merged) == 1
+    mids = pq.read_table(merged[0], columns=["id"]).column(
+        "id").to_pylist()
+    assert mids == sorted(mids), "merge must apply the sort order"
+
 
 def test_write_distribution_mode(spark, tmp_path):
     """r11: the Iceberg write.distribution-mode table property drives
