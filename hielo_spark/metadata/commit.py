@@ -543,6 +543,11 @@ class _FileStats:
     def __init__(self, spark, data_dir, dtypes, exclude_cols):
         from pyspark.sql import functions as F
 
+        #: write.metadata.metrics.default applied at read-out: None =
+        #: full, ("truncate", N), "counts" (no bounds), "none" (no
+        #: column metrics at all) — set by _write_data_files
+        self.metrics_mode = None
+
         self.bound_cols = [
             c for c, t in dtypes.items()
             if t in self._BOUNDABLE and c not in exclude_cols
@@ -611,21 +616,29 @@ class _FileStats:
             return (None, None)
         lo = {c: r[f"_lo_{c}"] for c in self.bound_cols if r[f"_lo_{c}"] is not None}
         hi = {c: r[f"_hi_{c}"] for c in self.bound_cols if r[f"_hi_{c}"] is not None}
-        return (lo or None, hi or None)
+        return _apply_metrics_mode(
+            lo or None, hi or None, self.btypes, self.metrics_mode
+        )
 
     def null_counts_of(self, p: str) -> dict | None:
+        if self.metrics_mode == "none":
+            return None
         r = self._row_of(p)
         if r is None:
             return None
         return {c: r[f"_nn_{c}"] for c in self.null_cols} or None
 
     def nan_counts_of(self, p: str) -> dict | None:
+        if self.metrics_mode == "none":
+            return None
         r = self._row_of(p)
         if r is None:
             return None
         return {c: r[f"_nan_{c}"] for c in self.nan_cols} or None
 
     def distinct_counts_of(self, p: str) -> dict | None:
+        if self.metrics_mode == "none":
+            return None
         r = self._row_of(p)
         if r is None:
             return None
@@ -634,6 +647,77 @@ class _FileStats:
 
 def _file_stats(spark, data_dir, dtypes, exclude_cols) -> _FileStats:
     return _FileStats(spark, data_dir, dtypes, exclude_cols)
+
+
+def _metrics_mode_of(doc: dict):
+    """The table's ``write.metadata.metrics.default`` property parsed:
+    ``None`` (full bounds — the engine default), ``("truncate", N)``,
+    ``"counts"`` (counts only, no bounds), or ``"none"`` (no column
+    metrics at all). Iceberg's own default is truncate(16); this
+    engine keeps full bounds unless the property says otherwise."""
+    import re as _re
+
+    v = str(
+        (doc.get("properties", {}) or {}).get(
+            "write.metadata.metrics.default", "full"
+        )
+    ).strip().lower()
+    if v in ("counts", "none"):
+        return v
+    m = _re.fullmatch(r"truncate\((\d+)\)", v)
+    return ("truncate", int(m.group(1))) if m else None
+
+
+def _truncate_string_min(s: str, n: int) -> str:
+    """Spec truncateStringMin: the N-code-point prefix (≤ the true
+    min, so [min, max] stays an enclosing range)."""
+    return s if len(s) <= n else s[:n]
+
+
+def _truncate_string_max(s: str, n: int) -> str | None:
+    """Spec truncateStringMax: the N-code-point prefix with its last
+    incrementable code point bumped (> every string with that prefix);
+    None when no valid upper bound exists (all U+10FFFF). Increments
+    that would land in the surrogate range jump past it (surrogates
+    are not valid UTF-8 scalar values)."""
+    if len(s) <= n:
+        return s
+    cps = list(s[:n])
+    for i in range(len(cps) - 1, -1, -1):
+        o = ord(cps[i])
+        if o < 0x10FFFF:
+            nxt = o + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return "".join(cps[:i]) + chr(nxt)
+    return None
+
+
+def _apply_metrics_mode(lo, hi, btypes, mode):
+    """Per-file (lower, upper) bound dicts filtered/truncated per the
+    metrics mode. Numeric/date bounds are never truncated (fixed
+    width); string bounds truncate with the spec's enclosing-range
+    rules, so every reader comparator stays conservative."""
+    if mode is None:
+        return lo, hi
+    if mode in ("counts", "none"):
+        return None, None
+    _, n = mode
+    tlo = {
+        c: (_truncate_string_min(v, n)
+            if (btypes or {}).get(c) == "string" else v)
+        for c, v in (lo or {}).items()
+    } or None
+    thi = {}
+    for c, v in (hi or {}).items():
+        if (btypes or {}).get(c) == "string":
+            t = _truncate_string_max(v, n)
+            if t is None:
+                continue  # unbounded above: omit per spec
+            thi[c] = t
+        else:
+            thi[c] = v
+    return tlo, (thi or None)
 
 
 # -- table-dir state -------------------------------------------------------
@@ -1406,11 +1490,14 @@ def _finalize_commit(
     return snapshot
 
 
-def _write_data_files(spark, data_dir: str, df: DataFrame, transforms, dtypes):
+def _write_data_files(spark, data_dir: str, df: DataFrame, transforms, dtypes,
+                      metrics_mode=None):
     """Shared distributed data-file write for append/merge: derive any
     hidden-partition columns, write (hive layout when partitioned),
     and return ``(parts, partition_of, ptypes, stats)`` — the pieces a
-    manifest entry needs."""
+    manifest entry needs. ``metrics_mode`` (from
+    ``write.metadata.metrics.default``) truncates or suppresses the
+    per-file column metrics the stats pass collects."""
     from urllib.parse import unquote
 
     if transforms:
@@ -1457,6 +1544,7 @@ def _write_data_files(spark, data_dir: str, df: DataFrame, transforms, dtypes):
         dtypes,
         exclude_cols=[t.source for t in transforms if t.kind == "identity"],
     )
+    stats.metrics_mode = metrics_mode
     return parts, partition_of, ptypes, stats
 
 
@@ -1662,7 +1750,8 @@ def append(
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     parts, partition_of, ptypes, stats = _write_data_files(
-        spark, data_dir, df, transforms, dtypes
+        spark, data_dir, df, transforms, dtypes,
+        metrics_mode=_metrics_mode_of(doc),
     )
     # stamp the order id ONLY when every order column was present —
     # a partial sort must not claim the full order to readers
@@ -2151,6 +2240,7 @@ def rewrite_data_files(
     # which is where sort/zorder strategies pay off (tight disjoint
     # ranges → skip_filter reads touch one file)
     stats = _file_stats(spark, data_dir, dict(live.dtypes), exclude_cols=[])
+    stats.metrics_mode = _metrics_mode_of(doc)
     records_of = stats.records_of
 
     manifest_path = os.path.join(
@@ -4331,7 +4421,8 @@ def merge_into(
         if merge_sort:
             to_append = to_append.sortWithinPartitions(*merge_sort)
         data_parts, partition_of, ptypes, stats = _write_data_files(
-            spark, data_dir, to_append, spec_transforms, dict(to_append.dtypes)
+            spark, data_dir, to_append, spec_transforms,
+            dict(to_append.dtypes), metrics_mode=_metrics_mode_of(doc),
         )
         added_records = sum(stats.records_of(p) for p in data_parts)
         if added_records == 0:

@@ -1227,6 +1227,86 @@ def test_write_distribution_mode(spark, tmp_path):
     ) == list(range(808))
 
 
+def test_metrics_mode_property(spark, tmp_path):
+    """r11: write.metadata.metrics.default drives the per-file column
+    metrics — truncate(N) shortens STRING bounds with the spec's
+    enclosing-range rules (lower = prefix, upper = prefix with last
+    code point incremented; numeric bounds untouched), counts drops
+    bounds, none drops all column metrics. Reads and file pruning
+    stay exact through truncated bounds."""
+    from hielo_spark.metadata.manifests import files_from_manifest_list
+
+    def newest_file_row(t):
+        doc = json.load(open(C.current_metadata_path(t)))
+        cur = next(s for s in doc["snapshots"]
+                   if s["snapshot-id"] == doc["current-snapshot-id"])
+        rows = files_from_manifest_list(
+            spark, "t", cur["manifest-list"].removeprefix("file:")
+        ).collect()
+        return max(rows, key=lambda r: r.file_path)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"pear-{i:06d}") for i in range(100)], "id long, s string"
+    ).coalesce(1)
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000)
+    C.set_table_properties(
+        t, {"write.metadata.metrics.default": "truncate(4)"})
+    C.append(spark, t,
+             spark.createDataFrame(
+                 [(i, f"plum-{i:06d}") for i in range(100, 200)],
+                 "id long, s string").coalesce(1),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    r = newest_file_row(t)
+    assert r.lower_bounds["s"] == "plum"          # 4-cp prefix
+    assert r.upper_bounds["s"] == "plun"          # last cp incremented
+    assert r.upper_bounds["s"] > "plum-000199"    # still encloses max
+    assert r.lower_bounds["id"] == "100"          # numerics untouched
+    # pruning through truncated bounds stays exact + conservative
+    from hielo_spark.sources import register
+
+    register(spark)
+    got = (spark.read.format("hielo_iceberg").load(t)
+           .filter("s = 'plum-000150'").collect())
+    assert [(x.id, x.s) for x in got] == [(150, "plum-000150")]
+    assert (spark.read.format("hielo_iceberg").load(t)
+            .filter("s >= 'q'").count()) == 0
+
+    # counts mode: bounds gone, null counts kept
+    C.set_table_properties(
+        t, {"write.metadata.metrics.default": "counts"})
+    C.append(spark, t,
+             spark.createDataFrame([(200, "zed")], "id long, s string"),
+             snapshot_id=103, timestamp_ms=1700200000000)
+    r = newest_file_row(t)
+    assert not r.lower_bounds and not r.upper_bounds
+    assert r.null_counts["s"] == "0"
+
+    # none mode: no column metrics at all
+    C.set_table_properties(
+        t, {"write.metadata.metrics.default": "none"})
+    C.append(spark, t,
+             spark.createDataFrame([(201, "zee")], "id long, s string"),
+             snapshot_id=104, timestamp_ms=1700300000000)
+    r = newest_file_row(t)
+    assert not r.lower_bounds and not r.upper_bounds
+    assert not r.null_counts
+    # the table still reads exactly under every mode
+    assert sorted(
+        x.id for x in read_data_at_snapshot(
+            spark, C.current_metadata_path(t)).collect()
+    ) == list(range(202))
+
+    # the all-U+10FFFF upper bound is omitted, never wrong
+    from hielo_spark.metadata.commit import _truncate_string_max
+    assert _truncate_string_max("\U0010FFFF" * 5, 3) is None
+    assert _truncate_string_max("ab\U0010FFFFzz", 3) == "ac"
+    # incrementing into the surrogate range jumps past it
+    # (surrogates are not valid UTF-8 scalar values)
+    assert _truncate_string_max("ab\ud7ffzzz", 3) == "ab\ue000"
+
+
 def test_distinct_count_stats_recorded(spark, tmp_path):
     """Per-file NDV estimates (HLL) land in manifest entries next to
     bounds/null counts; exact within tolerance on small files."""
