@@ -2861,12 +2861,31 @@ class HieloIcebergDataSource(DataSource):
             raise ValueError("load(<table_dir>) path is required")
         surface = self.options.get("surface", "data")
         if surface == "changes":
-            # the data schema + Iceberg's changelog metadata columns
+            # the data schema + Iceberg's changelog metadata columns;
+            # r11: variant-extract derived columns ride between them
+            # (matching _schema_cols order — data cols, extracts, then
+            # the _change_* columns the read wrapper appends)
             data_ddl = ", ".join(
                 ddl for _n, ddl in self._data_cols_ddl(table_dir)
             )
+            extract_ddl = ""
+            extracts = _parse_variant_extracts(self.options)
+            if extracts:
+                doc = _load_doc(table_dir)
+                blk = _read_schema_block(doc, self.options) or {}
+                vnames = {
+                    f["name"] for f in blk.get("fields", [])
+                    if f.get("type") == "variant"
+                }
+                for out_name, src, _fld, ddl in extracts:
+                    if src not in vnames:
+                        raise ValueError(
+                            f"variant-extract source {src!r} is not a "
+                            "variant column of this table"
+                        )
+                    extract_ddl += f", {out_name} {ddl}"
             return (
-                f"{data_ddl}, _change_type string, "
+                f"{data_ddl}{extract_ddl}, _change_type string, "
                 "_commit_snapshot_id bigint, _change_ordinal int"
             )
         if surface != "data":
@@ -3008,8 +3027,10 @@ class HieloIcebergDataSource(DataSource):
         # schema()'s declared order): the sentinel DDL carries the
         # source column + its rename history, so tasks read the
         # variant column's pages and — when the file shredded the
-        # field — serve the typed subcolumn with zero JSON decode
-        if self.options.get("surface", "data") == "data":
+        # field — serve the typed subcolumn with zero JSON decode.
+        # r11: the changes surface extracts too (its _change_* columns
+        # append after these in the read wrapper)
+        if self.options.get("surface", "data") in ("data", "changes"):
             by_name = {e[0]: e for e in out}
             for out_name, src, fld, ddl in _parse_variant_extracts(
                 self.options

@@ -1825,6 +1825,47 @@ def test_variant_extract_nested_paths(registered, spark, tmp_path):
     assert surfaced == 1000, "nested path must prune to one group"
 
 
+def test_variant_extract_on_changes_and_stream(registered, spark,
+                                               tmp_path):
+    """r11: variant-extract works beyond the batch data surface — the
+    CDC changes surface appends the typed columns between the data
+    columns and the _change_* metadata, and the streaming source
+    extracts per micro-batch (it shares the data-surface schema)."""
+    t = str(tmp_path / "t")
+    C.append(spark, t,
+             spark.createDataFrame(
+                 [(0, '{"a": 7}'), (1, '{"a": "no"}')],
+                 "id long, v string"),
+             snapshot_id=101, timestamp_ms=1700000000000,
+             variant_cols=["v"], variant_shred={"v": {"a": "bigint"}})
+    C.append(spark, t,
+             spark.createDataFrame([(2, '{"a": 9}')],
+                                   "id long, v string"),
+             snapshot_id=102, timestamp_ms=1700100000000,
+             variant_cols=["v"])
+
+    ch = (spark.read.format("hielo_iceberg")
+          .option("surface", "changes")
+          .option("variant-extract", "v.a:bigint").load(t))
+    assert ch.columns == [
+        "id", "v", "v_a", "_change_type", "_commit_snapshot_id",
+        "_change_ordinal"]
+    rows = {r.id: (r.v_a, r._commit_snapshot_id)
+            for r in ch.collect()}
+    assert rows == {0: (7, 101), 1: (None, 101), 2: (9, 102)}
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (spark.readStream.format("hielo_iceberg")
+         .option("initial-snapshot", "earliest")
+         .option("variant-extract", "v.a:bigint").load(t)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.id: r.v_a for r in spark.read.parquet(out).collect()}
+    assert got == {0: 7, 1: None, 2: 9}
+
+
 def test_variant_extract_date_leaf():
     """r11 review fix: 'v.d:date' must (a) serve a date32-shredded
     leaf from the typed fast path (a foreign writer can shred dates
