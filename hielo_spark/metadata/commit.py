@@ -621,51 +621,69 @@ class _FileStats:
         )
 
     def null_counts_of(self, p: str) -> dict | None:
-        if self.metrics_mode == "none":
-            return None
         r = self._row_of(p)
         if r is None:
             return None
-        return {c: r[f"_nn_{c}"] for c in self.null_cols} or None
+        return {
+            c: r[f"_nn_{c}"] for c in self.null_cols
+            if _col_metrics_mode(self.metrics_mode, c) != "none"
+        } or None
 
     def nan_counts_of(self, p: str) -> dict | None:
-        if self.metrics_mode == "none":
-            return None
         r = self._row_of(p)
         if r is None:
             return None
-        return {c: r[f"_nan_{c}"] for c in self.nan_cols} or None
+        return {
+            c: r[f"_nan_{c}"] for c in self.nan_cols
+            if _col_metrics_mode(self.metrics_mode, c) != "none"
+        } or None
 
     def distinct_counts_of(self, p: str) -> dict | None:
-        if self.metrics_mode == "none":
-            return None
         r = self._row_of(p)
         if r is None:
             return None
-        return {c: r[f"_dv_{c}"] for c in self.bound_cols} or None
+        return {
+            c: r[f"_dv_{c}"] for c in self.bound_cols
+            if _col_metrics_mode(self.metrics_mode, c) != "none"
+        } or None
 
 
 def _file_stats(spark, data_dir, dtypes, exclude_cols) -> _FileStats:
     return _FileStats(spark, data_dir, dtypes, exclude_cols)
 
 
-def _metrics_mode_of(doc: dict):
-    """The table's ``write.metadata.metrics.default`` property parsed:
-    ``None`` (full bounds — the engine default), ``("truncate", N)``,
-    ``"counts"`` (counts only, no bounds), or ``"none"`` (no column
-    metrics at all). Iceberg's own default is truncate(16); this
-    engine keeps full bounds unless the property says otherwise."""
+def _parse_metrics_value(v: str):
     import re as _re
 
-    v = str(
-        (doc.get("properties", {}) or {}).get(
-            "write.metadata.metrics.default", "full"
-        )
-    ).strip().lower()
+    v = str(v).strip().lower()
     if v in ("counts", "none"):
         return v
     m = _re.fullmatch(r"truncate\((\d+)\)", v)
     return ("truncate", int(m.group(1))) if m else None
+
+
+def _metrics_mode_of(doc: dict):
+    """The table's metrics properties parsed: ``None`` (full bounds
+    everywhere — the engine default), or ``(default, per_column)``
+    where each mode is None / ``("truncate", N)`` / ``"counts"`` /
+    ``"none"``. ``write.metadata.metrics.default`` sets the default;
+    ``write.metadata.metrics.column.<name>`` overrides per column
+    (both Iceberg spec properties). Iceberg's own default is
+    truncate(16); this engine keeps full bounds unless a property
+    says otherwise."""
+    props = doc.get("properties", {}) or {}
+    default = _parse_metrics_value(
+        props.get("write.metadata.metrics.default", "full")
+    )
+    prefix = "write.metadata.metrics.column."
+    per = {
+        k[len(prefix):]: _parse_metrics_value(v)
+        for k, v in props.items()
+        if k.startswith(prefix)
+    }
+    if default is None and not per:
+        return None
+    return (default, per)
 
 
 def _truncate_string_min(s: str, n: int) -> str:
@@ -693,31 +711,43 @@ def _truncate_string_max(s: str, n: int) -> str | None:
     return None
 
 
+def _col_metrics_mode(mode, col):
+    """Effective mode for one column: the per-column override when
+    present, else the default."""
+    if mode is None:
+        return None
+    default, per = mode
+    return per.get(col, default)
+
+
 def _apply_metrics_mode(lo, hi, btypes, mode):
     """Per-file (lower, upper) bound dicts filtered/truncated per the
-    metrics mode. Numeric/date bounds are never truncated (fixed
-    width); string bounds truncate with the spec's enclosing-range
-    rules, so every reader comparator stays conservative."""
+    metrics modes (default + per-column overrides). Numeric/date
+    bounds are never truncated (fixed width); string bounds truncate
+    with the spec's enclosing-range rules, so every reader comparator
+    stays conservative."""
     if mode is None:
         return lo, hi
-    if mode in ("counts", "none"):
-        return None, None
-    _, n = mode
-    tlo = {
-        c: (_truncate_string_min(v, n)
-            if (btypes or {}).get(c) == "string" else v)
-        for c, v in (lo or {}).items()
-    } or None
+    tlo = {}
+    for c, v in (lo or {}).items():
+        m = _col_metrics_mode(mode, c)
+        if m in ("counts", "none"):
+            continue
+        if m is not None and (btypes or {}).get(c) == "string":
+            v = _truncate_string_min(v, m[1])
+        tlo[c] = v
     thi = {}
     for c, v in (hi or {}).items():
-        if (btypes or {}).get(c) == "string":
-            t = _truncate_string_max(v, n)
+        m = _col_metrics_mode(mode, c)
+        if m in ("counts", "none"):
+            continue
+        if m is not None and (btypes or {}).get(c) == "string":
+            t = _truncate_string_max(v, m[1])
             if t is None:
                 continue  # unbounded above: omit per spec
-            thi[c] = t
-        else:
-            thi[c] = v
-    return tlo, (thi or None)
+            v = t
+        thi[c] = v
+    return (tlo or None), (thi or None)
 
 
 # -- table-dir state -------------------------------------------------------

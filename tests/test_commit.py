@@ -1298,6 +1298,17 @@ def test_metrics_mode_property(spark, tmp_path):
             spark, C.current_metadata_path(t)).collect()
     ) == list(range(202))
 
+    # per-column override: id keeps full bounds while s goes counts
+    C.set_table_properties(
+        t, {"write.metadata.metrics.default": "full",
+            "write.metadata.metrics.column.s": "counts"})
+    C.append(spark, t,
+             spark.createDataFrame([(202, "zef")], "id long, s string"),
+             snapshot_id=105, timestamp_ms=1700400000000)
+    r = newest_file_row(t)
+    assert r.lower_bounds == {"id": "202"} and "s" not in r.upper_bounds
+    assert r.null_counts["s"] == "0"  # counts mode keeps counts
+
     # the all-U+10FFFF upper bound is omitted, never wrong
     from hielo_spark.metadata.commit import _truncate_string_max
     assert _truncate_string_max("\U0010FFFF" * 5, 3) is None
