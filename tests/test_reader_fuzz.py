@@ -652,3 +652,54 @@ def test_v1_shaped_manifest_in_v3_table(registered, spark, tmp_path):
             spark, C.current_metadata_path(t)).collect()
     }
     assert jvm == got
+
+
+def test_shredded_extra_fields_reconstruct(registered, spark, tmp_path):
+    """A foreign writer may shred MORE fields than our readers expect
+    (any subset is spec-legal): rebuild a shredded file with an extra
+    typed_value field group absent from any shred spec we'd write —
+    JSON reconstruction must include it and extraction of the known
+    field must stay exact."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, '{"a": 7, "b": 1}'), (1, '{"a": 8, "b": 2}')],
+        "id long, v string").coalesce(1)
+    C.append(spark, t, df, snapshot_id=101,
+             timestamp_ms=1700000000000,
+             variant_cols=["v"],
+             variant_shred={"v": {"a": "bigint", "b": "bigint"}})
+    f = sorted(glob.glob(t + "/data/**/*.parquet", recursive=True))[0]
+    tbl = pq.read_table(f)
+    v = tbl.column("v").combine_chunks()
+    tv = v.field("typed_value")
+    # append an EXTRA shredded field group "zz" (typed everywhere)
+    zz = pa.StructArray.from_arrays(
+        [pa.nulls(len(v), pa.binary()),
+         pa.array([100, 200], pa.int64())],
+        names=["value", "typed_value"])
+    tv2 = pa.StructArray.from_arrays(
+        [tv.field("a"), tv.field("b"), zz], names=["a", "b", "zz"])
+    v2 = pa.StructArray.from_arrays(
+        [v.field("metadata"), v.field("value"), tv2],
+        names=["metadata", "value", "typed_value"])
+    pq.write_table(
+        tbl.set_column(tbl.column_names.index("v"), "v", v2), f)
+    crc = os.path.join(os.path.dirname(f),
+                       "." + os.path.basename(f) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    out = (spark.read.format("hielo_iceberg")
+           .option("variant-extract", "v.a:bigint, v.zz:bigint")
+           .load(t))
+    rows = {r.id: (json.loads(r.v), r.v_a, r.v_zz)
+            for r in out.collect()}
+    assert rows == {
+        0: ({"a": 7, "b": 1, "zz": 100}, 7, 100),
+        1: ({"a": 8, "b": 2, "zz": 200}, 8, 200),
+    }
