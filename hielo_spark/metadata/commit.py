@@ -561,14 +561,28 @@ class _FileStats:
             c for c in self.null_cols if dtypes[c] in ("float", "double")
         ]
         self.btypes = {c: dtypes[c] for c in self.bound_cols} or None
+        self._float_cols = {
+            c for c in self.bound_cols if dtypes[c] in ("float", "double")
+        }
         self.rows = (
             spark.read.parquet(data_dir)
             .select(F.col("_metadata.file_path").alias("fp"), *self.null_cols)
             .groupBy("fp")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
-                *[F.min(c).cast("string").alias(f"_lo_{c}") for c in self.bound_cols],
-                *[F.max(c).cast("string").alias(f"_hi_{c}") for c in self.bound_cols],
+                # Iceberg spec: NaN is excluded from lower/upper bounds
+                # (it is counted in nan_value_counts, field 137). Spark's
+                # max() ranks NaN above every double, so a single NaN row
+                # would otherwise poison the upper bound and make bounds
+                # comparators prune the file for every =/>/>= predicate.
+                *[
+                    F.min(self._nan_free(F, c)).cast("string").alias(f"_lo_{c}")
+                    for c in self.bound_cols
+                ],
+                *[
+                    F.max(self._nan_free(F, c)).cast("string").alias(f"_hi_{c}")
+                    for c in self.bound_cols
+                ],
                 *[
                     (F.count(F.lit(1)) - F.count(c)).cast("string").alias(f"_nn_{c}")
                     for c in self.null_cols
@@ -588,6 +602,13 @@ class _FileStats:
             )
             .collect()
         )
+
+    def _nan_free(self, F, c):
+        """Column expr for bounds: NaN rows masked out of float/double
+        min/max (spec: NaN never appears in lower/upper bounds)."""
+        if c in self._float_cols:
+            return F.when(~F.isnan(F.col(c)), F.col(c))
+        return F.col(c)
 
     @staticmethod
     def _norm(p: str) -> str:
@@ -653,13 +674,26 @@ def _file_stats(spark, data_dir, dtypes, exclude_cols) -> _FileStats:
 
 
 def _parse_metrics_value(v: str):
+    """'full' → None (full metrics), 'counts'/'none' pass through,
+    'truncate(N)' with N >= 1 → ("truncate", N). Anything else raises —
+    Iceberg validates these properties loudly, and a typo of 'none'
+    silently falling back to FULL metrics would embed the very values
+    the user asked to keep out of the metadata."""
     import re as _re
 
+    raw = v
     v = str(v).strip().lower()
+    if v == "full":
+        return None
     if v in ("counts", "none"):
         return v
     m = _re.fullmatch(r"truncate\((\d+)\)", v)
-    return ("truncate", int(m.group(1))) if m else None
+    if m and int(m.group(1)) >= 1:
+        return ("truncate", int(m.group(1)))
+    raise ValueError(
+        f"invalid metrics mode {raw!r}: expected 'full', 'counts', "
+        "'none', or 'truncate(N)' with N >= 1"
+    )
 
 
 def _metrics_mode_of(doc: dict):
@@ -681,7 +715,7 @@ def _metrics_mode_of(doc: dict):
         for k, v in props.items()
         if k.startswith(prefix)
     }
-    if default is None and not per:
+    if default is None and all(m is None for m in per.values()):
         return None
     return (default, per)
 
@@ -1758,27 +1792,42 @@ def append(
     # partition value lands in one task → one file per partition per
     # commit instead of one per input task), "none"/absent keeps the
     # caller's distribution
-    order_cols = _sort_cols_from_doc(doc)
-    sort_cols = [c for c in order_cols if c in dtypes]
+    order_spec = _sort_spec_from_doc(doc)
+    sort_spec = [s for s in order_spec if s[0] in dtypes]
+    sort_cols = [s[0] for s in sort_spec]
+    order_cols = [s[0] for s in order_spec]
     dist = str(
         (doc.get("properties", {}) or {}).get(
             "write.distribution-mode", "none"
         )
     ).lower()
-    if dist == "range" and sort_cols:
-        df = df.repartitionByRange(*sort_cols)
+    if dist == "range" and sort_spec:
+        # honor each field's declared direction/null-order so file
+        # ranges line up with the order readers expect
+        df = df.repartitionByRange(*_sort_exprs(sort_spec))
     elif dist == "hash" and transforms:
-        srcs = [t.source for t in transforms if t.source in dtypes]
-        if srcs:
-            df = df.repartition(*srcs)
+        # cluster by the DERIVED partition values, not the raw source
+        # columns: for non-identity transforms (bucket/days/truncate)
+        # many source values map to one partition — hashing the source
+        # would spread a single partition across many tasks, breaking
+        # the one-file-per-partition-per-commit intent
+        keys = [
+            t.expr(dtypes[t.source]) for t in transforms
+            if t.source in dtypes
+        ]
+        if keys:
+            df = df.repartition(*keys)
     # honor the table's default sort order on appends (identity
-    # transforms only, _sort_cols_from_doc): a LOCAL per-task sort —
+    # transforms only, _sort_spec_from_doc): a LOCAL per-task sort —
     # no extra shuffle — so fresh files carry tight column bounds and
     # file-/row-group pruning bites immediately, not only after the
     # next sorted compaction (Iceberg writers apply the sort order on
-    # write; spec "sort-orders" / "default-sort-order-id")
-    if sort_cols:
-        df = df.sortWithinPartitions(*sort_cols)
+    # write; spec "sort-orders" / "default-sort-order-id"). Direction
+    # and null order come from the declared sort fields: a file
+    # stamped with sort_order_id must actually be in THAT order, desc
+    # and nulls-last included.
+    if sort_spec:
+        df = df.sortWithinPartitions(*_sort_exprs(sort_spec))
     parts, partition_of, ptypes, stats = _write_data_files(
         spark, data_dir, df, transforms, dtypes,
         metrics_mode=_metrics_mode_of(doc),
@@ -2241,9 +2290,14 @@ def rewrite_data_files(
 
     if sort_by and zorder_by:
         raise ValueError("pass at most one of sort_by / zorder_by")
+    doc_sort_exprs = None
     if not sort_by and not zorder_by:
-        # no explicit strategy: follow the table's recorded sort order
-        sort_by = _sort_cols_from_doc(doc) or None
+        # no explicit strategy: follow the table's recorded sort order —
+        # with its declared direction/null-order, so compacted files
+        # are truly in the order the table's sort_order_id names
+        doc_spec = _sort_spec_from_doc(doc)
+        sort_by = [s[0] for s in doc_spec] or None
+        doc_sort_exprs = _sort_exprs(doc_spec) if doc_spec else None
     # v3 row lineage: compaction must PRESERVE row ids (spec) — read
     # with lineage and write _row_id / _last_updated_sequence_number as
     # MATERIALIZED columns in the rewritten parquet; rewritten entries
@@ -2261,7 +2315,8 @@ def rewrite_data_files(
 
         live = zorder_sort(live, zorder_by, n_partitions=n_out).drop("zkey")
     elif sort_by:
-        live = live.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+        keys = doc_sort_exprs or sort_by
+        live = live.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
     else:
         live = live.repartition(n_out)
     live.write.parquet(data_dir)
@@ -3266,6 +3321,13 @@ def set_table_properties(
     for k in remove or []:
         props.pop(k, None)
     props.update({str(k): str(v) for k, v in (set_props or {}).items()})
+    # validate metrics properties at SET time, like Iceberg does —
+    # raising here beats failing on the next write
+    for k, v in props.items():
+        if k == "write.metadata.metrics.default" or k.startswith(
+            "write.metadata.metrics.column."
+        ):
+            _parse_metrics_value(v)
     doc["properties"] = props
     _commit_doc(table_dir, doc, prev_version)
     return props
@@ -3708,7 +3770,11 @@ def update_sort_order(table_dir: str, cols: list[str]) -> int:
     the columns compaction should range-sort by. ``rewrite_data_files``
     picks it up automatically when no explicit strategy is passed, so
     the maintenance autopilot produces sorted, tightly-bounded files
-    without per-call configuration. Returns the new order id."""
+    without per-call configuration. Each entry is ``"name"`` or
+    ``"name desc"`` / ``"name asc nulls-last"`` — direction defaults
+    asc, null order defaults to the spec's per-direction default
+    (nulls-first for asc, nulls-last for desc). Returns the new
+    order id."""
     if not cols:
         raise ValueError("sort order needs at least one column")
     doc, prev_version = _load_doc(table_dir)
@@ -3720,25 +3786,38 @@ def update_sort_order(table_dir: str, cols: list[str]) -> int:
         if s.get("schema-id") == doc.get("current-schema-id", 0)
     )
     name2id = {f["name"]: f["id"] for f in schema.get("fields", [])}
-    missing = [c for c in cols if c not in name2id]
+    fields = []
+    missing = []
+    for c in cols:
+        toks = str(c).split()
+        name = toks[0]
+        mods = [t.lower() for t in toks[1:]]
+        bad = [t for t in mods
+               if t not in ("asc", "desc", "nulls-first", "nulls-last")]
+        if bad:
+            raise ValueError(f"unknown sort modifier(s) {bad} in {c!r}")
+        if name not in name2id:
+            missing.append(name)
+            continue
+        desc = "desc" in mods
+        null_order = (
+            "nulls-first" if "nulls-first" in mods
+            else "nulls-last" if "nulls-last" in mods
+            else ("nulls-last" if desc else "nulls-first")
+        )
+        fields.append(
+            {
+                "source-id": name2id[name],
+                "transform": "identity",
+                "direction": "desc" if desc else "asc",
+                "null-order": null_order,
+            }
+        )
     if missing:
         raise ValueError(f"sort columns not in table schema: {missing}")
     orders = list(doc.get("sort-orders", []))
     new_id = max((int(o.get("order-id", 0)) for o in orders), default=0) + 1
-    orders.append(
-        {
-            "order-id": new_id,
-            "fields": [
-                {
-                    "source-id": name2id[c],
-                    "transform": "identity",
-                    "direction": "asc",
-                    "null-order": "nulls-first",
-                }
-                for c in cols
-            ],
-        }
-    )
+    orders.append({"order-id": new_id, "fields": fields})
     doc = dict(doc)
     doc["sort-orders"] = orders
     doc["default-sort-order-id"] = new_id
@@ -3746,8 +3825,12 @@ def update_sort_order(table_dir: str, cols: list[str]) -> int:
     return new_id
 
 
-def _sort_cols_from_doc(doc: dict) -> list[str]:
-    """Column names of the default sort order, [] when none/unresolvable."""
+def _sort_spec_from_doc(doc: dict) -> list[tuple[str, bool, bool]]:
+    """The default sort order as ``[(name, desc, nulls_first)]``, []
+    when none/unresolvable (non-identity transforms, unknown source
+    ids). Direction and null-order come from the spec's sort-field
+    fields — a foreign table may declare desc/nulls-last, and a file
+    stamped with its sort_order_id must actually BE in that order."""
     orders = doc.get("sort-orders") or []
     oid = doc.get("default-sort-order-id")
     order = next((o for o in orders if o.get("order-id") == oid), None)
@@ -3762,13 +3845,35 @@ def _sort_cols_from_doc(doc: dict) -> list[str]:
         None,
     )
     id2name = {f["id"]: f["name"] for f in (schema or {}).get("fields", [])}
-    cols = []
+    spec = []
     for f in order.get("fields", []):
         name = id2name.get(f.get("source-id"))
         if name is None or f.get("transform", "identity") != "identity":
             return []
-        cols.append(name)
-    return cols
+        desc = str(f.get("direction", "asc")).lower() == "desc"
+        # spec default null order: nulls-first for asc, nulls-last
+        # for desc
+        null_order = str(
+            f.get("null-order", "nulls-last" if desc else "nulls-first")
+        ).lower()
+        spec.append((name, desc, null_order == "nulls-first"))
+    return spec
+
+
+def _sort_exprs(spec: list[tuple[str, bool, bool]]) -> list:
+    """sortWithinPartitions/repartitionByRange Column exprs honoring
+    each sort field's declared direction and null order."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for name, desc, nulls_first in spec:
+        c = F.col(name)
+        if desc:
+            c = c.desc_nulls_first() if nulls_first else c.desc_nulls_last()
+        else:
+            c = c.asc_nulls_first() if nulls_first else c.asc_nulls_last()
+        out.append(c)
+    return out
 
 
 def rewrite_position_deletes(
@@ -4047,7 +4152,7 @@ def rewrite_manifests(
             _resolve(mlist, m.manifest_path), inherited_seq=inherited
         ):
             (status, sid, fpath, fmt, records, fsize, fcontent, eseq,
-             pvals, ptypes, lb, ub, bt, nc, dc, _dv, frid) = e
+             pvals, ptypes, lb, ub, bt, nc, dc, _dv, frid, nanc) = e
             if status == 2 or (fcontent or 0) != 0:
                 continue  # deleted entries / stray delete files drop out
             fseq = eseq if eseq is not None else inherited
@@ -4066,6 +4171,7 @@ def rewrite_manifests(
                         "first_row_id": frid,
                         **_spec_stats(
                             name2id, bt, lb, ub, nc, int(records or 0),
+                            nanc,
                         ),
                         "partition_values": pvals,
                         "partition_types": ptypes,
@@ -4443,13 +4549,16 @@ def merge_into(
         # so pruning never degrades as a table takes merges
         spec_transforms = _spec_transforms_from_doc(doc)
         # merged-in rows honor the default sort order exactly like
-        # appends (local per-task sort — tight bounds on fresh files)
+        # appends (local per-task sort — tight bounds on fresh files),
+        # declared direction/null-order included
         merge_sort = [
-            c for c in _sort_cols_from_doc(doc)
-            if c in dict(to_append.dtypes)
+            s for s in _sort_spec_from_doc(doc)
+            if s[0] in dict(to_append.dtypes)
         ]
         if merge_sort:
-            to_append = to_append.sortWithinPartitions(*merge_sort)
+            to_append = to_append.sortWithinPartitions(
+                *_sort_exprs(merge_sort)
+            )
         data_parts, partition_of, ptypes, stats = _write_data_files(
             spark, data_dir, to_append, spec_transforms,
             dict(to_append.dtypes), metrics_mode=_metrics_mode_of(doc),

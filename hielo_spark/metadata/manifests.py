@@ -79,13 +79,14 @@ def live_data_file_dicts(
             inherited_seq=inherited_seq_of(m, format_version),
         ):
             (status, sid, fpath, _fmt, records, _size, fcontent, seq,
-             pvals, ptypes, lb, ub, bt, nc, _dc, _dv, _frid) = e
+             pvals, ptypes, lb, ub, bt, nc, _dc, _dv, _frid, nanc) = e
             if status == 2 or (fcontent or 0) != 0:
                 continue
             p = fpath.removeprefix("file:")
             out[p] = {
                 "path": p, "pvals": pvals, "ptypes": ptypes, "seq": seq,
                 "records": records, "lb": lb, "ub": ub, "bt": bt, "nc": nc,
+                "nanc": nanc,
                 "sid": sid,  # the snapshot that ADDED the file
             }
     return out
@@ -264,6 +265,11 @@ def decode_manifest(path: str, inherited_seq: int | None = None) -> list[tuple]:
                     if df_rec.get("first_row_id") is not None
                     else None
                 ),
+                # spec field 137: per-column NaN row counts — bounds
+                # exclude NaN per spec, so >/>= pruning on float columns
+                # must consult this to keep files whose only matching
+                # rows are NaN (Spark SQL ranks NaN above every double)
+                _map_or_spec(df_rec, "nan_counts", "nan_value_counts", _decode_long),
             )
         )
     return rows
@@ -496,6 +502,15 @@ def _file_may_match(
         return int(nc) > 0 if op == "is_null" else int(nc) < int(records)
     lo, hi = lb.get(key), ub.get(key)
     if lo is None or hi is None:
+        # no bounds, but an ALL-NULL column provably matches no
+        # comparison (SQL null semantics). NaN-masked float bounds
+        # also read absent; there nulls < records, so all-NaN files
+        # are never pruned here (NaN can match >/>=).
+        nc_map = f.get("nc") or {}
+        nc = nc_map.get(key if key in nc_map else col)
+        records = f.get("records")
+        if nc is not None and records and int(nc) == int(records):
+            return False
         return True
     btype = bt.get(key) or ""
     if btype in _NUMERIC_BOUND_TYPES:
@@ -503,6 +518,34 @@ def _file_may_match(
             lo, hi, value = float(lo), float(hi), float(value)
         except (TypeError, ValueError):
             return True
+        import math
+
+        # NaN-contaminated bounds (foreign or pre-r12 writers — the
+        # spec excludes NaN from bounds, but Spark's max() ranks NaN
+        # above every double): every comparison against NaN is False,
+        # which would wrongly PRUNE — treat the bound as absent.
+        if math.isnan(lo) or math.isnan(hi):
+            return True
+        if math.isnan(value):
+            # Spark SQL: NaN = NaN is true, NaN >= NaN is true, and no
+            # finite value compares above NaN — only files holding NaN
+            # rows can match =/>= NaN, and > NaN matches nothing.
+            nanc = (f.get("nanc") or {}).get(key)
+            if nanc is not None:
+                n = int(nanc)
+                if op in ("=", ">="):
+                    return n > 0
+                if op == ">":
+                    return False
+                return True  # </<= NaN: any non-NaN row matches
+            return True  # unknown NaN population: keep
+        if op in (">", ">="):
+            # bounds are NaN-free per spec, but Spark ranks NaN above
+            # every double: a file whose ONLY matching rows are NaN
+            # still matches > / >= any finite value
+            nanc = (f.get("nanc") or {}).get(key)
+            if nanc is not None and int(nanc) > 0:
+                return True
     elif btype.startswith("decimal"):
         from decimal import Decimal, InvalidOperation
 
@@ -857,6 +900,43 @@ def _variant_json_udf(spark):
     return _vjson
 
 
+def _empty_read_frame(spark, doc, read_schema_id, row_lineage):
+    """Zero-row frame in read_data_at_snapshot's OUTPUT shape (variant
+    decodes to JSON string, geometry/geography to WKT string, lineage
+    appends the two v3 columns) — the valid result of a filter no live
+    file can satisfy. None when the doc records no usable schema."""
+    from .metadata_json import current_schema_block
+    from .types import iceberg_to_ddl
+
+    blk = next(
+        (
+            s for s in doc.get("schemas", [])
+            if s.get("schema-id") == read_schema_id
+        ),
+        None,
+    ) or current_schema_block(doc)
+    if blk is None or not blk.get("fields"):
+        return None
+    cols = []
+    for f in blk["fields"]:
+        t = f["type"]
+        if t == "variant" or (
+            isinstance(t, str)
+            and t.split("(")[0] in ("geometry", "geography")
+        ):
+            ddl = "string"  # post-decode rendering (JSON / WKT)
+        else:
+            try:
+                ddl = iceberg_to_ddl(t)
+            except ValueError:
+                return None
+        cols.append(f"`{f['name']}` {ddl}")
+    if row_lineage:
+        cols += ["`_row_id` bigint",
+                 "`_last_updated_sequence_number` bigint"]
+    return spark.createDataFrame([], ", ".join(cols))
+
+
 def read_data_at_snapshot(
     spark: SparkSession,
     metadata_json_path: str,
@@ -974,7 +1054,7 @@ def read_data_at_snapshot(
             inherited_seq=inherited_seq_of(m, doc.get("format-version", 2)),
         ):
             (status, _sid, fpath, _fmt, records, _size, fcontent, seq,
-             pvals, ptypes, lb, ub, bt, nc, _dc, dv, frid) = e
+             pvals, ptypes, lb, ub, bt, nc, _dc, dv, frid, nanc) = e
             if status == 2:
                 continue
             entries_by_kind.setdefault(fcontent, []).append(
@@ -987,6 +1067,7 @@ def read_data_at_snapshot(
                     "ub": ub,
                     "bt": bt,
                     "nc": nc,
+                    "nanc": nanc,
                     "records": records,
                     "dv": dv,
                     "frid": frid,
@@ -1061,9 +1142,16 @@ def read_data_at_snapshot(
             f for f in data_files if _file_may_match(f, skip_filter, aliases)
         ]
         if not data_files:
+            # a filter that legitimately matches zero files is a VALID
+            # empty result, not an error — build the zero-row frame
+            # from the metadata doc's read schema (r12; pre-r12 raised)
+            empty = _empty_read_frame(spark, doc, read_schema_id, row_lineage)
+            if empty is not None:
+                return empty
             raise ValueError(
                 f"skip filter {skip_filter} prunes every file of "
-                f"snapshot {chosen['snapshot-id']}"
+                f"snapshot {chosen['snapshot-id']} and the metadata "
+                "carries no schema to shape an empty result"
             )
 
     all_pos = live_files(1)

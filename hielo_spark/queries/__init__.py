@@ -276,7 +276,33 @@ for mod in (relational, meta, ext):
 # events_sessionization/events_asof_join (window/join shapes),
 # doc_curation_pipeline (text pipeline), and doc_exact_dedup
 # (keyed dedup).
+# Round-12 rotation (VERDICT r11 item 2): the ten entries deferred at
+# r10 whose evidence is oldest (newest row ≤ r4 — or never — with code
+# evolved underneath) RETURN to the head: q7_nation_volume,
+# q9_profit_by_nation_year, q10_returned_customers, q2_min_cost_supplier,
+# events_recent_windows, meta_health_subscores, meta_schema_matrix,
+# doc_lang_stats, doc_boilerplate_lines, doc_simhash_precision.
+# OUT — exactly the ten entries whose fresh rows landed in r11
+# (meta_variant_write_roundtrip, meta_trends, meta_file_histogram,
+# meta_properties, meta_recommendations, emb_cosine_topk,
+# doc_neardup_jaccard, events_range_join, orders_rollup, events_funnel):
+# freshest evidence on record, zero staleness cost; their families keep
+# head rows via the roundtrip planes still heading (datasource /
+# schema-evolution / row-lineage / DV / partition-stats), doc_minhash_
+# recall (hash-matched truth), emb_neardup_cosine/emb_ann_recall
+# (embedding plane), events_sessionization/events_asof_join (window and
+# join shapes), and q1's grouped-agg head slot.
 _DEFERRED = [
+    "meta_variant_write_roundtrip",
+    "meta_trends",
+    "meta_file_histogram",
+    "meta_properties",
+    "meta_recommendations",
+    "emb_cosine_topk",
+    "doc_neardup_jaccard",
+    "events_range_join",
+    "orders_rollup",
+    "events_funnel",
     "meta_writer_surface_roundtrip",
     "meta_nested_roundtrip",
     "meta_hidden_partitioning_roundtrip",
@@ -287,16 +313,6 @@ _DEFERRED = [
     "events_attribution_join",
     "doc_train_shuffle",
     "orders_profile",
-    "q7_nation_volume",
-    "q9_profit_by_nation_year",
-    "q10_returned_customers",
-    "q2_min_cost_supplier",
-    "events_recent_windows",
-    "meta_health_subscores",
-    "meta_schema_matrix",
-    "doc_lang_stats",
-    "doc_boilerplate_lines",
-    "doc_simhash_precision",
     # r9: meta_partition_stats_roundtrip PROMOTED to the head (VERDICT
     # r8 item 5 — r8's flagship new surface, now spec-typed with
     # per-partition delete attribution); q11_important_part_value

@@ -240,6 +240,35 @@ def _entry_bounds(e: dict) -> tuple[dict, dict, dict]:
     return lo, hi, bt
 
 
+def _entry_count_map(e: dict, ext_name: str, spec_name: str) -> dict:
+    """A per-column long-count stat map keyed by column name — the
+    engine-extension string map when present, else the spec's
+    field-id-keyed kv array decoded through the manifest header schema.
+    Empty when unrecorded."""
+    data_file = e.get("data_file") or {}
+    ext = data_file.get(ext_name)
+    if isinstance(ext, dict):
+        return {str(k): int(v) for k, v in ext.items()}
+    kvs = data_file.get(spec_name)
+    id2field = e.get("_id2field") or {}
+    out: dict[str, int] = {}
+    if isinstance(kvs, dict):  # legacy string-map form
+        return {str(k): int(v) for k, v in kvs.items()}
+    for kv in kvs or []:
+        f = id2field.get(int(kv["key"]))
+        if f is not None and kv.get("value") is not None:
+            out[f[0]] = int(kv["value"])
+    return out
+
+
+def _entry_nan_counts(e: dict) -> dict:
+    """Per-column NaN row counts (spec data_file field 137) keyed by
+    column name; empty when unrecorded. Bounds exclude NaN per spec, so
+    >/>= pruning on float columns consults this to keep files whose
+    only matching rows are NaN."""
+    return _entry_count_map(e, "nan_counts", "nan_value_counts")
+
+
 def _file_survives(filters, e: dict) -> bool:
     """Conservative manifest-bounds pruning for the pushed filters —
     identical comparator rules to manifests._file_may_match; any missing
@@ -249,6 +278,16 @@ def _file_survives(filters, e: dict) -> bool:
     def cmp_ok(col, op, value):
         l, h = lo.get(col), hi.get(col)
         if l is None or h is None:
+            # no bounds, but an ALL-NULL column provably matches no
+            # comparison (SQL null semantics); NaN-masked float bounds
+            # also read absent, but there nulls < records, so this
+            # never fires for all-NaN files (NaN can match >/>=)
+            nc = _entry_count_map(
+                e, "null_counts", "null_value_counts"
+            ).get(col)
+            records = (e.get("data_file") or {}).get("record_count")
+            if nc is not None and records and int(nc) == int(records):
+                return False
             return True
         # pushed TimestampType values arrive as tz-aware datetimes;
         # bounds strings are tz-less UTC — normalize through the same
@@ -269,6 +308,29 @@ def _file_survives(filters, e: dict) -> bool:
                 l, h, value = float(l), float(h), float(value)
             except (TypeError, ValueError):
                 return True
+            import math
+
+            # NaN-contaminated bounds (foreign/pre-r12 writers): every
+            # comparison against NaN is False → would wrongly prune.
+            # Spec bounds exclude NaN; treat a NaN bound as absent.
+            if math.isnan(l) or math.isnan(h):
+                return True
+            if math.isnan(value):
+                # Spark SQL: NaN = NaN true, NaN >= NaN true, nothing
+                # exceeds NaN — only NaN rows match =/>=, none match >
+                n = _entry_nan_counts(e).get(col)
+                if n is not None:
+                    if op in ("=", ">="):
+                        return n > 0
+                    if op == ">":
+                        return False
+                return True
+            if op in (">", ">="):
+                # NaN ranks above every double in Spark: a file whose
+                # only matching rows are NaN still matches >/>= finite
+                n = _entry_nan_counts(e).get(col)
+                if n is not None and n > 0:
+                    return True
         if op == "=":
             return l <= value <= h
         if op == ">":
@@ -295,10 +357,28 @@ def _file_survives(filters, e: dict) -> bool:
         up = _incr_bytes(pb)
         return hb >= pb and (up is None or lb < up)
 
+    def null_ok(col, want_null):
+        # file-level IS [NOT] NULL pruning from null_value_counts +
+        # record_count (the JVM plane's _file_may_match twin): a
+        # zero-null file can't serve IS NULL, an all-null file can't
+        # serve IS NOT NULL. Missing counts keep the file.
+        nc = _entry_count_map(e, "null_counts", "null_value_counts").get(col)
+        records = (e.get("data_file") or {}).get("record_count")
+        if nc is None or records is None:
+            return True
+        return nc > 0 if want_null else nc < int(records)
+
     for f in filters:
         col = f.attribute[0] if hasattr(f, "attribute") else None
         if col is None:
             continue
+        if isinstance(f, IsNull) and not null_ok(col, True):
+            return False
+        if isinstance(f, IsNotNull) and not null_ok(col, False):
+            return False
+        if isinstance(f, EqualNullSafe) and f.value is None \
+                and not null_ok(col, True):
+            return False
         if isinstance(f, EqualTo) and not cmp_ok(col, "=", f.value):
             return False
         if isinstance(f, EqualNullSafe) and f.value is not None \
@@ -587,14 +667,19 @@ def _read_partition(part: _ScanPartition):
             if fsrc is None:
                 continue
             segs = _vx_path_segments(fld)
-            if any(k == "index" for k, _ in segs):
-                # array-element stats don't map to the chunk's list
-                # stats (they cover ALL elements): no pruning basis
-                continue
             tv_path = fsrc
             vpaths = [f"{fsrc}.value"]
-            for _k, name in segs:
-                tv_path += f".typed_value.{name}"
+            for k, name in segs:
+                if k == "field":
+                    tv_path += f".typed_value.{name}"
+                else:
+                    # array element: the shredded list's element chunk
+                    # stats cover ALL elements — a SUPERSET of element
+                    # i's values, so a predicate that excludes the
+                    # whole element range still proves element i can't
+                    # match (r12, VERDICT item 6; conservative — any
+                    # in-range value keeps the group)
+                    tv_path += ".typed_value.list.element"
                 vpaths.append(f"{tv_path}.value")
             vx_resolved.append((
                 op, val, f"{tv_path}.typed_value", tuple(vpaths),
@@ -1034,6 +1119,19 @@ def _parse_variant_extracts(options) -> list[tuple[str, str, str, str]]:
             ".", "_"
         )
         out.append((f"{src}_{flat}", src.strip(), fld.strip(), ddl))
+    # flattening is lossy ('v.a.b' and 'v.a_b' both yield 'v_a_b'):
+    # two extracts colliding on an out name would produce duplicate
+    # schema fields with ambiguous resolution — reject loudly
+    seen: dict[str, str] = {}
+    for out_name, src, fld, _ddl in out:
+        prev = seen.get(out_name)
+        if prev is not None:
+            raise ValueError(
+                f"variant-extract paths {prev!r} and "
+                f"{src + '.' + fld!r} both flatten to the output "
+                f"column {out_name!r} — rename one path"
+            )
+        seen[out_name] = f"{src}.{fld}"
     return out
 
 
@@ -1053,6 +1151,14 @@ def _vx_cmp_triple(val, mn, mx):
         return isinstance(x, (int, float)) and not isinstance(x, bool)
 
     if _num(val) and _num(mn) and _num(mx):
+        # NaN anywhere in the triple makes every comparison False —
+        # which reads as "provably no match" and PRUNES. Parquet stats
+        # exclude NaN (so NaN rows are invisible to min/max), and a NaN
+        # literal/stat is unprovable either way: keep the group.
+        import math
+
+        if any(isinstance(x, float) and math.isnan(x) for x in (val, mn, mx)):
+            return None
         return val, mn, mx
     if isinstance(val, (str, bytes)):
         def _b(x):
@@ -1817,6 +1923,24 @@ class HieloIcebergReader(DataSourceReader):
                 and _eq_may_touch(dbounds, file_bounds, cols)
             ]
             frid = data_file.get("first_row_id")
+            # parquet chunk stats exclude NaN, but Spark SQL ranks NaN
+            # above every double — in a file that HOLDS NaN rows
+            # (manifest nan_value_counts, field 137), a >/>= hint could
+            # prune a row group whose only matching rows are NaN. Drop
+            # those hints for this file only; Spark's own vanilla
+            # parquet source gets this wrong — the recorded NaN counts
+            # let this source keep the rows.
+            my_colf = col_filters
+            if col_filters:
+                nanc = _entry_nan_counts(e)
+                if nanc:
+                    my_colf = [
+                        cf for cf in col_filters
+                        if not (
+                            cf[2] in (">", ">=")
+                            and nanc.get(cf[0], 0) > 0
+                        )
+                    ] or None
             parts.append(
                 _ScanPartition(path, seq, my_refs, my_eq,
                                task_cols, pvals,
@@ -1826,7 +1950,7 @@ class HieloIcebergReader(DataSourceReader):
                                lineage=lineage, dv_ref=dv_ref,
                                table_root=self.table_dir,
                                vx_filters=vx_filters,
-                               col_filters=col_filters)
+                               col_filters=my_colf)
             )
             sizes.append(int(data_file.get("file_size_in_bytes") or 0))
         if not parts:
@@ -2877,11 +3001,18 @@ class HieloIcebergDataSource(DataSource):
                     f["name"] for f in blk.get("fields", [])
                     if f.get("type") == "variant"
                 }
+                tnames = {f["name"] for f in blk.get("fields", [])}
                 for out_name, src, _fld, ddl in extracts:
                     if src not in vnames:
                         raise ValueError(
                             f"variant-extract source {src!r} is not a "
                             "variant column of this table"
+                        )
+                    if out_name in tnames:
+                        raise ValueError(
+                            f"variant-extract output column "
+                            f"{out_name!r} shadows an existing table "
+                            "column — rename the path"
                         )
                     extract_ddl += f", {out_name} {ddl}"
             return (
@@ -2930,11 +3061,18 @@ class HieloIcebergDataSource(DataSource):
                 f["name"] for f in blk.get("fields", [])
                 if f.get("type") == "variant"
             }
+            tnames = {f["name"] for f in blk.get("fields", [])}
             for out_name, src, _fld, ddl in extracts:
                 if src not in vnames:
                     raise ValueError(
                         f"variant-extract source {src!r} is not a "
                         "variant column of this table"
+                    )
+                if out_name in tnames:
+                    raise ValueError(
+                        f"variant-extract output column {out_name!r} "
+                        "shadows an existing table column — rename "
+                        "the path"
                     )
                 extract_ddl += f", {out_name} {ddl}"
         if wanted:

@@ -396,9 +396,11 @@ def test_column_bounds_file_skipping(spark, tmp_path):
     )
     assert sup.count() > 99  # whole surviving file, unfiltered
 
-    # everything pruned → explicit error
-    with pytest.raises(ValueError, match="prunes every file"):
-        read_data_at_snapshot(spark, mpath, skip_filter=("k", ">", 10_000))
+    # everything pruned → a VALID empty result with the table's schema
+    # (r12: previously raised; empty match is not an error)
+    none = read_data_at_snapshot(spark, mpath, skip_filter=("k", ">", 10_000))
+    assert none.count() == 0
+    assert set(c for c, _ in none.dtypes) >= {"k", "label"}
 
     # bounds survive MOR deletes: skip + sequence-scoped delete compose
     C.delete_equality(spark, t, spark.createDataFrame([(950,)], ["k"]),
@@ -1148,6 +1150,55 @@ def test_append_honors_default_sort_order(spark, tmp_path):
     assert mids == sorted(mids), "merge must apply the sort order"
 
 
+def test_append_honors_desc_nulls_last_sort_order(spark, tmp_path):
+    """r12 (ADVICE): a sort order declaring desc / nulls-last must be
+    applied AS DECLARED — a file physically sorted ascending while its
+    manifest entry claims the desc order id would misrepresent the
+    sort to downstream readers/compaction that trust sort_order_id."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from hielo_spark.metadata.avro_py import read_avro_file
+    from hielo_spark.metadata.manifests import _resolve
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(1.0,), (2.0,)], "x double"),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    oid = C.update_sort_order(t, ["x desc nulls-last"])
+
+    rows = [(float(i),) for i in range(500)] + [(None,)] * 3
+    shuf = (spark.createDataFrame(rows, "x double")
+            .orderBy(F.rand(seed=3)).coalesce(1))
+    C.append(spark, t, shuf, snapshot_id=102,
+             timestamp_ms=1700100000000)
+    newest = sorted(
+        glob.glob(t + "/data/seq-00002/**/*.parquet", recursive=True))
+    assert len(newest) == 1
+    vals = pq.read_table(newest[0], columns=["x"]).column(
+        "x").to_pylist()
+    non_null = [v for v in vals if v is not None]
+    assert non_null == sorted(non_null, reverse=True), "desc not applied"
+    assert vals[-3:] == [None, None, None], "nulls-last not applied"
+
+    # and the entry is stamped with the order it is ACTUALLY in
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     cur["manifest-list"].removeprefix("file:"))
+    _s, _m, mrows = read_avro_file(mlist)
+    oids = set()
+    for r in mrows:
+        _s2, _m2, entries = read_avro_file(_resolve(mlist,
+                                                    r["manifest_path"]))
+        for e in entries:
+            oids.add(e["data_file"].get("sort_order_id"))
+    assert oid in oids
+
+
 def test_write_distribution_mode(spark, tmp_path):
     """r11: the Iceberg write.distribution-mode table property drives
     append clustering — 'range' shuffles by the default sort order so
@@ -1224,6 +1275,33 @@ def test_write_distribution_mode(spark, tmp_path):
     assert sorted(
         r.id for r in read_data_at_snapshot(
             spark, C.current_metadata_path(t2)).collect()
+    ) == list(range(808))
+
+    # r12 (ADVICE): hash mode clusters by the DERIVED transform value —
+    # with bucket(2, id), many ids map to each bucket, so hashing the
+    # raw source column would spread one bucket across many tasks and
+    # break one-file-per-partition-per-commit
+    t3 = str(tmp_path / "t_hash_bucket")
+    C.append(spark, t3,
+             spark.range(0, 8).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000,
+             partition_by=["bucket(2, id)"])
+    C.set_table_properties(t3, {"write.distribution-mode": "hash"})
+    C.append(spark, t3,
+             spark.range(8, 808).selectExpr("id").repartition(4),
+             snapshot_id=102, timestamp_ms=1700100000000,
+             partition_by=["bucket(2, id)"])
+    per_bucket = {}
+    for p in glob.glob(t3 + "/data/seq-00002/**/part-*.parquet",
+                       recursive=True):
+        key = [s for s in p.split(os.sep)
+               if s.startswith("id_bucket=")][0]
+        per_bucket[key] = per_bucket.get(key, 0) + 1
+    assert set(per_bucket.values()) == {1}, \
+        "hash mode must write one file per derived partition value"
+    assert sorted(
+        r.id for r in read_data_at_snapshot(
+            spark, C.current_metadata_path(t3)).collect()
     ) == list(range(808))
 
 
@@ -1308,6 +1386,18 @@ def test_metrics_mode_property(spark, tmp_path):
     r = newest_file_row(t)
     assert r.lower_bounds == {"id": "202"} and "s" not in r.upper_bounds
     assert r.null_counts["s"] == "0"  # counts mode keeps counts
+
+    # invalid metrics values raise LOUDLY at the next write (Iceberg
+    # validates these properties) — a typo of 'none' must never
+    # silently fall back to FULL metrics and embed the values the
+    # user asked to keep out of the metadata (r12, ADVICE)
+    for bad in ("nonne", "truncate(abc)", "truncate(0)", "min-max"):
+        with pytest.raises(ValueError, match="invalid metrics mode"):
+            C.set_table_properties(
+                t, {"write.metadata.metrics.default": bad})
+        with pytest.raises(ValueError, match="invalid metrics mode"):
+            C.set_table_properties(
+                t, {"write.metadata.metrics.column.s": bad})
 
     # the all-U+10FFFF upper bound is omitted, never wrong
     from hielo_spark.metadata.commit import _truncate_string_max

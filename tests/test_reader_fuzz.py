@@ -703,3 +703,185 @@ def test_shredded_extra_fields_reconstruct(registered, spark, tmp_path):
         0: ({"a": 7, "b": 1, "zz": 100}, 7, 100),
         1: ({"a": 8, "b": 2, "zz": 200}, 8, 200),
     }
+
+
+def _name2id_of(t):
+    doc = json.load(open(C.current_metadata_path(t)))
+    schema = next(s for s in doc["schemas"]
+                  if s.get("schema-id") == doc.get("current-schema-id", 0))
+    return {f["name"]: f["id"] for f in schema["fields"]}
+
+
+def _drop_ext_stats(names=("lower_bounds_str", "upper_bounds_str",
+                           "bounds_types", "null_counts",
+                           "distinct_counts_str", "partition_values",
+                           "partition_types")):
+    """Schema/entry mutators removing OUR extension stat maps — a
+    foreign manifest carries only the spec's field-id-keyed forms."""
+    def mut_schema(node):
+        if isinstance(node, dict):
+            out = {k: mut_schema(v) for k, v in node.items()}
+            if out.get("type") == "record":
+                out["fields"] = [
+                    mut_schema(f) for f in out["fields"]
+                    if f.get("name") not in names
+                ]
+            return out
+        if isinstance(node, list):
+            return [mut_schema(x) for x in node]
+        return node
+
+    def mut_entry(e):
+        e = dict(e)
+        e["data_file"] = {
+            k: v for k, v in e["data_file"].items() if k not in names
+        }
+        return e
+
+    return mut_schema, mut_entry
+
+
+def test_foreign_truncate16_string_bounds(registered, spark, tmp_path):
+    """Iceberg's own metrics default is truncate(16): a foreign writer
+    records string bounds as a 16-char prefix (lower) and an
+    incremented prefix (upper). With our extension maps stripped, both
+    comparators must stay exact through the enclosing-range bounds —
+    pruning the disjoint file, never the matching one (r12, VERDICT
+    item 4)."""
+    from hielo_spark.metadata.commit import (
+        _truncate_string_max,
+        _truncate_string_min,
+    )
+    from hielo_spark.metadata.values import serialize_value
+
+    t = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"prefix-{i:012d}-tail") for i in range(lo, hi)],
+        "id long, s string").coalesce(1)
+    C.append(spark, t, mk(0, 50), snapshot_id=101,
+             timestamp_ms=1700000000000)
+    C.append(spark, t, mk(1000, 1050), snapshot_id=102,
+             timestamp_ms=1700100000000)
+    sid = _name2id_of(t)["s"]
+    mut_schema, strip_ext = _drop_ext_stats()
+
+    def truncate_bounds(e):
+        e = strip_ext(e)
+        dfile = dict(e["data_file"])
+        for key, trunc in (("lower_bounds", _truncate_string_min),
+                           ("upper_bounds", _truncate_string_max)):
+            kvs = []
+            for kv in dfile.get(key) or []:
+                if int(kv["key"]) == sid:
+                    full = bytes(kv["value"]).decode("utf-8")
+                    short = trunc(full, 16)
+                    if short is None:
+                        continue  # spec: unrepresentable upper omitted
+                    kv = {"key": kv["key"],
+                          "value": serialize_value("string", short)}
+                kvs.append(kv)
+            dfile[key] = kvs or None
+        e["data_file"] = dfile
+        return e
+
+    for mp in _data_manifest_paths(t):
+        _rewrite_manifest(mp, mut_schema, truncate_bounds)
+
+    probe = "prefix-000000001025-tail"
+    ds = spark.read.format("hielo_iceberg").load(t)
+    assert [r.id for r in ds.filter(f"s = '{probe}'").collect()] == [1025]
+    jvm = read_data_at_snapshot(
+        spark, C.current_metadata_path(t), skip_filter=("s", "=", probe))
+    assert [r.id for r in jvm.collect()] == [1025]
+    # truncated bounds still PRUNE the disjoint file
+    assert len(set(jvm.inputFiles())) == 1
+    # and a probe past every range is a valid EMPTY result (r12 item 3)
+    nothing = read_data_at_snapshot(
+        spark, C.current_metadata_path(t),
+        skip_filter=("s", "=", "zzz-no-such-row"))
+    assert nothing.count() == 0
+    assert {c for c, _ in nothing.dtypes} == {"id", "s"}
+
+
+def test_foreign_nan_contaminated_bounds(registered, spark, tmp_path):
+    """A foreign writer that ignored the spec's NaN-exclusion rule can
+    record NaN as a double bound. Readers must treat the poisoned
+    bound as ABSENT (keep the file) — never prune non-NaN rows (r12,
+    composes with the writer-side fix)."""
+    import struct as _struct
+
+    t = str(tmp_path / "t")
+    C.append(spark, t,
+             spark.range(0, 50).selectExpr(
+                 "id", "cast(id as double) AS x").coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    xid = _name2id_of(t)["x"]
+    mut_schema, strip_ext = _drop_ext_stats()
+
+    def poison(e):
+        e = strip_ext(e)
+        dfile = dict(e["data_file"])
+        kvs = []
+        for kv in dfile.get("upper_bounds") or []:
+            if int(kv["key"]) == xid:
+                kv = {"key": kv["key"],
+                      "value": _struct.pack("<d", float("nan"))}
+            kvs.append(kv)
+        dfile["upper_bounds"] = kvs or None
+        e["data_file"] = dfile
+        return e
+
+    for mp in _data_manifest_paths(t):
+        _rewrite_manifest(mp, mut_schema, poison)
+
+    ds = spark.read.format("hielo_iceberg").load(t)
+    assert [r.id for r in ds.filter("x = 37").collect()] == [37]
+    assert ds.filter("x > 25").count() == 24
+    jvm = read_data_at_snapshot(
+        spark, C.current_metadata_path(t), skip_filter=("x", "=", 37.0))
+    assert [r.id for r in jvm.collect()] == [37]
+
+
+def test_pos_delete_rows_unsorted(registered, spark, tmp_path):
+    """The spec asks writers to sort position-delete rows by
+    (file_path, pos), but readers must not RELY on it — reverse the
+    delete parquet's rows and both planes must still apply every
+    delete exactly (r12, VERDICT item 4)."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 60).selectExpr("id").coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    from pyspark.sql import functions as F
+
+    C.delete_where(spark, t, F.col("id") % 7 == 0,
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     cur["manifest-list"].removeprefix("file:"))
+    _s, _m, rows = read_avro_file(mlist)
+    del_files = []
+    for r in rows:
+        if r.get("content", 0) != 1:
+            continue
+        _s2, _m2, entries = read_avro_file(
+            _resolve(mlist, r["manifest_path"]))
+        del_files += [
+            e["data_file"]["file_path"].removeprefix("file:")
+            for e in entries if e.get("status") != 2
+        ]
+    assert del_files, "delete_where must have written a delete file"
+    for p in del_files:
+        tbl = pq.read_table(p)
+        perm = list(range(tbl.num_rows))[::-1]
+        pq.write_table(tbl.take(perm), p)
+        # the rewrite invalidates Spark's .crc sidecar — a foreign
+        # writer would never have written one
+        crc = os.path.join(os.path.dirname(p),
+                           "." + os.path.basename(p) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    expect = [i for i in range(60) if i % 7 != 0]
+    assert _both_plane_ids(spark, t) == expect
