@@ -209,3 +209,93 @@ def test_nan_counts_survive_manifest_rewrite(registered, tmp_path):
     ds = spark.read.format("hielo_iceberg").load(t)
     assert ds.filter("x = 2999").count() == 1
     assert ds.filter("x > 2500").count() == 501  # 499 + NaN + 5000.0
+
+
+# ---------------------------------------------------------------------------
+# Property: bounds pruning NEVER drops a file containing a matching row,
+# for any float population (NaN / null / ±inf included) and any pushed
+# comparison — the invariant the r11 NaN bug broke. Pure-Python: stats
+# are computed exactly the way the writer records them, matches are
+# evaluated under Spark SQL semantics (NaN ranks above every double,
+# NaN = NaN is true, null matches nothing).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_floats = st.one_of(
+    st.none(),
+    st.just(float("nan")),
+    st.just(float("inf")),
+    st.just(float("-inf")),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+)
+
+
+def _spark_cmp(a: float, b: float) -> int:
+    """Spark SQL total order for doubles: NaN above everything,
+    NaN = NaN."""
+    a_n, b_n = math.isnan(a), math.isnan(b)
+    if a_n and b_n:
+        return 0
+    if a_n:
+        return 1
+    if b_n:
+        return -1
+    return (a > b) - (a < b)
+
+
+_OPS = {
+    "=": lambda c: c == 0,
+    ">": lambda c: c > 0,
+    ">=": lambda c: c >= 0,
+    "<": lambda c: c < 0,
+    "<=": lambda c: c <= 0,
+}
+
+
+def _writer_stats(values):
+    """(lb, ub, nc, nanc, records) exactly as _FileStats records them:
+    bounds over NaN-masked non-null values, stringified."""
+    present = [v for v in values if v is not None]
+    finite_or_inf = [v for v in present if not math.isnan(v)]
+    lb = {"x": str(min(finite_or_inf))} if finite_or_inf else {}
+    ub = {"x": str(max(finite_or_inf))} if finite_or_inf else {}
+    nc = {"x": str(len(values) - len(present))}
+    nanc = {"x": str(sum(1 for v in present if math.isnan(v)))}
+    return lb, ub, nc, nanc, len(values)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_floats, min_size=1, max_size=8), 
+       st.sampled_from(list(_OPS)), _floats.filter(lambda v: v is not None))
+def test_file_pruning_never_drops_matches(values, op, threshold):
+    lb, ub, nc, nanc, records = _writer_stats(values)
+    any_match = any(
+        v is not None and _OPS[op](_spark_cmp(v, threshold))
+        for v in values
+    )
+    f = {"lb": lb, "ub": ub, "bt": {"x": "double"}, "nc": nc,
+         "nanc": nanc, "records": records}
+    kept_jvm = _file_may_match(f, ("x", op, threshold))
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from hielo_spark.sources.iceberg_source import _file_survives
+
+    fcls = {"=": EqualTo, ">": GreaterThan, ">=": GreaterThanOrEqual,
+            "<": LessThan, "<=": LessThanOrEqual}[op]
+    e = {"data_file": {
+        "lower_bounds_str": lb or None, "upper_bounds_str": ub or None,
+        "bounds_types": {"x": "double"},
+        "null_counts": nc, "nan_counts": nanc,
+        "record_count": records,
+    }}
+    kept_ds = _file_survives([fcls(("x",), threshold)], e)
+    if any_match:
+        assert kept_jvm, (values, op, threshold, f)
+        assert kept_ds, (values, op, threshold)
