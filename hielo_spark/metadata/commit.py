@@ -1804,7 +1804,7 @@ def append(
     if dist == "range" and sort_spec:
         # honor each field's declared direction/null-order so file
         # ranges line up with the order readers expect
-        df = df.repartitionByRange(*_sort_exprs(sort_spec))
+        df = df.repartitionByRange(*_sort_exprs(sort_spec, dtypes))
     elif dist == "hash" and transforms:
         # cluster by the DERIVED partition values, not the raw source
         # columns: for non-identity transforms (bucket/days/truncate)
@@ -1817,8 +1817,9 @@ def append(
         ]
         if keys:
             df = df.repartition(*keys)
-    # honor the table's default sort order on appends (identity
-    # transforms only, _sort_spec_from_doc): a LOCAL per-task sort —
+    # honor the table's default sort order on appends
+    # (_sort_spec_from_doc — transform sort fields sort by the derived
+    # value): a LOCAL per-task sort —
     # no extra shuffle — so fresh files carry tight column bounds and
     # file-/row-group pruning bites immediately, not only after the
     # next sorted compaction (Iceberg writers apply the sort order on
@@ -1827,7 +1828,7 @@ def append(
     # stamped with sort_order_id must actually be in THAT order, desc
     # and nulls-last included.
     if sort_spec:
-        df = df.sortWithinPartitions(*_sort_exprs(sort_spec))
+        df = df.sortWithinPartitions(*_sort_exprs(sort_spec, dtypes))
     parts, partition_of, ptypes, stats = _write_data_files(
         spark, data_dir, df, transforms, dtypes,
         metrics_mode=_metrics_mode_of(doc),
@@ -2290,14 +2291,13 @@ def rewrite_data_files(
 
     if sort_by and zorder_by:
         raise ValueError("pass at most one of sort_by / zorder_by")
-    doc_sort_exprs = None
+    doc_spec = None
     if not sort_by and not zorder_by:
         # no explicit strategy: follow the table's recorded sort order —
-        # with its declared direction/null-order, so compacted files
-        # are truly in the order the table's sort_order_id names
-        doc_spec = _sort_spec_from_doc(doc)
-        sort_by = [s[0] for s in doc_spec] or None
-        doc_sort_exprs = _sort_exprs(doc_spec) if doc_spec else None
+        # with its declared transform/direction/null-order, so
+        # compacted files are truly in the order sort_order_id names
+        doc_spec = _sort_spec_from_doc(doc) or None
+        sort_by = [s[0] for s in doc_spec or []] or None
     # v3 row lineage: compaction must PRESERVE row ids (spec) — read
     # with lineage and write _row_id / _last_updated_sequence_number as
     # MATERIALIZED columns in the rewritten parquet; rewritten entries
@@ -2315,7 +2315,10 @@ def rewrite_data_files(
 
         live = zorder_sort(live, zorder_by, n_partitions=n_out).drop("zkey")
     elif sort_by:
-        keys = doc_sort_exprs or sort_by
+        keys = (
+            _sort_exprs(doc_spec, dict(live.dtypes)) if doc_spec
+            else sort_by
+        )
         live = live.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
     else:
         live = live.repartition(n_out)
@@ -2407,26 +2410,50 @@ def _conjunct_skip_filters(condition) -> list[tuple]:
 
     if not isinstance(condition, str):
         return []
-    if re.search(r"(?i)\bor\b|\bnot\b|\(", condition):
+    if re.search(r"(?i)\bor\b|\bnot\b", condition):
         return []
-    out = []
-    for clause in re.split(r"(?i)\band\b", condition):
-        m = re.fullmatch(
-            r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|>=|<=|>|<)\s*(.+?)\s*",
-            clause,
-        )
-        if not m:
-            continue
-        col, op, lit = m.groups()
+
+    def lit_of(lit):
+        lit = lit.strip()
         if len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'":
             # SQL-unescape doubled quotes ('O''Brien' → O'Brien) so the
             # literal matches the bound-string rendering
-            out.append((col, op, lit[1:-1].replace("''", "'")))
-        else:
-            try:
-                out.append((col, op, float(lit)))
-            except ValueError:
-                pass  # DATE'…'/expressions: no pruning from this clause
+            return lit[1:-1].replace("''", "'")
+        try:
+            return float(lit)
+        except ValueError:
+            return None  # DATE'…'/expressions: no pruning
+
+    out = []
+    for clause in re.split(r"(?i)\band\b", condition):
+        m = re.fullmatch(
+            r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|>=|<=|>|<)\s*([^()]+?)\s*",
+            clause,
+        )
+        if m:
+            col, op, lit = m.groups()
+            v = lit_of(lit)
+            if v is not None:
+                out.append((col, op, v))
+            continue
+        # col IN ('a', 'b', 3): prune when NO listed value can live in
+        # a file's bounds. Any unparseable element disables this
+        # clause's pruning entirely (a missed value must not prune).
+        m = re.fullmatch(
+            r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+(?i:in)\s*\(([^()]*)\)\s*",
+            clause,
+        )
+        if m:
+            col, body = m.groups()
+            vals = [
+                lit_of(x)
+                for x in re.findall(r"'(?:[^']|'')*'|[^,]+", body)
+                if x.strip()
+            ]
+            if vals and all(v is not None for v in vals):
+                out.append((col, "in", tuple(vals)))
+        # other clause shapes (parenthesized groups split apart by the
+        # AND split, function calls): contribute no pruning
     return out
 
 
@@ -3785,19 +3812,26 @@ def update_sort_order(table_dir: str, cols: list[str]) -> int:
         for s in doc["schemas"]
         if s.get("schema-id") == doc.get("current-schema-id", 0)
     )
+    from .transforms import PartitionTransform
+
     name2id = {f["name"]: f["id"] for f in schema.get("fields", [])}
     fields = []
     missing = []
     for c in cols:
-        toks = str(c).split()
-        name = toks[0]
-        mods = [t.lower() for t in toks[1:]]
-        bad = [t for t in mods
-               if t not in ("asc", "desc", "nulls-first", "nulls-last")]
+        head, *mods = str(c).rsplit(" ", maxsplit=str(c).count(" "))
+        # modifiers trail the column/transform expression; everything
+        # that isn't a known modifier belongs to the head (so
+        # "truncate(4, s) desc" splits correctly)
+        known = ("asc", "desc", "nulls-first", "nulls-last")
+        while mods and mods[0].lower() not in known:
+            head = f"{head} {mods.pop(0)}"
+        mods = [m.lower() for m in mods]
+        bad = [m for m in mods if m not in known]
         if bad:
             raise ValueError(f"unknown sort modifier(s) {bad} in {c!r}")
-        if name not in name2id:
-            missing.append(name)
+        pt = PartitionTransform(head)
+        if pt.source not in name2id:
+            missing.append(pt.source)
             continue
         desc = "desc" in mods
         null_order = (
@@ -3807,8 +3841,8 @@ def update_sort_order(table_dir: str, cols: list[str]) -> int:
         )
         fields.append(
             {
-                "source-id": name2id[name],
-                "transform": "identity",
+                "source-id": name2id[pt.source],
+                "transform": pt.iceberg_name,
                 "direction": "desc" if desc else "asc",
                 "null-order": null_order,
             }
@@ -3825,12 +3859,17 @@ def update_sort_order(table_dir: str, cols: list[str]) -> int:
     return new_id
 
 
-def _sort_spec_from_doc(doc: dict) -> list[tuple[str, bool, bool]]:
-    """The default sort order as ``[(name, desc, nulls_first)]``, []
-    when none/unresolvable (non-identity transforms, unknown source
-    ids). Direction and null-order come from the spec's sort-field
-    fields — a foreign table may declare desc/nulls-last, and a file
-    stamped with its sort_order_id must actually BE in that order."""
+def _sort_spec_from_doc(doc: dict) -> list[tuple[str, bool, bool, str]]:
+    """The default sort order as ``[(source_name, desc, nulls_first,
+    transform)]``, [] when unresolvable (unknown source ids or
+    transform vocabulary). Direction and null-order come from the
+    spec's sort-field fields — a foreign table may declare
+    desc/nulls-last, and a file stamped with its sort_order_id must
+    actually BE in that order. Non-identity transforms (year/month/
+    day/hour, bucket[N], truncate[W]) sort by the DERIVED value, the
+    spec's meaning of a transform sort field."""
+    import re as _re
+
     orders = doc.get("sort-orders") or []
     oid = doc.get("default-sort-order-id")
     order = next((o for o in orders if o.get("order-id") == oid), None)
@@ -3848,26 +3887,48 @@ def _sort_spec_from_doc(doc: dict) -> list[tuple[str, bool, bool]]:
     spec = []
     for f in order.get("fields", []):
         name = id2name.get(f.get("source-id"))
-        if name is None or f.get("transform", "identity") != "identity":
+        tr = str(f.get("transform", "identity"))
+        if name is None:
             return []
+        if tr not in ("identity", "year", "month", "day", "hour") \
+                and _re.match(r"^(bucket|truncate)\[\d+\]$", tr) is None:
+            return []  # unknown transform: no sort, no stamp
         desc = str(f.get("direction", "asc")).lower() == "desc"
         # spec default null order: nulls-first for asc, nulls-last
         # for desc
         null_order = str(
             f.get("null-order", "nulls-last" if desc else "nulls-first")
         ).lower()
-        spec.append((name, desc, null_order == "nulls-first"))
+        spec.append((name, desc, null_order == "nulls-first", tr))
     return spec
 
 
-def _sort_exprs(spec: list[tuple[str, bool, bool]]) -> list:
+def _sort_exprs(
+    spec: list[tuple[str, bool, bool, str]], dtypes: dict | None = None
+) -> list:
     """sortWithinPartitions/repartitionByRange Column exprs honoring
-    each sort field's declared direction and null order."""
+    each sort field's declared transform, direction, and null order.
+    Transform fields need ``dtypes`` (source column Spark types) to
+    derive the sort key; identity fields sort the column itself."""
+    import re as _re
+
     from pyspark.sql import functions as F
 
+    from .transforms import PartitionTransform
+
     out = []
-    for name, desc, nulls_first in spec:
-        c = F.col(name)
+    for name, desc, nulls_first, tr in spec:
+        if tr == "identity":
+            c = F.col(name)
+        else:
+            m = _re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
+            spec_str = (
+                f"{m.group(1)}({m.group(2)}, {name})" if m
+                else f"{tr}s({name})"
+            )
+            c = PartitionTransform(spec_str).expr(
+                (dtypes or {}).get(name, "string")
+            )
         if desc:
             c = c.desc_nulls_first() if nulls_first else c.desc_nulls_last()
         else:
@@ -4557,7 +4618,7 @@ def merge_into(
         ]
         if merge_sort:
             to_append = to_append.sortWithinPartitions(
-                *_sort_exprs(merge_sort)
+                *_sort_exprs(merge_sort, dict(to_append.dtypes))
             )
         data_parts, partition_of, ptypes, stats = _write_data_files(
             spark, data_dir, to_append, spec_transforms,

@@ -442,7 +442,7 @@ _NUMERIC_BOUND_TYPES = (
     "tinyint", "smallint", "int", "bigint", "float", "double",
 )
 
-_SKIP_OPS = ("=", ">", ">=", "<", "<=", "is_null", "is_not_null")
+_SKIP_OPS = ("=", ">", ">=", "<", "<=", "in", "is_null", "is_not_null")
 
 
 def _trim_ts_fraction(s: str) -> str:
@@ -485,6 +485,14 @@ def _file_may_match(
     its bounds under the old name, so pruning consults those keys too —
     otherwise a renamed-column filter silently stops pruning."""
     col, op, value = skip_filter
+    if op == "in":
+        # any listed value may match; SQL null in the list matches no
+        # row, and an empty list matches nothing (prunes every file —
+        # the caller then returns the empty frame)
+        return any(
+            _file_may_match(f, (col, "=", v), aliases)
+            for v in (value or ()) if v is not None
+        )
     lb, ub, bt = f.get("lb") or {}, f.get("ub") or {}, f.get("bt") or {}
     # resolve the filter's current-name column to whichever name this
     # file's stats were recorded under (current first, then history)
@@ -619,6 +627,9 @@ def _row_predicate(skip_filter: tuple):
     skipping so the result is exact, not just a file superset."""
     col, op, value = skip_filter
     c = F.col(col)
+    if op == "in":
+        vals = [v for v in (value or ()) if v is not None]
+        return c.isin(vals) if vals else F.lit(False)
     return {
         "=": c == value,
         ">": c > value,
@@ -987,6 +998,12 @@ def read_data_at_snapshot(
     # remember whether this is TIME TRAVEL (explicit snapshot/as-of/ref)
     # or a LATEST read — they resolve the read schema differently below
     time_travel = any(x is not None for x in (snapshot_id, as_of_ms, ref))
+    if skip_filter is not None and skip_filter[1] == "in" \
+            and not isinstance(skip_filter[2], (list, tuple, set, frozenset)):
+        raise ValueError(
+            "skip_filter 'in' needs a list/tuple/set of values, got "
+            f"{type(skip_filter[2]).__name__}"
+        )
     if skip_filter is not None and skip_filter[1] not in _SKIP_OPS:
         raise ValueError(
             f"unsupported skip_filter op {skip_filter[1]!r} (supported: {_SKIP_OPS})"

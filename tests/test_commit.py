@@ -526,9 +526,12 @@ def test_unsupported_skip_filter_op_raises(spark, tmp_path):
     C.append(spark, t, spark.createDataFrame([(1,)], ["id"]),
              snapshot_id=101, timestamp_ms=1700000000000)
     mpath = C.current_metadata_path(t)
-    for op in ("!=", "in", "=="):
+    for op in ("!=", "=="):
         with pytest.raises(ValueError, match="unsupported skip_filter op"):
             read_data_at_snapshot(spark, mpath, skip_filter=("id", op, 1))
+    # r12: "in" is supported, but its value must be a collection
+    with pytest.raises(ValueError, match="'in' needs a list"):
+        read_data_at_snapshot(spark, mpath, skip_filter=("id", "in", 1))
 
 
 def test_null_count_stats_and_is_null_skipping(spark, tmp_path):
@@ -2102,3 +2105,98 @@ def test_cherrypick_time_transform_partitioned(spark, tmp_path):
         for e in entries:
             assert e["data_file"]["partition"]["ts_month"] == \
                 (2024 - 1970) * 12 + 3  # 2024-04 → 651
+
+
+def test_transform_sort_order_applied(spark, tmp_path):
+    """r12: a sort order with a NON-identity transform (here
+    truncate[4] on a string) sorts appends by the DERIVED value — the
+    spec's meaning of a transform sort field — and still stamps
+    sort_order_id."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(0, "aaaa-x")], "id long, s string"),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    oid = C.update_sort_order(t, ["truncate(4, s)"])
+    doc = json.load(open(C.current_metadata_path(t)))
+    order = next(o for o in doc["sort-orders"] if o["order-id"] == oid)
+    assert order["fields"][0]["transform"] == "truncate[4]"
+
+    shuf = (spark.createDataFrame(
+        [(i, f"{chr(97 + i % 7)}{chr(97 + i % 5)}zz-{i:04d}")
+         for i in range(500)], "id long, s string")
+        .orderBy(F.rand(seed=5)).coalesce(1))
+    C.append(spark, t, shuf, snapshot_id=102,
+             timestamp_ms=1700100000000)
+    newest = sorted(
+        glob.glob(t + "/data/seq-00002/**/*.parquet", recursive=True))
+    assert len(newest) == 1
+    vals = pq.read_table(newest[0], columns=["s"]).column(
+        "s").to_pylist()
+    prefixes = [v[:4] for v in vals]
+    assert prefixes == sorted(prefixes), \
+        "rows must be ordered by the truncate(4) derived value"
+    # reads stay exact
+    assert read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).count() == 501
+
+
+def test_skip_filter_in_op(spark, tmp_path):
+    """r12: skip_filter supports IN — files whose bounds exclude every
+    listed value are pruned; an empty/all-null list is a valid empty
+    result."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 100).selectExpr("id").coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t,
+             spark.range(1000, 1100).selectExpr("id").coalesce(1),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    mpath = C.current_metadata_path(t)
+    got = read_data_at_snapshot(
+        spark, mpath, skip_filter=("id", "in", (5, 7, 9)))
+    assert sorted(r.id for r in got.collect()) == [5, 7, 9]
+    assert len(set(got.inputFiles())) == 1  # second file pruned
+    both = read_data_at_snapshot(
+        spark, mpath, skip_filter=("id", "in", (5, 1005)))
+    assert sorted(r.id for r in both.collect()) == [5, 1005]
+    none = read_data_at_snapshot(
+        spark, mpath, skip_filter=("id", "in", ()))
+    assert none.count() == 0 and "id" in dict(none.dtypes)
+
+
+def test_conjunct_parser_in_clause():
+    """r12: the delete_where SQL conjunct parser extracts IN lists for
+    file pruning; paren groups / OR / unparseable elements contribute
+    nothing (strictly conservative)."""
+    from hielo_spark.metadata.commit import _conjunct_skip_filters as P
+
+    assert P("id IN (5, 7)") == [("id", "in", (5.0, 7.0))]
+    assert P("k in ('a', 'O''Brien')") == [("k", "in", ("a", "O'Brien"))]
+    assert P("id IN (5) AND k = 'x'") == [
+        ("id", "in", (5.0,)), ("k", "=", "x")]
+    # unparseable element disables that clause's pruning, not the rest
+    assert P("id IN (5, CURRENT_DATE) AND k = 'x'") == [("k", "=", "x")]
+    assert P("id IN (5) OR k = 'x'") == []
+    assert P("(id = 5 AND k = 'x')") == []  # split parens: nothing
+    assert P("k = 'a,b'") == [("k", "=", "a,b")]
+
+
+def test_delete_where_in_condition_prunes(spark, tmp_path):
+    """DELETE WHERE id IN (...) prunes candidate files via bounds
+    before any scan, and deletes exactly the listed rows."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 100).selectExpr("id").coalesce(1),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t,
+             spark.range(1000, 1100).selectExpr("id").coalesce(1),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, "id IN (5, 7)",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    got = sorted(r.id for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    assert got == [i for i in range(100) if i not in (5, 7)] + \
+        list(range(1000, 1100))
