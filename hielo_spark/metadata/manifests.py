@@ -301,7 +301,7 @@ def read_manifest(
     read via the name fallback. Decoded by the pure-Python Avro reader
     (same planning-speed rationale as read_manifest_list).
     """
-    rows = [r[:15] for r in decode_manifest(path, inherited_seq)]
+    rows = [r[:15] + (r[17],) for r in decode_manifest(path, inherited_seq)]
     return spark.createDataFrame(
         rows,
         "status int, snapshot_id long, file_path string, file_format string, "
@@ -309,7 +309,7 @@ def read_manifest(
         "partition_values map<string,string>, partition_types map<string,string>, "
         "lower_bounds map<string,string>, upper_bounds map<string,string>, "
         "bounds_types map<string,string>, null_counts map<string,string>, "
-        "distinct_counts map<string,string>",
+        "distinct_counts map<string,string>, nan_counts map<string,string>",
     )
 
 
@@ -411,7 +411,7 @@ def files_from_manifest_list(
             "partition_values map<string,string>, partition_types map<string,string>, "
             "lower_bounds map<string,string>, upper_bounds map<string,string>, "
             "bounds_types map<string,string>, null_counts map<string,string>, "
-            "distinct_counts map<string,string>",
+            "distinct_counts map<string,string>, nan_counts map<string,string>",
         )
     live = (
         out.filter(F.col("status") != 2)
@@ -434,6 +434,7 @@ def files_from_manifest_list(
             "bounds_types",
             "null_counts",
             "distinct_counts",
+            "nan_counts",
         )
     )
 
@@ -1141,9 +1142,16 @@ def read_data_at_snapshot(
             )
         ]
         if not data_files:
+            # a partition value no live file carries is a VALID empty
+            # result, not an error (r12 — same treatment as
+            # skip_filter below)
+            empty = _empty_read_frame(spark, doc, read_schema_id, row_lineage)
+            if empty is not None:
+                return empty
             raise ValueError(
                 f"partition filter {partition_filter} prunes every file of "
-                f"snapshot {chosen['snapshot-id']}"
+                f"snapshot {chosen['snapshot-id']} and the metadata "
+                "carries no schema to shape an empty result"
             )
 
     # metadata skipping on column bounds: keep only files whose manifest

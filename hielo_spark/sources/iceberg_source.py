@@ -2729,7 +2729,8 @@ _META_SURFACES = {
         "file_size_in_bytes bigint, sequence_number bigint, "
         "partition_json string, referenced_data_file string, "
         "content_offset bigint, content_size_in_bytes bigint, "
-        "first_row_id bigint"
+        "first_row_id bigint, null_value_counts_json string, "
+        "nan_value_counts_json string"
     ),
     "partitions": (
         "partition_json string, spec_id int, record_count bigint, "
@@ -2874,6 +2875,15 @@ def _meta_surface_rows(table_dir: str, surface: str, options) -> list[tuple]:
                     data_file.get("content_offset"),
                     data_file.get("content_size_in_bytes"),
                     data_file.get("first_row_id"),
+                    # Iceberg's t.files carries the per-column count
+                    # stats; JSON-rendered (name-keyed) for a stable
+                    # surface schema
+                    (lambda m: json.dumps(m, sort_keys=True)
+                     if m else None)(
+                        _entry_count_map(
+                            e, "null_counts", "null_value_counts")),
+                    (lambda m: json.dumps(m, sort_keys=True)
+                     if m else None)(_entry_nan_counts(e)),
                 )
             )
         return out

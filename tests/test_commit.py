@@ -246,8 +246,12 @@ def test_partitioned_append_and_partition_pruning(spark, tmp_path):
     assert us_files < all_files
     assert all("region=us" in f for f in us_files)
 
-    with pytest.raises(ValueError, match="prunes every file"):
-        read_data_at_snapshot(spark, mpath, partition_filter={"region": "apac"})
+    # a partition value no live file carries → valid EMPTY result with
+    # the table's schema (r12; previously raised)
+    apac = read_data_at_snapshot(spark, mpath,
+                                 partition_filter={"region": "apac"})
+    assert apac.count() == 0
+    assert set(c for c, _ in apac.dtypes) >= {"id", "region"}
 
 
 def test_partitioned_append_with_deletes_and_rewrite(spark, tmp_path):

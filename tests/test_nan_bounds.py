@@ -299,3 +299,47 @@ def test_file_pruning_never_drops_matches(values, op, threshold):
     if any_match:
         assert kept_jvm, (values, op, threshold, f)
         assert kept_ds, (values, op, threshold)
+
+
+def test_nan_counts_on_files_surfaces(registered, tmp_path):
+    """Iceberg's t.files exposes nan_value_counts: both the JVM files
+    frame (nan_counts map) and the DataSource files surface
+    (nan_value_counts_json) carry it."""
+    import json
+
+    from hielo_spark.metadata.manifests import files_from_manifest_list
+
+    spark = registered
+    t = _nan_table(spark, tmp_path)
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = doc["snapshots"][-1]
+    frame = files_from_manifest_list(
+        spark, "t", cur["manifest-list"].removeprefix("file:"))
+    (row,) = frame.collect()
+    assert row.nan_counts == {"x": "1"}
+    surf = (spark.read.format("hielo_iceberg")
+            .option("surface", "files").load(t).collect())
+    (srow,) = surf
+    assert json.loads(srow.nan_value_counts_json) == {"x": 1}
+    assert json.loads(srow.null_value_counts_json) == {"x": 0}
+
+
+def test_equality_delete_nan_key(registered, tmp_path):
+    """An equality delete keyed on a NaN float must remove exactly the
+    NaN rows (Spark join equality treats NaN = NaN as true), and the
+    delete file's own NaN-free bounds must not stop it from applying."""
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr(
+        "cast(id as double) AS x").unionAll(
+        spark.createDataFrame([(float("nan",),)], "x double")).coalesce(1)
+    C.append(spark, t, df, snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_equality(spark, t,
+                      spark.createDataFrame([(float("nan"),)], "x double"),
+                      snapshot_id=102, timestamp_ms=1700100000000)
+    got = sorted(r.x for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect())
+    assert got == [float(i) for i in range(10)]  # NaN row gone
+    ds = spark.read.format("hielo_iceberg").load(t)
+    assert ds.count() == 10
+    assert ds.filter("isnan(x)").count() == 0
