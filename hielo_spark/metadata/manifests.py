@@ -77,6 +77,7 @@ def live_data_file_dicts(
         for e in decode_manifest(
             _resolve(manifest_list_path, m["manifest_path"]),
             inherited_seq=inherited_seq_of(m, format_version),
+            inherited_snapshot_id=m.get("added_snapshot_id"),
         ):
             (status, sid, fpath, _fmt, records, _size, fcontent, seq,
              pvals, ptypes, lb, ub, bt, nc, _dc, _dv, _frid, nanc) = e
@@ -167,13 +168,25 @@ def _py_kv_list(v) -> dict[int, object]:
     return out
 
 
-def decode_manifest(path: str, inherited_seq: int | None = None) -> list[tuple]:
+def decode_manifest(
+    path: str,
+    inherited_seq: int | None = None,
+    inherited_snapshot_id: int | None = None,
+) -> list[tuple]:
     """Pure-Python manifest decode — the tuples behind
     :func:`read_manifest`'s frame, consumable directly by the planning
     plane without a createDataFrame/collect round-trip per manifest
     (r5 measurement: those Spark hops, not the Avro walking, dominated
     time-travel planning — three of them cost ~3 s on an 8-file
-    snapshot)."""
+    snapshot).
+
+    ``inherited_snapshot_id``: per the spec (manifest_entry field 0),
+    a null entry ``snapshot_id`` is INHERITED from the manifest list's
+    ``added_snapshot_id`` — Java Iceberg writes nulls and relies on
+    this, so without it foreign tables' files lose their adding
+    snapshot (mis-attributing changelog/incremental scans). Pass the
+    owning manifest's ``added_snapshot_id``; our own writer records
+    explicit ids, which take precedence."""
     import json as _json
 
     _, meta, raw = read_avro_file(path)
@@ -228,10 +241,11 @@ def decode_manifest(path: str, inherited_seq: int | None = None) -> list[tuple]:
                 for name, itype in id2field.values()
                 if name in (lb or {}) or name in (ub or {})
             }
+        sid = r.get("snapshot_id")
         rows.append(
             (
                 int(r.get("status")),
-                r.get("snapshot_id"),
+                int(sid) if sid is not None else inherited_snapshot_id,
                 df_rec.get("file_path"),
                 df_rec.get("file_format"),
                 int(df_rec.get("record_count") or 0),
@@ -276,7 +290,10 @@ def decode_manifest(path: str, inherited_seq: int | None = None) -> list[tuple]:
 
 
 def read_manifest(
-    spark: SparkSession, path: str, inherited_seq: int | None = None
+    spark: SparkSession,
+    path: str,
+    inherited_seq: int | None = None,
+    inherited_snapshot_id: int | None = None,
 ) -> DataFrame:
     """One row per data-file entry in an Iceberg manifest Avro file.
 
@@ -289,6 +306,10 @@ def read_manifest(
     inheritance only for ADDED entries, but null on EXISTING/DELETED is
     malformed rather than meaningful, so we inherit there too instead of
     failing). v1 manifests carry no sequence numbers at all → null.
+    ``snapshot_id`` inherits the same way (spec field 0): a null entry
+    snapshot id resolves to ``inherited_snapshot_id`` — pass the
+    manifest list row's ``added_snapshot_id`` (Java Iceberg writes
+    nulls in fresh manifests and relies on this inheritance).
 
     Stats resolution (r5): the engine-extension string maps
     (``lower_bounds_str``/``upper_bounds_str``/``null_counts``/
@@ -301,7 +322,10 @@ def read_manifest(
     read via the name fallback. Decoded by the pure-Python Avro reader
     (same planning-speed rationale as read_manifest_list).
     """
-    rows = [r[:15] + (r[17],) for r in decode_manifest(path, inherited_seq)]
+    rows = [
+        r[:15] + (r[17],)
+        for r in decode_manifest(path, inherited_seq, inherited_snapshot_id)
+    ]
     return spark.createDataFrame(
         rows,
         "status int, snapshot_id long, file_path string, file_format string, "
@@ -387,6 +411,7 @@ def files_from_manifest_list(
             spark,
             _resolve(manifest_list_path, m.manifest_path),
             inherited_seq=m.sequence_number,
+            inherited_snapshot_id=m.added_snapshot_id,
         )
         if with_spec_id:
             # each manifest belongs to exactly ONE partition spec (the

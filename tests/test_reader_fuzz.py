@@ -885,3 +885,127 @@ def test_pos_delete_rows_unsorted(registered, spark, tmp_path):
             os.remove(crc)
     expect = [i for i in range(60) if i % 7 != 0]
     assert _both_plane_ids(spark, t) == expect
+
+
+def test_entry_snapshot_id_inherited_when_null(registered, spark,
+                                               tmp_path):
+    """Java Iceberg writes entries with a NULL snapshot_id and relies
+    on inheritance from the manifest list's added_snapshot_id (spec,
+    manifest_entry field 0). Null out exactly the ids Java would leave
+    null (those equal to the owning manifest's added_snapshot_id) and
+    check file→snapshot attribution still works everywhere it is
+    consumed: live_data_file_dicts' sid, the files surface's
+    snapshot_id column, and read_incremental's skip-mode attribution
+    (which without inheritance would silently emit ZERO rows)."""
+    from hielo_spark.metadata.manifests import (
+        live_data_file_dicts,
+        read_incremental,
+        read_manifest,
+    )
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 50).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.range(50, 100).selectExpr("id"),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, F.col("id") == 0,
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    C.append(spark, t, spark.range(100, 120).selectExpr("id"),
+             snapshot_id=104, timestamp_ms=1700300000000)
+
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     cur["manifest-list"].removeprefix("file:"))
+    _s, _m, mrows = read_avro_file(mlist)
+    for r in mrows:
+        added = r.get("added_snapshot_id")
+
+        def null_if_own(e, added=added):
+            if e.get("snapshot_id") == added:
+                e["snapshot_id"] = None
+            return e
+
+        _rewrite_manifest(_resolve(mlist, r["manifest_path"]),
+                          lambda s: s, null_if_own)
+
+    # planning plane: every live data file attributes to its adding
+    # snapshot through inheritance
+    files = live_data_file_dicts(mlist, doc.get("format-version", 2))
+    assert sorted({f["sid"] for f in files.values()}) == [101, 102, 104]
+
+    # manifest frame surface: no null snapshot_id rows when the
+    # caller passes the manifest list's added_snapshot_id
+    for r in mrows:
+        ents = read_manifest(
+            spark, _resolve(mlist, r["manifest_path"]),
+            inherited_snapshot_id=r.get("added_snapshot_id"),
+        ).collect()
+        assert all(e.snapshot_id is not None for e in ents)
+
+    # incremental skip-mode: 102's and 104's appends flow, attributed
+    # by sid (the delete snapshot 103 is skipped)
+    inc = read_incremental(
+        spark, C.current_metadata_path(t), 101, skip_delete=True
+    )
+    got = sorted(r.id for r in inc.collect())
+    assert got == list(range(50, 120))
+
+    # data plane unaffected
+    expect = [i for i in range(120) if i != 0]
+    assert _both_plane_ids(spark, t) == expect
+
+
+def test_multi_block_deflate_avro_manifests(registered, spark, tmp_path):
+    """Real Iceberg writers flush Avro blocks every ~64 KB, so a large
+    manifest arrives as MANY blocks (deflate-coded by default) — our
+    writer emits one block, so without this fuzz the multi-block loop
+    is never exercised on manifest shapes. Re-encode every manifest
+    AND the manifest list as one-row-per-block deflate containers and
+    both planes must read exactly."""
+    import zlib
+
+    from hielo_spark.metadata.avro_py import (
+        _MAGIC, _Encoder, _encode_datum, _resolve_named,
+    )
+
+    def reblock(path):
+        schema, meta, rows = read_avro_file(path)
+        enc = _Encoder()
+        enc.out += _MAGIC
+        hdr = {k: v for k, v in meta.items() if not k.startswith("avro.")}
+        hdr["avro.schema"] = json.dumps(schema).encode("utf-8")
+        hdr["avro.codec"] = b"deflate"
+        _encode_datum(enc, {"type": "map", "values": "bytes"}, hdr)
+        sync = b"\x5a" * 16
+        enc.out += sync
+        resolved = _resolve_named(schema)
+        for row in rows:  # one row per block — worst-case block count
+            b = _Encoder()
+            _encode_datum(b, resolved, row)
+            co = zlib.compressobj(wbits=-15)
+            payload = co.compress(bytes(b.out)) + co.flush()
+            enc.long(1)
+            enc.long(len(payload))
+            enc.out += payload
+            enc.out += sync
+        with open(path, "wb") as f:
+            f.write(bytes(enc.out))
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(0, 80).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    C.append(spark, t, spark.range(80, 120).selectExpr("id"),
+             snapshot_id=102, timestamp_ms=1700100000000)
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     cur["manifest-list"].removeprefix("file:"))
+    _s, _m, mrows = read_avro_file(mlist)
+    for r in mrows:
+        reblock(_resolve(mlist, r["manifest_path"]))
+    reblock(mlist)
+    assert _both_plane_ids(spark, t) == list(range(120))
