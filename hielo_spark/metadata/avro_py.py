@@ -285,6 +285,7 @@ def write_avro_file(
     rows: list,
     meta: dict | None = None,
     codec: str = "null",
+    block_bytes: int = 1 << 18,
 ) -> None:
     """Pure-Python Avro container writer — byte-compatible with the
     JVM-written files (same container framing, same binary encoding),
@@ -292,7 +293,12 @@ def write_avro_file(
     processes with no JVM. Readable back by BOTH this module and
     Spark's Avro library (round-trip pinned in tests). ``codec`` may be
     ``"deflate"`` (raw zlib per the spec — what real Iceberg writers
-    default to) or ``"null"``."""
+    default to) or ``"null"``.
+
+    Blocks flush at ~``block_bytes`` of encoded rows (256 KiB default —
+    the same order real Avro writers use), so a 100k-entry manifest is
+    many independently-decompressable blocks rather than one giant one;
+    at read time a block is the decompression/memory unit."""
     import os as _os
 
     if codec not in ("null", "deflate"):
@@ -307,17 +313,26 @@ def write_avro_file(
     _encode_datum(enc, {"type": "map", "values": "bytes"}, header_meta)
     sync = _os.urandom(16)
     enc.out += sync
-    block = _Encoder()
     resolved = _resolve_named(schema)
+
+    def flush(block: "_Encoder", n: int) -> None:
+        payload = bytes(block.out)
+        if codec == "deflate":
+            co = zlib.compressobj(wbits=-15)  # raw deflate per the spec
+            payload = co.compress(payload) + co.flush()
+        enc.long(n)
+        enc.long(len(payload))
+        enc.out += payload
+        enc.out += sync
+
+    block, n = _Encoder(), 0
     for row in rows:
         _encode_datum(block, resolved, row)
-    payload = bytes(block.out)
-    if codec == "deflate":
-        co = zlib.compressobj(wbits=-15)  # raw deflate per the spec
-        payload = co.compress(payload) + co.flush()
-    enc.long(len(rows))
-    enc.long(len(payload))
-    enc.out += payload
-    enc.out += sync
+        n += 1
+        if len(block.out) >= block_bytes:
+            flush(block, n)
+            block, n = _Encoder(), 0
+    if n:  # zero blocks is valid Avro for an empty file
+        flush(block, n)
     with open(path, "wb") as f:
         f.write(bytes(enc.out))
