@@ -2125,34 +2125,120 @@ class HieloIcebergStreamReader(DataSourceStreamReader):
     each batch is the set of data files ADDED by snapshots in
     (start, end]. Non-append snapshots (delete/replace/overwrite) stop
     the stream with an error rather than silently emitting wrong rows —
-    the same contract as manifests.read_incremental."""
+    the same contract as manifests.read_incremental.
+
+    Admission control (Iceberg Spark-source parity):
+    ``streaming-max-files-per-micro-batch`` /
+    ``streaming-max-rows-per-micro-batch`` cap each micro-batch by
+    walking the snapshot summaries (``added-data-files`` /
+    ``added-records`` — metadata-only, no manifest reads) and returning
+    the first snapshot id at which the running total reaches the cap —
+    a busy table's backlog then drains in bounded batches instead of
+    one unbounded catch-up batch. The cap basis is the last offset this
+    reader handed out or the last batch range Spark planned — traced
+    call orders (Spark 4.1): fresh start latestOffset→initialOffset
+    (basis-None ⟹ fresh, initial-offset semantics apply); restart
+    partitions(committed, committed)→latestOffset (the partitions sync
+    restores the basis, so restarts stay capped). A basis that is not
+    an ancestor of the current head never caps (uncapped is always
+    exactly-once), and partitions() raises loudly on a non-ancestor
+    START offset rather than re-emitting consumed rows."""
 
     def __init__(self, table_dir: str, options, schema_cols):
         self.table_dir = table_dir
         self.options = options
         self.schema_cols = schema_cols
+        self._last_end: int | None = None  # last offset handed to Spark
 
     def initialOffset(self):  # noqa: N802
         if self.options.get("initial-snapshot", "latest") == "earliest":
+            self._last_end = -1
             return {"snapshot_id": -1}
         doc = _load_doc(self.table_dir)
         cur = doc.get("current-snapshot-id")
-        return {"snapshot_id": int(cur) if cur is not None else -1}
+        self._last_end = int(cur) if cur is not None else -1
+        return {"snapshot_id": self._last_end}
 
     def latestOffset(self):  # noqa: N802
         doc = _load_doc(self.table_dir)
         cur = doc.get("current-snapshot-id")
-        return {"snapshot_id": int(cur) if cur is not None else -1}
+        head = int(cur) if cur is not None else -1
+        max_files = self.options.get("streaming-max-files-per-micro-batch")
+        max_rows = self.options.get("streaming-max-rows-per-micro-batch")
+        start = self._last_end
+        if start is None:
+            # Spark calls latestOffset BEFORE initialOffset on a fresh
+            # stream (traced on 4.1); on a checkpoint RESTART it calls
+            # partitions(committed, committed) first, which restores the
+            # basis above — so basis-None here means fresh start, and
+            # the initial-offset semantics are the correct cap basis
+            start = (
+                -1
+                if self.options.get("initial-snapshot", "latest")
+                == "earliest"
+                else head
+            )
+        if (
+            head == -1
+            or (max_files is None and max_rows is None)
+            or start == head
+        ):
+            self._last_end = head
+            return {"snapshot_id": head}
+        chain = _snapshot_lineage(
+            doc, None if start == -1 else start, head
+        )
+        # defensive: a basis that is not an ancestor of head (never in
+        # the traced call orders) must not cap — capping from a stale
+        # basis could hand Spark an offset BEHIND the checkpoint and
+        # re-emit consumed rows; uncapped is always exactly-once
+        if not chain or (
+            start != -1
+            and int(chain[0].get("parent-snapshot-id") or -2) != start
+        ):
+            self._last_end = head
+            return {"snapshot_id": head}
+        files = rows = 0
+        chosen = start
+        for s in chain:
+            summ = s.get("summary", {})
+            files += int(summ.get("added-data-files", 0) or 0)
+            rows += int(summ.get("added-records", 0) or 0)
+            chosen = int(s["snapshot-id"])
+            if (max_files is not None and files >= int(max_files)) or (
+                max_rows is not None and rows >= int(max_rows)
+            ):
+                break
+        self._last_end = chosen
+        return {"snapshot_id": chosen}
 
     def _lineage(self, doc, start_id, end_id):
         return _snapshot_lineage(doc, start_id, end_id)
 
     def partitions(self, start, end):
         start_id, end_id = int(start["snapshot_id"]), int(end["snapshot_id"])
+        # keep the admission-control basis in sync with the batch range
+        # Spark actually planned (authoritative after a restart, where
+        # offsets come from the checkpoint and initialOffset never ran);
+        # ids are not ordered in general, so plain assignment — this is
+        # always the most recent range end Spark committed to
+        if end_id != -1:
+            self._last_end = end_id
         if end_id == -1 or start_id == end_id:
             return [_ScanPartition(None, None, [], [], self.schema_cols)]
         doc = _load_doc(self.table_dir)
         chain = self._lineage(doc, None if start_id == -1 else start_id, end_id)
+        # a start offset that is not an ancestor of end would make the
+        # walk swallow the WHOLE history and re-emit consumed rows —
+        # loud error beats silent duplicates (unreachable under the
+        # traced Spark call orders; guards offset-log corruption)
+        if start_id != -1 and chain and (
+            int(chain[0].get("parent-snapshot-id") or -2) != start_id
+        ):
+            raise ValueError(
+                f"stream offset {start_id} is not an ancestor of "
+                f"{end_id} — checkpoint does not match the table lineage"
+            )
         # Iceberg streaming parity: option("skip-replace", "true") /
         # option("skip-delete", "true") let the stream cross compaction
         # (rows already consumed, rewritten into new files we must NOT

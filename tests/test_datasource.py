@@ -2192,3 +2192,72 @@ def test_null_count_file_pruning(registered, spark, tmp_path):
         spark, C.current_metadata_path(t), skip_filter=("v", "=", "x15"))
     assert len(set(jvm.inputFiles())) == 1
     assert [r.id for r in jvm.collect()] == [15]
+
+
+def test_streaming_max_files_per_micro_batch(registered, tmp_path):
+    """streaming-max-files-per-micro-batch (Iceberg Spark-source
+    parity, r12): a 5-append backlog with a 1-file cap must drain in
+    bounded micro-batches — at least 5 offsets in the checkpoint, not
+    one unbounded catch-up batch — and still deliver every row exactly
+    once. The cap is metadata-only (snapshot summary counts), so
+    planning reads no manifests it wouldn't anyway."""
+    import glob as g
+
+    spark = registered
+    t = str(tmp_path / "t")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    for i in range(5):
+        C.append(
+            spark, t,
+            spark.createDataFrame([(i, f"v{i}")], ["id", "v"]).coalesce(1),
+            snapshot_id=101 + i, timestamp_ms=1700000000000 + i,
+        )
+    # NOT availableNow: the Python stream source falls back to a single
+    # batch there (Spark logs the unsupported-trigger warning), which
+    # with a cap would stop at the first capped offset. A continuous
+    # trigger + processAllAvailable drains the backlog batch by batch.
+    q = (
+        spark.readStream.format("hielo_iceberg")
+        .option("initial-snapshot", "earliest")
+        .option("streaming-max-files-per-micro-batch", "1")
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(processingTime="1 seconds").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(i, f"v{i}") for i in range(5)]
+    offsets = g.glob(ck + "/offsets/*")
+    assert len(offsets) >= 5, (
+        f"cap=1 over 5 single-file appends must take >=5 micro-batches, "
+        f"saw {len(offsets)}"
+    )
+    # restart from the checkpoint with a new 2-append backlog: the
+    # partitions(committed, committed) recovery call restores the cap
+    # basis, so the backlog still drains capped AND exactly-once
+    for i in range(5, 7):
+        C.append(
+            spark, t,
+            spark.createDataFrame([(i, f"v{i}")], ["id", "v"]).coalesce(1),
+            snapshot_id=101 + i, timestamp_ms=1700000000000 + i,
+        )
+    q = (
+        spark.readStream.format("hielo_iceberg")
+        .option("initial-snapshot", "earliest")
+        .option("streaming-max-files-per-micro-batch", "1")
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(processingTime="1 seconds").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(i, f"v{i}") for i in range(7)]  # no dup, no gap
+    assert len(g.glob(ck + "/offsets/*")) >= 7
