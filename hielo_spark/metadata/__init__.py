@@ -16,6 +16,7 @@ commits, ``update_schema`` / ``update_partition_spec`` /
 """
 
 from .commit import (  # noqa: F401
+    add_files,
     append,
     cherrypick_snapshot,
     create_ref,
@@ -46,6 +47,7 @@ from .partition_stats import (  # noqa: F401
 from .puffin import ndv_of, write_statistics  # noqa: F401
 
 __all__ = [
+    "add_files",
     "append",
     "cherrypick_snapshot",
     "create_ref",

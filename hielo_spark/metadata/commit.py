@@ -1963,6 +1963,308 @@ def append(
     )
 
 
+def add_files(
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Register EXISTING parquet files as a new append snapshot without
+    rewriting a byte of data — Iceberg's ``add_files`` procedure (the
+    100 TB onboarding path: importing a hive-layout landing zone into a
+    table is a metadata-only commit, not a copy). Per-file stats come
+    from the parquet FOOTERS alone (row counts, null counts, min/max
+    aggregated across row groups) so planning-grade bounds land in the
+    manifest with zero data scan; NaN-valued float bounds are masked
+    out per the spec's NaN-excluded-from-bounds rule (old writers may
+    have recorded them), and truncated footer string stats are still
+    valid ENCLOSING bounds, which is all pruning needs. nan/distinct
+    counts are unrecordable from footers and stay absent (readers
+    treat absence conservatively).
+
+    On a fresh table the schema is recorded from the first footer. On
+    an existing table every data column must appear in each file's
+    parquet schema (loud otherwise), and re-registering a path already
+    live in the current snapshot raises (Iceberg's duplicate check).
+    Identity partition values parse from hive ``col=value`` path
+    segments when the table's default spec (or the hive layout) has
+    them; non-identity transforms cannot be derived without scanning
+    and raise."""
+    import time
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    if not files:
+        raise ValueError("add_files: empty file list")
+    files = [os.path.abspath(p.removeprefix("file:")) for p in files]
+
+    doc, prev_version = _load_doc(table_dir)
+    seq = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq)
+    )
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    base_id = doc.get("current-snapshot-id")
+    mdir = os.path.join(table_dir, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+
+    # duplicate-registration check against the current snapshot
+    if base_id is not None:
+        from .manifests import _resolve, live_data_file_dicts
+
+        cur = next(
+            s for s in doc["snapshots"] if s["snapshot-id"] == base_id
+        )
+        live = live_data_file_dicts(
+            _resolve(os.path.join(mdir, "x"),
+                     cur["manifest-list"].removeprefix("file:")),
+            doc.get("format-version", 2),
+        )
+        dups = sorted(set(files) & set(live))
+        if dups:
+            raise ValueError(
+                f"add_files: already registered in the current snapshot: "
+                f"{dups[:3]}{'…' if len(dups) > 3 else ''}"
+            )
+
+    # hive partition segments (identity values only)
+    def hive_pvals(p: str) -> dict[str, str]:
+        vals = {}
+        for seg in os.path.dirname(p).split(os.sep):
+            k, eq, v = seg.partition("=")
+            if eq and k:
+                vals[k] = unquote(v)
+        return vals
+
+    # per-file footer walk: schema, rows, aggregated column stats
+    metas = {p: pq.ParquetFile(p) for p in files}
+    first_schema = metas[files[0]].schema_arrow
+    file_dtypes = {
+        f.name: from_arrow_type(f.type).simpleString()
+        for f in first_schema
+    }
+
+    # table shape: existing schema wins; fresh tables record the footer
+    # schema (+ any hive partition columns, typed string — their values
+    # exist only in the path, same as a hive import)
+    transforms = _spec_transforms_from_doc(doc)
+    if "schemas" in doc:
+        data_cols = [
+            f["name"] for s in doc["schemas"]
+            if s.get("schema-id") == doc.get("current-schema-id", 0)
+            for f in s.get("fields", [])
+        ]
+        part_fields = {t.field for t in transforms}
+        missing = [
+            c for c in data_cols
+            if c not in file_dtypes and c not in part_fields
+        ]
+        if missing:
+            raise ValueError(
+                f"add_files: files lack table columns {missing} "
+                f"(first file: {files[0]})"
+            )
+        dtypes = {
+            c: file_dtypes.get(c, "string")
+            for c in data_cols if c in file_dtypes
+        }
+    else:
+        from .transforms import parse_partition_by
+
+        pkeys = list(hive_pvals(files[0]))
+        dtypes = dict(file_dtypes)
+        for k in pkeys:
+            dtypes.setdefault(k, "string")
+        transforms = parse_partition_by(pkeys) if pkeys else []
+        _record_table_shape(doc, dtypes, transforms, frozenset())
+    for t in transforms:
+        if t.kind != "identity":
+            raise ValueError(
+                f"add_files cannot derive non-identity partition "
+                f"transform {t.iceberg_name!r} from file paths — "
+                f"rewrite through append() instead"
+            )
+
+    bound_cols = [
+        c for c, ty in dtypes.items()
+        if ty in _FileStats._BOUNDABLE and c in file_dtypes
+    ]
+    btypes = {c: dtypes[c] for c in bound_cols} or None
+
+    def _stringify(v, ty: str) -> str | None:
+        import datetime as _dt
+        import math as _math
+
+        if v is None:
+            return None
+        if isinstance(v, bytes):
+            try:
+                v = v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if ty in ("float", "double") and isinstance(v, float):
+            if _math.isnan(v):
+                return None  # spec: NaN never appears in bounds
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return str(v)
+
+    def footer_stats(p: str):
+        md = metas[p].metadata
+        lo: dict[str, str] = {}
+        hi: dict[str, str] = {}
+        nn: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                col = g.column(i)
+                name = col.path_in_schema
+                if name not in dtypes or "." in name:
+                    continue
+                st = col.statistics
+                if st is None:
+                    continue
+                if st.null_count is not None:
+                    nn[name] = nn.get(name, 0) + int(st.null_count)
+                if name not in bound_cols or not st.has_min_max:
+                    continue
+                slo = _stringify(st.min, dtypes[name])
+                shi = _stringify(st.max, dtypes[name])
+                ty = dtypes[name]
+                num = ty in ("tinyint", "smallint", "int", "bigint",
+                             "float", "double")
+                key = (lambda s: float(s)) if num else (lambda s: s)
+                if slo is not None and (
+                    name not in lo or key(slo) < key(lo[name])
+                ):
+                    lo[name] = slo
+                if shi is not None and (
+                    name not in hi or key(shi) > key(hi[name])
+                ):
+                    hi[name] = shi
+        nn_s = {c: str(v) for c, v in nn.items()} or None
+        return int(md.num_rows), lo or None, hi or None, nn_s
+
+    # manifest entries
+    spec_id = int(doc.get("default-spec-id", 0))
+    ptypes = (
+        {t.field: dtypes.get(t.source, "string") for t in transforms}
+        or None
+    )
+    pfields = _partition_avro_fields(doc, ptypes, spec_id)
+    name2id = _name2id(doc)
+    manifest_path = os.path.join(
+        mdir, f"manifest-{seq:05d}-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    entries, added_records, added_bytes = [], 0, 0
+    first_row_id_of: dict[str, int | None] = {}
+    rid = int(doc.get("next-row-id", 0))
+    v3 = int(doc.get("format-version", 2)) >= 3
+    rows_of: dict[str, int] = {}
+    for p in files:
+        records, lo, hi, nn = footer_stats(p)
+        rows_of[p] = records
+        pvals = None
+        if transforms:
+            hv = hive_pvals(p)
+            missing = [t.field for t in transforms if t.field not in hv]
+            if missing:
+                raise ValueError(
+                    f"add_files: {p} lacks hive segments for partition "
+                    f"fields {missing}"
+                )
+            pvals = {t.field: hv[t.field] for t in transforms}
+        first_row_id_of[p] = rid if v3 else None
+        if v3:
+            rid += records
+        size = os.path.getsize(p)
+        added_records += records
+        added_bytes += size
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "sort_order_id": None,
+                    "first_row_id": first_row_id_of[p],
+                    "partition": _typed_partition(pvals, pfields),
+                    "record_count": records,
+                    "file_size_in_bytes": size,
+                    **_spec_stats(name2id, btypes, lo, hi, nn, records),
+                    "partition_values": pvals,
+                    "partition_types": ptypes,
+                    "lower_bounds_str": lo,
+                    "upper_bounds_str": hi,
+                    "bounds_types": btypes,
+                    "null_counts": nn,
+                    "distinct_counts_str": None,
+                },
+            }
+        )
+    write_avro(
+        spark, manifest_path, manifest_entry_schema(pfields), entries,
+        meta=_manifest_header_meta(doc, spec_id, "data"),
+    )
+
+    prior_rows = _carry_forward_rows(spark, mdir, doc, base_id)
+    new_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": spec_id,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_records,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    total_records = added_records
+    base = next(
+        (s for s in doc.get("snapshots", [])
+         if s.get("snapshot-id") == base_id),
+        None,
+    )
+    if base is not None:
+        try:
+            total_records += int(
+                base.get("summary", {}).get("total-records", "0") or 0
+            )
+        except ValueError:
+            pass
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, prior_rows + [new_row],
+        snapshot_id, timestamp_ms, seq,
+        _with_totals(
+            {
+                "operation": "append",
+                "added-data-files": str(len(files)),
+                "added-records": str(added_records),
+                "total-records": str(total_records),
+                "added-files-size": str(added_bytes),
+            },
+            doc, base_id,
+            len(files), added_bytes, 0,
+        ),
+        parent_id=base_id,
+    )
+
+
 def _eq_delete_partition_plan(
     doc: dict, keys_df: DataFrame
 ) -> tuple[DataFrame, list[str], dict[str, str]]:

@@ -64,6 +64,15 @@ class MaintenanceOp:
     def rewrite_manifests(self) -> str:
         return self._call("rewrite_manifests")
 
+    def add_files(self, source_table: str, check_duplicate_files: bool = True) -> str:
+        """Metadata-only import of an existing hive/parquet table's files
+        (no rewrite) - the onboarding procedure; the no-jar half is
+        metadata.commit.add_files."""
+        return self._call(
+            "add_files", source_table=source_table,
+            check_duplicate_files=check_duplicate_files,
+        )
+
     def rollback_to_snapshot(self, snapshot_id: int) -> str:
         return self._call("rollback_to_snapshot", snapshot_id=snapshot_id)
 

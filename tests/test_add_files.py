@@ -1,0 +1,163 @@
+"""add_files — registering existing parquet as an append snapshot with
+footer-only stats (no data rewrite, no data scan): the metadata-only
+onboarding path for pre-existing landing zones. Parity target:
+Iceberg's ``add_files`` procedure (spark procedures docs)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from hielo_spark.metadata import commit as C
+from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+
+@pytest.fixture()
+def registered(spark):
+    from hielo_spark.sources import register
+
+    register(spark)
+    return spark
+
+
+def _stage_parquet(spark, path, df):
+    df.write.parquet(path)
+    return sorted(glob.glob(os.path.join(path, "**", "part-*.parquet"),
+                            recursive=True))
+
+
+def test_add_files_fresh_table_reads_and_prunes(registered, spark,
+                                                tmp_path):
+    spark_ = registered
+    stage = str(tmp_path / "stage")
+    files = _stage_parquet(
+        spark_, stage,
+        spark_.range(0, 1000).selectExpr(
+            "id", "cast(id % 7 as double) as x",
+            "concat('s', id) as s").repartition(4),
+    )
+    t = str(tmp_path / "t")
+    snap = C.add_files(spark_, t, files, snapshot_id=101,
+                       timestamp_ms=1700000000000)
+    assert snap["summary"]["added-data-files"] == str(len(files))
+    # no copy: the table's data are the staged files themselves
+    assert not glob.glob(os.path.join(t, "data", "**", "*.parquet"),
+                         recursive=True)
+    jvm = read_data_at_snapshot(spark_, C.current_metadata_path(t))
+    assert jvm.count() == 1000
+    ds = spark_.read.format("hielo_iceberg").load(t)
+    assert sorted(r.id for r in ds.collect()) == list(range(1000))
+    # footer bounds landed → file-level skipping engages: a no-match
+    # predicate returns an empty frame without raising
+    got = read_data_at_snapshot(
+        spark_, C.current_metadata_path(t), skip_filter=("id", ">", 10**9)
+    )
+    assert got.count() == 0
+
+
+def test_add_files_duplicate_and_schema_checks(registered, spark,
+                                               tmp_path):
+    spark_ = registered
+    stage = str(tmp_path / "stage")
+    files = _stage_parquet(
+        spark_, stage, spark_.range(0, 10).selectExpr("id"))
+    t = str(tmp_path / "t")
+    C.add_files(spark_, t, files, snapshot_id=101,
+                timestamp_ms=1700000000000)
+    with pytest.raises(ValueError, match="already registered"):
+        C.add_files(spark_, t, files, snapshot_id=102,
+                    timestamp_ms=1700100000000)
+    # a second batch with a missing table column is loud
+    bad = _stage_parquet(
+        spark_, str(tmp_path / "bad"),
+        spark_.range(0, 5).selectExpr("id as other"))
+    with pytest.raises(ValueError, match="lack table columns"):
+        C.add_files(spark_, t, bad, snapshot_id=103,
+                    timestamp_ms=1700200000000)
+
+
+def test_add_files_onto_appended_table(registered, spark, tmp_path):
+    """Mixing written and registered files in one table: both planes
+    see the union, incremental attribution works."""
+    spark_ = registered
+    t = str(tmp_path / "t")
+    C.append(spark_, t, spark_.range(0, 50).selectExpr("id"),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    files = _stage_parquet(
+        spark_, str(tmp_path / "stage"),
+        spark_.range(50, 80).selectExpr("id"))
+    C.add_files(spark_, t, files, snapshot_id=102,
+                timestamp_ms=1700100000000)
+    ds = spark_.read.format("hielo_iceberg").load(t)
+    assert sorted(r.id for r in ds.collect()) == list(range(80))
+    from hielo_spark.metadata.manifests import read_incremental
+
+    inc = read_incremental(spark_, C.current_metadata_path(t), 101)
+    assert sorted(r.id for r in inc.collect()) == list(range(50, 80))
+
+
+def test_add_files_hive_partitioned_import(registered, spark, tmp_path):
+    """A hive col=value layout imports with identity partition values
+    parsed from the path — partition_filter then prunes files from
+    metadata alone, without the partition column in the data files."""
+    spark_ = registered
+    stage = str(tmp_path / "stage")
+    df = spark_.range(0, 100).selectExpr(
+        "id", "cast(id % 4 as string) as bucket_col")
+    df.write.partitionBy("bucket_col").parquet(stage)
+    files = sorted(glob.glob(
+        os.path.join(stage, "**", "part-*.parquet"), recursive=True))
+    t = str(tmp_path / "t")
+    C.add_files(spark_, t, files, snapshot_id=101,
+                timestamp_ms=1700000000000)
+    got = read_data_at_snapshot(
+        spark_, C.current_metadata_path(t),
+        partition_filter={"bucket_col": "2"},
+    )
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(100) if i % 4 == 2]
+
+
+def test_add_files_nan_footer_bounds_masked(registered, spark,
+                                            tmp_path):
+    """Footer float stats may carry NaN (old writers) — registered
+    bounds must stay NaN-free so =/>/>= predicates never wrongly prune
+    (the r11 NaN-bounds rule applies to imported files too)."""
+    import pandas as pd
+
+    spark_ = registered
+    stage = str(tmp_path / "stage")
+    pdf = pd.DataFrame({
+        "id": range(2001),
+        "x": [float("nan") if i == 1000 else float(i)
+              for i in range(2001)],
+    })
+    df = spark_.createDataFrame(pdf).coalesce(1)
+    files = _stage_parquet(spark_, stage, df)
+    t = str(tmp_path / "t")
+    C.add_files(spark_, t, files, snapshot_id=101,
+                timestamp_ms=1700000000000)
+    from hielo_spark.metadata.manifests import live_data_file_dicts
+
+    doc_path = C.current_metadata_path(t)
+    import json
+
+    doc = json.load(open(doc_path))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    from hielo_spark.metadata.manifests import _resolve
+
+    live = live_data_file_dicts(
+        _resolve(os.path.join(t, "metadata", "x"),
+                 cur["manifest-list"].removeprefix("file:")))
+    ub = next(iter(live.values()))["ub"]
+    if ub and "x" in ub:
+        assert ub["x"].lower() != "nan"
+    got = read_data_at_snapshot(
+        spark_, doc_path, skip_filter=("x", "=", 1999.0))
+    assert got.filter("x = 1999.0").count() == 1
+    got = read_data_at_snapshot(
+        spark_, doc_path, skip_filter=("x", ">", 1500.0))
+    assert got.filter("x > 1500.0").count() >= 500
