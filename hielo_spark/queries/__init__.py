@@ -292,7 +292,15 @@ for mod in (relational, meta, ext):
 # recall (hash-matched truth), emb_neardup_cosine/emb_ann_recall
 # (embedding plane), events_sessionization/events_asof_join (window and
 # join shapes), and q1's grouped-agg head slot.
+# Late-r12: meta_add_files_roundtrip (the r12-new onboarding procedure —
+# footer-stats metadata-only imports, commit.add_files) takes a head
+# slot so the brand-new surface gets a driver row; meta_commit_roundtrip
+# defers (fresh r11 row — zero staleness cost; its exact fixture lineage
+# stays head-pinned by meta_datasource_roundtrip, which drives the SAME
+# commit sequence through the DataSource plane, and the branch/expire
+# lifecycle keeps its head row via meta_wap_roundtrip).
 _DEFERRED = [
+    "meta_commit_roundtrip",
     "meta_variant_write_roundtrip",
     "meta_trends",
     "meta_file_histogram",

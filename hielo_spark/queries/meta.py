@@ -1303,6 +1303,78 @@ def meta_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S11 add_files (r12) — the metadata-only onboarding procedure: commit
+# EXISTING parquet into a table from footer stats alone (no rewrite, no
+# scan — the 100 TB landing-zone import path; Iceberg's add_files
+# procedure, executable no-jar half in metadata/commit.py). Pins:
+# (a) imported rows read back through BOTH planes; (b) the table copied
+# nothing (its data dir stays empty); (c) footer bounds feed file-level
+# skipping (a no-match predicate returns an EMPTY frame — also the r12
+# empty-result path); (d) a second import attributes correctly to the
+# incremental scan; (e) duplicate registration raises. Constant oracle.
+# --------------------------------------------------------------------------
+@query(
+    "meta_add_files_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('t1_imported_ds',      CAST(6 AS BIGINT)),
+      ('t2_table_data_files', CAST(0 AS BIGINT)),
+      ('t3_pruned_empty',     CAST(0 AS BIGINT)),
+      ('t4_incremental_add',  CAST(2 AS BIGINT)),
+      ('t5_dup_raises',       CAST(1 AS BIGINT))
+    ) AS t(step, n)
+    """,
+)
+def meta_add_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as g
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.manifests import read_data_at_snapshot, read_incremental
+    from ..sources import register
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_addfiles_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    stage1, stage2, t = (os.path.join(base, d) for d in ("s1", "s2", "t"))
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], ["id", "v"]
+    ).repartition(2).write.parquet(stage1)
+    spark.createDataFrame(
+        [(6, "v6"), (7, "v7")], ["id", "v"]
+    ).coalesce(1).write.parquet(stage2)
+    files1 = sorted(g.glob(os.path.join(stage1, "part-*.parquet")))
+    files2 = sorted(g.glob(os.path.join(stage2, "part-*.parquet")))
+    C.add_files(spark, t, files1, snapshot_id=101,
+                timestamp_ms=1700000000000)
+    register(spark)
+    rows = [
+        ("t1_imported_ds",
+         spark.read.format("hielo_iceberg").load(t).count()),
+        ("t2_table_data_files", len(g.glob(
+            os.path.join(t, "data", "**", "*.parquet"), recursive=True))),
+        ("t3_pruned_empty", read_data_at_snapshot(
+            spark, C.current_metadata_path(t),
+            skip_filter=("id", ">", 10**9)).count()),
+    ]
+    C.add_files(spark, t, files2, snapshot_id=102,
+                timestamp_ms=1700100000000)
+    rows.append(("t4_incremental_add", read_incremental(
+        spark, C.current_metadata_path(t), 101).count()))
+    try:
+        C.add_files(spark, t, files1, snapshot_id=103,
+                    timestamp_ms=1700200000000)
+        rows.append(("t5_dup_raises", 0))
+    except ValueError:
+        rows.append(("t5_dup_raises", 1))
+    return spark.createDataFrame(rows, "step string, n long").orderBy("step")
+
+
+# --------------------------------------------------------------------------
 # S15/J2/J3 (r7) — schema-evolution round-trip golden: create → evolve
 # (rename + add + int→long widen via update_schema, the Iceberg
 # UpdateSchema surface; reference data.rs:21-33, components.rs:533-597)
