@@ -2045,10 +2045,15 @@ def add_files(
     # per-file footer walk: schema, rows, aggregated column stats
     metas = {p: pq.ParquetFile(p) for p in files}
     first_schema = metas[files[0]].schema_arrow
-    file_dtypes = {
-        f.name: from_arrow_type(f.type).simpleString()
-        for f in first_schema
-    }
+    file_dtypes = {}
+    for f in first_schema:
+        try:
+            file_dtypes[f.name] = from_arrow_type(f.type).simpleString()
+        except Exception as e:
+            raise ValueError(
+                f"add_files: column {f.name!r} has arrow type {f.type} "
+                f"with no Spark mapping ({e}) — rewrite through append()"
+            ) from e
 
     # table shape: existing schema wins; fresh tables record the footer
     # schema (+ any hive partition columns, typed string — their values

@@ -73,6 +73,21 @@ class MaintenanceOp:
             check_duplicate_files=check_duplicate_files,
         )
 
+    def snapshot(self, source_table: str, location: str | None = None) -> str:
+        """Iceberg snapshot procedure: a TEMPORARY Iceberg table over an
+        existing hive table's files (testing a migration without
+        touching the source). Table arg is the NEW table name."""
+        kwargs = {"source_table": source_table}
+        if location is not None:
+            kwargs["location"] = location
+        return self._call("snapshot", **kwargs)
+
+    def migrate(self) -> str:
+        """Iceberg migrate procedure: replace a hive table with an
+        Iceberg table over the same files (in-place, metadata-only -
+        add_files' whole-table sibling)."""
+        return self._call("migrate")
+
     def rollback_to_snapshot(self, snapshot_id: int) -> str:
         return self._call("rollback_to_snapshot", snapshot_id=snapshot_id)
 

@@ -20,6 +20,17 @@ def test_procedure_sql():
         "CALL c.system.expire_snapshots(table => 'ns.t', older_than => '2025-01-01 00:00:00', retain_last => 5)"
     )
     assert op.rollback_to_snapshot(42) == "CALL c.system.rollback_to_snapshot(table => 'ns.t', snapshot_id => 42)"
+    # onboarding procedures (r12; the no-jar add_files executable half
+    # is metadata.commit.add_files, pinned in test_add_files.py)
+    assert op.add_files("hive.db.src") == (
+        "CALL c.system.add_files(table => 'ns.t', "
+        "source_table => 'hive.db.src', check_duplicate_files => true)"
+    )
+    assert op.snapshot("hive.db.src") == (
+        "CALL c.system.snapshot(table => 'ns.t', "
+        "source_table => 'hive.db.src')"
+    )
+    assert op.migrate() == "CALL c.system.migrate(table => 'ns.t')"
     # quote escaping
     assert "''" in MaintenanceOp("c", "ns.o'brien").rewrite_manifests()
 
