@@ -161,3 +161,27 @@ def test_add_files_nan_footer_bounds_masked(registered, spark,
     got = read_data_at_snapshot(
         spark_, doc_path, skip_filter=("x", ">", 1500.0))
     assert got.filter("x > 1500.0").count() >= 500
+
+
+def test_add_files_ns_timestamp_parquet(registered, spark, sf_dir):
+    """The driver's events.parquet carries TIMESTAMP(NANOS) — an
+    import must register and read it with exact µs-truncated values on
+    both planes (the same dual-encoding contract io.load_table pins)."""
+    import tempfile
+
+    spark_ = registered
+    t = os.path.join(tempfile.mkdtemp(), "t")
+    src = os.path.join(sf_dir, "events.parquet")
+    C.add_files(spark_, t, [src], snapshot_id=101,
+                timestamp_ms=1700000000000)
+    from hielo_spark.io import load_table
+
+    ds = {r.event_id: str(r.ts) for r in
+          spark_.read.format("hielo_iceberg").load(t)
+          .select("event_id", "ts").collect()}
+    want = {r.event_id: str(r.ts) for r in
+            load_table(spark_, sf_dir, "events")
+            .select("event_id", "ts").collect()}
+    assert ds == want
+    jvm = read_data_at_snapshot(spark_, C.current_metadata_path(t))
+    assert jvm.count() == len(want)
