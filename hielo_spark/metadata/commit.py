@@ -1963,6 +1963,74 @@ def append(
     )
 
 
+def _stringify_footer_stat(v, ty: str) -> str | None:
+    """Parquet footer statistic → the engine's stringified-bound form
+    (the same rendering _FileStats' ``cast("string")`` pass produces,
+    close enough that both readers parse identically: numerics parse by
+    value, timestamps through _canon_ts_value's fraction trimming).
+    NaN returns None — the spec excludes NaN from bounds."""
+    import datetime as _dt
+    import math as _math
+
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if ty in ("float", "double") and isinstance(v, float):
+        if _math.isnan(v):
+            return None
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _footer_file_stats(md, dtypes: dict[str, str], bound_cols):
+    """(records, lo, hi, null_counts) for one parquet file from its
+    FOOTER metadata alone — per-row-group stats aggregated per column.
+    Writer-truncated string stats remain valid ENCLOSING bounds; NaN
+    float stats (old writers) are masked; columns without stats simply
+    record nothing (conservative)."""
+    lo: dict[str, str] = {}
+    hi: dict[str, str] = {}
+    nn: dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(g.num_columns):
+            col = g.column(i)
+            name = col.path_in_schema
+            if name not in dtypes or "." in name:
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nn[name] = nn.get(name, 0) + int(st.null_count)
+            if name not in bound_cols or not st.has_min_max:
+                continue
+            slo = _stringify_footer_stat(st.min, dtypes[name])
+            shi = _stringify_footer_stat(st.max, dtypes[name])
+            ty = dtypes[name]
+            num = ty in ("tinyint", "smallint", "int", "bigint",
+                         "float", "double")
+            key = (lambda s: float(s)) if num else (lambda s: s)
+            if slo is not None and (
+                name not in lo or key(slo) < key(lo[name])
+            ):
+                lo[name] = slo
+            if shi is not None and (
+                name not in hi or key(shi) > key(hi[name])
+            ):
+                hi[name] = shi
+    nn_s = {c: str(v) for c, v in nn.items()} or None
+    return int(md.num_rows), lo or None, hi or None, nn_s
+
+
 def add_files(
     spark: SparkSession,
     table_dir: str,
@@ -2102,62 +2170,8 @@ def add_files(
     ]
     btypes = {c: dtypes[c] for c in bound_cols} or None
 
-    def _stringify(v, ty: str) -> str | None:
-        import datetime as _dt
-        import math as _math
-
-        if v is None:
-            return None
-        if isinstance(v, bytes):
-            try:
-                v = v.decode("utf-8")
-            except UnicodeDecodeError:
-                return None
-        if ty in ("float", "double") and isinstance(v, float):
-            if _math.isnan(v):
-                return None  # spec: NaN never appears in bounds
-            return repr(v)
-        if isinstance(v, _dt.datetime):
-            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-        if isinstance(v, _dt.date):
-            return v.isoformat()
-        return str(v)
-
     def footer_stats(p: str):
-        md = metas[p].metadata
-        lo: dict[str, str] = {}
-        hi: dict[str, str] = {}
-        nn: dict[str, int] = {}
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            for i in range(g.num_columns):
-                col = g.column(i)
-                name = col.path_in_schema
-                if name not in dtypes or "." in name:
-                    continue
-                st = col.statistics
-                if st is None:
-                    continue
-                if st.null_count is not None:
-                    nn[name] = nn.get(name, 0) + int(st.null_count)
-                if name not in bound_cols or not st.has_min_max:
-                    continue
-                slo = _stringify(st.min, dtypes[name])
-                shi = _stringify(st.max, dtypes[name])
-                ty = dtypes[name]
-                num = ty in ("tinyint", "smallint", "int", "bigint",
-                             "float", "double")
-                key = (lambda s: float(s)) if num else (lambda s: s)
-                if slo is not None and (
-                    name not in lo or key(slo) < key(lo[name])
-                ):
-                    lo[name] = slo
-                if shi is not None and (
-                    name not in hi or key(shi) > key(hi[name])
-                ):
-                    hi[name] = shi
-        nn_s = {c: str(v) for c, v in nn.items()} or None
-        return int(md.num_rows), lo or None, hi or None, nn_s
+        return _footer_file_stats(metas[p].metadata, dtypes, bound_cols)
 
     # manifest entries
     spec_id = int(doc.get("default-spec-id", 0))

@@ -185,3 +185,82 @@ def test_add_files_ns_timestamp_parquet(registered, spark, sf_dir):
     assert ds == want
     jvm = read_data_at_snapshot(spark_, C.current_metadata_path(t))
     assert jvm.count() == len(want)
+
+
+# ---------------------------------------------------------------------------
+# Property: footer-derived stats are always ENCLOSING — for any value
+# population (nulls, NaN/±inf floats, unicode strings, extreme ints,
+# dates), the registered lower bound ≤ every non-NaN value ≤ upper
+# bound, null counts are exact, and NaN never leaks into a bound
+# (pure pyarrow, no Spark — guards _footer_file_stats against parquet
+# writer stat quirks directly).
+# ---------------------------------------------------------------------------
+import datetime as _dt
+import math as _math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_POPS = {
+    "double": st.one_of(
+        st.none(), st.just(float("nan")), st.just(float("inf")),
+        st.just(float("-inf")),
+        st.floats(allow_nan=False, allow_infinity=False),
+    ),
+    "bigint": st.one_of(
+        st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    "string": st.one_of(st.none(), st.text(max_size=24)),
+    "date": st.one_of(st.none(), st.dates(min_value=_dt.date(1, 1, 1),
+                                          max_value=_dt.date(9999, 1, 1))),
+}
+_ARROW_T = {"double": "float64", "bigint": "int64", "string": "string",
+            "date": "date32[day]"}
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_footer_stats_enclose_property(tmp_path_factory, data):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hielo_spark.metadata.commit import _footer_file_stats
+
+    ty = data.draw(st.sampled_from(list(_POPS)))
+    values = data.draw(st.lists(_POPS[ty], min_size=1, max_size=12))
+    p = str(tmp_path_factory.mktemp("fs") / "x.parquet")
+    pq.write_table(
+        pa.table({"c": pa.array(values, type=_ARROW_T[ty])}),
+        p, row_group_size=3,  # several row groups per file
+    )
+    records, lo, hi, nn = _footer_file_stats(
+        pq.ParquetFile(p).metadata, {"c": ty}, ["c"])
+    assert records == len(values)
+    n_null = sum(1 for v in values if v is None)
+    assert int((nn or {}).get("c", 0)) == n_null
+    present = [v for v in values if v is not None]
+    comparable = [v for v in present
+                  if not (ty == "double" and _math.isnan(v))]
+    if lo and "c" in lo:
+        assert lo["c"].lower() != "nan"
+        v_lo = (float(lo["c"]) if ty == "double"
+                else int(lo["c"]) if ty == "bigint"
+                else _dt.date.fromisoformat(lo["c"]) if ty == "date"
+                else lo["c"])
+        if comparable:
+            if ty == "string":
+                # writer stats may be truncated: lower bound must be a
+                # PREFIX-order lower bound, not necessarily an exact value
+                assert all(v_lo <= v for v in comparable)
+            else:
+                assert v_lo <= min(comparable)
+    if hi and "c" in hi:
+        assert hi["c"].lower() != "nan"
+        v_hi = (float(hi["c"]) if ty == "double"
+                else int(hi["c"]) if ty == "bigint"
+                else _dt.date.fromisoformat(hi["c"]) if ty == "date"
+                else hi["c"])
+        if comparable:
+            if ty == "string":
+                assert all(v <= v_hi for v in comparable)
+            else:
+                assert v_hi >= max(comparable)

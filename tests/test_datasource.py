@@ -2261,3 +2261,27 @@ def test_streaming_max_files_per_micro_batch(registered, tmp_path):
     got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
     assert got == [(i, f"v{i}") for i in range(7)]  # no dup, no gap
     assert len(g.glob(ck + "/offsets/*")) >= 7
+
+
+def test_streaming_rows_cap_offset_walk(registered, tmp_path):
+    """Direct latestOffset drive of streaming-max-rows-per-micro-batch:
+    three 10-row appends with a 10-row cap advance one snapshot per
+    call, then hold at head; an uncapped reader jumps straight to head."""
+    from hielo_spark.sources.iceberg_source import HieloIcebergStreamReader
+
+    spark = registered
+    t = str(tmp_path / "t")
+    for i in range(3):
+        C.append(spark, t,
+                 spark.range(i * 10, (i + 1) * 10).selectExpr("id"),
+                 snapshot_id=101 + i, timestamp_ms=1700000000000 + i)
+    r = HieloIcebergStreamReader(
+        t, {"initial-snapshot": "earliest",
+            "streaming-max-rows-per-micro-batch": "10"}, None)
+    assert r.initialOffset() == {"snapshot_id": -1}
+    assert [r.latestOffset()["snapshot_id"] for _ in range(4)] == [
+        101, 102, 103, 103]
+    r2 = HieloIcebergStreamReader(
+        t, {"initial-snapshot": "earliest"}, None)
+    r2.initialOffset()
+    assert r2.latestOffset() == {"snapshot_id": 103}
