@@ -2102,17 +2102,30 @@ def add_files(
             )
 
     # hive partition segments (identity values only)
+    # hive segments parse only BELOW the files' common root — a parent
+    # directory that happens to contain '=' (e.g. /srv/user=bob/...)
+    # must not be inferred as a partition
+    common_root = os.path.commonpath([os.path.dirname(p) for p in files])
+
     def hive_pvals(p: str) -> dict[str, str]:
         vals = {}
-        for seg in os.path.dirname(p).split(os.sep):
+        rel = os.path.relpath(os.path.dirname(p), common_root)
+        for seg in rel.split(os.sep):
             k, eq, v = seg.partition("=")
             if eq and k:
                 vals[k] = unquote(v)
         return vals
 
-    # per-file footer walk: schema, rows, aggregated column stats
-    metas = {p: pq.ParquetFile(p) for p in files}
-    first_schema = metas[files[0]].schema_arrow
+    # per-file footer walk: schema, rows, aggregated column stats.
+    # Footers open LAZILY one at a time (an import may register a
+    # million files — holding every handle open is the wrong shape);
+    # the first file's schema is the reference, and every other file
+    # must agree on the TYPE of any shared column (a silent type flip
+    # would poison that column's recorded bounds).
+    def _open(p: str) -> "pq.ParquetFile":
+        return pq.ParquetFile(p)
+
+    first_schema = _open(files[0]).schema_arrow
     file_dtypes = {}
     for f in first_schema:
         try:
@@ -2171,7 +2184,18 @@ def add_files(
     btypes = {c: dtypes[c] for c in bound_cols} or None
 
     def footer_stats(p: str):
-        return _footer_file_stats(metas[p].metadata, dtypes, bound_cols)
+        pf = _open(p)
+        if p != files[0]:
+            for f in pf.schema_arrow:
+                ft = first_schema.field(f.name) \
+                    if f.name in first_schema.names else None
+                if ft is not None and ft.type != f.type:
+                    raise ValueError(
+                        f"add_files: column {f.name!r} is {ft.type} in "
+                        f"{files[0]} but {f.type} in {p} — mixed-type "
+                        f"imports need a rewrite through append()"
+                    )
+        return _footer_file_stats(pf.metadata, dtypes, bound_cols)
 
     # manifest entries
     spec_id = int(doc.get("default-spec-id", 0))

@@ -2198,12 +2198,19 @@ class HieloIcebergStreamReader(DataSourceStreamReader):
         ):
             self._last_end = head
             return {"snapshot_id": head}
+        def _int0(v) -> int:
+            try:
+                return int(v or 0)
+            except (TypeError, ValueError):
+                return 0  # junk-tolerant: a foreign summary counter
+                # that doesn't parse contributes nothing to the cap
+
         files = rows = 0
         chosen = start
         for s in chain:
             summ = s.get("summary", {})
-            files += int(summ.get("added-data-files", 0) or 0)
-            rows += int(summ.get("added-records", 0) or 0)
+            files += _int0(summ.get("added-data-files"))
+            rows += _int0(summ.get("added-records"))
             chosen = int(s["snapshot-id"])
             if (max_files is not None and files >= int(max_files)) or (
                 max_rows is not None and rows >= int(max_rows)

@@ -264,3 +264,33 @@ def test_footer_stats_enclose_property(tmp_path_factory, data):
                 assert all(v <= v_hi for v in comparable)
             else:
                 assert v_hi >= max(comparable)
+
+
+def test_add_files_mixed_type_and_parent_dir_guards(registered, spark,
+                                                    tmp_path):
+    """(a) A shared column whose TYPE flips between files raises (a
+    silent flip would poison that column's bounds); (b) '=' segments in
+    PARENT directories above the files' common root are never inferred
+    as partitions."""
+    spark_ = registered
+    root = str(tmp_path / "user=bob" / "stage")  # '=' above common root
+    f1 = _stage_parquet(spark_, root + "/a",
+                        spark_.range(0, 5).selectExpr("id"))
+    t = str(tmp_path / "t")
+    C.add_files(spark_, t, f1, snapshot_id=101,
+                timestamp_ms=1700000000000)
+    import json
+
+    doc = json.load(open(C.current_metadata_path(t)))
+    fields = {f["name"] for s in doc["schemas"] for f in s["fields"]}
+    assert "user" not in fields  # parent-dir '=' not a partition
+    f2 = _stage_parquet(
+        spark_, root + "/b",
+        spark_.range(5, 9).selectExpr("cast(id as double) as id")
+        .coalesce(1))
+    f3 = _stage_parquet(
+        spark_, root + "/c",
+        spark_.range(9, 12).selectExpr("id").coalesce(1))
+    with pytest.raises(ValueError, match="mixed-type"):
+        C.add_files(spark_, str(tmp_path / "t2"), f2 + f3,
+                    snapshot_id=102, timestamp_ms=1700100000000)
