@@ -18,6 +18,7 @@ commits, ``update_schema`` / ``update_partition_spec`` /
 from .commit import (  # noqa: F401
     add_files,
     append,
+    overwrite_partitions,
     cherrypick_snapshot,
     create_ref,
     current_metadata_path,
@@ -49,6 +50,7 @@ from .puffin import ndv_of, write_statistics  # noqa: F401
 __all__ = [
     "add_files",
     "append",
+    "overwrite_partitions",
     "cherrypick_snapshot",
     "create_ref",
     "current_metadata_path",

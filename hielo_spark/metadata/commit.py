@@ -1660,80 +1660,29 @@ def _spec_transforms_from_doc(doc: dict):
     return ts
 
 
-def append(
+def _stage_append_manifest(
     spark: SparkSession,
     table_dir: str,
+    doc: dict,
+    seq: int,
+    snapshot_id: int,
     df: DataFrame,
-    snapshot_id: int | None = None,
-    timestamp_ms: int | None = None,
     partition_by: list[str] | None = None,
-    extra_summary: dict[str, str] | None = None,
-    branch: str | None = None,
-    extra_properties: dict[str, str] | None = None,
     variant_cols: list[str] | None = None,
     variant_shred: dict[str, dict[str, str]] | None = None,
 ) -> dict:
-    """Append ``df`` as a new snapshot. Returns the new snapshot dict.
-    ``extra_summary`` entries are merged into the snapshot summary (used
-    by the streaming sink to record its exactly-once batch marker).
-
-    ``variant_cols`` names columns to commit as the v3 ``variant``
-    type: JSON strings are encoded to the Parquet Variant
-    (metadata, value) binary pair (VariantEncoding.md, name-sorted
-    dictionaries), already-shaped structs pass through, and the table
-    schema records the columns as ``variant`` — both read planes then
-    surface canonical JSON strings. New tables commit at
-    format-version 3; v2 tables must upgrade first (loud).
-    ``variant_shred`` optionally SHREDS named top-level object fields
-    into typed subcolumns (VariantShredding.md), e.g.
-    ``variant_shred={"v": {"a": "bigint"}}`` — type-matching values
-    land typed, mismatches and extra fields ride the binary
-    remainder, readers reconstruct either way.
-
-    With ``branch``, the commit extends that branch ref (creating it
-    from the current snapshot if absent) and leaves the main
-    ``current-snapshot-id`` untouched — write-audit-publish staging;
-    readers see the staged rows only via ``ref=branch`` until
-    ``fast_forward`` publishes the branch.
-
-    With ``partition_by``, data files are written hive-layout
-    (``col=value/`` dirs, distributed ``partitionBy`` write) and each
-    manifest entry records the file's typed partition values — which is
-    what makes ``read_data_at_snapshot(partition_filter=...)`` prune
-    files from metadata alone, the Iceberg planner behavior. Entries
-    may be identity columns OR Iceberg hidden-partitioning transforms
-    (``"days(ts)"``, ``"months(ts)"``, ``"years(ts)"``, ``"hours(ts)"``,
-    ``"bucket(8, id)"``, ``"truncate(4, s)"`` — metadata/transforms.py,
-    spec-exact murmur3 bucketing): the derived partition value exists
-    ONLY in directory layout + manifest metadata, while the source
-    column stays in the data files, so readers filter on the source
-    column and prune via the transform — Iceberg's hidden partitioning.
-
-    ``snapshot_id`` / ``timestamp_ms`` are injectable for deterministic
-    tests (defaults: sequence-derived id, current wall clock)."""
-    import time
-
+    """The write half shared by append() and overwrite_partitions():
+    materialize write-defaults, prepare variant columns, honor the
+    table\'s distribution mode and sort order, write the data files,
+    and emit their manifest. Mutates ``doc`` the same way append
+    always has (shape recording, next-row-id is advanced later by
+    _finalize_commit). Returns ``{manifest_path, n_files,
+    added_records, added_bytes, partition_values_of}`` —
+    ``partition_values_of`` maps file path → stringified partition
+    values (what overwrite_partitions dooms prior files against)."""
     from .transforms import parse_partition_by
 
-    doc, prev_version = _load_doc(table_dir)
-    seq = int(doc.get("last-sequence-number", 0)) + 1
-    snapshot_id = (
-        snapshot_id if snapshot_id is not None
-        else _default_snapshot_id(doc, seq)
-    )
-    timestamp_ms = (
-        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
-    )
-    base_id = doc.get("current-snapshot-id")
-    if branch is not None:
-        ref = doc.get("refs", {}).get(branch)
-        if ref is not None:
-            if ref.get("type") != "branch":
-                raise ValueError(f"ref {branch!r} is a tag, not a branch")
-            base_id = int(ref["snapshot-id"])
     mdir = os.path.join(table_dir, "metadata")
-    os.makedirs(mdir, exist_ok=True)
-
     # 1. data files — distributed parquet write into a per-commit dir
     data_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}")
     # v3 write-default: columns of the current schema that carry a
@@ -1907,6 +1856,95 @@ def append(
         ],
         meta=_manifest_header_meta(doc, spec_id, "data"),
     )
+    return {
+        "manifest_path": manifest_path,
+        "n_files": len(parts),
+        "added_records": sum(records_of(p) for p in parts),
+        "added_bytes": sum(os.path.getsize(p) for p in parts),
+        "partition_values_of": {p: partition_of(p) for p in parts},
+    }
+
+
+def append(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    partition_by: list[str] | None = None,
+    extra_summary: dict[str, str] | None = None,
+    branch: str | None = None,
+    extra_properties: dict[str, str] | None = None,
+    variant_cols: list[str] | None = None,
+    variant_shred: dict[str, dict[str, str]] | None = None,
+) -> dict:
+    """Append ``df`` as a new snapshot. Returns the new snapshot dict.
+    ``extra_summary`` entries are merged into the snapshot summary (used
+    by the streaming sink to record its exactly-once batch marker).
+
+    ``variant_cols`` names columns to commit as the v3 ``variant``
+    type: JSON strings are encoded to the Parquet Variant
+    (metadata, value) binary pair (VariantEncoding.md, name-sorted
+    dictionaries), already-shaped structs pass through, and the table
+    schema records the columns as ``variant`` — both read planes then
+    surface canonical JSON strings. New tables commit at
+    format-version 3; v2 tables must upgrade first (loud).
+    ``variant_shred`` optionally SHREDS named top-level object fields
+    into typed subcolumns (VariantShredding.md), e.g.
+    ``variant_shred={"v": {"a": "bigint"}}`` — type-matching values
+    land typed, mismatches and extra fields ride the binary
+    remainder, readers reconstruct either way.
+
+    With ``branch``, the commit extends that branch ref (creating it
+    from the current snapshot if absent) and leaves the main
+    ``current-snapshot-id`` untouched — write-audit-publish staging;
+    readers see the staged rows only via ``ref=branch`` until
+    ``fast_forward`` publishes the branch.
+
+    With ``partition_by``, data files are written hive-layout
+    (``col=value/`` dirs, distributed ``partitionBy`` write) and each
+    manifest entry records the file's typed partition values — which is
+    what makes ``read_data_at_snapshot(partition_filter=...)`` prune
+    files from metadata alone, the Iceberg planner behavior. Entries
+    may be identity columns OR Iceberg hidden-partitioning transforms
+    (``"days(ts)"``, ``"months(ts)"``, ``"years(ts)"``, ``"hours(ts)"``,
+    ``"bucket(8, id)"``, ``"truncate(4, s)"`` — metadata/transforms.py,
+    spec-exact murmur3 bucketing): the derived partition value exists
+    ONLY in directory layout + manifest metadata, while the source
+    column stays in the data files, so readers filter on the source
+    column and prune via the transform — Iceberg's hidden partitioning.
+
+    ``snapshot_id`` / ``timestamp_ms`` are injectable for deterministic
+    tests (defaults: sequence-derived id, current wall clock)."""
+    import time
+
+    from .transforms import parse_partition_by
+
+    doc, prev_version = _load_doc(table_dir)
+    seq = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq)
+    )
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    base_id = doc.get("current-snapshot-id")
+    if branch is not None:
+        ref = doc.get("refs", {}).get(branch)
+        if ref is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            base_id = int(ref["snapshot-id"])
+    mdir = os.path.join(table_dir, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+
+    staged = _stage_append_manifest(
+        spark, table_dir, doc, seq, snapshot_id, df,
+        partition_by=partition_by, variant_cols=variant_cols,
+        variant_shred=variant_shred,
+    )
+    manifest_path = staged["manifest_path"]
 
     # 3. manifest list = base snapshot's manifests (carried forward,
     # keeping their own sequence numbers) + the new manifest; then the
@@ -1920,15 +1958,15 @@ def append(
         "sequence_number": seq,
         "min_sequence_number": seq,
         "added_snapshot_id": snapshot_id,
-        "added_files_count": len(parts),
+        "added_files_count": staged["n_files"],
         "existing_files_count": 0,
         "deleted_files_count": 0,
-        "added_rows_count": sum(records_of(p) for p in parts),
+        "added_rows_count": staged["added_records"],
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
-    added_records = sum(records_of(p) for p in parts)
-    added_bytes = sum(os.path.getsize(p) for p in parts)
+    added_records = staged["added_records"]
+    added_bytes = staged["added_bytes"]
     total_records = added_records
     base = next(
         (s for s in doc.get("snapshots", [])
@@ -1948,14 +1986,14 @@ def append(
         _with_totals(
             {
                 "operation": "append",
-                "added-data-files": str(len(parts)),
+                "added-data-files": str(staged["n_files"]),
                 "added-records": str(added_records),
                 "total-records": str(total_records),
                 "added-files-size": str(added_bytes),
                 **(extra_summary or {}),
             },
             doc, base_id,
-            len(parts), added_bytes, 0,
+            staged["n_files"], added_bytes, 0,
         ),
         branch=branch,
         parent_id=base_id,
@@ -2303,6 +2341,215 @@ def add_files(
             },
             doc, base_id,
             len(files), added_bytes, 0,
+        ),
+        parent_id=base_id,
+    )
+
+
+def _rewrite_manifest_dropping_data(
+    manifest_path: str, doomed: set[str], mdir: str, seq: int,
+    snapshot_id: int | None = None,
+) -> tuple[str, int, int, int, int, int] | None:
+    """Rewrite a DATA manifest with the entries whose ``file_path`` is
+    in ``doomed`` re-emitted as status=2 TOMBSTONES — the copy-on-write
+    half of overwrite_partitions (same raw-record rewrite under the
+    manifest's own writer schema as _rewrite_manifest_dropping_dvs, so
+    foreign stats/fields survive byte-exact; tombstoned entries get the
+    superseding snapshot's id per the spec's deleted-entry rule).
+    Returns ``(new_path, live_files, live_rows, dropped_files,
+    dropped_rows, dropped_bytes)``, or None when nothing stays live or
+    tombstoned (the caller drops the manifest)."""
+    import json as _json
+
+    from .avro_py import write_avro_file
+    from .manifests import _resolve, read_avro_file
+
+    local = _resolve(os.path.join(mdir, "x"), manifest_path)
+    schema, meta, raw = read_avro_file(local)
+    kept, dropped_files, dropped_rows, dropped_bytes = [], 0, 0, 0
+    for e in raw:
+        fp = str((e.get("data_file") or {}).get("file_path") or "")
+        if fp.removeprefix("file:") in doomed and e.get("status") != 2:
+            t = dict(e, status=2)
+            if snapshot_id is not None:
+                t["snapshot_id"] = snapshot_id
+            kept.append(t)
+            dropped_files += 1
+            dropped_rows += int(
+                (e.get("data_file") or {}).get("record_count") or 0
+            )
+            dropped_bytes += int(
+                (e.get("data_file") or {}).get("file_size_in_bytes") or 0
+            )
+            continue
+        if e.get("status") == 2:
+            continue  # prior tombstones belong to their own snapshot
+        kept.append(e)
+    if not kept:
+        return None
+    new_path = os.path.join(
+        mdir, f"manifest-{seq:05d}-ow-{_uuid.uuid4().hex[:8]}.avro"
+    )
+    hdr = {
+        k: v for k, v in (meta or {}).items() if not k.startswith("avro.")
+    }
+    write_avro_file(new_path, _json.dumps(schema), kept, meta=hdr)
+    live = [e for e in kept if e.get("status") != 2]
+    live_rows = sum(
+        int((e.get("data_file") or {}).get("record_count") or 0)
+        for e in live
+    )
+    return (new_path, len(live), live_rows,
+            dropped_files, dropped_rows, dropped_bytes)
+
+
+def overwrite_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+    extra_summary: dict[str, str] | None = None,
+) -> dict | None:
+    """Dynamic partition overwrite (``INSERT OVERWRITE`` / Iceberg's
+    ``overwritePartitions()``): ONE atomic snapshot that adds ``df``'s
+    files and tombstones every live data file whose partition tuple
+    appears in ``df`` — the recompute-a-day's-partition op every
+    training pipeline runs. Copy-on-write: affected prior manifests are
+    rewritten with the doomed entries as status=2, everything else is
+    carried forward untouched, so time travel to older snapshots still
+    sees the replaced rows. An UNPARTITIONED table overwrites fully
+    (truncate + insert). An empty ``df`` is a no-op → None (no
+    partitions present, nothing to replace — Iceberg likewise).
+
+    Files written under an OLDER partition spec (different fields)
+    never match the current-spec tuple comparison and are left alive —
+    conservative; rewrite through rewrite_data_files first when
+    overwriting across a spec change. The incremental/changelog planes
+    treat the resulting ``overwrite`` snapshot as unsafe to cross
+    (loud), exactly like Iceberg's incremental append scan."""
+    import time
+
+    if df.isEmpty():
+        return None
+    doc, prev_version = _load_doc(table_dir)
+    seq = int(doc.get("last-sequence-number", 0)) + 1
+    snapshot_id = (
+        snapshot_id if snapshot_id is not None
+        else _default_snapshot_id(doc, seq)
+    )
+    timestamp_ms = (
+        timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+    )
+    base_id = doc.get("current-snapshot-id")
+    mdir = os.path.join(table_dir, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+
+    staged = _stage_append_manifest(
+        spark, table_dir, doc, seq, snapshot_id, df,
+    )
+    transforms = _spec_transforms_from_doc(doc)
+    pfields = [t.field for t in transforms]
+    incoming: set[tuple] = set()
+    for pv in staged["partition_values_of"].values():
+        if pv:
+            incoming.add(tuple(str(pv.get(f)) for f in pfields))
+
+    prior_rows = _carry_forward_rows(spark, mdir, doc, base_id)
+    from .manifests import _resolve, decode_manifest, inherited_seq_of
+
+    fv = int(doc.get("format-version", 2))
+    dropped_files = dropped_rows = dropped_bytes = 0
+    out_rows = []
+    for r in prior_rows:
+        if (r.get("content") or 0) != 0:
+            out_rows.append(r)  # delete manifests carry unchanged
+            continue
+        doomed: set[str] = set()
+        for e in decode_manifest(
+            _resolve(os.path.join(mdir, "x"), r["manifest_path"]),
+            inherited_seq=inherited_seq_of(r, fv),
+        ):
+            status, _sid, fpath, _fmt, _rec, _sz, fcontent, _seq2, \
+                pvals, *_rest = e
+            if status == 2 or (fcontent or 0) != 0:
+                continue
+            if not pfields:
+                doomed.add(fpath.removeprefix("file:"))  # full overwrite
+            elif pvals and tuple(
+                str(pvals.get(f)) for f in pfields
+            ) in incoming:
+                doomed.add(fpath.removeprefix("file:"))
+        if not doomed:
+            out_rows.append(r)
+            continue
+        rw = _rewrite_manifest_dropping_data(
+            r["manifest_path"], doomed, mdir, seq, snapshot_id=snapshot_id
+        )
+        if rw is None:
+            continue
+        new_path, live_f, live_r, d_f, d_r, d_b = rw
+        dropped_files += d_f
+        dropped_rows += d_r
+        dropped_bytes += d_b
+        out_rows.append(dict(
+            r,
+            manifest_path=new_path,
+            manifest_length=os.path.getsize(new_path),
+            added_files_count=0,
+            added_rows_count=0,
+            existing_files_count=live_f,
+            existing_rows_count=live_r,
+            deleted_files_count=d_f,
+            deleted_rows_count=d_r,
+        ))
+
+    new_row = {
+        "manifest_path": staged["manifest_path"],
+        "manifest_length": os.path.getsize(staged["manifest_path"]),
+        "partition_spec_id": int(doc.get("default-spec-id", 0)),
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": staged["n_files"],
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": staged["added_records"],
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    total_records = staged["added_records"]
+    base = next(
+        (s for s in doc.get("snapshots", [])
+         if s.get("snapshot-id") == base_id),
+        None,
+    )
+    if base is not None:
+        try:
+            total_records += int(
+                base.get("summary", {}).get("total-records", "0") or 0
+            ) - dropped_rows
+        except ValueError:
+            pass  # junk-tolerant, like _with_totals
+    return _finalize_commit(
+        spark, table_dir, doc, prev_version, out_rows + [new_row],
+        snapshot_id, timestamp_ms, seq,
+        _with_totals(
+            {
+                "operation": "overwrite",
+                "added-data-files": str(staged["n_files"]),
+                "added-records": str(staged["added_records"]),
+                "deleted-data-files": str(dropped_files),
+                "deleted-records": str(dropped_rows),
+                "total-records": str(max(total_records, 0)),
+                "added-files-size": str(staged["added_bytes"]),
+                "removed-files-size": str(dropped_bytes),
+                **(extra_summary or {}),
+            },
+            doc, base_id,
+            staged["n_files"] - dropped_files,
+            staged["added_bytes"] - dropped_bytes, 0,
         ),
         parent_id=base_id,
     )

@@ -300,6 +300,9 @@ for mod in (relational, meta, ext):
 # commit sequence through the DataSource plane, and the branch/expire
 # lifecycle keeps its head row via meta_wap_roundtrip).
 _DEFERRED = [
+    # r12-session-2-new: enters at the tail (judge-sweep checked, local
+    # oracle harness green); head candidate for the r13 rotation
+    "meta_overwrite_roundtrip",
     "meta_commit_roundtrip",
     "meta_variant_write_roundtrip",
     "meta_trends",

@@ -2485,3 +2485,80 @@ def meta_variant_write_roundtrip(
         ],
         "check_name string, value long",
     ).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# S11 overwrite_partitions (r12 session 2) — dynamic partition overwrite
+# (INSERT OVERWRITE): one atomic copy-on-write snapshot replaces exactly
+# the partitions present in the incoming frame. Pins: (a) replaced
+# partition carries ONLY the new rows (different cardinality than the
+# old); (b) untouched partitions keep theirs; (c) time travel to the
+# pre-overwrite snapshot sees every old row; (d) both read planes agree;
+# (e) an empty incoming frame is a no-op. Constant oracle. Enters at the
+# tail (judge-sweep checked); head candidate for the r13 rotation.
+# --------------------------------------------------------------------------
+@query(
+    "meta_overwrite_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('t1_replaced_partition', CAST(2 AS BIGINT)),
+      ('t2_untouched_partition', CAST(5 AS BIGINT)),
+      ('t3_time_travel_old',    CAST(15 AS BIGINT)),
+      ('t4_planes_agree',       CAST(1 AS BIGINT)),
+      ('t5_empty_noop',         CAST(1 AS BIGINT))
+    ) AS t(step, n)
+    """,
+)
+def meta_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.manifests import read_data_at_snapshot
+    from ..sources import register
+
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_ow_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    C.append(
+        spark, t,
+        spark.createDataFrame(
+            [(i, f"d{i % 3}", f"old{i}") for i in range(15)],
+            ["id", "day", "v"],
+        ),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        partition_by=["day"],
+    )
+    C.overwrite_partitions(
+        spark, t,
+        spark.createDataFrame(
+            [(100, "d1", "new100"), (101, "d1", "new101")],
+            ["id", "day", "v"],
+        ),
+        snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    noop = C.overwrite_partitions(
+        spark, t,
+        spark.createDataFrame([], "id long, day string, v string"),
+        snapshot_id=103, timestamp_ms=1700200000000,
+    )
+    register(spark)
+    mpath = C.current_metadata_path(t)
+    cur = read_data_at_snapshot(spark, mpath)
+    ds = spark.read.format("hielo_iceberg").load(t)
+    cur_rows = {(r.id, r.day, r.v) for r in cur.collect()}
+    rows = [
+        ("t1_replaced_partition",
+         sum(1 for r in cur_rows if r[1] == "d1")),
+        ("t2_untouched_partition",
+         sum(1 for r in cur_rows if r[1] == "d0")),
+        ("t3_time_travel_old",
+         read_data_at_snapshot(spark, mpath, snapshot_id=101).count()),
+        ("t4_planes_agree",
+         int({(r.id, r.day, r.v) for r in ds.collect()} == cur_rows)),
+        ("t5_empty_noop", int(noop is None)),
+    ]
+    return spark.createDataFrame(rows, "step string, n long").orderBy("step")

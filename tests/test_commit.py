@@ -2204,3 +2204,87 @@ def test_delete_where_in_condition_prunes(spark, tmp_path):
         spark, C.current_metadata_path(t)).collect())
     assert got == [i for i in range(100) if i not in (5, 7)] + \
         list(range(1000, 1100))
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """Dynamic partition overwrite (r12): one atomic snapshot replaces
+    exactly the partitions present in the incoming frame — other
+    partitions untouched, time travel sees the old rows, incremental
+    refuses to silently cross the overwrite."""
+    from hielo_spark.metadata.commit import (
+        append,
+        current_metadata_path,
+        overwrite_partitions,
+    )
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    t = str(tmp_path / "t")
+    df0 = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"old{i}") for i in range(30)],
+        ["id", "day", "v"],
+    )
+    append(spark, t, df0, snapshot_id=101, timestamp_ms=1700000000000,
+           partition_by=["day"])
+    # replace day d1 only, with a DIFFERENT cardinality (3 rows not 10)
+    snap = overwrite_partitions(
+        spark, t,
+        spark.createDataFrame(
+            [(100, "d1", "new100"), (101, "d1", "new101"),
+             (102, "d1", "new102")],
+            ["id", "day", "v"],
+        ),
+        snapshot_id=102, timestamp_ms=1700100000000,
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    assert snap["summary"]["deleted-data-files"] != "0"
+    got = read_data_at_snapshot(spark, current_metadata_path(t))
+    rows = {(r.id, r.day, r.v) for r in got.collect()}
+    assert {r for r in rows if r[1] == "d1"} == {
+        (100, "d1", "new100"), (101, "d1", "new101"), (102, "d1", "new102")}
+    assert len([r for r in rows if r[1] == "d0"]) == 10
+    assert len([r for r in rows if r[1] == "d2"]) == 10
+    assert int(snap["summary"]["total-records"]) == len(rows) == 23
+    # time travel: the pre-overwrite snapshot still has every old row
+    old = read_data_at_snapshot(
+        spark, current_metadata_path(t), snapshot_id=101)
+    assert old.count() == 30
+    # both planes agree post-overwrite
+    from hielo_spark.sources import register
+
+    register(spark)
+    ds = spark.read.format("hielo_iceberg").load(t)
+    assert {(r.id, r.day, r.v) for r in ds.collect()} == rows
+    # incremental refuses to cross an overwrite silently
+    import pytest as _pt
+
+    from hielo_spark.metadata.manifests import read_incremental
+
+    with _pt.raises(ValueError, match="non-append"):
+        read_incremental(spark, current_metadata_path(t), 101).collect()
+
+
+def test_overwrite_partitions_unpartitioned_and_empty(spark, tmp_path):
+    """Unpartitioned table → full overwrite; empty frame → no-op None."""
+    from hielo_spark.metadata.commit import (
+        append,
+        current_metadata_path,
+        overwrite_partitions,
+    )
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    t = str(tmp_path / "t")
+    append(spark, t, spark.range(0, 50).selectExpr("id"),
+           snapshot_id=101, timestamp_ms=1700000000000)
+    assert overwrite_partitions(
+        spark, t, spark.range(0, 0).selectExpr("id"),
+        snapshot_id=102, timestamp_ms=1700050000000,
+    ) is None
+    snap = overwrite_partitions(
+        spark, t, spark.range(100, 105).selectExpr("id"),
+        snapshot_id=103, timestamp_ms=1700100000000,
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    got = read_data_at_snapshot(spark, current_metadata_path(t))
+    assert sorted(r.id for r in got.collect()) == list(range(100, 105))
+    assert read_data_at_snapshot(
+        spark, current_metadata_path(t), snapshot_id=101).count() == 50
