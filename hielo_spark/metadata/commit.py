@@ -2403,6 +2403,71 @@ def _rewrite_manifest_dropping_data(
             dropped_files, dropped_rows, dropped_bytes)
 
 
+def _tombstone_partitions_in_rows(
+    prior_rows: list[dict],
+    incoming: set[tuple],
+    pfields: list[str],
+    mdir: str,
+    seq: int,
+    snapshot_id: int,
+    fv: int,
+) -> tuple[list[dict], int, int, int]:
+    """The carry-forward half of a dynamic overwrite, shared by the
+    JVM-plane overwrite_partitions and the DataSource write plane
+    (commit_py.append_files mode='dynamic-overwrite'): walk the prior
+    manifest-list rows, tombstone live data entries whose current-spec
+    partition tuple is in ``incoming`` (empty ``pfields`` = doom every
+    live data file — full overwrite), carry everything else untouched.
+    Returns ``(rows, dropped_files, dropped_rows, dropped_bytes)``."""
+    from .manifests import _resolve, decode_manifest, inherited_seq_of
+
+    dropped_files = dropped_rows = dropped_bytes = 0
+    out_rows: list[dict] = []
+    for r in prior_rows:
+        if (r.get("content") or 0) != 0:
+            out_rows.append(r)  # delete manifests carry unchanged
+            continue
+        doomed: set[str] = set()
+        for e in decode_manifest(
+            _resolve(os.path.join(mdir, "x"), r["manifest_path"]),
+            inherited_seq=inherited_seq_of(r, fv),
+        ):
+            status, _sid, fpath, _fmt, _rec, _sz, fcontent, _seq2, \
+                pvals, *_rest = e
+            if status == 2 or (fcontent or 0) != 0:
+                continue
+            if not pfields:
+                doomed.add(fpath.removeprefix("file:"))  # full overwrite
+            elif pvals and tuple(
+                str(pvals.get(f)) for f in pfields
+            ) in incoming:
+                doomed.add(fpath.removeprefix("file:"))
+        if not doomed:
+            out_rows.append(r)
+            continue
+        rw = _rewrite_manifest_dropping_data(
+            r["manifest_path"], doomed, mdir, seq, snapshot_id=snapshot_id
+        )
+        if rw is None:
+            continue
+        new_path, live_f, live_r, d_f, d_r, d_b = rw
+        dropped_files += d_f
+        dropped_rows += d_r
+        dropped_bytes += d_b
+        out_rows.append(dict(
+            r,
+            manifest_path=new_path,
+            manifest_length=os.path.getsize(new_path),
+            added_files_count=0,
+            added_rows_count=0,
+            existing_files_count=live_f,
+            existing_rows_count=live_r,
+            deleted_files_count=d_f,
+            deleted_rows_count=d_r,
+        ))
+    return out_rows, dropped_files, dropped_rows, dropped_bytes
+
+
 def overwrite_partitions(
     spark: SparkSession,
     table_dir: str,
@@ -2456,53 +2521,12 @@ def overwrite_partitions(
             incoming.add(tuple(str(pv.get(f)) for f in pfields))
 
     prior_rows = _carry_forward_rows(spark, mdir, doc, base_id)
-    from .manifests import _resolve, decode_manifest, inherited_seq_of
-
-    fv = int(doc.get("format-version", 2))
-    dropped_files = dropped_rows = dropped_bytes = 0
-    out_rows = []
-    for r in prior_rows:
-        if (r.get("content") or 0) != 0:
-            out_rows.append(r)  # delete manifests carry unchanged
-            continue
-        doomed: set[str] = set()
-        for e in decode_manifest(
-            _resolve(os.path.join(mdir, "x"), r["manifest_path"]),
-            inherited_seq=inherited_seq_of(r, fv),
-        ):
-            status, _sid, fpath, _fmt, _rec, _sz, fcontent, _seq2, \
-                pvals, *_rest = e
-            if status == 2 or (fcontent or 0) != 0:
-                continue
-            if not pfields:
-                doomed.add(fpath.removeprefix("file:"))  # full overwrite
-            elif pvals and tuple(
-                str(pvals.get(f)) for f in pfields
-            ) in incoming:
-                doomed.add(fpath.removeprefix("file:"))
-        if not doomed:
-            out_rows.append(r)
-            continue
-        rw = _rewrite_manifest_dropping_data(
-            r["manifest_path"], doomed, mdir, seq, snapshot_id=snapshot_id
+    out_rows, dropped_files, dropped_rows, dropped_bytes = (
+        _tombstone_partitions_in_rows(
+            prior_rows, incoming, pfields, mdir, seq, snapshot_id,
+            int(doc.get("format-version", 2)),
         )
-        if rw is None:
-            continue
-        new_path, live_f, live_r, d_f, d_r, d_b = rw
-        dropped_files += d_f
-        dropped_rows += d_r
-        dropped_bytes += d_b
-        out_rows.append(dict(
-            r,
-            manifest_path=new_path,
-            manifest_length=os.path.getsize(new_path),
-            added_files_count=0,
-            added_rows_count=0,
-            existing_files_count=live_f,
-            existing_rows_count=live_r,
-            deleted_files_count=d_f,
-            deleted_rows_count=d_r,
-        ))
+    )
 
     new_row = {
         "manifest_path": staged["manifest_path"],

@@ -98,11 +98,17 @@ def append_files(
     ``mode="overwrite"`` composes a REPLACE-style snapshot: no manifest
     carry-forward (the new files ARE the table), summary operation
     ``overwrite`` with reset running totals — Iceberg's truncate-and-
-    write. ``branch`` stages the commit on that branch ref instead of
+    write. ``mode="dynamic-overwrite"`` is dynamic PARTITION overwrite:
+    prior manifests carry forward with live entries of exactly the
+    incoming files' partition tuples tombstoned (copy-on-write, the
+    same helper the JVM-plane overwrite_partitions uses); on an
+    unpartitioned table it dooms every live data file (full overwrite,
+    but time-travel-preserving tombstones rather than a bare replace).
+    ``branch`` stages the commit on that branch ref instead of
     moving ``current-snapshot-id`` (the write half of write-audit-
     publish; publish with ``commit.fast_forward``); readers see the
     staged rows only via ``ref=branch`` / ``option("branch", ...)``."""
-    if mode not in ("append", "overwrite"):
+    if mode not in ("append", "overwrite", "dynamic-overwrite"):
         raise ValueError(f"unsupported commit mode {mode!r}")
     doc, prev_version = C._load_doc(table_dir)
     base_id = doc.get("current-snapshot-id")
@@ -218,9 +224,26 @@ def append_files(
     added_records = sum(int(f["record_count"]) for f in files)
     added_bytes = sum(int(f["file_size_in_bytes"]) for f in files)
     overwrite = mode == "overwrite"
+    dynamic = mode == "dynamic-overwrite"
     prior_rows = (
         [] if overwrite else _carry_forward_rows_py(mdir, doc, base_id)
     )
+    dropped_files = dropped_rows = dropped_bytes = 0
+    if dynamic:
+        pfield_names = [
+            fld.get("name") for fld in (default_spec or {}).get("fields", [])
+        ]
+        incoming: set[tuple] = set()
+        for f in files:
+            pv = f.get("partition_values")
+            if pv:
+                incoming.add(tuple(str(pv.get(n)) for n in pfield_names))
+        prior_rows, dropped_files, dropped_rows, dropped_bytes = (
+            C._tombstone_partitions_in_rows(
+                prior_rows, incoming, pfield_names, mdir, seq,
+                snapshot_id, fv,
+            )
+        )
     new_row = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
@@ -247,20 +270,30 @@ def append_files(
         try:
             total_records += int(
                 base.get("summary", {}).get("total-records", "0") or 0
-            )
+            ) - dropped_rows
         except ValueError:
             pass
     summary = C._with_totals(
         {
-            "operation": "overwrite" if overwrite else "append",
+            "operation": (
+                "overwrite" if (overwrite or dynamic) else "append"
+            ),
             "added-data-files": str(len(files)),
             "added-records": str(added_records),
-            "total-records": str(total_records),
+            **(
+                {
+                    "deleted-data-files": str(dropped_files),
+                    "deleted-records": str(dropped_rows),
+                    "removed-files-size": str(dropped_bytes),
+                }
+                if dynamic else {}
+            ),
+            "total-records": str(max(total_records, 0)),
             "added-files-size": str(added_bytes),
             **(extra_summary or {}),
         },
         doc, base_id,
-        len(files), added_bytes, 0,
+        len(files) - dropped_files, added_bytes - dropped_bytes, 0,
         reset=overwrite,
     )
 

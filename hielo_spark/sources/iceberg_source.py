@@ -2449,7 +2449,11 @@ class HieloIcebergWriter(DataSourceArrowWriter):
     hour), derived per task from the Arrow batches with the same
     spec-exact murmur3 kernel as the JVM plane.
     ``mode("overwrite")`` composes a REPLACE commit (no manifest
-    carry-forward, reset totals — Iceberg truncate-and-write);
+    carry-forward, reset totals — Iceberg truncate-and-write); with
+    ``option("overwrite-mode", "dynamic")`` it is dynamic PARTITION
+    overwrite instead: only the partitions present in the frame are
+    replaced (copy-on-write tombstones, commit_py mode
+    'dynamic-overwrite' — Iceberg's overwritePartitions());
     ``option("branch", name)`` stages the snapshot on that branch ref
     for write-audit-publish (readers see it only via
     ``option("ref"/"branch", name)``; publish with
@@ -2657,8 +2661,18 @@ class HieloIcebergWriter(DataSourceArrowWriter):
                 continue
             files.extend(m.files)
             dtypes.update(m.dtypes)
-        if not files and not self.overwrite:
-            return  # empty append: no snapshot, like Iceberg
+        dynamic = (
+            str(self.options.get("overwrite-mode", "static")).lower()
+            == "dynamic"
+        )
+        if not files and (not self.overwrite or dynamic):
+            # empty append: no snapshot, like Iceberg; empty DYNAMIC
+            # overwrite likewise (no partitions present, nothing to
+            # replace) — only a static overwrite truncates on empty
+            return
+        mode = "append"
+        if self.overwrite:
+            mode = "dynamic-overwrite" if dynamic else "overwrite"
         append_files(
             self.table_dir, files, dtypes,
             snapshot_id=(
@@ -2669,7 +2683,7 @@ class HieloIcebergWriter(DataSourceArrowWriter):
                 int(self.options["timestamp-ms"])
                 if self.options.get("timestamp-ms") is not None else None
             ),
-            mode="overwrite" if self.overwrite else "append",
+            mode=mode,
             branch=self.options.get("branch"),
         )
 

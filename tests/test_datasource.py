@@ -2285,3 +2285,46 @@ def test_streaming_rows_cap_offset_walk(registered, tmp_path):
         t, {"initial-snapshot": "earliest"}, None)
     r2.initialOffset()
     assert r2.latestOffset() == {"snapshot_id": 103}
+
+
+def test_write_format_dynamic_partition_overwrite(registered, tmp_path):
+    """mode('overwrite') + option('overwrite-mode', 'dynamic') through
+    the DataSource write plane replaces exactly the partitions present
+    in the frame (commit_py mode 'dynamic-overwrite', the same COW
+    tombstone helper as the JVM-plane overwrite_partitions); static
+    overwrite still truncates; time travel sees every old row."""
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    spark = registered
+    t = str(tmp_path / "t")
+    C.append(
+        spark, t,
+        spark.createDataFrame(
+            [(i, f"d{i % 2}", f"old{i}") for i in range(10)],
+            ["id", "day", "v"],
+        ),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        partition_by=["day"],
+    )
+    (spark.createDataFrame([(100, "d1", "new")], ["id", "day", "v"])
+     .write.format("hielo_iceberg").mode("overwrite")
+     .option("overwrite-mode", "dynamic")
+     .option("snapshot-id", "102").option("timestamp-ms", "1700100000000")
+     .save(t))
+    rows = {(r.id, r.day) for r in
+            spark.read.format("hielo_iceberg").load(t).collect()}
+    assert {r for r in rows if r[1] == "d1"} == {(100, "d1")}
+    assert len([r for r in rows if r[1] == "d0"]) == 5
+    jvm = {(r.id, r.day) for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()}
+    assert jvm == rows
+    assert read_data_at_snapshot(
+        spark, C.current_metadata_path(t), snapshot_id=101).count() == 10
+    # empty dynamic overwrite: no snapshot (nothing to replace)
+    (spark.createDataFrame([], "id long, day string, v string")
+     .write.format("hielo_iceberg").mode("overwrite")
+     .option("overwrite-mode", "dynamic").save(t))
+    import json
+
+    doc = json.load(open(C.current_metadata_path(t)))
+    assert doc["current-snapshot-id"] == 102
