@@ -2288,3 +2288,34 @@ def test_overwrite_partitions_unpartitioned_and_empty(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == list(range(100, 105))
     assert read_data_at_snapshot(
         spark, current_metadata_path(t), snapshot_id=101).count() == 50
+
+
+def test_overwrite_partitions_changelog(spark, tmp_path):
+    """The CDC changelog renders a dynamic partition overwrite as the
+    replaced partition's old rows DELETEd + the new rows INSERTed in
+    one ordinal (the general diff path; other partitions emit nothing)."""
+    from hielo_spark.metadata.commit import (
+        append,
+        current_metadata_path,
+        overwrite_partitions,
+    )
+    from hielo_spark.metadata.manifests import read_changelog
+
+    t = str(tmp_path / "t")
+    append(spark, t, spark.createDataFrame(
+        [(i, f"d{i % 2}", f"old{i}") for i in range(6)],
+        ["id", "day", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        partition_by=["day"])
+    overwrite_partitions(
+        spark, t,
+        spark.createDataFrame([(100, "d1", "new")], ["id", "day", "v"]),
+        snapshot_id=102, timestamp_ms=1700100000000)
+    ch = read_changelog(spark, current_metadata_path(t),
+                        from_snapshot_id=101).collect()
+    got = {(r.id, r.day, r._change_type) for r in ch}
+    assert got == {
+        (1, "d1", "DELETE"), (3, "d1", "DELETE"), (5, "d1", "DELETE"),
+        (100, "d1", "INSERT"),
+    }
+    assert {r._commit_snapshot_id for r in ch} == {102}
