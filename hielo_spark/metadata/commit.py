@@ -2475,6 +2475,7 @@ def overwrite_partitions(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     extra_summary: dict[str, str] | None = None,
+    branch: str | None = None,
 ) -> dict | None:
     """Dynamic partition overwrite (``INSERT OVERWRITE`` / Iceberg's
     ``overwritePartitions()``): ONE atomic snapshot that adds ``df``'s
@@ -2507,6 +2508,14 @@ def overwrite_partitions(
         timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
     )
     base_id = doc.get("current-snapshot-id")
+    if branch is not None:
+        # WAP: overwrite the BRANCH head (same staging semantics as
+        # append's branch writes; publish with fast_forward)
+        ref = doc.get("refs", {}).get(branch)
+        if ref is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            base_id = int(ref["snapshot-id"])
     mdir = os.path.join(table_dir, "metadata")
     os.makedirs(mdir, exist_ok=True)
 
@@ -2575,6 +2584,7 @@ def overwrite_partitions(
             staged["n_files"] - dropped_files,
             staged["added_bytes"] - dropped_bytes, 0,
         ),
+        branch=branch,
         parent_id=base_id,
     )
 

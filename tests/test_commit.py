@@ -2319,3 +2319,35 @@ def test_overwrite_partitions_changelog(spark, tmp_path):
         (100, "d1", "INSERT"),
     }
     assert {r._commit_snapshot_id for r in ch} == {102}
+
+
+def test_overwrite_partitions_on_branch(spark, tmp_path):
+    """WAP: a dynamic overwrite staged on a branch leaves main
+    untouched until fast_forward publishes it."""
+    from hielo_spark.metadata.commit import (
+        append,
+        current_metadata_path,
+        fast_forward,
+        overwrite_partitions,
+    )
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    t = str(tmp_path / "t")
+    append(spark, t, spark.createDataFrame(
+        [(i, f"d{i % 2}", "old") for i in range(6)], ["id", "day", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        partition_by=["day"])
+    overwrite_partitions(
+        spark, t,
+        spark.createDataFrame([(100, "d1", "new")], ["id", "day", "v"]),
+        snapshot_id=102, timestamp_ms=1700100000000, branch="audit")
+    # main unchanged, branch sees the overwrite
+    assert read_data_at_snapshot(
+        spark, current_metadata_path(t)).count() == 6
+    staged = read_data_at_snapshot(
+        spark, current_metadata_path(t), ref="audit")
+    ids = {(r.id, r.day) for r in staged.collect()}
+    assert (100, "d1") in ids and len(ids) == 4
+    fast_forward(t, "audit")
+    assert read_data_at_snapshot(
+        spark, current_metadata_path(t)).count() == 4
