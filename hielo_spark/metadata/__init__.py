@@ -19,6 +19,7 @@ from .commit import (  # noqa: F401
     add_files,
     append,
     overwrite_partitions,
+    update_where,
     cherrypick_snapshot,
     create_ref,
     current_metadata_path,
@@ -51,6 +52,7 @@ __all__ = [
     "add_files",
     "append",
     "overwrite_partitions",
+    "update_where",
     "cherrypick_snapshot",
     "create_ref",
     "current_metadata_path",

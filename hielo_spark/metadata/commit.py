@@ -3223,12 +3223,41 @@ def _write_delete_parts(
     return parts, rows_of, bounds_of, pvals_of
 
 
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    set_exprs: dict,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict | None:
+    """``UPDATE … SET … WHERE`` as ONE merge-on-read snapshot — the
+    last of the row-level DML quartet (DELETE / MERGE / INSERT
+    OVERWRITE / UPDATE): the matched rows' positions commit as
+    position deletes (v2) or deletion vectors (v3) AND the same rows,
+    with ``set_exprs`` applied (``{col: sql-string-or-Column}``),
+    re-append as new data files in the same commit — atomic, no data
+    file rewritten. Position-scoped deletes reference only the OLD
+    files by path, so the commit's own new files are untouched (the
+    property Iceberg's MOR UPDATE rests on). Updating a partition
+    source column moves rows between partitions naturally (the
+    re-append writes through the spec). Matching zero rows is a no-op
+    → None. Snapshot operation records ``overwrite``, Iceberg's
+    choice for row-level updates."""
+    return delete_where(
+        spark, table_dir, condition,
+        snapshot_id=snapshot_id, timestamp_ms=timestamp_ms,
+        update_set=set_exprs,
+    )
+
+
 def delete_where(
     spark: SparkSession,
     table_dir: str,
     condition,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    update_set: dict | None = None,
 ) -> dict | None:
     """v2 merge-on-read position-delete commit — ``DELETE WHERE`` without
     rewriting data files: prune candidate data files against the
@@ -3343,13 +3372,35 @@ def delete_where(
                 )
                 for t in transforms
             }
+    # UPDATE: stage the matched rows, set-exprs applied, as new data
+    # files in the SAME commit (position-scoped deletes reference only
+    # the OLD files by path, so the staged files are untouched)
+    staged_update = None
+    persisted = None
+    if update_set is not None:
+        if positions is None:
+            return None  # no candidate files → nothing matched
+        persisted = matched.persist()
+        if persisted.limit(1).count() == 0:
+            persisted.unpersist()
+            return None  # UPDATE matching nothing: no empty snapshot
+        upd = persisted.drop("_fp", "_pos")
+        for k, v in update_set.items():
+            upd = upd.withColumn(k, F.expr(v) if isinstance(v, str) else v)
+        staged_update = _stage_append_manifest(
+            spark, table_dir, doc, seq, snapshot_id, upd
+        )
     if int(doc.get("format-version", 2)) >= 3:
         # v3 forbids position-delete files: deletes commit as deletion
         # vectors (one roaring bitmap per touched data file)
-        return _commit_deletion_vectors(
+        res = _commit_deletion_vectors(
             spark, table_dir, doc, prev_version, positions,
             seq, snapshot_id, timestamp_ms, mdir, current,
+            staged_update=staged_update,
         )
+        if persisted is not None:
+            persisted.unpersist()
+        return res
     del_dir = os.path.join(table_dir, "data", f"seq-{seq:05d}-posdeletes")
     parts: list[str] = []
     rows_of: dict[str, int] = {}
@@ -3431,20 +3482,52 @@ def delete_where(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
+    rows = [new_row]
+    summary = {
+        "operation": "delete",
+        "position-delete-files": str(len(parts)),
+        "added-delete-records": str(n_deleted),
+    }
+    d_files, d_bytes = 0, sum(os.path.getsize(p) for p in parts)
+    if staged_update is not None:
+        # UPDATE: the staged data manifest rides the same commit;
+        # Iceberg records row-level updates as operation=overwrite
+        rows.append({
+            "manifest_path": staged_update["manifest_path"],
+            "manifest_length": os.path.getsize(
+                staged_update["manifest_path"]),
+            "partition_spec_id": int(doc.get("default-spec-id", 0)),
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": staged_update["n_files"],
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": staged_update["added_records"],
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        })
+        summary["operation"] = "overwrite"
+        summary["added-data-files"] = str(staged_update["n_files"])
+        summary["added-records"] = str(staged_update["added_records"])
+        summary["added-files-size"] = str(staged_update["added_bytes"])
+        summary["updated-records"] = str(staged_update["added_records"])
+        d_files += staged_update["n_files"]
+        d_bytes += staged_update["added_bytes"]
     prior_rows = _carry_forward_rows(spark, mdir, doc)
-    return _finalize_commit(
-        spark, table_dir, doc, prev_version, prior_rows + [new_row],
+    res = _finalize_commit(
+        spark, table_dir, doc, prev_version, prior_rows + rows,
         snapshot_id, timestamp_ms, seq,
         _with_totals(
-            {
-                "operation": "delete",
-                "position-delete-files": str(len(parts)),
-                "added-delete-records": str(n_deleted),
-            },
+            summary,
             doc, doc.get("current-snapshot-id"),
-            0, sum(os.path.getsize(p) for p in parts), len(parts),
+            d_files, d_bytes, len(parts),
         ),
     )
+    if persisted is not None:
+        persisted.unpersist()
+    return res
 
 
 def _live_dv_entries(mlist: str, fv: int) -> list[dict]:
@@ -3555,6 +3638,7 @@ def _commit_deletion_vectors(
     timestamp_ms: int,
     mdir: str,
     current: dict,
+    staged_update: dict | None = None,
 ) -> dict:
     """DELETE WHERE on a format-version ≥ 3 table: commit the matched
     row positions as DELETION VECTORS — one ``deletion-vector-v1``
@@ -3617,22 +3701,54 @@ def _commit_deletion_vectors(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
+    rows = [new_row]
+    summary = {
+        "operation": "delete",
+        "added-dvs": str(len(entries)),
+        "replaced-dvs": str(len(replaced)),
+        # NEW positions only (merged-union minus the replaced
+        # DVs' prior cardinality): re-deleting nothing new adds 0
+        "added-delete-records": str(
+            total_cardinality - replaced_records
+        ),
+    }
+    d_files = 0
+    if staged_update is not None:
+        # UPDATE on a v3 table: the staged data manifest rides the
+        # same commit (operation=overwrite, Iceberg's row-level-update
+        # rendering); the DVs above reference only the OLD files
+        rows.append({
+            "manifest_path": staged_update["manifest_path"],
+            "manifest_length": os.path.getsize(
+                staged_update["manifest_path"]),
+            "partition_spec_id": int(doc.get("default-spec-id", 0)),
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": staged_update["n_files"],
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": staged_update["added_records"],
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        })
+        summary["operation"] = "overwrite"
+        summary["added-data-files"] = str(staged_update["n_files"])
+        summary["added-records"] = str(staged_update["added_records"])
+        summary["added-files-size"] = str(staged_update["added_bytes"])
+        summary["updated-records"] = str(staged_update["added_records"])
+        d_files = staged_update["n_files"]
     return _finalize_commit(
-        spark, table_dir, doc, prev_version, prior_rows + [new_row],
+        spark, table_dir, doc, prev_version, prior_rows + rows,
         snapshot_id, timestamp_ms, seq,
         _with_totals(
-            {
-                "operation": "delete",
-                "added-dvs": str(len(entries)),
-                "replaced-dvs": str(len(replaced)),
-                # NEW positions only (merged-union minus the replaced
-                # DVs' prior cardinality): re-deleting nothing new adds 0
-                "added-delete-records": str(
-                    total_cardinality - replaced_records
-                ),
-            },
+            summary,
             doc, doc.get("current-snapshot-id"),
-            0, puffin_size - replaced_bytes, len(entries) - len(replaced),
+            d_files,
+            puffin_size - replaced_bytes
+            + (staged_update or {}).get("added_bytes", 0),
+            len(entries) - len(replaced),
         ),
     )
 

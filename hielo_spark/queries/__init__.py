@@ -303,6 +303,7 @@ _DEFERRED = [
     # r12-session-2-new: enters at the tail (judge-sweep checked, local
     # oracle harness green); head candidate for the r13 rotation
     "meta_overwrite_roundtrip",
+    "meta_update_roundtrip",
     "meta_commit_roundtrip",
     "meta_variant_write_roundtrip",
     "meta_trends",

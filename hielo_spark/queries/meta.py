@@ -2562,3 +2562,63 @@ def meta_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("t5_empty_noop", int(noop is None)),
     ]
     return spark.createDataFrame(rows, "step string, n long").orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# S11 update_where (r12 session 2) — UPDATE … SET … WHERE as one MOR
+# snapshot (position deletes/DVs for the matched rows + the updated rows
+# re-appended, same commit). Pins: updated values live, unmatched rows
+# untouched, time travel sees pre-update values, zero-match no-op, both
+# planes agree. Constant oracle; tail slot (judge-sweep checked), r13
+# head candidate alongside meta_overwrite_roundtrip.
+# --------------------------------------------------------------------------
+@query(
+    "meta_update_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('t1_updated_rows',   CAST(3 AS BIGINT)),
+      ('t2_total_rows',     CAST(12 AS BIGINT)),
+      ('t3_time_travel_old', CAST(1 AS BIGINT)),
+      ('t4_planes_agree',   CAST(1 AS BIGINT)),
+      ('t5_nomatch_noop',   CAST(1 AS BIGINT))
+    ) AS t(step, n)
+    """,
+)
+def meta_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..metadata import commit as C
+    from ..metadata.manifests import read_data_at_snapshot
+    from ..sources import register
+
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"hielo_upd_fixture_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    C.append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(12)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.update_where(spark, t, "id % 4 = 0", {"v": "concat('u', id)"},
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    noop = C.update_where(spark, t, "id > 999", {"v": "'x'"},
+                          snapshot_id=103, timestamp_ms=1700200000000)
+    register(spark)
+    mpath = C.current_metadata_path(t)
+    cur = {r.id: r.v for r in
+           read_data_at_snapshot(spark, mpath).collect()}
+    ds = {r.id: r.v for r in
+          spark.read.format("hielo_iceberg").load(t).collect()}
+    old = {r.id: r.v for r in read_data_at_snapshot(
+        spark, mpath, snapshot_id=101).collect()}
+    rows = [
+        ("t1_updated_rows",
+         sum(1 for i, v in cur.items() if v == f"u{i}")),
+        ("t2_total_rows", len(cur)),
+        ("t3_time_travel_old", int(old[0] == "v0")),
+        ("t4_planes_agree", int(ds == cur)),
+        ("t5_nomatch_noop", int(noop is None)),
+    ]
+    return spark.createDataFrame(rows, "step string, n long").orderBy("step")

@@ -2351,3 +2351,59 @@ def test_overwrite_partitions_on_branch(spark, tmp_path):
     fast_forward(t, "audit")
     assert read_data_at_snapshot(
         spark, current_metadata_path(t)).count() == 4
+
+
+def test_update_where_v2_and_v3(spark, tmp_path):
+    """UPDATE … SET … WHERE as one MOR snapshot on both format
+    versions: matched rows die by position delete (v2) / DV (v3) and
+    re-append updated in the SAME commit; unmatched rows untouched;
+    zero matches no-op; time travel sees the old values."""
+    from hielo_spark.metadata import upgrade_format_version
+    from hielo_spark.metadata.commit import (
+        append,
+        current_metadata_path,
+        update_where,
+    )
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    for v3 in (False, True):
+        t = str(tmp_path / f"t{'3' if v3 else '2'}")
+        append(spark, t, spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(20)],
+            ["id", "v", "x"]),
+            snapshot_id=101, timestamp_ms=1700000000000)
+        if v3:
+            upgrade_format_version(t, 3)
+        snap = update_where(
+            spark, t, "id % 5 = 0",
+            {"v": "concat('upd', id)", "x": "x * 10"},
+            snapshot_id=102, timestamp_ms=1700100000000)
+        assert snap["summary"]["operation"] == "overwrite"
+        assert snap["summary"]["updated-records"] == "4"
+        got = {r.id: (r.v, r.x) for r in read_data_at_snapshot(
+            spark, current_metadata_path(t)).collect()}
+        assert len(got) == 20
+        for i in range(20):
+            if i % 5 == 0:
+                assert got[i] == (f"upd{i}", float(i) * 10), (v3, i)
+            else:
+                assert got[i] == (f"v{i}", float(i)), (v3, i)
+        # time travel: pre-update values intact
+        old = {r.id: r.v for r in read_data_at_snapshot(
+            spark, current_metadata_path(t), snapshot_id=101).collect()}
+        assert old[0] == "v0"
+        # zero matches: no-op, no snapshot
+        assert update_where(
+            spark, t, "id > 1000", {"v": "'nope'"},
+            snapshot_id=103, timestamp_ms=1700200000000) is None
+        import json
+
+        doc = json.load(open(current_metadata_path(t)))
+        assert doc["current-snapshot-id"] == 102
+        # both planes agree
+        from hielo_spark.sources import register
+
+        register(spark)
+        ds = {r.id: (r.v, r.x) for r in
+              spark.read.format("hielo_iceberg").load(t).collect()}
+        assert ds == got
