@@ -3385,6 +3385,12 @@ def delete_where(
             persisted.unpersist()
             return None  # UPDATE matching nothing: no empty snapshot
         upd = persisted.drop("_fp", "_pos")
+        unknown = [k for k in update_set if k not in upd.columns]
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET targets unknown columns {unknown} "
+                f"(table columns: {upd.columns})"
+            )
         for k, v in update_set.items():
             upd = upd.withColumn(k, F.expr(v) if isinstance(v, str) else v)
         staged_update = _stage_append_manifest(

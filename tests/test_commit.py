@@ -2407,3 +2407,16 @@ def test_update_where_v2_and_v3(spark, tmp_path):
         ds = {r.id: (r.v, r.x) for r in
               spark.read.format("hielo_iceberg").load(t).collect()}
         assert ds == got
+
+
+def test_update_where_unknown_column_raises(spark, tmp_path):
+    from hielo_spark.metadata.commit import append, update_where
+
+    t = str(tmp_path / "t")
+    append(spark, t, spark.range(0, 5).selectExpr("id"),
+           snapshot_id=101, timestamp_ms=1700000000000)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown columns"):
+        update_where(spark, t, "id = 1", {"nope": "'x'"},
+                     snapshot_id=102, timestamp_ms=1700100000000)
