@@ -2032,11 +2032,28 @@ def _footer_file_stats(md, dtypes: dict[str, str], bound_cols):
     """(records, lo, hi, null_counts) for one parquet file from its
     FOOTER metadata alone — per-row-group stats aggregated per column.
     Writer-truncated string stats remain valid ENCLOSING bounds; NaN
-    float stats (old writers) are masked; columns without stats simply
-    record nothing (conservative)."""
+    float stats (old writers) are masked. A column records bounds (or
+    a null count) only when EVERY row group contributed one — a file
+    bound that misses a statless group's values would wrongly prune
+    (the same completeness rule _write_delete_parts applies). NaN-only
+    float groups count as contributing (NaN is spec-excluded from
+    bounds), but a group with NO stats at all drops the column."""
     lo: dict[str, str] = {}
     hi: dict[str, str] = {}
     nn: dict[str, int] = {}
+    # columns that missed min/max (or null_count) in ANY row group —
+    # their file-level stat would not enclose the file
+    lo_incomplete: set[str] = set()
+    hi_incomplete: set[str] = set()
+    nn_incomplete: set[str] = set()
+
+    def _key_of(ty: str):
+        if ty in ("tinyint", "smallint", "int", "bigint"):
+            return int  # exact above 2^53, where float comparison lies
+        if ty in ("float", "double"):
+            return float
+        return lambda s: s
+
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for i in range(g.num_columns):
@@ -2045,27 +2062,40 @@ def _footer_file_stats(md, dtypes: dict[str, str], bound_cols):
             if name not in dtypes or "." in name:
                 continue
             st = col.statistics
-            if st is None:
-                continue
-            if st.null_count is not None:
-                nn[name] = nn.get(name, 0) + int(st.null_count)
-            if name not in bound_cols or not st.has_min_max:
-                continue
-            slo = _stringify_footer_stat(st.min, dtypes[name])
-            shi = _stringify_footer_stat(st.max, dtypes[name])
             ty = dtypes[name]
-            num = ty in ("tinyint", "smallint", "int", "bigint",
-                         "float", "double")
-            key = (lambda s: float(s)) if num else (lambda s: s)
-            if slo is not None and (
-                name not in lo or key(slo) < key(lo[name])
-            ):
-                lo[name] = slo
-            if shi is not None and (
-                name not in hi or key(shi) > key(hi[name])
-            ):
-                hi[name] = shi
-    nn_s = {c: str(v) for c, v in nn.items()} or None
+            if st is None or st.null_count is None:
+                nn_incomplete.add(name)
+            else:
+                nn[name] = nn.get(name, 0) + int(st.null_count)
+            if name not in bound_cols:
+                continue
+            if st is None or not st.has_min_max:
+                lo_incomplete.add(name)
+                hi_incomplete.add(name)
+                continue
+            slo = _stringify_footer_stat(st.min, ty)
+            shi = _stringify_footer_stat(st.max, ty)
+            # NaN-masked float stats: a NaN-only group contributes no
+            # value but the remaining groups' bounds still enclose all
+            # non-NaN rows (spec excludes NaN from bounds) — only a
+            # truly statless/undecodable stat marks incompleteness
+            float_nanlike = ty in ("float", "double")
+            key = _key_of(ty)
+            if slo is not None:
+                if name not in lo or key(slo) < key(lo[name]):
+                    lo[name] = slo
+            elif not float_nanlike:
+                lo_incomplete.add(name)
+            if shi is not None:
+                if name not in hi or key(shi) > key(hi[name]):
+                    hi[name] = shi
+            elif not float_nanlike:
+                hi_incomplete.add(name)
+    lo = {c: v for c, v in lo.items() if c not in lo_incomplete}
+    hi = {c: v for c, v in hi.items() if c not in hi_incomplete}
+    nn_s = {
+        c: str(v) for c, v in nn.items() if c not in nn_incomplete
+    } or None
     return int(md.num_rows), lo or None, hi or None, nn_s
 
 
@@ -2140,18 +2170,40 @@ def add_files(
             )
 
     # hive partition segments (identity values only)
-    # hive segments parse only BELOW the files' common root — a parent
-    # directory that happens to contain '=' (e.g. /srv/user=bob/...)
-    # must not be inferred as a partition
+    # hive-segment scoping: for an EXISTING partitioned table the spec
+    # names the fields, so '=' segments anywhere on the path resolve by
+    # KEY (a single-partition import whose one value sits above the
+    # files' common root still finds it); for a FRESH table, infer from
+    # segments below the common root plus the root's own trailing
+    # '='-run — a parent directory like /srv/user=bob/data never leaks
+    # in (the run stops at the first non-hive segment)
     common_root = os.path.commonpath([os.path.dirname(p) for p in files])
+    _root_run: list[tuple[str, str]] = []
+    for seg in reversed(common_root.split(os.sep)):
+        k, eq, v = seg.partition("=")
+        if eq and k:
+            _root_run.insert(0, (k, unquote(v)))
+        else:
+            break
 
-    def hive_pvals(p: str) -> dict[str, str]:
-        vals = {}
+    def hive_pvals(p: str, keys: list[str] | None = None) -> dict[str, str]:
+        vals = dict(_root_run)
         rel = os.path.relpath(os.path.dirname(p), common_root)
         for seg in rel.split(os.sep):
             k, eq, v = seg.partition("=")
             if eq and k:
                 vals[k] = unquote(v)
+        if keys is not None:
+            # spec-keyed lookup may also resolve above the trailing
+            # run (…/day=X/hour=Y/extra/part.parquet): later segments
+            # win, parent dirs match only when the spec names them
+            full = {}
+            for seg in os.path.dirname(p).split(os.sep):
+                k, eq, v = seg.partition("=")
+                if eq and k in keys:
+                    full[k] = unquote(v)
+            full.update({k: v for k, v in vals.items() if k in keys})
+            return full
         return vals
 
     # per-file footer walk: schema, rows, aggregated column stats.
@@ -2221,9 +2273,22 @@ def add_files(
     ]
     btypes = {c: dtypes[c] for c in bound_cols} or None
 
+    # every file must carry every table data column the first file
+    # established (the docstring's per-file contract — a half-missing
+    # column would import as silent nulls), with the SAME type
+    part_only = {t.field for t in transforms}
+    required = [c for c in dtypes if c in file_dtypes and c not in part_only]
+
     def footer_stats(p: str):
         pf = _open(p)
         if p != files[0]:
+            names = set(pf.schema_arrow.names)
+            absent = [c for c in required if c not in names]
+            if absent:
+                raise ValueError(
+                    f"add_files: {p} lacks table columns {absent} — "
+                    "every file must carry every data column"
+                )
             for f in pf.schema_arrow:
                 ft = first_schema.field(f.name) \
                     if f.name in first_schema.names else None
@@ -2256,7 +2321,7 @@ def add_files(
         rows_of[p] = records
         pvals = None
         if transforms:
-            hv = hive_pvals(p)
+            hv = hive_pvals(p, keys=[t.field for t in transforms])
             missing = [t.field for t in transforms if t.field not in hv]
             if missing:
                 raise ValueError(
@@ -2403,6 +2468,38 @@ def _rewrite_manifest_dropping_data(
             dropped_files, dropped_rows, dropped_bytes)
 
 
+def _staged_manifest_row(
+    staged: dict, doc: dict, seq: int, snapshot_id: int
+) -> dict:
+    """Manifest-list row for a _stage_append_manifest result (shared by
+    the UPDATE paths on both format versions)."""
+    return {
+        "manifest_path": staged["manifest_path"],
+        "manifest_length": os.path.getsize(staged["manifest_path"]),
+        "partition_spec_id": int(doc.get("default-spec-id", 0)),
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": staged["n_files"],
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": staged["added_records"],
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+
+
+def _apply_update_summary(summary: dict, staged: dict) -> None:
+    """UPDATE rides a delete commit: flip the operation to Iceberg's
+    row-level-update rendering and record the re-appended half."""
+    summary["operation"] = "overwrite"
+    summary["added-data-files"] = str(staged["n_files"])
+    summary["added-records"] = str(staged["added_records"])
+    summary["added-files-size"] = str(staged["added_bytes"])
+    summary["updated-records"] = str(staged["added_records"])
+
+
 def _tombstone_partitions_in_rows(
     prior_rows: list[dict],
     incoming: set[tuple],
@@ -2411,6 +2508,7 @@ def _tombstone_partitions_in_rows(
     seq: int,
     snapshot_id: int,
     fv: int,
+    current_spec_id: int | None = None,
 ) -> tuple[list[dict], int, int, int]:
     """The carry-forward half of a dynamic overwrite, shared by the
     JVM-plane overwrite_partitions and the DataSource write plane
@@ -2427,6 +2525,16 @@ def _tombstone_partitions_in_rows(
         if (r.get("content") or 0) != 0:
             out_rows.append(r)  # delete manifests carry unchanged
             continue
+        if (
+            pfields
+            and current_spec_id is not None
+            and int(r.get("partition_spec_id") or 0) != current_spec_id
+        ):
+            # a manifest under an OLDER partition spec: its files'
+            # tuples are in different fields — the documented
+            # conservative behavior is to leave them alive
+            out_rows.append(r)
+            continue
         doomed: set[str] = set()
         for e in decode_manifest(
             _resolve(os.path.join(mdir, "x"), r["manifest_path"]),
@@ -2438,7 +2546,20 @@ def _tombstone_partitions_in_rows(
                 continue
             if not pfields:
                 doomed.add(fpath.removeprefix("file:"))  # full overwrite
-            elif pvals and tuple(
+                continue
+            if pvals is None:
+                # spec-only manifests (real Iceberg writers) carry the
+                # typed r102 partition record, which decode_manifest
+                # does not yet stringify — matching on nothing would
+                # SILENTLY leave the old partition rows live beside the
+                # replacements; refuse loudly instead
+                raise ValueError(
+                    f"dynamic overwrite cannot resolve partition values "
+                    f"for {fpath} (manifest {r['manifest_path']} carries "
+                    "no partition_values map — foreign-written?); "
+                    "rewrite through rewrite_data_files first"
+                )
+            if tuple(
                 str(pvals.get(f)) for f in pfields
             ) in incoming:
                 doomed.add(fpath.removeprefix("file:"))
@@ -2534,6 +2655,7 @@ def overwrite_partitions(
         _tombstone_partitions_in_rows(
             prior_rows, incoming, pfields, mdir, seq, snapshot_id,
             int(doc.get("format-version", 2)),
+            current_spec_id=int(doc.get("default-spec-id", 0)),
         )
     )
 
@@ -3237,13 +3359,23 @@ def update_where(
     position deletes (v2) or deletion vectors (v3) AND the same rows,
     with ``set_exprs`` applied (``{col: sql-string-or-Column}``),
     re-append as new data files in the same commit — atomic, no data
-    file rewritten. Position-scoped deletes reference only the OLD
-    files by path, so the commit's own new files are untouched (the
-    property Iceberg's MOR UPDATE rests on). Updating a partition
-    source column moves rows between partitions naturally (the
-    re-append writes through the spec). Matching zero rows is a no-op
-    → None. Snapshot operation records ``overwrite``, Iceberg's
-    choice for row-level updates."""
+    file rewritten. The matched frame is the LIVE merge-on-read view
+    (prior deletes/DVs applied, read with row coordinates), so rows an
+    earlier DELETE removed never resurrect and repeated UPDATEs never
+    duplicate. Position-scoped deletes reference only the OLD files by
+    path, so the commit's own new files are untouched (the property
+    Iceberg's MOR UPDATE rests on). SET expressions cast to the
+    column's current type (Iceberg semantics); unknown SET columns
+    raise. Updating a partition source column moves rows between
+    partitions naturally (the re-append writes through the spec).
+    Matching zero rows is a no-op → None. Snapshot operation records
+    ``overwrite``, Iceberg's choice for row-level updates.
+
+    Limitations (loud or documented): variant/geo columns raise
+    (re-encoding the decoded read-back forms is future work); on v3
+    row-lineage tables updated rows receive FRESH ``_row_id``s (the
+    delete+insert lineage rendering) rather than carrying their prior
+    ids through."""
     return delete_where(
         spark, table_dir, condition,
         snapshot_id=snapshot_id, timestamp_ms=timestamp_ms,
@@ -3380,22 +3512,75 @@ def delete_where(
     if update_set is not None:
         if positions is None:
             return None  # no candidate files → nothing matched
-        persisted = matched.persist()
+        # variant/geo columns read back as decoded JSON/WKT strings —
+        # re-appending those would silently flip their physical type;
+        # loud until the update path re-encodes them
+        _typed = [
+            f["name"]
+            for s in doc.get("schemas", [])
+            if s.get("schema-id") == doc.get("current-schema-id", 0)
+            for f in s.get("fields", [])
+            if isinstance(f.get("type"), str)
+            and f["type"].split("(")[0] in ("variant", "geometry",
+                                            "geography")
+        ]
+        if _typed:
+            raise NotImplementedError(
+                f"update_where on tables with variant/geo columns "
+                f"({_typed}) is not supported yet — the re-append would "
+                "rewrite them as decoded strings"
+            )
+        # scan the LIVE MOR view (prior position/equality deletes and
+        # DVs applied) WITH row coordinates: a row an earlier delete
+        # removed must neither resurrect through the re-append nor
+        # re-tombstone, and a repeated UPDATE must not duplicate rows.
+        # Bounds pruning rides the first parseable conjunct.
+        from .manifests import read_data_at_snapshot
+
+        sfs = _conjunct_skip_filters(condition)
+        live = read_data_at_snapshot(
+            spark, current_metadata_path(table_dir),
+            skip_filter=sfs[0] if sfs else None,
+            keep_row_coords=True,
+        )
+        data_cols = [c for c in live.columns if c not in ("_fp", "_pos")]
+        unknown = [k for k in update_set if k not in data_cols]
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET targets unknown columns {unknown} "
+                f"(table columns: {data_cols})"
+            )
+        persisted = live.filter(cond).persist()
         if persisted.limit(1).count() == 0:
             persisted.unpersist()
             return None  # UPDATE matching nothing: no empty snapshot
         upd = persisted.drop("_fp", "_pos")
-        unknown = [k for k in update_set if k not in upd.columns]
-        if unknown:
-            raise ValueError(
-                f"UPDATE SET targets unknown columns {unknown} "
-                f"(table columns: {upd.columns})"
-            )
+        udt = dict(upd.dtypes)
         for k, v in update_set.items():
-            upd = upd.withColumn(k, F.expr(v) if isinstance(v, str) else v)
+            # cast to the column's CURRENT type (Iceberg casts SET
+            # expressions to the column type) — a silent physical type
+            # flip would leave the table unreadable under its schema
+            expr = F.expr(v) if isinstance(v, str) else v
+            upd = upd.withColumn(k, expr.cast(udt[k]))
         staged_update = _stage_append_manifest(
             spark, table_dir, doc, seq, snapshot_id, upd
         )
+        # tombstone exactly the LIVE matched rows
+        positions = persisted.select(
+            F.col("_fp").alias("file_path"),
+            F.col("_pos").cast("long").alias("pos"),
+        )
+        if pos_parted is not None:
+            transforms = _spec_transforms_from_doc(doc)
+            sdt2 = {c: t for c, t in persisted.dtypes}
+            pos_parted = persisted.select(
+                F.col("_fp").alias("file_path"),
+                F.col("_pos").cast("long").alias("pos"),
+                *[
+                    t.expr(sdt2[t.source]).alias(t.field)
+                    for t in transforms
+                ],
+            )
     if int(doc.get("format-version", 2)) >= 3:
         # v3 forbids position-delete files: deletes commit as deletion
         # vectors (one roaring bitmap per touched data file)
@@ -3496,29 +3681,9 @@ def delete_where(
     }
     d_files, d_bytes = 0, sum(os.path.getsize(p) for p in parts)
     if staged_update is not None:
-        # UPDATE: the staged data manifest rides the same commit;
-        # Iceberg records row-level updates as operation=overwrite
-        rows.append({
-            "manifest_path": staged_update["manifest_path"],
-            "manifest_length": os.path.getsize(
-                staged_update["manifest_path"]),
-            "partition_spec_id": int(doc.get("default-spec-id", 0)),
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": staged_update["n_files"],
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": staged_update["added_records"],
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        })
-        summary["operation"] = "overwrite"
-        summary["added-data-files"] = str(staged_update["n_files"])
-        summary["added-records"] = str(staged_update["added_records"])
-        summary["added-files-size"] = str(staged_update["added_bytes"])
-        summary["updated-records"] = str(staged_update["added_records"])
+        rows.append(_staged_manifest_row(staged_update, doc, seq,
+                                         snapshot_id))
+        _apply_update_summary(summary, staged_update)
         d_files += staged_update["n_files"]
         d_bytes += staged_update["added_bytes"]
     prior_rows = _carry_forward_rows(spark, mdir, doc)
@@ -3721,29 +3886,10 @@ def _commit_deletion_vectors(
     d_files = 0
     if staged_update is not None:
         # UPDATE on a v3 table: the staged data manifest rides the
-        # same commit (operation=overwrite, Iceberg's row-level-update
-        # rendering); the DVs above reference only the OLD files
-        rows.append({
-            "manifest_path": staged_update["manifest_path"],
-            "manifest_length": os.path.getsize(
-                staged_update["manifest_path"]),
-            "partition_spec_id": int(doc.get("default-spec-id", 0)),
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": staged_update["n_files"],
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": staged_update["added_records"],
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        })
-        summary["operation"] = "overwrite"
-        summary["added-data-files"] = str(staged_update["n_files"])
-        summary["added-records"] = str(staged_update["added_records"])
-        summary["added-files-size"] = str(staged_update["added_bytes"])
-        summary["updated-records"] = str(staged_update["added_records"])
+        # same commit; the DVs above reference only the OLD files
+        rows.append(_staged_manifest_row(staged_update, doc, seq,
+                                         snapshot_id))
+        _apply_update_summary(summary, staged_update)
         d_files = staged_update["n_files"]
     return _finalize_commit(
         spark, table_dir, doc, prev_version, prior_rows + rows,

@@ -55,6 +55,17 @@ def _carry_forward_rows_py(
     _, _, rows = read_avro_file(mlist)
     out = []
     for m in rows:
+        # a manifest whose only content was status=2 tombstones lives
+        # exactly one snapshot (spec: deleted entries belong to the
+        # snapshot that deleted them) — same drop rule as the JVM twin;
+        # dynamic overwrites make fully-tombstoned manifests reachable
+        # on this plane too
+        if (
+            (m.get("added_files_count") or 0)
+            + (m.get("existing_files_count") or 0) == 0
+            and (m.get("deleted_files_count") or 0) > 0
+        ):
+            continue
         out.append(
             {
                 "manifest_path": m["manifest_path"],
@@ -241,7 +252,7 @@ def append_files(
         prior_rows, dropped_files, dropped_rows, dropped_bytes = (
             C._tombstone_partitions_in_rows(
                 prior_rows, incoming, pfield_names, mdir, seq,
-                snapshot_id, fv,
+                snapshot_id, fv, current_spec_id=spec_id,
             )
         )
     new_row = {

@@ -984,6 +984,7 @@ def read_data_at_snapshot(
     apply_row_filter: bool = True,
     ref: str | None = None,
     row_lineage: bool = False,
+    keep_row_coords: bool = False,
 ) -> DataFrame:
     """Executable time travel without the Iceberg runtime (S12): pick a
     snapshot from the table-metadata JSON (by id, by ``as_of_ms`` — the
@@ -1235,7 +1236,8 @@ def read_data_at_snapshot(
     # so it needs the _fp coordinate like equality deletes do
     defaults = schema_defaults(doc, read_schema_id)
     row_coords = (
-        "fp_pos" if (pos_delete_files or dv_best or row_lineage)
+        "fp_pos"
+        if (pos_delete_files or dv_best or row_lineage or keep_row_coords)
         else ("fp" if (eq_delete_files or defaults) else "none")
     )
     if row_lineage and schema_cols is None:
@@ -1455,6 +1457,11 @@ def read_data_at_snapshot(
             if col_types.get(name) == "binary":
                 data = data.withColumn(name, _wkt(F.col(name)))
     out_cols = [c for c in data.columns if c not in ("_fp", "_pos")]
+    if keep_row_coords:
+        # expose the MOR-applied row coordinates (update_where's basis:
+        # positions of LIVE matched rows only — rows earlier deletes
+        # removed must neither re-append nor re-tombstone)
+        out_cols = out_cols + ["_fp", "_pos"]
 
     if not pos_delete_files and not eq_delete_files and not dv_best:
         return data.select(*out_cols)

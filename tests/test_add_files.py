@@ -294,3 +294,87 @@ def test_add_files_mixed_type_and_parent_dir_guards(registered, spark,
     with pytest.raises(ValueError, match="mixed-type"):
         C.add_files(spark_, str(tmp_path / "t2"), f2 + f3,
                     snapshot_id=102, timestamp_ms=1700100000000)
+
+
+def test_add_files_single_partition_and_per_file_checks(registered,
+                                                        spark, tmp_path):
+    """Review fixes (r12): (a) importing files that all live in ONE
+    hive partition resolves the value from the common root itself;
+    (b) a later file missing a data column raises per the documented
+    per-file contract; (c) a statless parquet file imports with NO
+    bounds (conservative — never a non-enclosing bound)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark_ = registered
+    # (a) partitioned table, then a single-partition incremental import
+    stage = str(tmp_path / "stage")
+    df = spark_.range(0, 40).selectExpr(
+        "id", "cast(id % 2 as string) as day")
+    df.write.partitionBy("day").parquet(stage)
+    t = str(tmp_path / "t")
+    C.add_files(spark_, t, sorted(glob.glob(
+        os.path.join(stage, "**", "part-*.parquet"), recursive=True)),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    one = str(tmp_path / "one")
+    spark_.range(100, 105).selectExpr("id", "'1' as day") \
+        .coalesce(1).write.parquet(one)
+    # relocate under a day=1 dir so ALL new files share that partition
+    part_dir = str(tmp_path / "inc" / "day=1")
+    os.makedirs(part_dir)
+    newf = []
+    for i, p in enumerate(sorted(glob.glob(one + "/part-*.parquet"))):
+        q = os.path.join(part_dir, f"f{i}.parquet")
+        pq.write_table(pq.read_table(p, columns=["id"]), q)
+        newf.append(q)
+    C.add_files(spark_, t, newf, snapshot_id=102,
+                timestamp_ms=1700100000000)
+    got = read_data_at_snapshot(
+        spark_, C.current_metadata_path(t),
+        partition_filter={"day": "1"})
+    assert sorted(r.id for r in got.collect()) == \
+        [i for i in range(40) if i % 2 == 1] + [100, 101, 102, 103, 104]
+    # (b) per-file missing column
+    t2 = str(tmp_path / "t2")
+    f_ok = _stage_parquet(spark_, str(tmp_path / "ok"),
+                          spark_.range(0, 3).selectExpr("id", "'a' as v")
+                          .coalesce(1))
+    bad = str(tmp_path / "badf" / "x.parquet")
+    os.makedirs(os.path.dirname(bad))
+    pq.write_table(pa.table({"id": [9, 10]}), bad)
+    with pytest.raises(ValueError, match="lacks table columns"):
+        C.add_files(spark_, t2, f_ok + [bad], snapshot_id=101,
+                    timestamp_ms=1700000000000)
+    # (c) statless file: no bounds recorded, reads stay exact
+    t3 = str(tmp_path / "t3")
+    ns = str(tmp_path / "nostats" / "x.parquet")
+    os.makedirs(os.path.dirname(ns))
+    pq.write_table(pa.table({"id": list(range(50))}), ns,
+                   write_statistics=False)
+    C.add_files(spark_, t3, [ns], snapshot_id=101,
+                timestamp_ms=1700000000000)
+    got = read_data_at_snapshot(
+        spark_, C.current_metadata_path(t3), skip_filter=("id", "=", 49))
+    assert got.filter("id = 49").count() == 1
+
+
+def test_footer_stats_int_exact_above_2_53(tmp_path):
+    """Integer bounds aggregate with int comparison — floats equate
+    2^53 and 2^53+1 and could keep a lower bound ABOVE the minimum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hielo_spark.metadata.commit import _footer_file_stats
+
+    lo_small = 9007199254740992   # 2^53
+    lo_big = 9007199254740993     # 2^53 + 1 (== 2^53 as float)
+    p = str(tmp_path / "x.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([lo_big, lo_big, lo_small, lo_big],
+                                 type="int64")}),
+        p, row_group_size=2,
+    )
+    _, lo, hi, _ = _footer_file_stats(
+        pq.ParquetFile(p).metadata, {"id": "bigint"}, ["id"])
+    assert int(lo["id"]) == lo_small
+    assert int(hi["id"]) == lo_big

@@ -2420,3 +2420,89 @@ def test_update_where_unknown_column_raises(spark, tmp_path):
     with _pt.raises(ValueError, match="unknown columns"):
         update_where(spark, t, "id = 1", {"nope": "'x'"},
                      snapshot_id=102, timestamp_ms=1700100000000)
+
+
+def test_update_where_never_resurrects_or_duplicates(spark, tmp_path):
+    """The review repro (r12): UPDATE's scan must be the LIVE MOR view
+    — (a) a row a prior DELETE removed must not come back through the
+    re-append; (b) running the same UPDATE twice must not duplicate
+    rows; (c) an UPDATE after a MERGE's equality deletes stays exact.
+    Both format versions."""
+    from hielo_spark.metadata import upgrade_format_version
+    from hielo_spark.metadata.commit import (
+        append,
+        current_metadata_path,
+        delete_where,
+        update_where,
+    )
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    for v3 in (False, True):
+        t = str(tmp_path / f"t{'3' if v3 else '2'}")
+        append(spark, t, spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], ["id", "v"]),
+            snapshot_id=101, timestamp_ms=1700000000000)
+        if v3:
+            upgrade_format_version(t, 3)
+        delete_where(spark, t, "id = 5",
+                     snapshot_id=102, timestamp_ms=1700100000000)
+        # (a) update matching everything must NOT resurrect id=5
+        update_where(spark, t, "id >= 0", {"v": "concat('u', id)"},
+                     snapshot_id=103, timestamp_ms=1700200000000)
+        got = {r.id: r.v for r in read_data_at_snapshot(
+            spark, current_metadata_path(t)).collect()}
+        assert 5 not in got, (v3, sorted(got))
+        assert got == {i: f"u{i}" for i in range(10) if i != 5}, v3
+        # (b) repeat the same UPDATE: still exactly 9 rows, no dups
+        update_where(spark, t, "id >= 0", {"v": "concat('w', id)"},
+                     snapshot_id=104, timestamp_ms=1700300000000)
+        rows = read_data_at_snapshot(
+            spark, current_metadata_path(t)).collect()
+        assert len(rows) == 9, (v3, len(rows))
+        assert {r.v for r in rows} == {f"w{i}" for i in range(10)
+                                       if i != 5}, v3
+
+
+def test_overwrite_partitions_foreign_manifest_guard(spark, tmp_path):
+    """A current-spec manifest lacking the engine's partition_values
+    map (spec-only foreign writers) cannot resolve partition tuples —
+    dynamic overwrite must refuse LOUDLY rather than leave the old
+    partition rows live beside the replacements. Older-spec manifests
+    keep the documented conservative skip."""
+    import json
+
+    from hielo_spark.metadata.avro_py import read_avro_file, write_avro_file
+    from hielo_spark.metadata.commit import (
+        append,
+        current_metadata_path,
+        overwrite_partitions,
+    )
+    from hielo_spark.metadata.manifests import _resolve
+
+    t = str(tmp_path / "t")
+    append(spark, t, spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(8)], ["id", "day"]),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        partition_by=["day"])
+    doc = json.load(open(current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    mlist = _resolve(os.path.join(t, "metadata", "x"),
+                     cur["manifest-list"].removeprefix("file:"))
+    _s, _m, rows = read_avro_file(mlist)
+    for r in rows:
+        if (r.get("content") or 0) != 0:
+            continue
+        mp = _resolve(mlist, r["manifest_path"])
+        schema, meta, entries = read_avro_file(mp)
+        for e in entries:
+            e["data_file"].pop("partition_values", None)
+            e["data_file"].pop("partition_types", None)
+        hdr = {k: v for k, v in (meta or {}).items()
+               if not k.startswith("avro.")}
+        write_avro_file(mp, json.dumps(schema), entries, meta=hdr)
+    with pytest.raises(ValueError, match="no partition_values map"):
+        overwrite_partitions(
+            spark, t,
+            spark.createDataFrame([(100, "d1")], ["id", "day"]),
+            snapshot_id=102, timestamp_ms=1700100000000)
