@@ -3512,24 +3512,31 @@ def delete_where(
     if update_set is not None:
         if positions is None:
             return None  # no candidate files → nothing matched
-        # variant/geo columns read back as decoded JSON/WKT strings —
-        # re-appending those would silently flip their physical type;
-        # loud until the update path re-encodes them
-        _typed = [
-            f["name"]
+        # variant columns read back as canonical JSON strings — the
+        # write path re-encodes those (variant_cols below), so UPDATE
+        # round-trips them (re-appended unshredded; shredding is a
+        # per-file physical layout). Geo columns read back as WKT with
+        # no WKT→WKB write half yet — loud.
+        _cur_fields = [
+            f
             for s in doc.get("schemas", [])
             if s.get("schema-id") == doc.get("current-schema-id", 0)
             for f in s.get("fields", [])
             if isinstance(f.get("type"), str)
-            and f["type"].split("(")[0] in ("variant", "geometry",
-                                            "geography")
         ]
-        if _typed:
+        _geo = [
+            f["name"] for f in _cur_fields
+            if f["type"].split("(")[0] in ("geometry", "geography")
+        ]
+        if _geo:
             raise NotImplementedError(
-                f"update_where on tables with variant/geo columns "
-                f"({_typed}) is not supported yet — the re-append would "
-                "rewrite them as decoded strings"
+                f"update_where on tables with geo columns ({_geo}) is "
+                "not supported yet — the re-append would rewrite them "
+                "as WKT strings"
             )
+        _variant_cols = [
+            f["name"] for f in _cur_fields if f["type"] == "variant"
+        ]
         # scan the LIVE MOR view (prior position/equality deletes and
         # DVs applied) WITH row coordinates: a row an earlier delete
         # removed must neither resurrect through the re-append nor
@@ -3563,7 +3570,9 @@ def delete_where(
             expr = F.expr(v) if isinstance(v, str) else v
             upd = upd.withColumn(k, expr.cast(udt[k]))
         staged_update = _stage_append_manifest(
-            spark, table_dir, doc, seq, snapshot_id, upd
+            spark, table_dir, doc, seq, snapshot_id, upd,
+            variant_cols=[c for c in _variant_cols if c in upd.columns]
+            or None,
         )
         # tombstone exactly the LIVE matched rows
         positions = persisted.select(

@@ -2506,3 +2506,34 @@ def test_overwrite_partitions_foreign_manifest_guard(spark, tmp_path):
             spark, t,
             spark.createDataFrame([(100, "d1")], ["id", "day"]),
             snapshot_id=102, timestamp_ms=1700100000000)
+
+
+def test_update_where_variant_roundtrip(spark, tmp_path):
+    """UPDATE on a table with a v3 variant column: the column reads
+    back as canonical JSON and the re-append re-encodes it — values
+    (updated and untouched) survive exactly on both planes."""
+    from hielo_spark.metadata.commit import (
+        append,
+        current_metadata_path,
+        update_where,
+    )
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    t = str(tmp_path / "t")
+    append(spark, t, spark.createDataFrame(
+        [(i, f'{{"a": {i}}}') for i in range(6)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000,
+        variant_cols=["v"])
+    update_where(spark, t, "id = 2", {"v": "'{\"a\": 99}'"},
+                 snapshot_id=102, timestamp_ms=1700100000000)
+    got = {r.id: r.v for r in read_data_at_snapshot(
+        spark, current_metadata_path(t)).collect()}
+    assert got[2] == '{"a":99}'
+    assert got[3] == '{"a":3}'
+    assert len(got) == 6
+    from hielo_spark.sources import register
+
+    register(spark)
+    ds = {r.id: r.v for r in
+          spark.read.format("hielo_iceberg").load(t).collect()}
+    assert ds == got
