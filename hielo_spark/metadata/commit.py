@@ -1487,6 +1487,13 @@ def _finalize_commit(
     ``fast_forward``)."""
     mdir = os.path.join(table_dir, "metadata")
     list_path = os.path.join(mdir, f"snap-{snapshot_id}-{_uuid.uuid4().hex[:8]}.avro")
+    # transient marker from _staged_manifest_row (lineage-materialized
+    # UPDATE): those manifests' rows keep ids they already own — no
+    # watermark assignment. Stripped before the avro write.
+    no_assign = {
+        r["manifest_path"] for r in manifest_rows
+        if r.pop("assigns_row_ids", True) is False
+    }
     for row in manifest_rows:  # v2 requires the rows counts; fill holes
         row.setdefault("added_rows_count", 0)
         row.setdefault("existing_rows_count", 0)
@@ -1527,6 +1534,7 @@ def _finalize_commit(
                 for r in manifest_rows
                 if (r.get("content") or 0) == 0
                 and int(r.get("added_snapshot_id") or -1) == snapshot_id
+                and r["manifest_path"] not in no_assign
             )
         )
         snapshot["first-row-id"] = first
@@ -1670,6 +1678,7 @@ def _stage_append_manifest(
     partition_by: list[str] | None = None,
     variant_cols: list[str] | None = None,
     variant_shred: dict[str, dict[str, str]] | None = None,
+    lineage_materialized: bool = False,
 ) -> dict:
     """The write half shared by append() and overwrite_partitions():
     materialize write-defaults, prepare variant columns, honor the
@@ -1679,7 +1688,16 @@ def _stage_append_manifest(
     _finalize_commit). Returns ``{manifest_path, n_files,
     added_records, added_bytes, partition_values_of}`` —
     ``partition_values_of`` maps file path → stringified partition
-    values (what overwrite_partitions dooms prior files against)."""
+    values (what overwrite_partitions dooms prior files against).
+
+    ``lineage_materialized``: the frame CARRIES the v3 lineage columns
+    (``_row_id`` / ``_last_updated_sequence_number``) as real data —
+    the lineage-preserving UPDATE path. The files then write those
+    columns materialized, their manifest entries record
+    ``first_row_id=null`` (spec: explicit columns override
+    inheritance), and the commit assigns NO new ids from the
+    ``next-row-id`` watermark (the rows keep the ids they already
+    own)."""
     from .transforms import parse_partition_by
 
     mdir = os.path.join(table_dir, "metadata")
@@ -1732,7 +1750,13 @@ def _stage_append_manifest(
         if t.source not in dtypes:
             raise ValueError(f"partition source column {t.source!r} not in frame")
     _record_table_shape(
-        doc, dtypes, transforms, frozenset(variant_cols or ())
+        doc,
+        {
+            c: t for c, t in dtypes.items()
+            if c not in ("_row_id", "_last_updated_sequence_number")
+        }
+        if lineage_materialized else dtypes,
+        transforms, frozenset(variant_cols or ()),
     )
     # honor the table's write.distribution-mode property (Iceberg
     # writer behavior): "range" clusters the frame globally by the
@@ -1814,9 +1838,12 @@ def _stage_append_manifest(
     name2id = _name2id(doc)
     # v3 row lineage: every added file gets the _row_id of its first row
     # (field 142) — contiguous from the table's next-row-id watermark in
-    # manifest order; _finalize_commit advances the watermark
+    # manifest order; _finalize_commit advances the watermark. A
+    # lineage-materialized write (UPDATE re-append) keeps first_row_id
+    # null on every file: the parquet carries explicit _row_id columns,
+    # which the lineage read coalesces BEFORE the inheritance fallback.
     first_row_id_of: dict[str, int | None] = {p: None for p in parts}
-    if int(doc.get("format-version", 2)) >= 3:
+    if int(doc.get("format-version", 2)) >= 3 and not lineage_materialized:
         rid = int(doc.get("next-row-id", 0))
         for p in parts:
             first_row_id_of[p] = rid
@@ -1862,6 +1889,7 @@ def _stage_append_manifest(
         "added_records": sum(records_of(p) for p in parts),
         "added_bytes": sum(os.path.getsize(p) for p in parts),
         "partition_values_of": {p: partition_of(p) for p in parts},
+        "lineage_materialized": lineage_materialized,
     }
 
 
@@ -2472,8 +2500,12 @@ def _staged_manifest_row(
     staged: dict, doc: dict, seq: int, snapshot_id: int
 ) -> dict:
     """Manifest-list row for a _stage_append_manifest result (shared by
-    the UPDATE paths on both format versions)."""
-    return {
+    the UPDATE paths on both format versions). A lineage-materialized
+    stage carries the transient ``assigns_row_ids=False`` marker —
+    _finalize_commit then excludes the row's added records from the
+    next-row-id watermark advance (the rows keep their prior ids) and
+    strips the key before the avro write."""
+    row: dict = {
         "manifest_path": staged["manifest_path"],
         "manifest_length": os.path.getsize(staged["manifest_path"]),
         "partition_spec_id": int(doc.get("default-spec-id", 0)),
@@ -2488,6 +2520,9 @@ def _staged_manifest_row(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
+    if staged.get("lineage_materialized"):
+        row["assigns_row_ids"] = False
+    return row
 
 
 def _apply_update_summary(summary: dict, staged: dict) -> None:
@@ -3371,11 +3406,22 @@ def update_where(
     Matching zero rows is a no-op → None. Snapshot operation records
     ``overwrite``, Iceberg's choice for row-level updates.
 
-    Limitations (loud or documented): variant/geo columns raise
-    (re-encoding the decoded read-back forms is future work); on v3
-    row-lineage tables updated rows receive FRESH ``_row_id``s (the
-    delete+insert lineage rendering) rather than carrying their prior
-    ids through."""
+    On a v3 row-lineage table the update PRESERVES lineage (spec
+    row-lineage rule): updated rows keep their ``_row_id`` — written as
+    MATERIALIZED columns in the re-appended parquet with
+    ``first_row_id=null`` manifest entries, exactly how compaction
+    preserves ids — and ``_last_updated_sequence_number`` becomes this
+    commit's sequence. The ``next-row-id`` watermark does not advance
+    (no new ids are assigned), and ``read_changelog(...,
+    compute_updates=True)`` renders the commit as
+    UPDATE_BEFORE/UPDATE_AFTER pairs on the same ``_row_id``. Rows
+    whose ``_row_id`` was null (files written before the v3 upgrade —
+    nothing is assigned retroactively) stay null, matching the
+    compaction posture.
+
+    Limitations (loud or documented): geo columns raise (re-encoding
+    the decoded WKT read-back is future work); variant columns
+    round-trip through re-encoding."""
     return delete_where(
         spark, table_dir, condition,
         snapshot_id=snapshot_id, timestamp_ms=timestamp_ms,
@@ -3544,13 +3590,27 @@ def delete_where(
         # Bounds pruning rides the first parseable conjunct.
         from .manifests import read_data_at_snapshot
 
+        # v3 row lineage: UPDATE PRESERVES _row_id (spec row-lineage
+        # rule — an engine that tracks lineage carries ids through
+        # row-level updates) and stamps _last_updated_sequence_number
+        # with THIS commit's sequence. The re-append writes both as
+        # materialized columns; CDC then sees an update, not a
+        # delete+insert of an unrelated row.
+        fv3_lineage = (
+            int(doc.get("format-version", 2)) >= 3
+            and doc.get("next-row-id") is not None
+        )
         sfs = _conjunct_skip_filters(condition)
         live = read_data_at_snapshot(
             spark, current_metadata_path(table_dir),
             skip_filter=sfs[0] if sfs else None,
             keep_row_coords=True,
+            row_lineage=fv3_lineage,
         )
-        data_cols = [c for c in live.columns if c not in ("_fp", "_pos")]
+        _reserved = (
+            "_fp", "_pos", "_row_id", "_last_updated_sequence_number",
+        )
+        data_cols = [c for c in live.columns if c not in _reserved]
         unknown = [k for k in update_set if k not in data_cols]
         if unknown:
             raise ValueError(
@@ -3569,10 +3629,18 @@ def delete_where(
             # flip would leave the table unreadable under its schema
             expr = F.expr(v) if isinstance(v, str) else v
             upd = upd.withColumn(k, expr.cast(udt[k]))
+        if fv3_lineage:
+            # keep each row's _row_id (rides from the lineage read),
+            # bump its last-updated sequence to THIS commit's
+            upd = upd.withColumn(
+                "_last_updated_sequence_number",
+                F.lit(seq).cast("long"),
+            )
         staged_update = _stage_append_manifest(
             spark, table_dir, doc, seq, snapshot_id, upd,
             variant_cols=[c for c in _variant_cols if c in upd.columns]
             or None,
+            lineage_materialized=fv3_lineage,
         )
         # tombstone exactly the LIVE matched rows
         positions = persisted.select(

@@ -88,6 +88,7 @@ def live_data_file_dicts(
                 "path": p, "pvals": pvals, "ptypes": ptypes, "seq": seq,
                 "records": records, "lb": lb, "ub": ub, "bt": bt, "nc": nc,
                 "nanc": nanc,
+                "frid": _frid,  # v3 first_row_id (lineage planners)
                 "sid": sid,  # the snapshot that ADDED the file
             }
     return out
@@ -1768,6 +1769,7 @@ def read_changelog(
     metadata_json_path: str,
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
+    compute_updates: bool = False,
 ) -> DataFrame:
     """CDC changelog between two snapshots (the Iceberg
     ``create_changelog_view`` shape): every row change committed AFTER
@@ -1797,11 +1799,32 @@ def read_changelog(
     path is two shuffles per changed snapshot over only the snapshots
     in range — the same cost Iceberg pays to resolve overwrite
     changelogs without tracked row lineage. Planning (lineage walk,
-    file lists) is metadata-only."""
+    file lists) is metadata-only.
+
+    ``compute_updates=True`` (requires a v3 row-lineage table — the
+    Iceberg changelog procedure's update pairing, keyed here by the
+    tracked ``_row_id`` instead of user identifier columns): rows in a
+    diff snapshot whose ``_row_id`` appears on BOTH sides render as
+    ``UPDATE_BEFORE`` / ``UPDATE_AFTER`` instead of DELETE/INSERT —
+    the rendering a lineage-preserving ``update_where`` commits. Every
+    row then also carries the ``_row_id`` and
+    ``_last_updated_sequence_number`` columns; rows with a null
+    ``_row_id`` (pre-upgrade files) can never pair and stay
+    DELETE/INSERT. Cost: one intersect + semi/anti splits per changed
+    snapshot over the already-diffed (changed-rows-only) frames."""
     import json
 
     with open(metadata_json_path) as f:
         doc = json.load(f)
+    if compute_updates and (
+        int(doc.get("format-version", 2)) < 3
+        or doc.get("next-row-id") is None
+    ):
+        raise ValueError(
+            "compute_updates requires a format-version >= 3 table with "
+            "row lineage (next-row-id) — update pairing is keyed by the "
+            "tracked _row_id"
+        )
     by_id = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
     if to_snapshot_id is None:
         to_snapshot_id = doc.get("current-snapshot-id")
@@ -1838,7 +1861,8 @@ def read_changelog(
             return None
         try:
             return read_data_at_snapshot(
-                spark, metadata_json_path, snapshot_id=snap_id
+                spark, metadata_json_path, snapshot_id=snap_id,
+                row_lineage=compute_updates,
             )
         except ValueError as e:
             if "no live data files" in str(e):
@@ -1865,7 +1889,32 @@ def read_changelog(
         new_files = [now[p] for p in sorted(set(now) - set(before))]
         if not new_files:
             return None
-        return _read_files_with_partitions(spark, new_files, row_coords="none")
+        if not compute_updates:
+            return _read_files_with_partitions(
+                spark, new_files, row_coords="none"
+            )
+        # lineage shape parity with the diff path: fresh append files
+        # always inherit (never materialize), so _row_id is
+        # first_row_id + position and the last-updated seq is the
+        # file's data sequence — the same planning-plane map
+        # read_data_at_snapshot's lineage join uses
+        from .metadata_json import _strip_scheme
+
+        df = _read_files_with_partitions(
+            spark, new_files, row_coords="fp_pos"
+        )
+        lmap = spark.createDataFrame(
+            [(f["path"], f.get("frid"), f["seq"]) for f in new_files],
+            "_fp string, _frid long, _lseq long",
+        ).select(_strip_scheme(F.col("_fp")).alias("_fp"), "_frid", "_lseq")
+        return (
+            df.join(F.broadcast(lmap), "_fp", "left")
+            .withColumn("_row_id", F.col("_frid") + F.col("_pos"))
+            .withColumn(
+                "_last_updated_sequence_number", F.col("_lseq")
+            )
+            .drop("_fp", "_pos", "_frid", "_lseq")
+        )
 
     out: DataFrame | None = None
     ordinal = 0
@@ -1890,9 +1939,40 @@ def read_changelog(
                 # every untouched row look changed via its new null)
                 cols = [c for c in prev_df.columns if c in now_df.columns]
                 dels = prev_df.select(*cols).exceptAll(now_df.select(*cols))
-                pieces.append(tag(dels, "DELETE", sid, ordinal))
                 ins = now_df.select(*cols).exceptAll(prev_df.select(*cols))
-                pieces.append(tag(ins, "INSERT", sid, ordinal))
+                if compute_updates:
+                    # pair by the tracked _row_id: present on BOTH
+                    # sides of the diff = the same row updated (a
+                    # lineage-preserving UPDATE re-appends it with new
+                    # values). Null ids (pre-upgrade files) never
+                    # match a semi join, so they stay DELETE/INSERT.
+                    upd_ids = (
+                        dels.where(F.col("_row_id").isNotNull())
+                        .select("_row_id")
+                        .intersect(
+                            ins.where(F.col("_row_id").isNotNull())
+                            .select("_row_id")
+                        )
+                    )
+                    pieces.append(tag(
+                        dels.join(upd_ids, "_row_id", "left_semi"),
+                        "UPDATE_BEFORE", sid, ordinal,
+                    ))
+                    pieces.append(tag(
+                        dels.join(upd_ids, "_row_id", "left_anti"),
+                        "DELETE", sid, ordinal,
+                    ))
+                    pieces.append(tag(
+                        ins.join(upd_ids, "_row_id", "left_semi"),
+                        "UPDATE_AFTER", sid, ordinal,
+                    ))
+                    pieces.append(tag(
+                        ins.join(upd_ids, "_row_id", "left_anti"),
+                        "INSERT", sid, ordinal,
+                    ))
+                else:
+                    pieces.append(tag(dels, "DELETE", sid, ordinal))
+                    pieces.append(tag(ins, "INSERT", sid, ordinal))
             elif now_df is not None:
                 pieces.append(tag(now_df, "INSERT", sid, ordinal))
             elif prev_df is not None:

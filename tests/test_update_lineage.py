@@ -1,0 +1,228 @@
+"""Lineage-preserving UPDATE (Iceberg v3 row lineage): update_where
+carries each matched row's _row_id through the re-append as
+MATERIALIZED columns (first_row_id=null entries, the compaction
+pattern), stamps _last_updated_sequence_number with the update's
+sequence, does NOT advance the next-row-id watermark, and
+read_changelog(compute_updates=True) renders the commit as
+UPDATE_BEFORE/UPDATE_AFTER pairs on the same _row_id.
+
+Reference parity note: the reference app (a metadata viewer) has no
+DML plane; these semantics follow the Iceberg v3 spec's row-lineage
+rules (spec.py pins the field ids)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hielo_spark.metadata import commit as C
+from hielo_spark.metadata import upgrade_format_version
+from hielo_spark.metadata.manifests import (
+    read_changelog,
+    read_data_at_snapshot,
+)
+
+
+def _lineage(spark, t):
+    df = read_data_at_snapshot(
+        spark, C.current_metadata_path(t), row_lineage=True
+    )
+    return {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in df.collect()
+    }
+
+
+def _mk_v3(spark, t, n=10):
+    C.append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    upgrade_format_version(t, 3)
+    # post-upgrade append so every row owns a real _row_id
+    C.append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n, 2 * n)], ["id", "v"]),
+        snapshot_id=102, timestamp_ms=1700100000000)
+
+
+def test_update_preserves_row_ids_and_bumps_lus(spark, tmp_path):
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(0, "seed")], ["id", "v"]),
+        snapshot_id=100, timestamp_ms=1699000000000)
+    upgrade_format_version(t, 3)
+    C.append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 11)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    before = _lineage(spark, t)
+    doc0 = json.load(open(C.current_metadata_path(t)))
+    wm0 = doc0["next-row-id"]
+
+    res = C.update_where(spark, t, "id % 3 = 1", {"v": "concat('u', id)"},
+                         snapshot_id=102, timestamp_ms=1700100000000)
+    assert res is not None
+    after = _lineage(spark, t)
+    upd_seq = next(
+        s for s in json.load(open(C.current_metadata_path(t)))["snapshots"]
+        if s["snapshot-id"] == 102
+    )["sequence-number"]
+
+    assert set(after) == set(before)  # no rows gained or lost
+    for k in after:
+        if 1 <= k <= 10 and k % 3 == 1:
+            # updated rows: SAME _row_id, lus = the update's sequence
+            assert after[k][0] == before[k][0], k
+            assert after[k][1] == upd_seq, k
+        else:
+            assert after[k] == before[k], k
+    # the seed row (pre-upgrade) keeps its null id — nothing assigned
+    # retroactively, matching the compaction posture
+    assert after[0][0] is None
+
+    # values actually updated
+    got = {r.id: r.v for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()}
+    assert got[4] == "u4" and got[5] == "v5"
+
+
+def test_update_does_not_advance_next_row_id(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk_v3(spark, t)
+    doc0 = json.load(open(C.current_metadata_path(t)))
+    wm0 = doc0["next-row-id"]
+    C.update_where(spark, t, "id < 5", {"v": "'x'"},
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    doc1 = json.load(open(C.current_metadata_path(t)))
+    assert doc1["next-row-id"] == wm0  # no ids assigned by an UPDATE
+    snap = next(s for s in doc1["snapshots"] if s["snapshot-id"] == 103)
+    assert snap["first-row-id"] == wm0
+    # a later append assigns fresh ids from the UNBURNED watermark,
+    # disjoint from every preserved id
+    C.append(spark, t, spark.createDataFrame(
+        [(100, "new")], ["id", "v"]),
+        snapshot_id=104, timestamp_ms=1700300000000)
+    lin = _lineage(spark, t)
+    assert lin[100][0] == wm0
+    ids = [rid for rid, _ in lin.values() if rid is not None]
+    assert len(ids) == len(set(ids))  # no collisions
+
+
+def test_repeated_update_keeps_preserving_ids(spark, tmp_path):
+    """Second UPDATE reads the FIRST's materialized lineage columns
+    (coalesce order: explicit column before first_row_id+pos) — ids
+    survive any number of updates."""
+    t = str(tmp_path / "t")
+    _mk_v3(spark, t, n=6)
+    orig = _lineage(spark, t)
+    C.update_where(spark, t, "id >= 0", {"v": "concat('a', id)"},
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    C.update_where(spark, t, "id >= 0", {"v": "concat('b', id)"},
+                   snapshot_id=104, timestamp_ms=1700300000000)
+    after = _lineage(spark, t)
+    assert {k: v[0] for k, v in after.items()} == {
+        k: v[0] for k, v in orig.items()
+    }
+    vals = {r.id: r.v for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()}
+    assert vals == {i: f"b{i}" for i in range(12)}
+
+
+def test_update_set_on_lineage_column_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk_v3(spark, t, n=3)
+    with pytest.raises(ValueError, match="unknown columns"):
+        C.update_where(spark, t, "id = 1", {"_row_id": "99"},
+                       snapshot_id=103, timestamp_ms=1700200000000)
+
+
+def test_changelog_compute_updates_pairs_on_row_id(spark, tmp_path):
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(0, "seed")], ["id", "v"]),
+        snapshot_id=100, timestamp_ms=1699000000000)
+    upgrade_format_version(t, 3)
+    C.append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 7)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    pre = _lineage(spark, t)
+    C.update_where(spark, t, "id IN (2, 4)", {"v": "concat('u', id)"},
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    C.delete_where(spark, t, "id = 6",
+                   snapshot_id=103, timestamp_ms=1700200000000)
+
+    cl = read_changelog(
+        spark, C.current_metadata_path(t),
+        from_snapshot_id=101, compute_updates=True,
+    )
+    rows = cl.collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r._change_type, []).append(r)
+
+    ub = {r.id: r for r in by_type.get("UPDATE_BEFORE", [])}
+    ua = {r.id: r for r in by_type.get("UPDATE_AFTER", [])}
+    assert set(ub) == set(ua) == {2, 4}
+    for k in (2, 4):
+        # the pairing contract: SAME _row_id across before/after,
+        # values show the change
+        assert ub[k]._row_id == ua[k]._row_id == pre[k][0]
+        assert ub[k].v == f"v{k}" and ua[k].v == f"u{k}"
+        assert ub[k]._commit_snapshot_id == 102
+        assert ua[k]._commit_snapshot_id == 102
+    # the DELETE snapshot renders a plain DELETE (no matching insert)
+    dels = by_type.get("DELETE", [])
+    assert [r.id for r in dels] == [6]
+    assert not by_type.get("INSERT")
+
+
+def test_changelog_compute_updates_requires_v3_lineage(spark, tmp_path):
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(3),
+             snapshot_id=100, timestamp_ms=1699000000000)
+    with pytest.raises(ValueError, match="compute_updates"):
+        read_changelog(
+            spark, C.current_metadata_path(t), compute_updates=True
+        )
+
+
+def test_changelog_compute_updates_append_fast_path(spark, tmp_path):
+    """Append snapshots keep the no-shuffle fast path under
+    compute_updates — inserts carry synthesized lineage columns so the
+    union's shape matches the diffed snapshots."""
+    t = str(tmp_path / "t")
+    _mk_v3(spark, t, n=3)
+    cl = read_changelog(
+        spark, C.current_metadata_path(t),
+        from_snapshot_id=101, compute_updates=True,
+    )
+    rows = cl.collect()
+    assert {r._change_type for r in rows} == {"INSERT"}
+    got = {r.id: r._row_id for r in rows}
+    assert got == {3: 0, 4: 1, 5: 2}
+
+
+def test_datasource_lineage_read_sees_preserved_ids(spark, tmp_path):
+    """The registered DataSource's lineage read agrees with the JVM
+    plane after a lineage-preserving UPDATE (materialized columns win
+    over inheritance on both planes)."""
+    from hielo_spark import sources
+
+    t = str(tmp_path / "t")
+    _mk_v3(spark, t, n=4)
+    before = _lineage(spark, t)
+    C.update_where(spark, t, "id BETWEEN 2 AND 5", {"v": "'z'"},
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    sources.register(spark)
+    ds = (
+        spark.read.format("hielo_iceberg")
+        .option("row-lineage", "true")
+        .load(t)
+    )
+    got = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in ds.collect()
+    }
+    jvm = _lineage(spark, t)
+    assert got == jvm
+    for k in (2, 3, 4, 5):
+        assert got[k][0] == before[k][0]
