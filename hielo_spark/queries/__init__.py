@@ -300,10 +300,49 @@ for mod in (relational, meta, ext):
 # commit sequence through the DataSource plane, and the branch/expire
 # lifecycle keeps its head row via meta_wap_roundtrip).
 _DEFERRED = [
-    # r12-session-2-new: enters at the tail (judge-sweep checked, local
-    # oracle harness green); head candidate for the r13 rotation
-    "meta_overwrite_roundtrip",
-    "meta_update_roundtrip",
+    # Round-13 rotation (VERDICT r12 item 2): twelve slots churn.
+    # IN — meta_overwrite_roundtrip + meta_update_roundtrip (the
+    # r12-session-2 DML surfaces staged at the tail, promoted per the
+    # documented plan — update_where now also carries v3 row lineage
+    # through the re-append) plus the TEN oracle-backed queries that
+    # have NEVER held a head slot and so have no external row of any
+    # kind: q6_forecast_revenue, q8_market_share, q12_late_by_priority,
+    # q14_promo_revenue, q16_supplier_variety, q19_disjunctive_revenue,
+    # topk_per_group_agg, events_asof_cogroup, doc_fingerprints,
+    # doc_pii_scan (never-checked beats stale-checked on staleness
+    # cost: every current head entry re-greened in r12).
+    # OUT — twelve entries whose newest rows landed in r12 (zero
+    # staleness cost), families covered:
+    #   q7/q9/q10/q2 → q5 keeps the broadcast-dimension join+agg
+    #     chain, q3 join+topk, q20/q21/q22 the complex multi-join and
+    #     correlated-subquery shapes; the six entering TPC-H queries
+    #     (q8's two-level market-share join chain, q12/q14/q19
+    #     lineitem join-agg variants, q16's anti-join distinct count)
+    #     widen the same families
+    #   events_recent_windows / events_resample_1h → windowed-agg
+    #     family held by events_sessionization +
+    #     events_hot_account_stats; as-of family gains the cogroup
+    #     twin entering beside events_asof_join
+    #   meta_health_subscores → recomputed inside meta_health's columns
+    #   meta_schema_matrix → meta_schema_evolution_roundtrip (same
+    #     matrix over own metadata)
+    #   doc_lang_stats → doc_lm_surprisal + doc_curation_pipeline
+    #   doc_boilerplate_lines → doc_exact_dedup + doc_dup_ngram_coverage
+    #   doc_simhash_precision → doc_minhash_recall (hash-matched truth)
+    #   meta_add_files_roundtrip → fresh r12 row; the onboarding
+    #     commit lineage stays head-pinned via meta_datasource_roundtrip
+    "q7_nation_volume",
+    "q9_profit_by_nation_year",
+    "q10_returned_customers",
+    "q2_min_cost_supplier",
+    "events_recent_windows",
+    "events_resample_1h",
+    "meta_health_subscores",
+    "meta_schema_matrix",
+    "doc_lang_stats",
+    "doc_boilerplate_lines",
+    "doc_simhash_precision",
+    "meta_add_files_roundtrip",
     "meta_commit_roundtrip",
     "meta_variant_write_roundtrip",
     "meta_trends",
@@ -368,12 +407,6 @@ _DEFERRED = [
     "doc_mixture_rebalance",
     "q4_order_priority",
     "customers_without_recent_orders",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q12_late_by_priority",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
     "supplier_semi_join_nations",
     "top3_customers_per_segment",
     "part_two_groups",
@@ -393,11 +426,7 @@ _DEFERRED = [
     "meta_tree_counts",
     "events_value_anomalies",
     "search_parts",
-    "topk_per_group_agg",
-    "events_asof_cogroup",
-    "doc_fingerprints",
     "meta_snapshot_span",
-    "doc_pii_scan",
     "doc_top_ngrams",
     "doc_quality",
     "doc_bigram_surprisal",
