@@ -3419,9 +3419,10 @@ def update_where(
     nothing is assigned retroactively) stay null, matching the
     compaction posture.
 
-    Limitations (loud or documented): geo columns raise (re-encoding
-    the decoded WKT read-back is future work); variant columns
-    round-trip through re-encoding."""
+    Variant columns round-trip through re-encoding (JSON read-back →
+    unshredded variant pair); geometry/geography columns round-trip
+    the same way (WKT read-back → ISO WKB via ``geo.wkt_to_wkb``), and
+    a SET may assign a WKT literal to a geo column directly."""
     return delete_where(
         spark, table_dir, condition,
         snapshot_id=snapshot_id, timestamp_ms=timestamp_ms,
@@ -3561,8 +3562,8 @@ def delete_where(
         # variant columns read back as canonical JSON strings — the
         # write path re-encodes those (variant_cols below), so UPDATE
         # round-trips them (re-appended unshredded; shredding is a
-        # per-file physical layout). Geo columns read back as WKT with
-        # no WKT→WKB write half yet — loud.
+        # per-file physical layout). Geo columns read back as WKT and
+        # re-encode to WKB below (geo.wkt_to_wkb).
         _cur_fields = [
             f
             for s in doc.get("schemas", [])
@@ -3574,12 +3575,6 @@ def delete_where(
             f["name"] for f in _cur_fields
             if f["type"].split("(")[0] in ("geometry", "geography")
         ]
-        if _geo:
-            raise NotImplementedError(
-                f"update_where on tables with geo columns ({_geo}) is "
-                "not supported yet — the re-append would rewrite them "
-                "as WKT strings"
-            )
         _variant_cols = [
             f["name"] for f in _cur_fields if f["type"] == "variant"
         ]
@@ -3629,6 +3624,31 @@ def delete_where(
             # flip would leave the table unreadable under its schema
             expr = F.expr(v) if isinstance(v, str) else v
             upd = upd.withColumn(k, expr.cast(udt[k]))
+        # geo columns read back as WKT strings — re-encode to WKB so
+        # the re-appended parquet carries the spec's binary form (the
+        # same posture as the variant re-encode below; a SET can even
+        # assign a WKT literal and it lands as WKB). Arrow-batched
+        # kernel; malformed WKT raises loudly in the task.
+        if _geo:
+            from pyspark.sql.functions import pandas_udf
+
+            from ..session import _ship_package
+
+            _ship_package(spark)
+
+            @pandas_udf("binary")
+            def _wkb(s):
+                import pandas as pd
+
+                from hielo_spark.metadata.geo import wkt_to_wkb
+
+                return pd.Series(
+                    [wkt_to_wkb(v) for v in s], dtype="object"
+                )
+
+            for c in _geo:
+                if c in upd.columns:
+                    upd = upd.withColumn(c, _wkb(F.col(c)))
         if fv3_lineage:
             # keep each row's _row_id (rides from the lineage read),
             # bump its last-updated sequence to THIS commit's
@@ -4326,6 +4346,12 @@ def set_table_properties(
             "write.metadata.metrics.column."
         ):
             _parse_metrics_value(v)
+    if "schema.name-mapping.default" in props:
+        # same SET-time validation posture: a malformed mapping must
+        # fail here, not silently null out columns on the next read
+        from .metadata_json import parse_name_mapping
+
+        parse_name_mapping({"properties": props})
     doc["properties"] = props
     _commit_doc(table_dir, doc, prev_version)
     return props

@@ -172,3 +172,173 @@ def encode_wkb(kind: str, data, z: bool = False, m: bool = False,
         for ck, cd in data:
             out += encode_wkb(ck, cd, z=z, m=m)
     return bytes(out)
+
+
+# ------------------------------------------------------------ WKT parser
+# The WRITE half of the geo round trip: the read planes decode
+# geometry/geography to WKT strings, so a row-level UPDATE's re-append
+# must encode those strings back to WKB. Accepts exactly the grammar
+# wkb_to_wkt emits (ISO names, Z/M/ZM, EMPTY, NaN ordinates, nested
+# parens; multipoint children parenthesized or bare), emitting
+# little-endian ISO-code WKB. Round-trip law pinned by tests:
+# wkb_to_wkt(wkt_to_wkb(s)) == s for every rendered form.
+
+import re as _re
+
+_WKT_TOKEN = _re.compile(r"\s*([A-Za-z]+|\(|\)|,|[-+0-9.eE]+)")
+_WKT_KINDS = {v: k for k, v in _NAMES.items()}
+
+
+class _WktScan:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def peek(self) -> str | None:
+        m = _WKT_TOKEN.match(self.s, self.i)
+        return m.group(1) if m else None
+
+    def take(self) -> str:
+        m = _WKT_TOKEN.match(self.s, self.i)
+        if not m:
+            raise ValueError(f"truncated or invalid WKT: {self.s!r}")
+        self.i = m.end()
+        return m.group(1)
+
+    def expect(self, t: str) -> None:
+        got = self.take()
+        if got != t:
+            raise ValueError(
+                f"expected {t!r}, got {got!r} in WKT {self.s!r}"
+            )
+
+
+def _wkt_number(p: _WktScan) -> float:
+    tok = p.take()
+    try:
+        return float(tok)  # handles NaN too (wkb_to_wkt renders it)
+    except ValueError:
+        raise ValueError(
+            f"expected a number, got {tok!r} in WKT {p.s!r}"
+        ) from None
+
+
+def _wkt_coords_one(p: _WktScan, ndims: int) -> bytes:
+    return struct.pack(
+        "<" + "d" * ndims, *(_wkt_number(p) for _ in range(ndims))
+    )
+
+
+def _wkt_coord_list(p: _WktScan, ndims: int) -> bytes:
+    """``x y[, x y]*`` up to and INCLUDING the closing paren."""
+    out = bytearray()
+    n = 0
+    while True:
+        out += _wkt_coords_one(p, ndims)
+        n += 1
+        t = p.take()
+        if t == ")":
+            return struct.pack("<I", n) + bytes(out)
+        if t != ",":
+            raise ValueError(
+                f"expected ',' or ')', got {t!r} in WKT {p.s!r}"
+            )
+
+
+def _wkt_rings(p: _WktScan, ndims: int) -> bytes:
+    """``(ring), (ring)`` up to and INCLUDING the closing paren."""
+    rings = []
+    while True:
+        p.expect("(")
+        rings.append(_wkt_coord_list(p, ndims))
+        t = p.take()
+        if t == ")":
+            return struct.pack("<I", len(rings)) + b"".join(rings)
+        if t != ",":
+            raise ValueError(
+                f"expected ',' or ')', got {t!r} in WKT {p.s!r}"
+            )
+
+
+def _wkt_geom(p: _WktScan) -> bytes:
+    name = p.take()
+    base = _WKT_KINDS.get(name.upper())
+    if base is None:
+        raise ValueError(f"unknown WKT geometry {name!r} in {p.s!r}")
+    z = m = False
+    nxt = p.peek()
+    if nxt and nxt.upper() in ("Z", "M", "ZM"):
+        t = p.take().upper()
+        z, m = "Z" in t, t.endswith("M")
+    ndims = 2 + z + m
+    code = base + (3000 if z and m else 1000 if z else 2000 if m else 0)
+    out = bytearray(b"\x01") + struct.pack("<I", code)
+    nxt = p.peek()
+    if nxt and nxt.upper() == "EMPTY":
+        p.take()
+        if base == 1:  # empty point = all-NaN coordinates (the form
+            out += struct.pack(  # wkb_to_wkt decodes back to EMPTY)
+                "<" + "d" * ndims, *([float("nan")] * ndims)
+            )
+        else:
+            out += struct.pack("<I", 0)
+        return bytes(out)
+    p.expect("(")
+    if base == 1:  # point
+        out += _wkt_coords_one(p, ndims)
+        p.expect(")")
+    elif base == 2:  # linestring
+        out += _wkt_coord_list(p, ndims)
+    elif base == 3:  # polygon
+        out += _wkt_rings(p, ndims)
+    else:  # multi* / collection: n children, each a full WKB value
+        kids = []
+        child_code = {4: 1, 5: 2, 6: 3}.get(base)
+        child_hdr = (
+            b"\x01" + struct.pack(
+                "<I",
+                (child_code or 0)
+                + (3000 if z and m else 1000 if z else 2000 if m else 0),
+            )
+            if child_code
+            else None
+        )
+        while True:
+            if base == 7:
+                kids.append(_wkt_geom(p))
+            elif base == 4:  # multipoint: "(x y)" or bare "x y"
+                if p.peek() == "(":
+                    p.expect("(")
+                    kids.append(child_hdr + _wkt_coords_one(p, ndims))
+                    p.expect(")")
+                else:
+                    kids.append(child_hdr + _wkt_coords_one(p, ndims))
+            elif base == 5:  # multilinestring: "(coord list)"
+                p.expect("(")
+                kids.append(child_hdr + _wkt_coord_list(p, ndims))
+            else:  # multipolygon: "((ring), (ring))"
+                p.expect("(")
+                kids.append(child_hdr + _wkt_rings(p, ndims))
+            t = p.take()
+            if t == ")":
+                break
+            if t != ",":
+                raise ValueError(
+                    f"expected ',' or ')', got {t!r} in WKT {p.s!r}"
+                )
+        out += struct.pack("<I", len(kids)) + b"".join(kids)
+    return bytes(out)
+
+
+def wkt_to_wkb(s) -> bytes | None:
+    """WKT string → little-endian ISO WKB; null-safe. The inverse of
+    ``wkb_to_wkt`` over everything it emits (byte-exact round trips
+    modulo byte order and EWKB→ISO code normalization — the SRID was
+    already dropped on decode, the CRS rides in the Iceberg type)."""
+    if s is None:
+        return None
+    p = _WktScan(str(s))
+    b = _wkt_geom(p)
+    if p.peek() is not None:
+        raise ValueError(f"trailing content after WKT geometry: {s!r}")
+    return b

@@ -679,9 +679,20 @@ def evolved_read_plan(
     field-id across the schema history — our parquet files carry no
     Iceberg field ids, so renamed columns resolve through this
     name-mapping fallback (the spec's ``schema.name-mapping.default``
-    mechanism) instead of id-based column resolution."""
+    mechanism) instead of id-based column resolution.
+
+    A ``schema.name-mapping.default`` table property (spec Appendix C)
+    extends each field's fallback list with its MAPPED physical names —
+    the case where the parquet names never matched ANY Iceberg schema
+    name (foreign Hive/Spark imports). Its presence also forces the
+    explicit-schema plan on single-schema tables: the mergeSchema fast
+    path would surface the foreign physical names as data columns and
+    read the Iceberg names as null."""
+    from .metadata_json import parse_name_mapping
+
     schemas = doc.get("schemas") or []
-    if len(schemas) < 2:
+    nmap = parse_name_mapping(doc)
+    if len(schemas) < 2 and not nmap:
         return None, None
     sid = schema_id if schema_id is not None else doc.get("current-schema-id", 0)
     target = next((s for s in schemas if s.get("schema-id") == sid), None)
@@ -719,8 +730,15 @@ def evolved_read_plan(
                     and g["name"] not in hist
                 ):
                     hist.append(g["name"])
+        hist = hist[::-1]  # most recent old name first
+        # name-mapping names rank after the schema history: a rename
+        # is authoritative (the file was OURS), the mapping is the
+        # import-time fallback
+        for n in nmap.get(f["id"], []):
+            if n != f["name"] and n not in hist:
+                hist.append(n)
         if hist:
-            aliases[f["name"]] = hist[::-1]
+            aliases[f["name"]] = hist
     return cols, aliases
 
 

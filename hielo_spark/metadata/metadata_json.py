@@ -114,6 +114,47 @@ def current_schema_block(doc: dict) -> dict | None:
     return doc.get("schema")
 
 
+def parse_name_mapping(doc: dict) -> dict[int, list[str]]:
+    """``schema.name-mapping.default`` (Iceberg spec Appendix C) parsed
+    to ``{field_id: [mapped names...]}`` for TOP-LEVEL fields — the
+    fallback both read planes consult when a parquet file's column
+    names never matched any Iceberg schema name (Hive/Spark imports via
+    ``add_files``-style onboarding, where the physical names predate
+    the Iceberg schema entirely). Pure Python: usable from DataSource
+    worker processes and the planning plane alike.
+
+    Spec rules honored: entries without a ``field-id`` contribute
+    nothing (unassigned columns are unreadable by mapping); empty
+    ``names`` lists likewise. Nested ``fields`` blocks are NOT
+    flattened — both planes read nested data through its root column,
+    so only root mappings participate in resolution (a nested-only
+    rename inside a mapped root still reads via the root's physical
+    name). Malformed JSON raises loudly rather than silently reading
+    nulls."""
+    raw = (doc.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return {}
+    try:
+        entries = json.loads(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"invalid schema.name-mapping.default JSON: {e}"
+        ) from e
+    if not isinstance(entries, list):
+        raise ValueError(
+            "invalid schema.name-mapping.default: expected a JSON list "
+            f"of mapped-field objects, got {type(entries).__name__}"
+        )
+    out: dict[int, list[str]] = {}
+    for e in entries:
+        if not isinstance(e, dict) or e.get("field-id") is None:
+            continue
+        names = [n for n in (e.get("names") or []) if isinstance(n, str)]
+        if names:
+            out[int(e["field-id"])] = names
+    return out
+
+
 def _strip_scheme(c):
     """URI → scheme-less path usable as a join key: 'file:///a/b', 'file:/a/b'
     and '/a/b' all normalize to '/a/b'; 's3a://bucket/k' → '/bucket/k'."""

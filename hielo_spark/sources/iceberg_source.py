@@ -3220,12 +3220,21 @@ class HieloIcebergDataSource(DataSource):
         if schema is None:
             raise ValueError("table metadata carries no schema block")
         by_id = sorted(schemas, key=lambda s: int(s.get("schema-id", 0)))
+        from ..metadata.metadata_json import parse_name_mapping
+
+        nmap = parse_name_mapping(doc)
         out = []
         for f in schema.get("fields", []):
             # rename history by field id (most recent old name first):
             # our parquet carries no Iceberg field ids, so a file
             # predating a rename resolves through these historical
-            # names — the spec's name-mapping fallback
+            # names — the spec's name-mapping fallback. A
+            # schema.name-mapping.default property (spec Appendix C)
+            # appends each field's MAPPED physical names after the
+            # schema history (renames are authoritative, the mapping is
+            # the import-time fallback) — foreign-imported files whose
+            # parquet names never matched any Iceberg name then resolve
+            # instead of silently reading null.
             hist: list[str] = []
             for s in by_id:
                 for g in s.get("fields", []):
@@ -3235,6 +3244,10 @@ class HieloIcebergDataSource(DataSource):
                         and g["name"] not in hist
                     ):
                         hist.append(g["name"])
+            hist = hist[::-1]  # most recent old name first
+            for n in nmap.get(f["id"], []):
+                if n != f["name"] and n not in hist:
+                    hist.append(n)
             from ..metadata.types import (
                 UnsupportedIcebergType,
                 iceberg_to_ddl,
@@ -3243,7 +3256,7 @@ class HieloIcebergDataSource(DataSource):
             if f.get("type") == "variant":
                 # the task decodes the parquet (metadata, value) struct
                 # to JSON strings — "variant" sentinel DDL routes it
-                out.append((f["name"], "variant", tuple(hist[::-1]),
+                out.append((f["name"], "variant", tuple(hist),
                             None))
                 continue
             # (variant-extract derived columns are appended after the
@@ -3252,7 +3265,7 @@ class HieloIcebergDataSource(DataSource):
                 "("
             )[0] in ("geometry", "geography"):
                 # WKB binary → WKT strings, decoded in-task
-                out.append((f["name"], "geometry", tuple(hist[::-1]),
+                out.append((f["name"], "geometry", tuple(hist),
                             None))
                 continue
             # unsupported types are skipped here: schema() has already
@@ -3276,7 +3289,7 @@ class HieloIcebergDataSource(DataSource):
                     f["type"], f["initial-default"]
                 )
             out.append(
-                (f["name"], ddl, tuple(hist[::-1]), default)
+                (f["name"], ddl, tuple(hist), default)
             )
         # variant-extract derived columns ride at the END (matching
         # schema()'s declared order): the sentinel DDL carries the
