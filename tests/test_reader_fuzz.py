@@ -1009,3 +1009,76 @@ def test_multi_block_deflate_avro_manifests(registered, spark, tmp_path):
         reblock(_resolve(mlist, r["manifest_path"]))
     reblock(mlist)
     assert _both_plane_ids(spark, t) == list(range(120))
+
+
+def test_name_mapped_import_with_foreign_manifests(registered, spark,
+                                                   tmp_path):
+    """The full foreign-import composition (r13, VERDICT item 4 —
+    composes with the name-mapping resolver): parquet columns carry
+    PHYSICAL names that never matched any Iceberg schema name, the
+    manifests carry only the spec's field-id-keyed stats (ext maps
+    stripped) with record-field order permuted, and resolution rides
+    schema.name-mapping.default. Both planes read exact values under
+    the Iceberg names, and bounds pruning still prunes the disjoint
+    file off the field-id stats."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id long, val string"
+    ).coalesce(1)
+    C.append(spark, t, mk(0, 50), snapshot_id=101,
+             timestamp_ms=1700000000000)
+    C.append(spark, t, mk(1000, 1050), snapshot_id=102,
+             timestamp_ms=1700100000000)
+
+    # 1. foreignize the parquet column names (Hive-import shape)
+    from hielo_spark.metadata.manifests import live_data_file_dicts
+
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    for p in live_data_file_dicts(
+        _resolve(os.path.join(t, "metadata", "x"),
+                 cur["manifest-list"].removeprefix("file:"))
+    ):
+        tb = pq.read_table(p)
+        tb = tb.rename_columns(
+            [{"id": "rec_no", "val": "val_str"}.get(c, c)
+             for c in tb.column_names])
+        pq.write_table(tb, p)
+        crc = os.path.join(os.path.dirname(p),
+                           f".{os.path.basename(p)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # 2. foreignize the manifests: spec-only stats, permuted fields
+    mut_schema, strip_ext = _drop_ext_stats()
+
+    def rev(node):
+        node = mut_schema(node)
+        if isinstance(node, dict) and node.get("type") == "record":
+            node["fields"] = node["fields"][::-1]
+        return node
+
+    for mp in _data_manifest_paths(t):
+        _rewrite_manifest(mp, rev, strip_ext)
+
+    # 3. the mapping property resolves the physical names
+    C.set_table_properties(t, {"schema.name-mapping.default": json.dumps([
+        {"field-id": 1, "names": ["id", "rec_no"]},
+        {"field-id": 2, "names": ["val", "val_str"]},
+    ])})
+
+    ds = spark.read.format("hielo_iceberg").load(t)
+    got = {r.id: r.val for r in ds.collect()}
+    assert got == {i: f"v{i}" for i in list(range(50))
+                   + list(range(1000, 1050))}
+    # pushed filter on the ICEBERG name, evaluated against the
+    # name-mapped physical column
+    assert [r.id for r in ds.filter("val = 'v1025'").collect()] == [1025]
+    # field-id spec bounds still prune the disjoint file (jvm plane)
+    jvm = read_data_at_snapshot(
+        spark, C.current_metadata_path(t), skip_filter=("id", ">", 999))
+    assert sorted(r.id for r in jvm.collect()) == list(range(1000, 1050))
+    assert len(set(jvm.inputFiles())) == 1
