@@ -2056,7 +2056,8 @@ def _stringify_footer_stat(v, ty: str) -> str | None:
     return str(v)
 
 
-def _footer_file_stats(md, dtypes: dict[str, str], bound_cols):
+def _footer_file_stats(md, dtypes: dict[str, str], bound_cols,
+                       rename: dict[str, str] | None = None):
     """(records, lo, hi, null_counts) for one parquet file from its
     FOOTER metadata alone — per-row-group stats aggregated per column.
     Writer-truncated string stats remain valid ENCLOSING bounds; NaN
@@ -2065,7 +2066,11 @@ def _footer_file_stats(md, dtypes: dict[str, str], bound_cols):
     bound that misses a statless group's values would wrongly prune
     (the same completeness rule _write_delete_parts applies). NaN-only
     float groups count as contributing (NaN is spec-excluded from
-    bounds), but a group with NO stats at all drops the column."""
+    bounds), but a group with NO stats at all drops the column.
+
+    ``rename`` maps physical footer column names to table names
+    (name-mapped imports): stats land under the ICEBERG names so the
+    manifest bounds prune like any native file's."""
     lo: dict[str, str] = {}
     hi: dict[str, str] = {}
     nn: dict[str, int] = {}
@@ -2087,7 +2092,11 @@ def _footer_file_stats(md, dtypes: dict[str, str], bound_cols):
         for i in range(g.num_columns):
             col = g.column(i)
             name = col.path_in_schema
-            if name not in dtypes or "." in name:
+            if "." in name:
+                continue
+            if rename:
+                name = rename.get(name, name)
+            if name not in dtypes:
                 continue
             st = col.statistics
             ty = dtypes[name]
@@ -2149,7 +2158,11 @@ def add_files(
 
     On a fresh table the schema is recorded from the first footer. On
     an existing table every data column must appear in each file's
-    parquet schema (loud otherwise), and re-registering a path already
+    parquet schema (loud otherwise) — physical names resolving through
+    the table's ``schema.name-mapping.default`` count (the procedure
+    Iceberg pairs with a name mapping for Hive imports; footer stats
+    then key under the ICEBERG names so manifest bounds prune like any
+    native file's) — and re-registering a path already
     live in the current snapshot raises (Iceberg's duplicate check).
     Identity partition values parse from hive ``col=value`` path
     segments when the table's default spec (or the hive layout) has
@@ -2243,14 +2256,48 @@ def add_files(
     def _open(p: str) -> "pq.ParquetFile":
         return pq.ParquetFile(p)
 
-    first_schema = _open(files[0]).schema_arrow
+    # name-mapped imports (spec Appendix C): a file's PHYSICAL column
+    # names resolve to table names through schema.name-mapping.default,
+    # so footer schema checks and stats key under the Iceberg names —
+    # the exact onboarding case the mapping exists for (Hive datasets
+    # whose column names never matched the Iceberg schema)
+    from .metadata_json import parse_name_mapping
+
+    _nmap = parse_name_mapping(doc)
+    _id2cur = {
+        f["id"]: f["name"]
+        for s in doc.get("schemas", [])
+        if s.get("schema-id") == doc.get("current-schema-id", 0)
+        for f in s.get("fields", [])
+    }
+    phys2cur = {
+        n: _id2cur[fid]
+        for fid, names in _nmap.items() if fid in _id2cur
+        for n in names if n != _id2cur[fid]
+    }
+
+    def _resolved_arrow_types(schema_arrow, path):
+        out = {}
+        for f in schema_arrow:
+            nm = phys2cur.get(f.name, f.name)
+            if nm in out:
+                raise ValueError(
+                    f"add_files: columns {f.name!r} and another column "
+                    f"of {path} both resolve to table column {nm!r} "
+                    "via the name mapping"
+                )
+            out[nm] = f.type
+        return out
+
+    first_types = _resolved_arrow_types(_open(files[0]).schema_arrow,
+                                        files[0])
     file_dtypes = {}
-    for f in first_schema:
+    for nm, atype in first_types.items():
         try:
-            file_dtypes[f.name] = from_arrow_type(f.type).simpleString()
+            file_dtypes[nm] = from_arrow_type(atype).simpleString()
         except Exception as e:
             raise ValueError(
-                f"add_files: column {f.name!r} has arrow type {f.type} "
+                f"add_files: column {nm!r} has arrow type {atype} "
                 f"with no Spark mapping ({e}) — rewrite through append()"
             ) from e
 
@@ -2310,23 +2357,23 @@ def add_files(
     def footer_stats(p: str):
         pf = _open(p)
         if p != files[0]:
-            names = set(pf.schema_arrow.names)
-            absent = [c for c in required if c not in names]
+            types_p = _resolved_arrow_types(pf.schema_arrow, p)
+            absent = [c for c in required if c not in types_p]
             if absent:
                 raise ValueError(
                     f"add_files: {p} lacks table columns {absent} — "
                     "every file must carry every data column"
                 )
-            for f in pf.schema_arrow:
-                ft = first_schema.field(f.name) \
-                    if f.name in first_schema.names else None
-                if ft is not None and ft.type != f.type:
+            for nm, atype in types_p.items():
+                ft = first_types.get(nm)
+                if ft is not None and ft != atype:
                     raise ValueError(
-                        f"add_files: column {f.name!r} is {ft.type} in "
-                        f"{files[0]} but {f.type} in {p} — mixed-type "
+                        f"add_files: column {nm!r} is {ft} in "
+                        f"{files[0]} but {atype} in {p} — mixed-type "
                         f"imports need a rewrite through append()"
                     )
-        return _footer_file_stats(pf.metadata, dtypes, bound_cols)
+        return _footer_file_stats(pf.metadata, dtypes, bound_cols,
+                                  rename=phys2cur or None)
 
     # manifest entries
     spec_id = int(doc.get("default-spec-id", 0))

@@ -181,3 +181,70 @@ def test_parse_name_mapping_shapes():
     assert parse_name_mapping(
         {"properties": {"schema.name-mapping.default": nested}}
     ) == {7: ["loc"]}
+
+
+def test_add_files_resolves_name_mapped_footers(registered, spark,
+                                                tmp_path):
+    """add_files + name mapping — the onboarding pairing Iceberg
+    designed the mapping for: foreign parquet whose physical names
+    resolve through schema.name-mapping.default registers
+    metadata-only, footer stats land under the ICEBERG names (manifest
+    bounds prune), and both planes read the Iceberg columns."""
+    import pyarrow as pa
+
+    from hielo_spark.metadata.manifests import live_data_file_dicts
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(0, "seed")], ["id", "val"]).coalesce(1),
+        snapshot_id=100, timestamp_ms=1699000000000)
+    C.set_table_properties(
+        t, {"schema.name-mapping.default": json.dumps([
+            {"field-id": 1, "names": ["id", "rec_no"]},
+            {"field-id": 2, "names": ["val", "val_str"]},
+        ])})
+    land = tmp_path / "landing"
+    land.mkdir()
+    for lo, hi, fn in [(1, 6, "a.parquet"), (100, 106, "b.parquet")]:
+        pq.write_table(pa.table({
+            "rec_no": pa.array(range(lo, hi), pa.int64()),
+            "val_str": pa.array([f"v{i}" for i in range(lo, hi)]),
+        }), str(land / fn))
+    res = C.add_files(spark, t, sorted(str(p) for p in land.iterdir()),
+                      snapshot_id=101, timestamp_ms=1700000000000)
+    assert res is not None
+
+    want = {0: "seed"} | {i: f"v{i}" for i in
+                          list(range(1, 6)) + list(range(100, 106))}
+    jvm = {r.id: r.val for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()}
+    ds = {r.id: r.val for r in
+          spark.read.format("hielo_iceberg").load(t).collect()}
+    assert jvm == ds == want
+
+    # footer stats keyed under the ICEBERG names → bounds prune
+    doc = json.load(open(C.current_metadata_path(t)))
+    cur = next(s for s in doc["snapshots"]
+               if s["snapshot-id"] == doc["current-snapshot-id"])
+    dicts = live_data_file_dicts(
+        cur["manifest-list"].removeprefix("file:"))
+    b = next(d for p, d in dicts.items() if p.endswith("b.parquet"))
+    assert b["lb"]["id"] == "100" and b["ub"]["id"] == "105"
+    pruned = read_data_at_snapshot(
+        spark, C.current_metadata_path(t), skip_filter=("id", ">", 99))
+    assert sorted(r.id for r in pruned.collect()) == list(range(100, 106))
+    assert len(set(pruned.inputFiles())) == 1
+
+    # a file missing a mapped column still raises per-file (loud)
+    ok2 = land / "c.parquet"
+    pq.write_table(pa.table({
+        "rec_no": pa.array([7], pa.int64()),
+        "val_str": pa.array(["v7"]),
+    }), str(ok2))
+    bad = land / "d.parquet"
+    pq.write_table(pa.table({
+        "rec_no": pa.array([8], pa.int64()),
+    }), str(bad))
+    with pytest.raises(ValueError, match="lacks table columns"):
+        C.add_files(spark, t, [str(ok2), str(bad)],
+                    snapshot_id=102, timestamp_ms=1700100000000)
