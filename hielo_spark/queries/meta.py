@@ -2580,7 +2580,10 @@ def meta_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('t2_total_rows',     CAST(12 AS BIGINT)),
       ('t3_time_travel_old', CAST(1 AS BIGINT)),
       ('t4_planes_agree',   CAST(1 AS BIGINT)),
-      ('t5_nomatch_noop',   CAST(1 AS BIGINT))
+      ('t5_nomatch_noop',   CAST(1 AS BIGINT)),
+      ('t6_row_ids_preserved', CAST(1 AS BIGINT)),
+      ('t7_changelog_update_pairs', CAST(3 AS BIGINT)),
+      ('t8_watermark_frozen', CAST(10 AS BIGINT))
     ) AS t(step, n)
     """,
 )
@@ -2613,6 +2616,39 @@ def meta_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
           spark.read.format("hielo_iceberg").load(t).collect()}
     old = {r.id: r.v for r in read_data_at_snapshot(
         spark, mpath, snapshot_id=101).collect()}
+
+    # v3 half (r13): lineage-preserving UPDATE — _row_id carries
+    # through the re-append (materialized columns, watermark frozen)
+    # and the changelog renders the commit as UPDATE_BEFORE/
+    # UPDATE_AFTER pairs on the SAME _row_id
+    import json as _json
+
+    from ..metadata import upgrade_format_version
+    from ..metadata.manifests import read_changelog
+
+    t3 = t + "_v3"
+    shutil.rmtree(t3, ignore_errors=True)
+    C.append(spark, t3, spark.createDataFrame(
+        [(999, "seed")], ["id", "v"]),
+        snapshot_id=201, timestamp_ms=1700000000000)
+    upgrade_format_version(t3, 3)
+    C.append(spark, t3, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], ["id", "v"]),
+        snapshot_id=202, timestamp_ms=1700100000000)
+    C.update_where(spark, t3, "id IN (1, 4, 7)",
+                   {"v": "concat('u', id)"},
+                   snapshot_id=203, timestamp_ms=1700200000000)
+    m3 = C.current_metadata_path(t3)
+    lin_b = {r.id: r._row_id for r in read_data_at_snapshot(
+        spark, m3, snapshot_id=202, row_lineage=True).collect()}
+    lin_a = {r.id: r._row_id for r in read_data_at_snapshot(
+        spark, m3, row_lineage=True).collect()}
+    cl = read_changelog(spark, m3, from_snapshot_id=202,
+                        compute_updates=True).collect()
+    ub = {r._row_id: r.v for r in cl if r._change_type == "UPDATE_BEFORE"}
+    ua = {r._row_id: r.v for r in cl if r._change_type == "UPDATE_AFTER"}
+    wm = _json.load(open(m3)).get("next-row-id")
+
     rows = [
         ("t1_updated_rows",
          sum(1 for i, v in cur.items() if v == f"u{i}")),
@@ -2620,5 +2656,12 @@ def meta_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("t3_time_travel_old", int(old[0] == "v0")),
         ("t4_planes_agree", int(ds == cur)),
         ("t5_nomatch_noop", int(noop is None)),
+        ("t6_row_ids_preserved", int(lin_a == lin_b)),
+        ("t7_changelog_update_pairs",
+         len(ub) if set(ub) == set(ua)
+         and set(ub) == {lin_b[k] for k in (1, 4, 7)}
+         and all(ua[lin_b[k]] == f"u{k}" for k in (1, 4, 7))
+         else -1),
+        ("t8_watermark_frozen", wm),
     ]
     return spark.createDataFrame(rows, "step string, n long").orderBy("step")
