@@ -1788,6 +1788,7 @@ def read_changelog(
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
     compute_updates: bool = False,
+    net_changes: bool = False,
 ) -> DataFrame:
     """CDC changelog between two snapshots (the Iceberg
     ``create_changelog_view`` shape): every row change committed AFTER
@@ -1818,6 +1819,19 @@ def read_changelog(
     in range — the same cost Iceberg pays to resolve overwrite
     changelogs without tracked row lineage. Planning (lineage walk,
     file lists) is metadata-only.
+
+    ``net_changes=True`` (the Iceberg changelog procedure's net mode):
+    intermediate states collapse — ONE multiset diff of
+    ``live(from)`` vs ``live(to)`` for the whole range instead of a
+    diff per changed snapshot, which is the shape that scales when a
+    consumer catches up over many commits (two scans total,
+    independent of range length; a row inserted-then-deleted inside
+    the range emits nothing, an insert-then-update emits one INSERT of
+    the final state). ``_change_ordinal`` is 0 and
+    ``_commit_snapshot_id`` is the range head for every row (per-commit
+    attribution is exactly what net mode gives up). Composes with
+    ``compute_updates`` — a row updated N times nets to one
+    UPDATE_BEFORE/UPDATE_AFTER pair.
 
     ``compute_updates=True`` (requires a v3 row-lineage table — the
     Iceberg changelog procedure's update pairing, keyed here by the
@@ -1934,7 +1948,73 @@ def read_changelog(
             .drop("_fp", "_pos", "_frid", "_lseq")
         )
 
+    def diff_pieces(prev_df, now_df, sid, ordinal) -> list[DataFrame]:
+        """The general multiset diff (+ optional _row_id update
+        pairing) between two live states — per changed snapshot
+        normally, the whole range at once under net_changes."""
+        pieces: list[DataFrame] = []
+        if prev_df is not None and now_df is not None:
+            # schema evolution: diff on the columns common to parent
+            # and child (add-column evolution would otherwise make
+            # every untouched row look changed via its new null)
+            cols = [c for c in prev_df.columns if c in now_df.columns]
+            dels = prev_df.select(*cols).exceptAll(now_df.select(*cols))
+            ins = now_df.select(*cols).exceptAll(prev_df.select(*cols))
+            if compute_updates:
+                # pair by the tracked _row_id: present on BOTH sides
+                # of the diff = the same row updated (a
+                # lineage-preserving UPDATE re-appends it with new
+                # values). Null ids (pre-upgrade files) never match a
+                # semi join, so they stay DELETE/INSERT.
+                upd_ids = (
+                    dels.where(F.col("_row_id").isNotNull())
+                    .select("_row_id")
+                    .intersect(
+                        ins.where(F.col("_row_id").isNotNull())
+                        .select("_row_id")
+                    )
+                )
+                pieces.append(tag(
+                    dels.join(upd_ids, "_row_id", "left_semi"),
+                    "UPDATE_BEFORE", sid, ordinal,
+                ))
+                pieces.append(tag(
+                    dels.join(upd_ids, "_row_id", "left_anti"),
+                    "DELETE", sid, ordinal,
+                ))
+                pieces.append(tag(
+                    ins.join(upd_ids, "_row_id", "left_semi"),
+                    "UPDATE_AFTER", sid, ordinal,
+                ))
+                pieces.append(tag(
+                    ins.join(upd_ids, "_row_id", "left_anti"),
+                    "INSERT", sid, ordinal,
+                ))
+            else:
+                pieces.append(tag(dels, "DELETE", sid, ordinal))
+                pieces.append(tag(ins, "INSERT", sid, ordinal))
+        elif now_df is not None:
+            pieces.append(tag(now_df, "INSERT", sid, ordinal))
+        elif prev_df is not None:
+            pieces.append(tag(prev_df, "DELETE", sid, ordinal))
+        return pieces
+
     out: DataFrame | None = None
+    if net_changes:
+        # ONE diff for the whole range: two scans total, independent
+        # of how many commits the consumer is catching up over
+        for p in diff_pieces(
+            live(from_snapshot_id), live(to_snapshot_id),
+            to_snapshot_id, 0,
+        ):
+            out = p if out is None else out.unionByName(
+                p, allowMissingColumns=True
+            )
+        if out is None:
+            raise ValueError(
+                "net changelog range has no live data on either end"
+            )
+        return out
     ordinal = 0
     for s_ in chain:
         sid = int(s_["snapshot-id"])
@@ -1950,51 +2030,9 @@ def read_changelog(
             if ins is not None:
                 pieces.append(tag(ins, "INSERT", sid, ordinal))
         else:
-            now_df, prev_df = live(sid), live(parent_id)
-            if prev_df is not None and now_df is not None:
-                # schema evolution: diff on the columns common to parent
-                # and child (add-column evolution would otherwise make
-                # every untouched row look changed via its new null)
-                cols = [c for c in prev_df.columns if c in now_df.columns]
-                dels = prev_df.select(*cols).exceptAll(now_df.select(*cols))
-                ins = now_df.select(*cols).exceptAll(prev_df.select(*cols))
-                if compute_updates:
-                    # pair by the tracked _row_id: present on BOTH
-                    # sides of the diff = the same row updated (a
-                    # lineage-preserving UPDATE re-appends it with new
-                    # values). Null ids (pre-upgrade files) never
-                    # match a semi join, so they stay DELETE/INSERT.
-                    upd_ids = (
-                        dels.where(F.col("_row_id").isNotNull())
-                        .select("_row_id")
-                        .intersect(
-                            ins.where(F.col("_row_id").isNotNull())
-                            .select("_row_id")
-                        )
-                    )
-                    pieces.append(tag(
-                        dels.join(upd_ids, "_row_id", "left_semi"),
-                        "UPDATE_BEFORE", sid, ordinal,
-                    ))
-                    pieces.append(tag(
-                        dels.join(upd_ids, "_row_id", "left_anti"),
-                        "DELETE", sid, ordinal,
-                    ))
-                    pieces.append(tag(
-                        ins.join(upd_ids, "_row_id", "left_semi"),
-                        "UPDATE_AFTER", sid, ordinal,
-                    ))
-                    pieces.append(tag(
-                        ins.join(upd_ids, "_row_id", "left_anti"),
-                        "INSERT", sid, ordinal,
-                    ))
-                else:
-                    pieces.append(tag(dels, "DELETE", sid, ordinal))
-                    pieces.append(tag(ins, "INSERT", sid, ordinal))
-            elif now_df is not None:
-                pieces.append(tag(now_df, "INSERT", sid, ordinal))
-            elif prev_df is not None:
-                pieces.append(tag(prev_df, "DELETE", sid, ordinal))
+            pieces = diff_pieces(
+                live(parent_id), live(sid), sid, ordinal
+            )
         for p in pieces:
             out = p if out is None else out.unionByName(p, allowMissingColumns=True)
         ordinal += 1

@@ -226,3 +226,73 @@ def test_datasource_lineage_read_sees_preserved_ids(spark, tmp_path):
     assert got == jvm
     for k in (2, 3, 4, 5):
         assert got[k][0] == before[k][0]
+
+
+def test_changelog_net_changes_collapses_range(spark, tmp_path):
+    """net_changes: one diff for the whole range — insert-then-update
+    nets to one INSERT of the final state, update-then-delete nets to
+    one DELETE of the original, N updates net to ONE before/after pair
+    (composes with compute_updates)."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(0, "seed")], ["id", "v"]),
+        snapshot_id=100, timestamp_ms=1699000000000)
+    upgrade_format_version(t, 3)
+    C.append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 5)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    pre = _lineage(spark, t)
+    # range: insert 9, update 1 twice, update 9 once, delete 2
+    C.append(spark, t, spark.createDataFrame(
+        [(9, "new")], ["id", "v"]),
+        snapshot_id=102, timestamp_ms=1700100000000)
+    C.update_where(spark, t, "id = 1", {"v": "'a'"},
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    C.update_where(spark, t, "id = 1", {"v": "'b'"},
+                   snapshot_id=104, timestamp_ms=1700300000000)
+    C.update_where(spark, t, "id = 9", {"v": "'n2'"},
+                   snapshot_id=105, timestamp_ms=1700400000000)
+    C.delete_where(spark, t, "id = 2",
+                   snapshot_id=106, timestamp_ms=1700500000000)
+
+    cl = read_changelog(
+        spark, C.current_metadata_path(t),
+        from_snapshot_id=101, compute_updates=True, net_changes=True,
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in cl:
+        by_type.setdefault(r._change_type, []).append(r)
+    # id=1 updated twice → exactly ONE pair, original → final
+    ub = {r.id: r for r in by_type.get("UPDATE_BEFORE", [])}
+    ua = {r.id: r for r in by_type.get("UPDATE_AFTER", [])}
+    assert set(ub) == set(ua) == {1}
+    assert ub[1].v == "v1" and ua[1].v == "b"
+    assert ub[1]._row_id == ua[1]._row_id == pre[1][0]
+    # id=9 inserted then updated inside the range → ONE INSERT of 'n2'
+    ins = {r.id: r.v for r in by_type.get("INSERT", [])}
+    assert ins == {9: "n2"}
+    # id=2 deleted → one DELETE of the original state
+    assert [(r.id, r.v) for r in by_type.get("DELETE", [])] == [(2, "v2")]
+    # net attribution: ordinal 0, snapshot = range head
+    assert {r._change_ordinal for r in cl} == {0}
+    assert {r._commit_snapshot_id for r in cl} == {106}
+
+
+def test_changelog_net_changes_without_updates(spark, tmp_path):
+    """net_changes works on a plain v2 table too (no compute_updates):
+    delete+insert rendering of the net diff."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.delete_where(spark, t, "id = 0",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    C.append(spark, t, spark.createDataFrame(
+        [(8, "v8")], ["id", "v"]),
+        snapshot_id=103, timestamp_ms=1700200000000)
+    cl = read_changelog(
+        spark, C.current_metadata_path(t),
+        from_snapshot_id=101, net_changes=True,
+    ).collect()
+    got = sorted((r._change_type, r.id) for r in cl)
+    assert got == [("DELETE", 0), ("INSERT", 8)]
