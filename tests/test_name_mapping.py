@@ -248,3 +248,30 @@ def test_add_files_resolves_name_mapped_footers(registered, spark,
     with pytest.raises(ValueError, match="lacks table columns"):
         C.add_files(spark, t, [str(ok2), str(bad)],
                     snapshot_id=102, timestamp_ms=1700100000000)
+
+
+def test_dml_on_name_mapped_table(registered, spark, tmp_path):
+    """Row-level DML against a table whose live files are name-mapped
+    imports: DELETE's candidate scan and UPDATE's live-MOR re-append
+    both resolve through the mapping; the re-appended files carry the
+    ICEBERG names (native) and coexist with the remaining foreign
+    files."""
+    t = _mk_foreign_table(spark, tmp_path)
+    C.delete_where(spark, t, "id = 3",
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    C.update_where(spark, t, "id IN (1, 8)", {"val": "concat('u', id)"},
+                   snapshot_id=103, timestamp_ms=1700200000000)
+    want = {i: (f"u{i}" if i in (1, 8) else f"v{i}")
+            for i in range(10) if i != 3}
+    jvm = {r.id: r.val for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()}
+    ds = {r.id: r.val for r in
+          spark.read.format("hielo_iceberg").load(t).collect()}
+    assert jvm == ds == want
+    # repeat the UPDATE: still exact (live-MOR basis, no duplication)
+    C.update_where(spark, t, "id IN (1, 8)", {"val": "concat('w', id)"},
+                   snapshot_id=104, timestamp_ms=1700300000000)
+    jvm2 = {r.id: r.val for r in read_data_at_snapshot(
+        spark, C.current_metadata_path(t)).collect()}
+    assert jvm2 == {i: (f"w{i}" if i in (1, 8) else f"v{i}")
+                    for i in range(10) if i != 3}
