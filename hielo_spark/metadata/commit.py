@@ -3434,6 +3434,7 @@ def update_where(
     set_exprs: dict,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    branch: str | None = None,
 ) -> dict | None:
     """``UPDATE … SET … WHERE`` as ONE merge-on-read snapshot — the
     last of the row-level DML quartet (DELETE / MERGE / INSERT
@@ -3469,11 +3470,16 @@ def update_where(
     Variant columns round-trip through re-encoding (JSON read-back →
     unshredded variant pair); geometry/geography columns round-trip
     the same way (WKT read-back → ISO WKB via ``geo.wkt_to_wkb``), and
-    a SET may assign a WKT literal to a geo column directly."""
+    a SET may assign a WKT literal to a geo column directly.
+
+    ``branch`` stages the update on that branch (WAP): it bases on the
+    branch head, moves only the branch ref, and main readers see
+    nothing until ``fast_forward`` publishes."""
     return delete_where(
         spark, table_dir, condition,
         snapshot_id=snapshot_id, timestamp_ms=timestamp_ms,
         update_set=set_exprs,
+        branch=branch,
     )
 
 
@@ -3484,6 +3490,7 @@ def delete_where(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     update_set: dict | None = None,
+    branch: str | None = None,
 ) -> dict | None:
     """v2 merge-on-read position-delete commit — ``DELETE WHERE`` without
     rewriting data files: prune candidate data files against the
@@ -3520,7 +3527,19 @@ def delete_where(
     )
 
     doc, prev_version = _load_doc(table_dir)
-    if doc.get("current-snapshot-id") is None:
+    # branch-scoped DML (WAP): base on the BRANCH head; the commit
+    # moves the branch ref — main readers see nothing until
+    # fast_forward publishes (same contract as append's and
+    # overwrite_partitions' branch writes). A missing ref bases on
+    # current and the commit creates the branch.
+    base_id = doc.get("current-snapshot-id")
+    if branch is not None:
+        ref = doc.get("refs", {}).get(branch)
+        if ref is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            base_id = int(ref["snapshot-id"])
+    if base_id is None:
         raise ValueError("cannot delete from a table with no current snapshot")
     seq = int(doc.get("last-sequence-number", 0)) + 1
     snapshot_id = (
@@ -3533,7 +3552,7 @@ def delete_where(
     mdir = os.path.join(table_dir, "metadata")
 
     current = next(
-        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
+        s for s in doc["snapshots"] if s["snapshot-id"] == base_id
     )
     candidates = list(
         live_data_file_dicts(
@@ -3645,6 +3664,7 @@ def delete_where(
         sfs = _conjunct_skip_filters(condition)
         live = read_data_at_snapshot(
             spark, current_metadata_path(table_dir),
+            snapshot_id=base_id,  # the branch head under branch DML
             skip_filter=sfs[0] if sfs else None,
             keep_row_coords=True,
             row_lineage=fv3_lineage,
@@ -3732,6 +3752,7 @@ def delete_where(
             spark, table_dir, doc, prev_version, positions,
             seq, snapshot_id, timestamp_ms, mdir, current,
             staged_update=staged_update,
+            branch=branch,
         )
         if persisted is not None:
             persisted.unpersist()
@@ -3830,15 +3851,17 @@ def delete_where(
         _apply_update_summary(summary, staged_update)
         d_files += staged_update["n_files"]
         d_bytes += staged_update["added_bytes"]
-    prior_rows = _carry_forward_rows(spark, mdir, doc)
+    prior_rows = _carry_forward_rows(spark, mdir, doc, base_id)
     res = _finalize_commit(
         spark, table_dir, doc, prev_version, prior_rows + rows,
         snapshot_id, timestamp_ms, seq,
         _with_totals(
             summary,
-            doc, doc.get("current-snapshot-id"),
+            doc, base_id,
             d_files, d_bytes, len(parts),
         ),
+        branch=branch,
+        parent_id=base_id,
     )
     if persisted is not None:
         persisted.unpersist()
@@ -3954,6 +3977,7 @@ def _commit_deletion_vectors(
     mdir: str,
     current: dict,
     staged_update: dict | None = None,
+    branch: str | None = None,
 ) -> dict:
     """DELETE WHERE on a format-version ≥ 3 table: commit the matched
     row positions as DELETION VECTORS — one ``deletion-vector-v1``
@@ -3996,9 +4020,10 @@ def _commit_deletion_vectors(
         meta=_manifest_header_meta(doc, 0, "deletes"),
     )
 
+    base_id = int(current["snapshot-id"])  # branch head under branch DML
     prior_rows = _supersede_dv_rows(
-        _carry_forward_rows(spark, mdir, doc), replaced, old_dvs, mdir,
-        seq, snapshot_id=snapshot_id,
+        _carry_forward_rows(spark, mdir, doc, base_id), replaced,
+        old_dvs, mdir, seq, snapshot_id=snapshot_id,
     )
 
     new_row = {
@@ -4040,12 +4065,14 @@ def _commit_deletion_vectors(
         snapshot_id, timestamp_ms, seq,
         _with_totals(
             summary,
-            doc, doc.get("current-snapshot-id"),
+            doc, base_id,
             d_files,
             puffin_size - replaced_bytes
             + (staged_update or {}).get("added_bytes", 0),
             len(entries) - len(replaced),
         ),
+        branch=branch,
+        parent_id=base_id,
     )
 
 

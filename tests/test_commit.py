@@ -2537,3 +2537,62 @@ def test_update_where_variant_roundtrip(spark, tmp_path):
     ds = {r.id: r.v for r in
           spark.read.format("hielo_iceberg").load(t).collect()}
     assert ds == got
+
+
+def test_delete_and_update_on_branch(spark, tmp_path):
+    """WAP for row-level DML (r13): DELETE and UPDATE staged on a
+    branch base on the BRANCH head, chain on it, and leave main
+    untouched until fast_forward publishes — on both format versions
+    (position deletes v2 / DVs v3)."""
+    from hielo_spark.metadata import upgrade_format_version
+    from hielo_spark.metadata.commit import (
+        append,
+        current_metadata_path,
+        delete_where,
+        fast_forward,
+        update_where,
+    )
+    from hielo_spark.metadata.manifests import read_data_at_snapshot
+
+    for v3 in (False, True):
+        t = str(tmp_path / f"t{'3' if v3 else '2'}")
+        append(spark, t, spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], ["id", "v"]),
+            snapshot_id=101, timestamp_ms=1700000000000)
+        if v3:
+            upgrade_format_version(t, 3)
+        # stage: delete 0-1 on the branch, then update 2-3 ON TOP of
+        # the staged delete (the second commit must base on the branch
+        # head, not main — chaining is the WAP contract)
+        delete_where(spark, t, "id < 2",
+                     snapshot_id=102, timestamp_ms=1700100000000,
+                     branch="audit")
+        update_where(spark, t, "id IN (2, 3)", {"v": "concat('u', id)"},
+                     snapshot_id=103, timestamp_ms=1700200000000,
+                     branch="audit")
+        mpath = current_metadata_path(t)
+        # main untouched
+        main = {r.id: r.v for r in
+                read_data_at_snapshot(spark, mpath).collect()}
+        assert main == {i: f"v{i}" for i in range(8)}, v3
+        # branch sees delete + update chained
+        staged = {r.id: r.v for r in read_data_at_snapshot(
+            spark, mpath, ref="audit").collect()}
+        want = {i: (f"u{i}" if i in (2, 3) else f"v{i}")
+                for i in range(2, 8)}
+        assert staged == want, v3
+        # publish
+        fast_forward(t, "audit")
+        pub = {r.id: r.v for r in read_data_at_snapshot(
+            spark, current_metadata_path(t)).collect()}
+        assert pub == want, v3
+        # a tag refuses branch DML
+        from hielo_spark.metadata.commit import create_ref
+
+        doc_cur = json.load(open(current_metadata_path(t)))
+        create_ref(t, "rel", doc_cur["current-snapshot-id"],
+                   ref_type="tag")
+        with pytest.raises(ValueError, match="tag"):
+            delete_where(spark, t, "id = 5",
+                         snapshot_id=104, timestamp_ms=1700300000000,
+                         branch="rel")
