@@ -3662,9 +3662,14 @@ def delete_where(
             and doc.get("next-row-id") is not None
         )
         sfs = _conjunct_skip_filters(condition)
+        # no explicit snapshot id on the main branch: an explicit id
+        # scans under the snapshot's RECORDED schema, but UPDATE
+        # evaluates under the CURRENT schema (metadata-only evolution
+        # bumps current-schema-id without a snapshot). Branch DML
+        # passes the branch head explicitly.
         live = read_data_at_snapshot(
             spark, current_metadata_path(table_dir),
-            snapshot_id=base_id,  # the branch head under branch DML
+            snapshot_id=base_id if branch is not None else None,
             skip_filter=sfs[0] if sfs else None,
             keep_row_coords=True,
             row_lineage=fv3_lineage,
@@ -5386,6 +5391,7 @@ def merge_into(
     extra_summary: dict[str, str] | None = None,
     extra_properties: dict[str, str] | None = None,
     extra_delete_keys: DataFrame | None = None,
+    branch: str | None = None,
 ) -> dict | None:
     """``MERGE INTO`` as a SINGLE merge-on-read snapshot (the Iceberg
     v2 row-level-operations shape, SURVEY §2.1 S11): one commit carries
@@ -5415,6 +5421,10 @@ def merge_into(
     match no live target row are dropped (idempotent re-apply stays a
     no-op).
 
+    ``branch`` stages the merge on that branch (WAP): match split and
+    deletes base on the BRANCH head, only the branch ref moves, main
+    readers see nothing until ``fast_forward`` publishes.
+
     Scale: the match split is one distributed semi/anti join of the
     source against the target's live rows (delete-key side is
     ``on``-projected + distinct — small by construction); data files
@@ -5437,7 +5447,16 @@ def merge_into(
         raise ValueError(f"key columns missing from source: {missing}")
 
     doc, prev_version = _load_doc(table_dir)
-    if doc.get("current-snapshot-id") is None:
+    # branch-scoped merge (WAP): base on the branch head, move only
+    # the branch ref (same contract as delete_where/append)
+    base_id = doc.get("current-snapshot-id")
+    if branch is not None:
+        ref = doc.get("refs", {}).get(branch)
+        if ref is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            base_id = int(ref["snapshot-id"])
+    if base_id is None:
         raise ValueError("cannot merge into a table with no current snapshot")
     seq = int(doc.get("last-sequence-number", 0)) + 1
     snapshot_id = (
@@ -5449,7 +5468,15 @@ def merge_into(
     )
     mdir = os.path.join(table_dir, "metadata")
 
-    target = read_data_at_snapshot(spark, current_metadata_path(table_dir))
+    # main-branch merges read WITHOUT an explicit snapshot id: an
+    # explicit id scans under the snapshot's RECORDED schema, but DML
+    # evaluates under the CURRENT schema (a metadata-only evolution
+    # bumps current-schema-id without a snapshot). Branch merges pass
+    # the branch head explicitly; its recorded schema applies.
+    target = read_data_at_snapshot(
+        spark, current_metadata_path(table_dir),
+        snapshot_id=base_id if branch is not None else None,
+    )
     if when_matched == "update" or when_not_matched == "insert":
         if set(source_df.columns) != set(target.columns):
             raise ValueError(
@@ -5500,7 +5527,7 @@ def merge_into(
         target.join(delete_keys, on, "left_semi").count() if n_delete_keys else 0
     )
 
-    manifest_rows = _carry_forward_rows(spark, mdir, doc)
+    manifest_rows = _carry_forward_rows(spark, mdir, doc, base_id)
 
     fv = int(doc.get("format-version", 2))
     del_parts: list[str] = []
@@ -5508,8 +5535,7 @@ def merge_into(
     dv_net_files = 0
     dv_net_bytes = 0
     current = next(
-        s for s in doc["snapshots"]
-        if s["snapshot-id"] == doc["current-snapshot-id"]
+        s for s in doc["snapshots"] if s["snapshot-id"] == base_id
     )
     if n_delete_keys and fv >= 3:
         # v3 merge: resolve the matched keys to ROW POSITIONS and commit
@@ -5793,12 +5819,14 @@ def merge_into(
                 "total-records": str(prior_total - n_deleted_rows + added_records),
                 **(extra_summary or {}),
             },
-            doc, doc.get("current-snapshot-id"),
+            doc, base_id,
             len(data_parts),
             sum(os.path.getsize(p) for p in data_parts + del_parts)
             + dv_net_bytes,
             len(del_parts) + dv_net_files,
         ),
+        branch=branch,
+        parent_id=base_id,
         extra_properties=extra_properties,
     )
 

@@ -2596,3 +2596,43 @@ def test_delete_and_update_on_branch(spark, tmp_path):
             delete_where(spark, t, "id = 5",
                          snapshot_id=104, timestamp_ms=1700300000000,
                          branch="rel")
+
+
+def test_merge_on_branch(spark, tmp_path):
+    """WAP merge (r13): merge_into(branch=...) bases its match split
+    on the branch head and moves only the branch ref; chains on staged
+    branch commits; main publishes via fast_forward."""
+    from hielo_spark.metadata.commit import (
+        append,
+        current_metadata_path,
+        delete_where,
+        fast_forward,
+        merge_into,
+    )
+
+    t = str(tmp_path / "t")
+    append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    # stage a delete, then a merge that must see the staged state:
+    # id=0 is deleted on the branch, so the merge INSERTS it anew
+    delete_where(spark, t, "id = 0",
+                 snapshot_id=102, timestamp_ms=1700100000000,
+                 branch="audit")
+    merge_into(
+        spark, t,
+        spark.createDataFrame([(0, "re"), (3, "m3")], ["id", "v"]),
+        on=["id"], snapshot_id=103, timestamp_ms=1700200000000,
+        branch="audit")
+    mpath = current_metadata_path(t)
+    main = {r.id: r.v for r in
+            read_data_at_snapshot(spark, mpath).collect()}
+    assert main == {i: f"v{i}" for i in range(6)}
+    staged = {r.id: r.v for r in read_data_at_snapshot(
+        spark, mpath, ref="audit").collect()}
+    assert staged == {0: "re", 1: "v1", 2: "v2", 3: "m3",
+                      4: "v4", 5: "v5"}
+    fast_forward(t, "audit")
+    pub = {r.id: r.v for r in read_data_at_snapshot(
+        spark, current_metadata_path(t)).collect()}
+    assert pub == staged
