@@ -1189,7 +1189,10 @@ def meta_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('t4_published',           CAST(6 AS BIGINT)),
       ('t5_asof_after_publish',  CAST(6 AS BIGINT)),
       ('t6_expired_snapshots',   CAST(2 AS BIGINT)),
-      ('t7_final_published',     CAST(8 AS BIGINT))
+      ('t7_final_published',     CAST(8 AS BIGINT)),
+      ('t8_dml_staged_via_ref',  CAST(6 AS BIGINT)),
+      ('t9_main_untouched_after_dml', CAST(8 AS BIGINT)),
+      ('t10_dml_published_idsum', CAST(60 AS BIGINT))
     ) AS t(step, n)
     """,
 )
@@ -1239,6 +1242,23 @@ def meta_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     mpath = C.current_metadata_path(t)
     rows.append(("t7_final_published",
                  read_data_at_snapshot(spark, mpath).count()))
+    # r13: branch-scoped row-level DML (WAP DML) — a staged DELETE and
+    # a chained staged UPDATE move only the branch ref until published
+    C.delete_where(spark, t, "id <= 2",
+                   snapshot_id=106, timestamp_ms=1700500000000,
+                   branch="fix")
+    C.update_where(spark, t, "id = 3", {"id": "30"},
+                   snapshot_id=107, timestamp_ms=1700600000000,
+                   branch="fix")
+    mpath = C.current_metadata_path(t)  # the DML commits bumped it
+    rows.append(("t8_dml_staged_via_ref",
+                 read_data_at_snapshot(spark, mpath, ref="fix").count()))
+    rows.append(("t9_main_untouched_after_dml",
+                 read_data_at_snapshot(spark, mpath).count()))
+    C.fast_forward(t, "fix")
+    mpath = C.current_metadata_path(t)
+    rows.append(("t10_dml_published_idsum", sum(
+        r.id for r in read_data_at_snapshot(spark, mpath).collect())))
     return spark.createDataFrame(rows, "step string, n long").orderBy("step")
 
 
