@@ -1789,6 +1789,7 @@ def read_changelog(
     to_snapshot_id: int | None = None,
     compute_updates: bool = False,
     net_changes: bool = False,
+    identifier_columns: list[str] | None = None,
 ) -> DataFrame:
     """CDC changelog between two snapshots (the Iceberg
     ``create_changelog_view`` shape): every row change committed AFTER
@@ -1833,10 +1834,16 @@ def read_changelog(
     ``compute_updates`` — a row updated N times nets to one
     UPDATE_BEFORE/UPDATE_AFTER pair.
 
-    ``compute_updates=True`` (requires a v3 row-lineage table — the
-    Iceberg changelog procedure's update pairing, keyed here by the
-    tracked ``_row_id`` instead of user identifier columns): rows in a
-    diff snapshot whose ``_row_id`` appears on BOTH sides render as
+    ``compute_updates=True`` — the Iceberg changelog procedure's
+    update pairing. The pairing key resolves in order: explicit
+    ``identifier_columns``; else the current schema's recorded
+    ``identifier-field-ids`` (the spec's row identifier); else the
+    tracked v3 ``_row_id`` (requires row lineage — raises when none of
+    the three is available). Key semantics match Iceberg's procedure:
+    identifier columns are assumed row-unique (a duplicated key pairs
+    many-to-many through the semi joins, exactly like the procedure's
+    own output on a malformed identifier). With the ``_row_id`` key:
+    rows in a diff snapshot whose ``_row_id`` appears on BOTH sides render as
     ``UPDATE_BEFORE`` / ``UPDATE_AFTER`` instead of DELETE/INSERT —
     the rendering a lineage-preserving ``update_where`` commits. Every
     row then also carries the ``_row_id`` and
@@ -1848,15 +1855,45 @@ def read_changelog(
 
     with open(metadata_json_path) as f:
         doc = json.load(f)
-    if compute_updates and (
-        int(doc.get("format-version", 2)) < 3
-        or doc.get("next-row-id") is None
-    ):
-        raise ValueError(
-            "compute_updates requires a format-version >= 3 table with "
-            "row lineage (next-row-id) — update pairing is keyed by the "
-            "tracked _row_id"
-        )
+    pair_key: list[str] | None = None
+    use_lineage = False
+    if compute_updates:
+        if identifier_columns:
+            pair_key = list(identifier_columns)
+        else:
+            # the schema's recorded row identifier (spec
+            # identifier-field-ids), resolved to current names
+            blk = next(
+                (
+                    sch for sch in doc.get("schemas", [])
+                    if sch.get("schema-id")
+                    == doc.get("current-schema-id", 0)
+                ),
+                None,
+            )
+            ids = (blk or {}).get("identifier-field-ids") or []
+            by_id = {
+                f["id"]: f["name"] for f in (blk or {}).get("fields", [])
+            }
+            if ids and all(i in by_id for i in ids):
+                pair_key = [by_id[i] for i in ids]
+        if pair_key is None:
+            use_lineage = (
+                int(doc.get("format-version", 2)) >= 3
+                and doc.get("next-row-id") is not None
+            )
+            if not use_lineage:
+                raise ValueError(
+                    "compute_updates needs a pairing key: pass "
+                    "identifier_columns, record identifier-field-ids "
+                    "in the schema, or use a format-version >= 3 "
+                    "table with row lineage (next-row-id)"
+                )
+        else:
+            use_lineage = (
+                int(doc.get("format-version", 2)) >= 3
+                and doc.get("next-row-id") is not None
+            )
     by_id = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
     if to_snapshot_id is None:
         to_snapshot_id = doc.get("current-snapshot-id")
@@ -1894,7 +1931,7 @@ def read_changelog(
         try:
             return read_data_at_snapshot(
                 spark, metadata_json_path, snapshot_id=snap_id,
-                row_lineage=compute_updates,
+                row_lineage=use_lineage,
             )
         except ValueError as e:
             if "no live data files" in str(e):
@@ -1921,7 +1958,7 @@ def read_changelog(
         new_files = [now[p] for p in sorted(set(now) - set(before))]
         if not new_files:
             return None
-        if not compute_updates:
+        if not use_lineage:
             return _read_files_with_partitions(
                 spark, new_files, row_coords="none"
             )
@@ -1961,33 +1998,42 @@ def read_changelog(
             dels = prev_df.select(*cols).exceptAll(now_df.select(*cols))
             ins = now_df.select(*cols).exceptAll(prev_df.select(*cols))
             if compute_updates:
-                # pair by the tracked _row_id: present on BOTH sides
-                # of the diff = the same row updated (a
+                # pair by the resolved key — identifier columns when
+                # declared/passed, else the tracked _row_id: present
+                # on BOTH sides of the diff = the same row updated (a
                 # lineage-preserving UPDATE re-appends it with new
-                # values). Null ids (pre-upgrade files) never match a
-                # semi join, so they stay DELETE/INSERT.
-                upd_ids = (
-                    dels.where(F.col("_row_id").isNotNull())
-                    .select("_row_id")
-                    .intersect(
-                        ins.where(F.col("_row_id").isNotNull())
-                        .select("_row_id")
+                # values). Null keys (pre-upgrade files' null ids)
+                # never match a semi join, so they stay DELETE/INSERT.
+                key = pair_key if pair_key is not None else ["_row_id"]
+                missing = [k for k in key if k not in cols]
+                if missing:
+                    raise ValueError(
+                        f"identifier columns {missing} not present in "
+                        "the changelog range's common columns "
+                        f"({sorted(cols)})"
                     )
+                nn = None
+                for k in key:
+                    c = F.col(k).isNotNull()
+                    nn = c if nn is None else (nn & c)
+                upd_ids = (
+                    dels.where(nn).select(*key)
+                    .intersect(ins.where(nn).select(*key))
                 )
                 pieces.append(tag(
-                    dels.join(upd_ids, "_row_id", "left_semi"),
+                    dels.join(upd_ids, key, "left_semi"),
                     "UPDATE_BEFORE", sid, ordinal,
                 ))
                 pieces.append(tag(
-                    dels.join(upd_ids, "_row_id", "left_anti"),
+                    dels.join(upd_ids, key, "left_anti"),
                     "DELETE", sid, ordinal,
                 ))
                 pieces.append(tag(
-                    ins.join(upd_ids, "_row_id", "left_semi"),
+                    ins.join(upd_ids, key, "left_semi"),
                     "UPDATE_AFTER", sid, ordinal,
                 ))
                 pieces.append(tag(
-                    ins.join(upd_ids, "_row_id", "left_anti"),
+                    ins.join(upd_ids, key, "left_anti"),
                     "INSERT", sid, ordinal,
                 ))
             else:

@@ -296,3 +296,71 @@ def test_changelog_net_changes_without_updates(spark, tmp_path):
     ).collect()
     got = sorted((r._change_type, r.id) for r in cl)
     assert got == [("DELETE", 0), ("INSERT", 8)]
+
+
+def test_changelog_compute_updates_identifier_columns(spark, tmp_path):
+    """Iceberg's changelog procedure pairs by IDENTIFIER columns when
+    given — works on a plain v2 table (no row lineage): an UPDATE
+    renders as UPDATE_BEFORE/UPDATE_AFTER on the identifier key."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.update_where(spark, t, "id IN (1, 3)", {"v": "concat('u', id)"},
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    cl = read_changelog(
+        spark, C.current_metadata_path(t),
+        from_snapshot_id=101, compute_updates=True,
+        identifier_columns=["id"],
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in cl:
+        by_type.setdefault(r._change_type, []).append(r)
+    ub = {r.id: r.v for r in by_type.get("UPDATE_BEFORE", [])}
+    ua = {r.id: r.v for r in by_type.get("UPDATE_AFTER", [])}
+    assert ub == {1: "v1", 3: "v3"}
+    assert ua == {1: "u1", 3: "u3"}
+    assert not by_type.get("DELETE") and not by_type.get("INSERT")
+    # missing identifier column raises loudly
+    with pytest.raises(ValueError, match="identifier columns"):
+        read_changelog(
+            spark, C.current_metadata_path(t),
+            from_snapshot_id=101, compute_updates=True,
+            identifier_columns=["nope"],
+        ).collect()
+
+
+def test_changelog_compute_updates_schema_identifier_fields(spark,
+                                                            tmp_path):
+    """The schema's recorded identifier-field-ids (the spec's row
+    identifier) resolve as the default pairing key — no explicit
+    argument, no lineage required."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    mpath = C.current_metadata_path(t)
+    doc = json.load(open(mpath))
+    for s in doc["schemas"]:
+        if s.get("schema-id") == doc.get("current-schema-id", 0):
+            s["identifier-field-ids"] = [1]  # field 1 = id
+    json.dump(doc, open(mpath, "w"))
+    C.update_where(spark, t, "id = 2", {"v": "'z'"},
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    cl = read_changelog(
+        spark, C.current_metadata_path(t),
+        from_snapshot_id=101, compute_updates=True,
+    ).collect()
+    types = sorted((r._change_type, r.id, r.v) for r in cl)
+    assert types == [("UPDATE_AFTER", 2, "z"), ("UPDATE_BEFORE", 2, "v2")]
+
+
+def test_changelog_compute_updates_v2_without_key_raises(spark,
+                                                         tmp_path):
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.range(3),
+             snapshot_id=101, timestamp_ms=1700000000000)
+    with pytest.raises(ValueError, match="pairing key"):
+        read_changelog(
+            spark, C.current_metadata_path(t), compute_updates=True
+        )
