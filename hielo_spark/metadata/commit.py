@@ -4673,6 +4673,62 @@ def _decimal_parts(t: str) -> tuple[int, int] | None:
         return None
 
 
+def set_identifier_fields(table_dir: str, names: list[str]) -> int:
+    """Record the table's row identifier (spec ``identifier-field-ids``
+    — Iceberg's ``UpdateSchema.setIdentifierFields``): commits a NEW
+    schema entry with the same fields and the identifier set, bumping
+    ``current-schema-id`` (identifier membership is part of the schema
+    object, so changing it is schema evolution). The changelog's
+    ``compute_updates`` then pairs on these columns by default.
+    Empty ``names`` clears the identifier.
+
+    Spec restrictions enforced: fields must exist and be primitive,
+    and float/double can never identify a row (NaN != NaN). The
+    spec also requires identifier fields be ``required``; this engine
+    records all columns as optional (documented posture) — the
+    changelog pairing treats a null key as unmatchable, which is the
+    safe rendering for that relaxation. Returns the new schema id."""
+    doc, prev_version = _load_doc(table_dir)
+    if "schemas" not in doc:
+        raise ValueError("table has no recorded schema (commit data first)")
+    cur = next(
+        s for s in doc["schemas"]
+        if s.get("schema-id") == doc.get("current-schema-id", 0)
+    )
+    by_name = {f["name"]: f for f in cur.get("fields", [])}
+    ids: list[int] = []
+    for n in names:
+        f = by_name.get(n)
+        if f is None:
+            raise ValueError(
+                f"identifier field {n!r} not in schema "
+                f"(have {sorted(by_name)})"
+            )
+        t = f.get("type")
+        if not isinstance(t, str) or t in ("float", "double"):
+            raise ValueError(
+                f"identifier field {n!r} has type {t!r} — identifier "
+                "fields must be primitive and never float/double"
+            )
+        ids.append(int(f["id"]))
+    new_id = max(
+        int(s.get("schema-id", 0)) for s in doc["schemas"]
+    ) + 1
+    new_schema = {
+        **{k: v for k, v in cur.items() if k != "schema-id"},
+        "schema-id": new_id,
+    }
+    if ids:
+        new_schema["identifier-field-ids"] = ids
+    else:
+        new_schema.pop("identifier-field-ids", None)
+    doc = dict(doc)
+    doc["schemas"] = list(doc["schemas"]) + [new_schema]
+    doc["current-schema-id"] = new_id
+    _commit_doc(table_dir, doc, prev_version)
+    return new_id
+
+
 def update_schema(
     table_dir: str,
     add: list[tuple[str, str]] | None = None,

@@ -364,3 +364,51 @@ def test_changelog_compute_updates_v2_without_key_raises(spark,
         read_changelog(
             spark, C.current_metadata_path(t), compute_updates=True
         )
+
+
+def test_set_identifier_fields_commit(spark, tmp_path):
+    """set_identifier_fields records the spec identifier as a new
+    schema entry; compute_updates then defaults to it; float columns
+    and unknown names refuse; empty clears."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(4)],
+        StructType([
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("score", DoubleType()),
+        ])),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    sid = C.set_identifier_fields(t, ["id"])
+    doc = json.load(open(C.current_metadata_path(t)))
+    assert doc["current-schema-id"] == sid
+    blk = next(s for s in doc["schemas"] if s["schema-id"] == sid)
+    assert blk["identifier-field-ids"] == [1]
+    with pytest.raises(ValueError, match="float/double"):
+        C.set_identifier_fields(t, ["score"])
+    with pytest.raises(ValueError, match="not in schema"):
+        C.set_identifier_fields(t, ["nope"])
+
+    C.update_where(spark, t, "id = 2", {"v": "'z'"},
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    cl = read_changelog(
+        spark, C.current_metadata_path(t),
+        from_snapshot_id=101, compute_updates=True,
+    ).collect()
+    assert sorted((r._change_type, r.id) for r in cl) == [
+        ("UPDATE_AFTER", 2), ("UPDATE_BEFORE", 2)]
+    # clearing: compute_updates then needs an explicit key again (v2)
+    C.set_identifier_fields(t, [])
+    with pytest.raises(ValueError, match="pairing key"):
+        read_changelog(
+            spark, C.current_metadata_path(t),
+            from_snapshot_id=101, compute_updates=True,
+        )
