@@ -5439,7 +5439,7 @@ def merge_into(
     spark: SparkSession,
     table_dir: str,
     source_df: DataFrame,
-    on: list[str],
+    on: list[str] | None = None,
     when_matched: str | None = "update",
     when_not_matched: str | None = "insert",
     snapshot_id: int | None = None,
@@ -5477,6 +5477,11 @@ def merge_into(
     match no live target row are dropped (idempotent re-apply stays a
     no-op).
 
+    ``on=None`` defaults to the table's recorded row identifier
+    (spec ``identifier-field-ids``; commit one with
+    ``set_identifier_fields``) — Iceberg's upsert shape; raises when
+    the table records none.
+
     ``branch`` stages the merge on that branch (WAP): match split and
     deletes base on the BRANCH head, only the branch ref moves, main
     readers see nothing until ``fast_forward`` publishes.
@@ -5496,13 +5501,31 @@ def merge_into(
         raise ValueError("when_not_matched must be 'insert' or None")
     if when_matched is None and when_not_matched is None:
         raise ValueError("merge with no clauses is a no-op by construction")
+
+    doc, prev_version = _load_doc(table_dir)
     if not on:
-        raise ValueError("merge requires at least one key column")
+        # Iceberg upsert default: the table's recorded row identifier
+        # (spec identifier-field-ids; set_identifier_fields commits it)
+        blk = next(
+            (
+                sch for sch in doc.get("schemas", [])
+                if sch.get("schema-id") == doc.get("current-schema-id", 0)
+            ),
+            None,
+        )
+        ids = (blk or {}).get("identifier-field-ids") or []
+        by_id = {f["id"]: f["name"] for f in (blk or {}).get("fields", [])}
+        if ids and all(i in by_id for i in ids):
+            on = [by_id[i] for i in ids]
+        else:
+            raise ValueError(
+                "merge requires at least one key column (pass on=[...] "
+                "or record the table's identifier via "
+                "set_identifier_fields)"
+            )
     missing = [c for c in on if c not in source_df.columns]
     if missing:
         raise ValueError(f"key columns missing from source: {missing}")
-
-    doc, prev_version = _load_doc(table_dir)
     # branch-scoped merge (WAP): base on the branch head, move only
     # the branch ref (same contract as delete_where/append)
     base_id = doc.get("current-snapshot-id")

@@ -2636,3 +2636,29 @@ def test_merge_on_branch(spark, tmp_path):
     pub = {r.id: r.v for r in read_data_at_snapshot(
         spark, current_metadata_path(t)).collect()}
     assert pub == staged
+
+
+def test_merge_defaults_to_identifier_fields(spark, tmp_path):
+    """merge_into(on=None) resolves the key from the table's recorded
+    identifier-field-ids (Iceberg upsert); without one it raises."""
+    from hielo_spark.metadata.commit import (
+        append,
+        current_metadata_path,
+        merge_into,
+        set_identifier_fields,
+    )
+
+    t = str(tmp_path / "t")
+    append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    src = spark.createDataFrame([(2, "up"), (9, "new")], ["id", "v"])
+    with pytest.raises(ValueError, match="identifier"):
+        merge_into(spark, t, src, on=None,
+                   snapshot_id=102, timestamp_ms=1700100000000)
+    set_identifier_fields(t, ["id"])
+    merge_into(spark, t, src, on=None,
+               snapshot_id=102, timestamp_ms=1700100000000)
+    got = {r.id: r.v for r in read_data_at_snapshot(
+        spark, current_metadata_path(t)).collect()}
+    assert got == {0: "v0", 1: "v1", 2: "up", 3: "v3", 9: "new"}
