@@ -486,7 +486,18 @@ class _ScanPartition(InputPartition):
     def __init__(self, path, seq, pos_deletes, eq_deletes, columns,
                  pvals=None, out_names=None, scan_log=None,
                  frid=None, lineage=False, dv_ref=None,
-                 table_root=None, vx_filters=None, col_filters=None):
+                 table_root=None, vx_filters=None, col_filters=None,
+                 invert_deletes=False, prior_pos_deletes=None,
+                 prior_dv_ref=None):
+        # CDC before-image mode (changes surface, delete/update
+        # commits): emit ONLY the rows the attached deletes name,
+        # MINUS positions the PRIOR state had already deleted (a v3
+        # DV replacement unions its predecessor; v2 re-deletes are
+        # no-ops) — the commit's newly-deleted rows, scanned straight
+        # off the referenced file with no diff
+        self.invert_deletes = invert_deletes
+        self.prior_pos_deletes = prior_pos_deletes
+        self.prior_dv_ref = prior_dv_ref
         # pushed comparison filters on variant-extract columns:
         # [(src_col, aliases, field, op, value)] — used ONLY for
         # row-group pruning on the shredded typed subcolumn's footer
@@ -763,7 +774,6 @@ def _read_partition(part: _ScanPartition):
             else np.empty(0, dtype=np.int64)
         )
 
-    doomed_parts: list["np.ndarray"] = []
     me = os.path.abspath(part.path)
     cset = {part.path, "file:" + part.path, me,
             "file:" + me, "file://" + me}
@@ -773,59 +783,87 @@ def _read_partition(part: _ScanPartition):
         if not rel.startswith(".."):
             cset |= {rel, "./" + rel}
     cands = list(cset)
-    for dpath, _dseq in part.pos_deletes or ():
-        dt = pq.read_table(
-            dpath, columns=["file_path", "pos"],
-            filters=[("file_path", "in", cands)],
-        )
-        if not dt.num_rows:
-            dt = pq.read_table(dpath, columns=["file_path", "pos"])
-            # normalize per DISTINCT path (few), then one is_in filter
-            uniq = pc.unique(dt.column("file_path").combine_chunks())
-            mine = [
-                u for u in uniq.to_pylist()
-                if os.path.abspath(
-                    _norm_path(u, part.table_root)
-                ) == me
-            ]
-            if not mine:
-                continue
-            dt = dt.filter(
-                pc.is_in(dt.column("file_path"),
-                         value_set=pa.array(mine, type=uniq.type))
-            )
-        if dt.num_rows:
-            doomed_parts.append(
-                dt.column("pos")
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-    if part.dv_ref is not None:
-        # v3 deletion vector: read this file's ≤8 KiB blob REGION and
-        # decode the roaring bitmap in-task (already a numpy vector)
-        from ..metadata.puffin import decode_dv_payload
 
-        ppath, off, size = part.dv_ref
-        with open(ppath, "rb") as fh:
-            fh.seek(off)
-            payload = fh.read(size)
-        doomed_parts.append(
-            np.asarray(decode_dv_payload(payload), dtype=np.int64)
-        )
-    kept_pos = None
-    if doomed_parts:
-        doomed = np.unique(np.concatenate(doomed_parts))
+    def _collect_doomed(pos_dels, dv_ref) -> "np.ndarray":
+        """ABSOLUTE file positions the given delete refs name for
+        THIS file (sorted unique numpy vector)."""
+        parts_: list["np.ndarray"] = []
+        for dpath, _dseq in pos_dels or ():
+            dt = pq.read_table(
+                dpath, columns=["file_path", "pos"],
+                filters=[("file_path", "in", cands)],
+            )
+            if not dt.num_rows:
+                dt = pq.read_table(dpath, columns=["file_path", "pos"])
+                # normalize per DISTINCT path (few), then one is_in
+                # filter
+                uniq = pc.unique(
+                    dt.column("file_path").combine_chunks()
+                )
+                mine = [
+                    u for u in uniq.to_pylist()
+                    if os.path.abspath(
+                        _norm_path(u, part.table_root)
+                    ) == me
+                ]
+                if not mine:
+                    continue
+                dt = dt.filter(
+                    pc.is_in(dt.column("file_path"),
+                             value_set=pa.array(mine, type=uniq.type))
+                )
+            if dt.num_rows:
+                parts_.append(
+                    dt.column("pos")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+        if dv_ref is not None:
+            # v3 deletion vector: read this file's ≤8 KiB blob REGION
+            # and decode the roaring bitmap in-task (a numpy vector)
+            from ..metadata.puffin import decode_dv_payload
+
+            ppath, off, size = dv_ref
+            with open(ppath, "rb") as fh:
+                fh.seek(off)
+                payload = fh.read(size)
+            parts_.append(
+                np.asarray(decode_dv_payload(payload), dtype=np.int64)
+            )
+        if not parts_:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts_))
+
+    def _to_local(ab: "np.ndarray") -> "np.ndarray":
+        """Absolute file positions → local indices of the (possibly
+        row-group-pruned) read; positions inside skipped groups
+        vanish."""
         if orig_pos is not None:
-            # absolute file positions → local indices of the pruned
-            # read; positions inside skipped groups vanish (those rows
-            # were never surfaced — the pushed filter excludes them
-            # row-exactly anyway)
-            idx = np.searchsorted(orig_pos, doomed)
+            idx = np.searchsorted(orig_pos, ab)
             inb = idx < orig_pos.size
             idx = idx[inb]
-            doomed = idx[orig_pos[idx] == doomed[inb]]
-        else:
-            doomed = doomed[(doomed >= 0) & (doomed < table.num_rows)]
+            return idx[orig_pos[idx] == ab[inb]]
+        return ab[(ab >= 0) & (ab < table.num_rows)]
+
+    kept_pos = None
+    if getattr(part, "invert_deletes", False):
+        # CDC before-image: keep ONLY the rows the commit's NEW
+        # deletes name, minus positions the prior state had already
+        # deleted (DV replacements union their predecessor)
+        newly = np.setdiff1d(
+            _collect_doomed(part.pos_deletes, part.dv_ref),
+            _collect_doomed(part.prior_pos_deletes,
+                            part.prior_dv_ref),
+        )
+        sel = _to_local(newly)
+        keep = np.zeros(table.num_rows, dtype=bool)
+        keep[sel] = True
+        kept_pos = np.flatnonzero(keep)
+        table = table.filter(pa.array(keep))
+    else:
+        doomed = _collect_doomed(part.pos_deletes, part.dv_ref)
+        if doomed.size:
+            doomed = _to_local(doomed)
         if doomed.size:
             keep = np.ones(table.num_rows, dtype=bool)
             keep[doomed] = False
@@ -1984,10 +2022,12 @@ def _snapshot_lineage(doc: dict, start_id, end_id) -> list[dict]:
 
 
 class _ChangesPartition(InputPartition):
-    def __init__(self, scan: _ScanPartition, snap_id: int, ordinal: int):
+    def __init__(self, scan: _ScanPartition, snap_id: int, ordinal: int,
+                 change_type: str = "INSERT"):
         self.scan = scan
         self.snap_id = snap_id
         self.ordinal = ordinal
+        self.change_type = change_type
 
 
 class HieloIcebergChangesReader(DataSourceReader):
@@ -1999,11 +2039,22 @@ class HieloIcebergChangesReader(DataSourceReader):
     ``_commit_snapshot_id`` / ``_change_ordinal``). Each append's files
     come from ITS OWN manifest list (status=1 entries it added), so a
     later compaction never drops its changes; replace snapshots emit
-    nothing (no logical row change); delete/overwrite snapshots raise —
-    their changelog needs the multiset diff only the JVM plane runs
-    (``metadata.read_changelog``). Deletes committed later are separate
-    changes, so insert scans read the raw files (no MOR application) —
-    the Iceberg changelog contract."""
+    nothing (no logical row change). Deletes committed later are
+    separate changes, so insert scans read the raw files (no MOR
+    application) — the Iceberg changelog contract.
+
+    r13: ``delete_where`` / ``update_where`` commits RENDER without a
+    diff — their new position deletes (v2) / DVs (v3) NAME the before
+    rows, which scan straight off the referenced files in inverted
+    delete mode (minus positions the parent state had already deleted;
+    a DV replacement unions its predecessor), and an update's staged
+    re-append is the after image (``UPDATE_BEFORE``/``UPDATE_AFTER``;
+    plain deletes emit ``DELETE``). Scale: one bounded scan per
+    touched file per commit — no whole-table diff, the property that
+    matters when a consumer catches up over many DML commits on a
+    100 TB table. Equality-delete commits (merge) and dynamic
+    overwrites still raise toward ``metadata.read_changelog`` — their
+    before image genuinely needs the multiset diff."""
 
     def __init__(self, table_dir: str, options, schema_cols):
         self.table_dir = table_dir
@@ -2045,14 +2096,87 @@ class HieloIcebergChangesReader(DataSourceReader):
             )
         fv = doc.get("format-version", 2)
         # many-small-file appends pack into target-sized tasks exactly
-        # like the batch scan — grouped per (snapshot, ordinal) so the
-        # change-metadata columns stay per-partition constants
+        # like the batch scan — grouped per (snapshot, ordinal,
+        # change_type) so the change-metadata columns stay
+        # per-partition constants
+        by_id = {int(x["snapshot-id"]): x for x in doc.get("snapshots", [])}
+
+        def _pd_bounds(e):
+            lo_m = e["data_file"].get("lower_bounds_str") or {}
+            hi_m = e["data_file"].get("upper_bounds_str") or {}
+            lo = (lo_m or {}).get("file_path")
+            hi = (hi_m or {}).get("file_path")
+            if lo is None or hi is None:
+                return None, None
+            lo2, hi2 = lo.removeprefix("file:"), hi.removeprefix("file:")
+            if not (lo2.startswith("/") and hi2.startswith("/")):
+                return None, None  # foreign path forms: never prune
+            return lo2, hi2
+
+        def _delete_state(mlist_path):
+            """One manifest-list pass → (live data entries by norm
+            path, position-delete refs, best DV per data file, any
+            live equality deletes?)."""
+            live, pos_refs, dvb = {}, [], {}
+            live_eq = False
+            for m, e in _manifest_entries(mlist_path, fv):
+                content = e["data_file"].get("content", 0)
+                path = _norm_path(
+                    e["data_file"]["file_path"], self.table_dir
+                )
+                if content == 0:
+                    live[path] = e
+                elif content == 1:
+                    refd = e["data_file"].get("referenced_data_file")
+                    if refd is not None:
+                        ref = os.path.abspath(
+                            _norm_path(refd, self.table_dir)
+                        )
+                        prev = dvb.get(ref)
+                        added = e.get("snapshot_id")                             or m.get("added_snapshot_id")
+                        if prev is None or (e["_seq"] or 0) > (
+                            prev[1] or 0
+                        ):
+                            dvb[ref] = (path, e["_seq"],
+                                        e["data_file"],
+                                        int(added or -2))
+                    else:
+                        added = e.get("snapshot_id")                             or m.get("added_snapshot_id")
+                        pos_refs.append(
+                            (path, e["_seq"], *_pd_bounds(e),
+                             int(added or -2))
+                        )
+                elif content == 2:
+                    live_eq = True
+            return live, pos_refs, dvb, live_eq
+
+        def _dv_ref_of(dv):
+            _ppath, _dseq, rec, _added = dv
+            return (
+                _ppath,
+                int(rec["content_offset"]),
+                int(rec["content_size_in_bytes"]),
+            )
+
         groups: dict[tuple, tuple[list, list]] = {}
+
+        def _add_scan(key, scan, size):
+            scans, szs = groups.setdefault(key, ([], []))
+            scans.append(scan)
+            szs.append(size)
+
         for ordinal, s in enumerate(chain):
-            op = s.get("summary", {}).get("operation")
+            summary = s.get("summary", {})
+            op = summary.get("operation")
             if op == "replace":
                 continue  # compaction: no logical row change
-            if op != "append":
+            snap_id = int(s["snapshot-id"])
+            mlist = _resolve_rel(
+                os.path.join(self.table_dir, "metadata", "x"),
+                s["manifest-list"],
+            )
+            is_update = op == "overwrite" and "updated-records" in summary
+            if op not in ("append", "delete") and not is_update:
                 # ValueError, NOT NotImplementedError: the DataSource
                 # protocol treats NotImplementedError from partitions()
                 # as the "single partition" sentinel and swallows it
@@ -2061,34 +2185,109 @@ class HieloIcebergChangesReader(DataSourceReader):
                     f"(operation={op!r}) — its changelog needs the "
                     "multiset diff; use metadata.read_changelog"
                 )
-            snap_id = int(s["snapshot-id"])
-            mlist = _resolve_rel(
-                os.path.join(self.table_dir, "metadata", "x"),
-                s["manifest-list"],
+            if op in ("delete",) or is_update:
+                # before-image rendering without a diff: the commit's
+                # NEW position deletes / DVs NAME the deleted rows —
+                # scan them straight off the referenced files, minus
+                # whatever the PARENT state had already deleted
+                parent = s.get("parent-snapshot-id")
+                psnap = by_id.get(int(parent)) if parent is not None                     else None
+                if psnap is None:
+                    raise ValueError(
+                        f"changes range crosses snapshot "
+                        f"{s['snapshot-id']} (operation={op!r}) whose "
+                        "parent is unavailable — use "
+                        "metadata.read_changelog"
+                    )
+                p_mlist = _resolve_rel(
+                    os.path.join(self.table_dir, "metadata", "x"),
+                    psnap["manifest-list"],
+                )
+                p_live, p_pos, p_dvb, p_eq = _delete_state(p_mlist)
+                _s_live, s_pos, s_dvb, s_eq = _delete_state(mlist)
+                if p_eq or s_eq:
+                    # a live equality delete makes the position-named
+                    # before-image inexact (eq-deleted rows are not
+                    # positions) — the diff plane stays exact
+                    raise ValueError(
+                        f"changes range crosses snapshot "
+                        f"{s['snapshot-id']} with equality deletes in "
+                        "play — use metadata.read_changelog"
+                    )
+                new_pos = [
+                    r for r in s_pos if r[4] == snap_id
+                ]
+                new_dvs = {
+                    ref: dv for ref, dv in s_dvb.items()
+                    if dv[3] == snap_id
+                }
+                before_key = (
+                    snap_id, ordinal,
+                    "UPDATE_BEFORE" if is_update else "DELETE",
+                )
+                for path, e in p_live.items():
+                    ab = os.path.abspath(path)
+                    seq = e["_seq"]
+                    my_new = [
+                        (dpath, dseq)
+                        for dpath, dseq, lo, hi, _a in new_pos
+                        if lo is None or hi is None or lo <= path <= hi
+                    ]
+                    ndv = new_dvs.get(ab)
+                    if not my_new and ndv is None:
+                        continue  # commit didn't touch this file
+                    my_prior = [
+                        (dpath, dseq)
+                        for dpath, dseq, lo, hi, _a in p_pos
+                        if (lo is None or hi is None
+                            or lo <= path <= hi)
+                        and (seq is None or dseq is None or dseq >= seq)
+                    ]
+                    pdv = p_dvb.get(ab)
+                    _add_scan(
+                        before_key,
+                        _ScanPartition(
+                            path, seq, my_new, [], self.schema_cols,
+                            pvals=e["data_file"].get("partition_values"),
+                            table_root=self.table_dir,
+                            invert_deletes=True,
+                            prior_pos_deletes=my_prior,
+                            prior_dv_ref=(
+                                _dv_ref_of(pdv) if pdv else None
+                            ),
+                            dv_ref=_dv_ref_of(ndv) if ndv else None,
+                        ),
+                        int(e["data_file"].get("file_size_in_bytes")
+                            or 0),
+                    )
+                if not is_update:
+                    continue  # plain DELETE: no after-image
+            after_type = (
+                "UPDATE_AFTER"
+                if (op == "overwrite" and "updated-records" in summary)
+                else "INSERT"
             )
             for m, e in _manifest_entries(mlist, fv):
                 if e["data_file"].get("content", 0) != 0:
                     continue
                 added_by = e.get("snapshot_id") or m.get("added_snapshot_id")
                 if e.get("status") == 1 and int(added_by or -2) == snap_id:
-                    scans, szs = groups.setdefault(
-                        (snap_id, ordinal), ([], [])
-                    )
-                    scans.append(
+                    _add_scan(
+                        (snap_id, ordinal, after_type),
                         _ScanPartition(
                             e["data_file"]["file_path"]
                             .removeprefix("file:"),
                             e["_seq"], [], [], self.schema_cols,
                             pvals=e["data_file"].get("partition_values"),
-                        )
-                    )
-                    szs.append(
-                        int(e["data_file"].get("file_size_in_bytes") or 0)
+                        ),
+                        int(e["data_file"].get("file_size_in_bytes") or 0),
                     )
         parts = []
-        for (snap_id, ordinal), (scans, szs) in groups.items():
+        for (snap_id, ordinal, ctype), (scans, szs) in groups.items():
             for packed in _pack_scan_tasks(scans, szs, doc, self.options):
-                parts.append(_ChangesPartition(packed, snap_id, ordinal))
+                parts.append(
+                    _ChangesPartition(packed, snap_id, ordinal, ctype)
+                )
         return parts or [_ChangesPartition(
             _ScanPartition(None, None, [], [], self.schema_cols), 0, 0)]
 
@@ -2107,7 +2306,11 @@ class HieloIcebergChangesReader(DataSourceReader):
                 t = pa.Table.from_batches([batch])
                 n = t.num_rows
                 t = t.append_column(
-                    "_change_type", pa.array(["INSERT"] * n, pa.string())
+                    "_change_type",
+                    pa.array(
+                        [getattr(partition, "change_type", "INSERT")] * n,
+                        pa.string(),
+                    ),
                 )
                 t = t.append_column(
                     "_commit_snapshot_id",

@@ -1142,13 +1142,16 @@ def test_changes_surface_append_changelog(registered, spark, tmp_path):
             .option("to-snapshot-id", "102").load(t).collect())
     assert sorted(r.id for r in part) == [3, 4]
 
-    # a delete snapshot in range refuses toward read_changelog
+    # a delete snapshot in range RENDERS (r13): its new position
+    # deletes / DVs name the deleted rows — no diff needed
     C.delete_where(spark, t, "id = 0",
                    snapshot_id=105, timestamp_ms=1700400000000)
-    with pytest.raises(Exception, match="read_changelog"):
-        (spark.read.format("hielo_iceberg")
-         .option("surface", "changes").load(t).collect())
-    # but a range stopping before it still works
+    full2 = (spark.read.format("hielo_iceberg")
+             .option("surface", "changes").load(t).collect())
+    dels = [(r.id, r._commit_snapshot_id) for r in full2
+            if r._change_type == "DELETE"]
+    assert dels == [(0, 105)]
+    # a range stopping before it is unchanged
     ok = (spark.read.format("hielo_iceberg")
           .option("surface", "changes")
           .option("to-snapshot-id", "104").load(t).collect())
@@ -2328,3 +2331,84 @@ def test_write_format_dynamic_partition_overwrite(registered, tmp_path):
 
     doc = json.load(open(C.current_metadata_path(t)))
     assert doc["current-snapshot-id"] == 102
+
+
+def test_changes_surface_renders_delete_and_update(registered, spark,
+                                                   tmp_path):
+    """r13: delete_where / update_where commits render on the changes
+    surface WITHOUT a diff — the commit's new position deletes (v2) or
+    DVs (v3) name the before rows, the staged re-append is the after
+    image. Re-deletes of already-dead positions never re-render (DV
+    replacements union their predecessor). Agrees with the JVM plane's
+    read_changelog on both format versions."""
+    from hielo_spark.metadata import upgrade_format_version
+    from hielo_spark.metadata.manifests import read_changelog
+
+    for v3 in (False, True):
+        t = str(tmp_path / f"t{'3' if v3 else '2'}")
+        C.append(spark, t, spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], ["id", "v"]),
+            snapshot_id=101, timestamp_ms=1700000000000)
+        if v3:
+            upgrade_format_version(t, 3)
+        C.delete_where(spark, t, "id IN (0, 5)",
+                       snapshot_id=102, timestamp_ms=1700100000000)
+        C.update_where(spark, t, "id IN (1, 6)",
+                       {"v": "concat('u', id)"},
+                       snapshot_id=103, timestamp_ms=1700200000000)
+        # second delete overlapping nothing new dead: id=2
+        C.delete_where(spark, t, "id = 2",
+                       snapshot_id=104, timestamp_ms=1700300000000)
+
+        got = (spark.read.format("hielo_iceberg")
+               .option("surface", "changes")
+               .option("from-snapshot-id", "101").load(t).collect())
+        by = {}
+        for r in got:
+            by.setdefault((r._commit_snapshot_id, r._change_type),
+                          []).append((r.id, r.v))
+        assert sorted(by[(102, "DELETE")]) == [(0, "v0"), (5, "v5")], v3
+        assert sorted(by[(103, "UPDATE_BEFORE")]) == [
+            (1, "v1"), (6, "v6")], v3
+        assert sorted(by[(103, "UPDATE_AFTER")]) == [
+            (1, "u1"), (6, "u6")], v3
+        assert sorted(by[(104, "DELETE")]) == [(2, "v2")], v3
+        assert set(by) == {(102, "DELETE"), (103, "UPDATE_BEFORE"),
+                           (103, "UPDATE_AFTER"), (104, "DELETE")}, v3
+
+        # plane agreement: same multiset as read_changelog's rendering
+        jvm = read_changelog(
+            spark, C.current_metadata_path(t), from_snapshot_id=101
+        ).collect()
+        jvm_del = sorted(
+            (r.id, r.v, r._commit_snapshot_id) for r in jvm
+            if r._change_type == "DELETE")
+        ds_del = sorted(
+            (r.id, r.v, r._commit_snapshot_id) for r in got
+            if r._change_type in ("DELETE", "UPDATE_BEFORE"))
+        assert jvm_del == ds_del, v3
+        jvm_ins = sorted(
+            (r.id, r.v, r._commit_snapshot_id) for r in jvm
+            if r._change_type == "INSERT")
+        ds_ins = sorted(
+            (r.id, r.v, r._commit_snapshot_id) for r in got
+            if r._change_type in ("INSERT", "UPDATE_AFTER"))
+        assert jvm_ins == ds_ins, v3
+
+
+def test_changes_surface_equality_deletes_still_refuse(registered,
+                                                       spark, tmp_path):
+    """Equality deletes name KEYS, not positions — the before image
+    needs the diff; the changes surface refuses toward
+    read_changelog."""
+    t = str(tmp_path / "t")
+    C.append(spark, t, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], ["id", "v"]),
+        snapshot_id=101, timestamp_ms=1700000000000)
+    C.merge_into(
+        spark, t, spark.createDataFrame([(1, "m")], ["id", "v"]),
+        on=["id"], snapshot_id=102, timestamp_ms=1700100000000)
+    with pytest.raises(Exception, match="read_changelog"):
+        (spark.read.format("hielo_iceberg")
+         .option("surface", "changes")
+         .option("from-snapshot-id", "101").load(t).collect())
