@@ -73,9 +73,22 @@ def health_metrics(snapshots: DataFrame, as_of: str) -> DataFrame:
         summ.isNotNull().alias("has_summary"),
     )
     ts = F.col("committed_at")
-    ord_key = F.struct(ts, F.col("snapshot_id"))
+    # Hash-aggregatable ordering key (r13): the r12 form ordered max_by by
+    # struct(ts, snapshot_id); struct-typed aggregation buffers are not
+    # mutable, which forced the ENTIRE aggregation into SortAggregate — a
+    # per-partition sort of the whole snapshots table at any scale. The
+    # same order encoded as one DECIMAL(38,0) — unix_micros(ts)·10²⁰ +
+    # snapshot_id, exact because micros ≤ 16 digits and ids (< 10²⁰) are
+    # unique — keeps every buffer slot mutable, so the plan lowers to
+    # partial/final HashAggregate. Ordering is identical: the encoding is
+    # strictly monotone in (ts, snapshot_id), and ids are unique so no
+    # ties existed for the struct form to break differently.
+    ord_key = F.unix_micros(ts).cast("decimal(38,0)") * F.expr(
+        "CAST(100000000000000000000 AS DECIMAL(21,0))"  # 10^20
+    ) + F.col("snapshot_id").cast("decimal(38,0)")
     comp = is_compaction()
     sized = F.col("sized")
+    sized_ord = F.when(sized, ord_key)  # null ordering rows are skipped
     op_lower = F.lower(F.col("operation"))
 
     agg = flat.groupBy("table_name").agg(
@@ -84,16 +97,20 @@ def health_metrics(snapshots: DataFrame, as_of: str) -> DataFrame:
         F.sum((ts > t - F.expr("INTERVAL 1 HOUR")).cast("int")).alias("snapshots_last_hour"),
         F.sum((ts > t - F.expr("INTERVAL 1 DAY")).cast("int")).alias("snapshots_last_day"),
         F.sum((ts > t - F.expr("INTERVAL 7 DAYS")).cast("int")).alias("snapshots_last_week"),
-        # latest snapshot state (O6) for file health + freshness
+        # latest snapshot state (O6) for file health + freshness — scalar
+        # max_by per consumed field (same unique ord → same row)
         F.max(ts).alias("latest_ts"),
-        F.max_by(F.struct(F.col("added_files"), F.col("size_bytes"), F.col("has_summary")), ord_key).alias("latest"),
+        F.max_by(F.col("added_files"), ord_key).alias("latest_added_files"),
+        F.max_by(F.col("size_bytes"), ord_key).alias("latest_size_bytes"),
         # A5 — compaction timestamps (min/max/count under the F5 predicate)
         F.min(F.when(comp, ts)).alias("first_compaction_ts"),
         F.max(F.when(comp, ts)).alias("last_compaction_ts"),
         F.sum(comp.cast("int")).alias("compaction_count"),
         # A6 — storage: first/last sized snapshot + op ratios
-        F.min_by(F.when(sized, F.struct(ts.alias("ts"), F.col("size_gb").alias("gb"))), F.when(sized, ord_key)).alias("first_sized"),
-        F.max_by(F.when(sized, F.struct(ts.alias("ts"), F.col("size_gb").alias("gb"))), F.when(sized, ord_key)).alias("last_sized"),
+        F.min_by(ts, sized_ord).alias("first_sized_ts"),
+        F.min_by(F.col("size_gb"), sized_ord).alias("first_sized_gb"),
+        F.max_by(ts, sized_ord).alias("last_sized_ts"),
+        F.max_by(F.col("size_gb"), sized_ord).alias("last_sized_gb"),
         F.sum(sized.cast("int")).alias("sized_count"),
         F.sum(F.col("has_summary").cast("int")).alias("ops_with_summary"),
         F.sum((F.col("has_summary") & op_lower.contains("delete")).cast("int")).alias("delete_ops"),
@@ -130,8 +147,8 @@ def health_metrics(snapshots: DataFrame, as_of: str) -> DataFrame:
     ).otherwise(F.lit(0.0))
 
     # A7 — file health from the latest snapshot only (analytics.rs:63-126)
-    total_files = F.coalesce(F.col("latest.added_files"), F.lit(0))
-    total_size_bytes = F.col("latest.size_bytes")
+    total_files = F.coalesce(F.col("latest_added_files"), F.lit(0))
+    total_size_bytes = F.col("latest_size_bytes")
     avg_mb = F.when(total_files > 0, total_size_bytes / total_files / F.lit(1024.0 * 1024.0)).otherwise(F.lit(0.0))
     fcnt = total_files.cast("double")
     tiny = (
@@ -154,13 +171,13 @@ def health_metrics(snapshots: DataFrame, as_of: str) -> DataFrame:
     small_ratio = F.when(total_files > 0, (tiny + small) / fcnt).otherwise(F.lit(0.0))
 
     # A6 — storage efficiency (analytics.rs:209-276)
-    total_size_gb = F.coalesce(F.col("last_sized.gb"), F.lit(0.0))
+    total_size_gb = F.coalesce(F.col("last_sized_gb"), F.lit(0.0))
     growth_days = F.floor(
-        (F.unix_millis(F.col("last_sized.ts")) - F.unix_millis(F.col("first_sized.ts"))) / F.lit(_MS_DAY)
+        (F.unix_millis(F.col("last_sized_ts")) - F.unix_millis(F.col("first_sized_ts"))) / F.lit(_MS_DAY)
     ).cast("double")
     growth_rate = F.when(
         (F.col("sized_count") > 1) & (growth_days > 0),
-        (F.col("last_sized.gb") - F.col("first_sized.gb")) / growth_days,
+        (F.col("last_sized_gb") - F.col("first_sized_gb")) / growth_days,
     ).otherwise(F.lit(0.0))
     delete_ratio = F.when(F.col("ops_with_summary") > 0, F.col("delete_ops") / F.col("ops_with_summary")).otherwise(F.lit(0.0))
     update_ratio = F.when(F.col("ops_with_summary") > 0, F.col("update_ops") / F.col("ops_with_summary")).otherwise(F.lit(0.0))

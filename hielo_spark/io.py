@@ -58,6 +58,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism, ONLY when the
+    source has fewer partitions than that (the single-file bench fixture).
+    At real scale the scan is already parallel and the unconditional
+    ``repartition(defaultParallelism)`` this replaces was a full shuffle of
+    the input corpus — the guide-§2.4 "remove shuffles outright" case. The
+    partition probe is plan-time only (no job)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ``partsupp`` synthesized from the fixture's part and
     supplier tables (the driver testdata ships none, so the five TPC-H

@@ -32,7 +32,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..io import load_table
+from ..io import fan_out, load_table
 
 # ---------------------------------------------------------------------------
 # 1. Orders-derived snapshots (oracle-checkable)
@@ -116,43 +116,51 @@ snapshots AS (
 """
 
 
-# (applicationId, sf_dir, frame) → materialized fixture frame. Real
-# t.snapshots / t.files are STORED metadata tables; without this the
-# optimizer inlines the synthetic map derivation into every summary
-# reference a consumer makes (filter pushdown substitutes the alias:
-# measured 13 copies of map_from_entries in the timeline plan, 4.5× the
-# runtime). localCheckpoint materializes the frame once per session the
-# way storage would, and truncates the lineage so consumers plan against
-# attributes — exactly what they'd see reading the real metadata table.
-_FIXTURE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Real t.snapshots / t.files are STORED metadata tables; without a lineage
+# barrier the optimizer inlines the synthetic map derivation into every
+# summary reference a consumer makes (filter pushdown substitutes the
+# alias: measured 13 copies of map_from_entries in the timeline plan, 4.5×
+# the runtime). localCheckpoint truncates the lineage so consumers plan
+# against attributes — exactly what they'd see reading the real metadata
+# table. The checkpoint is PER CALL: r12 memoized it per (app, sf_dir),
+# which let bench runs 2..N of the meta_* queries reuse a materialized
+# intermediate keyed on the test data — cross-run result caching, removed
+# in r13 (OPTIMIZATION_r13.md). Every invocation now recomputes from the
+# parquet input; the lazy checkpoint materializes inside the timed action.
 
 
-def _memoized(spark: SparkSession, sf_dir: str, frame: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, frame)
-    hit = _FIXTURE_CACHE.get(key)
-    if hit is None:
-        # lazy checkpoint: materializes on first action, not at build time
-        hit = _FIXTURE_CACHE[key] = build().localCheckpoint(eager=False)
-    return hit
-
-
-def snapshots_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def snapshots_from_orders(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+) -> DataFrame:
     """Snapshots table derived from orders, with a real map<string,string>
     ``summary`` column shaped like Iceberg's ``t.snapshots.summary``.
 
     The map carries string values exactly as the Iceberg spec does
     (data.rs:98-108: "all values are strings").
+
+    ``checkpoint=True`` inserts a lineage barrier. Probed per consumer
+    (r13): without the barrier, only the timeline render paths re-inline
+    the summary-map derivation heavily (meta_snapshot_timeline 13×,
+    meta_storage_timeline 3×) — those opt in. Every other [meta] consumer
+    references the map ≤1× (the health suite flattens it once up front),
+    so for them the barrier only cost materialization and defeated column
+    pruning (e.g. snapshot_span reads just table_name+committed_at — with
+    the barrier the full map column was materialized anyway).
     """
-    return _memoized(
-        spark, sf_dir, "snapshots", lambda: _build_snapshots(spark, sf_dir)
-    )
+    if checkpoint:
+        # fan out the orders input before the map projection so the barrier
+        # materializes from parallel tasks (A/B-measured faster than a
+        # single-task store); the no-barrier path feeds a downstream
+        # aggregation/sort whose exchange re-distributes anyway, so fanning
+        # out there would only add a stage (A/B in OPTIMIZATION_r13.md).
+        return _build_snapshots(spark, sf_dir, fan=True).localCheckpoint(eager=False)
+    return _build_snapshots(spark, sf_dir)
 
 
-def _build_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fan out before the (interpreted) map-construction projection: the
-    # fixture parquet is one file → one partition; at real scale the scan
-    # is already parallel and this repartition is a no-op cost-wise.
-    o = load_table(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
+def _build_snapshots(spark: SparkSession, sf_dir: str, fan: bool = False) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    if fan:
+        o = fan_out(o)
     k = F.col("o_orderkey")
     has_summary = (k % 37) != 0
     has_added = has_summary & ((k % 7) != 0)
@@ -213,12 +221,13 @@ files AS (
 
 def files_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Files frame shaped like Iceberg's ``t.files`` metadata table,
-    derived from orders with the ORACLE_FILES_CTE rules."""
-    return _memoized(spark, sf_dir, "files", lambda: _build_files(spark, sf_dir))
+    derived from orders with the ORACLE_FILES_CTE rules. Flat columns, no
+    map → nothing for the optimizer to inline; no barrier needed."""
+    return _build_files(spark, sf_dir)
 
 
 def _build_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
+    o = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     return o.select(
         F.concat(F.lit("tbl_"), (k % 3).cast("string")).alias("table_name"),

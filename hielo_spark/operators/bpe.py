@@ -19,6 +19,8 @@ corpus), making cross-run driver checks possible.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
@@ -113,18 +115,30 @@ def bpe_token_stats(
 ) -> DataFrame:
     """Per-document token counts under the learned BPE: (id, n_words,
     n_tokens, n_chars). Arrow-batched; the merge table ships once per
-    executor in the closure (KBs)."""
+    executor in the closure (KBs).
+
+    Iterator form + per-task word memo (r13, guide §4.5): word frequency
+    is Zipfian, so most occurrences repeat a word the task has already
+    encoded — the greedy merge loop runs once per DISTINCT word per task
+    instead of once per occurrence (token count is a pure function of the
+    word, so results are identical). Memo size is bounded by the task's
+    distinct-word count, the same order as the training table."""
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     @F.pandas_udf("long")
-    def count_tokens(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            n = 0
-            for w in str(t or "").lower().split():
-                n += len(encode_word(w, ranks))
-            out.append(n)
-        return pd.Series(out, dtype="int64")
+    def count_tokens(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, int] = {}
+        for texts in batches:
+            out = []
+            for t in texts:
+                n = 0
+                for w in str(t or "").lower().split():
+                    c = memo.get(w)
+                    if c is None:
+                        c = memo[w] = len(encode_word(w, ranks))
+                    n += c
+                out.append(n)
+            yield pd.Series(out, dtype="int64")
 
     t = F.coalesce(F.col(text_col), F.lit(""))
     # empty-token removal keeps n_words consistent with the tokenizer's

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
+from ..io import fan_out
 from .text import words
 
 
@@ -55,7 +56,7 @@ def _postings(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     Repartition first: the fixture is a single parquet file (one scan
     task); at real scale the scan is already parallel and this is one
     cheap round-robin exchange of the raw docs."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = fan_out(df)
     ws = words(text_col)
     base = df.select(F.col(id_col), ws.alias("_ws")).filter(F.size("_ws") >= n)
     pos = base.select(

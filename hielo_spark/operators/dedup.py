@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..io import fan_out
 from .text import fingerprint, words
 
 
@@ -179,7 +180,7 @@ def _minhash_frame(
 ) -> DataFrame:
     """(id, hashes, bands) frame — the single expensive projection; callers
     persist it when it feeds both candidate generation and verification."""
-    src = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    src = fan_out(df)
     kernel = _minhash_kernel(num_hashes, bands, shingle_n)
     return src.select(
         F.col(id_col).alias("id"), kernel(words(text_col)).alias("mh")
@@ -187,19 +188,38 @@ def _minhash_frame(
 
 
 def _candidates_from(mh: DataFrame) -> DataFrame:
-    """Band-bucket self-join: a pair is a candidate if any band bucket
-    matches (id_a < id_b). Pair volume scales with collisions, not n²."""
+    """Band-bucket candidate pairs: a pair is a candidate if any band
+    bucket matches (id_a < id_b). Pair volume scales with collisions,
+    not n².
+
+    Physical shape (r13): ONE hash aggregation on (band_idx, band_val)
+    collecting the bucket's ids, then an in-bucket pair explode — the
+    sorted ids array makes i<j exactly the id_a<id_b pairs. The r12
+    self-join form shuffled the exploded band frame twice (build + probe
+    sides) before the same global distinct; the aggregate form moves each
+    (id, band) row across the wire once and skips the join materialization
+    entirely (guide §2.3-2.4). The pair explode is two-stage (explode the
+    left index, then explode that row's right-hand slice) so no expression
+    ever materializes the O(bucket²) pair array: peak per-row memory is
+    one O(bucket) ids array, and pairs stream out of the generators —
+    a duplicate-heavy corpus putting 100k ids in one bucket costs ~1 MB
+    of task memory, not the ~100 GB a flattened pair array would."""
     banded = mh.select("id", F.posexplode("bands").alias("band_idx", "band_val"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    n = F.size(F.col("ids"))
+    lead = buckets.select(
+        "ids", F.explode(F.sequence(F.lit(0), n - 2)).alias("i")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
+        lead.select(
+            F.get("ids", F.col("i")).alias("id_a"),
+            # slice is 1-based: positions i+2..n are 0-based indices i+1..n-1
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
 
@@ -326,7 +346,7 @@ def blocked_jaccard_pairs(
     # everything; drop them up front so the pair space (and the SQL oracle,
     # whose split of '' yields ['']) agree exactly
     df = df.filter(F.length(F.trim(F.col(text_col))) > 0)
-    sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    sets = fan_out(df).select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
         F.array_distinct(elems).alias("ws"),
@@ -574,7 +594,7 @@ def embedding_neardup_pairs(
         raise ValueError("unblocked all-pairs cosine is a cross join; bucket first (similarity.lsh_topk/lsh_bucket)")
     if strategy == "gram":
         return _gram_cell_pairs(df, block_col, id_col, vec_col, threshold, n_salts)
-    sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    sets = fan_out(df).select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

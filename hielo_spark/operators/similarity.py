@@ -124,6 +124,41 @@ def lsh_topk(
     )
 
 
+def _top_cells(vec: Column, centroids: list[tuple[int, list[float]]], n: int, affinity) -> Column:
+    """Top-``n`` ``struct(aff, cell)`` entries for one vector, computed
+    INLINE in the row's projection (r13, guide §2.4). The r12 form
+    broadcast-cross-joined the corpus with the centroid table (corpus×k
+    rows, each carrying the full vector) and ranked with a
+    ``Window.partitionBy(id)`` — a full shuffle of that exploded frame per
+    pass, three passes per ``ivf_topk`` call. Here the k affinities are k
+    expressions over centroid literals in one projection: no row
+    blow-up, no Exchange.
+
+    Exactness: ``affinity`` is the same zip_with/aggregate fold the join
+    form evaluated, over the same doubles (createDataFrame and F.lit both
+    carry the Python floats verbatim), so affinities — and therefore
+    assignments, including the (aff desc, cell asc) tie order the
+    comparator reproduces — are bit-identical to the r12 window. (NaN
+    affinities would compare differently than the window's NaN-is-largest;
+    cosine() never returns NaN — its zero-norm guard returns 0.0.)"""
+    entries = F.array(
+        *[
+            F.struct(
+                affinity(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("aff"),
+                F.lit(int(cell)).alias("cell"),
+            )
+            for cell, cvec in centroids
+        ]
+    )
+    ranked = F.array_sort(
+        entries,
+        lambda a, b: F.when(a["aff"] > b["aff"], F.lit(-1))
+        .when(a["aff"] < b["aff"], F.lit(1))
+        .otherwise(a["cell"] - b["cell"]),
+    )
+    return F.slice(ranked, 1, n)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,47 +205,34 @@ def ivf_topk(
     )
     seed_rows = seeds.collect()  # n_centroids rows — bounded, deliberate
     seed_arr = [(i, list(r["sv"])) for i, r in enumerate(seed_rows)]
-    seed_df = F.broadcast(
-        corpus.sparkSession.createDataFrame(seed_arr, ["cell", "centroid"])
+    base = corpus.select(F.col(corpus_id).alias("id"), v.alias("v"))
+    cells = base.select(
+        "id", "v", _top_cells(F.col("v"), seed_arr, 1, dot)[0]["cell"].alias("cell")
     )
-    assigned = (
-        corpus.select(F.col(corpus_id).alias("id"), v.alias("v"))
-        .join(seed_df)
-        .select(
-            "id", "v", "cell",
-            dot(F.col("v"), F.col("centroid").cast("array<double>")).alias("aff"),
-        )
-    )
-    w = Window.partitionBy("id").orderBy(F.col("aff").desc(), F.col("cell"))
-    cells = assigned.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("id", "v", "cell")
     centroids = (
         cells.groupBy("cell")
         .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(len(seed_arr[0][1]))]).alias("centroid"))
     )
     centroid_rows = [(r["cell"], list(r["centroid"])) for r in centroids.collect()]
-    centroid_df = F.broadcast(
-        corpus.sparkSession.createDataFrame(centroid_rows, ["cell", "centroid"])
-    )
     # 2. final inverted lists under the refined centroids — each vector
     # lands in its n_assign nearest cells (multi-assignment)
-    lists = (
-        corpus.select(F.col(corpus_id).alias("id"), v.alias("v"))
-        .join(centroid_df)
-        .select("id", "v", "cell", cosine(F.col("v"), F.col("centroid")).alias("aff"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= int(n_assign))
-        .select("id", "v", "cell")
-    )
+    lists = base.select(
+        "id", "v",
+        F.explode(
+            _top_cells(F.col("v"), centroid_rows, int(n_assign), cosine)
+        ).alias("c"),
+    ).select("id", "v", F.col("c.cell").alias("cell"))
     # 3. queries probe their n_probe nearest cells
     qv = F.col(query_vec).cast("array<double>")
-    q_cells = (
-        queries.select(F.col(query_id).alias("qid"), qv.alias("qv"))
-        .join(centroid_df)
-        .select("qid", "qv", "cell", cosine(F.col("qv"), F.col("centroid")).alias("aff"))
-    )
-    wq = Window.partitionBy("qid").orderBy(F.col("aff").desc(), F.col("cell"))
     probes = F.broadcast(
-        q_cells.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= n_probe).select("qid", "qv", "cell")
+        queries.select(F.col(query_id).alias("qid"), qv.alias("qv"))
+        .select(
+            "qid", "qv",
+            F.explode(
+                _top_cells(F.col("qv"), centroid_rows, int(n_probe), cosine)
+            ).alias("c"),
+        )
+        .select("qid", "qv", F.col("c.cell").alias("cell"))
     )
     scored = lists.join(probes, "cell").filter(F.col("id") != F.col("qid"))
     if n_assign > 1:

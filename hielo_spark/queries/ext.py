@@ -490,8 +490,6 @@ def doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -499,11 +497,18 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint("text").alias("fp"),
         T.quality_score("text").alias("quality"),
     ).filter(F.col("quality") >= 0.6)
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    kept = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return kept.groupBy("lang").agg(
+    # keep-first per fingerprint as min(struct(doc_id, ...)): doc_id leads
+    # the struct, so the minimum IS the row_number()=1 row of the r12
+    # window form (doc_ids are unique). The aggregate does partial,
+    # map-side combining — duplicate-heavy corpora shrink before the fp
+    # exchange — and drops the window's per-partition sort (guide §2.3
+    # "aggregate before you shuffle").
+    kept = scored.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "lang", "quality")).alias("keep")
+    )
+    return kept.groupBy("keep.lang").agg(
         F.count("*").alias("n_kept"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("keep.quality"), 6).alias("avg_quality"),
     )
 
 

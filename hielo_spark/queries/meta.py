@@ -82,7 +82,9 @@ def meta_snapshot_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_from="1996-01-01",
         date_to="1999-12-31",
     )
-    t = snap.timeline(snapshots_from_orders(spark, sf_dir), flt)
+    # checkpoint=True: the timeline render references the summary map
+    # 13x; without the barrier each reference re-inlines the derivation
+    t = snap.timeline(snapshots_from_orders(spark, sf_dir, checkpoint=True), flt)
     return t.select(
         "table_name",
         "snapshot_id",
@@ -717,7 +719,7 @@ def meta_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def meta_storage_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    snaps = snapshots_from_orders(spark, sf_dir)
+    snaps = snapshots_from_orders(spark, sf_dir, checkpoint=True)
     sized = snaps.select(
         "table_name",
         "snapshot_id",

@@ -483,14 +483,34 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # keep-first as an aggregate: min(o_orderdate) is the window's rn=1
+    # orderdate, and min_by over the decimal-encoded (orderdate, orderkey)
+    # ordering — exact and strictly monotone, orderkeys unique — picks that
+    # row's orderkey. All-primitive aggregation buffers, so this lowers to
+    # partial/final HashAggregate (a min(struct(...)) carries a struct
+    # buffer and silently falls back to SortAggregate — a per-partition
+    # sort of the fact table); map-side combining ships one row per
+    # (customer, partition) instead of every order.
+    # .cast("timestamp") first: the parquet column arrives TIMESTAMP_NTZ
+    # under Spark 4's inferTimestampNTZ (unix_micros rejects NTZ). The cast
+    # is a no-op on LTZ and strictly monotone on NTZ under the UTC session
+    # TZ that configure() pins (session.py warns loudly if the host forbade
+    # it), so the ordering is unchanged.
+    ord_key = F.unix_micros(
+        F.col("o_orderdate").cast("timestamp")
+    ).cast("decimal(38,0)") * F.expr(
+        "CAST(100000000000000000000 AS DECIMAL(21,0))"  # 10^20
+    ) + F.col("o_orderkey").cast("decimal(38,0)")
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        o.groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderkey", ord_key).alias("first_orderkey"),
+            F.min("o_orderdate").alias("first_dt"),
+        )
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("first_orderkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+            "first_orderkey",
+            F.date_format("first_dt", "yyyy-MM-dd").alias("first_orderdate"),
         )
     )
 

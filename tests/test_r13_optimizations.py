@@ -1,0 +1,213 @@
+"""Pins for the r13 optimization-round rewrites (OPTIMIZATION_r13.md):
+each physical-shape change is equality-tested against the r12 reference
+form it replaced, and the bench-honesty / shuffle-removal properties are
+asserted structurally."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from hielo_spark.io import fan_out, load_table
+from hielo_spark.operators import dedup
+from hielo_spark.operators import text as T
+from hielo_spark.queries import QUERIES
+
+
+def _same_rows(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_minhash_bucket_candidates_match_selfjoin_form(spark, sf_dir):
+    """r13 candidate generation (bucket aggregate + in-bucket pair
+    explode) must emit exactly the pair set of the r12 band self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = dedup._minhash_frame(d, "doc_id", "text", 64, 16, 3).persist()
+    try:
+        new = dedup._candidates_from(mh)
+        banded = mh.select("id", F.posexplode("bands").alias("band_idx", "band_val"))
+        a, b = banded.alias("a"), banded.alias("b")
+        ref = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        assert _same_rows(new, ref)
+        assert new.count() > 0  # fixture plants near-dups; empty = broken join
+    finally:
+        mh.unpersist()
+
+
+def test_minhash_candidates_plan_has_single_aggregate_no_band_join(spark, sf_dir):
+    """The band-bucket stage must be ONE aggregation: no join may touch
+    the banded frame any more (the pair space exists only inside the
+    explode)."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = dedup._minhash_frame(d, "doc_id", "text", 64, 16, 3)
+    p = dedup._candidates_from(mh)._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in p
+
+
+def test_first_order_agg_matches_window_form(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ref = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+        )
+    )
+    new = QUERIES["first_order_per_customer"](spark, sf_dir)
+    assert new.schema == ref.schema
+    assert _same_rows(new, ref)
+    # and the plan is an aggregate, not a window sort
+    p = new._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+
+
+def test_curation_pipeline_agg_matches_window_form(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        T.fingerprint("text").alias("fp"),
+        T.quality_score("text").alias("quality"),
+    ).filter(F.col("quality") >= 0.6)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    ref = kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+    new = QUERIES["doc_curation_pipeline"](spark, sf_dir)
+    assert new.schema == ref.schema
+    assert _same_rows(new, ref)
+    p = new._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+
+
+def test_fan_out_skips_shuffle_when_already_parallel(spark, sf_dir):
+    par = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents")
+    # single-file fixture → fans out to session parallelism
+    assert fan_out(d).rdd.getNumPartitions() == par
+    # already ≥ parallel → returned as-is, no Exchange added
+    wide = d.repartition(par)
+    assert fan_out(wide) is wide
+    wider = d.repartition(par + 3)
+    assert fan_out(wider) is wider
+
+
+def test_ivf_topk_inline_assignment_matches_join_window_form(spark, sf_dir):
+    """r13 ivf_topk computes centroid assignment inline per row; results
+    must be bit-identical to the r12 broadcast-join + Window argmax."""
+    from hielo_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    new = S.ivf_topk(e, q, k=10, n_centroids=16, n_probe=8, n_assign=2)
+    ref = _ivf_topk_r12(e, q, k=10, n_centroids=16, n_probe=8, n_assign=2)
+    assert _same_rows(new, ref)
+    assert new.count() > 0
+    # no Window (and no shuffle of the exploded corpus×k frame) anywhere
+    # in the candidate-generation passes: the only Window node left is the
+    # final per-query rank over candidates (WindowGroupLimit nodes are that
+    # same window's top-k pushdown, not extra windows)
+    import re
+
+    p = new._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bWindow \[", p)) <= 1
+
+
+def _ivf_topk_r12(corpus, queries, k, n_centroids, n_probe, n_assign, seed=42):
+    """The r12 reference implementation (join + Window argmax), verbatim."""
+    from hielo_spark.operators.similarity import cosine, dot
+
+    corpus_id, corpus_vec, query_id, query_vec = (
+        "vec_id", "embedding", "query_id", "query_vec",
+    )
+    v = F.col(corpus_vec).cast("array<double>")
+    seeds = (
+        corpus.select(F.col(corpus_id).alias("sid"), v.alias("sv"))
+        .orderBy(F.xxhash64(F.col("sid"), F.lit(seed)))
+        .limit(n_centroids)
+    )
+    seed_rows = seeds.collect()
+    seed_arr = [(i, list(r["sv"])) for i, r in enumerate(seed_rows)]
+    seed_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(seed_arr, ["cell", "centroid"])
+    )
+    assigned = (
+        corpus.select(F.col(corpus_id).alias("id"), v.alias("v"))
+        .join(seed_df)
+        .select(
+            "id", "v", "cell",
+            dot(F.col("v"), F.col("centroid").cast("array<double>")).alias("aff"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("aff").desc(), F.col("cell"))
+    cells = assigned.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("id", "v", "cell")
+    centroids = (
+        cells.groupBy("cell")
+        .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(len(seed_arr[0][1]))]).alias("centroid"))
+    )
+    centroid_rows = [(r["cell"], list(r["centroid"])) for r in centroids.collect()]
+    centroid_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(centroid_rows, ["cell", "centroid"])
+    )
+    lists = (
+        corpus.select(F.col(corpus_id).alias("id"), v.alias("v"))
+        .join(centroid_df)
+        .select("id", "v", "cell", cosine(F.col("v"), F.col("centroid")).alias("aff"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(n_assign))
+        .select("id", "v", "cell")
+    )
+    qv = F.col(query_vec).cast("array<double>")
+    q_cells = (
+        queries.select(F.col(query_id).alias("qid"), qv.alias("qv"))
+        .join(centroid_df)
+        .select("qid", "qv", "cell", cosine(F.col("qv"), F.col("centroid")).alias("aff"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("aff").desc(), F.col("cell"))
+    probes = F.broadcast(
+        q_cells.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= n_probe).select("qid", "qv", "cell")
+    )
+    scored = lists.join(probes, "cell").filter(F.col("id") != F.col("qid"))
+    if n_assign > 1:
+        scored = scored.dropDuplicates(["qid", "id"])
+    scored = scored.select(
+        F.col("qid").alias(query_id),
+        F.col("id").alias(corpus_id),
+        cosine(F.col("v"), F.col("qv")).alias("cosine_sim"),
+    )
+    wr = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine_sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def test_snapshot_fixture_not_memoized_across_calls(spark, sf_dir):
+    """Bench honesty (r13): every call must rebuild from the parquet
+    input — no module-level frame reuse keyed on the test data."""
+    from hielo_spark.metadata import fixtures as FX
+
+    a = FX.snapshots_from_orders(spark, sf_dir)
+    b = FX.snapshots_from_orders(spark, sf_dir)
+    assert a is not b
+    assert not hasattr(FX, "_FIXTURE_CACHE")
+    # identical content, independently derived
+    assert a.count() == b.count()
