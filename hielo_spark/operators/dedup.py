@@ -203,8 +203,23 @@ def _candidates_from(mh: DataFrame) -> DataFrame:
     ever materializes the O(bucket²) pair array: peak per-row memory is
     one O(bucket) ids array, and pairs stream out of the generators —
     a duplicate-heavy corpus putting 100k ids in one bucket costs ~1 MB
-    of task memory, not the ~100 GB a flattened pair array would."""
-    banded = mh.select("id", F.posexplode("bands").alias("band_idx", "band_val"))
+    of task memory, not the ~100 GB a flattened pair array would.
+
+    posexplode_OUTER, not posexplode (guide §4.4): the inner generate
+    makes Catalyst infer a ``size(bands) > 0 AND isnotnull(bands)``
+    filter on the generator input, and when ``mh`` is not persisted that
+    filter pushes below the fan-out exchange — duplicating the whole
+    Arrow minhash kernel into a SECOND ArrowEvalPython node that runs on
+    the unparallelized scan (measured 10× on the un-persisted
+    ``minhash_candidates`` path; plan showed two kernel evaluations).
+    The outer form infers no filter, and the kernel emits a non-empty
+    bands array for every document (zero-word docs still produce one
+    shingle), so the row set is identical; the null guard below is
+    belt-and-braces on generator OUTPUT attributes, which cannot be
+    pushed below the kernel."""
+    banded = mh.select(
+        "id", F.posexplode_outer("bands").alias("band_idx", "band_val")
+    ).filter(F.col("band_val").isNotNull())
     buckets = (
         banded.groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -308,6 +323,64 @@ def _salted_block_sides(sets: DataFrame, n_salts: int) -> tuple[DataFrame, DataF
     return a, b, on
 
 
+def _postings_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard via element postings (r13, guide §2.3/§2.4): bucket
+    every (block, element) occurrence, pair WITHIN the bucket, count the
+    shared elements per pair — |∩| is the pair's bucket co-occurrence
+    count and |∪| = |A|+|B|−|∩|, so the value is bit-identical to the
+    array intersect/union form. Only pairs sharing ≥ 1 element ever
+    materialize; a zero-overlap pair has J = 0 < threshold, so for
+    threshold > 0 the output is row-identical to the all-pairs block
+    join while the pair volume drops from Σ_block n² to
+    Σ_element k² — concentrated on genuinely similar documents, which is
+    what makes an EXACT pass viable at corpus scale. Same streaming
+    two-stage in-bucket explode as the minhash candidate stage (never an
+    O(k²) in-memory pair array); set sizes ride inside the bucket
+    structs, so no join-back to a per-doc size table is needed."""
+    docs = sets.select(
+        "block",
+        F.struct("id", F.size("ws").alias("n")).alias("d"),
+        F.explode("ws").alias("e"),
+    )
+    buckets = (
+        docs.groupBy("block", "e")
+        .agg(F.sort_array(F.collect_list("d")).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    n = F.size(F.col("xs"))
+    lead = buckets.select(
+        "block", "xs", F.explode(F.sequence(F.lit(0), n - 2)).alias("i")
+    )
+    left = F.get("xs", F.col("i"))
+    co = lead.select(
+        "block",
+        left["id"].alias("id_a"),
+        left["n"].alias("na"),
+        # slice is 1-based: positions i+2..n are 0-based indices i+1..n-1
+        F.explode(F.slice("xs", F.col("i") + 2, F.size("xs"))).alias("r"),
+    ).select(
+        "block", "id_a", "na", F.col("r.id").alias("id_b"), F.col("r.n").alias("nb")
+    )
+    # size-ratio prefilter (same bound as the join form): drop pairs that
+    # cannot reach the threshold before the pair aggregation
+    co = co.filter(
+        (F.col("na") >= F.col("nb") * threshold)
+        & (F.col("nb") >= F.col("na") * threshold)
+    )
+    pairs = co.groupBy("block", "id_a", "id_b").agg(
+        F.count("*").alias("shared"),
+        F.min("na").alias("na"),
+        F.min("nb").alias("nb"),
+    )
+    jac = F.round(
+        F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")),
+        6,
+    )
+    return pairs.select("block", "id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def blocked_jaccard_pairs(
     df: DataFrame,
     block_col: str = "lang",
@@ -332,9 +405,21 @@ def blocked_jaccard_pairs(
     identical Jaccard values (injective up to 64-bit collisions) with much
     cheaper pairwise intersections; turn off to compare raw strings.
 
-    ``strategy`` picks the physical shape (results identical):
+    ``strategy`` picks the physical shape (results identical; pinned by
+    ``test_r13_optimizations``):
       * ``"salted"`` (default) — salted sort-merge self-join on
-        (block, salt); bounded memory at any corpus size.
+        (block, salt); evaluates every in-block pair (Σ block_size²)
+        with bounded memory at any corpus size.
+      * ``"postings"`` (r13) — element-postings co-occurrence counting
+        (``_postings_pairs``): pair volume scales with per-element
+        co-occurrence (Σ_element k²), not block sizes. The winning form
+        when elements are SELECTIVE (n-gram shingles: A/B at sf0.1
+        7.4 s salted → 5.0 s postings, and the asymptotic story at
+        corpus scale); measurably WORSE on dense low-cardinality element
+        sets (single words on this corpus: 6-12 s salted vs ~29 s
+        postings — common words put most of a block in one bucket, so
+        Σk² > Σn²). Requires threshold > 0 (zero-overlap pairs never
+        materialize); falls back to "salted" when threshold ≤ 0.
       * ``"broadcast"`` — broadcast the build side; only for corpora known
         to fit the broadcast limit (~8 GB hard cap), where it saves the
         build-side shuffle replication.
@@ -351,6 +436,8 @@ def blocked_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(elems).alias("ws"),
     )
+    if strategy == "postings" and threshold > 0:
+        return _postings_pairs(sets, threshold)
     if strategy == "broadcast":
         a = sets.alias("a")
         b = F.broadcast(sets.alias("b"))
@@ -440,17 +527,35 @@ def simhash_neardup_pairs(
             )
         ).alias("band"),
     ).select("id", "sh", "band.band_idx", "band.band_val")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Same physical shape as the r13 minhash candidate stage: ONE hash
+    # aggregation per band bucket + streaming in-bucket pair explode,
+    # replacing the r12 band self-join that shuffled the banded frame
+    # twice AND evaluated the simhash kernel once per join side (the
+    # kernel subtree appeared under both aliases). sort_array over
+    # struct(id, sh) orders by id (ids unique), so i<j is exactly
+    # id_a<id_b; hamming is computed inline from the carried sketches.
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sh"))).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    n = F.size(F.col("xs"))
+    lead = buckets.select(
+        "xs", F.explode(F.sequence(F.lit(0), n - 2)).alias("i")
+    )
+    left = F.get("xs", F.col("i"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
+        lead.select(
+            left["id"].alias("id_a"),
+            left["sh"].alias("sh_a"),
+            # slice is 1-based: positions i+2..n are 0-based indices i+1..n-1
+            F.explode(F.slice("xs", F.col("i") + 2, F.size("xs"))).alias("r"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"))
+        .select(
+            "id_a",
+            F.col("r.id").alias("id_b"),
+            hamming64(F.col("sh_a"), F.col("r.sh")).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

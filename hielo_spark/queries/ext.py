@@ -181,9 +181,20 @@ def doc_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    truth = dedup.blocked_jaccard_pairs(
-        d, "lang", "doc_id", "text", threshold=0.5, shingle_n=3
-    ).select("block", "id_a", "id_b")
+    # postings strategy (r13): 3-gram shingles are selective, so the
+    # co-occurrence form beats the all-pairs block join (dedup.py A/B);
+    # persisted because the truth set feeds BOTH the semi-join and the
+    # per-block denominator — unpersisted it computed twice per run.
+    # Same per-query cache policy as minhash_neardup_pairs (bench.py
+    # clearCache()s between runs).
+    truth = (
+        dedup.blocked_jaccard_pairs(
+            d, "lang", "doc_id", "text", threshold=0.5, shingle_n=3,
+            strategy="postings",
+        )
+        .select("block", "id_a", "id_b")
+        .persist()
+    )
     # lang lookup is a shuffle join keyed on doc id — never broadcast the
     # full-corpus (doc_id, lang) map (that's the r1 broadcast cliff again);
     # the candidate side is collision-bounded and small

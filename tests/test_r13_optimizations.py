@@ -54,6 +54,77 @@ def test_minhash_candidates_plan_has_single_aggregate_no_band_join(spark, sf_dir
         assert node not in p
 
 
+def test_minhash_candidates_single_kernel_eval(spark, sf_dir):
+    """The posexplode-inferred non-empty filter must not duplicate the
+    Arrow minhash kernel below the fan-out exchange (guide §4.4): the
+    un-persisted candidates plan carries exactly ONE ArrowEvalPython."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = dedup._minhash_frame(d, "doc_id", "text", 64, 16, 3)
+    p = dedup._candidates_from(mh)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("ArrowEvalPython") == 1
+
+
+def test_simhash_bucket_pairs_match_selfjoin_form(spark, sf_dir):
+    """r13 simhash pair generation (bucket aggregate + in-bucket explode)
+    must emit exactly the pair set of the r12 band self-join, and must
+    evaluate the simhash kernel once (the self-join ran it per side)."""
+    d = load_table(spark, sf_dir, "documents")
+    new = dedup.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=12)
+    # r12 reference form, verbatim
+    df = d.filter(F.length(F.trim(F.col("text"))) > 0)
+    sh = df.select(F.col("doc_id").alias("id"), dedup.simhash64("text").alias("sh"))
+    band_bits, n_bands = 16, 4
+    banded = sh.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("sh"), i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("band_val"),
+            )
+            for i in range(n_bands)
+        ])).alias("band"),
+    ).select("id", "sh", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    ref = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                dedup.hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 12)
+    )
+    assert _same_rows(new, ref)
+    assert new.count() > 0
+    p = new._jdf.queryExecution().executedPlan().toString()
+    assert p.count("ArrowEvalPython") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in p
+
+
+def test_postings_jaccard_matches_salted_form(spark, sf_dir):
+    """r13 ``strategy="postings"`` (element-postings co-occurrence
+    counting) must emit exactly the (block, id_a, id_b, jaccard) rows of
+    the r12 salted block self-join — on shingles (its winning regime)
+    AND on single words (dense elements, its losing regime)."""
+    d = load_table(spark, sf_dir, "documents")
+    for shingle_n in (3, None):
+        salted = dedup.blocked_jaccard_pairs(
+            d, "lang", "doc_id", "text", threshold=0.5, shingle_n=shingle_n
+        )
+        postings = dedup.blocked_jaccard_pairs(
+            d, "lang", "doc_id", "text", threshold=0.5, shingle_n=shingle_n,
+            strategy="postings",
+        )
+        assert _same_rows(postings, salted)
+        assert postings.count() > 0  # fixture plants near-dups
+
+
 def test_first_order_agg_matches_window_form(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
