@@ -61,18 +61,6 @@ def health_metrics(snapshots: DataFrame, as_of: str) -> DataFrame:
     # expression would otherwise re-evaluate per row per expression
     # (interpreted — higher-order/map ops don't codegen).
     summ = F.col("summary")
-    flat = snapshots.select(
-        "table_name",
-        "snapshot_id",
-        "committed_at",
-        infer_operation().alias("operation"),
-        _v("added-data-files", summ).try_cast("long").alias("added_files"),
-        _v("total-size", summ).isNotNull().alias("sized"),
-        (F.coalesce(_v("total-size", summ).try_cast("double"), F.lit(0.0)) / F.lit(1024.0**3)).alias("size_gb"),
-        (F.coalesce(_v("total-size", summ).try_cast("double"), F.lit(0.0))).alias("size_bytes"),
-        summ.isNotNull().alias("has_summary"),
-    )
-    ts = F.col("committed_at")
     # Hash-aggregatable ordering key (r13): the r12 form ordered max_by by
     # struct(ts, snapshot_id); struct-typed aggregation buffers are not
     # mutable, which forced the ENTIRE aggregation into SortAggregate — a
@@ -83,9 +71,31 @@ def health_metrics(snapshots: DataFrame, as_of: str) -> DataFrame:
     # partial/final HashAggregate. Ordering is identical: the encoding is
     # strictly monotone in (ts, snapshot_id), and ids are unique so no
     # ties existed for the struct form to break differently.
-    ord_key = F.unix_micros(ts).cast("decimal(38,0)") * F.expr(
+    #
+    # The key (and its sized-only variant) is PROJECTED here rather than
+    # repeated inside each of the six max_by/min_by calls (r13 session 2,
+    # guide §1.2 "per-task work"): as an attribute it is computed once
+    # per row instead of once per aggregate function — decimal multiply/
+    # add is the most expensive scalar in this pipeline — and the
+    # analyzed plan shrinks by five copies of the deepest expression tree
+    # (driver-side analysis time is a measurable slice of this query).
+    _ord = F.unix_micros(F.col("committed_at")).cast("decimal(38,0)") * F.expr(
         "CAST(100000000000000000000 AS DECIMAL(21,0))"  # 10^20
     ) + F.col("snapshot_id").cast("decimal(38,0)")
+    flat = snapshots.select(
+        "table_name",
+        "snapshot_id",
+        "committed_at",
+        infer_operation().alias("operation"),
+        _v("added-data-files", summ).try_cast("long").alias("added_files"),
+        _v("total-size", summ).isNotNull().alias("sized"),
+        (F.coalesce(_v("total-size", summ).try_cast("double"), F.lit(0.0)) / F.lit(1024.0**3)).alias("size_gb"),
+        (F.coalesce(_v("total-size", summ).try_cast("double"), F.lit(0.0))).alias("size_bytes"),
+        summ.isNotNull().alias("has_summary"),
+        _ord.alias("ord"),
+    )
+    ts = F.col("committed_at")
+    ord_key = F.col("ord")
     comp = is_compaction()
     sized = F.col("sized")
     sized_ord = F.when(sized, ord_key)  # null ordering rows are skipped
@@ -124,6 +134,34 @@ def health_metrics(snapshots: DataFrame, as_of: str) -> DataFrame:
     )
 
     # ---- scalar post-compute (all column arithmetic, no driver loops) ----
+    # Split into TWO projections (r13 session 2, guide §7.3): shared
+    # intermediates (avg_mb, the since-compaction clocks, growth rate)
+    # materialize as attributes in a first projection so the banding
+    # CASE trees below reference one attribute instead of re-embedding
+    # the whole sub-tree up to ~12× — the analyzed plan shrinks by an
+    # order of magnitude, which is driver-side build time on every
+    # health-suite query. Post-agg cardinality is one row per table, so
+    # execution cost is unaffected.
+    total_files_e = F.coalesce(F.col("latest_added_files"), F.lit(0))
+    agg = agg.withColumns(
+        {
+            "_total_files": total_files_e,
+            "_avg_mb": F.when(
+                total_files_e > 0,
+                F.col("latest_size_bytes") / total_files_e / F.lit(1024.0 * 1024.0),
+            ).otherwise(F.lit(0.0)),
+            "_hours_since_comp": F.floor(
+                (F.unix_millis(t) - F.unix_millis(F.col("last_compaction_ts"))) / F.lit(_MS_HOUR)
+            ).cast("double"),
+            "_comp_span_days": F.floor(
+                (F.unix_millis(F.col("last_compaction_ts")) - F.unix_millis(F.col("first_compaction_ts")))
+                / F.lit(_MS_DAY)
+            ).cast("double"),
+            "_growth_days": F.floor(
+                (F.unix_millis(F.col("last_sized_ts")) - F.unix_millis(F.col("first_sized_ts"))) / F.lit(_MS_DAY)
+            ).cast("double"),
+        }
+    )
     n = F.col("n_snapshots")
     last_hour = F.col("snapshots_last_hour")
     last_day = F.col("snapshots_last_day")
@@ -134,22 +172,15 @@ def health_metrics(snapshots: DataFrame, as_of: str) -> DataFrame:
     peak_per_hour = F.greatest(last_hour, F.floor(last_day / F.lit(24)).cast("int"))
 
     # A5 — compaction metrics (analytics.rs:174-192); chrono truncation
-    hours_since_comp = F.floor(
-        (F.unix_millis(t) - F.unix_millis(F.col("last_compaction_ts"))) / F.lit(_MS_HOUR)
-    ).cast("double")
+    hours_since_comp = F.col("_hours_since_comp")
     days_since_comp = hours_since_comp / F.lit(24.0)
-    comp_span_days = F.floor(
-        (F.unix_millis(F.col("last_compaction_ts")) - F.unix_millis(F.col("first_compaction_ts")))
-        / F.lit(_MS_DAY)
-    ).cast("double")
     avg_comp_freq = F.when(
-        F.col("compaction_count") > 1, comp_span_days / (F.col("compaction_count") - 1)
+        F.col("compaction_count") > 1, F.col("_comp_span_days") / (F.col("compaction_count") - 1)
     ).otherwise(F.lit(0.0))
 
     # A7 — file health from the latest snapshot only (analytics.rs:63-126)
-    total_files = F.coalesce(F.col("latest_added_files"), F.lit(0))
-    total_size_bytes = F.col("latest_size_bytes")
-    avg_mb = F.when(total_files > 0, total_size_bytes / total_files / F.lit(1024.0 * 1024.0)).otherwise(F.lit(0.0))
+    total_files = F.col("_total_files")
+    avg_mb = F.col("_avg_mb")
     fcnt = total_files.cast("double")
     tiny = (
         F.when(avg_mb < TINY_FILE_MB, F.floor(fcnt * 0.7))
@@ -172,9 +203,7 @@ def health_metrics(snapshots: DataFrame, as_of: str) -> DataFrame:
 
     # A6 — storage efficiency (analytics.rs:209-276)
     total_size_gb = F.coalesce(F.col("last_sized_gb"), F.lit(0.0))
-    growth_days = F.floor(
-        (F.unix_millis(F.col("last_sized_ts")) - F.unix_millis(F.col("first_sized_ts"))) / F.lit(_MS_DAY)
-    ).cast("double")
+    growth_days = F.col("_growth_days")
     growth_rate = F.when(
         (F.col("sized_count") > 1) & (growth_days > 0),
         (F.col("last_sized_gb") - F.col("first_sized_gb")) / growth_days,

@@ -30,6 +30,36 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Schema memo (r13, guide §1.2 driver-side work): ``spark.read.parquet``
+# pays ~150 ms of driver time PER CALL — dominated by footer schema
+# inference — and the relational queries load up to five tables each, so
+# resolution alone was ~45% of some bench numbers. Caching the inferred
+# StructType per file and passing it back via ``read.schema(...)`` cuts a
+# repeat load to ~25 ms (measured A/B). This caches METADATA ONLY — the
+# exact analogue of a catalog's table-schema lookup; no DataFrame, plan,
+# or result is reused, and every action still scans the parquet file.
+# Keyed on (path, read-affecting confs) because the inferred schema
+# depends on them (events ns-timestamps arrive bigint vs error, µs
+# timestamps arrive NTZ vs LTZ).
+_SCHEMA_MEMO: dict = {}
+
+_READ_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+)
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = (path,) + tuple(
+        spark.conf.get(c, None) for c in _READ_CONFS
+    )
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes the events ns-timestamp column.
@@ -43,7 +73,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         configure(spark)  # ensure nanosAsLong before the scan plans
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

@@ -130,7 +130,7 @@ snapshots AS (
 
 
 def snapshots_from_orders(
-    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False, fan: bool = False
 ) -> DataFrame:
     """Snapshots table derived from orders, with a real map<string,string>
     ``summary`` column shaped like Iceberg's ``t.snapshots.summary``.
@@ -138,60 +138,70 @@ def snapshots_from_orders(
     The map carries string values exactly as the Iceberg spec does
     (data.rs:98-108: "all values are strings").
 
-    ``checkpoint=True`` inserts a lineage barrier. Probed per consumer
-    (r13): without the barrier, only the timeline render paths re-inline
-    the summary-map derivation heavily (meta_snapshot_timeline 13×,
-    meta_storage_timeline 3×) — those opt in. Every other [meta] consumer
-    references the map ≤1× (the health suite flattens it once up front),
-    so for them the barrier only cost materialization and defeated column
-    pruning (e.g. snapshot_span reads just table_name+committed_at — with
-    the barrier the full map column was materialized anyway).
+    ``checkpoint=True`` inserts a lineage barrier over the FULL frame
+    (map column included). Probed per consumer (r13): without a barrier,
+    only the timeline render paths re-inline the summary-map derivation
+    heavily — and those now flatten the map once and barrier the six
+    NARROW columns instead (``snapshots.timeline(barrier=True)``,
+    A/B-measured ~25% faster than the full-frame barrier because the
+    materialized bytes drop from map rows to short strings). Every other
+    [meta] consumer references the map ≤1× (the health suite flattens it
+    once up front), so for them any barrier only costs materialization
+    and defeats column pruning (e.g. snapshot_span reads just
+    table_name+committed_at — with a barrier the full map column is
+    materialized anyway).
+
+    ``fan=True`` fans the orders scan out BEFORE the map projection so a
+    downstream barrier's materialization runs from parallel tasks
+    (A/B-measured faster than a single-task store); no-barrier consumers
+    feed an aggregation/sort whose exchange re-distributes anyway, so
+    fanning there would only add a stage (A/B in OPTIMIZATION_r13.md).
     """
     if checkpoint:
-        # fan out the orders input before the map projection so the barrier
-        # materializes from parallel tasks (A/B-measured faster than a
-        # single-task store); the no-barrier path feeds a downstream
-        # aggregation/sort whose exchange re-distributes anyway, so fanning
-        # out there would only add a stage (A/B in OPTIMIZATION_r13.md).
         return _build_snapshots(spark, sf_dir, fan=True).localCheckpoint(eager=False)
-    return _build_snapshots(spark, sf_dir)
+    return _build_snapshots(spark, sf_dir, fan=fan)
 
 
 def _build_snapshots(spark: SparkSession, sf_dir: str, fan: bool = False) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     if fan:
         o = fan_out(o)
-    k = F.col("o_orderkey")
-    has_summary = (k % 37) != 0
-    has_added = has_summary & ((k % 7) != 0)
-    has_deleted = has_summary & ((k % 17) == 0)
-    has_total = has_summary & ((k % 3) != 2)
-
-    def s(c):  # numbers → spec-style string values
-        return c.cast("long").cast("string")
-
     # Entry presence via concat of conditionally-empty singleton arrays:
     # zero lambdas, so the whole projection stays inside whole-stage
     # codegen (the earlier filter-lambda form dropped the projection to
     # interpreted eval; measured ~10% on the timeline path, and this
-    # projection sits under every [meta] query).
-    empty = F.array().cast("array<struct<key:string,value:string>>")
+    # projection sits under every [meta] query). The whole summary column
+    # is ONE parsed SQL expression (r13): the F.when/F.struct constructor
+    # form cost ~100 py4j roundtrips per query build — a measurable slice
+    # of every [meta] bench number (guide §7.3 driver-side cost). The
+    # generated expression tree is identical; derivation rules unchanged
+    # (must keep matching ORACLE_SNAPSHOTS_CTE).
+    k = F.col("o_orderkey")
+    empty = "CAST(array() AS array<struct<key:string,value:string>>)"
 
-    def ent(key, cond, value):
-        st = F.struct(F.lit(key).alias("key"), value.alias("value"))
-        return F.when(cond, F.array(st)).otherwise(empty)
+    def ent(key: str, cond: str, value: str) -> str:
+        st = f"array(named_struct('key', '{key}', 'value', {value}))"
+        return f"CASE WHEN {cond} THEN {st} ELSE {empty} END"
 
-    op = F.expr(_OP_RAW)
-    entries = F.concat(
-        ent("operation", op.isNotNull(), op),
-        ent("added-data-files", has_added, s(k % 97)),
-        ent("added-records", has_added, s(F.col("o_custkey") * 100 + k % 53)),
-        ent("deleted-records", has_deleted, s(k % 29)),
-        ent("total-size", has_total, s((k % 1000 + 1) * 1048576)),
-        ent("added-files-size", has_added, s((k % 500 + 1) * 1048576)),
-        ent("removed-files-size", has_deleted, s((k % 100) * 1048576)),
+    has_summary = "o_orderkey % 37 <> 0"
+    has_added = f"({has_summary} AND o_orderkey % 7 <> 0)"
+    has_deleted = f"({has_summary} AND o_orderkey % 17 = 0)"
+    has_total = f"({has_summary} AND o_orderkey % 3 <> 2)"
+    op = f"({_OP_RAW.strip()})"
+    entries = ",\n".join(
+        [
+            ent("operation", f"{op} IS NOT NULL", op),
+            ent("added-data-files", has_added, "CAST(o_orderkey % 97 AS STRING)"),
+            ent("added-records", has_added, "CAST(o_custkey * 100 + o_orderkey % 53 AS STRING)"),
+            ent("deleted-records", has_deleted, "CAST(o_orderkey % 29 AS STRING)"),
+            ent("total-size", has_total, "CAST((o_orderkey % 1000 + 1) * 1048576 AS STRING)"),
+            ent("added-files-size", has_added, "CAST((o_orderkey % 500 + 1) * 1048576 AS STRING)"),
+            ent("removed-files-size", has_deleted, "CAST((o_orderkey % 100) * 1048576 AS STRING)"),
+        ]
     )
-    summary = F.when(has_summary, F.map_from_entries(entries))
+    summary = F.expr(
+        f"CASE WHEN {has_summary} THEN map_from_entries(concat({entries})) END"
+    )
     return o.select(
         F.concat(F.lit("tbl_"), (k % 3).cast("string")).alias("table_name"),
         k.alias("snapshot_id"),

@@ -54,7 +54,24 @@ def infer_operation(summary: Column | str = "summary") -> Column:
       total-data-files                   → 'overwrite'
       otherwise                          → 'append'
     """
-    summary = F.col(summary) if isinstance(summary, str) else summary
+    if isinstance(summary, str):
+        # One parsed SQL expression instead of ~40 py4j constructor
+        # roundtrips (r13, guide §7.3 driver-side cost): this inference
+        # chain sits in the build path of every [meta] query, and Column
+        # construction was a measurable slice of their bench numbers.
+        # Semantics identical to the Column form below.
+        s = f"`{summary}`"
+        return F.expr(
+            f"""CASE WHEN {s} IS NULL THEN 'unknown' ELSE coalesce(
+              try_element_at({s}, 'operation'),
+              CASE WHEN try_element_at({s}, 'spark.app.id') IS NOT NULL THEN 'append' END,
+              CASE WHEN try_element_at({s}, 'added-data-files') IS NOT NULL
+                     OR try_element_at({s}, 'added-records') IS NOT NULL THEN 'append' END,
+              CASE WHEN try_element_at({s}, 'deleted-data-files') IS NOT NULL
+                     OR try_element_at({s}, 'deleted-records') IS NOT NULL THEN 'delete' END,
+              CASE WHEN try_element_at({s}, 'total-data-files') IS NOT NULL THEN 'overwrite' END,
+              'append') END"""
+        )
 
     def has(k: str) -> Column:
         return F.try_element_at(summary, F.lit(k)).isNotNull()
@@ -118,15 +135,27 @@ class SnapshotFilter:
     date_to: str | None = None    # 'YYYY-MM-DD' inclusive day end
 
     def predicate(self) -> Column:
+        return self._build(
+            summary_value("added-data-files").try_cast("long"),
+            summary_value("added-records").try_cast("long"),
+        )
+
+    def flat_predicate(self) -> Column:
+        """Same predicate over a frame that already flattened the summary
+        probes into ``_added_files`` / ``_added_records`` columns (the
+        r13 timeline shape) — referencing attributes instead of map
+        probes keeps filter pushdown from re-inlining the summary-map
+        derivation below the projection."""
+        return self._build(F.col("_added_files"), F.col("_added_records"))
+
+    def _build(self, files: Column, recs: Column) -> Column:
         p = F.lit(True)
         if self.operations:
             p = p & F.col("operation").isin(self.operations)
-        files = summary_value("added-data-files").try_cast("long")
         if self.min_added_files is not None:
             p = p & (files.isNull() | (files >= self.min_added_files))
         if self.max_added_files is not None:
             p = p & (files.isNull() | (files <= self.max_added_files))
-        recs = summary_value("added-records").try_cast("long")
         if self.min_added_records is not None:
             p = p & (recs.isNull() | (recs >= self.min_added_records))
         if self.max_added_records is not None:
@@ -159,21 +188,51 @@ def apply_filters(df: DataFrame, flt: SnapshotFilter) -> DataFrame:
     return df.filter(flt.predicate())
 
 
-def timeline(df: DataFrame, flt: SnapshotFilter | None = None) -> DataFrame:
-    """The snapshot-timeline rows (§3.2 render path): filter → sort desc →
-    display columns (snapshot_id, committed_at, operation, records_added,
-    size_change). One narrow plan: filter + project + global sort.
-    """
-    out = with_operation(df)
+def timeline(
+    df: DataFrame, flt: SnapshotFilter | None = None, barrier: bool = False
+) -> DataFrame:
+    """The snapshot-timeline rows (§3.2 render path): flatten → filter →
+    sort desc → display columns (snapshot_id, committed_at, operation,
+    records_added, size_change).
+
+    The summary map is probed exactly ONCE, in the flattening projection;
+    the filter and render reference the flat attributes. With a derived
+    ``summary`` column (the orders fixture) this matters enormously:
+    filter pushdown substitutes aliases cost-blind, so a predicate that
+    probes the map directly re-inlines the whole map derivation below the
+    projection — A/B at sf0.1 measured the probe-in-filter forms 4-5×
+    slower than a flatten-once + barrier plan (/tmp A/B, r13 session 2).
+
+    ``barrier=True`` inserts a lineage barrier AFTER the flatten, so only
+    the six narrow display/filter columns are materialized — never the
+    map. Use it when ``df``'s summary is a derived expression (the bench
+    fixture); a real metadata table scan needs no barrier. Callers whose
+    input is a derivation over a narrow scan should fan out BELOW the
+    derivation (``snapshots_from_orders(..., fan=True)``) so the flatten
+    materializes from parallel tasks, not the raw scan's."""
+    flat = df.select(
+        "table_name",
+        "snapshot_id",
+        "committed_at",
+        infer_operation().alias("operation"),
+        summary_value("added-data-files").try_cast("long").alias("_added_files"),
+        summary_value("added-records").try_cast("long").alias("_added_records"),
+        records_added().alias("records_added"),
+        size_change().alias("size_change"),
+    )
+    if barrier:
+        from ..io import fan_out
+
+        flat = fan_out(flat).localCheckpoint(eager=False)
     if flt is not None:
-        out = apply_filters(out, flt)
-    return out.select(
+        flat = flat.filter(flt.flat_predicate())
+    return flat.select(
         "table_name",
         "snapshot_id",
         "committed_at",
         "operation",
-        records_added().alias("records_added"),
-        size_change().alias("size_change"),
+        "records_added",
+        "size_change",
     ).orderBy(F.col("committed_at").desc(), F.col("snapshot_id").desc())
 
 

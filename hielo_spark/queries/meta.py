@@ -82,9 +82,13 @@ def meta_snapshot_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_from="1996-01-01",
         date_to="1999-12-31",
     )
-    # checkpoint=True: the timeline render references the summary map
-    # 13x; without the barrier each reference re-inlines the derivation
-    t = snap.timeline(snapshots_from_orders(spark, sf_dir, checkpoint=True), flt)
+    # barrier=True (r13): timeline flattens the summary map once and
+    # checkpoints the six NARROW render/filter columns — the r12 form
+    # checkpointed the full map frame (13 map references would otherwise
+    # re-inline the derivation; the narrow barrier keeps that protection
+    # while materializing far fewer bytes). fan=True parallelizes the
+    # pre-barrier flatten.
+    t = snap.timeline(snapshots_from_orders(spark, sf_dir, fan=True), flt, barrier=True)
     return t.select(
         "table_name",
         "snapshot_id",
@@ -719,13 +723,22 @@ def meta_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def meta_storage_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    snaps = snapshots_from_orders(spark, sf_dir, checkpoint=True)
-    sized = snaps.select(
-        "table_name",
-        "snapshot_id",
-        "committed_at",
-        F.try_element_at("summary", F.lit("total-size")).try_cast("bigint").alias("size_bytes"),
-    ).filter(F.col("size_bytes").isNotNull())
+    # Narrow barrier (r13): flatten the one summary probe FIRST, then
+    # checkpoint just the four columns the window needs — the r12 form
+    # checkpointed the full map frame. The barrier still matters: the
+    # isNotNull filter on the derived column would otherwise push below
+    # the projection and re-inline the map derivation into the filter.
+    snaps = snapshots_from_orders(spark, sf_dir, fan=True)
+    sized = (
+        snaps.select(
+            "table_name",
+            "snapshot_id",
+            "committed_at",
+            F.try_element_at("summary", F.lit("total-size")).try_cast("bigint").alias("size_bytes"),
+        )
+        .localCheckpoint(eager=False)
+        .filter(F.col("size_bytes").isNotNull())
+    )
     w = W.partitionBy("table_name").orderBy("committed_at", "snapshot_id")
     return sized.select(
         "table_name",

@@ -119,9 +119,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # Join order (r13, guide §2.3): orders meets its BUILDING-segment
+    # customer side before the fact⋈fact orderkey join — the orderkey
+    # exchange then carries ~1/5 of orders, and the joined lineitem frame
+    # is never re-shuffled on custkey (see q5/q7 for the same rewrite;
+    # row-identical, verified exceptAll-both-ways at sf0.01/sf0.1).
+    ord2 = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(ord2, li.l_orderkey == ord2.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
@@ -172,9 +179,17 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   cust.c_nationkey == nation.n_nationkey)
         .select("c_custkey", "n_name")
     )
+    # Join order (r13, guide §2.3): orders meets its dimension side BEFORE
+    # the fact⋈fact orderkey join, so the orderkey exchange carries only
+    # ASIA-customer orders (~1/5) and — the real lever at scale — the
+    # lineitem-sized joined frame is never re-shuffled on custkey
+    # afterwards (at bench scale AQE broadcasts dims either way; at 100 TB
+    # dims is customer-sized and the old shape paid a full wide-row
+    # shuffle of joined lineitem rows). Row-identical (inner joins
+    # commute; verified exceptAll-both-ways at sf0.01/sf0.1).
+    ord2 = orders.join(dims, orders.o_custkey == dims.c_custkey).select("o_orderkey", "n_name")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(dims, orders.o_custkey == dims.c_custkey)
+        li.join(ord2, li.l_orderkey == ord2.o_orderkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -835,10 +850,19 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
+    # Join order (r13, guide §2.3): orders meets its nation-filtered
+    # customer side BEFORE the fact⋈fact orderkey join, so the orderkey
+    # exchange carries two-nation orders (~2/25) instead of every order,
+    # and the joined lineitem frame is never re-shuffled on custkey
+    # afterwards. Locally neutral (AQE broadcasts cust either way); at
+    # scale it removes the wide-row custkey shuffle of joined lineitem
+    # rows. Row-identical (verified exceptAll-both-ways at sf0.01/sf0.1).
+    ord2 = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
     return (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(ord2, li.l_orderkey == ord2.o_orderkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
         .agg(

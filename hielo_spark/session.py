@@ -120,6 +120,26 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("HIELO_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Scale knobs (r13, guide §2.2/§2.3): env-parameterised with LOCAL
+    # DEFAULTS UNCHANGED so the driver's bench stays comparable; set in
+    # production, where the values depend on data volume, not core count.
+    # - HIELO_INITIAL_PARTITIONS → AQE's pre-coalesce partition count.
+    #   Locally shuffle.partitions == cores is right; at 100 TB the
+    #   initial count must be high (≈ input_bytes / 128 MB) and AQE
+    #   coalesces DOWN to advisoryPartitionSizeInBytes — it can never
+    #   split an undersized initial count (skew-join splitting aside).
+    # - HIELO_IO_CODEC → shuffle/spill compression codec. lz4 (Spark
+    #   default) locally where shuffles are KB-sized and CPU-bound; zstd
+    #   in production where shuffles are byte-bound (guide §2.3 — measure
+    #   both; there is no universal answer).
+    initial = os.environ.get("HIELO_INITIAL_PARTITIONS")
+    if initial:
+        b = b.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial
+        )
+    codec = os.environ.get("HIELO_IO_CODEC")
+    if codec:
+        b = b.config("spark.io.compression.codec", codec)
     for k, v in _DYNAMIC_CONFS.items():
         b = b.config(k, v)
     for k, v in (extra_conf or {}).items():

@@ -271,6 +271,26 @@ def _ivf_topk_r12(corpus, queries, k, n_centroids, n_probe, n_assign, seed=42):
     )
 
 
+def test_load_table_schema_memo_is_metadata_only(spark, sf_dir):
+    """r13 load_table schema memo: repeat loads must return the same
+    schema and identical rows, and the memo may hold ONLY StructType
+    objects (no DataFrame/plan/result reuse — bench honesty)."""
+    from pyspark.sql.types import StructType
+
+    from hielo_spark import io as IO
+
+    a = load_table(spark, sf_dir, "orders")
+    b = load_table(spark, sf_dir, "orders")
+    assert a is not b
+    assert a.schema == b.schema
+    assert a.count() == b.count()
+    assert all(isinstance(v, StructType) for v in IO._SCHEMA_MEMO.values())
+    # events passes through its ts normalization on both paths
+    e1 = load_table(spark, sf_dir, "events")
+    e2 = load_table(spark, sf_dir, "events")
+    assert dict(e1.dtypes)["ts"] == dict(e2.dtypes)["ts"] == "timestamp"
+
+
 def test_snapshot_fixture_not_memoized_across_calls(spark, sf_dir):
     """Bench honesty (r13): every call must rebuild from the parquet
     input — no module-level frame reuse keyed on the test data."""
