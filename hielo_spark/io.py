@@ -88,15 +88,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Fan-out decision memo (r13 session 3, guide §7.3 driver-side work):
+# keyed on (canonical-plan semanticHash, parallelism) → the probed
+# partition count. The probe itself is plan-time only but NOT free —
+# ``df.rdd`` physically plans the frame AND builds a Python-RDD wrapper
+# (measured 157 ms; the executedPlan form below 105 ms; a semanticHash
+# lookup 9 ms) — and hot paths probe the same frame shape repeatedly
+# (timeline probes twice per build, the bench 3+ times per query).
+# METADATA ONLY: the memo holds ints (a plan-shape fact), never frames,
+# plans or results; a hash collision could at worst skip/add a
+# repartition — a parallelism change, never a row change.
+_FANOUT_MEMO: dict = {}
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's parallelism, ONLY when the
     source has fewer partitions than that (the single-file bench fixture).
     At real scale the scan is already parallel and the unconditional
     ``repartition(defaultParallelism)`` this replaces was a full shuffle of
     the input corpus — the guide-§2.4 "remove shuffles outright" case. The
-    partition probe is plan-time only (no job)."""
+    partition probe is plan-time only (no job), memoized per plan shape."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    key = (df._jdf.queryExecution().logical().semanticHash(), p)
+    n = _FANOUT_MEMO.get(key)
+    if n is None:
+        n = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+        _FANOUT_MEMO[key] = n
+    if n < p:
         return df.repartition(p)
     return df
 
