@@ -152,11 +152,19 @@ def _minhash_kernel(num_hashes: int, bands: int, shingle_n: int):
             return pd.DataFrame({"hashes": [], "bands": []})
         flat = np.concatenate(sets)
         h = pd.util.hash_array(flat).astype(np.uint64, copy=False)
+        offs = np.asarray(offsets[:-1])
         with np.errstate(over="ignore"):
-            # (num_hashes, total_shingles) universal re-hash, then per-doc
-            # min via reduceat (every doc has ≥1 shingle, segments non-empty)
-            sig_all = a_params[:, None] * h[None, :] + b_params[:, None]
-            mins = np.minimum.reduceat(sig_all, offsets[:-1], axis=1)  # (H, n)
+            # Per-seed universal re-hash + per-doc min. One 1-D pass per
+            # seed: ``minimum.reduceat`` over a contiguous 1-D array takes
+            # numpy's fast inner loop, and the peak temporary is ONE
+            # len-N row instead of the (num_hashes × N) matrix the
+            # broadcast form materialized (A/B on the sf0.1 corpus:
+            # 42 ms vs 127 ms single-threaded, bit-identical output;
+            # r13 session 4). Every doc has ≥1 shingle → segments
+            # non-empty, so reduceat never sees an empty slice.
+            mins = np.empty((num_hashes, n), dtype=np.uint64)
+            for j in range(num_hashes):
+                mins[j] = np.minimum.reduceat(a_params[j] * h + b_params[j], offs)
             sig3 = mins.reshape(bands, rows, n)
             acc = np.arange(1, bands + 1, dtype=np.uint64)[:, None] * np.ones(
                 n, dtype=np.uint64
@@ -273,7 +281,22 @@ def minhash_neardup_pairs(
     """LSH candidates verified by exact Jaccard over the hashed shingle
     sets (identical to string-shingle Jaccard barring 64-bit collisions).
     The (id, hashes, bands) frame is computed once and persisted — it
-    feeds both the band join and the two verification joins.
+    feeds both the band aggregation and the verification join.
+
+    Verification shape (r13 session 4, guide §8 "move heavy bytes once"):
+    each DISTINCT candidate pair explodes into two light (id_a, id_b, id)
+    rows and joins the hash-set side ONCE on id; a per-pair aggregate
+    reassembles (sh_a, sh_b). The r12 form joined ``sets`` twice (once
+    per pair side): in the sort-merge regime at scale that shuffled the
+    corpus-wide hash arrays across the wire twice AND carried ``sh_a``
+    through the second exchange — heavy bytes ≈ 2·|sets| + |pairs|
+    arrays vs |sets| + 2·|pairs| here, a win whenever candidates are
+    rarer than documents (the LSH operating point; locally AQE broadcasts
+    either way and the A/B is a wash). The ``distinct`` stays BEFORE the
+    explode: pair dedup on the two-long proxy keeps a pair colliding in
+    k bands from dragging k copies of its hash arrays through the verify
+    join. Row-identity vs the two-join form is pinned by
+    ``test_minhash_verify_single_join_matches_two_join_form``.
 
     Cache note: the persisted frame stays pinned for the session (Spark
     has no reliable unpersist-after-lazy-result hook); long-lived callers
@@ -286,10 +309,19 @@ def minhash_neardup_pairs(
     )
     cands = _candidates_from(mh)
     sets = mh.select("id", "hashes")
+    ex = cands.select("id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id"))
+    ver = (
+        ex.join(sets, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            # exactly one row per side in each group (id_a < id_b, ids
+            # unique in sets), so first(ignorenulls) is deterministic
+            F.first(F.when(F.col("id") == F.col("id_a"), F.col("hashes")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("id") == F.col("id_b"), F.col("hashes")), ignorenulls=True).alias("sh_b"),
+        )
+    )
     return (
-        cands.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("hashes", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("hashes", "sh_b"), "id_b")
-        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        ver.select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -302,3 +302,36 @@ def test_snapshot_fixture_not_memoized_across_calls(spark, sf_dir):
     assert not hasattr(FX, "_FIXTURE_CACHE")
     # identical content, independently derived
     assert a.count() == b.count()
+
+
+def test_minhash_verify_single_join_matches_two_join_form(spark, sf_dir):
+    """r13 session 4: the verify stage (explode pairs → ONE join with the
+    hash-set side → per-pair reassembly aggregate) must emit exactly the
+    rows of the r12 two-join form it replaced (which shuffled the
+    corpus-wide hash arrays twice in the sort-merge regime)."""
+    d = load_table(spark, sf_dir, "documents")
+    new = dedup.minhash_neardup_pairs(d, "doc_id", "text", threshold=0.5)
+    mh = dedup._minhash_frame(d, "doc_id", "text", 64, 16, 3).persist()
+    try:
+        cands = dedup._candidates_from(mh)
+        sets = mh.select("id", "hashes")
+        ref = (
+            cands.join(
+                sets.withColumnRenamed("id", "id_a").withColumnRenamed("hashes", "sh_a"),
+                "id_a",
+            )
+            .join(
+                sets.withColumnRenamed("id", "id_b").withColumnRenamed("hashes", "sh_b"),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(dedup.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.5)
+        )
+        assert _same_rows(new, ref)
+        assert new.count() > 0  # fixture plants near-dups; empty = broken join
+    finally:
+        mh.unpersist()
