@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
+from ..io import fan_out
 from ..metadata.snapshots import infer_operation, is_compaction
 
 # Thresholds (analytics.rs:9-30).
@@ -82,7 +83,16 @@ def health_metrics(snapshots: DataFrame, as_of: str) -> DataFrame:
     _ord = F.unix_micros(F.col("committed_at")).cast("decimal(38,0)") * F.expr(
         "CAST(100000000000000000000 AS DECIMAL(21,0))"  # 10^20
     ) + F.col("snapshot_id").cast("decimal(38,0)")
-    flat = snapshots.select(
+    # Parallelize the flatten when the input scan is under-parallel (r13
+    # session 4, guide §2.5 "input skew"): the flatten + partial
+    # aggregation — six map probes, the operation-inference CASE tree and
+    # the decimal ordering key per row — run in the SCAN stage, so a
+    # single-file snapshots source serializes the whole per-row pipeline
+    # on one task. fan_out is conditional: a real metadata table scan is
+    # already parallel and nothing is added. Interleaved A/B at sf0.1:
+    # 0.58-0.70 s vs 0.83-1.33 s; row-identical (every aggregate below is
+    # order-insensitive — exact int sums, min/max, unique-key max_by).
+    flat = fan_out(snapshots).select(
         "table_name",
         "snapshot_id",
         "committed_at",

@@ -335,3 +335,24 @@ def test_minhash_verify_single_join_matches_two_join_form(spark, sf_dir):
         assert new.count() > 0  # fixture plants near-dups; empty = broken join
     finally:
         mh.unpersist()
+
+
+def test_health_metrics_fans_out_underparallel_input(spark, sf_dir):
+    """r13 session 4: health_metrics parallelizes its flatten when the
+    snapshots source is under-parallel (single-file fixture) — the plan
+    carries the conditional round-robin fan-out below the aggregation —
+    and the metric rows are identical to the unfanned form."""
+    from hielo_spark.analytics.health import health_metrics
+    from hielo_spark.metadata.fixtures import snapshots_from_orders
+    from hielo_spark.queries.meta import AS_OF_META
+
+    snaps = snapshots_from_orders(spark, sf_dir)
+    m = health_metrics(snaps, AS_OF_META)
+    if snaps.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        p = m._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" in p
+    # row-identity vs the flatten running directly on the source
+    ref = health_metrics(
+        snaps.repartition(spark.sparkContext.defaultParallelism), AS_OF_META
+    )
+    assert _same_rows(m, ref)
