@@ -310,18 +310,27 @@ def minhash_neardup_pairs(
     cands = _candidates_from(mh)
     sets = mh.select("id", "hashes")
     ex = cands.select("id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id"))
-    ver = (
-        ex.join(sets, "id")
-        .groupBy("id_a", "id_b")
-        .agg(
-            # exactly one row per side in each group (id_a < id_b, ids
-            # unique in sets), so first(ignorenulls) is deterministic
-            F.first(F.when(F.col("id") == F.col("id_a"), F.col("hashes")), ignorenulls=True).alias("sh_a"),
-            F.first(F.when(F.col("id") == F.col("id_b"), F.col("hashes")), ignorenulls=True).alias("sh_b"),
+    # Reassemble via sort_array(collect_list(struct(is_a, hashes))):
+    # exactly two rows per group (id_a < id_b, ids unique in sets), and
+    # false < true puts the id_b row first — xs[0]=sh_b, xs[1]=sh_a.
+    # collect_list lowers to hash-based ObjectHashAggregate; the
+    # first(when(...)) spelling of the same reassembly has an
+    # array-typed (immutable) buffer and falls back to SortAggregate —
+    # a per-partition sort of the verify rows at any scale (the same
+    # buffer-mutability cliff the health suite's decimal ordering key
+    # works around). Row-identical, A/B a wash locally.
+    xs = F.sort_array(
+        F.collect_list(
+            F.struct((F.col("id") == F.col("id_a")).alias("is_a"), F.col("hashes").alias("h"))
         )
     )
+    ver = ex.join(sets, "id").groupBy("id_a", "id_b").agg(xs.alias("xs"))
     return (
-        ver.select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        ver.select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("xs")[1]["h"], F.col("xs")[0]["h"]), 6).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
