@@ -107,12 +107,27 @@ def fan_out(df: DataFrame) -> DataFrame:
     At real scale the scan is already parallel and the unconditional
     ``repartition(defaultParallelism)`` this replaces was a full shuffle of
     the input corpus — the guide-§2.4 "remove shuffles outright" case. The
-    partition probe is plan-time only (no job), memoized per plan shape."""
+    partition probe is plan-time only (no job), memoized per plan shape.
+
+    r14 (ADVICE): when the frame's executed plan is ADAPTIVE — i.e. it
+    contains exchanges or subqueries (that is exactly when Spark inserts
+    AdaptiveSparkPlanExec) — calling ``execute()`` on it would
+    materialize the upstream query stages: real shuffle jobs at
+    DataFrame-BUILD time whose results the later action does not reuse.
+    Such a frame's partitioning comes out of the shuffle configuration
+    (AQE coalescing targets), not an under-parallel file scan, so
+    fan-out is treated as a no-op and the probe never executes anything.
+    The ``execute()`` probe only runs on non-adaptive (scan-rooted,
+    exchange-free) plans, where it builds the RDD without running a job."""
     p = df.sparkSession.sparkContext.defaultParallelism
     key = (df._jdf.queryExecution().logical().semanticHash(), p)
     n = _FANOUT_MEMO.get(key)
     if n is None:
-        n = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+        ep = df._jdf.queryExecution().executedPlan()
+        if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            n = p  # exchange-fed: post-shuffle width is config-sized
+        else:
+            n = ep.execute().getNumPartitions()
         _FANOUT_MEMO[key] = n
     if n < p:
         return df.repartition(p)

@@ -504,28 +504,24 @@ def write_avro(
     rows: list[dict],
     meta: dict[str, str] | None = None,
 ) -> None:
-    """Write an Avro container file with Spark's bundled Apache Avro JVM
-    library (the same library the read plane parses with). ``meta``
+    """Write an Avro container file with the pure-Python container
+    writer (``metadata/avro_py.write_avro_file`` — byte-compatible with
+    the JVM library, round-trip pinned in tests; the manifest-rewrite
+    and DataSource commit paths already write with it). ``meta``
     entries land in the container header key-value metadata — where the
     Iceberg spec puts ``schema`` / ``partition-spec-id`` / ``content`` /
-    ``format-version`` on manifests and manifest lists."""
-    jvm = spark._jvm
-    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
-    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
-    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
-    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
-    for k, v in (meta or {}).items():
-        dfw.setMeta(k, str(v))
-    dfw.create(schema, jvm.java.io.File(path))
-    try:
-        for row in rows:
-            payload = json.dumps(
-                {f.name(): _avro_json_value(f.schema(), row.get(f.name())) for f in schema.getFields()}
-            )
-            dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(schema, payload)
-            dfw.append(reader.read(None, dec))
-    finally:
-        dfw.close()
+    ``format-version`` on manifests and manifest lists.
+
+    r14: this replaced the py4j-driven JVM DataFileWriter route, which
+    cost ~0.5 s of driver time PER manifest (one JSON-encode plus
+    several py4j roundtrips per row/field — guide §7.3 driver-side
+    work); the binary encoder writes the same natural-Python datums
+    (None/ints/bytes/dicts) with zero JVM traffic. ``spark`` stays in
+    the signature for the 15+ call sites; it is deliberately unused."""
+    del spark  # no JVM needed — kept for call-site compatibility
+    from .avro_py import write_avro_file
+
+    write_avro_file(path, schema_json, rows, meta=meta)
 
 
 class _FileStats:
@@ -540,7 +536,7 @@ class _FileStats:
         "string", "date", "timestamp", "timestamp_ntz",
     )
 
-    def __init__(self, spark, data_dir, dtypes, exclude_cols):
+    def __init__(self, spark, data_dir, dtypes, exclude_cols, read_schema=None):
         from pyspark.sql import functions as F
 
         #: write.metadata.metrics.default applied at read-out: None =
@@ -564,8 +560,14 @@ class _FileStats:
         self._float_cols = {
             c for c in self.bound_cols if dtypes[c] in ("float", "double")
         }
+        # The writer hands its own schema over when the layout is flat
+        # (no partition dirs to re-derive), skipping the footer
+        # schema-inference pass the fresh read would otherwise pay —
+        # ~0.15 s of driver time per commit (guide §7.3 driver-side
+        # work; same footers the write just produced).
+        reader = spark.read.schema(read_schema) if read_schema is not None else spark.read
         self.rows = (
-            spark.read.parquet(data_dir)
+            reader.parquet(data_dir)
             .select(F.col("_metadata.file_path").alias("fp"), *self.null_cols)
             .groupBy("fp")
             .agg(
@@ -669,8 +671,8 @@ class _FileStats:
         } or None
 
 
-def _file_stats(spark, data_dir, dtypes, exclude_cols) -> _FileStats:
-    return _FileStats(spark, data_dir, dtypes, exclude_cols)
+def _file_stats(spark, data_dir, dtypes, exclude_cols, read_schema=None) -> _FileStats:
+    return _FileStats(spark, data_dir, dtypes, exclude_cols, read_schema=read_schema)
 
 
 def _parse_metrics_value(v: str):
@@ -1614,6 +1616,7 @@ def _write_data_files(spark, data_dir: str, df: DataFrame, transforms, dtypes,
         spark,
         data_dir,
         dtypes,
+        read_schema=df.schema if not transforms else None,
         exclude_cols=[t.source for t in transforms if t.kind == "identity"],
     )
     stats.metrics_mode = metrics_mode
@@ -3157,7 +3160,9 @@ def rewrite_data_files(
     # same stats pass as append: compacted files get fresh column bounds,
     # which is where sort/zorder strategies pay off (tight disjoint
     # ranges → skip_filter reads touch one file)
-    stats = _file_stats(spark, data_dir, dict(live.dtypes), exclude_cols=[])
+    stats = _file_stats(
+        spark, data_dir, dict(live.dtypes), exclude_cols=[], read_schema=live.schema
+    )
     stats.metrics_mode = _metrics_mode_of(doc)
     records_of = stats.records_of
 

@@ -196,16 +196,24 @@ def ivf_topk(
     join is an equi-join on centroid id — candidates ≈ corpus × n_assign
     × (n_probe / n_centroids) per query, never a cross join.
     """
+    from pyspark import StorageLevel
+
     v = F.col(corpus_vec).cast("array<double>")
-    # 1. deterministic seed sample → one Lloyd refinement round
-    seeds = (
-        corpus.select(F.col(corpus_id).alias("sid"), v.alias("sv"))
-        .orderBy(F.xxhash64(F.col("sid"), F.lit(seed)))
-        .limit(n_centroids)
+    # The projected (id, v) corpus feeds THREE passes (seed sample,
+    # centroid refinement, final inverted lists) — persist it once so
+    # passes 2-3 read the cache instead of re-scanning storage (the same
+    # reuse-across-iterations policy kmeans applies to its vector frame).
+    # Cache note: the final pass is lazy, so the frame stays pinned for
+    # the session (no unpersist-after-lazy-result hook exists);
+    # long-lived callers should ``spark.catalog.clearCache()`` after
+    # materializing the result, as bench.py does.
+    base = corpus.select(F.col(corpus_id).alias("id"), v.alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    # 1. deterministic seed sample → one Lloyd refinement round
+    seeds = base.orderBy(F.xxhash64(F.col("id"), F.lit(seed))).limit(n_centroids)
     seed_rows = seeds.collect()  # n_centroids rows — bounded, deliberate
-    seed_arr = [(i, list(r["sv"])) for i, r in enumerate(seed_rows)]
-    base = corpus.select(F.col(corpus_id).alias("id"), v.alias("v"))
+    seed_arr = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
     cells = base.select(
         "id", "v", _top_cells(F.col("v"), seed_arr, 1, dot)[0]["cell"].alias("cell")
     )

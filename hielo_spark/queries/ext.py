@@ -8,7 +8,7 @@ weaker check and the pytest suite pins their semantics instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 from pyspark.sql.functions import broadcast
 
@@ -508,18 +508,25 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint("text").alias("fp"),
         T.quality_score("text").alias("quality"),
     ).filter(F.col("quality") >= 0.6)
-    # keep-first per fingerprint as min(struct(doc_id, ...)): doc_id leads
-    # the struct, so the minimum IS the row_number()=1 row of the r12
-    # window form (doc_ids are unique). The aggregate does partial,
-    # map-side combining — duplicate-heavy corpora shrink before the fp
-    # exchange — and drops the window's per-partition sort (guide §2.3
-    # "aggregate before you shuffle").
-    kept = scored.groupBy("fp").agg(
-        F.min(F.struct("doc_id", "lang", "quality")).alias("keep")
-    )
-    return kept.groupBy("keep.lang").agg(
+    # keep-first per fingerprint: row_number()=1 over (fp, doc_id) — the
+    # r12 window form, REVERTED to in r14. The r13 min(struct(...))
+    # aggregate has an immutable struct buffer, so Spark lowered BOTH the
+    # partial and final aggregate to SortAggregate (a per-partition sort
+    # of the scored corpus at any scale); the scalar decomposition the
+    # r13 verdict suggested (min(doc_id) + min_by(lang, doc_id)) hits the
+    # same cliff — min_by's buffer carries the STRING value, and string
+    # buffers are immutable too (probed: SortAggregate×2 in the plan).
+    # The window form sorts the same frame but Spark 3.5+/4 inserts
+    # WindowGroupLimit in partial AND final mode around the exchange —
+    # map-side top-1 per fp, so one row per (fp, partition) crosses the
+    # wire, the same shuffle reduction the aggregate had, without
+    # per-row immutable-buffer copying (plans/r14/doc_curation_pipeline_
+    # {before,after}.txt; A/B in OPTIMIZATION_r14.md).
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("lang").agg(
         F.count("*").alias("n_kept"),
-        F.round(F.avg("keep.quality"), 6).alias("avg_quality"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
 
 

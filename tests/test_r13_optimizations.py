@@ -146,6 +146,12 @@ def test_first_order_agg_matches_window_form(spark, sf_dir):
 
 
 def test_curation_pipeline_agg_matches_window_form(spark, sf_dir):
+    """r14: the query reverted to the window rn=1 form — the r13
+    min(struct) aggregate (and the scalar min_by decomposition) have
+    immutable string/struct aggregation buffers and fall to
+    SortAggregate. Pin: rows identical to the r13 aggregate form, the
+    plan carries WindowGroupLimit (map-side top-1 per fp) and ZERO
+    SortAggregate."""
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -153,17 +159,19 @@ def test_curation_pipeline_agg_matches_window_form(spark, sf_dir):
         T.fingerprint("text").alias("fp"),
         T.quality_score("text").alias("quality"),
     ).filter(F.col("quality") >= 0.6)
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    kept = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    ref = kept.groupBy("lang").agg(
+    kept = scored.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "lang", "quality")).alias("keep")
+    )
+    ref = kept.groupBy("keep.lang").agg(
         F.count("*").alias("n_kept"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("keep.quality"), 6).alias("avg_quality"),
     )
     new = QUERIES["doc_curation_pipeline"](spark, sf_dir)
     assert new.schema == ref.schema
     assert _same_rows(new, ref)
     p = new._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in p
+    assert "WindowGroupLimit" in p
+    assert "SortAggregate" not in p
 
 
 def test_fan_out_skips_shuffle_when_already_parallel(spark, sf_dir):
@@ -176,6 +184,27 @@ def test_fan_out_skips_shuffle_when_already_parallel(spark, sf_dir):
     assert fan_out(wide) is wide
     wider = d.repartition(par + 3)
     assert fan_out(wider) is wider
+
+
+def test_fan_out_probe_runs_no_jobs_on_exchange_fed_frames(spark, sf_dir):
+    """r14 (ADVICE): with AQE on, probing an exchange-fed frame via
+    executedPlan().execute() would materialize its upstream query
+    stages — real shuffle jobs at DataFrame-build time. fan_out must
+    answer without running ANY job for such frames (their post-shuffle
+    width is config-sized, so fan-out is a no-op), and without one for
+    scan-rooted frames either."""
+    import hielo_spark.io as hio
+
+    st = spark.sparkContext.statusTracker()
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.groupBy("lang").count()  # exchange-fed → adaptive plan
+    hio._FANOUT_MEMO.clear()  # force a fresh probe, not a memo hit
+    before = set(st.getJobIdsForGroup(None))
+    out = fan_out(agg)
+    scan_probe = fan_out(d.select("doc_id"))
+    after = set(st.getJobIdsForGroup(None))
+    assert after == before, "fan_out probe must not run jobs"
+    assert out is agg
 
 
 def test_ivf_topk_inline_assignment_matches_join_window_form(spark, sf_dir):
