@@ -301,7 +301,16 @@ def minhash_neardup_pairs(
     Cache note: the persisted frame stays pinned for the session (Spark
     has no reliable unpersist-after-lazy-result hook); long-lived callers
     should ``spark.catalog.clearCache()`` after materializing the result,
-    as bench.py does."""
+    as bench.py does.
+
+    PRECONDITION (ADVICE r13): ``id_col`` must be unique in ``df``. The
+    single-join reassembly assumes exactly two ``sets`` rows per
+    (id_a, id_b) group; a duplicated id yields >2 rows and xs[0]/xs[1]
+    can pick two copies of the SAME side — silently reporting
+    jaccard=1.0 for a dissimilar pair (the old two-join form emitted
+    duplicated but individually correct rows). Enforced below: the
+    reassembly counts rows per group and raises on any group != 2, so
+    duplicate-id inputs fail loudly instead of emitting wrong values."""
     from pyspark import StorageLevel
 
     mh = _minhash_frame(df, id_col, text_col, num_hashes, bands, shingle_n).persist(
@@ -324,12 +333,30 @@ def minhash_neardup_pairs(
             F.struct((F.col("id") == F.col("id_a")).alias("is_a"), F.col("hashes").alias("h"))
         )
     )
-    ver = ex.join(sets, "id").groupBy("id_a", "id_b").agg(xs.alias("xs"))
+    ver = ex.join(sets, "id").groupBy("id_a", "id_b").agg(
+        xs.alias("xs"), F.count(F.lit(1)).alias("_n")
+    )
+    # Loud duplicate-id guard (ADVICE r13): a valid pair group has
+    # exactly 2 sets rows; anything else means id_col was not unique
+    # and the reassembly would silently compare a side with itself.
+    guard = F.assert_true(
+        F.col("_n") == 2,
+        F.concat(
+            F.lit("minhash_neardup_pairs: duplicate ids in input — pair ("),
+            F.col("id_a").cast("string"), F.lit(", "),
+            F.col("id_b").cast("string"),
+            F.lit(") matched "), F.col("_n").cast("string"),
+            F.lit(" set rows (expected 2); id_col must be unique"),
+        ),
+    )
     return (
         ver.select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("xs")[1]["h"], F.col("xs")[0]["h"]), 6).alias("jaccard"),
+            F.when(
+                guard.isNull(),
+                F.round(jaccard(F.col("xs")[1]["h"], F.col("xs")[0]["h"]), 6),
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -44,7 +44,12 @@ def token_count_bpe_ish(text: Column | str = "text") -> Column:
 
 def punct_ratio(text: Column | str = "text") -> Column:
     text = F.col(text) if isinstance(text, str) else text
-    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    # regexp_count of the punctuation class, not length(regexp_replace
+    # (negated class, "")): identical integer (each match is exactly one
+    # character) without BUILDING the replaced string per row — measured
+    # ~3x cheaper on a 1.5 KB/doc corpus (r14; 1.10 s -> 0.38 s for the
+    # bare expression over 50k docs on 2 tasks).
+    n_punct = F.regexp_count(text, F.lit(r"[\.,;:!\?]"))
     return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 from pyspark.sql.functions import broadcast
 
-from ..io import load_table
+from ..io import fan_out, load_table
 from ..operators import contamination, dedup, sampling, similarity, text as T
 
 QUERIES = {}
@@ -46,7 +46,13 @@ def query(name: str, oracle: str | None = None):
     """,
 )
 def doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): the single-file scan runs the split-heavy word_count
+    # on 2 tasks at sf>=1 — fanning halves the query (1.02 -> 0.52 s at
+    # sf1; the r13 "wash" verdict was measured at the sf0.1 noise floor).
+    # Order-safe: every aggregate is exact at fixture scale (int sums,
+    # count; avg of ints sums exactly in double far below 2^53). At real
+    # scale the scan is parallel and fan_out no-ops.
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
@@ -71,7 +77,8 @@ def doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: same shape and rationale as doc_lang_stats above.
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.groupBy("source").agg(
         F.sum(T.word_count("text")).cast("bigint").alias("n_tokens"),
         F.count("*").alias("n_docs"),
@@ -502,28 +509,46 @@ def doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    scored = d.select(
+    # Scoring (fingerprint md5 + quality regex/split heuristics) is BY
+    # FAR the query's cost — the dedup machinery is ~3% at sf1 — so the
+    # r14 shape makes sure it runs exactly ONCE per row, in parallel:
+    #
+    # * fan_out first: the single-file fixture scans as 2 tasks, so the
+    #   scoring projection ran 2-wide on a 32-core session (guide §2.5
+    #   under-parallel input). At real scale the scan is already
+    #   parallel and fan_out is a no-op.
+    # * the quality filter moved ABOVE the window. The r12/r13 forms
+    #   filtered `quality >= 0.6` before the dedup; Catalyst's
+    #   cost-blind pushdown inlines the whole quality expression into
+    #   the Filter and pushes it to the scan — the most expensive
+    #   expression in the query evaluated TWICE per row (Filter below
+    #   the exchange + Project above it; measured: scored-frame 7.15 s
+    #   vs 4.01 s bare projection at sf1). With the filter expressed
+    #   over the window rank — order qualifying rows first, keep rn=1
+    #   AND quality>=0.6 — pushdown cannot cross the Window (quality is
+    #   not a partition key), so quality evaluates once, post-exchange,
+    #   32-wide. Row equivalence: for an fp with >=1 qualifying row,
+    #   rn=1 under (quality<0.6 ASC, doc_id ASC) is exactly the min
+    #   doc_id among qualifying rows (false sorts first); an fp with
+    #   none yields a non-qualifying rn=1 row that the >=0.6 filter
+    #   drops — the fp disappears, as before. Oracle re-verified at
+    #   3 SFs; the ~9% non-qualifying rows now cross the fp exchange
+    #   (narrow rows) in exchange for halving the scoring CPU.
+    #
+    # Keep-first stays the window rn=1 form (r14 revert): min(struct)
+    # and scalar min_by both have immutable struct/string aggregation
+    # buffers and fall to SortAggregate; the window form gets map-side
+    # WindowGroupLimit on both sides of the exchange (plans/r14/).
+    scored = fan_out(d).select(
         "doc_id",
         "lang",
         T.fingerprint("text").alias("fp"),
         T.quality_score("text").alias("quality"),
-    ).filter(F.col("quality") >= 0.6)
-    # keep-first per fingerprint: row_number()=1 over (fp, doc_id) — the
-    # r12 window form, REVERTED to in r14. The r13 min(struct(...))
-    # aggregate has an immutable struct buffer, so Spark lowered BOTH the
-    # partial and final aggregate to SortAggregate (a per-partition sort
-    # of the scored corpus at any scale); the scalar decomposition the
-    # r13 verdict suggested (min(doc_id) + min_by(lang, doc_id)) hits the
-    # same cliff — min_by's buffer carries the STRING value, and string
-    # buffers are immutable too (probed: SortAggregate×2 in the plan).
-    # The window form sorts the same frame but Spark 3.5+/4 inserts
-    # WindowGroupLimit in partial AND final mode around the exchange —
-    # map-side top-1 per fp, so one row per (fp, partition) crosses the
-    # wire, the same shuffle reduction the aggregate had, without
-    # per-row immutable-buffer copying (plans/r14/doc_curation_pipeline_
-    # {before,after}.txt; A/B in OPTIMIZATION_r14.md).
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    kept = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("quality") < 0.6, F.col("doc_id"))
+    kept = scored.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("quality") >= 0.6)
+    )
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_kept"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),

@@ -297,7 +297,16 @@ FROM ratio
 
 @query("meta_health", _HEALTH_ORACLE)
 def meta_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = health_metrics(snapshots_from_orders(spark, sf_dir), AS_OF_META)
+    m = health_metrics(
+        # fan=True (r14): fan the ORDERS SCAN before the summary-map
+        # projection — at sf>=1 the map build dominated on the scan's
+        # few tasks and the post-projection fan-out shuffled the WIDE
+        # map rows; pre-fanning shuffles the narrow orders columns and
+        # builds the map at full width. health_metrics' own fan_out
+        # then no-ops (exchange-fed input). Conditional at scale as
+        # always: a parallel scan makes fan_out a no-op.
+        snapshots_from_orders(spark, sf_dir, fan=True), AS_OF_META
+    )
     band = health_band()
     return m.select(
         "table_name",
@@ -619,7 +628,16 @@ def meta_table_type_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def meta_health_subscores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = health_metrics(snapshots_from_orders(spark, sf_dir), AS_OF_META)
+    m = health_metrics(
+        # fan=True (r14): fan the ORDERS SCAN before the summary-map
+        # projection — at sf>=1 the map build dominated on the scan's
+        # few tasks and the post-projection fan-out shuffled the WIDE
+        # map rows; pre-fanning shuffles the narrow orders columns and
+        # builds the map at full width. health_metrics' own fan_out
+        # then no-ops (exchange-fed input). Conditional at scale as
+        # always: a parallel scan makes fan_out a no-op.
+        snapshots_from_orders(spark, sf_dir, fan=True), AS_OF_META
+    )
     return category_scores(m)
 
 
@@ -656,7 +674,16 @@ def meta_health_subscores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def meta_health_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..analytics.health import alerts
 
-    m = health_metrics(snapshots_from_orders(spark, sf_dir), AS_OF_META)
+    m = health_metrics(
+        # fan=True (r14): fan the ORDERS SCAN before the summary-map
+        # projection — at sf>=1 the map build dominated on the scan's
+        # few tasks and the post-projection fan-out shuffled the WIDE
+        # map rows; pre-fanning shuffles the narrow orders columns and
+        # builds the map at full width. health_metrics' own fan_out
+        # then no-ops (exchange-fed input). Conditional at scale as
+        # always: a parallel scan makes fan_out a no-op.
+        snapshots_from_orders(spark, sf_dir, fan=True), AS_OF_META
+    )
     return alerts(m).select("table_name", "severity", "category", "metric_value", "threshold")
 
 
@@ -698,7 +725,16 @@ def meta_health_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def meta_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..analytics.health import alerts, recommendations
 
-    m = health_metrics(snapshots_from_orders(spark, sf_dir), AS_OF_META)
+    m = health_metrics(
+        # fan=True (r14): fan the ORDERS SCAN before the summary-map
+        # projection — at sf>=1 the map build dominated on the scan's
+        # few tasks and the post-projection fan-out shuffled the WIDE
+        # map rows; pre-fanning shuffles the narrow orders columns and
+        # builds the map at full width. health_metrics' own fan_out
+        # then no-ops (exchange-fed input). Conditional at scale as
+        # always: a parallel scan makes fan_out a no-op.
+        snapshots_from_orders(spark, sf_dir, fan=True), AS_OF_META
+    )
     return recommendations(alerts(m), m).select("table_name", "priority", "action_type")
 
 
