@@ -28,6 +28,7 @@ def _stage_parquet(spark, path, df):
                             recursive=True))
 
 
+@pytest.mark.slow
 def test_add_files_fresh_table_reads_and_prunes(registered, spark,
                                                 tmp_path):
     spark_ = registered
@@ -98,6 +99,7 @@ def test_add_files_onto_appended_table(registered, spark, tmp_path):
     assert sorted(r.id for r in inc.collect()) == list(range(50, 80))
 
 
+@pytest.mark.slow
 def test_add_files_hive_partitioned_import(registered, spark, tmp_path):
     """A hive col=value layout imports with identity partition values
     parsed from the path — partition_filter then prunes files from

@@ -6,6 +6,8 @@ rows."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import json
 import os
@@ -37,6 +39,7 @@ def _messy_table(spark, tmp_path):
     return t, base
 
 
+@pytest.mark.slow
 def test_plan_derives_reference_recommendations(spark, tmp_path):
     t, base = _messy_table(spark, tmp_path)
     now = base + 30 * DAY
@@ -46,6 +49,7 @@ def test_plan_derives_reference_recommendations(spark, tmp_path):
     assert "small" in plan[0]["reason"] or "delete files" in plan[0]["reason"] or "data files" in plan[0]["reason"]
 
 
+@pytest.mark.slow
 def test_run_maintenance_executes_and_heals(spark, tmp_path):
     t, base = _messy_table(spark, tmp_path)
     now = base + 30 * DAY
@@ -75,6 +79,7 @@ def test_run_maintenance_executes_and_heals(spark, tmp_path):
     assert "rewrite_data_files" not in actions2 or len(set(after.inputFiles())) > 1
 
 
+@pytest.mark.slow
 def test_autopilot_consolidates_manifests_when_compaction_not_needed(spark, tmp_path):
     """Healthy-sized data files but many manifests → the plan recommends
     rewrite_manifests (not compaction), and running it consolidates."""
@@ -122,6 +127,7 @@ def test_autopilot_consolidates_manifests_when_compaction_not_needed(spark, tmp_
     assert sum(1 for m in snap_list if (m.content or 0) == 0) == 1
 
 
+@pytest.mark.slow
 def test_plan_maintenance_single_metadata_pass(spark, tmp_path, monkeypatch):
     """Planning reads the manifest list once and builds ONE all-content
     files frame aggregated distributedly (collect <= 3 rows) — never
@@ -186,6 +192,7 @@ def test_all_content_files_frame_matches_per_kind(spark, tmp_path):
     assert len(all_rows) == sum(len(v) for v in per_kind.values())
 
 
+@pytest.mark.slow
 def test_autopilot_plans_position_delete_compaction(spark, tmp_path):
     """Healthy data files + piled-up position-delete files → the plan
     prefers the cheap rewrite_position_deletes over a full data rewrite,
@@ -216,6 +223,7 @@ def test_autopilot_plans_position_delete_compaction(spark, tmp_path):
     assert df.count() == 5000 - 11
 
 
+@pytest.mark.slow
 def test_autopilot_plans_dv_compaction_on_v3(spark, tmp_path):
     """On a format-version-3 table the delete-side rule plans
     rewrite_deletion_vectors (container count, not entry count) instead

@@ -127,6 +127,7 @@ def test_equality_delete_commit_sequence_scoped(spark, tmp_path):
     assert at_43 == {(1, "a"), (3, "c-reborn")}       # re-insert survives
 
 
+@pytest.mark.slow
 def test_rewrite_data_files_compacts_and_preserves_rows(spark, tmp_path):
     t = str(tmp_path / "wh" / "ns" / "t")
     # two appends with forced multi-file layout + an equality delete
@@ -193,6 +194,7 @@ def test_rewrite_then_orphan_sweep_reclaims_old_files(spark, tmp_path):
     assert {r.id for r in read_data_at_snapshot(spark, mpath).collect()} == set(range(8))
 
 
+@pytest.mark.slow
 def test_delete_where_position_deletes_sequence_scoped(spark, tmp_path):
     t = str(tmp_path / "wh" / "ns" / "t")
     C.append(
@@ -460,6 +462,7 @@ def test_sorted_rewrite_enables_file_skipping(spark, tmp_path):
     assert {r.k for r in hot.collect()} == set(range(990, 1000))
 
 
+@pytest.mark.slow
 def test_orphan_sweep_spares_live_delete_files(spark, tmp_path):
     """Review fix: the live set must include position/equality delete
     parquets — sweeping a referenced delete file would resurrect deleted
@@ -680,6 +683,7 @@ def test_merge_into_upsert_single_snapshot(spark, tmp_path):
     assert _rows(spark, mpath, snapshot_id=101) == {(1, "a"), (2, "b"), (3, "c")}
 
 
+@pytest.mark.slow
 def test_merge_into_delete_clause(spark, tmp_path):
     t = str(tmp_path / "wh" / "ns" / "t")
     C.append(
@@ -706,6 +710,7 @@ def test_merge_into_delete_clause(spark, tmp_path):
     assert _rows(spark, mpath) == {(3, "c"), (7, "g")}
 
 
+@pytest.mark.slow
 def test_merge_into_chained_merges_sequence_scoped(spark, tmp_path):
     """A second merge must update rows the FIRST merge appended — i.e.
     the first merge's data files (written at seq N alongside its own
@@ -778,6 +783,7 @@ def _changes(spark, mpath, **kw):
     }
 
 
+@pytest.mark.slow
 def test_changelog_full_lineage(spark, tmp_path):
     """append → append → merge-update → delete_where, replayed as
     INSERT/DELETE rows with per-snapshot ordinals."""
@@ -846,6 +852,7 @@ def test_changelog_validation(spark, tmp_path):
 # -- rewrite_manifests (metadata compaction) -------------------------------
 
 
+@pytest.mark.slow
 def test_rewrite_manifests_consolidates_without_touching_data(spark, tmp_path):
     """Five tiny appends leave five data manifests; rewrite_manifests
     collapses them to one, rows and time travel unchanged, deletes
@@ -891,6 +898,7 @@ def test_rewrite_manifests_noop_when_single_manifest(spark, tmp_path):
     assert C.rewrite_manifests(spark, t) is None
 
 
+@pytest.mark.slow
 def test_rewrite_manifests_chunking(spark, tmp_path):
     t = str(tmp_path / "wh" / "ns" / "t")
     for i in range(4):
@@ -968,6 +976,7 @@ def test_branch_append_rejects_tag_ref(spark, tmp_path):
                  snapshot_id=102, timestamp_ms=1700100000000, branch="v1")
 
 
+@pytest.mark.slow
 def test_summary_totals_feed_health_suite(spark, tmp_path):
     """Commit summaries carry running total-data-files/total-delete-
     files/total-size (the keys the reference's health suite reads), so
@@ -1206,6 +1215,7 @@ def test_append_honors_desc_nulls_last_sort_order(spark, tmp_path):
     assert oid in oids
 
 
+@pytest.mark.slow
 def test_write_distribution_mode(spark, tmp_path):
     """r11: the Iceberg write.distribution-mode table property drives
     append clustering — 'range' shuffles by the default sort order so
@@ -1312,6 +1322,7 @@ def test_write_distribution_mode(spark, tmp_path):
     ) == list(range(808))
 
 
+@pytest.mark.slow
 def test_metrics_mode_property(spark, tmp_path):
     """r11: write.metadata.metrics.default drives the per-file column
     metrics — truncate(N) shortens STRING bounds with the spec's
@@ -1867,6 +1878,7 @@ def test_equality_delete_files_carry_key_bounds(spark, tmp_path):
     assert (eq[0].get("upper_bounds_str") or {}).get("k") == "5"
 
 
+@pytest.mark.slow
 def test_metadata_log_maintained_and_trimmed(spark, tmp_path):
     """Spec: every commit appends the PREVIOUS metadata file to
     metadata-log (with its last-updated timestamp), trimmed to
@@ -2206,6 +2218,7 @@ def test_delete_where_in_condition_prunes(spark, tmp_path):
         list(range(1000, 1100))
 
 
+@pytest.mark.slow
 def test_overwrite_partitions_dynamic(spark, tmp_path):
     """Dynamic partition overwrite (r12): one atomic snapshot replaces
     exactly the partitions present in the incoming frame — other
@@ -2353,6 +2366,7 @@ def test_overwrite_partitions_on_branch(spark, tmp_path):
         spark, current_metadata_path(t)).count() == 4
 
 
+@pytest.mark.slow
 def test_update_where_v2_and_v3(spark, tmp_path):
     """UPDATE … SET … WHERE as one MOR snapshot on both format
     versions: matched rows die by position delete (v2) / DV (v3) and
@@ -2422,6 +2436,7 @@ def test_update_where_unknown_column_raises(spark, tmp_path):
                      snapshot_id=102, timestamp_ms=1700100000000)
 
 
+@pytest.mark.slow
 def test_update_where_never_resurrects_or_duplicates(spark, tmp_path):
     """The review repro (r12): UPDATE's scan must be the LIVE MOR view
     — (a) a row a prior DELETE removed must not come back through the
@@ -2539,6 +2554,7 @@ def test_update_where_variant_roundtrip(spark, tmp_path):
     assert ds == got
 
 
+@pytest.mark.slow
 def test_delete_and_update_on_branch(spark, tmp_path):
     """WAP for row-level DML (r13): DELETE and UPDATE staged on a
     branch base on the BRANCH head, chain on it, and leave main
@@ -2598,6 +2614,7 @@ def test_delete_and_update_on_branch(spark, tmp_path):
                          branch="rel")
 
 
+@pytest.mark.slow
 def test_merge_on_branch(spark, tmp_path):
     """WAP merge (r13): merge_into(branch=...) bases its match split
     on the branch head and moves only the branch ref; chains on staged

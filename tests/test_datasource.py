@@ -136,6 +136,7 @@ def test_pushed_filters_prune_files(registered, tmp_path):
     assert df.count() == 10
 
 
+@pytest.mark.slow
 def test_streaming_source_appends(registered, tmp_path):
     spark = registered
     t = str(tmp_path / "t")
@@ -328,6 +329,7 @@ def test_python_written_avro_readable_by_jvm(spark, tmp_path):
             r.added_rows_count, r.existing_rows_count) == ("/m1.avro", 1, 7, 10, 4)
 
 
+@pytest.mark.slow
 def test_stream_write_sink_exactly_once(registered, tmp_path):
     """writeStream.format('hielo_iceberg'): each epoch is one marked
     append snapshot; a checkpoint WIPE replays the batches but the
@@ -741,6 +743,7 @@ def test_columns_option_resolves_renamed_history(registered, spark, tmp_path):
 # -- partitioned writes (r7) --------------------------------------------------
 
 
+@pytest.mark.slow
 def test_write_partitioned_table_via_datasource(registered, spark, tmp_path):
     """A table whose default spec is identity-partitioned accepts
     DataSource appends: each task splits its rows per partition value,
@@ -937,6 +940,7 @@ def test_write_truncate_partitioned_via_datasource(registered, spark, tmp_path):
 # -- streaming across maintenance snapshots (r7) ------------------------------
 
 
+@pytest.mark.slow
 def test_streaming_skip_replace_and_delete_snapshots(registered, tmp_path):
     """Iceberg streaming parity (streaming-skip-overwrite/delete):
     with the skip options the stream crosses compaction and MOR-delete
@@ -1106,6 +1110,7 @@ def test_metadata_log_surface(registered, spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_changes_surface_append_changelog(registered, spark, tmp_path):
     """option('surface','changes'): Iceberg's changelog fast path —
     rows ADDED per append snapshot in (from, to], with
@@ -1192,6 +1197,7 @@ def test_changes_surface_empty_poll_and_unknown_to(registered, spark,
          .option("to-snapshot-id", "9999").load(t).collect())
 
 
+@pytest.mark.slow
 def test_streaming_skip_delete_crosses_v3_dv_snapshots(registered,
                                                        tmp_path):
     """v3 twin of the skip-delete case: on a format-version-3 table the
@@ -1382,6 +1388,7 @@ def test_eq_delete_keep_mask_type_promotion_and_empty_deletes():
         [True, True, True]
 
 
+@pytest.mark.slow
 def test_scan_task_bin_packing(registered, spark, tmp_path):
     """Many small files pack into few Spark partitions (Iceberg
     read.split.target-size split planning) with identical results; an
@@ -2044,6 +2051,7 @@ def test_variant_extract_string_date_pruning(
     assert [(x.id, x.v_s) for x in out] == [(5500, "k005500")]
 
 
+@pytest.mark.slow
 def test_variant_extract_type_mismatch_consistent(
     registered, spark, tmp_path
 ):
@@ -2197,6 +2205,7 @@ def test_null_count_file_pruning(registered, spark, tmp_path):
     assert [r.id for r in jvm.collect()] == [15]
 
 
+@pytest.mark.slow
 def test_streaming_max_files_per_micro_batch(registered, tmp_path):
     """streaming-max-files-per-micro-batch (Iceberg Spark-source
     parity, r12): a 5-append backlog with a 1-file cap must drain in
@@ -2333,6 +2342,7 @@ def test_write_format_dynamic_partition_overwrite(registered, tmp_path):
     assert doc["current-snapshot-id"] == 102
 
 
+@pytest.mark.slow
 def test_changes_surface_renders_delete_and_update(registered, spark,
                                                    tmp_path):
     """r13: delete_where / update_where commits render on the changes

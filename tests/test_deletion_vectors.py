@@ -169,6 +169,7 @@ def test_v3_appends_after_dv_survive_and_compaction_bakes_in(
     assert got2 == got
 
 
+@pytest.mark.slow
 def test_v3_merge_writes_deletion_vectors(spark, tmp_path):
     """MERGE INTO on a v3 table resolves matched keys to ROW POSITIONS
     and commits deletion vectors in the same snapshot as the appended
@@ -218,6 +219,7 @@ def test_v3_merge_writes_deletion_vectors(spark, tmp_path):
     assert got3 == {(1, "A"), (3, "c")}
 
 
+@pytest.mark.slow
 def test_rewrite_deletion_vectors_compacts_containers(spark, tmp_path,
                                                       registered):
     """Every delete commit writes a new Puffin container; the
@@ -262,6 +264,7 @@ def test_rewrite_deletion_vectors_compacts_containers(spark, tmp_path,
         C.rewrite_deletion_vectors(spark, t2)
 
 
+@pytest.mark.slow
 def test_orphan_sweep_reclaims_superseded_puffins(spark, tmp_path):
     """A superseded DV container stays referenced by RETAINED history
     (time travel), but once those snapshots expire it must be listed by

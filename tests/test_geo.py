@@ -166,6 +166,7 @@ def _mk_geo_table(spark, tmp_path):
     return t
 
 
+@pytest.mark.slow
 def test_update_where_round_trips_geo_columns(spark, tmp_path):
     """The r12 loud guard lifted: UPDATE on a geo-typed table
     re-encodes the WKT read-back to WKB (geo.wkt_to_wkb) — untouched

@@ -46,6 +46,7 @@ def test_time_travel_sql():
         time_travel_sql("t", snapshot_id=1, timestamp="x")
 
 
+@pytest.mark.slow
 def test_rewrite_position_deletes_compacts_exactly(spark, tmp_path):
     """r7: position-delete compaction — accumulated per-commit delete
     files merge into one hash-partitioned set, never-applied and

@@ -10,6 +10,8 @@ GenericDatumWriter refuses them for long fields)."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from hielo_spark.metadata.manifests import (
@@ -284,6 +286,7 @@ def _mini_warehouse(spark, tmp_path):
     return str(data), mpath, paths
 
 
+@pytest.mark.slow
 def test_orphan_file_detection(spark, tmp_path):
     from hielo_spark.ops.analysis import orphan_files
 
@@ -293,6 +296,7 @@ def test_orphan_file_detection(spark, tmp_path):
     assert len(got) == 1 and "d_orphan" in got[0]
 
 
+@pytest.mark.slow
 def test_expire_snapshots_plan(spark, tmp_path):
     from hielo_spark.ops.analysis import expire_snapshots_plan
 

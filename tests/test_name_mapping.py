@@ -250,6 +250,7 @@ def test_add_files_resolves_name_mapped_footers(registered, spark,
                     snapshot_id=102, timestamp_ms=1700100000000)
 
 
+@pytest.mark.slow
 def test_dml_on_name_mapped_table(registered, spark, tmp_path):
     """Row-level DML against a table whose live files are name-mapped
     imports: DELETE's candidate scan and UPDATE's live-MOR re-append

@@ -357,6 +357,7 @@ def test_variant_column_with_permuted_manifests(registered, spark,
     assert jvm == ds == {i: i for i in range(8)}
 
 
+@pytest.mark.slow
 def test_multi_spec_manifest_list(registered, spark, tmp_path):
     """Partition evolution (r10, VERDICT r9 item 8): ONE manifest list
     referencing manifests of TWO partition specs (spec 0 = identity
@@ -887,6 +888,7 @@ def test_pos_delete_rows_unsorted(registered, spark, tmp_path):
     assert _both_plane_ids(spark, t) == expect
 
 
+@pytest.mark.slow
 def test_entry_snapshot_id_inherited_when_null(registered, spark,
                                                tmp_path):
     """Java Iceberg writes entries with a NULL snapshot_id and relies

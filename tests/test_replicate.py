@@ -23,6 +23,7 @@ def _rows(spark, t):
     )
 
 
+@pytest.mark.slow
 def test_replicate_bootstrap_then_incremental(spark, tmp_path):
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")
@@ -63,6 +64,7 @@ def test_replicate_bootstrap_then_incremental(spark, tmp_path):
     assert _rows(spark, dst) == _rows(spark, src)
 
 
+@pytest.mark.slow
 def test_replicate_resumes_by_watermark_slice(spark, tmp_path):
     """max_snapshots bounds one call; the watermark sits at the last
     APPLIED snapshot so the next call resumes exactly there."""
@@ -85,6 +87,7 @@ def test_replicate_resumes_by_watermark_slice(spark, tmp_path):
     assert _rows(spark, dst) == _rows(spark, src)
 
 
+@pytest.mark.slow
 def test_replicate_compaction_advances_watermark_without_commits(
     spark, tmp_path
 ):
@@ -110,6 +113,7 @@ def test_replicate_compaction_advances_watermark_without_commits(
                for k, v in props.items())
 
 
+@pytest.mark.slow
 def test_replicate_from_v3_dv_source(spark, tmp_path):
     """A format-version-3 source whose deletes are DELETION VECTORS
     replicates the same way — the changelog's multiset diff reads
@@ -146,6 +150,7 @@ def test_replicate_requires_keys_and_source(spark, tmp_path):
                           str(tmp_path / "b"), keys=["id"])
 
 
+@pytest.mark.slow
 def test_replicate_delete_plus_insert_is_one_atomic_commit(spark, tmp_path):
     """A source snapshot carrying BOTH deletes and inserts (an
     overwrite/merge) must map to exactly ONE destination snapshot —
@@ -204,6 +209,7 @@ def test_replicate_lineage_expired_raises_descriptive(spark, tmp_path):
         replicate_changes(spark, src, dst, keys=["id"])
 
 
+@pytest.mark.slow
 def test_replicate_follows_source_schema_evolution(spark, tmp_path):
     """Source does add-column AND rename mid-stream: the destination
     follows via one update_schema (field-id diff between the watermark

@@ -102,6 +102,7 @@ def test_compaction_materializes_and_preserves_ids(spark, tmp_path):
     assert "_row_id" not in plain.columns
 
 
+@pytest.mark.slow
 def test_rewrite_manifests_preserves_first_row_id(spark, tmp_path):
     """Manifest consolidation is metadata-only — it must carry the v3
     first_row_id field through verbatim (the frame-based rebuild used
@@ -161,6 +162,7 @@ def test_merge_updates_get_fresh_ids(spark, tmp_path):
     assert doc["next-row-id"] == 3        # 2 appended + 1 merged
 
 
+@pytest.mark.slow
 def test_datasource_lineage_agrees_with_jvm_plane(spark, tmp_path):
     """option('row-lineage','true') surfaces the same _row_id /
     _last_updated_sequence_number on the DataSource plane — synthesized

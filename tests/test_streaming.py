@@ -3,6 +3,8 @@ events fixture must produce exactly the batch query's result."""
 
 from __future__ import annotations
 
+import pytest
+
 from hielo_spark.queries.relational import events_hourly_windows
 from hielo_spark.streaming.events import hourly_counts, read_events_stream, run_to_memory
 
@@ -253,6 +255,7 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path):
     assert streamed == batch and len(streamed) == 30
 
 
+@pytest.mark.slow
 def test_streaming_upsert_sink_merges_batches_exactly_once(spark, tmp_path):
     """CDC upsert sink: each micro-batch lands as one MERGE snapshot;
     later batches update earlier keys; checkpoint-wipe replay commits

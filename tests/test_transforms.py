@@ -222,6 +222,7 @@ def test_committed_tables_feed_the_schema_and_spec_planes(spark, tmp_path):
     assert doc2["partition-specs"] == doc["partition-specs"]
 
 
+@pytest.mark.slow
 def test_merge_into_honors_recorded_partition_spec(spark, tmp_path):
     """MERGE writes its data files in the table's recorded partition
     layout (manifest partition values included), so pruning never

@@ -45,6 +45,7 @@ def _mk_v3(spark, t, n=10):
         snapshot_id=102, timestamp_ms=1700100000000)
 
 
+@pytest.mark.slow
 def test_update_preserves_row_ids_and_bumps_lus(spark, tmp_path):
     t = str(tmp_path / "t")
     C.append(spark, t, spark.createDataFrame(
@@ -85,6 +86,7 @@ def test_update_preserves_row_ids_and_bumps_lus(spark, tmp_path):
     assert got[4] == "u4" and got[5] == "v5"
 
 
+@pytest.mark.slow
 def test_update_does_not_advance_next_row_id(spark, tmp_path):
     t = str(tmp_path / "t")
     _mk_v3(spark, t)
@@ -107,6 +109,7 @@ def test_update_does_not_advance_next_row_id(spark, tmp_path):
     assert len(ids) == len(set(ids))  # no collisions
 
 
+@pytest.mark.slow
 def test_repeated_update_keeps_preserving_ids(spark, tmp_path):
     """Second UPDATE reads the FIRST's materialized lineage columns
     (coalesce order: explicit column before first_row_id+pos) — ids
@@ -135,6 +138,7 @@ def test_update_set_on_lineage_column_raises(spark, tmp_path):
                        snapshot_id=103, timestamp_ms=1700200000000)
 
 
+@pytest.mark.slow
 def test_changelog_compute_updates_pairs_on_row_id(spark, tmp_path):
     t = str(tmp_path / "t")
     C.append(spark, t, spark.createDataFrame(
@@ -201,6 +205,7 @@ def test_changelog_compute_updates_append_fast_path(spark, tmp_path):
     assert got == {3: 0, 4: 1, 5: 2}
 
 
+@pytest.mark.slow
 def test_datasource_lineage_read_sees_preserved_ids(spark, tmp_path):
     """The registered DataSource's lineage read agrees with the JVM
     plane after a lineage-preserving UPDATE (materialized columns win
@@ -228,6 +233,7 @@ def test_datasource_lineage_read_sees_preserved_ids(spark, tmp_path):
         assert got[k][0] == before[k][0]
 
 
+@pytest.mark.slow
 def test_changelog_net_changes_collapses_range(spark, tmp_path):
     """net_changes: one diff for the whole range — insert-then-update
     nets to one INSERT of the final state, update-then-delete nets to

@@ -13,6 +13,8 @@ pytest case so failures replay deterministically."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from hielo_spark.metadata import commit as C
@@ -20,6 +22,7 @@ from hielo_spark.metadata import upgrade_format_version
 from hielo_spark.metadata.manifests import read_data_at_snapshot
 
 
+@pytest.mark.slow
 def test_v3_randomized_invariant_walk(spark, tmp_path):
     from hielo_spark.ops.analysis import remove_orphan_files
     from hielo_spark.sources import register
