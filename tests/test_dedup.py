@@ -28,3 +28,23 @@ def test_semantic_dedup_no_pairs_is_identity(spark, sf_dir):
     kept, removed = semantic_dedup(e, k=4, threshold=0.95)
     assert removed.count() == 0
     assert kept.count() == 100
+
+
+def test_minhash_duplicate_ids_fail_loudly(spark):
+    """r14 (ADVICE r13): the single-join verify reassembly assumes
+    unique ids; a duplicated id used to silently yield jaccard=1.0 for
+    a dissimilar pair. The count guard must raise instead."""
+    import pytest
+
+    from hielo_spark.operators.dedup import minhash_neardup_pairs
+
+    dup = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (1, "zz yy xx ww vv uu tt ss rr qq pp oo nn"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(Exception, match="duplicate ids|expected 2"):
+        minhash_neardup_pairs(dup, threshold=0.1).collect()
